@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed
+  * scale-first:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle on
+  *    the hash key, O(1) state per group, trivially 100 TB-safe.
+  *  - MinHash + LSH banding: per-doc signature (narrow, no shuffle),
+  *    explode to (band, bandHash) buckets, self-join INSIDE buckets
+  *    only — the classic way to avoid the O(n²) all-pairs join.
+  *  - SimHash: 64-bit signature via bit-voting over token hashes;
+  *    near-dup candidates = equal signatures (or banded sub-keys).
+  *  - n-gram Jaccard: inverted-index join on shared shingles — the
+  *    exact verification path, also used standalone at moderate scale.
+  *
+  * Everything is built from higher-order column functions (no UDFs):
+  * signatures are computed inside the JVM expression interpreter,
+  * candidate generation is plain relational algebra that Catalyst
+  * plans with hash shuffles + AQE skew handling.
+  */
+object Dedup {
+
+  // ——— exact dedup ———
+
+  /** Keep one row per distinct fingerprint (the min-id row), count
+    * copies. Reference pattern: groupBy(hash) → min/count.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  // ——— shingles ———
+
+  /** Distinct word n-gram shingles per doc: (id, shingle) long form.
+    * Guarded for docs shorter than n tokens.
+    */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    docs.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  // ——— MinHash + LSH ———
+
+  /** MinHash in relational form: explode shingles to long form, cross
+    * with the k seeds, take `min(md5(seed || shingle))` per (doc,
+    * seed) in ONE codegen'd hash aggregate.
+    *
+    * Why not a per-row signature expression: a nested
+    * transform/array_min HOF tree is interpreted (no codegen) and
+    * Catalyst's CollapseProject re-inlines it into every consumer, so
+    * the k×|shingles| hash work re-executes once per band — measured
+    * 140 s on 500 docs. The relational form is k·|shingles| rows
+    * through a hash aggregate: ~1 s at test scale, and at 100 TB it
+    * shuffles on (doc, seed) — partition-parallel, spillable, and
+    * AQE-coalesced, which a 100-MB-wide row expression is not.
+    *
+    * Hash family: md5(seed || "|" || shingle) — engine-portable
+    * (DuckDB has md5), so LSH bucketing is oracle-checkable
+    * end-to-end. Returns (id, seed, mh).
+    */
+  def minhashLong(docs: DataFrame, n: Int, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+    val seeds = sh.sparkSession.range(k).select(col("id").cast("int").as("seed"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("mh"))
+  }
+
+  /** LSH banding over the long-form signature: band = seed / r; the
+    * bucket key is md5 of the band's (seed:mh) pairs sorted — order-
+    * independent across engines/partitions. Returns (id, band,
+    * bucket).
+    */
+  def lshBuckets(docs: DataFrame, n: Int, k: Int, bands: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    minhashLong(docs, n, k, idCol, textCol)
+      .withColumn("band", (col("seed") / lit(r)).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(array_join(array_sort(
+        collect_list(concat(col("seed").cast("string"), lit(":"), col("mh")))), ","))
+        .as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets: docs sharing ANY (band, bucket).
+    * The join is per-bucket — no all-pairs blowup; skewed buckets are
+    * handled by AQE skew-join splitting at scale.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 32,
+                        bands: Int = 8, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val b = lshBuckets(docs, n, k, bands, idCol, textCol)
+    val l = b.toDF("id_a", "band", "bucket")
+    val r = b.toDF("id_b", "band", "bucket")
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ——— n-gram Jaccard (inverted index) ———
+
+  /** Exact Jaccard similarity over distinct n-gram shingle sets for
+    * all pairs sharing ≥1 shingle. Inverted-index shape: shuffle on
+    * shingle, then on (id_a, id_b) — never materializes the n² pairs
+    * that share nothing.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val l = sh.toDF("id_a", "shingle")
+    val r = sh.toDF("id_b", "shingle")
+    val inter = l.join(r, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ——— SimHash ———
+
+  /** 64-bit SimHash: each token votes ±1 on each bit of its xxhash64;
+    * bit i of the signature = sign of the vote sum. Near-dups share
+    * signatures (Hamming-close docs collide on banded sub-keys).
+    * Pure HOF expressions; one pass, no shuffle.
+    */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(TextStats.tokens(textCol), t => xxhash64(t))
+    // Unrolled over the 64 bit positions (the Scala `shiftright`
+    // helper wants a literal bit count). At petabyte scale this
+    // becomes a single custom Catalyst Expression; the unrolled HOF
+    // form is one narrow pass, no shuffle.
+    (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Docs grouped by identical SimHash (exact-collision near-dups). */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,405 @@
+package graft.queries
+
+import graft.Tables
+import graft.engine.{Horizon, Joins, Reshape}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator battery (SURVEY.md §2.1-§2.8), one
+  * harness-checked query per operator family, expressed over the
+  * TPC-H-ish testdata tables.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - every aggregate over money columns goes through DECIMAL(18,2)
+  *    (exact — see graft.queries package doc) and is surfaced as
+  *    DOUBLE;
+  *  - every query ends in a total ORDER BY (unique tiebreak keys);
+  *  - counts are BIGINT on both sides;
+  *  - pow()/division results are round()-ed to 6 decimals on both
+  *    sides (last-ulp libm differences).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ——— A1 grouped aggregation (TPC-H Q1 shape) ———
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ——— P1/F1 scan + projection + filter (pushdown-visible) ———
+    Q("q02_scan_project_filter",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ——— F2 IN-list ———
+    Q("q03_filter_inlist",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ——— F3 negated IN-list (reference `!geographic_area %in%`, :125) ———
+    Q("q04_filter_not_inlist",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_mktsegment NOT IN ('AUTOMOBILE', 'HOUSEHOLD')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(!col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ——— F4 regex match (reference `!grepl("Non", ...)`, :74) ———
+    Q("q05_filter_regex",
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE NOT regexp_matches(p_name, '(green|blue)')
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(!col("p_name").rlike("(green|blue)"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    },
+
+    // ——— P7/X1/X2 derived columns: substring, concat ———
+    Q("q06_derived_columns",
+      """SELECT c_custkey,
+        |  substring(c_name, 3, 3) AS name_mid,
+        |  concat('#', c_name) AS tagged,
+        |  upper(c_mktsegment) AS seg
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        substring(col("c_name"), 3, 3).as("name_mid"),
+        concat(lit("#"), col("c_name")).as("tagged"),
+        upper(col("c_mktsegment")).as("seg"))
+        .orderBy("c_custkey")
+    },
+
+    // ——— A4 distinct + sort (region roster, :189) ———
+    Q("q07_distinct_sort",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") { (s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    },
+
+    // ——— R1 unpivot / melt (pivot_longer, :101) ———
+    Q("q08_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      Reshape.unpivot(
+        t(s, dir, "lineitem"),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        nameCol = "measure", valueCol = "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // ——— R2 pivot / widen (pivot_wider, :108) ———
+    Q("q09_pivot",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag")
+    },
+
+    // ——— R4 separate: split at FIRST separator (:336) ———
+    Q("q10_separate",
+      """SELECT o_orderkey,
+        |  split_part(o_orderpriority, '-', 1) AS prio_code,
+        |  CASE WHEN strpos(o_orderpriority, '-') > 0
+        |       THEN substring(o_orderpriority, strpos(o_orderpriority, '-') + 1)
+        |       ELSE NULL END AS prio_name
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Reshape.separate(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", ("prio_code", "prio_name"), "-")
+        .select("o_orderkey", "prio_code", "prio_name")
+        .orderBy("o_orderkey")
+    },
+
+    // ——— A2 per-group CAGR (cagrs(), :50-62) over yearly order totals ———
+    Q("q11_cagr",
+      """WITH yearly AS (
+        |  SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS value
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority,
+        |  ROUND(POWER(CAST(MAX(CASE WHEN year = 2000 THEN value END) AS DOUBLE)
+        |            / CAST(MAX(CASE WHEN year = 1995 THEN value END) AS DOUBLE), 0.2) - 1, 6)
+        |    AS "1st 5-year CAGR"
+        |FROM yearly
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val yearly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("year"))
+        .agg(sum(dec2(col("o_totalprice"))).as("value"))
+      Horizon.cagrs(yearly, Seq("o_orderpriority"), fyod = 1995)
+        .select(col("o_orderpriority"),
+          round(col(Horizon.cagr1Name), 6).as(Horizon.cagr1Name))
+        .orderBy("o_orderpriority")
+    },
+
+    // ——— A3 horizon sums, base year EXCLUDED (sums(), :63-71) ———
+    Q("q12_horizon_sums",
+      """WITH yearly AS (
+        |  SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS value
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN year BETWEEN 1996 AND 2000 THEN value END) AS DOUBLE) AS "1st 5-year Sum",
+        |  CAST(SUM(CASE WHEN year BETWEEN 2001 AND 2005 THEN value END) AS DOUBLE) AS "2nd 5-year Sum",
+        |  CAST(SUM(CASE WHEN year BETWEEN 1996 AND 2005 THEN value END) AS DOUBLE) AS "10-year Sum"
+        |FROM yearly
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val yearly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("year"))
+        .agg(sum(dec2(col("o_totalprice"))).as("value"))
+      Horizon.horizonSums(yearly, Seq("o_orderpriority"), fyod = 1995)
+        .select(col("o_orderpriority"),
+          col(Horizon.sum1Name).cast("double").as(Horizon.sum1Name),
+          col(Horizon.sum2Name).cast("double").as(Horizon.sum2Name),
+          col(Horizon.sum10Name).cast("double").as(Horizon.sum10Name))
+        .orderBy("o_orderpriority")
+    },
+
+    // ——— J1 natural left join with inferred keys (add_jo, :78-84) ———
+    Q("q13_natural_left_join",
+      """SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_acctbal AS acctbal,
+        |       o.n_orders, o.total_spent
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |) o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      val ordAgg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .withColumnRenamed("o_custkey", "custkey")
+      Joins.naturalLeft(cust, ordAgg).orderBy("custkey")
+    },
+
+    // ——— J2 inner equi-join, broadcast dims (three-way) ———
+    Q("q14_join_broadcast",
+      """SELECT p.p_brand, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY p.p_brand, n.n_name
+        |ORDER BY p.p_brand, n.n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      val supp = broadcast(t(s, dir, "supplier"))
+      val nat = broadcast(t(s, dir, "nation"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand", "n_name")
+    },
+
+    // ——— semi join (EXISTS) ———
+    Q("q15_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ——— anti join (NOT EXISTS) ———
+    Q("q16_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ——— set ops: UNION DISTINCT then EXCEPT ———
+    Q("q17_setops",
+      """SELECT k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+      f.union(open).distinct().except(auto).orderBy("k")
+    },
+
+    // ——— window: ranking (top-3 orders per customer) ———
+    Q("q18_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ——— window: running sum (frame, exact decimal state) ———
+    Q("q19_window_running",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running", sum(dec2(col("value"))).over(w).cast("double"))
+        .select("user_id", "event_id", "running")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ——— rollup (hierarchy totals the reference consumes pre-built) ———
+    Q("q20_rollup",
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+      // Spark 4.1's DetectAmbiguousSelfJoin false-positives on ANY
+      // rollup/cube above a join (the Expand node re-emits the
+      // grouping attributes, which the detector misreads as a self
+      // join). Plan semantics are unambiguous — disable the check.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // ——— top-k (order by + limit, deterministic tiebreak) ———
+    Q("q21_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    },
+
+    // ——— time-bucketed aggregation (batch form of the streaming agg) ———
+    Q("q22_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      // hour emitted as a string: timestamp columns round-trip through
+      // parquet with engine-specific tz annotations; strings compare
+      // identically everywhere (session TZ is UTC on both sides).
+      t(s, dir, "events")
+        .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("hour", "event_type")
+    }
+  )
+}

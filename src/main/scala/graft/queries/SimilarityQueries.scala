@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search battery over the `embeddings` table
+  * (`array<float>`, 64-dim). The oracle SQL mirrors the engine's
+  * arithmetic exactly: every element promoted to DOUBLE before
+  * multiply, sequential left-to-right summation, round to 6 — making
+  * double results bit-comparable across engines.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  // shared oracle fragment: cosine between two list<float> columns
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ——— brute-force cosine top-k (ANN correctness baseline) ———
+    Q("q40_knn_bruteforce",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.knnBruteForce(emb(s, dir), queryVec(s, dir), k = 10)
+    },
+
+    // ——— embedding near-dup pairs (brute force, cos ≥ 0.4) ———
+    Q("q41_embedding_neardup",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— LSH-bucketed ANN (xxhash64 hyperplanes → rows-only; recall
+    //     vs brute force is pinned in unit tests) ———
+    Q.rowsOnly("q42_ann_lsh") { (s, dir) =>
+      Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, nPlanes = 8)
+    },
+
+    // ——— per-label centroid norms: aggregate over vector column ———
+    Q("q43_label_centroid_norm",
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, i, SUM(CAST(x AS DOUBLE)) / COUNT(*) AS m
+        |  FROM e GROUP BY label, i
+        |)
+        |SELECT label, ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm,
+        |       CAST(MAX(i) AS BIGINT) AS dim
+        |FROM c GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("label"), (col("i0") + 1).cast("long").as("i"), col("x"))
+      val c = e.groupBy("label", "i")
+        .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+      c.groupBy("label")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+          max(col("i")).as("dim"))
+        .orderBy("label")
+    }
+  )
+}

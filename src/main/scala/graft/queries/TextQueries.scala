@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication battery over the `documents` table
+  * (training-data pipeline operators; SURVEY.md §7 extensions).
+  * Oracle-parity notes are on each query; xxhash64-based operators
+  * (SimHash, MinHash) have no DuckDB equivalent hash → rows-only.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Seq[Q] = Seq(
+
+    // ——— token counting ———
+    Q("q30_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id")
+    },
+
+    // ——— quality scoring ———
+    Q("q31_text_quality",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS BIGINT) AS stop_n,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_n,
+        |  ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / len(string_split_regex(lower(text), '\s+')), 6) AS mean_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.stopwordCount(col("text")).as("stop_n"),
+        TextStats.punctCount(col("text")).as("punct_n"),
+        round(TextStats.meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // ——— fingerprinting (md5 of normalized text — portable) ———
+    Q("q32_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ——— per-language corpus stats ———
+    Q("q33_lang_stats",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // ——— exact dedup (hash-groupBy) ———
+    Q("q34_dedup_exact",
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy("keeper")
+    },
+
+    // ——— n-gram Jaccard near-dup pairs (inverted index, exact) ———
+    Q("q35_dedup_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— MinHash + LSH candidate pairs (md5 family — full oracle) ———
+    Q("q36_dedup_minhash_lsh",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), mins AS (
+        |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+        |  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), ',')) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM buckets a
+        |JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), n = 3, k = 32, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— SimHash signatures (xxhash64 → rows-only) ———
+    Q.rowsOnly("q37_dedup_simhash") { (s, dir) =>
+      Dedup.simhashGroups(docs(s, dir)).orderBy("keeper")
+    },
+
+    // ——— language-ID heuristic (marker scoring → rows-only; accuracy
+    //     vs the ground-truth lang column is pinned in unit tests) ———
+    Q.rowsOnly("q38_lang_id") { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }
+  )
+}
