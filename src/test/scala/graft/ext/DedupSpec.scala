@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base.replace("today", "tomorrow")),      // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules engine")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length === 3)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper") === 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))  // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 2L)))  // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates contain the true near-dups") {
+    val cands = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))
+    assert(cands.contains((0L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts collide; near-dups are Hamming-close") {
+    val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+    assert(hamming(sh(0L), sh(2L)) <= 8)
+  }
+}

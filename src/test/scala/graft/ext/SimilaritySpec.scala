@@ -1,0 +1,42 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sf001, "embeddings")
+  private def qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+  test("brute-force knn: the query vector itself ranks first with cos 1.0") {
+    val top = Similarity.knnBruteForce(emb, qv, k = 5).collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = top.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sorted.reverse) // descending
+  }
+
+  test("ANN bucket search returns a subset of the brute-force ordering") {
+    val brute = Similarity.knnBruteForce(emb, qv, k = 100).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ann = Similarity.annTopK(emb, qv, k = 10, nPlanes = 6).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit carries its true cosine (same arithmetic)
+    ann.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(c => assert(math.abs(c - r.getAs[Double]("cos_sim")) < 1e-6))
+    }
+    // self-match must be in its own bucket
+    assert(ann.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(emb.limit(50), threshold = 0.3)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos_sim") >= 0.3)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and stopword counting") {
+    val df = Seq("The quick fox and the lazy dog").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount($"text").as("n"),
+      TextStats.stopwordCount($"text").as("stop"),
+      TextStats.punctCount($"text").as("punct")).head()
+    assert(r.getAs[Long]("n") === 7)
+    assert(r.getAs[Long]("stop") === 3) // the, and, the
+    assert(r.getAs[Long]("punct") === 0)
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
+    val r = df.select(
+      (TextStats.fingerprint($"t1") === TextStats.fingerprint($"t2")).as("eq")).head()
+    assert(r.getAs[Boolean]("eq"))
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val df = Seq(
+      ("en", "the cat and the dog is walking of course"),
+      ("de", "der hund und die katze ist schnell"),
+      ("zh", "这是一个的测试我有"),
+      ("es", "el perro y la casa es de madera")
+    ).toDF("expected", "text")
+    val got = df.select($"expected", TextStats.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred === exp, s"expected $exp got $pred") }
+  }
+
+  test("quality score is bounded [0,1] and penalizes junk") {
+    val df = Seq(
+      ("good", "this is a perfectly reasonable sentence with enough words to score well and a few more tokens for length"),
+      ("junk", "!!! ??? ... ,,, ;;; :::")
+    ).toDF("kind", "text")
+    val m = df.select($"kind", TextStats.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("good") > m("junk"))
+  }
+}
