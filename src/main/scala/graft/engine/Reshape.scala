@@ -55,8 +55,18 @@ object Reshape {
   def separate(df: DataFrame, colName: String, into: (String, String),
                sep: String): DataFrame = {
     val parts = split(col(colName), java.util.regex.Pattern.quote(sep), 2)
-    df.withColumn(into._1, parts.getItem(0))
-      .withColumn(into._2, parts.getItem(1))
+    // get() (not getItem): rows without the separator yield null in
+    // the second column — tidyr::separate's NA-with-warning behavior —
+    // instead of an ANSI out-of-bounds error. One select (not chained
+    // withColumn: when into._1 == colName the first rename would
+    // clobber the source the second extraction still reads), replacing
+    // the source column in place, as tidyr does.
+    val out = df.columns.toSeq.flatMap {
+      case c if c == colName =>
+        Seq(get(parts, lit(0)).as(into._1), get(parts, lit(1)).as(into._2))
+      case c => Seq(col(c))
+    }
+    df.select(out: _*)
   }
 
   /** base::split analogue (`:140-145`): one DataFrame per distinct key,

@@ -46,6 +46,22 @@ class ReshapeSpec extends SparkSpec {
     assert(out("20012") === "Plain")
   }
 
+  test("separate works when the first target name REUSES the source name (:336)") {
+    // regression: chained withColumn clobbered NOC before the second
+    // extraction, nulling every Description
+    val df = Seq(("10011: Senior managers", "c1")).toDF("NOC", "cluster")
+    val out = Reshape.separate(df, "NOC", ("NOC", "Description"), ": ")
+    assert(out.columns.toSeq === Seq("NOC", "Description", "cluster"))
+    val r = out.head()
+    assert(r.getString(0) === "10011" && r.getString(1) === "Senior managers")
+  }
+
+  test("separate without the separator yields null second part (tidyr NA)") {
+    val df = Seq("no-sep-here").toDF("NOC")
+    val r = Reshape.separate(df, "NOC", ("NOC", "Description"), ": ").head()
+    assert(r.getString(0) === "no-sep-here" && r.isNullAt(1))
+  }
+
   test("splitByKey returns sorted keys, each slice filtered") {
     val parts = Reshape.splitByKey(wide, "geo")
     assert(parts.map(_._1) === Seq("BC", "North"))

@@ -1,0 +1,64 @@
+package graft.sinks
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.util.zip.ZipFile
+import scala.xml.XML
+
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readPart(f: java.io.File, part: String): String = {
+    val z = new ZipFile(f)
+    try {
+      val in = z.getInputStream(z.getEntry(part))
+      new String(in.readAllBytes(), "UTF-8")
+    } finally z.close()
+  }
+
+  test("workbook round-trips sheets, values, and escaping") {
+    val df = Seq(("a & <b>", 1.5, 0.123456), ("plain", -2.0, 0.5))
+      .toDF("name", "num", "1st 5-year CAGR")
+    val f = Files.createTempDirectory("xlsx").resolve("t.xlsx").toFile
+    Xlsx.write(Seq(Xlsx.Sheet("data", df, pctLast3 = true),
+      Xlsx.Sheet("other", df.limit(1))), f)
+
+    val wb = XML.loadString(readPart(f, "xl/workbook.xml"))
+    assert((wb \\ "sheet").map(_ \@ "name") === Seq("data", "other"))
+
+    val s1 = XML.loadString(readPart(f, "xl/worksheets/sheet1.xml"))
+    val rows = (s1 \\ "row")
+    assert(rows.size === 3) // header + 2
+    val headerCells = (rows.head \\ "c").map(c => (c \\ "t").text)
+    assert(headerCells === Seq("name", "num", "1st 5-year CAGR"))
+    // escaping survived: raw XML contains &amp;, parsed value restores it
+    assert(readPart(f, "xl/worksheets/sheet1.xml").contains("a &amp; &lt;b&gt;"))
+    // numbers are native cells
+    val r1 = (rows(1) \\ "c")
+    assert((r1(1) \ "v").text === "1.5")
+    // pct style on the last 3 columns (all three here, header included,
+    // mirroring the reference's rows+1 gridExpand)
+    assert(rows.forall(r => (r \\ "c").forall(c => (c \@ "s") == "1")))
+    // styles carry the 0.0% format
+    assert(readPart(f, "xl/styles.xml").contains("0.0%"))
+  }
+
+  test("pctLast3=false emits no styled cells") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val f = Files.createTempDirectory("xlsx").resolve("p.xlsx").toFile
+    Xlsx.write(Seq(Xlsx.Sheet("s", df)), f)
+    assert(!readPart(f, "xl/worksheets/sheet1.xml").contains("s=\"1\""))
+  }
+
+  test("sheet names are sanitized to Excel rules") {
+    assert(Xlsx.sanitizeName("a[b]c:d*e?f/g\\h") === "a b c d e f g h")
+    assert(Xlsx.sanitizeName("x" * 40).length === 31)
+  }
+
+  test("column letters beyond Z") {
+    assert(Xlsx.colLetter(0) === "A")
+    assert(Xlsx.colLetter(25) === "Z")
+    assert(Xlsx.colLetter(26) === "AA")
+    assert(Xlsx.colLetter(27 + 26) === "BB")
+  }
+}
