@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/
+  * audio/video payloads ride as opaque `binary` columns with typed
+  * metadata; decode / feature-extraction / resize / frame-sampling
+  * run as batched per-partition transforms.
+  *
+  * The SPARK side — schema, partitioning, batch shape, encoders — is
+  * real and tested. The codec itself is a clearly-marked DETERMINISTIC
+  * STUB (`fakeDecode`): no image/audio libraries exist in this
+  * container, and at cluster scale the decode step is an external
+  * concern (native lib or model-server RPC) slotted into the same
+  * `mapPartitions` seam. In PySpark the identical seam is
+  * `mapInPandas` with arrow batches; `mapPartitions` + grouped
+  * iterators is the Scala-native equivalent, preserving the
+  * batch-amortized call shape without ever materializing a partition
+  * in memory.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                            width: Int, height: Int, n_frames: Int)
+
+  final case class MediaFeature(media_id: Long, kind: String, frame: Int,
+                                feature: Array[Float])
+
+  /** Batch size for the decode/extract seam — amortizes per-call
+    * overhead (JNI / RPC) without holding a whole partition.
+    */
+  val extractBatchSize = 64
+
+  /** STUB ─ deterministic fake decode: derives a `dim`-wide float
+    * feature from the payload bytes + frame index via a rolling hash.
+    * Replace the body with a real codec / model call; the signature
+    * and batching contract are the real interface.
+    */
+  def fakeDecode(bytes: Array[Byte], frame: Int, dim: Int = 16): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L + frame * 2654435761L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    var d = 0
+    while (d < dim) {
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+      out(d) = ((h % 2000L) / 1000.0f); d += 1
+    }
+    out
+  }
+
+  /** Synthesize a media table from the `documents` table (text bytes
+    * as payload) — stands in for a real binary source; keeps the
+    * pipeline runnable on the driver-provided testdata only.
+    */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      (pmod(col("doc_id"), lit(8)) * 64 + 256).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 64 + 256).cast("int").as("height"),
+      when(col("doc_id") % 3 === 2, pmod(col("doc_id"), lit(10)) + 2)
+        .otherwise(lit(1)).cast("int").as("n_frames")
+    ).as[MediaRow]
+  }
+
+  /** Frame sampling: one output row per sampled frame index (every
+    * `everyNth`). Narrow explode — no shuffle; at scale the payload
+    * column is projected ONLY into the extract stage (column pruning
+    * keeps it out of unrelated scans).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int): DataFrame =
+    media.toDF().select(
+      col("media_id"), col("kind"), col("bytes"),
+      explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+        lit(everyNth))).as("frame"))
+
+  /** Feature extraction over the decode seam: per partition, pull rows
+    * in `extractBatchSize` groups, "decode" each batch, emit features.
+    * The grouped-iterator shape is what a real model-server client
+    * needs (one RPC per batch), and it streams — constant memory per
+    * partition.
+    */
+  def extractFeatures(sampled: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    import sampled.sparkSession.implicits._
+    sampled.select("media_id", "kind", "bytes", "frame")
+      .as[(Long, String, Array[Byte], Int)]
+      .mapPartitions { rows =>
+        rows.grouped(extractBatchSize).flatMap { batch =>
+          // one "model call" per batch — the stub decodes each member
+          batch.iterator.map { case (id, kind, bytes, frame) =>
+            MediaFeature(id, kind, frame, fakeDecode(bytes, frame, dim))
+          }
+        }
+      }
+  }
+
+  /** Resize metadata transform: pure column arithmetic (the actual
+    * pixel resize lives behind the same decode seam).
+    */
+  def resizeMeta(media: Dataset[MediaRow], maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    media.toDF().withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      .drop("bytes")
+  }
+
+  /** End-to-end: documents → media → sampled frames → features, ready
+    * to join back to embeddings/text features by media_id.
+    */
+  def featurePipeline(docs: DataFrame, everyNth: Int = 2, dim: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    extractFeatures(sampleFrames(syntheticMedia(docs), everyNth), dim)
+      .toDF()
+      .withColumn("feat_norm",
+        round(sqrt(aggregate(col("feature"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6))
+  }
+}

@@ -400,6 +400,33 @@ object Relational {
         .groupBy("hour", "event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")
+    },
+
+    // ——— session windows (batch form of the streaming sessionize;
+    //     oracle = gaps-and-islands SQL). Spark closes a session when
+    //     the next event is >= gap after the last (window end is
+    //     exclusive), hence >= in the oracle's island test. ———
+    Q("q23_sessionize",
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.sessionize(t(s, dir, "events"), "5 minutes")
+        .orderBy("user_id", "session_start")
     }
   )
 }

@@ -154,6 +154,15 @@ object TextQueries {
         col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    },
+
+    // ——— multimodal plumbing: binary payloads → frame sampling →
+    //     batched feature extraction (decode step is a deterministic
+    //     stub — see ext.Multimodal — so rows-only) ———
+    Q.rowsOnly("q44_multimodal_features") { (s, dir) =>
+      graft.ext.Multimodal.featurePipeline(docs(s, dir))
+        .select("media_id", "kind", "frame", "feat_norm")
+        .orderBy("media_id", "frame")
     }
   )
 }

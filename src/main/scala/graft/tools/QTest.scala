@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.ext.Streaming
 
 /** Scratch main for local iteration on a single query. */
 object QTest {
@@ -13,42 +13,22 @@ object QTest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    def c = Tables.load(spark, dir, "customer")
-    def n = Tables.load(spark, dir, "nation")
-    def r = Tables.load(spark, dir, "region")
-    def attempt(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit =
-      try { f.collect(); println(s"OK   $tag") }
-      catch { case e: Throwable => println(s"FAIL $tag: ${e.getMessage.take(100)}") }
 
-    attempt("no-broadcast qualified") {
-      val (cc, nn, rr) = (c, n, r)
-      cc.join(nn, cc("c_nationkey") === nn("n_nationkey"))
-        .join(rr, nn("n_regionkey") === rr("r_regionkey"))
-        .rollup("r_name", "n_name").agg(count(lit(1)).as("n_cust"))
-    }
-    attempt("using-columns") {
-      val cc = c.withColumnRenamed("c_nationkey", "n_nationkey")
-      val nn = n
-      val rr = r
-      cc.join(nn, Seq("n_nationkey"))
-        .join(rr, nn("n_regionkey") === rr("r_regionkey"))
-        .rollup("r_name", "n_name").agg(count(lit(1)).as("n_cust"))
-    }
-    attempt("conf-disabled") {
-      spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      val out = c.join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name").agg(count(lit(1)).as("n_cust"))
-      out
-    }
-    attempt("plain-rollup-no-join") {
-      n.rollup("n_regionkey", "n_name").agg(count(lit(1)).as("n_cust"))
-    }
-    attempt("join-then-rollup-unqualified") {
-      c.join(n, col("c_nationkey") === col("n_nationkey"))
-        .rollup("n_name").agg(count(lit(1)).as("n_cust"))
-    }
+    // drive: streaming hourly agg over the real events file
+    val stream = Streaming.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    println(s"isStreaming=${stream.isStreaming}")
+    val q = Streaming.runToMemory(Streaming.hourlyAgg(stream), "hr")
+    val out = spark.sql("SELECT * FROM hr ORDER BY hour, event_type")
+    out.show(6, truncate = false)
+    println(s"STREAM-ROWS ${out.count()}")
+    q.stop()
+
+    // probe: sessionize in streaming mode with watermark
+    val stream2 = Streaming.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val q2 = Streaming.runToMemory(Streaming.sessionizeStream(stream2), "sess")
+    println(s"SESS-ROWS ${spark.sql("SELECT * FROM sess").count()}")
+    q2.stop()
+
     spark.stop()
   }
 }

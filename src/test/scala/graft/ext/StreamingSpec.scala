@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms must agree with their batch forms — the same
+  * plan run through readStream/writeStream produces the same rows.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsPath = s"$sf001/events.parquet"
+
+  test("streaming hourly agg matches the batch aggregation exactly") {
+    val stream = Streaming.readEvents(spark, eventsPath)
+    val q = Streaming.runToMemory(
+      Streaming.hourlyAgg(stream), "hourly_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val got = spark.sql("SELECT * FROM hourly_out")
+        .orderBy("hour", "event_type").collect()
+      val want = Streaming.hourlyAgg(Tables.load(spark, sf001, "events"))
+        .orderBy("hour", "event_type").collect()
+      // watermark in append mode may hold back the final window(s);
+      // everything emitted must match the batch result exactly
+      assert(got.nonEmpty, "streaming query emitted nothing")
+      val wantMap = want.map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      got.foreach { r =>
+        assert(wantMap((r.getString(0), r.getString(1))) === r.toSeq)
+      }
+    } finally q.stop()
+  }
+
+  test("batch sessionize: session boundaries respect the gap") {
+    val sessions = Streaming.sessionize(Tables.load(spark, sf001, "events"), "5 minutes")
+    val perUser = sessions.groupBy("user_id").agg(
+      count(lit(1)).as("n_sessions"), sum("n_events").as("n_total"))
+    val events = Tables.load(spark, sf001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    // every event lands in exactly one session
+    val joined = perUser.join(events, "user_id")
+      .filter(col("n_total") =!= col("n_events"))
+    assert(joined.count() === 0)
+    // sessions per user are non-overlapping in time
+    val s = sessions.filter(col("user_id") === sessions.select("user_id").head().getLong(0))
+      .orderBy("session_start").collect()
+    s.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("session_end") <= b.getAs[String]("session_start"))
+      case _ =>
+    }
+  }
+
+  test("mapGroupsWithState running totals match a plain aggregation") {
+    val ds = Tables.load(spark, sf001, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[Streaming.UserEvent]
+    val got = Streaming.runningTotals(ds).collect()
+      .map(s => s.user_id -> s).toMap
+    val want = Tables.load(spark, sf001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (u, s) =>
+      assert(s.n === want(u).getAs[Long]("n"))
+      assert(math.abs(s.total - want(u).getAs[Double]("total")) < 1e-6)
+    }
+  }
+}
