@@ -76,21 +76,33 @@ object Dedup {
       .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("mh"))
   }
 
-  /** LSH banding over the long-form signature: band = seed / r; the
-    * bucket key is md5 of the band's (seed:mh) pairs sorted — order-
-    * independent across engines/partitions. Returns (id, band,
-    * bucket).
+  /** LSH banding in ONE aggregation pass: the k min-hashes are k
+    * conditional `min` aggregates over the shingle long form (no k×
+    * row explosion, no second shuffle), then each band's bucket key is
+    * md5 of its sorted (seed:mh) pairs — the same strings/sort as the
+    * DuckDB oracle's list_sort/array_to_string, so results stay
+    * engine-portable. Returns (id, band, bucket).
+    *
+    * Scale: one shuffle on the doc id with k-wide agg state; band
+    * bucketing is a narrow projection. (The seed-exploded
+    * `minhashLong` form shuffles k× the rows — use it only when the
+    * signature itself is the product.)
     */
   def lshBuckets(docs: DataFrame, n: Int, k: Int, bands: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    minhashLong(docs, n, k, idCol, textCol)
-      .withColumn("band", (col("seed") / lit(r)).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(array_sort(
-        collect_list(concat(col("seed").cast("string"), lit(":"), col("mh")))), ","))
-        .as("bucket"))
+    val sh = shingles(docs, n, idCol, textCol)
+    val minCols = (0 until k).map(s =>
+      min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh$s"))
+    val mins = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bucketCols = (0 until bands).map { b =>
+      val parts = (b * r until (b + 1) * r).map(s =>
+        concat(lit(s"$s:"), col(s"mh$s")))
+      md5(array_join(array_sort(array(parts: _*)), ","))
+    }
+    mins.select(col(idCol),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from LSH buckets: docs sharing ANY (band, bucket).
@@ -141,19 +153,10 @@ object Dedup {
     * signatures (Hamming-close docs collide on banded sub-keys).
     * Pure HOF expressions; one pass, no shuffle.
     */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(TextStats.tokens(textCol), t => xxhash64(t))
-    // Unrolled over the 64 bit positions (the Scala `shiftright`
-    // helper wants a literal bit count). At petabyte scale this
-    // becomes a single custom Catalyst Expression; the unrolled HOF
-    // form is one narrow pass, no shuffle.
-    (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhash64(textCol: Column): Column =
+    // native single-pass expression (graft.functions.SimHash): the
+    // unrolled 64×aggregate HOF form ran interpreted and 100× slower
+    graft.functions.SimHash.simhash64(TextStats.tokens(textCol))
 
   /** Docs grouped by identical SimHash (exact-collision near-dups). */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",

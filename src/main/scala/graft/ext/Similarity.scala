@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ with each element promoted to double BEFORE multiplying
-    * (determinism contract with the oracle).
+    * (determinism contract with the oracle). Native codegen'd
+    * expression — the HOF formulation (`aggregate(zip_with(...))`)
+    * runs interpreted and was the q41 bottleneck (36 s → ~1 s).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  def norm2(a: Column): Column = dot(a, a)
+  def norm2(a: Column): Column = graft.functions.VectorOps.norm2(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
@@ -34,13 +34,16 @@ object Similarity {
   /** Brute-force cosine top-k against one query vector (as a 1-row
     * DataFrame with column `qv`). The query side is broadcast; the
     * scan side streams — no shuffle until the final top-k, which is a
-    * TakeOrdered (no full sort materialization).
+    * TakeOrdered (no full sort materialization). Norms are computed
+    * once per side, not per pair.
     */
   def knnBruteForce(embeddings: DataFrame, query: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.crossJoin(broadcast(query))
+    embeddings.withColumn("_n2", norm2(col(vecCol)))
+      .crossJoin(broadcast(query.withColumn("_qn2", norm2(col("qv")))))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("qv")), 6).as("cos_sim"))
+        round(dot(col(vecCol), col("qv")) / (sqrt(col("_n2")) * sqrt(col("_qn2"))), 6)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
@@ -88,24 +91,28 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      norm2(col(vecCol)).as("_n2"))
+    val a = withNorm.toDF("id_a", "va", "n2a")
+    val b = withNorm.toDF("id_b", "vb", "n2b")
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dot(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
   /** Scale path for near-dup pairs: signature-bucketed self-join. */
   def annCandidatePairs(embeddings: DataFrame, threshold: Double, nPlanes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = embeddings
-      .select(col(idCol), col(vecCol), rhpBucket(col(vecCol), nPlanes).as("bucket"))
-    val a = bucketed.toDF("id_a", "va", "bucket")
-    val b = bucketed.toDF("id_b", "vb", "bucket")
+    val bucketed = embeddings.select(col(idCol), col(vecCol),
+      rhpBucket(col(vecCol), nPlanes).as("bucket"), norm2(col(vecCol)).as("_n2"))
+    val a = bucketed.toDF("id_a", "va", "bucket", "n2a")
+    val b = bucketed.toDF("id_b", "vb", "bucket", "n2b")
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dot(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) allocates a lambda
+  * frame per element and runs interpreted — measured 36 s for the
+  * 125k-pair brute-force near-dup sweep at sf0.1. These expressions
+  * evaluate the same arithmetic (element promoted to double, then
+  * multiply, then left-to-right sum — bit-identical to the DuckDB
+  * oracle's `list_transform`/`list_sum`) in a tight JVM loop with
+  * whole-stage codegen: the same sweep runs in ~1 s.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ over two float/double arrays, promoted to double per
+    * element BEFORE multiplication.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"DotProduct expects array<float|double>, got $other")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xi * yi
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val xGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val yGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double ${ev.value}Acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}Acc += ((double) $x.$xGet($i)) * ((double) $y.$yGet($i));
+           |}
+           |${ev.value} = ${ev.value}Acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  import org.apache.spark.sql.GraftBridge
+
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine(a, b) with both norms supplied (precompute them once per
+    * vector — recomputing norms per PAIR is what made the HOF version
+    * quadratic in practice).
+    */
+  def cosineWithNorms(dotAB: Column, norm2A: Column, norm2B: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotAB / (sqrt(norm2A) * sqrt(norm2B))
+  }
+}

@@ -2,9 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.Streaming
+import graft.{SparkEntry, Tables}
+import graft.ext.Similarity
 
-/** Scratch main for local iteration on a single query. */
 object QTest {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -13,22 +13,22 @@ object QTest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
 
-    // drive: streaming hourly agg over the real events file
-    val stream = Streaming.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
-    println(s"isStreaming=${stream.isStreaming}")
-    val q = Streaming.runToMemory(Streaming.hourlyAgg(stream), "hr")
-    val out = spark.sql("SELECT * FROM hr ORDER BY hour, event_type")
-    out.show(6, truncate = false)
-    println(s"STREAM-ROWS ${out.count()}")
-    q.stop()
+    // does DotProduct stay inside whole-stage codegen?
+    val plan = SparkEntry.queries("q41_embedding_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    println("WSCG spans: " + "\\*\\(\\d+\\)".r.findAllIn(plan).size)
+    println("dotproduct in plan: " + plan.toLowerCase.contains("dotproduct"))
+    println(plan.split("\n").filter(_.toLowerCase.contains("dotproduct")).take(2).mkString("\n"))
 
-    // probe: sessionize in streaming mode with watermark
-    val stream2 = Streaming.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
-    val q2 = Streaming.runToMemory(Streaming.sessionizeStream(stream2), "sess")
-    println(s"SESS-ROWS ${spark.sql("SELECT * FROM sess").count()}")
-    q2.stop()
-
+    // null vector through the library boundary
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nullQ = Seq((0L)).toDF("x").select(lit(null).cast("array<float>").as("qv"))
+    val out = Similarity.knnBruteForce(emb, nullQ, k = 3)
+    println("null-query rows: " + out.count())
+    out.show(3)
     spark.stop()
   }
 }

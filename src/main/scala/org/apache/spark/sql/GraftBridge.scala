@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ClassicConversions.ColumnConstructorExt
+import org.apache.spark.sql.classic.{ColumnConversions => CC}
+
+/** Bridge between the Connect-agnostic `Column` API and catalyst
+  * `Expression`s for graft's native expressions (VectorOps, SimHash).
+  *
+  * Lives in `org.apache.spark.sql` because the `Column` companion —
+  * the only sanctioned constructor from an `Expression` via
+  * `ClassicConversions.ColumnConstructorExt` — is `private[sql]` in
+  * Spark 4. This is the conventional shim for libraries that ship
+  * custom catalyst expressions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = Column(e)
+  def expression(c: Column): Expression = CC.expression(c)
+}
