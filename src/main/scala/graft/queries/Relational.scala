@@ -427,6 +427,65 @@ object Relational {
         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
       graft.ext.Streaming.sessionize(t(s, dir, "events"), "5 minutes")
         .orderBy("user_id", "session_start")
+    },
+
+    // ——— exact interpolated percentiles (same linear-interpolation
+    //     definition as DuckDB quantile_cont) ———
+    Q("q24_percentiles",
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ——— cube (all grouping-set combinations) ———
+    Q("q25_cube",
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ——— as-of join (engine operator Spark lacks; DuckDB's native
+    //     ASOF JOIN is the oracle): each purchase matched to the
+    //     user's most recent signup at-or-before it ———
+    Q("q46_asof_join",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id, ts, value AS signup_value FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, p.user_id, p.value, s.signup_value,
+        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      graft.engine.AsOf.asofBackward(purchases, signups,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("value"), col("signup_value"),
+          date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+        .orderBy("event_id")
     }
   )
 }

@@ -156,6 +156,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ——— composite quality score (bounded [0,1]; same double
+    //     arithmetic as the oracle, so bit-comparable) ———
+    Q("q39_quality_score",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(lower(text), '\s+')) AS n,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_n,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  ROUND((least(length(text) / 200.0, 1.0)
+        |       + (1.0 - least(CAST(punct_n AS DOUBLE) / n, 1.0))
+        |       + (CASE WHEN CAST(stop_n AS DOUBLE) / n BETWEEN 0.01 AND 0.6
+        |               THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+        |FROM base
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ——— corpus token frequency (vocabulary head) ———
+    Q("q45_token_topk",
+      """SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+        |GROUP BY t
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+
     // ——— multimodal plumbing: binary payloads → frame sampling →
     //     batched feature extraction (decode step is a deterministic
     //     stub — see ext.Multimodal — so rows-only) ———

@@ -1,0 +1,55 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "u1", 100L, "p1"),
+    (2L, "u1", 205L, "p2"),
+    (3L, "u1", 300L, "p3"),
+    (4L, "u2", 50L, "p4")   // u2 has no prior right row
+  ).toDF("id", "user", "t", "tag")
+
+  private def right = Seq(
+    ("u1", 100L, "r@100"),  // equal ts → visible (<= semantics)
+    ("u1", 200L, "r@200"),
+    ("u3", 10L, "r-unused")
+  ).toDF("user", "t", "rval")
+
+  test("backward as-of join picks the latest right row at-or-before") {
+    val out = AsOf.asofBackward(left, right, Seq("user"), "t", "t", Seq("rval"))
+      .select("id", "rval", "t_matched").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out(1L) === ("r@100", 100L)) // equal ts matches
+    assert(out(2L) === ("r@200", 200L)) // latest preceding
+    assert(out(3L) === ("r@200", 200L)) // carried forward
+    assert(out(4L) === (null, -1L))     // left join: no match → nulls
+  }
+
+  test("tolerance nulls out matches that are too old") {
+    val out = AsOf.asofBackward(left, right, Seq("user"), "t", "t",
+      Seq("rval"), tolerance = Some(lit(50L)))
+      .select("id", "rval").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "r@100")  // age 0 ≤ 50
+    assert(out(2L) === "r@200")  // age 5 ≤ 50
+    assert(out(3L) === null)     // age 100 > 50 → nulled
+  }
+
+  test("row count is exactly the left side's (left-join semantics)") {
+    val out = AsOf.asofBackward(left, right, Seq("user"), "t", "t", Seq("rval"))
+    assert(out.count() === left.count())
+    assert(out.columns.toSeq === Seq("id", "user", "t", "tag", "rval", "t_matched"))
+  }
+
+  test("colliding payload names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right.withColumnRenamed("rval", "tag"),
+        Seq("user"), "t", "t", Seq("tag"))
+    }
+  }
+}
