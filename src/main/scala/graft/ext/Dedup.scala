@@ -88,18 +88,29 @@ object Dedup {
     * `minhashLong` form shuffles k× the rows — use it only when the
     * signature itself is the product.)
     */
+  /** Universal-hash family parameters: k hashes derived from ONE md5
+    * per shingle via h_s = (A·h + s·B) mod M (engine-portable integer
+    * arithmetic; h = first 7 md5 hex chars < 2^28, so A·h < 2^59 —
+    * no 64-bit overflow in either engine). One md5 per shingle beats
+    * k md5s per shingle ~k× on the dominant cost.
+    */
+  private val HashA = 1640531527L
+  private val HashB = 2654435769L
+  private val HashM = 4294967296L
+
   def lshBuckets(docs: DataFrame, n: Int, k: Int, bands: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val sh = shingles(docs, n, idCol, textCol)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
     val minCols = (0 until k).map(s =>
-      min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh$s"))
+      min((lit(HashA) * col("h") + lit(s.toLong * HashB)) % lit(HashM)).as(s"mh$s"))
     val mins = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    // bucket key = the band's min-hashes in seed order (plain string —
+    // equality is all that matters, and both engines render longs alike)
     val bucketCols = (0 until bands).map { b =>
-      val parts = (b * r until (b + 1) * r).map(s =>
-        concat(lit(s"$s:"), col(s"mh$s")))
-      md5(array_join(array_sort(array(parts: _*)), ","))
+      concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*)
     }
     mins.select(col(idCol),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
@@ -129,7 +140,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // join on 64-bit shingle hashes, not variable-length strings: the
+    // counts are identical absent a 64-bit collision, and fixed-width
+    // keys roughly halve the two shuffles' cost
     val sh = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val l = sh.toDF("id_a", "shingle")
     val r = sh.toDF("id_b", "shingle")

@@ -125,13 +125,17 @@ object TextQueries {
         |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
         |      ELSE [array_to_string(ts, ' ')] END) AS shingle
         |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
         |), mins AS (
-        |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-        |  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
         |  GROUP BY doc_id, seed
         |), buckets AS (
         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-        |    md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), ',')) AS bucket
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
         |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
         |)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
