@@ -102,6 +102,65 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer (centroids) splits
+    * the corpus into cells; each vector is assigned to its nearest
+    * centroid; a query probes only the `nProbes` nearest cells. The
+    * canonical trade: recall vs the fraction of the corpus scanned.
+    *
+    * Centroids here are driver-computed per-label means (tiny:
+    * #labels × dim floats, broadcast as literals) — at real scale
+    * they come from a k-means pass, but assignment/probing — the
+    * distributed 99% of the work — is identical and is what this
+    * implements: one narrow argmin pass to assign cells, then a
+    * cell-pruned scan per query.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                vecCol: String = "embedding"): DataFrame = {
+    // nearest centroid by squared L2: ||v||² − 2⟨v,c⟩ + ||c||²; ||v||²
+    // is constant per row so argmin over (−2⟨v,c⟩ + ||c||²) suffices
+    val scored = centroids.map { case (cid, c) =>
+      val cArr = array(c.map(x => lit(x)): _*)
+      val cNorm = c.map(x => x.toDouble * x).sum
+      struct((lit(-2.0) * dot(col(vecCol), cArr) + lit(cNorm)).as("score"),
+        lit(cid).as("cell"))
+    }
+    embeddings.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
+                       vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.sql.Row
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val sums = embeddings
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(labelCol, "i")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+    sums.groupBy(_.getAs[Int](labelCol)).map { case (label, rows) =>
+      val v = new Array[Float](dim)
+      rows.foreach(r => v(r.getAs[Int]("i")) = r.getAs[Double]("m").toFloat)
+      label -> v.toSeq
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** IVF top-k for one query vector: score only vectors in the
+    * query's `nProbes` nearest cells.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              centroids: Seq[(Int, Seq[Float])], nProbes: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids, vecCol)
+    // probe cells: nProbes nearest centroids to the query (the query
+    // vector itself is driver-sized by definition)
+    val qRow = query.select(col("qv")).head().getSeq[Float](0)
+    val probeCells = centroids.map { case (cid, c) =>
+      val d = c.zip(qRow).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+      (d, cid)
+    }.sortBy(_._1).take(nProbes).map(_._2)
+    knnBruteForce(assigned.filter(col("cell").isin(probeCells: _*)).drop("cell"),
+      query, k, idCol, vecCol)
+  }
+
   /** Scale path for near-dup pairs: signature-bucketed self-join. */
   def annCandidatePairs(embeddings: DataFrame, threshold: Double, nPlanes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

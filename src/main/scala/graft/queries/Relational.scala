@@ -429,6 +429,32 @@ object Relational {
         .orderBy("user_id", "session_start")
     },
 
+    // ——— SQL front end: the same engine driven through spark.sql over
+    //     registered views (the oracle runs a dialect-shared text) ———
+    Q("q26_sql_frontend",
+      """SELECT c.c_mktsegment, o.o_orderpriority,
+        |  CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY c.c_mktsegment, o.o_orderpriority
+        |ORDER BY c.c_mktsegment, o.o_orderpriority""".stripMargin) { (s, dir) =>
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c.c_mktsegment, o.o_orderpriority,
+          |  CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY c.c_mktsegment, o.o_orderpriority
+          |ORDER BY c.c_mktsegment, o.o_orderpriority""".stripMargin)
+    },
+
     // ——— exact interpolated percentiles (same linear-interpolation
     //     definition as DuckDB quantile_cont) ———
     Q("q24_percentiles",

@@ -58,6 +58,15 @@ object SimilarityQueries {
       Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, nPlanes = 8)
     },
 
+    // ——— IVF ANN: coarse-quantizer cells, probe the nearest cells
+    //     only (cell assignment is float-mean dependent → rows-only;
+    //     recall vs brute force pinned in SimilaritySpec) ———
+    Q.rowsOnly("q48_ivf_ann") { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.centroidsByLabel(e)
+      Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
+    },
+
     // ——— per-label centroid norms: aggregate over vector column ———
     Q("q43_label_centroid_norm",
       """WITH e AS (

@@ -183,6 +183,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ——— full TF-IDF matrix (deterministically ordered by doc/token;
+    //     ln() rounded to 6 — no float-order-dependent ranking) ———
+    Q("q47_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.token""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+
     // ——— corpus token frequency (vocabulary head) ———
     Q("q45_token_topk",
       """SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n

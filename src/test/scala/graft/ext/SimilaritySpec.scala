@@ -31,6 +31,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("IVF: probing more cells monotonically recovers brute-force recall") {
+    val cents = Similarity.centroidsByLabel(emb)
+    assert(cents.nonEmpty && cents.head._2.size === 64)
+    val brute = Similarity.knnBruteForce(emb, qv, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(p: Int) = {
+      val ivf = Similarity.ivfTopK(emb, qv, k = 10, cents, nProbes = p)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      ivf.intersect(brute).size
+    }
+    val rAll = recall(cents.size)    // probing every cell == brute force
+    assert(rAll === 10)
+    val r1 = recall(1)
+    assert(r1 >= 1)                  // self-cell at least finds the query
+    assert(recall(3) >= r1)          // more probes, never less recall
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb.limit(50), threshold = 0.3)
       .collect()
