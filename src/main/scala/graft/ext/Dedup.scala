@@ -161,6 +161,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ——— edit-distance (typo) dedup ———
+
+  /** Near-dup pairs by Levenshtein distance, blocked: candidates are
+    * generated ONLY within equal `blockCol` groups (the classic
+    * blocking-key trick — all-pairs edit distance is O(n²) and dies at
+    * scale; per-block it's O(Σ|block|²), controlled by key choice).
+    * `levenshtein` is codegen'd and engine-portable (same DP
+    * definition in DuckDB).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+                        blockCol: Column, maxDist: Int): DataFrame = {
+    val blocked = df.select(col(idCol), col(nameCol), blockCol.as("_block"))
+    val a = blocked.toDF("id_a", "name_a", "_block")
+    val b = blocked.toDF("id_b", "name_b", "_block")
+    a.join(b, "_block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
   // ——— SimHash ———
 
   /** 64-bit SimHash: each token votes ±1 on each bit of its xxhash64;

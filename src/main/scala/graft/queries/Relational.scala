@@ -488,6 +488,53 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // ——— grouping sets (finer than rollup/cube; via the SQL surface,
+    //     which is the only Spark API for arbitrary set lists) ———
+    Q("q27_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // ——— JSON extraction from the props payload column ———
+    Q("q28_json_extract",
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("k")
+    },
+
+    // ——— date-part seasonality (month/year extraction) ———
+    Q("q29_monthly_seasonality",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY yr, mo""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr", "mo")
+    },
+
     // ——— as-of join (engine operator Spark lacks; DuckDB's native
     //     ASOF JOIN is the oracle): each purchase matched to the
     //     user's most recent signup at-or-before it ———

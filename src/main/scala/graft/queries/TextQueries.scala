@@ -224,6 +224,29 @@ object TextQueries {
         .limit(20)
     },
 
+    // ——— edit-distance (typo) dedup, blocked on the head noun —
+    //     levenshtein is the same DP definition in both engines ———
+    Q("q50_edit_distance_dedup",
+      """WITH p AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      // over DISTINCT names (the typo-lexicon), not id pairs: with a
+      // low-cardinality name vocabulary, id-level pairs explode
+      // quadratically in duplicates (measured 24 s / 5M rows at sf0.1
+      // for zero extra information) — dedup the lexicon, then join
+      // survivors back to ids if needed
+      val names = graft.Tables.load(s, dir, "part").select("p_name").distinct()
+      Dedup.editDistancePairs(names, "p_name", "p_name",
+        blockCol = split(col("p_name"), " ").getItem(1), maxDist = 2)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+        .orderBy("name_a", "name_b")
+    },
+
     // ——— multimodal plumbing: binary payloads → frame sampling →
     //     batched feature extraction (decode step is a deterministic
     //     stub — see ext.Multimodal — so rows-only) ———
