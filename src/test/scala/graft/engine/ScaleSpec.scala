@@ -1,0 +1,90 @@
+package graft.engine
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the scale mechanics SCALE.md claims: salting preserves
+  * results, bucketing co-locates joins (no shuffle in the plan), and
+  * sketches stay within tolerance.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def li = Tables.load(spark, sf001, "lineitem")
+  private def orders = Tables.load(spark, sf001, "orders")
+
+  test("salted two-phase sum equals the direct aggregation (decimal-exact)") {
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = Skew.saltedSum(
+      li.withColumn("q", col("l_quantity").cast("decimal(18,2)")),
+      Seq("l_returnflag"), "q", saltSrc = col("l_orderkey"), n = 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("salted join equals the plain join") {
+    val dim = orders.select("o_orderkey", "o_orderpriority")
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), dim,
+      key = "o_orderkey", saltSrc = col("l_partkey"), n = 8)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    info(s"warehouse: $wh")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and it still returns the right row count
+      assert(j.count() === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("partw").toFile
+    Reshape.writePartitioned(orders.withColumn("status", col("o_orderstatus")),
+      "status", dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath).filter(col("status") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(back.count() === orders.filter(col("o_orderstatus") === "F").count())
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+      s"expected partition pruning:\n${plan.take(2000)}")
+  }
+
+  test("approximate sketches stay within tolerance of exact") {
+    val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+    val (qLo, qHi) = {
+      val r = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.01)
+      val ex = li.selectExpr("percentile(l_extendedprice, 0.5)").head().getDouble(0)
+      (r(0), ex)
+    }
+    assert(math.abs(qLo - qHi) / qHi < 0.05)
+  }
+}
