@@ -37,16 +37,20 @@ object Ingest {
     if (skip == 0) reader.csv(path)
     else {
       val files = resolveFiles(spark, path)
-      val lines: Dataset[String] = files
+      require(files.nonEmpty, s"readCsv: no files match $path")
+      // parse PER FILE then union: each file carries its own preamble
+      // AND header, so a naive union of stripped lines would leave the
+      // 2nd..nth headers embedded as data rows
+      files
         .map { f =>
-          spark.sparkContext.textFile(f)
+          val lines: Dataset[String] = spark.sparkContext.textFile(f)
             .zipWithIndex()
             .filter(_._2 >= skip.toLong)
             .map(_._1)
             .toDS()
+          reader.csv(lines)
         }
-        .reduce(_ union _)
-      reader.csv(lines)
+        .reduce(_ unionByName _)
     }
   }
 

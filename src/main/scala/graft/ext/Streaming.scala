@@ -77,6 +77,28 @@ object Streaming {
   def sessionizeStream(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     sessionize(events.withWatermark("ts", "10 minutes"), gap)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's signups within `lookback` before it. Both sides carry
+    * watermarks + the time-range predicate, which is what lets Spark
+    * BOUND the join state (rows older than watermark+lookback are
+    * evicted) — without them a stream-stream join's state grows
+    * forever. Works identically on batch frames (StreamingSpec pins
+    * the equivalence).
+    */
+  def purchaseSignupJoin(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    p.join(s,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+  }
+
   // ——— arbitrary stateful processing ———
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)

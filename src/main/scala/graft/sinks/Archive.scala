@@ -24,7 +24,9 @@ object Archive {
       .getOrElse(sys.error(s"no csv part written under $csvDir"))
     Option(zipFile.getParentFile).foreach(_.mkdirs())
     val zip = new ZipOutputStream(new FileOutputStream(zipFile))
-    zip.putNextEntry(new ZipEntry(entryName))
+    val entry = new ZipEntry(entryName)
+    entry.setTime(Xlsx.FixedZipTime) // reproducible bytes
+    zip.putNextEntry(entry)
     val in = new FileInputStream(part)
     val buf = new Array[Byte](1 << 16)
     Iterator.continually(in.read(buf)).takeWhile(_ >= 0)

@@ -23,6 +23,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Xlsx {
 
+  /** Fixed DOS-era-valid timestamp for zip entries so artifact bytes
+    * are reproducible run-to-run (2020-01-01T00:00 UTC).
+    */
+  val FixedZipTime: Long = 1577836800000L
+
   /** One worksheet: when `pctLast3`, the last three columns (all rows
     * incl. header, mirroring the reference's rows+1 quirk) get the
     * percent style.
@@ -34,7 +39,9 @@ object Xlsx {
     Option(file.getParentFile).foreach(_.mkdirs())
     val zip = new ZipOutputStream(new FileOutputStream(file))
     def part(name: String, content: String): Unit = {
-      zip.putNextEntry(new ZipEntry(name))
+      val e = new ZipEntry(name)
+      e.setTime(FixedZipTime) // reproducible bytes: same input → same file
+      zip.putNextEntry(e)
       zip.write(content.getBytes("UTF-8"))
       zip.closeEntry()
     }

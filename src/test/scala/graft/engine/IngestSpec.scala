@@ -39,6 +39,20 @@ class IngestSpec extends SparkSpec {
     assert(cleaned.columns.toSeq === Seq("NOC", "Description", "Income"))
   }
 
+  test("multi-file glob: the preamble is skipped in EVERY file") {
+    val dir = Files.createTempDirectory("multi").toFile
+    for (i <- 1 to 3) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"part$i.csv"))
+      w.println("preamble 1"); w.println("preamble 2"); w.println("")
+      w.println("NOC,Value")
+      w.println(s"#$i,${i * 10}")
+      w.close()
+    }
+    val df = Ingest.readCsv(spark, s"$dir/part*.csv", skip = 3)
+    assert(df.count() === 3) // one data row per file, zero preamble leakage
+    assert(df.columns.toSeq === Seq("NOC", "Value"))
+  }
+
   test("resolveFiles glob discovery (reference :93-95)") {
     val dir = Files.createTempDirectory("glob").toFile
     new java.io.PrintWriter(new java.io.File(dir, "Occupational Characteristics 2024.csv")) {

@@ -51,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches its batch form") {
+    val batch = Streaming.purchaseSignupJoin(
+      Tables.load(spark, sf001, "events"), "1 hour")
+    val stream = Streaming.purchaseSignupJoin(
+      Streaming.readEvents(spark, eventsPath), "1 hour")
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(stream, "ss_join")
+    try {
+      val got = spark.sql("SELECT COUNT(*) FROM ss_join").head().getLong(0)
+      val want = batch.count()
+      // append mode may withhold rows newer than the watermark; all
+      // emitted rows must exist in the batch result
+      assert(got > 0 && got <= want)
+      val gotRows = spark.sql("SELECT user_id, p_ts, s_ts FROM ss_join")
+        .collect().map(_.toSeq).toSet
+      val wantRows = batch.select("user_id", "p_ts", "s_ts")
+        .collect().map(_.toSeq).toSet
+      assert(gotRows.subsetOf(wantRows))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match a plain aggregation") {
     val ds = Tables.load(spark, sf001, "events")
       .select($"user_id", $"event_type", $"value")

@@ -50,6 +50,21 @@ class XlsxSpec extends SparkSpec {
     assert(!readPart(f, "xl/worksheets/sheet1.xml").contains("s=\"1\""))
   }
 
+  test("workbook bytes are reproducible (fixed zip timestamps)") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").orderBy("k")
+    val d = Files.createTempDirectory("golden")
+    val f1 = d.resolve("a.xlsx").toFile
+    val f2 = d.resolve("b.xlsx").toFile
+    Xlsx.write(Seq(Xlsx.Sheet("s", df)), f1)
+    Thread.sleep(1100) // cross a zip-timestamp granularity boundary
+    Xlsx.write(Seq(Xlsx.Sheet("s", df)), f2)
+    val h1 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(f1.toPath)).toSeq
+    val h2 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(f2.toPath)).toSeq
+    assert(h1 === h2)
+  }
+
   test("sheet names are sanitized to Excel rules") {
     assert(Xlsx.sanitizeName("a[b]c:d*e?f/g\\h") === "a b c d e f g h")
     assert(Xlsx.sanitizeName("x" * 40).length === 31)
