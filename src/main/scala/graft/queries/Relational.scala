@@ -553,8 +553,11 @@ object Relational {
         .select("event_id", "user_id", "ts", "value")
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("value").as("signup_value"))
-      graft.engine.AsOf.asofBackward(purchases, signups,
-        on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      // the NATIVE custom operator (LogicalPlan+Strategy+Exec) — its
+      // row-for-row agreement with engine.AsOf is pinned in
+      // AsOfJoinNativeSpec; here it faces DuckDB's ASOF JOIN directly
+      graft.plans.AsOfJoinNative.asofBackward(purchases, signups,
+        on = "user_id", leftTs = "ts", rightTs = "ts",
         rightPayload = Seq("signup_value"))
         .select(col("event_id"), col("user_id"), col("value"), col("signup_value"),
           date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))

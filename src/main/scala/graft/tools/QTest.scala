@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.engine.Skew
+import graft.Tables
 
 object QTest {
   def main(args: Array[String]): Unit = {
@@ -11,19 +11,23 @@ object QTest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    // pathological skew: 1M rows, 95% on one key
-    val skewed = spark.range(1000000)
-      .select((when(pmod($"id", lit(100)) < 95, "HOT").otherwise(concat(lit("k"), pmod($"id", lit(100))))).as("key"),
-        $"id", lit("1.00").cast("decimal(18,2)").as("v"))
-    val direct = skewed.groupBy("key").agg(sum($"v").as("s"))
-      .orderBy("key").collect()
-    val salted = Skew.saltedSum(skewed, Seq("key"), "v", saltSrc = $"id", n = 32)
-      .orderBy("key").collect()
-    val eq = direct.map(r => (r.getString(0), r.getDecimal(1))).sameElements(
-             salted.map(r => (r.getString(0), r.getDecimal(1))))
-    println(s"SKEW-PROBE 1M rows, 95% hot key: direct==salted -> $eq; hot=" +
-      direct.find(_.getString(0) == "HOT").get.getDecimal(1))
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+    val df = graft.plans.AsOfJoinNative.asofBackward(purchases, signups,
+      "user_id", "ts", "ts", Seq("signup_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("signup_value"),
+        date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+      .orderBy("event_id")
+    println("=== OPTIMIZED ===")
+    println(df.queryExecution.optimizedPlan.toString.take(2500))
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet("/tmp/q46_native")
+      println("WRITE OK rows=" + spark.read.parquet("/tmp/q46_native").count())
+    } catch { case e: Throwable => println("WRITE FAILED: " + e.getMessage.take(300)) }
     spark.stop()
   }
 }

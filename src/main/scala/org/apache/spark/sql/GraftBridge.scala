@@ -16,4 +16,15 @@ import org.apache.spark.sql.classic.{ColumnConversions => CC}
 object GraftBridge {
   def column(e: Expression): Column = Column(e)
   def expression(c: Column): Expression = CC.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (classic API). */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    classic.ClassicConversions.castToImpl(df).queryExecution.analyzed
+
+  /** Construct a DataFrame over a custom LogicalPlan (the
+    * `Dataset.ofRows` constructor is private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(classic.ClassicConversions.castToImpl(spark), plan)
 }
