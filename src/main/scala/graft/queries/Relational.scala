@@ -535,6 +535,27 @@ object Relational {
         .orderBy("yr", "mo")
     },
 
+    // ——— deterministic bottom-k-by-hash sample (custom
+    //     TypedImperativeAggregate; mergeable, RNG-free) ———
+    Q("q51_bottomk_sample",
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, list(o_orderkey ORDER BY h, o_orderkey) AS sample_ids
+        |FROM ranked WHERE rn <= 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.BottomKSample
+          .bottomKSample(col("o_orderkey"), 5).as("sample_ids"))
+        .orderBy("o_orderpriority")
+    },
+
     // ——— as-of join (engine operator Spark lacks; DuckDB's native
     //     ASOF JOIN is the oracle): each purchase matched to the
     //     user's most recent signup at-or-before it ———
