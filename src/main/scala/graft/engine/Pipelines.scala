@@ -245,13 +245,22 @@ object Pipelines {
     */
   def buildAll(in: LmoInputs, fyod: Int, outDir: java.io.File): Seq[String] = {
     outDir.mkdirs()
-    val written = allWorkbooks(in, fyod).map { a =>
-      Xlsx.write(a.sheets, new java.io.File(outDir, a.fileName))
-      a.fileName
+    // the two fact inputs feed 9 of the 10 artifacts — cache once
+    // instead of re-scanning/re-parsing per artifact
+    val cached = in.copy(employment = in.employment.cache(),
+      jobOpenings = in.jobOpenings.cache())
+    try {
+      val written = allWorkbooks(cached, fyod).map { a =>
+        Xlsx.write(a.sheets, new java.io.File(outDir, a.fileName))
+        a.fileName
+      }
+      val zipName = "JO by Type, Ind and Occ for BC and Regions (long).zip"
+      Archive.writeCsvZip(joLongDump(cached), new java.io.File(outDir, zipName),
+        "JO by Type, Ind and Occ for BC and Regions (long).csv")
+      written :+ zipName
+    } finally {
+      cached.employment.unpersist()
+      cached.jobOpenings.unpersist()
     }
-    val zipName = "JO by Type, Ind and Occ for BC and Regions (long).zip"
-    Archive.writeCsvZip(joLongDump(in), new java.io.File(outDir, zipName),
-      "JO by Type, Ind and Occ for BC and Regions (long).csv")
-    written :+ zipName
   }
 }

@@ -28,6 +28,20 @@ object LmoFixtures {
     "#31301" -> "Registered nurses",
     "#41200" -> "University professors")       // absent from clusters
 
+  /** Realistic-cardinality roster (the production LMO export is
+    * ~500 NOCs × ~60 industries × ~10 geographic areas): used by
+    * `tools.LmoScale` to prove the pipelines at real size.
+    */
+  def scaledRoster(nNoc: Int, nInd: Int, nRegion: Int)
+      : (Seq[(String, String)], Seq[String], Seq[String]) = {
+    val bigNocs = ("#T" -> "All occupations") +:
+      (0 until nNoc).map(i => f"#${10000 + i}%05d" -> s"Occupation $i")
+    val bigInds = "All industries" +: (1 until nInd).map(i => s"Industry $i")
+    val bigAreas = ("British Columbia" +:
+      (1 until nRegion).map(i => s"Region $i")) ++ Seq("North", "South East")
+    (bigNocs, bigInds, bigAreas)
+  }
+
   private def round2(d: Double): Double = math.round(d * 100.0) / 100.0
 
   /** Stable pseudo-random in [0,1) from a key — no RNG state. */
@@ -109,6 +123,57 @@ object LmoFixtures {
   def inputs(spark: SparkSession): Pipelines.LmoInputs =
     Pipelines.LmoInputs(employment(spark), jobOpenings(spark),
       occChar(spark), clusters(spark))
+
+  /** Distributed generation at realistic cardinality: dimension
+    * frames cross-joined and valued by hash expressions — no
+    * driver-side row lists, so the same code generates 100 TB.
+    */
+  def scaledInputs(spark: SparkSession, nNoc: Int, nInd: Int,
+                   nRegion: Int): Pipelines.LmoInputs = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val yrs = LmoFixtures.years // `years` is shadowed by functions.years
+    val (nocsR, inds, areasR) = scaledRoster(nNoc, nInd, nRegion)
+    val nocDf = nocsR.toDF("NOC", "Description")
+    val indDf = inds.toDF("Industry")
+    val areaDf = areasR.toDF("Geographic Area")
+    val base = nocDf.crossJoin(indDf).crossJoin(areaDf).repartition(32)
+
+    def valCol(seed: String, i: Int) = round(
+      pmod(xxhash64(concat_ws("|", col("NOC"), col("Industry"),
+        col("Geographic Area"), lit(seed))), lit(10000L)).cast("double") / 100.0
+        + i * 3.0 + 50.0, 2)
+
+    val head = Seq(col("NOC"), col("Description"), col("Industry"),
+      col("Variable"), col("Geographic Area"))
+    val employmentDf = base.withColumn("Variable", lit("Employment"))
+      .select(head ++ yrs.zipWithIndex.map { case (y, i) =>
+        valCol("emp", i).as(y.toString) }: _*)
+    def joVariant(variable: String, mk: Int => org.apache.spark.sql.Column) =
+      base.withColumn("Variable", lit(variable))
+        .select(head ++ yrs.zipWithIndex.map { case (y, i) =>
+          mk(i).as(y.toString) }: _*)
+    val ed = joVariant("Expansion Demand", i => valCol("ed", i))
+    val rd = joVariant("Replacement Demand", i => valCol("rd", i))
+    val joSum = joVariant("Job Openings",
+      i => round(valCol("ed", i) + valCol("rd", i), 2))
+    val joDf = ed.unionByName(rd).unionByName(joSum)
+
+    val hooCols = areasR.map(a => s"Occ Group: HOO $a ${fyod}E")
+    val occ0 = nocDf.filter(col("NOC") =!= "#T")
+    val occDf = hooCols.zip(areasR).foldLeft(occ0) { case (df, (c, a)) =>
+      df.withColumn(c, when(pmod(xxhash64(col("NOC"), lit(a)), lit(2L)) === 0,
+        lit("HOO")).otherwise(lit("Non-HOO")))
+    }.withColumn(incomeCol,
+      round(pmod(xxhash64(col("NOC"), lit("inc")), lit(60000L)).cast("double") + 40000.0, 2))
+
+    val clustersDf = nocDf.filter(col("NOC") =!= "#T")
+      .select(concat(regexp_replace(col("NOC"), "#", ""), lit(": "),
+        col("Description")).as("NOC"),
+        concat(lit("cluster_"), pmod(xxhash64(col("NOC")), lit(5L))).as("new_cluster"))
+
+    Pipelines.LmoInputs(employmentDf, joDf, occDf, clustersDf)
+  }
 
   // ——— raw CSV form (exercises the full ingest path S1-S4) ———
 

@@ -38,13 +38,17 @@ object Xlsx {
     require(sheets.nonEmpty, "xlsx needs at least one sheet")
     Option(file.getParentFile).foreach(_.mkdirs())
     val zip = new ZipOutputStream(new FileOutputStream(file))
-    def part(name: String, content: String): Unit = {
+    val zipWriter = new java.io.OutputStreamWriter(zip, "UTF-8")
+    def streamPart(name: String)(body: java.io.Writer => Unit): Unit = {
       val e = new ZipEntry(name)
       e.setTime(FixedZipTime) // reproducible bytes: same input → same file
       zip.putNextEntry(e)
-      zip.write(content.getBytes("UTF-8"))
+      body(zipWriter)
+      zipWriter.flush()
       zip.closeEntry()
     }
+    def part(name: String, content: String): Unit =
+      streamPart(name)(_.write(content))
     val n = sheets.size
     part("[Content_Types].xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -89,44 +93,51 @@ object Xlsx {
         """<xf numFmtId="164" fontId="0" fillId="0" borderId="0" applyNumberFormat="1"/></cellXfs>""" +
         "</styleSheet>")
     sheets.zipWithIndex.foreach { case (sheet, i) =>
-      part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(sheet))
+      streamPart(s"xl/worksheets/sheet${i + 1}.xml")(writeSheetXml(sheet, _))
     }
     zip.close()
   }
 
-  private def sheetXml(sheet: Sheet): String = {
+  /** Streams the worksheet XML: rows are pulled with toLocalIterator
+    * (one partition in driver memory at a time) and each cell goes
+    * straight to the zip stream — the writer's memory is O(row), so
+    * report "sheets" of hundreds of thousands of rows don't build a
+    * gigabyte String first.
+    */
+  private def writeSheetXml(sheet: Sheet, w: java.io.Writer): Unit = {
     val header = sheet.df.columns.toSeq
-    val rows = sheet.df.collect() // report-sized by contract
     val nCols = header.size
     val pctFrom = if (sheet.pctLast3) math.max(nCols - 3, 0) else nCols
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     def cell(r: Int, c: Int, v: Any): Unit = {
       if (v == null) return
       val ref = s"${colLetter(c)}$r"
       val style = if (c >= pctFrom) """ s="1"""" else ""
       v match {
         case d: Double if d.isNaN || d.isInfinite =>
-          sb.append(s"""<c r="$ref" t="inlineStr"$style><is><t>$d</t></is></c>""")
+          w.write(s"""<c r="$ref" t="inlineStr"$style><is><t>$d</t></is></c>""")
         case _: Double | _: Float | _: Int | _: Long | _: Short | _: java.math.BigDecimal =>
-          sb.append(s"""<c r="$ref" t="n"$style><v>$v</v></c>""")
+          w.write(s"""<c r="$ref" t="n"$style><v>$v</v></c>""")
         case b: Boolean =>
-          sb.append(s"""<c r="$ref" t="b"$style><v>${if (b) 1 else 0}</v></c>""")
+          w.write(s"""<c r="$ref" t="b"$style><v>${if (b) 1 else 0}</v></c>""")
         case other =>
-          sb.append(s"""<c r="$ref" t="inlineStr"$style><is><t>${escape(other.toString)}</t></is></c>""")
+          w.write(s"""<c r="$ref" t="inlineStr"$style><is><t>${escape(other.toString)}</t></is></c>""")
       }
     }
-    sb.append("""<row r="1">""")
+    w.write("""<row r="1">""")
     header.zipWithIndex.foreach { case (h, c) => cell(1, c, h) }
-    sb.append("</row>")
-    rows.zipWithIndex.foreach { case (row, ri) =>
-      sb.append(s"""<row r="${ri + 2}">""")
+    w.write("</row>")
+    var ri = 0
+    val it = sheet.df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      w.write(s"""<row r="${ri + 2}">""")
       (0 until nCols).foreach { c => cell(ri + 2, c, if (row.isNullAt(c)) null else row.get(c)) }
-      sb.append("</row>")
+      w.write("</row>")
+      ri += 1
     }
-    sb.append("</sheetData></worksheet>")
-    sb.toString
+    w.write("</sheetData></worksheet>")
   }
 
   /** Excel sheet-name rules: ≤31 chars, no []:*?/\ */
