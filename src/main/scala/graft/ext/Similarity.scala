@@ -161,6 +161,22 @@ object Similarity {
       query, k, idCol, vecCol)
   }
 
+  /** int8 symmetric quantization of the embedding column: per-vector
+    * scale = max|x|/127, stored as (array<tinyint>, scale float).
+    * 4× storage reduction — at 100 TB the dominant embedding cost is
+    * IO, and int8 recall loss is negligible for retrieval (pinned in
+    * SimilaritySpec: cosine drift < 1e-2).
+    */
+  def quantizeInt8(vecCol: Column): (Column, Column) = {
+    val scale = array_max(transform(vecCol, x => abs(x))) / lit(127.0f)
+    val q = transform(vecCol, x =>
+      round(x.cast("double") / scale).cast("byte"))
+    (q, scale.cast("float"))
+  }
+
+  def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, b => (b.cast("double") * scaleCol.cast("double")).cast("float"))
+
   /** Scale path for near-dup pairs: signature-bucketed self-join. */
   def annCandidatePairs(embeddings: DataFrame, threshold: Double, nPlanes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -535,6 +535,24 @@ object Relational {
         .orderBy("yr", "mo")
     },
 
+    // ——— histogram binning (explicit floor arithmetic — DuckDB 1.0
+    //     has no width_bucket; IEEE division+floor is bit-identical
+    //     on both sides) ———
+    Q("q52_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          floor(col("o_totalprice") / lit(50000.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    },
+
     // ——— deterministic bottom-k-by-hash sample (custom
     //     TypedImperativeAggregate; mergeable, RNG-free) ———
     Q("q51_bottomk_sample",

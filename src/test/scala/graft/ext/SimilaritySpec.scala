@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(3) >= r1)          // more probes, never less recall
   }
 
+  test("int8 quantization round-trips with small cosine drift") {
+    val (q, s) = Similarity.quantizeInt8(col("embedding"))
+    val rt = emb.withColumn("q", q).withColumn("s", s)
+      .withColumn("deq", Similarity.dequantizeInt8(col("q"), col("s")))
+      .withColumn("drift",
+        lit(1.0) - Similarity.cosine(col("embedding"), col("deq")))
+    val maxDrift = rt.agg(max(col("drift"))).head().getDouble(0)
+    assert(maxDrift < 1e-2, s"max cosine drift $maxDrift")
+    // bytes really are int8
+    val qRow = rt.select("q").head().getSeq[Byte](0)
+    assert(qRow.forall(b => b >= -127 && b <= 127))
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb.limit(50), threshold = 0.3)
       .collect()
