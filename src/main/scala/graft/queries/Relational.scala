@@ -138,13 +138,16 @@ object Relational {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         |)
-        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin) { (s, dir) =>
+      // `value` in the sort: (l_orderkey, l_linenumber) is NOT unique
+      // in the synthetic lineitem — rows tied on all sort keys must be
+      // identical rows for the order-sensitive compare to be total
       Reshape.unpivot(
         t(s, dir, "lineitem"),
         ids = Seq("l_orderkey", "l_linenumber"),
         values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         nameCol = "measure", valueCol = "value")
-        .orderBy("l_orderkey", "l_linenumber", "measure")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
     },
 
     // ——— R2 pivot / widen (pivot_wider, :108) ———
@@ -533,6 +536,83 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("yr", "mo")
+    },
+
+    // ——— null-handling functions (nullif/coalesce/greatest/least;
+    //     the testdata has no natural nulls, so nullif plants them) ———
+    Q("q56_null_handling",
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_tax, l_discount) AS l,
+        |  CAST(count(nullif(l_discount, 0.0)) OVER () AS BIGINT) AS n_nonzero
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_discount, l_quantity, l_tax""".stripMargin) { (s, dir) =>
+      // sort includes the source measures: (l_orderkey, l_linenumber)
+      // is not unique in the synthetic lineitem (the q56 tie-order
+      // mismatch caught this); ties on all five keys are identical
+      // output rows. The global count comes via a broadcast scalar —
+      // a global window AFTER the sort would re-exchange and could
+      // scramble the order. Helper sort columns are dropped by a
+      // Project above the Sort, which preserves order.
+      val li = t(s, dir, "lineitem")
+      val nNonzero = li.agg(
+        count(nullif(col("l_discount"), lit(0.0))).as("n_nonzero"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"),
+        col("l_discount").as("_s1"), col("l_quantity").as("_s2"),
+        col("l_tax").as("_s3"))
+        .crossJoin(broadcast(nNonzero))
+        .orderBy("l_orderkey", "l_linenumber", "_s1", "_s2", "_s3")
+        .drop("_s1", "_s2", "_s3")
+    },
+
+    // ——— statistical aggregates (stddev/var/corr/covar) ———
+    Q("q53_stats_agg",
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_discount), 6) AS var_disc,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ——— string-function battery (trim/pad/case/replace/reverse) ———
+    Q("q54_string_funcs",
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  trim(concat('  ', c_name, '  ')) AS trimmed,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(c_name) AS rev,
+        |  replace(c_name, '#', '-') AS repl,
+        |  CAST(length(c_name) AS BIGINT) AS len
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        regexp_replace(col("c_name"), "#", "-").as("repl"),
+        length(col("c_name")).cast("long").as("len"))
+        .orderBy("c_custkey")
     },
 
     // ——— histogram binning (explicit floor arithmetic — DuckDB 1.0

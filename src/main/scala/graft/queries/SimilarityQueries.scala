@@ -67,6 +67,26 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 
+    // ——— array/list function battery over the vector column ———
+    Q("q55_array_ops",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1:3] AS head3,
+        |  list_min(embedding) AS mn,
+        |  list_max(embedding) AS mx,
+        |  list_contains(embedding, 0.0) AS has_zero
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      emb(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        array_min(col("embedding")).as("mn"),
+        array_max(col("embedding")).as("mx"),
+        array_contains(col("embedding"), 0.0f).as("has_zero"))
+        .orderBy("vec_id")
+    },
+
     // ——— per-label centroid norms: aggregate over vector column ———
     Q("q43_label_centroid_norm",
       """WITH e AS (
