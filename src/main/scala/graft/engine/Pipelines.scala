@@ -197,8 +197,11 @@ object Pipelines {
       _.filter(col("industry") === "All industries" &&
         col("variable").isin("Job Openings", "Expansion Demand", "Replacement Demand") &&
         !col("geographic_area").isin(northSouthEast: _*)))
+    // asTable = TRUE in the reference (:300-302): each sheet carries
+    // an Excel table part over its data range
     Artifact("Job Openings by Type and Occ for BC and Regions.xlsx",
-      withRegionSheets(t, Seq("Industry"), pct = false))
+      withRegionSheets(t, Seq("Industry"), pct = false)
+        .map(_.copy(asTable = true)))
   }
 
   // ——— artifact 9: the long CSV → zip (:305-317) ———

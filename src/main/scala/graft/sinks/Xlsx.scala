@@ -30,9 +30,11 @@ object Xlsx {
 
   /** One worksheet: when `pctLast3`, the last three columns (all rows
     * incl. header, mirroring the reference's rows+1 quirk) get the
-    * percent style.
+    * percent style. `asTable` adds an Excel table part over the data
+    * range (openxlsx `asTable=TRUE`, 01_source_me.R:300-302).
     */
-  final case class Sheet(name: String, df: DataFrame, pctLast3: Boolean = false)
+  final case class Sheet(name: String, df: DataFrame, pctLast3: Boolean = false,
+                         asTable: Boolean = false)
 
   def write(sheets: Seq[Sheet], file: File): Unit = {
     require(sheets.nonEmpty, "xlsx needs at least one sheet")
@@ -60,6 +62,9 @@ object Xlsx {
         (1 to n).map(i =>
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
           .mkString +
+        sheets.zipWithIndex.collect { case (s, i) if s.asTable =>
+          s"""<Override PartName="/xl/tables/table${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.table+xml"/>"""
+        }.mkString +
         "</Types>")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -93,7 +98,30 @@ object Xlsx {
         """<xf numFmtId="164" fontId="0" fillId="0" borderId="0" applyNumberFormat="1"/></cellXfs>""" +
         "</styleSheet>")
     sheets.zipWithIndex.foreach { case (sheet, i) =>
-      streamPart(s"xl/worksheets/sheet${i + 1}.xml")(writeSheetXml(sheet, _))
+      var dataRows = 0L
+      streamPart(s"xl/worksheets/sheet${i + 1}.xml") { w =>
+        dataRows = writeSheetXml(sheet, w)
+        if (sheet.asTable)
+          w.write("""<tableParts count="1"><tablePart r:id="rId1"/></tableParts>""")
+        w.write("</worksheet>")
+      }
+      if (sheet.asTable) {
+        val nCols = sheet.df.columns.length
+        val ref = s"A1:${colLetter(nCols - 1)}${dataRows + 1}"
+        part(s"xl/worksheets/_rels/sheet${i + 1}.xml.rels",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+            s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/table" Target="../tables/table${i + 1}.xml"/>""" +
+            "</Relationships>")
+        part(s"xl/tables/table${i + 1}.xml",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            s"""<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" id="${i + 1}" name="Table${i + 1}" displayName="Table${i + 1}" ref="$ref" totalsRowShown="0">""" +
+            s"""<autoFilter ref="$ref"/><tableColumns count="$nCols">""" +
+            sheet.df.columns.zipWithIndex.map { case (c, ci) =>
+              s"""<tableColumn id="${ci + 1}" name="${escape(c)}"/>"""
+            }.mkString +
+            """</tableColumns><tableStyleInfo name="TableStyleMedium2" showFirstColumn="0" showLastColumn="0" showRowStripes="1" showColumnStripes="0"/></table>""")
+      }
     }
     zip.close()
   }
@@ -104,7 +132,7 @@ object Xlsx {
     * report "sheets" of hundreds of thousands of rows don't build a
     * gigabyte String first.
     */
-  private def writeSheetXml(sheet: Sheet, w: java.io.Writer): Unit = {
+  private def writeSheetXml(sheet: Sheet, w: java.io.Writer): Long = {
     val header = sheet.df.columns.toSeq
     val nCols = header.size
     val pctFrom = if (sheet.pctLast3) math.max(nCols - 3, 0) else nCols
@@ -137,7 +165,8 @@ object Xlsx {
       w.write("</row>")
       ri += 1
     }
-    w.write("</sheetData></worksheet>")
+    w.write("</sheetData>") // caller appends tableParts + </worksheet>
+    ri.toLong
   }
 
   /** Excel sheet-name rules: ≤31 chars, no []:*?/\ */

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Dedup operators at 100× the test corpus: 50k synthetic documents
+  * (distributed generation), 5% planted near-duplicates. Reports
+  * wall-clock and recall of the planted pairs.
+  *
+  * Usage: runMain graft.tools.DedupScale [nDocs]
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val vocab = array((0 until 200).map(i => lit(s"w$i")): _*)
+    // every 20th doc is a near-dup of its predecessor (same seed, one
+    // appended token)
+    val docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("seed", when(pmod(col("doc_id"), lit(20)) === 1,
+        col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("text", concat(
+        array_join(transform(sequence(lit(0), lit(59)), i =>
+          element_at(vocab, (pmod(xxhash64(col("seed"), i), lit(200)) + 1).cast("int"))), " "),
+        when(pmod(col("doc_id"), lit(20)) === 1, lit(" extra token")).otherwise(lit(""))))
+      .drop("seed")
+      .cache()
+    docs.count()
+
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"DEDUP-SCALE $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    val nExact = time("exactGroups")(Dedup.exactGroups(docs).count())
+    val cands = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8).cache()
+    val nCands = time("minhashCandidates")(cands.count())
+    val planted = nDocs / 20
+    val captured = cands.filter(col("id_b") === col("id_a") + 1 &&
+      pmod(col("id_b"), lit(20)) === 1).count()
+    val nSim = time("simhashGroups")(Dedup.simhashGroups(docs).count())
+    println(f"DEDUP-SCALE docs=$nDocs exactGroups=$nExact " +
+      f"candidates=$nCands plantedRecall=$captured/$planted simhashGroups=$nSim")
+    spark.stop()
+  }
+}

@@ -65,6 +65,19 @@ class XlsxSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("asTable sheets carry a table part with the right range") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "v")
+    val f = Files.createTempDirectory("tbl").resolve("t.xlsx").toFile
+    Xlsx.write(Seq(Xlsx.Sheet("s", df, asTable = true)), f)
+    val tbl = XML.loadString(readPart(f, "xl/tables/table1.xml"))
+    assert(tbl \@ "ref" === "A1:B4") // header + 3 rows, 2 cols
+    assert((tbl \\ "tableColumn").map(_ \@ "name") === Seq("k", "v"))
+    assert(readPart(f, "xl/worksheets/sheet1.xml").contains("<tablePart"))
+    assert(readPart(f, "xl/worksheets/_rels/sheet1.xml.rels")
+      .contains("../tables/table1.xml"))
+    assert(readPart(f, "[Content_Types].xml").contains("/xl/tables/table1.xml"))
+  }
+
   test("sheet names are sanitized to Excel rules") {
     assert(Xlsx.sanitizeName("a[b]c:d*e?f/g\\h") === "a b c d e f g h")
     assert(Xlsx.sanitizeName("x" * 40).length === 31)
