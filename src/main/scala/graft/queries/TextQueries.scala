@@ -151,9 +151,31 @@ object TextQueries {
       Dedup.simhashGroups(docs(s, dir)).orderBy("keeper")
     },
 
-    // ——— language-ID heuristic (marker scoring → rows-only; accuracy
-    //     vs the ground-truth lang column is pinned in unit tests) ———
-    Q.rowsOnly("q38_lang_id") { (s, dir) =>
+    // ——— language-ID heuristic: marker scoring with alphabetical
+    //     tiebreak. The oracle SQL is GENERATED from the same marker
+    //     table (TextStats.langMarkers) so the two sides cannot
+    //     drift; CASE x WHEN picks the first (alphabetical) match,
+    //     mirroring the engine's -index struct tiebreak. ———
+    Q("q38_lang_id", {
+      val langs = TextStats.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ms) =>
+        val terms = ms.map(m =>
+          s"(CASE WHEN contains(lower(text), '${m.replace("'", "''")}') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($terms) AS s_$lang"
+      }.mkString(",\n        ")
+      val names = langs.map { case (l, _) => s"s_$l" }
+      val pick = langs.map { case (l, _) => s"WHEN s_$l THEN '$l'" }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |        $scoreCols
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang,
+         |  CASE greatest(${names.mkString(", ")}) $pick END AS lang_pred
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
       docs(s, dir).select(
         col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))

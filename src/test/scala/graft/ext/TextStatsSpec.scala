@@ -17,6 +17,13 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("punct") === 0)
   }
 
+  test("subword count approximates a BPE pre-tokenizer's view") {
+    val df = Seq("don't stop-me now!").toDF("text")
+    val n = df.select(TextStats.subwordCount($"text").as("n")).head().getLong(0)
+    // don | ' | t | stop | - | me | now | ! → 8 pieces
+    assert(n === 8)
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
     val r = df.select(
