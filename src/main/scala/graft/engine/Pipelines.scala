@@ -243,6 +243,24 @@ object Pipelines {
     joByTypeOccupationRegions(in, fyod),
     joBySkillCluster(in, fyod))
 
+  /** Data-plane output: every artifact's primary table lands as
+    * Parquet (SCALE.md — the workbook is the human artifact; machine
+    * consumers read columnar). Region-keyed tables are partitioned by
+    * Geographic Area for downstream partition pruning.
+    */
+  def writeDataPlane(in: LmoInputs, fyod: Int, dir: java.io.File): Seq[String] = {
+    dir.mkdirs()
+    allWorkbooks(in, fyod).map { a =>
+      val name = a.fileName.stripSuffix(".xlsx")
+      val table = a.sheets.find(_.name == "data").getOrElse(a.sheets.last).df
+      val writer = table.write.mode("overwrite")
+      if (table.columns.contains("Geographic Area"))
+        writer.partitionBy("Geographic Area").parquet(s"$dir/$name")
+      else writer.parquet(s"$dir/$name")
+      name
+    }
+  }
+
   /** Run the whole catalog to an output directory — the reference's
     * `source("01_source_me.R")` equivalent.
     */

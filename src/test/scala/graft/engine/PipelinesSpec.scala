@@ -142,6 +142,20 @@ class PipelinesSpec extends SparkSpec {
       s"LMO Job Openings $fyod-${fyod + 10}"))
   }
 
+  test("data-plane parquet mirrors: one table per artifact, region-partitioned") {
+    val out = java.nio.file.Files.createTempDirectory("lmo_dp").toFile
+    val written = Pipelines.writeDataPlane(in, fyod, out)
+    assert(written.size === 9)
+    val hoo = new java.io.File(out, "High Opportunity Occupations BC and Regions")
+    assert(hoo.exists)
+    // region-keyed tables are partitioned by Geographic Area
+    val emp = new java.io.File(out, "Employment by Industry and Occupation for BC")
+    assert(emp.listFiles().exists(_.getName.startsWith("Geographic Area=")))
+    // and they read back with rows
+    val back = spark.read.parquet(emp.getAbsolutePath)
+    assert(back.count() > 0)
+  }
+
   test("artifact 9 + buildAll: ten artifacts on disk, zip contains the csv") {
     val out = java.nio.file.Files.createTempDirectory("lmo_out").toFile
     val written = Pipelines.buildAll(in, fyod, out)
