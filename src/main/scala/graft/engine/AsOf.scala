@@ -43,7 +43,13 @@ object AsOf {
     require(collisions.isEmpty, s"rename right payload columns first: $collisions")
 
     val carried = rightPayload :+ rightTs
-    val r = right.select(
+    // SQL equality semantics: null keys never match. The window
+    // partitions nulls together, so a null-keyed right row would
+    // otherwise be carried into null-keyed left rows. Right nulls are
+    // dropped; null-keyed LEFT rows keep flowing (left-join) and see
+    // no carried values (their partition then holds only left rows).
+    val rightNonNull = on.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val r = rightNonNull.select(
       on.map(col) ++ Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side")) ++
         carried.map(c => col(c).as(s"_c_$c")): _*)
     val l = left.select(

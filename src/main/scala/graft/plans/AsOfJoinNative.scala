@@ -79,25 +79,35 @@ object AsOfJoinNative {
 
         lIter.map { lRow =>
           val lkRow = lKeyProj(lRow)
-          val lKeyV = lkRow.getLong(0)
-          val lTsV = lkRow.getLong(1)
+          // SQL equality semantics: a NULL key or ts matches nothing
+          // (getLong on a null slot decodes as 0 and would otherwise
+          // false-match key 0); null-key LEFT rows still come through
+          // with null carried columns. Nulls sort FIRST, so skipping
+          // them cannot starve later keys.
+          val lNull = lkRow.isNullAt(0) || lkRow.isNullAt(1)
+          val lKeyV = if (lNull) 0L else lkRow.getLong(0)
+          val lTsV = if (lNull) 0L else lkRow.getLong(1)
           // advance the right side to the last row with
           // key < lKeyV, or key == lKeyV && ts <= lTsV
-          var advancing = true
+          var advancing = !lNull
           while (advancing && rBuf.hasNext) {
             val peek = rKeyProj(rBuf.head)
-            val rKeyV = peek.getLong(0)
-            val rTsV = peek.getLong(1)
-            if (rKeyV < lKeyV || (rKeyV == lKeyV && rTsV <= lTsV)) {
-              val consumed = rBuf.next()
-              if (rKeyV == lKeyV) {
-                matchKey = rKeyV
-                hasMatch = true
-                matchRow = carriedProj(consumed).copy()
-              }
-            } else advancing = false
+            if (peek.isNullAt(0) || peek.isNullAt(1)) {
+              rBuf.next() // null-keyed right rows can never match
+            } else {
+              val rKeyV = peek.getLong(0)
+              val rTsV = peek.getLong(1)
+              if (rKeyV < lKeyV || (rKeyV == lKeyV && rTsV <= lTsV)) {
+                val consumed = rBuf.next()
+                if (rKeyV == lKeyV) {
+                  matchKey = rKeyV
+                  hasMatch = true
+                  matchRow = carriedProj(consumed).copy()
+                }
+              } else advancing = false
+            }
           }
-          val matched = hasMatch && matchKey == lKeyV
+          val matched = !lNull && hasMatch && matchKey == lKeyV
           outProj(joined(lRow, if (matched) matchRow else nullCarried))
         }
       }

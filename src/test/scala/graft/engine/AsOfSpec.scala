@@ -46,6 +46,20 @@ class AsOfSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "user", "t", "tag", "rval", "t_matched"))
   }
 
+  test("null keys never match (right nulls dropped, left nulls preserved)") {
+    val l = Seq((1L, Some("u1"), 100L), (2L, None, 100L))
+      .toDF("id", "user", "t")
+    val r = Seq((Some("u1"), 50L, "r1"), (None, 40L, "r-null"))
+      .toDF("user", "t", "rval")
+    val out = AsOf.asofBackward(l, r, Seq("user"), "t", "t", Seq("rval"))
+      .select("id", "rval").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(out(1L) === "r1")
+    assert(out(2L) === null) // null-key left row preserved, unmatched
+    assert(out.size === 2)
+  }
+
   test("colliding payload names are rejected up front") {
     intercept[IllegalArgumentException] {
       AsOf.asofBackward(left, right.withColumnRenamed("rval", "tag"),

@@ -65,6 +65,23 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out.filter(col("signup_value").isNotNull).count() > 0)
   }
 
+  test("null keys: left rows survive unmatched, right rows never match") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), 100L), (2L, None, 100L), (3L, Some(10L), 200L))
+      .toDF("id", "user_id", "ts")
+    val r = Seq((Some(10L), 50L, "r1"), (None, 40L, "r-null"))
+      .toDF("user_id", "ts", "payload")
+    val out = AsOfJoinNative.asofBackward(l, r, "user_id", "ts", "ts",
+      Seq("payload"))
+      .select("id", "payload").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(out(1L) === "r1")   // normal match
+    assert(out(2L) === null)   // null left key: row preserved, no match
+    assert(out(3L) === "r1")
+    assert(out.size === 3)     // left-join row count preserved
+  }
+
   test("non-long key is rejected toward the general path") {
     intercept[RuntimeException] {
       AsOfJoinNative.asofBackward(
