@@ -74,8 +74,10 @@ object Reshape {
     * each branch is an independent lazy plan over the (cached) parent.
     */
   def splitByKey(df: DataFrame, keyCol: String): Seq[(String, DataFrame)] = {
-    val keys = df.select(col(keyCol)).distinct()
-      .collect().map(_.get(0).toString).sorted
+    // null keys are dropped (base::split drops NA groups by default;
+    // and a null key can't name a sheet/partition)
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().collect().map(_.get(0).toString).sorted
     keys.toSeq.map(k => k -> df.filter(col(keyCol) === lit(k)))
   }
 

@@ -38,6 +38,9 @@ object Xlsx {
 
   def write(sheets: Seq[Sheet], file: File): Unit = {
     require(sheets.nonEmpty, "xlsx needs at least one sheet")
+    val sanitized = sheets.map(s => sanitizeName(s.name))
+    require(sanitized.distinct.size == sanitized.size,
+      s"duplicate sheet names (post-sanitization): ${sanitized.diff(sanitized.distinct).distinct.mkString(", ")}")
     Option(file.getParentFile).foreach(_.mkdirs())
     val zip = new ZipOutputStream(new FileOutputStream(file))
     val zipWriter = new java.io.OutputStreamWriter(zip, "UTF-8")

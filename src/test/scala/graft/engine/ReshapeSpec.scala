@@ -68,6 +68,12 @@ class ReshapeSpec extends SparkSpec {
     assert(parts.toMap.apply("North").count() === 1)
   }
 
+  test("splitByKey drops null keys instead of NPEing") {
+    val df = Seq((Some("BC"), 1.0), (None, 2.0)).toDF("geo", "v")
+    val parts = Reshape.splitByKey(df, "geo")
+    assert(parts.map(_._1) === Seq("BC"))
+  }
+
   test("relocateAfter / relocateToEnd compute the reference column orders") {
     val df = Seq((1, 2, 3, 4)).toDF("a", "b", "c", "d")
     assert(Reshape.relocateAfter(df, Seq("d"), "a").columns.toSeq

@@ -83,6 +83,15 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.sanitizeName("x" * 40).length === 31)
   }
 
+  test("duplicate sheet names (post-sanitization) are rejected") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val f = Files.createTempDirectory("dup").resolve("d.xlsx").toFile
+    intercept[IllegalArgumentException] {
+      Xlsx.write(Seq(Xlsx.Sheet("very long sheet name that gets truncated to 31!", df),
+        Xlsx.Sheet("very long sheet name that gets truncated differently", df)), f)
+    }
+  }
+
   test("column letters beyond Z") {
     assert(Xlsx.colLetter(0) === "A")
     assert(Xlsx.colLetter(25) === "Z")
