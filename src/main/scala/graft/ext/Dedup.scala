@@ -35,17 +35,20 @@ object Dedup {
 
   // ——— shingles ———
 
-  /** Distinct word n-gram shingles per doc: (id, shingle) long form.
-    * Guarded for docs shorter than n tokens.
+  /** Word n-gram shingles per doc: (id, shingle) long form, distinct
+    * by default (set semantics for Jaccard). Guarded for docs shorter
+    * than n tokens. Pass `distinct = false` when the consumer is
+    * multiset-insensitive (e.g. MinHash `min` — skips a full shuffle).
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text", distinct: Boolean = true): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     val sh = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
-    docs.select(col(idCol), explode(sh).as("shingle")).distinct()
+    val long = docs.select(col(idCol), explode(sh).as("shingle"))
+    if (distinct) long.distinct() else long
   }
 
   // ——— MinHash + LSH ———
@@ -102,7 +105,9 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val sh = shingles(docs, n, idCol, textCol)
+    // distinct = false: min() is multiset-insensitive, so the
+    // distinct's (doc, shingle) shuffle is pure cost here
+    val sh = shingles(docs, n, idCol, textCol, distinct = false)
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
     val minCols = (0 until k).map(s =>
       min((lit(HashA) * col("h") + lit(s.toLong * HashB)) % lit(HashM)).as(s"mh$s"))

@@ -47,23 +47,35 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
-  /** Deterministic pseudo-random hyperplane component h[p][j]:
-    * uniform in [-0.5, 0.5), derived from xxhash64(p, j) — no RNG
-    * state, reproducible across runs and engines.
+  /** Deterministic hyperplane family: splitmix64-derived components
+    * in [-0.5, 0.5), generated ON THE DRIVER and shipped as literal
+    * arrays — no RNG state, reproducible across runs, and the per-row
+    * work becomes a codegen'd native dot product instead of an
+    * interpreted nested-HOF tree (which re-derived every component
+    * per row).
     */
-  private def hyperplaneAt(p: Column, j: Column): Column =
-    (pmod(xxhash64(concat(p.cast("string"), lit("_"), j.cast("string"))),
-      lit(100000L)).cast("double") / lit(100000.0)) - lit(0.5)
+  private def hyperplane(p: Int, dim: Int): Array[Double] = {
+    def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    Array.tabulate(dim) { j =>
+      val h = splitmix64(p.toLong * 131071L + j)
+      (java.lang.Math.floorMod(h, 100000L).toDouble / 100000.0) - 0.5
+    }
+  }
 
   /** nPlanes-bit random-hyperplane signature of a vector: bit p = sign
-    * of ⟨v, h_p⟩. Narrow, per-row, no shuffle.
+    * of ⟨v, h_p⟩. Narrow, per-row, no shuffle; dim read once from the
+    * data.
     */
-  def rhpSignature(vec: Column, nPlanes: Int): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * hyperplaneAt(p, j)),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+  def rhpSignature(vec: Column, nPlanes: Int, dim: Int = 64): Column =
+    array((0 until nPlanes).map { p =>
+      val hp = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(vec, hp) >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
 
   /** Bucket key = the signature rendered as a bit string. */
   def rhpBucket(vec: Column, nPlanes: Int): Column =
