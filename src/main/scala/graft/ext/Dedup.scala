@@ -166,6 +166,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Apply near-dedup: drop every doc that appears as the LATER
+    * member (id_b) of a candidate pair — the standard greedy
+    * keep-earliest policy. (Full transitive clustering needs
+    * connected components — iterative joins or GraphFrames — which
+    * greedy approximates exactly when clusters are pairs/chains
+    * anchored at their minimum id, the common near-dup shape.)
+    * One anti-join: shuffle on the id, linear at any scale.
+    */
+  def applyNearDedup(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ——— edit-distance (typo) dedup ———
 
   /** Near-dup pairs by Levenshtein distance, blocked: candidates are

@@ -115,6 +115,39 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ——— apply the dedup: the KEPT document set after dropping the
+    //     later member of every jaccard≥0.5 near-dup pair ———
+    Q("q57_dedup_apply",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT id_b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+      Dedup.applyNearDedup(docs(s, dir), pairs)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ——— MinHash + LSH candidate pairs (md5 family — full oracle) ———
     Q("q36_dedup_minhash_lsh",
       """WITH toks AS (

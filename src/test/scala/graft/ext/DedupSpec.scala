@@ -37,6 +37,13 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("applyNearDedup keeps the earliest member of each dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+    val kept = Dedup.applyNearDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L)) // 1 and 2 are dups of 0; 3 unrelated
+  }
+
   test("simhash: identical texts collide; near-dups are Hamming-close") {
     val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
