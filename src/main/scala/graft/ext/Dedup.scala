@@ -179,6 +179,44 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Transitive near-dup clusters: connected components over the
+    * candidate-pair graph by iterative min-label propagation — the
+    * standard large-scale formulation (no driver-side graph; each
+    * iteration is one join + one aggregate, data never leaves
+    * executors). Converges in O(diameter) iterations; near-dup
+    * graphs are shallow (chains/stars), so `maxIter` is a backstop,
+    * and non-convergence raises rather than returning wrong labels.
+    * Returns (id, cluster) where cluster = min id of the component.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("neighborMin"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("neighborMin"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      converged = next.join(
+        labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged, s"nearDupClusters: not converged after $maxIter iterations")
+    labels
+  }
+
   // ——— edit-distance (typo) dedup ———
 
   /** Near-dup pairs by Levenshtein distance, blocked: candidates are

@@ -148,6 +148,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ——— transitive near-dup clusters (connected components; oracle
+    //     = recursive-CTE reachability over the same pair graph) ———
+    Q("q58_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS cluster FROM (
+        |  SELECT src AS id, dst FROM reach
+        |) GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+        .select("id_a", "id_b")
+      Dedup.nearDupClusters(pairs)
+        .select(col("id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("id")
+    },
+
     // ——— MinHash + LSH candidate pairs (md5 family — full oracle) ———
     Q("q36_dedup_minhash_lsh",
       """WITH toks AS (

@@ -44,6 +44,17 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(0L, 3L)) // 1 and 2 are dups of 0; 3 unrelated
   }
 
+  test("nearDupClusters: transitive chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 8L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L &&
+      clusters(3L) === 1L && clusters(9L) === 1L) // chain 1-2-3-9
+    assert(clusters(4L) === 4L && clusters(5L) === 4L)
+    assert(clusters(7L) === 7L && clusters(8L) === 7L)
+  }
+
   test("simhash: identical texts collide; near-dups are Hamming-close") {
     val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
