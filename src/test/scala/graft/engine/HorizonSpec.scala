@@ -49,6 +49,16 @@ class HorizonSpec extends SparkSpec {
     assert(r.getAs[Double](Horizon.sum1Name) > 0)
   }
 
+  test("missing anchor years yield null CAGRs, not errors") {
+    // group with no fyod+10 row: 10-year and 2nd-5-year CAGRs are null
+    val partial = (0 to 5).map(i => ("#9", (fyod + i).toString, 100.0))
+      .toDF("noc", "year", "value")
+    val r = Horizon.cagrs(partial, Seq("noc"), fyod).collect().head
+    assert(!r.isNullAt(r.fieldIndex(Horizon.cagr1Name)))
+    assert(r.isNullAt(r.fieldIndex(Horizon.cagr2Name)))
+    assert(r.isNullAt(r.fieldIndex(Horizon.cagr10Name)))
+  }
+
   test("wideWithStats attaches stats to the pivoted frame") {
     val stats = Horizon.cagrs(long, Seq("noc"), fyod)
     val years = (fyod to fyod + 10).map(_.toString)

@@ -16,6 +16,12 @@ class NamingSpec extends SparkSpec {
     assert(Naming.cleanName("  trailing__junk  ") === "trailing_junk")
   }
 
+  test("degenerate inputs: empty and symbol-only strings") {
+    assert(Naming.cleanName("") === "")
+    assert(Naming.cleanName("!!!") === "")
+    assert(Naming.titleCase("") === "")
+  }
+
   test("titleCase replicates stringr::str_to_title") {
     assert(Naming.titleCase("geographic area") === "Geographic Area")
     assert(Naming.titleCase("1st 5-year cagr") === "1st 5-Year Cagr")
