@@ -48,7 +48,12 @@ object AsOf {
     // otherwise be carried into null-keyed left rows. Right nulls are
     // dropped; null-keyed LEFT rows keep flowing (left-join) and see
     // no carried values (their partition then holds only left rows).
+    // A null rightTs is dropped for the same reason: `null <= leftTs`
+    // is never true, yet a null _asof_ts sorts FIRST (nulls-first) in
+    // the sweep and would leak its payload into every left row — the
+    // native operator (AsOfJoinNative) skips null-ts rows too.
     val rightNonNull = on.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+      .filter(col(rightTs).isNotNull)
     val r = rightNonNull.select(
       on.map(col) ++ Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side")) ++
         carried.map(c => col(c).as(s"_c_$c")): _*)

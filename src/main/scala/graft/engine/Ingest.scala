@@ -41,16 +41,28 @@ object Ingest {
       // parse PER FILE then union: each file carries its own preamble
       // AND header, so a naive union of stripped lines would leave the
       // 2nd..nth headers embedded as data rows
-      files
-        .map { f =>
-          val lines: Dataset[String] = spark.sparkContext.textFile(f)
-            .zipWithIndex()
-            .filter(_._2 >= skip.toLong)
-            .map(_._1)
-            .toDS()
-          reader.csv(lines)
-        }
-        .reduce(_ unionByName _)
+      def stripped(f: String, nSkip: Int): Dataset[String] =
+        spark.sparkContext.textFile(f)
+          .zipWithIndex()
+          .filter(_._2 >= nSkip.toLong)
+          .map(_._1)
+          .toDS()
+      // infer the schema ONCE over the union of all stripped lines —
+      // per-file inference would let files whose columns infer
+      // differently (all-null → string, int vs double) silently widen
+      // or fail at unionByName, diverging from a single-read parse.
+      // Files 2..n also drop their header line so repeated header
+      // tokens can't force numeric columns to string during inference.
+      val extra = if (header) 1 else 0
+      val inferenceLines = (stripped(files.head, skip) +:
+        files.tail.map(f => stripped(f, skip + extra))).reduce(_ union _)
+      val schema = reader.csv(inferenceLines).schema
+      val fixed = spark.read
+        .option("header", header)
+        .option("nullValue", nullValue)
+        .option("emptyValue", "")
+        .schema(schema)
+      files.map(f => fixed.csv(stripped(f, skip))).reduce(_ unionByName _)
     }
   }
 

@@ -47,6 +47,34 @@ object Naming {
   /** snake_case → "Title Case With Spaces" (reference `:112`). */
   def publicationName(s: String): String = titleCase(s.replace("_", " "))
 
+  /** ICU/stringr title-case semantics, for strict reference parity:
+    * the first CASED letter of each word is uppercased even when
+    * preceded by digits, and hyphens break words — so
+    * "1st 5-year CAGR" → "1St 5-Year Cagr", exactly the mangle the
+    * reference's blanket `str_to_title` (01_source_me.R:112) applies
+    * to the published artifact headers. `titleCase` above is the
+    * canonical-name variant that leaves "1st" alone.
+    */
+  def titleCaseIcu(s: String): String = {
+    val sb = new StringBuilder
+    var seenCased = false // a cased letter already emitted in this word
+    s.foreach { c =>
+      if (c.isLetter) {
+        sb.append(if (!seenCased) c.toUpper else c.toLower)
+        seenCased = true
+      } else {
+        sb.append(c)
+        if (!c.isDigit) seenCased = false
+      }
+    }
+    sb.toString
+  }
+
+  /** The reference's exact published-header transform (`:112`):
+    * underscores → spaces, then ICU title case.
+    */
+  def strictPublicationName(s: String): String = titleCaseIcu(s.replace("_", " "))
+
   def cleanNames(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(cleanName).toIndexedSeq: _*)
 

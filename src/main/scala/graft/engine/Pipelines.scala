@@ -52,8 +52,19 @@ object Pipelines {
   /** The shared horizon-report shape: filter the long form, compute
     * CAGRs or horizon sums per group, pivot years wide (first-seen =
     * chronological order), attach stats, publication-rename.
+    *
+    * `strictParity = true` reproduces the reference's published
+    * headers byte-for-byte, INCLUDING the `str_to_title` mangle of
+    * the stat columns ("1st 5-year CAGR" → "1St 5-Year Cagr",
+    * 01_source_me.R:112); the default keeps canonical stat names
+    * (divergence #3 above) — both contracts are golden-pinned.
+    *
+    * Output carries a deterministic total order on the group keys so
+    * downstream sinks (and their golden hashes) never depend on
+    * incidental shuffle order.
     */
-  def horizonTable(src: DataFrame, fyod: Int, useCagrs: Boolean)
+  def horizonTable(src: DataFrame, fyod: Int, useCagrs: Boolean,
+                   strictParity: Boolean = false)
                   (filter: DataFrame => DataFrame): DataFrame = {
     val filtered = filter(longForm(src))
     val stats =
@@ -63,11 +74,20 @@ object Pipelines {
     val wide = Reshape.pivotExplicit(filtered, groupKeys, "year", years)
     val statNames = stats.columns.filterNot(groupKeys.contains).toSeq
     val joined = wide.join(stats, groupKeys)
-    // publication names on keys+years only; stat columns keep their
-    // canonical display names (divergence #3 above)
-    val renamed = groupKeys.map(k => col(k).as(Naming.publicationName(k))) ++
-      years.map(y => col(y)) ++ statNames.map(s => col(s))
-    joined.select(renamed: _*).withColumnRenamed("Noc", "NOC")
+    val renamed =
+      if (strictParity)
+        // reference contract: EVERY column through str_to_title
+        groupKeys.map(k => col(k).as(Naming.strictPublicationName(k))) ++
+          years.map(y => col(y)) ++
+          statNames.map(s => col(s).as(Naming.strictPublicationName(s)))
+      else
+        // publication names on keys+years only; stat columns keep
+        // their canonical display names (divergence #3 above)
+        groupKeys.map(k => col(k).as(Naming.publicationName(k))) ++
+          years.map(y => col(y)) ++ statNames.map(s => col(s))
+    val out = joined.select(renamed: _*).withColumnRenamed("Noc", "NOC")
+    val keyNames = out.columns.take(groupKeys.size).toSeq
+    out.orderBy(keyNames.map(col): _*)
   }
 
   /** "data" sheet + one sheet per region (split(), 01_source_me.R:140-145),
@@ -139,7 +159,7 @@ object Pipelines {
         regionalJo.filter(col("Geographic Area") === region))
         .drop("Geographic Area")
       Xlsx.Sheet(sheetName,
-        Reshape.relocateAfter(joined, Seq(joCol), "Description"))
+        Reshape.relocateAfter(joined, Seq(joCol), "Description").orderBy("NOC"))
     }
     Artifact("High Opportunity Occupations BC and Regions.xlsx",
       Xlsx.Sheet("Data Dictionary", dataDictionary(occChar.sparkSession, fyod)) +: regionSheets)
@@ -175,12 +195,16 @@ object Pipelines {
 
   // ——— artifact 6: Employment by Ind and Occ for BC and Regions (:232-240) ———
   // long format, ORIGINAL column names (no clean_names), Date/Value
-  def employmentLongBCRegions(in: LmoInputs): Artifact =
+  def employmentLongBCRegions(in: LmoInputs): Artifact = {
+    val long = Reshape.unpivotByPrefix(
+      in.employment.filter(!col("Geographic Area").isin(northSouthEast: _*)),
+      "2", nameCol = "Date", valueCol = "Value")
+    // deterministic total order on the identifying columns so sink
+    // bytes (and golden hashes) never pin incidental shuffle order
+    val keys = long.columns.filterNot(_ == "Value").toSeq
     Artifact("Employment by Ind and Occ for BC and Regions.xlsx", Seq(
-      Xlsx.Sheet("Sheet 1",
-        Reshape.unpivotByPrefix(
-          in.employment.filter(!col("Geographic Area").isin(northSouthEast: _*)),
-          "2", nameCol = "Date", valueCol = "Value"))))
+      Xlsx.Sheet("Sheet 1", long.orderBy(keys.map(col): _*))))
+  }
 
   // ——— artifact 7: Employment by Occupation for BC and Regions (:243-270) ———
   def employmentByOccupationRegions(in: LmoInputs, fyod: Int): Artifact = {
@@ -205,9 +229,12 @@ object Pipelines {
   }
 
   // ——— artifact 9: the long CSV → zip (:305-317) ———
-  def joLongDump(in: LmoInputs): DataFrame =
-    Reshape.unpivotByPrefix(in.jobOpenings, "2")
+  def joLongDump(in: LmoInputs): DataFrame = {
+    val long = Reshape.unpivotByPrefix(in.jobOpenings, "2")
       .filter(!col("Geographic Area").isin(northSouthEast: _*))
+    val keys = long.columns.filterNot(_ == "value").toSeq
+    long.orderBy(keys.map(col): _*)
+  }
 
   // ——— artifact 10: Job Openings by NOC and Skill Cluster (:325-346) ———
   def joBySkillCluster(in: LmoInputs, fyod: Int): Artifact = {
@@ -228,7 +255,8 @@ object Pipelines {
       Xlsx.Sheet("Sheet 1", joined.select(
         col("NOC"), col("Description"),
         col("new_cluster").as("Occ Group: Skills Cluster"),
-        col("jo").as(joColName(fyod))))))
+        col("jo").as(joColName(fyod)))
+        .orderBy("NOC"))))
   }
 
   /** Build every workbook artifact (1-8, 10). */

@@ -142,19 +142,81 @@ object Dedup {
     * all pairs sharing ≥1 shingle. Inverted-index shape: shuffle on
     * shingle, then on (id_a, id_b) — never materializes the n² pairs
     * that share nothing.
+    *
+    * `maxDf` is the scale guard: the inverted-index join is quadratic
+    * WITHIN a shingle's posting list, so one shingle shared by 10⁶
+    * docs yields 10¹² pairs — AQE can redistribute that work but not
+    * shrink it. Capping document frequency drops only the
+    * non-discriminative shingles (stopword runs, boilerplate) whose
+    * posting lists cause the blowup; Jaccard is then computed exactly
+    * over the remaining (discriminative) shingle universe on BOTH the
+    * intersection and the set sizes, so the score stays a true
+    * Jaccard — of the filtered sets — and stays oracle-expressible.
+    * `None` = uncapped (exact over all shingles; only safe for
+    * moderate corpora — the 100 TB path is `minhashVerifiedPairs`).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxDf: Option[Long] = None): DataFrame = {
     // join on 64-bit shingle hashes, not variable-length strings: the
     // counts are identical absent a 64-bit collision, and fixed-width
     // keys roughly halve the two shuffles' cost
-    val sh = shingles(docs, n, idCol, textCol)
+    val shAll = shingles(docs, n, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = maxDf match {
+      case Some(cap) =>
+        // df per shingle is one agg on the already-shuffled shingle
+        // key; the semi-join back is broadcast-able when the surviving
+        // vocabulary is small, hash otherwise — either way linear
+        val keep = shAll.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+          .select("shingle")
+        // the using-column semi join reorders output to (shingle, id);
+        // restore (id, shingle) — downstream toDF renames positionally
+        shAll.join(keep, Seq("shingle"), "left_semi")
+          .select(col(idCol), col("shingle"))
+      case None => shAll
+    }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val l = sh.toDF("id_a", "shingle")
     val r = sh.toDF("id_b", "shingle")
     val inter = l.join(r, "shingle")
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The composed large-corpus near-dup path: MinHash/LSH candidate
+    * generation followed by exact-Jaccard verification ON THE
+    * CANDIDATES ONLY. This is the default shape for corpus-wide dedup
+    * at scale — candidate count is ~linear in corpus size (banding
+    * keeps buckets small), so the verify step's joins are bounded by
+    * Σ|candidate pair shingles|, never by any shingle's posting list.
+    *
+    * Verify shape: candidates × left-doc shingles (shuffle on id_a),
+    * inner join against right-doc shingles on (id_b, shingle) →
+    * intersection counts; set sizes join in as in the exact path.
+    * Probabilistic recall comes from the LSH stage (pinned in
+    * DedupSpec at 100% on planted dups); precision is exact.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, n: Int = 3, k: Int = 32,
+                           bands: Int = 8, minJaccard: Double = 0.5,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val cand = minhashCandidates(docs, n, k, bands, idCol, textCol)
+    val sh = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("id_a", "shingle"), "id_a")
+      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(counts.toDF("id_a", "na"), "id_a")
@@ -193,28 +255,36 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id"))
+      .withColumn("_changed", lit(false)).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val propagated = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("neighborMin"))
-      val next = labels.join(propagated, Seq("id"), "left")
+      // the convergence signal is carried as a flag column so ONE
+      // count job both materializes the new labels into cache and
+      // answers "did anything change" — no second join + isEmpty
+      // traversal per iteration
+      val next = labels.select("id", "cluster").join(propagated, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("neighborMin"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("neighborMin"), col("cluster")) < col("cluster"))
+            .as("_changed"))
         .cache()
-      converged = next.join(
-        labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).isEmpty
+      converged = next.filter(col("_changed")).count() == 0L
       labels.unpersist()
       labels = next
       i += 1
     }
+    edges.unpersist()
     require(converged, s"nearDupClusters: not converged after $maxIter iterations")
-    labels
+    // the result stays cached (recomputing it would replay the whole
+    // loop); callers holding it long-term should unpersist when done
+    labels.select("id", "cluster")
   }
 
   // ——— edit-distance (typo) dedup ———
@@ -254,6 +324,46 @@ object Dedup {
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Engine-portable SimHash: the same bit-vote construction as the
+    * native expression but over an md5-derived 60-bit token hash
+    * (15 hex chars < 2^60 — positive in both engines' int64), so the
+    * signature is reproducible in DuckDB and the whole operator is
+    * oracle-checkable (q37) — the same second-hash-family trick as
+    * MinHash (q36). Shape: one token explode (narrow), ONE shuffle on
+    * the doc id carrying `bits` conditional-sum vote aggregates —
+    * identical cost profile to `lshBuckets`. The native xxhash64
+    * expression (`simhash64`) stays the production fast path (one
+    * pass, zero shuffle); Hamming agreement between the two families
+    * is pinned in DedupSpec.
+    */
+  def simhashPortableSig(docs: DataFrame, bits: Int = 60,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(bits <= 60, "15 md5 hex chars carry 60 bits")
+    val toks = docs
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until bits)
+      .map(i => when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Portable-family SimHash collision groups (the oracle-facing twin
+    * of `simhashGroups`).
+    */
+  def simhashPortableGroups(docs: DataFrame, bits: Int = 60,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    simhashPortableSig(docs, bits, idCol, textCol)
       .groupBy("simhash")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 }

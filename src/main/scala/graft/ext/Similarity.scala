@@ -81,16 +81,47 @@ object Similarity {
   def rhpBucket(vec: Column, nPlanes: Int): Column =
     array_join(transform(rhpSignature(vec, nPlanes), b => b.cast("string")), "")
 
-  /** ANN top-k: compare only within the query's signature bucket.
-    * Recall < 1 by construction (graded against the brute-force
-    * baseline in tests); at scale, multi-probe or band-OR across
-    * several signatures raises recall without widening the scan.
+  /** One bucket string per band: band b covers planes [b·r, (b+1)·r).
+    * Each plane's dot product appears in exactly ONE band column, so
+    * the projection computes bands·r dots once per row — no shared
+    * subtree for CollapseProject to re-inline (the r1 lesson: HOF
+    * trees re-evaluated per consumer).
     */
-  def annTopK(embeddings: DataFrame, query: DataFrame, k: Int, nPlanes: Int = 8,
+  private def rhpBandCols(vec: Column, bands: Int, r: Int, dim: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      concat((b * r until (b + 1) * r).map { p =>
+        val hp = array(hyperplane(p, dim).map(lit): _*)
+        when(dot(vec, hp) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*).as(s"_band$b")
+    }
+
+  /** (id, payload..., band, bucket) long form: one row per band via
+    * posexplode of the precomputed band columns.
+    */
+  private def explodeBands(df: DataFrame, keep: Seq[String], bands: Int,
+                           r: Int, dim: Int, vecCol: String): DataFrame =
+    df.select(keep.map(col) ++ rhpBandCols(col(vecCol), bands, r, dim): _*)
+      .select(keep.map(col) :+
+        posexplode(array((0 until bands).map(b => col(s"_band$b")): _*))
+          .as(Seq("band", "bucket")): _*)
+
+  /** ANN top-k, multi-band OR: a row is a candidate when it shares
+    * ANY band's bucket with the query (the same banding structure as
+    * MinHash/LSH in Dedup). Recall is 1−(1−p^r)^bands per neighbor
+    * (p = 1−θ/π), so bands raise recall while r keeps buckets small —
+    * the single-bucket form (bands = 1) is strictly dominated.
+    * Candidates are deduped before scoring; the final top-k is a
+    * TakeOrdered, no full sort.
+    */
+  def annTopK(embeddings: DataFrame, query: DataFrame, k: Int, bands: Int = 4,
+              r: Int = 8, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = embeddings.withColumn("bucket", rhpBucket(col(vecCol), nPlanes))
-    val q = query.withColumn("bucket", rhpBucket(col("qv"), nPlanes))
-    bucketed.join(broadcast(q), "bucket")
+    val e = explodeBands(embeddings, Seq(idCol), bands, r, dim, vecCol)
+    val q = explodeBands(query, Seq("qv"), bands, r, dim, "qv")
+    val candidates = e.join(broadcast(q.select("band", "bucket")), Seq("band", "bucket"))
+      .select(idCol).distinct()
+    embeddings.join(candidates, idCol)
+      .crossJoin(broadcast(query))
       .select(col(idCol),
         round(cosine(col(vecCol), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -155,6 +186,52 @@ object Similarity {
     }.toSeq.sortBy(_._1)
   }
 
+  /** Lloyd's k-means as distributed DataFrame aggregates — the real
+    * IVF training pass (replaces the per-label-means demo quantizer).
+    * Each iteration is (1) one narrow argmin assignment pass
+    * (`ivfAssign`, codegen'd dot products, no shuffle) and (2) one
+    * posexplode → groupBy(cell, i) → avg — a single hash-agg shuffle
+    * of |corpus|·dim skinny rows with map-side partial means. Only
+    * the k×dim centroid table ever reaches the driver (the "key
+    * roster" exception to no-collect: centroids must be literals to
+    * stay codegen'd on the next pass).
+    *
+    * Seeding is deterministic — the k vectors with the smallest
+    * md5(id) — so training is reproducible on any cluster layout.
+    * Empty cells keep their previous centroid (standard Lloyd's
+    * degeneracy handling). At very large k the literal argmin tree
+    * would outgrow codegen; that regime wants the centroid table as a
+    * broadcast join — out of scope until k ≫ 10³.
+    */
+  def kmeansCentroids(embeddings: DataFrame, kCells: Int, iters: Int = 5,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val seeds = embeddings
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id")), col("_id")).limit(kCells).collect()
+    var cents: Seq[(Int, Seq[Float])] =
+      seeds.toSeq.zipWithIndex.map { case (row, i) => (i, row.getSeq[Float](1)) }
+    for (_ <- 0 until iters) {
+      val byCell = ivfAssign(embeddings, cents, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val v = new Array[Float](dim)
+            rows.foreach(r => v(r.getAs[Int]("i")) = r.getAs[Double]("m").toFloat)
+            (cid, v.toSeq)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF top-k for one query vector: score only vectors in the
     * query's `nProbes` nearest cells.
     */
@@ -189,18 +266,35 @@ object Similarity {
   def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
     transform(qCol, b => (b.cast("double") * scaleCol.cast("double")).cast("float"))
 
-  /** Scale path for near-dup pairs: signature-bucketed self-join. */
-  def annCandidatePairs(embeddings: DataFrame, threshold: Double, nPlanes: Int = 8,
+  /** Scale path for near-dup pairs: multi-band signature-bucketed
+    * self-join (bands × r planes, OR across bands — the same
+    * structure as Dedup's MinHash banding). Per band the join is
+    * ~n²/2^r pairs with r = 16 → 65 536 buckets, so candidate volume
+    * stays near-linear; bands are independent probes whose union
+    * drives recall: P(candidate) = 1 − (1 − p^r)^bands with
+    * p = 1 − θ/π. The old single-8-bit-bucket form (256 buckets
+    * total) was ~n²/256 — a scale-killer — and is strictly dominated:
+    * band 0 alone reproduces a single-band-r run, so multi-band
+    * recall ⊇ single-band recall by construction (pinned in
+    * SimilaritySpec). Exact cosine is verified on candidates only;
+    * cross-band duplicates collapse on the (id_a, id_b) distinct.
+    */
+  def annCandidatePairs(embeddings: DataFrame, threshold: Double, bands: Int = 4,
+                        r: Int = 16, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = embeddings.select(col(idCol), col(vecCol),
-      rhpBucket(col(vecCol), nPlanes).as("bucket"), norm2(col(vecCol)).as("_n2"))
-    val a = bucketed.toDF("id_a", "va", "bucket", "n2a")
-    val b = bucketed.toDF("id_b", "vb", "bucket", "n2b")
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+    val banded = explodeBands(embeddings, Seq(idCol), bands, r, dim, vecCol)
+    val cand = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      norm2(col(vecCol)).as("_n2"))
+    cand
+      .join(withNorm.toDF("id_a", "va", "n2a"), "id_a")
+      .join(withNorm.toDF("id_b", "vb", "n2b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
   }
 }

@@ -364,16 +364,27 @@ object Relational {
       // Spark 4.1's DetectAmbiguousSelfJoin false-positives on ANY
       // rollup/cube above a join (the Expand node re-emits the
       // grouping attributes, which the detector misreads as a self
-      // join). Plan semantics are unambiguous — disable the check.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      // join). Plan semantics are unambiguous — disable the check for
+      // THIS dataframe's (eager) analysis only, then restore, so the
+      // rest of the session keeps the guard.
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
     },
 
     // ——— top-k (order by + limit, deterministic tiebreak) ———
@@ -643,14 +654,20 @@ object Relational {
         |    md5(CAST(o_orderkey AS VARCHAR)) AS h
         |  FROM orders
         |)
-        |SELECT o_orderpriority, list(o_orderkey ORDER BY h, o_orderkey) AS sample_ids
+        |SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY h, o_orderkey)
+        |    AS sample_ids
         |FROM ranked WHERE rn <= 5
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      // array output rendered as a CSV string: the harness compare
+      // cannot hash array cells, and the join preserves the sketch's
+      // canonical (hash, id) order on both sides
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(graft.functions.BottomKSample
-          .bottomKSample(col("o_orderkey"), 5).as("sample_ids"))
+        .agg(array_join(graft.functions.BottomKSample
+          .bottomKSample(col("o_orderkey"), 5).cast("array<string>"), ",")
+          .as("sample_ids"))
         .orderBy("o_orderpriority")
     },
 

@@ -52,18 +52,19 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ——— LSH-bucketed ANN (xxhash64 hyperplanes → rows-only; recall
-    //     vs brute force is pinned in unit tests) ———
+    // ——— LSH-bucketed ANN, multi-band OR (hash-derived hyperplanes →
+    //     rows-only; recall vs brute force is pinned in unit tests) ———
     Q.rowsOnly("q42_ann_lsh") { (s, dir) =>
-      Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, nPlanes = 8)
+      Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, bands = 4, r = 8)
     },
 
-    // ——— IVF ANN: coarse-quantizer cells, probe the nearest cells
-    //     only (cell assignment is float-mean dependent → rows-only;
-    //     recall vs brute force pinned in SimilaritySpec) ———
+    // ——— IVF ANN: k-means-trained coarse quantizer (Lloyd's as
+    //     distributed aggs), probe the nearest cells only (cell
+    //     assignment is float-mean dependent → rows-only; recall vs
+    //     brute force pinned in SimilaritySpec) ———
     Q.rowsOnly("q48_ivf_ann") { (s, dir) =>
       val e = emb(s, dir)
-      val cents = Similarity.centroidsByLabel(e)
+      val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 
@@ -71,18 +72,26 @@ object SimilarityQueries {
     Q("q55_array_ops",
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  embedding[1:3] AS head3,
-        |  list_min(embedding) AS mn,
-        |  list_max(embedding) AS mx,
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',')
+        |    AS head3,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
         |  list_contains(embedding, 0.0) AS has_zero
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // the array cell is rendered as a CSV of micro-units (x*1e6
+      // rounded to long): the harness compare cannot hash array
+      // cells, and integer rendering sidesteps float-to-string
+      // formatting differences between engines
       emb(s, dir).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        array_min(col("embedding")).as("mn"),
-        array_max(col("embedding")).as("mx"),
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 1000000).cast("long"))
+          .cast("array<string>"), ",").as("head3"),
+        round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+        round(array_max(col("embedding")).cast("double"), 6).as("mx"),
         array_contains(col("embedding"), 0.0f).as("has_zero"))
         .orderBy("vec_id")
     },

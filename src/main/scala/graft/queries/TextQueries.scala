@@ -116,7 +116,10 @@ object TextQueries {
     },
 
     // ——— apply the dedup: the KEPT document set after dropping the
-    //     later member of every jaccard≥0.5 near-dup pair ———
+    //     later member of every jaccard≥0.5 near-dup pair. Pairs come
+    //     from the composed SCALE path (MinHash/LSH candidates →
+    //     exact verify), not the all-pairs inverted index — this is
+    //     the default shape a 100 TB corpus dedup runs. ———
     Q("q57_dedup_apply",
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
@@ -126,12 +129,29 @@ object TextQueries {
         |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
         |      ELSE [array_to_string(ts, ' ')] END) AS shingle
         |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |), cnt AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
         |  GROUP BY 1, 2
         |), dropped AS (
         |  SELECT DISTINCT id_b FROM inter
@@ -142,14 +162,16 @@ object TextQueries {
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+      val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
       Dedup.applyNearDedup(docs(s, dir), pairs)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 
     // ——— transitive near-dup clusters (connected components; oracle
-    //     = recursive-CTE reachability over the same pair graph) ———
+    //     = recursive-CTE reachability over the same MinHash-verified
+    //     pair graph) ———
     Q("q58_dedup_clusters",
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
@@ -159,12 +181,29 @@ object TextQueries {
         |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
         |      ELSE [array_to_string(ts, ' ')] END) AS shingle
         |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |), cnt AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
         |  GROUP BY 1, 2
         |), pairs AS (
         |  SELECT id_a, id_b FROM inter
@@ -183,7 +222,8 @@ object TextQueries {
         |  SELECT src AS id, dst FROM reach
         |) GROUP BY id
         |ORDER BY id""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+      val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
         .select("id_a", "id_b")
       Dedup.nearDupClusters(pairs)
         .select(col("id"), col("cluster").cast("long").as("cluster"))
@@ -221,8 +261,127 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ——— SimHash signatures (xxhash64 → rows-only) ———
-    Q.rowsOnly("q37_dedup_simhash") { (s, dir) =>
+    // ——— the composed 100 TB dedup path: MinHash/LSH candidates →
+    //     exact-Jaccard verification ON CANDIDATES ONLY. The oracle
+    //     rebuilds the identical md5-family buckets (as q36) and then
+    //     verifies jaccard restricted to the candidate pairs. ———
+    Q("q59_dedup_minhash_verified",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32, bands = 8,
+        minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— doc-frequency-capped exact Jaccard: the guarded form of
+    //     q35 — shingles appearing in > 10 docs are dropped BEFORE the
+    //     inverted-index join (both set sizes and intersections use
+    //     the filtered universe, so the score is a true Jaccard of
+    //     discriminative shingle sets) ———
+    Q("q60_dedup_jaccard_capped",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), dfc AS (
+        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 10
+        |), sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5,
+        maxDf = Some(10L))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— SimHash collision groups, portable md5 bit-vote family —
+    //     full oracle (the same second-hash-family trick as q36); the
+    //     native xxhash64 expression stays the fast path, with
+    //     family agreement pinned in DedupSpec ———
+    Q("q37_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks
+        |), votes AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT CAST(unnest(range(0, 60)) AS INT) AS i) bits
+        |  GROUP BY doc_id, i
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT simhash, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM sig GROUP BY simhash
+        |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      Dedup.simhashPortableGroups(docs(s, dir)).orderBy("keeper")
+    },
+
+    // ——— native single-pass xxhash64 SimHash (no DuckDB twin →
+    //     rows-only; Hamming properties + family agreement with the
+    //     portable variant are pinned in DedupSpec) ———
+    Q.rowsOnly("q61_simhash_native") { (s, dir) =>
       Dedup.simhashGroups(docs(s, dir)).orderBy("keeper")
     },
 

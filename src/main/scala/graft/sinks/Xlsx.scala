@@ -140,7 +140,10 @@ object Xlsx {
     val nCols = header.size
     val pctFrom = if (sheet.pctLast3) math.max(nCols - 3, 0) else nCols
     w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    // xmlns:r must be bound on the root: asTable sheets reference the
+    // table part via r:id, and an unbound prefix is rejected by
+    // namespace-aware readers (Excel, openpyxl)
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheetData>""")
     def cell(r: Int, c: Int, v: Any): Unit = {
       if (v == null) return
       val ref = s"${colLetter(c)}$r"

@@ -49,8 +49,20 @@ object DedupScale {
     val captured = cands.filter(col("id_b") === col("id_a") + 1 &&
       pmod(col("id_b"), lit(20)) === 1).count()
     val nSim = time("simhashGroups")(Dedup.simhashGroups(docs).count())
+    // the composed corpus-scale default: LSH candidates → exact verify
+    val verified = Dedup.minhashVerifiedPairs(docs, n = 3, k = 32, bands = 8,
+      minJaccard = 0.5).cache()
+    val nVerified = time("minhashVerifiedPairs")(verified.count())
+    val verifiedPlanted = verified.filter(col("id_b") === col("id_a") + 1 &&
+      pmod(col("id_b"), lit(20)) === 1).count()
+    // and the guarded exact path: doc-frequency cap kills hot shingles
+    val nCapped = time("jaccardCapped")(
+      Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+        maxDf = Some(100L)).count())
     println(f"DEDUP-SCALE docs=$nDocs exactGroups=$nExact " +
-      f"candidates=$nCands plantedRecall=$captured/$planted simhashGroups=$nSim")
+      f"candidates=$nCands plantedRecall=$captured/$planted simhashGroups=$nSim " +
+      f"verifiedPairs=$nVerified verifiedPlantedRecall=$verifiedPlanted/$planted " +
+      f"cappedPairs=$nCapped")
     spark.stop()
   }
 }

@@ -60,6 +60,36 @@ class AsOfSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("null right timestamps never match (and never leak payload)") {
+    // a null rightTs sorts FIRST in the sweep's nulls-first window
+    // order — without the explicit filter its payload would be
+    // carried into every early left row with ts_matched null
+    val r = Seq(
+      (Some("u1"), Option.empty[Long], "r-nullts"),
+      (Some("u1"), Some(200L), "r@200"))
+      .toDF("user", "t", "rval")
+    val out = AsOf.asofBackward(left, r, Seq("user"), "t", "t", Seq("rval"))
+      .select("id", "rval", "t_matched").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1),
+         if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toMap
+    assert(out(1L) === (null, -1L))     // t=100: only the null-ts row precedes → no match
+    assert(out(2L) === ("r@200", 200L))
+    assert(out(3L) === ("r@200", 200L))
+    // agreement with the native operator on the same input (long keys
+    // — the native fast path's contract)
+    val keyed = udf((u: String) => u.drop(1).toLong)
+    val lLong = left.withColumn("user", keyed(col("user")))
+    val rLong = r.withColumn("user", keyed(col("user")))
+    val native = graft.plans.AsOfJoinNative.asofBackward(lLong, rLong,
+      on = "user", leftTs = "t", rightTs = "t", rightPayload = Seq("rval"))
+      .select("id", "rval").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(native(1L) === null && native(2L) === "r@200")
+  }
+
   test("colliding payload names are rejected up front") {
     intercept[IllegalArgumentException] {
       AsOf.asofBackward(left, right.withColumnRenamed("rval", "tag"),

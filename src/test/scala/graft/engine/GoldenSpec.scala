@@ -38,5 +38,44 @@ class GoldenSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
       assert(got === expected, s"artifact bytes changed: $name")
     }
+
+    // read(write(x)) == x — semantic round trip through the repo's
+    // own XLSX reader, not just byte pinning: every sheet of every
+    // workbook parses back to the exact cell grid that was written
+    Pipelines.allWorkbooks(in, LmoFixtures.fyod).foreach { a =>
+      val f = new java.io.File(out, a.fileName)
+      val names = graft.sources.XlsxReader.sheetNames(f.getPath)
+      assert(names === a.sheets.map(s => graft.sinks.Xlsx.sanitizeName(s.name)),
+        s"${a.fileName}: sheet roster changed in round trip")
+      a.sheets.foreach { sheet =>
+        val grid = graft.sources.XlsxReader.readSheet(
+          f.getPath, Some(graft.sinks.Xlsx.sanitizeName(sheet.name)))
+        val header = grid.head.map(_.map(_.toString).getOrElse(""))
+        assert(header === sheet.df.columns.toSeq,
+          s"${a.fileName}/${sheet.name}: header mismatch")
+        val expectedRows = sheet.df.collect()
+        assert(grid.tail.size === expectedRows.length,
+          s"${a.fileName}/${sheet.name}: row count mismatch")
+        grid.tail.zip(expectedRows).zipWithIndex.foreach { case ((got, exp), ri) =>
+          exp.toSeq.zipWithIndex.foreach { case (ev, ci) =>
+            val gv = if (ci < got.size) got(ci) else None
+            (ev, gv) match {
+              case (null, None) => ()
+              case (null, Some(g)) =>
+                fail(s"${a.fileName}/${sheet.name} r$ri c$ci: phantom value '$g'")
+              case (n: Number, Some(d: Double)) =>
+                assert(math.abs(n.doubleValue - d) <= math.abs(n.doubleValue) * 1e-12,
+                  s"${a.fileName}/${sheet.name} r$ri c$ci: $n vs $d")
+              case (b: Boolean, Some(g: Boolean)) => assert(b === g)
+              case (s, Some(g)) =>
+                assert(s.toString === g.toString,
+                  s"${a.fileName}/${sheet.name} r$ri c$ci: '$s' vs '$g'")
+              case (s, None) =>
+                fail(s"${a.fileName}/${sheet.name} r$ri c$ci: lost value '$s'")
+            }
+          }
+        }
+      }
+    }
   }
 }

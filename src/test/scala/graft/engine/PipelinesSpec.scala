@@ -48,6 +48,29 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got - (math.pow(v5 / v0, 0.2) - 1)) < 1e-12)
   }
 
+  test("strictParity mode reproduces the reference's exact mangled headers") {
+    // the reference's blanket str_to_title (01_source_me.R:112)
+    // ICU-mangles the stat headers; strictParity reproduces them
+    // byte-for-byte so published catalog files can be byte-compared
+    val strict = Pipelines.horizonTable(in.employment, fyod, useCagrs = true,
+      strictParity = true)(
+      _.filter(col("geographic_area") === "British Columbia"))
+    assert(strict.columns.take(5).toSeq ===
+      Seq("NOC", "Description", "Industry", "Variable", "Geographic Area"))
+    assert(strict.columns.takeRight(3).toSeq ===
+      Seq("1St 5-Year Cagr", "2Nd 5-Year Cagr", "10-Year Cagr"))
+    val strictSums = Pipelines.horizonTable(in.jobOpenings, fyod, useCagrs = false,
+      strictParity = true)(
+      _.filter(col("geographic_area") === "British Columbia" &&
+        col("variable") === "Job Openings"))
+    assert(strictSums.columns.takeRight(3).toSeq ===
+      Seq("1St 5-Year Sum", "2Nd 5-Year Sum", "10-Year Sum"))
+    // same rows either way — only the header contract differs
+    val canonical = Pipelines.horizonTable(in.employment, fyod, useCagrs = true)(
+      _.filter(col("geographic_area") === "British Columbia"))
+    assert(strict.count() === canonical.count())
+  }
+
   test("artifact 2: #T only, North/South East dropped, region sheets drop noc/desc/var") {
     val a = Pipelines.employmentByIndustryRegions(in, fyod)
     assert(a.sheets.map(_.name) ===

@@ -63,4 +63,56 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
     assert(hamming(sh(0L), sh(2L)) <= 8)
   }
+
+  test("portable simhash family agrees with the native family's structure") {
+    val native = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val portable = Dedup.simhashPortableSig(docs)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical texts collide in BOTH families
+    assert(portable(0L) === portable(1L))
+    // both families order the near-dup below the unrelated doc
+    assert(hamming(portable(0L), portable(2L)) < hamming(portable(0L), portable(3L)))
+    assert(hamming(native(0L), native(2L)) < hamming(native(0L), native(3L)))
+    // 60-bit domain respected
+    portable.values.foreach(s => assert(s >= 0 && s < (1L << 60)))
+  }
+
+  test("maxDf cap drops only high-frequency shingles; capped pairs ⊆ uncapped") {
+    // every doc shares the shingle-rich base → a tiny cap kills the
+    // common shingles, a huge cap is a no-op
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bigCap = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+      maxDf = Some(1000L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bigCap === uncapped) // cap above every df is the identity
+    val tinyCap = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+      maxDf = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // df ≤ 1 shingles are unshared by definition → no intersections
+    assert(tinyCap.isEmpty)
+  }
+
+  test("minhashVerifiedPairs: exact precision on LSH candidates") {
+    val verified = Dedup.minhashVerifiedPairs(docs, n = 3, k = 32, bands = 8,
+      minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification is exact → no false positives vs the exact path
+    assert(verified.subsetOf(exact))
+    // the planted dups survive the LSH gate at k=32/b=8
+    assert(verified.contains((0L, 1L)) && verified.contains((0L, 2L)))
+    // and the jaccard values agree with the exact path where present
+    val vj = Dedup.minhashVerifiedPairs(docs, n = 3, k = 32, bands = 8,
+      minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ej = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    vj.foreach { case (k, j) => assert(math.abs(ej(k) - j) < 1e-9) }
+  }
 }

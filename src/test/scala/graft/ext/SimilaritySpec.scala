@@ -20,7 +20,7 @@ class SimilaritySpec extends SparkSpec {
   test("ANN bucket search returns a subset of the brute-force ordering") {
     val brute = Similarity.knnBruteForce(emb, qv, k = 100).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
-    val ann = Similarity.annTopK(emb, qv, k = 10, nPlanes = 6).collect()
+    val ann = Similarity.annTopK(emb, qv, k = 10, bands = 4, r = 8).collect()
     assert(ann.nonEmpty)
     // every ANN hit carries its true cosine (same arithmetic)
     ann.foreach { r =>
@@ -29,6 +29,49 @@ class SimilaritySpec extends SparkSpec {
     }
     // self-match must be in its own bucket
     assert(ann.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("multi-band candidate pairs strictly contain any single band's (OR recall)") {
+    val multi = Similarity.annCandidatePairs(emb, threshold = 0.3, bands = 4, r = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val single = Similarity.annCandidatePairs(emb, threshold = 0.3, bands = 1, r = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // band 0 of the 4-band run IS the single-band run → superset
+    assert(single.subsetOf(multi),
+      s"single-band found ${(single -- multi).size} pairs the multi-band run missed")
+    assert(multi.size >= single.size)
+  }
+
+  test("multi-band ANN recall on planted near-dups (cos ≈ 0.99)") {
+    // the driver corpus has no true near-dups (max pair cosine 0.51),
+    // which is BELOW the regime 16-bit hyperplane bands target — so
+    // plant them: each original vector gets a slightly perturbed copy
+    // at id+10000 (deterministic seed → reproducible recall)
+    val rnd = new scala.util.Random(42)
+    val rows = emb.select($"vec_id", $"embedding").collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1))
+    }
+    val planted = rows.map { case (id, v) =>
+      (id + 10000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val corpus = (rows.toSeq ++ planted.toSeq).toDF("vec_id", "embedding")
+    val truePairs = rows.map { case (id, _) => (id, id + 10000L) }.toSet
+    val ann = Similarity.annCandidatePairs(corpus, threshold = 0.95,
+      bands = 4, r = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val found = ann.intersect(truePairs)
+    val recall = found.size.toDouble / truePairs.size
+    // precision exact by construction: every reported pair really has
+    // cos ≥ 0.95
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ann.subsetOf(brute))
+    assert(recall >= 0.80, f"multi-band recall $recall%.3f below 0.80 floor")
+    // and strictly better than one band alone (the OR construction)
+    val single = Similarity.annCandidatePairs(corpus, threshold = 0.95,
+      bands = 1, r = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(single.intersect(truePairs).size <= found.size)
   }
 
   test("IVF: probing more cells monotonically recovers brute-force recall") {
@@ -46,6 +89,23 @@ class SimilaritySpec extends SparkSpec {
     val r1 = recall(1)
     assert(r1 >= 1)                  // self-cell at least finds the query
     assert(recall(3) >= r1)          // more probes, never less recall
+  }
+
+  test("k-means IVF: trained centroids beat-or-match full-probe recall contract") {
+    val cents = Similarity.kmeansCentroids(emb, kCells = 8, iters = 3)
+    assert(cents.size === 8 && cents.head._2.size === 64)
+    val brute = Similarity.knnBruteForce(emb, qv, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(p: Int) = Similarity.ivfTopK(emb, qv, k = 10, cents, nProbes = p)
+      .collect().map(_.getAs[Long]("vec_id")).toSet.intersect(brute).size
+    assert(recall(8) === 10)         // all cells probed == brute force
+    assert(recall(2) >= 5)           // fixed-probe recall floor (empirical, deterministic)
+    assert(recall(4) >= recall(2))   // monotone in probes
+    // training moved the centroids off their seed vectors
+    val seeds = emb.select($"vec_id".cast("string").as("_id"), $"embedding")
+      .orderBy(md5($"_id"), $"_id").limit(8).collect()
+      .map(_.getSeq[Float](1))
+    assert(cents.map(_._2).toSet != seeds.toSet)
   }
 
   test("int8 quantization round-trips with small cosine drift") {

@@ -78,6 +78,26 @@ class XlsxSpec extends SparkSpec {
     assert(readPart(f, "[Content_Types].xml").contains("/xl/tables/table1.xml"))
   }
 
+  test("asTable worksheet XML is namespace-valid (r:id prefix bound)") {
+    // a strict namespace-aware parser rejects an unbound r: prefix —
+    // exactly what Excel/openpyxl do; string-matching '<tablePart'
+    // alone would miss a missing xmlns:r declaration
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    val f = Files.createTempDirectory("ns").resolve("ns.xlsx").toFile
+    Xlsx.write(Seq(Xlsx.Sheet("s", df, asTable = true)), f)
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(true)
+    val doc = factory.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(
+        readPart(f, "xl/worksheets/sheet1.xml").getBytes("UTF-8")))
+    val parts = doc.getElementsByTagNameNS(
+      "http://schemas.openxmlformats.org/spreadsheetml/2006/main", "tablePart")
+    assert(parts.getLength === 1)
+    val rid = parts.item(0).getAttributes.getNamedItemNS(
+      "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
+    assert(rid != null && rid.getNodeValue === "rId1")
+  }
+
   test("sheet names are sanitized to Excel rules") {
     assert(Xlsx.sanitizeName("a[b]c:d*e?f/g\\h") === "a b c d e f g h")
     assert(Xlsx.sanitizeName("x" * 40).length === 31)
