@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private val batteries: Seq[Q] =
-    Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+    Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
+      CorpusQueries.queries
 
   /** Flagship query (SURVEY.md §3.3, Pipeline C analogue:
     * filter → unpivot → aggregate → broadcast natural inner join →

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines — the
+  * steps between raw scraped documents and a training shard:
+  * repetition-based quality signals, stratified deterministic
+  * sampling, fixed-size token chunking, and cross-modal alignment.
+  *
+  * All relational (`functions._` + one window/agg shuffle where a
+  * shuffle is inherent); no UDFs, no driver loops, so every operator
+  * scales linearly and is oracle-checkable in DuckDB.
+  */
+object Corpus {
+
+  /** Repetition signals per document (the Gopher/RefinedWeb-style
+    * cheap quality gates):
+    *  - `distinct_ratio`: |set(tokens)| / |tokens| — low = loopy text;
+    *  - `top_bigram_frac`: occurrences of the most frequent 2-gram /
+    *    total 2-grams — high = boilerplate or degenerate repetition.
+    *
+    * Shape: one narrow explode of 2-grams → groupBy(doc, gram) →
+    * groupBy(doc) — two hash aggregates on the doc key (the second
+    * reuses the partitioning); the distinct ratio is a per-row
+    * collection expression (no shuffle at all).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // materialize the token array ONCE per row before any lambda
+    // touches it — a split() inside a transform lambda re-tokenizes
+    // per element (the interpreted-HOF re-inlining trap)
+    val withToks = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
+    val bigrams = withToks.select(col(idCol),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+        .as("distinct_ratio"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array(lit("")))).as("bigram"))
+    bigrams
+      .groupBy(col(idCol), col("distinct_ratio"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("distinct_ratio"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+        .as("top_bigram_frac"))
+  }
+
+  /** Deterministic stratified sample: the k smallest-md5(id) rows per
+    * stratum — the distributed, RNG-free version of "sample k docs per
+    * language/source". One window shuffle on the stratum key; the
+    * rank is a running top-k, not a full sort of each stratum
+    * (WindowExec with rank + filter k prunes eagerly under AQE).
+    * Engine-portable: md5 order is the same everywhere.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitter every LLM data pipeline runs before tokenization.
+    * Emits (id, chunk_id, chunk_text, n_tokens); the last chunk keeps
+    * its ragged tail (standard behavior — no padding here).
+    *
+    * Shape: per-row sequence of chunk starts → posexplode → slice.
+    * Purely narrow (no shuffle): chunking 100 TB is a map-only job.
+    * `stride = chunkSize - overlap` rows per chunk start.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int = 0,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val withToks = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
+    // starts: 1, 1+stride, 1+2·stride, … while start <= |tokens|
+    // (1-based for slice); ceil division keeps the ragged tail
+    val nChunks = ceil((size(toks) - lit(overlap)).cast("double") / stride)
+      .cast("int")
+    val starts = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => i * stride + 1)
+    withToks
+      .select(col(idCol), col("_toks"),
+        posexplode(starts).as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_toks"), col("start"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("start") + 1, lit(chunkSize))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Cross-modal alignment: documents joined to their embedding row
+    * (id-aligned tables), the standard shape for "filter text by
+    * embedding-space property" or "aggregate text stats per embedding
+    * cluster". Broadcast when one side is dimension-sized; hash join
+    * on the shared id otherwise — either way one (or zero) shuffles.
+    */
+  def withEmbeddings(docs: DataFrame, embeddings: DataFrame,
+                     docId: String = "doc_id",
+                     vecId: String = "vec_id"): DataFrame =
+    docs.join(embeddings.withColumnRenamed(vecId, docId), docId)
+}

@@ -124,6 +124,23 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * `Dedup.exactGroups`: drop any event whose dedup key was already
+    * seen within the watermark horizon. State is one entry per
+    * distinct key INSIDE the horizon only (`
+    * dropDuplicatesWithinWatermark` evicts keys older than the
+    * watermark), so state is bounded by key arrival rate × horizon —
+    * the only formulation that survives an unbounded stream. With
+    * `keyCols` = a content fingerprint this is streaming content
+    * dedup; with the event id it is exactly-once re-delivery
+    * protection.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming DataFrame to completion against a named memory
     * sink (test/local harness; a real deployment writes Parquet/Kafka).
     */

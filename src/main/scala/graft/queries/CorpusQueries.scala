@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Corpus, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation battery (`ext.Corpus`) over the `documents` and
+  * `embeddings` tables: repetition quality gates, stratified
+  * sampling, token chunking, cross-modal joins. Oracles mirror the
+  * engine arithmetic exactly (same tokenization regex, same md5
+  * ordering, same ceil/stride chunk math).
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Seq[Q] = Seq(
+
+    // ——— repetition quality signals (Gopher-style gates) ———
+    Q("q62_repetition_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS distinct_ratio,
+        |    ts
+        |  FROM toks
+        |), bg AS (
+        |  SELECT doc_id, distinct_ratio,
+        |    unnest(CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(1, len(ts)), i -> concat(ts[i], ' ', ts[i+1]))
+        |      ELSE [''] END) AS bigram
+        |  FROM base
+        |), cnt AS (
+        |  SELECT doc_id, distinct_ratio, bigram, COUNT(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, distinct_ratio,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        |FROM cnt GROUP BY 1, 2
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.repetitionStats(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ——— deterministic stratified sample: 5 docs per language by
+    //     md5(id) order (RNG-free, partition-invariant) ———
+    Q("q63_stratified_sample",
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source FROM ranked WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.stratifiedSample(
+        docs(s, dir).select("doc_id", "lang", "source"), "lang", k = 5)
+        .orderBy("doc_id")
+    },
+
+    // ——— fixed-size token chunking with overlap (context windows):
+    //     chunkSize 32, overlap 8 → stride 24 ———
+    Q("q64_chunking",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), starts AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, GREATEST(
+        |      CAST(ceil(CAST(len(ts) - 8 AS DOUBLE) / 24) AS INT), 1))) AS chunk_id
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+        |  CAST(LEAST(len(ts) - (chunk_id * 24 + 1) + 1, 32) AS BIGINT) AS n_tokens
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Corpus.chunk(docs(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ——— cross-modal: text stats aggregated per embedding label
+    //     (id-aligned documents ⋈ embeddings) ———
+    Q("q65_crossmodal_stats",
+      """SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(AVG(CAST(len(string_split_regex(lower(d.text), '\s+')) AS DOUBLE)), 6)
+        |    AS avg_tokens,
+        |  ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 6) AS avg_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label
+        |ORDER BY e.label""".stripMargin) { (s, dir) =>
+      Corpus.withEmbeddings(docs(s, dir), emb(s, dir))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(TextStats.tokenCount(col("text")).cast("double")), 6)
+            .as("avg_tokens"),
+          round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+        .orderBy("label")
+    }
+  )
+}

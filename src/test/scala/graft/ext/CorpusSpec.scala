@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats flags loopy text and clears diverse text") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"),                  // one token repeated
+      (1L, "every word here is completely different tokens")  // all distinct
+    ).toDF("doc_id", "text")
+    val stats = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("distinct_ratio"), r.getAs[Double]("top_bigram_frac")))
+      .toMap
+    assert(stats(0L)._1 < 0.2)       // 1 distinct / 6 tokens
+    assert(stats(0L)._2 === 1.0)     // "spam spam" is every bigram
+    assert(stats(1L)._1 === 1.0)
+    assert(stats(1L)._2 < 0.2)       // 1 occurrence / 6 bigrams
+  }
+
+  test("chunk: stride coverage, overlap reconstruction, ragged tail") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(docs, chunkSize = 32, overlap = 8)
+      .orderBy("chunk_id").collect()
+    // ceil((100-8)/24) = 4 chunks
+    assert(chunks.length === 4)
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    // chunk i starts at token i*24+1; overlap = last 8 tokens repeat
+    assert(texts(0).startsWith("t1 ") && texts(1).startsWith("t25 "))
+    val t0 = texts(0).split(" ")
+    val t1 = texts(1).split(" ")
+    assert(t0.takeRight(8).toSeq === t1.take(8).toSeq) // overlap region
+    // ragged tail: last chunk has 100 - 73 + 1 = 28 tokens
+    assert(chunks.last.getAs[Long]("n_tokens") === 28L)
+    assert(texts.last.split(" ").length === 28)
+    // full coverage: concatenating chunks at stride boundaries
+    // reconstructs the document exactly
+    val reconstructed = (texts.head.split(" ") ++
+      texts.tail.flatMap(_.split(" ").drop(8))).toSeq
+    assert(reconstructed === text.split(" ").toSeq)
+  }
+
+  test("chunk: single short doc yields one chunk; bad params rejected") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val one = Corpus.chunk(docs, chunkSize = 32, overlap = 8).collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[String]("chunk_text") === "a b c")
+    assert(one.head.getAs[Long]("n_tokens") === 3L)
+    intercept[IllegalArgumentException] {
+      Corpus.chunk(docs, chunkSize = 8, overlap = 8)
+    }
+  }
+
+  test("stratifiedSample is partition-invariant (deterministic by md5)") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    def ids(parts: Int) = Corpus.stratifiedSample(
+      df.repartition(parts), "stratum", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = ids(1)
+    assert(a === ids(13))                       // layout cannot change the sample
+    assert(a.groupBy(_._1).forall(_._2.size == 7)) // exactly k per stratum
+  }
+
+  test("withEmbeddings aligns ids and keeps both sides' columns") {
+    val d = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val e = Seq((0L, Array(1.0f), 7), (1L, Array(2.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val j = Corpus.withEmbeddings(d, e).orderBy("doc_id").collect()
+    assert(j.length === 2)
+    assert(j(0).getAs[Int]("label") === 7)
+    assert(j(1).getAs[String]("text") === "beta")
+  }
+}

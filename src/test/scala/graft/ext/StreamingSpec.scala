@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: one survivor per duplicated key, none lost") {
+    // duplicate every event (same id, same ts) through a re-delivery:
+    // the deduped stream must emit each event_id exactly once
+    val dir = java.nio.file.Files.createTempDirectory("dupstream").toFile
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read
+      .schema(Streaming.rawSchema)
+      .parquet(eventsPath)
+    raw.union(raw).coalesce(1).write.mode("overwrite")
+      .parquet(dir.getPath)
+    val stream = Streaming.readEvents(spark, dir.getPath)
+    val q = Streaming.runToMemory(
+      Streaming.dedupStream(stream, Seq("event_id")), "dedup_out")
+    try {
+      val got = spark.sql("SELECT event_id FROM dedup_out")
+        .groupBy("event_id").count().collect()
+      val nEvents = raw.count()
+      assert(got.length.toLong === nEvents, "every event id survives once")
+      assert(got.forall(_.getLong(1) === 1L), "no id emitted twice")
+    } finally q.stop()
+  }
+
   test("batch sessionize: session boundaries respect the gap") {
     val sessions = Streaming.sessionize(Tables.load(spark, sf001, "events"), "5 minutes")
     val perUser = sessions.groupBy("user_id").agg(
