@@ -17,7 +17,9 @@ import graft.functions.{SimHash, VectorOps}
   *
   * Registered functions:
   *  - `graft_dot(array<float|double>, array<float|double>) → double`
+  *  - `graft_cosine(a, b) → double`
   *  - `graft_simhash64(array<string>) → bigint`
+  *  - `graft_bottom_k(col, k) → array<bigint>` (aggregate; k literal)
   */
 object GraftFunctions {
 
@@ -26,9 +28,24 @@ object GraftFunctions {
       require(exprs.length == 2, "graft_dot(a, b) takes two arrays")
       VectorOps.DotProduct(exprs(0), exprs(1))
     },
+    "graft_cosine" -> { exprs =>
+      require(exprs.length == 2, "graft_cosine(a, b) takes two arrays")
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      Divide(VectorOps.DotProduct(exprs(0), exprs(1)),
+        Multiply(Sqrt(VectorOps.DotProduct(exprs(0), exprs(0))),
+          Sqrt(VectorOps.DotProduct(exprs(1), exprs(1)))))
+    },
     "graft_simhash64" -> { exprs =>
       require(exprs.length == 1, "graft_simhash64(tokens) takes one array")
       SimHash.SimHash64(exprs.head)
+    },
+    "graft_bottom_k" -> { exprs =>
+      require(exprs.length == 2, "graft_bottom_k(col, k) takes a column and a literal k")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"graft_bottom_k: k must be an int literal, got $other")
+      }
+      graft.functions.BottomKSample.BottomK(exprs.head, k).toAggregateExpression()
     })
 
   def register(spark: SparkSession): Unit =
@@ -38,13 +55,18 @@ object GraftFunctions {
     }
 }
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.GraftExtensions` — functions
+  * AND the native as-of join strategy, so a cluster session gets the
+  * whole custom surface declaratively (no imperative register calls).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.AsOfStrategy)
+  }
 }

@@ -352,6 +352,74 @@ object Relational {
         .orderBy("user_id", "event_id")
     },
 
+    // ——— window: lead/lag/first (event-to-event deltas) ———
+    Q("q66_window_leadlag",
+      """SELECT user_id, event_id,
+        |  CAST(COALESCE(LAG(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS DOUBLE) AS prev_value,
+        |  CAST(COALESCE(LEAD(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS DOUBLE) AS next_value,
+        |  CAST(FIRST_VALUE(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          coalesce(lag(dec2(col("value")), 1).over(w), lit(0)).cast("double")
+            .as("prev_value"),
+          coalesce(lead(dec2(col("value")), 1).over(w), lit(0)).cast("double")
+            .as("next_value"),
+          first(dec2(col("value"))).over(wf).cast("double").as("first_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ——— window: time-RANGE frame (trailing 1-hour sum per user) —
+    //     ordered on epoch micros so peer groups agree across engines ———
+    Q("q67_range_window",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_sum
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(dec2(col("value"))).over(w).cast("double").as("hour_sum"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ——— datetime function battery (trunc/extract/add/diff) ———
+    Q("q68_datetime",
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(EXTRACT(hour FROM o_orderdate) AS BIGINT) AS hr,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          hour(col("o_orderdate")).cast("long").as("hr"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
     // ——— rollup (hierarchy totals the reference consumes pre-built) ———
     Q("q20_rollup",
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,

@@ -25,6 +25,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 2.0)
   }
 
+  test("graft_cosine and graft_bottom_k are callable from SQL") {
+    GraftFunctions.register(spark)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head()
+    assert(math.abs(c.getDouble(0) - 1.0) < 1e-12)
+    val ortho = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").head()
+    assert(math.abs(ortho.getDouble(0)) < 1e-12)
+    // aggregate: bottom-k sample over a grouped table, straight SQL
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "g").createOrReplaceTempView("t_bk")
+    val rows = spark.sql(
+      "SELECT g, graft_bottom_k(id, 2) AS s FROM t_bk GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows(0).getSeq[Long](1).size === 2)   // group a: 2 of 3 kept
+    assert(rows(1).getSeq[Long](1) === Seq(4L))  // group b: all 1 kept
+  }
+
   test("the declarative extensions class builds (deployment path)") {
     // can't attach extensions to the already-built shared session;
     // construct and apply against a fresh SparkSessionExtensions to
