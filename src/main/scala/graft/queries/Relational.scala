@@ -739,6 +739,40 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // ——— range (interval) join: every purchase matched to EVERY
+    //     signup window containing it. Spark would plan the raw
+    //     BETWEEN as a nested-loop join; engine.RangeJoin bins the
+    //     intervals into an equi-join (one hash shuffle + exact
+    //     verify). Oracle = the plain BETWEEN join. ———
+    Q("q69_range_join",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts,
+        |         value AS signup_value
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, p.user_id, p.value, s.signup_value,
+        |  strftime(s.start_ts, '%Y-%m-%d %H:%M:%S') AS window_start
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |             AND p.ts BETWEEN s.start_ts AND s.end_ts
+        |ORDER BY p.event_id, window_start, signup_value""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"),
+          col("value").as("signup_value"))
+      graft.engine.RangeJoin.binned(purchases, signups,
+        on = Seq("user_id"), ts = "ts", start = "start_ts", end = "end_ts",
+        binWidth = 3600L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("signup_value"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("window_start"))
+        .orderBy("event_id", "window_start", "signup_value")
+    },
+
     // ——— as-of join (engine operator Spark lacks; DuckDB's native
     //     ASOF JOIN is the oracle): each purchase matched to the
     //     user's most recent signup at-or-before it ———
