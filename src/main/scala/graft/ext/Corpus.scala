@@ -21,31 +21,40 @@ object Corpus {
     *  - `top_bigram_frac`: occurrences of the most frequent 2-gram /
     *    total 2-grams — high = boilerplate or degenerate repetition.
     *
-    * Shape: one narrow explode of 2-grams → groupBy(doc, gram) →
-    * groupBy(doc) — two hash aggregates on the doc key (the second
-    * reuses the partitioning); the distinct ratio is a per-row
-    * collection expression (no shuffle at all).
+    * Shape: ZERO shuffles — per-doc state never leaves its row. The
+    * top-bigram count is the longest equal-run in the per-row SORTED
+    * bigram array (sort_array + an aggregate fold, O(L log L) per
+    * row), which beat the relational explode → groupBy(doc, gram) →
+    * groupBy(doc) form (two hash-agg shuffles) 5× at sf0.1 — and at
+    * 100 TB turns a shuffle-bound stage into a map-only one. Token
+    * and bigram arrays are materialized in their own projections
+    * first (the interpreted-HOF re-evaluation trap — see
+    * Dedup.shingles).
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // materialize the token array ONCE per row before any lambda
-    // touches it — a split() inside a transform lambda re-tokenizes
-    // per element (the interpreted-HOF re-inlining trap)
     val withToks = docs.select(col(idCol),
       TextStats.tokens(col(textCol)).as("_toks"))
     val toks = col("_toks")
-    val bigrams = withToks.select(col(idCol),
+    val withBigrams = withToks.select(col(idCol), col("_toks"),
+      when(size(toks) >= 2,
+        sort_array(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+        .otherwise(array(lit(""))).as("_bg"))
+    // longest equal-run in the sorted array = the max bigram count
+    val maxRun = aggregate(col("_bg"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    withBigrams.select(col(idCol),
       round(size(array_distinct(toks)).cast("double") / size(toks), 6)
         .as("distinct_ratio"),
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array(lit("")))).as("bigram"))
-    bigrams
-      .groupBy(col(idCol), col("distinct_ratio"), col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol), col("distinct_ratio"))
-      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+      round(maxRun.cast("double") / size(col("_bg")), 6)
         .as("top_bigram_frac"))
   }
 

@@ -129,11 +129,30 @@ object Dedup {
   /** Candidate pairs from LSH buckets: docs sharing ANY (band, bucket).
     * The join is per-bucket — no all-pairs blowup; skewed buckets are
     * handled by AQE skew-join splitting at scale.
+    *
+    * `maxBucket` is the hot-bucket guard: a bucket holding B docs
+    * emits B²/2 pairs, so one boilerplate bucket with 10⁵ members
+    * yields 5·10⁹ pairs AQE can spread but not shrink. Buckets above
+    * the cap are dropped entirely — their members collide on a
+    * non-discriminative signature (identical boilerplate detected
+    * better by exact dedup), and a TRUE near-dup pair inside a
+    * dropped bucket still surfaces through any of the other bands
+    * (the OR construction). Same count-over-window shape as the
+    * `maxDf` shingle cap. `None` = uncapped.
     */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 32,
                         bands: Int = 8, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val b = lshBuckets(docs, n, k, bands, idCol, textCol)
+                        textCol: String = "text",
+                        maxBucket: Option[Long] = None): DataFrame = {
+    val b0 = lshBuckets(docs, n, k, bands, idCol, textCol)
+    val b = maxBucket match {
+      case Some(cap) =>
+        b0.withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+          .filter(col("_n") <= cap)
+          .select(col(idCol), col("band"), col("bucket"))
+      case None => b0
+    }
     val l = b.toDF("id_a", "band", "bucket")
     val r = b.toDF("id_b", "band", "bucket")
     l.join(r, Seq("band", "bucket"))

@@ -349,6 +349,45 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ——— MinHash candidates with the hot-bucket skew guard: buckets
+    //     holding > 10 docs are dropped (non-discriminative
+    //     signatures; the B² pair blowup is the one cost AQE cannot
+    //     shrink) ———
+    Q("q70_dedup_lsh_bucket_capped",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), bcnt AS (
+        |  SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING COUNT(*) <= 10
+        |), kept AS (
+        |  SELECT b.doc_id, b.band, b.bucket FROM buckets b JOIN bcnt USING (band, bucket)
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM kept a
+        |JOIN kept b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), n = 3, k = 32, bands = 8,
+        maxBucket = Some(10L))
+        .orderBy("id_a", "id_b")
+    },
+
     // ——— SimHash collision groups, portable md5 bit-vote family —
     //     full oracle (the same second-hash-family trick as q36); the
     //     native xxhash64 expression stays the fast path, with

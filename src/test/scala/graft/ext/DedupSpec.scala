@@ -95,6 +95,20 @@ class DedupSpec extends SparkSpec {
     assert(tinyCap.isEmpty)
   }
 
+  test("maxBucket cap: huge cap is identity, cap of 1 kills every pair") {
+    val uncapped = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bigCap = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8,
+      maxBucket = Some(1000L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bigCap === uncapped)
+    val tiny = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8,
+      maxBucket = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // singleton buckets can never produce a pair
+    assert(tiny.isEmpty)
+  }
+
   test("minhashVerifiedPairs: exact precision on LSH candidates") {
     val verified = Dedup.minhashVerifiedPairs(docs, n = 3, k = 32, bands = 8,
       minJaccard = 0.5)
