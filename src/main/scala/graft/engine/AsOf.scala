@@ -81,7 +81,7 @@ object AsOf {
       case None => matched
     }
     val out = withTol
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(c => col(s"_m_$c").as(c)) :+
         col(s"_m_$rightTs").as(s"${rightTs}_matched")): _*)
     out

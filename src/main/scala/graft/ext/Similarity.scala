@@ -73,7 +73,7 @@ object Similarity {
     */
   def rhpSignature(vec: Column, nPlanes: Int, dim: Int = 64): Column =
     array((0 until nPlanes).map { p =>
-      val hp = array(hyperplane(p, dim).map(lit): _*)
+      val hp = array(hyperplane(p, dim).toIndexedSeq.map(lit): _*)
       when(dot(vec, hp) >= 0, lit(1)).otherwise(lit(0))
     }: _*)
 
@@ -90,7 +90,7 @@ object Similarity {
   private def rhpBandCols(vec: Column, bands: Int, r: Int, dim: Int): Seq[Column] =
     (0 until bands).map { b =>
       concat((b * r until (b + 1) * r).map { p =>
-        val hp = array(hyperplane(p, dim).map(lit): _*)
+        val hp = array(hyperplane(p, dim).toIndexedSeq.map(lit): _*)
         when(dot(vec, hp) >= 0, lit("1")).otherwise(lit("0"))
       }: _*).as(s"_band$b")
     }

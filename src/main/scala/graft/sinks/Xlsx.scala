@@ -181,7 +181,7 @@ object Xlsx {
 
   def colLetter(c: Int): String = {
     var i = c; var s = ""
-    while (i >= 0) { s = ('A' + i % 26).toChar + s; i = i / 26 - 1 }
+    while (i >= 0) { s = s"${('A' + i % 26).toChar}$s"; i = i / 26 - 1 }
     s
   }
 

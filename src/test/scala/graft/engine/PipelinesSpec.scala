@@ -69,6 +69,17 @@ class PipelinesSpec extends SparkSpec {
     val canonical = Pipelines.horizonTable(in.employment, fyod, useCagrs = true)(
       _.filter(col("geographic_area") === "British Columbia"))
     assert(strict.count() === canonical.count())
+    // golden-pin the strict-mode workbook bytes too (the canonical
+    // mode is pinned by GoldenSpec): both header contracts are stable
+    val out = java.nio.file.Files.createTempDirectory("strict_golden")
+      .resolve("strict.xlsx").toFile
+    graft.sinks.Xlsx.write(
+      Seq(graft.sinks.Xlsx.Sheet("data", strict, pctLast3 = true)), out)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Files.readAllBytes(out.toPath))
+      .map("%02x".format(_)).mkString
+    assert(sha === "a996316ba0dc23a17ba1d4b14aeef0cf3aeed6d396a91c48014c9eb0bd5af1cb",
+      s"strict-parity artifact bytes changed: $sha")
   }
 
   test("artifact 2: #T only, North/South East dropped, region sheets drop noc/desc/var") {
