@@ -107,6 +107,29 @@ object Corpus {
           .cast("long").as("n_tokens"))
   }
 
+  /** Weighted domain mixing — the "sample sources at different rates"
+    * step of training-data assembly (e.g. books 2×-epoch'd, web 0.3×):
+    * keep a row iff its deterministic hash coin lands under the
+    * stratum's rate. The coin is the first 15 md5 hex chars of the id
+    * (a uniform draw in [0, 2^60)), so the sample is RNG-free,
+    * partition-invariant, engine-portable — and REPRODUCIBLE: the
+    * same corpus + rates give the same mixture on any cluster.
+    * Unlisted strata default to rate 0 (dropped). Purely narrow —
+    * a map-side filter at any scale.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String,
+                     rates: Map[String, Double],
+                     idCol: String = "doc_id"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates")
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    df.filter(coin < rate)
+  }
+
   /** Cross-modal alignment: documents joined to their embedding row
     * (id-aligned tables), the standard shape for "filter text by
     * embedding-space property" or "aggregate text stats per embedding

@@ -81,29 +81,28 @@ object Similarity {
   def rhpBucket(vec: Column, nPlanes: Int): Column =
     array_join(transform(rhpSignature(vec, nPlanes), b => b.cast("string")), "")
 
-  /** One bucket string per band: band b covers planes [b·r, (b+1)·r).
-    * Each plane's dot product appears in exactly ONE band column, so
-    * the projection computes bands·r dots once per row — no shared
-    * subtree for CollapseProject to re-inline (the r1 lesson: HOF
-    * trees re-evaluated per consumer).
-    */
-  private def rhpBandCols(vec: Column, bands: Int, r: Int, dim: Int): Seq[Column] =
-    (0 until bands).map { b =>
-      concat((b * r until (b + 1) * r).map { p =>
-        val hp = array(hyperplane(p, dim).toIndexedSeq.map(lit): _*)
-        when(dot(vec, hp) >= 0, lit("1")).otherwise(lit("0"))
-      }: _*).as(s"_band$b")
-    }
-
-  /** (id, payload..., band, bucket) long form: one row per band via
-    * posexplode of the precomputed band columns.
+  /** (id, payload..., band, bucket) long form: ONE signature string
+    * of bands·r bit chars per row, then each band's bucket is a
+    * substring slice — band b covers planes [b·r, (b+1)·r).
+    *
+    * Why one string and not bands·r bit columns: the all-dots
+    * projection generates a codegen method past the JVM's huge-method
+    * JIT threshold, so the "compiled" form executes as interpreted
+    * bytecode — measured 30-40× slower than this form, where the HOF
+    * wrapper falls back to the compiled native `DotProduct.eval` loop
+    * once per row and the band slices are trivial substrings
+    * (32 s → 0.9 s for a 100k-row × 64-plane banded explode).
     */
   private def explodeBands(df: DataFrame, keep: Seq[String], bands: Int,
-                           r: Int, dim: Int, vecCol: String): DataFrame =
-    df.select(keep.map(col) ++ rhpBandCols(col(vecCol), bands, r, dim): _*)
+                           r: Int, dim: Int, vecCol: String): DataFrame = {
+    val sig = array_join(transform(rhpSignature(col(vecCol), bands * r, dim),
+      b => b.cast("string")), "")
+    df.select(keep.map(col) :+ sig.as("_sig"): _*)
       .select(keep.map(col) :+
-        posexplode(array((0 until bands).map(b => col(s"_band$b")): _*))
+        posexplode(array((0 until bands).map(b =>
+          substring(col("_sig"), b * r + 1, r)): _*))
           .as(Seq("band", "bucket")): _*)
+  }
 
   /** ANN top-k, multi-band OR: a row is a candidate when it shares
     * ANY band's bucket with the query (the same banding structure as
@@ -167,7 +166,13 @@ object Similarity {
       struct((lit(-2.0) * dot(col(vecCol), cArr) + lit(cNorm)).as("score"),
         lit(cid).as("cell"))
     }
-    embeddings.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+    // the identity-transform wrapper is deliberate: k dots over
+    // literal centroid arrays codegen into one method past the JVM's
+    // huge-method JIT threshold (interpreted bytecode); the HOF forces
+    // fallback to the compiled native DotProduct.eval loop — measured
+    // 5.6× at 100k×32 cells (see explodeBands for the same mechanism)
+    embeddings.withColumn("cell",
+      array_min(transform(array(scored: _*), s => s)).getField("cell"))
   }
 
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",

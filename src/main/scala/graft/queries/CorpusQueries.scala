@@ -82,6 +82,24 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ——— weighted domain mixing: per-source sampling rates applied
+    //     via a deterministic md5 hash coin (reproducible mixture) ———
+    Q("q71_weighted_mix",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS coin,
+        |    CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.1 ELSE 0.0 END AS rate
+        |  FROM documents
+        |)
+        |WHERE coin < rate
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.weightedSample(docs(s, dir).select("doc_id", "source"), "source",
+        Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1))
+        .orderBy("doc_id")
+    },
+
     // ——— cross-modal: text stats aggregated per embedding label
     //     (id-aligned documents ⋈ embeddings) ———
     Q("q65_crossmodal_stats",

@@ -65,6 +65,25 @@ class CorpusSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 7)) // exactly k per stratum
   }
 
+  test("weightedSample: rate laws and partition invariance") {
+    val df = (0L until 1000L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+    // rate 1.0 keeps everything in the stratum; rate 0 / unlisted drops all
+    val all = Corpus.weightedSample(df, "source", Map("s0" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size === 500 && all.forall(_ % 2 == 0))
+    assert(Corpus.weightedSample(df, "source", Map("s0" -> 0.0)).count() === 0L)
+    // ~half survive at 0.5 (hash coin is uniform-ish)
+    val half = Corpus.weightedSample(df, "source", Map("s0" -> 0.5, "s1" -> 0.5))
+      .count()
+    assert(half > 350 && half < 650, s"0.5-rate kept $half of 1000")
+    // deterministic: layout cannot change the sample
+    val a = Corpus.weightedSample(df.repartition(17), "source",
+      Map("s0" -> 0.3, "s1" -> 0.7)).collect().map(_.getLong(0)).toSet
+    val b = Corpus.weightedSample(df.repartition(1), "source",
+      Map("s0" -> 0.3, "s1" -> 0.7)).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("withEmbeddings aligns ids and keeps both sides' columns") {
     val d = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
     val e = Seq((0L, Array(1.0f), 7), (1L, Array(2.0f), 8))
