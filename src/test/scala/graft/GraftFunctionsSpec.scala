@@ -52,4 +52,31 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("withExtensions session resolves injected functions end-to-end") {
+    // a genuinely NEW session on the same context, built through the
+    // extensions hook — the declarative cluster path, no imperative
+    // register call. getOrCreate returns the active session (ignoring
+    // extensions) unless the active/default slots are cleared first;
+    // restore them after, and never close s2 (it shares the context).
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master(spark.sparkContext.master)
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne spark, "getOrCreate reused the old session — test is void")
+      val r = s2.sql(
+        "SELECT graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d").head()
+      assert(r.getDouble(0) === 23.0)
+      val c = s2.sql(
+        "SELECT graft_cosine(array(1.0D, 1.0D), array(1.0D, 1.0D)) AS c").head()
+      assert(math.abs(c.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
