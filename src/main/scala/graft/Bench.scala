@@ -15,6 +15,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // neutral warmup: JIT + codegen + shuffle machinery, no query data
     spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 7)").collect()
+    // parquet reader/writer machinery too (a 3-row scratch file, NOT
+    // query data — the first measured query should not absorb library
+    // class-loading and footer-reader init)
+    val warm = java.nio.file.Files.createTempDirectory("bench_warm").toString
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
+    spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every row is fully produced (projections, sorts,
