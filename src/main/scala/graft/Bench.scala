@@ -1,6 +1,43 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Run one query under the noop sink; wall seconds + the error when
+    * it throws. Errors MUST surface: a swallowed exception reports a
+    * near-zero time, so a broken query would *improve* the bench
+    * (round-2 verdict, What's wrong #1).
+    */
+  def measure(fn: => DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn.write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}")
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The one-line bench JSON. `errors` is present (possibly empty) so
+    * the driver can cross-check a suspiciously fast query against
+    * CORRECTNESS rather than trusting the time.
+    */
+  def renderJson(results: Seq[(String, Double, Option[String])], sf: String): String = {
+    val qs = results.map { case (k, v, _) => s"\"${jsonEscape(k)}\":$v" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"${jsonEscape(k)}\":\"${jsonEscape(e)}\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jsonEscape(sf)}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,18 +59,11 @@ object Bench {
     spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
     spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: every row is fully produced (projections, sorts,
-      // limits all execute) but nothing is written — unlike count(),
-      // which lets Catalyst prune the final project and drop sorts
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (secs, err) = measure(fn(spark, sfDir))
+      err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      (name, secs, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(results, sfDir))
     spark.stop()
   }
 }

@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
+    // correctness gate only: query fns materialize the tiny shared
+    // oracle artifacts (hyperplanes/centroids/scalar-reference
+    // fixtures) — bench runs leave this off so timings stay pure
+    System.setProperty("graft.verify.artifacts", "true")
     // optional extra args: run only the named queries (local iteration;
     // the driver always passes exactly two args → full run)
     val only = args.drop(2).toSet

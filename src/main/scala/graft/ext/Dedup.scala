@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for `ngramJaccardPairs`: a
+    * shingle shared by more than this many docs is boilerplate, and
+    * its posting list would contribute up to cap² pairs to the
+    * inverted-index join (10⁶ at this value — bounded work per
+    * shingle regardless of corpus size).
+    */
+  val DefaultMaxDf: Long = 1000L
+
   // ——— exact dedup ———
 
   /** Keep one row per distinct fingerprint (the min-id row), count
@@ -176,12 +184,15 @@ object Dedup {
     * over the remaining (discriminative) shingle universe on BOTH the
     * intersection and the set sizes, so the score stays a true
     * Jaccard — of the filtered sets — and stays oracle-expressible.
-    * `None` = uncapped (exact over all shingles; only safe for
-    * moderate corpora — the 100 TB path is `minhashVerifiedPairs`).
+    * The DEFAULT is capped (`Some(DefaultMaxDf)`): the quadratic
+    * uncapped path must be an explicit `maxDf = None` opt-in, so a
+    * user copying the one-liner cannot inherit the 10¹²-pair blowup
+    * by accident (exact-over-all-shingles is only safe for moderate
+    * corpora — the 100 TB path is `minhashVerifiedPairs`).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxDf: Option[Long] = None): DataFrame = {
+                        maxDf: Option[Long] = Some(Dedup.DefaultMaxDf)): DataFrame = {
     // join on 64-bit shingle hashes, not variable-length strings: the
     // counts are identical absent a 64-bit collision, and fixed-width
     // keys roughly halve the two shuffles' cost

@@ -67,6 +67,13 @@ object Similarity {
     }
   }
 
+  /** The hyperplane family as data rows (p, comps) — materialized as
+    * a parquet artifact so the oracle can evaluate the SAME
+    * signature arithmetic (sign of ⟨v, h_p⟩) in plain SQL.
+    */
+  def hyperplaneRows(nPlanes: Int, dim: Int = 64): Seq[(Int, Seq[Double])] =
+    (0 until nPlanes).map(p => p -> hyperplane(p, dim).toSeq)
+
   /** nPlanes-bit random-hyperplane signature of a vector: bit p = sign
     * of ⟨v, h_p⟩. Narrow, per-row, no shuffle; dim read once from the
     * data.

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared oracle artifacts: tiny parquet tables the Spark query
+  * materializes so the DuckDB oracle can read the SAME values —
+  * closing the four queries whose arithmetic has no SQL twin
+  * (round-2 verdict's top item):
+  *
+  *  - q42: the splitmix64 hyperplane family → signature/bucket logic
+  *    becomes plain sign-of-dot-product SQL.
+  *  - q48: the trained k-means centroids → assignment/probing becomes
+  *    plain argmin SQL (the float-mean training pass, which IS
+  *    engine-private, is shared as data instead of re-derived).
+  *  - q61: native-xxhash64 SimHash signatures recomputed on the
+  *    driver with the INDEPENDENT scalar pipeline below (own xxh64,
+  *    own tokenizer, own vote loop) — the oracle groups over the
+  *    reference signatures, so the Catalyst expression is verified
+  *    end-to-end, not assumed.
+  *  - q44: the stub codec's feature norms recomputed with a scalar
+  *    loop — the oracle re-derives the media/frame topology from
+  *    `documents` in SQL and takes only the codec seam's values from
+  *    the fixture, so the distributed plumbing (synthesis, frame
+  *    explode, batched mapPartitions, norm arithmetic) is what the
+  *    hash compare actually checks.
+  *
+  * Writes are gated on `-Dgraft.verify.artifacts=true` (set by
+  * Verify.main): the bench must not absorb fixture IO, and only the
+  * correctness gate consumes these files. Paths are absolute because
+  * the oracle SQL is a static string executed by the driver's DuckDB
+  * process, whatever its working directory.
+  */
+object Fixtures {
+
+  val dir = "/root/repo/target/verify_artifacts"
+
+  def enabled: Boolean = sys.props.get("graft.verify.artifacts").contains("true")
+
+  /** Glob the oracle SQL uses to read artifact `name`. */
+  def sqlPath(name: String): String = s"$dir/$name/*.parquet"
+
+  /** Write artifact `name` (tiny: ≤ a few thousand rows) when the
+    * gate is on; always returns the input so call sites stay
+    * expression-shaped.
+    */
+  def write(name: String, df: DataFrame): DataFrame = {
+    if (enabled)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    df
+  }
+
+  // ——— q61: scalar SimHash reference ———
+
+  /** Scalar twin of `TextStats.tokens` (split(lower(text), "\s+")).
+    * Java's default `split` drops trailing empties; Spark's keeps
+    * them (limit -1), so the limit is explicit.
+    */
+  def tokensScalar(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
+  /** Scalar twin of the native `SimHash64` expression: xxhash64
+    * (seed 42, via the independent Xxh64Ref) of each token votes ±1
+    * per bit; sign vector → long. Mirrors the expression's contract
+    * exactly: strictly-positive vote sets the bit.
+    */
+  def simhashScalar(text: String): Long = {
+    val votes = new Array[Int](64)
+    tokensScalar(text).foreach { t =>
+      val h = graft.functions.Xxh64Ref.hashUtf8(t, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** (doc_id, simhash) for every document, computed entirely on the
+    * driver with the scalar reference pipeline. Fixture-sized by
+    * construction (one row per doc at oracle scale).
+    */
+  def simhashFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect().map { r =>
+      (r.getLong(0), simhashScalar(r.getString(1)))
+    }
+    rows.toSeq.toDF("doc_id", "simhash")
+  }
+
+  // ——— q44: scalar multimodal-codec reference ———
+
+  /** (media_id, frame, feat_norm) recomputed scalar-side: same media
+    * topology as `Multimodal.syntheticMedia`/`sampleFrames` (the SQL
+    * oracle re-derives THAT part independently from `documents`),
+    * with the codec seam (`fakeDecode`) and the norm evaluated in a
+    * plain loop instead of the distributed batched pipeline.
+    * `feat_norm` rounds exactly as Spark's `round` (HALF_UP on
+    * BigDecimal.valueOf).
+    */
+  def multimodalFixture(docs: DataFrame, everyNth: Int = 2, dim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = if (id % 3 == 2) (id % 10 + 2).toInt else 1
+      (0 until nFrames by everyNth).map { frame =>
+        val feat = graft.ext.Multimodal.fakeDecode(bytes, frame, dim)
+        var s = 0.0
+        feat.foreach(x => s += x.toDouble * x.toDouble)
+        val norm = java.math.BigDecimal.valueOf(math.sqrt(s))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, frame, norm)
+      }
+    }
+    rows.toSeq.toDF("media_id", "frame", "feat_norm")
+  }
+
+  // ——— q42 / q48: engine-parameter tables ———
+
+  /** SparkSession-independent writer for a centroid/hyperplane-style
+    * (id, components) table.
+    */
+  def vectorTable(spark: SparkSession, idName: String, compName: String,
+                  rows: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF(idName, compName)
+  }
+
+  def floatVectorTable(spark: SparkSession, idName: String, compName: String,
+                       rows: Seq[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF(idName, compName)
+  }
+}

@@ -52,19 +52,80 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ——— LSH-bucketed ANN, multi-band OR (hash-derived hyperplanes →
-    //     rows-only; recall vs brute force is pinned in unit tests) ———
-    Q.rowsOnly("q42_ann_lsh") { (s, dir) =>
+    // ——— LSH-bucketed ANN, multi-band OR. The splitmix64 hyperplane
+    //     family is materialized as a parquet artifact both engines
+    //     read (Fixtures), so the ENTIRE operator — signatures, band
+    //     buckets, candidate OR, exact rescore, top-k — is replayed
+    //     in plain SQL and hash-compared (was rows-only in r2). ———
+    Q("q42_ann_lsh",
+      s"""WITH hp AS (SELECT p, comps FROM read_parquet('${Fixtures.sqlPath("q42_hyperplanes")}')),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |esig AS (
+         |  SELECT e.vec_id,
+         |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * hp.comps[i])) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+         |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id
+         |), qsig AS (
+         |  SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(q.qv) + 1),
+         |        i -> CAST(q.qv[i] AS DOUBLE) * hp.comps[i])) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+         |  FROM qv q CROSS JOIN hp
+         |), cand AS (
+         |  SELECT DISTINCT es.vec_id
+         |  FROM esig es CROSS JOIN qsig qs CROSS JOIN range(0, 4) bt(b)
+         |  WHERE substring(es.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+         |      = substring(qs.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+         |)
+         |SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      Fixtures.write("q42_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
       Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, bands = 4, r = 8)
     },
 
     // ——— IVF ANN: k-means-trained coarse quantizer (Lloyd's as
-    //     distributed aggs), probe the nearest cells only (cell
-    //     assignment is float-mean dependent → rows-only; recall vs
-    //     brute force pinned in SimilaritySpec) ———
-    Q.rowsOnly("q48_ivf_ann") { (s, dir) =>
+    //     distributed aggs), probe the nearest cells only. The
+    //     float-mean TRAINING pass is engine-private, so the trained
+    //     centroids are shared as data (parquet artifact) and the
+    //     oracle replays assignment (argmin of −2⟨v,c⟩+‖c‖²), probe
+    //     selection (nearest 3 cells to the query) and the rescored
+    //     top-k in plain SQL (was rows-only in r2). ———
+    Q("q48_ivf_ann",
+      s"""WITH cents AS (SELECT cell, comps FROM read_parquet('${Fixtures.sqlPath("q48_centroids")}')),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    -2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.comps[i] AS DOUBLE)))
+         |      + list_sum(list_transform(c.comps,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), probe AS (
+         |  SELECT c.cell FROM cents c CROSS JOIN qv q
+         |  ORDER BY list_sum(list_transform(range(1, len(c.comps) + 1),
+         |    i -> (CAST(c.comps[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |       * (CAST(c.comps[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), c.cell
+         |  LIMIT 3
+         |)
+         |SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM embeddings e
+         |JOIN assigned a USING (vec_id)
+         |JOIN probe p ON a.cell = p.cell
+         |CROSS JOIN qv q
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+      Fixtures.write("q48_centroids",
+        Fixtures.floatVectorTable(s, "cell", "comps", cents))
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 

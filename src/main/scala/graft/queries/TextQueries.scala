@@ -111,7 +111,11 @@ object TextQueries {
         |JOIN cnt cb ON id_b = cb.doc_id
         |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5)
+      // the labeled UNCAPPED correctness baseline: `maxDf = None` is
+      // an explicit opt-in (the API default caps at DefaultMaxDf);
+      // scale twins are q59/q60
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.5,
+        maxDf = None)
         .orderBy("id_a", "id_b")
     },
 
@@ -417,10 +421,21 @@ object TextQueries {
       Dedup.simhashPortableGroups(docs(s, dir)).orderBy("keeper")
     },
 
-    // ——— native single-pass xxhash64 SimHash (no DuckDB twin →
-    //     rows-only; Hamming properties + family agreement with the
-    //     portable variant are pinned in DedupSpec) ———
-    Q.rowsOnly("q61_simhash_native") { (s, dir) =>
+    // ——— native single-pass xxhash64 SimHash. DuckDB has no xxhash64,
+    //     so the oracle reads REFERENCE signatures recomputed on the
+    //     driver by an independent scalar pipeline (own xxh64
+    //     implementation, own tokenizer, own vote loop —
+    //     Fixtures.simhashScalar) and groups over them in SQL: the
+    //     Catalyst expression, its tokenization plumbing and the
+    //     grouping are all hash-checked end-to-end (was rows-only in
+    //     r2). ———
+    Q("q61_simhash_native",
+      s"""SELECT simhash, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM read_parquet('${Fixtures.sqlPath("q61_simhash_ref")}')
+         |GROUP BY simhash
+         |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      Fixtures.write("q61_simhash_ref", Fixtures.simhashFixture(docs(s, dir)))
       Dedup.simhashGroups(docs(s, dir)).orderBy("keeper")
     },
 
@@ -543,9 +558,30 @@ object TextQueries {
     },
 
     // ——— multimodal plumbing: binary payloads → frame sampling →
-    //     batched feature extraction (decode step is a deterministic
-    //     stub — see ext.Multimodal — so rows-only) ———
-    Q.rowsOnly("q44_multimodal_features") { (s, dir) =>
+    //     batched feature extraction. The oracle re-derives the media
+    //     topology (kind, frame sampling) from `documents` in SQL and
+    //     joins the codec seam's values from a fixture recomputed by
+    //     a scalar loop (Fixtures.multimodalFixture) — so the
+    //     distributed synthesis/explode/mapPartitions/norm plumbing
+    //     is hash-checked against an independent scalar reference
+    //     (was rows-only in r2; the codec itself is the documented
+    //     deterministic stub either way). ———
+    Q("q44_multimodal_features",
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 10 + 2 AS INT)
+         |         ELSE 1 END AS n_frames
+         |  FROM documents
+         |), f AS (
+         |  SELECT media_id, kind, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame
+         |  FROM m
+         |)
+         |SELECT f.media_id, f.kind, f.frame, x.feat_norm
+         |FROM f JOIN read_parquet('${Fixtures.sqlPath("q44_codec_ref")}') x
+         |  ON f.media_id = x.media_id AND f.frame = x.frame
+         |ORDER BY f.media_id, f.frame""".stripMargin) { (s, dir) =>
+      Fixtures.write("q44_codec_ref", Fixtures.multimodalFixture(docs(s, dir)))
       graft.ext.Multimodal.featurePipeline(docs(s, dir))
         .select("media_id", "kind", "frame", "feat_norm")
         .orderBy("media_id", "frame")

@@ -82,7 +82,8 @@ class DedupSpec extends SparkSpec {
   test("maxDf cap drops only high-frequency shingles; capped pairs ⊆ uncapped") {
     // every doc shares the shingle-rich base → a tiny cap kills the
     // common shingles, a huge cap is a no-op
-    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+      maxDf = None)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val bigCap = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
       maxDf = Some(1000L))
@@ -93,6 +94,16 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // df ≤ 1 shingles are unshared by definition → no intersections
     assert(tinyCap.isEmpty)
+  }
+
+  test("ngramJaccardPairs is capped BY DEFAULT (quadratic path is opt-in)") {
+    // pin the signature itself: the compiler-generated default for
+    // the maxDf parameter must be Some(DefaultMaxDf), so the
+    // dangerous uncapped shape requires writing `maxDf = None`
+    val default = Dedup.getClass.getMethods
+      .find(_.getName == "ngramJaccardPairs$default$6").get // param 6 = maxDf
+      .invoke(Dedup)
+    assert(default === Some(Dedup.DefaultMaxDf))
   }
 
   test("maxBucket cap: huge cap is identity, cap of 1 kills every pair") {
