@@ -31,6 +31,16 @@ object Dedup {
     */
   val DefaultMaxDf: Long = 1000L
 
+  /** Default combined-membership cap for `dedupAgainstIndex` buckets:
+    * a (band, bucket) whose shard+index membership exceeds this is
+    * boilerplate (its members are better caught by exact dedup), and
+    * uncapped it would emit up to n_new·n_idx candidates. Far above
+    * any honest bucket at test scale, so the oracle — which does not
+    * model the cap — sees the identity; the binding behavior is
+    * law-tested in DedupSpec.
+    */
+  val DefaultMaxBucket: Long = 10000L
+
   // ——— exact dedup ———
 
   /** Keep one row per distinct fingerprint (the min-id row), count
@@ -262,6 +272,115 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ——— incremental dedup against a persisted index ———
+
+  /** The persisted LSH index for incremental (new-shard-vs-corpus)
+    * dedup: the banded bucket table plus the exact-verification
+    * sidecar (per-doc shingle hashes). Both are linear in corpus
+    * size. A continuously-ingesting pipeline builds this ONCE per
+    * corpus epoch and dedups each arriving shard against it — the
+    * full-corpus recompute (`minhashVerifiedPairs` over old ∪ new)
+    * re-signs 100 TB to admit a 100 GB shard; this shape touches
+    * only the shard plus the candidate-bucket slices of the index.
+    */
+  final case class LshIndex(buckets: DataFrame, shingles: DataFrame)
+
+  /** Build the index tables for `docs` (the corpus side). Family
+    * parameters (n, k, bands) are part of the index's identity —
+    * `dedupAgainstIndex` must be called with the same values.
+    */
+  def buildLshIndex(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): LshIndex = {
+    val b = lshBuckets(docs, n, k, bands, idCol, textCol)
+    val sh = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    LshIndex(b, sh)
+  }
+
+  /** Persist / reload the index. Buckets are bucketed-by-write on
+    * (band, bucket) partitioning at real scale via the caller's
+    * `partitionBy`; here the layout is plain parquet — the read side
+    * shuffles on the join key either way, once.
+    */
+  def writeLshIndex(index: LshIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex =
+    LshIndex(spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/shingles"))
+
+  /** Near-dup pairs of a NEW shard against the persisted index:
+    * shard signatures joined to the index's buckets (candidates =
+    * shared (band, bucket)), then exact Jaccard verified on the
+    * candidates only, using the index's shingle sidecar — no re-read
+    * of the old corpus text. Returns (id_new, id_idx, jaccard ≥
+    * minJaccard).
+    *
+    * Scale shape: the shard side is small by definition; its bucket
+    * table broadcasts when it fits, otherwise the join shuffles on
+    * (band, bucket) — the index side's natural layout. The verify
+    * joins are bounded by candidate shingles, exactly as in
+    * `minhashVerifiedPairs`. `maxBucket` (default `DefaultMaxBucket`)
+    * drops degenerate boilerplate buckets by their COMBINED
+    * membership; at 100 TB one such bucket would otherwise emit
+    * |shard ∩ bucket| × |index ∩ bucket| candidates.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, index: LshIndex,
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        minJaccard: Double = 0.5,
+                        maxBucket: Option[Long] = Some(Dedup.DefaultMaxBucket),
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val nb0 = lshBuckets(newDocs, n, k, bands, idCol, textCol)
+      .toDF("id_new", "band", "bucket")
+    val ib0 = index.buckets.toDF("id_idx", "band", "bucket")
+    // per-side membership via count-over-window BEFORE the join: each
+    // window partitions on exactly the join key, so its exchange is
+    // the join's exchange (q70's cap shape) — and the cap filters
+    // hot buckets before they can emit n_new × n_idx rows
+    val (nb, ib) = maxBucket match {
+      case Some(_) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        (nb0.withColumn("_nn", count(lit(1)).over(w)),
+          ib0.withColumn("_ni", count(lit(1)).over(w)))
+      case None => (nb0, ib0)
+    }
+    val joined = nb.join(ib, Seq("band", "bucket"))
+    val cand0 = maxBucket match {
+      case Some(cap) => joined.filter(col("_nn") + col("_ni") <= cap)
+      case None => joined
+    }
+    val cand = cand0.select("id_new", "id_idx").distinct()
+    val newSh = shingles(newDocs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val nCounts = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
+      .toDF("id_new", "n_new")
+    val iCounts = index.shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_idx"))
+      .toDF("id_idx", "n_idx")
+    val inter = cand
+      .join(newSh.toDF("id_new", "shingle"), "id_new")
+      .join(index.shingles.toDF("id_idx", "shingle"), Seq("id_idx", "shingle"))
+      .groupBy("id_new", "id_idx").agg(count(lit(1)).as("inter"))
+    inter
+      .join(nCounts, "id_new")
+      .join(iCounts, "id_idx")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_new") + col("n_idx") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_new", "id_idx", "jaccard")
+  }
+
+  /** Admit only the new-shard docs that do NOT near-dup anything in
+    * the index (keep-the-corpus policy): one anti-join on the shard.
+    */
+  def applyIncrementalDedup(newDocs: DataFrame, pairs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame =
+    newDocs.join(pairs.select(col("id_new").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Apply near-dedup: drop every doc that appears as the LATER
     * member (id_b) of a candidate pair — the standard greedy

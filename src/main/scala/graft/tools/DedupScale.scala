@@ -59,10 +59,25 @@ object DedupScale {
     val nCapped = time("jaccardCapped")(
       Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
         maxDf = Some(100L)).count())
+    // incremental topology: every planted near-dup (doc_id % 20 == 1)
+    // arrives as the NEW shard; the index is built once from the rest
+    // and PERSISTED — the shard dedups against the parquet index
+    // without touching corpus text again
+    val shard = docs.filter(pmod(col("doc_id"), lit(20)) === 1)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    time("buildLshIndex+persist") {
+      Dedup.writeLshIndex(Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8), idxDir)
+    }
+    val persisted = Dedup.readLshIndex(spark, idxDir)
+    val incPairs = Dedup.dedupAgainstIndex(shard, persisted, n = 3, k = 32,
+      bands = 8, minJaccard = 0.5).cache()
+    val nInc = time("dedupAgainstIndex")(incPairs.count())
+    val incPlanted = incPairs.filter(col("id_new") === col("id_idx") + 1).count()
     println(f"DEDUP-SCALE docs=$nDocs exactGroups=$nExact " +
       f"candidates=$nCands plantedRecall=$captured/$planted simhashGroups=$nSim " +
       f"verifiedPairs=$nVerified verifiedPlantedRecall=$verifiedPlanted/$planted " +
-      f"cappedPairs=$nCapped")
+      f"cappedPairs=$nCapped incrementalPairs=$nInc incrementalPlantedRecall=$incPlanted/$planted")
     spark.stop()
   }
 }

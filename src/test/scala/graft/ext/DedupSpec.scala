@@ -106,6 +106,63 @@ class DedupSpec extends SparkSpec {
     assert(default === Some(Dedup.DefaultMaxDf))
   }
 
+  test("incremental dedup finds the shard's near-dups in the index") {
+    // shard = doc 2 (near-dup of 0/1); index = 0, 1, 3
+    val shard = docs.filter($"doc_id" === 2L)
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+    val pairs = Dedup.dedupAgainstIndex(shard, index, n = 3, k = 32, bands = 8,
+      minJaccard = 0.5)
+    val got = pairs.select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 0L), (2L, 1L)))
+    // jaccard values agree with the full-corpus verified path
+    val full = Dedup.minhashVerifiedPairs(docs, n = 3, k = 32, bands = 8,
+      minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val inc = pairs.select("id_new", "id_idx", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    inc.foreach { case (n2, i, j) => assert(full((math.min(n2, i), math.max(n2, i))) === j) }
+    // and the admit policy drops the duplicate shard doc
+    val kept = Dedup.applyIncrementalDedup(shard, pairs)
+      .select("doc_id").as[Long].collect()
+    assert(kept.isEmpty)
+    // an unrelated shard doc is admitted
+    val shard3 = docs.filter($"doc_id" === 3L)
+    val index01 = Dedup.buildLshIndex(docs.filter($"doc_id" < 2L), n = 3, k = 32, bands = 8)
+    val pairs3 = Dedup.dedupAgainstIndex(shard3, index01, n = 3, k = 32, bands = 8)
+    assert(Dedup.applyIncrementalDedup(shard3, pairs3)
+      .select("doc_id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("LshIndex parquet round-trip: persisted index gives identical pairs") {
+    val shard = docs.filter($"doc_id" === 2L)
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.writeLshIndex(index, dir)
+    val reloaded = Dedup.readLshIndex(spark, dir)
+    val a = Dedup.dedupAgainstIndex(shard, index, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.dedupAgainstIndex(shard, reloaded, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("dedupAgainstIndex maxBucket: huge cap is identity, cap 1 kills all") {
+    val shard = docs.filter($"doc_id" === 2L)
+    val index = Dedup.buildLshIndex(docs.filter($"doc_id" =!= 2L))
+    val open = Dedup.dedupAgainstIndex(shard, index, maxBucket = None)
+      .as[(Long, Long, Double)].collect().toSet
+    val big = Dedup.dedupAgainstIndex(shard, index, maxBucket = Some(1000L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(big === open && open.nonEmpty)
+    // any candidate needs ≥1 member per side → combined ≥ 2 > 1
+    val tiny = Dedup.dedupAgainstIndex(shard, index, maxBucket = Some(1L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tiny.isEmpty)
+  }
+
   test("maxBucket cap: huge cap is identity, cap of 1 kills every pair") {
     val uncapped = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
