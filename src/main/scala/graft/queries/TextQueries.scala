@@ -230,6 +230,48 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     },
 
+    // ——— sketch aggregates: HLL vocabulary stats. The oracle checks
+    //     the EXACT columns; the sketch's error contract rides along
+    //     as a boolean the oracle pins to TRUE — a drifting sketch
+    //     breaks the hash. Production form: Sketches.vocabSketch
+    //     (approx only — fixed-size agg state at any corpus size). ———
+    Q("q73_sketch_vocab",
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS total_tokens,
+        |  TRUE AS hll_within_3rsd
+        |FROM toks GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.ext.Sketches.vocabChecked(docs(s, dir)).orderBy("lang")
+    },
+
+    // ——— sketch aggregates: GK quantile doc-length profile. Exact
+    //     quantiles oracle against quantile_cont (q24's pinned
+    //     equivalence); percentile_approx's rank-error contract is
+    //     the TRUE-pinned boolean. Production form:
+    //     Sketches.docLengthSketch. ———
+    Q("q74_sketch_quantiles",
+      """WITH lens AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  ROUND(quantile_cont(n_tok, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(n_tok, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(n_tok, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(n_tok, 0.95), 6) AS p95,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS approx_in_rank_bounds
+        |FROM lens GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.ext.Sketches.docLengthChecked(docs(s, dir),
+        probs = Seq(0.25, 0.5, 0.75, 0.95)).orderBy("lang")
+    },
+
     // ——— transitive near-dup clusters (connected components; oracle
     //     = recursive-CTE reachability over the same MinHash-verified
     //     pair graph) ———
