@@ -182,6 +182,41 @@ object Similarity {
       array_min(transform(array(scored: _*), s => s)).getField("cell"))
   }
 
+  /** IVF assignment via a BROADCAST JOIN — the large-k form. The
+    * literal-argmin tree (`ivfAssign`) is the right call at k ≲ 10³:
+    * zero shuffle, one narrow pass. Past that the expression tree
+    * itself becomes the problem (plan size and codegen grow with
+    * k·dim literals), so here the centroid table rides as a broadcast
+    * relation instead: scan × broadcast(k rows) → per-row scores →
+    * argmin as a partial/final `min(struct(score, cell))` aggregate.
+    * Map-side combine collapses each vector's k scored rows to one
+    * BEFORE the exchange, so the shuffle carries one skinny row per
+    * vector — NOT n·k — at any k. ‖c‖² is precomputed per centroid
+    * (driver-side, same arithmetic as `ivfAssign`'s literal), and the
+    * struct-min tie-break (score, then cell) is identical, so
+    * assignments match the literal form bit-for-bit (pinned in
+    * SimilaritySpec).
+    *
+    * Returns (idCol, cell) — join back to the corpus by id when the
+    * payload is needed downstream.
+    */
+  def ivfAssignJoin(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cdf = centroids
+      .map { case (cid, c) => (cid, c, c.map(x => x.toDouble * x).sum) }
+      .toDF("cell", "_comps", "_cnorm")
+    embeddings.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cdf))
+      .select(col(idCol), struct(
+        (lit(-2.0) * dot(col(vecCol), col("_comps")) + col("_cnorm")).as("score"),
+        col("cell").as("cell")).as("_sc"))
+      .groupBy(idCol)
+      .agg(min(col("_sc")).getField("cell").as("cell"))
+  }
+
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
                        vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row

@@ -59,8 +59,27 @@ object AnnScale {
     val ivf = time("ivfTopK(probe=4)")(
       Similarity.ivfTopK(vecs, q, k = 10, cents, nProbes = 4).collect())
 
+    // large-k assignment: the literal-argmin tree stops being viable
+    // here (plan/codegen grow with k·dim literals) — the broadcast-
+    // join form is the k=4096 path. Centroids are hash-derived (no
+    // training needed to measure ASSIGNMENT cost).
+    val bigK = 4096
+    val bigCents = (0 until bigK).map { cid =>
+      cid -> Seq.tabulate(64) { j =>
+        val h = ((cid.toLong * 131071L + j) * 0x9e3779b97f4a7c15L)
+        ((java.lang.Math.floorMod(h, 200000L).toDouble / 100000.0) - 1.0).toFloat
+      }
+    }
+    // sum(cell) as the action: count() would let Catalyst prune the
+    // argmin aggregate entirely and time only the distinct-id scan
+    val assigned = Similarity.ivfAssignJoin(vecs, bigCents).cache()
+    val cellSum = time(s"ivfAssignJoin(k=$bigK)")(
+      assigned.agg(sum("cell"), count(lit(1))).head())
+    val nAssigned = cellSum.getLong(1)
+
     println(f"ANN-SCALE vecs=$nVecs pairs=$nCand " +
-      f"plantedRecall=$captured/$planted ivfTop=${ivf.head.getLong(0)}")
+      f"plantedRecall=$captured/$planted ivfTop=${ivf.head.getLong(0)} " +
+      f"bigKAssigned=$nAssigned")
     spark.stop()
   }
 }

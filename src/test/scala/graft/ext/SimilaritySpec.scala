@@ -108,6 +108,19 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_._2).toSet != seeds.toSet)
   }
 
+  test("broadcast-join IVF assignment equals the literal-argmin form") {
+    val cents = Similarity.kmeansCentroids(emb, kCells = 8, iters = 3)
+    val literal = Similarity.ivfAssign(emb, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val joined = Similarity.ivfAssignJoin(emb, cents)
+      .as[(Long, Int)].collect().toMap
+    assert(joined.size === literal.size)
+    literal.foreach { case (id, cell) => assert(joined(id) === cell, s"vec $id") }
+    // and the join form's plan actually broadcasts the centroid table
+    val plan = Similarity.ivfAssignJoin(emb, cents).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("int8 quantization round-trips with small cosine drift") {
     val (q, s) = Similarity.quantizeInt8(col("embedding"))
     val rt = emb.withColumn("q", q).withColumn("s", s)
