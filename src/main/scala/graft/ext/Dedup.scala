@@ -422,12 +422,33 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = edges
+      val propagated = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("src") === col("dst"), col("cluster"))).as("_old"))
-        .cache()
+      // real near-dup graphs (pairs/stars/short chains) converge in
+      // the plain hops above; past that we're in a deep-chain regime,
+      // so switch on pointer-jumping — label ← label(label), one
+      // extra self-join per iteration — which turns O(diameter) into
+      // O(log diameter). Every label IS a node id (min over ids), so
+      // the lookup always resolves; left join + coalesce is belt and
+      // braces. Convergence stays exact: stable under the neighbor
+      // step ⇒ labels constant per component ⇒ jumping is a no-op.
+      val jumped =
+        if (i < 4) propagated
+        else propagated.join(
+            propagated.select(col("id").as("cluster"), col("cluster").as("_c2")),
+            Seq("cluster"), "left")
+          .select(col("id"), coalesce(col("_c2"), col("cluster")).as("cluster"),
+            col("_old"))
+      // periodic localCheckpoint: the cached chain protects against
+      // recomputation only while every block survives; at depth the
+      // logical plan also grows per iteration (analysis cost, lineage
+      // replay on eviction). Truncate both every 5 iterations.
+      val next =
+        if ((i + 1) % 5 == 0) jumped.localCheckpoint()
+        else jumped.cache()
       converged = next.filter(col("cluster") < col("_old")).count() == 0L
       labels.unpersist()
       labels = next

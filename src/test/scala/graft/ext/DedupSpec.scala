@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(clusters(7L) === 7L && clusters(8L) === 7L)
   }
 
+  test("nearDupClusters: a 40-deep chain converges within maxIter=15 (pointer jumping)") {
+    // plain min-label propagation moves one hop per iteration — a
+    // diameter-40 chain would raise at the 15-iteration backstop;
+    // pointer jumping makes it ~4 + log2(40) iterations
+    val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === 40)
+    assert(clusters.values.toSet === Set(0L))
+  }
+
   test("simhash: identical texts collide; near-dups are Hamming-close") {
     val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
