@@ -405,8 +405,14 @@ object Dedup {
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // cache the symmetrized edge list BEFORE deriving nodes: both the
+    // self-loop union and `nodes` read it, and uncached each branch
+    // would re-evaluate the whole upstream pair lineage (for q58 that
+    // lineage is the full MinHash-verify — measured 2.7 s per extra
+    // evaluation at sf0.1; the edge list itself is 2·|pairs| rows)
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     val nodes = edges0.select(col("src").as("id")).distinct()
     // self-loops make each iteration ONE join + ONE aggregate: the
     // min over (neighbors ∪ self) is the new label, and the self-loop
@@ -455,6 +461,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    edges0.unpersist()
     require(converged, s"nearDupClusters: not converged after $maxIter iterations")
     // the result stays cached (recomputing it would replay the whole
     // loop); callers holding it long-term should unpersist when done

@@ -8,17 +8,31 @@ import org.apache.spark.sql.SparkSession
   */
 object QTest {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val name = args.headOption.getOrElse("q01_pricing_summary")
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
-    df.show(10, truncate = false)
+    val dir = "/root/testdata/sf0.1"
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"QT $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // phase split of q58: pair generation vs CC loop
+    val pairs = graft.ext.Dedup.minhashVerifiedPairs(docs, n = 3, k = 32,
+      bands = 8, minJaccard = 0.5).select("id_a", "id_b")
+    time("pairs-count")(println(pairs.count()))
+    val cached = pairs.cache()
+    time("pairs-cache")(cached.count())
+    time("cc-on-cached")(
+      println(graft.ext.Dedup.nearDupClusters(cached).count()))
+    time("cc-on-uncached")(
+      println(graft.ext.Dedup.nearDupClusters(pairs).count()))
     spark.stop()
   }
 }
