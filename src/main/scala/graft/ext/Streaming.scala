@@ -141,6 +141,32 @@ object Streaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming INCREMENTAL near-dup dedup: each arriving micro-batch
+    * is treated as a shard and deduped against the persisted LSH
+    * index with the batch operator (`Dedup.dedupAgainstIndex`) inside
+    * `foreachBatch` — the standard seam for batch-only logic
+    * (multi-join + aggregation) on a stream. Admitted (non-duplicate)
+    * docs are handed to `sink`, which in production appends them to
+    * the corpus store (and, on an index-epoch boundary, to the index
+    * itself). State lives in the persisted index, not the stream —
+    * bounded by corpus size, not stream length.
+    */
+  def incrementalDedupStream(newDocs: DataFrame, index: Dedup.LshIndex,
+                             sink: (DataFrame, Long) => Unit,
+                             n: Int = 3, k: Int = 32, bands: Int = 8,
+                             minJaccard: Double = 0.5): StreamingQuery = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pairs = Dedup.dedupAgainstIndex(batch, index, n, k, bands, minJaccard)
+        sink(Dedup.applyIncrementalDedup(batch, pairs), id)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Drive a streaming DataFrame to completion against a named memory
     * sink (test/local harness; a real deployment writes Parquet/Kafka).
     */

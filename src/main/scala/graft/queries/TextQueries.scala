@@ -1,14 +1,16 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, TextStats}
+import graft.ext.{Dedup, Privacy, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication battery over the `documents` table
   * (training-data pipeline operators; SURVEY.md §7 extensions).
-  * Oracle-parity notes are on each query; xxhash64-based operators
-  * (SimHash, MinHash) have no DuckDB equivalent hash → rows-only.
+  * Oracle-parity notes are on each query; operators whose arithmetic
+  * has no DuckDB twin (xxhash64 families, the stub codec) share it as
+  * parquet artifacts / scalar-reference fixtures instead (Fixtures),
+  * so every query is hash-checked.
   */
 object TextQueries {
 
@@ -270,6 +272,84 @@ object TextQueries {
         |ORDER BY lang""".stripMargin) { (s, dir) =>
       graft.ext.Sketches.docLengthChecked(docs(s, dir),
         probs = Seq(0.25, 0.5, 0.75, 0.95)).orderBy("lang")
+    },
+
+    // ——— heavy hitters: exact per-lang top-5 tokens (oracle-able)
+    //     plus the Misra-Gries sketch's CONTAINMENT guarantee as a
+    //     TRUE-pinned boolean — every top-5 token's frequency exceeds
+    //     n/(k+1) on this corpus, so the sketch must hold it
+    //     regardless of merge order. Production form: the MG summary
+    //     alone (O(k) state per group vs one row per distinct token). ———
+    Q("q75_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY lang, tok
+        |), top5 AS (
+        |  SELECT lang, tok, cnt FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) <= 5
+        |)
+        |SELECT lang, tok, cnt, TRUE AS in_sketch
+        |FROM top5
+        |ORDER BY lang, tok""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val top5 = exact.withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rn") <= 5).drop("rn")
+      val sketch = toks.groupBy("lang")
+        .agg(graft.functions.ApproxTopK.approxTopK(col("tok"), 64).as("mg"))
+      top5.join(sketch, "lang")
+        .select(col("lang"), col("tok"), col("cnt"),
+          exists(col("mg"), e => e.getField("tok") === col("tok")).as("in_sketch"))
+        .orderBy("lang", "tok")
+    },
+
+    // ——— PII detect + redact: deterministic synthetic PII (email /
+    //     phone / IPv4 derived from doc_id, fabricated IDENTICALLY in
+    //     both engines) appended to real text, then counted and
+    //     redacted with patterns single-sourced from ext.Privacy —
+    //     written in the Java-regex ∩ RE2 subset so Spark and DuckDB
+    //     agree byte-for-byte. ———
+    Q("q76_pii_redact", {
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |      || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Privacy.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Privacy.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Privacy.EmailRe}', '[EMAIL]', 'g'),
+         |    '${Privacy.PhoneRe}', '[PHONE]', 'g'),
+         |    '${Privacy.Ipv4Re}', '[IP]', 'g') AS redacted
+         |FROM pii
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val withPii = docs(s, dir).select(col("doc_id"), concat(
+        substring(col("text"), 1, 40), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")).as("t"))
+      withPii.select(col("doc_id"),
+        Privacy.emailCount(col("t")).cast("long").as("n_emails"),
+        Privacy.phoneCount(col("t")).cast("long").as("n_phones"),
+        Privacy.ipCount(col("t")).cast("long").as("n_ips"),
+        Privacy.redact(col("t")).as("redacted"))
+        .orderBy("doc_id")
     },
 
     // ——— transitive near-dup clusters (connected components; oracle

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+    (2L, "call 555-867-5309 or 555-000-1111 today"),
+    (3L, "server at 192.168.1.100 timed out"),
+    (4L, "plain text with no sensitive content at all"),
+    (5L, "a@b.co 10.0.0.1 555-123-4567 everything at once")
+  ).toDF("id", "text")
+
+  test("counts per kind") {
+    val got = samples.select($"id",
+      Privacy.emailCount($"text").as("e"),
+      Privacy.phoneCount($"text").as("p"),
+      Privacy.ipCount($"text").as("i"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) === ((1, 0, 0)))
+    assert(got(2L) === ((0, 2, 0)))
+    assert(got(3L) === ((0, 0, 1)))
+    assert(got(4L) === ((0, 0, 0)))
+    assert(got(5L) === ((1, 1, 1)))
+  }
+
+  test("redaction replaces every match and nothing else") {
+    val got = samples.select($"id", Privacy.redact($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "reach me at [EMAIL] thanks")
+    assert(got(2L) === "call [PHONE] or [PHONE] today")
+    assert(got(3L) === "server at [IP] timed out")
+    assert(got(4L) === "plain text with no sensitive content at all")
+    assert(got(5L) === "[EMAIL] [IP] [PHONE] everything at once")
+  }
+
+  test("hasPii gates documents") {
+    val flagged = samples.filter(Privacy.hasPii($"text"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged === Set(1L, 2L, 3L, 5L))
+  }
+}

@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup matches the batch shard-vs-index result") {
+    // corpus → persisted-style index; the near-dup shard arrives as a
+    // STREAM (file source, one shard); admitted docs must equal the
+    // batch operator's admit set
+    val docs = Tables.load(spark, sf001, "documents")
+    val shard = docs.filter($"doc_id" % 10 === 7)
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+    val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+
+    val shardDir = java.nio.file.Files.createTempDirectory("shardstream").toString
+    shard.coalesce(1).write.mode("overwrite").parquet(shardDir)
+    val stream = spark.readStream.schema(shard.schema).parquet(shardDir)
+    assert(stream.isStreaming)
+
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = Streaming.incrementalDedupStream(stream, index,
+      (kept, _) => admitted ++= kept.select("doc_id").as[Long].collect())
+    try {
+      val batchPairs = Dedup.dedupAgainstIndex(shard, index, n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
+      val want = Dedup.applyIncrementalDedup(shard, batchPairs)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted.toSet === want)
+      // and something was actually deduped (planted cross-split dups)
+      assert(admitted.size < shard.count())
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match a plain aggregation") {
     val ds = Tables.load(spark, sf001, "events")
       .select($"user_id", $"event_type", $"value")
