@@ -140,4 +140,40 @@ object Corpus {
                      docId: String = "doc_id",
                      vecId: String = "vec_id"): DataFrame =
     docs.join(embeddings.withColumnRenamed(vecId, docId), docId)
+
+  /** The COMPOSED corpus-prep pipeline — the end-to-end shape a
+    * training-data run actually executes, chained from the individual
+    * operators so each stage keeps its own scale posture:
+    *
+    *  1. quality gate (`TextStats.qualityScore` ≥ threshold) —
+    *     map-only, drops junk before anything pays for it;
+    *  2. exact dedup (keep min-id per content fingerprint) — one
+    *     shuffle on the md5 key;
+    *  3. near-dup dedup on the survivors — MinHash/LSH candidates →
+    *     exact-Jaccard verify (`minhashVerifiedPairs`), greedy
+    *     keep-earliest (`applyNearDedup`);
+    *  4. PII redaction (`Privacy.redact`) — map-only on what remains.
+    *
+    * Ordering is deliberate: the gates that shrink the corpus run
+    * before the pair-generating stages, and redaction runs LAST so
+    * dedup fingerprints see the original bytes (two docs differing
+    * only in their PII should near-dup-collide, not exact-collide).
+    * Returns (idCol, lang, redacted).
+    */
+  def prepare(docs: DataFrame, minQuality: Double = 0.85,
+              n: Int = 3, k: Int = 32, bands: Int = 8,
+              minJaccard: Double = 0.5,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gated = docs.filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    val keepExact = gated
+      .groupBy(TextStats.fingerprint(col(textCol)).as("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactKept = gated.join(keepExact, Seq(idCol), "left_semi")
+    val pairs = Dedup.minhashVerifiedPairs(exactKept, n, k, bands, minJaccard,
+      idCol, textCol)
+    Dedup.applyNearDedup(exactKept, pairs, idCol)
+      .select(col(idCol), col("lang"),
+        Privacy.redact(col(textCol)).as("redacted"))
+  }
 }

@@ -117,6 +117,86 @@ object CorpusQueries {
             .as("avg_tokens"),
           round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
         .orderBy("label")
+    },
+
+    // ——— the COMPOSED corpus-prep pipeline: quality gate → exact
+    //     dedup → MinHash-verified near-dup dedup → PII redaction,
+    //     end-to-end in one query. The oracle replays every stage in
+    //     SQL (quality formula from q39, fingerprint from q34, the
+    //     md5 minhash family from q57, redaction from q76) — the
+    //     strongest single statement that a user can run their whole
+    //     pipeline on this engine and get oracle-exact output. ———
+    Q("q77_corpus_prepare", {
+      import graft.ext.Privacy
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    ROUND((least(length(text) / 200.0, 1.0)
+         |         + (1.0 - least(CAST(punct_n AS DOUBLE) / n, 1.0))
+         |         + (CASE WHEN CAST(stop_n AS DOUBLE) / n BETWEEN 0.01 AND 0.6
+         |                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |      len(string_split_regex(lower(text), '\\s+')) AS n,
+         |      len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |          t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_n,
+         |      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n
+         |    FROM documents)
+         |), gated AS (
+         |  SELECT doc_id, lang, text FROM scored WHERE quality >= 0.85
+         |), exact AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1
+         |), toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM exact
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(CASE WHEN len(ts) >= 3
+         |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+         |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+         |  FROM toks
+         |), hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+         |  FROM sh
+         |), mins AS (
+         |  SELECT doc_id, seed,
+         |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+         |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+         |  GROUP BY doc_id, seed
+         |), buckets AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+         |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |), dropped AS (
+         |  SELECT DISTINCT id_b FROM inter
+         |  JOIN cnt ca ON id_a = ca.doc_id
+         |  JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+         |)
+         |SELECT e.doc_id, e.lang,
+         |  regexp_replace(regexp_replace(regexp_replace(e.text,
+         |    '${Privacy.EmailRe}', '[EMAIL]', 'g'),
+         |    '${Privacy.PhoneRe}', '[PHONE]', 'g'),
+         |    '${Privacy.Ipv4Re}', '[IP]', 'g') AS redacted
+         |FROM exact e
+         |WHERE e.doc_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY e.doc_id""".stripMargin
+    }) { (s, dir) =>
+      Corpus.prepare(docs(s, dir), minQuality = 0.85).orderBy("doc_id")
     }
   )
 }

@@ -84,6 +84,24 @@ class CorpusSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("prepare: every stage of the composed pipeline binds") {
+    val quick = "the quick brown fox jumps over the lazy dog and runs on, for miles."
+    val docs = Seq(
+      (0L, s"$quick contact me at a@b.co today."),
+      (1L, s"$quick contact me at a@b.co today."),            // exact dup of 0
+      (2L, s"$quick contact me at a@b.co tomorrow."),         // near dup of 0 (one token)
+      (3L, "x")                                                // junk: fails the gate
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Corpus.prepare(docs, minQuality = 0.6, minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted"))
+      .toMap
+    // 1 exact-dropped, 2 near-dropped, 3 gated → only 0 survives
+    assert(out.keySet === Set(0L))
+    // and its PII is redacted, the rest intact
+    assert(out(0L).contains("[EMAIL]") && !out(0L).contains("a@b.co"))
+    assert(out(0L).startsWith("the quick brown fox"))
+  }
+
   test("withEmbeddings aligns ids and keeps both sides' columns") {
     val d = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
     val e = Seq((0L, Array(1.0f), 7), (1L, Array(2.0f), 8))
