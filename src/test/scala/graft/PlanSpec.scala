@@ -58,4 +58,48 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected one shuffle, got $exchanges:\n$plan")
   }
+
+  test("q76: the PII battery is map-only — no shuffle before the output sort") {
+    val df = SparkEntry.queries("q76_pii_redact")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange is the deterministic-output range sort; the
+    // detect/redact work itself never hash-shuffles
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PII detect/redact must not shuffle:\n$plan")
+    // and the regex projection sits inside a whole-stage codegen span
+    // (codegen ids only materialize in the AQE final plan)
+    assert(plan.contains("isFinalPlan=true") && plan.contains("*(1)"),
+      s"PII projection fell out of codegen:\n$plan")
+  }
+
+  test("vocabSketch (production form) is one partial/final agg shuffle") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = graft.ext.Sketches.vocabSketch(docs)
+      .queryExecution.executedPlan.toString
+    // one shuffle on the group key; HLL registers merge map-side.
+    // (The q73 harness variant adds the exact countDistinct twin for
+    // the oracle, which pays the distinct expand by design.)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("approx_count_distinct"))
+  }
+
+  test("ivfAssignJoin: partial argmin collapses before the exchange") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val cents = (0 until 16).map(c => c -> Seq.tabulate(64)(j => (c * 64 + j) / 1024.0f))
+    val df = graft.ext.Similarity.ivfAssignJoin(emb, cents)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregate (min) must sit BELOW the exchange: the
+    // n·k scored rows reduce to one row per vector map-side
+    val partialIdx = plan.indexOf("partial_min")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0, s"missing operators:\n$plan")
+    assert(partialIdx > exchangeIdx,
+      s"partial_min should appear below (after) the exchange in the plan tree:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "centroid table not broadcast")
+    df.limit(1).collect() // and it executes
+  }
 }
