@@ -312,6 +312,33 @@ object Dedup {
     LshIndex(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/shingles"))
 
+  /** Persist the index BUCKETED on its join keys — the co-location
+    * lever for a corpus-scale index: the bucket table lays out by
+    * (band, bucket) and the shingle sidecar by the doc id, so every
+    * shard-vs-index join shuffles ONLY the shard — the 100 TB index
+    * side reads straight from its buckets with no exchange (the
+    * window-based hot-bucket cap rides the same layout for free).
+    * Plan-asserted in ScaleSpec. Bucketed layouts need the table
+    * catalog, hence saveAsTable; the plain-parquet `writeLshIndex`
+    * remains for catalog-free deployments.
+    */
+  def writeLshIndexBucketed(index: LshIndex, tablePrefix: String,
+                            buckets: Int = 64): Unit = {
+    index.buckets.write.bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(s"${tablePrefix}_buckets")
+    // shingle verify joins on (doc id, shingle); bucketing on the id
+    // prefix satisfies the join's clustering requirement
+    val idCol = index.shingles.columns.head
+    index.shingles.write.bucketBy(buckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(s"${tablePrefix}_shingles")
+  }
+
+  def readLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                           tablePrefix: String): LshIndex =
+    LshIndex(spark.table(s"${tablePrefix}_buckets"),
+      spark.table(s"${tablePrefix}_shingles"))
+
   /** Near-dup pairs of a NEW shard against the persisted index:
     * shard signatures joined to the index's buckets (candidates =
     * shared (band, bucket)), then exact Jaccard verified on the

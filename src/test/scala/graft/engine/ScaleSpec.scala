@@ -63,6 +63,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed LSH index: shard-vs-index join shuffles only the shard") {
+    import graft.ext.Dedup
+    val docs = Tables.load(spark, sf001, "documents")
+    val shard = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val plain = Dedup.buildLshIndex(corpus)
+    spark.sql("DROP TABLE IF EXISTS lshidx_buckets")
+    spark.sql("DROP TABLE IF EXISTS lshidx_shingles")
+    Dedup.writeLshIndexBucketed(plain, "lshidx", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val bucketed = Dedup.readLshIndexBucketed(spark, "lshidx")
+      val pairs = Dedup.dedupAgainstIndex(shard, bucketed, maxBucket = None)
+      val plan = pairs.queryExecution.executedPlan.toString
+      // the candidate join partitions on (band, bucket): exactly ONE
+      // such exchange (the shard side) — the bucketed index side
+      // reads its layout with no shuffle
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges === 1,
+        s"expected only the shard side to shuffle on (band, bucket), got $bandExchanges:\n$plan")
+      // and the results equal the plain-parquet index's
+      import spark.implicits._
+      val a = pairs.as[(Long, Long, Double)].collect().toSet
+      val b = Dedup.dedupAgainstIndex(shard, plain, maxBucket = None)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a === b && a.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS lshidx_buckets")
+      spark.sql("DROP TABLE IF EXISTS lshidx_shingles")
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toFile
     Reshape.writePartitioned(orders.withColumn("status", col("o_orderstatus")),
