@@ -20,6 +20,8 @@ import graft.functions.{SimHash, VectorOps}
   *  - `graft_cosine(a, b) → double`
   *  - `graft_simhash64(array<string>) → bigint`
   *  - `graft_bottom_k(col, k) → array<bigint>` (aggregate; k literal)
+  *  - `graft_approx_top_k(col, k) → array<struct<tok,est>>`
+  *    (Misra-Gries heavy hitters; aggregate; k literal)
   */
 object GraftFunctions {
 
@@ -46,6 +48,15 @@ object GraftFunctions {
         case other => sys.error(s"graft_bottom_k: k must be an int literal, got $other")
       }
       graft.functions.BottomKSample.BottomK(exprs.head, k).toAggregateExpression()
+    },
+    "graft_approx_top_k" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_approx_top_k(col, k) takes a column and a literal k")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"graft_approx_top_k: k must be an int literal, got $other")
+      }
+      graft.functions.ApproxTopK.MisraGries(exprs.head, k).toAggregateExpression()
     })
 
   def register(spark: SparkSession): Unit =

@@ -45,6 +45,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1) === Seq(4L))  // group b: all 1 kept
   }
 
+  test("graft_approx_top_k is callable from SQL with exact small-set counts") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c", "b").toDF("tok")
+      .createOrReplaceTempView("t_mg")
+    val rows = spark.sql(
+      "SELECT graft_approx_top_k(tok, 10) AS mg FROM t_mg").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    // under capacity: exact counts, sorted (est desc, tok)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("the declarative extensions class builds (deployment path)") {
     // can't attach extensions to the already-built shared session;
     // construct and apply against a fresh SparkSessionExtensions to
