@@ -74,6 +74,20 @@ object DedupScale {
       bands = 8, minJaccard = 0.5).cache()
     val nInc = time("dedupAgainstIndex")(incPairs.count())
     val incPlanted = incPairs.filter(col("id_new") === col("id_idx") + 1).count()
+    // bucketed persistence: the index side reads its bucket layout
+    // with no exchange (ScaleSpec pins the plan; this measures it)
+    spark.sql("DROP TABLE IF EXISTS dedupscale_idx_buckets")
+    spark.sql("DROP TABLE IF EXISTS dedupscale_idx_shingles")
+    time("writeLshIndexBucketed") {
+      Dedup.writeLshIndexBucketed(
+        Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8),
+        "dedupscale_idx", buckets = 32)
+    }
+    val bucketed = Dedup.readLshIndexBucketed(spark, "dedupscale_idx")
+    val nIncB = time("dedupAgainstIndex(bucketed)")(
+      Dedup.dedupAgainstIndex(shard, bucketed, n = 3, k = 32,
+        bands = 8, minJaccard = 0.5).count())
+    require(nIncB == nInc, s"bucketed index changed results: $nIncB != $nInc")
     println(f"DEDUP-SCALE docs=$nDocs exactGroups=$nExact " +
       f"candidates=$nCands plantedRecall=$captured/$planted simhashGroups=$nSim " +
       f"verifiedPairs=$nVerified verifiedPlantedRecall=$verifiedPlanted/$planted " +
