@@ -800,6 +800,30 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("value"), col("signup_value"),
           date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
         .orderBy("event_id")
+    },
+
+    // ——— skew-salted two-phase aggregation. Salting is result-
+    //     transparent (decimal sums are associative), so the oracle is
+    //     the PLAIN group-by — the hash compare proves the salted
+    //     plan changes nothing while spreading a hot key over n
+    //     reducers (plan + bit-exactness also pinned in ScaleSpec). ———
+    Q("q78_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val salted = graft.engine.Skew.saltedSum(
+        li.withColumn("_q", dec2(col("l_quantity"))),
+        keys = Seq("l_returnflag"), valueCol = "_q",
+        saltSrc = col("l_orderkey"), n = 16)
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      salted.join(counts, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("sum__q").cast("double").as("sum_l_quantity"), col("n"))
+        .orderBy("l_returnflag")
     }
   )
 }
