@@ -74,6 +74,34 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Per-stratum TOKEN-budget sampling: keep the maximal prefix of
+    * each stratum — in deterministic md5(id) order — whose cumulative
+    * token count fits the stratum's budget. This is how real data
+    * mixes are specified ("200 B tokens of web, 50 B of code"):
+    * budgets bound TOKENS, not row counts, so document-length skew
+    * cannot silently change the mix. Deterministic on any cluster
+    * layout (the hash order is data-derived, like `stratifiedSample`);
+    * one window shuffle on the stratum key. Once a document overflows
+    * the budget, every later document in hash order is excluded too
+    * (prefix semantics — the cumulative sum is monotone), which keeps
+    * the selection reproducible and oracle-expressible.
+    */
+  def tokenBudgetSample(df: DataFrame, budgets: Map[String, Long],
+                        stratumCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), s"budgets must be >= 0: $budgets")
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (stratum, b)) =>
+      when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(TextStats.tokenCount(col(textCol))).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * splitter every LLM data pipeline runs before tokenization.
     * Emits (id, chunk_id, chunk_text, n_tokens); the last chunk keeps

@@ -119,6 +119,38 @@ object CorpusQueries {
         .orderBy("label")
     },
 
+    // ——— token-budget mixing: per-lang budgets bound TOKENS (the
+    //     unit data mixes are specified in), maximal md5-ordered
+    //     prefix per stratum. Oracle: same window cumsum in SQL. ———
+    Q("q79_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    SUM(tok) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum <= (CASE lang WHEN 'en' THEN 4000 ELSE 1500 END)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val budgets = Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L,
+        "fr" -> 1500L, "zh" -> 1500L)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Corpus.tokenBudgetSample(docs(s, dir), budgets)
+        .withColumn("cum_tokens",
+          sum(TextStats.tokenCount(col("text"))).over(w))
+        .select("doc_id", "lang", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
     // ——— the COMPOSED corpus-prep pipeline: quality gate → exact
     //     dedup → MinHash-verified near-dup dedup → PII redaction,
     //     end-to-end in one query. The oracle replays every stage in

@@ -84,6 +84,36 @@ class CorpusSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("tokenBudgetSample: budget bound, prefix property, partition-invariant") {
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val budgets = Map("a" -> 40L, "b" -> 25L)
+    def run(parts: Int) = Corpus.tokenBudgetSample(docs.repartition(parts), budgets)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = run(1)
+    assert(kept === run(13)) // deterministic on any layout
+    // budgets hold per stratum
+    val tokens = docs.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2).split(" ").length.toLong)).toMap
+    Seq("a", "b").foreach { g =>
+      val total = kept.toSeq.map(tokens).filter(_._1 == g).map(_._2).sum
+      assert(total <= budgets(g), s"stratum $g: $total > ${budgets(g)}")
+    }
+    assert(kept.nonEmpty && kept.size < 60) // it actually sampled
+    // prefix property: kept set = maximal hash-order prefix (nothing
+    // after the first exclusion is kept)
+    import org.apache.spark.sql.expressions.Window
+    val ordered = docs.withColumn("_rn", row_number().over(
+        Window.partitionBy("lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+      .select("doc_id", "lang", "_rn").as[(Long, String, Int)].collect()
+    Seq("a", "b").foreach { g =>
+      val inOrder = ordered.filter(_._2 == g).sortBy(_._3).map(_._1)
+      val keptFlags = inOrder.map(kept.contains)
+      assert(!keptFlags.dropWhile(identity).contains(true), s"non-prefix keep in $g")
+    }
+  }
+
   test("prepare: every stage of the composed pipeline binds") {
     val quick = "the quick brown fox jumps over the lazy dog and runs on, for miles."
     val docs = Seq(
