@@ -186,12 +186,14 @@ object Corpus {
     * before the pair-generating stages, and redaction runs LAST so
     * dedup fingerprints see the original bytes (two docs differing
     * only in their PII should near-dup-collide, not exact-collide).
-    * Returns (idCol, lang, redacted).
+    * Returns (idCol, keepCols..., redacted) — `keepCols` are the
+    * metadata columns carried through to the output.
     */
   def prepare(docs: DataFrame, minQuality: Double = 0.85,
               n: Int = 3, k: Int = 32, bands: Int = 8,
               minJaccard: Double = 0.5,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+              idCol: String = "doc_id", textCol: String = "text",
+              keepCols: Seq[String] = Seq("lang")): DataFrame = {
     val gated = docs.filter(TextStats.qualityScore(col(textCol)) >= minQuality)
     val keepExact = gated
       .groupBy(TextStats.fingerprint(col(textCol)).as("_fp"))
@@ -201,7 +203,7 @@ object Corpus {
     val pairs = Dedup.minhashVerifiedPairs(exactKept, n, k, bands, minJaccard,
       idCol, textCol)
     Dedup.applyNearDedup(exactKept, pairs, idCol)
-      .select(col(idCol), col("lang"),
-        Privacy.redact(col(textCol)).as("redacted"))
+      .select(col(idCol) +: keepCols.map(col) :+
+        Privacy.redact(col(textCol)).as("redacted"): _*)
   }
 }

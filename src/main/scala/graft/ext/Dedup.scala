@@ -468,10 +468,14 @@ object Dedup {
       // the lookup always resolves; left join + coalesce is belt and
       // braces. Convergence stays exact: stable under the neighbor
       // step ⇒ labels constant per component ⇒ jumping is a no-op.
+      // the self-join below references `propagated` on BOTH sides —
+      // cache it for the jump iterations or each one evaluates the
+      // edges-join + aggregate twice
+      val propCached = if (i < 4) propagated else propagated.cache()
       val jumped =
-        if (i < 4) propagated
-        else propagated.join(
-            propagated.select(col("id").as("cluster"), col("cluster").as("_c2")),
+        if (i < 4) propCached
+        else propCached.join(
+            propCached.select(col("id").as("cluster"), col("cluster").as("_c2")),
             Seq("cluster"), "left")
           .select(col("id"), coalesce(col("_c2"), col("cluster")).as("cluster"),
             col("_old"))
@@ -483,6 +487,7 @@ object Dedup {
         if ((i + 1) % 5 == 0) jumped.localCheckpoint()
         else jumped.cache()
       converged = next.filter(col("cluster") < col("_old")).count() == 0L
+      if (i >= 4) propCached.unpersist() // next is materialized by the count
       labels.unpersist()
       labels = next
       i += 1

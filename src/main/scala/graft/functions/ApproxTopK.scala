@@ -45,6 +45,17 @@ object ApproxTopK {
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
     override def dataType: DataType = outType
+    // analysis-time type check: without it a non-string column would
+    // pass resolution and ClassCastException inside executor tasks
+    // (ExpectsInputTypes is unavailable here — AbstractDataType is
+    // private[sql] — so the check is implemented directly)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"approx_top_k requires a string column, got ${child.dataType}")
 
     override def createAggregationBuffer(): Buf = mutable.HashMap.empty
 
@@ -90,11 +101,17 @@ object ApproxTopK {
       new GenericArrayData(rows.toArray[Any])
     }
 
+    // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps a
+    // string at 65535 encoded bytes, and one whitespace-free 64 KB+
+    // token (base64 blob, minified JS) would fail the shuffle
     override def serialize(buf: Buf): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeInt(buf.size)
-      buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+      buf.foreach { case (t, c) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b); out.writeLong(c)
+      }
       out.flush(); bos.toByteArray
     }
 
@@ -102,7 +119,13 @@ object ApproxTopK {
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
       val n = in.readInt()
       val buf = createAggregationBuffer()
-      (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+      (0 until n).foreach { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+          in.readLong())
+      }
       buf
     }
 

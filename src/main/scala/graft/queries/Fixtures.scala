@@ -32,7 +32,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fixtures {
 
-  val dir = "/root/repo/target/verify_artifacts"
+  /** Resolved at runtime to an ABSOLUTE path (the oracle SQL string
+    * must work in the driver's DuckDB process whatever its working
+    * directory) without baking in a checkout location; overridable
+    * with -Dgraft.verify.artifactsDir for unusual layouts. Verify and
+    * the SQL dump run in the same JVM, so the paths always agree.
+    */
+  lazy val dir: String = sys.props.getOrElse("graft.verify.artifactsDir",
+    new java.io.File("target/verify_artifacts").getAbsolutePath)
 
   def enabled: Boolean = sys.props.get("graft.verify.artifacts").contains("true")
 
@@ -40,13 +47,13 @@ object Fixtures {
   def sqlPath(name: String): String = s"$dir/$name/*.parquet"
 
   /** Write artifact `name` (tiny: ≤ a few thousand rows) when the
-    * gate is on; always returns the input so call sites stay
-    * expression-shaped.
+    * gate is on. `df` is BY-NAME: fixture construction (driver-side
+    * collects + scalar reference loops) must not run at all outside
+    * Verify — a bench run pays neither the compute nor the IO.
     */
-  def write(name: String, df: DataFrame): DataFrame = {
+  def write(name: String, df: => DataFrame): Unit = {
     if (enabled)
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
-    df
   }
 
   // ——— q61: scalar SimHash reference ———

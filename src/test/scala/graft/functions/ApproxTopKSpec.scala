@@ -65,6 +65,25 @@ class ApproxTopKSpec extends SparkSpec {
     }
   }
 
+  test("serialization round-trips tokens beyond the 64KB modified-UTF-8 cap") {
+    // writeUTF would throw UTFDataFormatException here (one 70k-char
+    // token — a base64 blob / minified-JS line is a realistic input)
+    val agg = ApproxTopK.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val buf = agg.createAggregationBuffer()
+    val big = "b" * 70000
+    buf.update(big, 3L); buf.update("small", 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back === buf)
+  }
+
+  test("non-string input fails at analysis, not inside executor tasks") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(5).agg(ApproxTopK.approxTopK($"id", 3)).collect()
+    }
+    assert(e.getMessage.contains("approx_top_k requires a string column"))
+  }
+
   test("fewer distinct values than k: exact counts, no compression") {
     val df = Seq("a", "a", "b", "a", "c", "b").toDF("tok")
     val mg = df.agg(ApproxTopK.approxTopK($"tok", 10).as("mg"))
