@@ -61,6 +61,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (secs, err) = measure(fn(spark, sfDir))
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      // isolation between measured queries (OUTSIDE the timed region):
+      // queries manage their own caches, but leftover blocks a query
+      // keeps alive by design (e.g. nearDupClusters' final checkpoint,
+      // which unpersist can't release) plus accumulated broadcasts and
+      // garbage otherwise bleed GC pressure into later queries — the
+      // r3 driver run showed one query at 4× its stable local time
+      // with exactly this signature. Sweep the CacheManager AND the
+      // persistent-RDD registry (checkpoint RDDs live only in the
+      // latter), then let the JVM compact before the next measurement.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       (name, secs, err)
     }
     println(renderJson(results, sfDir))

@@ -89,9 +89,18 @@ object Corpus {
   def tokenBudgetSample(df: DataFrame, budgets: Map[String, Long],
                         stratumCol: String = "lang",
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        defaultBudget: Long = 0L): DataFrame = {
     require(budgets.values.forall(_ >= 0L), s"budgets must be >= 0: $budgets")
-    val budget = budgets.foldLeft(lit(0L)) { case (acc, (stratum, b)) =>
+    require(defaultBudget >= 0L, s"defaultBudget must be >= 0: $defaultBudget")
+    // a stratum ABSENT from `budgets` gets `defaultBudget` — with the
+    // default 0 it is DROPPED entirely. That is deliberate (a token
+    // mix is a closed allocation: an unlisted source contributes
+    // nothing), but it must be explicit — a caller who wants unlisted
+    // strata to pass through sets defaultBudget = Long.MaxValue, and
+    // any oracle replaying this must spell the same ELSE branch
+    // (explicit WHEN per stratum, ELSE <defaultBudget>)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (stratum, b)) =>
       when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
     }
     val w = Window.partitionBy(col(stratumCol))

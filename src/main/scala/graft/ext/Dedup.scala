@@ -453,6 +453,16 @@ object Dedup {
     var labels = nodes.withColumn("cluster", col("id"))
       .withColumn("_old", col("id")).cache()
     var converged = false
+    // localCheckpoint persists its row RDD OUTSIDE the CacheManager,
+    // so `labels.unpersist()` is a no-op on checkpointed iterations;
+    // track the live checkpoint's leaf RDDs and free them when the
+    // NEXT checkpoint materializes (by then nothing cached roots at
+    // the old one — the intermediate cached frames that did have all
+    // been unpersisted). The FINAL checkpoint must survive: the
+    // returned labels may root at it; it is reclaimed by the
+    // ContextCleaner once the result is garbage, or explicitly by a
+    // caller sweeping `sc.getPersistentRDDs` (the bench does).
+    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
     while (!converged && i < maxIter) {
       val propagated = edges
@@ -483,12 +493,18 @@ object Dedup {
       // recomputation only while every block survives; at depth the
       // logical plan also grows per iteration (analysis cost, lineage
       // replay on eviction). Truncate both every 5 iterations.
-      val next =
-        if ((i + 1) % 5 == 0) jumped.localCheckpoint()
-        else jumped.cache()
+      val isCkpt = (i + 1) % 5 == 0
+      val next = if (isCkpt) jumped.localCheckpoint() else jumped.cache()
       converged = next.filter(col("cluster") < col("_old")).count() == 0L
       if (i >= 4) propCached.unpersist() // next is materialized by the count
-      labels.unpersist()
+      labels.unpersist() // no-op when labels was itself a checkpoint — see below
+      if (isCkpt) {
+        // the new checkpoint is materialized (count above) and its plan
+        // is a fresh LogicalRDD — nothing live references the previous
+        // checkpoint's blocks anymore; free them now
+        liveCkptRdds.foreach(_.unpersist(blocking = false))
+        liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
+      }
       labels = next
       i += 1
     }

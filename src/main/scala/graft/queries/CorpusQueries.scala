@@ -136,7 +136,9 @@ object CorpusQueries {
         |)
         |SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
         |FROM c
-        |WHERE cum <= (CASE lang WHEN 'en' THEN 4000 ELSE 1500 END)
+        |WHERE cum <= (CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+        |  WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500 WHEN 'zh' THEN 1500
+        |  ELSE 0 END)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val budgets = Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L,
         "fr" -> 1500L, "zh" -> 1500L)

@@ -27,4 +27,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** The RDDs backing a DataFrame's `LogicalRDD` leaves. A
+    * `localCheckpoint()` persists the internal row RDD but does NOT
+    * register the Dataset with the CacheManager, so
+    * `Dataset.unpersist()` is a no-op on a checkpointed frame;
+    * releasing its storage needs the leaf RDD itself (`rdd.unpersist`).
+    * Used by iterative operators (connected components) that
+    * checkpoint periodically and must free superseded checkpoints.
+    */
+  def leafRdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    classic.ClassicConversions.castToImpl(df).queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr.rdd
+    }
 }

@@ -114,6 +114,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: unlisted stratum is dropped by default, kept via defaultBudget") {
+    val docs = Seq((0L, "a", "w w"), (1L, "b", "w w"), (2L, "zz", "w w"))
+      .toDF("doc_id", "lang", "text")
+    val budgets = Map("a" -> 10L, "b" -> 10L)
+    // default: closed allocation — 'zz' has no budget line, so it is dropped
+    val strict = Corpus.tokenBudgetSample(docs, budgets)
+      .select("lang").as[String].collect().toSet
+    assert(strict === Set("a", "b"))
+    // defaultBudget = MaxValue: unlisted strata pass through unbounded
+    val open = Corpus.tokenBudgetSample(docs, budgets, defaultBudget = Long.MaxValue)
+      .select("lang").as[String].collect().toSet
+    assert(open === Set("a", "b", "zz"))
+  }
+
   test("prepare: every stage of the composed pipeline binds") {
     val quick = "the quick brown fox jumps over the lazy dog and runs on, for miles."
     val docs = Seq(
