@@ -447,9 +447,14 @@ object Dedup {
     // (`_old`), so convergence ("any new < old?") needs no second
     // join — one count job per iteration materializes the cache AND
     // answers it (measured 35% faster than join+agg+join at sf0.1)
+    // NO distinct here: min-label propagation is invariant under
+    // duplicate edges (min over a multiset), so deduping the union is
+    // pure shuffle cost — 2|pairs| + |nodes| rows at corpus scale —
+    // paid once for zero semantic effect. Callers passing duplicated
+    // pairs just propagate over a few redundant rows.
     val edges = edges0
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .distinct().cache()
+      .cache()
     var labels = nodes.withColumn("cluster", col("id"))
       .withColumn("_old", col("id")).cache()
     var converged = false
@@ -463,8 +468,12 @@ object Dedup {
     // ContextCleaner once the result is garbage, or explicitly by a
     // caller sweeping `sc.getPersistentRDDs` (the bench does).
     var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    // dev-loop probe (GRAFT_CC_DEBUG=1): per-iteration wall time to
+    // stderr, for attributing loop cost to iterations vs upstream
+    val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     var i = 0
     while (!converged && i < maxIter) {
+      val itT0 = if (ccDebug) System.nanoTime() else 0L
       val propagated = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id"))
@@ -506,6 +515,8 @@ object Dedup {
         liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
       }
       labels = next
+      if (ccDebug) System.err.println(
+        f"[cc] iter=$i converged=$converged ${(System.nanoTime() - itT0) / 1e9}%.3f s")
       i += 1
     }
     edges.unpersist()
