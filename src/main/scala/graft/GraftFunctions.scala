@@ -57,6 +57,26 @@ object GraftFunctions {
         case other => sys.error(s"graft_approx_top_k: k must be an int literal, got $other")
       }
       graft.functions.ApproxTopK.MisraGries(exprs.head, k).toAggregateExpression()
+    },
+    "graft_bloom_agg" -> { exprs =>
+      require(exprs.length == 3,
+        "graft_bloom_agg(key, numBits, numHashes) — key BIGINT, literal sizes")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val bits = exprs(1) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case other => sys.error(s"graft_bloom_agg: numBits must be an integer literal, got $other")
+      }
+      val hashes = exprs(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_bloom_agg: numHashes must be an int literal, got $other")
+      }
+      graft.functions.BloomFilter.BloomAgg(exprs.head, bits, hashes)
+        .toAggregateExpression()
+    },
+    "graft_might_contain" -> { exprs =>
+      require(exprs.length == 2, "graft_might_contain(blob, key) takes two args")
+      graft.functions.BloomFilter.MightContain(exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

@@ -824,6 +824,35 @@ object Relational {
         .select(col("l_returnflag"),
           col("sum__q").cast("double").as("sum_l_quantity"), col("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ——— Bloom-filter semi-join reduction. The Bloom pre-filter is
+    //     result-transparent (false positives die in the exact semi
+    //     join, false negatives are impossible — BloomFilterSpec law),
+    //     so the oracle is the PLAIN semi join: the hash compare
+    //     proves the reduced plan changes nothing while the fact side
+    //     drops non-joining rows before the shuffle. ———
+    Q("q80_bloom_semi_join",
+      """WITH urgent AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.engine.BloomReduce.semiJoin(
+        t(s, dir, "lineitem"), urgent,
+        factKey = "l_orderkey", keyCol = "o_orderkey",
+        numBits = 1L << 18, numHashes = 7)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 }
