@@ -167,6 +167,60 @@ object Corpus {
     df.filter(coin < rate)
   }
 
+  /** Boilerplate-line removal (the CCNet/RefinedWeb line-dedup gate):
+    * a "line" (here a fixed `lineSize`-token span — the same split
+    * math as `chunk`, pinned against SQL in q64/q81) is boilerplate
+    * when it occurs in ≥ `minDf` distinct documents, optionally
+    * scoped per `groupCol` (domain-scoped nav/footer stripping);
+    * boilerplate lines are dropped and each document reassembled in
+    * original line order. Returns (id, clean_text, n_lines,
+    * n_removed).
+    *
+    * Shape: lines explode map-side; the document-frequency table is
+    * one hash aggregate on the 64-bit line hash (fixed-width key, as
+    * everywhere in dedup — exact absent a 64-bit collision); the
+    * mark join keys on the SAME hash so it reuses the aggregate's
+    * partitioning; reassembly is one aggregate on the doc id. No
+    * per-line state ever reaches the driver, so the gate is three
+    * shuffles at any corpus size.
+    */
+  def stripBoilerplate(docs: DataFrame, lineSize: Int = 8, minDf: Long = 2,
+                       groupCol: Option[String] = None,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(lineSize > 0, s"lineSize must be > 0: $lineSize")
+    require(minDf >= 2, s"minDf < 2 would strip every line: $minDf")
+    val gcols = groupCol.toSeq
+    val withToks = docs.select(
+      (col(idCol) +: gcols.map(col)) :+ TextStats.tokens(col(textCol)).as("_toks"): _*)
+    val toks = col("_toks")
+    val nLines = greatest(
+      ceil(size(toks).cast("double") / lineSize).cast("int"), lit(1))
+    val starts = transform(sequence(lit(0), nLines - 1), i => i * lineSize + 1)
+    val lines = withToks
+      .select((col(idCol) +: gcols.map(col)) ++
+        Seq(col("_toks"), posexplode(starts).as(Seq("line_id", "_start"))): _*)
+      .select((col(idCol) +: gcols.map(col)) ++ Seq(col("line_id"),
+        array_join(slice(col("_toks"), col("_start"), lit(lineSize)), " ")
+          .as("line")): _*)
+      .withColumn("_h", xxhash64(col("line")))
+    val dfKeys = gcols :+ "_h"
+    val dfTab = lines.groupBy(dfKeys.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val kept = lines.join(dfTab, dfKeys).filter(col("_df") < minDf)
+    val total = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("line_id"), col("line")))),
+        s => s.getField("line")), " ").as("clean_text"),
+      count(lit(1)).as("_n_kept"))
+    total.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Cross-modal alignment: documents joined to their embedding row
     * (id-aligned tables), the standard shape for "filter text by
     * embedding-space property" or "aggregate text stats per embedding

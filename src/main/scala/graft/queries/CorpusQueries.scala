@@ -100,6 +100,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ——— boilerplate-line removal (CCNet-style line dedup): a
+    //     lineSize-token span occurring in ≥ 2 distinct docs is
+    //     stripped; docs reassemble in line order. Oracle replays the
+    //     q64 chunk math + a line-frequency join + string_agg. ———
+    Q("q81_boilerplate_lines",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), starts AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, GREATEST(
+        |      CAST(ceil(CAST(len(ts) AS DOUBLE) / 8) AS INT), 1))) AS line_id
+        |  FROM toks
+        |), lines AS (
+        |  SELECT doc_id, CAST(line_id AS INT) AS line_id,
+        |    array_to_string(ts[line_id * 8 + 1 : line_id * 8 + 8], ' ') AS line
+        |  FROM starts
+        |), df AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+        |), kept AS (
+        |  SELECT l.doc_id, l.line_id, l.line
+        |  FROM lines l JOIN df USING (line) WHERE df < 2
+        |), total AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1
+        |), keptagg AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY line_id) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM total t LEFT JOIN keptagg k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      Corpus.stripBoilerplate(docs(s, dir), lineSize = 8, minDf = 2)
+        .orderBy("doc_id")
+    },
+
     // ——— cross-modal: text stats aggregated per embedding label
     //     (id-aligned documents ⋈ embeddings) ———
     Q("q65_crossmodal_stats",

@@ -146,6 +146,42 @@ class CorpusSpec extends SparkSpec {
     assert(out(0L).startsWith("the quick brown fox"))
   }
 
+  test("stripBoilerplate: shared lines go, unique lines stay in order") {
+    // line size 2 → doc 0/1 share the line "nav bar"; "alpha beta",
+    // "gamma delta" are unique; doc 2 is untouched
+    val docs = Seq(
+      (0L, "nav bar alpha beta"),
+      (1L, "nav bar gamma delta"),
+      (2L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(docs, lineSize = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ===
+      Seq("alpha beta", "gamma delta", "epsilon zeta eta theta"))
+    assert(out.map(_.getAs[Long]("n_removed")).toSeq === Seq(1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("n_lines")).toSeq === Seq(2L, 2L, 2L))
+  }
+
+  test("stripBoilerplate: group scoping, full-boilerplate doc, invariance") {
+    val docs = Seq(
+      (0L, "a", "nav bar"), (1L, "a", "nav bar"),    // same group → stripped
+      (2L, "b", "nav bar"),                          // alone in group b → kept
+      (3L, "a", "nav bar")                           // stripped, fully empty
+    ).toDF("doc_id", "grp", "text")
+    val out = Corpus.stripBoilerplate(docs, lineSize = 2, minDf = 2,
+      groupCol = Some("grp")).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ===
+      Seq("", "", "nav bar", ""))
+    // partition invariance: same result at any layout
+    val alt = Corpus.stripBoilerplate(docs.repartition(13), lineSize = 2,
+      minDf = 2, groupCol = Some("grp")).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === alt.map(_.toSeq).toSeq)
+    // minDf < 2 is a foot-gun, rejected
+    intercept[IllegalArgumentException] {
+      Corpus.stripBoilerplate(docs, lineSize = 2, minDf = 1)
+    }
+  }
+
   test("withEmbeddings aligns ids and keeps both sides' columns") {
     val d = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
     val e = Seq((0L, Array(1.0f), 7), (1L, Array(2.0f), 8))
