@@ -238,6 +238,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| over distinct
+    * n-gram shingle sets — the quote/wrapper detector symmetric
+    * Jaccard structurally misses (a 100-shingle doc fully embedded in
+    * a 10,000-shingle doc has Jaccard ≤ 0.01 but containment 1.0;
+    * the standard dedup batteries run BOTH gates). Emits one row per
+    * unordered pair sharing ≥1 surviving shingle with both directed
+    * scores; `minContainment` filters on the larger direction.
+    *
+    * Same inverted-index shape and `maxDf` hot-shingle guard as
+    * `ngramJaccardPairs` (capped by default — the uncapped quadratic
+    * path is an explicit opt-in), so the scale posture is identical:
+    * shuffle on shingle hash, then on the pair, never the n² blowup.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, minContainment: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxDf: Option[Long] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+    val shAll = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = maxDf match {
+      case Some(cap) =>
+        shAll.withColumn("_df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .filter(col("_df") <= cap)
+          .select(col(idCol), col("shingle"))
+      case None => shAll
+    }
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val l = sh.toDF("id_a", "shingle")
+    val r = sh.toDF("id_b", "shingle")
+    val inter = l.join(r, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
+      .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
   /** The composed large-corpus near-dup path: MinHash/LSH candidate
     * generation followed by exact-Jaccard verification ON THE
     * CANDIDATES ONLY. This is the default shape for corpus-wide dedup

@@ -532,6 +532,44 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ——— asymmetric containment |A∩B|/|A|: the quote/wrapper gate
+    //     symmetric Jaccard misses; same capped inverted index as
+    //     q60, both directed scores emitted. ———
+    Q("q82_containment_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), dfc AS (
+        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 10
+        |), sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(i AS DOUBLE) / ca.n, 6) AS cont_a,
+        |  ROUND(CAST(i AS DOUBLE) / cb.n, 6) AS cont_b
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE GREATEST(ROUND(CAST(i AS DOUBLE) / ca.n, 6),
+        |               ROUND(CAST(i AS DOUBLE) / cb.n, 6)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 3, minContainment = 0.6,
+        maxDf = Some(10L))
+        .orderBy("id_a", "id_b")
+    },
+
     // ——— MinHash candidates with the hot-bucket skew guard: buckets
     //     holding > 10 docs are dropped (non-discriminative
     //     signatures; the B² pair blowup is the one cost AQE cannot

@@ -29,6 +29,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches a quote Jaccard misses; directions are exact") {
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val quote = (50 to 60).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq((0L, long), (1L, quote), (2L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    // every shingle of the quote is in the long doc → cont(quote)=1.0,
+    // while Jaccard = 9/198 ≈ 0.045 stays under any useful threshold
+    val cont = Dedup.containmentPairs(cdocs, n = 3, minContainment = 0.9,
+        maxDf = None).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) === (0L, 1L))
+    assert(r.getAs[Double]("cont_b") === 1.0)      // quote ⊆ long doc
+    assert(r.getAs[Double]("cont_a") < 0.1)
+    val jac = Dedup.ngramJaccardPairs(cdocs, n = 3, minJaccard = 0.5,
+      maxDf = None).count()
+    assert(jac === 0L)
+    // default is capped, like ngramJaccardPairs
+    assert(Dedup.containmentPairs(cdocs, n = 3, minContainment = 0.9)
+      .columns.toSeq === Seq("id_a", "id_b", "cont_a", "cont_b"))
+  }
+
   test("minhash LSH candidates contain the true near-dups") {
     val cands = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
