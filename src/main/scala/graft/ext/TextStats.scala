@@ -56,6 +56,65 @@ object TextStats {
     round((lenScore + punctOk + stopOk) / lit(3.0), 6)
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, §A1.1 — the
+    * de-facto standard pre-filter for web training corpora), as one
+    * map-only projection: per-document structural metrics plus the
+    * composite `pass` gate. All built-ins + HOFs over arrays that are
+    * materialized ONCE in their own projection (the interpreted-HOF
+    * re-evaluation trap — see Dedup.shingles), so the battery is a
+    * zero-shuffle scan at any corpus size.
+    *
+    * Rules (document fails if any gate fails):
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] chars;
+    *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1;
+    *  - ≤ 90% of lines start with a bullet ('-', '*', '•');
+    *  - ≤ 30% of lines end with '...';
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 distinct common-English stopword hits.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol), t,
+      tokens(t).as("_toks"), split(t, "\n").as("_lines"))
+    val toks = col("_toks")
+    val lines = col("_lines")
+    val nWords = size(toks).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipses = regexp_count(t, lit("\\.\\.\\.")).cast("long")
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") /
+        size(lines)
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / size(lines)
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / size(toks)
+    val stopHits = gopherStopwords
+      .map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val m = base.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanWordLen(t), 6).as("mean_word_len"),
+      round((hashes + ellipses).cast("double") / nWords, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+    m.withColumn("pass",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        (col("symbol_ratio") <= 0.1) &&
+        (col("bullet_line_frac") <= 0.9) &&
+        (col("ellipsis_line_frac") <= 0.3) &&
+        (col("alpha_word_frac") >= 0.8) &&
+        (col("stop_hits") >= 2L))
+  }
+
   /** Content-defined fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Stable across engines (md5 is standard), used as
     * the exact-dedup key.

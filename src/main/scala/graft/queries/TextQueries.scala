@@ -710,6 +710,54 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ——— the Gopher quality-rule battery (Rae et al. 2021 §A1.1):
+    //     structural metrics + composite gate, map-only. Same
+    //     formulas replayed in SQL, rule thresholds single-valued in
+    //     both engines. ———
+    Q("q83_gopher_rules",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(ts), 6) AS mean_word_len,
+        |    ROUND(CAST(length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |      / len(ts), 6) AS symbol_ratio,
+        |    ROUND(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      AS DOUBLE) / len(ls), 6) AS bullet_line_frac,
+        |    ROUND(CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+        |      AS DOUBLE) / len(ls), 6) AS ellipsis_line_frac,
+        |    ROUND(CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+        |      AS DOUBLE) / len(ts), 6) AS alpha_word_frac,
+        |    CAST(CAST(list_contains(ts, 'the') AS INT)
+        |      + CAST(list_contains(ts, 'be') AS INT)
+        |      + CAST(list_contains(ts, 'to') AS INT)
+        |      + CAST(list_contains(ts, 'of') AS INT)
+        |      + CAST(list_contains(ts, 'and') AS INT)
+        |      + CAST(list_contains(ts, 'that') AS INT)
+        |      + CAST(list_contains(ts, 'have') AS INT)
+        |      + CAST(list_contains(ts, 'with') AS INT) AS BIGINT) AS stop_hits
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8
+        |    AND stop_hits >= 2) AS pass
+        |FROM m
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.gopherQuality(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ——— full TF-IDF matrix (deterministically ordered by doc/token;
     //     ln() rounded to 6 — no float-order-dependent ranking) ———
     Q("q47_tfidf",

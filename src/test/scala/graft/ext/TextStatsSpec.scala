@@ -43,6 +43,24 @@ class TextStatsSpec extends SparkSpec {
     got.foreach { case (exp, pred) => assert(pred === exp, s"expected $exp got $pred") }
   }
 
+  test("gopher rules: clean prose passes, each degenerate shape fails its gate") {
+    val longProse = ("the quick brown fox jumps over a lazy dog and " +
+      "that sentence repeats with more plain words to have length ") * 5
+    val docs = Seq(
+      (0L, longProse),                                       // passes all
+      (1L, "too short to count"),                            // n_words
+      (2L, Seq.fill(60)("- bullet line").mkString("\n")),    // bullets
+      (3L, (("#### " * 20) + longProse)),                    // symbols
+      (4L, Seq.fill(60)("1 2 3 4 5 6 7 8 9 10").mkString(" ")) // no alpha
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherQuality(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("pass")).toSeq ===
+      Seq(true, false, false, false, false))
+    val bulletDoc = out(2)
+    assert(bulletDoc.getAs[Double]("bullet_line_frac") === 1.0)
+    assert(out(4).getAs[Double]("alpha_word_frac") === 0.0)
+  }
+
   test("quality score is bounded [0,1] and penalizes junk") {
     val df = Seq(
       ("good", "this is a perfectly reasonable sentence with enough words to score well and a few more tokens for length"),
