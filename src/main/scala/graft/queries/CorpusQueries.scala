@@ -137,6 +137,54 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ——— URL provenance: host extraction (userinfo/port-robust),
+    //     registered-domain rollup, per-domain stats + blocklist
+    //     flag. URLs synthesized deterministically (q76's PII
+    //     pattern); regexes single-sourced from ext.Urls into the
+    //     oracle. ———
+    Q("q84_url_domain_stats", {
+      import graft.ext.Urls
+      s"""WITH u AS (
+         |  SELECT doc_id, text,
+         |    concat('https://',
+         |      CASE WHEN doc_id % 6 = 1 THEN 'user:pw@' ELSE '' END,
+         |      CASE doc_id % 6
+         |        WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'docs.example.com'
+         |        WHEN 2 THEN 'spam.badsite.net' WHEN 3 THEN 'cdn.badsite.net'
+         |        WHEN 4 THEN 'blog.goodsite.io' ELSE 'news.goodsite.io' END,
+         |      CASE WHEN doc_id % 6 = 4 THEN ':8443' ELSE '' END,
+         |      '/', source, '/', CAST(doc_id AS VARCHAR)) AS url
+         |  FROM documents
+         |), d AS (
+         |  SELECT regexp_extract(regexp_extract(url, '${Urls.HostRe}', 1),
+         |      '${Urls.RegisteredDomainRe}', 1) AS domain,
+         |    len(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM u
+         |)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+         |  (domain = 'badsite.net') AS blocked
+         |FROM d GROUP BY domain
+         |ORDER BY domain""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Urls
+      val d = docs(s, dir)
+      val hostCol = (col("doc_id") % 6)
+      val withUrl = d.withColumn("url", concat(lit("https://"),
+        when(hostCol === 1, lit("user:pw@")).otherwise(lit("")),
+        when(hostCol === 0, lit("www.example.com"))
+          .when(hostCol === 1, lit("docs.example.com"))
+          .when(hostCol === 2, lit("spam.badsite.net"))
+          .when(hostCol === 3, lit("cdn.badsite.net"))
+          .when(hostCol === 4, lit("blog.goodsite.io"))
+          .otherwise(lit("news.goodsite.io")),
+        when(hostCol === 4, lit(":8443")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/"), col("doc_id").cast("string")))
+      Urls.domainStats(withUrl)
+        .withColumn("blocked", col("domain") === "badsite.net")
+        .orderBy("domain")
+    },
+
     // ——— cross-modal: text stats aggregated per embedding label
     //     (id-aligned documents ⋈ embeddings) ———
     Q("q65_crossmodal_stats",
