@@ -826,6 +826,46 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ——— Morton (Z-order) layout key: interleaved-bit clustering
+    //     key as pure shift/mask arithmetic — the file-skipping
+    //     lever for 2-D selective scans (engine.Layout.writeZOrdered
+    //     turns it into tight per-file footer stats; pruning law in
+    //     LayoutSpec). Oracle replays the spread bit-for-bit. ———
+    Q("q85_zorder_key",
+      """WITH m AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 256 AS x, l_suppkey % 256 AS y
+        |  FROM lineitem
+        |), s0 AS (
+        |  SELECT *, x & 65535 AS xs, y & 65535 AS ys FROM m
+        |), s1 AS (
+        |  SELECT * REPLACE ((xs | (xs << 8)) & 16711935 AS xs,
+        |                    (ys | (ys << 8)) & 16711935 AS ys) FROM s0
+        |), s2 AS (
+        |  SELECT * REPLACE ((xs | (xs << 4)) & 252645135 AS xs,
+        |                    (ys | (ys << 4)) & 252645135 AS ys) FROM s1
+        |), s3 AS (
+        |  SELECT * REPLACE ((xs | (xs << 2)) & 858993459 AS xs,
+        |                    (ys | (ys << 2)) & 858993459 AS ys) FROM s2
+        |), s4 AS (
+        |  SELECT * REPLACE ((xs | (xs << 1)) & 1431655765 AS xs,
+        |                    (ys | (ys << 1)) & 1431655765 AS ys) FROM s3
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(xs | (ys << 1) AS BIGINT) AS zval
+        |FROM s4
+        |ORDER BY zval, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).cast("long").as("x"),
+          (col("l_suppkey") % 256).cast("long").as("y"))
+        .withColumn("zval", graft.engine.Layout.zValue(col("x"), col("y")))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(20)
+    },
+
     // ——— Bloom-filter semi-join reduction. The Bloom pre-filter is
     //     result-transparent (false positives die in the exact semi
     //     join, false negatives are impossible — BloomFilterSpec law),
