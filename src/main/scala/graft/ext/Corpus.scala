@@ -262,11 +262,24 @@ object Corpus {
       .groupBy(TextStats.fingerprint(col(textCol)).as("_fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exactKept = gated.join(keepExact, Seq(idCol), "left_semi")
+    // cache the exact-dedup survivors: they root THREE subtrees (LSH
+    // signatures, verify-join shingles, and the final anti-join's
+    // left side), and uncached each one replays the scan + quality
+    // gate + fingerprint aggregate + semi-join (measured ~1 s per
+    // extra replay at sf0.1). A composed pipeline owns its
+    // intermediate's lifecycle, so the cache is released as soon as
+    // the result materializes — standard cache-fork-unpersist.
+    val exactKept = gated.join(keepExact, Seq(idCol), "left_semi").cache()
     val pairs = Dedup.minhashVerifiedPairs(exactKept, n, k, bands, minJaccard,
       idCol, textCol)
-    Dedup.applyNearDedup(exactKept, pairs, idCol)
+    val out = Dedup.applyNearDedup(exactKept, pairs, idCol)
       .select(col(idCol) +: keepCols.map(col) :+
         Privacy.redact(col(textCol)).as("redacted"): _*)
+    // materialize through the cache once, then let the blocks go: the
+    // localCheckpoint truncates `out`'s lineage so nothing downstream
+    // re-reads the unpersisted cache
+    val snap = out.localCheckpoint()
+    exactKept.unpersist()
+    snap
   }
 }
