@@ -77,6 +77,21 @@ object GraftFunctions {
     "graft_might_contain" -> { exprs =>
       require(exprs.length == 2, "graft_might_contain(blob, key) takes two args")
       graft.functions.BloomFilter.MightContain(exprs(0), exprs(1))
+    },
+    "graft_cms_agg" -> { exprs =>
+      require(exprs.length == 3,
+        "graft_cms_agg(token, depth, width) — literal sizes")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val Seq(d, w) = exprs.tail.map {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_cms_agg: depth/width must be int literals, got $other")
+      }
+      graft.functions.CountMin.CountMinAgg(exprs.head, d, w)
+        .toAggregateExpression()
+    },
+    "graft_cms_estimate" -> { exprs =>
+      require(exprs.length == 2, "graft_cms_estimate(blob, token) takes two args")
+      graft.functions.CountMin.CmsEstimate(exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

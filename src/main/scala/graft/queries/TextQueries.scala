@@ -274,6 +274,47 @@ object TextQueries {
         probs = Seq(0.25, 0.5, 0.75, 0.95)).orderBy("lang")
     },
 
+    // ——— Count-Min point frequencies: per-lang sketch probed at the
+    //     exact top-5 tokens; the one-sided and width-bound contracts
+    //     ride the hash compare as TRUE-pinned booleans (q73/q74's
+    //     sketch-contract pattern). Production form: the CMS blob
+    //     alone — depth×width state per group at any corpus size. ———
+    Q("q86_cms_frequencies",
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), ex AS (
+        |  SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+        |), top AS (
+        |  SELECT lang, tok, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |  FROM ex
+        |)
+        |SELECT lang, tok AS token, CAST(n AS BIGINT) AS n_exact,
+        |  TRUE AS cms_lower_ok, TRUE AS cms_within_bound
+        |FROM top WHERE rn <= 5
+        |ORDER BY lang, token""".stripMargin) { (s, dir) =>
+      import graft.functions.CountMin
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      val cms = toks.groupBy("lang")
+        .agg(CountMin.cmsAgg(col("tok"), depth = 5, width = 2048).as("blob"),
+          count(lit(1)).as("n_total"))
+      val top = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n_exact"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_exact").desc, col("tok"))))
+        .filter(col("_rn") <= 5)
+      top.join(cms, "lang")
+        .select(col("lang"), col("tok").as("token"), col("n_exact"),
+          (CountMin.cmsEstimate(col("blob"), col("tok")) >= col("n_exact"))
+            .as("cms_lower_ok"),
+          (CountMin.cmsEstimate(col("blob"), col("tok")) <= col("n_exact")
+            + ceil(lit(3.0 * math.E) * col("n_total") / lit(2048)).cast("long"))
+            .as("cms_within_bound"))
+        .orderBy("lang", "token")
+    },
+
     // ——— heavy hitters: exact per-lang top-5 tokens (oracle-able)
     //     plus the Misra-Gries sketch's CONTAINMENT guarantee as a
     //     TRUE-pinned boolean — every top-5 token's frequency exceeds
