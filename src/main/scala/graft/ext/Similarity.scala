@@ -217,6 +217,47 @@ object Similarity {
       .agg(min(col("_sc")).getField("cell").as("cell"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: cluster-partition the
+    * corpus with the coarse quantizer, then compare pairs ONLY within
+    * each cell. All-pairs cosine is n²; cluster partitioning cuts it
+    * to Σ|cell|² ≈ n²/k for balanced cells — the published SemDeDup
+    * recipe (Abbas et al. 2023) and the embedding twin of LSH-bucketed
+    * text dedup. The trade is recall at cell BOUNDARIES: a pair split
+    * across cells is never compared (quantified in SimilaritySpec —
+    * brute-subset law + planted-dup recall on clustered data).
+    *
+    * Shape: one broadcast assignment pass (`ivfAssign`, no shuffle),
+    * one self-join shuffled on the cell id — skewed cells split by
+    * AQE; `maxCell` drops cells larger than the cap outright (the
+    * hot-bucket guard, same rationale as LSH's `maxBucket`).
+    */
+  def semanticNearDupPairs(embeddings: DataFrame,
+                           centroids: Seq[(Int, Seq[Float])],
+                           threshold: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Option[Long] = None): DataFrame = {
+    val assigned0 = ivfAssign(embeddings.select(col(idCol), col(vecCol)),
+      centroids, vecCol)
+    val assigned = maxCell match {
+      case Some(cap) =>
+        assigned0.withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+          .filter(col("_n") <= cap)
+          .select(col(idCol), col(vecCol), col("cell"))
+      case None => assigned0
+    }
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    l.join(r, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cell", "cos_sim")
+  }
+
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
                        vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row

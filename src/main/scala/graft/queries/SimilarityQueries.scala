@@ -129,6 +129,44 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 
+    // ——— SemDeDup: cluster-partitioned semantic near-dup pairs —
+    //     all-pairs cosine cut to within-cell pairs by the k-means
+    //     quantizer (n²/k). Same centroid-fixture trick as q48: the
+    //     oracle replays assignment and the within-cell pair scan in
+    //     SQL. Threshold matches q41, so the result is exactly q41's
+    //     pairs that land in one cell — the recall trade made
+    //     measurable. ———
+    Q("q87_semantic_dedup",
+      s"""WITH cents AS (SELECT cell, comps FROM read_parquet('${Fixtures.sqlPath("q87_centroids")}')),
+         |scored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    -2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.comps[i] AS DOUBLE)))
+         |      + list_sum(list_transform(c.comps,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), v AS (
+         |  SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+      Fixtures.write("q87_centroids",
+        Fixtures.floatVectorTable(s, "cell", "comps", cents))
+      Similarity.semanticNearDupPairs(e, cents, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // ——— array/list function battery over the vector column ———
     Q("q55_array_ops",
       """SELECT vec_id,

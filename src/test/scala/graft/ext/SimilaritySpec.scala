@@ -134,6 +134,33 @@ class SimilaritySpec extends SparkSpec {
     assert(qRow.forall(b => b >= -127 && b <= 127))
   }
 
+  test("semanticNearDupPairs: exactly the within-cell brute pairs; cap law") {
+    val e = emb
+    val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+    val sem = Similarity.semanticNearDupPairs(e, cents, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineNearDupPairs(e, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute))
+    // within-cell EXACTNESS: brute pairs restricted to co-assigned
+    // vectors == the semantic result (the only loss is cell splits)
+    val cellOf = Similarity.ivfAssign(e, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val bruteSameCell = brute.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(sem === bruteSameCell)
+    // planted near-dups in the testdata are tight (cos ≥ 0.99) →
+    // co-located by any sane quantizer; require high recall on them
+    val tight = Similarity.cosineNearDupPairs(e, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (tight.nonEmpty) {
+      val got = sem.intersect(tight).size.toDouble / tight.size
+      assert(got >= 0.9, s"planted recall $got")
+    }
+    // hot-cell guard: cap 1 leaves no comparable pairs
+    assert(Similarity.semanticNearDupPairs(e, cents, 0.4,
+      maxCell = Some(1L)).count() === 0L)
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb.limit(50), threshold = 0.3)
       .collect()

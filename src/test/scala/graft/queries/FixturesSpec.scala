@@ -66,6 +66,8 @@ class FixturesSpec extends SparkSpec {
     assert(minAbs > 1e-9, f"sign margin $minAbs%.3e too small — oracle bit could flip")
   }
 
+  // (q87's oracle replays the SAME kmeansCentroids(8, 3) assignment
+  // argmin over the same vectors, so this margin covers it too)
   test("q48: centroid argmin and probe cut clear their tie boundaries") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = graft.ext.Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
