@@ -314,6 +314,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥
+    * `minShared` distinct n-gram shingles with any document of an
+    * evaluation set — the n-gram-overlap contamination check every
+    * serious training-data pipeline runs before a model ships (the
+    * GPT-3/PaLM appendix methodology). Returns (idCol, evalIdCol,
+    * n_shared); `applyDecontamination` drops flagged docs.
+    *
+    * Shape: cross-corpus inverted index — corpus shingles (maxDf-
+    * capped: an n-gram shared by half the corpus is boilerplate, not
+    * contamination evidence, and its posting list is the quadratic
+    * risk) joined to eval-set shingles on the 64-bit hash, one
+    * count aggregate per (doc, eval) pair. The eval side is
+    * benchmark-sized, so the join's build side stays small at any
+    * corpus scale.
+    */
+  def contaminationPairs(corpus: DataFrame, evalDocs: DataFrame,
+                         n: Int, minShared: Long,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         evalIdCol: String = "eval_id",
+                         maxDf: Option[Long] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+    val cShAll = shingles(corpus, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val cSh = maxDf match {
+      case Some(cap) =>
+        cShAll.withColumn("_df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .filter(col("_df") <= cap)
+          .select(col(idCol), col("shingle"))
+      case None => cShAll
+    }
+    val eSh = shingles(evalDocs, n, evalIdCol, textCol)
+      .select(col(evalIdCol), xxhash64(col("shingle")).as("shingle"))
+    cSh.join(eSh, "shingle")
+      .groupBy(col(idCol), col(evalIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Drop every corpus doc flagged against ANY eval doc: one
+    * anti-join on the doc id.
+    */
+  def applyDecontamination(corpus: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame =
+    corpus.join(pairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // ——— incremental dedup against a persisted index ———
 
   /** The persisted LSH index for incremental (new-shard-vs-corpus)

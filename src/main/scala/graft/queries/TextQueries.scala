@@ -573,6 +573,42 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ——— benchmark decontamination: corpus docs sharing ≥ 5 capped
+    //     3-gram shingles with the held-out "benchmark" slice
+    //     (doc_id % 50 = 0). Cross-corpus inverted index; cap df
+    //     computed on the corpus side, mirroring the engine. ———
+    Q("q88_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), csh0 AS (
+        |  SELECT doc_id, shingle FROM sh0 WHERE doc_id % 50 <> 0
+        |), dfc AS (
+        |  SELECT shingle FROM csh0 GROUP BY shingle HAVING COUNT(*) <= 10
+        |), csh AS (
+        |  SELECT csh0.doc_id, csh0.shingle FROM csh0 JOIN dfc USING (shingle)
+        |), esh AS (
+        |  SELECT doc_id AS eval_id, shingle FROM sh0 WHERE doc_id % 50 = 0
+        |)
+        |SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM csh c JOIN esh e USING (shingle)
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5
+        |ORDER BY doc_id, eval_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val evalSet = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      Dedup.contaminationPairs(corpus, evalSet, n = 3, minShared = 5L,
+        maxDf = Some(10L))
+        .orderBy("doc_id", "eval_id")
+    },
+
     // ——— asymmetric containment |A∩B|/|A|: the quote/wrapper gate
     //     symmetric Jaccard misses; same capped inverted index as
     //     q60, both directed scores emitted. ———

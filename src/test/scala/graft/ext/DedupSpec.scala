@@ -51,6 +51,24 @@ class DedupSpec extends SparkSpec {
       .columns.toSeq === Seq("id_a", "id_b", "cont_a", "cont_b"))
   }
 
+  test("decontamination flags the leaked doc, spares clean ones, and applies") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalSet = Seq((100L, benchText)).toDF("eval_id", "text")
+    val corpus = Seq(
+      (0L, s"prefix words then $benchText and a suffix"), // leaked verbatim
+      (1L, "completely different content with no overlap at all"),
+      (2L, "alpha beta only shares two tokens one shingle")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, evalSet, n = 3,
+      minShared = 5L, maxDf = None)
+    val flagged = pairs.select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(0L))
+    assert(pairs.head().getAs[Long]("n_shared") >= 8L) // the bench's 8 shingles
+    val clean = Dedup.applyDecontamination(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(1L, 2L))
+  }
+
   test("minhash LSH candidates contain the true near-dups") {
     val cands = Dedup.minhashCandidates(docs, n = 3, k = 32, bands = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
