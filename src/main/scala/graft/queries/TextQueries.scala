@@ -575,7 +575,7 @@ object TextQueries {
 
     // ——— benchmark decontamination: corpus docs sharing ≥ 5 capped
     //     3-gram shingles with the held-out "benchmark" slice
-    //     (doc_id % 50 = 0). Cross-corpus inverted index; cap df
+    //     (doc_id % 10 = 0). Cross-corpus inverted index; cap df
     //     computed on the corpus side, mirroring the engine. ———
     Q("q88_decontamination",
       """WITH toks AS (
@@ -587,13 +587,13 @@ object TextQueries {
         |      ELSE [array_to_string(ts, ' ')] END) AS shingle
         |  FROM toks
         |), csh0 AS (
-        |  SELECT doc_id, shingle FROM sh0 WHERE doc_id % 50 <> 0
+        |  SELECT doc_id, shingle FROM sh0 WHERE doc_id % 10 <> 0
         |), dfc AS (
         |  SELECT shingle FROM csh0 GROUP BY shingle HAVING COUNT(*) <= 10
         |), csh AS (
         |  SELECT csh0.doc_id, csh0.shingle FROM csh0 JOIN dfc USING (shingle)
         |), esh AS (
-        |  SELECT doc_id AS eval_id, shingle FROM sh0 WHERE doc_id % 50 = 0
+        |  SELECT doc_id AS eval_id, shingle FROM sh0 WHERE doc_id % 10 = 0
         |)
         |SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM csh c JOIN esh e USING (shingle)
@@ -601,9 +601,9 @@ object TextQueries {
         |HAVING COUNT(*) >= 5
         |ORDER BY doc_id, eval_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val evalSet = d.filter(col("doc_id") % 50 === 0)
+      val evalSet = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("eval_id"), col("text"))
-      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
       Dedup.contaminationPairs(corpus, evalSet, n = 3, minShared = 5L,
         maxDf = Some(10L))
         .orderBy("doc_id", "eval_id")
