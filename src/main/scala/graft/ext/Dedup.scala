@@ -314,6 +314,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup-quality audit: LSH candidate generation measured against
+    * exact-Jaccard ground truth — recall (what fraction of true
+    * near-dup pairs the banding surfaces) and raw-candidate
+    * precision (how much the exact-verify stage must filter). A
+    * pipeline tuning (k, bands) reads THESE numbers, so the engine
+    * ships the measurement as an operator rather than a notebook
+    * ritual. One full-outer join + one aggregate, no collect; at
+    * corpus scale run it on a stratified sample (the truth side is
+    * the quadratic one — that is the point of the audit).
+    */
+  def auditLshRecall(docs: DataFrame, n: Int = 3, k: Int = 32,
+                     bands: Int = 8, minJaccard: Double = 0.5,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, minJaccard, idCol, textCol,
+        maxDf = None)
+      .select("id_a", "id_b").withColumn("_t", lit(1L))
+    val cand = minhashCandidates(docs, n, k, bands, idCol, textCol)
+      .withColumn("_c", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(col("_t")).as("n_true"),
+        sum(col("_c")).as("n_cand"),
+        sum(col("_t") * col("_c")).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6)
+          .as("cand_precision"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing ≥
     * `minShared` distinct n-gram shingles with any document of an
     * evaluation set — the n-gram-overlap contamination check every

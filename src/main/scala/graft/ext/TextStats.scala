@@ -115,6 +115,32 @@ object TextStats {
         (col("stop_hits") >= 2L))
   }
 
+  /** Unigram log-probability scoring — the language-model-proxy
+    * quality filter (CCNet's "perplexity bucket" idea with the
+    * corpus's own unigram model standing in for the LM): score each
+    * document by the mean ln p(token) under the corpus unigram
+    * distribution. Gibberish and boilerplate-heavy docs sit in the
+    * tails; the middle of the distribution is "normal" text.
+    *
+    * Shape: token explode (map) → frequency aggregate (one shuffle
+    * on token) → join back on the SAME key (exchange reused) → one
+    * per-doc aggregate. Linear at any corpus size; the frequency
+    * table is vocabulary-sized.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n")).select(col("n"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("n"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** Content-defined fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Stable across engines (md5 is standard), used as
     * the exact-dedup key.

@@ -609,6 +609,62 @@ object TextQueries {
         .orderBy("doc_id", "eval_id")
     },
 
+    // ——— dedup-quality audit: LSH candidate recall / raw precision
+    //     vs exact-Jaccard ground truth, as ONE full-outer join +
+    //     aggregate. The oracle rebuilds both sides (q35's truth,
+    //     q57's md5 banding) and the same confusion counts. ———
+    Q("q90_dedup_audit",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE NULL END AS _t,
+        |         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE NULL END AS _c
+        |  FROM truth t FULL OUTER JOIN cand c
+        |    ON t.id_a = c.id_a AND t.id_b = c.id_b
+        |)
+        |SELECT CAST(SUM(_t) AS BIGINT) AS n_true,
+        |  CAST(SUM(_c) AS BIGINT) AS n_cand,
+        |  CAST(SUM(_t * _c) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(_t * _c) AS DOUBLE) / SUM(_t), 6) AS recall,
+        |  ROUND(CAST(SUM(_t * _c) AS DOUBLE) / SUM(_c), 6) AS cand_precision
+        |FROM j""".stripMargin) { (s, dir) =>
+      Dedup.auditLshRecall(docs(s, dir), n = 3, k = 32, bands = 8,
+        minJaccard = 0.5)
+    },
+
     // ——— asymmetric containment |A∩B|/|A|: the quote/wrapper gate
     //     symmetric Jaccard misses; same capped inverted index as
     //     q60, both directed scores emitted. ———
@@ -833,6 +889,25 @@ object TextQueries {
         |FROM m
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextStats.gopherQuality(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ——— unigram log-prob quality score (the corpus's own unigram
+    //     model as the LM proxy — CCNet's perplexity-bucket shape).
+    //     avg(ln tf/N) replayed in SQL; round(6) absorbs summation-
+    //     order FP reorder error (~1e-13 over ~60 terms). ———
+    Q("q89_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+        |), n AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(f.tf AS DOUBLE) / n.n)), 6) AS avg_logprob
+        |FROM toks t JOIN freq f USING (tok) CROSS JOIN n
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      TextStats.unigramLogProb(docs(s, dir)).orderBy("doc_id")
     },
 
     // ——— full TF-IDF matrix (deterministically ordered by doc/token;

@@ -51,6 +51,19 @@ class DedupSpec extends SparkSpec {
       .columns.toSeq === Seq("id_a", "id_b", "cont_a", "cont_b"))
   }
 
+  test("audit: LSH recall/precision confusion counts are exact") {
+    val a = Dedup.auditLshRecall(docs).head()
+    // three true pairs: (0,1) exact, (0,2) near, and (1,2) — both
+    // being near-dups of 0 makes them near each other
+    assert(a.getAs[Long]("n_true") === 3L)
+    val hit = a.getAs[Long]("n_hit")
+    assert(hit >= 2L && hit <= 3L)
+    assert(a.getAs[Double]("recall") ===
+      math.round(hit.toDouble / 3L * 1e6) / 1e6)
+    assert(a.getAs[Long]("n_cand") >= hit)
+    assert(a.getAs[Double]("cand_precision") > 0.0)
+  }
+
   test("decontamination flags the leaked doc, spares clean ones, and applies") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val evalSet = Seq((100L, benchText)).toDF("eval_id", "text")

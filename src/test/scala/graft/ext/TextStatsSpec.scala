@@ -43,6 +43,19 @@ class TextStatsSpec extends SparkSpec {
     got.foreach { case (exp, pred) => assert(pred === exp, s"expected $exp got $pred") }
   }
 
+  test("unigram logprob: common-token docs score above rare-token docs") {
+    val docs = Seq(
+      (0L, "the the the the"),          // most frequent token
+      (1L, "rare1 rare2 rare3 rare4")   // singletons
+    ).toDF("doc_id", "text")
+    val m = TextStats.unigramLogProb(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(m(0L)._1 === 4L && m(1L)._1 === 4L)
+    assert(m(0L)._2 > m(1L)._2)  // ln(4/8) > ln(1/8)
+    assert(m(0L)._2 === math.round(math.log(0.5) * 1e6) / 1e6)
+  }
+
   test("gopher rules: clean prose passes, each degenerate shape fails its gate") {
     val longProse = ("the quick brown fox jumps over a lazy dog and " +
       "that sentence repeats with more plain words to have length ") * 5
