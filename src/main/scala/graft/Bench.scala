@@ -58,7 +58,13 @@ object Bench {
     val warm = java.nio.file.Files.createTempDirectory("bench_warm").toString
     spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
     spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop subset filter: SPARK_GRAFT_ONLY=q57,q58 runs just those
+    // (prefix match); unset = the full battery. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val (secs, err) = measure(fn(spark, sfDir))
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       // isolation between measured queries (OUTSIDE the timed region):
