@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized to the sandbox (128 GiB): the r5 driver bench showed
+  // an 8g heap GC-thrashing q58's connected-components loop after 57
+  // prior queries' broadcast/cache churn (102.7 s vs 12.9 s standalone).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 
 scalacOptions += "-deprecation"

@@ -28,15 +28,30 @@ object Bench {
     * the driver can cross-check a suspiciously fast query against
     * CORRECTNESS rather than trusting the time.
     */
-  def renderJson(results: Seq[(String, Double, Option[String])], sf: String): String = {
+  def renderJson(results: Seq[(String, Double, Option[String])], sf: String,
+                 subset: Option[String] = None): String = {
     val qs = results.map { case (k, v, _) => s"\"${jsonEscape(k)}\":$v" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(e)}\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jsonEscape(sf)}"}"""
+    // a filtered run must be distinguishable from the full battery:
+    // the subset field names what ran, so a partial total can't be
+    // mistaken for (or passed off as) a full-battery result
+    val subsetField = subset.fold("")(s => s""","subset":"${jsonEscape(s)}"""")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jsonEscape(sf)}"$subsetField}"""
   }
+
+  /** SPARK_GRAFT_ONLY selector: comma-separated names, EXACT match;
+    * a trailing `*` makes a term an explicit prefix wildcard (so
+    * `q5` no longer silently also runs q50–q59 — that surprise cost a
+    * dev-loop timing comparison in round 5).
+    */
+  def matchesOnly(terms: Seq[String], name: String): Boolean =
+    terms.exists { t =>
+      if (t.endsWith("*")) name.startsWith(t.dropRight(1)) else name == t
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,11 +73,27 @@ object Bench {
     val warm = java.nio.file.Files.createTempDirectory("bench_warm").toString
     spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
     spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
-    // dev-loop subset filter: SPARK_GRAFT_ONLY=q57,q58 runs just those
-    // (prefix match); unset = the full battery. The driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
+    // dev-loop subset filter: SPARK_GRAFT_ONLY=q57_dedup_apply,q58*
+    // runs just those (exact names; trailing * = prefix). Unset = the
+    // full battery. A filtered run stamps "subset" into the JSON.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = all.filter { case (name, _) =>
+      only.forall(matchesOnly(_, name))
+    }
+    if (only.isDefined && selected.isEmpty) {
+      // an empty selection would print total=0 and look like a flawless
+      // instant run — fail loudly instead
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY=${only.get.mkString(",")} matched no queries.\n" +
+          s"[bench] valid names: ${all.map(_._1).mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
+    only.foreach { terms =>
+      System.err.println(s"[bench] SUBSET RUN (${selected.size}/${all.size} queries): " +
+        selected.map(_._1).mkString(","))
     }
     val results = selected.map { case (name, fn) =>
       val (secs, err) = measure(fn(spark, sfDir))
@@ -82,7 +113,8 @@ object Bench {
       System.gc()
       (name, secs, err)
     }
-    println(renderJson(results, sfDir))
+    println(renderJson(results, sfDir,
+      subset = only.map(_ => selected.map(_._1).mkString(","))))
     spark.stop()
   }
 }

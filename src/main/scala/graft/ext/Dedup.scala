@@ -547,14 +547,20 @@ object Dedup {
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    // cache the symmetrized edge list BEFORE deriving nodes: both the
-    // self-loop union and `nodes` read it, and uncached each branch
+    // persist the symmetrized edge list BEFORE deriving nodes: both the
+    // self-loop union and `nodes` read it, and unpersisted each branch
     // would re-evaluate the whole upstream pair lineage (for q58 that
     // lineage is the full MinHash-verify — measured 2.7 s per extra
-    // evaluation at sf0.1; the edge list itself is 2·|pairs| rows)
+    // evaluation at sf0.1; the edge list itself is 2·|pairs| rows).
+    // MEMORY_AND_DISK_SER, not MEMORY_ONLY: these blocks live for the
+    // whole loop, and serialized storage keeps them off the GC's scan
+    // set while disk spill (instead of eviction+recompute) bounds the
+    // cost under heap pressure — the r5 driver bench showed the
+    // deserialized form GC-thrashing late in the battery.
+    val loopLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .persist(loopLevel)
     val nodes = edges0.select(col("src").as("id")).distinct()
     // self-loops make each iteration ONE join + ONE aggregate: the
     // min over (neighbors ∪ self) is the new label, and the self-loop
@@ -569,9 +575,9 @@ object Dedup {
     // pairs just propagate over a few redundant rows.
     val edges = edges0
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .cache()
+      .persist(loopLevel)
     var labels = nodes.withColumn("cluster", col("id"))
-      .withColumn("_old", col("id")).cache()
+      .withColumn("_old", col("id")).persist(loopLevel)
     var converged = false
     // localCheckpoint persists its row RDD OUTSIDE the CacheManager,
     // so `labels.unpersist()` is a no-op on checkpointed iterations;
@@ -605,7 +611,7 @@ object Dedup {
       // the self-join below references `propagated` on BOTH sides —
       // cache it for the jump iterations or each one evaluates the
       // edges-join + aggregate twice
-      val propCached = if (i < 4) propagated else propagated.cache()
+      val propCached = if (i < 4) propagated else propagated.persist(loopLevel)
       val jumped =
         if (i < 4) propCached
         else propCached.join(
@@ -618,7 +624,7 @@ object Dedup {
       // logical plan also grows per iteration (analysis cost, lineage
       // replay on eviction). Truncate both every 5 iterations.
       val isCkpt = (i + 1) % 5 == 0
-      val next = if (isCkpt) jumped.localCheckpoint() else jumped.cache()
+      val next = if (isCkpt) jumped.localCheckpoint() else jumped.persist(loopLevel)
       converged = next.filter(col("cluster") < col("_old")).count() == 0L
       if (i >= 4) propCached.unpersist() // next is materialized by the count
       labels.unpersist() // no-op when labels was itself a checkpoint — see below

@@ -136,10 +136,27 @@ object Similarity {
 
   /** All near-duplicate pairs by cosine ≥ threshold (brute force,
     * a < b). Test-scale verification path; the scale path is
-    * `annCandidatePairs`.
+    * `annCandidatePairs` (signature-bucketed) or
+    * `semanticNearDupPairs` (cluster-partitioned).
+    *
+    * GUARDED: the plan is an O(n²) cartesian product by construction,
+    * so the input is size-checked up front and the call REFUSES rows
+    * beyond `maxRows` (default 100k ⇒ ≤ 5·10⁹ scored pairs) rather
+    * than silently launching a job that can never finish at corpus
+    * scale. The count is one column-pruned scan of the id column —
+    * negligible next to the n² it prevents. Raise `maxRows` only for
+    * a deliberate, bounded verification run.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxRows: Long = 100000L): DataFrame = {
+    val n = embeddings.select(col(idCol)).count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is brute-force O(n²) and refuses $n rows " +
+        s"(maxRows=$maxRows). At scale use Similarity.annCandidatePairs " +
+        "(banded signature buckets) or Similarity.semanticNearDupPairs " +
+        "(SemDeDup cluster partitioning); raise maxRows only for a " +
+        "deliberate bounded verification run.")
     val withNorm = embeddings.select(col(idCol), col(vecCol),
       norm2(col(vecCol)).as("_n2"))
     val a = withNorm.toDF("id_a", "va", "n2a")

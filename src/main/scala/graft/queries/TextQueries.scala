@@ -17,6 +17,56 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared oracle for the incremental shard-vs-index dedup: q72 runs
+    * it against the plain-parquet index, q91 against the BUCKETED
+    * index layout (writeLshIndexBucketed → readLshIndexBucketed) —
+    * identical result set by construction, so both hash-match the
+    * same SQL. Identical md5 universal-hash family; candidates =
+    * shard×index bucket joins; exact Jaccard on candidates.
+    */
+  private val incrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+      |  FROM toks
+      |), hashed AS (
+      |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+      |  FROM sh
+      |), mins AS (
+      |  SELECT doc_id, seed,
+      |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+      |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+      |  GROUP BY doc_id, seed
+      |), buckets AS (
+      |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+      |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
+      |  FROM buckets a
+      |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.id_new, c.id_idx, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_new
+      |  JOIN sh b ON b.doc_id = c.id_idx AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_new, id_idx,
+      |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON id_new = ca.doc_id
+      |JOIN cnt cb ON id_idx = cb.doc_id
+      |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+      |ORDER BY id_new, id_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ——— token counting ———
@@ -181,53 +231,31 @@ object TextQueries {
     //     shard dedups against it without re-signing the corpus).
     //     Oracle: identical md5 universal-hash family; candidates =
     //     shard×index bucket joins; exact Jaccard on candidates. ———
-    Q("q72_dedup_incremental",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(ts) >= 3
-        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
-        |  FROM toks
-        |), hashed AS (
-        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
-        |  FROM sh
-        |), mins AS (
-        |  SELECT doc_id, seed,
-        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
-        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
-        |  GROUP BY doc_id, seed
-        |), buckets AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
-        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
-        |  FROM buckets a
-        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
-        |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT c.id_new, c.id_idx, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.id_new
-        |  JOIN sh b ON b.doc_id = c.id_idx AND b.shingle = a.shingle
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_new, id_idx,
-        |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-        |FROM inter
-        |JOIN cnt ca ON id_new = ca.doc_id
-        |JOIN cnt cb ON id_idx = cb.doc_id
-        |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
-        |ORDER BY id_new, id_idx""".stripMargin) { (s, dir) =>
+    Q("q72_dedup_incremental", incrementalDedupSql) { (s, dir) =>
       val d = docs(s, dir)
       val newShard = d.filter(col("doc_id") % 10 === 7)
       val corpus = d.filter(col("doc_id") % 10 =!= 7)
       val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
       Dedup.dedupAgainstIndex(newShard, index, n = 3, k = 32, bands = 8,
+        minJaccard = 0.5)
+        .orderBy("id_new", "id_idx")
+    },
+
+    // ——— the SAME incremental dedup, but against the BUCKETED index
+    //     layout (saveAsTable bucketBy(band, bucket) / bucketBy(id)):
+    //     the 100 TB shape, where every shard-vs-index join shuffles
+    //     only the shard and the index side reads straight from its
+    //     buckets with no exchange (plan-asserted in ScaleSpec). The
+    //     oracle is identical to q72's — the layout must not change
+    //     the result set. ———
+    Q("q91_dedup_incremental_bucketed", incrementalDedupSql) { (s, dir) =>
+      val d = docs(s, dir)
+      val newShard = d.filter(col("doc_id") % 10 === 7)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+      Dedup.writeLshIndexBucketed(index, "graft_q91_idx", buckets = 16)
+      val bucketed = Dedup.readLshIndexBucketed(s, "graft_q91_idx")
+      Dedup.dedupAgainstIndex(newShard, bucketed, n = 3, k = 32, bands = 8,
         minJaccard = 0.5)
         .orderBy("id_new", "id_idx")
     },
@@ -446,9 +474,15 @@ object TextQueries {
         |  SELECT src AS id, dst FROM reach
         |) GROUP BY id
         |ORDER BY id""".stripMargin) { (s, dir) =>
+      // localCheckpoint: the pair list is tiny (tens of rows at sf0.1)
+      // but its lineage is the full MinHash-verify; without truncation
+      // every iteration cache inside nearDupClusters roots that whole
+      // plan, which is what GC-thrashed the r5 driver bench. One eager
+      // materialization here makes the CC loop's inputs self-contained.
       val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
         bands = 8, minJaccard = 0.5)
         .select("id_a", "id_b")
+        .localCheckpoint()
       Dedup.nearDupClusters(pairs)
         .select(col("id"), col("cluster").cast("long").as("cluster"))
         .orderBy("id")

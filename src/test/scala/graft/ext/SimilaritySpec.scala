@@ -161,6 +161,20 @@ class SimilaritySpec extends SparkSpec {
       maxCell = Some(1L)).count() === 0L)
   }
 
+  test("cosineNearDupPairs refuses inputs beyond its size guard") {
+    // the operator is O(n²) by construction — the guard must throw
+    // BEFORE launching the cartesian job, and the message must route
+    // callers to the scale paths
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(emb, threshold = 0.5, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("annCandidatePairs"))
+    assert(e.getMessage.contains("semanticNearDupPairs"))
+    // and under the guard the operator still works
+    assert(Similarity.cosineNearDupPairs(emb.limit(20), threshold = 0.0)
+      .count() > 0)
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb.limit(50), threshold = 0.3)
       .collect()
