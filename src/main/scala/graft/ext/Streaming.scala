@@ -106,21 +106,159 @@ object Streaming {
   final case class UserSnapshot(user_id: Long, n: Long, total: Double)
 
   /** Per-user running totals via mapGroupsWithState — the custom-state
-    * path for logic window aggregates can't express. ProcessingTime
-    * timeout evicts idle users' state.
+    * path for logic window aggregates can't express. With
+    * `idleTimeout` set (the default), a ProcessingTime timeout evicts
+    * idle users' state — the unbounded-stream posture. Pass None for
+    * bounded replays (Trigger.AvailableNow): a pending processing-time
+    * timer keeps the available-now drain alive until it fires, so a
+    * finite replay with a 1-hour eviction would spin for an hour.
     */
-  def runningTotals(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+  def runningTotals(events: Dataset[UserEvent],
+                    idleTimeout: Option[String] = Some("1 hour")): Dataset[UserSnapshot] = {
     import events.sparkSession.implicits._
+    val timeoutKind = idleTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserState, UserSnapshot](timeoutKind) {
         (user, rows, state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0.0))
           val (n, total) = rows.foldLeft((prev.n, prev.total)) {
             case ((c, s), e) => (c + 1, s + e.value)
           }
           state.update(UserState(n, total))
-          state.setTimeoutDuration("1 hour")
+          idleTimeout.foreach(state.setTimeoutDuration)
           UserSnapshot(user, n, total)
+      }
+  }
+
+  // ——— stateful sessionization (flatMapGroupsWithState) ———
+  //
+  // session_window (above) is the declarative form; this is the
+  // arbitrary-state form — the escape hatch for session logic the
+  // built-in window can't express (per-session custom payloads,
+  // conditional splits, early emission). Batch and streaming share
+  // ONE merge core (`insertIntoSessions`), so the streaming operator
+  // provably computes the q23-oracle-verified batch semantics:
+  // a session closes when the next event is >= gap after the last
+  // (q23's island test; session_window's exclusive end).
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One not-yet-closed session: [startMicros, lastMicros] plus the
+    * running count and cent-exact total (q22/q23's DECIMAL(18,2)
+    * money contract — accumulating raw doubles would drift off the
+    * oracle hash).
+    */
+  final case class Sess(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
+
+  final case class SessionRow(user_id: Long, session_start: String,
+                              session_end: String, n_events: Long, total: Double)
+
+  private def toCents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** Insert one event into an ordered, disjoint session list. The
+    * event extends a neighbor when strictly closer than `gap` (>= gap
+    * starts a new session — q23 semantics), and can BRIDGE its two
+    * neighbors into one (the out-of-order case: a late event landing
+    * between two sessions that sit < 2·gap apart). At most two
+    * sessions merge per insert, so the list stays ordered + disjoint.
+    */
+  private[ext] def insertIntoSessions(sessions: List[Sess], tsMicros: Long,
+                                      cents: Long, gapMicros: Long): List[Sess] = {
+    val (before, after) = sessions.span(_.startMicros <= tsMicros)
+    val joinPrev = before.lastOption.exists(p => tsMicros - p.lastMicros < gapMicros)
+    val joinNext = after.headOption.exists(nx => nx.startMicros - tsMicros < gapMicros)
+    (joinPrev, joinNext) match {
+      case (true, true) =>
+        val p = before.last; val nx = after.head
+        before.init ::: Sess(p.startMicros, math.max(p.lastMicros, nx.lastMicros),
+          p.n + nx.n + 1, p.cents + nx.cents + cents) :: after.tail
+      case (true, false) =>
+        val p = before.last
+        before.init ::: Sess(p.startMicros, math.max(p.lastMicros, tsMicros),
+          p.n + 1, p.cents + cents) :: after
+      case (false, true) =>
+        val nx = after.head
+        before ::: Sess(tsMicros, nx.lastMicros, nx.n + 1, nx.cents + cents) :: after.tail
+      case (false, false) =>
+        before ::: Sess(tsMicros, tsMicros, 1, cents) :: after
+    }
+  }
+
+  private def renderSession(user: Long, s: Sess, gapMicros: Long): SessionRow = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def str(micros: Long) = fmt.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    SessionRow(user, str(s.startMicros), str(s.lastMicros + gapMicros),
+      s.n, s.cents / 100.0)
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** Batch twin: every group's events fold through the SAME insert
+    * core, all sessions emitted. Output matches `sessionize` (and the
+    * q23 oracle) row-for-row — pinned by the q92 battery entry.
+    */
+  def sessionizeStatefulBatch(events: Dataset[SessEvent],
+                              gap: String = "5 minutes"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapToMicros(gap)
+    events.groupByKey(_.user_id).flatMapGroups { (user, it) =>
+      val done = it.foldLeft(List.empty[Sess]) { (acc, e) =>
+        insertIntoSessions(acc, micros(e.ts), toCents(e.value), gapMicros)
+      }
+      done.map(renderSession(user, _, gapMicros))
+    }
+  }
+
+  private def gapToMicros(gap: String): Long = {
+    val m = "(\\d+) minutes?".r
+    gap match {
+      case m(n) => n.toLong * 60L * 1000000L
+      case other => throw new IllegalArgumentException(s"gap '$other' (want 'N minutes')")
+    }
+  }
+
+  /** Streaming form: state = the user's open session list; each
+    * invocation folds the new (possibly out-of-order) events through
+    * the shared insert core, then emits every session that the
+    * watermark has sealed — no future event can extend OR bridge a
+    * session once watermark >= last + gap, because any later event's
+    * ts >= watermark starts (or joins) a strictly later session.
+    * Event-time timeout flushes groups that stop receiving data.
+    * State per key = open sessions only, bounded by gap/watermark —
+    * the only formulation that survives an unbounded stream.
+    */
+  def sessionizeStateful(events: Dataset[SessEvent], gap: String = "5 minutes",
+                         watermark: String = "10 minutes"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapToMicros(gap)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Sess], SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[List[Sess]]) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Nil)) { (acc, e) =>
+            insertIntoSessions(acc, micros(e.ts), toCents(e.value), gapMicros)
+          }
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake this group when the watermark passes its earliest
+            // possible close point, even if no more events arrive
+            state.setTimeoutTimestamp(
+              open.map(_.lastMicros + gapMicros).min / 1000L + 1L)
+          }
+          closed.map(renderSession(user, _, gapMicros)).iterator
       }
   }
 

@@ -24,6 +24,33 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared gaps-and-islands oracle for sessionization: q23 runs the
+    * declarative session_window form, q92 the arbitrary-state
+    * (flatMapGroupsWithState batch twin) form — identical output by
+    * construction, both hash-checked against this SQL. A session
+    * closes when the next event is >= gap after the last (window end
+    * is exclusive), hence >= in the island test.
+    */
+  private val sessionizeSql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ——— A1 grouped aggregation (TPC-H Q1 shape) ———
@@ -488,26 +515,23 @@ object Relational {
     //     oracle = gaps-and-islands SQL). Spark closes a session when
     //     the next event is >= gap after the last (window end is
     //     exclusive), hence >= in the oracle's island test. ———
-    Q("q23_sessionize",
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |), s AS (
-        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM m
-        |)
-        |SELECT user_id,
-        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Q("q23_sessionize", sessionizeSql) { (s, dir) =>
       graft.ext.Streaming.sessionize(t(s, dir, "events"), "5 minutes")
+        .orderBy("user_id", "session_start")
+    },
+
+    // ——— the SAME sessionization through the ARBITRARY-STATE path
+    //     (flatMapGroupsWithState's batch twin; shared merge core with
+    //     the streaming operator) — q23's declarative session_window
+    //     and this stateful form must agree row-for-row, so both run
+    //     against the identical gaps-and-islands oracle. ———
+    Q("q92_sessionize_stateful", sessionizeSql) { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.ext.Streaming.SessEvent]
+      graft.ext.Streaming.sessionizeStatefulBatch(ev, "5 minutes")
+        .toDF()
         .orderBy("user_id", "session_start")
     },
 

@@ -122,6 +122,159 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Write the events table as `chunks` time-ordered parquet files
+    * with BOUNDED DISORDER: the last `lateK` events (by ts) of each
+    * chunk are delivered one file LATE. File mtimes are pinned
+    * ascending so the file source (maxFilesPerTrigger=1) replays them
+    * as distinct micro-batches in order — each moved row then arrives
+    * a micro-batch after its time-neighbors, intermixed with strictly
+    * later data, but always ABOVE the watermark (it carries the
+    * chunk's largest timestamps, and the watermark trails the
+    * delivered max by the 10-minute horizon), so nothing may be
+    * dropped and streaming must equal batch exactly on sealed
+    * windows. Moving the chunk TAIL (not a fixed boundary window)
+    * makes the late count density-independent — this events table
+    * averages one event per 43 minutes, so any fixed few-minute
+    * boundary window would usually be empty. Returns
+    * (streamDir, batchFrame, nLate).
+    */
+  private def writeOutOfOrderChunks(chunks: Int = 3, lateK: Int = 5):
+      (String, org.apache.spark.sql.DataFrame, Long) = {
+    val ev = Tables.load(spark, sf001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val (t0, t1) = {
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = (t1 - t0) / chunks + 1
+    val byTsDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("_chunk").orderBy(col("ts").desc)
+    val tagged = ev
+      .withColumn("_chunk", ((unix_micros(col("ts")) - t0) / span).cast("int"))
+      .withColumn("_late",
+        col("_chunk") < chunks - 1 && row_number().over(byTsDesc) <= lateK)
+      .withColumn("_file", col("_chunk") + when(col("_late"), 1).otherwise(0))
+      .cache()
+    val nLate = tagged.filter(col("_late")).count()
+    val dir = java.nio.file.Files.createTempDirectory("oochunks").toFile
+    (0 until chunks).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"chunk$i").toString
+      tagged.filter(col("_file") === i)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    (dir.getPath, ev, nLate)
+  }
+
+  private def readChunkStream(dir: String, batch: org.apache.spark.sql.DataFrame) =
+    spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  test("hourly agg under out-of-order multi-batch delivery: nothing dropped") {
+    val (dir, batch, nLate) = writeOutOfOrderChunks()
+    assert(nLate > 0, "test setup must actually deliver late rows")
+    val stream = readChunkStream(dir, batch)
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(Streaming.hourlyAgg(stream), "oo_hourly",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val got = spark.sql("SELECT * FROM oo_hourly").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      val want = Streaming.hourlyAgg(batch).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      assert(got.nonEmpty)
+      // every emitted window matches batch EXACTLY — late rows within
+      // the watermark horizon were aggregated, not dropped (a dropped
+      // row shows up as a count/total mismatch)
+      got.foreach { case (k, row) => assert(want(k) === row, s"window $k") }
+      // and emission is near-complete: only windows the final
+      // watermark never sealed may be withheld
+      assert(got.size >= want.size - 2,
+        s"only ${got.size}/${want.size} windows emitted")
+    } finally q.stop()
+  }
+
+  test("stateful sessionize: batch twin equals the declarative session_window form") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select($"user_id", $"ts", $"value").as[Streaming.SessEvent]
+    val got = Streaming.sessionizeStatefulBatch(ev, "5 minutes").toDF()
+      .orderBy("user_id", "session_start").collect().map(_.toSeq)
+    val want = Streaming.sessionize(Tables.load(spark, sf001, "events"), "5 minutes")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("stateful sessionize stream under out-of-order delivery matches batch") {
+    val (dir, batch, nLate) = writeOutOfOrderChunks()
+    assert(nLate > 0)
+    val stream = readChunkStream(dir, batch)
+      .select($"user_id", $"ts", $"value").as[Streaming.SessEvent]
+    val q = Streaming.runToMemory(
+      Streaming.sessionizeStateful(stream, "5 minutes", "10 minutes").toDF(),
+      "oo_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val got = spark.sql("SELECT * FROM oo_sessions").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.toSeq).toMap
+      val want = Streaming.sessionize(batch, "5 minutes").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.toSeq).toMap
+      assert(got.nonEmpty, "no sessions emitted")
+      // two-sided on the sealed region: every emitted session is a
+      // batch session verbatim (same end, count, cent-exact total) —
+      // a late row mis-merged or dropped breaks this —
+      got.foreach { case (k, row) => assert(want(k) === row, s"session $k") }
+      // — and every batch session sealed by the final watermark was
+      // emitted (watermark = max ts − 10 min; sessions end at
+      // last + 5 min, so only sessions in the last ~15 min may wait)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val maxTs = batch.agg(max(unix_micros($"ts"))).head().getLong(0)
+      val cutoff = fmt.format(java.time.Instant.ofEpochSecond(
+        maxTs / 1000000L - 16 * 60))
+      val sealedSessions = want.filter { case ((_, _), row) =>
+        row(2).asInstanceOf[String] < cutoff
+      }
+      sealedSessions.keys.foreach(k =>
+        assert(got.contains(k), s"sealed session $k not emitted"))
+      assert(sealedSessions.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals on a real multi-batch stream") {
+    val (dir, batch, _) = writeOutOfOrderChunks()
+    val stream = readChunkStream(dir, batch)
+      .select($"user_id", $"event_type", $"value").as[Streaming.UserEvent]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.runningTotals(stream, idleTimeout = None).toDF(),
+      "oo_totals", org.apache.spark.sql.streaming.OutputMode.Update)
+    try {
+      // update mode emits one snapshot per (user, micro-batch); the
+      // snapshot with the highest n is the final state — it must equal
+      // the all-data batch aggregate, proving state carried across
+      // micro-batches
+      val finals = spark.sql("SELECT * FROM oo_totals").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+      val want = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(finals.keySet === want.keySet)
+      finals.foreach { case (u, s) =>
+        assert(s.getLong(1) === want(u).getAs[Long]("n"), s"user $u count")
+        assert(math.abs(s.getDouble(2) - want(u).getAs[Double]("total")) < 1e-6,
+          s"user $u total")
+      }
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match a plain aggregation") {
     val ds = Tables.load(spark, sf001, "events")
       .select($"user_id", $"event_type", $"value")
