@@ -234,6 +234,24 @@ object Similarity {
       .agg(min(col("_sc")).getField("cell").as("cell"))
   }
 
+  /** (id, vec, cell) assignment with the strategy picked by centroid
+    * count: literal argmin below `joinThreshold` (zero shuffle),
+    * broadcast-join scoring + rejoin above it (the k·dim literal tree
+    * outgrows plan analysis/codegen past ~10³ literals). Assignments
+    * are bit-identical either way — shared arithmetic and tie-break —
+    * so callers' results never depend on the strategy.
+    */
+  private def assignCells(embeddings: DataFrame,
+                          centroids: Seq[(Int, Seq[Float])],
+                          idCol: String, vecCol: String,
+                          joinThreshold: Int = 128): DataFrame = {
+    val slim = embeddings.select(col(idCol), col(vecCol))
+    if (centroids.size > joinThreshold)
+      ivfAssignJoin(slim, centroids, idCol, vecCol).join(slim, idCol)
+        .select(col(idCol), col(vecCol), col("cell"))
+    else ivfAssign(slim, centroids, vecCol)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster-partition the
     * corpus with the coarse quantizer, then compare pairs ONLY within
     * each cell. All-pairs cosine is n²; cluster partitioning cuts it
@@ -254,8 +272,7 @@ object Similarity {
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            maxCell: Option[Long] = None): DataFrame = {
-    val assigned0 = ivfAssign(embeddings.select(col(idCol), col(vecCol)),
-      centroids, vecCol)
+    val assigned0 = assignCells(embeddings, centroids, idCol, vecCol)
     val assigned = maxCell match {
       case Some(cap) =>
         assigned0.withColumn("_n", count(lit(1)).over(
@@ -304,13 +321,25 @@ object Similarity {
     * Seeding is deterministic — the k vectors with the smallest
     * md5(id) — so training is reproducible on any cluster layout.
     * Empty cells keep their previous centroid (standard Lloyd's
-    * degeneracy handling). At very large k the literal argmin tree
-    * would outgrow codegen; that regime wants the centroid table as a
-    * broadcast join — out of scope until k ≫ 10³.
+    * degeneracy handling).
+    *
+    * Assignment strategy per iteration: the literal argmin tree
+    * (`ivfAssign`) below `joinThreshold` cells — zero shuffle, one
+    * narrow codegen'd pass — and the broadcast-join form
+    * (`ivfAssignJoin`) above it, where the expression tree itself
+    * would outgrow plan analysis and codegen (k·dim literals). The
+    * two assignments are bit-identical (same score arithmetic, same
+    * (score, cell) struct-min tie-break; pinned in SimilaritySpec),
+    * so the trained centroids do not depend on the strategy — only
+    * the plan shape does. Override with `assignViaJoin` to force
+    * either path.
     */
   def kmeansCentroids(embeddings: DataFrame, kCells: Int, iters: Int = 5,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+                      vecCol: String = "embedding",
+                      assignViaJoin: Option[Boolean] = None,
+                      joinThreshold: Int = 128): Seq[(Int, Seq[Float])] = {
+    val useJoin = assignViaJoin.getOrElse(kCells > joinThreshold)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val seeds = embeddings
       .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
@@ -318,7 +347,16 @@ object Similarity {
     var cents: Seq[(Int, Seq[Float])] =
       seeds.toSeq.zipWithIndex.map { case (row, i) => (i, row.getSeq[Float](1)) }
     for (_ <- 0 until iters) {
-      val byCell = ivfAssign(embeddings, cents, vecCol)
+      // (cell, vec) pairs for the mean update: the join path carries
+      // the id through the broadcast scoring and rejoins the vector
+      // (one broadcast + one shuffle-by-id); the literal path scores
+      // in place (no shuffle at all)
+      val assigned =
+        if (useJoin)
+          ivfAssignJoin(embeddings, cents, idCol, vecCol)
+            .join(embeddings.select(col(idCol), col(vecCol)), idCol)
+        else ivfAssign(embeddings, cents, vecCol)
+      val byCell = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .groupBy("cell", "i")
         .agg(avg(col("x").cast("double")).as("m"))
@@ -343,7 +381,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
               centroids: Seq[(Int, Seq[Float])], nProbes: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(embeddings, centroids, vecCol)
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
     // probe cells: nProbes nearest centroids to the query (the query
     // vector itself is driver-sized by definition)
     val qRow = query.select(col("qv")).head().getSeq[Float](0)

@@ -121,6 +121,33 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("large-k IVF: join assignment parity at k=256; join-path k-means trains") {
+    // 256 cells × 64 dims is past the point where the literal argmin
+    // tree is the right plan (k·dim literals in one expression); the
+    // broadcast-join form must assign EVERY vector to the same cell
+    val rnd = new scala.util.Random(7)
+    val cents256 = (0 until 256).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val literal = Similarity.ivfAssign(emb, cents256)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val joined = Similarity.ivfAssignJoin(emb, cents256)
+      .as[(Long, Int)].collect().toMap
+    assert(joined.size === literal.size)
+    literal.foreach { case (id, cell) => assert(joined(id) === cell, s"vec $id") }
+    // auto-selection: above the threshold kmeansCentroids trains via
+    // the join path and still returns a full, moved centroid set
+    val trained = Similarity.kmeansCentroids(emb, kCells = 200, iters = 2,
+      joinThreshold = 128)
+    assert(trained.size === 200 && trained.head._2.size === 64)
+    // strategy-independence: join-forced and literal-forced training
+    // produce identical centroids (assignments are bit-identical)
+    val viaJoin = Similarity.kmeansCentroids(emb, kCells = 16, iters = 2,
+      assignViaJoin = Some(true))
+    val viaLiteral = Similarity.kmeansCentroids(emb, kCells = 16, iters = 2,
+      assignViaJoin = Some(false))
+    assert(viaJoin === viaLiteral)
+  }
+
   test("int8 quantization round-trips with small cosine drift") {
     val (q, s) = Similarity.quantizeInt8(col("embedding"))
     val rt = emb.withColumn("q", q).withColumn("s", s)
