@@ -111,6 +111,37 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** Greedy sequence packing: assign every document to a fixed
+    * token-budget BIN by its running token offset within a stratum —
+    * the batch-packing step before training, where documents are
+    * concatenated into fixed context windows and each document's bin
+    * is the window its first token lands in (offset packing; a
+    * document longer than the budget spans bins but is assigned where
+    * it starts). Deterministic in (stratum, id) order. Integer
+    * arithmetic only (`div`), so the assignment is engine-exact.
+    *
+    * Shape: ONE window sum partitioned on the stratum key — the same
+    * exchange as any grouped aggregate, no global ordering anywhere,
+    * so packing 100 TB parallelizes across strata (use the
+    * shard/source id as the stratum at corpus scale; a single global
+    * sequence would serialize the window into one partition).
+    * Returns (idCol, stratumCol, n_tokens, bin).
+    */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        stratumCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(stratumCol),
+        TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(_cum - n_tokens) div ${budget}L"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"), col("bin"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * splitter every LLM data pipeline runs before tokenization.
     * Emits (id, chunk_id, chunk_text, n_tokens); the last chunk keeps

@@ -437,8 +437,25 @@ object Dedup {
     * catalog, hence saveAsTable; the plain-parquet `writeLshIndex`
     * remains for catalog-free deployments.
     */
+  /** Drop `table` and clear any STALE warehouse directory left by a
+    * previous session: a fresh in-memory catalog does not know tables
+    * a prior JVM created, so `mode(overwrite)` cannot replace them and
+    * CTAS refuses the existing location (LOCATION_ALREADY_EXISTS).
+    */
+  private def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
+                                table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeLshIndexBucketed(index: LshIndex, tablePrefix: String,
                             buckets: Int = 64): Unit = {
+    val spark = index.buckets.sparkSession
+    resetManagedTable(spark, s"${tablePrefix}_buckets")
+    resetManagedTable(spark, s"${tablePrefix}_shingles")
     index.buckets.write.bucketBy(buckets, "band", "bucket")
       .sortBy("band", "bucket")
       .mode("overwrite").saveAsTable(s"${tablePrefix}_buckets")

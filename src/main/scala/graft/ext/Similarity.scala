@@ -134,6 +134,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: top-k for EVERY query row in ONE distributed join —
+    * the retrieval-indexing / RAG shape (a query per row, not a
+    * driver-side vector per call like `annTopK`). Both sides are
+    * banded with the same hyperplane family; a (query, vector) pair
+    * is a candidate when ANY band bucket matches (multi-band OR),
+    * candidates dedupe on the pair, exact cosine rescores candidates
+    * only, and a per-query window rank keeps k.
+    *
+    * Scale shape: the bucket join shuffles on (band, bucket) with NO
+    * broadcast assumption on the query side, so the query table can
+    * be arbitrarily large (index-build joins run millions of queries);
+    * hot buckets split under AQE, and the rank window's exchange is
+    * on the query id — the same key as the rescore join, so it
+    * reuses that clustering.
+    */
+  def annTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   bands: Int = 4, r: Int = 8, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val e = explodeBands(embeddings, Seq(idCol), bands, r, dim, vecCol)
+    val q = explodeBands(queries, Seq(qidCol), bands, r, dim, qvecCol)
+    val cand = q.join(e, Seq("band", "bucket"))
+      .select(qidCol, idCol).distinct()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("cos_sim").desc, col(idCol))
+    cand
+      .join(embeddings.select(col(idCol), col(vecCol)), idCol)
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
+      .withColumn("cos_sim", round(cosine(col(vecCol), col(qvecCol)), 6))
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= k)
+      .select(col(qidCol), col(idCol), col("cos_sim"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (brute force,
     * a < b). Test-scale verification path; the scale path is
     * `annCandidatePairs` (signature-bucketed) or

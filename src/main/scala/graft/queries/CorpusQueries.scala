@@ -82,6 +82,29 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ——— greedy sequence packing: each document assigned to the
+    //     fixed token-budget bin its first token lands in when the
+    //     stratum is concatenated in id order (offset packing — the
+    //     pre-training batch-packing step). Integer div on a running
+    //     window sum: engine-exact, one exchange on the stratum. ———
+    Q("q93_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |FROM c
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Corpus.packByTokenBudget(docs(s, dir), budget = 2048L)
+        .orderBy("lang", "doc_id")
+    },
+
     // ——— weighted domain mixing: per-source sampling rates applied
     //     via a deterministic md5 hash coin (reproducible mixture) ———
     Q("q71_weighted_mix",

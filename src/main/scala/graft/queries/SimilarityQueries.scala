@@ -86,6 +86,52 @@ object SimilarityQueries {
       Similarity.annTopK(emb(s, dir), queryVec(s, dir), k = 10, bands = 4, r = 8)
     },
 
+    // ——— BATCH ANN (the retrieval-indexing / RAG shape): top-k for
+    //     EVERY query row in one distributed bucket join — queries =
+    //     every 50th vector. Same replayed-LSH oracle as q42
+    //     (hyperplane fixture, per-side signatures, band-substring
+    //     candidate OR), extended per-query with a window rank. ———
+    Q("q94_ann_batch",
+      s"""WITH hp AS (SELECT p, comps FROM read_parquet('${Fixtures.sqlPath("q94_hyperplanes")}')),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |esig AS (
+         |  SELECT e.vec_id,
+         |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * hp.comps[i])) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+         |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id
+         |), qsig AS (
+         |  SELECT q.qid,
+         |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(q.qv) + 1),
+         |        i -> CAST(q.qv[i] AS DOUBLE) * hp.comps[i])) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+         |  FROM qs q CROSS JOIN hp GROUP BY q.qid
+         |), cand AS (
+         |  SELECT DISTINCT qg.qid, es.vec_id
+         |  FROM esig es CROSS JOIN qsig qg CROSS JOIN range(0, 4) bt(b)
+         |  WHERE substring(es.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+         |      = substring(qg.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+         |), scored AS (
+         |  SELECT c.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.qid = c.qid
+         |)
+         |SELECT qid, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5
+         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin) { (s, dir) =>
+      Fixtures.write("q94_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.annTopKBatch(emb(s, dir), queries, k = 5, bands = 4, r = 8)
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    },
+
     // ——— IVF ANN: k-means-trained coarse quantizer (Lloyd's as
     //     distributed aggs), probe the nearest cells only. The
     //     float-mean TRAINING pass is engine-private, so the trained

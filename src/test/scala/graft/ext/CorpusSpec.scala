@@ -55,6 +55,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packByTokenBudget: offset bins are monotone, exact, and per-stratum") {
+    // doc i in stratum A has i+1 tokens; budget 5 → offsets 0,1,3,6,10
+    // → bins 0,0,0,1,2. Stratum B restarts at offset 0.
+    val docs = Seq(
+      (0L, "a", "t"), (1L, "a", "t t"), (2L, "a", "t t t"),
+      (3L, "a", "t t t t"), (4L, "a", "t t t t t"),
+      (10L, "b", "t t t t t t t"), (11L, "b", "t")
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.packByTokenBudget(docs, budget = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L,
+      10L -> 0L, 11L -> 1L))
+    // laws: bins start at 0 per stratum and are contiguous (a window
+    // over id order can't skip a bin), and every doc's start offset
+    // sits inside its bin
+    val full = Corpus.packByTokenBudget(docs, budget = 5L)
+      .orderBy("lang", "doc_id").collect()
+    full.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin"))
+      assert(bins.head === 0L)
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 1 && b >= a)
+        case _ =>
+      }
+    }
+    // partition invariance: same result on a repartitioned input
+    val shuffled = Corpus.packByTokenBudget(docs.repartition(7), budget = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(shuffled === got)
+    intercept[IllegalArgumentException](Corpus.packByTokenBudget(docs, 0L))
+  }
+
   test("stratifiedSample is partition-invariant (deterministic by md5)") {
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
     def ids(parts: Int) = Corpus.stratifiedSample(

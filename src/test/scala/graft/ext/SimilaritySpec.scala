@@ -121,6 +121,39 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("annTopKBatch: per-query self-match, brute-subset, single-query agreement") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Similarity.annTopKBatch(emb, queries, k = 5, bands = 4, r = 8)
+      .collect()
+    val qids = queries.select("qid").as[Long].collect().toSet
+    val byQ = got.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === qids, "every query produced results")
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      // identical signature → the query always buckets with itself
+      val self = rows.find(_.getAs[Long]("vec_id") === qid)
+      assert(self.isDefined, s"query $qid missing its self-match")
+      assert(math.abs(self.get.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+      // scores descend (window-ranked)
+      val sims = rows.map(_.getAs[Double]("cos_sim")).toSeq.sorted.reverse
+      assert(rows.sortBy(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("vec_id")))
+        .map(_.getAs[Double]("cos_sim")).toSeq === sims)
+    }
+    // agreement with the single-query operator: for qid 0 both ANN
+    // forms share banding, candidates, and scoring
+    val single = Similarity.annTopK(emb, qv, k = 5, bands = 4, r = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    val batch0 = byQ(0L)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(batch0 === single)
+    // plan: the candidate step is a real equi-join on (band, bucket),
+    // never a cartesian product
+    val plan = Similarity.annTopKBatch(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucket join must be an equi-join")
+  }
+
   test("large-k IVF: join assignment parity at k=256; join-path k-means trains") {
     // 256 cells × 64 dims is past the point where the literal argmin
     // tree is the right plan (k·dim literals in one expression); the
