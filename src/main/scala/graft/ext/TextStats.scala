@@ -141,6 +141,67 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Bigram log-probability scoring — one LM rung above
+    * `unigramLogProb`: score each document by the mean
+    * ln p(wᵢ | wᵢ₋₁) under the corpus's own bigram model
+    * (c(wᵢ₋₁,wᵢ)/c(wᵢ₋₁), MLE — every observed bigram has positive
+    * count by construction, so no smoothing term is needed for
+    * self-scoring). Catches locally-incoherent text (word salad with
+    * plausible unigrams) that the unigram score passes.
+    *
+    * Shape: bigram extraction is MAP-ONLY (adjacent pairs inside the
+    * row's own token array — no positional self-join); then one
+    * shuffle each for the bigram and unigram count tables, and joins
+    * back on those same keys. Linear at any corpus size. Documents
+    * with fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    // materialize the token array in its OWN projection before the
+    // HOF indexes it (HOF-lambda re-evaluation trap)
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    val bi = withToks
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_toks) - 2), i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val uniFreq = docs.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val biFreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bi.join(biFreq, Seq("w1", "w2"))
+      .join(uniFreq, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cb").cast("double") / col("cu"))), 6)
+          .as("avg_logprob"))
+  }
+
+  /** One pair-count round of BPE tokenizer training: the frequency of
+    * every adjacent character pair, weighted by word frequency — the
+    * inner statistic of byte-pair encoding (each merge round picks the
+    * argmax pair; iterating this operator with a driver-side merge
+    * table IS distributed BPE training). Returns the top `k` pairs
+    * ordered (count desc, pair asc — fully deterministic).
+    *
+    * Shape: one shuffle to build the word-frequency table (vocabulary-
+    * sized), then map-only pair explosion over the VOCABULARY (not the
+    * corpus — the wc weight carries occurrence counts), and one
+    * final vocabulary-sized aggregate. At 100 TB the corpus-sized
+    * stage is only the first word count.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 25,
+                    textCol: String = "text"): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Content-defined fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Stable across engines (md5 is standard), used as
     * the exact-dedup key.

@@ -944,6 +944,55 @@ object TextQueries {
       TextStats.unigramLogProb(docs(s, dir)).orderBy("doc_id")
     },
 
+    // ——— bigram log-prob quality score (one LM rung above q89:
+    //     mean ln c(w1,w2)/c(w1) under the corpus's own bigram model;
+    //     MLE — observed bigrams always have positive count). ———
+    Q("q95_bigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), flat AS (
+        |  SELECT doc_id, unnest(ts) AS tok FROM toks
+        |), uf AS (
+        |  SELECT tok, COUNT(*) AS cu FROM flat GROUP BY tok
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]])) AS bg
+        |  FROM toks WHERE len(ts) >= 2
+        |), bi2 AS (
+        |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi
+        |), bf AS (
+        |  SELECT w1, w2, COUNT(*) AS cb FROM bi2 GROUP BY 1, 2
+        |)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln(CAST(f.cb AS DOUBLE) / u.cu)), 6) AS avg_logprob
+        |FROM bi2 b
+        |JOIN bf f ON b.w1 = f.w1 AND b.w2 = f.w2
+        |JOIN uf u ON b.w1 = u.tok
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      TextStats.bigramLogProb(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ——— BPE pair-count round (tokenizer training's inner statistic:
+    //     adjacent char-pair frequency weighted by word frequency;
+    //     the merge argmax comes from this table). ———
+    Q("q96_bpe_pair_counts",
+      """WITH flat AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, COUNT(*) AS wc FROM flat GROUP BY w
+        |), p AS (
+        |  SELECT wc,
+        |    unnest(list_transform(range(1, len(w)), i -> substring(w, CAST(i AS INT), 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2
+        |)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS total
+        |FROM p GROUP BY pair
+        |ORDER BY total DESC, pair
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      TextStats.bpePairCounts(docs(s, dir), k = 25)
+    },
+
     // ——— full TF-IDF matrix (deterministically ordered by doc/token;
     //     ln() rounded to 6 — no float-order-dependent ranking) ———
     Q("q47_tfidf",

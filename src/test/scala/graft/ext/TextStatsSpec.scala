@@ -84,4 +84,40 @@ class TextStatsSpec extends SparkSpec {
     assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(m("good") > m("junk"))
   }
+
+  test("bigram logprob: hand-computed corpus; coherent beats shuffled") {
+    // corpus: "a b" ×2 and "a c" ×1 → c(a)=3, c(a b)=2, c(a c)=1
+    // doc 0 score = ln(2/3); doc 2 score = ln(1/3); single-token doc drops
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L)._1 === 1L)
+    assert(math.abs(got(0L)._2 - math.log(2.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(2L)._2 - math.log(1.0 / 3.0)) < 1e-6)
+    // the LM property: a document of corpus-frequent bigrams outscores
+    // the same unigrams in an order the corpus never pairs
+    val corpus = (0 until 20).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (99L, "fox the jumps quick brown")
+    val scored = TextStats.bigramLogProb(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(scored(0L) > scored(99L))
+  }
+
+  test("bpePairCounts: hand-computed weighted adjacent pairs") {
+    // words: "aab" ×2, "ab" ×1 → pairs: aa(2), ab(2+1=3)
+    val docs = Seq((0L, "aab ab"), (1L, "aab")).toDF("doc_id", "text")
+    val got = TextStats.bpePairCounts(docs, k = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("total"))
+    assert(got.toMap === Map("aa" -> 2L, "ab" -> 3L))
+    // ordered: count desc, then pair asc; "aaa" contributes aa twice
+    // per occurrence
+    val rep = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val reps = TextStats.bpePairCounts(rep).collect()
+    assert(reps.length === 1 && reps.head.getAs[Long]("total") === 2L)
+    assert(got.head._1 === "ab") // 3 > 2
+  }
 }
