@@ -109,6 +109,44 @@ class ScaleSpec extends SparkSpec {
       s"expected partition pruning:\n${plan.take(2000)}")
   }
 
+  test("sequence packing plan: exactly one exchange, on the stratum key") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = graft.ext.Corpus.packByTokenBudget(docs, budget = 2048L)
+      .queryExecution.executedPlan.toString
+    // the whole operator is one window over (lang) — a single
+    // hash exchange on the stratum, never a global (single-partition)
+    // sort: a global ordering would serialize 100 TB into one task
+    val exchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one stratum exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global exchange would serialize the corpus:\n$plan")
+  }
+
+  test("batch ANN plan: equi-joins only (no cartesian, no nested-loop)") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val plan = graft.ext.Similarity.annTopKBatch(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // the candidate step must stay a (band, bucket) equi-join however
+    // large the query side grows — a nested-loop fallback here is the
+    // all-pairs scan this operator exists to avoid
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in ANN plan:\n$plan")
+  }
+
+  test("BPE pair counts: corpus-sized work only in the word count") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val vocab = graft.ext.Bpe.initVocab(docs)
+    val plan = graft.ext.Bpe.pairCounts(vocab)
+      .queryExecution.executedPlan.toString
+    // two aggregates (word count, pair count) → exactly two hash
+    // exchanges; everything between is map-only over the vocabulary
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected 2 exchanges (word, pair):\n$plan")
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
