@@ -93,6 +93,43 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Apply trained merges to a vocabulary table: iterate the merge
+    * fold per rule. Plan depth is bounded by checkpointing every
+    * `ckptEvery` merges (each rule nests one HOF aggregate; unbounded
+    * nesting blows analysis cost — same discipline as the trainer's
+    * per-round checkpoint). Vocabulary-sized work throughout.
+    */
+  def segmentVocab(vocab: DataFrame, merges: Seq[(String, String)],
+                   ckptEvery: Int = 8): DataFrame = {
+    var v = vocab
+    merges.zipWithIndex.foreach { case ((p1, p2), i) =>
+      v = v.withColumn("syms", mergeColumn(p1, p2))
+      if ((i + 1) % ckptEvery == 0) v = v.localCheckpoint()
+    }
+    v.select(col("w"), col("syms"))
+  }
+
+  /** Tokenize a corpus with trained merges — BPE inference at corpus
+    * scale. The corpus explodes to (doc, word-position, word) once;
+    * segmentation happens on the VOCABULARY (each distinct word
+    * segmented exactly once, however often it occurs), and one join
+    * on the word key fans the subwords back out. Unseen-corpus words
+    * segment fine (characters + whatever merges apply). Returns one
+    * row per subword: (idCol, pos, spos, subword) — fully
+    * deterministic ordering keys.
+    */
+  def tokenizeBpe(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val vocabSeg = segmentVocab(initVocab(docs, textCol), merges)
+    docs
+      .select(col(idCol),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "w")))
+      .join(vocabSeg, "w")
+      .select(col(idCol), col("pos"),
+        posexplode(col("syms")).as(Seq("spos", "subword")))
+  }
+
   /** Segment one word with trained merges (driver-side reference
     * application — inference over a corpus would broadcast the merge
     * list and apply the same fold as a column).

@@ -84,6 +84,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizeBpe: corpus inference agrees with driver-side segmentation") {
+    val docs = Tables.load(spark, sf001, "documents").limit(30)
+    val merges = Bpe.train(docs, 12)
+    assert(merges.length === 12)
+    val out = Bpe.tokenizeBpe(docs, merges)
+      .orderBy("doc_id", "pos", "spos").collect()
+    // reassemble each (doc, word position)'s subwords; they must equal
+    // segment(word) and concatenate back to the word itself
+    val byWordPos = out.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")))
+    val words = docs.select($"doc_id",
+        posexplode(TextStats.tokens($"text")).as(Seq("pos", "w")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) -> r.getAs[String]("w"))
+      .toMap
+    assert(byWordPos.keySet === words.keySet)
+    byWordPos.foreach { case (key, rows) =>
+      val subs = rows.sortBy(_.getAs[Int]("spos")).map(_.getAs[String]("subword")).toSeq
+      assert(subs === Bpe.segment(words(key), merges), s"at $key")
+      assert(subs.mkString === words(key))
+    }
+    // merges actually compress: fewer subwords than characters overall
+    val nSubwords = out.length
+    val nChars = words.values.map(_.length).sum
+    assert(nSubwords < nChars)
+  }
+
   test("train stops early when every word is a single symbol") {
     val docs = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, 10)
