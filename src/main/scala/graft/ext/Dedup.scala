@@ -744,4 +744,44 @@ object Dedup {
     simhashPortableSig(docs, bits, idCol, textCol)
       .groupBy("simhash")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** SimHash near-dup PAIRS (Manku et al. 2007 — the web-dedup
+    * classic): candidates share at least one of `bands` equal
+    * signature slices; exact Hamming distance verifies candidates
+    * only. With maxHamming < bands, recall is EXACT by pigeonhole —
+    * a pair differing in <= maxHamming bits cannot differ in every
+    * one of the bands, so banding only prunes, never misses. Uses the
+    * portable md5 family so the entire operator (signature, banding,
+    * verify) replays in the oracle (q97).
+    *
+    * Scale shape: banding is a narrow projection; the candidate join
+    * shuffles on (band, bucket) — 2^bandBits buckets bound posting
+    * lists; verify joins on the ids. No all-pairs stage anywhere.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   bits: Int = 60, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashPortableSig(docs, bits, idCol, textCol)
+    val banded = sigs.select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("bucket"))): _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    val cand = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -177,6 +177,32 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity buckets: split the corpus into
+    * head / middle / tail thirds by language-model score (here the
+    * corpus's own unigram LM via `unigramLogProb`) — the published
+    * CCNet recipe keeps head+middle and drops (or downweights) the
+    * tail. Thresholds are the 1/3 and 2/3 quantiles of the score.
+    *
+    * Scale shape: NO global sort/ntile (a single-partition window
+    * would serialize the corpus); instead the two thresholds reduce
+    * to one tiny aggregate row, broadcast back, and bucketing is a
+    * map-only CASE. Thresholds round to 6 to stay engine-exact.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logprob"))
+    val th = scored.agg(
+      round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6).as("_t_head"),
+      round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6).as("_t_mid"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_logprob") >= col("_t_head"), "head")
+          .when(col("avg_logprob") >= col("_t_mid"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col("avg_logprob"), col("bucket"))
+  }
+
   /** One pair-count round of BPE tokenizer training: the frequency of
     * every adjacent character pair, weighted by word frequency — the
     * inner statistic of byte-pair encoding (each merge round picks the

@@ -805,6 +805,75 @@ object TextQueries {
       Dedup.simhashPortableGroups(docs(s, dir)).orderBy("keeper")
     },
 
+    // ——— SimHash near-dup PAIRS (Manku et al.): banded sub-key
+    //     candidates + exact Hamming verify; maxHamming < bands ⇒
+    //     exact recall by pigeonhole. Same portable md5 signature CTE
+    //     as q37; banding/verify replayed with shifts + bit_count. ———
+    Q("q97_simhash_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks
+        |), votes AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT CAST(unnest(range(0, 60)) AS INT) AS i) bits
+        |  GROUP BY doc_id, i
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS bucket
+        |  FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a
+        |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON sa.doc_id = c.id_a
+        |JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ——— CCNet perplexity buckets: head/middle/tail thirds of the
+    //     corpus by unigram-LM score; thresholds = rounded exact
+    //     quantiles (broadcast, no global sort). ———
+    Q("q98_perplexity_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+        |), n AS (SELECT COUNT(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, ROUND(AVG(ln(CAST(f.tf AS DOUBLE) / n.n)), 6) AS avg_logprob
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN n
+        |  GROUP BY t.doc_id
+        |), th AS (
+        |  SELECT ROUND(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS t_head,
+        |         ROUND(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS t_mid
+        |  FROM scored
+        |)
+        |SELECT s.doc_id, s.avg_logprob,
+        |  CASE WHEN s.avg_logprob >= th.t_head THEN 'head'
+        |       WHEN s.avg_logprob >= th.t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s CROSS JOIN th
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      TextStats.perplexityBuckets(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ——— native single-pass xxhash64 SimHash. DuckDB has no xxhash64,
     //     so the oracle reads REFERENCE signatures recomputed on the
     //     driver by an independent scalar pipeline (own xxh64

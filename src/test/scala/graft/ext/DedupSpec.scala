@@ -262,4 +262,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     vj.foreach { case (k, j) => assert(math.abs(ej(k) - j) < 1e-9) }
   }
+
+  test("simhashPairs equals brute-force Hamming pairs (pigeonhole recall)") {
+    // maxHamming=3 < bands=4 ⇒ the banded result must be EXACTLY the
+    // all-pairs Hamming-verified set — banding prunes, never misses
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val got = Dedup.simhashPairs(docs, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val sigs = Dedup.simhashPortableSig(docs)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus has planted near-dups; expected pairs")
+    // parameter guards
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, maxHamming = 4, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, bands = 7))
+  }
 }

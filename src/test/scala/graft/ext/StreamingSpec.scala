@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyAgg equals the q22 date_trunc formulation (oracle tie)") {
+    // window("1 hour") and date_trunc("hour") must bucket identically —
+    // this pins the streaming aggregate to the ORACLE-VERIFIED q22
+    // shape, closing the batch-equivalence chain:
+    // streaming hourlyAgg == batch hourlyAgg == q22 oracle
+    val ev = Tables.load(spark, sf001, "events")
+    val a = Streaming.hourlyAgg(ev)
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    val b = ev
+      .withColumn("hour",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
   test("streaming dedup: one survivor per duplicated key, none lost") {
     // duplicate every event (same id, same ts) through a re-delivery:
     // the deduped stream must emit each event_id exactly once

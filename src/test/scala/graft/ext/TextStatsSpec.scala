@@ -107,6 +107,21 @@ class TextStatsSpec extends SparkSpec {
     assert(scored(0L) > scored(99L))
   }
 
+  test("perplexityBuckets: thirds are ordered and roughly balanced") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val out = TextStats.perplexityBuckets(docs).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Double]("avg_logprob")))
+    val byBucket = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // ordering law: every head score >= every middle score >= every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // thirds within quantile-tie slack
+    val n = out.length
+    byBucket.values.foreach(b =>
+      assert(math.abs(b.size - n / 3.0) < n * 0.1, s"bucket sizes: ${byBucket.view.mapValues(_.size).toMap}"))
+  }
+
   test("bpePairCounts: hand-computed weighted adjacent pairs") {
     // words: "aab" ×2, "ab" ×1 → pairs: aa(2), ab(2+1=3)
     val docs = Seq((0L, "aab ab"), (1L, "aab")).toDF("doc_id", "text")
