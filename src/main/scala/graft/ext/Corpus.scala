@@ -142,6 +142,30 @@ object Corpus {
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("bin"))
   }
 
+  /** Packed-row manifest: the emit side of `packByTokenBudget` — one
+    * row per (stratum, bin) with the ordered provenance list of
+    * packed documents and the bin's token payload. This is the
+    * manifest a training-data writer consumes to materialize fixed
+    * context windows (the text itself stays columnar; concatenation
+    * happens at the final serialization, not in the engine).
+    * Same single stratum exchange as the packing pass; the manifest
+    * is bins-sized, orders of magnitude smaller than the corpus.
+    */
+  def packedRowManifest(docs: DataFrame, budget: Long,
+                        stratumCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    packByTokenBudget(docs, budget, stratumCol, idCol, textCol)
+      .groupBy(col(stratumCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // numeric sort, string join — a lexicographic sort would put
+        // "10" before "9" and break cross-engine determinism
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol)))),
+            s => s.getField(idCol).cast("string")),
+          ",").as("doc_ids"))
+
   /** Fixed-size token chunking with overlap — the context-window
     * splitter every LLM data pipeline runs before tokenization.
     * Emits (id, chunk_id, chunk_text, n_tokens); the last chunk keeps

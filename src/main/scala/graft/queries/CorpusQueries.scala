@@ -105,6 +105,32 @@ object CorpusQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // ——— packed-row manifest: the emit side of q93 — one row per
+    //     (stratum, bin) with ordered doc provenance and token
+    //     payload (what a training-data writer materializes). ———
+    Q("q99_packed_manifest",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |  FROM c
+        |)
+        |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM p GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+      Corpus.packedRowManifest(docs(s, dir), budget = 2048L)
+        .orderBy("lang", "bin")
+    },
+
     // ——— weighted domain mixing: per-source sampling rates applied
     //     via a deterministic md5 hash coin (reproducible mixture) ———
     Q("q71_weighted_mix",

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+/** JSONL corpus ingest/egress — the interchange format LLM data
+  * pipelines actually ship (one JSON object per line; gzip/zstd
+  * per-file compression; schema known up front). Built directly on
+  * Spark's distributed json source: splittable reads, predicate/
+  * column pruning, and per-record error isolation all come from the
+  * engine, not custom code.
+  *
+  * Failure semantics are the operator's contract: real corpora carry
+  * truncated lines and encoding garbage, and a 100 TB ingest that
+  * aborts on record 10¹² is useless. `readDocs` runs PERMISSIVE with
+  * an explicit corrupt-record column: well-formed rows parse as
+  * schema'd columns, malformed lines land whole in `_corrupt` for
+  * quarantine — count them, sample them, never lose them silently.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt"
+
+  /** Write a DataFrame as JSONL, one part per partition;
+    * `compression` = "gzip" | "none" (parquet-style codecs).
+    */
+  def write(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Read JSONL with an enforced schema + corrupt-record capture.
+    * Returns rows where EITHER the schema columns are populated
+    * (parsed) or `_corrupt` holds the raw offending line.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+
+  /** Split a permissive read into (clean rows, quarantined raw lines).
+    * Spark requires caching the parsed frame before filtering on the
+    * corrupt column (the parser may otherwise prune the referenced
+    * raw-record field); the cache here is the documented idiom.
+    */
+  def partition(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val cached = parsed.cache()
+    val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
+    (clean, bad)
+  }
+}
