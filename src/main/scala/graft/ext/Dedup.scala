@@ -399,18 +399,22 @@ object Dedup {
     * re-signs 100 TB to admit a 100 GB shard; this shape touches
     * only the shard plus the candidate-bucket slices of the index.
     */
-  final case class LshIndex(buckets: DataFrame, shingles: DataFrame)
-
-  /** Build the index tables for `docs` (the corpus side). Family
-    * parameters (n, k, bands) are part of the index's identity —
-    * `dedupAgainstIndex` must be called with the same values.
+  /** `params` = the (n, k, bands) family the index was built with —
+    * part of the index's identity: querying a bucket table with a
+    * different family silently produces garbage candidates, so the
+    * persisted layouts carry the params and `dedupAgainstIndex`
+    * REFUSES a mismatch. None only for hand-assembled indexes.
     */
+  final case class LshIndex(buckets: DataFrame, shingles: DataFrame,
+                            params: Option[(Int, Int, Int)] = None)
+
+  /** Build the index tables for `docs` (the corpus side). */
   def buildLshIndex(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text"): LshIndex = {
     val b = lshBuckets(docs, n, k, bands, idCol, textCol)
     val sh = shingles(docs, n, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-    LshIndex(b, sh)
+    LshIndex(b, sh, Some((n, k, bands)))
   }
 
   /** Persist / reload the index. Buckets are bucketed-by-write on
@@ -418,14 +422,32 @@ object Dedup {
     * `partitionBy`; here the layout is plain parquet — the read side
     * shuffles on the join key either way, once.
     */
+  private def paramsDf(spark: org.apache.spark.sql.SparkSession,
+                       p: (Int, Int, Int)): DataFrame = {
+    import spark.implicits._
+    Seq(p).toDF("n", "k", "bands")
+  }
+
+  private def readParams(df: DataFrame): Option[(Int, Int, Int)] =
+    df.collect().headOption.map(r =>
+      (r.getAs[Int]("n"), r.getAs[Int]("k"), r.getAs[Int]("bands")))
+
   def writeLshIndex(index: LshIndex, path: String): Unit = {
     index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.params.foreach(p =>
+      paramsDf(index.buckets.sparkSession, p)
+        .write.mode("overwrite").parquet(s"$path/params"))
   }
 
-  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex =
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val params =
+      if (new java.io.File(s"$path/params").exists)
+        readParams(spark.read.parquet(s"$path/params"))
+      else None
     LshIndex(spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/shingles"))
+      spark.read.parquet(s"$path/shingles"), params)
+  }
 
   /** Persist the index BUCKETED on its join keys — the co-location
     * lever for a corpus-scale index: the bucket table lays out by
@@ -464,12 +486,22 @@ object Dedup {
     val idCol = index.shingles.columns.head
     index.shingles.write.bucketBy(buckets, idCol).sortBy(idCol)
       .mode("overwrite").saveAsTable(s"${tablePrefix}_shingles")
+    index.params.foreach { p =>
+      resetManagedTable(spark, s"${tablePrefix}_params")
+      paramsDf(spark, p).write.mode("overwrite")
+        .saveAsTable(s"${tablePrefix}_params")
+    }
   }
 
   def readLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-                           tablePrefix: String): LshIndex =
+                           tablePrefix: String): LshIndex = {
+    val params =
+      if (spark.catalog.tableExists(s"${tablePrefix}_params"))
+        readParams(spark.table(s"${tablePrefix}_params"))
+      else None
     LshIndex(spark.table(s"${tablePrefix}_buckets"),
-      spark.table(s"${tablePrefix}_shingles"))
+      spark.table(s"${tablePrefix}_shingles"), params)
+  }
 
   /** Near-dup pairs of a NEW shard against the persisted index:
     * shard signatures joined to the index's buckets (candidates =
@@ -493,6 +525,11 @@ object Dedup {
                         maxBucket: Option[Long] = Some(Dedup.DefaultMaxBucket),
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // family mismatch = silent garbage candidates; refuse it outright
+    index.params.foreach(p => require(p == ((n, k, bands)),
+      s"dedupAgainstIndex called with (n=$n, k=$k, bands=$bands) but the " +
+        s"index was built with (n=${p._1}, k=${p._2}, bands=${p._3}) — " +
+        "the LSH family is part of the index's identity"))
     val nb0 = lshBuckets(newDocs, n, k, bands, idCol, textCol)
       .toDF("id_new", "band", "bucket")
     val ib0 = index.buckets.toDF("id_idx", "band", "bucket")

@@ -520,6 +520,28 @@ object Relational {
         .orderBy("user_id", "session_start")
     },
 
+    // ——— STREAMING execution against the batch oracle: the hourly
+    //     aggregate runs as a real Structured Streaming query
+    //     (readStream file source → window agg → memory sink,
+    //     complete mode so every window emits) and its output must
+    //     hash-match q22's SQL — the strongest form of the
+    //     batch/stream equivalence laws in StreamingSpec. ———
+    Q("q100_streaming_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.hourlyAgg(stream), "q100_hourly",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q100_hourly").orderBy("hour", "event_type")
+    },
+
     // ——— the SAME sessionization through the ARBITRARY-STATE path
     //     (flatMapGroupsWithState's batch twin; shared merge core with
     //     the streaming operator) — q23's declarative session_window

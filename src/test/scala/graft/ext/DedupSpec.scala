@@ -263,6 +263,26 @@ class DedupSpec extends SparkSpec {
     vj.foreach { case (k, j) => assert(math.abs(ej(k) - j) < 1e-9) }
   }
 
+  test("LSH index carries its family params; mismatched query refused") {
+    val index = Dedup.buildLshIndex(docs, n = 3, k = 32, bands = 8)
+    assert(index.params === Some((3, 32, 8)))
+    // wrong family must throw, not return garbage candidates
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupAgainstIndex(docs, index, n = 3, k = 16, bands = 8))
+    assert(e.getMessage.contains("LSH family"))
+    // params survive BOTH persisted layouts
+    val dir = java.nio.file.Files.createTempDirectory("lshidxp").toString
+    Dedup.writeLshIndex(index, dir)
+    assert(Dedup.readLshIndex(spark, dir).params === Some((3, 32, 8)))
+    Dedup.writeLshIndexBucketed(index, "lshidx_params_rt", buckets = 4)
+    assert(Dedup.readLshIndexBucketed(spark, "lshidx_params_rt").params
+      === Some((3, 32, 8)))
+    // a matching query still works (smoke)
+    assert(Dedup.dedupAgainstIndex(docs.limit(3), index,
+      n = 3, k = 32, bands = 8).columns.toSeq
+      === Seq("id_new", "id_idx", "jaccard"))
+  }
+
   test("simhashPairs equals brute-force Hamming pairs (pigeonhole recall)") {
     // maxHamming=3 < bands=4 ⇒ the banded result must be EXACTLY the
     // all-pairs Hamming-verified set — banding prunes, never misses
