@@ -542,6 +542,19 @@ object Relational {
       s.table("q100_hourly").orderBy("hour", "event_type")
     },
 
+    // ——— STREAMING sessionization against the batch oracle: session
+    //     windows as a real streaming query, complete mode (every
+    //     session emits regardless of watermark), hash-matched to
+    //     q23's gaps-and-islands SQL. ———
+    Q("q101_streaming_sessions", sessionizeSql) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.sessionize(stream, "5 minutes"), "q101_sessions",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q101_sessions").orderBy("user_id", "session_start")
+    },
+
     // ——— the SAME sessionization through the ARBITRARY-STATE path
     //     (flatMapGroupsWithState's batch twin; shared merge core with
     //     the streaming operator) — q23's declarative session_window
