@@ -422,28 +422,32 @@ object Dedup {
     * `partitionBy`; here the layout is plain parquet — the read side
     * shuffles on the join key either way, once.
     */
-  private def paramsDf(spark: org.apache.spark.sql.SparkSession,
-                       p: (Int, Int, Int)): DataFrame = {
-    import spark.implicits._
-    Seq(p).toDF("n", "k", "bands")
-  }
+  // params ride as metadata, never as Spark jobs: a sidecar text file
+  // for the parquet layout, table properties for the catalog layout —
+  // a 1-row params *table* costs a full write job (~0.5 s per bench
+  // run of q91, measured) for three integers
+  private def renderParams(p: (Int, Int, Int)): String =
+    s"${p._1} ${p._2} ${p._3}"
 
-  private def readParams(df: DataFrame): Option[(Int, Int, Int)] =
-    df.collect().headOption.map(r =>
-      (r.getAs[Int]("n"), r.getAs[Int]("k"), r.getAs[Int]("bands")))
+  private def parseParams(s: String): Option[(Int, Int, Int)] =
+    s.trim.split("\\s+") match {
+      case Array(n, k, b) => Some((n.toInt, k.toInt, b.toInt))
+      case _ => None
+    }
 
   def writeLshIndex(index: LshIndex, path: String): Unit = {
     index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    index.params.foreach(p =>
-      paramsDf(index.buckets.sparkSession, p)
-        .write.mode("overwrite").parquet(s"$path/params"))
+    index.params.foreach(p => java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.txt"),
+      renderParams(p).getBytes("UTF-8")))
   }
 
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val sidecar = java.nio.file.Paths.get(path, "params.txt")
     val params =
-      if (new java.io.File(s"$path/params").exists)
-        readParams(spark.read.parquet(s"$path/params"))
+      if (java.nio.file.Files.exists(sidecar))
+        parseParams(new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8"))
       else None
     LshIndex(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/shingles"), params)
@@ -486,19 +490,19 @@ object Dedup {
     val idCol = index.shingles.columns.head
     index.shingles.write.bucketBy(buckets, idCol).sortBy(idCol)
       .mode("overwrite").saveAsTable(s"${tablePrefix}_shingles")
-    index.params.foreach { p =>
-      resetManagedTable(spark, s"${tablePrefix}_params")
-      paramsDf(spark, p).write.mode("overwrite")
-        .saveAsTable(s"${tablePrefix}_params")
-    }
+    // catalog-only metadata op — no job
+    index.params.foreach(p => spark.sql(
+      s"ALTER TABLE `${tablePrefix}_buckets` SET TBLPROPERTIES " +
+        s"('graft.lsh.family' = '${renderParams(p)}')"))
   }
 
   def readLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                            tablePrefix: String): LshIndex = {
-    val params =
-      if (spark.catalog.tableExists(s"${tablePrefix}_params"))
-        readParams(spark.table(s"${tablePrefix}_params"))
-      else None
+    val params = spark
+      .sql(s"SHOW TBLPROPERTIES `${tablePrefix}_buckets` ('graft.lsh.family')")
+      .collect().headOption
+      .filter(!_.getString(1).contains("does not have property"))
+      .flatMap(r => parseParams(r.getString(1)))
     LshIndex(spark.table(s"${tablePrefix}_buckets"),
       spark.table(s"${tablePrefix}_shingles"), params)
   }
