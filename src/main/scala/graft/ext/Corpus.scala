@@ -142,6 +142,56 @@ object Corpus {
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("bin"))
   }
 
+  /** Content-defined chunking (rolling-hash CDC): a chunk boundary
+    * falls wherever the hash of the `w`-token window starting at a
+    * position divides `divisor` — so boundaries depend only on LOCAL
+    * content, and inserting text into a document shifts chunk
+    * boundaries only until the next boundary instead of re-chunking
+    * everything (the property fixed-size chunking lacks, and the
+    * reason CDC is the dedup-friendly splitter: shifted copies still
+    * share almost all chunk fingerprints). Mean chunk length ≈
+    * `divisor` tokens. Engine-portable hash (md5-hex7), so the whole
+    * operator oracles (q102).
+    *
+    * Shape: boundary flags are computed inside each row's own token
+    * array (map-only); the only exchange is the per-document window
+    * for the running boundary count + the chunk aggregate — both
+    * partition on the doc id. Returns
+    * (idCol, chunk_id, n_tokens, chunk_text, chunk_hash).
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 3, divisor: Long = 16,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && divisor >= 1, s"need w >= 1, divisor >= 1 (w=$w, d=$divisor)")
+    val withToks = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
+    // flag(pos) = 1 iff the window STARTING at pos hashes to 0 mod
+    // divisor; tail positions with no full window never flag
+    val flags = when(size(toks) >= w,
+      concat(
+        transform(sequence(lit(1), size(toks) - lit(w - 1)),
+          i => (conv(substring(md5(array_join(slice(toks, i, lit(w)), " ")), 1, 7), 16, 10)
+            .cast("long") % lit(divisor) === lit(0L)).cast("int")),
+        array_repeat(lit(0), lit(w - 1))))
+      .otherwise(transform(toks, _ => lit(0)))
+    val posed = withToks
+      .select(col(idCol),
+        posexplode(zip_with(toks, flags,
+          (t, f) => struct(t.as("tok"), f.as("flag")))).as(Seq("pos", "_z")))
+      .select(col(idCol), col("pos"), col("_z.tok").as("tok"),
+        col("_z.flag").as("flag"))
+    // a boundary token CLOSES its chunk: chunk id = boundaries strictly
+    // before this position
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    posed
+      .withColumn("chunk_id", coalesce(sum(col("flag")).over(byDoc), lit(0)).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
   /** Packed-row manifest: the emit side of `packByTokenBudget` — one
     * row per (stratum, bin) with the ordered provenance list of
     * packed documents and the bin's token payload. This is the

@@ -105,6 +105,40 @@ object CorpusQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // ——— content-defined chunking: rolling-hash (md5-hex7) boundary
+    //     whenever the 3-token window divides 16 — shift-robust
+    //     chunking whose fingerprints survive insertions (the CDC
+    //     dedup splitter). Full SQL replay: per-position window hash,
+    //     exclusive running boundary count, ordered string_agg. ———
+    Q("q102_cdc_chunks",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+        |), pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS tok,
+        |    CASE WHEN i <= len(ts) - 2 AND
+        |      CAST(concat('0x', substring(md5(array_to_string(ts[i:i+2], ' ')), 1, 7))
+        |        AS BIGINT) % 16 = 0
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM idx
+        |), ch AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM pos
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM ch
+        |GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Corpus.cdcChunks(docs(s, dir), w = 3, divisor = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ——— packed-row manifest: the emit side of q93 — one row per
     //     (stratum, bin) with ordered doc provenance and token
     //     payload (what a training-data writer materializes). ———

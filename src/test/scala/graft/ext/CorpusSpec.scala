@@ -87,6 +87,32 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.packByTokenBudget(docs, 0L))
   }
 
+  test("cdcChunks: boundaries are content-defined — insertion shifts only locally") {
+    // a long synthetic doc (distinct tokens → ~1/divisor boundary
+    // rate, many chunks) so the re-sync property has room to show
+    val doc = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, doc), (1L, "inserted preamble tokens " + doc))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.cdcChunks(docs, w = 3, divisor = 16).collect()
+    val h0 = chunks.filter(_.getLong(0) == 0L).map(_.getAs[String]("chunk_hash")).toSet
+    val h1 = chunks.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_hash")).toSet
+    assert(h0.size >= 5, s"expected several chunks, got ${h0.size}")
+    // fixed-size chunking would share ~nothing after a 3-token shift;
+    // CDC re-synchronizes at the FIRST boundary, so every chunk but
+    // the one absorbing the prefix survives the insertion
+    val shared = h0.intersect(h1).size.toDouble / h0.size
+    assert(shared >= 0.7, f"only $shared%.2f of chunks survived the insertion")
+    // every token lands in exactly one chunk
+    val nToks = chunks.filter(_.getLong(0) == 0L).map(_.getAs[Long]("n_tokens")).sum
+    assert(nToks === doc.toLowerCase.split("\\s+").length.toLong)
+    // chunk text reassembles the document in order
+    val joined = chunks.filter(_.getLong(0) == 0L)
+      .sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[String]("chunk_text"))
+      .mkString(" ")
+    assert(joined === doc.toLowerCase.split("\\s+").mkString(" "))
+    intercept[IllegalArgumentException](Corpus.cdcChunks(docs, w = 0))
+  }
+
   test("stratifiedSample is partition-invariant (deterministic by md5)") {
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
     def ids(parts: Int) = Corpus.stratifiedSample(
