@@ -28,6 +28,11 @@ object Bpe {
     */
   def initVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(TextStats.tokens(col(textCol))).as("w"))
+      // leading/trailing whitespace tokenizes to empty words; drop them
+      // BEFORE charring — sequence(1, 0) runs DESCENDING in Spark, so an
+      // unguarded empty word would char-split to ["", ""] and feed a
+      // bogus ("", "") pair into every merge round
+      .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
@@ -102,9 +107,18 @@ object Bpe {
   def segmentVocab(vocab: DataFrame, merges: Seq[(String, String)],
                    ckptEvery: Int = 8): DataFrame = {
     var v = vocab
+    // release superseded checkpoints as we advance (Dataset.unpersist
+    // is a no-op on checkpointed frames — same discipline as train and
+    // nearDupClusters); the FINAL checkpoint must survive because the
+    // returned frame roots at it
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     merges.zipWithIndex.foreach { case ((p1, p2), i) =>
       v = v.withColumn("syms", mergeColumn(p1, p2))
-      if ((i + 1) % ckptEvery == 0) v = v.localCheckpoint()
+      if ((i + 1) % ckptEvery == 0) {
+        v = v.localCheckpoint()
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = org.apache.spark.sql.GraftBridge.leafRdds(v)
+      }
     }
     v.select(col("w"), col("syms"))
   }

@@ -438,17 +438,28 @@ object Dedup {
   def writeLshIndex(index: LshIndex, path: String): Unit = {
     index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    index.params.foreach(p => java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "params.txt"),
-      renderParams(p).getBytes("UTF-8")))
+    // Hadoop FS, not java.nio: the index lives wherever the parquet
+    // does (hdfs://, s3a://, file:) and the sidecar must follow — a
+    // local-only write would silently bypass the family guard on read
+    index.params.foreach { p =>
+      val spark = index.buckets.sparkSession
+      val loc = new org.apache.hadoop.fs.Path(path, "params.txt")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(loc, true)
+      try out.write(renderParams(p).getBytes("UTF-8")) finally out.close()
+    }
   }
 
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
-    val sidecar = java.nio.file.Paths.get(path, "params.txt")
+    val loc = new org.apache.hadoop.fs.Path(path, "params.txt")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val params =
-      if (java.nio.file.Files.exists(sidecar))
-        parseParams(new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8"))
-      else None
+      if (fs.exists(loc)) {
+        val in = fs.open(loc)
+        try parseParams(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      } else None
     LshIndex(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/shingles"), params)
   }
@@ -807,7 +818,12 @@ object Dedup {
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sigs = simhashPortableSig(docs, bits, idCol, textCol)
+    // the signature stage (token explode + 60 conditional-sum
+    // aggregates) feeds THREE consumers (banding + both verify
+    // joins); Catalyst does not dedup common subtrees, so an eager
+    // localCheckpoint materializes it once — one doc-count-sized
+    // table, reclaimed by the ContextCleaner when the result dies
+    val sigs = simhashPortableSig(docs, bits, idCol, textCol).localCheckpoint()
     val banded = sigs.select(col(idCol), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))

@@ -217,11 +217,23 @@ object Streaming {
     }
   }
 
+  /** Same interval grammar as session_window accepts for the common
+    * units — the stateful twins must not have a narrower gap grammar
+    * than the declarative form they are pinned against.
+    */
   private def gapToMicros(gap: String): Long = {
-    val m = "(\\d+) minutes?".r
-    gap match {
-      case m(n) => n.toLong * 60L * 1000000L
-      case other => throw new IllegalArgumentException(s"gap '$other' (want 'N minutes')")
+    val m = "(\\d+)\\s+(second|minute|hour|day)s?".r
+    gap.trim match {
+      case m(n, unit) =>
+        val per = unit match {
+          case "second" => 1000000L
+          case "minute" => 60L * 1000000L
+          case "hour" => 3600L * 1000000L
+          case "day" => 86400L * 1000000L
+        }
+        n.toLong * per
+      case other => throw new IllegalArgumentException(
+        s"gap '$other' (want 'N seconds|minutes|hours|days')")
     }
   }
 

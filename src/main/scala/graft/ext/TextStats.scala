@@ -190,8 +190,12 @@ object TextStats {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // the scored table feeds two consumers (threshold aggregate +
+    // bucketing scan); one eager checkpoint of the doc-count-sized
+    // result beats re-running the token explode + frequency join
     val scored = unigramLogProb(docs, idCol, textCol)
       .select(col(idCol), col("avg_logprob"))
+      .localCheckpoint()
     val th = scored.agg(
       round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6).as("_t_head"),
       round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6).as("_t_mid"))

@@ -48,6 +48,11 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      // default maxRows (100k) covers every driver sf through sf1
+      // (50k embeddings); past that the REFUSAL is the intended
+      // behavior — this battery entry is the documented test-scale
+      // verification path, and its DuckDB oracle is O(n²) too. The
+      // scale paths are q42/q87/q94.
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")
     },

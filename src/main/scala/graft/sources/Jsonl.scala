@@ -42,15 +42,24 @@ object Jsonl {
       .json(path)
   }
 
-  /** Split a permissive read into (clean rows, quarantined raw lines).
-    * Spark requires caching the parsed frame before filtering on the
-    * corrupt column (the parser may otherwise prune the referenced
-    * raw-record field); the cache here is the documented idiom.
+  /** A permissive read split into clean rows and quarantined raw
+    * lines, plus ownership of the backing cache: Spark requires
+    * caching the parsed frame before filtering on the corrupt column
+    * (the parser may otherwise prune the referenced raw-record
+    * field), and that cache pins the whole shard until released —
+    * call `release()` once both sides are consumed, or every
+    * ingested shard leaks one corpus-sized cache entry.
     */
-  def partition(parsed: DataFrame): (DataFrame, DataFrame) = {
+  final case class Partitioned(clean: DataFrame, bad: DataFrame,
+                               private val backing: DataFrame) {
+    def release(): Unit = { backing.unpersist(); () }
+  }
+
+  def partition(parsed: DataFrame): Partitioned = {
     val cached = parsed.cache()
-    val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val bad = cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
-    (clean, bad)
+    Partitioned(
+      clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      bad = cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)),
+      backing = cached)
   }
 }
