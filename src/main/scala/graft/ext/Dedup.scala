@@ -518,6 +518,25 @@ object Dedup {
       spark.table(s"${tablePrefix}_shingles"), params)
   }
 
+  /** Extend an index with a new shard's signatures — the epoch-append
+    * step of the continuously-ingesting topology: dedup the shard
+    * against the index (`dedupAgainstIndex`), admit the survivors,
+    * then fold the SURVIVORS' buckets and shingles into the index so
+    * the next shard dedups against them too. Union only — no re-read
+    * or re-signing of the existing corpus; at real scale the unions
+    * land in the partitioned/bucketed layout on the next index write.
+    * Family params carry over (and the shard is signed with them).
+    */
+  def appendToLshIndex(index: LshIndex, admitted: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): LshIndex = {
+    val (n, k, bands) = index.params.getOrElse((3, 32, 8))
+    val nb = lshBuckets(admitted, n, k, bands, idCol, textCol)
+    val ns = shingles(admitted, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    LshIndex(index.buckets.union(nb), index.shingles.union(ns), index.params)
+  }
+
   /** Near-dup pairs of a NEW shard against the persisted index:
     * shard signatures joined to the index's buckets (candidates =
     * shared (band, bucket)), then exact Jaccard verified on the

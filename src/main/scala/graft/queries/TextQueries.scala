@@ -1013,6 +1013,44 @@ object TextQueries {
       TextStats.unigramLogProb(docs(s, dir)).orderBy("doc_id")
     },
 
+    // ——— cross-source vocabulary overlap: pairwise Jaccard of the
+    //     distinct-token sets per source — the corpus-comparison op
+    //     behind mixture design ("how much does source A's vocab
+    //     overlap B's?"). Vocabulary-sized joins only. ———
+    Q("q103_vocab_overlap",
+      """WITH v AS (
+        |  SELECT DISTINCT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT source, COUNT(*) AS n FROM v GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
+        |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val v = docs(s, dir)
+        .select(col("source"), explode(TextStats.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = v.toDF("src_a", "tok")
+        .join(v.toDF("src_b", "tok"), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.toDF("src_a", "na"), "src_a")
+        .join(sizes.toDF("src_b", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"), col("i").as("n_shared"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // ——— bigram log-prob quality score (one LM rung above q89:
     //     mean ln c(w1,w2)/c(w1) under the corpus's own bigram model;
     //     MLE — observed bigrams always have positive count). ———

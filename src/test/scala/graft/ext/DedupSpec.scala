@@ -283,6 +283,31 @@ class DedupSpec extends SparkSpec {
       === Seq("id_new", "id_idx", "jaccard"))
   }
 
+  test("appendToLshIndex: the next shard dedups against admitted docs") {
+    val d = graft.Tables.load(spark, sf001, "documents")
+    val corpus = d.filter(col("doc_id") % 10 < 6)
+    val shard1 = d.filter(col("doc_id") % 10 === 7)
+    // shard2 = shard1's docs under new ids → near-dups of shard1, and
+    // (mostly) not of the original corpus
+    val shard2 = shard1.withColumn("doc_id", col("doc_id") + 100000L)
+    val index0 = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+    val pairs1 = Dedup.dedupAgainstIndex(shard1, index0, n = 3, k = 32, bands = 8)
+    val admitted1 = Dedup.applyIncrementalDedup(shard1, pairs1)
+    val index1 = Dedup.appendToLshIndex(index0, admitted1)
+    assert(index1.params === index0.params)
+    // against the EXTENDED index, shard2's copies of admitted docs are
+    // caught; against the original index they were not
+    val pairs2new = Dedup.dedupAgainstIndex(shard2, index1, n = 3, k = 32, bands = 8)
+    val pairs2old = Dedup.dedupAgainstIndex(shard2, index0, n = 3, k = 32, bands = 8)
+    val admittedIds = admitted1.select("doc_id").as[Long].collect().toSet
+    val caughtVsAdmitted = pairs2new.select("id_new", "id_idx").as[(Long, Long)]
+      .collect().filter { case (nw, idx) => admittedIds.contains(idx) &&
+        nw - 100000L === idx }
+    assert(caughtVsAdmitted.nonEmpty,
+      "extended index must catch copies of newly admitted docs")
+    assert(pairs2new.count() > pairs2old.count())
+  }
+
   test("simhashPairs equals brute-force Hamming pairs (pigeonhole recall)") {
     // maxHamming=3 < bands=4 ⇒ the banded result must be EXACTLY the
     // all-pairs Hamming-verified set — banding prunes, never misses
