@@ -9,42 +9,6 @@ import org.apache.spark.sql.functions._
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Plain-Scala reference BPE (Sennrich et al. 2016): argmax pair by
-    * (count desc, p1 asc, p2 asc), greedy left-to-right application.
-    */
-  private def referenceTrain(words: Map[String, Long],
-                             nMerges: Int): Seq[(String, String)] = {
-    var vocab: Map[Seq[String], Long] =
-      words.map { case (w, c) => w.map(_.toString) -> c }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var done = false
-    while (merges.length < nMerges && !done) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        syms.sliding(2).foreach {
-          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-          case _ =>
-        }
-      }
-      if (counts.isEmpty) done = true
-      else {
-        val (p1, p2) = counts.toSeq
-          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
-        merges += ((p1, p2))
-        vocab = vocab.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          syms.foreach { x =>
-            if (out.nonEmpty && out.last == p1 && x == p2) {
-              out.remove(out.length - 1); out += (p1 + p2)
-            } else out += x
-          }
-          out.toSeq -> c
-        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-      }
-    }
-    merges.toSeq
-  }
-
   test("train matches the reference merge sequence on a crafted corpus") {
     // classic BPE example shape: "low lower lowest newest widest"
     val text = Seq.fill(5)("low").mkString(" ") + " " +
@@ -54,7 +18,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((0L, text)).toDF("doc_id", "text")
     val words = text.split(" ").groupBy(identity)
       .map { case (w, a) => w -> a.length.toLong }
-    val want = referenceTrain(words, 8)
+    val want = BpeReference.train(words, 8)
     val got = Bpe.train(docs, 8)
     assert(got === want)
     // "es" then "est" (9 weighted occurrences) must dominate early
@@ -67,7 +31,7 @@ class BpeSpec extends SparkSpec {
       .select(explode(TextStats.tokens($"text")).as("w"))
       .groupBy("w").count()
       .as[(String, Long)].collect().toMap
-    val want = referenceTrain(words, 10)
+    val want = BpeReference.train(words, 10)
     val got = Bpe.train(docs, 10)
     assert(got === want)
     // segmentation with the trained merges reproduces the distributed

@@ -50,40 +50,7 @@ object CorpusProps extends Properties("corpus") {
       val docs = Seq((0L, text)).toDF("doc_id", "text")
       val wordCounts = text.split(" ").groupBy(identity)
         .map { case (w, a) => w -> a.length.toLong }
-      Bpe.train(docs, nMerges) == referenceTrain(wordCounts, nMerges)
+      Bpe.train(docs, nMerges) == BpeReference.train(wordCounts, nMerges)
     }
 
-  /** Plain-Scala BPE reference (same tie-break as the trainer). */
-  private def referenceTrain(words: Map[String, Long],
-                             nMerges: Int): Seq[(String, String)] = {
-    var vocab: Map[Seq[String], Long] =
-      words.filter(_._1.nonEmpty).map { case (w, c) => w.map(_.toString) -> c }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var done = false
-    while (merges.length < nMerges && !done) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        syms.sliding(2).foreach {
-          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-          case _ =>
-        }
-      }
-      if (counts.isEmpty) done = true
-      else {
-        val (p1, p2) = counts.toSeq
-          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
-        merges += ((p1, p2))
-        vocab = vocab.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          syms.foreach { x =>
-            if (out.nonEmpty && out.last == p1 && x == p2) {
-              out.remove(out.length - 1); out += (p1 + p2)
-            } else out += x
-          }
-          out.toSeq -> c
-        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-      }
-    }
-    merges.toSeq
-  }
 }
