@@ -479,13 +479,39 @@ object Dedup {
     * a prior JVM created, so `mode(overwrite)` cannot replace them and
     * CTAS refuses the existing location (LOCATION_ALREADY_EXISTS).
     */
-  private def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
-                                table: String): Unit = {
+  private[ext] def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // When the catalog knows the table, delete its REAL location (a
+    // relocated warehouse or non-default database would make the
+    // guessed path wrong in both directions). Only for the orphaned
+    // case — a stale dir from a prior JVM the fresh in-memory catalog
+    // never heard of — fall back to the default-warehouse layout, and
+    // only if the dir actually looks like a Spark table (data files /
+    // _SUCCESS), so an unrelated same-named directory survives.
+    val realLoc: Option[org.apache.hadoop.fs.Path] =
+      if (catalog.tableExists(ident))
+        Some(new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    realLoc match {
+      case Some(loc) =>
+        val fs = loc.getFileSystem(hconf)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case None =>
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = loc.getFileSystem(hconf)
+        if (fs.exists(loc)) {
+          val looksLikeTable = fs.listStatus(loc).exists { st =>
+            val nm = st.getPath.getName
+            nm == "_SUCCESS" || nm.startsWith("part-") || nm.startsWith("_spark_metadata")
+          }
+          if (looksLikeTable) fs.delete(loc, true)
+        }
+    }
   }
 
   def writeLshIndexBucketed(index: LshIndex, tablePrefix: String,
@@ -509,11 +535,13 @@ object Dedup {
 
   def readLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                            tablePrefix: String): LshIndex = {
-    val params = spark
-      .sql(s"SHOW TBLPROPERTIES `${tablePrefix}_buckets` ('graft.lsh.family')")
-      .collect().headOption
-      .filter(!_.getString(1).contains("does not have property"))
-      .flatMap(r => parseParams(r.getString(1)))
+    // catalog API, not SHOW TBLPROPERTIES output parsing: the command's
+    // result shape (column count, missing-property message text) is not
+    // a stable interface; the table metadata map is.
+    val params = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_buckets"))
+      .properties.get("graft.lsh.family")
+      .flatMap(parseParams)
     LshIndex(spark.table(s"${tablePrefix}_buckets"),
       spark.table(s"${tablePrefix}_shingles"), params)
   }
@@ -530,7 +558,15 @@ object Dedup {
   def appendToLshIndex(index: LshIndex, admitted: DataFrame,
                        idCol: String = "doc_id",
                        textCol: String = "text"): LshIndex = {
-    val (n, k, bands) = index.params.getOrElse((3, 32, 8))
+    // A param-less index (hand-assembled, or persisted before the
+    // family sidecar existed) must be refused, not defaulted: signing
+    // the shard with a guessed family silently poisons the index —
+    // the exact mismatch dedupAgainstIndex rejects loudly.
+    require(index.params.isDefined,
+      "appendToLshIndex: index carries no (n, k, bands) family params; " +
+        "rebuild it with buildLshIndex / re-persist with writeLshIndex*, or " +
+        "construct LshIndex(..., params = Some((n, k, bands))) explicitly")
+    val (n, k, bands) = index.params.get
     val nb = lshBuckets(admitted, n, k, bands, idCol, textCol)
     val ns = shingles(admitted, n, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))

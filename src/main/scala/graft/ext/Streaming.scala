@@ -121,16 +121,37 @@ object Streaming {
       case None => GroupStateTimeout.NoTimeout
     }
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserSnapshot](timeoutKind) {
-        (user, rows, state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
-          val (n, total) = rows.foldLeft((prev.n, prev.total)) {
-            case ((c, s), e) => (c + 1, s + e.value)
-          }
-          state.update(UserState(n, total))
-          idleTimeout.foreach(state.setTimeoutDuration)
-          UserSnapshot(user, n, total)
+      .mapGroupsWithState[UserState, UserSnapshot](timeoutKind)(
+        runningTotalsFn(idleTimeout))
+  }
+
+  /** The state-transition function behind `runningTotals`, extracted
+    * so the timeout branch is unit-testable via `TestGroupState`
+    * (a ProcessingTime timeout can't be forced deterministically
+    * through a real stream). A timed-out invocation arrives with NO
+    * rows: the state (and its timer) must be removed — updating and
+    * re-arming here would keep every idle user's state forever and
+    * re-emit its snapshot once per timeout. `mapGroupsWithState`
+    * requires a return value, so eviction emits the state once as a
+    * final snapshot; it can't recur because the timer dies with the
+    * state.
+    */
+  private[ext] def runningTotalsFn(idleTimeout: Option[String])(
+      user: Long, rows: Iterator[UserEvent],
+      state: GroupState[UserState]): UserSnapshot = {
+    if (state.hasTimedOut) {
+      val last = state.getOption.getOrElse(UserState(0L, 0.0))
+      state.remove()
+      UserSnapshot(user, last.n, last.total)
+    } else {
+      val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+      val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+        case ((c, s), e) => (c + 1, s + e.value)
       }
+      state.update(UserState(n, total))
+      idleTimeout.foreach(state.setTimeoutDuration)
+      UserSnapshot(user, n, total)
+    }
   }
 
   // ——— stateful sessionization (flatMapGroupsWithState) ———

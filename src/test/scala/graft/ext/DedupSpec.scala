@@ -329,4 +329,46 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.simhashPairs(docs, bands = 7))
   }
+
+  test("appendToLshIndex refuses an index without family params") {
+    val index = Dedup.buildLshIndex(docs.limit(5), n = 3, k = 32, bands = 8)
+    val paramless = index.copy(params = None)
+    val e = intercept[IllegalArgumentException](
+      Dedup.appendToLshIndex(paramless, docs.limit(2)))
+    assert(e.getMessage.contains("family params"),
+      "error must say why the append was refused")
+  }
+
+  test("resetManagedTable deletes only real table data") {
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")))
+    // an unrelated directory that merely shares the table's name must
+    // survive a reset (it has no Spark-table layout)
+    val bystander = new java.io.File(wh, "graft_reset_bystander")
+    bystander.mkdirs()
+    val keep = new java.io.File(bystander, "precious.txt")
+    java.nio.file.Files.writeString(keep.toPath, "not a table")
+    Dedup.resetManagedTable(spark, "graft_reset_bystander")
+    assert(keep.exists(), "unrelated same-named dir must not be deleted")
+
+    // a STALE table dir (part- files, no catalog entry — the
+    // prior-JVM case) must be cleared so saveAsTable can recreate it
+    val staleDir = new java.io.File(wh, "graft_reset_stale")
+    staleDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(staleDir, "part-00000-dead.snappy.parquet").toPath, "x")
+    java.nio.file.Files.writeString(
+      new java.io.File(staleDir, "_SUCCESS").toPath, "")
+    assert(!spark.catalog.tableExists("graft_reset_stale"))
+    Dedup.resetManagedTable(spark, "graft_reset_stale")
+    assert(!staleDir.exists(), "orphaned table dir must be cleared")
+
+    // a LIVE table's location is resolved from the catalog and cleared
+    spark.range(4).write.mode("overwrite").saveAsTable("graft_reset_live")
+    val liveDir = new java.io.File(wh, "graft_reset_live")
+    assert(liveDir.exists())
+    Dedup.resetManagedTable(spark, "graft_reset_live")
+    assert(!liveDir.exists())
+    assert(!spark.catalog.tableExists("graft_reset_live"))
+  }
 }

@@ -310,4 +310,33 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(s.total - want(u).getAs[Double]("total")) < 1e-6)
     }
   }
+
+  test("runningTotals evicts state on ProcessingTime timeout") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a timed-out invocation: existing state, no rows
+    val timedOut = TestGroupState.create[Streaming.UserState](
+      Optional.of(Streaming.UserState(3L, 7.5)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], true)
+    val out = Streaming.runningTotalsFn(Some("1 hour"))(
+      42L, Iterator.empty, timedOut)
+    assert(out === Streaming.UserSnapshot(42L, 3L, 7.5),
+      "eviction must emit the state once as a final snapshot")
+    assert(timedOut.isRemoved, "timed-out state must be removed")
+    assert(!timedOut.getTimeoutTimestampMs.isPresent,
+      "eviction must not re-arm the timeout")
+
+    // the live path still updates and arms the timer
+    val live = TestGroupState.create[Streaming.UserState](
+      Optional.of(Streaming.UserState(3L, 7.5)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], false)
+    val out2 = Streaming.runningTotalsFn(Some("1 hour"))(
+      42L, Iterator(Streaming.UserEvent(42L, "purchase", 2.5)), live)
+    assert(out2 === Streaming.UserSnapshot(42L, 4L, 10.0))
+    assert(live.isUpdated && !live.isRemoved)
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "live path must re-arm the idle timeout")
+  }
 }
