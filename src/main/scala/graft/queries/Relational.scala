@@ -952,6 +952,107 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ——— data-catalog column profiler: per-column stats computed in
+    //     ONE aggregation pass (every stat partial-aggregable; exact
+    //     NDV here for the oracle, HLL sketches on the scale path).
+    //     Numeric min/max rendered as micro-unit longs, timestamps as
+    //     formatted strings — engine-portable rendering, applied
+    //     AFTER the typed min/max. ———
+    Q("q104_profile", {
+      val intCols = Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int")
+      val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val parts =
+        intCols.map { case (c, dt) =>
+          s"""SELECT '$c' AS column_name, '$dt' AS data_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value,
+             |  CAST(NULL AS DOUBLE) AS avg_len
+             |FROM lineitem""".stripMargin
+        } ++ dblCols.map { c =>
+          s"""SELECT '$c', 'double', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+             |  CAST(CAST(ROUND(MIN($c) * 1000000) AS BIGINT) AS VARCHAR),
+             |  CAST(CAST(ROUND(MAX($c) * 1000000) AS BIGINT) AS VARCHAR),
+             |  CAST(NULL AS DOUBLE)
+             |FROM lineitem""".stripMargin
+        } ++ strCols.map { c =>
+          s"""SELECT '$c', 'string', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+             |  MIN($c), MAX($c),
+             |  ROUND(AVG(LENGTH($c)), 6)
+             |FROM lineitem""".stripMargin
+        } :+
+          s"""SELECT 'l_shipdate', 'timestamp_ntz', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+             |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             |  CAST(NULL AS DOUBLE)
+             |FROM lineitem""".stripMargin
+      parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+    }) { (s, dir) =>
+      graft.ext.Profile.profileTable(t(s, dir, "lineitem"), exactNdv = true)
+    },
+
+    // ——— declarative data-quality expectations: row-level rules
+    //     (not_null / range / regex / in_set) + uniqueness share ONE
+    //     aggregation pass; referential rules are broadcast anti-join
+    //     counts. Mix chosen so both outcomes appear: r2 (qty ≤ 30)
+    //     and r5 (orderkey unique in lineitem) genuinely FAIL. ———
+    Q("q105_expectations",
+      """WITH v AS (
+        |SELECT 'r1_notnull' AS rule_id, 'not_null' AS kind,
+        |  'l_orderkey' AS column_name,
+        |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations
+        |UNION ALL
+        |SELECT 'r2_range', 'range', 'l_quantity',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'r3_regex', 'regex', 'l_returnflag',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_returnflag IS NOT NULL
+        |          AND NOT regexp_matches(l_returnflag, '^[ARN]$')) AS BIGINT)
+        |UNION ALL
+        |SELECT 'r4_inset', 'in_set', 'l_linestatus',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F')) AS BIGINT)
+        |UNION ALL
+        |SELECT 'r5_unique', 'unique', 'l_orderkey',
+        |  CAST((SELECT COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+        |UNION ALL
+        |SELECT 'r6_fk_orders', 'foreign_key', 'l_orderkey',
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |        WHERE l.l_orderkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'r7_fk_part', 'foreign_key', 'l_partkey',
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |        WHERE l.l_partkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        |)
+        |SELECT rule_id, kind, column_name, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM v ORDER BY rule_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Profile._
+      checkExpectations(t(s, dir, "lineitem"), Seq(
+        NotNull("r1_notnull", "l_orderkey"),
+        Range("r2_range", "l_quantity", 1, 30),
+        Regex("r3_regex", "l_returnflag", "^[ARN]$"),
+        InSet("r4_inset", "l_linestatus", Seq("O", "F")),
+        Unique("r5_unique", "l_orderkey"),
+        ForeignKey("r6_fk_orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ForeignKey("r7_fk_part", "l_partkey", t(s, dir, "part"), "p_partkey")))
     }
   )
 }

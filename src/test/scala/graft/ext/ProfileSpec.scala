@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, Some(2.5), Some("aa")),
+    (2L, Some(1.25), Some("bbb")),
+    (2L, None, None),
+    (3L, Some(-0.5), Some("aa"))
+  ).toDF("k", "x", "s")
+
+  test("profileTable: counts, nulls, ndv, portable min/max, avg_len") {
+    val p = Profile.profileTable(sample, exactNdv = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("k", "x", "s"))
+
+    val k = p("k")
+    assert(k.getAs[Long]("n_rows") === 4L)
+    assert(k.getAs[Long]("n_nulls") === 0L)
+    assert(k.getAs[Long]("n_distinct") === 3L)
+    assert(k.getAs[String]("min_value") === "1")
+    assert(k.getAs[String]("max_value") === "3")
+    assert(k.isNullAt(k.fieldIndex("avg_len")))
+
+    val x = p("x")
+    assert(x.getAs[Long]("n_nulls") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 3L)
+    // doubles render as micro-unit longs (typed min/max, THEN render)
+    assert(x.getAs[String]("min_value") === "-500000")
+    assert(x.getAs[String]("max_value") === "2500000")
+
+    val s = p("s")
+    assert(s.getAs[String]("min_value") === "aa")
+    assert(s.getAs[String]("max_value") === "bbb")
+    // (2 + 3 + 2) / 3 non-null strings
+    assert(math.abs(s.getAs[Double]("avg_len") - 7.0 / 3) < 1e-6)
+  }
+
+  test("profileTable approx path: sketch NDV within documented HLL error") {
+    val df = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 100).as("m"))
+    val p = Profile.profileTable(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(p("id") - 10000L) <= 500L)  // 5% >> HLL default 2.27%
+    assert(math.abs(p("m") - 100L) <= 5L)
+  }
+
+  test("checkExpectations: every rule kind, pass and fail outcomes") {
+    val dim = Seq(1L, 2L).toDF("id")
+    val out = Profile.checkExpectations(sample, Seq(
+      Profile.NotNull("r1", "x"),                      // 1 violation
+      Profile.Range("r2", "x", 0, 10),                 // -0.5 violates; null skipped
+      Profile.Regex("r3", "s", "^[ab]+$"),             // all match
+      Profile.InSet("r4", "s", Seq("aa")),             // "bbb" violates
+      Profile.Unique("r5", "k"),                       // k=2 twice → 1
+      Profile.ForeignKey("r6", "k", dim, "id")))       // k=3 orphan → 1
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(out("r1") === ((1L, false)))
+    assert(out("r2") === ((1L, false)))
+    assert(out("r3") === ((0L, true)))
+    assert(out("r4") === ((1L, false)))
+    assert(out("r5") === ((1L, false)))
+    assert(out("r6") === ((1L, false)))
+  }
+
+  test("checkExpectations rejects duplicate rule ids") {
+    intercept[IllegalArgumentException] {
+      Profile.checkExpectations(sample,
+        Seq(Profile.NotNull("r1", "k"), Profile.NotNull("r1", "x")))
+    }
+  }
+
+  test("row-level rules share one aggregation job (no per-rule scan)") {
+    val out = Profile.checkExpectations(sample, Seq(
+      Profile.NotNull("r1", "x"), Profile.Range("r2", "x", 0, 10),
+      Profile.Regex("r3", "s", "^[ab]+$")))
+    // a single HashAggregate pair over one scan: exactly one Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan) // agg + final sort
+  }
+}
