@@ -896,4 +896,73 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ——— duplicate SPANS (sub-document exact dedup) ———
+
+  /** Positional duplicate-span detection — the distributed shape of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): an n-token gram that
+    * occurs ≥ `minCount` times ANYWHERE in the corpus (across docs or
+    * repeated within one) marks the span [pos, pos+n) as duplicated;
+    * overlapping marked spans merge into maximal intervals per doc
+    * (gaps-and-islands over a running max of span ends).
+    *
+    * Differs from `Corpus.stripBoilerplate` (q81): that drops fixed
+    * non-overlapping lines by document frequency; this slides over
+    * EVERY position, so a duplicated passage is caught at any offset.
+    *
+    * Returns per doc: (doc_id, n_tokens, n_dup_spans, dup_tokens,
+    * dup_fraction) — the removal decision (drop doc above a dup
+    * fraction, or cut the spans) is the caller's policy.
+    *
+    * Scale: positional grams are corpus-linear (one row per token);
+    * the hot-gram filter is a count aggregate on the gram key; the
+    * join back marks positions (output ≤ gram count — NO pair
+    * explosion, so unlike the Jaccard inverted index this needs no
+    * df cap); island-merge is one per-doc window. Three linear
+    * shuffles total, each on a scalable key. The gram stage is
+    * deliberately computed twice (hot-filter side + mark side)
+    * rather than persisted: the intermediate is corpus-sized × n,
+    * and recomputing a narrow map stage is the cheaper trade at
+    * 100 TB (same call as `shingles`' consumers).
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8, minCount: Long = 2,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"dupSpans: n must be >= 1 (got $n)")
+    require(minCount >= 2, s"dupSpans: minCount must be >= 2 (got $minCount)")
+    // token array in its OWN projection (interpreted-HOF re-eval trap)
+    val withToks = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val nToks = withToks.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+    val grams = withToks
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("_toks")) - lit(n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+          .as(Seq("pos", "gram")))
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("gram")
+    val marked = grams.join(hot, "gram")
+      .select(col(idCol), col("pos"), (col("pos") + n).as("end"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMax = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = marked
+      .withColumn("new_isl",
+        when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"))
+    nToks.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_fraction"))
+  }
 }

@@ -1192,6 +1192,55 @@ object TextQueries {
       graft.ext.Multimodal.featurePipeline(docs(s, dir))
         .select("media_id", "kind", "frame", "feat_norm")
         .orderBy("media_id", "frame")
+    },
+
+    // ——— duplicate SPANS (sub-document dedup, the suffix-array-paper
+    //     shape): an 8-token gram occurring ≥2 times anywhere in the
+    //     corpus marks [pos, pos+8); overlapping marks merge into
+    //     maximal islands per doc. Unlike q81's fixed lines this
+    //     slides over every offset. Oracle replays positional grams,
+    //     the hot-gram filter, and the gaps-and-islands merge. ———
+    Q("q106_span_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), grams AS (
+        |  SELECT doc_id, CAST(p AS INT) AS pos,
+        |    array_to_string(ts[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)], ' ') AS gram
+        |  FROM toks, unnest(range(0, GREATEST(len(ts) - 7, 0))) AS t(p)
+        |), hot AS (
+        |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+        |), marked AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 8 AS e
+        |  FROM grams g JOIN hot USING (gram)
+        |), flagged AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM marked
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), islands AS (
+        |  SELECT *, SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM flagged
+        |), spans AS (
+        |  SELECT doc_id, isl, MIN(pos) AS s, MAX(e) AS e
+        |  FROM islands GROUP BY doc_id, isl
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |), nt AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
+        |)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        |  ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+        |    AS dup_fraction
+        |FROM nt n LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupSpans(docs(s, dir), n = 8, minCount = 2).orderBy("doc_id")
     }
   )
 }

@@ -339,6 +339,45 @@ class DedupSpec extends SparkSpec {
       "error must say why the append was refused")
   }
 
+  test("dupSpans: shared passage found at ANY offset; islands merge; short docs safe") {
+    val passage = "alpha beta gamma delta epsilon"          // 5 tokens
+    val d = Seq(
+      (0L, s"one two three $passage x y z"),               // passage at pos 3
+      (1L, s"$passage p q r s t u"),                       // same passage at pos 0
+      (2L, "unrelated words nothing shared here at all eleven twelve"),
+      (3L, "tiny doc")                                     // shorter than n
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, n = 5, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 0: 11 tokens; only the exact 5-gram at pos 3 is shared
+    assert(out(0L) === ((11L, 1L, 5L, 0.454545)))
+    assert(out(1L) === ((11L, 1L, 5L, 0.454545)))
+    assert(out(2L) === ((9L, 0L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: overlapping marked grams merge into one maximal island") {
+    // two copies of a 7-token passage → with n=5, positions 0..2 are
+    // all hot → one island [0, 7), not three separate spans
+    val passage = "a b c d e f g"
+    val d = Seq((0L, passage), (1L, passage)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, n = 5, minCount = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) === ((1L, 7L)))                          // one island, all 7 tokens
+  }
+
+  test("dupSpans: within-doc repetition counts toward minCount") {
+    // the 3-gram "x y z" occurs twice INSIDE one doc — no other doc
+    val d = Seq(
+      (0L, "x y z pad pad x y z"),
+      (1L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, n = 3, minCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) === 2L)                                  // both occurrences marked
+    assert(out(1L) === 0L)
+  }
+
   test("resetManagedTable deletes only real table data") {
     val wh = new java.io.File(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")))
