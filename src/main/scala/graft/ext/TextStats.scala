@@ -272,4 +272,39 @@ object TextStats {
     }
     array_max(array(scored: _*)).getField("lang")
   }
+
+  /** Inverted-index build (the search/retrieval index shape): one row
+    * per vocabulary token with its document frequency, total term
+    * frequency, and the posting list rendered as
+    * "doc:tf,doc:tf,…" ordered by doc id.
+    *
+    * Scale: two shuffles — (token, doc) partial counts (map-side
+    * combine collapses within-doc repeats before the exchange), then
+    * the per-token list assembly. Per-token state is its posting
+    * list; `maxDf` is the guard for boilerplate/stop-word tokens,
+    * whose lists would otherwise be corpus-sized (drop them — a
+    * retrieval index has no use for a term that matches everything;
+    * the IDF weight of such a term is ~0 anyway). `minDf` trims the
+    * hapax tail, which at corpus scale is most of the vocabulary.
+    * Posting order inside the list comes from `array_sort` over
+    * (doc, tf) structs — deterministic under any partitioning.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1,
+                    maxDf: Option[Long] = Some(100000L),
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc").agg(count(lit(1)).as("tf"))
+    val assembled = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        array_sort(collect_list(struct(col("doc"), col("tf")))).as("_post"))
+    val guarded = maxDf.fold(assembled)(cap => assembled.filter(col("df") <= cap))
+    guarded.filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("tf_total"),
+        array_join(transform(col("_post"),
+          p => concat(p.getField("doc").cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), ",").as("postings"))
+  }
 }

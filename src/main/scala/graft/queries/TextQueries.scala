@@ -1241,6 +1241,28 @@ object TextQueries {
         |FROM nt n LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.dupSpans(docs(s, dir), n = 8, minCount = 2).orderBy("doc_id")
+    },
+
+    // ——— inverted-index build (search/retrieval index): per token
+    //     df, total tf, and the "doc:tf,…" posting list ordered by
+    //     doc id. minDf=2 trims the hapax tail; the maxDf guard for
+    //     corpus-sized stop-word lists is exercised in specs (no
+    //     token reaches it at fixture scale). ———
+    Q("q107_inverted_index",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), t AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+        |             ',' ORDER BY doc_id) AS postings
+        |FROM t GROUP BY token
+        |HAVING COUNT(*) >= 2
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      TextStats.invertedIndex(docs(s, dir), minDf = 2).orderBy("token")
     }
   )
 }

@@ -135,4 +135,31 @@ class TextStatsSpec extends SparkSpec {
     assert(reps.length === 1 && reps.head.getAs[Long]("total") === 2L)
     assert(got.head._1 === "ab") // 3 > 2
   }
+
+  test("invertedIndex: df/tf/postings exact, ordered, guards applied") {
+    val docs = Seq(
+      (3L, "cat dog cat"),
+      (1L, "dog bird"),
+      (2L, "cat stop stop"),
+      (0L, "stop")).toDF("doc_id", "text")
+    val idx = TextStats.invertedIndex(docs).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf_total"),
+          r.getAs[String]("postings"))).toMap
+    // postings ordered by doc id even though doc 3 arrives first
+    assert(idx("cat") === ((2L, 3L, "2:1,3:2")))
+    assert(idx("dog") === ((2L, 2L, "1:1,3:1")))
+    assert(idx("bird") === ((1L, 1L, "1:1")))
+    assert(idx("stop") === ((2L, 3L, "0:1,2:2")))
+
+    // minDf trims the hapax tail
+    val trimmed = TextStats.invertedIndex(docs, minDf = 2)
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(trimmed === Set("cat", "dog", "stop"))
+
+    // maxDf drops the everything-token (its list would be corpus-sized)
+    val capped = TextStats.invertedIndex(docs, maxDf = Some(1))
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(capped === Set("bird"))
+  }
 }
