@@ -1,0 +1,200 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the standard
+  * large-corpus compression + ANN scheme (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+  * d-dim vector into `m` subspaces of d/m dims, k-means each subspace
+  * independently, store each vector as `m` small code ids. At
+  * float32×64 dims → 8 bytes/vector that is a 32× memory cut, which
+  * at 100 TB of embeddings is the difference between an index that
+  * fits the cluster and one that does not. Search uses asymmetric
+  * distance (ADC): one m×k lookup table per query, approximate
+  * distance = sum of m table entries — no float vector is touched at
+  * query time.
+  *
+  * Scale design:
+  *  - training: ALL m subspaces train in the same distributed jobs
+  *    (subvector explode → broadcast codebook join → per-(vec, sub)
+  *    argmin as a partial-aggregable min-struct — not a window), so
+  *    iteration cost is m-independent: two shuffles per Lloyd's
+  *    round, driver state = m·k·(d/m) floats (the codebook, KB-sized).
+  *  - encoding: map-heavy — one broadcast join + two aggregations
+  *    keyed by (vec, sub) / vec; output is corpus-sized but 32×
+  *    thinner than the input.
+  *  - ADC search: the lookup table is query-local (driver/broadcast
+  *    literal), the scan is map-only over the codes table + TakeOrdered
+  *    top-k. No shuffle at all.
+  *
+  * Arithmetic contract (oracle parity): all distances are double,
+  * accumulated sequentially over ascending index — identical IEEE op
+  * order to the DuckDB replay (`list_sum(list_transform(...))`), so
+  * results are hash-comparable bit-for-bit.
+  */
+object Quantization {
+
+  /** Per-subspace codebooks as (sub, code, comps) rows. */
+  type Codebooks = Seq[(Int, Int, Seq[Float])]
+
+  /** Squared L2 between a subvector column and a literal centroid,
+    * double math, ascending-index sequential sum (oracle op order).
+    */
+  private def sqDistLit(subvec: org.apache.spark.sql.Column, cent: Seq[Float]) = {
+    val centArr = array(cent.map(c => lit(c.toDouble)): _*)
+    aggregate(
+      zip_with(subvec, centArr, (a, b) => {
+        val d = a.cast("double") - b
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** (vec, sub, subvec) long form: one generator over the vector
+    * column — m rows per vector, each d/m wide.
+    */
+  private def subvectors(embeddings: DataFrame, m: Int, dim: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val d = dim / m
+    embeddings.select(col(idCol), inline(array((0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col(vecCol), s * d + 1, d).as("subvec"))): _*)))
+  }
+
+  /** Codebooks as a small DataFrame for the broadcast-join paths. */
+  private def codebookDf(spark: SparkSession, cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    cb.toDF("sub", "code", "comps")
+  }
+
+  /** (vec, sub, code) assignment: broadcast the codebooks, score each
+    * (subvec, candidate code), take the (score, code)-min per
+    * (vec, sub) as a partial-aggregable min-struct. Tie-break on code
+    * id — the same total order the SQL replay's row_number uses.
+    * `carrySubvec` rides the subvector through the min-struct (the
+    * (score, code) prefix is already unique per group), so training's
+    * mean step needs NO join back to the subvector table.
+    */
+  private def assign(sv: DataFrame, cbDf: DataFrame, idCol: String,
+                     carrySubvec: Boolean = false): DataFrame = {
+    val scored = sv.join(broadcast(cbDf), "sub")
+      .select(col(idCol), col("sub"), col("code"), col("subvec"),
+        aggregate(
+          zip_with(col("subvec"), col("comps"), (a, b) => {
+            val d = a.cast("double") - b.cast("double")
+            d * d
+          }),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val payload =
+      if (carrySubvec) struct(col("score"), col("code"), col("subvec"))
+      else struct(col("score"), col("code"))
+    val best = scored.groupBy(col(idCol), col("sub"))
+      .agg(min(payload).as("_best"))
+      .select(Seq(col(idCol), col("sub"),
+        col("_best.code").as("code"), col("_best.score").as("score")) ++
+        (if (carrySubvec) Seq(col("_best.subvec").as("subvec")) else Nil): _*)
+    best
+  }
+
+  /** Train m per-subspace codebooks with `kCodes` centroids each,
+    * Lloyd's iterations shared across subspaces. Seeds are the first
+    * `kCodes` vectors in md5-of-id order (deterministic, same rows
+    * for every subspace — the `kmeansCentroids` convention).
+    */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 8, kCodes: Int = 16,
+                       iters: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Codebooks = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"PQ: m=$m must divide dim=$dim")
+    val d = dim / m
+    val seeds = embeddings
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id")), col("_id")).limit(kCodes).collect()
+      .map(_.getSeq[Float](1))
+    var cb: Codebooks = for {
+      s <- 0 until m; (vec, c) <- seeds.zipWithIndex
+    } yield (s, c, vec.slice(s * d, (s + 1) * d))
+    val sv = subvectors(embeddings, m, dim, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val assigned = assign(sv, codebookDf(spark, cb), idCol, carrySubvec = true)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i")
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+      cb = cb.map { case (s, c, old) =>
+        means.get((s, c)) match {
+          case Some(rows) =>
+            val v = new Array[Float](d)
+            rows.foreach(r => v(r.getAs[Int]("i")) = r.getAs[Double]("mu").toFloat)
+            (s, c, v.toSeq)
+          case None => (s, c, old)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Encode every vector as its m code ids (ascending subspace
+    * order) plus the reconstruction SSE (sum of the m per-subspace
+    * quantization errors, ascending-subspace sequential sum).
+    */
+  def pqEncode(embeddings: DataFrame, cb: Codebooks,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val m = cb.map(_._1).max + 1
+    val sv = subvectors(embeddings, m, dim, idCol, vecCol)
+    assign(sv, codebookDf(spark, cb), idCol)
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("score"))))
+        .as("_sc"))
+      .select(col(idCol),
+        transform(col("_sc"), e => e.getField("code")).as("codes"),
+        aggregate(transform(col("_sc"), e => e.getField("score")),
+          lit(0.0), (acc, x) => acc + x).as("recon_sse"))
+  }
+
+  /** ADC top-k for one query vector over a PQ-encoded corpus: build
+    * the m×k distance lookup table from the RAW query (driver-side,
+    * KB-sized), then approximate distance = sum over subspaces of
+    * lut(sub, codes[sub]) — a map-only scan of the codes table, no
+    * vector data read, TakeOrdered top-k.
+    */
+  def pqAdcTopK(codes: DataFrame, query: Seq[Float], cb: Codebooks, k: Int,
+                idCol: String = "vec_id",
+                codesCol: String = "codes"): DataFrame = {
+    val m = cb.map(_._1).max + 1
+    val kCodes = cb.map(_._2).max + 1
+    val d = query.length / m
+    // lookup table: identical op order to sqDistLit / the SQL replay
+    val lut: Map[(Int, Int), Double] = cb.map { case (s, c, cent) =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = query(s * d + i).toDouble - cent(i).toDouble
+        acc += diff * diff
+        i += 1
+      }
+      (s, c) -> acc
+    }.toMap
+    val lutMap = map((0 until m).flatMap { s =>
+      (0 until kCodes).flatMap(c =>
+        Seq(lit(s * 1024 + c), lit(lut.getOrElse((s, c), Double.MaxValue))))
+    }: _*)
+    // rank on the ROUNDED distance (ties → id): the rounded value is
+    // what the result carries, so ranking on it keeps the top-k and
+    // its order identical to any replay that rounds the same way
+    codes.select(col(idCol),
+      round(aggregate(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => element_at(lutMap, s * 1024 + element_at(col(codesCol), s + 1))),
+        lit(0.0), (acc, x) => acc + x), 6).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+}

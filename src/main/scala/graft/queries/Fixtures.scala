@@ -147,4 +147,13 @@ object Fixtures {
     import spark.implicits._
     rows.toDF(idName, compName)
   }
+
+  /** PQ codebook table: (sub, code, comps) — the trained per-subspace
+    * centroids shared as data so the oracle replays encode + ADC.
+    */
+  def pqTable(spark: SparkSession,
+              rows: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("sub", "code", "comps")
+  }
 }

@@ -218,6 +218,93 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ——— PRODUCT QUANTIZATION encode (Jégou et al. 2011): 64-dim
+    //     float vectors → 8 byte-sized codes (32× compression) + the
+    //     reconstruction SSE. Codebooks are trained distributed (all
+    //     8 subspaces in the same Lloyd's jobs) and shared as a
+    //     parquet artifact; the oracle replays subvector slicing,
+    //     per-subspace argmin (score,code tie-break), code order, and
+    //     the ascending-subspace error sum in plain SQL. ———
+    Q("q108_pq_codes",
+      s"""WITH cb AS (SELECT sub, code, comps FROM read_parquet('${Fixtures.sqlPath("q108_codebooks")}')),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(s.sub AS INT) AS sub,
+         |    e.embedding[CAST(s.sub * 8 + 1 AS INT) : CAST(s.sub * 8 + 8 AS INT)] AS subvec
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+         |), scored AS (
+         |  SELECT sv.vec_id, sv.sub, cb.code,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (CAST(sv.subvec[i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE))
+         |      * (CAST(sv.subvec[i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE)))) AS score
+         |  FROM sv JOIN cb USING (sub)
+         |), assigned AS (
+         |  SELECT vec_id, sub, code, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY score, code) AS rn
+         |    FROM scored) WHERE rn = 1
+         |)
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',') AS codes_csv,
+         |  ROUND(list_sum(list(score ORDER BY sub)), 6) AS recon_sse
+         |FROM assigned GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cb = graft.ext.Quantization.trainPqCodebooks(e, m = 8, kCodes = 16, iters = 3)
+      Fixtures.write("q108_codebooks", Fixtures.pqTable(s, cb))
+      graft.ext.Quantization.pqEncode(e, cb)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+          round(col("recon_sse"), 6).as("recon_sse"))
+        .orderBy("vec_id")
+    },
+
+    // ——— PQ ADC top-k: approximate NN over the CODES ONLY — the
+    //     query builds an m×k lookup table from the raw query vector;
+    //     per-row distance is a sum of m table entries (map-only scan,
+    //     no vector data read, TakeOrdered top-k). The oracle replays
+    //     encode + LUT + the ascending-subspace ADC sum. ———
+    Q("q109_pq_ann",
+      s"""WITH cb AS (SELECT sub, code, comps FROM read_parquet('${Fixtures.sqlPath("q109_codebooks")}')),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(s.sub AS INT) AS sub,
+         |    e.embedding[CAST(s.sub * 8 + 1 AS INT) : CAST(s.sub * 8 + 8 AS INT)] AS subvec
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+         |), scored AS (
+         |  SELECT sv.vec_id, sv.sub, cb.code,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (CAST(sv.subvec[i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE))
+         |      * (CAST(sv.subvec[i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE)))) AS score
+         |  FROM sv JOIN cb USING (sub)
+         |), assigned AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY score, code) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), lut AS (
+         |  SELECT cb.sub, cb.code,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (CAST(q.qv[CAST(cb.sub * 8 AS INT) + i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE))
+         |      * (CAST(q.qv[CAST(cb.sub * 8 AS INT) + i] AS DOUBLE) - CAST(cb.comps[i] AS DOUBLE)))) AS dist
+         |  FROM cb CROSS JOIN qv q
+         |), adist AS (
+         |  SELECT a.vec_id, list_sum(list(l.dist ORDER BY a.sub)) AS ad
+         |  FROM assigned a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT vec_id, ROUND(ad, 6) AS adist
+         |FROM adist
+         |ORDER BY adist, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cb = graft.ext.Quantization.trainPqCodebooks(e, m = 8, kCodes = 16, iters = 3)
+      Fixtures.write("q109_codebooks", Fixtures.pqTable(s, cb))
+      val codes = graft.ext.Quantization.pqEncode(e, cb).select("vec_id", "codes")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.ext.Quantization.pqAdcTopK(codes, qv, cb, k = 10)
+    },
+
     // ——— array/list function battery over the vector column ———
     Q("q55_array_ops",
       """SELECT vec_id,
