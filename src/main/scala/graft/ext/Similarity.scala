@@ -88,6 +88,26 @@ object Similarity {
   def rhpBucket(vec: Column, nPlanes: Int): Column =
     array_join(transform(rhpSignature(vec, nPlanes), b => b.cast("string")), "")
 
+  /** Johnson–Lindenstrauss random projection: dim → outDim via the
+    * SAME deterministic splitmix64 hyperplane family the LSH paths
+    * use (here as a dense projection matrix, not sign buckets).
+    * Map-only, no shuffle; out_j = ⟨v, h_j⟩ in double, ascending-i
+    * sequential sum (oracle op order). The scale use is shrinking
+    * embedding IO before ANN/clustering: 64→16 dims cuts the vector
+    * bytes 4× while approximately preserving pairwise distances
+    * (E‖Pv‖² = outDim/12 · ‖v‖² for this family — the 1/12 is the
+    * variance of U[-0.5, 0.5) components; pinned in SimilaritySpec).
+    */
+  def projectRandom(embeddings: DataFrame, outDim: Int, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplaneRows(outDim, dim)
+    embeddings.select(col(idCol),
+      array(planes.map { case (_, comps) =>
+        dot(col(vecCol), array(comps.map(lit): _*))
+      }: _*).as("proj"))
+  }
+
   /** (id, payload..., band, bucket) long form: ONE signature string
     * of bands·r bit chars per row, then each band's bucket is a
     * substring slice — band b covers planes [b·r, (b+1)·r).

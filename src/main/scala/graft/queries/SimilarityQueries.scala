@@ -305,6 +305,47 @@ object SimilarityQueries {
       graft.ext.Quantization.pqAdcTopK(codes, qv, cb, k = 10)
     },
 
+    // ——— Johnson–Lindenstrauss random projection 64→16: map-only
+    //     dense projection through the deterministic splitmix
+    //     hyperplane family (shared as a fixture); components render
+    //     as micro-unit longs, norm ratio rounds to 6. The oracle
+    //     replays the matmul, component order, and both norms. ———
+    Q("q110_rp_project",
+      s"""WITH hp AS (SELECT p, comps FROM read_parquet('${Fixtures.sqlPath("q110_hyperplanes")}')),
+         |proj AS (
+         |  SELECT e.vec_id, hp.p,
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+         |      CAST(e.embedding[i] AS DOUBLE) * hp.comps[i])) AS d
+         |  FROM embeddings e CROSS JOIN hp
+         |), agg AS (
+         |  SELECT vec_id,
+         |    array_to_string(list(CAST(CAST(round(d * 1000000) AS BIGINT) AS VARCHAR)
+         |      ORDER BY p), ',') AS proj_csv,
+         |    list_sum(list(d * d ORDER BY p)) AS n2
+         |  FROM proj GROUP BY vec_id
+         |), vn AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS v2
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id, a.proj_csv, ROUND(sqrt(a.n2 / v.v2), 6) AS norm_ratio
+         |FROM agg a JOIN vn v USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      Fixtures.write("q110_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(16)))
+      val e = emb(s, dir)
+      Similarity.projectRandom(e, outDim = 16)
+        .join(e.select(col("vec_id"),
+          Similarity.dot(col("embedding"), col("embedding")).as("_v2")), "vec_id")
+        .select(col("vec_id"),
+          array_join(transform(col("proj"),
+            x => round(x * 1000000).cast("long").cast("string")), ",").as("proj_csv"),
+          round(sqrt(aggregate(transform(col("proj"), x => x * x),
+            lit(0.0), (acc, x) => acc + x) / col("_v2")), 6).as("norm_ratio"))
+        .orderBy("vec_id")
+    },
+
     // ——— array/list function battery over the vector column ———
     Q("q55_array_ops",
       """SELECT vec_id,

@@ -243,4 +243,39 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cos_sim") >= 0.3)
     }
   }
+
+  test("projectRandom: linear, deterministic, map-only") {
+    val a = Seq(1f, 2f, 3f, 4f)
+    val b = Seq(0.5f, -1f, 0f, 2f)
+    val sumAb = a.zip(b).map { case (x, y) => x + y }
+    val vecs = Seq((0L, a), (1L, b), (2L, sumAb)).toDF("vec_id", "embedding")
+    val proj = Similarity.projectRandom(vecs, outDim = 6, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // linearity: P(a + b) = P(a) + P(b) (up to float-sum rounding)
+    proj(0L).zip(proj(1L)).zip(proj(2L)).foreach { case ((pa, pb), pab) =>
+      assert(math.abs(pa + pb - pab) < 1e-5)
+    }
+    // deterministic family: a second call gives identical doubles
+    val again = Similarity.projectRandom(vecs, outDim = 6, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === proj)
+    // no shuffle anywhere
+    val plan = Similarity.projectRandom(vecs, outDim = 6, dim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("projectRandom: JL norm preservation in expectation (×√(out/12))") {
+    // for U[-0.5,0.5) components, E‖Pv‖² = outDim/12 · ‖v‖² — the
+    // mean norm_ratio over the corpus should sit near √(16/12)
+    val projected = Similarity.projectRandom(emb, outDim = 16)
+      .join(emb.select($"vec_id",
+        Similarity.dot($"embedding", $"embedding").as("v2")), "vec_id")
+      .select((aggregate(transform($"proj", x => x * x),
+        lit(0.0), (acc, x) => acc + x) / $"v2").as("r2"))
+    val meanR2 = projected.agg(avg("r2")).head().getDouble(0)
+    val expected = 16.0 / 12.0
+    assert(math.abs(meanR2 - expected) / expected < 0.25,
+      s"mean ‖Pv‖²/‖v‖² = $meanR2, expected ≈ $expected")
+  }
 }
