@@ -555,6 +555,27 @@ object Relational {
       s.table("q101_sessions").orderBy("user_id", "session_start")
     },
 
+    // ——— STREAMING stateful dedup against the batch oracle: real
+    //     streaming execution (file source → dropDuplicates state
+    //     store → append-mode memory sink); each (user, type) pair
+    //     emits exactly once, on first arrival — the result table IS
+    //     the distinct set, hash-matched to plain SELECT DISTINCT.
+    //     The bounded-state production form (watermark horizon +
+    //     dropDuplicatesWithinWatermark, `Streaming.dedupStream`) is
+    //     law-tested in StreamingSpec; this entry runs the exact
+    //     finite-replay form so the oracle is exact. ———
+    Q("q111_streaming_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "event_type")
+      val q = graft.ext.Streaming.runToMemory(
+        stream.dropDuplicates("user_id", "event_type"), "q111_dedup",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      q.stop()
+      s.table("q111_dedup").orderBy("user_id", "event_type")
+    },
+
     // ——— the SAME sessionization through the ARBITRARY-STATE path
     //     (flatMapGroupsWithState's batch twin; shared merge core with
     //     the streaming operator) — q23's declarative session_window
