@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear text classifier over hashed bag-of-words features — the
+  * fastText-shaped quality/domain filter every large corpus pipeline
+  * runs (CCNet trains one against wiki; quality-filter distillation
+  * trains one against an expensive teacher heuristic or LLM labels,
+  * then scores the whole corpus with the cheap student).
+  *
+  * Features are BINARY PRESENCE of md5-hashed token buckets (the
+  * fastText-style default for short documents): with ~tens of active
+  * buckets per doc the margin moves in O(active · lr) per iteration,
+  * where TF-normalized features (x ~ 1/n_tokens) would need 50×
+  * the iterations to learn anything beyond the base rate.
+  *
+  * Design for 100 TB:
+  *  - the hashing trick means no vocabulary to build, broadcast, or
+  *    keep in sync;
+  *  - the model is ONE dense double[dim] + bias — KB-sized, baked
+  *    into a codegen'd projection as literals;
+  *  - scoring is two narrow aggregations (token explode → per-doc
+  *    distinct buckets → fold), no join with any corpus-sized side;
+  *  - training is batch gradient descent: each iteration is one
+  *    distributed pass producing a dim-sized gradient (the ONLY
+  *    driver-side data), so iterations scale like any aggregate and
+  *    the driver never holds more than the model.
+  *
+  * Determinism contract (oracle parity): the per-doc contribution
+  * fold sums in ascending-bucket order via an explicit sorted list —
+  * never a float `sum()` whose partial-aggregation order varies — so
+  * scores are bit-identical across runs and engines (the md5-bucket
+  * arithmetic is the q71 hash-coin pattern).
+  */
+object Classifier {
+
+  final case class Model(dim: Int, weights: Array[Double], bias: Double)
+
+  /** Feature bucket of a token: first 15 hex chars of md5 (60 bits,
+    * non-negative) mod dim — replayable in any SQL engine with md5.
+    */
+  def bucket(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % dim
+
+  /** (id, bucket) distinct presence features. */
+  def features(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    toks.select(col(idCol), explode(col("_toks")).as("token"))
+      .select(col(idCol), bucket(col("token"), dim).as("bucket"))
+      .distinct()
+  }
+
+  /** z = bias + Σ_{present buckets} w[bucket], folded in ascending-
+    * bucket order (deterministic under any partitioning). Returns
+    * (id, [carry...], z) — `carry` columns (e.g. the label during
+    * training) ride through the aggregation.
+    */
+  private def weightMap(model: Model): Column =
+    map((0 until model.dim).flatMap(j =>
+      Seq(lit(j.toLong), lit(model.weights(j)))): _*)
+
+  private def margin(feats: DataFrame, model: Model, idCol: String,
+                     carry: Seq[String] = Nil): DataFrame = {
+    val wMap = weightMap(model)
+    val keys = (Seq(idCol) ++ carry).map(col)
+    feats
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
+      .select(keys :+
+        (lit(model.bias) +
+          aggregate(transform(col("_bs"), b => element_at(wMap, b)),
+            lit(0.0), (acc, x) => acc + x)).as("z"): _*)
+  }
+
+  /** Score every doc with a trained model: (id, score, pred) where
+    * score = σ(z) and pred = score ≥ 0.5.
+    */
+  def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val feats = features(docs, model.dim, idCol, textCol)
+    margin(feats, model, idCol)
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+  }
+
+  /** Train against a 0/1 label column by IRLS (Newton's method for
+    * logistic regression): each iteration is one distributed pass
+    * reducing the corpus to dim-sized sufficient statistics — the
+    * gradient Σ(p−y)·x and the Hessian Σ p(1−p)·x xᵀ — followed by a
+    * (dim+1)² Newton solve on the driver.
+    *
+    * Why not gradient descent: hashed presence features are heavily
+    * co-activated (most docs share the common buckets), so the
+    * Hessian is badly conditioned — fixed-step and Adagrad batch GD
+    * both measurably oscillate on this objective and need ~200
+    * passes for what IRLS closes in two. 200 Spark passes is the
+    * wrong trade at any scale; curvature belongs in the optimizer,
+    * not in more cluster round-trips.
+    *
+    * Scale shape: the Hessian pass explodes each doc's active-bucket
+    * PAIRS (ā² rows per doc, map-side combined to ≤ dim² per
+    * partition) — the standard sufficient-statistic trade for
+    * dim ≲ 10³; past that (real fastText vocab hashing) you'd switch
+    * to minibatch SGD, which this corpus-distillation surface does
+    * not need. Driver state: (dim+1)² doubles (~0.5 MB at 256).
+    */
+  def train(docs: DataFrame, labelCol: String, dim: Int = 256,
+            iters: Int = 4, l2: Double = 1e-3,
+            idCol: String = "doc_id", textCol: String = "text"): Model = {
+    val D = dim + 1 // + bias coordinate
+    val feats = features(docs, dim, idCol, textCol)
+      .join(docs.select(col(idCol), col(labelCol).cast("double").as("_y")), idCol)
+      .localCheckpoint() // reused every iteration; truncate lineage once
+    var model = Model(dim, new Array[Double](dim), 0.0)
+    val n = docs.count().toDouble
+    for (_ <- 0 until iters) {
+      // one thin row per doc: active buckets, residual r = p − y,
+      // curvature s = p(1−p)
+      val wMap = weightMap(model)
+      val perDoc = feats.groupBy(col(idCol), col("_y"))
+        .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
+        .select(col("_bs"), col("_y"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) +
+            aggregate(transform(col("_bs"), b => element_at(wMap, b)),
+              lit(0.0), (acc, x) => acc + x))))).as("p"))
+        .select(col("_bs"), (col("p") - col("_y")).as("r"),
+          (col("p") * (lit(1.0) - col("p"))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // dim-sized: gradient and the bias row of the Hessian
+      val vec = perDoc.select(explode(col("_bs")).as("bucket"), col("r"), col("s"))
+        .groupBy("bucket")
+        .agg(sum(col("r")).as("g"), sum(col("s")).as("hb"))
+        .collect().map(r => r.getAs[Long]("bucket").toInt ->
+          (r.getAs[Double]("g"), r.getAs[Double]("hb"))).toMap
+      // dim²-sized: co-activation Hessian
+      val pairs = perDoc.select(explode(flatten(transform(col("_bs"), b1 =>
+        transform(col("_bs"), b2 => struct(b1.as("b1"), b2.as("b2")))))).as("_p"),
+        col("s"))
+        .groupBy(col("_p.b1").as("b1"), col("_p.b2").as("b2"))
+        .agg(sum(col("s")).as("h"))
+        .collect()
+      val scalars = perDoc.agg(sum(col("r")), sum(col("s"))).head()
+      perDoc.unpersist(blocking = false)
+      // assemble normalized, regularized Newton system on the driver
+      val g = new Array[Double](D)
+      val h = Array.ofDim[Double](D, D)
+      vec.foreach { case (j, (gj, hbj)) =>
+        g(j) = gj / n; h(j)(dim) = hbj / n; h(dim)(j) = hbj / n
+      }
+      pairs.foreach(r => h(r.getAs[Long]("b1").toInt)(r.getAs[Long]("b2").toInt) =
+        r.getAs[Double]("h") / n)
+      g(dim) = scalars.getDouble(0) / n
+      h(dim)(dim) = scalars.getDouble(1) / n
+      for (j <- 0 until dim) { g(j) += l2 * model.weights(j); h(j)(j) += l2 }
+      h(dim)(dim) += 1e-9 // keep the unregularized bias row nonsingular
+      val delta = solve(h, g)
+      val w = Array.tabulate(dim)(j => model.weights(j) - delta(j))
+      model = Model(dim, w, model.bias - delta(dim))
+    }
+    model
+  }
+
+  /** Gaussian elimination with partial pivoting (destructive on its
+    * inputs) — the (dim+1)² Newton solve. ~D³/3 flops: trivial for
+    * the dim ≲ 10³ this trainer targets.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val m = b.length
+    for (k <- 0 until m) {
+      var piv = k
+      for (i <- k + 1 until m) if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i
+      val t = a(k); a(k) = a(piv); a(piv) = t
+      val tb = b(k); b(k) = b(piv); b(piv) = tb
+      for (i <- k + 1 until m) {
+        val f = a(i)(k) / a(k)(k)
+        if (f != 0.0) {
+          for (j <- k until m) a(i)(j) -= f * a(k)(j)
+          b(i) -= f * b(k)
+        }
+      }
+    }
+    val x = new Array[Double](m)
+    for (i <- m - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until m) s -= a(i)(j) * x(j)
+      x(i) = s / a(i)(i)
+    }
+    x
+  }
+
+  /** Mean log-loss of a model against labels (training diagnostics /
+    * spec assertions).
+    */
+  def logLoss(docs: DataFrame, model: Model, labelCol: String,
+              idCol: String = "doc_id", textCol: String = "text"): Double = {
+    val eps = 1e-12
+    score(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol), col(labelCol).cast("double").as("_y")), idCol)
+      .select((-(col("_y") * log(col("score") + eps) +
+        (lit(1.0) - col("_y")) * log(lit(1.0) - col("score") + eps))).as("ll"))
+      .agg(avg("ll")).head().getDouble(0)
+  }
+}

@@ -1263,6 +1263,54 @@ object TextQueries {
         |HAVING COUNT(*) >= 2
         |ORDER BY token""".stripMargin) { (s, dir) =>
       TextStats.invertedIndex(docs(s, dir), minDf = 2).orderBy("token")
+    },
+
+    // ——— hashed-feature logistic classifier (the fastText-shaped
+    //     corpus filter): distill a topical teacher rule into a
+    //     256-bucket linear model by distributed IRLS (sufficient-
+    //     statistic passes + driver Newton solve — GD needs ~200
+    //     passes on these co-activated features, IRLS two), then
+    //     score the corpus. The trained weights ship as a fixture
+    //     (bucket −1 = bias); the oracle replays the md5 feature
+    //     hashing, the ascending-bucket contribution fold, and the
+    //     sigmoid in SQL. ———
+    Q("q112_classifier_distill",
+      s"""WITH wt AS (SELECT bucket, w FROM read_parquet('${Fixtures.sqlPath("q112_weights")}') WHERE bucket >= 0),
+         |bias AS (SELECT w AS b FROM read_parquet('${Fixtures.sqlPath("q112_weights")}') WHERE bucket = -1),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents
+         |), feats AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) % 256 AS BIGINT) AS bucket
+         |  FROM toks
+         |), zs AS (
+         |  SELECT f.doc_id, list_sum(list(wt.w ORDER BY f.bucket)) AS s
+         |  FROM feats f JOIN wt USING (bucket) GROUP BY f.doc_id
+         |)
+         |SELECT z.doc_id,
+         |  ROUND(1.0 / (1.0 + exp(-(bias.b + z.s))), 6) AS score,
+         |  1.0 / (1.0 + exp(-(bias.b + z.s))) >= 0.5 AS pred
+         |FROM zs z CROSS JOIN bias
+         |ORDER BY z.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      // teacher rule: docs mentioning ALL THREE topic terms (a k-of-n
+      // threshold — linearly separable from presence features, and it
+      // splits this corpus ~1:1); the student must discover which 3
+      // of 256 hash buckets carry the rule
+      val toks = TextStats.tokens(col("text"))
+      val labeled = docs(s, dir).withColumn("y",
+        (array_contains(toks, "spark") && array_contains(toks, "stream") &&
+          array_contains(toks, "window")).cast("int"))
+      val model = Classifier.train(labeled, "y", dim = 256, iters = 3)
+      Fixtures.write("q112_weights", {
+        import s.implicits._
+        ((-1L, model.bias) +: model.weights.zipWithIndex.toSeq
+          .map { case (w, j) => (j.toLong, w) }).toDF("bucket", "w")
+      })
+      Classifier.score(docs(s, dir), model)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+        .orderBy("doc_id")
     }
   )
 }
