@@ -387,4 +387,30 @@ object Corpus {
     exactKept.unpersist()
     snap
   }
+
+  /** Corpus snapshot diff — the versioning primitive for incremental
+    * refreshes: classify every doc id across two snapshots as
+    * added / removed / changed / unchanged by comparing content
+    * fingerprints (md5 of normalized text) under a full-outer join.
+    *
+    * Scale: one shuffle join on the id key; the fingerprint is
+    * computed map-side on each snapshot, so the join carries
+    * (id, 32-byte fp) — not document text. Downstream policy
+    * (re-embed changed docs, tombstone removed ones, route added
+    * ones through dedup-vs-index) consumes the status column.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val a = oldSnap.select(col(idCol),
+      TextStats.fingerprint(col(textCol)).as("_fp_old"))
+    val b = newSnap.select(col(idCol),
+      TextStats.fingerprint(col(textCol)).as("_fp_new"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

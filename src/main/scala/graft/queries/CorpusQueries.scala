@@ -399,6 +399,38 @@ object CorpusQueries {
          |ORDER BY e.doc_id""".stripMargin
     }) { (s, dir) =>
       Corpus.prepare(docs(s, dir), minQuality = 0.85).orderBy("doc_id")
+    },
+
+    // ——— corpus snapshot diff (the versioning primitive): two
+    //     deterministic snapshot views of `documents` (v1 drops
+    //     id%11=3; v2 drops id%13=5 and edits id%7=2), full-outer
+    //     fingerprint compare → added/removed/changed/unchanged per
+    //     id. The join carries (id, md5) only — never text. ———
+    Q("q113_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |), j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(regexp_replace(lower(a.text), '\s+', ' ', 'g'))
+        |           <> md5(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, status FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val v1 = d.filter(col("doc_id") % 11 =!= 3).select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+      Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
     }
   )
 }

@@ -249,4 +249,16 @@ class CorpusSpec extends SparkSpec {
     assert(j(0).getAs[Int]("label") === 7)
     assert(j(1).getAs[String]("text") === "beta")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+    "whitespace-only edits are unchanged") {
+    val v1 = Seq((0L, "same text"), (1L, "will change"), (2L, "will vanish"),
+      (3L, "spacing   here")).toDF("doc_id", "text")
+    val v2 = Seq((0L, "same text"), (1L, "has changed"), (4L, "brand new"),
+      (3L, "spacing here")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
+      4L -> "added", 3L -> "unchanged")) // fp normalizes whitespace
+  }
 }
