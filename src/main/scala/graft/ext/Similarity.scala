@@ -346,6 +346,40 @@ object Similarity {
       .select("id_a", "id_b", "cell", "cos_sim")
   }
 
+  /** Per-label embedding outliers — the label-noise curation op
+    * (prune vectors far from their own label's centroid before
+    * training): per-label mean vector (kept as a broadcast-joined
+    * DataFrame in full double precision — no driver collect, no
+    * float truncation), cosine of every vector to its own centroid,
+    * bottom-`bottomK` per label flagged.
+    *
+    * Scale: one skinny posexplode shuffle for the centroids
+    * (labels × dim rows), one broadcast join, one per-label window.
+    * Ranking uses the ROUNDED cosine (ties → vec_id) so the flag is
+    * deterministic and replayable.
+    */
+  def labelOutliers(embeddings: DataFrame, bottomK: Int = 5,
+                    idCol: String = "vec_id", labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(labelCol, "i")
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+      .groupBy(labelCol)
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("_im"))
+      .select(col(labelCol), transform(col("_im"), e => e.getField("m")).as("_cent"))
+    val cos = round(
+      dot(col(vecCol), col("_cent")) /
+        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("_cent"), col("_cent")))),
+      6)
+    val w = Window.partitionBy(labelCol).orderBy(col("cos_centroid"), col(idCol))
+    embeddings.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol), cos.as("cos_centroid"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("is_outlier", col("rk") <= bottomK)
+  }
+
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
                        vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row

@@ -351,4 +351,65 @@ object Streaming {
     q.processAllAvailable()
     q
   }
+
+  /** Ordered event funnel: for each user, the timestamp at which each
+    * step of `steps` was first reached, where step k counts only
+    * STRICTLY AFTER step k−1's timestamp (first matching event).
+    * Returns (user, t0…t{n−1} as epoch-micros — null where the funnel
+    * stalled, stage = steps completed).
+    *
+    * Spark-first shape: ONE shuffle (groupBy user, collect + sort the
+    * thin (ts, type) pairs) and a linear fold over the sorted array —
+    * not the naive n-stage chain of aggregate+join rounds, which
+    * shuffles the events table once per step. The fold's when-chain
+    * is built per-step at plan time, so it stays a single codegen'd
+    * expression for any `steps` length. Per-user state is that user's
+    * event list — the same per-key bound as any sessionizer.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             maxGap: Option[String] = None,
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val n = steps.length
+    // conversion window: step k counts only within maxGap of step k−1
+    val gapMicros: Option[Long] = maxGap.map(g =>
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(g)) match {
+        case iv =>
+          require(iv.months == 0, s"funnel maxGap must be day-time: $g")
+          iv.days * 86400000000L + iv.microseconds
+      })
+    def stepF(acc: org.apache.spark.sql.Column, k: Int) = acc.getField(s"t$k")
+    def setStep(acc: org.apache.spark.sql.Column, k: Int,
+                t: org.apache.spark.sql.Column) =
+      struct((0 until n).map(i =>
+        (if (i == k) t else stepF(acc, i)).as(s"t$i")): _*)
+    val evs = array_sort(collect_list(
+      struct(unix_micros(col(tsCol)).as("t"), col(typeCol).as("ty"))))
+    val zero = struct((0 until n).map(i =>
+      lit(null).cast("long").as(s"t$i")): _*)
+    val folded = aggregate(col("_evs"), zero, (acc, e) => {
+      // at most one branch can match: the first k with t{k} unset
+      val cases = (0 until n).map { k =>
+        val ready =
+          if (k == 0) stepF(acc, 0).isNull
+          else {
+            val after = stepF(acc, k).isNull && stepF(acc, k - 1).isNotNull &&
+              e.getField("t") > stepF(acc, k - 1)
+            gapMicros.fold(after)(g =>
+              after && e.getField("t") <= stepF(acc, k - 1) + g)
+          }
+        (ready && e.getField("ty") === steps(k), setStep(acc, k, e.getField("t")))
+      }
+      cases.foldRight(acc) { case ((cond, out), els) => when(cond, out).otherwise(els) }
+    })
+    val stage = (0 until n).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    events.groupBy(col(userCol))
+      .agg(evs.as("_evs"))
+      .select(col(userCol), folded.as("_st"))
+      .select(col(userCol) +: (0 until n).map(i => col(s"_st.t$i").as(s"t$i")): _*)
+      .withColumn("stage", stage)
+  }
 }

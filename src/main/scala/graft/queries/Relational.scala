@@ -576,6 +576,44 @@ object Relational {
       s.table("q111_dedup").orderBy("user_id", "event_type")
     },
 
+    // ——— ordered event funnel (view → click → purchase, each step
+    //     strictly after the last): ONE shuffle + a sorted-array fold
+    //     per user — not a per-step chain of aggregate+join rounds.
+    //     The oracle derives the same semantics via stage-wise
+    //     min-joins, so two independent formulations must agree. ———
+    Q("q115_funnel",
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(ts) t FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |                AND e.ts <= s0.t + INTERVAL 24 HOUR
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |                AND e.ts <= s1.t + INTERVAL 24 HOUR
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  strftime(s0.t, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  strftime(s1.t, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  strftime(s2.t, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        |  CAST(CASE WHEN s2.t IS NOT NULL THEN 3
+        |            WHEN s1.t IS NOT NULL THEN 2
+        |            WHEN s0.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM users u
+        |LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.funnel(t(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), maxGap = Some("24 hours"))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("t0")), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(timestamp_micros(col("t1")), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(timestamp_micros(col("t2")), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+          col("stage"))
+        .orderBy("user_id")
+    },
+
     // ——— the SAME sessionization through the ARBITRARY-STATE path
     //     (flatMapGroupsWithState's batch twin; shared merge core with
     //     the streaming operator) — q23's declarative session_window

@@ -374,6 +374,43 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ——— per-label embedding outliers (label-noise curation): every
+    //     vector's cosine to its own label centroid, bottom-5 per
+    //     label flagged. Centroids stay distributed (broadcast join,
+    //     full double precision); ranking is on the rounded cosine
+    //     with vec_id ties, so the flag replays exactly. ———
+    Q("q114_label_outliers",
+      s"""WITH e AS (
+         |  SELECT label, vec_id, embedding FROM embeddings
+         |), x AS (
+         |  SELECT label, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM e
+         |), c AS (
+         |  SELECT label, i, SUM(CAST(x AS DOUBLE)) / COUNT(*) AS m
+         |  FROM x GROUP BY label, i
+         |), cents AS (
+         |  SELECT label, list(m ORDER BY i) AS cent FROM c GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    ROUND(
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * cents.cent[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(cents.cent, v -> v * v)))), 6)
+         |      AS cos_centroid
+         |  FROM e JOIN cents USING (label)
+         |)
+         |SELECT vec_id, label, cos_centroid, CAST(rk AS BIGINT) AS rk,
+         |  rk <= 5 AS is_outlier
+         |FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |        ORDER BY cos_centroid, vec_id) AS rk
+         |      FROM scored)
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.labelOutliers(emb(s, dir), bottomK = 5).orderBy("vec_id")
+    },
+
     // ——— per-label centroid norms: aggregate over vector column ———
     Q("q43_label_centroid_norm",
       """WITH e AS (

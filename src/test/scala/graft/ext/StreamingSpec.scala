@@ -339,4 +339,41 @@ class StreamingSpec extends SparkSpec {
     assert(live.getTimeoutTimestampMs.isPresent,
       "live path must re-arm the idle timeout")
   }
+
+  test("funnel: strict ordering, first-anchor semantics, gap window") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: click BEFORE the first view → doesn't count; later
+      // click does; no purchase
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(7), "click"),
+      // user 3: purchase before click → stage stalls at click
+      (3L, ts(0), "view"), (3L, ts(1), "purchase"), (3L, ts(2), "click"),
+      // user 4: click outside the 10-minute gap window
+      (4L, ts(0), "view"), (4L, ts(30), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Streaming.funnel(ev, Seq("view", "click", "purchase"),
+      maxGap = Some("10 minutes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("stage"),
+          (0 to 2).map(i => Option(r.get(r.fieldIndex(s"t$i")))).toSeq)).toMap
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === 2L)          // the pre-view click is ignored
+    assert(out(3L)._1 === 2L)          // purchase must follow click
+    assert(out(4L)._1 === 1L)          // gap window binds
+    // user 2's click timestamp is the LATER one (strictly after view)
+    assert(out(2L)._2(1).get.asInstanceOf[Long] ===
+      ts(7).getTime * 1000L)
+  }
+
+  test("funnel: single shuffle plan (one aggregate, no join)") {
+    import java.sql.Timestamp
+    val ev = Seq((1L, new Timestamp(0L), "view")).toDF("user_id", "ts", "event_type")
+    val plan = Streaming.funnel(ev, Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
 }
