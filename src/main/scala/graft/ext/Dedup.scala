@@ -897,6 +897,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup provenance matrix: fold a (id_a, id_b) pair frame (any
+    * dedup path's output) over a (id, source) provenance table into
+    * per-source-pair counts — "which sources copy from which", the
+    * view a mixture designer reads before setting per-source rates.
+    * Pairs are normalized with least/greatest so the matrix is
+    * upper-triangular regardless of pair orientation.
+    *
+    * Scale: two joins keyed on doc id (the provenance side is
+    * (id, source) — thin; broadcast when it fits), then a group count
+    * on source pairs (output ≤ |sources|²).
+    */
+  def dupProvenanceMatrix(pairs: DataFrame, provenance: DataFrame,
+                          idCol: String = "doc_id",
+                          sourceCol: String = "source"): DataFrame = {
+    val a = provenance.select(col(idCol).as("id_a"), col(sourceCol).as("_sa"))
+    val b = provenance.select(col(idCol).as("id_b"), col(sourceCol).as("_sb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ——— duplicate SPANS (sub-document exact dedup) ———
 
   /** Positional duplicate-span detection — the distributed shape of

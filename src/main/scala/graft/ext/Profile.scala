@@ -192,4 +192,32 @@ object Profile {
     val all = (rowPart.toSeq ++ fkParts).reduce(_ unionAll _)
     all.withColumn("pass", col("n_violations") === 0L).orderBy("rule_id")
   }
+
+  /** Robust per-group anomaly detection: flag rows whose value
+    * deviates from the group median by more than `threshold` robust
+    * z-units (MAD scaled by 1.4826 ≈ consistency with σ under
+    * normality). Medians/MADs resist the very outliers being hunted —
+    * the reason this beats mean/stddev z-scores for data-quality
+    * triage.
+    *
+    * Two percentile aggregations (group-keyed shuffles) + broadcast
+    * joins of the group-count-sized stats. Exact interpolated
+    * percentiles here (the oracle path); at 100 TB swap in
+    * `approx_percentile`, which is one pass and mergeable — the same
+    * exact-vs-sketch trade as `profileTable`'s NDV.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  threshold: Double = 3.0,
+                  scale: Double = 1.4826): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("_ad", abs(col(valueCol) - col("_med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("rz", (col(valueCol) - col("_med")) / (lit(scale) * col("_mad")))
+      .filter(abs(col("rz")) > threshold)
+      .drop("_med", "_ad", "_mad")
+  }
 }

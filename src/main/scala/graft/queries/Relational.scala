@@ -576,6 +576,34 @@ object Relational {
       s.table("q111_dedup").orderBy("user_id", "event_type")
     },
 
+    // ——— robust anomaly detection: per-event-type median/MAD z-score
+    //     (resists the outliers being hunted, unlike mean/stddev);
+    //     exact interpolated percentiles for the oracle, the
+    //     approx_percentile sketch is the documented 100 TB swap. ———
+    Q("q117_mad_anomalies",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, s.med,
+        |    ABS(e.value - s.med) AS ad
+        |  FROM events e JOIN med s USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type,
+        |  ROUND(d.value, 6) AS value,
+        |  ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS rz
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3
+        |ORDER BY d.event_id""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.madOutliers(t(s, dir, "events"), "value", "event_type",
+        threshold = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("rz"), 6).as("rz"))
+        .orderBy("event_id")
+    },
+
     // ——— ordered event funnel (view → click → purchase, each step
     //     strictly after the last): ONE shuffle + a sorted-array fold
     //     per user — not a per-step chain of aggregate+join rounds.

@@ -24,6 +24,53 @@ object TextQueries {
     * same SQL. Identical md5 universal-hash family; candidates =
     * shard×index bucket joins; exact Jaccard on candidates.
     */
+  /** Shared CTE chain: md5-family MinHash → LSH buckets → candidate
+    * pairs → exact-Jaccard verification, ending in
+    * `vp(id_a, id_b, jaccard)`. q59 selects it directly; q116 joins
+    * provenance on top — one arithmetic definition, two consumers.
+    */
+  private val verifiedPairsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(ts) >= 3
+      |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+      |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+      |  FROM toks
+      |), hashed AS (
+      |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+      |  FROM sh
+      |), mins AS (
+      |  SELECT doc_id, seed,
+      |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+      |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+      |  GROUP BY doc_id, seed
+      |), buckets AS (
+      |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+      |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM buckets a
+      |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |), vp AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id
+      |  JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+      |)""".stripMargin
+
   private val incrementalDedupSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
@@ -524,49 +571,34 @@ object TextQueries {
     //     rebuilds the identical md5-family buckets (as q36) and then
     //     verifies jaccard restricted to the candidate pairs. ———
     Q("q59_dedup_minhash_verified",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(ts) >= 3
-        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
-        |  FROM toks
-        |), hashed AS (
-        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
-        |  FROM sh
-        |), mins AS (
-        |  SELECT doc_id, seed,
-        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
-        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
-        |  GROUP BY doc_id, seed
-        |), buckets AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
-        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM buckets a
-        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_a, id_b,
-        |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-        |FROM inter
-        |JOIN cnt ca ON id_a = ca.doc_id
-        |JOIN cnt cb ON id_b = cb.doc_id
-        |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      s"""$verifiedPairsCte
+         |SELECT id_a, id_b, jaccard FROM vp
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32, bands = 8,
         minJaccard = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // ——— near-dup PROVENANCE matrix (which sources copy from
+    //     which): the q59 verified pairs joined to each side's
+    //     source, pair-normalized with least/greatest so the matrix
+    //     is upper-triangular. The dedup-analytics view a mixture
+    //     designer reads before setting per-source rates. ———
+    Q("q116_dup_provenance",
+      s"""$verifiedPairsCte
+         |SELECT LEAST(a.source, b.source) AS source_a,
+         |  GREATEST(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM vp
+         |JOIN documents a ON vp.id_a = a.doc_id
+         |JOIN documents b ON vp.id_b = b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(d, n = 3, k = 32, bands = 8,
+        minJaccard = 0.5)
+      Dedup.dupProvenanceMatrix(pairs, d.select(col("doc_id"), col("source")))
+        .orderBy("source_a", "source_b")
     },
 
     // ——— doc-frequency-capped exact Jaccard: the guarded form of

@@ -75,6 +75,30 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: flags the planted outlier, robust to its presence") {
+    // 20 well-behaved values + one wild outlier per group; the median
+    // and MAD barely move, so the outlier's |rz| is huge while the
+    // inliers stay under threshold
+    val rows = (for (g <- Seq("a", "b"); i <- 0 until 20)
+      yield (g, 10.0 + (i % 5))) ++ Seq(("a", 500.0))
+    val df = rows.toDF("grp", "v")
+    val out = Profile.madOutliers(df, "v", "grp", threshold = 3.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("grp") === "a")
+    assert(out.head.getAs[Double]("v") === 500.0)
+    assert(out.head.getAs[Double]("rz") > 100)
+  }
+
+  test("dupProvenanceMatrix: pair-normalized upper-triangular counts") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val prov = Seq((1L, "s2"), (2L, "s1"), (3L, "s1"), (4L, "s2"),
+      (5L, "s1"), (6L, "s1")).toDF("doc_id", "source")
+    val m = Dedup.dupProvenanceMatrix(pairs, prov).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (s2,s1) and (s1,s2) collapse into one cell
+    assert(m === Map(("s1", "s2") -> 2L, ("s1", "s1") -> 1L))
+  }
+
   test("row-level rules share one aggregation job (no per-rule scan)") {
     val out = Profile.checkExpectations(sample, Seq(
       Profile.NotNull("r1", "x"), Profile.Range("r2", "x", 0, 10),
