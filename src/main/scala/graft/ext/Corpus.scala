@@ -388,6 +388,35 @@ object Corpus {
     snap
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * for every anchor doc, `k` pseudo-random negative doc ids drawn
+    * by an md5 hash coin over (id, j) — reproducible across runs and
+    * engines, no RNG state. A negative that lands on its own anchor
+    * shifts by one (mod n). Requires contiguous ids [0, n) — the
+    * corpus-prepare output's row_number convention; the inner join
+    * back to the corpus both validates existence and attaches the
+    * negative's payload columns.
+    *
+    * Scale: map-only sample generation (k rows per anchor) + one
+    * join keyed on the negative id.
+    */
+  def negativeSamples(docs: DataFrame, k: Int, nDocs: Long,
+                      idCol: String = "doc_id",
+                      payload: Seq[String] = Seq("source")): DataFrame = {
+    require(k >= 1, s"negativeSamples: k must be >= 1 (got $k)")
+    val raw = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col("j").cast("string"))), 1, 15), 16, 10).cast("long") % nDocs
+    val neg = when(raw === col(idCol), (raw + 1) % nDocs).otherwise(raw)
+    val anchors = docs.select(col(idCol),
+      explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col(idCol), col("j"), neg.as("neg_id"))
+    val negSide = docs.select(
+      (col(idCol).as("neg_id") +: payload.map(c => col(c).as(s"neg_$c"))): _*)
+    anchors.join(negSide, "neg_id")
+      .select(Seq(col(idCol), col("j"), col("neg_id")) ++
+        payload.map(c => col(s"neg_$c")): _*)
+  }
+
   /** Corpus snapshot diff — the versioning primitive for incremental
     * refreshes: classify every doc id across two snapshots as
     * added / removed / changed / unchanged by comparing content

@@ -273,6 +273,25 @@ object TextStats {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** URL token pattern for normalization: scheme://non-space run.
+    * Single-sourced into the q119 oracle (the `Urls`/`Privacy`
+    * convention for regex parity).
+    */
+  val UrlTokenRe: String = "[a-z][a-z0-9+.-]*://[^\\s]+"
+
+  /** CCNet-style text normalization, map-only and engine-portable:
+    * lowercase → strip URL tokens → strip everything but
+    * [a-z0-9 whitespace .,!?'] → collapse whitespace → trim. The
+    * canonical pre-tokenization cleanup; composes with `fingerprint`
+    * for normalization-invariant dedup keys.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), UrlTokenRe, " "),
+        "[^a-z0-9\\s.,!?']", " "),
+      "\\s+", " "))
+
   /** Inverted-index build (the search/retrieval index shape): one row
     * per vocabulary token with its document frequency, total term
     * frequency, and the posting list rendered as

@@ -431,6 +431,67 @@ object CorpusQueries {
           when(col("doc_id") % 7 === 2, concat(col("text"), lit(" edited")))
             .otherwise(col("text")).as("text"))
       Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
+    },
+
+    // ——— contrastive negative sampling: k reproducible hash-coin
+    //     negatives per anchor (never the anchor itself), inner-
+    //     joined back to the corpus for the negative's payload. ———
+    Q("q118_negative_samples",
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |anchors AS (
+        |  SELECT d.doc_id, j.j,
+        |    CAST(CAST(concat('0x', substring(md5(concat(CAST(d.doc_id AS VARCHAR), ':', CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      % (SELECT n FROM n) AS BIGINT) AS raw
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+        |), negs AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM n)
+        |         ELSE raw END AS neg_id
+        |  FROM anchors
+        |)
+        |SELECT g.doc_id, g.j, g.neg_id, d.source AS neg_source
+        |FROM negs g JOIN documents d ON g.neg_id = d.doc_id
+        |ORDER BY g.doc_id, g.j""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      Corpus.negativeSamples(d, k = 3, nDocs = d.count())
+        .orderBy("doc_id", "j")
+    },
+
+    // ——— CCNet-style text normalization: lowercase, URL strip,
+    //     charset restriction, whitespace collapse — over text with
+    //     a deterministically planted URL so the strip is visible.
+    //     Regex single-sourced from TextStats into the oracle. ———
+    Q("q119_normalize", {
+      val re = graft.ext.TextStats.UrlTokenRe.replace("\\s", "\\s")
+      s"""WITH noisy AS (
+         |  SELECT doc_id,
+         |    concat(text, ' SEE https://ex', CAST(doc_id AS VARCHAR),
+         |           '.com/a?b=1 NOW!!') AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(lower(text), '$re', ' ', 'g'),
+         |      '[^a-z0-9\\s.,!?'']', ' ', 'g'),
+         |    '\\s+', ' ', 'g')) AS norm,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_before,
+         |  CAST(LENGTH(trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(lower(text), '$re', ' ', 'g'),
+         |      '[^a-z0-9\\s.,!?'']', ' ', 'g'),
+         |    '\\s+', ' ', 'g'))) AS BIGINT) AS n_after
+         |FROM noisy
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val noisy = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" SEE https://ex"), col("doc_id").cast("string"),
+          lit(".com/a?b=1 NOW!!")).as("text"))
+      noisy.select(col("doc_id"),
+        graft.ext.TextStats.normalizeText(col("text")).as("norm"),
+        length(col("text")).cast("long").as("n_before"),
+        length(graft.ext.TextStats.normalizeText(col("text"))).cast("long").as("n_after"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -261,4 +261,19 @@ class CorpusSpec extends SparkSpec {
     assert(out === Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
       4L -> "added", 3L -> "unchanged")) // fp normalizes whitespace
   }
+
+  test("negativeSamples: k per anchor, never self, in-range, deterministic") {
+    val d = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val s1 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()
+    assert(s1.length === 60)
+    s1.foreach { r =>
+      val (a, neg) = (r.getLong(0), r.getLong(2))
+      assert(neg != a, s"self-negative for $a")
+      assert(neg >= 0 && neg < 20)
+      assert(r.getAs[String]("neg_source") === s"src${neg % 3}")
+    }
+    val s2 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()
+    assert(s1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ===
+      s2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
 }

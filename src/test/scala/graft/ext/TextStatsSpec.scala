@@ -162,4 +162,21 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("token")).toSet
     assert(capped === Set("bird"))
   }
+
+  test("normalizeText: URLs stripped, charset restricted, idempotent") {
+    val cases = Seq(
+      ("Visit HTTPS://Ex.Com/a?b=1#f now", "visit now"),
+      ("keep.  punct, ok! right?", "keep. punct, ok! right?"),
+      ("tabs\tand\n\nnewlines", "tabs and newlines"),
+      ("symbols @#$% stripped <b>tags</b>", "symbols stripped b tags b"),
+      ("", "")).toDF("text", "expected")
+    val bad = cases
+      .filter(TextStats.normalizeText($"text") =!= $"expected").collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+    // idempotence: normalizing a normalized text is the identity
+    val twice = cases.select(
+      TextStats.normalizeText($"text").as("once"))
+      .filter(TextStats.normalizeText($"once") =!= $"once").count()
+    assert(twice === 0L)
+  }
 }
