@@ -62,26 +62,53 @@ object Classifier {
     map((0 until model.dim).flatMap(j =>
       Seq(lit(j.toLong), lit(model.weights(j)))): _*)
 
+  /** Past this many buckets the literal weight map stops being a
+    * reasonable expression (2·dim literals in the plan — the same
+    * plan/codegen ceiling as the IVF literal-argmin tree), and the
+    * margin switches to a broadcast join against the weights as
+    * data. Both paths fold contributions in ascending-bucket order,
+    * so they are bit-identical (pinned in ClassifierSpec).
+    */
+  val LiteralDimThreshold: Int = 4096
+
   private def margin(feats: DataFrame, model: Model, idCol: String,
-                     carry: Seq[String] = Nil): DataFrame = {
-    val wMap = weightMap(model)
+                     carry: Seq[String] = Nil,
+                     viaJoin: Option[Boolean] = None): DataFrame = {
     val keys = (Seq(idCol) ++ carry).map(col)
-    feats
-      .groupBy(keys: _*)
-      .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
-      .select(keys :+
-        (lit(model.bias) +
-          aggregate(transform(col("_bs"), b => element_at(wMap, b)),
-            lit(0.0), (acc, x) => acc + x)).as("z"): _*)
+    if (!viaJoin.getOrElse(model.dim > LiteralDimThreshold)) {
+      val wMap = weightMap(model)
+      feats
+        .groupBy(keys: _*)
+        .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
+        .select(keys :+
+          (lit(model.bias) +
+            aggregate(transform(col("_bs"), b => element_at(wMap, b)),
+              lit(0.0), (acc, x) => acc + x)).as("z"): _*)
+    } else {
+      val spark = feats.sparkSession
+      import spark.implicits._
+      val wDf = model.weights.toIndexedSeq.zipWithIndex
+        .map { case (w, j) => (j.toLong, w) }.toDF("bucket", "_w")
+      feats.join(broadcast(wDf), "bucket")
+        .groupBy(keys: _*)
+        .agg(array_sort(collect_list(struct(col("bucket"), col("_w")))).as("_bw"))
+        .select(keys :+
+          (lit(model.bias) +
+            aggregate(transform(col("_bw"), e => e.getField("_w")),
+              lit(0.0), (acc, x) => acc + x)).as("z"): _*)
+    }
   }
 
   /** Score every doc with a trained model: (id, score, pred) where
-    * score = σ(z) and pred = score ≥ 0.5.
+    * score = σ(z) and pred = score ≥ 0.5. `viaJoin` forces the
+    * literal-map (false) or broadcast-join (true) margin path; the
+    * default auto-switches on `LiteralDimThreshold`.
     */
   def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text",
+            viaJoin: Option[Boolean] = None): DataFrame = {
     val feats = features(docs, model.dim, idCol, textCol)
-    margin(feats, model, idCol)
+    margin(feats, model, idCol, viaJoin = viaJoin)
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
       .withColumn("pred", col("score") >= 0.5)

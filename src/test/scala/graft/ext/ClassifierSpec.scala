@@ -50,6 +50,20 @@ class ClassifierSpec extends SparkSpec {
     assert(l3 <= l1 + 1e-9, s"loss rose: $l1 -> $l3")
   }
 
+  test("literal-map and broadcast-join margins are bit-identical") {
+    val d = labeled
+    val m = Classifier.train(d, "y", iters = 2)
+    def scores(via: Boolean) =
+      Classifier.score(d, m, viaJoin = Some(via)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // both paths fold ascending-bucket — exact double equality
+    assert(scores(false) === scores(true))
+    // and the join path's plan actually broadcasts the weights
+    val plan = Classifier.score(d, m, viaJoin = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("scores are bit-identical under different partitionings") {
     val d = labeled
     val m = Classifier.train(d, "y", iters = 2)
