@@ -53,11 +53,6 @@ object Classifier {
       .distinct()
   }
 
-  /** z = bias + Σ_{present buckets} w[bucket], folded in ascending-
-    * bucket order (deterministic under any partitioning). Returns
-    * (id, [carry...], z) — `carry` columns (e.g. the label during
-    * training) ride through the aggregation.
-    */
   private def weightMap(model: Model): Column =
     map((0 until model.dim).flatMap(j =>
       Seq(lit(j.toLong), lit(model.weights(j)))): _*)
@@ -71,16 +66,26 @@ object Classifier {
     */
   val LiteralDimThreshold: Int = 4096
 
+  /** z = bias + Σ_{present buckets} w[bucket], folded in ascending-
+    * bucket order (deterministic under any partitioning). Returns
+    * (id, [carry...], [_bs,] z): `carry` columns (the label during
+    * training) ride through the aggregation, and `keepBuckets` also
+    * returns the sorted bucket array (the training statistics need
+    * it) — ONE fold definition serves scoring and training, which is
+    * what keeps the determinism contract in one place.
+    */
   private def margin(feats: DataFrame, model: Model, idCol: String,
                      carry: Seq[String] = Nil,
-                     viaJoin: Option[Boolean] = None): DataFrame = {
+                     viaJoin: Option[Boolean] = None,
+                     keepBuckets: Boolean = false): DataFrame = {
     val keys = (Seq(idCol) ++ carry).map(col)
+    val bs = if (keepBuckets) Seq(col("_bs")) else Nil
     if (!viaJoin.getOrElse(model.dim > LiteralDimThreshold)) {
       val wMap = weightMap(model)
       feats
         .groupBy(keys: _*)
         .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
-        .select(keys :+
+        .select(keys ++ bs :+
           (lit(model.bias) +
             aggregate(transform(col("_bs"), b => element_at(wMap, b)),
               lit(0.0), (acc, x) => acc + x)).as("z"): _*)
@@ -92,7 +97,8 @@ object Classifier {
       feats.join(broadcast(wDf), "bucket")
         .groupBy(keys: _*)
         .agg(array_sort(collect_list(struct(col("bucket"), col("_w")))).as("_bw"))
-        .select(keys :+
+        .select(keys ++ Seq(transform(col("_bw"), e => e.getField("bucket")).as("_bs"))
+          .filter(_ => keepBuckets) :+
           (lit(model.bias) +
             aggregate(transform(col("_bw"), e => e.getField("_w")),
               lit(0.0), (acc, x) => acc + x)).as("z"): _*)
@@ -146,14 +152,11 @@ object Classifier {
     val n = docs.count().toDouble
     for (_ <- 0 until iters) {
       // one thin row per doc: active buckets, residual r = p − y,
-      // curvature s = p(1−p)
-      val wMap = weightMap(model)
-      val perDoc = feats.groupBy(col(idCol), col("_y"))
-        .agg(array_sort(collect_list(col("bucket"))).as("_bs"))
+      // curvature s = p(1−p) — the SAME margin fold scoring uses
+      val perDoc = margin(feats, model, idCol, carry = Seq("_y"),
+        keepBuckets = true)
         .select(col("_bs"), col("_y"),
-          (lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) +
-            aggregate(transform(col("_bs"), b => element_at(wMap, b)),
-              lit(0.0), (acc, x) => acc + x))))).as("p"))
+          (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
         .select(col("_bs"), (col("p") - col("_y")).as("r"),
           (col("p") * (lit(1.0) - col("p"))).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)

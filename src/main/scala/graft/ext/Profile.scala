@@ -30,8 +30,9 @@ object Profile {
   private def portable(c: Column, dt: DataType): Column = dt match {
     case DoubleType | FloatType =>
       round(c.cast("double") * 1000000).cast("long").cast("string")
-    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
-    case _             => c.cast("string")
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
   }
 
   /** Table profile: per column
@@ -85,6 +86,8 @@ object Profile {
       val ndv = exactNdvByColumn(df)
       base.drop("n_distinct")
         .join(broadcast(ndv), Seq("column_name"), "left")
+        // an all-null column yields no melt row: COUNT(DISTINCT) = 0
+        .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
         .select("column_name", "data_type", "n_rows", "n_nulls",
           "n_distinct", "min_value", "max_value", "avg_len")
         .orderBy("column_name")
@@ -215,9 +218,16 @@ object Profile {
       .withColumn("_ad", abs(col(valueCol) - col("_med")))
     val mad = dev.groupBy(groupCol)
       .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
+    // MAD = 0 (majority-constant group): the quotient is null under
+    // non-ANSI division, which would silently UNFLAG the most extreme
+    // rows. Degenerate-scale rule: any deviation from the median is
+    // anomalous, reported with rz = null (no finite robust z exists).
     dev.join(broadcast(mad), groupCol)
-      .withColumn("rz", (col(valueCol) - col("_med")) / (lit(scale) * col("_mad")))
-      .filter(abs(col("rz")) > threshold)
+      .withColumn("rz",
+        when(col("_mad") > 0,
+          (col(valueCol) - col("_med")) / (lit(scale) * col("_mad"))))
+      .filter((col("_mad") > 0 && abs(col("rz")) > threshold) ||
+        (col("_mad") === 0 && col(valueCol) =!= col("_med")))
       .drop("_med", "_ad", "_mad")
   }
 }

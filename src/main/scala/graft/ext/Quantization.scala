@@ -170,6 +170,13 @@ object Quantization {
                 codesCol: String = "codes"): DataFrame = {
     val m = cb.map(_._1).max + 1
     val kCodes = cb.map(_._2).max + 1
+    // LUT keys pack as sub·1024 + code; a larger codebook would
+    // silently collide into the wrong subspace's distances
+    require(kCodes <= 1024,
+      s"pqAdcTopK: codebook has $kCodes codes per subspace; the packed " +
+        "LUT supports at most 1024")
+    require(query.length % m == 0,
+      s"pqAdcTopK: query dim ${query.length} not divisible by m=$m")
     val d = query.length / m
     // lookup table: identical op order to sqDistLit / the SQL replay
     val lut: Map[(Int, Int), Double] = cb.map { case (s, c, cent) =>

@@ -369,15 +369,20 @@ object Similarity {
       .groupBy(labelCol)
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("_im"))
       .select(col(labelCol), transform(col("_im"), e => e.getField("m")).as("_cent"))
-    val cos = round(
-      dot(col(vecCol), col("_cent")) /
-        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("_cent"), col("_cent")))),
-      6)
-    val w = Window.partitionBy(labelCol).orderBy(col("cos_centroid"), col(idCol))
+    // a zero-norm vector (or an all-zero centroid) has no cosine:
+    // emit null and rank it LAST — a meaningless vector must not eat
+    // an outlier slot, and null-last is replayable (`cos IS NULL`
+    // sort key), where 0/0's engine-specific null-vs-NaN is not
+    val n2v = dot(col(vecCol), col(vecCol))
+    val n2c = dot(col("_cent"), col("_cent"))
+    val cos = when(n2v > 0 && n2c > 0,
+      round(dot(col(vecCol), col("_cent")) / (sqrt(n2v) * sqrt(n2c)), 6))
+    val w = Window.partitionBy(labelCol)
+      .orderBy(col("cos_centroid").asc_nulls_last, col(idCol))
     embeddings.join(broadcast(cents), labelCol)
       .select(col(idCol), col(labelCol), cos.as("cos_centroid"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("is_outlier", col("rk") <= bottomK)
+      .withColumn("is_outlier", col("rk") <= bottomK && col("cos_centroid").isNotNull)
   }
 
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",

@@ -406,7 +406,13 @@ object Streaming {
     })
     val stage = (0 until n).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
       .reduce(_ + _).cast("long")
-    events.groupBy(col(userCol))
+    // only funnel-relevant events reach the shuffle and the per-user
+    // state — the fold ignores other types by construction. Output
+    // contract: one row per user with ≥1 STEP-TYPE event (a user
+    // with only unrelated events has no funnel row — callers wanting
+    // the full user universe left-join this result).
+    events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
       .agg(evs.as("_evs"))
       .select(col(userCol), folded.as("_st"))
       .select(col(userCol) +: (0 until n).map(i => col(s"_st.t$i").as(s"t$i")): _*)

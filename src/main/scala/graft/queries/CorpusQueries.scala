@@ -462,7 +462,8 @@ object CorpusQueries {
     //     a deterministically planted URL so the strip is visible.
     //     Regex single-sourced from TextStats into the oracle. ———
     Q("q119_normalize", {
-      val re = graft.ext.TextStats.UrlTokenRe.replace("\\s", "\\s")
+      // Java-regex ∩ DuckDB-RE2 subset by construction — usable verbatim
+      val re = graft.ext.TextStats.UrlTokenRe
       s"""WITH noisy AS (
          |  SELECT doc_id,
          |    concat(text, ' SEE https://ex', CAST(doc_id AS VARCHAR),

@@ -593,9 +593,11 @@ object Relational {
         |)
         |SELECT d.event_id, d.event_type,
         |  ROUND(d.value, 6) AS value,
-        |  ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS rz
+        |  CASE WHEN m.mad > 0
+        |       THEN ROUND((d.value - d.med) / (1.4826 * m.mad), 6) END AS rz
         |FROM dev d JOIN mad m USING (event_type)
-        |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3
+        |WHERE (m.mad > 0 AND ABS((d.value - d.med) / (1.4826 * m.mad)) > 3)
+        |   OR (m.mad = 0 AND d.value <> d.med)
         |ORDER BY d.event_id""".stripMargin) { (s, dir) =>
       graft.ext.Profile.madOutliers(t(s, dir, "events"), "value", "event_type",
         threshold = 3.0)
@@ -610,7 +612,8 @@ object Relational {
     //     The oracle derives the same semantics via stage-wise
     //     min-joins, so two independent formulations must agree. ———
     Q("q115_funnel",
-      """WITH users AS (SELECT DISTINCT user_id FROM events),
+      """WITH users AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type IN ('view', 'click', 'purchase')),
         |s0 AS (SELECT user_id, MIN(ts) t FROM events
         |       WHERE event_type = 'view' GROUP BY 1),
         |s1 AS (SELECT e.user_id, MIN(e.ts) t FROM events e

@@ -393,19 +393,22 @@ object SimilarityQueries {
          |  SELECT label, list(m ORDER BY i) AS cent FROM c GROUP BY label
          |), scored AS (
          |  SELECT e.vec_id, e.label,
-         |    ROUND(
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0
+         |          AND list_sum(list_transform(cents.cent, v -> v * v)) > 0
+         |    THEN ROUND(
          |      list_sum(list_transform(range(1, len(e.embedding) + 1),
          |        i -> CAST(e.embedding[i] AS DOUBLE) * cents.cent[i]))
          |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
          |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
          |       * sqrt(list_sum(list_transform(cents.cent, v -> v * v)))), 6)
-         |      AS cos_centroid
+         |    END AS cos_centroid
          |  FROM e JOIN cents USING (label)
          |)
          |SELECT vec_id, label, cos_centroid, CAST(rk AS BIGINT) AS rk,
-         |  rk <= 5 AS is_outlier
+         |  rk <= 5 AND cos_centroid IS NOT NULL AS is_outlier
          |FROM (SELECT *, row_number() OVER (PARTITION BY label
-         |        ORDER BY cos_centroid, vec_id) AS rk
+         |        ORDER BY (cos_centroid IS NULL), cos_centroid, vec_id) AS rk
          |      FROM scored)
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       Similarity.labelOutliers(emb(s, dir), bottomK = 5).orderBy("vec_id")

@@ -89,6 +89,30 @@ class ProfileSpec extends SparkSpec {
     assert(out.head.getAs[Double]("rz") > 100)
   }
 
+  test("madOutliers: MAD=0 group still flags deviants (review fix)") {
+    // majority-constant group: median=5, MAD=0 — the quotient is null
+    // under non-ANSI division, which silently unflagged the extreme
+    // row before the degenerate-scale rule
+    val rows = Seq.fill(6)(("a", 5.0)) ++ Seq(("a", 100.0)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 50.0).map(("b", _))
+    val out = Profile.madOutliers(rows.toDF("grp", "v"), "v", "grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(r.fieldIndex("rz"))))).toSet
+    // group a: MAD 0 → 100 flagged with null rz; 5s unflagged
+    assert(out.exists { case (g, v, rz) => g == "a" && v == 100.0 && rz.isEmpty })
+    assert(!out.exists { case (g, v, _) => g == "a" && v == 5.0 })
+    // group b: MAD > 0 → ordinary robust z flags 50
+    assert(out.exists { case (g, v, rz) => g == "b" && v == 50.0 && rz.nonEmpty })
+  }
+
+  test("profileTable exact path: all-null column reports n_distinct 0") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("k", "s")
+    val p = Profile.profileTable(df, exactNdv = true)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(p("s") === 0L)
+    assert(p("k") === 2L)
+  }
+
   test("dupProvenanceMatrix: pair-normalized upper-triangular counts") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val prov = Seq((1L, "s2"), (2L, "s1"), (3L, "s1"), (4L, "s2"),

@@ -244,6 +244,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelOutliers: zero-norm vector gets null cosine, ranks last, never flagged") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 7), (1L, Seq(0.9f, 0.1f), 7),
+      (2L, Seq(-1f, 0f), 7), (3L, Seq(0f, 0f), 7)  // zero vector
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(vecs, bottomK = 1)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("cos_centroid"))), r.getAs[Long]("rk"),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(3L)._1.isEmpty)               // no cosine exists
+    assert(out(3L)._2 === 4L)                // nulls rank LAST
+    assert(!out(3L)._3)                      // and never flagged
+    // the real outlier (opposite direction) takes the slot
+    assert(out(2L)._3)
+  }
+
   test("projectRandom: linear, deterministic, map-only") {
     val a = Seq(1f, 2f, 3f, 4f)
     val b = Seq(0.5f, -1f, 0f, 2f)
