@@ -122,4 +122,43 @@ object Multimodal {
         round(sqrt(aggregate(col("feature"), lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 6))
   }
+
+  /** Content fingerprint of a decoded frame: md5 over the feature
+    * vector rendered as micro-unit longs (engine-portable rounding —
+    * the same rendering every oracle-facing float takes).
+    */
+  def frameFingerprint(featureCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(array_join(transform(featureCol,
+      x => round(x.cast("double") * 1000000).cast("long").cast("string")), ","))
+
+  /** Cross-media duplicate-frame detection — the media twin of text
+    * exact dedup (repeated intros, stock footage, re-uploads): a
+    * frame whose decoded-feature fingerprint appears in ≥ `minMedia`
+    * DISTINCT media is a duplicate; per media report the sampled
+    * frame count, duplicate count, and fraction.
+    *
+    * Scale: decode runs once at the mapPartitions batch seam; the
+    * fingerprint groupBy is one shuffle on a 32-char key; the mark
+    * join's output is bounded by frame count (no pair explosion, the
+    * q106 argument). With a REAL codec the fingerprint becomes a
+    * perceptual hash at the same seam — the plan does not change.
+    */
+  def frameDedup(docs: DataFrame, everyNth: Int = 2, dim: Int = 16,
+                 minMedia: Long = 2): DataFrame = {
+    val frames = extractFeatures(sampleFrames(syntheticMedia(docs), everyNth), dim)
+      .toDF()
+      .select(col("media_id"), col("frame"),
+        frameFingerprint(col("feature")).as("fp"))
+    val hot = frames.groupBy("fp")
+      .agg(count_distinct(col("media_id")).as("n_media"))
+      .filter(col("n_media") >= minMedia).select("fp")
+    val marked = frames.join(hot, "fp")
+      .groupBy("media_id").agg(count(lit(1)).as("n_dup_frames"))
+    frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .join(marked, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+        round(coalesce(col("n_dup_frames"), lit(0L)).cast("double") /
+          col("n_frames"), 6).as("dup_frac"))
+  }
 }

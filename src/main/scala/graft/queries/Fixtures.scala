@@ -131,6 +131,32 @@ object Fixtures {
     rows.toSeq.toDF("media_id", "frame", "feat_norm")
   }
 
+  /** (media_id, frame, featcsv) recomputed scalar-side for q120:
+    * the codec seam's feature vectors rendered exactly as
+    * `Multimodal.frameFingerprint` renders them (micro-unit longs,
+    * HALF_UP) — the oracle md5s this CSV itself, so the fingerprint
+    * arithmetic is verified, not copied.
+    */
+  def multimodalFrameCsvFixture(docs: DataFrame, everyNth: Int = 2,
+                                dim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = if (id % 3 == 2) (id % 10 + 2).toInt else 1
+      (0 until nFrames by everyNth).map { frame =>
+        val feat = graft.ext.Multimodal.fakeDecode(bytes, frame, dim)
+        val csv = feat.map { x =>
+          java.math.BigDecimal.valueOf(x.toDouble * 1000000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue().toString
+        }.mkString(",")
+        (id, frame, csv)
+      }
+    }
+    rows.toSeq.toDF("media_id", "frame", "featcsv")
+  }
+
   // ——— q42 / q48: engine-parameter tables ———
 
   /** SparkSession-independent writer for a centroid/hyperplane-style

@@ -1226,6 +1226,55 @@ object TextQueries {
         .orderBy("media_id", "frame")
     },
 
+    // ——— cross-media duplicate FRAMES (the media twin of exact
+    //     dedup — repeated intros / stock footage / re-uploads): the
+    //     oracle re-derives the media/frame topology from `documents`
+    //     in SQL (q44's pattern) and takes only the codec seam's
+    //     feature CSVs from the scalar-reference fixture, md5-ing
+    //     them itself — so the distributed decode → fingerprint →
+    //     mark path is what the hash compare checks. Payloads
+    //     simulate RE-UPLOADS (each media carries its 5-group
+    //     leader's bytes): this corpus has no exact text dups, so
+    //     without the grouping every frame is unique and the op is
+    //     vacuous. ———
+    Q("q120_frame_dedup",
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 10 + 2 AS INT)
+         |         ELSE 1 END AS n_frames
+         |  FROM documents
+         |), fr AS (
+         |  SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame
+         |  FROM m
+         |), f AS (
+         |  SELECT fr.media_id, fr.frame, md5(x.featcsv) AS fp
+         |  FROM fr JOIN read_parquet('${Fixtures.sqlPath("q120_frame_ref")}') x
+         |    ON fr.media_id = x.media_id AND fr.frame = x.frame
+         |), hot AS (
+         |  SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT media_id) >= 2
+         |), marked AS (
+         |  SELECT media_id, COUNT(*) AS n_dup FROM f JOIN hot USING (fp)
+         |  GROUP BY 1
+         |), tot AS (
+         |  SELECT media_id, COUNT(*) AS n_frames FROM f GROUP BY 1
+         |)
+         |SELECT t.media_id, CAST(t.n_frames AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(k.n_dup, 0) AS BIGINT) AS n_dup_frames,
+         |  ROUND(CAST(COALESCE(k.n_dup, 0) AS DOUBLE) / t.n_frames, 6) AS dup_frac
+         |FROM tot t LEFT JOIN marked k USING (media_id)
+         |ORDER BY t.media_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      // re-upload groups of 5: payload = the group leader's bytes
+      val leaders = d.select((col("doc_id")).as("_lid"), col("text").as("_ltext"))
+      val reuploads = d.select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).as("_lid"))
+        .join(leaders, "_lid")
+        .select(col("doc_id"), col("_ltext").as("text"))
+      Fixtures.write("q120_frame_ref",
+        Fixtures.multimodalFrameCsvFixture(reuploads))
+      graft.ext.Multimodal.frameDedup(reuploads).orderBy("media_id")
+    },
+
     // ——— duplicate SPANS (sub-document dedup, the suffix-array-paper
     //     shape): an 8-token gram occurring ≥2 times anywhere in the
     //     corpus marks [pos, pos+8); overlapping marks merge into

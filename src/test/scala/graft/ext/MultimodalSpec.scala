@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.flatten.distinct.size > 10)
   }
 
+  test("frameDedup: shared payloads collide per-frame, unique ones don't") {
+    import spark.implicits._
+    // ids 0 and 1 share bytes (re-upload); id 3 is unique. With the
+    // synthetic topology all three are single-frame media (id%3 != 2),
+    // so the shared pair dups frame 0 and the loner stays clean.
+    val d = Seq((0L, "same payload"), (1L, "same payload"),
+      (3L, "different payload")).toDF("doc_id", "text")
+    val out = Multimodal.frameDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_dup_frames"), r.getAs[Double]("dup_frac"))).toMap
+    assert(out(0L) === ((1L, 1L, 1.0)))
+    assert(out(1L) === ((1L, 1L, 1.0)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+    // same payload but DIFFERENT frame indexes do not collide: a
+    // video (id % 3 == 2 → multi-frame) shares bytes with an image;
+    // only the common frame 0 dups
+    val v = Seq((2L, "vid payload"), (0L, "vid payload")).toDF("doc_id", "text")
+    val out2 = Multimodal.frameDedup(v).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_dup_frames"))).toMap
+    assert(out2(0L) === ((1L, 1L)))          // its single frame collides
+    assert(out2(2L)._1 > 1L)                 // video sampled >1 frame
+    assert(out2(2L)._2 === 1L)               // but only frame 0 dups
+  }
+
   test("resizeMeta caps the longer side and keeps aspect") {
     val r = Multimodal.resizeMeta(Multimodal.syntheticMedia(docs), maxSide = 256)
       .select("width", "height", "out_width", "out_height").collect()
