@@ -385,6 +385,39 @@ object Similarity {
       .withColumn("is_outlier", col("rk") <= bottomK && col("cos_centroid").isNotNull)
   }
 
+  /** Retrieval evaluation — recall@k and reciprocal rank per query:
+    * join a retrieved list (any ANN path's output, ranked by its
+    * score) against a truth set, count hits, and take 1/rank of the
+    * first relevant hit (0 when none). The eval loop every retrieval
+    * index needs before/after a parameter change.
+    *
+    * Ranks derive from (score desc, id) row_number per query —
+    * deterministic under ties; both inputs are (qid, id)-keyed so the
+    * whole evaluation is two qid-keyed joins + one aggregation,
+    * linear in retrieved+truth size at any query count.
+    */
+  def retrievalMetrics(retrieved: DataFrame, truth: DataFrame,
+                       qidCol: String = "qid", idCol: String = "vec_id",
+                       scoreCol: String = "cos_sim"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = retrieved.select(col(qidCol), col(idCol), col(scoreCol))
+      .withColumn("_rank", row_number().over(w))
+    val truthN = truth.groupBy(qidCol).agg(count(lit(1)).as("n_truth"))
+    val joined = ranked.join(
+      truth.select(col(qidCol), col(idCol), lit(1).as("_rel")),
+      Seq(qidCol, idCol), "left")
+    joined.groupBy(qidCol)
+      .agg(sum(coalesce(col("_rel"), lit(0))).cast("long").as("n_hit"),
+        coalesce(max(when(col("_rel") === 1,
+          lit(1.0) / col("_rank"))), lit(0.0)).as("_rr"))
+      .join(broadcast(truthN), qidCol)
+      .select(col(qidCol), col("n_truth").cast("long").as("n_truth"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        round(col("_rr"), 6).as("rr"))
+  }
+
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
                        vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row

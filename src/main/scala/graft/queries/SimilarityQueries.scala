@@ -28,6 +28,40 @@ object SimilarityQueries {
        |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
+  /** Shared oracle CTE chain for batch ANN (q94's replayed-LSH
+    * pipeline, parameterized by the hyperplane fixture): signatures
+    * per side → band-substring candidate OR → exact rescore, ending
+    * in `scored(qid, vec_id, cos_sim)`. q94 takes its per-query
+    * top-5 directly; q121 evaluates it against brute-force truth.
+    */
+  private def annBatchCte(fixture: String): String =
+    s"""WITH hp AS (SELECT p, comps FROM read_parquet('${Fixtures.sqlPath(fixture)}')),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       |esig AS (
+       |  SELECT e.vec_id,
+       |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * hp.comps[i])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+       |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id
+       |), qsig AS (
+       |  SELECT q.qid,
+       |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(q.qv) + 1),
+       |        i -> CAST(q.qv[i] AS DOUBLE) * hp.comps[i])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
+       |  FROM qs q CROSS JOIN hp GROUP BY q.qid
+       |), cand AS (
+       |  SELECT DISTINCT qg.qid, es.vec_id
+       |  FROM esig es CROSS JOIN qsig qg CROSS JOIN range(0, 4) bt(b)
+       |  WHERE substring(es.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+       |      = substring(qg.sig, CAST(bt.b * 8 + 1 AS INT), 8)
+       |), scored AS (
+       |  SELECT c.qid, e.vec_id,
+       |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN qs q ON q.qid = c.qid
+       |)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ——— brute-force cosine top-k (ANN correctness baseline) ———
@@ -97,32 +131,7 @@ object SimilarityQueries {
     //     (hyperplane fixture, per-side signatures, band-substring
     //     candidate OR), extended per-query with a window rank. ———
     Q("q94_ann_batch",
-      s"""WITH hp AS (SELECT p, comps FROM read_parquet('${Fixtures.sqlPath("q94_hyperplanes")}')),
-         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
-         |esig AS (
-         |  SELECT e.vec_id,
-         |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |        i -> CAST(e.embedding[i] AS DOUBLE) * hp.comps[i])) >= 0
-         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
-         |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id
-         |), qsig AS (
-         |  SELECT q.qid,
-         |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(q.qv) + 1),
-         |        i -> CAST(q.qv[i] AS DOUBLE) * hp.comps[i])) >= 0
-         |      THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS sig
-         |  FROM qs q CROSS JOIN hp GROUP BY q.qid
-         |), cand AS (
-         |  SELECT DISTINCT qg.qid, es.vec_id
-         |  FROM esig es CROSS JOIN qsig qg CROSS JOIN range(0, 4) bt(b)
-         |  WHERE substring(es.sig, CAST(bt.b * 8 + 1 AS INT), 8)
-         |      = substring(qg.sig, CAST(bt.b * 8 + 1 AS INT), 8)
-         |), scored AS (
-         |  SELECT c.qid, e.vec_id,
-         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
-         |  FROM cand c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
-         |  JOIN qs q ON q.qid = c.qid
-         |)
+      s"""${annBatchCte("q94_hyperplanes")}
          |SELECT qid, vec_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos_sim DESC, vec_id) AS rk
@@ -135,6 +144,59 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.annTopKBatch(emb(s, dir), queries, k = 5, bands = 4, r = 8)
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    },
+
+    // ——— retrieval EVALUATION: recall@5 + reciprocal rank of the
+    //     batch-ANN results against brute-force truth, per query —
+    //     the eval loop every index change runs. The oracle replays
+    //     the FULL pipeline: the q94 LSH chain for the retrieved
+    //     side, a brute scan for truth, then the metric joins. ———
+    Q("q121_retrieval_metrics",
+      s"""${annBatchCte("q121_hyperplanes")},
+         |retrieved AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored
+         |), topk AS (SELECT * FROM retrieved WHERE rk <= 5),
+         |bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 5
+         |), tn AS (SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+         |hits AS (
+         |  SELECT k.qid, k.rk,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM topk k LEFT JOIN truth t
+         |    ON k.qid = t.qid AND k.vec_id = t.vec_id
+         |)
+         |SELECT h.qid, CAST(tn.n_truth AS BIGINT) AS n_truth,
+         |  CAST(SUM(h.rel) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(SUM(h.rel) AS DOUBLE) / tn.n_truth, 6) AS recall,
+         |  ROUND(COALESCE(MAX(CASE WHEN h.rel = 1 THEN 1.0 / h.rk END), 0), 6) AS rr
+         |FROM hits h JOIN tn ON h.qid = tn.qid
+         |GROUP BY h.qid, tn.n_truth
+         |ORDER BY h.qid""".stripMargin) { (s, dir) =>
+      Fixtures.write("q121_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 5, bands = 4, r = 8)
+      // brute-force truth: exact top-5 per query by (rounded cos, id)
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = scoredAll.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select("qid", "vec_id")
+      Similarity.retrievalMetrics(retrieved, truth).orderBy("qid")
     },
 
     // ——— IVF ANN: k-means-trained coarse quantizer (Lloyd's as

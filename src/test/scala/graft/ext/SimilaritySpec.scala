@@ -244,6 +244,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: recall and reciprocal rank by hand") {
+    // q1: truth {10,11}, retrieved ranks: 20(1), 10(2), 30(3) → hit 10
+    // at rank 2 → recall 1/2, rr 1/2. q2: no hits → 0, 0.
+    val retrieved = Seq(
+      (1L, 20L, 0.9), (1L, 10L, 0.8), (1L, 30L, 0.7),
+      (2L, 40L, 0.9), (2L, 41L, 0.8)
+    ).toDF("qid", "vec_id", "cos_sim")
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 99L)).toDF("qid", "vec_id")
+    val m = Similarity.retrievalMetrics(retrieved, truth).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"),
+        r.getAs[Double]("rr"))).toMap
+    assert(m(1L) === ((2L, 1L, 0.5, 0.5)))
+    assert(m(2L) === ((1L, 0L, 0.0, 0.0)))
+  }
+
   test("labelOutliers: zero-norm vector gets null cosine, ranks last, never flagged") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 7), (1L, Seq(0.9f, 0.1f), 7),
