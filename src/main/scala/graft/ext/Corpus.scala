@@ -388,6 +388,54 @@ object Corpus {
     snap
   }
 
+  /** Deterministic stratum-free train/val/test assignment: one md5
+    * hash coin per id against CUMULATIVE split boundaries. Every row
+    * gets exactly one split (disjoint + exhaustive by construction),
+    * assignment is reproducible across runs/engines, and per-stratum
+    * proportions hold automatically because the coin is independent
+    * of every data column — no per-source bookkeeping, no shuffle
+    * (map-only), no state: the property that matters when a 100 TB
+    * corpus is split incrementally shard by shard.
+    */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Double)],
+                idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    // last bucket catches everything (avoid boundary-exclusion rows)
+    val splitCol = splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), hi), els) =>
+        when(coin < hi, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", splitCol)
+  }
+
+  /** Per-source corpus report card — the one-page summary a data
+    * lead reads before touching mixture weights: doc count, token
+    * totals/means, mean quality, language spread, vocabulary size.
+    * Shape: one groupBy(source) pass over map-side per-doc stats
+    * (quality summed as exact DECIMAL so the mean is partition-order
+    * independent), plus one token-explode distinct count for vocab.
+    */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(col("source"), col("lang"),
+      TextStats.tokenCount(col("text")).as("_nt"),
+      TextStats.qualityScore(col("text")).cast(DecimalType(18, 6)).as("_q"))
+    val agg = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_nt")).as("total_tokens"),
+      round(sum(col("_nt")).cast("double") / count(lit(1)), 6).as("mean_tokens"),
+      round(sum(col("_q")).cast("double") / count(lit(1)), 6).as("mean_quality"),
+      count_distinct(col("lang")).cast("long").as("n_langs"))
+    val vocab = docs
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("_t"))
+      .groupBy("source").agg(count_distinct(col("_t")).cast("long").as("vocab"))
+    agg.join(vocab, "source")
+  }
+
   /** Deterministic negative sampling for contrastive training pairs:
     * for every anchor doc, `k` pseudo-random negative doc ids drawn
     * by an md5 hash coin over (id, j) — reproducible across runs and

@@ -433,6 +433,62 @@ object CorpusQueries {
       Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
     },
 
+    // ——— per-source corpus report card: ONE summary row per source
+    //     (docs, tokens, quality, language spread, vocabulary). The
+    //     quality mean sums exact DECIMALs of the per-doc rounded
+    //     score, so the mean is partition-order independent. ———
+    Q("q122_corpus_report",
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    len(string_split_regex(lower(text), '\s+')) AS nt,
+        |    CAST(ROUND((least(length(text) / 200.0, 1.0)
+        |       + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |                       / len(string_split_regex(lower(text), '\s+')), 1.0))
+        |       + (CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |               t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+        |               / len(string_split_regex(lower(text), '\s+')) BETWEEN 0.01 AND 0.6
+        |          THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS DECIMAL(18,6)) AS q
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |    ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+        |    ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM base GROUP BY source
+        |), voc AS (
+        |  SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+        |  FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY source
+        |)
+        |SELECT a.*, v.vocab FROM agg a JOIN voc v USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      Corpus.sourceReport(docs(s, dir)).orderBy("source")
+    },
+
+    // ——— deterministic train/val/test split: one md5 coin per id vs
+    //     cumulative boundaries — disjoint, exhaustive, reproducible,
+    //     map-only; per-source proportions hold by hash independence
+    //     (CorpusSpec). Same coin arithmetic as q71. ———
+    Q("q123_train_split",
+      """SELECT doc_id, source,
+        |  CASE WHEN coin < 0.8 THEN 'train'
+        |       WHEN coin < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS coin
+        |  FROM documents
+        |)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.hashSplit(docs(s, dir).select("doc_id", "source"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    },
+
     // ——— contrastive negative sampling: k reproducible hash-coin
     //     negatives per anchor (never the anchor itself), inner-
     //     joined back to the corpus for the negative's payload. ———

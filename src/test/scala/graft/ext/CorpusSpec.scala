@@ -262,6 +262,50 @@ class CorpusSpec extends SparkSpec {
       4L -> "added", 3L -> "unchanged")) // fp normalizes whitespace
   }
 
+  test("hashSplit: exhaustive, disjoint, proportional — globally and per stratum") {
+    val d = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val s = Corpus.hashSplit(d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.count() === 4000L)                        // exhaustive
+    val byn = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byn.keySet === Set("train", "val", "test")) // disjoint labels only
+    assert(math.abs(byn("train") - 3200L) < 150, byn.toString)
+    assert(math.abs(byn("val") - 400L) < 80, byn.toString)
+    // stratification for free: per-source train share ≈ 0.8
+    val perSrc = s.filter($"split" === "train").groupBy("source").count()
+      .collect().map(r => r.getLong(1))
+    perSrc.foreach(n => assert(math.abs(n - 800L) < 80, perSrc.toSeq))
+    // reproducible
+    val again = Corpus.hashSplit(d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.join(again.withColumnRenamed("split", "s2"), "doc_id")
+      .filter($"split" =!= $"s2").count() === 0L)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(d, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sourceReport: hand-computed per-source stats") {
+    val d = Seq(
+      (0L, "the cat sat.", "en", "s1"),
+      (1L, "a dog ran", "en", "s1"),
+      (2L, "un chat", "fr", "s2")).toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.sourceReport(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("total_tokens") === 6L)
+    assert(s1.getAs[Double]("mean_tokens") === 3.0)
+    assert(s1.getAs[Long]("n_langs") === 1L)
+    assert(s1.getAs[Long]("vocab") === 6L)  // 'sat.' keeps its dot
+    assert(r("s2").getAs[Long]("vocab") === 2L)
+    // mean quality matches the per-doc operator's mean exactly
+    val exp = d.filter($"source" === "s1")
+      .select(TextStats.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0)).sum / 2
+    assert(math.abs(s1.getAs[Double]("mean_quality") - exp) < 1e-6)
+  }
+
   test("negativeSamples: k per anchor, never self, in-range, deterministic") {
     val d = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()
