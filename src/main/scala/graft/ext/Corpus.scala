@@ -412,6 +412,36 @@ object Corpus {
     df.withColumn("split", splitCol)
   }
 
+  /** Mixture-rate solver — closes the mixture loop (report →
+    * RATES → weightedSample/tokenBudgetSample): given per-source
+    * token counts, target mixture shares, and a total token budget,
+    * the per-source sampling rate is
+    * rate_s = min(1, budget·share_s / tokens_s) — capped at 1 when a
+    * source is too small to fill its share (the report's job is to
+    * surface exactly that). Pure arithmetic over a sources-sized
+    * frame; emits the rate and the expected token yield.
+    */
+  def mixtureRates(tokensBySource: DataFrame, targets: Map[String, Double],
+                   budgetTokens: Long,
+                   sourceCol: String = "source",
+                   tokensCol: String = "total_tokens"): DataFrame = {
+    require(targets.values.forall(_ >= 0) &&
+      math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target shares must be non-negative and sum to 1: $targets")
+    val share = targets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    tokensBySource.select(col(sourceCol), col(tokensCol),
+      round(share, 6).as("target_share"),
+      round(least(lit(1.0),
+        (lit(budgetTokens.toDouble) * share) / col(tokensCol).cast("double")),
+        6).as("rate"))
+      .withColumn("expected_tokens",
+        // floor(x + 0.5): identical half-up in every engine (double
+        // ROUND half-rule differs between engines at exact .5)
+        floor(col("rate") * col(tokensCol).cast("double") + 0.5).cast("long"))
+  }
+
   /** Per-source corpus report card — the one-page summary a data
     * lead reads before touching mixture weights: doc count, token
     * totals/means, mean quality, language spread, vocabulary size.

@@ -489,6 +489,41 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ——— mixture-rate solver (closes the loop: report → rates →
+    //     q71 weighted mix / q79 token budget): rate_s = min(1,
+    //     budget·share_s / tokens_s). src0's 0.7 share exceeds its
+    //     supply → capped at 1.0, which is the report a mixture
+    //     designer must see. ———
+    Q("q124_mixture_rates",
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |      AS total_tokens
+        |  FROM documents GROUP BY source
+        |), r AS (
+        |  SELECT source, total_tokens,
+        |    ROUND(CASE source WHEN 'src0' THEN 0.7 WHEN 'src1' THEN 0.1
+        |                      WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.1
+        |                      ELSE 0.0 END, 6) AS target_share,
+        |    ROUND(LEAST(1.0,
+        |      3000.0 * CASE source WHEN 'src0' THEN 0.7 WHEN 'src1' THEN 0.1
+        |                           WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.1
+        |                           ELSE 0.0 END
+        |        / CAST(total_tokens AS DOUBLE)), 6) AS rate
+        |  FROM tok
+        |)
+        |SELECT source, total_tokens, target_share, rate,
+        |  CAST(FLOOR(rate * CAST(total_tokens AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS expected_tokens
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("total_tokens"))
+      Corpus.mixtureRates(tok,
+        Map("src0" -> 0.7, "src1" -> 0.1, "src2" -> 0.1, "src3" -> 0.1),
+        budgetTokens = 3000)
+        .orderBy("source")
+    },
+
     // ——— contrastive negative sampling: k reproducible hash-coin
     //     negatives per anchor (never the anchor itself), inner-
     //     joined back to the corpus for the negative's payload. ———

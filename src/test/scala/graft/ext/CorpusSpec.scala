@@ -306,6 +306,20 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(s1.getAs[Double]("mean_quality") - exp) < 1e-6)
   }
 
+  test("mixtureRates: budget shares to rates; undersupplied source caps at 1") {
+    val tok = Seq(("a", 1000L), ("b", 10000L), ("c", 500L))
+      .toDF("source", "total_tokens")
+    val r = Corpus.mixtureRates(tok, Map("a" -> 0.5, "b" -> 0.5), 4000)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("rate"), x.getAs[Long]("expected_tokens"))).toMap
+    assert(r("a") === ((1.0, 1000L)))    // 2000 wanted > 1000 available
+    assert(r("b") === ((0.2, 2000L)))    // 2000 / 10000
+    assert(r("c") === ((0.0, 0L)))       // no target share
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureRates(tok, Map("a" -> 0.5, "b" -> 0.4), 100)
+    }
+  }
+
   test("negativeSamples: k per anchor, never self, in-range, deterministic") {
     val d = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()
