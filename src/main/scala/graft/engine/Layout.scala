@@ -69,4 +69,35 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction plan: assign each manifest entry to an
+    * output bin by cumulative-offset division — entry i (in the
+    * caller's `orderCols` total order) lands in
+    * bin = floor(start_offset / targetBytes), the same packing rule
+    * Spark's own file-coalescing (`maxPartitionBytes`) applies to
+    * splits. Entries larger than the target get a bin to themselves
+    * (their start offset opens it; the next entry starts a new one is
+    * NOT guaranteed — the rule is offset division, so an oversized
+    * entry simply spans; this keeps the plan a pure scan-order
+    * prefix-sum, no driver-side first-fit loop).
+    *
+    * All-integer arithmetic (byte counts), so the plan is exactly
+    * reproducible in any engine. The window runs over the MANIFEST
+    * (file metadata, ~10⁶ rows for 100 TB at 128 MB files), not the
+    * data — driver-free and cheap; pass a partition column in
+    * `orderBy`'s prefix to keep bins partition-local.
+    */
+  def compactionPlan(manifest: DataFrame, sizeCol: String,
+                     targetBytes: Long,
+                     orderBy: Seq[Column]): DataFrame = {
+    require(targetBytes > 0, "compactionPlan: targetBytes must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    manifest
+      .withColumn("_cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col(sizeCol)) / targetBytes).cast("long"))
+      .drop("_cum")
+  }
 }

@@ -230,4 +230,104 @@ object Profile {
         (col("_mad") === 0 && col(valueCol) =!= col("_med")))
       .drop("_med", "_ad", "_mad")
   }
+
+  /** Population Stability Index of `valueCol`'s distribution per group
+    * vs the `baseline` group — the standard drift score for corpus
+    * snapshots / new-source intake (PSI < 0.1 stable, > 0.25 shifted).
+    *
+    * Values are binned at fixed `binWidth` capped to `nBins` (the last
+    * bin absorbs the tail), proportions are Laplace-smoothed with 0.5
+    * per bin so empty bins contribute finite terms, and
+    * PSI = Σ_bins (p−q)·ln(p/q).
+    *
+    * Scale: ONE shuffle (the (group, bin) count); everything after
+    * operates on the group×bin grid (≤ groups·nBins rows), joined
+    * broadcast. Per-bin terms are quantized to 1e-6 units (BIGINT)
+    * before the final sum, so the result is independent of
+    * aggregation order — exactly replayable by the oracle.
+    */
+  def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
+               baseline: String, binWidth: Double,
+               nBins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df.select(col(groupCol).cast("string").as("grp"),
+      least(floor(col(valueCol).cast("double") / binWidth),
+        lit(nBins - 1L)).cast("int").as("bin"))
+    val counts = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+    // full group×bin spine: empty bins must still carry smoothed mass
+    val spine = counts.select("grp").distinct()
+      .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
+    val full = spine.join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val totals = full.groupBy("grp").agg(sum("c").as("n"))
+    val smoothed = full.join(broadcast(totals), "grp")
+      .withColumn("p", (col("c") + lit(0.5)) / (col("n") + lit(0.5 * nBins)))
+    val base = smoothed.filter(col("grp") === baseline)
+      .select(col("bin"), col("p").as("q"))
+    smoothed.join(broadcast(base), "bin")
+      .withColumn("term_u",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+          .cast("long"))
+      .groupBy("grp").agg(sum("term_u").as("su"))
+      .select(col("grp"), (col("su").cast("double") / 1e6).as("psi"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between `groupA`'s
+    * and `groupB`'s `valueCol` distributions, in pure INTEGER
+    * arithmetic: D = max_v |cA(v)·nB − cB(v)·nA| / (nA·nB), where
+    * cX(v) is the cumulative count ≤ v. Integer cross-multiplication
+    * sidesteps float ECDF subtraction entirely — the max and its
+    * arg-value are bit-exact in any engine.
+    *
+    * Returns one row: (n_a, n_b, ks_stat, at_value) with `at_value`
+    * the smallest value attaining the max (deterministic tie-break).
+    *
+    * Scale: the cumulative window runs over the DISTINCT-value spine,
+    * not the data — bounded by value cardinality (fine for discrete /
+    * binned features; pre-bin continuous ones). Requires
+    * nA·nB < 2^63 (≈ 3e9 rows per side); beyond that, bin first.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        col(groupCol).cast("string").as("grp"))
+    val perValue = v.groupBy("v").agg(
+      sum(when(col("grp") === groupA, 1L).otherwise(0L)).as("da"),
+      sum(when(col("grp") === groupB, 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("ca", sum("da").over(w))
+      .withColumn("cb", sum("db").over(w))
+    val tot = cum.agg(max("ca").as("n_a"), max("cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("du", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .orderBy(col("du").desc, col("v").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        round(col("du").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_stat"),
+        col("v").as("at_value"))
+  }
+
+  /** Winsorize `valueCol` within each group: clip to the group's
+    * [lo, hi] exact interpolated percentiles (bounds rounded to 4 dp
+    * so both engines clip against the identical constant). Returns
+    * the input rows plus (w_lo, w_hi, winsorized) — the standard
+    * heavy-tail guard before computing per-source corpus statistics.
+    *
+    * Same two-phase shape as `madOutliers`: one percentile shuffle,
+    * then a broadcast join of group-count-sized bounds; at 100 TB
+    * swap `percentile` for `approx_percentile` (one mergeable pass).
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      round(percentile(col(valueCol), lit(lo)), 4).as("w_lo"),
+      round(percentile(col(valueCol), lit(hi)), 4).as("w_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("winsorized",
+        least(greatest(col(valueCol).cast("double"), col("w_lo")), col("w_hi")))
+  }
 }

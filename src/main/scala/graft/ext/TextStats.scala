@@ -326,4 +326,107 @@ object TextStats {
           p => concat(p.getField("doc").cast("string"), lit(":"),
             p.getField("tf").cast("string"))), ",").as("postings"))
   }
+
+  /** Pointwise mutual information of adjacent token pairs — the
+    * collocation detector (fixed multi-word expressions, templated
+    * boilerplate) used when building tokenizer merge candidates and
+    * phrase vocabularies.
+    *
+    * PMI(x,y) = ln( (c_xy/M) / ((c_x/N)·(c_y/N)) ) with N total
+    * tokens, M total bigrams — all counts exact integers, ONE ln per
+    * surviving bigram, so cross-engine parity needs no sum hygiene.
+    * `minCount` kills the hapax tail (PMI is noise below ~10 obs);
+    * ranking is by round(pmi, 6) desc then bigram asc — a total order
+    * both engines reproduce.
+    *
+    * Scale: one shuffle each for bigram and unigram counts; the two
+    * unigram joins are keyed shuffles bounded by the surviving bigram
+    * vocabulary (minCount-capped). N and M ride along as a broadcast
+    * 1-row cross join.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 10, k: Int = 25,
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bg = toks.filter(size(col("_t")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("_t")) - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+                      element_at(col("_t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val totals = uni.agg(sum("cw").as("n_tokens")).crossJoin(
+      bg.agg(sum("cxy").as("m_bigrams")))
+    val scored = bg
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cxy"),
+        round(log(col("cxy").cast("double") * col("n_tokens") * col("n_tokens")
+          / (col("m_bigrams").cast("double") * col("cx") * col("cy"))), 6)
+          .as("pmi"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi").desc, col("bigram").asc)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Sentence segmentation statistics per document: sentence count,
+    * mean and max tokens per sentence. A "sentence" is a [.!?]+-split
+    * piece containing at least one alphanumeric; token counts are
+    * whitespace words. Everything is per-row array arithmetic over
+    * integer counts — MAP-ONLY, no shuffle, and exactly replayable.
+    */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val sents = filter(split(col(textCol), "[.!?]+"),
+      s => s.rlike("[A-Za-z0-9]"))
+    val sentToks = transform(sents,
+      s => size(filter(split(s, "\\s+"), t => t =!= "")))
+    docs.select(col(idCol),
+        size(sents).as("n_sentences"),
+        aggregate(sentToks, lit(0L), (acc, x) => acc + x).as("_tot"),
+        aggregate(sentToks, lit(0L), (acc, x) =>
+          greatest(acc, x.cast("long"))).as("_max"))
+      .select(col(idCol), col("n_sentences").cast("long").as("n_sentences"),
+        when(col("n_sentences") > 0,
+          round(col("_tot").cast("double") / col("n_sentences"), 6))
+          .as("avg_sentence_tokens"),
+        when(col("n_sentences") > 0, col("_max")).as("max_sentence_tokens"))
+  }
+
+  /** Out-of-vocabulary rate per source against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage
+    * diagnostic run before committing to a vocab size.
+    *
+    * Vocabulary membership is decided by (count desc, token asc) —
+    * a total order, so the cut is deterministic. Scale: the global
+    * rank window runs over the VOCABULARY (token-distinct counts),
+    * not the corpus; the membership join broadcasts the vocab
+    * (vocabSize rows) against the (source, token) count table.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000,
+              sourceCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val vocab = perSource.groupBy("w").agg(sum("c").as("cw"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cw").desc, col("w").asc)))
+      .filter(col("rn") <= vocabSize)
+      .select(col("w"), lit(1).as("_in"))
+    perSource.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        sum(when(col("_in").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
 }

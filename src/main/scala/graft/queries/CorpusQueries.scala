@@ -584,6 +584,32 @@ object CorpusQueries {
         length(col("text")).cast("long").as("n_before"),
         length(graft.ext.TextStats.normalizeText(col("text"))).cast("long").as("n_after"))
         .orderBy("doc_id")
+    },
+
+    // ——— small-file compaction plan: pack the (source, lang) file
+    //     manifest into ~5000-byte output bins by cumulative-offset
+    //     division (the same rule Spark's own file coalescing uses).
+    //     All-integer arithmetic over the metadata-sized manifest. ———
+    Q("q130_compaction_plan",
+      """WITH files AS (
+        |  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), planned AS (
+        |  SELECT source, lang, bytes,
+        |    CAST(SUM(bytes) OVER (ORDER BY bytes DESC, source, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM files
+        |)
+        |SELECT source, lang, bytes,
+        |  CAST(FLOOR(CAST(cum - bytes AS DOUBLE) / 5000) AS BIGINT) AS bin
+        |FROM planned
+        |ORDER BY bin, bytes DESC, source, lang""".stripMargin) { (s, dir) =>
+      val manifest = docs(s, dir).groupBy("source", "lang")
+        .agg(sum("n_chars").as("bytes"))
+      graft.engine.Layout.compactionPlan(manifest, "bytes",
+          targetBytes = 5000L,
+          orderBy = Seq(col("bytes").desc, col("source"), col("lang")))
+        .orderBy(col("bin"), col("bytes").desc, col("source"), col("lang"))
     }
   )
 }

@@ -1143,6 +1143,142 @@ object Relational {
         Unique("r5_unique", "l_orderkey"),
         ForeignKey("r6_fk_orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
         ForeignKey("r7_fk_part", "l_partkey", t(s, dir, "part"), "p_partkey")))
+    },
+
+    // ——— snapshot drift: Population Stability Index of the n_chars
+    //     distribution per source vs the src0 baseline. Per-bin terms
+    //     quantized to 1e-6 units before the sum → aggregation-order-
+    //     free, exactly replayed by the oracle. ———
+    Q("q125_psi_drift",
+      """WITH binned AS (
+        |  SELECT source AS grp,
+        |    CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 60), 9) AS INT) AS bin
+        |  FROM documents
+        |), counts AS (
+        |  SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g.grp, b.bin FROM (SELECT DISTINCT grp FROM counts) g
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin) b
+        |), filled AS (
+        |  SELECT s.grp, s.bin, COALESCE(c.c, 0) AS c
+        |  FROM spine s LEFT JOIN counts c ON s.grp = c.grp AND s.bin = c.bin
+        |), tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM filled GROUP BY 1),
+        |sm AS (
+        |  SELECT f.grp, f.bin,
+        |    (CAST(f.c AS DOUBLE) + 0.5) / (CAST(t.n AS DOUBLE) + 5.0) AS p
+        |  FROM filled f JOIN tot t USING (grp)
+        |), base AS (SELECT bin, p AS q FROM sm WHERE grp = 'src0')
+        |SELECT sm.grp AS source,
+        |  ROUND(CAST(SUM(CAST(round((sm.p - b.q) * ln(sm.p / b.q) * 1e6)
+        |    AS BIGINT)) AS DOUBLE) / 1e6, 6) AS psi
+        |FROM sm JOIN base b USING (bin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.psiDrift(t(s, dir, "documents"), "n_chars", "source",
+        baseline = "src0", binWidth = 60.0, nBins = 10)
+        .select(col("grp").as("source"), round(col("psi"), 6).as("psi"))
+        .orderBy("source")
+    },
+
+    // ——— importance propagation: 3-iteration PageRank on the
+    //     undirected part↔supplier graph from lineitem. Per-edge
+    //     contributions quantized to 1e-12 BIGINT units, so the
+    //     iteration is bit-reproducible under ANY partitioning and
+    //     the oracle replays it CTE-by-CTE. ———
+    Q("q126_pagerank",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |adj AS (SELECT u.src, u.dst, d.deg FROM und u JOIN deg d USING (src)),
+        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+        |c1 AS (SELECT a.dst AS node,
+        |         CAST(SUM(CAST(round(r.pr / a.deg * 1e12) AS BIGINT)) AS BIGINT) AS cs
+        |       FROM adj a JOIN r0 r ON a.src = r.node GROUP BY 1),
+        |r1 AS (SELECT node,
+        |         round(0.15 + 0.85 * (CAST(cs AS DOUBLE) / 1e12), 9) AS pr FROM c1),
+        |c2 AS (SELECT a.dst AS node,
+        |         CAST(SUM(CAST(round(r.pr / a.deg * 1e12) AS BIGINT)) AS BIGINT) AS cs
+        |       FROM adj a JOIN r1 r ON a.src = r.node GROUP BY 1),
+        |r2 AS (SELECT node,
+        |         round(0.15 + 0.85 * (CAST(cs AS DOUBLE) / 1e12), 9) AS pr FROM c2),
+        |c3 AS (SELECT a.dst AS node,
+        |         CAST(SUM(CAST(round(r.pr / a.deg * 1e12) AS BIGINT)) AS BIGINT) AS cs
+        |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY 1),
+        |r3 AS (SELECT node,
+        |         round(0.15 + 0.85 * (CAST(cs AS DOUBLE) / 1e12), 9) AS pr FROM c3)
+        |SELECT node, round(pr, 6) AS pr FROM r3
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.ext.Graph.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    },
+
+    // ——— heavy-tail guard: per-source winsorized means of n_chars
+    //     (clip at the exact interpolated p05/p95, micro-unit sums
+    //     for order-free means). ———
+    Q("q129_winsorize",
+      """WITH b AS (
+        |  SELECT source, round(quantile_cont(n_chars, 0.05), 4) AS w_lo,
+        |         round(quantile_cont(n_chars, 0.95), 4) AS w_hi
+        |  FROM documents GROUP BY 1
+        |), cl AS (
+        |  SELECT d.source, b.w_lo, b.w_hi,
+        |    LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.w_lo), b.w_hi) AS wv
+        |  FROM documents d JOIN b USING (source)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(w_lo) AS w_lo, MIN(w_hi) AS w_hi,
+        |  ROUND(CAST(SUM(CAST(round(wv * 10000) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1e4, 6) AS mean_winsorized
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.winsorize(
+          t(s, dir, "documents").select("source", "n_chars"),
+          "n_chars", "source", lo = 0.05, hi = 0.95)
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          min("w_lo").as("w_lo"), min("w_hi").as("w_hi"),
+          round(sum(round(col("winsorized") * 10000).cast("long")).cast("double")
+            / count(lit(1)) / 1e4, 6).as("mean_winsorized"))
+        .orderBy("source")
+    },
+
+    // ——— exact two-sample Kolmogorov–Smirnov drift between two
+    //     sources' n_chars distributions — pure INTEGER arithmetic
+    //     (cross-multiplied cumulative counts), so max and arg-value
+    //     are bit-exact in both engines. ———
+    Q("q132_ks_drift",
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, source AS grp FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |), pv AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN grp = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN grp = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM v GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    CAST(SUM(da) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(SUM(db) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM pv
+        |), tot AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum)
+        |SELECT t.n_a, t.n_b,
+        |  ROUND(CAST(ABS(c.ca * t.n_b - c.cb * t.n_a) AS DOUBLE)
+        |    / (t.n_a * t.n_b), 6) AS ks_stat,
+        |  c.v AS at_value
+        |FROM cum c CROSS JOIN tot t
+        |ORDER BY ABS(c.ca * t.n_b - c.cb * t.n_a) DESC, c.v ASC
+        |LIMIT 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.ksDrift(t(s, dir, "documents"), "n_chars", "source",
+        groupA = "src0", groupB = "src1")
     }
   )
 }

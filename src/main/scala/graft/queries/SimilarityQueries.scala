@@ -499,6 +499,34 @@ object SimilarityQueries {
         .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
           max(col("i")).as("dim"))
         .orderBy("label")
+    },
+
+    // ——— scalar int8 quantization acceptance audit: per-vector
+    //     max/mean |v − dequant(quant(v))| against per-dimension
+    //     [min,max] ranges. Mean sums quantized to 1e-9 BIGINT units
+    //     → aggregation-order-free; identical clamp/round chain on
+    //     both engines. The 4×-compression sibling of PQ (q108/q109):
+    //     error bounded per dimension at range/510, no codebook. ———
+    Q("q128_int8_quant",
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+        |), mm AS (
+        |  SELECT i, MIN(v) AS vmin, MAX(v) AS vmax FROM ex GROUP BY 1
+        |), er AS (
+        |  SELECT e.vec_id,
+        |    CAST(round(ABS(e.v - (m.vmin + (CASE WHEN m.vmax > m.vmin
+        |      THEN LEAST(GREATEST(round((e.v - m.vmin) / (m.vmax - m.vmin) * 255),
+        |                          0.0), 255.0)
+        |      ELSE 0.0 END) / 255.0 * (m.vmax - m.vmin))) * 1e9) AS BIGINT)
+        |      AS err_u
+        |  FROM ex e JOIN mm m USING (i)
+        |)
+        |SELECT vec_id,
+        |  ROUND(CAST(MAX(err_u) AS DOUBLE) / 1e9, 6) AS max_abs_err,
+        |  ROUND(CAST(SUM(err_u) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_abs_err
+        |FROM er GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.ext.Quantization.sqQuantError(emb(s, dir)).orderBy("vec_id")
     }
   )
 }

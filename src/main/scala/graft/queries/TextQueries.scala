@@ -1394,6 +1394,96 @@ object TextQueries {
       Classifier.score(docs(s, dir), model)
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
         .orderBy("doc_id")
+    },
+
+    // ——— collocation mining: PMI of adjacent token pairs (min count
+    //     10, top 25 by rounded PMI then bigram — a total order both
+    //     engines reproduce; ONE ln per surviving bigram, integer
+    //     counts everywhere else). ———
+    Q("q127_pmi_bigrams",
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), uc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+        |), bc AS (
+        |  SELECT b[1] AS w1, b[2] AS w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+        |          i -> [ts[i], ts[i+1]])) AS b
+        |        FROM toks WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |), tot AS (
+        |  SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM uc) AS n_tokens,
+        |         (SELECT CAST(SUM(cxy) AS BIGINT) FROM bc) AS m_bigrams
+        |), scored AS (
+        |  SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.cxy,
+        |    ROUND(ln(CAST(bc.cxy AS DOUBLE) * t.n_tokens * t.n_tokens
+        |      / (CAST(t.m_bigrams AS DOUBLE) * u1.cw * u2.cw)), 6) AS pmi
+        |  FROM bc
+        |  JOIN uc u1 ON bc.w1 = u1.w
+        |  JOIN uc u2 ON bc.w2 = u2.w
+        |  CROSS JOIN tot t
+        |)
+        |SELECT bigram, cxy, pmi FROM scored
+        |QUALIFY row_number() OVER (ORDER BY pmi DESC, bigram ASC) <= 25
+        |ORDER BY pmi DESC, bigram""".stripMargin) { (s, dir) =>
+      TextStats.pmiBigrams(docs(s, dir), minCount = 10, k = 25)
+        .orderBy(col("pmi").desc, col("bigram"))
+    },
+
+    // ——— sentence segmentation stats. The synthetic corpus carries
+    //     no punctuation, so the battery derives a punctuated twin
+    //     via plain (non-regex, exactly portable) substring replace;
+    //     real-text behavior is pinned in TextStatsSpec. ———
+    Q("q131_sentence_stats",
+      """WITH punct AS (
+        |  SELECT doc_id, replace(text, ' table ', '. ') AS text FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |                x -> regexp_matches(x, '[A-Za-z0-9]')) AS sents
+        |  FROM punct
+        |), t AS (
+        |  SELECT doc_id, len(sents) AS n_sentences,
+        |    list_transform(sents, x -> len(list_filter(
+        |      string_split_regex(x, '\s+'), y -> y <> ''))) AS stoks
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CASE WHEN n_sentences > 0
+        |    THEN ROUND(CAST(list_sum(stoks) AS DOUBLE) / n_sentences, 6)
+        |  END AS avg_sentence_tokens,
+        |  CASE WHEN n_sentences > 0
+        |    THEN CAST(list_aggregate(stoks, 'max') AS BIGINT)
+        |  END AS max_sentence_tokens
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val punct = docs(s, dir).select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit(". ")).as("text"))
+      TextStats.sentenceStats(punct).orderBy("doc_id")
+    },
+
+    // ——— tokenizer-coverage diagnostic: OOV rate per source against
+    //     the corpus's own top-20 vocabulary (count desc, token asc —
+    //     a deterministic cut). ———
+    Q("q133_oov_rate",
+      """WITH ps AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), pc AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM ps GROUP BY 1, 2
+        |), vc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM pc GROUP BY 1),
+        |vocab AS (
+        |  SELECT w, 1 AS _in FROM vc
+        |  QUALIFY row_number() OVER (ORDER BY cw DESC, w ASC) <= 20
+        |)
+        |SELECT pc.source, CAST(SUM(pc.c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v._in IS NULL THEN pc.c ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  ROUND(CAST(SUM(CASE WHEN v._in IS NULL THEN pc.c ELSE 0 END) AS DOUBLE)
+        |    / SUM(pc.c), 6) AS oov_rate
+        |FROM pc LEFT JOIN vocab v USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextStats.oovRate(docs(s, dir), vocabSize = 20).orderBy("source")
     }
   )
 }

@@ -46,4 +46,33 @@ class LayoutSpec extends SparkSpec {
     // clustering must not lose or duplicate rows
     assert(spark.read.parquet(zDir).count() === 256L * 256L)
   }
+
+  test("compactionPlan: offset-division packing, hand-checked") {
+    import spark.implicits._
+    val files = Seq(("f1", 5L), ("f2", 4L), ("f3", 3L), ("f4", 2L), ("f5", 1L))
+      .toDF("name", "bytes")
+    val plan = Layout.compactionPlan(files, "bytes", targetBytes = 6L,
+        orderBy = Seq(col("bytes").desc, col("name")))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("bin")).toMap
+    // offsets (size-desc order): f1@0 f2@5 f3@9 f4@12 f5@14, target 6
+    assert(plan === Map("f1" -> 0L, "f2" -> 0L, "f3" -> 1L,
+      "f4" -> 2L, "f5" -> 2L))
+  }
+
+  test("compactionPlan: bin payloads bounded by target + largest entry") {
+    import spark.implicits._
+    val files = (1 to 200).map(i => (s"f$i", (i * 37 % 90 + 10).toLong))
+      .toDF("name", "bytes")
+    val target = 256L
+    val maxEntry = 99L
+    val binTotals = Layout.compactionPlan(files, "bytes", target,
+        orderBy = Seq(col("bytes").desc, col("name")))
+      .groupBy("bin").agg(org.apache.spark.sql.functions.sum("bytes").as("t"))
+      .collect().map(_.getLong(1))
+    // offset-division: a bin's entries all START within one target
+    // stride, so payload < target + its last entry's size
+    assert(binTotals.forall(_ < target + maxEntry))
+    assert(binTotals.sum === files.agg(org.apache.spark.sql.functions.sum("bytes"))
+      .head().getLong(0))
+  }
 }

@@ -131,4 +131,50 @@ class ProfileSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size <= 2, plan) // agg + final sort
   }
+
+  test("psiDrift: baseline scores 0; identical group ~0; shifted group > 0") {
+    // base/id draw from bins 0-2 identically; hi sits entirely in bin 9
+    val rows =
+      (1 to 30).map(i => ("base", (i % 3) * 10.0)) ++
+      (1 to 30).map(i => ("same", (i % 3) * 10.0)) ++
+      (1 to 30).map(_ => ("hi", 95.0))
+    val psi = Profile.psiDrift(rows.toDF("g", "v"), "v", "g",
+        baseline = "base", binWidth = 10.0, nBins = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi("base") === 0.0)
+    assert(math.abs(psi("same")) < 1e-9) // identical counts → every term 0
+    assert(psi("hi") > 1.0)              // total mass displacement
+  }
+
+  test("ksDrift: identical → 0, disjoint → 1, hand case exact") {
+    val same = (1 to 20).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+    val r0 = Profile.ksDrift(same.toDF("g", "v"), "v", "g", "a", "b").head()
+    assert(r0.getAs[Double]("ks_stat") === 0.0)
+
+    val disjoint = (1 to 10).map(i => ("a", i.toLong)) ++
+      (11 to 20).map(i => ("b", i.toLong))
+    val r1 = Profile.ksDrift(disjoint.toDF("g", "v"), "v", "g", "a", "b").head()
+    assert(r1.getAs[Double]("ks_stat") === 1.0)
+    assert(r1.getAs[Long]("at_value") === 10L) // smallest arg attaining max
+
+    // A={1,2,3,4}, B={3,4,5,6}: D = |2/4 - 0/4| = 0.5 at v=2
+    val hand = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+    val r2 = Profile.ksDrift(hand.toDF("g", "v"), "v", "g", "a", "b").head()
+    assert(r2.getAs[Double]("ks_stat") === 0.5)
+    assert(r2.getAs[Long]("at_value") === 2L)
+  }
+
+  test("winsorize: clips to group percentiles, keeps interior values") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val w = Profile.winsorize(df, "v", "grp", lo = 0.05, hi = 0.95)
+      .collect()
+    // p05 of 1..100 (interpolated) = 5.95; p95 = 95.05
+    val lo = w.head.getAs[Double]("w_lo")
+    val hi = w.head.getAs[Double]("w_hi")
+    assert(lo === 5.95 && hi === 95.05)
+    val byV = w.map(r => r.getAs[Double]("v") -> r.getAs[Double]("winsorized")).toMap
+    assert(byV(1.0) === 5.95 && byV(100.0) === 95.05)
+    assert(byV(50.0) === 50.0) // interior untouched
+  }
 }

@@ -88,4 +88,27 @@ class QuantizationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("sqQuantError: per-dim error bounded by range/510; endpoints exact") {
+    val errs = Quantization.sqQuantError(emb).collect()
+    // worst per-dim range on this fixture, from the param table
+    val mm = Quantization.sqMinMax(emb).collect()
+    val worst = mm.map(r => r.getDouble(1) - r.getDouble(2)).map(math.abs).max
+    val bound = worst / 510.0 + 1e-9 // half a quantization step
+    assert(errs.forall(_.getAs[Double]("max_abs_err") <= bound),
+      s"max err ${errs.map(_.getAs[Double]("max_abs_err")).max} vs bound $bound")
+    assert(errs.forall(r => r.getAs[Double]("mean_abs_err")
+      <= r.getAs[Double]("max_abs_err")))
+  }
+
+  test("sqQuantError: constant dimension quantizes with zero error") {
+    val const = Seq(
+      (1L, Seq(1.5f, 0.0f)), (2L, Seq(1.5f, 2.0f)), (3L, Seq(1.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Quantization.sqQuantError(const).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // dim 1 constant → code 0, dequant = vmin, error 0; dim 2 values
+    // sit exactly on the range endpoints (codes 0 and 255)
+    assert(r.values.forall(_.getAs[Double]("max_abs_err") === 0.0))
+  }
 }

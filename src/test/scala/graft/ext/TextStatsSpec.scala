@@ -179,4 +179,52 @@ class TextStatsSpec extends SparkSpec {
       .filter(TextStats.normalizeText($"once") =!= $"once").count()
     assert(twice === 0L)
   }
+
+  test("pmiBigrams: a perfect collocation tops promiscuous pairs") {
+    // "epsilon zeta": both words occur ONLY in this pair (coupling
+    // 30/30²); "alpha beta": alpha also pairs with gamma, beta also
+    // follows delta (coupling 30/60²) → strictly lower PMI
+    val docs = (
+      (1 to 30).map(i => (i.toLong, "alpha beta")) ++
+      (31 to 60).map(i => (i.toLong, "alpha gamma")) ++
+      (61 to 90).map(i => (i.toLong, "delta beta")) ++
+      (91 to 120).map(i => (i.toLong, "epsilon zeta"))).toDF("doc_id", "text")
+    val top = TextStats.pmiBigrams(docs, minCount = 10, k = 10).collect()
+    val byBigram = top.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // PMI(epsilon zeta) = ln(16), PMI(alpha beta) = ln(4)
+    assert(math.abs(byBigram("epsilon zeta") - math.log(16)) < 1e-5)
+    assert(math.abs(byBigram("alpha beta") - math.log(4)) < 1e-5)
+    assert(byBigram("epsilon zeta") > byBigram("alpha beta"))
+    // every emitted pair respects the count floor
+    assert(top.forall(_.getLong(1) >= 10L))
+  }
+
+  test("sentenceStats: hand-checked segmentation and token counts") {
+    val docs = Seq(
+      (1L, "Hello world. How are you today? Fine!"),
+      (2L, "no punctuation at all"),
+      (3L, "!!! ... ???"), // no alphanumeric sentence survives
+      (4L, "One. Two three. Four five six.")).toDF("doc_id", "text")
+    val r = TextStats.sentenceStats(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 3L) // Hello world | How are you today | Fine
+    assert(math.abs(r(1L).getDouble(2) - (2 + 4 + 1) / 3.0) < 1e-6)
+    assert(r(1L).getLong(3) === 4L)
+    assert(r(2L).getLong(1) === 1L) // whole text = one sentence
+    assert(r(3L).getLong(1) === 0L)
+    assert(r(3L).isNullAt(2) && r(3L).isNullAt(3)) // no sentences → nulls
+    assert(r(4L).getLong(1) === 3L && r(4L).getLong(3) === 3L)
+  }
+
+  test("oovRate: coverage against the top-k corpus vocabulary") {
+    // vocab by count desc, token asc; k=2 → {"a" (6), "b" (4)}
+    val docs = Seq(
+      (1L, "s1", "a a a b b rare1"),
+      (2L, "s2", "a a a b b rare2 rare3")).toDF("doc_id", "source", "text")
+    val r = TextStats.oovRate(docs, vocabSize = 2, sourceCol = "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s1").getLong(1) === 6L && r("s1").getLong(2) === 1L)
+    assert(r("s2").getLong(1) === 7L && r("s2").getLong(2) === 2L)
+    assert(math.abs(r("s2").getDouble(3) - 2.0 / 7) < 1e-6)
+  }
 }
