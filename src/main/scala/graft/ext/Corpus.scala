@@ -520,4 +520,31 @@ object Corpus {
           .when(col("_fp_old") =!= col("_fp_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Curriculum schedule: split the corpus into `nEpochs` equal-count
+    * epochs ordered cleanest-first (quality desc, id tiebreak) — the
+    * standard easy→hard curriculum, with per-epoch acceptance stats
+    * (doc count, quality range, token payload) as the schedule's
+    * report card.
+    *
+    * Scale: ntile is one global sort of (quality, id) PAIRS — the
+    * schedule key, not the payload; at 100 TB assign epochs from
+    * approx_percentile quality cuts instead (map-only after one
+    * sketch pass). Token totals are exact integer sums.
+    */
+  def curriculumEpochs(docs: DataFrame, nEpochs: Int = 5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol),
+      TextStats.qualityScore(col(textCol)).as("quality"),
+      TextStats.tokenCount(col(textCol)).as("_toks"))
+    val w = Window.orderBy(col("quality").desc, col(idCol))
+    scored.withColumn("epoch", ntile(nEpochs).over(w).cast("long"))
+      .groupBy("epoch").agg(
+        count(lit(1)).as("n_docs"),
+        min("quality").as("q_lo"), max("quality").as("q_hi"),
+        sum("_toks").as("n_tokens"))
+      .orderBy("epoch")
+  }
 }

@@ -60,6 +60,13 @@ object Graph {
                damping: Double = 0.85,
                micro: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    // plan shape (verified via explain at sf0.1): ranks is node-sized
+    // → every iteration joins as BroadcastHashJoin over the CACHED
+    // adjacency, so the edge table never re-shuffles; per-iteration
+    // cost is one broadcast + one Exchange (the contribution groupBy).
+    // For billion-node graphs where ranks outgrows broadcast, Spark
+    // falls back to a shuffle join keyed on src — still one
+    // edge-shuffle per iteration, no plan change needed here.
     val adj = undirectedAdjacency(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = adj.select(col("src").as("node")).distinct()

@@ -311,6 +311,66 @@ object Profile {
         col("v").as("at_value"))
   }
 
+  /** Equi-depth histogram: `nBins` bins holding (near-)equal row
+    * counts, cut by ntile over the (value, tiebreak) total order —
+    * the binning PSI/feature-monitoring should use when the value
+    * distribution is skewed (fixed-width bins collapse into one hot
+    * bin). Returns per-bin (bin, n, lo, hi, mean) with the mean over
+    * integer micro-units (order-free).
+    *
+    * Scale: ntile is a single global sort — acceptable for the
+    * profile/monitoring path this serves (same posture as the exact
+    * NDV profiler); the one-pass sketch swap is approx_percentile
+    * cuts + a fixed-width pass over each cut range.
+    */
+  def equidepthBins(df: DataFrame, valueCol: String, tiebreakCol: String,
+                    nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(valueCol), col(tiebreakCol))
+    df.select(col(valueCol).cast("long").as("v"),
+        ntile(nBins).over(w).cast("long").as("bin"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        min("v").as("lo"), max("v").as("hi"),
+        round(sum("v").cast("double") / count(lit(1)), 6).as("mean"))
+      .orderBy("bin")
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (source × lang: "is language mix independent of source?"
+    * — the intake-monitoring companion of psiDrift). One row:
+    * (n, dof, chi2). Expected counts e = row·col/n are exact doubles
+    * from integer marginals; per-cell terms are 1e-6-quantized before
+    * the sum, so the statistic is aggregation-order-free.
+    *
+    * Scale: one (a, b) count shuffle; marginals and the term sum run
+    * over the CELL table (|A|·|B| rows), broadcast-joined.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o").as("n"),
+      countDistinct("a").as("ka"), countDistinct("b").as("kb"))
+    // full marginal grid: an EMPTY observed cell still contributes
+    // (0−e)²/e = e to the statistic — skipping absent cells would
+    // understate dependence exactly where it is strongest
+    val grid = rowTot.crossJoin(colTot)
+    grid.join(cells, Seq("a", "b"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("ra").cast("double") * col("cb") / col("n"))
+      .withColumn("t_u", round(
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e6)
+        .cast("long"))
+      .groupBy().agg(
+        max("n").as("n"),
+        ((max("ka") - 1) * (max("kb") - 1)).as("dof"),
+        round(sum("t_u").cast("double") / 1e6, 6).as("chi2"))
+  }
+
   /** Winsorize `valueCol` within each group: clip to the group's
     * [lo, hi] exact interpolated percentiles (bounds rounded to 4 dp
     * so both engines clip against the identical constant). Returns

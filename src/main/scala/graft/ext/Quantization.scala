@@ -237,6 +237,75 @@ object Quantization {
     * re-aggregate by vector id. Two shuffles, both keyed on the
     * natural ids; no window, no driver data path.
     */
+  /** Dequantized (scalar-quantization round-tripped) embeddings as
+    * ordered array<double> — the vectors a scalar-quantized index
+    * actually searches with. `levels` = code scale (255 = int8,
+    * 15 = int4, ...). Explode → broadcast param join → order-stable
+    * array rebuild (sort_array over (pos, value) structs, so the
+    * result is partitioning-independent).
+    */
+  def sqDequantize(embeddings: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding",
+                   levels: Int = 255): DataFrame = {
+    val params = sqMinMax(embeddings, embCol)
+    val ex = embeddings
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "vf")))
+      .withColumn("v", col("vf").cast("double"))
+      .join(broadcast(params), "pos")
+    val code = when(col("vmax") > col("vmin"),
+        least(greatest(round((col("v") - col("vmin"))
+          / (col("vmax") - col("vmin")) * levels), lit(0.0)),
+          lit(levels.toDouble)))
+      .otherwise(lit(0.0))
+    ex.withColumn("deqv",
+        col("vmin") + code / levels.toDouble * (col("vmax") - col("vmin")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("deqv"))))
+        .as("_p"))
+      .select(col(idCol),
+        transform(col("_p"), p => p.getField("deqv")).as("dv"))
+  }
+
+  /** Retrieval-order fidelity of scalar int8 quantization: Kendall's
+    * tau between the EXACT cosine ranking and the ranking the
+    * dequantized vectors induce, over the exact top-`k` of one query.
+    * This is the decision metric for "can the index run int8?" —
+    * q128's error bound says the geometry moved a little; this says
+    * whether the ORDER a search returns moved.
+    *
+    * All rank arithmetic is integer (row_number over rounded cosines
+    * with id tiebreak → concordant/discordant pair counts), so the
+    * statistic is engine-exact. Cost: one brute top-k (the audit is
+    * query-local), then k² pair comparisons — trivially bounded.
+    */
+  def quantRankFidelity(embeddings: DataFrame, queryId: Long, k: Int = 20,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding",
+                        levels: Int = 255): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(embCol).as("qv"))
+    val top = Similarity.knnBruteForce(embeddings, query, k, idCol, embCol)
+      .withColumn("rank_e",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col(idCol))))
+    val dq = sqDequantize(embeddings, idCol, embCol, levels)
+    val qdq = dq.filter(col(idCol) === queryId).select(col("dv").as("qdv"))
+    val ranked = top.join(dq, idCol).crossJoin(broadcast(qdq))
+      .withColumn("cos_q", round(Similarity.cosine(col("dv"), col("qdv")), 6))
+      .withColumn("rank_q",
+        row_number().over(Window.orderBy(col("cos_q").desc, col(idCol))))
+      .select(col(idCol), col("rank_e"), col("rank_q"))
+    val a = ranked.select(col("rank_e").as("re1"), col("rank_q").as("rq1"))
+    val b = ranked.select(col("rank_e").as("re2"), col("rank_q").as("rq2"))
+    a.crossJoin(b).filter(col("re1") < col("re2"))
+      .agg(
+        sum(when(col("rq1") < col("rq2"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("rq1") > col("rq2"), 1L).otherwise(0L)).as("discordant"))
+      .select(lit(k.toLong).as("n_items"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / (k.toLong * (k - 1) / 2), 6).as("tau"))
+  }
+
   def sqQuantError(embeddings: DataFrame, idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame = {
     val params = sqMinMax(embeddings, embCol)

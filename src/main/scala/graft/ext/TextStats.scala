@@ -398,6 +398,44 @@ object TextStats {
         when(col("n_sentences") > 0, col("_max")).as("max_sentence_tokens"))
   }
 
+  /** Per-source unigram entropy and KL divergence from the corpus
+    * distribution — the information-theoretic half of mixture design
+    * (q122's report card counts tokens; this says how DIFFERENT each
+    * source's token distribution is from the blend it joins):
+    * H(s) = −Σ_w p_sw·ln p_sw,  KL(s‖corpus) = Σ_w p_sw·ln(p_sw/q_w),
+    * with p_sw = c_sw/n_s and q_w the corpus-wide token frequency
+    * (every source token exists corpus-wide, so q_w > 0 — KL finite).
+    *
+    * Scale: one (source, token) count shuffle; the entropy/KL sums
+    * run over the VOCABULARY-sized count table with per-term 1e-9
+    * quantization (BIGINT) — aggregation-order-free, oracle-exact.
+    */
+  def unigramEntropyKl(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val totals = perSource.groupBy("source").agg(sum("c").as("n"))
+    val corpus = perSource.groupBy("w").agg(sum("c").as("cw"))
+    val corpusN = corpus.agg(sum("cw").as("nn"))
+    perSource
+      .join(broadcast(totals), "source")
+      .join(corpus, "w")
+      .crossJoin(broadcast(corpusN))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("q", col("cw").cast("double") / col("nn"))
+      .withColumn("h_u", round(-col("p") * log(col("p")) * 1e9).cast("long"))
+      .withColumn("kl_u",
+        round(col("p") * log(col("p") / col("q")) * 1e9).cast("long"))
+      .groupBy("source").agg(
+        max("n").as("n_tokens"),
+        sum("h_u").as("_h"), sum("kl_u").as("_k"))
+      .select(col("source"), col("n_tokens"),
+        round(col("_h").cast("double") / 1e9, 6).as("entropy"),
+        round(col("_k").cast("double") / 1e9, 6).as("kl_vs_corpus"))
+  }
+
   /** Out-of-vocabulary rate per source against the corpus's own
     * top-`vocabSize` token vocabulary — the tokenizer-coverage
     * diagnostic run before committing to a vocab size.

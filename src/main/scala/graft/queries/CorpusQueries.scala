@@ -610,6 +610,37 @@ object CorpusQueries {
           targetBytes = 5000L,
           orderBy = Seq(col("bytes").desc, col("source"), col("lang")))
         .orderBy(col("bin"), col("bytes").desc, col("source"), col("lang"))
+    },
+
+    // ——— curriculum schedule: 5 equal-count epochs ordered
+    //     cleanest-first by the q39 quality score, with per-epoch
+    //     quality range and token payload. ———
+    Q("q138_curriculum",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(lower(text), '\s+')) AS n,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_n,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n
+        |  FROM documents
+        |), ql AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |    ROUND((least(length(text) / 200.0, 1.0)
+        |         + (1.0 - least(CAST(punct_n AS DOUBLE) / n, 1.0))
+        |         + (CASE WHEN CAST(stop_n AS DOUBLE) / n BETWEEN 0.01 AND 0.6
+        |                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+        |  FROM base
+        |), ep AS (
+        |  SELECT doc_id, quality, n,
+        |    ntile(5) OVER (ORDER BY quality DESC, doc_id) AS epoch
+        |  FROM ql
+        |)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(quality) AS q_lo, MAX(quality) AS q_hi,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Corpus.curriculumEpochs(docs(s, dir), nEpochs = 5)
     }
   )
 }

@@ -1249,6 +1249,50 @@ object Relational {
         .orderBy("source")
     },
 
+    // ——— equi-depth histogram of n_chars: ntile deciles over the
+    //     (value, id) total order — the skew-proof binning for the
+    //     monitoring path; micro-exact means. ———
+    Q("q135_equidepth_bins",
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents
+        |)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(v) AS lo, MAX(v) AS hi,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.equidepthBins(t(s, dir, "documents"),
+        "n_chars", "doc_id", nBins = 10)
+    },
+
+    // ——— chi-square independence of source × lang (full marginal
+    //     grid: empty cells contribute e; 1e-6-quantized term sums). ———
+    Q("q136_chi2_independence",
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |), rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        |  CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cells),
+        |grid AS (
+        |  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(c.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+        |), terms AS (
+        |  SELECT o, CAST(ra AS DOUBLE) * cb / nt.n AS e, nt.n, nt.ka, nt.kb
+        |  FROM grid CROSS JOIN nt
+        |)
+        |SELECT MAX(n) AS n, (MAX(ka) - 1) * (MAX(kb) - 1) AS dof,
+        |  ROUND(CAST(SUM(CAST(round((o - e) * (o - e) / e * 1e6) AS BIGINT))
+        |    AS DOUBLE) / 1e6, 6) AS chi2
+        |FROM terms""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.chiSquareIndependence(t(s, dir, "documents"),
+        "source", "lang")
+    },
+
     // ——— exact two-sample Kolmogorov–Smirnov drift between two
     //     sources' n_chars distributions — pure INTEGER arithmetic
     //     (cross-multiplied cumulative counts), so max and arg-value

@@ -527,6 +527,56 @@ object SimilarityQueries {
         |  ROUND(CAST(SUM(err_u) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_abs_err
         |FROM er GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       graft.ext.Quantization.sqQuantError(emb(s, dir)).orderBy("vec_id")
+    },
+
+    // ——— quantization rank fidelity: Kendall's tau between the exact
+    //     cosine top-20 and the order int4-dequantized vectors induce
+    //     (int4 so the battery exercises real rank perturbation —
+    //     int8 measures tau = 1.0 on this corpus). Integer rank/pair
+    //     arithmetic end-to-end — the "how few bits can the index
+    //     run?" decision metric. ———
+    Q("q137_quant_rank_fidelity",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |top AS (
+         |  SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY cos_sim DESC, e.vec_id LIMIT 20
+         |), tr AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_e
+         |  FROM top
+         |), ex AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+         |), mm AS (SELECT i, MIN(v) AS vmin, MAX(v) AS vmax FROM ex GROUP BY 1),
+         |dq AS (
+         |  SELECT e.vec_id, list(e.deqv ORDER BY e.i) AS dv FROM (
+         |    SELECT ex.vec_id, ex.i,
+         |      mm.vmin + (CASE WHEN mm.vmax > mm.vmin
+         |        THEN LEAST(GREATEST(round((ex.v - mm.vmin)
+         |          / (mm.vmax - mm.vmin) * 15), 0.0), 15.0)
+         |        ELSE 0.0 END) / 15.0 * (mm.vmax - mm.vmin) AS deqv
+         |    FROM ex JOIN mm USING (i)) e
+         |  GROUP BY 1
+         |), qd AS (SELECT dv AS qdv FROM dq WHERE vec_id = 0),
+         |rq AS (
+         |  SELECT t.vec_id, t.rank_e,
+         |    row_number() OVER (
+         |      ORDER BY ROUND(${cosSql("d.dv", "qd.qdv")}, 6) DESC, t.vec_id)
+         |      AS rank_q
+         |  FROM tr t JOIN dq d ON d.vec_id = t.vec_id CROSS JOIN qd
+         |)
+         |SELECT CAST(20 AS BIGINT) AS n_items,
+         |  CAST(SUM(CASE WHEN a.rank_q < b.rank_q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS concordant,
+         |  CAST(SUM(CASE WHEN a.rank_q > b.rank_q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS discordant,
+         |  ROUND(CAST(SUM(CASE WHEN a.rank_q < b.rank_q THEN 1 ELSE 0 END)
+         |           - SUM(CASE WHEN a.rank_q > b.rank_q THEN 1 ELSE 0 END)
+         |        AS DOUBLE) / 190, 6) AS tau
+         |FROM rq a JOIN rq b ON a.rank_e < b.rank_e""".stripMargin) { (s, dir) =>
+      graft.ext.Quantization.quantRankFidelity(emb(s, dir), queryId = 0L,
+        k = 20, levels = 15)
     }
   )
 }

@@ -1462,6 +1462,33 @@ object TextQueries {
       TextStats.sentenceStats(punct).orderBy("doc_id")
     },
 
+    // ——— information-theoretic mixture stats: per-source unigram
+    //     entropy + KL divergence from the corpus blend (1e-9
+    //     micro-unit term sums — order-free, vocabulary-bounded). ———
+    Q("q134_entropy_kl",
+      """WITH ps AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), pc AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM ps GROUP BY 1, 2
+        |), st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM pc GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn FROM cw),
+        |terms AS (
+        |  SELECT pc.source, st.n,
+        |    CAST(pc.c AS DOUBLE) / st.n AS p,
+        |    CAST(cw.cw AS DOUBLE) / nn.nn AS q
+        |  FROM pc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN nn
+        |)
+        |SELECT source, MAX(n) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(round(-p * ln(p) * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9, 6) AS entropy,
+        |  ROUND(CAST(SUM(CAST(round(p * ln(p / q) * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9, 6) AS kl_vs_corpus
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
+    },
+
     // ——— tokenizer-coverage diagnostic: OOV rate per source against
     //     the corpus's own top-20 vocabulary (count desc, token asc —
     //     a deterministic cut). ———

@@ -334,4 +334,30 @@ class CorpusSpec extends SparkSpec {
     assert(s1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ===
       s2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
+
+  test("curriculumEpochs: equal-count epochs, quality-monotone boundaries") {
+    // 3 clean long docs, 3 punctuation-junk docs, 3 mid: quality
+    // separates them; 9 docs / 3 epochs
+    val docs = (
+      (1 to 3).map(i => (i.toLong, ("the clear and useful words " * 10).trim)) ++
+      (4 to 6).map(i => (i.toLong, "a b.. c!! d;; e,, f:: g?? h.. i!! j;;")) ++
+      (7 to 9).map(i => (i.toLong, "the plain short note"))
+    ).toDF("doc_id", "text")
+    val ep = Corpus.curriculumEpochs(docs, nEpochs = 3).collect()
+      .sortBy(_.getAs[Long]("epoch"))
+    assert(ep.length === 3)
+    assert(ep.forall(_.getAs[Long]("n_docs") === 3L))
+    // cleanest-first: epoch boundaries never interleave quality
+    ep.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("q_lo") >= b.getAs[Double]("q_hi"))
+    }
+    // the junk block has strictly lower quality than the clean block
+    assert(ep.head.getAs[Double]("q_lo") > ep.last.getAs[Double]("q_hi"))
+    // token payload: totals add up across epochs
+    val totalToks = ep.map(_.getAs[Long]("n_tokens")).sum
+    val expected = docs.select(org.apache.spark.sql.functions.sum(
+      graft.ext.TextStats.tokenCount(org.apache.spark.sql.functions.col("text"))))
+      .head().getLong(0)
+    assert(totalToks === expected)
+  }
 }

@@ -165,6 +165,42 @@ class ProfileSpec extends SparkSpec {
     assert(r2.getAs[Long]("at_value") === 2L)
   }
 
+  test("equidepthBins: equal-count bins, ordered, exhaustive") {
+    val df = (1 to 100).map(i => (i.toLong, (i * i).toLong)).toDF("id", "v")
+    val bins = Profile.equidepthBins(df, "v", "id", nBins = 10).collect()
+    assert(bins.length === 10)
+    assert(bins.forall(_.getAs[Long]("n") === 10L))
+    // bins tile the value range in order: hi(i) < lo(i+1)
+    val byBin = bins.sortBy(_.getAs[Long]("bin"))
+    byBin.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+    }
+    // first decile of squares 1..100 is 1..100, last is 8281..10000
+    assert(byBin.head.getAs[Long]("lo") === 1L)
+    assert(byBin.head.getAs[Long]("hi") === 100L)
+    assert(byBin.last.getAs[Long]("lo") === 8281L)
+    assert(byBin.last.getAs[Long]("hi") === 10000L)
+  }
+
+  test("chiSquareIndependence: independent ≈ 0, dependent = n·min(ka,kb−1)") {
+    // perfectly independent: every (a, b) combination equally often
+    val ind = (for { a <- 'a' to 'd'; b <- 1 to 3; _ <- 1 to 5 }
+      yield (a.toString, b)).toDF("a", "b")
+    val r0 = Profile.chiSquareIndependence(ind, "a", "b").head()
+    assert(r0.getAs[Double]("chi2") === 0.0)
+    assert(r0.getAs[Long]("dof") === 6L) // (4−1)(3−1)
+    assert(r0.getAs[Long]("n") === 60L)
+
+    // perfect dependence (b determined by a), square table:
+    // chi2 = n·(k−1); empty off-diagonal cells MUST contribute
+    val dep = (for { a <- 0 until 3; _ <- 1 to 7 }
+      yield (s"a$a", s"b$a")).toDF("a", "b")
+    val r1 = Profile.chiSquareIndependence(dep, "a", "b").head()
+    // n(k−1) = 21·2 = 42, up to the 1e-6 per-term quantization
+    assert(math.abs(r1.getAs[Double]("chi2") - 42.0) < 1e-4)
+    assert(r1.getAs[Long]("dof") === 4L)
+  }
+
   test("winsorize: clips to group percentiles, keeps interior values") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val w = Profile.winsorize(df, "v", "grp", lo = 0.05, hi = 0.95)

@@ -101,6 +101,24 @@ class QuantizationSpec extends SparkSpec {
       <= r.getAs[Double]("max_abs_err")))
   }
 
+  test("quantRankFidelity: tau laws — exact at high levels, degrades, bounded") {
+    val fine = Quantization.quantRankFidelity(emb, queryId = 0L, k = 10,
+      levels = 65535).head()
+    // 16-bit codes: near-perfect order (rounded-cosine TIES at the
+    // 6-dp boundary may still swap — tau stays high, not exactly 1)
+    val tauFine = fine.getAs[Double]("tau")
+    assert(tauFine >= 0.9, s"16-bit tau $tauFine")
+    val coarse = Quantization.quantRankFidelity(emb, queryId = 0L, k = 10,
+      levels = 3).head()
+    val c = coarse.getAs[Long]("concordant")
+    val d = coarse.getAs[Long]("discordant")
+    assert(c + d === 45L) // every pair decided (row_number — no rank ties)
+    val tau = coarse.getAs[Double]("tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(tau <= tauFine,
+      "2-bit quantization cannot out-rank 16-bit on the same query")
+  }
+
   test("sqQuantError: constant dimension quantizes with zero error") {
     val const = Seq(
       (1L, Seq(1.5f, 0.0f)), (2L, Seq(1.5f, 2.0f)), (3L, Seq(1.5f, 2.0f)))

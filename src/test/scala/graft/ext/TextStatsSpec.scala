@@ -216,6 +216,25 @@ class TextStatsSpec extends SparkSpec {
     assert(r(4L).getLong(1) === 3L && r(4L).getLong(3) === 3L)
   }
 
+  test("unigramEntropyKl: uniform → ln k; source = corpus → KL 0") {
+    // both sources identical AND uniform over 4 tokens
+    val docs = Seq((1L, "s1", "a b c d"), (2L, "s2", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val r = TextStats.unigramEntropyKl(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    for (s <- Seq("s1", "s2")) {
+      assert(math.abs(r(s).getDouble(2) - math.log(4)) < 1e-6)
+      assert(r(s).getDouble(3) === 0.0) // p == q exactly → every term 0
+    }
+    // a skewed source diverges from the blend; entropy drops
+    val skew = Seq((1L, "s1", "a b c d"), (2L, "s2", "a a a a a a b"))
+      .toDF("doc_id", "source", "text")
+    val r2 = TextStats.unigramEntropyKl(skew).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r2("s2").getDouble(2) < r2("s1").getDouble(2))
+    assert(r2("s2").getDouble(3) > 0.0 && r2("s1").getDouble(3) > 0.0)
+  }
+
   test("oovRate: coverage against the top-k corpus vocabulary") {
     // vocab by count desc, token asc; k=2 → {"a" (6), "b" (4)}
     val docs = Seq(
