@@ -249,11 +249,17 @@ object Profile {
   def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
                baseline: String, binWidth: Double,
                nBins: Int = 10): DataFrame = {
+    require(binWidth > 0, "psiDrift: binWidth must be > 0")
+    require(nBins >= 2, "psiDrift: need at least 2 bins")
     val spark = df.sparkSession
     val binned = df.select(col(groupCol).cast("string").as("grp"),
       least(floor(col(valueCol).cast("double") / binWidth),
         lit(nBins - 1L)).cast("int").as("bin"))
     val counts = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+    // an absent baseline would otherwise drain the final join and
+    // return an EMPTY frame — indistinguishable from "no drift"
+    require(!counts.filter(col("grp") === baseline).isEmpty,
+      s"psiDrift: baseline group '$baseline' has no rows in $groupCol")
     // full group×bin spine: empty bins must still carry smoothed mass
     val spine = counts.select("grp").distinct()
       .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
@@ -306,7 +312,10 @@ object Profile {
       .orderBy(col("du").desc, col("v").asc)
       .limit(1)
       .select(col("n_a"), col("n_b"),
-        round(col("du").cast("double") / (col("n_a") * col("n_b")), 6)
+        // an empty side means "no distribution to compare" — answer
+        // null explicitly rather than a 0/0 that reads as a statistic
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("du").cast("double") / (col("n_a") * col("n_b")), 6))
           .as("ks_stat"),
         col("v").as("at_value"))
   }

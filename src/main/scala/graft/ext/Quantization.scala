@@ -285,6 +285,10 @@ object Quantization {
     import org.apache.spark.sql.expressions.Window
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(embCol).as("qv"))
+    // a missing query id would silently produce a row of nulls that
+    // reads as a fidelity score — fail loudly instead
+    require(!query.isEmpty,
+      s"quantRankFidelity: query id $queryId not present in $idCol")
     val top = Similarity.knnBruteForce(embeddings, query, k, idCol, embCol)
       .withColumn("rank_e",
         row_number().over(Window.orderBy(col("cos_sim").desc, col(idCol))))

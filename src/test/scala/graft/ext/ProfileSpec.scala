@@ -201,6 +201,16 @@ class ProfileSpec extends SparkSpec {
     assert(r1.getAs[Long]("dof") === 4L)
   }
 
+  test("psiDrift rejects an absent baseline; ksDrift answers null on an empty side") {
+    val rows = Seq(("g1", 1.0), ("g2", 2.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.psiDrift(rows, "v", "g", baseline = "nope", binWidth = 1.0)
+    }
+    assert(e.getMessage.contains("baseline"))
+    val r = Profile.ksDrift(rows, "v", "g", "g1", "absent").head()
+    assert(r.isNullAt(r.fieldIndex("ks_stat")))
+  }
+
   test("winsorize: clips to group percentiles, keeps interior values") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val w = Profile.winsorize(df, "v", "grp", lo = 0.05, hi = 0.95)

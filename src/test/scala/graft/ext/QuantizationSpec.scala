@@ -119,6 +119,13 @@ class QuantizationSpec extends SparkSpec {
       "2-bit quantization cannot out-rank 16-bit on the same query")
   }
 
+  test("quantRankFidelity rejects a missing query id") {
+    val e = intercept[IllegalArgumentException] {
+      Quantization.quantRankFidelity(emb, queryId = -999L, k = 5)
+    }
+    assert(e.getMessage.contains("-999"))
+  }
+
   test("sqQuantError: constant dimension quantizes with zero error") {
     val const = Seq(
       (1L, Seq(1.5f, 0.0f)), (2L, Seq(1.5f, 2.0f)), (3L, Seq(1.5f, 2.0f)))
