@@ -521,6 +521,40 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Temperature-scaled mixture shares (the multilingual α-sampling
+    * rule: share_s ∝ p_s^α with p_s the source's natural token
+    * fraction): α = 1 reproduces the natural mix, α → 0 approaches
+    * uniform — the standard low-resource up-sampling knob. Composes
+    * with the q124 budget solver: rate_s = min(1, budget·share_s /
+    * tokens_s).
+    *
+    * Determinism: p_s are exact integer ratios; the single pow per
+    * source is quantized to 1e-9 units (BIGINT) before normalization,
+    * so shares are ratios of exact integers — engine-identical.
+    */
+  def temperatureShares(tokensBySource: DataFrame, alpha: Double,
+                        budgetTokens: Long,
+                        sourceCol: String = "source",
+                        tokensCol: String = "total_tokens"): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureShares: alpha must be in (0, 1], got $alpha")
+    val tot = tokensBySource.agg(sum(col(tokensCol)).as("_n"))
+    val weighted = tokensBySource.crossJoin(broadcast(tot))
+      .withColumn("w_u",
+        round(pow(col(tokensCol).cast("double") / col("_n"), alpha) * 1e9)
+          .cast("long"))
+    val wsum = weighted.agg(sum("w_u").as("_ws"))
+    weighted.crossJoin(broadcast(wsum))
+      .select(col(sourceCol), col(tokensCol),
+        round(col("w_u").cast("double") / col("_ws"), 6).as("share"),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble)
+            * (col("w_u").cast("double") / col("_ws"))
+            / col(tokensCol).cast("double")), 6).as("rate"))
+      .withColumn("expected_tokens",
+        floor(col("rate") * col(tokensCol).cast("double") + 0.5).cast("long"))
+  }
+
   /** Curriculum schedule: split the corpus into `nEpochs` equal-count
     * epochs ordered cleanest-first (quality desc, id tiebreak) — the
     * standard easy→hard curriculum, with per-epoch acceptance stats

@@ -418,6 +418,57 @@ object Similarity {
         round(col("_rr"), 6).as("rr"))
   }
 
+  /** Depth weights for rank-biased overlap: w_d = (1−p)·p^(d−1)/d.
+    * Computed ONCE driver-side so both the Spark plan and any SQL
+    * replay consume the identical double literals (no cross-engine
+    * pow() in the data path).
+    */
+  def rboWeights(k: Int, p: Double): Seq[(Int, Double)] =
+    (1 to k).map(d => d -> (1.0 - p) * math.pow(p, d - 1) / d)
+
+  /** Rank-biased overlap (Webber et al. 2010), truncated at depth
+    * `k`, between a retrieved ranking and a truth ranking — the
+    * top-weighted rank-similarity metric for comparing index
+    * configurations (vs recall@k's set view and tau's uniform-weight
+    * view). RBO@k = Σ_{d≤k} w_d·|A_d ∩ B_d|, w_d = (1−p)·p^(d−1)/d.
+    *
+    * Inputs carry (qid, id, rank ≤ k) per side (`rankACol` /
+    * `rankBCol` name each side's rank column). Overlap counting is
+    * pure integers (an item joins depth d iff max(rank_a, rank_b) ≤
+    * d); per-depth terms are 1e-9-quantized before the per-query sum.
+    * Queries with NO overlap still report rbo = 0 (truth-side spine).
+    *
+    * Scale: one (qid, id) join bounded by k·|queries|, a broadcast
+    * k-row depth spine, one groupBy — nothing corpus-sized.
+    */
+  def rbo(retrieved: DataFrame, truth: DataFrame, k: Int, p: Double = 0.9,
+          qidCol: String = "qid", idCol: String = "vec_id",
+          rankACol: String = "rank_a", rankBCol: String = "rank_b"): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, s"rbo: need k >= 1, 0 < p < 1")
+    val spark = retrieved.sparkSession
+    import spark.implicits._
+    val depths = rboWeights(k, p).toDF("d", "w")
+    val common = retrieved.select(col(qidCol), col(idCol),
+        col(rankACol).as("_ra"))
+      .join(truth.select(col(qidCol), col(idCol), col(rankBCol).as("_rb")),
+        Seq(qidCol, idCol))
+      .select(col(qidCol), greatest(col("_ra"), col("_rb")).as("_m"))
+    val terms = common.join(broadcast(depths), col("_m") <= col("d"))
+      .groupBy(col(qidCol), col("d"), col("w"))
+      .agg(count(lit(1)).as("_ov"))
+      .select(col(qidCol),
+        round(col("_ov").cast("double") * col("w") * 1e9).cast("long")
+          .as("_t_u"))
+      .groupBy(qidCol).agg(sum("_t_u").as("_su"))
+    val nCommon = common.groupBy(qidCol).agg(count(lit(1)).as("n_common"))
+    truth.select(qidCol).distinct()
+      .join(terms, Seq(qidCol), "left")
+      .join(nCommon, Seq(qidCol), "left")
+      .na.fill(0L, Seq("_su", "n_common"))
+      .select(col(qidCol), col("n_common"),
+        round(col("_su").cast("double") / 1e9, 6).as("rbo"))
+  }
+
   def centroidsByLabel(embeddings: DataFrame, labelCol: String = "label",
                        vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row

@@ -398,6 +398,38 @@ object TextStats {
         when(col("n_sentences") > 0, col("_max")).as("max_sentence_tokens"))
   }
 
+  /** Token burstiness: variance-to-mean ratio (index of dispersion)
+    * of per-document counts for every token with corpus count ≥
+    * `minCount`. VMR ≈ 1 is Poisson scatter (function words); VMR ≫ 1
+    * is bursty (topical words, boilerplate blocks that hit a few docs
+    * hard) — a quality signal fixed-frequency filters miss.
+    *
+    * Zero-occurrence documents COUNT (mean/variance are over all n
+    * docs): S1 = Σ c, S2 = Σ c² over appearing docs are exact
+    * integers, so mean = S1/n, var = S2/n − mean², VMR = var/mean are
+    * single deterministic double expressions. Two count shuffles,
+    * vocabulary-sized output.
+    */
+  def burstiness(docs: DataFrame, minCount: Long = 100,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val nDocs = docs.select(count(lit(1)).as("n"))
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy("w").agg(
+        sum("c").as("s1"), sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("n_docs_with"))
+      .filter(col("s1") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w").as("token"), col("s1").as("n_occ"),
+        col("n_docs_with"),
+        round((col("s2").cast("double") / col("n")
+            - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n")))
+          / (col("s1").cast("double") / col("n")), 6).as("vmr"))
+  }
+
   /** Per-source unigram entropy and KL divergence from the corpus
     * distribution — the information-theoretic half of mixture design
     * (q122's report card counts tokens; this says how DIFFERENT each

@@ -524,6 +524,41 @@ object CorpusQueries {
         .orderBy("source")
     },
 
+    // ——— temperature-scaled mixture shares (α-sampling, α = 0.5):
+    //     share_s ∝ p_s^√ — the low-resource up-sampling rule,
+    //     composed with the q124 budget solver. Shares are ratios of
+    //     1e-9-quantized integer weights — engine-identical. ———
+    Q("q139_temperature_mix",
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |      AS total_tokens
+        |  FROM documents GROUP BY source
+        |), nt AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS n FROM tok),
+        |wu AS (
+        |  SELECT source, total_tokens,
+        |    CAST(round(power(CAST(total_tokens AS DOUBLE) / nt.n, 0.5) * 1e9)
+        |      AS BIGINT) AS w_u
+        |  FROM tok CROSS JOIN nt
+        |), ws AS (SELECT CAST(SUM(w_u) AS BIGINT) AS ws FROM wu),
+        |r AS (
+        |  SELECT source, total_tokens,
+        |    ROUND(CAST(w_u AS DOUBLE) / ws.ws, 6) AS share,
+        |    ROUND(LEAST(CAST(1.0 AS DOUBLE),
+        |      3000.0 * (CAST(w_u AS DOUBLE) / ws.ws)
+        |        / CAST(total_tokens AS DOUBLE)), 6) AS rate
+        |  FROM wu CROSS JOIN ws
+        |)
+        |SELECT source, total_tokens, share, rate,
+        |  CAST(FLOOR(rate * CAST(total_tokens AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS expected_tokens
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("total_tokens"))
+      Corpus.temperatureShares(tok, alpha = 0.5, budgetTokens = 3000)
+        .orderBy("source")
+    },
+
     // ——— contrastive negative sampling: k reproducible hash-coin
     //     negatives per anchor (never the anchor itself), inner-
     //     joined back to the corpus for the negative's payload. ———

@@ -199,6 +199,66 @@ object SimilarityQueries {
       Similarity.retrievalMetrics(retrieved, truth).orderBy("qid")
     },
 
+    // ——— rank-biased overlap of batch-ANN vs brute truth at depth
+    //     10 (p = 0.9): the top-weighted rank-similarity companion to
+    //     q121's recall/MRR. Depth weights are driver-computed double
+    //     literals injected into BOTH plans (no cross-engine pow in
+    //     the data path); overlap counting is pure integers. ———
+    Q("q140_rbo", {
+      val wvals = Similarity.rboWeights(10, 0.9)
+        .map { case (d, w) => s"($d, CAST('${"%.17g".format(w)}' AS DOUBLE))" }
+        .mkString(", ")
+      s"""${annBatchCte("q140_hyperplanes")},
+         |retr AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS rank_a
+         |  FROM scored QUALIFY rank_a <= 10
+         |), bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id, rk AS rank_b FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), common AS (
+         |  SELECT r.qid, GREATEST(r.rank_a, t.rank_b) AS m
+         |  FROM retr r JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |), dw(d, w) AS (VALUES $wvals),
+         |terms AS (
+         |  SELECT c.qid,
+         |    CAST(round(CAST(COUNT(*) AS DOUBLE) * dw.w * 1e9) AS BIGINT) AS t_u
+         |  FROM common c JOIN dw ON c.m <= dw.d
+         |  GROUP BY c.qid, dw.d, dw.w
+         |), su AS (
+         |  SELECT qid, CAST(SUM(t_u) AS BIGINT) AS su FROM terms GROUP BY 1
+         |), nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common FROM common GROUP BY 1)
+         |SELECT t.qid, COALESCE(nc.n_common, 0) AS n_common,
+         |  ROUND(CAST(COALESCE(su.su, 0) AS DOUBLE) / 1e9, 6) AS rbo
+         |FROM (SELECT DISTINCT qid FROM truth) t
+         |LEFT JOIN su USING (qid) LEFT JOIN nc USING (qid)
+         |ORDER BY t.qid""".stripMargin
+    }) { (s, dir) =>
+      Fixtures.write("q140_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 10, bands = 4, r = 8)
+        .withColumn("rank_a", row_number().over(wA))
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = scoredAll.withColumn("rank_b", row_number().over(wB))
+        .filter(col("rank_b") <= 10).select("qid", "vec_id", "rank_b")
+      Similarity.rbo(retrieved, truth, k = 10, p = 0.9).orderBy("qid")
+    },
+
     // ——— IVF ANN: k-means-trained coarse quantizer (Lloyd's as
     //     distributed aggs), probe the nearest cells only. The
     //     float-mean TRAINING pass is engine-private, so the trained

@@ -1489,6 +1489,33 @@ object TextQueries {
       TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
     },
 
+    // ——— token burstiness: variance-to-mean ratio of per-doc counts
+    //     (index of dispersion; zero-occurrence docs count). Integer
+    //     S1/S2 sufficient statistics → single deterministic double
+    //     expression per token. ———
+    Q("q141_burstiness",
+      """WITH pd AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT w, CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs_with
+        |  FROM pd GROUP BY 1 HAVING SUM(c) >= 100
+        |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT w AS token, s1 AS n_occ, n_docs_with,
+        |  ROUND((CAST(s2 AS DOUBLE) / n
+        |       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    / (CAST(s1 AS DOUBLE) / n), 6) AS vmr
+        |FROM agg CROSS JOIN nd
+        |ORDER BY vmr DESC, token""".stripMargin) { (s, dir) =>
+      TextStats.burstiness(docs(s, dir), minCount = 100)
+        .orderBy(col("vmr").desc, col("token"))
+    },
+
     // ——— tokenizer-coverage diagnostic: OOV rate per source against
     //     the corpus's own top-20 vocabulary (count desc, token asc —
     //     a deterministic cut). ———

@@ -335,6 +335,23 @@ class CorpusSpec extends SparkSpec {
       s2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("temperatureShares: α=1 is the natural mix; lower α flattens it") {
+    val tok = Seq(("big", 9000L), ("small", 1000L)).toDF("source", "total_tokens")
+    val natural = Corpus.temperatureShares(tok, alpha = 1.0, budgetTokens = 1000)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("share")).toMap
+    assert(math.abs(natural("big") - 0.9) < 1e-6)
+    assert(math.abs(natural("small") - 0.1) < 1e-6)
+    val flat = Corpus.temperatureShares(tok, alpha = 0.5, budgetTokens = 1000)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("share")).toMap
+    // √0.9 : √0.1 = 3 : 1 — the small source is up-sampled 0.1 → 0.25
+    assert(math.abs(flat("big") - 0.75) < 1e-6)
+    assert(math.abs(flat("small") - 0.25) < 1e-6)
+    assert(math.abs(flat.values.sum - 1.0) < 1e-5)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureShares(tok, alpha = 0.0, budgetTokens = 1000)
+    }
+  }
+
   test("curriculumEpochs: equal-count epochs, quality-monotone boundaries") {
     // 3 clean long docs, 3 punctuation-junk docs, 3 mid: quality
     // separates them; 9 docs / 3 epochs

@@ -310,4 +310,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(meanR2 - expected) / expected < 0.25,
       s"mean ‖Pv‖²/‖v‖² = $meanR2, expected ≈ $expected")
   }
+
+  test("rbo: identical rankings → 1−p^k; disjoint → 0; prefix beats suffix") {
+    def ranking(qid: Long, ids: Seq[Long], rankCol: String) =
+      ids.zipWithIndex.map { case (id, i) => (qid, id, i + 1) }
+        .toDF("qid", "vec_id", rankCol)
+    val a = ranking(1L, 1L to 10L, "rank_a")
+    val same = Similarity.rbo(a, ranking(1L, 1L to 10L, "rank_b"), k = 10).head()
+    // overlap@d = d ⇒ RBO = (1−p)·Σ p^(d−1) = 1 − p^k
+    assert(math.abs(same.getAs[Double]("rbo") - (1.0 - math.pow(0.9, 10))) < 1e-5)
+    assert(same.getAs[Long]("n_common") === 10L)
+
+    val disj = Similarity.rbo(a, ranking(1L, 11L to 20L, "rank_b"), k = 10).head()
+    assert(disj.getAs[Double]("rbo") === 0.0)
+    assert(disj.getAs[Long]("n_common") === 0L)
+
+    // agreement at the TOP is worth more than the same agreement at
+    // the bottom: share ranks 1-5 vs share ranks 6-10
+    val top = Similarity.rbo(a,
+      ranking(1L, (1L to 5L) ++ (16L to 20L), "rank_b"), k = 10).head()
+    val bottom = Similarity.rbo(a,
+      ranking(1L, (11L to 15L) ++ (6L to 10L), "rank_b"), k = 10).head()
+    assert(top.getAs[Double]("rbo") > bottom.getAs[Double]("rbo"))
+  }
 }

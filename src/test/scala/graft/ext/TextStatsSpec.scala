@@ -216,6 +216,24 @@ class TextStatsSpec extends SparkSpec {
     assert(r(4L).getLong(1) === 3L && r(4L).getLong(3) === 3L)
   }
 
+  test("burstiness: uniform token → VMR 0; concentrated → k(1−1/n)") {
+    // "even" once per doc (4 docs); "burst" 8 times in one doc
+    val docs = Seq(
+      (1L, "even burst burst burst burst burst burst burst burst"),
+      (2L, "even x"), (3L, "even y"), (4L, "even z"))
+      .toDF("doc_id", "text")
+    val r = TextStats.burstiness(docs, minCount = 4).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // constant 1-per-doc: variance 0
+    assert(r("even").getAs[Double]("vmr") === 0.0)
+    // all k=8 in one of n=4 docs: VMR = k(1−1/n) = 6
+    assert(math.abs(r("burst").getAs[Double]("vmr") - 6.0) < 1e-6)
+    assert(r("burst").getAs[Long]("n_occ") === 8L)
+    assert(r("burst").getAs[Long]("n_docs_with") === 1L)
+    // the count floor applies
+    assert(!r.contains("x"))
+  }
+
   test("unigramEntropyKl: uniform → ln k; source = corpus → KL 0") {
     // both sources identical AND uniform over 4 tokens
     val docs = Seq((1L, "s1", "a b c d"), (2L, "s2", "a b c d"))
