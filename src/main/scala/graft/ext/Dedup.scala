@@ -314,6 +314,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination by MinHash signature (the
+    * signature-level sibling of the n-gram-overlap decontamination —
+    * same LSH machinery as near-dup detection, pointed across the
+    * train/benchmark boundary): flag every NON-benchmark document
+    * whose verified Jaccard against some benchmark document reaches
+    * `minJaccard`, reporting its best match (max jaccard, min
+    * benchmark id tie-break).
+    *
+    * Scale: exactly minhashVerifiedPairs' profile (banded buckets
+    * bound the candidate join; verification bounded by candidates) +
+    * one roles join and a per-flagged-doc window — nothing new
+    * explodes. At 100 TB the benchmark side is small by nature, so
+    * its signatures broadcast.
+    */
+  def decontaminateByMinhash(docs: DataFrame, isBenchmark: Column,
+                             n: Int = 3, k: Int = 32, bands: Int = 8,
+                             minJaccard: Double = 0.5,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashVerifiedPairs(docs, n, k, bands, minJaccard,
+      idCol, textCol)
+    val roles = docs.select(col(idCol), isBenchmark.cast("boolean").as("_b"))
+    val straddling = pairs
+      .join(roles.toDF("id_a", "_ba"), "id_a")
+      .join(roles.toDF("id_b", "_bb"), "id_b")
+      .filter(col("_ba") =!= col("_bb"))
+      .select(
+        when(col("_ba"), col("id_b")).otherwise(col("id_a")).as(idCol),
+        when(col("_ba"), col("id_a")).otherwise(col("id_b"))
+          .as("matched_benchmark"),
+        col("jaccard"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("jaccard").desc, col("matched_benchmark"))
+    straddling.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Dedup-quality audit: LSH candidate generation measured against
     * exact-Jaccard ground truth — recall (what fraction of true
     * near-dup pairs the banding surfaces) and raw-candidate

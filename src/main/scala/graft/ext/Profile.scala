@@ -380,6 +380,34 @@ object Profile {
         round(sum("t_u").cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Volume-spike detection on a time series of event counts: hourly
+    * counts per group vs their centered moving average (±`halfWindow`
+    * rows); hours whose count exceeds `factor`× the local average are
+    * flagged. The detrend is a windowed AVG of INTEGER counts (sum
+    * and count both exact in every engine), so the flag set is
+    * deterministic — the monitoring alarm for ingestion pipelines.
+    *
+    * Two shuffles: the (group, hour) count and the per-group ordered
+    * window (partition-parallel across groups).
+    */
+  def volumeSpikes(events: DataFrame, groupCol: String, tsCol: String,
+                   halfWindow: Int = 6, factor: Double = 2.0,
+                   minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col(groupCol).as("grp"),
+        date_trunc("hour", col(tsCol)).as("_h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy("_h")
+      .rowsBetween(-halfWindow, halfWindow)
+    hourly.withColumn("ma", avg("n").over(w))
+      .filter(col("n") >= minCount &&
+        col("n").cast("double") > lit(factor) * col("ma"))
+      .select(col("grp"), date_format(col("_h"), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        col("n"), round(col("ma"), 6).as("ma"))
+  }
+
   /** Winsorize `valueCol` within each group: clip to the group's
     * [lo, hi] exact interpolated percentiles (bounds rounded to 4 dp
     * so both engines clip against the identical constant). Returns

@@ -418,4 +418,31 @@ object Streaming {
       .select(col(userCol) +: (0 until n).map(i => col(s"_st.t$i").as(s"t$i")): _*)
       .withColumn("stage", stage)
   }
+
+  /** Per-key rate-limit audit over tumbling hours: every event whose
+    * within-(user, hour) arrival sequence exceeds `maxPerHour` is
+    * flagged with its sequence number — the ingestion-hygiene cap
+    * (bot/abuse traffic, runaway producers) applied as a batch
+    * operator. Sequence order is (ts, event id) — a total order, so
+    * the flag set is deterministic under any partitioning.
+    *
+    * ONE shuffle (the per-(user, hour) window); per-key state is the
+    * hour's event count. The streaming twin is a count in
+    * mapGroupsWithState keyed the same way.
+    */
+  def rateLimitFlags(events: DataFrame, maxPerHour: Int,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id"): DataFrame = {
+    require(maxPerHour >= 1, "rateLimitFlags: maxPerHour must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), date_trunc("hour", col(tsCol)))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .filter(col("seq") > maxPerHour)
+      .select(col(idCol), col(userCol),
+        date_format(date_trunc("hour", col(tsCol)), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        col("seq"))
+  }
 }

@@ -1249,6 +1249,50 @@ object Relational {
         .orderBy("source")
     },
 
+    // ——— ingestion-hygiene rate limit: flag events past the 2/hour
+    //     per-user quota; (ts, event_id) total order makes the flag
+    //     set deterministic. ———
+    Q("q143_rate_limit",
+      """SELECT event_id, user_id,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  CAST(seq AS BIGINT) AS seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |)
+        |WHERE seq > 2
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.rateLimitFlags(t(s, dir, "events"), maxPerHour = 2)
+        .orderBy("event_id")
+    },
+
+    // ——— volume-spike monitoring: hourly counts per event type vs
+    //     their ±6 h centered moving average; spikes = count > 2× MA.
+    //     Integer counts + exact windowed AVG → deterministic. ———
+    Q("q144_volume_spikes",
+      """WITH hc AS (
+        |  SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ma AS (
+        |  SELECT grp, h, n,
+        |    AVG(n) OVER (PARTITION BY grp ORDER BY h
+        |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS ma
+        |  FROM hc
+        |)
+        |SELECT grp, strftime(h, '%Y-%m-%d %H:00:00') AS hour, n,
+        |  ROUND(ma, 6) AS ma
+        |FROM ma
+        |WHERE n >= 5 AND CAST(n AS DOUBLE) > 2.0 * ma
+        |ORDER BY grp, hour""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.volumeSpikes(t(s, dir, "events"),
+          groupCol = "event_type", tsCol = "ts",
+          halfWindow = 6, factor = 2.0, minCount = 5)
+        .orderBy("grp", "hour")
+    },
+
     // ——— equi-depth histogram of n_chars: ntile deciles over the
     //     (value, id) total order — the skew-proof binning for the
     //     monitoring path; micro-exact means. ———

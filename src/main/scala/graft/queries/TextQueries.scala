@@ -1489,6 +1489,32 @@ object TextQueries {
       TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
     },
 
+    // ——— signature-level benchmark decontamination: the q59 MinHash
+    //     chain pointed across the train/benchmark boundary (every
+    //     20th doc is "benchmark"); each contaminated train doc
+    //     reports its best match. Complements q88's n-gram overlap
+    //     form. ———
+    Q("q142_minhash_decontaminate",
+      s"""$verifiedPairsCte
+         |SELECT doc_id, matched_benchmark, jaccard FROM (
+         |  SELECT
+         |    CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS doc_id,
+         |    CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS matched_benchmark,
+         |    jaccard,
+         |    row_number() OVER (
+         |      PARTITION BY CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END
+         |      ORDER BY jaccard DESC,
+         |        CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END) AS rn
+         |  FROM vp
+         |  WHERE (id_a % 20 = 0) <> (id_b % 20 = 0)
+         |) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.decontaminateByMinhash(docs(s, dir),
+          isBenchmark = col("doc_id") % 20 === 0,
+          n = 3, k = 32, bands = 8, minJaccard = 0.5)
+        .orderBy("doc_id")
+    },
+
     // ——— token burstiness: variance-to-mean ratio of per-doc counts
     //     (index of dispersion; zero-occurrence docs count). Integer
     //     S1/S2 sufficient statistics → single deterministic double

@@ -410,4 +410,26 @@ class DedupSpec extends SparkSpec {
     assert(!liveDir.exists())
     assert(!spark.catalog.tableExists("graft_reset_live"))
   }
+
+  test("decontaminateByMinhash: flags only cross-boundary near-dups, best match") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),                            // benchmark (id % 2 == 0)
+      (1L, base + " phi"),                   // train: near-dup of benchmark 0
+      (3L, "one two three four five six seven eight nine ten"),
+      (5L, "one two three four five six seven eight nine ten"),
+      (7L, "completely different words nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminateByMinhash(docs,
+        isBenchmark = col("doc_id") % 2 === 0, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // train doc 1 is contaminated by benchmark 0
+    assert(flagged.get(1L) === Some(0L))
+    // 3↔5 is a TRAIN-train duplicate: dedup's business, not
+    // decontamination's — must NOT be flagged here
+    assert(!flagged.contains(3L) && !flagged.contains(5L))
+    assert(!flagged.contains(7L))
+  }
 }

@@ -376,4 +376,36 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("rateLimitFlags: quota per user-hour, hour boundaries reset the count") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      (10L, 1L, t(0)), (11L, 1L, t(5)), (12L, 1L, t(10)), (13L, 1L, t(15)),
+      (14L, 1L, t(70)),                   // next hour: count resets
+      (20L, 2L, t(0)), (21L, 2L, t(1))    // under quota
+    ).toDF("event_id", "user_id", "ts")
+    val flagged = Streaming.rateLimitFlags(ev, maxPerHour = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // user 1, hour 0: events 12 (seq 3) and 13 (seq 4) exceed quota 2
+    assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
+  }
+
+  test("volumeSpikes: flags the planted burst hour, flat series is silent") {
+    import java.sql.Timestamp
+    // 24 hourly buckets of 6 events; hour 12 carries 30 (5× the MA)
+    val ev = (0 until 24).flatMap { h =>
+      val n = if (h == 12) 30 else 6
+      (0 until n).map(i => ("a", new Timestamp((h * 3600L + i) * 1000L)))
+    }.toDF("event_type", "ts")
+    val spikes = graft.ext.Profile.volumeSpikes(ev, "event_type", "ts")
+      .collect()
+    assert(spikes.length === 1)
+    assert(spikes.head.getAs[Long]("n") === 30L)
+    assert(spikes.head.getAs[String]("hour").endsWith("12:00:00"))
+    val flat = (0 until 24).flatMap(h =>
+      (0 until 6).map(i => ("a", new Timestamp((h * 3600L + i) * 1000L))))
+      .toDF("event_type", "ts")
+    assert(graft.ext.Profile.volumeSpikes(flat, "event_type", "ts").isEmpty)
+  }
 }
