@@ -430,6 +430,52 @@ object Streaming {
     * hour's event count. The streaming twin is a count in
     * mapGroupsWithState keyed the same way.
     */
+  case class RateEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  case class RateFlag(event_id: Long, user_id: Long, hour: String, seq: Long)
+
+  /** Streaming twin of `rateLimitFlags`: per-(user, hour) counters in
+    * flatMapGroupsWithState, flagging each event past the quota AS IT
+    * ARRIVES. State per live key is ONE counter, evicted by
+    * event-time timeout once the watermark passes the hour's end —
+    * bounded by (active users × watermark horizon), the only shape
+    * that survives an unbounded stream. Equals the batch operator
+    * under in-order delivery (the replay/backfill contract;
+    * StreamingSpec law) — a late event is sequenced by ARRIVAL within
+    * its hour's counter, which is precisely what an online limiter
+    * enforces.
+    */
+  def rateLimitStateful(events: Dataset[RateEvent], maxPerHour: Int,
+                        watermark: String = "2 hours"): Dataset[RateFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, micros(e.ts) / 3600000000L))
+      .flatMapGroupsWithState[Long, RateFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, hourIdx), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.getOrElse(0L)
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            // built here, not captured: DateTimeFormatter is not
+            // serializable
+            val fmt = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:00:00")
+              .withZone(java.time.ZoneOffset.UTC)
+            val hourStr = fmt.format(
+              java.time.Instant.ofEpochMilli(hourIdx * 3600000L))
+            val flagged = sorted.zipWithIndex.collect {
+              case (e, i) if before + i + 1 > maxPerHour =>
+                RateFlag(e.event_id, user, hourStr, before + i + 1)
+            }
+            state.update(before + sorted.size)
+            // evict once the watermark passes this hour's end
+            state.setTimeoutTimestamp((hourIdx + 1) * 3600000L)
+            flagged.iterator
+          }
+      }
+  }
+
   def rateLimitFlags(events: DataFrame, maxPerHour: Int,
                      userCol: String = "user_id", tsCol: String = "ts",
                      idCol: String = "event_id"): DataFrame = {

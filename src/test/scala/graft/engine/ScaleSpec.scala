@@ -147,6 +147,44 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 exchanges (word, pair):\n$plan")
   }
 
+  test("pageRank iteration plan: cached adjacency joins by broadcast, never re-shuffles") {
+    import spark.implicits._
+    val edges = (0 until 500).map(i => (s"n${i % 53}", s"n${(i * 11 + 5) % 53}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val pr = graft.ext.Graph.pageRank(edges, iterations = 3)
+    val plan = pr.queryExecution.executedPlan.toString
+    // every iteration's rank join is a broadcast over the cached
+    // adjacency — a sort-merge join would re-shuffle the edge table
+    // each round
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("int8 quant audit plan: param table broadcasts, two hash exchanges") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val plan = graft.ext.Quantization.sqQuantError(emb)
+      .queryExecution.executedPlan.toString
+    // per-dim params (64 rows) must broadcast into the exploded scan;
+    // the only hash exchanges are the param build's groupBy(pos) and
+    // the final per-vector aggregation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges:\n$plan")
+  }
+
+  test("compactionPlan touches only the manifest: one window, no join") {
+    import spark.implicits._
+    val manifest = (1 to 100).map(i => (s"f$i", (i * 97 % 500 + 1).toLong))
+      .toDF("name", "bytes")
+    val plan = Layout.compactionPlan(manifest, "bytes", 1000L,
+        orderBy = Seq(col("bytes").desc, col("name")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

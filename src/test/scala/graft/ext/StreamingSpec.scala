@@ -391,6 +391,26 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
   }
 
+  test("streaming rate limit equals the batch audit under in-order delivery") {
+    // lateK = 0 → chronological chunks (the replay/backfill contract)
+    val (dir, batch, _) = writeOutOfOrderChunks(lateK = 0)
+    val stream = readChunkStream(dir, batch)
+      .select($"event_id", $"user_id", $"ts").as[Streaming.RateEvent]
+    val q = Streaming.runToMemory(
+      Streaming.rateLimitStateful(stream, maxPerHour = 1).toDF(),
+      "rate_flags",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      val got = spark.sql("SELECT * FROM rate_flags").collect().map(key).toSet
+      val want = Streaming.rateLimitFlags(batch, maxPerHour = 1)
+        .collect().map(key).toSet
+      assert(want.nonEmpty, "fixture produced no over-quota events")
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("volumeSpikes: flags the planted burst hour, flat series is silent") {
     import java.sql.Timestamp
     // 24 hourly buckets of 6 events; hour 12 carries 30 (5× the MA)
