@@ -430,6 +430,31 @@ object Streaming {
     * hour's event count. The streaming twin is a count in
     * mapGroupsWithState keyed the same way.
     */
+  /** Cohort retention matrix: users grouped by their FIRST-activity
+    * day; each (cohort_day, day_offset) cell counts distinct users of
+    * that cohort active `day_offset` days later — the standard
+    * engagement decay view, and for a data pipeline the
+    * "does a source keep producing" view when keyed by source.
+    *
+    * Three shuffles, all user- or day-keyed: first-day min, distinct
+    * (user, day) activity, and the cell count. Everything is
+    * integer/date arithmetic — engine-exact.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val first = events.groupBy(col(userCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val activity = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    activity.join(first, "u")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort"))
+        .cast("long").as("day_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+
   case class RateEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
   case class RateFlag(event_id: Long, user_id: Long, hour: String, seq: Long)
 

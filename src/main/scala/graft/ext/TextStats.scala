@@ -468,6 +468,92 @@ object TextStats {
         round(col("_k").cast("double") / 1e9, 6).as("kl_vs_corpus"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between sources' unigram
+    * distributions — the symmetric, bounded (≤ ln 2) companion of
+    * `unigramEntropyKl`: which sources are near-duplicates of each
+    * other AS DISTRIBUTIONS (merge candidates), which are the
+    * outliers mixture design should weigh deliberately.
+    * JSD(p,q) = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2; zero-count sides
+    * contribute 0 by the 0·ln0 convention.
+    *
+    * Scale: one (source, token) count shuffle, then a token-keyed
+    * join of the |S|·vocab count table with itself — output is
+    * |S|²/2 · vocab terms, vocabulary-bounded like the entropy op.
+    * Per-pair-token terms are 1e-9-quantized (BIGINT) — order-free.
+    */
+  def jsdMatrix(docs: DataFrame, sourceCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val totals = perSource.groupBy("src").agg(sum("c").as("n"))
+    // zero-filled source×vocab spine: a pair's term set is the UNION
+    // of its sides' tokens, which the spine gives uniformly (a token
+    // absent from both sides contributes exactly 0)
+    val spine = totals.select("src")
+      .crossJoin(perSource.select("w").distinct())
+    val probs = spine.join(perSource, Seq("src", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(totals), "src")
+      .select(col("src"), col("w"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val pairs = probs.toDF("source_a", "w", "pa")
+      .join(probs.toDF("source_b", "w", "pb"), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+    val m = (col("pa") + col("pb")) / 2.0
+    val term =
+      when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / m))
+        .otherwise(lit(0.0)) +
+      when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / m))
+        .otherwise(lit(0.0))
+    pairs
+      .withColumn("t_u", round(term * 1e9).cast("long"))
+      .groupBy("source_a", "source_b").agg(sum("t_u").as("su"))
+      .select(col("source_a"), col("source_b"),
+        round(col("su").cast("double") / 1e9, 6).as("jsd"))
+  }
+
+  /** Zipf's-law fit: OLS slope of ln(count) on ln(rank) over the
+    * token frequency table (rank by count desc, token asc). A healthy
+    * natural-language corpus sits near slope −1; templated/synthetic
+    * text flattens toward 0 — a one-number corpus-health signal.
+    *
+    * The four OLS sums (Σx, Σy, Σxy, Σx²) are accumulated as
+    * 1e-9-quantized BIGINTs over the VOCABULARY (order-free); the
+    * final slope/intercept are single double expressions over those
+    * four exact integers.
+    */
+  def zipfFit(docs: DataFrame, minCount: Long = 5,
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+    val xy = ranked.select(
+      round(log(col("r").cast("double")) * 1e9).cast("long").as("x_u"),
+      round(log(col("c").cast("double")) * 1e9).cast("long").as("y_u"),
+      round(log(col("r").cast("double")) * log(col("c").cast("double")) * 1e9)
+        .cast("long").as("xy_u"),
+      round(log(col("r").cast("double")) * log(col("r").cast("double")) * 1e9)
+        .cast("long").as("xx_u"))
+    val s = xy.agg(count(lit(1)).as("n"), sum("x_u").as("sx"),
+      sum("y_u").as("sy"), sum("xy_u").as("sxy"), sum("xx_u").as("sxx"))
+    s.select(col("n"),
+      round((col("n") * (col("sxy").cast("double") / 1e9)
+          - (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9))
+        / (col("n") * (col("sxx").cast("double") / 1e9)
+          - (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9)),
+        6).as("slope"),
+      round(((col("sy").cast("double") / 1e9)
+          - ((col("n") * (col("sxy").cast("double") / 1e9)
+            - (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9))
+          / (col("n") * (col("sxx").cast("double") / 1e9)
+            - (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9)))
+          * (col("sx").cast("double") / 1e9)) / col("n"), 6).as("intercept"))
+  }
+
   /** Out-of-vocabulary rate per source against the corpus's own
     * top-`vocabSize` token vocabulary — the tokenizer-coverage
     * diagnostic run before committing to a vocab size.

@@ -1268,6 +1268,25 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ——— cohort retention: users by first-activity day × day offset
+    //     → distinct active users. Pure integer/date arithmetic. ———
+    Q("q147_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        |FROM act JOIN f USING (u)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // ——— volume-spike monitoring: hourly counts per event type vs
     //     their ±6 h centered moving average; spikes = count > 2× MA.
     //     Integer counts + exact windowed AVG → deterministic. ———

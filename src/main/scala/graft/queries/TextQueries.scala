@@ -1489,6 +1489,81 @@ object TextQueries {
       TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
     },
 
+    // ——— pairwise Jensen–Shannon divergence between sources' token
+    //     distributions (zero-filled source×vocab spine; 0·ln0 = 0;
+    //     1e-9-quantized terms). The source-merge-candidate map. ———
+    Q("q145_jsd_matrix",
+      """WITH pc AS (
+        |  SELECT source AS src, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |          unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), st AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM pc),
+        |spine AS (SELECT st.src, v.w FROM st CROSS JOIN vocab v),
+        |pr AS (
+        |  SELECT s.src, s.w, CAST(COALESCE(p.c, 0) AS DOUBLE) / t.n AS p
+        |  FROM spine s LEFT JOIN pc p ON s.src = p.src AND s.w = p.w
+        |  JOIN st t ON s.src = t.src
+        |), pairs AS (
+        |  SELECT a.src AS source_a, b.src AS source_b, a.p AS pa, b.p AS pb
+        |  FROM pr a JOIN pr b ON a.w = b.w AND a.src < b.src
+        |)
+        |SELECT source_a, source_b,
+        |  ROUND(CAST(SUM(CAST(round((
+        |      CASE WHEN pa > 0
+        |        THEN 0.5 * pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END
+        |    + CASE WHEN pb > 0
+        |        THEN 0.5 * pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END
+        |    ) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS jsd
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      TextStats.jsdMatrix(docs(s, dir)).orderBy("source_a", "source_b")
+    },
+
+    // ——— Zipf's-law fit: OLS slope of ln(count) on ln(rank) over the
+    //     frequency table — corpus-health in one number (natural text
+    //     ≈ −1; this synthetic near-uniform corpus ≈ 0). Four exact
+    //     integer OLS sums → deterministic slope/intercept. ———
+    Q("q146_zipf_fit",
+      """WITH c AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM c
+        |), u AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS x_u,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y_u,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS xy_u,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS xx_u
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x_u) AS BIGINT) AS sx,
+        |    CAST(SUM(y_u) AS BIGINT) AS sy, CAST(SUM(xy_u) AS BIGINT) AS sxy,
+        |    CAST(SUM(xx_u) AS BIGINT) AS sxx
+        |  FROM u
+        |)
+        |SELECT n,
+        |  ROUND((n * (CAST(sxy AS DOUBLE) / 1e9)
+        |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+        |    / (n * (CAST(sxx AS DOUBLE) / 1e9)
+        |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)), 6)
+        |    AS slope,
+        |  ROUND(((CAST(sy AS DOUBLE) / 1e9)
+        |      - ((n * (CAST(sxy AS DOUBLE) / 1e9)
+        |        - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+        |      / (n * (CAST(sxx AS DOUBLE) / 1e9)
+        |        - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)))
+        |      * (CAST(sx AS DOUBLE) / 1e9)) / n, 6) AS intercept
+        |FROM s""".stripMargin) { (s, dir) =>
+      TextStats.zipfFit(docs(s, dir), minCount = 5)
+    },
+
     // ——— signature-level benchmark decontamination: the q59 MinHash
     //     chain pointed across the train/benchmark boundary (every
     //     20th doc is "benchmark"); each contaminated train doc

@@ -391,6 +391,25 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
   }
 
+  test("cohortRetention: hand-checked matrix, repeat same-day activity collapses") {
+    import java.sql.Timestamp
+    def d(day: Int, hour: Int = 1) =
+      new Timestamp((day * 86400L + hour * 3600L) * 1000L)
+    val ev = Seq(
+      (1L, d(0)), (1L, d(0, 5)), (1L, d(1)), (1L, d(3)),  // cohort day0
+      (2L, d(0)), (2L, d(1)),                             // cohort day0
+      (3L, d(1)), (3L, d(2))                              // cohort day1
+    ).toDF("user_id", "ts")
+    val m = graft.ext.Streaming.cohortRetention(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(("1970-01-01", 0L)) === 2L) // users 1 and 2 (dup hours collapse)
+    assert(m(("1970-01-01", 1L)) === 2L)
+    assert(m(("1970-01-01", 3L)) === 1L)
+    assert(m(("1970-01-02", 0L)) === 1L)
+    assert(m(("1970-01-02", 1L)) === 1L)
+    assert(m.size === 5)
+  }
+
   test("streaming rate limit equals the batch audit under in-order delivery") {
     // lateK = 0 → chronological chunks (the replay/backfill contract)
     val (dir, batch, _) = writeOutOfOrderChunks(lateK = 0)

@@ -253,6 +253,31 @@ class TextStatsSpec extends SparkSpec {
     assert(r2("s2").getDouble(3) > 0.0 && r2("s1").getDouble(3) > 0.0)
   }
 
+  test("jsdMatrix: identical sources → 0; disjoint vocabularies → ln 2") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"), (2L, "s2", "a b c d"),   // identical dists
+      (3L, "s3", "x y z w")                           // disjoint vocab
+    ).toDF("doc_id", "source", "text")
+    val m = TextStats.jsdMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("s1", "s2")) === 0.0)
+    assert(math.abs(m(("s1", "s3")) - math.log(2)) < 1e-6)
+    assert(math.abs(m(("s2", "s3")) - math.log(2)) < 1e-6)
+    assert(m.size === 3) // upper-triangular, no self-pairs
+  }
+
+  test("zipfFit: exact harmonic counts fit slope −1") {
+    // counts K/r at ranks 1..6 → ln c = ln K − 1·ln r exactly
+    val counts = Seq(60, 30, 20, 15, 12, 10)
+    val text = counts.zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c)(s"tok$i") }.mkString(" ")
+    val r = TextStats.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+      minCount = 5).head()
+    assert(r.getLong(0) === 6L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(60)) < 1e-4)
+  }
+
   test("oovRate: coverage against the top-k corpus vocabulary") {
     // vocab by count desc, token asc; k=2 → {"a" (6), "b" (4)}
     val docs = Seq(
