@@ -352,6 +352,38 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Per-source dedup report card: document count, exact-duplicate
+    * members (non-keeper copies), and documents appearing in any
+    * verified near-dup pair — the catalog-metadata view a mixture
+    * designer reads next to q122's quality report before setting
+    * rates. Pure composition of `exactGroups` and
+    * `minhashVerifiedPairs` plus two id-keyed joins; inherits their
+    * scale guards wholesale.
+    */
+  def dedupReport(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                  minJaccard: Double = 0.5,
+                  idCol: String = "doc_id", sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol), col(sourceCol),
+      TextStats.fingerprint(col(textCol)).as("fp"))
+    val groups = fp.groupBy("fp")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("nc"))
+    val exact = fp.join(groups, "fp")
+      .select(col(idCol), col(sourceCol),
+        when(col("nc") > 1 && col(idCol) =!= col("keeper"), 1L)
+          .otherwise(0L).as("is_dup"))
+    val pairs = minhashVerifiedPairs(docs, n, k, bands, minJaccard,
+      idCol, textCol)
+    val nearIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct().withColumn("_near", lit(1L))
+    exact.join(nearIds, Seq(idCol), "left")
+      .groupBy(sourceCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum("is_dup").as("exact_dup_docs"),
+        sum(coalesce(col("_near"), lit(0L))).as("near_dup_docs"))
+  }
+
   /** Dedup-quality audit: LSH candidate generation measured against
     * exact-Jaccard ground truth — recall (what fraction of true
     * near-dup pairs the banding surfaces) and raw-candidate

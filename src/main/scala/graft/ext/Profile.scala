@@ -387,6 +387,12 @@ object Profile {
     * and count both exact in every engine), so the flag set is
     * deterministic — the monitoring alarm for ingestion pipelines.
     *
+    * The window is ROWS-based over the hours PRESENT in the series:
+    * an hour with zero events is absent, so across outage gaps the
+    * average spans the surrounding present hours (spike detection is
+    * against typical load, which is what an alarm wants; use a
+    * generated hour spine if zero-fill semantics are needed).
+    *
     * Two shuffles: the (group, hour) count and the per-group ordered
     * window (partition-parallel across groups).
     */

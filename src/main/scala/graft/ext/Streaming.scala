@@ -430,6 +430,41 @@ object Streaming {
     * hour's event count. The streaming twin is a count in
     * mapGroupsWithState keyed the same way.
     */
+  /** Per-user inter-arrival statistics: gap count plus exact
+    * interpolated median/p95 of the gaps between consecutive events,
+    * in seconds — the activity-cadence profile (bot detection: robotic
+    * cadence has near-zero gap variance; churn: gaps stretch).
+    *
+    * Gaps are computed from MICROSECOND integers via a per-user lag
+    * window (one user-keyed shuffle); percentiles are NEAREST-RANK
+    * (the ceil(q·n)-th smallest gap) — pure integer selection, so the
+    * result is exact in any engine. Interpolated percentiles were
+    * measured 1 ulp apart between engines at these magnitudes
+    * (~1.7e11 µs — ulp ≈ 3e-5 > any rounding granularity), which is
+    * why the interpolating form is NOT used here. At 100 TB swap in
+    * `approx_percentile` — same trade as every monitoring op here.
+    */
+  def interArrivalStats(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_gap", unix_micros(col(tsCol)) - col("_prev"))
+    val byGap = Window.partitionBy(userCol).orderBy(col("_gap"), col(idCol))
+    gaps
+      .withColumn("_rn", row_number().over(byGap).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(userCol)))
+      .groupBy(userCol).agg(
+        max("_n").as("n_gaps"),
+        max(when(col("_rn") === ceil(lit(0.5) * col("_n")), col("_gap")))
+          .as("median_gap_us"),
+        max(when(col("_rn") === ceil(lit(0.95) * col("_n")), col("_gap")))
+          .as("p95_gap_us"))
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-activity
     * day; each (cohort_day, day_offset) cell counts distinct users of
     * that cohort active `day_offset` days later — the standard

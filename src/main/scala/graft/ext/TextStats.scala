@@ -468,6 +468,36 @@ object TextStats {
         round(col("_k").cast("double") / 1e9, 6).as("kl_vs_corpus"))
   }
 
+  /** Hashing-trick document vectors (the fastText/VW representation):
+    * each token hashes to one of `dim` buckets (md5 family — the same
+    * engine-portable hash the classifier and samplers use), the
+    * vector is per-bucket token frequency normalized by doc length,
+    * emitted as micro-unit CSV (the q110 projection idiom) so the
+    * floats compare exactly across engines. The cheap, deterministic
+    * "embedding" for corpora that have none — feeds the same ANN /
+    * dedup / outlier machinery real embeddings do.
+    *
+    * Map-only per doc after one (doc, bucket) count shuffle; dense
+    * array rebuild via map lookup over the fixed bucket spine.
+    */
+  def hashDocVectors(docs: DataFrame, dim: Int = 16,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"hashDocVectors: bad dim $dim")
+    val bucket = (conv(substring(md5(col("w")), 1, 15), 16, 10)
+      .cast("long") % dim).cast("int")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), bucket.as("b"))
+      .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n"),
+        map_from_entries(sort_array(collect_list(struct(col("b"), col("c")))))
+          .as("_m"))
+      .select(col(idCol), col("n").as("n_tokens"),
+        array_join(transform(sequence(lit(0), lit(dim - 1)),
+          i => round(coalesce(element_at(col("_m"), i), lit(0L)).cast("double")
+            / col("n") * 1e6).cast("long").cast("string")), ",").as("vec_csv"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between sources' unigram
     * distributions — the symmetric, bounded (≤ ln 2) companion of
     * `unigramEntropyKl`: which sources are near-duplicates of each
@@ -521,7 +551,9 @@ object TextStats {
     * The four OLS sums (Σx, Σy, Σxy, Σx²) are accumulated as
     * 1e-9-quantized BIGINTs over the VOCABULARY (order-free); the
     * final slope/intercept are single double expressions over those
-    * four exact integers.
+    * four exact integers. Needs ≥ 2 distinct tokens above `minCount`
+    * — with one the OLS denominator is 0 and the fit is undefined
+    * (NaN), as it should be.
     */
   def zipfFit(docs: DataFrame, minCount: Long = 5,
               textCol: String = "text"): DataFrame = {

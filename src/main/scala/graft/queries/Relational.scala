@@ -1268,6 +1268,34 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ——— per-user inter-arrival cadence: NEAREST-RANK median/p95
+    //     gap in microseconds — pure integer selection (interpolating
+    //     percentiles differ by 1 ulp between engines at 1e11 µs) —
+    //     the bot/churn profile. ———
+    Q("q150_interarrival",
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |)
+        |, r AS (
+        |  SELECT user_id, gap,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+        |    THEN gap END) AS BIGINT) AS median_gap_us,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+        |    THEN gap END) AS BIGINT) AS p95_gap_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.interArrivalStats(t(s, dir, "events"))
+        .orderBy("user_id")
+    },
+
     // ——— cohort retention: users by first-activity day × day offset
     //     → distinct active users. Pure integer/date arithmetic. ———
     Q("q147_cohort_retention",

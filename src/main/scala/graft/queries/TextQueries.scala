@@ -1489,6 +1489,61 @@ object TextQueries {
       TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
     },
 
+    // ——— per-source dedup report card: exact-duplicate members +
+    //     near-dup-flagged docs next to q122's quality report — pure
+    //     composition of the q34 fingerprint and q59 MinHash chains. ———
+    Q("q148_dedup_report",
+      s"""$verifiedPairsCte,
+         |fpx AS (
+         |  SELECT doc_id, source,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fpv
+         |  FROM documents
+         |), g AS (
+         |  SELECT fpv, MIN(doc_id) AS keeper, COUNT(*) AS nc FROM fpx GROUP BY 1
+         |), e AS (
+         |  SELECT f.doc_id, f.source,
+         |    CASE WHEN g.nc > 1 AND f.doc_id <> g.keeper THEN 1 ELSE 0 END
+         |      AS is_dup
+         |  FROM fpx f JOIN g USING (fpv)
+         |), nd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM vp UNION ALL SELECT id_b AS doc_id FROM vp)
+         |)
+         |SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(e.is_dup) AS BIGINT) AS exact_dup_docs,
+         |  CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS near_dup_docs
+         |FROM e LEFT JOIN nd USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.dedupReport(docs(s, dir)).orderBy("source")
+    },
+
+    // ——— hashing-trick document vectors (md5 bucket family, dim 16,
+    //     length-normalized, micro-unit CSV): the deterministic
+    //     "embedding" for corpora that have none. ———
+    Q("q149_hash_doc_vectors",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), pc AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 16
+        |      AS INT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2
+        |), nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |grid AS (
+        |  SELECT nt.doc_id, nt.n, t.b
+        |  FROM nt CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) AS b) t
+        |)
+        |SELECT g.doc_id, CAST(MAX(g.n) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(CAST(round(CAST(COALESCE(p.c, 0) AS DOUBLE) / g.n
+        |      * 1e6) AS BIGINT) AS VARCHAR), ',' ORDER BY g.b) AS vec_csv
+        |FROM grid g LEFT JOIN pc p ON g.doc_id = p.doc_id AND g.b = p.b
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      TextStats.hashDocVectors(docs(s, dir), dim = 16).orderBy("doc_id")
+    },
+
     // ——— pairwise Jensen–Shannon divergence between sources' token
     //     distributions (zero-filled source×vocab spine; 0·ln0 = 0;
     //     1e-9-quantized terms). The source-merge-candidate map. ———

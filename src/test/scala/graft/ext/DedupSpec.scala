@@ -411,6 +411,23 @@ class DedupSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_reset_live"))
   }
 
+  test("dedupReport: exact members and near-dup flags roll up per source") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "s1", base),              // keeper of the exact group
+      (2L, "s1", base),              // exact copy → exact_dup + near flag
+      (3L, "s2", base + " phi"),     // near-dup of 1/2, not exact
+      (4L, "s2", "totally unrelated content words here nothing shared at all")
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.dedupReport(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r("s1") === ((2L, 1L, 2L))) // 2 docs, 1 exact member, both near-flagged
+    assert(r("s2") === ((2L, 0L, 1L))) // doc 3 near-flagged, doc 4 clean
+  }
+
   test("decontaminateByMinhash: flags only cross-boundary near-dups, best match") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -391,6 +391,23 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
   }
 
+  test("interArrivalStats: nearest-rank median/p95 over hand gaps") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1 gaps: [10 s, 10 s, 80 s]; user 2: single event → no gaps
+    val ev = Seq(
+      (1L, 1L, t(0)), (2L, 1L, t(10)), (3L, 1L, t(20)), (4L, 1L, t(100)),
+      (5L, 2L, t(0)))
+      .toDF("event_id", "user_id", "ts")
+    val r = graft.ext.Streaming.interArrivalStats(ev).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 3L)
+    // median = ceil(0.5·3) = 2nd smallest = 10 s; p95 = ceil(2.85) = 3rd = 80 s
+    assert(r(1L).getLong(2) === 10000000L)
+    assert(r(1L).getLong(3) === 80000000L)
+    assert(!r.contains(2L))
+  }
+
   test("cohortRetention: hand-checked matrix, repeat same-day activity collapses") {
     import java.sql.Timestamp
     def d(day: Int, hour: Int = 1) =

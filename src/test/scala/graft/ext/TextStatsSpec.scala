@@ -253,6 +253,24 @@ class TextStatsSpec extends SparkSpec {
     assert(r2("s2").getDouble(3) > 0.0 && r2("s1").getDouble(3) > 0.0)
   }
 
+  test("hashDocVectors: dense, length-normalized, content-determined") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta alpha gamma"), // same content → same vector
+      (3L, "delta delta delta delta")).toDF("doc_id", "text")
+    val v = TextStats.hashDocVectors(docs, dim = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(v(1L)._1 === 4L)
+    assert(v(1L) === v(2L))
+    assert(v(1L) !== v(3L))
+    // dense: exactly dim entries; mass sums to 1e6 up to per-entry rounding
+    val entries = v(1L)._2.split(",").map(_.toLong)
+    assert(entries.length === 8)
+    assert(math.abs(entries.sum - 1000000L) <= 8)
+    // doc 3 is a single token 4× → all mass in one bucket
+    assert(v(3L)._2.split(",").map(_.toLong).max === 1000000L)
+  }
+
   test("jsdMatrix: identical sources → 0; disjoint vocabularies → ln 2") {
     val docs = Seq(
       (1L, "s1", "a b c d"), (2L, "s2", "a b c d"),   // identical dists
