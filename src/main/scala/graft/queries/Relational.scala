@@ -1315,6 +1315,35 @@ object Relational {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // ——— the SAME rate-limit audit under STREAMING EXECUTION (the
+    //     4th streaming-under-oracle entry): readStream → per-key
+    //     stateful counters (flatMapGroupsWithState) → memory sink,
+    //     hash-matched to q143's batch SQL. Single-file AvailableNow
+    //     delivery is in-order, which is the equivalence contract. ———
+    Q("q151_streaming_ratelimit",
+      """SELECT event_id, user_id,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  CAST(seq AS BIGINT) AS seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |)
+        |WHERE seq > 2
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[graft.ext.Streaming.RateEvent]
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.rateLimitStateful(stream, maxPerHour = 2).toDF(),
+        "q151_rl",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      q.stop()
+      s.table("q151_rl").orderBy("event_id")
+    },
+
     // ——— volume-spike monitoring: hourly counts per event type vs
     //     their ±6 h centered moving average; spikes = count > 2× MA.
     //     Integer counts + exact windowed AVG → deterministic. ———
