@@ -521,6 +521,56 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row draws key = u^(1/w) from its deterministic md5 coin u
+    * and the top-`k` keys win — inclusion probability proportional to
+    * weight, no sequential pass, no RNG state. The weighted
+    * complement to `stratifiedSample`'s uniform draw (weight = doc
+    * length → length-proportional corpus subsampling; weight =
+    * quality → quality-tilted).
+    *
+    * Distributed shape: map-only key computation + one TakeOrdered
+    * top-k — no shuffle at all. Ranking uses round(key, 9) with id
+    * tie-break so a last-ulp pow() difference between engines cannot
+    * reorder the cut.
+    */
+  def weightedSampleES(df: DataFrame, weightCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "weightedSampleES: k must be >= 1")
+    // coin in (0, 1]: 15 md5 hex digits → [0, 2^60) → shift by 1
+    val coin = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+    val key = round(pow(coin, lit(1.0) / col(weightCol).cast("double")), 9)
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-group quantile normalization: each row's value mapped to its
+    * within-group rank fraction (row_number−1)/(n−1) under the
+    * (value, id) total order — making scores COMPARABLE ACROSS
+    * sources whose raw scales differ (the calibration step before
+    * any cross-source quality threshold). Strict row_number ordering
+    * (not rank) keeps the output deterministic under ties; integer
+    * rank arithmetic keeps it engine-exact.
+    *
+    * One group-keyed window shuffle; at 100 TB the same mapping comes
+    * from approx_percentile cuts (sketch pass + map-only lookup).
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val n = Window.partitionBy(groupCol)
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(n))
+      .withColumn("qnorm",
+        when(col("_n") > 1,
+          round((col("_rn") - 1).cast("double") / (col("_n") - 1), 6))
+          .otherwise(lit(0.0)))
+      .drop("_rn", "_n")
+  }
+
   /** Temperature-scaled mixture shares (the multilingual α-sampling
     * rule: share_s ∝ p_s^α with p_s the source's natural token
     * fraction): α = 1 reproduces the natural mix, α → 0 approaches

@@ -647,6 +647,64 @@ object CorpusQueries {
         .orderBy(col("bin"), col("bytes").desc, col("source"), col("lang"))
     },
 
+    // ——— weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    //     key = u^(1/w) from the deterministic md5 coin, top-25 by
+    //     (round(key, 9), id) — inclusion ∝ n_chars, map-only + top-k. ———
+    Q("q152_weighted_sample",
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(power(
+        |      (CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |         1, 15)) AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0,
+        |      CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS es_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, es_key FROM keyed
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      Corpus.weightedSampleES(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          weightCol = "n_chars", k = 25)
+        .orderBy(col("es_key").desc, col("doc_id"))
+    },
+
+    // ——— per-source quantile normalization of the quality score:
+    //     rank-fraction (rn−1)/(n−1) under the (value, id) total
+    //     order — cross-source-comparable calibrated scores. ———
+    Q("q153_quantile_normalize",
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(lower(text), '\s+')) AS n,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_n,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n,
+        |    length(text) AS len_t
+        |  FROM documents
+        |), ql AS (
+        |  SELECT doc_id, source,
+        |    ROUND((least(len_t / 200.0, 1.0)
+        |         + (1.0 - least(CAST(punct_n AS DOUBLE) / n, 1.0))
+        |         + (CASE WHEN CAST(stop_n AS DOUBLE) / n BETWEEN 0.01 AND 0.6
+        |                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM ql
+        |)
+        |SELECT doc_id, source, quality,
+        |  CASE WHEN n > 1
+        |    THEN ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6)
+        |    ELSE 0.0 END AS qnorm
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      Corpus.quantileNormalize(scored, "quality", "source")
+        .orderBy("doc_id")
+    },
+
     // ——— curriculum schedule: 5 equal-count epochs ordered
     //     cleanest-first by the q39 quality score, with per-epoch
     //     quality range and token payload. ———

@@ -335,6 +335,32 @@ class CorpusSpec extends SparkSpec {
       s2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("weightedSampleES: deterministic, weight-tilted, keys in (0,1]") {
+    val docs = (0L until 200L)
+      .map(i => (i, if (i < 100) 1000.0 else 1.0)).toDF("doc_id", "w")
+    val s1 = Corpus.weightedSampleES(docs, "w", k = 20).collect()
+    val s2 = Corpus.weightedSampleES(docs, "w", k = 20).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    assert(s1.length === 20)
+    s1.foreach { r =>
+      val key = r.getAs[Double]("es_key")
+      assert(key > 0.0 && key <= 1.0)
+    }
+    // u^(1/1000) ≈ 1 ≫ u^(1/1): the heavy half dominates the sample
+    val heavy = s1.count(_.getLong(0) < 100L)
+    assert(heavy >= 18, s"only $heavy/20 heavy-weight rows sampled")
+  }
+
+  test("quantileNormalize: rank fractions per group, singleton → 0") {
+    val df = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 30.0), (3L, "g1", 20.0),
+      (4L, "g2", 5.0)).toDF("doc_id", "grp", "v")
+    val q = Corpus.quantileNormalize(df, "v", "grp")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("qnorm")).toMap
+    assert(q(1L) === 0.0 && q(3L) === 0.5 && q(2L) === 1.0)
+    assert(q(4L) === 0.0)
+  }
+
   test("temperatureShares: α=1 is the natural mix; lower α flattens it") {
     val tok = Seq(("big", 9000L), ("small", 1000L)).toDF("source", "total_tokens")
     val natural = Corpus.temperatureShares(tok, alpha = 1.0, budgetTokens = 1000)
