@@ -468,6 +468,85 @@ object TextStats {
         round(col("_k").cast("double") / 1e9, 6).as("kl_vs_corpus"))
   }
 
+  /** Language-ID confusion matrix against labeled ground truth:
+    * (true lang, predicted lang, count, row fraction) — the accuracy
+    * report for the marker-based classifier, and the template for
+    * evaluating ANY doc-level classifier against labels. Integer
+    * counts; fractions are single divisions of exact integers.
+    */
+  def langIdConfusion(docs: DataFrame, langCol: String = "lang",
+                      textCol: String = "text"): DataFrame = {
+    val cells = docs
+      .select(col(langCol).as("lang"), langId(col(textCol)).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    cells.join(broadcast(rows), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 6).as("frac"))
+  }
+
+  /** Source-outlier detection from TEXT ALONE: each document's
+    * hashed-bucket token distribution compared (squared L2) to its
+    * own source's mean distribution; the top-`k` most distant docs
+    * per source are the mislabeled / off-profile candidates — the
+    * embedding-free twin of the label-outlier op (q114).
+    *
+    * Determinism: per-doc bucket fractions are exact integer ratios;
+    * centroids average 1e-9-quantized fractions (integer sums);
+    * per-(doc, bucket) squared-diff terms are 1e-12-quantized before
+    * the per-doc sum — every aggregation order-free.
+    *
+    * Scale: (doc, bucket) long form is dim× the corpus row count but
+    * thin; centroids are |sources|·dim rows, broadcast back. One
+    * count shuffle + one doc-keyed re-agg + the per-source top-k
+    * window.
+    */
+  def hashVecSourceOutliers(docs: DataFrame, dim: Int = 16, k: Int = 10,
+                            idCol: String = "doc_id",
+                            sourceCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (conv(substring(md5(col("w")), 1, 15), 16, 10)
+      .cast("long") % dim).cast("int")
+    val perDoc = docs
+      .select(col(idCol), col(sourceCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col(sourceCol), bucket.as("b"))
+      .groupBy(col(idCol), col(sourceCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val docN = perDoc.groupBy(idCol).agg(sum("c").as("n"))
+    // dense (doc, bucket) fractions over the fixed bucket spine
+    val spine = docs.select(col(idCol).as("_sid"), col(sourceCol).as("_ssrc"))
+      .crossJoin(docN.sparkSession.range(dim)
+        .select(col("id").cast("int").as("b")))
+    val fracs = spine
+      .join(perDoc.withColumnRenamed(idCol, "_sid")
+          .withColumnRenamed(sourceCol, "_ssrc"),
+        Seq("_sid", "_ssrc", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(docN.withColumnRenamed(idCol, "_sid"), "_sid")
+      .select(col("_sid").as(idCol), col("_ssrc").as(sourceCol), col("b"),
+        round(col("c").cast("double") / col("n") * 1e9).cast("long")
+          .as("f_u"))
+    val cent = fracs.groupBy(col(sourceCol), col("b"))
+      .agg(sum("f_u").as("sf"), count(lit(1)).as("nd"))
+      .select(col(sourceCol), col("b"),
+        (col("sf").cast("double") / col("nd") / 1e9).as("cent"))
+    val dist = fracs.join(broadcast(cent), Seq(sourceCol, "b"))
+      .withColumn("t_u",
+        round((col("f_u").cast("double") / 1e9 - col("cent"))
+          * (col("f_u").cast("double") / 1e9 - col("cent")) * 1e12)
+          .cast("long"))
+      .groupBy(col(idCol), col(sourceCol)).agg(sum("t_u").as("su"))
+      .select(col(idCol), col(sourceCol),
+        round(col("su").cast("double") / 1e12, 6).as("sq_dist"))
+    dist.withColumn("rn", row_number().over(
+        Window.partitionBy(sourceCol)
+          .orderBy(col("sq_dist").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col(sourceCol), col("sq_dist"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Hashing-trick document vectors (the fastText/VW representation):
     * each token hashes to one of `dim` buckets (md5 family — the same
     * engine-portable hash the classifier and samplers use), the

@@ -1489,6 +1489,91 @@ object TextQueries {
       TextStats.unigramEntropyKl(docs(s, dir)).orderBy("source")
     },
 
+    // ——— language-ID confusion matrix vs labeled ground truth:
+    //     (lang, lang_pred, n, row fraction) — the accuracy report
+    //     for q38's classifier, built from the same marker SQL. ———
+    Q("q154_langid_confusion", {
+      val langs = TextStats.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ms) =>
+        val terms = ms.map(m =>
+          s"(CASE WHEN contains(lower(text), '${m.replace("'", "''")}') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($terms) AS s_$lang"
+      }.mkString(",\n        ")
+      val names = langs.map { case (l, _) => s"s_$l" }
+      val pick = langs.map { case (l, _) => s"WHEN s_$l THEN '$l'" }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |        $scoreCols
+         |  FROM documents
+         |), pred AS (
+         |  SELECT lang,
+         |    CASE greatest(${names.mkString(", ")}) $pick END AS lang_pred
+         |  FROM scored
+         |), cells AS (
+         |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |), rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1)
+         |SELECT c.lang, c.lang_pred, c.n,
+         |  ROUND(CAST(c.n AS DOUBLE) / r.row_n, 6) AS frac
+         |FROM cells c JOIN rt r USING (lang)
+         |ORDER BY c.lang, c.lang_pred""".stripMargin
+    }) { (s, dir) =>
+      TextStats.langIdConfusion(docs(s, dir)).orderBy("lang", "lang_pred")
+    },
+
+    // ——— source-outlier detection from text alone: hashed-bucket
+    //     token distributions vs the source's mean distribution,
+    //     top-10 most distant docs per source — the embedding-free
+    //     twin of q114's label outliers. ———
+    Q("q155_hashvec_outliers",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), pc AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 16
+        |      AS INT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2, 3
+        |), dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |spine AS (
+        |  SELECT d.doc_id, d.source, t.b
+        |  FROM (SELECT doc_id, source FROM documents) d
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) AS b) t
+        |), fr AS (
+        |  SELECT s.doc_id, s.source, s.b,
+        |    CAST(round(CAST(COALESCE(p.c, 0) AS DOUBLE) / n.n * 1e9) AS BIGINT)
+        |      AS f_u
+        |  FROM spine s
+        |  LEFT JOIN pc p ON s.doc_id = p.doc_id AND s.b = p.b
+        |  JOIN dn n ON s.doc_id = n.doc_id
+        |), cent AS (
+        |  SELECT source, b, CAST(SUM(f_u) AS DOUBLE) / COUNT(*) / 1e9 AS cent
+        |  FROM fr GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT f.doc_id, f.source,
+        |    CAST(SUM(CAST(round((CAST(f.f_u AS DOUBLE) / 1e9 - c.cent)
+        |      * (CAST(f.f_u AS DOUBLE) / 1e9 - c.cent) * 1e12) AS BIGINT))
+        |      AS BIGINT) AS su
+        |  FROM fr f JOIN cent c ON f.source = c.source AND f.b = c.b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, source, sq_dist, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ROUND(CAST(su AS DOUBLE) / 1e12, 6) AS sq_dist,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ROUND(CAST(su AS DOUBLE) / 1e12, 6) DESC, doc_id) AS rn
+        |  FROM dist
+        |)
+        |WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      TextStats.hashVecSourceOutliers(docs(s, dir), dim = 16, k = 10)
+        .orderBy("source", "rn")
+    },
+
     // ——— per-source dedup report card: exact-duplicate members +
     //     near-dup-flagged docs next to q122's quality report — pure
     //     composition of the q34 fingerprint and q59 MinHash chains. ———

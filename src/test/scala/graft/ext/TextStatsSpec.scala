@@ -253,6 +253,39 @@ class TextStatsSpec extends SparkSpec {
     assert(r2("s2").getDouble(3) > 0.0 && r2("s1").getDouble(3) > 0.0)
   }
 
+  test("langIdConfusion: diagonal for marker-clean docs, fractions sum to 1") {
+    val docs = Seq(
+      (1L, "en", "see the thing and most of it is here"),
+      (2L, "en", "the king and the queen of things"),
+      (3L, "de", "der hund und die katze ist schnell bei mir"),
+      (4L, "zh", "的 是 了 在 有 我")).toDF("doc_id", "lang", "text")
+    val m = TextStats.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getAs[Double]("frac"))).toMap
+    assert(m(("en", "en"))._1 === 2L && m(("en", "en"))._2 === 1.0)
+    assert(m(("de", "de"))._1 === 1L)
+    assert(m(("zh", "zh"))._1 === 1L)
+    assert(m.size === 3) // clean markers → pure diagonal
+  }
+
+  test("hashVecSourceOutliers: the planted off-profile doc ranks first") {
+    val docs = (
+      (1L to 9L).map(i => (i, "s1", "alpha beta gamma delta")) ++
+      Seq((10L, "s1", "zzz qqq xxx www yyy")) ++
+      (11L to 14L).map(i => (i, "s2", "same text everywhere here"))
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.hashVecSourceOutliers(docs, dim = 16, k = 3).collect()
+    val s1 = out.filter(_.getString(1) == "s1").sortBy(_.getLong(3))
+    assert(s1.head.getLong(0) === 10L, "planted outlier must rank first")
+    assert(s1.head.getAs[Double]("sq_dist") >
+      s1.last.getAs[Double]("sq_dist"))
+    // identical docs in s2 → all distances 0
+    val s2 = out.filter(_.getString(1) == "s2")
+    assert(s2.forall(_.getAs[Double]("sq_dist") === 0.0))
+    // per-source k bound
+    assert(out.count(_.getString(1) == "s1") === 3)
+  }
+
   test("hashDocVectors: dense, length-normalized, content-determined") {
     val docs = Seq(
       (1L, "alpha beta alpha gamma"),
