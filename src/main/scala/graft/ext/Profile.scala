@@ -380,6 +380,65 @@ object Profile {
         round(sum("t_u").cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-group mean of `valueCol` — error bars for every corpus
+    * report metric (a mean without a CI invites over-reading source
+    * differences). Each of `b` replicates draws a Poisson(1) weight
+    * per row from the row's md5 coin (the distributed bootstrap
+    * approximation — no global multinomial needed), the replicate
+    * mean is a ratio of exact INTEGER sums, and the CI bounds are
+    * NEAREST-RANK quantiles of the `b` means (no interpolation — the
+    * q150 lesson).
+    *
+    * Scale: the replicate explode is b× the row count but 3 columns
+    * wide; sums are map-side-combined per (group, replicate). `b`
+    * bounds everything — 100 replicates is the textbook default.
+    */
+  def bootstrapMeanCi(df: DataFrame, valueCol: String, groupCol: String,
+                      idCol: String, b: Int = 100, lo: Double = 0.025,
+                      hi: Double = 0.975): DataFrame = {
+    require(b >= 10, "bootstrapMeanCi: need at least 10 replicates")
+    import org.apache.spark.sql.expressions.Window
+    // inverse-CDF thresholds for Poisson(1), capped at 6 (P ≈ 1e-4
+    // beyond); the SAME literal constants appear in the oracle SQL.
+    // The coin is keyed by (row id, replicate) — rows sharing a value
+    // must still draw INDEPENDENT weights
+    val u = conv(substring(md5(concat(col("_id").cast("string"), lit(":"),
+        col("_r").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val weight =
+      when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+        .when(u < 0.9963401532, 4L).when(u < 0.9994058152, 5L)
+        .otherwise(6L)
+    val spark = df.sparkSession
+    val reps = df.select(col(groupCol).as("grp"), col(idCol).as("_id"),
+        col(valueCol).cast("long").as("v"))
+      .crossJoin(spark.range(b).select(col("id").cast("int").as("_r")))
+      .withColumn("_w", weight)
+    val means = reps.groupBy("grp", "_r").agg(
+        sum(col("_w") * col("v")).as("swv"), sum("_w").as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("grp"), col("_r"),
+        (col("swv").cast("double") / col("sw")).as("m"))
+    val ranked = means
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("m"), col("_r"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("grp")))
+    val base = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n_rows"),
+      (sum(col(valueCol).cast("long")).cast("double") / count(lit(1)))
+        .as("mean"))
+    ranked.groupBy("grp").agg(
+        max(when(col("_rn") === greatest(ceil(lit(lo) * col("_n")), lit(1L)),
+          col("m"))).as("_lo"),
+        max(when(col("_rn") === ceil(lit(hi) * col("_n")), col("m")))
+          .as("_hi"))
+      .join(base, "grp")
+      .select(col("grp"), col("n_rows"), round(col("mean"), 6).as("mean"),
+        round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
+  }
+
   /** Volume-spike detection on a time series of event counts: hourly
     * counts per group vs their centered moving average (±`halfWindow`
     * rows); hours whose count exceeds `factor`× the local average are

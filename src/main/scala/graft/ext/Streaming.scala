@@ -465,6 +465,29 @@ object Streaming {
           .as("p95_gap_us"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next | prev) estimated from lag pairs under the
+    * (ts, id) total order — the behavioral fingerprint behind funnel
+    * design and bot detection (bots have near-deterministic rows).
+    * Integer pair counts; probabilities are single divisions.
+    * One user-keyed window shuffle + one pair-count shuffle.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = pairs.groupBy("prev_type").agg(sum("n").as("row_n"))
+    pairs.join(broadcast(rows), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 6).as("p"))
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-activity
     * day; each (cohort_day, day_offset) cell counts distinct users of
     * that cohort active `day_offset` days later — the standard

@@ -1296,6 +1296,83 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ——— first-order Markov transition matrix over per-user event
+    //     sequences — behavioral fingerprint; integer pair counts. ———
+    Q("q156_transition_matrix",
+      """WITH p AS (
+        |  SELECT lag(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY 1
+        |)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  ROUND(CAST(c.n AS DOUBLE) / rt.row_n, 6) AS p
+        |FROM c JOIN rt USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.transitionMatrix(t(s, dir, "events"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // ——— deterministic Poisson-bootstrap CI for per-source mean
+    //     n_chars (B = 100 md5-coin replicates; replicate means are
+    //     ratios of exact integer sums; CI bounds by NEAREST-RANK) —
+    //     error bars for every corpus report metric. ———
+    Q("q157_bootstrap_ci",
+      """WITH reps AS (
+        |  SELECT d.source AS grp, d.doc_id, CAST(d.n_chars AS BIGINT) AS v,
+        |    r.i AS rb
+        |  FROM documents d
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 100)) AS INT) AS i) r
+        |), wtd AS (
+        |  SELECT grp, rb, v,
+        |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+        |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+        |         WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+        |         ELSE 6 END AS wt
+        |  FROM (
+        |    SELECT *, CAST(CAST(concat('0x', substring(md5(
+        |        CAST(doc_id AS VARCHAR) || ':' || CAST(rb AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |    FROM reps)
+        |), m AS (
+        |  SELECT grp, rb,
+        |    CAST(SUM(wt * v) AS DOUBLE) / CAST(SUM(wt) AS BIGINT) AS mv
+        |  FROM wtd GROUP BY 1, 2 HAVING SUM(wt) > 0
+        |), r2 AS (
+        |  SELECT grp, mv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY mv, rb) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS nb
+        |  FROM m
+        |), ci AS (
+        |  SELECT grp,
+        |    MAX(CASE WHEN rn = GREATEST(
+        |        CAST(ceil(CAST(0.025 AS DOUBLE) * nb) AS BIGINT), 1)
+        |      THEN mv END) AS ci_lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.975 AS DOUBLE) * nb) AS BIGINT)
+        |      THEN mv END) AS ci_hi
+        |  FROM r2 GROUP BY 1
+        |), base AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+        |      AS mean
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT b.grp AS source, b.n_rows, b.mean,
+        |  ROUND(c.ci_lo, 6) AS ci_lo, ROUND(c.ci_hi, 6) AS ci_hi
+        |FROM base b JOIN ci c USING (grp)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.bootstrapMeanCi(t(s, dir, "documents"),
+          "n_chars", "source", idCol = "doc_id", b = 100)
+        .select(col("grp").as("source"), col("n_rows"), col("mean"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("source")
+    },
+
     // ——— cohort retention: users by first-activity day × day offset
     //     → distinct active users. Pure integer/date arithmetic. ———
     Q("q147_cohort_retention",

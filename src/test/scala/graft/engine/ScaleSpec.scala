@@ -185,6 +185,16 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("weighted sample plan: map-only + TakeOrdered, zero exchanges") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, (i % 97 + 1).toDouble))
+      .toDF("doc_id", "w")
+    val plan = graft.ext.Corpus.weightedSampleES(docs, "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

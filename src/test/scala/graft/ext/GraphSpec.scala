@@ -36,6 +36,19 @@ class GraphSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("pageRank: long runs (checkpoint-cut lineage) conserve total rank") {
+    // 7 iterations crosses the every-5-iterations localCheckpoint cut.
+    // (n11's only edge is a self-loop → it drops out of the graph, so
+    // the participating-node count comes from the adjacency, not 23.)
+    val edges = (0 until 100).map(i => (s"n${i % 23}", s"n${(i * 5 + 2) % 23}"))
+      .filter { case (a, b) => a != b }
+    val nodes = Graph.undirectedAdjacency(edges.toDF("src", "dst"))
+      .select("src").distinct().count()
+    val r = ranks(edges, iters = 7)
+    assert(r.size === nodes)
+    assert(math.abs(r.values.sum - nodes.toDouble) < 1e-6)
+  }
+
   test("undirectedAdjacency: symmetric, deduplicated, no self-loops") {
     val adj = Graph.undirectedAdjacency(
       Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")).toDF("src", "dst"))

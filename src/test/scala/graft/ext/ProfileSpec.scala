@@ -201,6 +201,26 @@ class ProfileSpec extends SparkSpec {
     assert(r1.getAs[Long]("dof") === 4L)
   }
 
+  test("bootstrapMeanCi: constant data collapses the CI; mean sits inside it") {
+    val const = (1L to 50L).map(i => (i, "g", 42L)).toDF("id", "grp", "v")
+    val c = Profile.bootstrapMeanCi(const, "v", "grp", idCol = "id", b = 50)
+      .head()
+    assert(c.getAs[Double]("mean") === 42.0)
+    assert(c.getAs[Double]("ci_lo") === 42.0)
+    assert(c.getAs[Double]("ci_hi") === 42.0)
+
+    val varied = (1L to 60L).map(i => (i, "g", i)).toDF("id", "grp", "v")
+    val r1 = Profile.bootstrapMeanCi(varied, "v", "grp", idCol = "id", b = 60)
+      .head()
+    assert(r1.getAs[Long]("n_rows") === 60L)
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("mean"))
+    assert(r1.getAs[Double]("ci_hi") > r1.getAs[Double]("mean"))
+    // hash coins → identical CI on a second run
+    val r2 = Profile.bootstrapMeanCi(varied, "v", "grp", idCol = "id", b = 60)
+      .head()
+    assert(r1.toSeq === r2.toSeq)
+  }
+
   test("psiDrift rejects an absent baseline; ksDrift answers null on an empty side") {
     val rows = Seq(("g1", 1.0), ("g2", 2.0)).toDF("g", "v")
     val e = intercept[IllegalArgumentException] {

@@ -391,6 +391,24 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
   }
 
+  test("transitionMatrix: hand sequence counts and row-normalized probs") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: A B A B → A→B ×2, B→A ×1; user 2: A C → A→C ×1
+    val ev = Seq(
+      (1L, 1L, "A", t(0)), (2L, 1L, "B", t(1)),
+      (3L, 1L, "A", t(2)), (4L, 1L, "B", t(3)),
+      (5L, 2L, "A", t(0)), (6L, 2L, "C", t(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = graft.ext.Streaming.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("p"))).toMap
+    assert(m(("A", "B")) === ((2L, 0.666667))) // round(2/3, 6)
+    assert(m(("A", "C"))._1 === 1L)
+    assert(m(("B", "A")) === ((1L, 1.0)))
+    assert(m.size === 3)
+  }
+
   test("interArrivalStats: nearest-rank median/p95 over hand gaps") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000L)
