@@ -465,6 +465,46 @@ object Streaming {
           .as("p95_gap_us"))
   }
 
+  /** Deterministic A/B experiment readout: users hash-split 50/50 by
+    * the md5 coin (the q123 split machinery), "converted" = has at
+    * least `minEvents` `convType` events; reports per-arm rates, absolute
+    * lift, and the two-proportion pooled z-statistic. Every input to
+    * the statistic is an exact integer count, so the one-row result
+    * is engine-identical; the experiment is REPLAYABLE — the same
+    * users land in the same arms forever.
+    *
+    * Two user-keyed aggregations; nothing driver-side.
+    */
+  def abLift(events: DataFrame, convType: String = "purchase",
+             minEvents: Long = 1,
+             userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    val users = events.groupBy(col(userCol).as("u"))
+      .agg(when(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+        >= minEvents, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("u").cast("string")), 1, 15), 16, 10)
+          .cast("double") / lit(1152921504606846976.0) < 0.5, "A")
+          .otherwise("B"))
+    val counts = users.groupBy().agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pA, 6).as("rate_a"), round(pB, 6).as("rate_b"),
+      round(pB - pA, 6).as("lift"),
+      // a degenerate experiment (0% or 100% pooled conversion) has no
+      // finite z — answer null, not a division error
+      when(pooled > 0 && pooled < 1,
+        round((pB - pA) / sqrt(pooled * (lit(1.0) - pooled)
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)).as("z"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next | prev) estimated from lag pairs under the
     * (ts, id) total order — the behavioral fingerprint behind funnel

@@ -468,6 +468,54 @@ object TextStats {
         round(col("_k").cast("double") / 1e9, 6).as("kl_vs_corpus"))
   }
 
+  /** Windowed co-occurrence PMI — the word2vec/GloVe training-table
+    * primitive: SYMMETRIC token pairs within ±`window` positions
+    * (pair order normalized by least/greatest), scored
+    * PMI = ln(c_xy·N²/(M·c_x·c_y)) like `pmiBigrams` but over the
+    * windowed pair universe (M = total windowed pairs). Collocations
+    * that skip a word ("new ... york city") surface here and not in
+    * the adjacent-bigram view.
+    *
+    * Scale: pair extraction is map-only (window·corpus rows, window
+    * is a small constant); the rest is the pmiBigrams shape —
+    * minCount-capped vocabulary joins, integer counts, one ln per
+    * surviving pair.
+    */
+  def cooccurrencePmi(docs: DataFrame, window: Int = 3,
+                      minCount: Long = 10, k: Int = 25,
+                      textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= 16, s"cooccurrencePmi: window $window")
+    val toks = docs.select(tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val t = col("_t")
+    val pairsArr = flatten(transform(sequence(lit(1), size(t) - 1),
+      i => transform(sequence(lit(1), least(lit(window), size(t) - i)),
+        o => struct(
+          least(element_at(t, i), element_at(t, i + o)).as("w1"),
+          greatest(element_at(t, i), element_at(t, i + o)).as("w2")))))
+    val pairs = toks.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val uni = toks.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum("cw").as("n_tokens")).crossJoin(
+      pairs.agg(sum("cxy").as("m_pairs")))
+    val scored = pairs
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("pair"),
+        col("cxy"),
+        round(log(col("cxy").cast("double") * col("n_tokens") * col("n_tokens")
+          / (col("m_pairs").cast("double") * col("cx") * col("cy"))), 6)
+          .as("pmi"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi").desc, col("pair").asc)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Language-ID confusion matrix against labeled ground truth:
     * (true lang, predicted lang, count, row fraction) — the accuracy
     * report for the marker-based classifier, and the template for

@@ -1296,6 +1296,47 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ——— deterministic A/B readout: md5-coin 50/50 user split,
+    //     conversion = ≥ 14 purchases (every user purchases at least
+    //     once on this data — a count threshold keeps the readout
+    //     non-degenerate); rates, lift, pooled z from exact integer
+    //     counts, replayable forever. ———
+    Q("q158_ab_lift",
+      """WITH users AS (
+        |  SELECT user_id AS u,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN CAST(CAST(concat('0x',
+        |        substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        AS DOUBLE) / 1152921504606846976.0 < 0.5
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM users
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  ROUND(CAST(conv_b AS DOUBLE) / n_b
+        |      - CAST(conv_a AS DOUBLE) / n_a, 6) AS lift,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |    ROUND((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+        |      / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6)
+        |  END AS z
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.abLift(t(s, dir, "events"), convType = "purchase",
+        minEvents = 14)
+    },
+
     // ——— first-order Markov transition matrix over per-user event
     //     sequences — behavioral fingerprint; integer pair counts. ———
     Q("q156_transition_matrix",

@@ -1431,6 +1431,44 @@ object TextQueries {
         .orderBy(col("pmi").desc, col("bigram"))
     },
 
+    // ——— windowed co-occurrence PMI (±3 positions, symmetric pairs):
+    //     the word2vec-style co-occurrence table, surfacing
+    //     collocations that skip words (q127's adjacent bigrams
+    //     cannot). ———
+    Q("q159_cooccurrence_pmi",
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), pairs0 AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(ts)), i ->
+        |    list_transform(range(1, least(3, len(ts) - i) + 1), o ->
+        |      [least(ts[i], ts[i+o]), greatest(ts[i], ts[i+o])])))) AS p
+        |  FROM toks WHERE len(ts) >= 2
+        |), pc AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM pairs0 GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |), uc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(ts) AS w FROM toks WHERE len(ts) >= 2)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM uc) AS n_tokens,
+        |         (SELECT CAST(SUM(cxy) AS BIGINT) FROM pc) AS m_pairs
+        |), scored AS (
+        |  SELECT pc.w1 || ' ' || pc.w2 AS pair, pc.cxy,
+        |    ROUND(ln(CAST(pc.cxy AS DOUBLE) * t.n_tokens * t.n_tokens
+        |      / (CAST(t.m_pairs AS DOUBLE) * u1.cw * u2.cw)), 6) AS pmi
+        |  FROM pc
+        |  JOIN uc u1 ON pc.w1 = u1.w
+        |  JOIN uc u2 ON pc.w2 = u2.w
+        |  CROSS JOIN tot t
+        |)
+        |SELECT pair, cxy, pmi FROM scored
+        |QUALIFY row_number() OVER (ORDER BY pmi DESC, pair ASC) <= 25
+        |ORDER BY pmi DESC, pair""".stripMargin) { (s, dir) =>
+      TextStats.cooccurrencePmi(docs(s, dir), window = 3, minCount = 10, k = 25)
+        .orderBy(col("pmi").desc, col("pair"))
+    },
+
     // ——— sentence segmentation stats. The synthetic corpus carries
     //     no punctuation, so the battery derives a punctuated twin
     //     via plain (non-regex, exactly portable) substring replace;

@@ -391,6 +391,25 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.toSet === Set((12L, 3L), (13L, 4L)))
   }
 
+  test("abLift: arms partition users; degenerate experiment answers null z") {
+    import java.sql.Timestamp
+    val ev = (1L to 40L).flatMap { u =>
+      val t = new Timestamp(u * 1000L)
+      Seq((u, "view", t)) ++
+        (if (u % 3 == 0) Seq((u, "purchase", t)) else Nil)
+    }.toDF("user_id", "event_type", "ts")
+    val r = graft.ext.Streaming.abLift(ev, convType = "purchase").head()
+    val (na, nb) = (r.getLong(0), r.getLong(2))
+    assert(na + nb === 40L)
+    assert(r.getLong(1) + r.getLong(3) === 13L) // 13 users with u % 3 == 0
+    assert(r.getAs[Double]("lift") ===
+      graft.ext.Streaming.abLift(ev, convType = "purchase").head()
+        .getAs[Double]("lift")) // hash arms → replayable
+    // every user "converts" on view → pooled rate 1.0 → z must be null
+    val degen = graft.ext.Streaming.abLift(ev, convType = "view").head()
+    assert(degen.isNullAt(degen.fieldIndex("z")))
+  }
+
   test("transitionMatrix: hand sequence counts and row-normalized probs") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000L)

@@ -199,6 +199,24 @@ class TextStatsSpec extends SparkSpec {
     assert(top.forall(_.getLong(1) >= 10L))
   }
 
+  test("cooccurrencePmi: catches collocations that skip a word") {
+    // "new ? york": never adjacent, always within the ±3 window;
+    // fillers rotate so they pair promiscuously
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"new f${i % 3} york and some other f${(i + 1) % 3} words"))
+      .toDF("doc_id", "text")
+    val pairs = TextStats.cooccurrencePmi(docs, window = 3, minCount = 10, k = 20)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("pmi")).toMap
+    assert(pairs.contains("new york"), pairs.keys.mkString(", "))
+    // the skipping pair must outrank a filler pair when both surface
+    val filler = pairs.keys.find(_.startsWith("f"))
+    filler.foreach(f => assert(pairs("new york") > pairs(f)))
+    // sanity: adjacent-bigram PMI CANNOT see "new york" on this corpus
+    val bigrams = TextStats.pmiBigrams(docs, minCount = 1, k = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(!bigrams.contains("new york"))
+  }
+
   test("sentenceStats: hand-checked segmentation and token counts") {
     val docs = Seq(
       (1L, "Hello world. How are you today? Fine!"),
