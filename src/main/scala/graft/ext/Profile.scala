@@ -439,6 +439,33 @@ object Profile {
         round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
   }
 
+  /** Per-group Pearson correlation between two columns from exact
+    * INTEGER sufficient statistics: y is quantized to 1e-6 units
+    * (exact when y is already a round-6 value, e.g. the quality
+    * score), so Σx, Σy, Σxy, Σx², Σy² are all exact BIGINT sums and
+    * the correlation is one deterministic double expression — the
+    * "is length confounding quality?" check every per-source report
+    * needs. Zero-variance sides answer null. One grouped pass.
+    */
+  def pearsonCorr(df: DataFrame, xCol: String, yCol: String,
+                  groupCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val yu = round(col(yCol).cast("double") * 1e6).cast("long")
+    val s = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(yu).as("sy"),
+      sum(x * yu).as("sxy"), sum(x * x).as("sxx"), sum(yu * yu).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("grp"), col("n"),
+      when(vx > 0 && vy > 0,
+        round((nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt(vx * vy), 6)).as("r"))
+  }
+
   /** Volume-spike detection on a time series of event counts: hourly
     * counts per group vs their centered moving average (±`halfWindow`
     * rows); hours whose count exceeds `factor`× the local average are

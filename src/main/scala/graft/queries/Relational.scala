@@ -1296,6 +1296,48 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ——— per-source Pearson r between doc length and quality score
+    //     from exact integer sufficient sums (quality is round-6 →
+    //     its 1e-6 quantization is exact) — the length-vs-quality
+    //     confounding check for the report card. ———
+    Q("q161_length_quality_corr",
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    len(string_split_regex(lower(text), '\s+')) AS n,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_n,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n
+        |  FROM documents
+        |), ql AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(round(ROUND((least(length(text) / 200.0, 1.0)
+        |         + (1.0 - least(CAST(punct_n AS DOUBLE) / n, 1.0))
+        |         + (CASE WHEN CAST(stop_n AS DOUBLE) / n BETWEEN 0.01 AND 0.6
+        |                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) * 1e6) AS BIGINT)
+        |      AS yu
+        |  FROM base
+        |), s AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy,
+        |    CAST(SUM(x * yu) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(yu * yu) AS BIGINT) AS syy
+        |  FROM ql GROUP BY 1
+        |)
+        |SELECT grp, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |    THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS r
+        |FROM s ORDER BY grp""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "documents").select(col("source"), col("n_chars"),
+        graft.ext.TextStats.qualityScore(col("text")).as("quality"))
+      graft.ext.Profile.pearsonCorr(scored, "n_chars", "quality", "source")
+        .orderBy("grp")
+    },
+
     // ——— deterministic A/B readout: md5-coin 50/50 user split,
     //     conversion = ≥ 14 purchases (every user purchases at least
     //     once on this data — a count threshold keeps the readout

@@ -71,6 +71,64 @@ object TextQueries {
       |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
       |)""".stripMargin
 
+  /** Shared recursive-CTE chain for near-dup clustering: the q59
+    * verified-pair derivation → symmetric edges → transitive closure
+    * (WITH RECURSIVE reach) → per-doc cluster id, ending in
+    * `clusters(id, cluster)`. q58 selects it directly; q160
+    * aggregates the size histogram on top.
+    */
+  private val clustersCte: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+        |  FROM sh
+        |), mins AS (
+        |  SELECT doc_id, seed,
+        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
+        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
+        |  GROUP BY doc_id, seed
+        |), buckets AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS (
+        |  SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS cluster FROM (
+        |    SELECT src AS id, dst FROM reach
+        |  ) GROUP BY id
+        |)""".stripMargin
+
+
   private val incrementalDedupSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
@@ -472,55 +530,9 @@ object TextQueries {
     //     = recursive-CTE reachability over the same MinHash-verified
     //     pair graph) ———
     Q("q58_dedup_clusters",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(ts) >= 3
-        |      THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
-        |  FROM toks
-        |), hashed AS (
-        |  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 7)) AS BIGINT) AS h
-        |  FROM sh
-        |), mins AS (
-        |  SELECT doc_id, seed,
-        |    MIN((1640531527 * h + seed * CAST(2654435769 AS BIGINT)) % 4294967296) AS mh
-        |  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS seed) seeds
-        |  GROUP BY doc_id, seed
-        |), buckets AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
-        |  FROM mins GROUP BY doc_id, CAST(seed // 4 AS INT)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM buckets a
-        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN cnt ca ON id_a = ca.doc_id
-        |  JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        |)
-        |SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS cluster FROM (
-        |  SELECT src AS id, dst FROM reach
-        |) GROUP BY id
-        |ORDER BY id""".stripMargin) { (s, dir) =>
+      s"""$clustersCte
+         |SELECT id, cluster FROM clusters
+         |ORDER BY id""".stripMargin) { (s, dir) =>
       // localCheckpoint: the pair list is tiny (tens of rows at sf0.1)
       // but its lineage is the full MinHash-verify; without truncation
       // every iteration cache inside nearDupClusters roots that whole
@@ -533,6 +545,28 @@ object TextQueries {
       Dedup.nearDupClusters(pairs)
         .select(col("id"), col("cluster").cast("long").as("cluster"))
         .orderBy("id")
+    },
+
+    // ——— near-dup cluster SIZE histogram: how duplication clumps
+    //     (many pairs vs few large cliques decide whether to keep
+    //     one-per-cluster or weight-down) — the q58 chain + two
+    //     integer aggregations. ———
+    Q("q160_cluster_sizes",
+      s"""$clustersCte,
+         |sizes AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM clusters GROUP BY 1
+         |)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      Dedup.nearDupClusters(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     },
 
     // ——— MinHash + LSH candidate pairs (md5 family — full oracle) ———

@@ -411,6 +411,17 @@ class DedupSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_reset_live"))
   }
 
+  test("cluster-size histogram: chained pairs merge before counting") {
+    import spark.implicits._
+    // 1-2 and 2-3 chain into one 3-cluster; 5-6 stays a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val hist = Dedup.nearDupClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(3L -> 1L, 2L -> 1L))
+  }
+
   test("dedupReport: exact members and near-dup flags roll up per source") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

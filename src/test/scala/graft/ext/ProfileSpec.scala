@@ -201,6 +201,19 @@ class ProfileSpec extends SparkSpec {
     assert(r1.getAs[Long]("dof") === 4L)
   }
 
+  test("pearsonCorr: ±1 on exact linear data, null on zero variance") {
+    val rows =
+      (1 to 20).map(i => ("up", i.toLong, 2.0 * i + 3)) ++
+      (1 to 20).map(i => ("down", i.toLong, 100.0 - 2 * i)) ++
+      (1 to 20).map(i => ("flat", i.toLong, 7.0))
+    val r = Profile.pearsonCorr(rows.toDF("g", "x", "y"), "x", "y", "g")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("up").getAs[Double]("r") === 1.0)
+    assert(r("down").getAs[Double]("r") === -1.0)
+    assert(r("flat").isNullAt(r("flat").fieldIndex("r")))
+    assert(r("up").getLong(1) === 20L)
+  }
+
   test("bootstrapMeanCi: constant data collapses the CI; mean sits inside it") {
     val const = (1L to 50L).map(i => (i, "g", 42L)).toDF("id", "grp", "v")
     val c = Profile.bootstrapMeanCi(const, "v", "grp", idCol = "id", b = 50)
