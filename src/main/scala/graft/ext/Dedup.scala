@@ -314,6 +314,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate propensity by document-length bucket: equi-depth
+    * length bands × membership rate in `dupIds` (whatever duplicate
+    * notion the caller computed — exact fingerprint members, verified
+    * near-dup pair members, cluster members) — answers "does
+    * duplication concentrate in short (templated) or long (mirrored)
+    * documents?", which decides whether a dedup pass should be
+    * length-stratified. All integer counts + one ntile window.
+    */
+  def dupRateByLength(docs: DataFrame, dupIds: DataFrame, nBuckets: Int = 5,
+                      idCol: String = "doc_id",
+                      lenCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = docs.select(col(idCol), col(lenCol))
+      .join(dupIds.select(col(idCol)).distinct()
+        .withColumn("_dup", lit(1L)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("_dup"), lit(0L)))
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.orderBy(col(lenCol), col(idCol))).cast("long"))
+    flagged.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        min(lenCol).as("len_lo"), max(lenCol).as("len_hi"),
+        sum("is_dup").as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("bucket")
+  }
+
   /** Benchmark decontamination by MinHash signature (the
     * signature-level sibling of the n-gram-overlap decontamination —
     * same LSH machinery as near-dup detection, pointed across the

@@ -670,6 +670,28 @@ object TextStats {
         round(col("su").cast("double") / 1e9, 6).as("jsd"))
   }
 
+  /** Gini coefficient of the token frequency distribution — corpus
+    * CONCENTRATION in one number (0 = perfectly even vocabulary use,
+    * → 1 = a few tokens dominate), the companion to entropy (q134)
+    * and the Zipf slope (q146). For counts sorted ascending,
+    * G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — ALL integer until the
+    * final division, so the statistic is engine-exact by
+    * construction. The rank window runs over the vocabulary.
+    */
+  def tokenGini(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c").asc, col("w").asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n"), sum("c").as("sc"),
+        sum(col("i") * col("c")).as("sic"))
+      .select(col("n"), col("sc").as("n_tokens"),
+        round((lit(2.0) * col("sic") - (col("n") + 1).cast("double")
+          * col("sc")) / (col("n").cast("double") * col("sc")), 6).as("gini"))
+  }
+
   /** Zipf's-law fit: OLS slope of ln(count) on ln(rank) over the
     * token frequency table (rank by count desc, token asc). A healthy
     * natural-language corpus sits near slope −1; templated/synthetic

@@ -547,6 +547,61 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // ——— Gini concentration of token frequencies: 0 = even use,
+    //     → 1 = few tokens dominate; all-integer until the final
+    //     division. ———
+    Q("q162_token_gini",
+      """WITH c AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c ASC, w ASC) AS BIGINT)
+        |    AS i
+        |  FROM c
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(i * c) AS BIGINT) AS sic
+        |  FROM r
+        |)
+        |SELECT n, sc AS n_tokens,
+        |  ROUND((2.0 * sic - CAST(n + 1 AS DOUBLE) * sc)
+        |    / (CAST(n AS DOUBLE) * sc), 6) AS gini
+        |FROM s""".stripMargin) { (s, dir) =>
+      TextStats.tokenGini(docs(s, dir))
+    },
+
+    // ——— near-dup propensity by length band (equi-depth quintiles):
+    //     does duplication concentrate in short or long docs? (This
+    //     corpus has NO exact duplicates — the near-dup pair members
+    //     are the meaningful duplicate notion.) Decides
+    //     length-stratified dedup. ———
+    Q("q163_dup_rate_by_length",
+      s"""$verifiedPairsCte,
+         |nd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM vp UNION ALL SELECT id_b FROM vp)
+         |), fl AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+         |    CAST(ntile(5) OVER (ORDER BY d.n_chars, d.doc_id) AS BIGINT)
+         |      AS bucket
+         |  FROM documents d LEFT JOIN nd USING (doc_id)
+         |)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(n_chars) AS len_lo, MAX(n_chars) AS len_hi,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(d, n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+      Dedup.dupRateByLength(d, dupIds, nBuckets = 5)
+    },
+
     // ——— near-dup cluster SIZE histogram: how duplication clumps
     //     (many pairs vs few large cliques decide whether to keep
     //     one-per-cluster or weight-down) — the q58 chain + two

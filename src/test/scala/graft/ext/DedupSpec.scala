@@ -411,6 +411,17 @@ class DedupSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_reset_live"))
   }
 
+  test("dupRateByLength: duplicate mass lands in its length band") {
+    import spark.implicits._
+    val d = (1L to 10L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val dups = Seq(1L, 2L).toDF("doc_id")
+    val r = Dedup.dupRateByLength(d, dups, nBuckets = 5).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(4),
+        x.getAs[Double]("dup_rate"))).toMap
+    assert(r(1L) === ((2L, 2L, 1.0))) // shortest band holds both dups
+    (2L to 5L).foreach(b => assert(r(b)._3 === 0.0))
+  }
+
   test("cluster-size histogram: chained pairs merge before counting") {
     import spark.implicits._
     // 1-2 and 2-3 chain into one 3-cluster; 5-6 stays a pair

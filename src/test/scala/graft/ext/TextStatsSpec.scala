@@ -335,6 +335,16 @@ class TextStatsSpec extends SparkSpec {
     assert(m.size === 3) // upper-triangular, no self-pairs
   }
 
+  test("tokenGini: 0 for perfectly even use, hand value when concentrated") {
+    val even = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    assert(TextStats.tokenGini(even).head().getAs[Double]("gini") === 0.0)
+    // counts {1,1,1,97}: G = (2·394 − 5·100)/(4·100) = 0.72
+    val conc = Seq((1L, ("x " * 97).trim + " p q r")).toDF("doc_id", "text")
+    val g = TextStats.tokenGini(conc).head()
+    assert(g.getLong(0) === 4L && g.getLong(1) === 100L)
+    assert(g.getAs[Double]("gini") === 0.72)
+  }
+
   test("zipfFit: exact harmonic counts fit slope −1") {
     // counts K/r at ranks 1..6 → ln c = ln K − 1·ln r exactly
     val counts = Seq(60, 30, 20, 15, 12, 10)
