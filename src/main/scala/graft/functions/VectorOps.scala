@@ -70,10 +70,70 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Σ (aᵢ−bᵢ)² over two float/double arrays, each element promoted
+    * to double BEFORE subtracting — the squared-L2 distance of the
+    * k-means hot loop. Same determinism contract as [[DotProduct]]:
+    * left-to-right accumulation, bit-identical to the oracle's
+    * `list_sum(list_transform(range(..), i -> (a[i]-b[i])*(a[i]-b[i])))`.
+    */
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"L2Sq expects array<float|double>, got $other")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xi - yi
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val xGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val yGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double ${ev.value}Acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ((double) $x.$xGet($i)) - ((double) $y.$yGet($i));
+           |  ${ev.value}Acc += $d * $d;
+           |}
+           |${ev.value} = ${ev.value}Acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.GraftBridge
 
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -637,6 +637,89 @@ object SimilarityQueries {
          |FROM rq a JOIN rq b ON a.rank_e < b.rank_e""".stripMargin) { (s, dir) =>
       graft.ext.Quantization.quantRankFidelity(emb(s, dir), queryId = 0L,
         k = 20, levels = 15)
+    },
+
+    // ——— distributed k-means (Lloyd, k=8, 2 iterations) — the
+    //     semantic-bucketing primitive for cluster-stratified corpus
+    //     mixing. Fully oracle-replayed: deterministic init (8
+    //     smallest ids, micro-quantized), micro-unit integer argmin
+    //     with cid tie-break, integer-micro centroid updates that
+    //     keep every centroid on the 1e-6 lattice. Output: final
+    //     cluster sizes, exact inertia, majority-label purity. ———
+    Q("q164_kmeans",
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    label
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> round(x * 1000000) / 1000000) AS cv
+         |  FROM e ORDER BY vec_id LIMIT 8
+         |), a0 AS (
+         |  SELECT vec_id, v, label, cid AS cl FROM (
+         |    SELECT e.vec_id, e.v, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${kmDmSql("e", "c")}, c.cid) AS rn
+         |    FROM e CROSS JOIN c0 c)
+         |  WHERE rn = 1
+         |), u0 AS (
+         |  SELECT cl, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sm,
+         |    COUNT(*) AS n
+         |  FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         |  GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT cl AS cid,
+         |    list(round(CAST(sm AS DOUBLE) / n) / 1000000 ORDER BY i) AS cv
+         |  FROM u0 GROUP BY 1
+         |), a1 AS (
+         |  SELECT vec_id, v, label, cid AS cl FROM (
+         |    SELECT e.vec_id, e.v, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${kmDmSql("e", "c")}, c.cid) AS rn
+         |    FROM e CROSS JOIN c1 c)
+         |  WHERE rn = 1
+         |), u1 AS (
+         |  SELECT cl, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sm,
+         |    COUNT(*) AS n
+         |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         |  GROUP BY 1, 2
+         |), c2 AS (
+         |  SELECT cl AS cid,
+         |    list(round(CAST(sm AS DOUBLE) / n) / 1000000 ORDER BY i) AS cv
+         |  FROM u1 GROUP BY 1
+         |), af AS (
+         |  SELECT vec_id, label, cl, dm FROM (
+         |    SELECT e.vec_id, e.label, c.cid AS cl, ${kmDmSql("e", "c")} AS dm,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${kmDmSql("e", "c")}, c.cid) AS rn
+         |    FROM e CROSS JOIN c2 c)
+         |  WHERE rn = 1
+         |), sz AS (
+         |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    round(CAST(SUM(dm) AS DOUBLE) / 1000000, 6) AS inertia
+         |  FROM af GROUP BY 1
+         |), lc AS (
+         |  SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM af GROUP BY 1, 2
+         |), tl AS (
+         |  SELECT cl, label, c,
+         |    row_number() OVER (PARTITION BY cl ORDER BY c DESC, label) AS rn
+         |  FROM lc
+         |)
+         |SELECT sz.cl AS cluster, sz.n_members, sz.inertia,
+         |  tl.label AS top_label, tl.c AS top_label_n
+         |FROM sz JOIN tl ON sz.cl = tl.cl AND tl.rn = 1
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      graft.ext.Clustering.kmeans(emb(s, dir), k = 8, iters = 2)
     }
   )
+
+  /** Oracle fragment: micro-unit squared-L2 distance between row
+    * alias `$e`.v and centroid alias `$c`.cv — the exact arithmetic
+    * of [[graft.functions.VectorOps.L2Sq]] followed by the same
+    * quantization the engine applies.
+    */
+  private def kmDmSql(e: String, c: String): String =
+    s"""CAST(round(1000000 * list_sum(list_transform(range(1, 65),
+       |        i -> ($e.v[i] - $c.cv[i]) * ($e.v[i] - $c.cv[i])))) AS BIGINT)""".stripMargin
 }
