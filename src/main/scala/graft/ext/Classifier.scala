@@ -234,4 +234,44 @@ object Classifier {
         (lit(1.0) - col("_y")) * log(lit(1.0) - col("score") + eps))).as("ll"))
       .agg(avg("ll")).head().getDouble(0)
   }
+
+  /** ROC AUC of a score against a binary label by the Mann–Whitney
+    * rank-sum identity — the threshold-free readout for ANY corpus
+    * filter score (quality classifier, heuristic, reward model)
+    * against held-out labels, without materializing a ROC curve.
+    *
+    * Exact-tie handling in pure integers: scores are quantized to
+    * micro-units, grouped to distinct values, and each value's
+    * average-rank contribution enters as `p · (2·r_lo + t + 1)`
+    * (p = positives at the value, t = ties, r_lo = rows strictly
+    * below) — twice the classical midrank sum, so it stays BIGINT.
+    * AUC = (Σ − np·(np+1)) / (2·np·nn), rounded to 6. Every quantity
+    * up to the final division is an integer either engine reproduces
+    * exactly; a degenerate label side (np or nn = 0) answers null
+    * rather than 0/0.
+    *
+    * Scale shape: one hash aggregation to distinct score values (the
+    * only corpus-sized shuffle), then an ordered prefix-sum window
+    * over DISTINCT VALUES ONLY. Micro-quantization bounds that
+    * cardinality; for truly continuous scores at 100 TB, coarsen the
+    * quantization (1e-4 ≈ 20k distinct values for scores in [0,1] —
+    * window input is KBs regardless of corpus size).
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(round(col(scoreCol).cast("double") * 1e6).cast("long").as("sm"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("sm")
+      .agg(count(lit(1)).as("t"), sum("y").as("p"))
+    val w = Window.orderBy("sm").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g
+      .withColumn("r_lo", coalesce(sum("t").over(w), lit(0L)))
+      .agg(sum("p").as("np"), sum(col("t") - col("p")).as("nn"),
+        sum(col("p") * (lit(2L) * col("r_lo") + col("t") + lit(1L))).as("s2"))
+    tot.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      when(col("np") > 0 && col("nn") > 0,
+        round((col("s2") - col("np") * (col("np") + lit(1L))).cast("double")
+          / (lit(2.0) * col("np") * col("nn")), 6)).as("auc"))
+  }
 }

@@ -519,4 +519,95 @@ object Profile {
       .withColumn("winsorized",
         least(greatest(col(valueCol).cast("double"), col("w_lo")), col("w_hi")))
   }
+
+  /** Kaplan–Meier risk table over per-entity durations — the
+    * survival view of user/source retention ("how long do
+    * contributors keep producing data?"). Entities whose duration is
+    * still accruing at observation end are right-censored, not
+    * events.
+    *
+    * Emits the estimator's SUFFICIENT STATISTICS per distinct event
+    * duration: n_risk (entities with duration ≥ d), n_events,
+    * n_censored at d, and the per-step survival factor
+    * `round(1 − d_i/n_i, 6)`. Deliberately NOT the cumulative
+    * product: the running Π is order-sequential floating arithmetic
+    * whose cross-engine parity is not guaranteed, while this table is
+    * all-integer (+ one rounded ratio per row) and contains the same
+    * information.
+    *
+    * Shape: one per-entity aggregation (corpus-sized shuffle), one
+    * per-duration count, then a prefix-sum window over DISTINCT
+    * DURATIONS (days — bounded cardinality at any corpus size).
+    */
+  def kaplanMeier(events: DataFrame, entityCol: String, tsCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = events.agg(max(unix_micros(col(tsCol))).as("obs_end"))
+    val perEntity = events
+      .groupBy(col(entityCol).as("ent"))
+      .agg(min(unix_micros(col(tsCol))).as("first_us"),
+        max(unix_micros(col(tsCol))).as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        // explicit floor: Spark's double→long cast truncates while
+        // DuckDB's rounds — floor() makes both engines agree
+        floor((col("last_us") - col("first_us")).cast("double") / 86400000000.0)
+          .cast("long").as("d"),
+        // still active within censorDays of observation end → censored
+        when(col("last_us") >= col("obs_end") - lit(censorDays) * lit(86400000000L),
+          0L).otherwise(1L).as("ev"))
+    val byD = perEntity.groupBy("d")
+      .agg(count(lit(1)).as("t"), sum("ev").as("n_events"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    byD
+      .withColumn("_before", coalesce(sum("t").over(w), lit(0L)))
+      .withColumn("_total", sum("t").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("d").as("duration_days"),
+        (col("_total") - col("_before")).as("n_risk"),
+        col("n_events"),
+        (col("t") - col("n_events")).as("n_censored"),
+        round(lit(1.0) - col("n_events").cast("double")
+          / (col("_total") - col("_before")), 6).as("factor"))
+      .filter(col("n_events") > 0)
+      .orderBy("duration_days")
+  }
+
+  /** Benford first-digit audit over a positive numeric column — the
+    * classic fabricated-/synthetic-data smell test for ingested
+    * numeric feeds. Observed first-digit counts (extracted from the
+    * INTEGER part as a string — no log10 on the data path, so no
+    * transcendental parity risk) against the Benford expectation
+    * `log10(1+1/d)`, whose nine constants are driver-computed and
+    * injected as literals into BOTH plans. The χ² statistic
+    * accumulates per-digit terms quantized to 1e-6 BIGINT units —
+    * aggregation-order-free. One map pass + one 9-group aggregation.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digitExpr = substring(
+      floor(col(valueCol).cast("double")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val byDigit = df.filter(col(valueCol).cast("double") >= 1.0)
+      .select(digitExpr.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val expectedCol = expected.tail.foldLeft(
+      when(col("digit") === 1, lit(expected.head._2))) {
+      case (acc, (d, e)) => acc.when(col("digit") === d, lit(e))
+    }
+    val n = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDigit
+      .withColumn("_n", sum("n_obs").over(n))
+      .withColumn("exp_n", expectedCol * col("_n").cast("double"))
+      .withColumn("_term", round(
+        (col("n_obs").cast("double") - col("exp_n")) *
+          (col("n_obs").cast("double") - col("exp_n")) / col("exp_n") * 1e6)
+        .cast("long"))
+      .withColumn("chi2", round(sum("_term").over(n).cast("double") / 1e6, 6))
+      .select(col("digit"), col("n_obs"),
+        round(col("exp_n"), 6).as("exp_n"), col("chi2"))
+      .orderBy("digit")
+  }
 }

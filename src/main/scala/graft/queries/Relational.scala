@@ -1603,6 +1603,112 @@ object Relational {
         |LIMIT 1""".stripMargin) { (s, dir) =>
       graft.ext.Profile.ksDrift(t(s, dir, "documents"), "n_chars", "source",
         groupA = "src0", groupB = "src1")
+    },
+
+    // ——— ROC AUC by Mann–Whitney rank-sum: does event value rank
+    //     purchases above non-purchases? Exact midrank tie handling
+    //     in BIGINTs (scores micro-quantized, per-distinct-value
+    //     contribution p·(2·r_lo+t+1)); the threshold-free audit for
+    //     any corpus-filter score. ———
+    Q("q165_classifier_auc",
+      """WITH s AS (
+        |  SELECT CAST(round(value * 1000000) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT sm, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(y) AS BIGINT) AS p
+        |  FROM s GROUP BY 1
+        |), w AS (
+        |  SELECT t, p, CAST(COALESCE(SUM(t) OVER (ORDER BY sm
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS r_lo
+        |  FROM g
+        |)
+        |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |  CAST(SUM(t - p) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(p) > 0 AND SUM(t - p) > 0 THEN
+        |    ROUND(CAST(SUM(p * (2 * r_lo + t + 1)) - SUM(p) * (SUM(p) + 1)
+        |        AS DOUBLE) / (2.0 * SUM(p) * SUM(t - p)), 6)
+        |  END AS auc
+        |FROM w""".stripMargin) { (s, dir) =>
+      graft.ext.Classifier.rankAuc(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+
+    // ——— Kaplan–Meier risk table over per-user activity spans
+    //     (right-censored if still active within 7 days of
+    //     observation end). Sufficient statistics only — n_risk /
+    //     n_events / n_censored are exact integers; the cumulative
+    //     survival product is deliberately left to the reader (its
+    //     running Π is order-sequential float arithmetic). ———
+    Q("q166_kaplan_meier",
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS obs_end FROM events),
+        |pe AS (
+        |  SELECT user_id,
+        |    CAST(floor((MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+        |      / 86400000000.0) AS BIGINT) AS d,
+        |    CASE WHEN MAX(epoch_us(ts)) >= h.obs_end - 7 * 86400000000
+        |      THEN 0 ELSE 1 END AS ev
+        |  FROM events CROSS JOIN h GROUP BY user_id, h.obs_end
+        |), byd AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(ev) AS BIGINT) AS n_events
+        |  FROM pe GROUP BY 1
+        |), wd AS (
+        |  SELECT d, t, n_events,
+        |    CAST(COALESCE(SUM(t) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS before_n,
+        |    CAST(SUM(t) OVER () AS BIGINT) AS total_n
+        |  FROM byd
+        |)
+        |SELECT d AS duration_days, total_n - before_n AS n_risk, n_events,
+        |  t - n_events AS n_censored,
+        |  ROUND(1.0 - CAST(n_events AS DOUBLE) / (total_n - before_n), 6)
+        |    AS factor
+        |FROM wd WHERE n_events > 0
+        |ORDER BY duration_days""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
+        censorDays = 7)
+    },
+
+    // ——— Benford first-digit audit of l_extendedprice: fabricated-
+    //     data smell test. Digit from the integer part as a string
+    //     (no log10 on the data path); the nine Benford constants are
+    //     driver-computed once and injected as literals into BOTH
+    //     plans; χ² terms micro-quantized to BIGINT. ———
+    Q("q167_benford",
+      s"""WITH d AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE))
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0
+         |), g AS (
+         |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+         |), w AS (
+         |  SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS nt FROM g
+         |), e AS (
+         |  SELECT digit, n_obs,
+         |    (CASE digit ${benfordCaseSql} END) * CAST(nt AS DOUBLE) AS exp_n
+         |  FROM w
+         |), t2 AS (
+         |  SELECT digit, n_obs, exp_n,
+         |    CAST(round((n_obs - exp_n) * (n_obs - exp_n) / exp_n * 1000000)
+         |      AS BIGINT) AS term
+         |  FROM e
+         |)
+         |SELECT digit, n_obs, ROUND(exp_n, 6) AS exp_n,
+         |  ROUND(CAST(SUM(term) OVER () AS DOUBLE) / 1000000, 6) AS chi2
+         |FROM t2 ORDER BY digit""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
     }
   )
+
+  /** The nine Benford expected shares log10(1+1/d), printed at 17
+    * significant digits so the SQL literal parses back to the exact
+    * double the Spark plan injects (determinism pattern: driver-
+    * computed constants shared by both plans).
+    */
+  private def benfordCaseSql: String =
+    (1 to 9).map(d =>
+      f"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}%.17g").mkString(" ")
 }

@@ -74,4 +74,43 @@ class ClassifierSpec extends SparkSpec {
     val b = scores(d.repartition(17))
     assert(a === b) // exact double equality — the ordered-fold contract
   }
+
+  // ——— rankAuc ———
+
+  private def aucOf(rows: Seq[(Double, Boolean)]): Option[Double] = {
+    val r = Classifier.rankAuc(
+      rows.toDF("score", "y"), "score", col("y")).head()
+    if (r.isNullAt(r.fieldIndex("auc"))) None
+    else Some(r.getAs[Double]("auc"))
+  }
+
+  test("rankAuc: perfect separation → 1.0, inverted → 0.0, random ties → 0.5") {
+    val perfect = (1 to 10).map(i => (i.toDouble, i > 5))
+    assert(aucOf(perfect) === Some(1.0))
+    assert(aucOf(perfect.map { case (s, y) => (s, !y) }) === Some(0.0))
+    // identical scores for every row: midrank ties → exactly 0.5
+    val allTied = (1 to 10).map(i => (7.5, i % 2 == 0))
+    assert(aucOf(allTied) === Some(0.5))
+  }
+
+  test("rankAuc: hand-computed value with partial ties") {
+    // scores: pos {3, 2}, neg {2, 1}. Pairs: (3>2)=1, (3>1)=1,
+    // (2=2)=0.5, (2>1)=1 → U=3.5, AUC=3.5/4=0.875
+    assert(aucOf(Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false)))
+      === Some(0.875))
+  }
+
+  test("rankAuc: degenerate single-class input answers null, not 0/0") {
+    assert(aucOf(Seq((1.0, true), (2.0, true))) === None)
+    val r = Classifier.rankAuc(
+      Seq((1.0, true), (2.0, true)).toDF("score", "y"), "score", col("y")).head()
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 0L)
+  }
+
+  test("rankAuc: invariant under strictly monotone score transforms") {
+    val rows = (1 to 40).map(i => (i.toDouble, (i * 7) % 3 == 0))
+    val a = aucOf(rows)
+    val b = aucOf(rows.map { case (s, y) => (s * 10 + 100, y) })
+    assert(a === b)
+  }
 }

@@ -256,4 +256,82 @@ class ProfileSpec extends SparkSpec {
     assert(byV(1.0) === 5.95 && byV(100.0) === 95.05)
     assert(byV(50.0) === 50.0) // interior untouched
   }
+
+  // ——— Kaplan–Meier ———
+
+  private def kmEvents(spans: Seq[(Long, Int, Int)], horizon: Int = 100) = {
+    // (user, firstDay, lastDay) → two events per user at day
+    // boundaries; plus a sentinel user pinning observation end.
+    val rows = spans.flatMap { case (u, f, l) =>
+      Seq((u, java.sql.Timestamp.valueOf(f"2024-01-${f}%02d 00:00:00")),
+        (u, java.sql.Timestamp.valueOf(f"2024-01-${l}%02d 00:00:00")))
+    } :+ ((999L, java.sql.Timestamp.valueOf("2024-01-31 00:00:00")))
+    rows.toDF("user_id", "ts")
+  }
+
+  test("kaplanMeier: hand-computed risk table with censoring") {
+    // horizon = Jan 31. censorDays = 7 → users last seen on/after
+    // Jan 24 are censored. u1: span 2 days (churned), u2: 2 days
+    // (churned), u3: 5 days (churned), u4: 1..28 → 27 days censored,
+    // sentinel u999: 0 days censored.
+    val df = kmEvents(Seq((1L, 1, 3), (2L, 5, 7), (3L, 10, 15), (4L, 1, 28)))
+    val out = Profile.kaplanMeier(df, "user_id", "ts", censorDays = 7)
+      .collect()
+    // event rows only: d=2 (two events, 5 at risk), d=5 (one event,
+    // 3 at risk after the two d=2 users and... ordering: durations
+    // present: 0(cens),2,2,5,27(cens) → at d=2 risk=4 (all with d≥2)
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    val at2 = out.find(_.getLong(0) == 2L).get
+    assert(at2.getAs[Long]("n_risk") === 4L)
+    assert(at2.getAs[Long]("n_events") === 2L)
+    assert(at2.getAs[Long]("n_censored") === 0L)
+    assert(at2.getAs[Double]("factor") === 0.5)
+    val at5 = out.find(_.getLong(0) == 5L).get
+    assert(at5.getAs[Long]("n_risk") === 2L)
+    assert(at5.getAs[Long]("n_events") === 1L)
+    assert(at5.getAs[Double]("factor") === 0.5)
+  }
+
+  test("kaplanMeier: n_risk is non-increasing and bounded by cohort size") {
+    val df = kmEvents((1L to 20L).map(u =>
+      (u, 1 + (u % 5).toInt, 3 + (u % 19).toInt)))
+    val out = Profile.kaplanMeier(df, "user_id", "ts").collect()
+    val risks = out.map(_.getAs[Long]("n_risk")).toSeq
+    assert(risks === risks.sorted.reverse)
+    assert(risks.forall(_ <= 21)) // 20 users + sentinel
+  }
+
+  test("kaplanMeier: all users active at horizon → empty event table") {
+    val df = kmEvents(Seq((1L, 25, 30), (2L, 26, 31)), horizon = 100)
+    assert(Profile.kaplanMeier(df, "user_id", "ts").count() === 0L)
+  }
+
+  // ——— Benford ———
+
+  test("benford: planted Benford-exact counts give chi2 ≈ 0") {
+    // counts proportional to log10(1+1/d) over 10000 values
+    val counts = (1 to 9).map(d => d -> math.round(10000 * math.log10(1.0 + 1.0 / d)))
+    val vals = counts.flatMap { case (d, n) =>
+      (0L until n).map(i => d * 100.0 + (i % 90)) }
+    val out = Profile.benford(vals.toDF("v"), "v").collect()
+    assert(out.length === 9)
+    assert(out.head.getAs[Double]("chi2") < 0.1)
+    // observed counts are exactly the planted ones
+    assert(out.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+      === counts.map { case (d, n) => d -> n.toLong }.toMap)
+  }
+
+  test("benford: single-digit data is flagged with a large chi2") {
+    val out = Profile.benford(
+      (1 to 500).map(i => 100.0 + i % 90).toDF("v"), "v").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("digit") === 1)
+    assert(out.head.getAs[Double]("chi2") > 100.0)
+  }
+
+  test("benford: values below 1 are excluded from the audit") {
+    val out = Profile.benford(
+      Seq(0.5, 0.9, 123.0, 456.0).toDF("v"), "v").collect()
+    assert(out.map(_.getAs[Long]("n_obs")).sum === 2L)
+  }
 }
