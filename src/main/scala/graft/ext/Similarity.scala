@@ -617,4 +617,80 @@ object Similarity {
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Hubness diagnostic: the k-occurrence histogram — how often each
+    * vector appears in OTHER vectors' cosine top-k. High-dimensional
+    * embedding spaces grow "hubs" (vectors in everyone's neighbor
+    * list) that silently dominate kNN-based dedup/retrieval; the
+    * shape of this histogram (long right tail + mass at 0 =
+    * anti-hubs) is the standard health check before trusting an ANN
+    * index.
+    *
+    * Queries are a deterministic 1-in-`sampleMod` id sample — the
+    * histogram is a corpus STATISTIC, so a sample estimates it; the
+    * query side stays broadcast-sized at any corpus scale while the
+    * full corpus streams through one broadcast-join pass. Top-k per
+    * query is a (qid-partitioned) window rank over candidates —
+    * parallel across queries. Counting and the final histogram are
+    * two tiny integer aggregations; vectors never ranked enter at
+    * k_occurrence = 0 via the left anti-side coalesce.
+    */
+  def hubness(embeddings: DataFrame, k: Int = 10, sampleMod: Long = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm2(col(vecCol)).as("n2"))
+    val q = e.filter(col("vid") % sampleMod === 0)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val ranked = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("v"), col("qv")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))))
+      .filter(col("rn") <= k)
+    val counts = ranked.groupBy("vid").agg(count(lit(1)).as("c"))
+    embeddings.select(col(idCol).as("vid"))
+      .join(counts, Seq("vid"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("k_occurrence"))
+      .groupBy("k_occurrence").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("k_occurrence")
+  }
+
+  /** Reciprocal-rank fusion of two retrieval rankings (cosine and
+    * euclidean) against one query vector — the standard zero-tuning
+    * hybrid-search combiner. Each ranker contributes
+    * `round(1e12 / (rrfK + rank))` PICO-units, so the fused score is
+    * an exact BIGINT sum (aggregation-order-free) and the final
+    * ordering is integer comparison with id tie-break.
+    *
+    * Both rank passes are global windows over the scored candidates —
+    * at corpus scale you run this on each ranker's top-N candidate
+    * list (N ≈ 1000), never the full corpus; the scoring passes
+    * themselves are broadcast-join map work.
+    */
+  def rrfFuse(embeddings: DataFrame, query: DataFrame, k: Int = 10,
+              rrfK: Int = 60,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .crossJoin(broadcast(query.select(col("qv"), norm2(col("qv")).as("qn2"))))
+      .select(col(idCol).as("vid"),
+        round(dot(col(vecCol), col("qv"))
+          / (sqrt(norm2(col(vecCol))) * sqrt(col("qn2"))), 6).as("cos_sim"),
+        round(graft.functions.VectorOps.l2sq(col(vecCol), col("qv")), 6).as("l2"))
+    val fused = scored
+      .withColumn("rank_cos", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vid"))))
+      .withColumn("rank_l2", row_number().over(
+        Window.orderBy(col("l2").asc, col("vid"))))
+      .withColumn("rrf_pico",
+        round(lit(1e12) / (lit(rrfK) + col("rank_cos"))).cast("long") +
+          round(lit(1e12) / (lit(rrfK) + col("rank_l2"))).cast("long"))
+    // ranks cast to long: DuckDB window functions answer BIGINT
+    fused.select(col("vid").as(idCol), col("rank_cos").cast("long").as("rank_cos"),
+        col("rank_l2").cast("long").as("rank_l2"), col("rrf_pico"))
+      .orderBy(col("rrf_pico").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -711,6 +711,63 @@ object SimilarityQueries {
          |FROM sz JOIN tl ON sz.cl = tl.cl AND tl.rn = 1
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
       graft.ext.Clustering.kmeans(emb(s, dir), k = 8, iters = 2)
+    },
+
+    // ——— hubness: k-occurrence histogram over a deterministic
+    //     1-in-5 query sample — the high-dimensional health check
+    //     (hubs + anti-hubs) run before trusting kNN results. ———
+    Q("q168_hubness",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 5 = 0),
+         |sc AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM q JOIN e ON e.vec_id <> q.qid
+         |), p AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM sc
+         |), t AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM p WHERE rn <= 10 GROUP BY 1
+         |), a AS (
+         |  SELECT emb.vec_id, COALESCE(t.c, 0) AS c
+         |  FROM embeddings emb LEFT JOIN t USING (vec_id)
+         |)
+         |SELECT c AS k_occurrence, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Similarity.hubness(emb(s, dir), k = 10, sampleMod = 5)
+    },
+
+    // ——— reciprocal-rank fusion of cosine + euclidean rankings for
+    //     query vec 0: per-ranker pico-unit terms round(1e12/(60+r))
+    //     sum to an exact BIGINT — the zero-tuning hybrid-search
+    //     combiner, order-free by construction. ———
+    Q("q169_rrf_fusion",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim,
+         |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), 6)
+         |      AS l2
+         |  FROM embeddings e CROSS JOIN q
+         |), rk AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_cos,
+         |    row_number() OVER (ORDER BY l2 ASC, vec_id) AS rank_l2
+         |  FROM sc
+         |)
+         |SELECT vec_id, rank_cos, rank_l2,
+         |  CAST(round(1000000000000.0 / (60 + rank_cos)) AS BIGINT)
+         |    + CAST(round(1000000000000.0 / (60 + rank_l2)) AS BIGINT) AS rrf_pico
+         |FROM rk
+         |ORDER BY rrf_pico DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.rrfFuse(emb(s, dir), queryVec(s, dir), k = 10, rrfK = 60)
     }
   )
 

@@ -333,4 +333,59 @@ class SimilaritySpec extends SparkSpec {
       ranking(1L, (11L to 15L) ++ (6L to 10L), "rank_b"), k = 10).head()
     assert(top.getAs[Double]("rbo") > bottom.getAs[Double]("rbo"))
   }
+
+  test("hubness: histogram counts every vector once; planted hub dominates") {
+    // 20 unit-ish vectors on two axes + one "hub" near the centroid
+    // of everything: the hub must out-occur any other vector.
+    val rows = (0L until 20L).map { i =>
+      val v = new Array[Float](4)
+      v(if (i % 2 == 0) 0 else 1) = 1.0f
+      v(2) = (i % 7).toFloat / 100f
+      (i, v)
+    } :+ ((20L, Array(0.5f, 0.5f, 0.02f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val hist = Similarity.hubness(df, k = 3, sampleMod = 2).collect()
+      .map(r => r.getAs[Long]("k_occurrence") -> r.getAs[Long]("n_vecs")).toMap
+    assert(hist.values.sum === 21L) // every vector lands in exactly one bin
+    // per-vector occurrence counts to find the hub's count
+    val maxOcc = hist.keys.max
+    assert(maxOcc > 3, s"expected a dominant hub, histogram: $hist")
+  }
+
+  test("hubness: occurrence mass equals queries × k when n is ample") {
+    val hist = Similarity.hubness(emb, k = 5, sampleMod = 10).collect()
+    val mass = hist.map(r =>
+      r.getAs[Long]("k_occurrence") * r.getAs[Long]("n_vecs")).sum
+    val nQueries = emb.filter($"vec_id" % 10 === 0).count()
+    assert(mass === nQueries * 5)
+  }
+
+  test("rrfFuse: a vector top-ranked by BOTH metrics is the fused winner") {
+    val out = Similarity.rrfFuse(emb, qv, k = 10).collect()
+    // vec 0 IS the query: cosine 1.0 and l2 0.0 → rank 1 on both
+    assert(out.head.getAs[Long]("vec_id") === 0L)
+    assert(out.head.getAs[Long]("rank_cos") === 1L)
+    assert(out.head.getAs[Long]("rank_l2") === 1L)
+    // fused order is non-increasing in rrf_pico
+    val picos = out.map(_.getAs[Long]("rrf_pico")).toSeq
+    assert(picos === picos.sorted.reverse)
+  }
+
+  test("rrfFuse: balanced ranks beat a cos win with a bad l2 rank") {
+    // v1: cos rank 1, l2 rank 3 → 1/61 + 1/63
+    // v3: cos rank 2, l2 rank 1 → 1/62 + 1/61  (wins)
+    // v2: cos rank 3, l2 rank 2 → 1/63 + 1/62
+    val q = Seq(Tuple1(Array(10.0f, 0.0f))).toDF("qv")
+    val df = Seq(
+      (1L, Array(20.0f, 0.1f)),   // near-collinear but far → cos 1st, l2 3rd
+      (2L, Array(10.0f, 3.0f)),   // cos 3rd, l2 2nd
+      (3L, Array(9.0f, 0.5f))     // l2-closest, cos 2nd
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.rrfFuse(df, q, k = 3).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("rank_cos"), r.getAs[Long]("rank_l2"))).toMap
+    assert(byId(1L) === ((1L, 3L)) && byId(3L) === ((2L, 1L)) &&
+      byId(2L) === ((3L, 2L)), s"construction drifted: $byId")
+    assert(out.head.getAs[Long]("vec_id") === 3L)
+  }
 }
