@@ -631,4 +631,37 @@ object Corpus {
         sum("_toks").as("n_tokens"))
       .orderBy("epoch")
   }
+
+  /** N-gram novelty of the held-out splits against train — the
+    * eval-leakage readout for the [[hashSplit]] partition: what
+    * fraction of each non-train split's DISTINCT word n-grams never
+    * occurs in train? Low novelty means eval metrics are measuring
+    * memorization of shared phrasing, not generalization (the
+    * document-level twin is q88/q142 decontamination; this is the
+    * finer phrase-level audit).
+    *
+    * Shape: shingling is map-side; the split label derives from the
+    * doc-id hash coin alone (no join back to a split table); one
+    * distinct per side and one left-anti join keyed by shingle. At
+    * 100 TB put a bloom filter of train shingles in front of the
+    * anti join (q80's pattern) — the exact join then touches only
+    * probable-novel grams.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int, splits: Seq[(String, Double)],
+                   trainSplit: String = "train",
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val grams = hashSplit(
+      Dedup.shingles(docs, n, idCol, textCol), splits, idCol)
+      .select(col("split"), col("shingle")).distinct()
+    val train = grams.filter(col("split") === trainSplit).select("shingle")
+    val eval = grams.filter(col("split") =!= trainSplit)
+    eval.join(train.withColumn("_seen", lit(1)), Seq("shingle"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+      .orderBy("split")
+  }
 }

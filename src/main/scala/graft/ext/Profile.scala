@@ -573,6 +573,52 @@ object Profile {
       .orderBy("duration_days")
   }
 
+  /** EWMA (α = 1/2) of daily event counts per group — the smoothed
+    * trend line under [[volumeSpikes]]' alarm. The dyadic α makes the
+    * whole recursion EXACT in binary floating point: the classical
+    * s_t = α·x_t + (1−α)·s_{t−1} unrolls to
+    * s_t = (2·x_0 + Σ_{j≥1} x_j·2^j) / 2^{t+1}, so the engine
+    * computes an INTEGER prefix sum of weighted counts (associative —
+    * partitioning-proof) and one division by a power of two (exact
+    * scaling, bit-identical in any engine). No transcendentals, no
+    * float accumulation order anywhere.
+    *
+    * t indexes the group's PRESENT days in order (gaps smooth across,
+    * which is what a trend line over sparse series wants). The 2^t
+    * weights bound the series at 62 present rows per group — beyond
+    * that the weights exceed BIGINT (and the discarded terms are
+    * below double resolution anyway); the guard fails loudly so the
+    * caller chunks by epoch instead of silently overflowing.
+    *
+    * Two shuffles: the (group, day) count and the per-group ordered
+    * prefix window.
+    */
+  def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy("grp").orderBy("day")
+    daily
+      .withColumn("_t", (row_number().over(ord) - 1).cast("long"))
+      // the overflow guard lives INSIDE the weight expression so
+      // column pruning can never drop it
+      .withColumn("_w",
+        when(col("_t") > 61, raise_error(concat(lit(
+          "ewmaDaily: series exceeds 62 present days for group "),
+          col("grp").cast("string"), lit("; chunk by epoch"))).cast("long"))
+          .when(col("_t") === 0, lit(2L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), cast(_t as int))")))
+      .withColumn("_s", sum(col("_w") * col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("grp"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round(col("_s").cast("double")
+          / expr("cast(shiftleft(cast(1 as bigint), cast(_t + 1 as int)) as double)"),
+          6).as("ewma"))
+      .orderBy("grp", "day")
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-/synthetic-data smell test for ingested
     * numeric feeds. Observed first-digit counts (extracted from the

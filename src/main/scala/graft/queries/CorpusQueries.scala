@@ -734,6 +734,44 @@ object CorpusQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_tokens
         |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Corpus.curriculumEpochs(docs(s, dir), nEpochs = 5)
+    },
+
+    // ——— phrase-level eval-leakage audit: fraction of val/test
+    //     DISTINCT 3-grams never seen in train (split = the q123
+    //     md5-coin; shingles = the q36 tokenization). Low novelty →
+    //     eval measures shared phrasing, not generalization. ———
+    Q("q170_ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1),
+        |        i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), sp AS (
+        |  SELECT CASE WHEN coin < 0.8 THEN 'train'
+        |              WHEN coin < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |    shingle
+        |  FROM (
+        |    SELECT doc_id, shingle,
+        |      CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS coin
+        |    FROM sh)
+        |), d AS (SELECT DISTINCT split, shingle FROM sp),
+        |tr AS (SELECT shingle FROM d WHERE split = 'train'),
+        |ev AS (SELECT split, shingle FROM d WHERE split <> 'train')
+        |SELECT ev.split, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+        |FROM ev LEFT JOIN tr USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Corpus.ngramNovelty(docs(s, dir), n = 3,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }
   )
 }

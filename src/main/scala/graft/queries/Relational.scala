@@ -1700,6 +1700,39 @@ object Relational {
          |  ROUND(CAST(SUM(term) OVER () AS DOUBLE) / 1000000, 6) AS chi2
          |FROM t2 ORDER BY digit""".stripMargin) { (s, dir) =>
       graft.ext.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+    },
+
+    // ——— EWMA (α = 1/2) of daily counts per event type: the dyadic α
+    //     turns the recursion into an INTEGER prefix sum divided by a
+    //     power of two — the whole smoothed trend line is exact in
+    //     both engines, no float accumulation anywhere. ———
+    Q("q171_ewma",
+      """WITH daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT grp, day, n,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY day) - 1
+        |      AS BIGINT) AS t
+        |  FROM daily
+        |), wtd AS (
+        |  SELECT grp, day, n, t,
+        |    CASE WHEN t = 0 THEN 2
+        |         ELSE (CAST(1 AS BIGINT) << CAST(t AS INT)) END AS w
+        |  FROM idx
+        |), s AS (
+        |  SELECT grp, day, n, t,
+        |    CAST(SUM(w * n) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sw
+        |  FROM wtd
+        |)
+        |SELECT grp, strftime(day, '%Y-%m-%d') AS day, n,
+        |  ROUND(CAST(sw AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << CAST(t + 1 AS INT)) AS DOUBLE), 6)
+        |    AS ewma
+        |FROM s ORDER BY grp, day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.ewmaDaily(t(s, dir, "events"), "event_type", "ts")
     }
   )
 

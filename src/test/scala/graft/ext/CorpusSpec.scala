@@ -403,4 +403,48 @@ class CorpusSpec extends SparkSpec {
       .head().getLong(0)
     assert(totalToks === expected)
   }
+
+  // ——— ngramNovelty ———
+
+  private val threeWay = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("ngramNovelty: identical text everywhere → zero novelty") {
+    val docs = (1L to 300L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, n = 3, threeWay).collect()
+    assert(out.nonEmpty) // both held-out splits populated at n=300
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_novel") === 0L)
+      assert(r.getAs[Double]("novelty_rate") === 0.0)
+    }
+  }
+
+  test("ngramNovelty: per-doc-unique text → full novelty") {
+    val docs = (1L to 300L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, n = 3, threeWay).collect()
+    assert(out.map(_.getAs[String]("split")).toSet === Set("val", "test"))
+    out.foreach(r => assert(r.getAs[Double]("novelty_rate") === 1.0))
+  }
+
+  test("ngramNovelty: differential against a local set-ops replay") {
+    val texts = Seq("a b c d", "b c d e", "x y z w", "a b c q")
+    val docs = (1L to 120L).map(i => (i, texts((i % 4).toInt)))
+      .toDF("doc_id", "text")
+    val splitOf = Corpus.hashSplit(docs.select("doc_id"), threeWay)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val bySplit = (1L to 120L).groupBy(splitOf)
+      .map { case (s, ids) =>
+        s -> ids.flatMap(i => grams(texts((i % 4).toInt))).toSet }
+    val train = bySplit.getOrElse("train", Set.empty)
+    val out = Corpus.ngramNovelty(docs, n = 3, threeWay).collect()
+    out.foreach { r =>
+      val s = r.getAs[String]("split")
+      val expected = bySplit(s)
+      assert(r.getAs[Long]("n_ngrams") === expected.size.toLong)
+      assert(r.getAs[Long]("n_novel") === expected.diff(train).size.toLong)
+    }
+  }
 }

@@ -334,4 +334,45 @@ class ProfileSpec extends SparkSpec {
       Seq(0.5, 0.9, 123.0, 456.0).toDF("v"), "v").collect()
     assert(out.map(_.getAs[Long]("n_obs")).sum === 2L)
   }
+
+  // ——— ewmaDaily ———
+
+  private def dayEvents(counts: Seq[(String, Int, Long)]) =
+    counts.flatMap { case (g, day, n) =>
+      (0L until n).map(i =>
+        (g, java.sql.Timestamp.valueOf(f"2024-02-${day}%02d 0${(i % 9) + 1}%d:00:00")))
+    }.toDF("grp", "ts")
+
+  test("ewmaDaily: constant series is a fixed point; hand recursion holds") {
+    val out = Profile.ewmaDaily(
+      dayEvents(Seq(("a", 1, 4L), ("a", 2, 8L), ("a", 3, 2L),
+        ("b", 1, 5L), ("b", 2, 5L), ("b", 3, 5L))), "grp", "ts")
+      .collect()
+    val a = out.filter(_.getString(0) == "a").map(_.getAs[Double]("ewma")).toSeq
+    // s0=4; s1=(8+4)/2=6; s2=(2+6)/2=4
+    assert(a === Seq(4.0, 6.0, 4.0))
+    val b = out.filter(_.getString(0) == "b").map(_.getAs[Double]("ewma")).toSeq
+    assert(b === Seq(5.0, 5.0, 5.0))
+  }
+
+  test("ewmaDaily: bit-identical under repartitioning") {
+    val df = dayEvents((1 to 20).map(d => ("g", d, (d * 3 % 7 + 1).toLong)))
+    val x = Profile.ewmaDaily(df, "grp", "ts").collect().toSeq
+    val y = Profile.ewmaDaily(df.repartition(13), "grp", "ts").collect().toSeq
+    assert(x === y)
+  }
+
+  test("ewmaDaily: >62 present days fails loudly instead of overflowing") {
+    // 63 distinct days across three months
+    val rows = (0 until 63).map { i =>
+      ("g", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(i).atStartOfDay()))
+    }.toDF("grp", "ts")
+    val e = intercept[Exception] {
+      Profile.ewmaDaily(rows, "grp", "ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("ewmaDaily")))
+  }
 }
