@@ -1085,4 +1085,36 @@ object Dedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("dup_fraction"))
   }
+
+  /** Fuzzy entity resolution over a NAME DICTIONARY: Jaro–Winkler
+    * pairs among the distinct values of `nameCol` at/above
+    * `threshold` (compared on the 6-dp rounding both engines share).
+    * The self-join runs on the distinct-value dictionary, not the
+    * rows — name vocabularies grow orders of magnitude slower than
+    * corpora, which is what makes the quadratic candidate space
+    * survivable. For dictionaries that are themselves large, pass
+    * `blockOnFirstChar = true`: candidates are generated only within
+    * first-character blocks (the classic blocking tradeoff — misses
+    * pairs differing in position 0, cuts candidates ~|Σ|-fold).
+    * The kernel is the codegen'd native [[graft.functions.JaroWinkler]].
+    */
+  def jaroWinklerPairs(df: DataFrame, nameCol: String, threshold: Double,
+                       blockOnFirstChar: Boolean = false): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull)
+      .distinct()
+    val a = names.select(col("name").as("name_a"))
+    val b = names.select(col("name").as("name_b"))
+    val joined =
+      if (blockOnFirstChar)
+        a.withColumn("_blk", substring(col("name_a"), 1, 1))
+          .join(b.withColumn("_blk", substring(col("name_b"), 1, 1)), "_blk")
+          .drop("_blk")
+      else a.crossJoin(b)
+    joined.filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= threshold)
+      .select("name_a", "name_b", "jw")
+      .orderBy("name_a", "name_b")
+  }
 }

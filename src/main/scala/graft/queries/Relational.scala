@@ -1733,6 +1733,23 @@ object Relational {
         |    AS ewma
         |FROM s ORDER BY grp, day""".stripMargin) { (s, dir) =>
       graft.ext.Profile.ewmaDaily(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— fuzzy entity resolution over the part-name dictionary:
+    //     Jaro–Winkler pairs ≥ 0.75 via the native codegen'd kernel,
+    //     semantics pinned to the oracle's implementation (truncated
+    //     half-transpositions, >0.7 prefix boost). The join runs on
+    //     DISTINCT names — the dictionary, not the rows. ———
+    Q("q172_jw_name_match",
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.75
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.jaroWinklerPairs(t(s, dir, "part"), "p_name",
+        threshold = 0.75)
     }
   )
 
