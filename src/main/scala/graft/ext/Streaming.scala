@@ -512,6 +512,55 @@ object Streaming {
     * Integer pair counts; probabilities are single divisions.
     * One user-keyed window shuffle + one pair-count shuffle.
     */
+  /** Last-touch marketing attribution: each purchase's value is
+    * credited to the user's most recent PRECEDING non-purchase event
+    * type within `lookback` — the standard conversion-credit readout.
+    *
+    * The "most recent preceding" pick is a window max of
+    * `struct(micros, event_id, type)` over non-purchase rows only
+    * (struct ordering = lexicographic, so the latest (ts, id) wins
+    * deterministically; conditional null rows are ignored by max).
+    * The lookback is applied AFTER the pick: if the latest preceding
+    * touch is stale, every earlier one is staler — so post-filtering
+    * is exact, and the frame never needs a range bound. Values
+    * accumulate in cents (exact integers); purchases with no live
+    * touch credit 'none'.
+    *
+    * Two shuffles: the per-user ordered window and the final
+    * per-type aggregation.
+    */
+  def lastTouchAttribution(events: DataFrame, convType: String = "purchase",
+                           lookback: String = "7 days",
+                           userCol: String = "user_id", tsCol: String = "ts",
+                           typeCol: String = "event_type",
+                           valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lookbackMicros = gapToMicros(lookback)
+    val w = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_touch", max(
+        when(col(typeCol) =!= convType,
+          struct(col("_us").as("us"), col("event_id").as("eid"),
+            col(typeCol).as("ty")))).over(w))
+    touched.filter(col(typeCol) === convType)
+      .withColumn("_ty",
+        when(col("_touch").isNotNull &&
+          col("_us") - col("_touch.us") <= lookbackMicros,
+          col("_touch.ty")).otherwise(lit("none")))
+      .groupBy(col("_ty").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(toCentsCol(col(valueCol))).as("_cents"))
+      .select(col("touch_type"), col("n_conversions"),
+        round(col("_cents").cast("double") / 100, 2).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  private def toCentsCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(v.cast("double") * 100).cast("long")
+
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
                        typeCol: String = "event_type", tsCol: String = "ts",
                        idCol: String = "event_id"): DataFrame = {

@@ -1750,6 +1750,81 @@ object Relational {
         |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
       graft.ext.Dedup.jaroWinklerPairs(t(s, dir, "part"), "p_name",
         threshold = 0.75)
+    },
+
+    // ——— skyline / Pareto frontier: customers unbeaten on BOTH total
+    //     spend and account balance. Sort-based single pass over the
+    //     DISTINCT cent-integer point set (after dedup the dominance
+    //     rule collapses to y > max-preceding-y), membership joined
+    //     back to rows. Spark has no skyline operator — this is the
+    //     composed form. ———
+    Q("q173_skyline",
+      """WITH cv AS (
+        |  SELECT c.c_custkey,
+        |    CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS spend_cents,
+        |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_acctbal
+        |), pts AS (SELECT DISTINCT spend_cents AS x, bal_cents AS y FROM cv),
+        |sky AS (
+        |  SELECT x, y FROM (
+        |    SELECT x, y, MAX(y) OVER (ORDER BY x DESC, y DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxy
+        |    FROM pts)
+        |  WHERE maxy IS NULL OR y > maxy
+        |)
+        |SELECT cv.c_custkey,
+        |  ROUND(CAST(cv.spend_cents AS DOUBLE) / 100, 2) AS spend,
+        |  ROUND(CAST(cv.bal_cents AS DOUBLE) / 100, 2) AS acctbal
+        |FROM cv JOIN sky ON cv.spend_cents = sky.x AND cv.bal_cents = sky.y
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val spend = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_acctbal"))
+        .agg(coalesce(sum(round(col("o_totalprice") * 100).cast("long")),
+          lit(0L)).as("spend_cents"))
+        .select(col("c_custkey"), col("spend_cents"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.ext.Skyline.frontier(spend, "spend_cents", "bal_cents")
+        .select(col("c_custkey"),
+          round(col("spend_cents").cast("double") / 100, 2).as("spend"),
+          round(col("bal_cents").cast("double") / 100, 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // ——— last-touch attribution: purchase value credited to the
+    //     user's latest preceding non-purchase touch within 7 days.
+    //     The pick is a window max of struct(micros, event_id, type)
+    //     — lookback applied AFTER (if the latest touch is stale,
+    //     every earlier one is staler). Cents-exact. ———
+    Q("q174_attribution",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT event_id AS eid, user_id, epoch_us(ts) AS us, event_type AS ty
+        |  FROM events WHERE event_type <> 'purchase'
+        |), pick AS (
+        |  SELECT p.event_id, e.ty, e.us AS tus,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY e.us DESC, e.eid DESC) AS rn
+        |  FROM p JOIN e ON e.user_id = p.user_id
+        |    AND (e.us < p.us OR (e.us = p.us AND e.eid < p.event_id))
+        |), att AS (
+        |  SELECT p.event_id, p.cents,
+        |    CASE WHEN k.ty IS NOT NULL AND p.us - k.tus <= 604800000000
+        |      THEN k.ty ELSE 'none' END AS touch_type
+        |  FROM p LEFT JOIN (SELECT event_id, ty, tus FROM pick WHERE rn = 1) k
+        |    USING (event_id)
+        |)
+        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS attributed_value
+        |FROM att GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.lastTouchAttribution(t(s, dir, "events"),
+        convType = "purchase", lookback = "7 days")
     }
   )
 

@@ -501,4 +501,48 @@ class StreamingSpec extends SparkSpec {
       .toDF("event_type", "ts")
     assert(graft.ext.Profile.volumeSpikes(flat, "event_type", "ts").isEmpty)
   }
+
+  test("lastTouchAttribution: credits latest in-window touch, staleness → none") {
+    import java.sql.Timestamp
+    def ts(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-05-$day%02d $hour%02d:00:00")
+    val ev = Seq(
+      // u1: view then click then purchase → click credited
+      (1L, 10L, ts(1, 9), "view", 0.0),
+      (2L, 10L, ts(1, 10), "click", 0.0),
+      (3L, 10L, ts(1, 11), "purchase", 25.5),
+      // u2: click 8 days before purchase → stale → none
+      (4L, 20L, ts(1, 9), "click", 0.0),
+      (5L, 20L, ts(9, 10), "purchase", 10.0),
+      // u3: purchase with no preceding events at all → none
+      (6L, 30L, ts(2, 9), "purchase", 4.5),
+      // u4: two purchases after one view → both credited to view
+      (7L, 40L, ts(3, 9), "view", 0.0),
+      (8L, 40L, ts(3, 10), "purchase", 1.0),
+      (9L, 40L, ts(3, 11), "purchase", 2.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ext.Streaming.lastTouchAttribution(ev, "purchase", "7 days")
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("attributed_value")))
+      .toMap
+    assert(out("click") === ((1L, 25.5)))
+    assert(out("none") === ((2L, 14.5)))
+    assert(out("view") === ((2L, 3.0)))
+    // every purchase is attributed exactly once
+    assert(out.values.map(_._1).sum === 5L)
+  }
+
+  test("lastTouchAttribution: same-timestamp tie resolves by event_id order") {
+    import java.sql.Timestamp
+    def t0 = Timestamp.valueOf("2024-05-01 09:00:00")
+    val ev = Seq(
+      (1L, 1L, t0, "view", 0.0),
+      (2L, 1L, t0, "click", 0.0),   // same ts, larger id → the latest touch
+      (3L, 1L, t0, "purchase", 8.0) // same ts, preceding ids are touches
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ext.Streaming.lastTouchAttribution(ev, "purchase", "7 days")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("touch_type") === "click")
+  }
 }
