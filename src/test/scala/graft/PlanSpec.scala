@@ -102,4 +102,25 @@ class PlanSpec extends SparkSpec {
       "centroid table not broadcast")
     df.limit(1).collect() // and it executes
   }
+
+  test("q168: hubness broadcasts the sampled query side, never sort-merges") {
+    val plan = planOf("q168_hubness")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation degraded to a cartesian product:\n$plan")
+  }
+
+  test("q173: skyline's membership join is broadcast (frontier is tiny)") {
+    val plan = planOf("q173_skyline")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier membership join should broadcast:\n$plan")
+  }
+
+  test("q172: name-dictionary pairs never read the fact rows twice unpruned") {
+    val plan = planOf("q172_jw_name_match")
+    // dictionary build prunes to the single name column
+    assert(plan.contains("ReadSchema: struct<p_name:string>"),
+      s"name scan not column-pruned:\n$plan")
+  }
 }
