@@ -533,6 +533,82 @@ object TextStats {
         round(col("n").cast("double") / col("row_n"), 6).as("frac"))
   }
 
+  /** BM25 ranking of documents against a literal query-term list —
+    * the lexical-retrieval scorer that pairs with the ANN path for
+    * hybrid search (fuse with q169's RRF). Okapi BM25 with k1/b
+    * literals shared by both plans.
+    *
+    * Determinism: tf, df, dl, N, Σdl are exact integers; the length
+    * norm enters as `dl·N / Σdl` (integer multiply, ONE division);
+    * idf is ONE ln per query term (the q127 pattern — no log sums);
+    * each term's contribution is quantized to 1e-6 BIGINT before the
+    * per-doc sum, so partial aggregation order cannot move the score.
+    *
+    * Scale: the (token, doc) tf table is the only corpus-sized
+    * shuffle; the query-term df table is |q| rows broadcast back.
+    * Top-k is a TakeOrdered, never a global sort.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("token"))
+    val dl = docs.select(col(idCol).as("doc"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.filter(col("token").isInCollection(queryTerms))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val term = tf
+      .join(broadcast(df), "token")
+      .join(dl, "doc")
+      .crossJoin(broadcast(totals))
+      .withColumn("_idf", log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("_norm", lit(1.0) - lit(b) + lit(b) *
+        ((col("dl") * col("n_docs")).cast("double") / col("sum_dl")))
+      .withColumn("_contrib", round(
+        col("_idf") * (col("tf").cast("double") * (k1 + 1.0))
+          / (col("tf").cast("double") + lit(k1) * col("_norm")) * 1e6)
+        .cast("long"))
+    term.groupBy("doc")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        round(sum("_contrib").cast("double") / 1e6, 6).as("score"))
+      .select(col("doc").as(idCol), col("n_terms_matched"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Cohen's κ of the marker classifier against the true label —
+    * chance-corrected agreement from the confusion matrix's integer
+    * sufficient statistics alone: with n rows, D = Σ diagonal and
+    * S = Σ_k row_k·col_k, κ = (D·n − S) / (n² − S) — a single EXACT
+    * integer ratio (no float po/pe intermediates at all). Degenerate
+    * chance agreement (n² = S, both raters constant) answers null.
+    */
+  def cohenKappa(pred: DataFrame, truthCol: String,
+                 predCol: String): DataFrame = {
+    val cells = pred.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("t").agg(sum("n").as("rn"))
+    val cols = cells.groupBy("p").agg(sum("n").as("cn"))
+    val agg = cells.agg(
+      sum("n").as("n_rows"),
+      sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("d"))
+    val s = rows.join(cols, col("t") === col("p"))
+      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("s"))
+    agg.crossJoin(s)
+      .select(col("n_rows"), col("d").as("n_agree"),
+        round(col("d").cast("double") / col("n_rows"), 6).as("observed"),
+        round(col("s").cast("double") / (col("n_rows") * col("n_rows")), 6)
+          .as("expected"),
+        when(col("n_rows") * col("n_rows") =!= col("s"),
+          round((col("d") * col("n_rows") - col("s")).cast("double")
+            / (col("n_rows") * col("n_rows") - col("s")), 6)).as("kappa"))
+  }
+
   /** Source-outlier detection from TEXT ALONE: each document's
     * hashed-bucket token distribution compared (squared L2) to its
     * own source's mean distribution; the top-`k` most distant docs

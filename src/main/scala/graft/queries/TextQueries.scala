@@ -1906,6 +1906,91 @@ object TextQueries {
         |FROM pc LEFT JOIN vocab v USING (w)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       TextStats.oovRate(docs(s, dir), vocabSize = 20).orderBy("source")
+    },
+
+    // ——— BM25 lexical retrieval for a literal 3-term query: integer
+    //     tf/df/dl/N, one ln per term, per-term contributions
+    //     micro-quantized before the per-doc sum. The lexical half of
+    //     hybrid search (fuse with q169). ———
+    Q("q175_bm25", {
+      val k1p1 = f"${1.2 + 1.0}%.17g"
+      s"""WITH toksArr AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+         |  FROM documents
+         |), toks AS (SELECT doc_id, unnest(ts) AS token FROM toksArr),
+         |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toksArr),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |  FROM dl
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+         |  WHERE token IN ('query', 'join', 'fast') GROUP BY 1, 2
+         |), dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |term AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (CAST(t.n_docs - dft.df AS DOUBLE) + 0.5)
+         |               / (CAST(dft.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * $k1p1)
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (1.0 - 0.75 + 0.75
+         |                  * (CAST(dl.dl * t.n_docs AS DOUBLE) / t.sum_dl)))
+         |      * 1000000) AS BIGINT) AS contrib
+         |  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN tot t
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         |  ROUND(CAST(SUM(contrib) AS DOUBLE) / 1000000, 6) AS score
+         |FROM term GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      TextStats.bm25(docs(s, dir), Seq("query", "join", "fast"), k = 20)
+    },
+
+    // ——— Cohen's κ of the marker classifier vs the true label:
+    //     chance-corrected agreement as ONE exact integer ratio
+    //     (D·n − S)/(n² − S) — no float po/pe intermediates. ———
+    Q("q176_cohen_kappa", {
+      val langs = TextStats.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ms) =>
+        val terms = ms.map(m =>
+          s"(CASE WHEN contains(lower(text), '${m.replace("'", "''")}') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($terms) AS s_$lang"
+      }.mkString(",\n        ")
+      val names = langs.map { case (l, _) => s"s_$l" }
+      val pick = langs.map { case (l, _) => s"WHEN s_$l THEN '$l'" }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |        $scoreCols
+         |  FROM documents
+         |), pred AS (
+         |  SELECT lang AS t,
+         |    CASE greatest(${names.mkString(", ")}) $pick END AS p
+         |  FROM scored
+         |), cells AS (
+         |  SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+         |), rc AS (SELECT t, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+         |cc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+         |ag AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS d
+         |  FROM cells
+         |), sv AS (
+         |  SELECT CAST(COALESCE(SUM(rn * cn), 0) AS BIGINT) AS s
+         |  FROM rc JOIN cc ON rc.t = cc.p
+         |)
+         |SELECT n_rows, d AS n_agree,
+         |  ROUND(CAST(d AS DOUBLE) / n_rows, 6) AS observed,
+         |  ROUND(CAST(s AS DOUBLE) / (n_rows * n_rows), 6) AS expected,
+         |  CASE WHEN n_rows * n_rows <> s THEN
+         |    ROUND(CAST(d * n_rows - s AS DOUBLE) / (n_rows * n_rows - s), 6)
+         |  END AS kappa
+         |FROM ag CROSS JOIN sv""".stripMargin
+    }) { (s, dir) =>
+      val pred = docs(s, dir).select(col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      TextStats.cohenKappa(pred, "lang", "lang_pred")
     }
   )
 }

@@ -368,4 +368,67 @@ class TextStatsSpec extends SparkSpec {
     assert(r("s2").getLong(1) === 7L && r("s2").getLong(2) === 2L)
     assert(math.abs(r("s2").getDouble(3) - 2.0 / 7) < 1e-6)
   }
+
+  // ——— bm25 ———
+
+  private def scoreOf(rows: Seq[(Long, String)], q: Seq[String]) =
+    TextStats.bm25(rows.toDF("doc_id", "text"), q, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+
+  test("bm25: rarer term outweighs common term at equal tf and length") {
+    val corpus = (1L to 20L).map(i => (i, "common filler filler filler")) ++
+      Seq((100L, "rare filler filler filler"))
+    val s = scoreOf(corpus, Seq("common", "rare"))
+    assert(s(100L) > s(1L), s"rare-term doc should outrank: $s")
+  }
+
+  test("bm25: tf saturates sub-linearly; shorter doc wins at equal tf") {
+    val corpus = Seq(
+      (1L, "hit pad pad pad pad pad pad pad"),
+      (2L, "hit hit hit hit hit hit hit pad"), // tf 7, same length
+      (3L, "hit pad")) // same tf as 1, shorter
+    val s = scoreOf(corpus, Seq("hit"))
+    assert(s(2L) > s(1L) && s(2L) < 7 * s(1L),
+      s"tf must help sub-linearly: $s")
+    assert(s(3L) > s(1L), s"length norm must favor the short doc: $s")
+  }
+
+  test("bm25: only matching docs appear; scores deterministic under repartition") {
+    val corpus = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) s"query pad$i pad" else s"pad$i pad pad"))
+    val df = corpus.toDF("doc_id", "text")
+    val a = TextStats.bm25(df, Seq("query"), k = 50).collect().toSeq
+    assert(a.map(_.getLong(0)).forall(_ % 3 == 0))
+    val b = TextStats.bm25(df.repartition(11), Seq("query"), k = 50)
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  // ——— cohenKappa ———
+
+  private def kappaOf(pairs: Seq[(String, String)]) = {
+    val r = TextStats.cohenKappa(pairs.toDF("t", "p"), "t", "p").head()
+    (r.getAs[Long]("n_rows"), r.getAs[Long]("n_agree"),
+      if (r.isNullAt(r.fieldIndex("kappa"))) None
+      else Some(r.getAs[Double]("kappa")))
+  }
+
+  test("cohenKappa: perfect agreement → 1; constant rater → 0; degenerate → null") {
+    val perfect = Seq.tabulate(40)(i => (s"c${i % 3}", s"c${i % 3}"))
+    assert(kappaOf(perfect)._3 === Some(1.0))
+    // prediction constant while truth varies: exactly chance level
+    val constant = Seq.tabulate(40)(i => (s"c${i % 3}", "c0"))
+    assert(kappaOf(constant)._3 === Some(0.0))
+    // both constant: expected agreement 1 → undefined
+    assert(kappaOf(Seq.fill(10)(("x", "x")))._3 === None)
+  }
+
+  test("cohenKappa: hand-computed 2x2 value") {
+    // matrix [[20,5],[10,15]] → po=0.7, pe=0.5, kappa=0.4 exactly
+    val pairs = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val (n, d, k) = kappaOf(pairs)
+    assert(n === 50L && d === 35L)
+    assert(k === Some(0.4))
+  }
 }
