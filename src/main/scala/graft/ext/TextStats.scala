@@ -581,6 +581,46 @@ object TextStats {
       .limit(k)
   }
 
+  /** Vocabulary growth curve (the empirical Heaps'-law plot): how
+    * many DISTINCT tokens the corpus has accumulated after each
+    * decile of documents in id order. A flattening curve says new
+    * data is mostly re-treading known vocabulary — the cheap signal
+    * for "more of this source adds little lexical diversity".
+    *
+    * All-integer construction: each token's FIRST document
+    * (min doc id — one aggregation over the token long form), counts
+    * of first-appearances per doc, and an ordered prefix sum
+    * evaluated at the decile boundary ids. The boundary ids are exact
+    * nearest-rank picks of the distinct-doc order. Checkpoint rows =
+    * 10, window input = distinct first-doc ids — bounded regardless
+    * of corpus size.
+    */
+  def vocabGrowth(docs: DataFrame, nCheckpoints: Int = 10,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDoc = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(min("doc").as("fd"))
+    val perDoc = firstDoc.groupBy("fd").agg(count(lit(1)).as("nw"))
+    val ids = docs.select(col(idCol).as("doc")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("doc")).cast("long"))
+      .withColumn("nd", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // checkpoint i's boundary = the doc at rank floor(i·nd / k)
+    val cps = docs.sparkSession.range(1, nCheckpoints + 1)
+      .toDF("checkpoint")
+    val bounds = ids.join(broadcast(cps),
+        col("rn") === floor(col("checkpoint") * col("nd") / nCheckpoints)
+          .cast("long"))
+      .select(col("checkpoint"), col("doc").as("bound_doc"),
+        col("rn").as("n_docs"))
+    bounds.join(perDoc, col("fd") <= col("bound_doc"), "left")
+      .groupBy("checkpoint", "bound_doc", "n_docs")
+      .agg(coalesce(sum("nw"), lit(0L)).as("vocab"))
+      .orderBy("checkpoint")
+  }
+
   /** Cohen's κ of the marker classifier against the true label —
     * chance-corrected agreement from the confusion matrix's integer
     * sufficient statistics alone: with n rows, D = Σ diagonal and

@@ -1825,6 +1825,34 @@ object Relational {
         |FROM att GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Streaming.lastTouchAttribution(t(s, dir, "events"),
         convType = "purchase", lookback = "7 days")
+    },
+
+    // ——— RFM segmentation: per-user recency/frequency/monetary from
+    //     purchase events, quintile scores with user-id tie-break
+    //     (5 = best on every axis); integers + cents throughout. ———
+    Q("q177_rfm",
+      """WITH conv AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), h AS (SELECT MAX(us) AS obs_end FROM conv),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(floor((h.obs_end - MAX(us)) / 86400000000.0) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM conv CROSS JOIN h GROUP BY user_id, h.obs_end
+        |)
+        |SELECT user_id, recency_days, frequency,
+        |  ROUND(CAST(cents AS DOUBLE) / 100, 2) AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m_score
+        |FROM pu ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.rfm(t(s, dir, "events"), convType = "purchase")
     }
   )
 

@@ -1991,6 +1991,35 @@ object TextQueries {
       val pred = docs(s, dir).select(col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))
       TextStats.cohenKappa(pred, "lang", "lang_pred")
+    },
+
+    // ——— vocabulary growth (Heaps' curve): distinct tokens
+    //     accumulated at each doc-order decile — all integers via
+    //     per-token first-doc + prefix evaluation at nearest-rank
+    //     boundaries. A flattening curve = diminishing lexical
+    //     return from more of this corpus. ———
+    Q("q178_vocab_growth",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), fd AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+        |pd AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS nw FROM fd GROUP BY 1),
+        |ids AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nd
+        |  FROM (SELECT DISTINCT doc_id FROM documents)
+        |), cps AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS checkpoint),
+        |bounds AS (
+        |  SELECT c.checkpoint, i.doc AS bound_doc, i.rn AS n_docs
+        |  FROM ids i JOIN cps c
+        |    ON i.rn = CAST(floor(c.checkpoint * i.nd / 10) AS BIGINT)
+        |)
+        |SELECT b.checkpoint, b.bound_doc, b.n_docs,
+        |  CAST(COALESCE(SUM(p.nw), 0) AS BIGINT) AS vocab
+        |FROM bounds b LEFT JOIN pd p ON p.fd <= b.bound_doc
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextStats.vocabGrowth(docs(s, dir), nCheckpoints = 10)
     }
   )
 }

@@ -532,6 +532,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.map(_._1).sum === 5L)
   }
 
+  test("rfm: hand-ranked users get the expected quintiles; cents exact") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-06-$day%02d 12:00:00")
+    // user u: last purchase day = u*5, frequency = u, spend = u*10.10
+    val ev = (1L to 5L).flatMap { u =>
+      (1L to u).map(k =>
+        (u * 100 + k, u, ts((u * 5).toInt), "purchase", 10.10))
+    } :+ ((999L, 3L, ts(1), "view", 500.0)) // non-purchase: ignored
+    val out = graft.ext.Streaming.rfm(
+        ev.toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size === 5)
+    // user 5: most recent, most frequent, biggest spender → (5,5,5)
+    val u5 = out(5L)
+    assert(u5.getAs[Long]("r_score") === 5L &&
+      u5.getAs[Long]("f_score") === 5L && u5.getAs[Long]("m_score") === 5L)
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("r_score") === 1L &&
+      u1.getAs[Long]("f_score") === 1L && u1.getAs[Long]("m_score") === 1L)
+    // cents-exact monetary: 3 purchases of 10.10 = 30.30 exactly
+    assert(out(3L).getAs[Double]("monetary") === 30.30)
+    // recency is whole days from obs end (user 5's last = obs end)
+    assert(u5.getAs[Long]("recency_days") === 0L)
+    assert(u1.getAs[Long]("recency_days") === 20L)
+  }
+
   test("lastTouchAttribution: same-timestamp tie resolves by event_id order") {
     import java.sql.Timestamp
     def t0 = Timestamp.valueOf("2024-05-01 09:00:00")

@@ -423,6 +423,29 @@ class TextStatsSpec extends SparkSpec {
     assert(kappaOf(Seq.fill(10)(("x", "x")))._3 === None)
   }
 
+  test("vocabGrowth: hand curve — each doc introduces exactly two tokens") {
+    val docs = (1L to 10L).map(i => (i, s"w${i}a w${i}b w${i}a"))
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabGrowth(docs, nCheckpoints = 10).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vocab") === 2 * r.getAs[Long]("checkpoint"))
+      assert(r.getAs[Long]("n_docs") === r.getAs[Long]("checkpoint"))
+    }
+  }
+
+  test("vocabGrowth: monotone, ends at the full vocabulary") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"shared common w${i % 7} w${(i * 3) % 11}")).toDF("doc_id", "text")
+    val out = TextStats.vocabGrowth(docs, nCheckpoints = 10).collect()
+    val vocab = out.map(_.getAs[Long]("vocab")).toSeq
+    assert(vocab === vocab.sorted)
+    val total = docs.select(explode(TextStats.tokens(col("text"))))
+      .distinct().count()
+    assert(vocab.last === total)
+    assert(out.last.getAs[Long]("n_docs") === 40L)
+  }
+
   test("cohenKappa: hand-computed 2x2 value") {
     // matrix [[20,5],[10,15]] → po=0.7, pe=0.5, kappa=0.4 exactly
     val pairs = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
