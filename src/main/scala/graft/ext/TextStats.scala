@@ -621,6 +621,89 @@ object TextStats {
       .orderBy("checkpoint")
   }
 
+  /** Weighted (multiset) Jaccard similarity between sources' token
+    * frequency profiles — the integer-exact companion to the q145
+    * JSD matrix: WJ(a,b) = Σ_t min(tf_at, tf_bt) / Σ_t max(tf_at,
+    * tf_bt). Using Σmax = T_a + T_b − Σmin, only SHARED tokens join —
+    * the per-pair work is one equi-join on token plus two broadcast
+    * totals, and the score is a single division of exact BIGINTs.
+    *
+    * Scale: the (source, token) tf table is one corpus shuffle; the
+    * token-keyed self-join's fan-out is bounded by |sources|² per
+    * token (sources are few). Totals are a |sources|-row broadcast.
+    */
+  def sourceWeightedJaccard(docs: DataFrame, sourceCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy("src").agg(sum("tf").as("t"))
+    val shared = tf.toDF("src_a", "w", "tf_a")
+      .join(tf.toDF("src_b", "w", "tf_b"), "w")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("s_min"))
+    shared
+      .join(broadcast(totals.toDF("src_a", "t_a")), "src_a")
+      .join(broadcast(totals.toDF("src_b", "t_b")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        col("s_min").as("shared_mass"),
+        round(col("s_min").cast("double")
+          / (col("t_a") + col("t_b") - col("s_min")), 6).as("w_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Sample L-moment shape statistics per group — the
+    * order-statistics alternative to skewness/kurtosis that is
+    * robust, bounded (|τ₃|, |τ₄| ≤ 1), and — the point here —
+    * computable EXACTLY: every probability-weighted moment numerator
+    * is an integer weighted sum over ranked values
+    * (S_r = Σ (i−1)⋯(i−r) x_(i)), and each emitted ratio is ONE
+    * division of exact BIGINTs:
+    *
+    *   l1 = S0/n,   l2 = (2S1 − S0(n−1)) / (n(n−1)),
+    *   τ3 = (6S2 − 6S1(n−2) + S0(n−1)(n−2)) / ((2S1 − S0(n−1))(n−2)),
+    *   τ4 = (20S3 − 30S2(n−3) + 12S1(n−2)(n−3) − S0(n−1)(n−2)(n−3))
+    *        / ((2S1 − S0(n−1))(n−2)(n−3)).
+    *
+    * Ties need no tie-break: equal values make the rank assignment
+    * within a tied block irrelevant to every S_r. Groups with n < 4
+    * or zero dispersion answer null ratios.
+    *
+    * The rank is a per-group window (partition-parallel). BIGINT
+    * headroom bounds the exact path at roughly n ≲ 20k per group for
+    * 64-bit sums with ~2^11-sized values; past that, compute the
+    * ratios in doubles from the same sums (documented approximation).
+    */
+  def lMoments(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("x")
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val s = ranked.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("s0"),
+      sum((col("i") - 1) * col("x")).as("s1"),
+      sum((col("i") - 1) * (col("i") - 2) * col("x")).as("s2"),
+      sum((col("i") - 1) * (col("i") - 2) * (col("i") - 3) * col("x")).as("s3"))
+    val n = col("n"); val s0 = col("s0"); val s1 = col("s1")
+    val s2 = col("s2"); val s3 = col("s3")
+    val l2num = lit(2L) * s1 - s0 * (n - 1)
+    val t3num = lit(6L) * s2 - lit(6L) * s1 * (n - 2) + s0 * (n - 1) * (n - 2)
+    val t4num = lit(20L) * s3 - lit(30L) * s2 * (n - 3) +
+      lit(12L) * s1 * (n - 2) * (n - 3) - s0 * (n - 1) * (n - 2) * (n - 3)
+    s.select(col("grp"), n,
+      round(s0.cast("double") / n, 6).as("l1"),
+      when(n > 1,
+        round(l2num.cast("double") / (n * (n - 1)), 6)).as("l2"),
+      when(n > 2 && l2num =!= 0,
+        round(t3num.cast("double") / (l2num * (n - 2)), 6)).as("t3"),
+      when(n > 3 && l2num =!= 0,
+        round(t4num.cast("double") / (l2num * (n - 2) * (n - 3)), 6)).as("t4"))
+      .orderBy("grp")
+  }
+
   /** Cohen's κ of the marker classifier against the true label —
     * chance-corrected agreement from the confusion matrix's integer
     * sufficient statistics alone: with n rows, D = Σ diagonal and

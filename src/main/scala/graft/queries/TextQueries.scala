@@ -2020,6 +2020,67 @@ object TextQueries {
         |FROM bounds b LEFT JOIN pd p ON p.fd <= b.bound_doc
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
       TextStats.vocabGrowth(docs(s, dir), nCheckpoints = 10)
+    },
+
+    // ——— weighted (multiset) Jaccard between source token profiles:
+    //     Σmin / (T_a + T_b − Σmin) — one exact BIGINT ratio per
+    //     pair; only SHARED tokens ever join. The integer companion
+    //     to the q145 JSD matrix. ———
+    Q("q179_weighted_jaccard",
+      """WITH tf AS (
+        |  SELECT src, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT source AS src,
+        |          unnest(string_split_regex(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT src, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+        |sh AS (
+        |  SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS s_min
+        |  FROM tf a JOIN tf b ON a.token = b.token AND a.src < b.src
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sh.src_a, sh.src_b, sh.s_min AS shared_mass,
+        |  ROUND(CAST(sh.s_min AS DOUBLE) / (ta.t + tb.t - sh.s_min), 6)
+        |    AS w_jaccard
+        |FROM sh JOIN tot ta ON ta.src = sh.src_a
+        |        JOIN tot tb ON tb.src = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      TextStats.sourceWeightedJaccard(docs(s, dir))
+    },
+
+    // ——— per-source L-moment shape statistics (l1, l2, τ3, τ4):
+    //     integer probability-weighted sums over ranked n_chars, each
+    //     emitted ratio ONE division of exact BIGINTs; tie order
+    //     provably irrelevant. The robust, bounded alternative to
+    //     skewness/kurtosis for length-distribution monitoring. ———
+    Q("q180_lmoments",
+      """WITH r AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) AS i
+        |  FROM documents
+        |), s AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s0,
+        |    CAST(SUM((i-1)*x) AS BIGINT) AS s1,
+        |    CAST(SUM((i-1)*(i-2)*x) AS BIGINT) AS s2,
+        |    CAST(SUM((i-1)*(i-2)*(i-3)*x) AS BIGINT) AS s3
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT grp, n,
+        |  ROUND(CAST(s0 AS DOUBLE) / n, 6) AS l1,
+        |  CASE WHEN n > 1 THEN
+        |    ROUND(CAST(2*s1 - s0*(n-1) AS DOUBLE) / (n*(n-1)), 6) END AS l2,
+        |  CASE WHEN n > 2 AND 2*s1 - s0*(n-1) <> 0 THEN
+        |    ROUND(CAST(6*s2 - 6*s1*(n-2) + s0*(n-1)*(n-2) AS DOUBLE)
+        |      / ((2*s1 - s0*(n-1)) * (n-2)), 6) END AS t3,
+        |  CASE WHEN n > 3 AND 2*s1 - s0*(n-1) <> 0 THEN
+        |    ROUND(CAST(20*s3 - 30*s2*(n-3) + 12*s1*(n-2)*(n-3)
+        |               - s0*(n-1)*(n-2)*(n-3) AS DOUBLE)
+        |      / ((2*s1 - s0*(n-1)) * (n-2) * (n-3)), 6) END AS t4
+        |FROM s ORDER BY grp""".stripMargin) { (s, dir) =>
+      TextStats.lMoments(docs(s, dir), "n_chars", "source")
     }
   )
 }

@@ -446,6 +446,57 @@ class TextStatsSpec extends SparkSpec {
     assert(out.last.getAs[Long]("n_docs") === 40L)
   }
 
+  test("sourceWeightedJaccard: hand value, identity, disjoint absence") {
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "b", "x z"),
+      (3L, "c", "x x y"),          // identical profile to a
+      (4L, "d", "only disjoint words")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.sourceWeightedJaccard(docs, "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared_mass"), r.getAs[Double]("w_jaccard"))).toMap
+    // a vs b: min-mass 1 over (3 + 2 - 1) = 0.25
+    assert(out(("a", "b")) === ((1L, 0.25)))
+    assert(out(("a", "c")) === ((3L, 1.0)))
+    // disjoint sources never appear as a pair
+    assert(!out.keySet.exists { case (x, y) => x == "d" || y == "d" })
+  }
+
+  test("lMoments: uniform spacing is symmetric; mirroring negates t3") {
+    val uni = (1L to 5L).map(x => ("u", x)).toDF("grp", "v")
+    val r = TextStats.lMoments(uni, "v", "grp").head()
+    assert(r.getAs[Double]("l1") === 3.0)
+    assert(r.getAs[Double]("l2") === 1.0) // (n+1)/6 for 1..n
+    assert(r.getAs[Double]("t3") === 0.0)
+    val skewed = Seq(1L, 1L, 1L, 2L, 10L).map(("s", _)).toDF("grp", "v")
+    val mirrored = Seq(1L, 1L, 1L, 2L, 10L).map(x => ("m", 11L - x))
+      .toDF("grp", "v")
+    val ts = TextStats.lMoments(skewed, "v", "grp").head().getAs[Double]("t3")
+    val tm = TextStats.lMoments(mirrored, "v", "grp").head().getAs[Double]("t3")
+    assert(ts > 0.0)
+    assert(tm === -ts)
+  }
+
+  test("lMoments: degenerate groups answer nulls, not division errors") {
+    val df = (Seq.fill(6)(("const", 7L)) ++ Seq(("tiny", 1L), ("tiny", 2L),
+      ("tiny", 3L))).toDF("grp", "v")
+    val by = TextStats.lMoments(df, "v", "grp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = by("const")
+    assert(c.getAs[Double]("l2") === 0.0)
+    assert(c.isNullAt(c.fieldIndex("t3")) && c.isNullAt(c.fieldIndex("t4")))
+    val t = by("tiny") // n = 3: t3 defined, t4 needs n > 3
+    assert(!t.isNullAt(t.fieldIndex("t3")))
+    assert(t.isNullAt(t.fieldIndex("t4")))
+  }
+
+  test("lMoments: tie order cannot move the sums (repartition + shuffle)") {
+    val df = (1L to 200L).map(i => ("g", (i % 7) + 1)).toDF("grp", "v")
+    val a = TextStats.lMoments(df, "v", "grp").collect().toSeq
+    val b = TextStats.lMoments(df.repartition(17), "v", "grp").collect().toSeq
+    assert(a === b)
+  }
+
   test("cohenKappa: hand-computed 2x2 value") {
     // matrix [[20,5],[10,15]] → po=0.7, pe=0.5, kappa=0.4 exactly
     val pairs = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
