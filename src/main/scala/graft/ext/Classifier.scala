@@ -257,6 +257,42 @@ object Classifier {
     * quantization (1e-4 ≈ 20k distinct values for scores in [0,1] —
     * window input is KBs regardless of corpus size).
     */
+  /** Reliability diagram + expected calibration error for a
+    * probabilistic score against a binary label — the third leg of
+    * the evaluation stool next to AUC (ranking) and κ (agreement):
+    * does 0.8 MEAN 80%?
+    *
+    * Scores quantize to micro-units per row; bins are score-order
+    * ntiles with id tie-break. Per bin, confidence − accuracy has the
+    * EXACT integer numerator `sy·1e6 − ssm` over `n·1e6`, so the ECE
+    * numerator Σ|sy·1e6 − ssm| is a BIGINT and the final ECE is one
+    * division — no float accumulation anywhere. The ntile is a global
+    * sort of (score, id) PAIRS; at corpus scale assign bins from
+    * approx_percentile score cuts (map-only) exactly like the
+    * curriculum op.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String, scoreCol: String,
+                      idCol: String = "doc_id", bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = scored.select(col(idCol).as("id"),
+      round(col(scoreCol).cast("double") * 1e6).cast("long").as("sm"),
+      col(labelCol).cast("long").as("y"))
+    val binned = q.withColumn("bin",
+      ntile(bins).over(Window.orderBy("sm", "id")).cast("long"))
+    val g = binned.groupBy("bin").agg(count(lit(1)).as("n"),
+      sum("sm").as("ssm"), sum("y").as("sy"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("_nt", sum("n").over(w))
+      .withColumn("_enum", sum(abs(col("sy") * lit(1000000L) - col("ssm"))).over(w))
+      .select(col("bin"), col("n"),
+        round(col("ssm").cast("double") / (col("n") * lit(1000000.0)), 6)
+          .as("confidence"),
+        round(col("sy").cast("double") / col("n"), 6).as("accuracy"),
+        round(col("_enum").cast("double") / (col("_nt") * lit(1000000.0)), 6)
+          .as("ece"))
+      .orderBy("bin")
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df

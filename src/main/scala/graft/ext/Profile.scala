@@ -619,6 +619,33 @@ object Profile {
       .orderBy("grp", "day")
   }
 
+  /** Day-of-week seasonality profile per group — the weekly rhythm
+    * baseline that separates "Mondays are always 2×" from a real
+    * volume anomaly (pairs with [[volumeSpikes]]' hourly alarm and
+    * [[ewmaDaily]]'s trend). Integer day counts aggregated per
+    * (group, dow); the average is one exact division; peak_rank
+    * orders a group's weekdays by total (tie → smaller dow).
+    * dow is 0 = Sunday (both engines' conventions aligned
+    * explicitly — Spark's dayofweek is 1-based, the oracle's 0-based).
+    * Two tiny aggregations + a 7-row-per-group window.
+    */
+  def dowSeasonality(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("dow", (dayofweek(col("_day")) - 1).cast("long"))
+    daily.groupBy("grp", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("_n").as("total_events"))
+      .withColumn("avg_per_day",
+        round(col("total_events").cast("double") / col("n_days"), 6))
+      .withColumn("peak_rank", row_number().over(
+        Window.partitionBy("grp")
+          .orderBy(col("total_events").desc, col("dow"))).cast("long"))
+      .orderBy("grp", "dow")
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-/synthetic-data smell test for ingested
     * numeric feeds. Observed first-digit counts (extracted from the

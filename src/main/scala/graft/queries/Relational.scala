@@ -1853,6 +1853,29 @@ object Relational {
         |  CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m_score
         |FROM pu ORDER BY user_id""".stripMargin) { (s, dir) =>
       graft.ext.Streaming.rfm(t(s, dir, "events"), convType = "purchase")
+    },
+
+    // ——— day-of-week seasonality profile per event type: the weekly
+    //     rhythm baseline under the spike alarm (dow 0 = Sunday,
+    //     conventions aligned explicitly; integer counts, one exact
+    //     division, peak_rank tie → smaller dow). ———
+    Q("q182_dow_seasonality",
+      """WITH daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dw AS (
+        |  SELECT grp, CAST(dayofweek(day) AS BIGINT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS total_events
+        |  FROM daily GROUP BY 1, 2
+        |)
+        |SELECT grp, dow, n_days, total_events,
+        |  ROUND(CAST(total_events AS DOUBLE) / n_days, 6) AS avg_per_day,
+        |  CAST(row_number() OVER (PARTITION BY grp
+        |    ORDER BY total_events DESC, dow) AS BIGINT) AS peak_rank
+        |FROM dw ORDER BY grp, dow""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.dowSeasonality(t(s, dir, "events"), "event_type", "ts")
     }
   )
 

@@ -2081,6 +2081,67 @@ object TextQueries {
         |      / ((2*s1 - s0*(n-1)) * (n-2) * (n-3)), 6) END AS t4
         |FROM s ORDER BY grp""".stripMargin) { (s, dir) =>
       TextStats.lMoments(docs(s, dir), "n_chars", "source")
+    },
+
+    // ——— reliability diagram + ECE for the distilled classifier
+    //     (the q112 chain): score-order deciles, per-bin confidence
+    //     vs teacher-label accuracy, ECE from the exact integer
+    //     numerator Σ|sy·1e6 − ssm|. The third evaluation leg next
+    //     to AUC (q165) and κ (q176). ———
+    Q("q181_calibration",
+      s"""WITH wt AS (SELECT bucket, w FROM read_parquet('${Fixtures.sqlPath("q181_weights")}') WHERE bucket >= 0),
+         |bias AS (SELECT w AS b FROM read_parquet('${Fixtures.sqlPath("q181_weights")}') WHERE bucket = -1),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents
+         |), feats AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) % 256 AS BIGINT) AS bucket
+         |  FROM toks
+         |), zs AS (
+         |  SELECT f.doc_id, list_sum(list(wt.w ORDER BY f.bucket)) AS s
+         |  FROM feats f JOIN wt USING (bucket) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT z.doc_id,
+         |    CAST(round(1.0 / (1.0 + exp(-(bias.b + z.s))) * 1000000) AS BIGINT)
+         |      AS sm
+         |  FROM zs z CROSS JOIN bias
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(CASE WHEN token = 'spark' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'stream' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS y
+         |  FROM toks GROUP BY doc_id
+         |), b AS (
+         |  SELECT s.sm, l.y,
+         |    CAST(ntile(10) OVER (ORDER BY s.sm, s.doc_id) AS BIGINT) AS bin
+         |  FROM sc s JOIN lab l USING (doc_id)
+         |), g AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(sm) AS BIGINT) AS ssm, CAST(SUM(y) AS BIGINT) AS sy
+         |  FROM b GROUP BY 1
+         |)
+         |SELECT bin, n,
+         |  ROUND(CAST(ssm AS DOUBLE) / (n * 1000000.0), 6) AS confidence,
+         |  ROUND(CAST(sy AS DOUBLE) / n, 6) AS accuracy,
+         |  ROUND(CAST(SUM(ABS(sy * 1000000 - ssm)) OVER () AS DOUBLE)
+         |    / (SUM(n) OVER () * 1000000.0), 6) AS ece
+         |FROM g ORDER BY bin""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      val toks = TextStats.tokens(col("text"))
+      val labeled = docs(s, dir).withColumn("y",
+        (array_contains(toks, "spark") && array_contains(toks, "stream") &&
+          array_contains(toks, "window")).cast("int"))
+      val model = Classifier.train(labeled, "y", dim = 256, iters = 2)
+      Fixtures.write("q181_weights", {
+        import s.implicits._
+        ((-1L, model.bias) +: model.weights.zipWithIndex.toSeq
+          .map { case (w, j) => (j.toLong, w) }).toDF("bucket", "w")
+      })
+      val scored = Classifier.score(labeled, model)
+        .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      Classifier.calibrationBins(scored, "y", "score", bins = 10)
     }
   )
 }

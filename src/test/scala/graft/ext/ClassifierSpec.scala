@@ -107,6 +107,36 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 0L)
   }
 
+  test("calibrationBins: calibrated data → ece 0; overconfidence measured exactly") {
+    // two score levels whose empirical rates match the scores exactly
+    val calibrated = (1L to 20L).map(i => (i, 0.25, if (i <= 5) 1 else 0)) ++
+      (21L to 40L).map(i => (i, 0.75, if (i <= 35) 1 else 0))
+    val c = Classifier.calibrationBins(
+      calibrated.toDF("doc_id", "score", "y"), "y", "score", bins = 2)
+      .collect()
+    assert(c.length === 2)
+    c.foreach { r =>
+      assert(r.getAs[Double]("confidence") === r.getAs[Double]("accuracy"))
+      assert(r.getAs[Double]("ece") === 0.0)
+    }
+    // uniformly overconfident: says 0.9, delivers 0.5 → ece 0.4
+    val over = (1L to 40L).map(i => (i, 0.9, (i % 2).toInt))
+    val o = Classifier.calibrationBins(
+      over.toDF("doc_id", "score", "y"), "y", "score", bins = 2).collect()
+    o.foreach(r => assert(r.getAs[Double]("ece") === 0.4))
+  }
+
+  test("calibrationBins: bin confidences are non-decreasing in bin order") {
+    val rows = (1L to 100L).map(i => (i, i.toDouble / 100, (i % 3) match {
+      case 0 => 1; case _ => 0
+    }))
+    val out = Classifier.calibrationBins(
+      rows.toDF("doc_id", "score", "y"), "y", "score", bins = 5).collect()
+    val confs = out.map(_.getAs[Double]("confidence")).toSeq
+    assert(confs === confs.sorted)
+    assert(out.map(_.getAs[Long]("n")).sum === 100L)
+  }
+
   test("rankAuc: invariant under strictly monotone score transforms") {
     val rows = (1 to 40).map(i => (i.toDouble, (i * 7) % 3 == 0))
     val a = aucOf(rows)

@@ -362,6 +362,26 @@ class ProfileSpec extends SparkSpec {
     assert(x === y)
   }
 
+  test("dowSeasonality: planted weekday rhythm, exact averages, peak rank") {
+    // 2024-07-01 is a Monday. Mondays get 10 events, Fridays 4, over
+    // three weeks.
+    val rows = (0 until 3).flatMap { wk =>
+      val monday = java.time.LocalDate.of(2024, 7, 1).plusDays(wk * 7L)
+      (0 until 10).map(i => ("a", java.sql.Timestamp.valueOf(
+        monday.atTime(9, i)))) ++
+        (0 until 4).map(i => ("a", java.sql.Timestamp.valueOf(
+          monday.plusDays(4).atTime(9, i))))
+    }.toDF("grp", "ts")
+    val out = Profile.dowSeasonality(rows, "grp", "ts").collect()
+      .map(r => r.getAs[Long]("dow") -> r).toMap
+    assert(out.keySet === Set(1L, 5L)) // Monday = 1, Friday = 5 (0 = Sunday)
+    assert(out(1L).getAs[Long]("n_days") === 3L)
+    assert(out(1L).getAs[Double]("avg_per_day") === 10.0)
+    assert(out(1L).getAs[Long]("peak_rank") === 1L)
+    assert(out(5L).getAs[Double]("avg_per_day") === 4.0)
+    assert(out(5L).getAs[Long]("peak_rank") === 2L)
+  }
+
   test("ewmaDaily: >62 present days fails loudly instead of overflowing") {
     // 63 distinct days across three months
     val rows = (0 until 63).map { i =>
