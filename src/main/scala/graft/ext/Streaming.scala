@@ -604,6 +604,63 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Daily-activity streaks per user (gaps-and-islands): consecutive
+    * active DAYS collapse to islands via the classic `epoch_day −
+    * row_number` constant — two window-free integer subtractions and
+    * two aggregations, no self-join. Returns per user: active-day
+    * count, number of streaks, and the longest streak — the
+    * engagement-consistency readout.
+    *
+    * Shape: distinct (user, day) is the only corpus-sized shuffle;
+    * the rank window partitions per user (parallel); islands and the
+    * final rollup are user-keyed aggregations.
+    */
+  def activityStreaks(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    val islands = ud
+      .withColumn("isl", col("dn") - row_number().over(w))
+      .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness per day. Sliding DISTINCT
+    * counts have no direct window form; the scalable shape is
+    * contribution fan-out: each distinct (user, day) activity row
+    * covers days d…d+6, so WAU(d) is a plain distinct count per
+    * covered day — bounded 7× fan-out of the THIN (user, day) pair
+    * stream, never a per-day re-scan. Days outside the observed
+    * activity range are clipped so every emitted day has a real DAU.
+    * stickiness = DAU/WAU, one exact division.
+    */
+  def dauWau(events: DataFrame, userCol: String = "user_id",
+             tsCol: String = "ts"): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("u").as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("u"), date_add(col("day"), col("off")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
                        typeCol: String = "event_type", tsCol: String = "ts",
                        idCol: String = "event_id"): DataFrame = {

@@ -1876,6 +1876,53 @@ object Relational {
         |    ORDER BY total_events DESC, dow) AS BIGINT) AS peak_rank
         |FROM dw ORDER BY grp, dow""".stripMargin) { (s, dir) =>
       graft.ext.Profile.dowSeasonality(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— daily-activity streaks (gaps-and-islands via day −
+    //     row_number): per-user active days, streak count, longest
+    //     streak. No self-join — two aggregations + one per-user
+    //     rank window. ———
+    Q("q183_streaks",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), d AS (
+        |  SELECT user_id, datediff('day', DATE '1970-01-01', day) AS dn FROM ud
+        |), isl AS (
+        |  SELECT user_id,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS isl
+        |  FROM d
+        |), g AS (
+        |  SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.activityStreaks(t(s, dir, "events"))
+    },
+
+    // ——— DAU / trailing-7-day WAU / stickiness: sliding DISTINCT via
+    //     bounded 7× contribution fan-out of the thin (user, day)
+    //     pairs — the scalable form of a window that SQL cannot
+    //     express directly. ———
+    Q("q184_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1
+        |), cover AS (
+        |  SELECT DISTINCT u, day + CAST(off AS INT) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+        |), wau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY 1
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.dauWau(t(s, dir, "events"))
     }
   )
 

@@ -558,6 +558,43 @@ class StreamingSpec extends SparkSpec {
     assert(u1.getAs[Long]("recency_days") === 20L)
   }
 
+  test("activityStreaks: hand islands — gaps split, repeats collapse") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 9) =
+      Timestamp.valueOf(f"2024-08-$day%02d $h%02d:00:00")
+    // u1: days 1,2,3, 5,6, 9 → streaks (3,2,1); two events on day 2
+    // must not double-count; u2: single day
+    val ev = (Seq(1, 2, 2, 3, 5, 6, 9).map(d => (1L, ts(d))) :+
+      ((1L, ts(2, 15))) :+ ((2L, ts(4)))).toDF("user_id", "ts")
+    val out = graft.ext.Streaming.activityStreaks(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_active_days") === 6L)
+    assert(u1.getAs[Long]("n_streaks") === 3L)
+    assert(u1.getAs[Long]("longest_streak") === 3L)
+    val u2 = out(2L)
+    assert(u2.getAs[Long]("n_active_days") === 1L &&
+      u2.getAs[Long]("longest_streak") === 1L)
+  }
+
+  test("dauWau: hand coverage — WAU counts trailing-7-day distinct users") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-08-$day%02d 09:00:00")
+    // u1 active day 1; u2 active day 5; u3 active days 1 and 5
+    val ev = Seq((1L, ts(1)), (2L, ts(5)), (3L, ts(1)), (3L, ts(5)))
+      .toDF("user_id", "ts")
+    val out = graft.ext.Streaming.dauWau(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // only observed-activity days are emitted
+    assert(out.keySet === Set("2024-08-01", "2024-08-05"))
+    val d1 = out("2024-08-01")
+    assert(d1.getAs[Long]("dau") === 2L && d1.getAs[Long]("wau") === 2L)
+    assert(d1.getAs[Double]("stickiness") === 1.0)
+    // day 5's trailing week covers day 1's users too → WAU = 3
+    val d5 = out("2024-08-05")
+    assert(d5.getAs[Long]("dau") === 2L && d5.getAs[Long]("wau") === 3L)
+  }
+
   test("lastTouchAttribution: same-timestamp tie resolves by event_id order") {
     import java.sql.Timestamp
     def t0 = Timestamp.valueOf("2024-05-01 09:00:00")
