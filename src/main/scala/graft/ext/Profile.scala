@@ -619,6 +619,61 @@ object Profile {
       .orderBy("grp", "day")
   }
 
+  /** Weighted median (and weighted quartiles) per group by
+    * NEAREST-RANK on cumulative integer weights — "the doc length at
+    * which half the TOKENS sit below" is a different (and for
+    * training-data budgeting, the right) question than the row
+    * median. Values and weights are exact integers; the pick is the
+    * first value whose running weight reaches ⌈q·W⌉ — pure integer
+    * comparisons, no interpolation anywhere.
+    *
+    * One (group, value) aggregation collapses ties before the
+    * per-group ordered prefix window (distinct values per group, not
+    * rows).
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val ord = Window.partitionBy("grp").orderBy("v")
+    val all = Window.partitionBy("grp")
+    val c = g
+      .withColumn("cw", sum("w").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("w").over(all))
+    def pick(q: Double, name: String) =
+      max(when(col("cw") - col("w") < ceil(lit(q) * col("tw")) &&
+        ceil(lit(q) * col("tw")) <= col("cw"), col("v"))).as(name)
+    c.groupBy("grp")
+      .agg(max("tw").as("total_weight"),
+        pick(0.25, "w_q1"), pick(0.5, "w_median"), pick(0.75, "w_q3"))
+      .orderBy("grp")
+  }
+
+  /** Deterministic mode per group: the most frequent value with
+    * smallest-value tie-break, plus its share — what Spark's own
+    * `mode()` aggregate refuses to promise (its tie-break is
+    * undefined). Two integer aggregations + a per-group rank window
+    * over DISTINCT values.
+    */
+  def modeShare(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol).as("grp"),
+        col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("n").desc, col("v"))))
+      .withColumn("tot", sum("n").over(Window.partitionBy("grp")))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("v").as("mode"), col("n").as("mode_n"),
+        col("tot").as("total_n"),
+        round(col("n").cast("double") / col("tot"), 6).as("share"))
+      .orderBy("grp")
+  }
+
   /** Day-of-week seasonality profile per group — the weekly rhythm
     * baseline that separates "Mondays are always 2×" from a real
     * volume anomaly (pairs with [[volumeSpikes]]' hourly alarm and

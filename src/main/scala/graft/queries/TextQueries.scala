@@ -2142,6 +2142,55 @@ object TextQueries {
       val scored = Classifier.score(labeled, model)
         .join(labeled.select(col("doc_id"), col("y")), "doc_id")
       Classifier.calibrationBins(scored, "y", "score", bins = 10)
+    },
+
+    // ——— token-weighted length quartiles per source: "the doc length
+    //     below which half the TOKENS sit" — nearest-rank on integer
+    //     cumulative weights, no interpolation; the budgeting view of
+    //     length distributions. ———
+    Q("q185_weighted_median",
+      """WITH base AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents
+        |), g AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS w FROM base GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, v, w,
+        |    CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+        |  FROM g
+        |)
+        |SELECT grp, MAX(tw) AS total_weight,
+        |  MAX(CASE WHEN cw - w < ceil(0.25 * tw) AND ceil(0.25 * tw) <= cw
+        |      THEN v END) AS w_q1,
+        |  MAX(CASE WHEN cw - w < ceil(0.5 * tw) AND ceil(0.5 * tw) <= cw
+        |      THEN v END) AS w_median,
+        |  MAX(CASE WHEN cw - w < ceil(0.75 * tw) AND ceil(0.75 * tw) <= cw
+        |      THEN v END) AS w_q3
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("source"), col("n_chars"),
+        size(TextStats.tokens(col("text"))).cast("long").as("w"))
+      graft.ext.Profile.weightedQuantiles(base, "n_chars", "w", "source")
+    },
+
+    // ——— deterministic mode + share (modal language per source,
+    //     smallest-value tie-break) — the promise Spark's own mode()
+    //     aggregate doesn't make. ———
+    Q("q186_mode_share",
+      """WITH counts AS (
+        |  SELECT source AS grp, lang AS v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT grp, v, n,
+        |    row_number() OVER (PARTITION BY grp ORDER BY n DESC, v) AS rn,
+        |    CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM counts
+        |)
+        |SELECT grp, v AS mode, n AS mode_n, tot AS total_n,
+        |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
+        |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.modeShare(docs(s, dir), "lang", "source")
     }
   )
 }

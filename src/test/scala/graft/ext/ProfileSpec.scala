@@ -362,6 +362,43 @@ class ProfileSpec extends SparkSpec {
     assert(x === y)
   }
 
+  test("weightedQuantiles: hand-weighted median differs from row median") {
+    // values 1..4; value 4 carries 90% of the weight → weighted
+    // median = 4 while the row median is 2
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 27L))
+      .toDF("grp", "v", "w")
+    val r = Profile.weightedQuantiles(df, "v", "w", "grp").head()
+    assert(r.getAs[Long]("total_weight") === 30L)
+    assert(r.getAs[Long]("w_median") === 4L)
+    assert(r.getAs[Long]("w_q1") === 4L) // ceil(7.5) = 8 > 3 cum
+    // uniform weights reduce to the plain nearest-rank quartiles
+    val uni = (1L to 8L).map(v => ("u", v, 1L)).toDF("grp", "v", "w")
+    val u = Profile.weightedQuantiles(uni, "v", "w", "grp").head()
+    assert(u.getAs[Long]("w_q1") === 2L)   // ceil(2) = 2
+    assert(u.getAs[Long]("w_median") === 4L)
+    assert(u.getAs[Long]("w_q3") === 6L)
+  }
+
+  test("weightedQuantiles: duplicate values merge weights before ranking") {
+    val df = Seq(("g", 5L, 2L), ("g", 5L, 3L), ("g", 9L, 1L))
+      .toDF("grp", "v", "w")
+    val r = Profile.weightedQuantiles(df, "v", "w", "grp").head()
+    assert(r.getAs[Long]("total_weight") === 6L)
+    assert(r.getAs[Long]("w_median") === 5L) // cum weight 5 ≥ ceil(3)
+  }
+
+  test("modeShare: smallest-value tie-break, exact share") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+      ("h", "z")).toDF("grp", "v")
+    val out = Profile.modeShare(df, "v", "grp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[String]("mode") === "a") // tie with b → smaller value
+    assert(g.getAs[Long]("mode_n") === 2L && g.getAs[Long]("total_n") === 5L)
+    assert(g.getAs[Double]("share") === 0.4)
+    assert(out("h").getAs[Double]("share") === 1.0)
+  }
+
   test("dowSeasonality: planted weekday rhythm, exact averages, peak rank") {
     // 2024-07-01 is a Monday. Mondays get 10 events, Fridays 4, over
     // three weeks.
