@@ -1923,6 +1923,28 @@ object Relational {
         |FROM dau d JOIN wau w USING (day)
         |ORDER BY day""".stripMargin) { (s, dir) =>
       graft.ext.Streaming.dauWau(t(s, dir, "events"))
+    },
+
+    // ——— DAU under STREAMING execution: stateful dropDuplicates on
+    //     (user, day) feeding a Complete-mode count — distinct
+    //     aggregates don't exist in Structured Streaming, so the
+    //     dedup-then-count split IS the streaming form. AvailableNow
+    //     + Complete emits the full final table → hash-equal to the
+    //     batch DAU oracle. ———
+    Q("q187_streaming_dau",
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), to_date(col("ts")).as("_day"))
+        .dropDuplicates("user_id", "_day")
+        .groupBy("_day").agg(count(lit(1)).as("dau"))
+      val q = graft.ext.Streaming.runToMemory(stream, "q187_dau",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q187_dau")
+        .select(date_format(col("_day"), "yyyy-MM-dd").as("day"), col("dau"))
+        .orderBy("day")
     }
   )
 

@@ -595,6 +595,25 @@ class StreamingSpec extends SparkSpec {
     assert(d5.getAs[Long]("dau") === 2L && d5.getAs[Long]("wau") === 3L)
   }
 
+  test("streaming DAU (dedup + Complete count) equals the batch distinct count") {
+    val stream = Streaming.readEvents(spark, eventsPath)
+      .select(col("user_id"), to_date(col("ts")).as("_day"))
+      .dropDuplicates("user_id", "_day")
+      .groupBy("_day").agg(count(lit(1)).as("dau"))
+    val q = Streaming.runToMemory(stream, "spec_dau",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    try {
+      val got = spark.table("spec_dau").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val want = Tables.load(spark, sf001, "events")
+        .groupBy(to_date(col("ts")).as("_day"))
+        .agg(countDistinct("user_id").as("dau"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("lastTouchAttribution: same-timestamp tie resolves by event_id order") {
     import java.sql.Timestamp
     def t0 = Timestamp.valueOf("2024-05-01 09:00:00")
