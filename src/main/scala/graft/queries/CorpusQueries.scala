@@ -772,6 +772,39 @@ object CorpusQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Corpus.ngramNovelty(docs(s, dir), n = 3,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
+    // ——— versioned snapshots + time travel (sinks.Versioned): write
+    //     v1 = full corpus, v2 = length-gated; read BOTH back from
+    //     parquet and reconcile per source (v1/v2 counts + removed
+    //     keys from the storage-level diff). The oracle computes the
+    //     same reconciliation from the source table — any loss in the
+    //     write→read→diff path breaks the hash. ———
+    Q("q188_time_travel",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS v1_docs,
+        |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v2_docs,
+        |  CAST(COUNT(*) - SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS removed
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.sinks.Versioned
+      val base = s"${Fixtures.dir}/timetravel"
+      val d = docs(s, dir)
+      Versioned.write(d, base, 1)
+      Versioned.write(d.filter(col("n_chars") >= 200), base, 2)
+      val v1 = Versioned.read(s, base, 1)
+        .groupBy("source").agg(count(lit(1)).as("v1_docs"))
+      val v2 = Versioned.read(s, base, 2)
+        .groupBy("source").agg(count(lit(1)).as("v2_docs"))
+      val rem = Versioned.diff(s, base, fromV = 1, toV = 2,
+          keyCols = Seq("doc_id", "source"))
+        .filter(col("status") === "removed")
+        .groupBy("source").agg(count(lit(1)).as("removed"))
+      v1.join(v2, Seq("source"), "left").join(rem, Seq("source"), "left")
+        .select(col("source"), col("v1_docs"),
+          coalesce(col("v2_docs"), lit(0L)).as("v2_docs"),
+          coalesce(col("removed"), lit(0L)).as("removed"))
+        .orderBy("source")
     }
   )
 }

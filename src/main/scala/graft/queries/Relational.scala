@@ -1945,6 +1945,29 @@ object Relational {
       s.table("q187_dau")
         .select(date_format(col("_day"), "yyyy-MM-dd").as("day"), col("dau"))
         .orderBy("day")
+    },
+
+    // ——— CSV round trip UNDER the oracle: the per-nation rollup is
+    //     written through the CSV sink, read back through the CSV
+    //     source (explicit schema), and hash-compared to the direct
+    //     computation — the sink/source contract itself is in the
+    //     correctness gate (types chosen lossless: string + bigint). ———
+    Q("q189_csv_roundtrip",
+      """SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val agg = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"))
+      val path = s"${graft.queries.Fixtures.dir}/csv_roundtrip"
+      agg.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("nation STRING, n_customers BIGINT")
+        .csv(path)
+        .orderBy("nation")
     }
   )
 
