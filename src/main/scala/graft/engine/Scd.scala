@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse mutation semantics Spark has no native operator for:
+  * slowly-changing-dimension (type 2) snapshot merges and
+  * MERGE-INTO-style upserts — both as pure, deterministic DataFrame
+  * programs (no table format required; pairs with
+  * [[graft.sinks.Versioned]] snapshots).
+  *
+  * Both are built from key-equi-joins only: one shuffle per side on
+  * the key (or a broadcast when one side is dimension-sized), no
+  * windows, no row-order sensitivity — every output cell is decided
+  * by the (key, values) pair alone.
+  */
+object Scd {
+
+  /** Two-snapshot SCD type-2 merge. For key sets O (old) / N (new)
+    * and value comparison over `compareCols`:
+    *
+    *  - key only in O            → (old values, fromV, toV)   closed
+    *  - key only in N            → (new values, toV,  null)   opened
+    *  - in both, values changed  → (old values, fromV, toV) +
+    *                               (new values, toV,  null)
+    *  - in both, values equal    → (values,     fromV, null)  carried
+    *
+    * `valid_to` null = current. Comparison is null-safe equality on
+    * every compare column (use exact integer/cent columns — the
+    * caller quantizes).
+    */
+  def scd2(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+           compareCols: Seq[String], fromV: Int, toV: Int): DataFrame = {
+    val cols = keyCols ++ compareCols
+    val o = oldSnap.select(cols.map(c => col(c).as("o_" + c)): _*)
+    val n = newSnap.select(cols.map(c => col(c).as("n_" + c)): _*)
+    val joined = o.join(n,
+      keyCols.map(k => col("o_" + k) === col("n_" + k)).reduce(_ && _),
+      "full_outer")
+    val inOld = col("o_" + keyCols.head).isNotNull
+    val inNew = col("n_" + keyCols.head).isNotNull
+    val same = compareCols.map(c => col("o_" + c) <=> col("n_" + c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def oldRow = struct(cols.map(c => col("o_" + c).as(c)) :+
+      lit(fromV).cast("long").as("valid_from") :+
+      lit(toV).cast("long").as("valid_to"): _*)
+    def carriedRow = struct(cols.map(c => col("o_" + c).as(c)) :+
+      lit(fromV).cast("long").as("valid_from") :+
+      lit(null).cast("long").as("valid_to"): _*)
+    def newRow = struct(cols.map(c => col("n_" + c).as(c)) :+
+      lit(toV).cast("long").as("valid_from") :+
+      lit(null).cast("long").as("valid_to"): _*)
+    val rows =
+      when(inOld && !inNew, array(oldRow))
+        .when(!inOld && inNew, array(newRow))
+        .when(same, array(carriedRow))
+        .otherwise(array(oldRow, newRow))
+    joined.select(explode(rows).as("_r")).select(col("_r.*"))
+  }
+
+  /** MERGE-INTO semantics from a declarative change feed: `changes`
+    * carries an `opCol` ∈ {'U','I','D'} (update / insert / delete)
+    * plus the full row. Result = target with matched-U rows replaced,
+    * matched-D rows dropped, and I rows appended (an I whose key
+    * already exists upserts like a U — idempotent-feed friendly).
+    * Unknown op values fail loudly.
+    */
+  def mergeUpsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                  opCol: String = "op"): DataFrame = {
+    val dataCols = target.columns.toSeq
+    val guarded = changes.withColumn(opCol,
+      when(col(opCol).isin("U", "I", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("mergeUpsert: unknown op '"),
+          col(opCol).cast("string"), lit("'")))))
+    val keyed = guarded.select((keyCols.map(col) :+ col(opCol)) ++
+      dataCols.filterNot(keyCols.contains).map(col): _*)
+    val survivors = target.join(
+      keyed.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val applied = keyed.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    survivors.unionByName(applied)
+  }
+}

@@ -1968,6 +1968,81 @@ object Relational {
         .schema("nation STRING, n_customers BIGINT")
         .csv(path)
         .orderBy("nation")
+    },
+
+    // ——— SCD type-2 snapshot merge over a deterministic change feed
+    //     (updates %10, deletes %17∖%10, inserts %23 as new keys):
+    //     closed / opened / changed-pair / carried rows with version
+    //     validity — the dimension-history operator Spark lacks. ———
+    Q("q190_scd2",
+      """WITH o AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer
+        |), n AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
+        |  FROM o WHERE NOT (k % 17 = 3 AND k % 10 <> 0)
+        |  UNION ALL
+        |  SELECT k + 1000000, CAST(0 AS BIGINT) FROM o WHERE k % 23 = 5
+        |), j AS (
+        |  SELECT o.k AS ok, o.bal AS obal, n.k AS nk, n.bal AS nbal
+        |  FROM o FULL OUTER JOIN n ON o.k = n.k
+        |)
+        |SELECT ok AS k, obal AS bal, CAST(1 AS BIGINT) AS valid_from,
+        |  CAST(2 AS BIGINT) AS valid_to
+        |FROM j WHERE ok IS NOT NULL AND nk IS NULL
+        |UNION ALL
+        |SELECT nk, nbal, 2, NULL FROM j WHERE ok IS NULL
+        |UNION ALL
+        |SELECT ok, obal, 1, 2
+        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
+        |UNION ALL
+        |SELECT nk, nbal, 2, NULL
+        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
+        |UNION ALL
+        |SELECT ok, obal, 1, NULL
+        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal = nbal
+        |ORDER BY k, valid_from""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val n = o.filter(!(col("k") % 17 === 3 && col("k") % 10 =!= 0))
+        .select(col("k"),
+          when(col("k") % 10 === 0, col("bal") + 10000)
+            .otherwise(col("bal")).as("bal"))
+        .unionByName(o.filter(col("k") % 23 === 5)
+          .select((col("k") + 1000000).as("k"), lit(0L).as("bal")))
+      graft.engine.Scd.scd2(o, n, keyCols = Seq("k"),
+          compareCols = Seq("bal"), fromV = 1, toV = 2)
+        .orderBy("k", "valid_from")
+    },
+
+    // ——— MERGE INTO (upsert) semantics from a declarative U/I/D
+    //     change feed over the same deterministic derivation: matched
+    //     updates replace, deletes drop, inserts append. ———
+    Q("q191_merge_upsert",
+      """WITH t AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS mkt
+        |  FROM customer
+        |)
+        |SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal, mkt
+        |FROM t WHERE NOT (k % 17 = 3 AND k % 10 <> 0)
+        |UNION ALL
+        |SELECT k + 1000000, CAST(0 AS BIGINT), 'NEW' FROM t WHERE k % 23 = 5
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val target = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_mktsegment").as("mkt"))
+      val updates = target.filter(col("k") % 10 === 0)
+        .select(col("k"), (col("bal") + 10000).as("bal"), col("mkt"),
+          lit("U").as("op"))
+      val deletes = target.filter(col("k") % 17 === 3 && col("k") % 10 =!= 0)
+        .select(col("k"), col("bal"), col("mkt"), lit("D").as("op"))
+      val inserts = target.filter(col("k") % 23 === 5)
+        .select((col("k") + 1000000).as("k"), lit(0L).as("bal"),
+          lit("NEW").as("mkt"), lit("I").as("op"))
+      graft.engine.Scd.mergeUpsert(target,
+          updates.unionByName(deletes).unionByName(inserts), Seq("k"))
+        .orderBy("k")
     }
   )
 

@@ -1,0 +1,63 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"),
+        if (r.isNullAt(r.fieldIndex("valid_to"))) None
+        else Some(r.getAs[Long]("valid_to")))
+    }.toSet
+
+  test("scd2: closed, opened, changed-pair, carried — all four shapes") {
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val n = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val out = rows(Scd.scd2(o, n, Seq("k"), Seq("v"), fromV = 1, toV = 2))
+    assert(out === Set(
+      (1L, "a", 1L, Some(2L)),  // deleted → closed
+      (2L, "b", 1L, None),      // unchanged → carried, still current
+      (3L, "c", 1L, Some(2L)),  // changed → old closed...
+      (3L, "C", 2L, None),      // ...new opened
+      (4L, "d", 2L, None)       // inserted → opened
+    ))
+  }
+
+  test("scd2: null values compare null-safely (null → null is carried)") {
+    val o = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("k", "v")
+    val n = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val out = rows(Scd.scd2(o, n, Seq("k"), Seq("v"), 1, 2))
+    assert(out.contains((1L, null, 1L, None)))      // null == null: carried
+    assert(out.contains((2L, "x", 1L, Some(2L))))   // x → null: changed
+    assert(out.contains((2L, null, 2L, None)))
+  }
+
+  test("mergeUpsert: update replaces, delete drops, insert appends") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (9L, "z", "I"))
+      .toDF("k", "v", "op")
+    val out = Scd.mergeUpsert(target, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 9L -> "z"))
+  }
+
+  test("mergeUpsert: insert on an existing key upserts; unknown op fails loudly") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val out = Scd.mergeUpsert(target,
+        Seq((1L, "A2", "I")).toDF("k", "v", "op"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A2"))
+    val e = intercept[Exception] {
+      Scd.mergeUpsert(target,
+        Seq((1L, "x", "Q")).toDF("k", "v", "op"), Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mergeUpsert")))
+  }
+}
