@@ -632,6 +632,21 @@ object Corpus {
       .orderBy("epoch")
   }
 
+  /** Universe (key-consistent) sampling: keep a row iff the md5 coin
+    * of its KEY is below `rate`. Sampling two tables by the SAME
+    * join-key coin preserves the join — every sampled child row's
+    * parent is sampled too — which independent Bernoulli sampling
+    * destroys (P(both sides) = rate²). This is the correct way to
+    * downsample a fact/dimension star for dev runs and join-aware
+    * estimation; map-only, no coordination between tables.
+    */
+  def universeSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate > 0 && rate <= 1, s"rate must be in (0,1], got $rate")
+    val coin = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0)
+    df.filter(coin < rate)
+  }
+
   /** N-gram novelty of the held-out splits against train — the
     * eval-leakage readout for the [[hashSplit]] partition: what
     * fraction of each non-train split's DISTINCT word n-grams never

@@ -674,6 +674,44 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** ABC / Pareto contribution analysis: entities ranked by an exact
+    * integer measure (cents), classified A/B/C at cumulative-share
+    * boundaries checked as INTEGER cross-multiplications
+    * (`cum·100 ≤ 80·total`) — no float share ever enters a
+    * comparison. The "which 20% of parts carry 80% of revenue"
+    * operator behind every mixture/budget decision.
+    *
+    * The cumulative window runs over the ENTITY dictionary (one row
+    * per entity after the first aggregation), not base rows.
+    */
+  def abcAnalysis(df: DataFrame, entityCol: String, measureCents: Column,
+                  aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < aPct && aPct < bPct && bPct <= 100,
+      s"need 0 < aPct < bPct <= 100, got $aPct/$bPct")
+    val per = df.groupBy(col(entityCol).as("entity"))
+      .agg(sum(measureCents).as("cents"))
+    val ord = Window.orderBy(col("cents").desc, col("entity"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("cum", sum("cents").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("cents").over(all))
+      // classify by the PREVIOUS cumulative share (cum − cents): the
+      // entity that crosses a boundary belongs to the class it
+      // completes — a 90%-share top entity is A, not C
+      .withColumn("abc_class",
+        when((col("cum") - col("cents")) * 100 < col("total") * aPct, "A")
+          .when((col("cum") - col("cents")) * 100 < col("total") * bPct, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum("cents").cast("double") / 100, 2).as("class_value"),
+        round(sum("cents").cast("double") / max("total"), 6).as("value_share"))
+      .orderBy("abc_class")
+  }
+
   /** Day-of-week seasonality profile per group — the weekly rhythm
     * baseline that separates "Mondays are always 2×" from a real
     * volume anomaly (pairs with [[volumeSpikes]]' hourly alarm and

@@ -2043,6 +2043,70 @@ object Relational {
       graft.engine.Scd.mergeUpsert(target,
           updates.unionByName(deletes).unionByName(inserts), Seq("k"))
         .orderBy("k")
+    },
+
+    // ——— universe (key-consistent) sampling: both sides of the
+    //     orders⋈lineitem join keep the SAME md5-coin 10% of order
+    //     keys, so the sampled join is the join of the samples —
+    //     what independent Bernoulli sampling cannot give. ———
+    Q("q192_universe_sample",
+      """WITH so AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.1
+        |), sl AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.1
+        |)
+        |SELECT o.o_orderstatus AS status,
+        |  CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100, 2) AS revenue
+        |FROM so o JOIN sl l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ext.Corpus
+      val so = Corpus.universeSample(t(s, dir, "orders"), "o_orderkey", 0.1)
+      val sl = Corpus.universeSample(t(s, dir, "lineitem"), "l_orderkey", 0.1)
+      so.join(sl, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_items"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100, 2).as("revenue"))
+        .orderBy("status")
+    },
+
+    // ——— ABC / Pareto contribution analysis of parts by revenue:
+    //     class boundaries checked as integer cross-multiplications
+    //     (cum·100 ≤ 80·total) — no float share comparisons. ———
+    Q("q193_abc_analysis",
+      """WITH per AS (
+        |  SELECT l_partkey AS entity,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT entity, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, entity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS total
+        |  FROM per
+        |), k AS (
+        |  SELECT CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+        |              WHEN (cum - cents) * 100 < total * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |    cents, total
+        |  FROM c
+        |)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS class_value,
+        |  ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(total), 6) AS value_share
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.abcAnalysis(t(s, dir, "lineitem"), "l_partkey",
+        round(col("l_extendedprice") * 100).cast("long"))
     }
   )
 

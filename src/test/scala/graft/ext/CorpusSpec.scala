@@ -447,4 +447,38 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Long]("n_novel") === expected.diff(train).size.toLong)
     }
   }
+
+  test("universeSample: deterministic, monotone in rate, roughly calibrated") {
+    val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val s10 = Corpus.universeSample(df, "k", 0.1)
+    val s30 = Corpus.universeSample(df, "k", 0.3)
+    val kept10 = s10.select("k").as[Long].collect().toSet
+    val kept30 = s30.select("k").as[Long].collect().toSet
+    // same coin → deterministic and nested: rate 0.1 keys ⊂ rate 0.3 keys
+    assert(Corpus.universeSample(df, "k", 0.1)
+      .select("k").as[Long].collect().toSet === kept10)
+    assert(kept10.subsetOf(kept30))
+    assert(math.abs(kept10.size / 4000.0 - 0.1) < 0.03)
+    assert(math.abs(kept30.size / 4000.0 - 0.3) < 0.03)
+  }
+
+  test("universeSample: join-consistent — sampled join == join of samples") {
+    val parent = (1L to 500L).map(i => (i, i % 7)).toDF("k", "p")
+    val child = (1L to 500L).flatMap(i => Seq((i, "a"), (i, "b")))
+      .toDF("k", "c")
+    val sp = Corpus.universeSample(parent, "k", 0.2)
+    val sc = Corpus.universeSample(child, "k", 0.2)
+    // every sampled child row finds its sampled parent (no orphans)
+    assert(sc.join(sp, Seq("k"), "left_anti").count() === 0L)
+    assert(sp.join(sc, Seq("k"), "left_anti").count() === 0L)
+    // and the sampled join is exactly the key-filtered full join
+    val keys = sp.select("k").as[Long].collect().toSet
+    assert(sc.count() === 2L * keys.size)
+  }
+
+  test("universeSample: rejects a rate outside (0,1]") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException](Corpus.universeSample(df, "k", 0.0))
+    intercept[IllegalArgumentException](Corpus.universeSample(df, "k", 1.5))
+  }
 }

@@ -432,4 +432,46 @@ class ProfileSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e).exists(m => m != null && m.contains("ewmaDaily")))
   }
+
+  test("abcAnalysis: hand-computed classes with integer boundaries") {
+    // values 50,30,15,4,1 (total 100): cum-prev shares 0,50,80,95,99
+    // → A: {50,30} (prev 0,50 < 80); B: {15} (prev 80 < 95); C: {4,1}
+    val rows = Seq(("e1", 5000L), ("e2", 3000L), ("e3", 1500L),
+      ("e4", 400L), ("e5", 100L)).toDF("ent", "cents")
+    val out = Profile.abcAnalysis(rows, "ent", col("cents")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("A", "B", "C"))
+    assert(out("A").getAs[Long]("n_entities") === 2L)
+    assert(out("A").getAs[Double]("class_value") === 80.0)
+    assert(out("A").getAs[Double]("value_share") === 0.8)
+    assert(out("B").getAs[Long]("n_entities") === 1L)
+    assert(out("C").getAs[Long]("n_entities") === 2L)
+    assert(out("C").getAs[Double]("class_value") === 5.0)
+  }
+
+  test("abcAnalysis: boundary-crossing entity belongs to the class it completes") {
+    // one 90%-share entity crosses the 80% line — previous-cum share 0 → A
+    val rows = Seq(("big", 9000L), ("s1", 500L), ("s2", 500L))
+      .toDF("ent", "cents")
+    val out = Profile.abcAnalysis(rows, "ent", col("cents")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_entities")).toMap
+    assert(out("A") === 1L)
+  }
+
+  test("abcAnalysis: aggregates duplicate entity rows before ranking") {
+    val rows = Seq(("e1", 4000L), ("e1", 4000L), ("e2", 2000L))
+      .toDF("ent", "cents")
+    val out = Profile.abcAnalysis(rows, "ent", col("cents")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // e1 = 8000 of 10000 (prev 0 → A), e2 prev share 80 → B
+    assert(out("A").getAs[Long]("n_entities") === 1L)
+    assert(out("A").getAs[Double]("class_value") === 80.0)
+    assert(out("B").getAs[Long]("n_entities") === 1L)
+  }
+
+  test("abcAnalysis: rejects bad percent boundaries") {
+    val rows = Seq(("e", 1L)).toDF("ent", "cents")
+    intercept[IllegalArgumentException](
+      Profile.abcAnalysis(rows, "ent", col("cents"), aPct = 95, bPct = 80))
+  }
 }
