@@ -48,6 +48,119 @@ object Graph {
     und.join(deg, "src")
   }
 
+  /** Item co-occurrence edges: the distinct pairs of items sharing a
+    * group (parts sharing an order, docs sharing a domain), with the
+    * canonical `a < b` orientation so each undirected edge appears
+    * once. The self-join runs WITHIN groups, so the pair fan-out is
+    * bounded by the basket size (TPC-H orders: ≤ 7 items → ≤ 21
+    * pairs), never the table size — the projection of a bipartite
+    * graph that stays linear when baskets are small. For heavy
+    * groups (a domain with 10⁶ docs) cap the group size upstream —
+    * the same `maxDf` discipline as the shingle joins.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).cast("string").as("g"),
+                      col(itemCol).cast("string").as("item")).distinct()
+    val a = g.select(col("g"), col("item").as("src"))
+    val b = g.select(col("g"), col("item").as("dst"))
+    a.join(b, Seq("g")).where(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Exact triangle count + global clustering coefficient via the
+    * degree-ordered orientation (the MPC-standard "curse of the last
+    * reducer" fix): rank every node by (degree, id), orient each edge
+    * from the lower rank to the higher, and count wedges only at
+    * their lowest-ranked corner. Out-degrees are then bounded by
+    * O(sqrt(|E|)) on any graph (arboricity bound), so the wedge
+    * self-join never explodes on hub nodes the way a naive
+    * neighbor-pair join does. One row out:
+    * (n_nodes, n_edges, n_wedges, n_triangles, global_cc) with
+    * wedges = Σ C(deg,2) and cc = 3·triangles / wedges — everything
+    * an exact integer except the final rounded ratio.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("string").as("a"),
+                          col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    // canonical undirected edge set (u < v), then true degrees
+    val und = e0.select(least(col("a"), col("b")).as("u"),
+                        greatest(col("a"), col("b")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order: rank by (deg, id) — the orientation key. The rank
+    // window is over the NODE dictionary, not edges.
+    val ranked = deg.withColumn("rk",
+      row_number().over(Window.orderBy(col("deg"), col("node"))))
+    val rkOf = ranked.select(col("node"), col("rk"))
+    // orient every edge low-rank → high-rank
+    val oriented = und
+      .join(rkOf.withColumnRenamed("node", "u")
+                .withColumnRenamed("rk", "rku"), Seq("u"))
+      .join(rkOf.withColumnRenamed("node", "v")
+                .withColumnRenamed("rk", "rkv"), Seq("v"))
+      .select(when(col("rku") < col("rkv"), col("rku")).otherwise(col("rkv")).as("lo"),
+              when(col("rku") < col("rkv"), col("rkv")).otherwise(col("rku")).as("hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest corner: pairs of out-neighbors of `lo`;
+    // a wedge closes iff (hi1, hi2) is itself an oriented edge
+    val w1 = oriented.select(col("lo"), col("hi").as("h1"))
+    val w2 = oriented.select(col("lo"), col("hi").as("h2"))
+    val wedges = w1.join(w2, Seq("lo")).where(col("h1") < col("h2"))
+    val tri = wedges.join(oriented.withColumnRenamed("lo", "h1")
+                                  .withColumnRenamed("hi", "h2"),
+                          Seq("h1", "h2"), "left_semi")
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    // integer division per node: deg·(deg−1) is always even, so the
+    // per-node `div 2` is exact and the sums never touch doubles
+    val summary = ranked.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").cast("long").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+    summary.crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_cc"))
+  }
+
+  /** Min-hop BFS from a seed set, bounded to `maxHops` frontier
+    * expansions. Returns (node, hop) for every reached node. Each
+    * hop is ONE join of the (shrinking) frontier against the cached
+    * adjacency plus an anti-join against the visited set — no
+    * driver-side state, frontier never collected. Fixed small hop
+    * counts (the "blast radius" question) keep the plan linear; for
+    * unbounded reachability use the connected-components operator
+    * instead.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, s"bfsHops: maxHops 1..20, got $maxHops")
+    val adj = undirectedAdjacency(edges, srcCol, dstCol)
+      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seeds.columns.head).cast("string").as("node"))
+      .distinct().withColumn("hop", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("node")
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = adj.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("node")
+    }
+    visited.localCheckpoint(true)
+  }
+
   /** Fixed-iteration PageRank on the undirected graph of `edges`.
     * Returns (node, rank) for every node; ranks sum to ≈ node count
     * (undirected symmetrization leaves no dangling mass).

@@ -2107,6 +2107,89 @@ object Relational {
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Profile.abcAnalysis(t(s, dir, "lineitem"), "l_partkey",
         round(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // ——— exact triangle census of the co-purchase graph via the
+    //     degree-ordered orientation: wedges counted only at their
+    //     lowest-(deg,id)-rank corner, so hub out-degrees stay
+    //     O(sqrt(E)) and the wedge join never melts a reducer. ———
+    Q("q194_triangles",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b USING (g) WHERE a.item < b.item
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT node, deg, row_number() OVER (ORDER BY deg, node) AS rk FROM deg
+        |), o AS (
+        |  SELECT CASE WHEN ru.rk < rv.rk THEN ru.rk ELSE rv.rk END AS lo,
+        |         CASE WHEN ru.rk < rv.rk THEN rv.rk ELSE ru.rk END AS hi
+        |  FROM und e JOIN ranked ru ON e.u = ru.node
+        |             JOIN ranked rv ON e.v = rv.node
+        |), wed AS (
+        |  SELECT w1.lo, w1.hi AS h1, w2.hi AS h2
+        |  FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+        |), tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM wed
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = wed.h1 AND o.hi = wed.h2)
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+        |         CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM ranked
+        |)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+        |FROM s, tri""".stripMargin) { (s, dir) =>
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ext.Graph.triangleStats(edges)
+    },
+
+    // ——— supply-chain blast radius: 3-hop min-hop BFS over the
+    //     part↔supplier bipartite graph from one nation's suppliers;
+    //     each hop is one frontier⋈adjacency join + visited
+    //     anti-join — no driver-side frontier. ———
+    Q("q195_bfs_hops",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), h0 AS (
+        |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier WHERE s_nationkey = 3
+        |), h1 AS (
+        |  SELECT DISTINCT u.dst AS node FROM und u JOIN h0 ON u.src = h0.node
+        |  WHERE u.dst NOT IN (SELECT node FROM h0)
+        |), h2 AS (
+        |  SELECT DISTINCT u.dst AS node FROM und u JOIN h1 ON u.src = h1.node
+        |  WHERE u.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)
+        |), h3 AS (
+        |  SELECT DISTINCT u.dst AS node FROM und u JOIN h2 ON u.src = h2.node
+        |  WHERE u.dst NOT IN (SELECT node FROM h0 UNION ALL
+        |                      SELECT node FROM h1 UNION ALL SELECT node FROM h2)
+        |)
+        |SELECT hop, n_nodes FROM (
+        |  SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM h0 UNION ALL
+        |  SELECT 1, CAST(COUNT(*) AS BIGINT) FROM h1 UNION ALL
+        |  SELECT 2, CAST(COUNT(*) AS BIGINT) FROM h2 UNION ALL
+        |  SELECT 3, CAST(COUNT(*) AS BIGINT) FROM h3)
+        |WHERE n_nodes > 0 ORDER BY hop""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graph.bfsHops(edges, seeds, maxHops = 3)
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
     }
   )
 

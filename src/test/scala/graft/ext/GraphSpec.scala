@@ -49,6 +49,71 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - nodes.toDouble) < 1e-6)
   }
 
+  private def triStats(edges: Seq[(String, String)]) =
+    Graph.triangleStats(edges.toDF("src", "dst")).collect().head
+
+  test("triangleStats: K4 has 4 triangles, cc = 1") {
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+                   if a < b } yield (a, b)
+    val r = triStats(k4)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L) // 4 · C(3,2)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("global_cc") === 1.0)
+  }
+
+  test("triangleStats: path graph has zero triangles") {
+    val r = triStats(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Double]("global_cc") === 0.0)
+  }
+
+  test("triangleStats: duplicate/reversed/self-loop edges collapse; bowtie = 2") {
+    // two triangles sharing node c, with noise edges
+    val bowtie = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"),
+      ("c", "d"), ("d", "e"), ("c", "e"), ("e", "c"), ("c", "c"))
+    val r = triStats(bowtie)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+  }
+
+  test("triangleStats: count invariant under repartitioning") {
+    // ring + embedded K5 so triangles exist by construction
+    val edges = ((0 until 300).map(i => (s"n${i % 29}", s"n${(i * 11 + 5) % 29}")) ++
+      (for { a <- 0 until 5; b <- 0 until 5 if a < b } yield (s"n$a", s"n$b")))
+      .filter { case (a, b) => a != b }
+    val base = triStats(edges).getAs[Long]("n_triangles")
+    val rep = Graph.triangleStats(edges.toDF("src", "dst").repartition(7))
+      .collect().head.getAs[Long]("n_triangles")
+    assert(base === rep && base > 0L)
+  }
+
+  test("coOccurrenceEdges: pairs within groups only, canonical a<b") {
+    val df = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "w"), (3, "q"))
+      .toDF("g", "item")
+    val got = Graph.coOccurrenceEdges(df, "g", "item").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("x", "y"), ("x", "z"), ("y", "z"), ("w", "x")))
+  }
+
+  test("bfsHops: hand-checked hop labels on a path with a branch") {
+    // s - a - b - c ;  a - d    seeds = {s}
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("a", "d"))
+    val out = Graph.bfsHops(edges.toDF("src", "dst"),
+        Seq("s").toDF("node"), maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("s" -> 0, "a" -> 1, "b" -> 2, "d" -> 2, "c" -> 3))
+  }
+
+  test("bfsHops: maxHops truncates; isolated seed stays at hop 0") {
+    val edges = Seq(("a", "b"), ("b", "c"))
+    val out = Graph.bfsHops(edges.toDF("src", "dst"),
+        Seq("a", "zzz").toDF("node"), maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("a" -> 0, "zzz" -> 0, "b" -> 1))
+  }
+
   test("undirectedAdjacency: symmetric, deduplicated, no self-loops") {
     val adj = Graph.undirectedAdjacency(
       Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")).toDF("src", "dst"))
