@@ -418,6 +418,91 @@ object Similarity {
         round(col("_rr"), 6).as("rr"))
   }
 
+  /** Discount weights for NDCG, in 1e-9 integer units:
+    * w_d = round(1e9 / log2(d+1)). Computed ONCE driver-side and
+    * injected into both the Spark plan and any SQL replay as the
+    * SAME integer literals — no cross-engine log() in the data path
+    * (the q140/rboWeights discipline).
+    */
+  def ndcgWeights(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(d => d -> math.round(1e9 / (math.log(d + 1.0) / math.log(2.0))))
+
+  /** NDCG@k of a retrieved ranking against graded relevance.
+    * `retrieved` carries (qid, id, score); `gradedTruth` carries
+    * (qid, id, grade ≥ 0, integer). Ranks are row_number by
+    * (score desc, id); DCG = Σ grade_d·w_d over retrieved ranks ≤ k,
+    * IDCG = the same sum over the IDEAL ordering (grade desc, id) of
+    * that query's truth set truncated at k. Per-rank terms are
+    * integer products grade·w_u, so both sums are exact BIGINTs and
+    * ndcg is one rounded division. Queries with no retrieved overlap
+    * report ndcg = 0 on the truth-side spine.
+    *
+    * Scale: two qid-keyed windows over k-bounded lists plus one
+    * broadcast of the k-row weight table — nothing corpus-sized.
+    */
+  def ndcgAtK(retrieved: DataFrame, gradedTruth: DataFrame, k: Int,
+              qidCol: String = "qid", idCol: String = "vec_id",
+              scoreCol: String = "cos_sim",
+              gradeCol: String = "grade"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    val spark = retrieved.sparkSession
+    import spark.implicits._
+    val wts = ndcgWeights(k).toDF("d", "w_u")
+    val wr = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = retrieved.select(col(qidCol), col(idCol), col(scoreCol))
+      .withColumn("d", row_number().over(wr)).where(col("d") <= k)
+    val dcg = ranked
+      .join(gradedTruth.select(col(qidCol), col(idCol), col(gradeCol)),
+        Seq(qidCol, idCol))
+      .join(broadcast(wts), Seq("d"))
+      .groupBy(qidCol).agg(count(lit(1)).as("n_hit"),
+        sum(col(gradeCol) * col("w_u")).as("dcg_u"))
+    val wi = Window.partitionBy(qidCol).orderBy(col(gradeCol).desc, col(idCol))
+    val ideal = gradedTruth.select(col(qidCol), col(idCol), col(gradeCol))
+      .withColumn("d", row_number().over(wi)).where(col("d") <= k)
+      .join(broadcast(wts), Seq("d"))
+      .groupBy(qidCol).agg(sum(col(gradeCol) * col("w_u")).as("idcg_u"))
+    ideal.join(dcg, Seq(qidCol), "left")
+      .na.fill(0L, Seq("n_hit", "dcg_u"))
+      .select(col(qidCol), col("n_hit").cast("long").as("n_hit"),
+        round(col("dcg_u").cast("double") / col("idcg_u"), 6).as("ndcg"))
+  }
+
+  /** Average precision at k against a binary truth set: at every
+    * RELEVANT retrieved rank d, precision@d = hits_≤d / d; AP =
+    * Σ round(1e9·hits/d) / 1e9 / |truth|. The per-term quantization
+    * makes the sum an exact BIGINT (aggregation-order-free); the two
+    * final divisions are one rounded double op. Queries with no hits
+    * report ap = 0 on the truth-side spine.
+    */
+  def averagePrecisionAtK(retrieved: DataFrame, truth: DataFrame, k: Int,
+                          qidCol: String = "qid", idCol: String = "vec_id",
+                          scoreCol: String = "cos_sim"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"averagePrecisionAtK: k must be >= 1, got $k")
+    val wr = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = retrieved.select(col(qidCol), col(idCol), col(scoreCol))
+      .withColumn("d", row_number().over(wr)).where(col("d") <= k)
+    val marked = ranked.join(
+        truth.select(col(qidCol), col(idCol), lit(1).as("_rel")),
+        Seq(qidCol, idCol), "left")
+      .withColumn("_hits", sum(coalesce(col("_rel"), lit(0))).over(
+        Window.partitionBy(qidCol).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val terms = marked.where(col("_rel") === 1)
+      .select(col(qidCol),
+        round(lit(1e9) * col("_hits") / col("d")).cast("long").as("_t_u"))
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("n_hit"), sum("_t_u").as("_s_u"))
+    val truthN = truth.groupBy(qidCol).agg(count(lit(1)).as("n_truth"))
+    truthN.join(terms, Seq(qidCol), "left")
+      .na.fill(0L, Seq("n_hit", "_s_u"))
+      .select(col(qidCol), col("n_truth").cast("long").as("n_truth"),
+        col("n_hit").cast("long").as("n_hit"),
+        round(col("_s_u").cast("double") / 1e9 / col("n_truth"), 6).as("ap"))
+  }
+
   /** Depth weights for rank-biased overlap: w_d = (1−p)·p^(d−1)/d.
     * Computed ONCE driver-side so both the Spark plan and any SQL
     * replay consume the identical double literals (no cross-engine

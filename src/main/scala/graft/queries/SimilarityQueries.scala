@@ -768,6 +768,123 @@ object SimilarityQueries {
          |ORDER BY rrf_pico DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.rrfFuse(emb(s, dir), queryVec(s, dir), k = 10, rrfK = 60)
+    },
+
+    // ——— NDCG@10 of the batch-ANN ranking against GRADED relevance
+    //     (grade 3/2/1 from brute-truth ranks 1-2/3-5/6-10): discount
+    //     weights round(1e9/log2(d+1)) driver-computed and injected
+    //     into BOTH plans as integer literals; DCG/IDCG are exact
+    //     BIGINT sums, ndcg one rounded division. ———
+    Q("q196_ndcg", {
+      val wvals = Similarity.ndcgWeights(10)
+        .map { case (d, w) => s"($d, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""${annBatchCte("q196_hyperplanes")},
+         |wts(d, w_u) AS (VALUES $wvals),
+         |bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id,
+         |    CASE WHEN rk <= 2 THEN 3 WHEN rk <= 5 THEN 2 ELSE 1 END AS grade
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS d
+         |  FROM scored
+         |), dcg AS (
+         |  SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    CAST(SUM(t.grade * w.w_u) AS BIGINT) AS dcg_u
+         |  FROM ranked r
+         |  JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |  JOIN wts w ON r.d = w.d
+         |  WHERE r.d <= 10 GROUP BY 1
+         |), ideal AS (
+         |  SELECT t.qid, CAST(SUM(t.grade * w.w_u) AS BIGINT) AS idcg_u
+         |  FROM (SELECT qid, grade, row_number() OVER (PARTITION BY qid
+         |          ORDER BY grade DESC, vec_id) AS d FROM truth) t
+         |  JOIN wts w ON t.d = w.d
+         |  WHERE t.d <= 10 GROUP BY 1
+         |)
+         |SELECT i.qid, CAST(COALESCE(g.n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(COALESCE(g.dcg_u, 0) AS DOUBLE) / i.idcg_u, 6) AS ndcg
+         |FROM ideal i LEFT JOIN dcg g ON i.qid = g.qid
+         |ORDER BY i.qid""".stripMargin }) { (s, dir) =>
+      Fixtures.write("q196_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 10, bands = 4, r = 8)
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val graded = scoredAll.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"),
+          when(col("rk") <= 2, 3).when(col("rk") <= 5, 2).otherwise(1)
+            .as("grade"))
+      Similarity.ndcgAtK(retrieved, graded, k = 10).orderBy("qid")
+    },
+
+    // ——— average precision@10 of the batch-ANN ranking vs binary
+    //     brute truth: per-relevant-rank precision terms quantized to
+    //     1e-9 BIGINT units before the per-query sum. ———
+    Q("q197_avg_precision",
+      s"""${annBatchCte("q197_hyperplanes")},
+         |bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS d
+         |  FROM scored
+         |), marked AS (
+         |  SELECT r.qid, r.d,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM (SELECT * FROM ranked WHERE d <= 10) r
+         |  LEFT JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |), h AS (
+         |  SELECT qid, d, rel,
+         |    SUM(rel) OVER (PARTITION BY qid ORDER BY d) AS hits
+         |  FROM marked
+         |), terms AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    CAST(SUM(CAST(round(1e9 * hits / d) AS BIGINT)) AS BIGINT) AS s_u
+         |  FROM h WHERE rel = 1 GROUP BY 1
+         |), tn AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1
+         |)
+         |SELECT tn.qid, tn.n_truth,
+         |  CAST(COALESCE(terms.n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(COALESCE(terms.s_u, 0) AS DOUBLE) / 1e9 / tn.n_truth, 6)
+         |    AS ap
+         |FROM tn LEFT JOIN terms USING (qid)
+         |ORDER BY tn.qid""".stripMargin) { (s, dir) =>
+      Fixtures.write("q197_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 10, bands = 4, r = 8)
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = scoredAll.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("qid", "vec_id")
+      Similarity.averagePrecisionAtK(retrieved, truth, k = 10).orderBy("qid")
     }
   )
 

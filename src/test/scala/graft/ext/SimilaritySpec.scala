@@ -388,4 +388,59 @@ class SimilaritySpec extends SparkSpec {
       byId(2L) === ((3L, 2L)), s"construction drifted: $byId")
     assert(out.head.getAs[Long]("vec_id") === 3L)
   }
+
+  private def retrDF(rows: (Long, Long, Double)*) =
+    rows.toDF("qid", "vec_id", "cos_sim")
+
+  test("ndcgAtK: ideal-order retrieval scores exactly 1") {
+    val graded = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1))
+      .toDF("qid", "vec_id", "grade")
+    val retr = retrDF((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+    val out = Similarity.ndcgAtK(retr, graded, k = 10).collect().head
+    assert(out.getAs[Long]("n_hit") === 3L)
+    assert(out.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("ndcgAtK: hand-computed inversion; zero-overlap query → 0 on spine") {
+    // grades 3@rank2, 2@rank1 → dcg = 2·w1 + 3·w2; idcg = 3·w1 + 2·w2
+    val graded = Seq((1L, 10L, 3), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("qid", "vec_id", "grade")
+    val retr = retrDF((1L, 11L, 0.9), (1L, 10L, 0.8), (2L, 99L, 0.5))
+    val w = Similarity.ndcgWeights(10).toMap
+    val expected = math.rint(1e6 * (2.0 * w(1) + 3 * w(2)) /
+      (3.0 * w(1) + 2 * w(2))) / 1e6
+    val out = Similarity.ndcgAtK(retr, graded, k = 10).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("ndcg")).toMap
+    assert(out(1L) === expected)
+    assert(out(2L) === 0.0)
+  }
+
+  test("ndcgAtK: truncation at k ignores deeper grades") {
+    val graded = (10L to 20L).map(i => (1L, i, 1)).toDF("qid", "vec_id", "grade")
+    // retrieve item 20 at rank 1 with k = 1: dcg = w1, idcg(k=1) = w1
+    val out = Similarity.ndcgAtK(retrDF((1L, 20L, 0.9)), graded, k = 1)
+      .collect().head
+    assert(out.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("averagePrecisionAtK: hand-computed AP with a miss interleaved") {
+    // truth {a,b}; retrieved a(hit,p=1/1), x(miss), b(hit,p=2/3)
+    // AP = (1 + 2/3) / 2 = 0.833333
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("qid", "vec_id")
+    val retr = retrDF((1L, 10L, 0.9), (1L, 99L, 0.8), (1L, 11L, 0.7))
+    val out = Similarity.averagePrecisionAtK(retr, truth, k = 10)
+      .collect().head
+    assert(out.getAs[Long]("n_truth") === 2L)
+    assert(out.getAs[Long]("n_hit") === 2L)
+    assert(out.getAs[Double]("ap") === 0.833333)
+  }
+
+  test("averagePrecisionAtK: perfect prefix → 1; no hits → 0") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "vec_id")
+    val retr = retrDF((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 99L, 0.9))
+    val out = Similarity.averagePrecisionAtK(retr, truth, k = 10).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("ap")).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+  }
 }
