@@ -739,6 +739,82 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Theil–Sen robust daily-trend estimator per group: the median of
+    * all pairwise slopes (c_j − c_i)/(day_j − day_i) over the daily
+    * count series — the breakdown-point-0.29 answer to "is this
+    * source growing?" that one outlier day cannot move (unlike OLS).
+    *
+    * Slopes are micro-quantized (round(1e6·Δc/Δd) as BIGINT), and
+    * the median is the nearest-rank ⌈n/2⌉-th smallest — a selection
+    * over integers, bit-stable in any engine and under any tie
+    * order (equal values make the tied rows interchangeable).
+    *
+    * Scale: the pair join is quadratic in DAYS PER GROUP (a
+    * dictionary-sized series — 90 days → ~4k pairs), never rows;
+    * the base table is reduced by the daily aggregation first.
+    */
+  def theilSenDaily(events: DataFrame, groupCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("grp"), col("day").as("da"), col("n").as("ca"))
+    val b = daily.select(col("grp"), col("day").as("db"), col("n").as("cb"))
+    val pairs = a.join(b, Seq("grp")).where(col("da") < col("db"))
+      .select(col("grp"),
+        round(lit(1e6) * (col("cb") - col("ca")) / (col("db") - col("da")))
+          .cast("long").as("slope_u"))
+    val w = Window.partitionBy("grp").orderBy("slope_u")
+    val wAll = Window.partitionBy("grp")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .join(daily.groupBy("grp").agg(count(lit(1)).as("n_days")), Seq("grp"))
+      .select(col("grp"), col("n_days"), col("np").as("n_pairs"),
+        round(col("slope_u").cast("double") / 1e6, 6).as("slope_per_day"))
+      .orderBy("grp")
+  }
+
+  /** CUSUM changepoint / drift detector per group over the daily
+    * count series, in closed window form: with y_t = x_t·1e6 −
+    * mean_u (integer micro-units against the group mean), the
+    * classical recursion S_t = max(0, S_{t−1} + y_t) equals
+    * P_t − min(0, min_{j≤t} P_j) for the prefix sums P — so the
+    * whole detector is ONE ordered window (prefix sum + running
+    * min), no recursion, no UDF, exact integers end to end.
+    * Emits the peak excursion, its day (earliest on ties), and how
+    * many days exceeded `hMeans` daily means of cumulative excess.
+    */
+  def cusumDaily(events: DataFrame, groupCol: String, tsCol: String,
+                 hMeans: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hMeans >= 1, s"cusumDaily: hMeans must be >= 1, got $hMeans")
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("mean_u", round(lit(1e6) * sum("n").over(wAll) /
+        count(lit(1)).over(wAll)).cast("long"))
+      .withColumn("p", sum(col("n") * 1000000L - col("mean_u")).over(wRun))
+      .withColumn("s", col("p") - least(lit(0L), min("p").over(wRun)))
+      .withColumn("smax", max("s").over(wAll))
+    scored.groupBy("grp")
+      .agg(count(lit(1)).as("n_days"),
+        round(max("s").cast("double") / 1e6, 6).as("max_cusum"),
+        min(when(col("s") === col("smax"), col("day"))).cast("long")
+          .as("peak_day"),
+        sum(when(col("s") > col("mean_u") * hMeans, 1L).otherwise(0L))
+          .cast("long").as("n_alarms"))
+      .orderBy("grp")
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-/synthetic-data smell test for ingested
     * numeric feeds. Observed first-digit counts (extracted from the

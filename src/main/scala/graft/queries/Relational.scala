@@ -2190,6 +2190,75 @@ object Relational {
       graft.ext.Graph.bfsHops(edges, seeds, maxHops = 3)
         .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
         .orderBy("hop")
+    },
+
+    // ——— Theil–Sen robust daily trend per event type: the median of
+    //     micro-quantized pairwise slopes; quadratic only in DAYS per
+    //     group (dictionary-sized), nearest-rank selection over
+    //     integers. ———
+    Q("q198_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.grp,
+        |    CAST(round(1e6 * (b.n - a.n) / (b.day - a.day)) AS BIGINT) AS slope_u
+        |  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+        |), r AS (
+        |  SELECT grp, slope_u,
+        |    row_number() OVER (PARTITION BY grp ORDER BY slope_u) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS np
+        |  FROM pairs
+        |), nd AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+        |)
+        |SELECT r.grp, nd.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+        |  round(CAST(slope_u AS DOUBLE) / 1e6, 6) AS slope_per_day
+        |FROM r JOIN nd ON r.grp = nd.grp
+        |WHERE rn = (np + 1) // 2
+        |ORDER BY r.grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.theilSenDaily(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— CUSUM drift detector per event type in closed window form:
+    //     S_t = P_t − min(0, running-min P) over integer micro-unit
+    //     prefix sums — the max(0, ·) recursion without recursion. ———
+    Q("q199_cusum",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT grp, day, n,
+        |    CAST(round(1e6 * SUM(n) OVER (PARTITION BY grp) /
+        |      COUNT(*) OVER (PARTITION BY grp)) AS BIGINT) AS mean_u
+        |  FROM daily
+        |), pp AS (
+        |  SELECT grp, day, mean_u,
+        |    SUM(n * 1000000 - mean_u) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM m
+        |), ss AS (
+        |  SELECT grp, day, mean_u, p,
+        |    p - LEAST(0, MIN(p) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM pp
+        |), sm AS (
+        |  SELECT grp, day, mean_u, s,
+        |    MAX(s) OVER (PARTITION BY grp) AS smax
+        |  FROM ss
+        |)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  round(CAST(MAX(s) AS DOUBLE) / 1e6, 6) AS max_cusum,
+        |  CAST(MIN(CASE WHEN s = smax THEN day END) AS BIGINT) AS peak_day,
+        |  CAST(SUM(CASE WHEN s > mean_u * 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms
+        |FROM sm GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.cusumDaily(t(s, dir, "events"), "event_type", "ts",
+        hMeans = 5)
     }
   )
 

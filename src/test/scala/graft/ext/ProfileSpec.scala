@@ -474,4 +474,68 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.abcAnalysis(rows, "ent", col("cents"), aPct = 95, bPct = 80))
   }
+
+  private def dayEvents(counts: Seq[Int], grp: String = "g") =
+    counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (grp, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d).atTime(8, i % 60))))
+    }.toDF("grp", "ts")
+
+  test("theilSenDaily: exact linear series recovers the slope") {
+    // counts 2,4,6,8,10 → every pairwise slope is exactly 2
+    val out = Profile.theilSenDaily(dayEvents(Seq(2, 4, 6, 8, 10)),
+      "grp", "ts").collect().head
+    assert(out.getAs[Long]("n_days") === 5L)
+    assert(out.getAs[Long]("n_pairs") === 10L)
+    assert(out.getAs[Double]("slope_per_day") === 2.0)
+  }
+
+  test("theilSenDaily: one outlier day cannot move the median slope") {
+    // linear slope 1 with day 3 spiked to 50: most pairs still slope
+    // ~1; OLS would be dragged far above
+    val out = Profile.theilSenDaily(dayEvents(Seq(3, 4, 5, 50, 7, 8, 9)),
+      "grp", "ts").collect().head
+    assert(out.getAs[Double]("slope_per_day") === 1.0)
+  }
+
+  test("theilSenDaily: flat series → slope 0; groups independent") {
+    val both = dayEvents(Seq(5, 5, 5, 5), "flat")
+      .union(dayEvents(Seq(1, 3, 5, 7), "up"))
+    val out = Profile.theilSenDaily(both, "grp", "ts").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("slope_per_day")).toMap
+    assert(out === Map("flat" -> 0.0, "up" -> 2.0))
+  }
+
+  test("cusumDaily: flat series never alarms, peak ≈ 0") {
+    val out = Profile.cusumDaily(dayEvents(Seq(5, 5, 5, 5, 5)), "grp", "ts")
+      .collect().head
+    assert(out.getAs[Double]("max_cusum") === 0.0)
+    assert(out.getAs[Long]("n_alarms") === 0L)
+  }
+
+  test("cusumDaily: level shift accumulates and alarms after the shift") {
+    // mean jumps 5 → 15 at day 10: post-shift excess ≈ +5/day compounds
+    val counts = Seq.fill(10)(5) ++ Seq.fill(10)(15)
+    val out = Profile.cusumDaily(dayEvents(counts), "grp", "ts", hMeans = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_days") === 20L)
+    // peak is the last day (cumulative excess keeps growing)
+    assert(out.getAs[Long]("peak_day") ===
+      java.time.LocalDate.of(2024, 1, 20).toEpochDay)
+    assert(out.getAs[Long]("n_alarms") > 0L)
+    assert(out.getAs[Double]("max_cusum") > 40.0)
+  }
+
+  test("cusumDaily: matches the max(0, s+y) recursion replayed locally") {
+    val counts = Seq(5, 9, 2, 14, 3, 3, 12, 1, 8, 6)
+    val out = Profile.cusumDaily(dayEvents(counts), "grp", "ts")
+      .collect().head
+    val n = counts.size
+    val meanU = math.round(1e6 * counts.sum / n.toDouble)
+    var s = 0L; var smax = 0L
+    counts.foreach { c =>
+      s = math.max(0L, s + (c * 1000000L - meanU)); smax = math.max(smax, s)
+    }
+    assert(out.getAs[Double]("max_cusum") === smax / 1e6)
+  }
 }
