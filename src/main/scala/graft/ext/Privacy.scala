@@ -35,4 +35,39 @@ object Privacy {
         regexp_replace(text, EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
+
+  /** Token-blocklist safety filter per group — the denylist pass
+    * every corpus runs before training (profanity, policy terms,
+    * poisoned markers). Whole-token matching on the corpus's
+    * standard tokenization (lower + \s+ split), NOT substring
+    * matching, so "class" never trips a "ass" entry.
+    *
+    * Map-only: the blocklist rides as an array literal inside two
+    * codegen'd expressions (arrays_overlap flag + filter-count), so
+    * the pass is one projection + one group-sized aggregation — no
+    * join, no shuffle beyond the final per-group rollup. For
+    * blocklists too large for a literal (>10⁴ terms), switch to a
+    * broadcast semi-join on exploded tokens.
+    */
+  def blocklistStats(docs: org.apache.spark.sql.DataFrame,
+                     blocklist: Seq[String], groupCol: String = "source",
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(blocklist.nonEmpty, "blocklistStats: empty blocklist")
+    val bl = array(blocklist.map(lit): _*)
+    // tokens materialized in their OWN projection first — the HOF
+    // lambda below re-evaluates its input per element otherwise
+    val toks = docs.select(col(groupCol).as("grp"),
+      split(lower(col(textCol)), "\\s+").as("_ts"))
+    toks
+      .select(col("grp"),
+        arrays_overlap(col("_ts"), bl).as("_flag"),
+        size(filter(col("_ts"), t => array_contains(bl, t))).as("_hits"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_flag"), 1L).otherwise(0L)).cast("long").as("n_flagged"),
+        sum("_hits").cast("long").as("n_hits"))
+      .withColumn("flag_rate",
+        round(col("n_flagged").cast("double") / col("n_docs"), 6))
+      .orderBy("grp")
+  }
 }

@@ -885,6 +885,36 @@ object SimilarityQueries {
       val truth = scoredAll.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10).select("qid", "vec_id")
       Similarity.averagePrecisionAtK(retrieved, truth, k = 10).orderBy("qid")
+    },
+
+    // ——— per-dimension embedding health (dead dims, variance
+    //     concentration, scale drift): micro-quantized components →
+    //     exact BIGINT sums → identical double mean/var expressions
+    //     in both engines. One map pass + a 64-group aggregation. ———
+    Q("q200_dim_variance",
+      """WITH ex AS (
+        |  SELECT CAST(t.i AS BIGINT) AS dim,
+        |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS v_u
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+        |), a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v_u) AS BIGINT) AS s_u,
+        |    CAST(SUM(v_u * v_u) AS BIGINT) AS sq_u,
+        |    CAST(SUM(CASE WHEN v_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(MIN(v_u) AS BIGINT) AS min_u,
+        |    CAST(MAX(v_u) AS BIGINT) AS max_u
+        |  FROM ex GROUP BY 1
+        |)
+        |SELECT dim, n,
+        |  round(CAST(s_u AS DOUBLE) / n / 1e6, 6) AS mean,
+        |  round(CAST(sq_u AS DOUBLE) / n / 1e12 -
+        |    (CAST(s_u AS DOUBLE) / n / 1e6) * (CAST(s_u AS DOUBLE) / n / 1e6),
+        |    6) AS variance,
+        |  round(CAST(n_zero AS DOUBLE) / n, 6) AS zero_rate,
+        |  round(CAST(min_u AS DOUBLE) / 1e6, 6) AS min_v,
+        |  round(CAST(max_u AS DOUBLE) / 1e6, 6) AS max_v
+        |FROM a ORDER BY dim""".stripMargin) { (s, dir) =>
+      Similarity.dimensionStats(emb(s, dir))
     }
   )
 

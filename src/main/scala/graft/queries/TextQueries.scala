@@ -2191,6 +2191,35 @@ object TextQueries {
         |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
         |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin) { (s, dir) =>
       graft.ext.Profile.modeShare(docs(s, dir), "lang", "source")
+    },
+
+    // ——— token-blocklist safety filter per source: whole-token
+    //     matching on the corpus tokenization (never substrings), the
+    //     blocklist riding as an array literal in two codegen'd
+    //     map-only expressions — no join, no shuffle before the
+    //     per-source rollup. ———
+    Q("q201_blocklist",
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |    string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents
+        |), f AS (
+        |  SELECT grp,
+        |    CASE WHEN len(list_filter(ts,
+        |      x -> list_contains(['slow', 'error', 'leak'], x))) > 0
+        |      THEN 1 ELSE 0 END AS flag,
+        |    CAST(len(list_filter(ts,
+        |      x -> list_contains(['slow', 'error', 'leak'], x))) AS BIGINT)
+        |      AS hits
+        |  FROM t
+        |)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(flag) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+        |  ROUND(CAST(SUM(flag) AS DOUBLE) / COUNT(*), 6) AS flag_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Privacy.blocklistStats(docs(s, dir),
+        Seq("slow", "error", "leak"))
     }
   )
 }

@@ -43,4 +43,33 @@ class PrivacySpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(flagged === Set(1L, 2L, 3L, 5L))
   }
+
+  test("blocklistStats: whole-token matching — substrings never trip") {
+    val docs = Seq(
+      ("a", "the class was fine"),        // "ass" must NOT match inside class
+      ("a", "what an ass he was ass"),    // 2 hits, 1 flagged doc
+      ("a", "ASS uppercase matches"),     // lower() normalizes
+      ("b", "clean text here")
+    ).toDF("source", "text")
+    val out = Privacy.blocklistStats(docs, Seq("ass")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") === 3L)
+    assert(out("a").getAs[Long]("n_flagged") === 2L)
+    assert(out("a").getAs[Long]("n_hits") === 3L)
+    assert(out("a").getAs[Double]("flag_rate") === 0.666667)
+    assert(out("b").getAs[Long]("n_flagged") === 0L)
+    assert(out("b").getAs[Double]("flag_rate") === 0.0)
+  }
+
+  test("blocklistStats: multi-term list counts every occurrence") {
+    val docs = Seq(("s", "bad worse bad"), ("s", "worse")).toDF("source", "text")
+    val out = Privacy.blocklistStats(docs, Seq("bad", "worse")).collect().head
+    assert(out.getAs[Long]("n_flagged") === 2L)
+    assert(out.getAs[Long]("n_hits") === 4L)
+  }
+
+  test("blocklistStats: empty blocklist fails loudly") {
+    val docs = Seq(("s", "x")).toDF("source", "text")
+    intercept[IllegalArgumentException](Privacy.blocklistStats(docs, Seq.empty))
+  }
 }

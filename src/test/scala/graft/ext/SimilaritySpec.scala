@@ -443,4 +443,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === 1.0)
     assert(out(2L) === 0.0)
   }
+
+  test("dimensionStats: hand-computed mean/var/zero-rate per dim") {
+    // dim1: 1, 3 → mean 2, var 1; dim2: 0, 0 → dead dim
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStats(df).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(out(1L).getAs[Double]("mean") === 2.0)
+    assert(out(1L).getAs[Double]("variance") === 1.0)
+    assert(out(1L).getAs[Double]("zero_rate") === 0.0)
+    assert(out(1L).getAs[Double]("min_v") === 1.0)
+    assert(out(1L).getAs[Double]("max_v") === 3.0)
+    assert(out(2L).getAs[Double]("variance") === 0.0)
+    assert(out(2L).getAs[Double]("zero_rate") === 1.0)
+  }
+
+  test("dimensionStats: bit-identical under repartitioning") {
+    val df = (1L to 200L).map(i =>
+        (i, Array.tabulate(4)(d => ((i * (d + 3)) % 17).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.dimensionStats(df).collect().toSeq
+    val b = Similarity.dimensionStats(df.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
 }
