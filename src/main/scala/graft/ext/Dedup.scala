@@ -200,6 +200,75 @@ object Dedup {
     * by accident (exact-over-all-shingles is only safe for moderate
     * corpora — the 100 TB path is `minhashVerifiedPairs`).
     */
+  /** EXACT word-level Jaccard similarity join by prefix filtering
+    * (the PPJoin family): with all token sets ordered by one global
+    * (document-frequency asc, token) ranking, two sets with
+    * J(a,b) ≥ num/den MUST share a token among each set's first
+    * |x| − ⌈(num/den)·|x|⌉ + 1 tokens — so candidates come only from
+    * joins on those RARE prefix tokens, and hot tokens (which sit at
+    * the end of every ordered set) never generate candidates.
+    * Unlike the `maxDf` cap this loses NO recall — the prefix
+    * theorem guarantees every qualifying pair survives — and unlike
+    * MinHash it has no false-negative probability. The verify stage
+    * recomputes exact Jaccard on the candidates; the threshold test
+    * is an integer cross-multiplication.
+    *
+    * Scale: the token-rank dictionary is token-vocabulary-sized; the
+    * candidate join is bounded by prefix posting lists (rarest
+    * tokens) further pruned by the PPJoin length filter
+    * (J ≥ t ⇒ min(n_a,n_b)·den ≥ num·max(n_a,n_b)); the verify join
+    * by candidate count × set size. The threshold is an exact
+    * rational num/den so prefix lengths and the final test replay
+    * bit-identically in any engine.
+    *
+    * Degenerate-input caveat: prefix filtering prunes via RARE
+    * tokens, so it needs a Zipfian vocabulary (any natural corpus).
+    * On a corpus whose every token is hot (tiny shared vocab),
+    * posting lists approach n and the candidate set approaches
+    * all-pairs — there, use `minhashVerifiedPairs` (probabilistic)
+    * or the `maxDf`-capped join (bounded, recall-documented)
+    * instead.
+    */
+  def prefixFilterJoin(docs: DataFrame, num: Int, den: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num > 0 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .where(col("t") =!= "").distinct()
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rk = toks.groupBy("t").agg(count(lit(1)).as("dfreq"))
+      .withColumn("trk",
+        row_number().over(Window.orderBy(col("dfreq"), col("t"))))
+      .select("t", "trk")
+    val pos = toks.join(rk, Seq("t")).join(sz, Seq("doc_id"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy("doc_id").orderBy("trk")))
+    // prefix length L = n − ceil(num·n/den) + 1, all integer
+    val pref = pos
+      .where(col("p") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), col("trk"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.trk") === col("b.trk") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * den >=
+            greatest(col("a.n"), col("b.n")) * num)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val ta = toks.select(col("doc_id").as("da"), col("t"))
+    val tb = toks.select(col("doc_id").as("db"), col("t"))
+    val inter = cand.join(ta, Seq("da")).join(tb, Seq("db", "t"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxDf: Option[Long] = Some(Dedup.DefaultMaxDf)): DataFrame = {

@@ -739,6 +739,44 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Market-basket association rules over (basket, item) pairs:
+    * directional rules a→b with support ≥ `minPairSupport`,
+    * confidence = supp(ab)/supp(a) and lift =
+    * N·supp(ab)/(supp(a)·supp(b)) — the co-occurrence signal behind
+    * "customers who bought X" and, in corpus work, tag/entity
+    * affinity. All supports are exact integer basket counts; the
+    * two ratios are single rounded double divisions over them.
+    *
+    * Scale: the pair fan-out is per-basket quadratic (bounded by
+    * basket size, the q194 discipline); item supports are a
+    * dictionary-sized broadcast; nothing row-scale shuffles twice.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairSupport: Long = 2L): DataFrame = {
+    require(minPairSupport >= 1, s"minPairSupport >= 1, got $minPairSupport")
+    val baskets = df.select(col(basketCol).as("g"),
+      col(itemCol).cast("string").as("item")).distinct()
+    val nB = baskets.agg(countDistinct("g").as("n_baskets"))
+    val itemSupp = baskets.groupBy("item").agg(count(lit(1)).as("supp"))
+    val a = baskets.select(col("g"), col("item").as("ante"))
+    val b = baskets.select(col("g"), col("item").as("cons"))
+    val pairSupp = a.join(b, Seq("g")).where(col("ante") =!= col("cons"))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("supp_pair"))
+      .where(col("supp_pair") >= minPairSupport)
+    pairSupp
+      .join(broadcast(itemSupp.select(col("item").as("ante"),
+        col("supp").as("supp_a"))), Seq("ante"))
+      .join(broadcast(itemSupp.select(col("item").as("cons"),
+        col("supp").as("supp_b"))), Seq("cons"))
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("supp_pair"), col("supp_a"),
+        col("supp_b"),
+        round(col("supp_pair").cast("double") / col("supp_a"), 6)
+          .as("confidence"),
+        round(col("n_baskets").cast("double") * col("supp_pair") /
+          (col("supp_a") * col("supp_b")), 6).as("lift"))
+  }
+
   /** Theil–Sen robust daily-trend estimator per group: the median of
     * all pairwise slopes (c_j − c_i)/(day_j − day_i) over the daily
     * count series — the breakdown-point-0.29 answer to "is this

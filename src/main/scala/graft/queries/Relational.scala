@@ -2259,6 +2259,39 @@ object Relational {
         |FROM sm GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
       graft.ext.Profile.cusumDaily(t(s, dir, "events"), "event_type", "ts",
         hMeans = 5)
+    },
+
+    // ——— market-basket association rules over order baskets: exact
+    //     integer supports (pair fan-out bounded by basket size),
+    //     confidence/lift one rounded division each, top-20 by
+    //     lift. ———
+    Q("q203_assoc_rules",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), nb AS (
+        |  SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_baskets FROM it
+        |), isupp AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM it GROUP BY 1
+        |), ps AS (
+        |  SELECT a.item AS ante, b.item AS cons,
+        |    CAST(COUNT(*) AS BIGINT) AS supp_pair
+        |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |)
+        |SELECT ps.ante, ps.cons, ps.supp_pair,
+        |  sa.supp AS supp_a, sb.supp AS supp_b,
+        |  ROUND(CAST(ps.supp_pair AS DOUBLE) / sa.supp, 6) AS confidence,
+        |  ROUND(CAST(nb.n_baskets AS DOUBLE) * ps.supp_pair /
+        |    (sa.supp * sb.supp), 6) AS lift
+        |FROM ps JOIN isupp sa ON sa.item = ps.ante
+        |        JOIN isupp sb ON sb.item = ps.cons
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.associationRules(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairSupport = 3L)
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(20)
     }
   )
 

@@ -2220,6 +2220,52 @@ object TextQueries {
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Privacy.blocklistStats(docs(s, dir),
         Seq("slow", "error", "leak"))
+    },
+
+    // ——— EXACT Jaccard ≥ 3/5 similarity join by prefix filtering
+    //     (PPJoin): candidates only from each set's rarest
+    //     L = n − ⌈3n/5⌉ + 1 tokens under one global (df, token)
+    //     order, pruned by the length filter — zero recall loss;
+    //     verify is an integer cross-multiplication. Runs on the
+    //     deterministic 1-in-10 doc sample: this synthetic corpus's
+    //     tiny shared vocab is the technique's documented degenerate
+    //     case (posting lists ≈ n), so full-corpus battery runs are
+    //     the q41-style test-scale verification path only. ———
+    Q("q202_prefix_filter_join",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 10 = 0) WHERE t <> ''
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+        |), rk AS (
+        |  SELECT t, row_number() OVER (ORDER BY dfreq, t) AS trk FROM (
+        |    SELECT t, COUNT(*) AS dfreq FROM toks GROUP BY 1)
+        |), pos AS (
+        |  SELECT k.doc_id, r.trk, s.n,
+        |    row_number() OVER (PARTITION BY k.doc_id ORDER BY r.trk) AS p
+        |  FROM toks k JOIN rk r ON k.t = r.t JOIN sz s ON s.doc_id = k.doc_id
+        |), pref AS (
+        |  SELECT doc_id, trk FROM pos WHERE p <= n - ((3 * n + 4) // 5) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM pref a JOIN pref b ON a.trk = b.trk AND a.doc_id < b.doc_id
+        |), i AS (
+        |  SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN toks ta ON ta.doc_id = c.da
+        |              JOIN toks tb ON tb.doc_id = c.db AND tb.t = ta.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.da AS doc_a, i.db AS doc_b, i.inter,
+        |  sa.n + sb.n - i.inter AS uni,
+        |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6)
+        |    AS jaccard
+        |FROM i JOIN sz sa ON sa.doc_id = i.da
+        |       JOIN sz sb ON sb.doc_id = i.db
+        |WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.prefixFilterJoin(
+        docs(s, dir).filter(col("doc_id") % 10 === 0), num = 3, den = 5)
     }
   )
 }

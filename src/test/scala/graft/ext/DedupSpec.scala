@@ -471,4 +471,51 @@ class DedupSpec extends SparkSpec {
     assert(!flagged.contains(3L) && !flagged.contains(5L))
     assert(!flagged.contains(7L))
   }
+
+  test("prefixFilterJoin: ZERO recall loss — differential vs local brute force") {
+    // Zipfian-ish vocab: a few hot tokens + many rare ones
+    val hot = Seq("the", "of", "and")
+    val texts = (0L until 40L).map { i =>
+      val rare = (0 until 6).map(j => s"w${(i * 5 + j * 7) % 37}")
+      val dup = if (i % 4 == 0) (0 until 6).map(j => s"w${j * 7 % 37}")
+                else rare
+      i -> (hot ++ dup).mkString(" ")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, num = 3, den = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local brute force over every pair
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    val sets = texts.map { case (i, t) => i -> toks(t) }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      in = sets(a).intersect(sets(b)).size
+      un = sets(a).union(sets(b)).size
+      if in * 5 >= un * 3
+    } yield (a, b)).toSet
+    assert(got === brute, "prefix filter must return EXACTLY the brute pairs")
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+  }
+
+  test("prefixFilterJoin: pair exactly at the threshold is included") {
+    // |a|=|b|=5, inter=4, union=6 → J = 2/3 ≥ 2/3 exactly
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJoin(docs, num = 2, den = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("inter") === 4L)
+    assert(out.head.getAs[Long]("uni") === 6L)
+    assert(out.head.getAs[Double]("jaccard") === 0.666667)
+    // and just past it, excluded
+    assert(Dedup.prefixFilterJoin(docs, num = 7, den = 10).collect().isEmpty)
+  }
+
+  test("prefixFilterJoin: duplicate tokens collapse to sets") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y y y")).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJoin(docs, num = 1, den = 1).collect()
+    assert(out.length === 1) // both sets are {x, y} → J = 1
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
 }

@@ -526,6 +526,36 @@ class ProfileSpec extends SparkSpec {
     assert(out.getAs[Double]("max_cusum") > 40.0)
   }
 
+  test("associationRules: hand-computed supports, confidence and lift") {
+    // baskets: {x,y,z}, {x,y}, {x,w}, {y}  → supp x=3, y=3, z=1, w=1
+    val rows = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "w"), (4, "y")).toDF("g", "item")
+    val out = Profile.associationRules(rows, "g", "item", minPairSupport = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) -> r).toMap
+    assert(out.keySet === Set(("x", "y"), ("y", "x")))
+    val xy = out(("x", "y"))
+    assert(xy.getAs[Long]("supp_pair") === 2L)
+    assert(xy.getAs[Long]("supp_a") === 3L)
+    assert(xy.getAs[Long]("supp_b") === 3L)
+    assert(xy.getAs[Double]("confidence") === 0.666667)
+    // lift = 4·2/(3·3)
+    assert(xy.getAs[Double]("lift") === 0.888889)
+  }
+
+  test("associationRules: duplicate (basket,item) rows count once") {
+    val rows = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"))
+      .toDF("g", "item")
+    val out = Profile.associationRules(rows, "g", "item", minPairSupport = 2L)
+      .collect()
+    assert(out.length === 2) // a→b and b→a, each supp_pair 2
+    out.foreach { r =>
+      assert(r.getAs[Long]("supp_pair") === 2L)
+      assert(r.getAs[Double]("confidence") === 1.0)
+      assert(r.getAs[Double]("lift") === 1.0) // 2·2/(2·2)
+    }
+  }
+
   test("cusumDaily: matches the max(0, s+y) recursion replayed locally") {
     val counts = Seq(5, 9, 2, 14, 3, 3, 12, 1, 8, 6)
     val out = Profile.cusumDaily(dayEvents(counts), "grp", "ts")
