@@ -2292,6 +2292,39 @@ object Relational {
           "l_orderkey", "l_partkey", minPairSupport = 3L)
         .orderBy(col("lift").desc, col("ante"), col("cons"))
         .limit(20)
+    },
+
+    // ——— stream-stream interval join UNDER the oracle (the sixth
+    //     streaming entry): purchases joined to the same user's
+    //     signups within 1 h before, executed as a real
+    //     watermark-bounded stream-stream join (Append +
+    //     AvailableNow) and hash-compared to the batch interval-join
+    //     SQL. Watermarks + the time-range predicate are what bound
+    //     the join state on unbounded streams. ———
+    Q("q204_streaming_join",
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id AS u, ts AS sts FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+        |  strftime(s.sts, '%Y-%m-%d %H:%M:%S') AS s_time,
+        |  CAST(round(p.value * 100) AS BIGINT) AS cents
+        |FROM p JOIN s ON p.user_id = s.u
+        |  AND s.sts >= p.ts - INTERVAL 1 HOUR AND s.sts <= p.ts
+        |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      val ev = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      val joined = graft.ext.Streaming.purchaseSignupJoin(ev, "1 hour")
+      val q = graft.ext.Streaming.runToMemory(joined, "q204_join",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      q.stop()
+      s.table("q204_join")
+        .select(col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_time"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("s_time"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .orderBy("user_id", "p_time", "s_time", "cents")
     }
   )
 
