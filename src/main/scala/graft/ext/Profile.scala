@@ -739,6 +739,54 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Exact Kendall τ-b rank correlation between two event types'
+    * daily volumes ("do view-heavy days convert?"): every day pair
+    * is classified concordant / discordant / x-tied / y-tied by pure
+    * integer sign tests, and τ-b = (C−D)/√((n0−tx)(n0−ty)) is one
+    * final expression over those exact counts (√ of integers is
+    * IEEE-identical in any engine; the result is rounded).
+    * τ-b's tie correction — not plain τ — because 0-fill days tie
+    * constantly on sparse series.
+    *
+    * Scale: pairs are quadratic in DAYS (bounded window, the
+    * Theil–Sen discipline), after a row-scale daily aggregation.
+    */
+  def kendallTauDaily(events: DataFrame, tsCol: String, typeCol: String,
+                      typeX: String, typeY: String): DataFrame = {
+    val daily = events
+      .filter(col(typeCol).isin(typeX, typeY))
+      .groupBy(datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .agg(sum(when(col(typeCol) === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === typeY, 1L).otherwise(0L)).as("y"))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"),
+      col("y").as("yb"))
+    // τ-b bookkeeping: C/D only over pairs untied on BOTH axes;
+    // tie_x / tie_y count ALL pairs tied on that axis (a pair tied
+    // on both contributes to both terms — the standard n1/n2)
+    val untied = col("xa") =!= col("xb") && col("ya") =!= col("yb")
+    val cls = a.join(b, col("da") < col("db")).agg(
+      sum(when(untied &&
+        (col("xa") < col("xb")) === (col("ya") < col("yb")), 1L)
+        .otherwise(0L)).as("c"),
+      sum(when(untied &&
+        (col("xa") < col("xb")) =!= (col("ya") < col("yb")), 1L)
+        .otherwise(0L)).as("d"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    nd.crossJoin(cls)
+      .select(col("n_days"),
+        expr("n_days * (n_days - 1) div 2").as("n_pairs"),
+        col("c").as("concordant"), col("d").as("discordant"),
+        col("tx").as("ties_x"), col("ty").as("ties_y"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt(((expr("n_days * (n_days - 1) div 2") - col("tx")) *
+            (expr("n_days * (n_days - 1) div 2") - col("ty")))
+            .cast("double")), 6).as("tau_b"))
+  }
+
   /** Market-basket association rules over (basket, item) pairs:
     * directional rules a→b with support ≥ `minPairSupport`,
     * confidence = supp(ab)/supp(a) and lift =

@@ -2325,6 +2325,42 @@ object Relational {
           date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("s_time"),
           round(col("value") * 100).cast("long").as("cents"))
         .orderBy("user_id", "p_time", "s_time", "cents")
+    },
+
+    // ——— exact Kendall τ-b between daily view and purchase volumes
+    //     ("do view-heavy days convert?"): every day pair classified
+    //     by integer sign tests; C/D exclude pairs tied on either
+    //     axis, tie terms count ALL pairs tied on that axis (the
+    //     standard n1/n2); √ of exact integers is IEEE-identical. ———
+    Q("q206_kendall_tau",
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+        |), cls AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a.x <> b.x AND a.y <> b.y
+        |      AND ((a.x < b.x) = (a.y < b.y)) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN a.x <> b.x AND a.y <> b.y
+        |      AND ((a.x < b.x) <> (a.y < b.y)) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, (n_days * (n_days - 1)) // 2 AS n_pairs,
+        |  c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+        |  round(CAST(c - d AS DOUBLE) /
+        |    sqrt(CAST(((n_days * (n_days - 1)) // 2 - tx) *
+        |              ((n_days * (n_days - 1)) // 2 - ty) AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM nd, cls""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.kendallTauDaily(t(s, dir, "events"), "ts",
+        "event_type", "view", "purchase")
     }
   )
 

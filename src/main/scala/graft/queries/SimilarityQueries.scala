@@ -915,6 +915,71 @@ object SimilarityQueries {
         |  round(CAST(max_u AS DOUBLE) / 1e6, 6) AS max_v
         |FROM a ORDER BY dim""".stripMargin) { (s, dir) =>
       Similarity.dimensionStats(emb(s, dir))
+    },
+
+    // ——— Matryoshka / prefix-dimension fidelity: does ranking by
+    //     the first 16 of 64 dims preserve the full-dim top-10?
+    //     recall@10 + reciprocal rank per sampled query — the
+    //     cheap-first-pass-then-rescore design check for truncated
+    //     embeddings. Query side is the deterministic 1-in-50
+    //     sample; both scans are brute force over it (bounded, the
+    //     hubness truth-path shape). ———
+    Q("q205_mrl_recall",
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), fullc AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM fullc)
+         |  WHERE rk <= 10
+         |), pfx AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding[1:16]", "q.qv[1:16]")}, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN qs q
+         |), topk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, vec_id) AS rk FROM pfx)
+         |  WHERE rk <= 10
+         |), tn AS (SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+         |hits AS (
+         |  SELECT k.qid, k.rk,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM topk k LEFT JOIN truth t
+         |    ON k.qid = t.qid AND k.vec_id = t.vec_id
+         |)
+         |SELECT h.qid, CAST(tn.n_truth AS BIGINT) AS n_truth,
+         |  CAST(SUM(h.rel) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(SUM(h.rel) AS DOUBLE) / tn.n_truth, 6) AS recall,
+         |  ROUND(COALESCE(MAX(CASE WHEN h.rel = 1 THEN 1.0 / h.rk END), 0), 6)
+         |    AS rr
+         |FROM hits h JOIN tn ON h.qid = tn.qid
+         |GROUP BY h.qid, tn.n_truth
+         |ORDER BY h.qid""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 10).select("qid", "vec_id")
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      val retrieved = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(slice(col("embedding"), 1, 16),
+            slice(col("qv"), 1, 16)), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(wp))
+        .filter(col("rk") <= 10).drop("rk")
+      Similarity.retrievalMetrics(retrieved, truth).orderBy("qid")
     }
   )
 

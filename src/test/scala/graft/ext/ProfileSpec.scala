@@ -556,6 +556,61 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  private def xyEvents(xy: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame =
+    xy.zipWithIndex.flatMap { case ((x, y), d) =>
+      val day = java.time.LocalDate.of(2024, 5, 1).plusDays(d)
+      (0 until x).map(i => ("view",
+        java.sql.Timestamp.valueOf(day.atTime(8, i % 60)))) ++
+        (0 until y).map(i => ("purchase",
+          java.sql.Timestamp.valueOf(day.atTime(9, i % 60))))
+    }.toDF("event_type", "ts")
+
+  private def localTauB(xy: Seq[(Int, Int)]): Double = {
+    val n = xy.size
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val (xa, ya) = xy(i); val (xb, yb) = xy(j)
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+      if (xa != xb && ya != yb) {
+        if ((xa < xb) == (ya < yb)) c += 1 else d += 1
+      }
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    math.rint(1e6 * (c - d).toDouble /
+      math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)) / 1e6
+  }
+
+  test("kendallTauDaily: perfect concordance → 1, inversion → -1") {
+    val up = Seq((1, 2), (2, 3), (3, 5), (4, 8))
+    val down = Seq((1, 8), (2, 5), (3, 3), (4, 2))
+    assert(Profile.kendallTauDaily(xyEvents(up), "ts", "event_type",
+      "view", "purchase").collect().head.getAs[Double]("tau_b") === 1.0)
+    assert(Profile.kendallTauDaily(xyEvents(down), "ts", "event_type",
+      "view", "purchase").collect().head.getAs[Double]("tau_b") === -1.0)
+  }
+
+  test("kendallTauDaily: tie bookkeeping matches the local τ-b replay") {
+    // ties on x, on y, and on BOTH axes (the n1/n2 double-count case)
+    val xy = Seq((2, 3), (2, 3), (2, 5), (4, 5), (5, 1), (6, 1), (6, 7))
+    val out = Profile.kendallTauDaily(xyEvents(xy), "ts", "event_type",
+      "view", "purchase").collect().head
+    assert(out.getAs[Long]("n_days") === 7L)
+    assert(out.getAs[Long]("n_pairs") === 21L)
+    assert(out.getAs[Long]("concordant") + out.getAs[Long]("discordant") +
+      out.getAs[Long]("ties_x") + out.getAs[Long]("ties_y") >= 21L)
+    assert(out.getAs[Double]("tau_b") === localTauB(xy))
+  }
+
+  test("kendallTauDaily: other event types are ignored") {
+    val base = xyEvents(Seq((1, 4), (2, 3), (3, 2), (4, 1)))
+    val noise = Seq(("click", java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("event_type", "ts")
+    val out = Profile.kendallTauDaily(base.union(noise), "ts", "event_type",
+      "view", "purchase").collect().head
+    assert(out.getAs[Double]("tau_b") === -1.0)
+  }
+
   test("cusumDaily: matches the max(0, s+y) recursion replayed locally") {
     val counts = Seq(5, 9, 2, 14, 3, 3, 12, 1, 8, 6)
     val out = Profile.cusumDaily(dayEvents(counts), "grp", "ts")
