@@ -739,6 +739,71 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Distribution-shape battery per group from raw INTEGER power
+    * sums: skewness m3/m2^1.5 and excess kurtosis m4/m2²−3 computed
+    * from Σx, Σx², Σx³, Σx⁴ — one aggregation pass, each sum an
+    * exact order-free BIGINT, the central-moment algebra a fixed
+    * double expression over them (identical IEEE op sequence in any
+    * engine). Input must already be integral (counts, lengths);
+    * Σx⁴ headroom bounds x ≲ 10³ at 10⁷ rows/group — pre-scale
+    * larger domains.
+    */
+  def shapeMoments(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+    val n = col("n")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mean * mean
+    val m3 = col("s3").cast("double") / n -
+      lit(3) * mean * (col("s2").cast("double") / n) +
+      lit(2) * mean * mean * mean
+    val m4 = col("s4").cast("double") / n -
+      lit(4) * mean * (col("s3").cast("double") / n) +
+      lit(6) * mean * mean * (col("s2").cast("double") / n) -
+      lit(3) * mean * mean * mean * mean
+    agg.select(col("grp"), col("n").cast("long").as("n"),
+        round(mean, 6).as("mean"),
+        round(m2, 6).as("m2"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3), 6).as("kurtosis_excess"))
+      .orderBy("grp")
+  }
+
+  /** Lorenz-curve decile table over entity contributions: entities
+    * ntile(10)-bucketed ascending by their exact cent totals, each
+    * decile reporting its value and the CUMULATIVE share — the
+    * inequality readout behind the q162 Gini number ("the bottom
+    * half of parts carries 8% of revenue"). Windows run over the
+    * entity dictionary; shares are single rounded divisions of
+    * exact BIGINTs.
+    */
+  def lorenzDeciles(df: DataFrame, entityCol: String,
+                    measureCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(entityCol).as("entity"))
+      .agg(sum(measureCents).as("cents"))
+      .withColumn("dec", ntile(10).over(
+        Window.orderBy(col("cents"), col("entity"))))
+    val byDec = per.groupBy("dec")
+      .agg(count(lit(1)).as("n_entities"), sum("cents").as("dcents"))
+    val wCum = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDec
+      .withColumn("cum", sum("dcents").over(wCum))
+      .withColumn("tot", sum("dcents").over(wAll))
+      .select(col("dec").cast("long").as("decile"),
+        col("n_entities").cast("long").as("n_entities"),
+        round(col("dcents").cast("double") / 100, 2).as("decile_value"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Exact Kendall τ-b rank correlation between two event types'
     * daily volumes ("do view-heavy days convert?"): every day pair
     * is classified concordant / discordant / x-tied / y-tied by pure

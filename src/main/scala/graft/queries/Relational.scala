@@ -2361,6 +2361,34 @@ object Relational {
         |FROM nd, cls""".stripMargin) { (s, dir) =>
       graft.ext.Profile.kendallTauDaily(t(s, dir, "events"), "ts",
         "event_type", "view", "purchase")
+    },
+
+    // ——— Lorenz-curve deciles of part revenue (ascending), exact
+    //     cent sums, cumulative shares — the inequality table behind
+    //     the Gini number. ———
+    Q("q208_lorenz_deciles",
+      """WITH per AS (
+        |  SELECT l_partkey AS entity,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1
+        |), d AS (
+        |  SELECT entity, cents,
+        |    ntile(10) OVER (ORDER BY cents, entity) AS dec
+        |  FROM per
+        |), g AS (
+        |  SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |    CAST(SUM(cents) AS BIGINT) AS dcents
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT CAST(dec AS BIGINT) AS decile, n_entities,
+        |  ROUND(CAST(dcents AS DOUBLE) / 100, 2) AS decile_value,
+        |  ROUND(CAST(SUM(dcents) OVER (ORDER BY dec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / SUM(dcents) OVER (), 6) AS cum_share
+        |FROM g ORDER BY decile""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.lorenzDeciles(t(s, dir, "lineitem"), "l_partkey",
+        round(col("l_extendedprice") * 100).cast("long"))
     }
   )
 

@@ -2266,6 +2266,39 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       graft.ext.Dedup.prefixFilterJoin(
         docs(s, dir).filter(col("doc_id") % 10 === 0), num = 3, den = 5)
+    },
+
+    // ——— per-source skewness + excess kurtosis of doc lengths from
+    //     raw INTEGER power sums (Σx..Σx⁴ exact BIGINTs, one pass);
+    //     the central-moment algebra is a fixed double expression
+    //     over them — identical IEEE sequence in both engines. ———
+    Q("q207_shape_moments",
+      """WITH a AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s1,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+        |    CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+        |    CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+        |  FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT grp, n, CAST(s1 AS DOUBLE) / n AS mean,
+        |    CAST(s2 AS DOUBLE) / n AS e2,
+        |    CAST(s3 AS DOUBLE) / n AS e3,
+        |    CAST(s4 AS DOUBLE) / n AS e4
+        |  FROM a
+        |), c AS (
+        |  SELECT grp, n, mean,
+        |    e2 - mean * mean AS m2,
+        |    e3 - 3 * mean * e2 + 2 * mean * mean * mean AS m3,
+        |    e4 - 4 * mean * e3 + 6 * mean * mean * e2
+        |       - 3 * mean * mean * mean * mean AS m4
+        |  FROM m
+        |)
+        |SELECT grp, n, round(mean, 6) AS mean, round(m2, 6) AS m2,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+        |FROM c ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.shapeMoments(docs(s, dir), "source", "n_chars")
     }
   )
 }

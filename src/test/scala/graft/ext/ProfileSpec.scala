@@ -556,6 +556,64 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  private def localMoments(xs: Seq[Long]): (Double, Double, Double) = {
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    val e2 = xs.map(x => x.toDouble * x).sum / n
+    val e3 = xs.map(x => x.toDouble * x * x).sum / n
+    val e4 = xs.map(x => x.toDouble * x * x * x).sum / n
+    val m2 = e2 - mean * mean
+    val m3 = e3 - 3 * mean * e2 + 2 * mean * mean * mean
+    val m4 = e4 - 4 * mean * e3 + 6 * mean * mean * e2 -
+      3 * mean * mean * mean * mean
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    (r6(m2), r6(m3 / (m2 * math.sqrt(m2))), r6(m4 / (m2 * m2) - 3))
+  }
+
+  test("shapeMoments: symmetric data → zero skew; uniform kurtosis < 0") {
+    val sym = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L, 5L) // symmetric around 3
+    val df = sym.map(("g", _)).toDF("grp", "v")
+    val out = Profile.shapeMoments(df, "grp", "v").collect().head
+    assert(out.getAs[Double]("mean") === 3.0)
+    assert(out.getAs[Double]("skewness") === 0.0)
+    val (m2, sk, ku) = localMoments(sym)
+    assert(out.getAs[Double]("m2") === m2)
+    assert(out.getAs[Double]("kurtosis_excess") === ku && ku < 0)
+    assert(sk === 0.0)
+  }
+
+  test("shapeMoments: right-skewed data matches the local replay, skew > 0") {
+    val xs = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 10L)
+    val out = Profile.shapeMoments(xs.map(("g", _)).toDF("grp", "v"),
+      "grp", "v").collect().head
+    val (m2, sk, ku) = localMoments(xs)
+    assert(out.getAs[Double]("m2") === m2)
+    assert(out.getAs[Double]("skewness") === sk && sk > 0)
+    assert(out.getAs[Double]("kurtosis_excess") === ku)
+  }
+
+  test("lorenzDeciles: uniform contributions → cum_share = decile/10") {
+    val rows = (1 to 20).map(i => (s"e$i", 500L)).toDF("ent", "cents")
+    val out = Profile.lorenzDeciles(rows, "ent", col("cents")).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_entities") === 2L)
+      assert(r.getAs[Double]("cum_share") ===
+        r.getAs[Long]("decile").toDouble / 10)
+    }
+  }
+
+  test("lorenzDeciles: concentrated top decile carries the tail share") {
+    // 9 entities at 1 cent, one at 991 cents → top decile share 99.1%
+    val rows = ((1 to 9).map(i => (s"e$i", 1L)) :+ ("big", 991L))
+      .toDF("ent", "cents")
+    val out = Profile.lorenzDeciles(rows, "ent", col("cents")).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(out(10L).getAs[Double]("decile_value") === 9.91)
+    assert(out(10L).getAs[Double]("cum_share") === 1.0)
+    assert(out(9L).getAs[Double]("cum_share") === 0.009)
+  }
+
   private def xyEvents(xy: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame =
     xy.zipWithIndex.flatMap { case ((x, y), d) =>
       val day = java.time.LocalDate.of(2024, 5, 1).plusDays(d)
