@@ -2389,6 +2389,30 @@ object Relational {
         |FROM g ORDER BY decile""".stripMargin) { (s, dir) =>
       graft.ext.Profile.lorenzDeciles(t(s, dir, "lineitem"), "l_partkey",
         round(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // ——— streaming leaderboard (seventh streaming entry): top-10
+    //     purchasers by exact cent total as a Complete-mode streaming
+    //     aggregation — the continuously-maintained top-k shape; the
+    //     final Complete table is hash-equal to the batch rollup, and
+    //     the top-k cut happens ON the final table. ———
+    Q("q209_streaming_topk",
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY cents DESC, user_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val q = graft.ext.Streaming.runToMemory(stream, "q209_topk",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q209_topk")
+        .orderBy(col("cents").desc, col("user_id")).limit(10)
     }
   )
 

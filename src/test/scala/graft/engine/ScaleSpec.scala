@@ -195,6 +195,65 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("triangle census plan: equi-joins only, cached oriented edges") {
+    import spark.implicits._
+    val edges = ((0 until 400).map(i => (s"n${i % 41}", s"n${(i * 13 + 7) % 41}")) ++
+      (for { a <- 0 until 5; b <- 0 until 5 if a < b } yield (s"n$a", s"n$b")))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val plan = graft.ext.Graph.triangleStats(edges)
+      .queryExecution.executedPlan.toString
+    // the wedge self-join and the closure semi-join must stay
+    // equi-joins on (lo) / (h1, h2) — a cartesian here is the n²
+    // neighbor-pair blowup the degree orientation exists to avoid
+    assert(!plan.contains("CartesianProduct") ||
+      // the final 1×1 summary×count crossJoin is the only allowed one
+      "CartesianProduct".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("association rules plan: dictionary supports ride as broadcasts") {
+    val plan = graft.ext.Profile.associationRules(li, "l_orderkey",
+        "l_partkey", minPairSupport = 3L)
+      .queryExecution.executedPlan.toString
+    // supp_a / supp_b / n_baskets joins must all be broadcasts — a
+    // sort-merge join on the rule stream would re-shuffle per join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("prefix-filter join plan: equi-joins only (no cartesian, no nested-loop)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+        (i, (0 until 8).map(j => s"w${(i * 3 + j * 5) % 61}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.ext.Dedup.prefixFilterJoin(docs, num = 3, den = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("blocklist filter plan: map-only into one exchange, no join") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (s"s${i % 3}", s"tok$i slow word"))
+      .toDF("source", "text")
+    val plan = graft.ext.Privacy.blocklistStats(docs, Seq("slow", "leak"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange (group rollup):\n$plan")
+  }
+
+  test("dimension stats plan: one exchange on the dim key") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val plan = graft.ext.Similarity.dimensionStats(emb)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange (dim groupBy):\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
