@@ -1167,6 +1167,27 @@ object Dedup {
     * pairs differing in position 0, cuts candidates ~|Σ|-fold).
     * The kernel is the codegen'd native [[graft.functions.JaroWinkler]].
     */
+  /** Entity resolution: fuzzy-match clusters over a name dictionary.
+    * Jaro–Winkler pairs at `threshold` (q172's native kernel) feed
+    * the connected-components operator; each cluster reports its
+    * canonical form (lexicographically smallest member — CC's label
+    * by construction), size, and the sorted member roster. The
+    * "ACME Corp / ACME Corp. / Acme Corporation are one vendor"
+    * operator. All work is dictionary-sized; rows never join.
+    */
+  def entityClusters(df: DataFrame, nameCol: String,
+                     threshold: Double,
+                     blockOnFirstChar: Boolean = false): DataFrame = {
+    val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      .localCheckpoint()
+    nearDupClusters(pairs)
+      .groupBy(col("cluster").as("canonical"))
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", sort_array(collect_list("id"))).as("members"))
+      .orderBy("canonical")
+  }
+
   def jaroWinklerPairs(df: DataFrame, nameCol: String, threshold: Double,
                        blockOnFirstChar: Boolean = false): DataFrame = {
     import graft.functions.JaroWinkler.jaroWinkler

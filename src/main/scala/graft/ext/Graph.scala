@@ -129,6 +129,39 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Degree assortativity (Newman's r) of the undirected graph —
+    * "do hubs link to hubs?" (r > 0) or to leaves (r < 0); the one
+    * number that separates social-style from web-style link
+    * structure. Per-edge sums Σdu·dv, Σ(du+dv), Σ(du²+dv²) are exact
+    * BIGINTs over the canonical (u < v) edge set; r is a fixed IEEE
+    * expression over them. One degree aggregation + two
+    * dictionary-key joins + one global fold.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("string").as("a"),
+                          col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("u"),
+                        greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val j = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val agg = j.agg(count(lit(1)).as("m"),
+      sum(col("du") * col("dv")).as("sp"),
+      sum(col("du") + col("dv")).as("s1"),
+      sum(col("du") * col("du") + col("dv") * col("dv")).as("s2"))
+    val mean = col("s1").cast("double") / (lit(2) * col("m"))
+    agg.crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("m").cast("long").as("n_edges"),
+        round((col("sp").cast("double") / col("m") - mean * mean) /
+          (col("s2").cast("double") / (lit(2) * col("m")) - mean * mean), 6)
+          .as("assortativity"))
+  }
+
   /** Min-hop BFS from a seed set, bounded to `maxHops` frontier
     * expansions. Returns (node, hop) for every reached node. Each
     * hop is ONE join of the (shrinking) frontier against the cached

@@ -2413,6 +2413,71 @@ object Relational {
       q.stop()
       s.table("q209_topk")
         .orderBy(col("cents").desc, col("user_id")).limit(10)
+    },
+
+    // ——— degree assortativity of the co-purchase graph (Newman's r):
+    //     per-edge degree sums as exact BIGINTs, r one fixed IEEE
+    //     expression — hubs-to-hubs vs hubs-to-leaves in one number. ———
+    Q("q210_assortativity",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b USING (g) WHERE a.item < b.item
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT du.deg AS du, dv.deg AS dv
+        |  FROM und e JOIN deg du ON e.u = du.node
+        |             JOIN deg dv ON e.v = dv.node
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(du * dv) AS BIGINT) AS sp,
+        |    CAST(SUM(du + dv) AS BIGINT) AS s1,
+        |    CAST(SUM(du * du + dv * dv) AS BIGINT) AS s2
+        |  FROM j
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, m AS n_edges,
+        |  round((CAST(sp AS DOUBLE) / m -
+        |      (CAST(s1 AS DOUBLE) / (2 * m)) * (CAST(s1 AS DOUBLE) / (2 * m)))
+        |    / (CAST(s2 AS DOUBLE) / (2 * m) -
+        |      (CAST(s1 AS DOUBLE) / (2 * m)) * (CAST(s1 AS DOUBLE) / (2 * m))),
+        |    6) AS assortativity
+        |FROM n, a""".stripMargin) { (s, dir) =>
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ext.Graph.degreeAssortativity(edges)
+    },
+
+    // ——— entity resolution over the part-name dictionary: native
+    //     Jaro–Winkler pairs at 0.85 → connected components →
+    //     canonical form + sorted member roster per cluster; the
+    //     oracle replays the closure with a recursive CTE. ———
+    Q("q211_entity_resolution",
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        |), e AS (
+        |  SELECT a.name AS na, b.name AS nb FROM n a JOIN n b ON a.name < b.name
+        |  WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85
+        |), edges AS (
+        |  SELECT na AS src, nb AS dst FROM e
+        |  UNION SELECT nb AS src, na AS dst FROM e
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        |), clusters AS (
+        |  SELECT id, least(id, MIN(dst)) AS cluster FROM (
+        |    SELECT src AS id, dst FROM reach) GROUP BY id
+        |)
+        |SELECT cluster AS canonical, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  string_agg(id, ',' ORDER BY id) AS members
+        |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.entityClusters(t(s, dir, "part"), "p_name",
+        threshold = 0.85)
     }
   )
 

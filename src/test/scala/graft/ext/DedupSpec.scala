@@ -518,4 +518,29 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 1) // both sets are {x, y} → J = 1
     assert(out.head.getAs[Double]("jaccard") === 1.0)
   }
+
+  test("entityClusters: variants cluster under their canonical form") {
+    val df = Seq("acme corporation", "acme corporatio", "acme corporatin",
+      "zenith holdings", "zenith holding", "unrelated name here")
+      .map(Tuple1(_)).toDF("name")
+    val out = Dedup.entityClusters(df, "name", threshold = 0.93).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_members"),
+        r.getAs[String]("members"))).toMap
+    assert(out.keySet === Set("acme corporatin", "zenith holding"))
+    assert(out("acme corporatin")._1 === 3L)
+    assert(out("acme corporatin")._2 ===
+      "acme corporatin,acme corporatio,acme corporation")
+    assert(out("zenith holding")._1 === 2L)
+    // the unmatched name forms no cluster (dictionary singletons are
+    // not emitted — they resolve to themselves by definition)
+  }
+
+  test("entityClusters: transitive chain a~b~c collapses to one cluster") {
+    // a~b and b~c above threshold even if a~c alone is not
+    val df = Seq("pattern alpha one", "pattern alpha one x",
+      "pattern alpha one xy").map(Tuple1(_)).toDF("name")
+    val out = Dedup.entityClusters(df, "name", threshold = 0.97).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_members") === 3L)
+  }
 }

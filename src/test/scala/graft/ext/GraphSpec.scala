@@ -114,6 +114,34 @@ class GraphSpec extends SparkSpec {
     assert(out === Map("a" -> 0, "zzz" -> 0, "b" -> 1))
   }
 
+  test("degreeAssortativity: star graph → exactly -1") {
+    val star = Seq("a", "b", "c", "d", "e").map(x => (x, "hub"))
+    val r = Graph.degreeAssortativity(star.toDF("src", "dst")).collect().head
+    assert(r.getAs[Long]("n_nodes") === 6L)
+    assert(r.getAs[Long]("n_edges") === 5L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("degreeAssortativity: matches a local replay on a mixed graph") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("e", "a"), ("f", "b"))
+    val out = Graph.degreeAssortativity(edges.toDF("src", "dst"))
+      .collect().head.getAs[Double]("assortativity")
+    // local Newman r over the canonical edge set
+    val und = edges.map { case (x, y) => if (x < y) (x, y) else (y, x) }.distinct
+    val deg = und.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val m = und.size.toDouble
+    val sp = und.map { case (u, v) => deg(u) * deg(v) }.sum.toDouble
+    val s1 = und.map { case (u, v) => deg(u) + deg(v) }.sum.toDouble
+    val s2 = und.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }
+      .sum.toDouble
+    val mean = s1 / (2 * m)
+    val expect = math.rint(1e6 *
+      (sp / m - mean * mean) / (s2 / (2 * m) - mean * mean)) / 1e6
+    assert(out === expect)
+  }
+
   test("undirectedAdjacency: symmetric, deduplicated, no self-loops") {
     val adj = Graph.undirectedAdjacency(
       Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")).toDF("src", "dst"))
