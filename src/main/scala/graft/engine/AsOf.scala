@@ -86,4 +86,70 @@ object AsOf {
         col(s"_m_$rightTs").as(s"${rightTs}_matched")): _*)
     out
   }
+
+  /** As-of NEAREST join — for each left row, the right row minimizing
+    * |rightTs − leftTs| per key, ties broken toward the EARLIER
+    * (backward) match. The sensor-alignment variant of [[asofBackward]]
+    * (which only looks back): clock drift makes the nearest reading
+    * sit on either side of the probe time.
+    *
+    * Same union-and-sweep, ONE shuffle: the backward carry
+    * (`last ignoreNulls` over ts asc, right-before-left at equal ts)
+    * and the forward carry (`first ignoreNulls` over the following
+    * frame, left-before-right at equal ts) are two window specs over
+    * the SAME key partitioning — Spark plans one exchange with two
+    * in-partition sorts. Distances compare in epoch micros (exact
+    * integers); at equal distance the backward match wins, so an
+    * exactly-coincident right row resolves backward in every engine.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String]): DataFrame = {
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rename right payload columns first: $collisions")
+    val carried = rightPayload :+ rightTs
+    val rightNonNull = on.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+      .filter(col(rightTs).isNotNull)
+    val r = rightNonNull.select(
+      on.map(col) ++ Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side")) ++
+        carried.map(c => col(c).as(s"_c_$c")): _*)
+    val l = left.select(
+      left.columns.map(col).toSeq ++
+        Seq(col(leftTs).as("_asof_ts"), lit(1).as("_asof_side")) ++
+        carried.map(c => lit(null).as(s"_c_$c")): _*)
+    // backward: right (side 0) sorts before left at equal ts → `<=`
+    val wb = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: left sorts before right at equal ts (side desc) → `>=`
+    val wf = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val swept = l.unionByName(r, allowMissingColumns = true)
+      .select((on.map(col) ++ Seq(col("_asof_ts"), col("_asof_side")) ++
+        left.columns.filterNot(on.contains).map(col) ++
+        carried.flatMap(c => Seq(
+          last(col(s"_c_$c"), ignoreNulls = true).over(wb).as(s"_b_$c"),
+          first(col(s"_c_$c"), ignoreNulls = true).over(wf).as(s"_f_$c")))): _*)
+      .filter(col("_asof_side") === 1)
+    // exact integer distances: epoch micros for timestamp clocks,
+    // the raw value for integral clocks
+    def ticks(c: Column): Column = left.schema(leftTs).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val bd = ticks(col("_asof_ts")) - ticks(col(s"_b_$rightTs"))
+    val fd = ticks(col(s"_f_$rightTs")) - ticks(col("_asof_ts"))
+    val takeBack = col(s"_f_$rightTs").isNull ||
+      (col(s"_b_$rightTs").isNotNull && bd <= fd)
+    swept.select((left.columns.toIndexedSeq.map(col) ++
+      rightPayload.map(c =>
+        when(takeBack, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(c)) ++
+      Seq(
+        when(takeBack, col(s"_b_$rightTs")).otherwise(col(s"_f_$rightTs"))
+          .as(s"${rightTs}_matched"),
+        when(col(s"_b_$rightTs").isNull && col(s"_f_$rightTs").isNull, lit(null))
+          .when(takeBack, lit("backward")).otherwise(lit("forward"))
+          .as("direction"))): _*)
+  }
 }

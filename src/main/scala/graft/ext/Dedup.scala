@@ -1167,6 +1167,30 @@ object Dedup {
     * pairs differing in position 0, cuts candidates ~|Σ|-fold).
     * The kernel is the codegen'd native [[graft.functions.JaroWinkler]].
     */
+  /** Threshold-tuning curve over a verified near-dup pair set: bin
+    * the exact Jaccard scores (`binsPerUnit` bins per 1.0) and report,
+    * per bin floor, the pair count in the bin and the reverse
+    * cumulative "pairs you would merge at threshold ≥ t" — the one
+    * table a dedup operator reads before committing to a threshold,
+    * produced from ONE pair materialization instead of re-running the
+    * pipeline per candidate threshold. Dictionary-sized output; the
+    * window runs over the bin spine.
+    */
+  def dedupThresholdCurve(pairs: DataFrame, binsPerUnit: Int = 20,
+                          jaccardCol: String = "jaccard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binsPerUnit >= 1, s"binsPerUnit >= 1, got $binsPerUnit")
+    pairs
+      .select((floor(col(jaccardCol) * binsPerUnit) / binsPerUnit).as("thr"))
+      .groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum("n_pairs").over(
+        Window.orderBy(col("thr").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("thr"), col("n_pairs").cast("long").as("n_pairs"),
+        col("n_at_or_above").cast("long").as("n_at_or_above"))
+      .orderBy("thr")
+  }
+
   /** Entity resolution: fuzzy-match clusters over a name dictionary.
     * Jaro–Winkler pairs at `threshold` (q172's native kernel) feed
     * the connected-components operator; each cluster reports its

@@ -2478,6 +2478,57 @@ object Relational {
         |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Dedup.entityClusters(t(s, dir, "part"), "p_name",
         threshold = 0.85)
+    },
+
+    // ——— as-of NEAREST join (sensor-alignment variant of q46): each
+    //     purchase matched to the closest signup on EITHER side, ties
+    //     to the earlier match; one shuffle, two in-partition window
+    //     sweeps. Distances compare in exact epoch micros. ———
+    Q("q213_asof_nearest",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id, ts, value AS signup_value FROM events
+        |  WHERE event_type = 'signup'
+        |), b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    s.ts AS b_ts, s.signup_value AS b_val
+        |  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        |), f AS (
+        |  SELECT p.event_id, s.ts AS f_ts, s.signup_value AS f_val
+        |  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts
+        |), m AS (
+        |  SELECT b.event_id, b.user_id, b.value, b.ts, b.b_ts, b.b_val,
+        |    f.f_ts, f.f_val,
+        |    CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+        |         WHEN f.f_ts IS NULL THEN TRUE
+        |         WHEN b.b_ts IS NULL THEN FALSE
+        |         WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+        |              <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN TRUE
+        |         ELSE FALSE END AS take_back
+        |  FROM b JOIN f USING (event_id)
+        |)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN take_back THEN b_val ELSE f_val END AS signup_value,
+        |  strftime(CASE WHEN take_back THEN b_ts ELSE f_ts END,
+        |    '%Y-%m-%d %H:%M:%S') AS matched_ts,
+        |  CASE WHEN take_back IS NULL THEN NULL
+        |       WHEN take_back THEN 'backward' ELSE 'forward' END AS direction
+        |FROM m ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      graft.engine.AsOf.asofNearest(purchases, signups,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("signup_value"),
+          date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("matched_ts"),
+          col("direction"))
+        .orderBy("event_id")
     }
   )
 

@@ -2299,6 +2299,23 @@ object TextQueries {
         |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
         |FROM c ORDER BY grp""".stripMargin) { (s, dir) =>
       graft.ext.Profile.shapeMoments(docs(s, dir), "source", "n_chars")
+    },
+
+    // ——— dedup threshold-tuning curve: the q59 verified pairs binned
+    //     by exact Jaccard (1/20 bins) with the reverse cumulative
+    //     "pairs merged at ≥ t" — one pair materialization answers
+    //     every candidate threshold. ———
+    Q("q212_dedup_threshold_curve",
+      s"""$verifiedPairsCte
+         |SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(COUNT(*)) OVER (ORDER BY thr DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_at_or_above
+         |FROM (SELECT floor(jaccard * 20) / 20 AS thr FROM vp)
+         |GROUP BY thr ORDER BY thr""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
+        bands = 8, minJaccard = 0.5).localCheckpoint()
+      Dedup.dedupThresholdCurve(pairs, binsPerUnit = 20)
     }
   )
 }

@@ -96,4 +96,41 @@ class AsOfSpec extends SparkSpec {
         Seq("user"), "t", "t", Seq("tag"))
     }
   }
+
+  private def nearest(l: org.apache.spark.sql.DataFrame,
+                      r: org.apache.spark.sql.DataFrame) =
+    AsOf.asofNearest(l, r, Seq("user"), "t", "t", Seq("rval"))
+      .select("id", "rval", "t_matched", "direction").collect()
+      .map(x => x.getLong(0) -> ((if (x.isNullAt(1)) null else x.getString(1)),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) null else x.getString(3))).toMap
+
+  test("asofNearest: picks the closer side; equal distance → backward") {
+    val l = Seq((1L, "u1", 100L, "x"), (2L, "u1", 190L, "x"),
+      (3L, "u1", 240L, "x")).toDF("id", "user", "t", "tag")
+    val r = Seq(("u1", 80L, "r@80"), ("u1", 200L, "r@200"),
+      ("u1", 280L, "r@280")).toDF("user", "t", "rval")
+    val out = nearest(l, r)
+    assert(out(1L) === (("r@80", 80L, "backward")))   // 20 back vs 100 fwd
+    assert(out(2L) === (("r@200", 200L, "forward")))  // 110 back vs 10 fwd
+    assert(out(3L) === (("r@200", 200L, "backward"))) // 40 back == 40 fwd → back
+  }
+
+  test("asofNearest: one-sided timelines and misses") {
+    val l = Seq((1L, "u1", 50L, "x"), (2L, "u2", 50L, "x"),
+      (3L, "u3", 50L, "x")).toDF("id", "user", "t", "tag")
+    val r = Seq(("u1", 90L, "r@90"),   // only a forward match
+      ("u2", 10L, "r@10")              // only a backward match
+    ).toDF("user", "t", "rval")
+    val out = nearest(l, r)
+    assert(out(1L) === (("r@90", 90L, "forward")))
+    assert(out(2L) === (("r@10", 10L, "backward")))
+    assert(out(3L) === ((null, -1L, null)))           // no match at all
+  }
+
+  test("asofNearest: coincident right row resolves backward") {
+    val l = Seq((1L, "u1", 100L, "x")).toDF("id", "user", "t", "tag")
+    val r = Seq(("u1", 100L, "r@100")).toDF("user", "t", "rval")
+    assert(nearest(l, r)(1L) === (("r@100", 100L, "backward")))
+  }
 }

@@ -535,6 +535,21 @@ class DedupSpec extends SparkSpec {
     // not emitted — they resolve to themselves by definition)
   }
 
+  test("dedupThresholdCurve: hand bins and reverse cumulative") {
+    val pairs = Seq(0.52, 0.55, 0.61, 0.79, 0.8, 1.0, 1.0)
+      .zipWithIndex.map { case (j, i) => (i.toLong, i + 100L, j) }
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.dedupThresholdCurve(pairs, binsPerUnit = 20).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0.5) === ((1L, 7L)))   // 0.52
+    assert(out(0.55) === ((1L, 6L)))  // 0.55 sits on its own bin edge
+    assert(out(0.6) === ((1L, 5L)))
+    assert(out(0.75) === ((1L, 4L)))  // 0.79
+    assert(out(0.8) === ((1L, 3L)))   // exactly 0.8
+    assert(out(1.0) === ((2L, 2L)))   // both exact dups
+    assert(out.keySet === Set(0.5, 0.55, 0.6, 0.75, 0.8, 1.0))
+  }
+
   test("entityClusters: transitive chain a~b~c collapses to one cluster") {
     // a~b and b~c above threshold even if a~c alone is not
     val df = Seq("pattern alpha one", "pattern alpha one x",
