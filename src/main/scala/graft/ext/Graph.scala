@@ -142,11 +142,16 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("string").as("a"),
                           col(dstCol).cast("string").as("b"))
       .where(col("a") =!= col("b"))
+    // und feeds three consumers (degree agg + the edge join's probe
+    // side) and deg two — cache both or the distinct's shuffle and
+    // the upstream pair fan-out replay per consumer
     val und = e0.select(least(col("a"), col("b")).as("u"),
                         greatest(col("a"), col("b")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val j = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
