@@ -129,6 +129,85 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Personalized PageRank: random walks teleport back to the SEED
+    * set instead of everywhere — rank becomes "proximity to the
+    * seeds", the graph-recommendation / related-entities primitive
+    * (vs [[pageRank]]'s global importance). Same iteration shape and
+    * integer micro-unit contribution sums as [[pageRank]]: one
+    * cached adjacency, one shuffle per iteration. The teleport mass
+    * 1/|seeds| and the damping constants are computed once and the
+    * SAME doubles enter any SQL replay (emit them at %.17g).
+    * Seeds absent from the graph hold teleport mass that never
+    * circulates — by design (their share of the walk is "lost", as
+    * in the standard formulation over the induced graph).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 3, damping: Double = 0.85,
+                           micro: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    val adj = undirectedAdjacency(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seeds.columns.head).cast("string")
+      .as("node")).distinct()
+    val nSeeds = seedSet.agg(count(lit(1)).as("ns"))
+    val base = adj.select(col("src").as("node")).distinct()
+      .join(seedSet.withColumn("_isSeed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(col("_isSeed") === 1, lit(1.0) / col("ns")).otherwise(lit(0.0))
+          .as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = base.select(col("node"), col("s").as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("deg") * micro).cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = base.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / micro),
+            9).as("rank"))
+      if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Semi-supervised label propagation: `seedLabels` (node, label)
+    * stay CLAMPED; each round, every still-unlabeled node adopts the
+    * majority label of its labeled neighbors, ties to the smallest
+    * label — fully deterministic, so a fixed round count replays
+    * exactly in SQL. The "spread the 2% human labels over the
+    * similarity graph" operator. Per round: one join of the cached
+    * adjacency against current labels + one (node, label) count +
+    * one argmax window over the candidate dictionary.
+    */
+  def labelPropagation(edges: DataFrame, seedLabels: DataFrame,
+                       rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 10, s"labelPropagation: rounds 1..10")
+    val adj = undirectedAdjacency(edges)
+      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = seedLabels.select(
+      col(seedLabels.columns(0)).cast("string").as("node"),
+      col(seedLabels.columns(1)).cast("string").as("label")).distinct()
+    var labeled = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labeled.withColumnRenamed("node", "src"), Seq("src"))
+        .join(labeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val won = votes.withColumn("_rk", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("votes").desc, col("label"))))
+        .where(col("_rk") === 1).select("node", "label")
+      labeled = labeled.unionByName(won)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    labeled.localCheckpoint(true)
+  }
+
   /** Degree assortativity (Newman's r) of the undirected graph —
     * "do hubs link to hubs?" (r > 0) or to leaves (r < 0); the one
     * number that separates social-style from web-style link

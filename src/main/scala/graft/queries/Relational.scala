@@ -2529,6 +2529,106 @@ object Relational {
           date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("matched_ts"),
           col("direction"))
         .orderBy("event_id")
+    },
+
+    // ——— personalized PageRank from one nation's suppliers over the
+    //     part↔supplier graph: teleport mass 1/|seeds|, same integer
+    //     micro-unit contribution sums as q126; damping constants
+    //     emitted at %.17g into BOTH plans. ———
+    Q("q214_ppr", {
+      val oneMinusD = "%.17g".format(1.0 - 0.85)
+      val d = "%.17g".format(0.85)
+      def iter(i: Int): String =
+        s"""c$i AS (
+           |  SELECT a.dst AS node,
+           |    CAST(SUM(CAST(round(r.pr / a.deg * 1e12) AS BIGINT)) AS BIGINT)
+           |      AS cs
+           |  FROM adj a JOIN r${i - 1} r ON a.src = r.node GROUP BY 1),
+           |r$i AS (
+           |  SELECT b.node,
+           |    round($oneMinusD * b.s + $d * (COALESCE(c.cs, 0) / 1e12), 9)
+           |      AS pr
+           |  FROM base b LEFT JOIN c$i c ON b.node = c.node)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM lineitem
+         |), und AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+         |), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |adj AS (SELECT u.src, u.dst, d.deg FROM und u JOIN deg d USING (src)),
+         |sd AS (
+         |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey = 3
+         |), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sd),
+         |base AS (
+         |  SELECT d.src AS node,
+         |    CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS s
+         |  FROM (SELECT DISTINCT src FROM adj) d
+         |  LEFT JOIN sd ON d.src = sd.node CROSS JOIN ns
+         |), r0 AS (SELECT node, s AS pr FROM base),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, round(pr, 6) AS pr FROM r3
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin }) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    },
+
+    // ——— semi-supervised label propagation: suppliers of nations
+    //     < 12 seed their nation label; two clamped majority-vote
+    //     rounds (ties → smallest label) spread it across the
+    //     part↔supplier graph — fully deterministic, replayed
+    //     round-by-round by the oracle. ———
+    Q("q215_label_prop",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), l0 AS (
+        |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |    'n' || CAST(s_nationkey AS VARCHAR) AS label
+        |  FROM supplier WHERE s_nationkey < 12
+        |), v1 AS (
+        |  SELECT u.dst AS node, l.label, COUNT(*) AS votes
+        |  FROM und u JOIN l0 l ON u.src = l.node
+        |  WHERE u.dst NOT IN (SELECT node FROM l0)
+        |  GROUP BY 1, 2
+        |), w1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY votes DESC, label) AS rk FROM v1) WHERE rk = 1
+        |), l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM w1),
+        |v2 AS (
+        |  SELECT u.dst AS node, l.label, COUNT(*) AS votes
+        |  FROM und u JOIN l1 l ON u.src = l.node
+        |  WHERE u.dst NOT IN (SELECT node FROM l1)
+        |  GROUP BY 1, 2
+        |), w2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY votes DESC, label) AS rk FROM v2) WHERE rk = 1
+        |), l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM w2)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val seeds = t(s, dir, "supplier").filter(col("s_nationkey") < 12)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"),
+          concat(lit("n"), col("s_nationkey").cast("string")).as("label"))
+      graft.ext.Graph.labelPropagation(edges, seeds, rounds = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("label")
     }
   )
 

@@ -114,6 +114,62 @@ class GraphSpec extends SparkSpec {
     assert(out === Map("a" -> 0, "zzz" -> 0, "b" -> 1))
   }
 
+  test("personalizedPageRank: rank concentrates around the seeds") {
+    // chain: s - a - b - c - d  with seed {s}
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"))
+    val r = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq("s").toDF("node"), iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("s") > r("a") && r("a") > r("c"),
+      s"rank must decay with distance from the seed: $r")
+    assert(r("d") < r("b"))
+  }
+
+  test("personalizedPageRank: uniform teleport over multiple seeds; repartition-stable") {
+    val edges = (0 until 200).map(i => (s"n${i % 23}", s"n${(i * 7 + 3) % 23}"))
+      .filter { case (a, b) => a != b }
+    val seeds = Seq("n1", "n2").toDF("node")
+    val base = Graph.personalizedPageRank(edges.toDF("src", "dst"), seeds, 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val rep = Graph.personalizedPageRank(
+        edges.toDF("src", "dst").repartition(7), seeds, 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(base === rep)
+    // non-seed nodes get rank ONLY through walks (no base teleport)
+    assert(base.values.sum <= 1.0 + 1e-6)
+  }
+
+  test("labelPropagation: majority wins, ties to the smallest label") {
+    // x has neighbors: two 'a'-labeled, one 'b' → a
+    // y has one 'a', one 'b' → tie → a (smallest)
+    val edges = Seq(("s1", "x"), ("s2", "x"), ("s3", "x"),
+      ("s1", "y"), ("s3", "y"))
+    val seeds = Seq(("s1", "a"), ("s2", "a"), ("s3", "b"))
+      .toDF("node", "label")
+    val out = Graph.labelPropagation(edges.toDF("src", "dst"), seeds, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("x") === "a")
+    assert(out("y") === "a")
+  }
+
+  test("labelPropagation: seeds stay clamped; round 2 reaches two hops") {
+    // seed s(label z) - m - far : far only labelable in round 2
+    val edges = Seq(("s", "m"), ("m", "far"))
+    val seeds = Seq(("s", "z"), ("m", "q")).toDF("node", "label")
+    val r1 = Graph.labelPropagation(edges.toDF("src", "dst"), seeds, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // m is itself a seed → clamped at q even though s says z
+    assert(r1("m") === "q")
+    assert(r1("far") === "q")
+    val unlabeledMid = Seq(("s", "z")).toDF("node", "label")
+    val oneRound = Graph.labelPropagation(edges.toDF("src", "dst"),
+      unlabeledMid, 1).collect().map(r => r.getString(0)).toSet
+    assert(!oneRound.contains("far")) // one round: only m reached
+    val twoRounds = Graph.labelPropagation(edges.toDF("src", "dst"),
+      unlabeledMid, 2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(twoRounds("far") === "z")
+  }
+
   test("degreeAssortativity: star graph → exactly -1") {
     val star = Seq("a", "b", "c", "d", "e").map(x => (x, "hub"))
     val r = Graph.degreeAssortativity(star.toDF("src", "dst")).collect().head
