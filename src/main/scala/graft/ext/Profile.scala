@@ -739,6 +739,94 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Time-weighted average (TWAP) per key: each observation holds
+    * until the next one, so its weight is the inter-event duration —
+    * the metering/pricing average that ignores sampling cadence
+    * (a value observed for 10 h counts 600× one observed for 1 min).
+    * Exact arithmetic: durations in epoch micros and values in cents
+    * are BIGINTs; Σ(cents·dur) and Σdur are order-free integer sums
+    * and the average is ONE rounded division. Keys with a single
+    * observation carry no duration and drop out (same in any
+    * engine). One window + one aggregation, both keyed.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+           valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("t"),
+        valueCents.as("cents"))
+      .withColumn("dur", lead("t", 1).over(
+        Window.partitionBy("key").orderBy("t")) - col("t"))
+      .where(col("dur").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * col("dur")).as("swc"),
+        sum("dur").as("sw"))
+      .select(col("key"), col("n_intervals").cast("long").as("n_intervals"),
+        round(col("swc").cast("double") / col("sw"), 6).as("twap_cents"))
+      .orderBy("key")
+  }
+
+  /** Per-group ordinary least squares y ~ x from exact integer sums
+    * (n, Σx, Σy, Σxy, Σx², Σy² — one aggregation pass): slope,
+    * intercept and R² are a fixed IEEE expression over them, the
+    * q207 discipline. Inputs must be integral (cast/round upstream);
+    * Σx² headroom bounds x ≲ 10⁵ at 10⁷ rows per group.
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: Column,
+                 yCol: Column): DataFrame = {
+    val agg = df
+      .select(col(groupCol).as("grp"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val denX = nD * col("sxx") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val slope = num / denX
+    agg.select(col("grp"), col("n").cast("long").as("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(num * num / (denX * denY), 6).as("r2"))
+      .orderBy("grp")
+  }
+
+  /** Calendar gap filling with forward fill: a complete day spine
+    * (global [min, max] of the data) per group, observed daily
+    * totals joined on, and gaps carrying the LAST observed value
+    * forward — the standard densify-before-modeling step
+    * (window functions and diffs silently skip missing days
+    * otherwise). Days before a group's first observation stay null.
+    * Spine size = groups × days (dictionary-scale); one window.
+    */
+  def forwardFillDaily(events: DataFrame, groupCol: String, tsCol: String,
+                       valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .agg(sum(valueCents).as("cents"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = daily.select("grp").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("grp"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("grp", "day"), "left")
+      .withColumn("filled",
+        when(col("cents").isNull, 1L).otherwise(0L))
+      .withColumn("cents", last("cents", ignoreNulls = true).over(
+        Window.partitionBy("grp").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("grp"), col("day").cast("long").as("day"), col("cents"),
+        col("filled"))
+      .orderBy("grp", "day")
+  }
+
   /** Distribution-shape battery per group from raw INTEGER power
     * sums: skewness m3/m2^1.5 and excess kurtosis m4/m2²−3 computed
     * from Σx, Σx², Σx³, Σx⁴ — one aggregation pass, each sum an

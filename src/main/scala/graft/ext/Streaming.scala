@@ -748,6 +748,36 @@ object Streaming {
       }
   }
 
+  /** Top session paths — the most common event-type journeys per
+    * session ("view>view>purchase"), the path-mining readout on top
+    * of the q23 gaps-and-islands sessionization. Within-session
+    * order is pinned by (ts, event_id), so the path string is
+    * deterministic; session boundaries are the same ts−lag ≥ gap
+    * rule the sessionize oracle uses. One user-keyed window pass,
+    * one session aggregation, one path count + TakeOrdered.
+    */
+  def topSessionPaths(events: DataFrame, gapMinutes: Int = 5,
+                      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMinutes >= 1 && k >= 1, "topSessionPaths: gap/k must be >= 1")
+    val wUser = Window.partitionBy("user_id").orderBy("ts")
+    val m = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_lagm", unix_micros(lag("ts", 1).over(wUser)))
+      .withColumn("_new", when(col("_lagm").isNull ||
+        unix_micros(col("ts")) - col("_lagm") >= gapMinutes * 60000000L, 1)
+        .otherwise(0))
+      .withColumn("_sid", sum("_new").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    m.groupBy("user_id", "_sid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   def rateLimitFlags(events: DataFrame, maxPerHour: Int,
                      userCol: String = "user_id", tsCol: String = "ts",
                      idCol: String = "event_id"): DataFrame = {

@@ -2629,6 +2629,119 @@ object Relational {
       graft.ext.Graph.labelPropagation(edges, seeds, rounds = 2)
         .groupBy("label").agg(count(lit(1)).as("n_nodes"))
         .orderBy("label")
+    },
+
+    // ——— time-weighted average value per user (TWAP): each event's
+    //     weight is its holding duration in exact epoch micros;
+    //     Σ(cents·dur)/Σdur is one rounded division of BIGINTs. ———
+    Q("q216_twap",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, cents,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dur
+        |  FROM e
+        |)
+        |SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  round(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur), 6) AS twap_cents
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.twap(t(s, dir, "events"), "user_id", "ts",
+        round(col("value") * 100).cast("long"))
+    },
+
+    // ——— top session journeys: event-type paths per q23 session
+    //     (gaps-and-islands, same boundary rule), within-session
+    //     order pinned by (ts, event_id), top-10 by frequency. ———
+    Q("q217_top_paths",
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m
+        |), p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.topSessionPaths(t(s, dir, "events"),
+        gapMinutes = 5, k = 10)
+    },
+
+    // ——— per-brand OLS of quantity ~ whole-dollar price from exact
+    //     integer sums (n, Σx, Σy, Σxy, Σx², Σy² in one pass):
+    //     slope/intercept/R² are a fixed IEEE expression over them. ———
+    Q("q218_ols_by_group",
+      """WITH b AS (
+        |  SELECT p.p_brand AS grp,
+        |    CAST(round(l.l_extendedprice) AS BIGINT) AS x,
+        |    CAST(l.l_quantity AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT grp, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      AS denx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      AS deny,
+        |    sx, sy
+        |  FROM a
+        |)
+        |SELECT grp, n, round(num / denx, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - (num / denx) * sx) / n, 6) AS intercept,
+        |  round(num * num / (denx * deny), 6) AS r2
+        |FROM c ORDER BY grp""".stripMargin) { (s, dir) =>
+      val joined = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ext.Profile.olsByGroup(joined, "p_brand",
+        round(col("l_extendedprice")), col("l_quantity"))
+    },
+
+    // ——— calendar gap filling with forward fill over the sparse
+    //     minute-0 slice: complete day spine per event type, gaps
+    //     carry the last observed daily total forward, fill flag
+    //     kept — the densify-before-modeling step. ———
+    Q("q219_forward_fill",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE minute(ts) = 0 GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+        |), spine AS (
+        |  SELECT g.grp, CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT grp FROM daily) g CROSS JOIN bounds b
+        |)
+        |SELECT s.grp, s.day,
+        |  last_value(d.cents IGNORE NULLS) OVER (PARTITION BY s.grp
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cents,
+        |  CAST(CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM spine s LEFT JOIN daily d ON s.grp = d.grp AND s.day = d.day
+        |ORDER BY s.grp, s.day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.forwardFillDaily(
+        t(s, dir, "events").filter(minute(col("ts")) === 0),
+        "event_type", "ts", round(col("value") * 100).cast("long"))
     }
   )
 

@@ -614,6 +614,72 @@ class ProfileSpec extends SparkSpec {
     assert(out(9L).getAs[Double]("cum_share") === 0.009)
   }
 
+  test("twap: durations weight the average; single-event keys drop") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("u1", ts(0), 100L),   // held 10 s
+      ("u1", ts(10), 200L),  // held 30 s
+      ("u1", ts(40), 999L),  // last event: no duration
+      ("u2", ts(5), 50L)     // single event → dropped
+    ).toDF("k", "ts", "cents")
+    val out = Profile.twap(rows, "k", "ts", col("cents")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("key") === "u1")
+    assert(out.head.getAs[Long]("n_intervals") === 2L)
+    // (100·10 + 200·30) / 40 = 175
+    assert(out.head.getAs[Double]("twap_cents") === 175.0)
+  }
+
+  test("olsByGroup: exact line recovered; R² = 1") {
+    val rows = (1L to 20L).map(x => ("g", x, 2 * x + 1)).toDF("grp", "x", "y")
+    val out = Profile.olsByGroup(rows, "grp", col("x"), col("y"))
+      .collect().head
+    assert(out.getAs[Double]("slope") === 2.0)
+    assert(out.getAs[Double]("intercept") === 1.0)
+    assert(out.getAs[Double]("r2") === 1.0)
+  }
+
+  test("olsByGroup: matches the local normal-equations replay") {
+    val xs = Seq(1L, 2L, 3L, 5L, 8L, 13L)
+    val ys = Seq(3L, 5L, 4L, 9L, 12L, 20L)
+    val rows = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+      .toDF("grp", "x", "y")
+    val out = Profile.olsByGroup(rows, "grp", col("x"), col("y"))
+      .collect().head
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(a => a * a).sum.toDouble
+    val num = n * sxy - sx * sy
+    val slope = num / (n * sxx - sx * sx)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(out.getAs[Double]("slope") === r6(slope))
+    assert(out.getAs[Double]("intercept") === r6((sy - slope * sx) / n))
+    assert(out.getAs[Double]("r2") ===
+      r6(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))))
+  }
+
+  test("forwardFillDaily: gaps carry forward, leading gap stays null") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 6, 1).plusDays(d).atTime(12, 0))
+    // g1 observed on days 1 and 3 (of spine 0..3 set by g2);
+    // g2 observed on days 0 and 3
+    val rows = Seq(("g1", at(1), 10L), ("g1", at(3), 30L),
+      ("g2", at(0), 5L), ("g2", at(3), 7L)).toDF("grp", "ts", "cents")
+    val out = Profile.forwardFillDaily(rows, "grp", "ts", col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1) -
+        java.time.LocalDate.of(2024, 6, 1).toEpochDay) ->
+        (if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 8) // 2 groups × 4 spine days
+    assert(out(("g1", 0L)) === ((null, 1L)))  // before first obs: null
+    assert(out(("g1", 1L)) === ((10L, 0L)))
+    assert(out(("g1", 2L)) === ((10L, 1L)))   // carried forward
+    assert(out(("g1", 3L)) === ((30L, 0L)))
+    assert(out(("g2", 1L)) === ((5L, 1L)))
+    assert(out(("g2", 2L)) === ((5L, 1L)))
+  }
+
   private def xyEvents(xy: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame =
     xy.zipWithIndex.flatMap { case ((x, y), d) =>
       val day = java.time.LocalDate.of(2024, 5, 1).plusDays(d)

@@ -614,6 +614,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topSessionPaths: gap splits sessions; order pinned by (ts, event_id)") {
+    import java.sql.Timestamp
+    def at(min: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-05-01 09:$min%02d:$sec%02d")
+    val ev = Seq(
+      // u1 session 1: view > click (1 min apart)
+      (1L, 1L, at(0), "view", 0.0), (2L, 1L, at(1), "click", 0.0),
+      // ≥5 min gap → u1 session 2: purchase alone
+      (3L, 1L, at(7), "purchase", 1.0),
+      // u2: same-second events ordered by event_id: a(4) before b(5)
+      (5L, 2L, at(0), "b_second", 0.0), (4L, 2L, at(0), "a_first", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ext.Streaming.topSessionPaths(ev, gapMinutes = 5, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click" -> 1L, "purchase" -> 1L,
+      "a_first>b_second" -> 1L))
+  }
+
   test("lastTouchAttribution: same-timestamp tie resolves by event_id order") {
     import java.sql.Timestamp
     def t0 = Timestamp.valueOf("2024-05-01 09:00:00")
