@@ -159,11 +159,17 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = base.select(col("node"), col("s").as("rank"))
     for (i <- 1 to iterations) {
-      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+      // ranks and contribs are node-dictionary-sized — broadcast both
+      // joins so the cached edge table never re-shuffles (the q126
+      // plan posture; derived frames lack size estimates here, so an
+      // explicit hint replaces the estimate). For graphs whose node
+      // dictionary outgrows broadcast, drop the hints: the plan falls
+      // back to one edge-shuffle per iteration, still correct.
+      val contribs = adj.join(broadcast(ranks), adj("src") === ranks("node"))
         .select(col("dst").as("node"),
           round(col("rank") / col("deg") * micro).cast("long").as("c"))
         .groupBy("node").agg(sum("c").as("cs"))
-      ranks = base.join(contribs, Seq("node"), "left")
+      ranks = base.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           round(lit(1.0 - damping) * col("s") +
             lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / micro),
