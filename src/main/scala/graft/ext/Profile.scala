@@ -739,6 +739,60 @@ object Profile {
       .orderBy("grp", "dow")
   }
 
+  /** Conversion latency: per entity, the delay from its FIRST
+    * `fromType` event to its first `toType` event at-or-after it,
+    * summarized as nearest-rank p50/p90 over exact epoch-micro
+    * delays (one global window over the converting-entity
+    * dictionary). Entities that never convert simply drop out —
+    * they belong to the funnel count (q115), not the latency
+    * distribution.
+    */
+  def conversionLatency(events: DataFrame, entityCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val su = events.filter(col(typeCol) === fromType)
+      .groupBy(col(entityCol).as("ent")).agg(min(col(tsCol)).as("s_ts"))
+    val pu = events.filter(col(typeCol) === toType)
+      .select(col(entityCol).as("ent"), col(tsCol).as("p_ts"))
+      .join(su, Seq("ent"))
+      .where(col("p_ts") >= col("s_ts"))
+      .groupBy("ent").agg(min("p_ts").as("p_ts"), min("s_ts").as("s_ts"))
+    val d = pu.select(
+      (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay"))
+    val r = d
+      .withColumn("rn", row_number().over(Window.orderBy("delay")))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    r.agg(max("n").cast("long").as("n_entities"),
+      round(max(when(col("rn") === expr("(n + 1) div 2"), col("delay")))
+        .cast("double") / 1e6, 6).as("p50_seconds"),
+      round(max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay")))
+        .cast("double") / 1e6, 6).as("p90_seconds"))
+  }
+
+  /** Herfindahl–Hirschman concentration per group: HHI = Σ share²
+    * of member weights, computed as one exact-integer ratio
+    * Σw² / (Σw)² — supply-chain (or source-mix) fragility in one
+    * number per part. Only groups with ≥ 2 members are reported
+    * (singletons are 1.0 by definition). Two aggregations, both
+    * keyed; no window.
+    */
+  def concentrationHHI(df: DataFrame, groupCol: String, memberCol: String,
+                       weight: Column): DataFrame = {
+    val q = df.groupBy(col(groupCol).as("grp"), col(memberCol).as("member"))
+      .agg(sum(weight).as("w"))
+    q.groupBy("grp")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("w") * col("w")).as("sq"), sum("w").as("tot"))
+      .where(col("n_members") >= 2)
+      .select(col("grp"), col("n_members").cast("long").as("n_members"),
+        round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi"))
+  }
+
   /** Time-weighted average (TWAP) per key: each observation holds
     * until the next one, so its weight is the inter-event duration —
     * the metering/pricing average that ignores sampling cadence

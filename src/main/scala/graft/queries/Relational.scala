@@ -2742,6 +2742,59 @@ object Relational {
       graft.ext.Profile.forwardFillDaily(
         t(s, dir, "events").filter(minute(col("ts")) === 0),
         "event_type", "ts", round(col("value") * 100).cast("long"))
+    },
+
+    // ——— conversion latency signup→purchase: nearest-rank p50/p90
+    //     over exact epoch-micro delays of first-signup to first
+    //     subsequent purchase; non-converters drop (q115 counts
+    //     them). ———
+    Q("q220_conversion_latency",
+      """WITH su AS (
+        |  SELECT user_id AS ent, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), pu AS (
+        |  SELECT e.user_id AS ent, MIN(e.ts) AS p_ts, MIN(su.s_ts) AS s_ts
+        |  FROM events e JOIN su ON e.user_id = su.ent
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT epoch_us(p_ts) - epoch_us(s_ts) AS delay FROM pu
+        |), r AS (
+        |  SELECT delay, row_number() OVER (ORDER BY delay) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM d
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_entities,
+        |  round(CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delay END)
+        |    AS DOUBLE) / 1e6, 6) AS p50_seconds,
+        |  round(CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delay END)
+        |    AS DOUBLE) / 1e6, 6) AS p90_seconds
+        |FROM r""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.conversionLatency(t(s, dir, "events"), "user_id",
+        "ts", "event_type", "signup", "purchase")
+    },
+
+    // ——— supplier-concentration HHI per part: Σshare² as one exact
+    //     integer ratio Σw²/(Σw)², multi-supplier parts only, top-20
+    //     most concentrated. ———
+    Q("q221_supplier_hhi",
+      """WITH q AS (
+        |  SELECT l_partkey AS grp, l_suppkey AS member,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), h AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    CAST(SUM(w * w) AS BIGINT) AS sq, CAST(SUM(w) AS BIGINT) AS tot
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT grp, n_members,
+        |  round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)),
+        |    6) AS hhi
+        |FROM h WHERE n_members >= 2
+        |ORDER BY hhi DESC, grp LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.concentrationHHI(t(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", col("l_quantity").cast("long"))
+        .orderBy(col("hhi").desc, col("grp")).limit(20)
     }
   )
 

@@ -614,6 +614,32 @@ class ProfileSpec extends SparkSpec {
     assert(out(9L).getAs[Double]("cum_share") === 0.009)
   }
 
+  test("conversionLatency: hand delays; non-converters and pre-signup buys drop") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      ("u1", ts(0), "signup"), ("u1", ts(10), "purchase"),  // delay 10 s
+      ("u2", ts(0), "signup"), ("u2", ts(30), "purchase"),  // delay 30 s
+      ("u3", ts(0), "signup"), ("u3", ts(20), "purchase"),  // delay 20 s
+      ("u4", ts(50), "signup"), ("u4", ts(40), "purchase"), // buy BEFORE signup
+      ("u5", ts(0), "signup")                               // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = Profile.conversionLatency(ev, "user_id", "ts", "event_type",
+      "signup", "purchase").collect().head
+    assert(out.getAs[Long]("n_entities") === 3L)
+    assert(out.getAs[Double]("p50_seconds") === 20.0) // rank 2 of {10,20,30}
+    assert(out.getAs[Double]("p90_seconds") === 30.0) // rank ceil(2.7) = 3
+  }
+
+  test("concentrationHHI: hand shares; singletons excluded") {
+    val rows = Seq((1, "a", 50L), (1, "b", 50L),     // even split → 0.5
+      (2, "a", 90L), (2, "b", 10L),                  // 0.81 + 0.01
+      (3, "a", 100L)                                 // singleton → excluded
+    ).toDF("grp", "member", "w")
+    val out = Profile.concentrationHHI(rows, "grp", "member", col("w"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("hhi")).toMap
+    assert(out === Map(1 -> 0.5, 2 -> 0.82))
+  }
+
   test("twap: durations weight the average; single-event keys drop") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(
