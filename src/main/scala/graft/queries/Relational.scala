@@ -2795,6 +2795,41 @@ object Relational {
       graft.ext.Profile.concentrationHHI(t(s, dir, "lineitem"),
           "l_partkey", "l_suppkey", col("l_quantity").cast("long"))
         .orderBy(col("hhi").desc, col("grp")).limit(20)
+    },
+
+    // ——— mergeable-rollup law UNDER the oracle: monthly stats built
+    //     by MERGING daily partial states (sum/count/min/max re-agg)
+    //     hash-equal to the direct monthly computation from raw rows.
+    //     This is the incremental-pipeline invariant — at 100 TB you
+    //     re-aggregate yesterday's partials, never yesterday's rows;
+    //     the oracle computes the DIRECT form, so the gate proves the
+    //     merge changes nothing. ———
+    Q("q222_rollup_merge",
+      """SELECT event_type,
+        |  strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // stage 1: daily partial states (what an incremental pipeline
+      // persists); stage 2: monthly = MERGE of partials — counts and
+      // sums re-sum, mins/maxes re-min/max. No raw row is touched in
+      // stage 2.
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("c").as("cents"),
+          min("c").as("min_cents"), max("c").as("max_cents"))
+      daily
+        .groupBy(col("event_type"),
+          date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(sum("n").cast("long").as("n"),
+          sum("cents").cast("long").as("cents"),
+          min("min_cents").cast("long").as("min_cents"),
+          max("max_cents").cast("long").as("max_cents"))
+        .orderBy("event_type", "month")
     }
   )
 
