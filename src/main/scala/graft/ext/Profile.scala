@@ -1108,6 +1108,40 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** Day-over-day trending ranks — "what moved up the leaderboard?".
+    * Per day, items are ranked by count (ties to the smaller item —
+    * fully deterministic); each item's rank is compared to its rank
+    * on the PREVIOUS OBSERVED day (`lag` over the item's own day
+    * sequence — a day with no sales compares to the last day that had
+    * any). Positive delta = rising. Only the per-day top `k` rows are
+    * emitted, but ranks/lags are computed over the FULL table first —
+    * an item entering the top-k shows where it came from.
+    *
+    * Two window passes over the (day, item) aggregate — which is
+    * dictionary-sized (days × items), never row-sized — so the heavy
+    * input collapses in one exact integer count first.
+    */
+  def trendingRanks(df: DataFrame, dayCol: Column, itemCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "trendingRanks: k must be >= 1")
+    val daily = df.select(dayCol.cast("long").as("day"), col(itemCol)
+        .as("item"))
+      .groupBy("day", "item").agg(count(lit(1)).as("n"))
+    val ranked = daily.withColumn("rnk", row_number().over(
+      Window.partitionBy("day").orderBy(col("n").desc, col("item")))
+      .cast("long"))
+    ranked
+      .withColumn("prev_rnk",
+        lag("rnk", 1).over(Window.partitionBy("item").orderBy("day"))
+          .cast("long"))
+      .withColumn("rank_delta", (col("prev_rnk") - col("rnk")).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("day"), col("item"), col("n").cast("long").as("n"),
+        col("rnk"), col("prev_rnk"), col("rank_delta"))
+      .orderBy("day", "rnk")
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-/synthetic-data smell test for ingested
     * numeric feeds. Observed first-digit counts (extracted from the

@@ -778,6 +778,62 @@ object Streaming {
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning readout
+    * ("how many users were on AT ONCE at the worst moment?") that a
+    * plain per-day count can't answer. Sessions are the q23
+    * gaps-and-islands islands; each is active over the half-open
+    * interval [first event, last event + gap) — the same end rule
+    * `session_window` uses. The classic sweep: +1 at each start, −1 at
+    * each end, running sum, take the max.
+    *
+    * Scale design: a single global ordered sweep would serialize into
+    * one task, so each session interval is first CLIPPED at day
+    * boundaries (a session spans at most a handful of days at any
+    * sane gap; the `sequence` fan-out is bounded by its day count).
+    * The sweep then partitions BY DAY — embarrassingly parallel — and
+    * a session alive at midnight is carried into the next day as a
+    * +1 at 00:00 by its clip. Ties are ordered (t, delta) with −1 < +1,
+    * so back-to-back sessions at the same microsecond don't double
+    * count: ends settle before starts, in BOTH engines.
+    */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 5,
+                      userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMinutes >= 1, "peakConcurrency: gapMinutes must be >= 1")
+    val gapMicros = gapMinutes * 60000000L
+    val dayMicros = 86400000000L
+    val wUser = Window.partitionBy(userCol).orderBy(tsCol)
+    val sess = events
+      .withColumn("_lagm", unix_micros(lag(col(tsCol), 1).over(wUser)))
+      .withColumn("_new", when(col("_lagm").isNull ||
+        unix_micros(col(tsCol)) - col("_lagm") >= gapMicros, 1).otherwise(0))
+      .withColumn("_sid", sum("_new").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_sid"))
+      .agg(min(unix_micros(col(tsCol))).as("lo"),
+        (max(unix_micros(col(tsCol))) + gapMicros).as("hi"))
+    // clip each [lo, hi) at day boundaries; fan-out = days spanned
+    val clipped = sess
+      .withColumn("day", explode(sequence(
+        (col("lo") / dayMicros).cast("long"),
+        ((col("hi") - 1) / dayMicros).cast("long"))))
+      .select(col("day"),
+        greatest(col("lo"), col("day") * dayMicros).as("cs"),
+        least(col("hi"), (col("day") + 1) * dayMicros).as("ce"))
+    val sweep = clipped.select(col("day"), col("cs").as("t"), lit(1).as("d"))
+      .unionAll(clipped.select(col("day"), col("ce").as("t"),
+        lit(-1).as("d")))
+    val wDay = Window.partitionBy("day").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep.withColumn("run", sum("d").over(wDay))
+      .groupBy("day")
+      .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_sessions"),
+        max("run").cast("long").as("peak"))
+      .orderBy("day")
+  }
+
   def rateLimitFlags(events: DataFrame, maxPerHour: Int,
                      userCol: String = "user_id", tsCol: String = "ts",
                      idCol: String = "event_id"): DataFrame = {

@@ -2830,6 +2830,81 @@ object Relational {
           min("min_cents").cast("long").as("min_cents"),
           max("max_cents").cast("long").as("max_cents"))
         .orderBy("event_type", "month")
+    },
+
+    // ——— peak concurrent sessions per day: +1/−1 interval sweep over
+    //     the q23 sessions, CLIPPED at day boundaries so the running
+    //     sum partitions by day (parallel) instead of one global
+    //     ordered task; ties settle ends before starts. ———
+    Q("q223_peak_concurrency",
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m
+        |), sess AS (
+        |  SELECT epoch_us(MIN(ts)) AS lo,
+        |         epoch_us(MAX(ts)) + 300000000 AS hi
+        |  FROM g GROUP BY user_id, sid
+        |), clipped AS (
+        |  SELECT unnest(range(lo // 86400000000, (hi - 1) // 86400000000 + 1))
+        |      AS day, lo, hi
+        |  FROM sess
+        |), c2 AS (
+        |  SELECT day, GREATEST(lo, day * 86400000000) AS cs,
+        |         LEAST(hi, (day + 1) * 86400000000) AS ce
+        |  FROM clipped
+        |), sweep AS (
+        |  SELECT day, cs AS t, 1 AS d FROM c2
+        |  UNION ALL SELECT day, ce AS t, -1 AS d FROM c2
+        |), r AS (
+        |  SELECT day, d, SUM(d) OVER (PARTITION BY day ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM sweep
+        |)
+        |SELECT day, CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(MAX(run) AS BIGINT) AS peak
+        |FROM r GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.peakConcurrency(t(s, dir, "events"))
+    },
+
+    // ——— day-over-day trending brand ranks: rank per shipping day by
+    //     count (ties to smaller brand), delta vs the brand's previous
+    //     OBSERVED day; top-5 emitted, ranks computed over the full
+    //     dictionary-sized daily aggregate. ———
+    Q("q224_trending",
+      """WITH daily AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day, p.p_brand AS item, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT day, item, n, CAST(row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, item) AS BIGINT) AS rnk
+        |  FROM daily
+        |), lagged AS (
+        |  SELECT day, item, n, rnk,
+        |    CAST(lag(rnk) OVER (PARTITION BY item ORDER BY day) AS BIGINT)
+        |      AS prev_rnk
+        |  FROM ranked
+        |)
+        |SELECT day, item, n, rnk, prev_rnk,
+        |  CAST(prev_rnk - rnk AS BIGINT) AS rank_delta
+        |FROM lagged WHERE rnk <= 5
+        |ORDER BY day, rnk""".stripMargin) { (s, dir) =>
+      val joined = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ext.Profile.trendingRanks(joined,
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")), "p_brand")
     }
   )
 

@@ -773,4 +773,26 @@ class ProfileSpec extends SparkSpec {
     }
     assert(out.getAs[Double]("max_cusum") === smax / 1e6)
   }
+
+  test("trendingRanks: rank ties to smaller item; delta vs previous OBSERVED day") {
+    // day 1: a×3 b×3 c×1 → a=1 (tie to smaller), b=2, c=3
+    // day 2: b×5 c×2     → b=1, c=2; a absent
+    // day 4: a×9 b×1     → a=1 (prev_rnk from day 1 — gap skipped), b=2
+    val rows = Seq.fill(3)((1L, "a")) ++ Seq.fill(3)((1L, "b")) ++
+      Seq((1L, "c")) ++ Seq.fill(5)((2L, "b")) ++ Seq.fill(2)((2L, "c")) ++
+      Seq.fill(9)((4L, "a")) ++ Seq((4L, "b"))
+    val df = rows.toDF("d", "item")
+    val out = Profile.trendingRanks(df, col("d"), "item", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, "a", 3L, 1L, None, None),
+      (1L, "b", 3L, 2L, None, None),
+      (2L, "b", 5L, 1L, Some(2L), Some(1L)),
+      (2L, "c", 2L, 2L, Some(3L), Some(1L)),
+      (4L, "a", 9L, 1L, Some(1L), Some(0L)),
+      (4L, "b", 1L, 2L, Some(1L), Some(-1L))))
+  }
 }

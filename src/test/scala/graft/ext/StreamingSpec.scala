@@ -645,4 +645,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[String]("touch_type") === "click")
   }
+
+  test("peakConcurrency: overlap counts, disjoint doesn't, ends settle first") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-05-01 $s")
+    // u1: 09:00–09:02 (+5 min gap → active to 09:07)
+    // u2: 09:04 single event      → active 09:04–09:09 (overlaps u1)
+    // u3: 09:30 single event      → active 09:30–09:35 (disjoint)
+    // u4: 09:09:00 single event   → starts EXACTLY when u2 ends:
+    //     the −1 settles before the +1, so peak stays 2, not 3
+    val ev = Seq(
+      (1L, t("09:00:00")), (1L, t("09:02:00")),
+      (2L, t("09:04:00")),
+      (3L, t("09:30:00")),
+      (4L, t("09:09:00"))
+    ).toDF("user_id", "ts")
+    val out = Streaming.peakConcurrency(ev).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_sessions") === 4L)
+    assert(out.head.getAs[Long]("peak") === 2L)
+  }
+
+  test("peakConcurrency: a session alive at midnight counts in both days") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-05-01 23:58:00")), // active to 00:03
+      (2L, Timestamp.valueOf("2024-05-02 00:01:00"))  // overlaps it on day 2
+    ).toDF("user_id", "ts")
+    val out = Streaming.peakConcurrency(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day1 = 19844L // 2024-05-01 epoch days (UTC session timezone)
+    assert(out.toSeq === Seq((day1, 1L, 1L), (day1 + 1, 2L, 2L)))
+  }
 }
