@@ -284,6 +284,52 @@ object Graph {
     visited.localCheckpoint(true)
   }
 
+  /** Fixed-round k-core peel: each round removes every node whose
+    * current degree is below `k`, then drops edges touching removed
+    * nodes — the standard "dense cohesive core" extraction (spam/
+    * community cores in link graphs, well-connected neighborhoods in
+    * kNN graphs). A fixed round count replays exactly in SQL (the
+    * q215 discipline); full convergence is `rounds ≈ O(peel depth)`,
+    * usually single digits. Per round: one degree aggregation + two
+    * semi-joins — linear in edges, no driver state.
+    *
+    * Returns one row per round boundary: (round, n_nodes, n_edges)
+    * where round 0 is the raw graph (nodes = endpoints with ≥ 1
+    * edge) and round r ≥ 1 counts the nodes that SURVIVED peel r and
+    * the edges between them.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10,
+      s"kcorePeel: need k >= 1 and rounds in 1..10, got k=$k rounds=$rounds")
+    val e0 = edges.select(col("src").cast("string").as("a"),
+                          col("dst").cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    var cur = e0.select(least(col("a"), col("b")).as("u"),
+                        greatest(col("a"), col("b")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var stats = degrees(cur)
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").cast("long").as("n_edges"))
+      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    for (r <- 1 to rounds) {
+      val keep = degrees(cur).where(col("deg") >= k).select("node")
+      val next = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stats = stats.unionByName(
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(next.agg(count(lit(1)).cast("long").as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+      cur = next
+    }
+    stats.orderBy("round")
+  }
+
   /** Fixed-iteration PageRank on the undirected graph of `edges`.
     * Returns (node, rank) for every node; ranks sum to ≈ node count
     * (undirected symmetrization leaves no dangling mass).

@@ -1108,6 +1108,41 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** Interval-union coverage per key — merge overlapping-or-touching
+    * [start, end] integer intervals (both bounds inclusive) and
+    * report, per key: how many raw intervals, how many merged islands
+    * they collapse to, and the total covered units. The classic
+    * "actual busy time" / SLA-coverage operator: raw interval counts
+    * double-count overlap; the union doesn't.
+    *
+    * Gaps-and-islands with a RUNNING MAX (not lag): a new island
+    * starts when this interval's start exceeds the max end seen so
+    * far — lag(end) alone is wrong when an earlier interval swallows
+    * a later one. All integer; one key-partitioned sort window + one
+    * aggregation, so it shuffles once on the key.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: Column,
+                       endCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = df.select(col(keyCol).as("key"),
+      startCol.cast("long").as("s"), endCol.cast("long").as("e"))
+      .where(col("s") <= col("e"))
+    val w = Window.partitionBy("key").orderBy(col("s"), col("e"))
+    val prevMax = max("e").over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv
+      .withColumn("_new",
+        when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("_isl", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("key", "_isl")
+      .agg(count(lit(1)).as("n_iv"), min("s").as("is"), max("e").as("ie"))
+      .groupBy("key")
+      .agg(sum("n_iv").cast("long").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is") + 1).cast("long").as("covered"))
+  }
+
   /** Day-over-day trending ranks — "what moved up the leaderboard?".
     * Per day, items are ranked by count (ties to the smaller item —
     * fully deterministic); each item's rank is compared to its rank

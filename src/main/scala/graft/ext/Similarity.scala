@@ -776,6 +776,46 @@ object Similarity {
       .orderBy("k_occurrence")
   }
 
+  /** Mutual-kNN graph over (a deterministic sample of) the embedding
+    * table: a directed edge a→b when b is in a's cosine top-k; kept
+    * only when RECIPROCATED (b also ranks a) — the standard
+    * noise-robust neighborhood graph that downstream graph analytics
+    * (k-core, link prediction, clustering) run on. Degrees are
+    * bounded by k BY CONSTRUCTION, so every consumer is safe from
+    * hub blowup at any scale.
+    *
+    * Ranking is by (round(cos,6) desc, id) — the q168 discipline that
+    * makes the cutoff identical in both engines. The battery samples
+    * 1-in-`sampleMod` (the brute pair build is quadratic in the
+    * sample); at corpus scale swap the brute scorer for the q94
+    * batch-ANN candidates and keep everything downstream unchanged.
+    * Returns canonical (src < dst) undirected edges.
+    */
+  def mutualKnnEdges(embeddings: DataFrame, k: Int = 5, sampleMod: Long = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "mutualKnnEdges: k must be >= 1")
+    val s = embeddings.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        norm2(col(vecCol)).as("n2"))
+    val q = s.select(col("vid").as("qid"), col("v").as("qv"),
+      col("n2").as("qn2"))
+    val directed = s.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid").as("src"), col("vid").as("dst"),
+        round(dot(col("v"), col("qv")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
+      .filter(col("rn") <= k)
+      .select("src", "dst")
+    val rev = directed.select(col("dst").as("src"), col("src").as("dst"))
+    directed.join(rev, Seq("src", "dst"), "left_semi")
+      .where(col("src") < col("dst"))
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval rankings (cosine and
     * euclidean) against one query vector — the standard zero-tuning
     * hybrid-search combiner. Each ranker contributes

@@ -2905,6 +2905,51 @@ object Relational {
           col("l_partkey") === col("p_partkey"))
       graft.ext.Profile.trendingRanks(joined,
         datediff(to_date(col("l_shipdate")), lit("1970-01-01")), "p_brand")
+    },
+
+    // ——— interval-union coverage per supplier: order→ship day spans
+    //     merged by the running-max gaps-and-islands rule (lag(end)
+    //     alone is wrong when an interval swallows the next); raw
+    //     count vs merged islands vs covered days, top-20. ———
+    Q("q225_interval_coverage",
+      """WITH iv AS (
+        |  SELECT l_suppkey AS key,
+        |    LEAST(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT),
+        |          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+        |      AS s,
+        |    GREATEST(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT),
+        |             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+        |      AS e
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), m AS (
+        |  SELECT key, s, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |), g AS (
+        |  SELECT key, s, e, SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m
+        |), isle AS (
+        |  SELECT key, isl, COUNT(*) AS n_iv, MIN(s) AS i_s, MAX(e) AS i_e
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT key, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(i_e - i_s + 1) AS BIGINT) AS covered
+        |FROM isle GROUP BY key
+        |ORDER BY covered DESC, key LIMIT 20""".stripMargin) { (s, dir) =>
+      val iv = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("key"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d1"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("d2"))
+      graft.ext.Profile.intervalCoverage(iv, "key",
+          least(col("d1"), col("d2")), greatest(col("d1"), col("d2")))
+        .orderBy(col("covered").desc, col("key")).limit(20)
     }
   )
 

@@ -980,6 +980,56 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wp))
         .filter(col("rk") <= 10).drop("rk")
       Similarity.retrievalMetrics(retrieved, truth).orderBy("qid")
+    },
+
+    // ——— k-core peel of the mutual-kNN graph: edges only where BOTH
+    //     endpoints rank each other in their cosine top-5 (degree ≤ k
+    //     by construction — hub-safe at any scale), then two fixed
+    //     peel rounds at k=2; per round: one degree agg + two
+    //     semi-joins. The "dense embedding neighborhoods" readout. ———
+    Q("q226_kcore",
+      s"""WITH s AS (
+         |  SELECT vec_id AS vid, embedding AS v FROM embeddings
+         |  WHERE vec_id % 5 = 0
+         |), pr AS (
+         |  SELECT a.vid AS src, b.vid AS dst,
+         |    ROUND(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM s a JOIN s b ON a.vid <> b.vid
+         |), d AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos_sim DESC, dst) AS rn FROM pr)
+         |  WHERE rn <= 5
+         |), e0 AS (
+         |  SELECT x.src AS u, x.dst AS v FROM d x
+         |  JOIN d y ON x.src = y.dst AND x.dst = y.src
+         |  WHERE x.src < x.dst
+         |), deg0 AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
+         |), keep0 AS (SELECT node FROM deg0 WHERE deg >= 2),
+         |e1 AS (
+         |  SELECT u, v FROM e0
+         |  WHERE u IN (SELECT node FROM keep0) AND v IN (SELECT node FROM keep0)
+         |), deg1 AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1
+         |), keep1 AS (SELECT node FROM deg1 WHERE deg >= 2),
+         |e2 AS (
+         |  SELECT u, v FROM e1
+         |  WHERE u IN (SELECT node FROM keep1) AND v IN (SELECT node FROM keep1)
+         |)
+         |SELECT round, n_nodes, n_edges FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round,
+         |    CAST((SELECT COUNT(*) FROM deg0) AS BIGINT) AS n_nodes,
+         |    CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges
+         |  UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM keep0) AS BIGINT),
+         |    CAST((SELECT COUNT(*) FROM e1) AS BIGINT)
+         |  UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM keep1) AS BIGINT),
+         |    CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+         |) ORDER BY round""".stripMargin) { (s, dir) =>
+      val edges = Similarity.mutualKnnEdges(emb(s, dir), k = 5, sampleMod = 5)
+      graft.ext.Graph.kcorePeel(edges, k = 2, rounds = 2)
     }
   )
 
