@@ -1201,8 +1201,10 @@ object Dedup {
     */
   def entityClusters(df: DataFrame, nameCol: String,
                      threshold: Double,
-                     blockOnFirstChar: Boolean = false): DataFrame = {
-    val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar)
+                     blockOnFirstChar: Boolean = false,
+                     maxNames: Long = 100000L): DataFrame = {
+    val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar,
+        maxNames)
       .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
       .localCheckpoint()
     nearDupClusters(pairs)
@@ -1212,11 +1214,36 @@ object Dedup {
       .orderBy("canonical")
   }
 
+  /** All name pairs above a Jaro–Winkler threshold over the DISTINCT
+    * dictionary of `nameCol`.
+    *
+    * GUARDED: with `blockOnFirstChar = false` the plan is an O(n²)
+    * cartesian product over the dictionary, so the call counts the
+    * distinct names up front and REFUSES dictionaries beyond
+    * `maxNames` (default 100k ⇒ ≤ 5·10⁹ JW evaluations) rather than
+    * silently launching an un-finishable job — a 10⁷-name dictionary
+    * is 10¹⁴ pairs. `blockOnFirstChar = true` is the scale path
+    * (first-char equality bounds each block; JW ≥ 0.7 pairs almost
+    * always share a first char since the Winkler prefix bonus and
+    * the Jaro window both reward shared prefixes) and is ungated.
+    * Raise `maxNames` only for a deliberate bounded verification run.
+    */
   def jaroWinklerPairs(df: DataFrame, nameCol: String, threshold: Double,
-                       blockOnFirstChar: Boolean = false): DataFrame = {
+                       blockOnFirstChar: Boolean = false,
+                       maxNames: Long = 100000L): DataFrame = {
     import graft.functions.JaroWinkler.jaroWinkler
     val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull)
       .distinct()
+    if (!blockOnFirstChar) {
+      val n = names.count()
+      require(n <= maxNames,
+        s"jaroWinklerPairs with blockOnFirstChar=false is an O(n²) " +
+          s"dictionary cross join and refuses $n distinct names " +
+          s"(maxNames=$maxNames). At scale pass blockOnFirstChar=true " +
+          "(first-char blocking — bounded blocks, same shuffle key on " +
+          "both sides); raise maxNames only for a deliberate bounded " +
+          "verification run.")
+    }
     val a = names.select(col("name").as("name_a"))
     val b = names.select(col("name").as("name_b"))
     val joined =

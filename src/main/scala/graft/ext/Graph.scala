@@ -198,6 +198,12 @@ object Graph {
       col(seedLabels.columns(0)).cast("string").as("node"),
       col(seedLabels.columns(1)).cast("string").as("label")).distinct()
     var labeled = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    // each round EAGERLY checkpoints the new label frame (truncating
+    // lineage) and unpersists the superseded generation, so executor
+    // storage holds one live generation, not `rounds` dead ones;
+    // superseded checkpoint blocks are freed explicitly (unpersist is
+    // a no-op on them and ContextCleaner is best-effort)
+    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labeled.withColumnRenamed("node", "src"), Seq("src"))
@@ -208,10 +214,16 @@ object Graph {
           Window.partitionBy("node")
             .orderBy(col("votes").desc, col("label"))))
         .where(col("_rk") === 1).select("node", "label")
-      labeled = labeled.unionByName(won)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = labeled.unionByName(won).localCheckpoint(true)
+      labeled.unpersist(false)
+      liveCkptRdds.foreach(_.unpersist(blocking = false))
+      liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
+      labeled = next
     }
-    labeled.localCheckpoint(true)
+    adj.unpersist(false)
+    // the FINAL checkpoint backs the returned frame and must survive;
+    // ContextCleaner reclaims it once the result is garbage
+    labeled
   }
 
   /** Degree assortativity (Newman's r) of the undirected graph —
@@ -266,9 +278,14 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 20, s"bfsHops: maxHops 1..20, got $maxHops")
     val adj = undirectedAdjacency(edges, srcCol, dstCol)
       .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    // each hop's frontier is EAGERLY checkpointed once; `visited` is
+    // just the lazy union of those checkpointed frontiers (scanning
+    // cached blocks, no recompute), so there are no superseded
+    // persisted generations to leak — each frontier is stored exactly
+    // once and every copy is part of the result
     var visited = seeds.select(col(seeds.columns.head).cast("string").as("node"))
       .distinct().withColumn("hop", lit(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = visited.select("node")
     var hop = 0
     while (hop < maxHops) {
@@ -277,11 +294,12 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      visited = visited.union(next)
       frontier = next.select("node")
     }
-    visited.localCheckpoint(true)
+    adj.unpersist(false)
+    visited
   }
 
   /** Fixed-round k-core peel: each round removes every node whose
@@ -291,7 +309,15 @@ object Graph {
     * kNN graphs). A fixed round count replays exactly in SQL (the
     * q215 discipline); full convergence is `rounds ≈ O(peel depth)`,
     * usually single digits. Per round: one degree aggregation + two
-    * semi-joins — linear in edges, no driver state.
+    * semi-joins — linear in edges; driver state is three longs per
+    * round (the readout row), nothing graph-sized.
+    *
+    * Loop hygiene: each round's edge set is persisted, MATERIALIZED
+    * by its own count, and the superseded generation unpersisted
+    * immediately — executor storage holds at most two generations at
+    * any instant instead of `rounds` dead ones (ContextCleaner is
+    * best-effort; at 100 TB edge sets, relying on it fills storage
+    * with dead generations). GraphSpec pins this.
     *
     * Returns one row per round boundary: (round, n_nodes, n_edges)
     * where round 0 is the raw graph (nodes = endpoints with ≥ 1
@@ -301,6 +327,7 @@ object Graph {
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 10,
       s"kcorePeel: need k >= 1 and rounds in 1..10, got k=$k rounds=$rounds")
+    val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("string").as("a"),
                           col("dst").cast("string").as("b"))
       .where(col("a") =!= col("b"))
@@ -310,24 +337,28 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    var stats = degrees(cur)
+    val r0 = degrees(cur)
       .agg(count(lit(1)).as("n_nodes"),
-        expr("sum(deg) div 2").cast("long").as("n_edges"))
-      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+        expr("sum(deg) div 2").cast("long").as("n_edges")).head()
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (0L, r0.getLong(0), r0.getLong(1)))
     for (r <- 1 to rounds) {
       val keep = degrees(cur).where(col("deg") >= k).select("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val next = cur
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      stats = stats.unionByName(
-        keep.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(next.agg(count(lit(1)).cast("long").as("n_edges")))
-          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+      val nEdges = next.count() // materializes next AND keep
+      rows += ((r.toLong, keep.count(), nEdges))
+      cur.unpersist(false)
+      keep.unpersist(false)
       cur = next
     }
-    stats.orderBy("round")
+    cur.unpersist(false)
+    import spark.implicits._
+    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
   /** Fixed-iteration PageRank on the undirected graph of `edges`.

@@ -825,6 +825,13 @@ object Profile {
     * intercept and R² are a fixed IEEE expression over them, the
     * q207 discipline. Inputs must be integral (cast/round upstream);
     * Σx² headroom bounds x ≲ 10⁵ at 10⁷ rows per group.
+    *
+    * Outputs are micro-quantized BIGINTs (`floor(x·10⁶ + 0.5)`),
+    * not `round(double, 6)`: the latter is decimal-string HALF_UP in
+    * Spark but binary-value rounding in DuckDB, so a …5e-7 boundary
+    * flips the 6th decimal between engines. floor over the same IEEE
+    * double is bit-identical everywhere (the q126 integer-unit
+    * discipline).
     */
   def olsByGroup(df: DataFrame, groupCol: String, xCol: Column,
                  yCol: Column): DataFrame = {
@@ -843,11 +850,12 @@ object Profile {
     val denY = nD * col("syy") -
       col("sy").cast("double") * col("sy").cast("double")
     val slope = num / denX
+    def micro(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
     agg.select(col("grp"), col("n").cast("long").as("n"),
-        round(slope, 6).as("slope"),
-        round((col("sy").cast("double") - slope * col("sx")) / col("n"), 6)
-          .as("intercept"),
-        round(num * num / (denX * denY), 6).as("r2"))
+        micro(slope).as("slope_micro"),
+        micro((col("sy").cast("double") - slope * col("sx")) / col("n"))
+          .as("intercept_micro"),
+        micro(num * num / (denX * denY)).as("r2_micro"))
       .orderBy("grp")
   }
 

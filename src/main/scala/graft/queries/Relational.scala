@@ -2705,9 +2705,12 @@ object Relational {
         |    sx, sy
         |  FROM a
         |)
-        |SELECT grp, n, round(num / denx, 6) AS slope,
-        |  round((CAST(sy AS DOUBLE) - (num / denx) * sx) / n, 6) AS intercept,
-        |  round(num * num / (denx * deny), 6) AS r2
+        |SELECT grp, n,
+        |  CAST(floor(num / denx * 1e6 + 0.5) AS BIGINT) AS slope_micro,
+        |  CAST(floor((CAST(sy AS DOUBLE) - (num / denx) * sx) / n * 1e6
+        |    + 0.5) AS BIGINT) AS intercept_micro,
+        |  CAST(floor(num * num / (denx * deny) * 1e6 + 0.5) AS BIGINT)
+        |    AS r2_micro
         |FROM c ORDER BY grp""".stripMargin) { (s, dir) =>
       val joined = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),

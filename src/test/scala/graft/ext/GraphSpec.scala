@@ -204,4 +204,60 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(adj === Set(("a", "b", 1L), ("b", "a", 1L)))
   }
+
+  // ——— kcorePeel ———
+
+  // triangle abc (all deg 2) + pendant chain c–d–e (d deg 2, e deg 1)
+  private val kcoreEdges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+    ("c", "d"), ("d", "e"))
+
+  test("kcorePeel: known 2-core survives, pendants peel off in order") {
+    val out = Graph.kcorePeel(kcoreEdges.toDF("src", "dst"), k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round 0: raw graph; round 1: e (deg 1) peeled, edge d–e drops;
+    // round 2: d (now deg 1) peeled, edge c–d drops; round 3: stable
+    // triangle = the exact 2-core
+    assert(out === Array((0L, 5L, 5L), (1L, 4L, 4L), (2L, 3L, 3L),
+      (3L, 3L, 3L)))
+  }
+
+  test("kcorePeel: monotone shrink; k above max degree peels everything") {
+    val out = Graph.kcorePeel(kcoreEdges.toDF("src", "dst"), k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.head === ((5L, 5L)))
+    assert(out.tail.forall(_ === ((0L, 0L))))
+    val shrink = Graph.kcorePeel(kcoreEdges.toDF("src", "dst"), 2, 3)
+      .collect().map(_.getLong(1))
+    assert(shrink.zip(shrink.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("kcorePeel: deterministic unpersist — no cached generations survive") {
+    val edges = (0 until 60).map(i => (s"n${i % 13}", s"n${(i * 5 + 1) % 13}"))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graph.kcorePeel(edges, k = 2, rounds = 5).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"kcorePeel leaked cached RDDs: $leaked")
+  }
+
+  test("labelPropagation/bfsHops: executor storage does not grow with rounds") {
+    val edges = (0 until 100).map(i => (s"n${i % 23}", s"n${(i * 7 + 2) % 23}"))
+      .toDF("src", "dst")
+    val seeds = Seq(("n0", "x"), ("n1", "y")).toDF("node", "label")
+    def newRddsAfter(body: => Unit): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      body
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
+    // superseded generations are freed each round, so the number of
+    // surviving cached/checkpointed RDDs is the same at 1 round and 5
+    val lp1 = newRddsAfter(Graph.labelPropagation(edges, seeds, 1).collect())
+    val lp5 = newRddsAfter(Graph.labelPropagation(edges, seeds, 5).collect())
+    assert(lp5 <= lp1 + 1, s"labelPropagation storage grew with rounds: $lp1 → $lp5")
+    // bfsHops keeps one checkpoint per frontier — all of them ARE the
+    // result (no duplicated visited generations): growth is ≤ 1/hop
+    val b1 = newRddsAfter(Graph.bfsHops(edges, seeds.select("node"), 1).collect())
+    val b4 = newRddsAfter(Graph.bfsHops(edges, seeds.select("node"), 4).collect())
+    assert(b4 - b1 <= 3, s"bfsHops leaked beyond per-hop frontiers: $b1 → $b4")
+  }
 }

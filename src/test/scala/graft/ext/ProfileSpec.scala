@@ -660,9 +660,9 @@ class ProfileSpec extends SparkSpec {
     val rows = (1L to 20L).map(x => ("g", x, 2 * x + 1)).toDF("grp", "x", "y")
     val out = Profile.olsByGroup(rows, "grp", col("x"), col("y"))
       .collect().head
-    assert(out.getAs[Double]("slope") === 2.0)
-    assert(out.getAs[Double]("intercept") === 1.0)
-    assert(out.getAs[Double]("r2") === 1.0)
+    assert(out.getAs[Long]("slope_micro") === 2000000L)
+    assert(out.getAs[Long]("intercept_micro") === 1000000L)
+    assert(out.getAs[Long]("r2_micro") === 1000000L)
   }
 
   test("olsByGroup: matches the local normal-equations replay") {
@@ -679,11 +679,11 @@ class ProfileSpec extends SparkSpec {
     val syy = ys.map(a => a * a).sum.toDouble
     val num = n * sxy - sx * sy
     val slope = num / (n * sxx - sx * sx)
-    def r6(v: Double) = math.rint(v * 1e6) / 1e6
-    assert(out.getAs[Double]("slope") === r6(slope))
-    assert(out.getAs[Double]("intercept") === r6((sy - slope * sx) / n))
-    assert(out.getAs[Double]("r2") ===
-      r6(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    def micro(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    assert(out.getAs[Long]("slope_micro") === micro(slope))
+    assert(out.getAs[Long]("intercept_micro") === micro((sy - slope * sx) / n))
+    assert(out.getAs[Long]("r2_micro") ===
+      micro(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))))
   }
 
   test("forwardFillDaily: gaps carry forward, leading gap stays null") {

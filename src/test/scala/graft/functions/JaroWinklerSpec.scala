@@ -79,4 +79,15 @@ class JaroWinklerSpec extends SparkSpec {
     // the cross-block pair is the documented blocking loss
     assert(full.contains(("alpha", "blpha")) && !blocked.contains(("alpha", "blpha")))
   }
+
+  test("jaroWinklerPairs: unblocked cross join refuses oversized dictionaries") {
+    val df = (1 to 20).map(i => s"name$i").toDF("name")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.jaroWinklerPairs(df, "name", 0.9, maxNames = 10L)
+    }
+    assert(e.getMessage.contains("blockOnFirstChar=true"))
+    // the blocked path is the scale route: ungated at any size
+    graft.ext.Dedup.jaroWinklerPairs(df, "name", 0.9,
+      blockOnFirstChar = true, maxNames = 10L).collect()
+  }
 }
