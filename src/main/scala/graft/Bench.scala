@@ -115,6 +115,24 @@ object Bench {
     }
     println(renderJson(results, sfDir,
       subset = only.map(_ => selected.map(_._1).mkString(","))))
+    // compact summary LAST: driver artifacts keep only a tail window
+    // of stdout, and the full per-query map above can exceed it (the
+    // r7 artifact lost q100–q226's numbers that way). This line is
+    // small enough to survive any tail and carries the headline.
+    println(renderSummary(results, sfDir))
     spark.stop()
+  }
+
+  /** One short JSON line: total seconds, error count, and the 10
+    * slowest queries — the numbers a truncated artifact must keep.
+    */
+  def renderSummary(results: Seq[(String, Double, Option[String])],
+                    sf: String): String = {
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"${jsonEscape(k)}\":$v" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nErr = results.count(_._3.isDefined)
+    s"""{"metric":"summary","total_s":$total,"n_queries":${results.size},"n_errors":$nErr,"slowest":$slowest,"sf":"${jsonEscape(sf)}"}"""
   }
 }

@@ -32,8 +32,16 @@ object Scd {
   def scd2(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
            compareCols: Seq[String], fromV: Int, toV: Int): DataFrame = {
     val cols = keyCols ++ compareCols
-    val o = oldSnap.select(cols.map(c => col(c).as("o_" + c)): _*)
-    val n = newSnap.select(cols.map(c => col(c).as("n_" + c)): _*)
+    // a NULL in any key column can never equi-match, so a null-keyed
+    // row would fall through both membership tests below and emit a
+    // phantom closed+opened pair — drop such rows up front (the
+    // AsOf.asofBackward contract): a key merge is undefined for rows
+    // without a key
+    val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val o = oldSnap.filter(keyNotNull)
+      .select(cols.map(c => col(c).as("o_" + c)): _*)
+    val n = newSnap.filter(keyNotNull)
+      .select(cols.map(c => col(c).as("n_" + c)): _*)
     val joined = o.join(n,
       keyCols.map(k => col("o_" + k) === col("n_" + k)).reduce(_ && _),
       "full_outer")
@@ -63,10 +71,16 @@ object Scd {
     * plus the full row. Result = target with matched-U rows replaced,
     * matched-D rows dropped, and I rows appended (an I whose key
     * already exists upserts like a U — idempotent-feed friendly).
-    * Unknown op values fail loudly.
+    * Unknown op values fail loudly; so does a feed carrying MORE than
+    * one non-D row for the same key (two Us, or an I then a U) —
+    * MERGE semantics are one surviving row per key, and with no
+    * ordering column "which write wins" is undefined, so the feed is
+    * rejected rather than silently emitting duplicate keys. Compact
+    * the feed (last-writer-wins on YOUR order column) before calling.
     */
   def mergeUpsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
                   opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dataCols = target.columns.toSeq
     val guarded = changes.withColumn(opCol,
       when(col(opCol).isin("U", "I", "D"), col(opCol))
@@ -76,7 +90,18 @@ object Scd {
       dataCols.filterNot(keyCols.contains).map(col): _*)
     val survivors = target.join(
       keyed.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    // duplicate-key guard: a key-partitioned COUNT window (order-free,
+    // so no row-order sensitivity enters) that raises inside the plan
+    // — stays lazy, one extra in-partition pass over the feed only
+    val perKey = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
     val applied = keyed.filter(col(opCol) =!= "D")
+      .withColumn("_nk", perKey)
+      .withColumn("_dup_guard", when(col("_nk") > 1,
+        raise_error(concat(lit("mergeUpsert: feed has multiple non-D rows " +
+          "for key ("), concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+          lit(") — compact the feed to one row per key first"))))
+        .otherwise(lit(0)))
+      .filter(col("_dup_guard") === 0)
       .select(dataCols.map(col): _*)
     survivors.unionByName(applied)
   }

@@ -57,11 +57,32 @@ object Graph {
     * graph that stays linear when baskets are small. For heavy
     * groups (a domain with 10⁶ docs) cap the group size upstream —
     * the same `maxDf` discipline as the shingle joins.
+    *
+    * `maxItemDf`: the projection's EDGE set still grows
+    * superlinearly through hot items — an item in d groups reaches
+    * up to d·(basket−1) distinct partners, so doubling the data more
+    * than doubles a popular item's edges (measured 3.2× edges for
+    * 10× rows on the co-purchase graph). Setting `maxItemDf` drops
+    * items appearing in more than that many groups BEFORE pairing
+    * (the stopword move: a part in every order connects everything
+    * to everything and carries no co-occurrence signal), bounding
+    * any item's fan-out to maxItemDf·(basket−1). None = exact
+    * projection (oracle parity at test scale); set it at corpus
+    * scale.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-                        itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).cast("string").as("g"),
-                      col(itemCol).cast("string").as("item")).distinct()
+                        itemCol: String,
+                        maxItemDf: Option[Long] = None): DataFrame = {
+    val g0 = df.select(col(groupCol).cast("string").as("g"),
+                       col(itemCol).cast("string").as("item")).distinct()
+    val g = maxItemDf.fold(g0) { cap =>
+      require(cap >= 1, s"coOccurrenceEdges: maxItemDf must be >= 1, got $cap")
+      // one dictionary-sized aggregate + a broadcast-able semi-join:
+      // the kept-items frame has ≤ |items| rows and shrinks with cap
+      val kept = g0.groupBy("item").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= cap).select("item")
+      g0.join(kept, Seq("item"), "left_semi")
+    }
     val a = g.select(col("g"), col("item").as("src"))
     val b = g.select(col("g"), col("item").as("dst"))
     a.join(b, Seq("g")).where(col("src") < col("dst"))

@@ -696,7 +696,15 @@ object Similarity {
     * SimilaritySpec: cosine drift < 1e-2).
     */
   def quantizeInt8(vecCol: Column): (Column, Column) = {
-    val scale = array_max(transform(vecCol, x => abs(x))) / lit(127.0f)
+    // an all-zero vector has max|x| = 0 → scale 0 → 0/0 = NaN, which
+    // throws CAST_INVALID_INPUT under Spark 4's ANSI default (and
+    // silently wrote 0 pre-ANSI) — clamp the scale to the smallest
+    // positive FLOAT (it must survive the float round-trip below):
+    // every element is then 0/ε = 0 exactly, and no real vector's
+    // scale is ever that small
+    val scale = greatest(
+      array_max(transform(vecCol, x => abs(x))) / lit(127.0f),
+      lit(java.lang.Float.MIN_VALUE.toDouble))
     val q = transform(vecCol, x =>
       round(x.cast("double") / scale).cast("byte"))
     (q, scale.cast("float"))

@@ -60,4 +60,34 @@ class ScdSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("mergeUpsert")))
   }
+
+  test("mergeUpsert: two non-D rows for one key are rejected loudly") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Scd.mergeUpsert(target,
+        Seq((1L, "x", "I"), (1L, "y", "U")).toDF("k", "v", "op"),
+        Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple non-D rows")))
+    // a D plus one non-D for the same key is a legal replace
+    val ok = Scd.mergeUpsert(target,
+        Seq((1L, "x", "D"), (1L, "y", "U")).toDF("k", "v", "op"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok === Map(1L -> "y"))
+  }
+
+  test("scd2: null-keyed rows are dropped, not phantom-closed") {
+    val oldSnap = Seq((Option(1L), "a"), (Option.empty[Long], "junk"))
+      .toDF("k", "v")
+    val newSnap = Seq((Option(1L), "a"), (Option.empty[Long], "junk2"))
+      .toDF("k", "v")
+    val out = Scd.scd2(oldSnap, newSnap, Seq("k"), Seq("v"), 1, 2).collect()
+    // only the carried real row survives; no phantom closed/opened
+    // pair from the null-keyed rows
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getString(1) === "a")
+    assert(out.head.isNullAt(out.head.fieldIndex("valid_to")))
+  }
 }

@@ -205,6 +205,21 @@ class GraphSpec extends SparkSpec {
     assert(adj === Set(("a", "b", 1L), ("b", "a", 1L)))
   }
 
+  test("coOccurrenceEdges: maxItemDf drops hot items; capped ⊆ uncapped") {
+    // item "hot" is in every group; others in one or two
+    val rows = Seq(("g1", "hot"), ("g1", "a"), ("g1", "b"),
+      ("g2", "hot"), ("g2", "b"), ("g2", "c"),
+      ("g3", "hot"), ("g3", "a")).toDF("g", "item")
+    val full = Graph.coOccurrenceEdges(rows, "g", "item")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val capped = Graph.coOccurrenceEdges(rows, "g", "item", Some(2L))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(full))
+    assert(!capped.exists(e => e._1 == "hot" || e._2 == "hot"))
+    // non-hot co-occurrence survives the cap
+    assert(capped === Set(("a", "b"), ("b", "c")))
+  }
+
   // ——— kcorePeel ———
 
   // triangle abc (all deg 2) + pendant chain c–d–e (d deg 2, e deg 1)

@@ -194,6 +194,15 @@ class SimilaritySpec extends SparkSpec {
     assert(qRow.forall(b => b >= -127 && b <= 127))
   }
 
+  test("int8 quantization: all-zero vector quantizes to zeros, no NaN cast") {
+    val (q, s) = Similarity.quantizeInt8(col("embedding"))
+    val row = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .select(q.as("q"), s.as("s")).head()
+    assert(row.getSeq[Byte](0).forall(_ === 0.toByte))
+    // the clamped scale survives the float round-trip as a positive value
+    assert(row.getFloat(1) > 0.0f)
+  }
+
   test("semanticNearDupPairs: exactly the within-cell brute pairs; cap law") {
     val e = emb
     val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
