@@ -355,21 +355,15 @@ object Graph {
     var cur = e0.select(least(col("a"), col("b")).as("u"),
                         greatest(col("a"), col("b")).as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-    val r0 = degrees(cur)
+    val r0 = peelDegrees(cur)
       .agg(count(lit(1)).as("n_nodes"),
         expr("sum(deg) div 2").cast("long").as("n_edges")).head()
     val rows = scala.collection.mutable.ArrayBuffer(
       (0L, r0.getLong(0), r0.getLong(1)))
     for (r <- 1 to rounds) {
-      val keep = degrees(cur).where(col("deg") >= k).select("node")
+      val keep = peelDegrees(cur).where(col("deg") >= k).select("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next = cur
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
+      val next = peelRound(cur, keep)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nEdges = next.count() // materializes next AND keep
       rows += ((r.toLong, keep.count(), nEdges))
@@ -381,6 +375,25 @@ object Graph {
     import spark.implicits._
     rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
+
+  /** Degree table of a canonical (u < v) edge set — the per-round
+    * peel aggregation. Factored out so ScaleSpec can pin the round's
+    * plan shape without running the eager loop.
+    */
+  private[graft] def peelDegrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** One k-core peel round: keep only edges whose BOTH endpoints
+    * survive, via two left-semi equi-joins on the survivor set.
+    * Linear in edges; no cross product anywhere — this is the exact
+    * frame kcorePeel materializes each round.
+    */
+  private[graft] def peelRound(cur: DataFrame, keep: DataFrame): DataFrame =
+    cur
+      .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .select("u", "v")
 
   /** Fixed-iteration PageRank on the undirected graph of `edges`.
     * Returns (node, rank) for every node; ranks sum to ≈ node count
