@@ -21,27 +21,26 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema with ts as LONG NANOS, as the raw parquet stores it
-    * (Spark's TimestampType is micros — see Tables.load).
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of an events directory/file; normalizes ns → µs
-    * timestamps exactly like the batch path.
+  /** Streaming read of an events directory/file. The file streaming
+    * source needs an explicit schema, but hardcoding one is how the
+    * round-8 silent corruption happened (the driver regenerated the
+    * data with a different physical ts type). So: probe the parquet
+    * footer once with a batch read (driver-side, cheap), hand the
+    * observed schema to the streaming source, and normalize `ts`
+    * through the SAME function as the batch path (Tables.normalizeEventTs)
+    * so batch and streaming can never diverge again.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val observed: StructType = spark.read.parquet(path).schema
     // the file streaming source wants a DIRECTORY; a single-file path
     // becomes parent dir + glob filter
     val f = new java.io.File(path)
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = spark.readStream.schema(observed)
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(path)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(src)
   }
 
   /** Tumbling-window aggregate (the streaming form of q22): counts and

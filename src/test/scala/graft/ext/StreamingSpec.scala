@@ -56,9 +56,7 @@ class StreamingSpec extends SparkSpec {
     // the deduped stream must emit each event_id exactly once
     val dir = java.nio.file.Files.createTempDirectory("dupstream").toFile
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read
-      .schema(Streaming.rawSchema)
-      .parquet(eventsPath)
+    val raw = spark.read.parquet(eventsPath)
     raw.union(raw).coalesce(1).write.mode("overwrite")
       .parquet(dir.getPath)
     val stream = Streaming.readEvents(spark, dir.getPath)
