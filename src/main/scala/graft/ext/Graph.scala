@@ -32,20 +32,40 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Undirected, deduplicated, self-loop-free edge set (both
-    * directions materialized) with per-source degree attached:
-    * (src, dst, deg). This is the reusable adjacency for iterative
-    * algorithms — build once, cache, iterate.
+  /** Undirected, deduplicated, self-loop-free edge set with both
+    * directions materialized: (src, dst). The dedup runs on the
+    * CANONICAL (least, greatest) pair — half the rows of a
+    * both-directions distinct — and the swap-union after it cannot
+    * reintroduce duplicates (each canonical pair yields exactly one
+    * row per direction). One shuffle. This is the frame for
+    * algorithms that DON'T need degrees (label propagation, BFS);
+    * they shouldn't pay the degree aggregation + join.
     */
-  def undirectedAdjacency(edges: DataFrame, srcCol: String = "src",
-                          dstCol: String = "dst"): DataFrame = {
+  def undirectedEdges(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).cast("string").as("src"),
                          col(dstCol).cast("string").as("dst"))
       .where(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val canon = e.select(least(col("src"), col("dst")).as("src"),
+                         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Undirected, deduplicated, self-loop-free edge set (both
+    * directions materialized) with per-source degree attached:
+    * (src, dst, deg). This is the reusable adjacency for iterative
+    * algorithms — build once, cache, iterate. The degree frame is
+    * node-dictionary-sized, so its join back onto the edges is
+    * broadcast; for graphs whose node dictionary outgrows broadcast,
+    * drop the hint — the fallback is one extra edge shuffle at build
+    * time, never per iteration.
+    */
+  def undirectedAdjacency(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    und.join(deg, "src")
+    und.join(broadcast(deg), "src")
   }
 
   /** Item co-occurrence edges: the distinct pairs of items sharing a
@@ -197,7 +217,12 @@ object Graph {
             9).as("rank"))
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // materialize the node-sized result once, then free the cached
+    // adjacency + seed frames instead of leaking them session-wide
+    val out = ranks.localCheckpoint(true)
+    adj.unpersist(false)
+    base.unpersist(false)
+    out
   }
 
   /** Semi-supervised label propagation: `seedLabels` (node, label)
@@ -213,18 +238,18 @@ object Graph {
                        rounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 10, s"labelPropagation: rounds 1..10")
-    val adj = undirectedAdjacency(edges)
-      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = undirectedEdges(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = seedLabels.select(
       col(seedLabels.columns(0)).cast("string").as("node"),
       col(seedLabels.columns(1)).cast("string").as("label")).distinct()
     var labeled = seeds.persist(StorageLevel.MEMORY_AND_DISK)
-    // each round EAGERLY checkpoints the new label frame (truncating
-    // lineage) and unpersists the superseded generation, so executor
-    // storage holds one live generation, not `rounds` dead ones;
-    // superseded checkpoint blocks are freed explicitly (unpersist is
-    // a no-op on them and ContextCleaner is best-effort)
-    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    // each round's label frame is persisted, materialized by its own
+    // count, and the superseded generation unpersisted immediately —
+    // executor storage holds at most two generations at any instant.
+    // persist+count beats an eager localCheckpoint here: same storage
+    // bound, no extra copy job, and lineage survives for recompute if
+    // a cached block is evicted (rounds ≤ 10 keeps the plan small).
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labeled.withColumnRenamed("node", "src"), Seq("src"))
@@ -235,15 +260,15 @@ object Graph {
           Window.partitionBy("node")
             .orderBy(col("votes").desc, col("label"))))
         .where(col("_rk") === 1).select("node", "label")
-      val next = labeled.unionByName(won).localCheckpoint(true)
+      val next = labeled.unionByName(won)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
       labeled.unpersist(false)
-      liveCkptRdds.foreach(_.unpersist(blocking = false))
-      liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
       labeled = next
     }
     adj.unpersist(false)
-    // the FINAL checkpoint backs the returned frame and must survive;
-    // ContextCleaner reclaims it once the result is garbage
+    // the final generation stays cached (already materialized by its
+    // count); ContextCleaner reclaims it once the result is garbage
     labeled
   }
 
@@ -297,16 +322,19 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 1 && maxHops <= 20, s"bfsHops: maxHops 1..20, got $maxHops")
-    val adj = undirectedAdjacency(edges, srcCol, dstCol)
-      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    // each hop's frontier is EAGERLY checkpointed once; `visited` is
-    // just the lazy union of those checkpointed frontiers (scanning
-    // cached blocks, no recompute), so there are no superseded
-    // persisted generations to leak — each frontier is stored exactly
-    // once and every copy is part of the result
+    val adj = undirectedEdges(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each hop's frontier is persisted and materialized by its own
+    // count; `visited` is the lazy union of those cached frontiers
+    // (scanning cached blocks, no recompute). Nothing is superseded —
+    // every frontier is part of the result — so nothing unpersists
+    // mid-loop; persist+count gives the checkpoint's storage bound
+    // without the extra copy job, and keeps lineage for eviction
+    // recovery (maxHops ≤ 20 keeps the union plan small).
     var visited = seeds.select(col(seeds.columns.head).cast("string").as("node"))
       .distinct().withColumn("hop", lit(0))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    visited.count()
     var frontier = visited.select("node")
     var hop = 0
     while (hop < maxHops) {
@@ -315,7 +343,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
       visited = visited.union(next)
       frontier = next.select("node")
     }
@@ -432,6 +461,11 @@ object Graph {
       // (same discipline as Dedup's connected-components loop)
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // ONE end-of-loop materialization of the node-dictionary-sized
+    // result, so the edge-sized adjacency cache can be freed NOW
+    // instead of leaking into every later query of the session
+    val out = ranks.localCheckpoint(true)
+    adj.unpersist(false)
+    out
   }
 }

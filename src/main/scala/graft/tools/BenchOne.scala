@@ -28,7 +28,12 @@ object BenchOne {
     spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
     spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
     val fn = graft.SparkEntry.queries(name)
+    // SPARK_GRAFT_CLEARCACHE=1 → drop all cached relations between reps,
+    // isolating JIT warmup from CacheManager plan-match reuse (persisted
+    // frames a query leaks are plan-matched by later identical subtrees)
+    val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     (1 to reps).foreach { i =>
+      if (clearCache) spark.catalog.clearCache()
       val (secs, err) = graft.Bench.measure(fn(spark, sfDir))
       println(f"BENCHONE $name rep=$i $secs%.3f s ${err.getOrElse("")}")
     }
