@@ -435,6 +435,25 @@ object Graph {
                dstCol: String = "dst", iterations: Int = 3,
                damping: Double = 0.85,
                micro: Long = 1000000000000L): DataFrame = {
+    val (ranks, adj) = pageRankLazy(edges, srcCol, dstCol, iterations,
+      damping, micro)
+    // ONE end-of-loop materialization of the node-dictionary-sized
+    // result, so the edge-sized adjacency cache can be freed NOW
+    // instead of leaking into every later query of the session
+    val out = ranks.localCheckpoint(true)
+    adj.unpersist(false)
+    out
+  }
+
+  /** The lazy pageRank iteration plan, plus the cached adjacency it
+    * reads (caller materializes + unpersists). Factored out so
+    * ScaleSpec can pin the per-iteration plan shape — [[pageRank]]
+    * itself returns a checkpointed frame whose plan is opaque.
+    */
+  private[graft] def pageRankLazy(edges: DataFrame, srcCol: String,
+                                  dstCol: String, iterations: Int,
+                                  damping: Double,
+                                  micro: Long): (DataFrame, DataFrame) = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     // plan shape (verified via explain at sf0.1): ranks is node-sized
     // → every iteration joins as BroadcastHashJoin over the CACHED
@@ -461,11 +480,6 @@ object Graph {
       // (same discipline as Dedup's connected-components loop)
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
-    // ONE end-of-loop materialization of the node-dictionary-sized
-    // result, so the edge-sized adjacency cache can be freed NOW
-    // instead of leaking into every later query of the session
-    val out = ranks.localCheckpoint(true)
-    adj.unpersist(false)
-    out
+    (ranks, adj)
   }
 }

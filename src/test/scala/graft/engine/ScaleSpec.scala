@@ -151,7 +151,10 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     val edges = (0 until 500).map(i => (s"n${i % 53}", s"n${(i * 11 + 5) % 53}"))
       .filter { case (a, b) => a != b }.toDF("src", "dst")
-    val pr = graft.ext.Graph.pageRank(edges, iterations = 3)
+    // the lazy variant: pageRank itself returns a checkpointed frame
+    // whose executed plan is an opaque ExistingRDD scan
+    val (pr, _) = graft.ext.Graph.pageRankLazy(edges, "src", "dst",
+      iterations = 3, damping = 0.85, micro = 1000000000000L)
     val plan = pr.queryExecution.executedPlan.toString
     // every iteration's rank join is a broadcast over the cached
     // adjacency — a sort-merge join would re-shuffle the edge table
@@ -252,6 +255,66 @@ class ScaleSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected 1 exchange (dim groupBy):\n$plan")
     assert(!plan.contains("Join"), plan)
+  }
+
+  test("peak concurrency plan: join-free, windows reuse the user/day partitionings") {
+    val events = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Streaming.peakConcurrency(events)
+      .queryExecution.executedPlan.toString
+    // the sweep is session windows (user key) + day sweep (day key):
+    // pure window/aggregate passes — a join anywhere here means the
+    // day clip got implemented as an interval join and will not scale
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"expected <= 4 hash exchanges:\n$plan")
+  }
+
+  test("trending ranks plan: row-scale input collapses to the daily dictionary first") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (i % 30L, s"b${i % 7}"))
+      .toDF("d", "item")
+    val plan = graft.ext.Profile.trendingRanks(rows, col("d"), "item")
+      .queryExecution.executedPlan.toString
+    // one hash-agg to (day, item) then two window passes over that
+    // dictionary — rank windows running over ROWS instead of the
+    // aggregate is the non-scalable shape this pin rejects
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges:\n$plan")
+    assert(plan.indexOf("Window") < plan.lastIndexOf("HashAggregate"),
+      s"expected the daily aggregate BELOW the windows:\n$plan")
+  }
+
+  test("interval coverage plan: join-free, one partitioning carries merge + rollups") {
+    import spark.implicits._
+    val iv = (0 until 400).map(i =>
+        (s"k${i % 13}", (i * 7 % 100).toLong, (i * 7 % 100 + i % 9).toLong))
+      .toDF("key", "s", "e")
+    val plan = graft.ext.Profile.intervalCoverage(iv, "key", col("s"), col("e"))
+      .queryExecution.executedPlan.toString
+    // gaps-and-islands via running-max window + two aggregations, all
+    // keyed on `key` — no self-join against overlapping intervals
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges:\n$plan")
+  }
+
+  test("k-core peel round plan: equi-joins only against the survivor set") {
+    import spark.implicits._
+    val edges = (0 until 300).map(i => (s"n${i % 29}", s"n${(i * 17 + 3) % 29}"))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("u", "v")
+    val keep = graft.ext.Graph.peelDegrees(edges)
+      .where(col("deg") >= 2).select("node")
+    val plan = graft.ext.Graph.peelRound(edges, keep)
+      .queryExecution.executedPlan.toString
+    // both endpoint filters are semi equi-joins on the survivor
+    // dictionary — any nested-loop/cartesian here is quadratic in
+    // edges and the peel loop runs it every round
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
   }
 
   test("approximate sketches stay within tolerance of exact") {
