@@ -352,6 +352,63 @@ object Graph {
     visited
   }
 
+  /** HITS hubs-and-authorities over the DIRECTED edge set — the
+    * complement of [[pageRank]]'s undirected importance: on bipartite
+    * link structures (part→supplier, page→domain, query→doc) hub and
+    * authority scores separate "points at good things" from "is
+    * pointed at by good things" (Kleinberg 1999). Fixed iteration
+    * count; each half-step is ONE keyed shuffle over the cached edge
+    * set with the score frame riding as a broadcast (same posture as
+    * pageRank — for node dictionaries beyond broadcast the joins
+    * degrade to shuffles, no rewrite).
+    *
+    * Determinism across engines AND partitionings, the q126
+    * discipline: per-edge contributions quantize to integer `micro`
+    * units before summing (associative BIGINT adds), and each
+    * half-step L1-normalizes by the EXACT integer total (one scalar
+    * subquery in the replay; a broadcast 1-row frame here), so the
+    * double division sees the same two integers everywhere. Scores
+    * round to 9 places per half-step — SQL replays CTE-by-CTE.
+    *
+    * Returns (node, a, h): authority and hub score per node, 0.0
+    * where a side doesn't apply (pure hubs have a = 0).
+    */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           micro: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"hits: iterations 1..10, got $iterations")
+    val e = edges.select(col("src").cast("string").as("src"),
+                         col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auth: DataFrame = e.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val aq = e.join(broadcast(hub.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("h") * micro).cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("q"))
+      auth = aq.crossJoin(broadcast(aq.agg(sum("q").as("tot"))))
+        .select(col("node"),
+          round(col("q").cast("double") / col("tot").cast("double"), 9).as("a"))
+      val hq = e.join(broadcast(auth.withColumnRenamed("node", "dst")), Seq("dst"))
+        .select(col("src").as("node"),
+          round(col("a") * micro).cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("q"))
+      hub = hq.crossJoin(broadcast(hq.agg(sum("q").as("tot"))))
+        .select(col("node"),
+          round(col("q").cast("double") / col("tot").cast("double"), 9).as("h"))
+    }
+    val out = hub.join(auth, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"),
+        coalesce(col("h"), lit(0.0)).as("h"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Fixed-round k-core peel: each round removes every node whose
     * current degree is below `k`, then drops edges touching removed
     * nodes — the standard "dense cohesive core" extraction (spam/

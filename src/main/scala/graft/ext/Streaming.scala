@@ -56,6 +56,29 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))
 
+  /** Stream-static enrichment + hourly rollup: broadcast-join a
+    * static dimension onto the event stream — the canonical "attach
+    * user/customer attributes at ingest" shape — then tumbling-hour
+    * counts and exact decimal sums per dimension attribute. The
+    * static side re-broadcasts into every micro-batch (no stream
+    * state beyond the window aggregate itself; an updated dim table
+    * is picked up on the next batch read), and the watermark bounds
+    * window state exactly as in [[hourlyAgg]]. At 100 TB/day rates
+    * the dim stays broadcast-sized by definition (it's a dimension);
+    * a fact-sized right side belongs in a stream-stream join
+    * (q204's watermark-bounded interval join) instead.
+    */
+  def enrichedHourly(events: DataFrame, dim: DataFrame, joinKey: String,
+                     attrCol: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq(joinKey))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(attrCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col(attrCol), col("n"), col("total"))
+
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Works identically in batch (q23 oracle) and
     * streaming.

@@ -2953,6 +2953,87 @@ object Relational {
       graft.ext.Profile.intervalCoverage(iv, "key",
           least(col("d1"), col("d2")), greatest(col("d1"), col("d2")))
         .orderBy(col("covered").desc, col("key")).limit(20)
+    },
+
+    // ——— STREAMING stream-static enrichment against the batch
+    //     oracle: the event stream broadcast-joins the customer
+    //     dimension every micro-batch (the "attach attributes at
+    //     ingest" shape — state stays bounded by the window agg
+    //     alone), then hourly counts + exact decimal sums per market
+    //     segment; Complete mode so every window emits. ———
+    Q("q227_streaming_enrich",
+      """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  c.c_mktsegment AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY hour, segment""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.enrichedHourly(stream, dim, "user_id", "segment"),
+        "q227_enrich", org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q227_enrich").orderBy("hour", "segment")
+    },
+
+    // ——— HITS hubs & authorities on the directed part→supplier
+    //     graph, two iterations: per half-step, integer micro-unit
+    //     contribution sums L1-normalized by the exact BIGINT total
+    //     (a scalar subquery in the replay) — the oracle replays
+    //     half-step by half-step, q126-style. Top-20 authorities. ———
+    Q("q228_hits",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem
+        |), h0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM e0
+        |), a1q AS (
+        |  SELECT e.dst AS node,
+        |    CAST(SUM(CAST(round(h.h * 1e12) AS BIGINT)) AS BIGINT) AS q
+        |  FROM e0 e JOIN h0 h ON e.src = h.node GROUP BY 1
+        |), a1 AS (
+        |  SELECT node, round(CAST(q AS DOUBLE) /
+        |    CAST((SELECT SUM(q) FROM a1q) AS DOUBLE), 9) AS a FROM a1q
+        |), h1q AS (
+        |  SELECT e.src AS node,
+        |    CAST(SUM(CAST(round(a.a * 1e12) AS BIGINT)) AS BIGINT) AS q
+        |  FROM e0 e JOIN a1 a ON e.dst = a.node GROUP BY 1
+        |), h1 AS (
+        |  SELECT node, round(CAST(q AS DOUBLE) /
+        |    CAST((SELECT SUM(q) FROM h1q) AS DOUBLE), 9) AS h FROM h1q
+        |), a2q AS (
+        |  SELECT e.dst AS node,
+        |    CAST(SUM(CAST(round(h.h * 1e12) AS BIGINT)) AS BIGINT) AS q
+        |  FROM e0 e JOIN h1 h ON e.src = h.node GROUP BY 1
+        |), a2 AS (
+        |  SELECT node, round(CAST(q AS DOUBLE) /
+        |    CAST((SELECT SUM(q) FROM a2q) AS DOUBLE), 9) AS a FROM a2q
+        |), h2q AS (
+        |  SELECT e.src AS node,
+        |    CAST(SUM(CAST(round(a.a * 1e12) AS BIGINT)) AS BIGINT) AS q
+        |  FROM e0 e JOIN a2 a ON e.dst = a.node GROUP BY 1
+        |), h2 AS (
+        |  SELECT node, round(CAST(q AS DOUBLE) /
+        |    CAST((SELECT SUM(q) FROM h2q) AS DOUBLE), 9) AS h FROM h2q
+        |), fo AS (
+        |  SELECT COALESCE(a.node, h.node) AS node,
+        |    COALESCE(a.a, 0.0) AS a, COALESCE(h.h, 0.0) AS h
+        |  FROM a2 a FULL OUTER JOIN h2 h ON a.node = h.node
+        |)
+        |SELECT node, round(a, 6) AS a, round(h, 6) AS h
+        |FROM fo ORDER BY a DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.ext.Graph.hits(edges, iterations = 2)
+        .select(col("node"), round(col("a"), 6).as("a"),
+          round(col("h"), 6).as("h"))
+        .orderBy(col("a").desc, col("node")).limit(20)
     }
   )
 

@@ -275,4 +275,37 @@ class GraphSpec extends SparkSpec {
     val b4 = newRddsAfter(Graph.bfsHops(edges, seeds.select("node"), 4).collect())
     assert(b4 - b1 <= 3, s"bfsHops leaked beyond per-hop frontiers: $b1 → $b4")
   }
+
+  test("hits: hand-computed bipartite star, one iteration exact") {
+    // h1→a1, h2→a1, h3→a1, h1→a2:
+    //   authority pass: a1 ← 3 hubs, a2 ← 1 → L1-normalized 0.75/0.25
+    //   hub pass: h1 ← a1+a2 = 1.0, h2 = h3 ← a1 = 0.75
+    //             → totals 2.5 → 0.4 / 0.3 / 0.3
+    val edges = Seq(("h1", "a1"), ("h2", "a1"), ("h3", "a1"), ("h1", "a2"))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got("a1") === ((0.75, 0.0)))
+    assert(got("a2") === ((0.25, 0.0)))
+    assert(got("h1") === ((0.0, 0.4)))
+    assert(got("h2") === ((0.0, 0.3)))
+    assert(got("h3") === ((0.0, 0.3)))
+  }
+
+  test("hits: L1 normalization holds and scores are deterministic across runs") {
+    val edges = (0 until 200).map(i => (s"u${i % 17}", s"v${(i * 5 + 3) % 13}"))
+      .toDF("src", "dst")
+    val r1 = Graph.hits(edges, iterations = 2).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val r2 = Graph.hits(edges, iterations = 2).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(r1 === r2, "hits not deterministic across runs")
+    // each half-step divides by the exact integer total, so both
+    // score vectors sum to 1 within round-9 quantization slack
+    val aSum = r1.map(_._2).sum
+    val hSum = r1.map(_._3).sum
+    assert(math.abs(aSum - 1.0) < 1e-6, s"authority mass $aSum != 1")
+    assert(math.abs(hSum - 1.0) < 1e-6, s"hub mass $hSum != 1")
+  }
 }

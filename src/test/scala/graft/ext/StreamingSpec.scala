@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x === y) }
   }
 
+  test("enrichedHourly: stream-static join matches the batch form; unmatched keys drop") {
+    // dim covers only EVEN user_ids — the inner join must drop odd
+    // users' events identically in batch and stream
+    val dim = Tables.load(spark, sf001, "events")
+      .select(col("user_id")).distinct()
+      .where(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("g"), (col("user_id") % 3).cast("string")))
+    val stream = Streaming.readEvents(spark, eventsPath)
+    val q = Streaming.runToMemory(
+      Streaming.enrichedHourly(stream, dim, "user_id", "segment"),
+      "enrich_out", org.apache.spark.sql.streaming.OutputMode.Complete)
+    try {
+      val got = spark.sql("SELECT * FROM enrich_out")
+        .orderBy("hour", "segment").collect().map(_.toSeq)
+      val want = Streaming.enrichedHourly(
+          Tables.load(spark, sf001, "events"), dim, "user_id", "segment")
+        .orderBy("hour", "segment").collect().map(_.toSeq)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (x, y) => assert(x === y) }
+      // and unmatched keys really were dropped, not nulled
+      val odd = Tables.load(spark, sf001, "events")
+        .where(col("user_id") % 2 === 1).count()
+      val total = Tables.load(spark, sf001, "events").count()
+      val kept = spark.sql("SELECT SUM(n) FROM enrich_out").head().getLong(0)
+      assert(kept === total - odd)
+    } finally q.stop()
+  }
+
   test("streaming dedup: one survivor per duplicated key, none lost") {
     // duplicate every event (same id, same ts) through a re-delivery:
     // the deduped stream must emit each event_id exactly once
