@@ -49,6 +49,35 @@ object Privacy {
     * blocklists too large for a literal (>10⁴ terms), switch to a
     * broadcast semi-join on exploded tokens.
     */
+  /** k-anonymity / l-diversity audit — the release-safety check for
+    * any dataset carrying quasi-identifiers (the columns an attacker
+    * can link externally: region, segment, zip, age band). Groups by
+    * the QI columns and reports every equivalence class that is
+    * k-risky (fewer than `k` records share the QI combination — the
+    * class re-identifies its members) or l-risky (fewer than `l`
+    * distinct sensitive values — knowing the class reveals the
+    * sensitive attribute even without row-level re-identification).
+    * Classes of size 1 are the uniqueness/re-identification worst
+    * case and always appear (k ≥ 2).
+    *
+    * One QI-keyed aggregation; the distinct-sensitive count rides in
+    * the same groupBy (Expand + two exchanges — Spark's standard
+    * count-distinct shape). Output is class-dictionary-sized; at
+    * 100 TB the QI dictionary, not the row count, bounds the result.
+    */
+  def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
+                      quasiIds: Seq[String], sensitiveCol: String,
+                      k: Int, l: Int): org.apache.spark.sql.DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymityAudit: need quasi-identifier columns")
+    require(k >= 1 && l >= 1, s"kAnonymityAudit: k, l >= 1, got k=$k l=$l")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_risky", col("n") < k)
+      .withColumn("l_risky", col("n_sensitive") < l)
+      .where(col("k_risky") || col("l_risky"))
+  }
+
   def blocklistStats(docs: org.apache.spark.sql.DataFrame,
                      blocklist: Seq[String], groupCol: String = "source",
                      textCol: String = "text"): org.apache.spark.sql.DataFrame = {

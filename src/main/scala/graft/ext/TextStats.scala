@@ -141,6 +141,49 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style importance weight for target-domain data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — here with unigram features over the
+    * corpus's own tokenization): score every document by the mean
+    * per-token log importance ratio ln p_target(tok) − ln p_corpus
+    * (tok), where the target distribution is the token counts of the
+    * `targetSource` slice with add-one smoothing over the corpus
+    * vocabulary (tokens the target never saw get the floor mass
+    * 1/(N_t+V) instead of −∞) and the corpus distribution is the
+    * plain MLE (every scored token exists in the corpus by
+    * construction). High scores = "looks like the target domain";
+    * selection takes the top slice (or samples ∝ exp(weight)).
+    *
+    * Shape: two vocabulary-sized count tables + one scalar triple
+    * (N_c, N_t, V) riding as broadcast 1-row frames; the scoring
+    * join is token-keyed — linear in corpus tokens, never
+    * document-pair-shaped. round(6) absorbs summation-order FP
+    * reorder (~1e-13 over document-length sums), the q89 discipline.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+                  idCol: String = "doc_id", srcCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), col(srcCol).as("_src"),
+      explode(tokens(col(textCol))).as("tok"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val nc = toks.agg(count(lit(1)).as("cn"))
+    val tgtToks = toks.where(col("_src") === targetSource)
+    val tgt = tgtToks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val nt = tgtToks.agg(count(lit(1)).as("tn"))
+    val vocab = corpus.agg(count(lit(1)).as("v"))
+    toks.join(corpus, "tok")
+      .join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((coalesce(col("tf"), lit(0L)).cast("double") + 1.0) /
+              (col("tn") + col("v")).cast("double")) -
+          log(col("cf").cast("double") / col("cn").cast("double"))), 6)
+          .as("importance"))
+  }
+
   /** Bigram log-probability scoring — one LM rung above
     * `unigramLogProb`: score each document by the mean
     * ln p(wᵢ | wᵢ₋₁) under the corpus's own bigram model

@@ -3034,6 +3034,35 @@ object Relational {
         .select(col("node"), round(col("a"), 6).as("a"),
           round(col("h"), 6).as("h"))
         .orderBy(col("a").desc, col("node")).limit(20)
+    },
+
+    // ——— k-anonymity / l-diversity release audit: every
+    //     (nation, segment) quasi-identifier class with fewer than
+    //     k=10 members or fewer than l=3 distinct account-balance
+    //     bands is a re-identification / attribute-disclosure risk.
+    //     acctbal is an exact 2-decimal double, so the /2000 + floor
+    //     banding is the same IEEE arithmetic in both engines. ———
+    Q("q229_k_anonymity",
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+        |    AS BIGINT) AS n_sensitive,
+        |  (COUNT(*) < 10) AS k_risky,
+        |  (COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) < 3)
+        |    AS l_risky
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) < 10
+        |    OR COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) < 3
+        |ORDER BY nation, segment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .withColumn("sens", floor(col("c_acctbal") / 2000).cast("long"))
+      graft.ext.Privacy.kAnonymityAudit(c,
+          Seq("c_nationkey", "c_mktsegment"), "sens", k = 10, l = 3)
+        .select(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"), col("n"), col("n_sensitive"),
+          col("k_risky"), col("l_risky"))
+        .orderBy("nation", "segment")
     }
   )
 

@@ -2316,6 +2316,44 @@ object TextQueries {
       val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
         bands = 8, minJaccard = 0.5).localCheckpoint()
       Dedup.dedupThresholdCurve(pairs, binsPerUnit = 20)
+    },
+
+    // ——— DSIR-style importance weights for target-domain selection:
+    //     every doc scored by mean ln p_target/p_corpus over its
+    //     tokens (target = the src0 slice, add-one smoothed over the
+    //     corpus vocabulary; corpus = plain MLE). Top-50 = the docs
+    //     to upsample for a src0-flavored mixture. round(6) absorbs
+    //     summation-order FP noise before the rank cut (q89
+    //     discipline). ———
+    Q("q230_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), corpus AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+        |nc AS (SELECT COUNT(*) AS cn FROM toks),
+        |tgt AS (SELECT tok, COUNT(*) AS tf FROM toks
+        |        WHERE source = 'src0' GROUP BY tok),
+        |nt AS (SELECT COUNT(*) AS tn FROM toks WHERE source = 'src0'),
+        |vocab AS (SELECT COUNT(*) AS v FROM corpus),
+        |scored AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(AVG(
+        |      ln((CAST(COALESCE(g.tf, 0) AS DOUBLE) + 1.0)
+        |         / CAST(nt.tn + vocab.v AS DOUBLE))
+        |      - ln(CAST(c.cf AS DOUBLE) / CAST(nc.cn AS DOUBLE))), 6)
+        |      AS importance
+        |  FROM toks t
+        |  JOIN corpus c USING (tok)
+        |  LEFT JOIN tgt g USING (tok)
+        |  CROSS JOIN nc CROSS JOIN nt CROSS JOIN vocab
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_tokens, importance
+        |FROM scored ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      TextStats.dsirWeights(docs(s, dir), targetSource = "src0")
+        .orderBy(col("importance").desc, col("doc_id")).limit(50)
     }
   )
 }

@@ -72,4 +72,32 @@ class PrivacySpec extends SparkSpec {
     val docs = Seq(("s", "x")).toDF("source", "text")
     intercept[IllegalArgumentException](Privacy.blocklistStats(docs, Seq.empty))
   }
+
+  test("kAnonymityAudit: hand-built classes — k flags size, l flags diversity") {
+    // class (r1, s1): 3 members, 3 distinct sensitive → safe at k=3, l=3
+    // class (r1, s2): 2 members → k-risky; 2 distinct → l-risky
+    // class (r2, s1): 3 members, 1 distinct sensitive → l-risky only
+    val rows = Seq(
+      ("r1", "s1", 10L), ("r1", "s1", 20L), ("r1", "s1", 30L),
+      ("r1", "s2", 10L), ("r1", "s2", 20L),
+      ("r2", "s1", 7L), ("r2", "s1", 7L), ("r2", "s1", 7L)
+    ).toDF("region", "segment", "sens")
+    val out = Privacy.kAnonymityAudit(rows, Seq("region", "segment"), "sens",
+        k = 3, l = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(!out.contains(("r1", "s1")), "safe class must not be reported")
+    assert(out(("r1", "s2")).getAs[Boolean]("k_risky"))
+    assert(out(("r1", "s2")).getAs[Boolean]("l_risky"))
+    assert(!out(("r2", "s1")).getAs[Boolean]("k_risky"))
+    assert(out(("r2", "s1")).getAs[Boolean]("l_risky"))
+    assert(out(("r2", "s1")).getAs[Long]("n_sensitive") === 1L)
+  }
+
+  test("kAnonymityAudit: singleton classes always surface at k >= 2") {
+    val rows = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("qi", "sens")
+    val out = Privacy.kAnonymityAudit(rows, Seq("qi"), "sens", k = 2, l = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.contains("a"), "the unique record is the worst re-id case")
+    assert(out("a").getAs[Long]("n") === 1L)
+  }
 }

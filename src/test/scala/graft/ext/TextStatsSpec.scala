@@ -505,4 +505,29 @@ class TextStatsSpec extends SparkSpec {
     assert(n === 50L && d === 35L)
     assert(k === Some(0.4))
   }
+
+  test("dsirWeights: hand-computed smoothing and ordering") {
+    // corpus: x appears 3×, y 3× (cn=6, V=2); target=src0 holds "x x"
+    // (tn=2) → p_t(x)=(2+1)/4=0.75, p_t(y)=1/4 (smoothed floor);
+    // p_c = 0.5 for both. Scores: ln1.5, (ln1.5+ln0.5)/2, ln0.5.
+    val docs = Seq(
+      (1L, "src0", "x x"), (2L, "src1", "x y"), (3L, "src1", "y y")
+    ).toDF("doc_id", "source", "text")
+    val got = TextStats.dsirWeights(docs, "src0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((2L, 0.405465)))
+    assert(got(2L) === ((2L, -0.143841)))
+    assert(got(3L) === ((2L, -0.693147)))
+    // target-flavored doc outranks mixed outranks off-target
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("dsirWeights: unseen-by-target tokens stay finite via add-one smoothing") {
+    val docs = Seq((1L, "src0", "a"), (2L, "srcZ", "zzz never seen"))
+      .toDF("doc_id", "source", "text")
+    val w = TextStats.dsirWeights(docs, "src0").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!w(2L).isNaN && !w(2L).isInfinite,
+      s"smoothing must keep unseen tokens finite, got ${w(2L)}")
+  }
 }
