@@ -317,6 +317,48 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("k-anonymity audit plan: join-free, count-distinct Expand only") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i => (s"r${i % 7}", s"s${i % 4}", (i % 11).toLong))
+      .toDF("region", "segment", "sens")
+    val plan = graft.ext.Privacy.kAnonymityAudit(rows,
+        Seq("region", "segment"), "sens", k = 10, l = 3)
+      .queryExecution.executedPlan.toString
+    // one QI-keyed aggregation carrying the distinct-sensitive count;
+    // a join against a separate distinct-count frame would shuffle the
+    // class dictionary twice
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges (Expand shape):\n$plan")
+  }
+
+  test("DSIR weights plan: token-keyed joins only; scalars ride as 1-row broadcasts") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+        (i, s"src${i % 5}", (0 until 6).map(j => s"w${(i + j * 7) % 31}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.ext.TextStats.dsirWeights(docs, "src0")
+      .queryExecution.executedPlan.toString
+    // the scoring joins are all keyed on `tok` — document-pair-shaped
+    // work (a cartesian) would be quadratic in the corpus. The only
+    // nested-loop joins allowed are the three 1-row scalar frames.
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("stream-static enrichment plan (batch twin): dim broadcasts, no SMJ") {
+    val events = Tables.load(spark, sf001, "events")
+    val dim = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val plan = graft.ext.Streaming.enrichedHourly(events, dim, "user_id", "segment")
+      .queryExecution.executedPlan.toString
+    // the dimension must broadcast (in streaming it re-broadcasts per
+    // micro-batch); a sort-merge join would shuffle the fact stream
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
