@@ -1258,4 +1258,57 @@ object Dedup {
       .select("name_a", "name_b", "jw")
       .orderBy("name_a", "name_b")
   }
+
+  /** Blocking-quality evaluation for entity resolution: how much
+    * does first-char blocking cut the pair space (reduction ratio),
+    * and how many of the TRUE matches does it keep (pair
+    * completeness)? The standard record-linkage blocking scorecard
+    * (Christen 2012) — run it on a dictionary SAMPLE before trusting
+    * a blocking key at corpus scale, where the blocked join is the
+    * only affordable path.
+    *
+    * One row out: (n_names, n_all_pairs, n_block_pairs, n_true,
+    * n_true_in_block, reduction_ratio, pair_completeness);
+    * pair_completeness is NULL when no true pairs exist. Blocked-pair
+    * counts come from block SIZES (Σ s·(s−1)/2 — an aggregation, no
+    * join); the ground-truth side is the deliberate O(n²) dictionary
+    * scan, gated by `maxNames` exactly like [[jaroWinklerPairs]] —
+    * this is an EVAL operator, quadratic by definition.
+    */
+  def blockingQuality(df: DataFrame, nameCol: String, threshold: Double,
+                      maxNames: Long = 100000L): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val n = names.count()
+    require(n <= maxNames,
+      s"blockingQuality's truth side is an O(n²) dictionary cross join " +
+        s"and refuses $n distinct names (maxNames=$maxNames); evaluate " +
+        "on a dictionary sample instead.")
+    val cnt = names.agg(count(lit(1)).as("c"))
+    val bp = names.groupBy(substring(col("name"), 1, 1).as("b"))
+      .agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).cast("long").as("n_block_pairs"))
+    val a = names.select(col("name").as("name_a"))
+    val b = names.select(col("name").as("name_b"))
+    val tp = a.crossJoin(b).filter(col("name_a") < col("name_b"))
+      .filter(round(jaroWinkler(col("name_a"), col("name_b")), 6)
+        >= threshold)
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(substring(col("name_a"), 1, 1) ===
+          substring(col("name_b"), 1, 1), 1L).otherwise(0L)).cast("long")
+          .as("n_true_in_block"))
+    cnt.crossJoin(bp).crossJoin(tp)
+      .select(col("c").cast("long").as("n_names"),
+        expr("c * (c - 1) div 2").cast("long").as("n_all_pairs"),
+        col("n_block_pairs"),
+        col("n_true").cast("long").as("n_true"),
+        coalesce(col("n_true_in_block"), lit(0L)).as("n_true_in_block"),
+        round(lit(1.0) - col("n_block_pairs").cast("double") /
+          expr("c * (c - 1) div 2").cast("double"), 6).as("reduction_ratio"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("n_true_in_block"), lit(0L))
+            .cast("double") / col("n_true").cast("double"), 6))
+          .as("pair_completeness"))
+  }
 }

@@ -3063,6 +3063,44 @@ object Relational {
           col("c_mktsegment").as("segment"), col("n"), col("n_sensitive"),
           col("k_risky"), col("l_risky"))
         .orderBy("nation", "segment")
+    },
+
+    // ——— blocking-quality scorecard for entity resolution: how much
+    //     does first-char blocking shrink the pair space (reduction
+    //     ratio) and how many JW ≥ 0.75 true matches does it keep
+    //     (pair completeness)? Block pairs from block SIZES; the
+    //     truth side is the deliberate gated O(n²) dictionary scan
+    //     (q172's kernel and rounding). ———
+    Q("q231_blocking_quality",
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL),
+        |cnt AS (SELECT COUNT(*) AS c FROM n),
+        |blk AS (SELECT substr(name, 1, 1) AS b, COUNT(*) AS s
+        |        FROM n GROUP BY 1),
+        |bp AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT)
+        |         AS n_block_pairs FROM blk),
+        |tp AS (
+        |  SELECT COUNT(*) AS n_true,
+        |    CAST(COALESCE(SUM(CASE WHEN substr(a.name, 1, 1) =
+        |      substr(b.name, 1, 1) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS n_true_in_block
+        |  FROM n a JOIN n b ON a.name < b.name
+        |  WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.75
+        |)
+        |SELECT CAST(cnt.c AS BIGINT) AS n_names,
+        |  CAST(cnt.c * (cnt.c - 1) // 2 AS BIGINT) AS n_all_pairs,
+        |  bp.n_block_pairs,
+        |  CAST(tp.n_true AS BIGINT) AS n_true,
+        |  tp.n_true_in_block,
+        |  ROUND(1.0 - CAST(bp.n_block_pairs AS DOUBLE)
+        |    / CAST(cnt.c * (cnt.c - 1) // 2 AS DOUBLE), 6)
+        |    AS reduction_ratio,
+        |  CASE WHEN tp.n_true = 0 THEN NULL
+        |       ELSE ROUND(CAST(tp.n_true_in_block AS DOUBLE)
+        |         / CAST(tp.n_true AS DOUBLE), 6) END AS pair_completeness
+        |FROM cnt, bp, tp""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.blockingQuality(t(s, dir, "part"), "p_name",
+        threshold = 0.75)
     }
   )
 

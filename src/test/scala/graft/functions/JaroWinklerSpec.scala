@@ -90,4 +90,33 @@ class JaroWinklerSpec extends SparkSpec {
     graft.ext.Dedup.jaroWinklerPairs(df, "name", 0.9,
       blockOnFirstChar = true, maxNames = 10L).collect()
   }
+
+  test("blockingQuality: differential vs jaroWinklerPairs; exact pair algebra") {
+    // the blocking-loss fixture from the subset test, plus singles
+    val df = Seq("alpha", "alpah", "blpha", "beta", "betta", "carol")
+      .toDF("name")
+    val q = graft.ext.Dedup.blockingQuality(df, "name", 0.8).head()
+    val pairs = graft.ext.Dedup.jaroWinklerPairs(df, "name", 0.8).collect()
+    val inBlk = pairs.count(r => r.getString(0).head == r.getString(1).head)
+    assert(q.getAs[Long]("n_names") === 6L)
+    assert(q.getAs[Long]("n_all_pairs") === 15L)
+    // blocks: a=2, b=3, c=1 → 1 + 3 + 0 = 4 blocked pairs
+    assert(q.getAs[Long]("n_block_pairs") === 4L)
+    assert(q.getAs[Long]("n_true") === pairs.length.toLong)
+    assert(q.getAs[Long]("n_true_in_block") === inBlk.toLong)
+    assert(q.getAs[Double]("reduction_ratio") === 0.733333)
+    // the alpha↔blpha cross-block match drives completeness below 1
+    assert(q.getAs[Double]("pair_completeness") < 1.0)
+  }
+
+  test("blockingQuality: no true pairs → completeness NULL, gate still enforced") {
+    val df = Seq("aaaa", "zzzz").toDF("name")
+    val q = graft.ext.Dedup.blockingQuality(df, "name", 0.9).head()
+    assert(q.getAs[Long]("n_true") === 0L)
+    assert(q.isNullAt(q.fieldIndex("pair_completeness")))
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.blockingQuality(
+        (1 to 20).map(i => s"n$i").toDF("name"), "name", 0.9, maxNames = 5L)
+    }
+  }
 }
