@@ -412,6 +412,46 @@ object Corpus {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic per-epoch training order — the "shuffle the
+    * corpus differently every epoch" primitive, RNG-free so any
+    * worker can recompute any shard's order: the epoch-e order key
+    * is md5(e:id), a fresh pseudo-random permutation per epoch that
+    * replays bit-identically anywhere.
+    *
+    * Scalable ranking WITHOUT a global sort: global rank =
+    * first-hex-char bucket offset + within-bucket row_number. The
+    * per-(epoch, bucket) windows sort 1/16th of an epoch each, and
+    * the bucket-offset table (16 rows/epoch, from bucket SIZES) rides
+    * as a broadcast — the two-phase distributed ranking pattern. The
+    * composition equals a single global ROW_NUMBER over (key, id)
+    * because the bucket char IS the key's first char (pinned by
+    * spec differential).
+    *
+    * Returns (epoch, rank, idCol): rank 1..n within each epoch.
+    */
+  def epochShuffle(df: DataFrame, idCol: String = "doc_id",
+                   nEpochs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nEpochs >= 1 && nEpochs <= 1000,
+      s"epochShuffle: nEpochs 1..1000, got $nEpochs")
+    val epochs = df.sparkSession.range(1, nEpochs + 1)
+      .select(col("id").as("epoch"))
+    val keyed = df.select(col(idCol).as("_id")).crossJoin(broadcast(epochs))
+      .withColumn("_k", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("_id").cast("string"))))
+      .withColumn("_b", substring(col("_k"), 1, 1))
+    val wB = Window.partitionBy("epoch", "_b").orderBy(col("_k"), col("_id"))
+    val ranked = keyed.withColumn("_rn", row_number().over(wB))
+    val wOff = Window.partitionBy("epoch").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("epoch", "_b").agg(count(lit(1)).as("_s"))
+      .withColumn("_off", coalesce(sum("_s").over(wOff), lit(0L)))
+      .select("epoch", "_b", "_off")
+    ranked.join(broadcast(offsets), Seq("epoch", "_b"))
+      .select(col("epoch"), (col("_off") + col("_rn")).cast("long").as("rank"),
+        col("_id").as(idCol))
+  }
+
   /** Mixture-rate solver — closes the mixture loop (report →
     * RATES → weightedSample/tokenBudgetSample): given per-source
     * token counts, target mixture shares, and a total token budget,

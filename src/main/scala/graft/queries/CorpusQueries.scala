@@ -805,6 +805,30 @@ object CorpusQueries {
           coalesce(col("v2_docs"), lit(0L)).as("v2_docs"),
           coalesce(col("removed"), lit(0L)).as("removed"))
         .orderBy("source")
+    },
+
+    // ——— deterministic per-epoch training order: md5(epoch:id) is a
+    //     fresh RNG-free permutation per epoch; the engine ranks via
+    //     bucket-offset + within-bucket row_number (no global sort),
+    //     the oracle via one global ROW_NUMBER — equal by
+    //     construction since the bucket char is the key's first
+    //     char. First 10 positions of each of 2 epochs. ———
+    Q("q232_epoch_shuffle",
+      """WITH e AS (SELECT unnest(range(1, 3)) AS epoch),
+        |r AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.epoch
+        |      ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+        |        || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rank
+        |  FROM documents d CROSS JOIN e
+        |)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank,
+        |  doc_id
+        |FROM r WHERE rank <= 10 ORDER BY epoch, rank""".stripMargin) {
+      (s, dir) =>
+      graft.ext.Corpus.epochShuffle(docs(s, dir), nEpochs = 2)
+        .where(col("rank") <= 10)
+        .orderBy("epoch", "rank")
     }
   )
 }

@@ -481,4 +481,35 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.universeSample(df, "k", 0.0))
     intercept[IllegalArgumentException](Corpus.universeSample(df, "k", 1.5))
   }
+
+  test("epochShuffle: each epoch is a full permutation and epochs differ") {
+    val docs = (0L until 97L).toDF("doc_id")
+    val out = Corpus.epochShuffle(docs, nEpochs = 3).collect()
+      .groupBy(_.getLong(0))
+    assert(out.keySet === Set(1L, 2L, 3L))
+    out.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 97L))
+      assert(rows.map(_.getLong(2)).toSet === (0L until 97L).toSet)
+    }
+    val order = (e: Long) => out(e).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(order(1L) !== order(2L), "epochs must permute differently")
+  }
+
+  test("epochShuffle: bucket-offset ranking equals the global ROW_NUMBER") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 211L).toDF("doc_id")
+    val got = Corpus.epochShuffle(docs, nEpochs = 2)
+      .orderBy("epoch", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val w = Window.partitionBy("epoch").orderBy(
+      md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    val want = docs.crossJoin(spark.range(1, 3).select(col("id").as("epoch")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("epoch", "rank").collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(got.toSeq === want.toSeq)
+    // and the order is partition-layout-invariant
+    val re = Corpus.epochShuffle(docs.repartition(13), nEpochs = 2)
+      .orderBy("epoch", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(re.toSeq === got.toSeq)
+  }
 }
