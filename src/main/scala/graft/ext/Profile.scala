@@ -1222,4 +1222,53 @@ object Profile {
         round(col("exp_n"), 6).as("exp_n"), col("chi2"))
       .orderBy("digit")
   }
+
+  /** Functional-dependency audit — the "which columns determine
+    * which" half of catalog profiling that `profileTable`'s
+    * per-column stats can't see. For each candidate FD `lhs → rhs`,
+    * reports how close the table is to satisfying it:
+    *
+    *   - `n_groups`: distinct LHS value combinations
+    *   - `n_violating`: LHS groups mapping to >1 distinct RHS value
+    *   - `g3_rows`: the standard g3 error — the MINIMUM number of
+    *     rows to delete so the FD holds exactly (per violating
+    *     group: group size minus its most frequent RHS value's
+    *     count; Kivinen & Mannila 1995, public literature)
+    *   - `holds`: zero violating groups
+    *   - `confidence`: 1 − g3/n_rows (NULL on an empty table)
+    *
+    * Scale: per FD, two hash aggregations — (lhs, rhs) counts, then
+    * an lhs-grouped rollup of (Σn, max n, count) — followed by a
+    * single-row global agg. Both shuffles key on the FD's own
+    * columns, partial aggregation applies map-side, and nothing is
+    * ever collected; K candidate FDs are K independent small jobs
+    * unioned, so a 100 TB audit parallelizes per-FD and per-group.
+    * NULL handling: NULL is one RHS value (NULL ≠ NULL violations
+    * are not counted — same convention as GROUP BY) and NULL LHS
+    * values form their own group.
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(String, Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdAudit needs at least one candidate FD")
+    fds.map { case (name, lhs, rhs) =>
+      require(lhs.nonEmpty, s"FD '$name' needs a non-empty LHS")
+      val vc = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+      val g = vc.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("_n_rhs"), sum("_n").as("_rows"),
+          max("_n").as("_max"))
+      g.agg(
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("_n_rhs") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating"),
+          coalesce(sum(col("_rows") - col("_max")), lit(0L)).as("g3_rows"),
+          coalesce(sum("_rows"), lit(0L)).as("_n_rows"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          col("g3_rows"),
+          (col("n_violating") === 0L).as("holds"),
+          when(col("_n_rows") === 0L, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) -
+              col("g3_rows").cast("double") / col("_n_rows").cast("double"),
+              6)).as("confidence"))
+    }.reduce(_ unionByName _).orderBy("fd")
+  }
 }

@@ -3101,6 +3101,78 @@ object Relational {
         |FROM cnt, bp, tp""".stripMargin) { (s, dir) =>
       graft.ext.Dedup.blockingQuality(t(s, dir, "part"), "p_name",
         threshold = 0.75)
+    },
+
+    // ——— functional-dependency audit: does LHS determine RHS, and
+    //     if not, how many rows must go (the g3 error — the MINIMUM
+    //     deletions for the FD to hold: per violating group, size
+    //     minus the plurality RHS count)? One true key FD, one false
+    //     single-column FD, one false composite-LHS FD over a derived
+    //     band; all-integer counts, one rounded division each. ———
+    Q("q233_fd_discovery",
+      """WITH fd1v AS (
+        |  SELECT c_custkey AS k, c_nationkey AS v, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2
+        |), fd1g AS (
+        |  SELECT k, COUNT(*) AS nr, CAST(SUM(n) AS BIGINT) AS rws,
+        |    CAST(MAX(n) AS BIGINT) AS mx
+        |  FROM fd1v GROUP BY 1
+        |), fd1 AS (
+        |  SELECT 'custkey->nationkey' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(rws - mx) AS BIGINT) AS g3_rows,
+        |    (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS holds,
+        |    ROUND(1.0 - CAST(SUM(rws - mx) AS DOUBLE)
+        |      / CAST(SUM(rws) AS DOUBLE), 6) AS confidence
+        |  FROM fd1g
+        |), fd2v AS (
+        |  SELECT c_mktsegment AS k, c_nationkey AS v, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2
+        |), fd2g AS (
+        |  SELECT k, COUNT(*) AS nr, CAST(SUM(n) AS BIGINT) AS rws,
+        |    CAST(MAX(n) AS BIGINT) AS mx
+        |  FROM fd2v GROUP BY 1
+        |), fd2 AS (
+        |  SELECT 'mktsegment->nationkey' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(rws - mx) AS BIGINT) AS g3_rows,
+        |    (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS holds,
+        |    ROUND(1.0 - CAST(SUM(rws - mx) AS DOUBLE)
+        |      / CAST(SUM(rws) AS DOUBLE), 6) AS confidence
+        |  FROM fd2g
+        |), fd3v AS (
+        |  SELECT c_nationkey AS k1, c_mktsegment AS k2,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS v, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3
+        |), fd3g AS (
+        |  SELECT k1, k2, COUNT(*) AS nr, CAST(SUM(n) AS BIGINT) AS rws,
+        |    CAST(MAX(n) AS BIGINT) AS mx
+        |  FROM fd3v GROUP BY 1, 2
+        |), fd3 AS (
+        |  SELECT 'nation_segment->bal_band' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(rws - mx) AS BIGINT) AS g3_rows,
+        |    (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS holds,
+        |    ROUND(1.0 - CAST(SUM(rws - mx) AS DOUBLE)
+        |      / CAST(SUM(rws) AS DOUBLE), 6) AS confidence
+        |  FROM fd3g
+        |)
+        |SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+        |UNION ALL SELECT * FROM fd3
+        |ORDER BY fd""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 2000).cast("long"))
+      graft.ext.Profile.fdAudit(c, Seq(
+        ("custkey->nationkey", Seq("c_custkey"), "c_nationkey"),
+        ("mktsegment->nationkey", Seq("c_mktsegment"), "c_nationkey"),
+        ("nation_segment->bal_band", Seq("c_nationkey", "c_mktsegment"),
+          "bal_band")))
     }
   )
 

@@ -795,4 +795,46 @@ class ProfileSpec extends SparkSpec {
       (4L, "a", 9L, 1L, Some(1L), Some(0L)),
       (4L, "b", 1L, 2L, Some(1L), Some(-1L))))
   }
+
+  test("fdAudit: holding FD, g3 of a violating FD, composite LHS, null RHS") {
+    // k → v: group 1 maps to {x:2, y:1} (violating, g3 = 3−2 = 1);
+    // group 2 maps to {x:1} (clean); group 3 maps to {null:2} (clean —
+    // NULL is one RHS value under GROUP BY semantics)
+    val df = Seq(
+      (1, "a", Some("x")), (1, "a", Some("x")), (1, "b", Some("y")),
+      (2, "a", Some("x")),
+      (3, "b", None), (3, "b", None)
+    ).toDF("k", "k2", "v")
+    val out = Profile.fdAudit(df, Seq(
+        ("k->v", Seq("k"), "v"),
+        ("k_k2->v", Seq("k", "k2"), "v"),
+        ("row->v", Seq("k", "k2", "v"), "v")))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val kv = out("k->v")
+    assert(kv.getAs[Long]("n_groups") === 3L)
+    assert(kv.getAs[Long]("n_violating") === 1L)
+    assert(kv.getAs[Long]("g3_rows") === 1L)
+    assert(kv.getAs[Boolean]("holds") === false)
+    assert(kv.getAs[Double]("confidence") === 0.833333) // round(1 − 1/6, 6)
+
+    // composite LHS splits group 1 into (1,a)→x and (1,b)→y — FD holds
+    val comp = out("k_k2->v")
+    assert(comp.getAs[Long]("n_groups") === 4L)
+    assert(comp.getAs[Boolean]("holds") === true)
+    assert(comp.getAs[Long]("g3_rows") === 0L)
+    assert(comp.getAs[Double]("confidence") === 1.0)
+
+    // trivial FD (RHS ⊆ LHS) always holds
+    assert(out("row->v").getAs[Boolean]("holds") === true)
+  }
+
+  test("fdAudit: empty input yields zero groups and null confidence") {
+    val empty = Seq.empty[(Int, String)].toDF("k", "v")
+    val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)
+    assert(r.getAs[Long]("n_groups") === 0L)
+    assert(r.getAs[Long]("g3_rows") === 0L)
+    assert(r.getAs[Boolean]("holds") === true)
+    assert(r.isNullAt(r.fieldIndex("confidence")))
+  }
 }
