@@ -1223,6 +1223,65 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** Single-changepoint detection per group over the daily count
+    * series — "where did this metric's regime shift?" for pipeline
+    * monitoring. Binary-segmentation step 1 (public CUSUM/binseg
+    * literature): the best split t minimizes the two-segment SSE,
+    * equivalently maximizes the between-segment sum of squares
+    *
+    *   SS_b(t) = S_L²/t + S_R²/(D−t) − S²/D
+    *
+    * which needs only PREFIX SUMS of the ordered daily counts — one
+    * window sweep per group, no quadratic segment scan. The argmax
+    * key is the micro-quantized gain `round(1e3·(S_L²/t + S_R²/(D−t)))`
+    * (fixed IEEE expression over exact BIGINTs — cross-engine-stable),
+    * ties to the earliest split day. `strength` = SS_b/SS_tot ∈ [0,1]
+    * (the R² of the one-split step model; NULL for a constant series).
+    *
+    * Scale: the raw scan collapses to (group × day) rows in one
+    * aggregation; everything after runs on that dictionary-sized
+    * frame (windows partitioned per group — parallel across groups,
+    * series length is bounded by the calendar, not the data).
+    */
+  def changepointDaily(events: DataFrame, groupCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val ord = Window.partitionBy("grp").orderBy("day")
+    val full = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = col("nd") - col("t")
+    val cand = daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("s_l", sum("y").over(ord).cast("long"))
+      .withColumn("nd", count(lit(1)).over(full).cast("long"))
+      .withColumn("s", sum("y").over(full).cast("long"))
+      .withColumn("ss", sum(col("y") * col("y")).over(full).cast("long"))
+      .where(col("t") < col("nd"))
+      .withColumn("s_r", col("s") - col("s_l"))
+      .withColumn("gain_u", round(
+        (col("s_l").cast("double") * col("s_l") / col("t") +
+          col("s_r").cast("double") * col("s_r") / d) * 1e3).cast("long"))
+    val best = Window.partitionBy("grp")
+      .orderBy(col("gain_u").desc, col("t"))
+    cand.withColumn("_rk", row_number().over(best)).where(col("_rk") === 1)
+      .select(col("grp"), col("nd").as("n_days"), col("day").as("split_day"),
+        round(col("s_l").cast("double") / col("t"), 6).as("mean_left"),
+        round(col("s_r").cast("double") / d, 6).as("mean_right"),
+        when(col("ss").cast("double") -
+            col("s").cast("double") * col("s") / col("nd") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("gain_u").cast("double") / 1e3 -
+              col("s").cast("double") * col("s") / col("nd")) /
+            (col("ss").cast("double") -
+              col("s").cast("double") * col("s") / col("nd")), 6))
+          .as("strength"))
+      .orderBy("grp")
+  }
+
   /** Functional-dependency audit — the "which columns determine
     * which" half of catalog profiling that `profileTable`'s
     * per-column stats can't see. For each candidate FD `lhs → rhs`,

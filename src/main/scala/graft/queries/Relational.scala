@@ -3173,6 +3173,53 @@ object Relational {
         ("mktsegment->nationkey", Seq("c_mktsegment"), "c_nationkey"),
         ("nation_segment->bal_band", Seq("c_nationkey", "c_mktsegment"),
           "bal_band")))
+    },
+
+    // ——— single-changepoint detection (binary-segmentation step 1)
+    //     per event type: the split of the ordered daily-count
+    //     series maximizing between-segment SS, from PREFIX SUMS
+    //     only (no quadratic segment scan); argmax on the micro-
+    //     quantized gain, ties to the earliest day; strength = the
+    //     one-split R². ———
+    Q("q234_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, day, y,
+        |    CAST(row_number() OVER w AS BIGINT) AS t,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS s_l,
+        |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS nd,
+        |    CAST(SUM(y) OVER (PARTITION BY grp) AS BIGINT) AS s,
+        |    CAST(SUM(y * y) OVER (PARTITION BY grp) AS BIGINT) AS ss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT *, s - s_l AS s_r,
+        |    CAST(round((CAST(s_l AS DOUBLE) * s_l / t
+        |      + CAST(s - s_l AS DOUBLE) * (s - s_l) / (nd - t)) * 1e3)
+        |      AS BIGINT) AS gain_u
+        |  FROM c WHERE t < nd
+        |), b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp
+        |    ORDER BY gain_u DESC, t) AS rk
+        |  FROM g
+        |)
+        |SELECT grp, nd AS n_days, day AS split_day,
+        |  ROUND(CAST(s_l AS DOUBLE) / t, 6) AS mean_left,
+        |  ROUND(CAST(s_r AS DOUBLE) / (nd - t), 6) AS mean_right,
+        |  CASE WHEN CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd = 0
+        |    THEN NULL
+        |    ELSE ROUND((CAST(gain_u AS DOUBLE) / 1e3
+        |        - CAST(s AS DOUBLE) * s / nd)
+        |      / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd), 6)
+        |  END AS strength
+        |FROM b WHERE rk = 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.changepointDaily(t(s, dir, "events"),
+        "event_type", "ts")
     }
   )
 

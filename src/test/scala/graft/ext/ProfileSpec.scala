@@ -829,6 +829,45 @@ class ProfileSpec extends SparkSpec {
     assert(out("row->v").getAs[Boolean]("holds") === true)
   }
 
+  test("changepointDaily: planted level shift found at the exact day") {
+    // type "a": 5 days at 2 events/day then 5 days at 8/day — best
+    // split is after day 4 (the last low day); means 2.0 / 8.0
+    // type "b": constant 3/day — strength must be NULL (no variance)
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:0$i:00")
+    val rows =
+      (0 until 10).flatMap { d =>
+        val k = if (d < 5) 2 else 8
+        (0 until k).map(i => ("a", ts(d, i)))
+      } ++ (0 until 10).flatMap(d => (0 until 3).map(i => ("b", ts(d, i))))
+    val df = rows.toDF("event_type", "ts")
+    val out = Profile.changepointDaily(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val a = out("a")
+    assert(a.getAs[Long]("n_days") === 10L)
+    // epoch day of 2024-01-05 (last day of the low segment)
+    val expectDay = java.time.LocalDate.of(2024, 1, 5).toEpochDay
+    assert(a.getAs[Long]("split_day") === expectDay)
+    assert(a.getAs[Double]("mean_left") === 2.0)
+    assert(a.getAs[Double]("mean_right") === 8.0)
+    // perfect two-level series: the one-split model explains all
+    // variance — strength 1.0
+    assert(a.getAs[Double]("strength") === 1.0)
+
+    val b = out("b")
+    assert(b.isNullAt(b.fieldIndex("strength")))
+    // constant series: every split has equal gain — tie goes to t=1
+    assert(b.getAs[Long]("split_day") ===
+      java.time.LocalDate.of(2024, 1, 1).toEpochDay)
+  }
+
+  test("changepointDaily: single-day group emits no row") {
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    assert(Profile.changepointDaily(df, "event_type", "ts").count() === 0L)
+  }
+
   test("fdAudit: empty input yields zero groups and null confidence") {
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
     val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)
