@@ -3220,6 +3220,55 @@ object Relational {
         |FROM b WHERE rk = 1 ORDER BY grp""".stripMargin) { (s, dir) =>
       graft.ext.Profile.changepointDaily(t(s, dir, "events"),
         "event_type", "ts")
+    },
+
+    // ——— link prediction on the sampled co-purchase graph: score
+    //     non-adjacent part pairs at distance 2 by common neighbors
+    //     + Adamic–Adar (micro-quantized 1/ln(deg) per wedge — the
+    //     sum is order-free) + Jaccard; candidates ONLY from the
+    //     wedge join (pairs with cn ≥ 1), existing edges anti-joined
+    //     away, top-50 by AA. The 1-in-20 order sample keeps this
+    //     synthetic graph's uniform density realistic (q202's
+    //     documented-sample pattern). ———
+    Q("q235_link_prediction",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem WHERE l_orderkey % 20 = 0
+        |), e AS (
+        |  SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b USING (g) WHERE a.item < b.item
+        |), und AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+        |), ctr AS (
+        |  SELECT und.src AS w, und.dst AS n,
+        |    CAST(round(1e6 / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT) AS c_u
+        |  FROM und JOIN deg ON und.src = deg.src AND deg.deg >= 2
+        |), wed AS (
+        |  SELECT a.n AS u, b.n AS v, a.c_u
+        |  FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n
+        |), sc AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(c_u) AS BIGINT) AS aa_u
+        |  FROM wed GROUP BY 1, 2
+        |), ne AS (
+        |  SELECT sc.* FROM sc LEFT JOIN e
+        |    ON sc.u = e.u AND sc.v = e.v
+        |  WHERE e.u IS NULL
+        |)
+        |SELECT ne.u, ne.v, ne.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |  CAST(CAST(round(ne.cn * 1e6 / (du.deg + dv.deg - ne.cn))
+        |    AS BIGINT) AS DOUBLE) / 1e6 AS jaccard,
+        |  CAST(ne.aa_u AS DOUBLE) / 1e6 AS adamic_adar
+        |FROM ne JOIN deg du ON ne.u = du.src
+        |        JOIN deg dv ON ne.v = dv.src
+        |ORDER BY ne.aa_u DESC, ne.u, ne.v LIMIT 50""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+      val edges = graft.ext.Graph.coOccurrenceEdges(li,
+        "l_orderkey", "l_partkey")
+      graft.ext.Graph.linkPrediction(edges, topK = 50)
     }
   )
 

@@ -308,4 +308,47 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(aSum - 1.0) < 1e-6, s"authority mass $aSum != 1")
     assert(math.abs(hSum - 1.0) < 1e-6, s"hub mass $hSum != 1")
   }
+
+  test("linkPrediction: hand-computed path graph; existing edges excluded") {
+    // path a—b—c—d: candidates are (a,c) via b, (b,d) via c — each
+    // cn=1 through a degree-2 center → AA = 1/ln 2; plus (a,d)? no —
+    // a and d share no neighbor. Edges themselves must not appear.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(("a", "c"), ("b", "d")))
+    val expAa = math.round(1e6 / math.log(2.0)) / 1e6
+    val ((cn, du, dv, jac, gotAa)) = out(("a", "c"))
+    assert(cn === 1L)
+    assert((du, dv) === ((1L, 2L))) // deg(a)=1, deg(c)=2
+    assert(jac === 0.5)             // 1 / (1 + 2 − 1)
+    assert(math.abs(gotAa - expAa) < 1e-9)
+  }
+
+  test("linkPrediction: triangle has no candidates; cn counts all shared neighbors") {
+    // triangle abc (no non-adjacent pairs) + square wxyz where (w,y)
+    // and (x,z) are the two diagonals, each with cn=2
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    val sq = Seq(("w", "x"), ("x", "y"), ("y", "z"), ("w", "z"))
+    val out = Graph.linkPrediction((tri ++ sq).toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet === Set(("w", "y"), ("x", "z")))
+    assert(out.values.toSet === Set(2L))
+  }
+
+  test("linkPrediction: maxCenterDeg removes hub-mediated candidates only") {
+    // star center h with 4 leaves + path p—q—r: capping at deg ≤ 3
+    // drops the hub's C(4,2)=6 leaf pairs, keeps (p,r) via q
+    val star = Seq("l1", "l2", "l3", "l4").map(("h", _))
+    val path = Seq(("p", "q"), ("q", "r"))
+    val df = (star ++ path).toDF("src", "dst")
+    val full = Graph.linkPrediction(df).collect()
+    assert(full.length === 6 + 1)
+    val capped = Graph.linkPrediction(df, maxCenterDeg = Some(3L)).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(capped.toSet === Set(("p", "r")))
+  }
 }
