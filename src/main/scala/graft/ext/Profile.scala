@@ -1282,6 +1282,48 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** Shuffle-skew audit for a candidate partitioning key — "will
+    * this key melt a reducer at 1000 executors?" answered from the
+    * data, before the expensive job runs. Rows are bucketed by an
+    * ENGINE-PORTABLE hash (md5-hex7 mod nBuckets — Spark's
+    * murmur-based HashPartitioner isn't replayable elsewhere, and
+    * the audit only needs *a* uniform hash, not Spark's), then:
+    *
+    *   - `skew_x` = max-bucket rows / mean-bucket rows — the
+    *     straggler factor a shuffle on this key would see
+    *   - `top_key_rows` / `top_key_share` — the single hottest key;
+    *     a high share means salting/AQE-skew-join territory, because
+    *     no bucket count fixes one irreducible hot key
+    *   - `n_keys`, `buckets_used` — cardinality context
+    *
+    * Scale: one key-grouped count (the only data-sized shuffle,
+    * map-side combinable), then a bucket rollup of the KEY
+    * dictionary and two single-row aggregates. Ratios are
+    * micro-quantized BIGINTs divided by 1e6 (no decimal rounding
+    * boundary — the q218 rule).
+    */
+  def shuffleSkewAudit(df: DataFrame, keyCol: String, label: String,
+                       nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"shuffleSkewAudit: nBuckets >= 1, got $nBuckets")
+    val kc = df.select(col(keyCol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val bk = kc.withColumn("bucket",
+        conv(substring(md5(col("k")), 1, 7), 16, 10).cast("long") % nBuckets)
+      .groupBy("bucket").agg(sum("n").as("bn"))
+    val t = bk.agg(sum("bn").cast("long").as("n_rows"),
+      count(lit(1)).as("buckets_used"), max("bn").cast("long").as("mx"))
+    val tk = kc.agg(max("n").cast("long").as("top_key_rows"),
+      count(lit(1)).as("n_keys"))
+    t.crossJoin(tk).select(
+      lit(label).as("key_label"), col("n_rows"), col("n_keys"),
+      col("buckets_used"), col("mx").as("max_bucket_rows"),
+      (round(col("mx") * nBuckets * lit(1e6) / col("n_rows")).cast("long")
+        .cast("double") / 1e6).as("skew_x"),
+      col("top_key_rows"),
+      (round(col("top_key_rows") * lit(1e6) / col("n_rows")).cast("long")
+        .cast("double") / 1e6).as("top_key_share"))
+  }
+
   /** Functional-dependency audit — the "which columns determine
     * which" half of catalog profiling that `profileTable`'s
     * per-column stats can't see. For each candidate FD `lhs → rhs`,

@@ -3269,6 +3269,109 @@ object Relational {
       val edges = graft.ext.Graph.coOccurrenceEdges(li,
         "l_orderkey", "l_partkey")
       graft.ext.Graph.linkPrediction(edges, topK = 50)
+    },
+
+    // ——— shuffle-skew audit: would a shuffle on this key melt a
+    //     reducer at 1000 executors? Rows bucketed by the engine-
+    //     portable md5-hex7 hash into 32 buckets; straggler factor
+    //     (max/mean bucket), hottest single key, and cardinality per
+    //     candidate key — the pre-flight check before picking a join
+    //     / repartition key. Ratios are micro-quantized BIGINTs. ———
+    Q("q236_shuffle_skew",
+      """WITH a1k AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |), a1b AS (
+        |  SELECT CAST(concat('0x', substring(md5(k), 1, 7)) AS BIGINT) % 32
+        |    AS bucket, CAST(SUM(n) AS BIGINT) AS bn
+        |  FROM a1k GROUP BY 1
+        |), a1 AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_label,
+        |    t.nr AS n_rows, tk.nk AS n_keys, t.bu AS buckets_used,
+        |    t.mx AS max_bucket_rows,
+        |    CAST(CAST(round(t.mx * 32 * 1e6 / t.nr) AS BIGINT) AS DOUBLE)
+        |      / 1e6 AS skew_x,
+        |    tk.mk AS top_key_rows,
+        |    CAST(CAST(round(tk.mk * 1e6 / t.nr) AS BIGINT) AS DOUBLE)
+        |      / 1e6 AS top_key_share
+        |  FROM (SELECT CAST(SUM(bn) AS BIGINT) nr,
+        |          CAST(COUNT(*) AS BIGINT) bu, CAST(MAX(bn) AS BIGINT) mx
+        |        FROM a1b) t,
+        |       (SELECT CAST(MAX(n) AS BIGINT) mk,
+        |          CAST(COUNT(*) AS BIGINT) nk FROM a1k) tk
+        |), a2k AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |), a2b AS (
+        |  SELECT CAST(concat('0x', substring(md5(k), 1, 7)) AS BIGINT) % 32
+        |    AS bucket, CAST(SUM(n) AS BIGINT) AS bn
+        |  FROM a2k GROUP BY 1
+        |), a2 AS (
+        |  SELECT 'lineitem.l_partkey' AS key_label,
+        |    t.nr, tk.nk, t.bu, t.mx,
+        |    CAST(CAST(round(t.mx * 32 * 1e6 / t.nr) AS BIGINT) AS DOUBLE)
+        |      / 1e6,
+        |    tk.mk,
+        |    CAST(CAST(round(tk.mk * 1e6 / t.nr) AS BIGINT) AS DOUBLE) / 1e6
+        |  FROM (SELECT CAST(SUM(bn) AS BIGINT) nr,
+        |          CAST(COUNT(*) AS BIGINT) bu, CAST(MAX(bn) AS BIGINT) mx
+        |        FROM a2b) t,
+        |       (SELECT CAST(MAX(n) AS BIGINT) mk,
+        |          CAST(COUNT(*) AS BIGINT) nk FROM a2k) tk
+        |), a3k AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |), a3b AS (
+        |  SELECT CAST(concat('0x', substring(md5(k), 1, 7)) AS BIGINT) % 32
+        |    AS bucket, CAST(SUM(n) AS BIGINT) AS bn
+        |  FROM a3k GROUP BY 1
+        |), a3 AS (
+        |  SELECT 'lineitem.l_suppkey' AS key_label,
+        |    t.nr, tk.nk, t.bu, t.mx,
+        |    CAST(CAST(round(t.mx * 32 * 1e6 / t.nr) AS BIGINT) AS DOUBLE)
+        |      / 1e6,
+        |    tk.mk,
+        |    CAST(CAST(round(tk.mk * 1e6 / t.nr) AS BIGINT) AS DOUBLE) / 1e6
+        |  FROM (SELECT CAST(SUM(bn) AS BIGINT) nr,
+        |          CAST(COUNT(*) AS BIGINT) bu, CAST(MAX(bn) AS BIGINT) mx
+        |        FROM a3b) t,
+        |       (SELECT CAST(MAX(n) AS BIGINT) mk,
+        |          CAST(COUNT(*) AS BIGINT) nk FROM a3k) tk
+        |), a4k AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM orders GROUP BY 1
+        |), a4b AS (
+        |  SELECT CAST(concat('0x', substring(md5(k), 1, 7)) AS BIGINT) % 32
+        |    AS bucket, CAST(SUM(n) AS BIGINT) AS bn
+        |  FROM a4k GROUP BY 1
+        |), a4 AS (
+        |  SELECT 'orders.o_custkey' AS key_label,
+        |    t.nr, tk.nk, t.bu, t.mx,
+        |    CAST(CAST(round(t.mx * 32 * 1e6 / t.nr) AS BIGINT) AS DOUBLE)
+        |      / 1e6,
+        |    tk.mk,
+        |    CAST(CAST(round(tk.mk * 1e6 / t.nr) AS BIGINT) AS DOUBLE) / 1e6
+        |  FROM (SELECT CAST(SUM(bn) AS BIGINT) nr,
+        |          CAST(COUNT(*) AS BIGINT) bu, CAST(MAX(bn) AS BIGINT) mx
+        |        FROM a4b) t,
+        |       (SELECT CAST(MAX(n) AS BIGINT) mk,
+        |          CAST(COUNT(*) AS BIGINT) nk FROM a4k) tk
+        |)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+        |ORDER BY key_label""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val or = t(s, dir, "orders")
+      Seq(
+        graft.ext.Profile.shuffleSkewAudit(li, "l_orderkey",
+          "lineitem.l_orderkey"),
+        graft.ext.Profile.shuffleSkewAudit(li, "l_partkey",
+          "lineitem.l_partkey"),
+        graft.ext.Profile.shuffleSkewAudit(li, "l_suppkey",
+          "lineitem.l_suppkey"),
+        graft.ext.Profile.shuffleSkewAudit(or, "o_custkey",
+          "orders.o_custkey"))
+        .reduce(_ unionByName _).orderBy("key_label")
     }
   )
 

@@ -868,6 +868,37 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.changepointDaily(df, "event_type", "ts").count() === 0L)
   }
 
+  test("shuffleSkewAudit: mass conservation, hot-key share, single-key degenerate") {
+    // one hot key with 50 rows + 50 singleton keys → top share 50/100
+    val rows = Seq.fill(50)("hot") ++ (0 until 50).map(i => s"k$i")
+    val out = Profile.shuffleSkewAudit(rows.toDF("k"), "k", "t").collect()(0)
+    assert(out.getAs[Long]("n_rows") === 100L)
+    assert(out.getAs[Long]("n_keys") === 51L)
+    assert(out.getAs[Long]("top_key_rows") === 50L)
+    assert(out.getAs[Double]("top_key_share") === 0.5)
+    assert(out.getAs[Long]("buckets_used") <= 32L)
+    // max bucket holds at least the hot key and at least the mean
+    assert(out.getAs[Long]("max_bucket_rows") >= 50L)
+    assert(out.getAs[Double]("skew_x") >=
+      out.getAs[Long]("max_bucket_rows") * 32.0 / 100 - 1e-6)
+
+    // all rows on ONE key: one bucket used, straggler factor = nBuckets
+    val one = Profile.shuffleSkewAudit(
+      Seq.fill(10)("x").toDF("k"), "k", "one").collect()(0)
+    assert(one.getAs[Long]("buckets_used") === 1L)
+    assert(one.getAs[Double]("skew_x") === 32.0)
+    assert(one.getAs[Double]("top_key_share") === 1.0)
+  }
+
+  test("shuffleSkewAudit: uniform keys spread across buckets") {
+    val out = Profile.shuffleSkewAudit(
+      (0 until 3200).map(i => s"id$i").toDF("k"), "k", "u").collect()(0)
+    assert(out.getAs[Long]("n_rows") === 3200L)
+    assert(out.getAs[Long]("buckets_used") === 32L)
+    // a uniform hash over 100 keys/bucket should stay well under 2×
+    assert(out.getAs[Double]("skew_x") < 2.0)
+  }
+
   test("fdAudit: empty input yields zero groups and null confidence") {
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
     val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)
