@@ -1191,6 +1191,63 @@ object Dedup {
       .orderBy("thr")
   }
 
+  /** Golden-record survivorship — the step AFTER entity resolution:
+    * merge every source row of a matched cluster into ONE canonical
+    * record under declarative survivorship rules. Clusters come from
+    * [[entityClusters]]'s pipeline (JW pairs → connected components
+    * over the name DICTIONARY); unmatched names stay their own
+    * singleton cluster, so every input row survives into exactly one
+    * golden record. Rules:
+    *
+    *   - `modeCols`: plurality wins, ties to the SMALLEST value —
+    *     the deterministic promise Spark's `mode()` doesn't make
+    *     (same convention as `Profile.modeShare`)
+    *   - `maxCols`: largest value wins (freshness/most-complete
+    *     proxies sort ascending under max)
+    *
+    * plus `n_rows` / `n_names` lineage counts per golden record.
+    *
+    * Scale: the quadratic JW step runs on the distinct-name
+    * dictionary only (gated/blocked exactly as [[jaroWinklerPairs]]);
+    * source rows join the dictionary-sized assignment once on the
+    * name (broadcast-able), then every rule is a cluster-keyed
+    * aggregation — mode columns add one (cluster, value) aggregate +
+    * a cluster-partitioned window each, all on post-merge
+    * dictionary-sized frames.
+    */
+  def goldenRecords(df: DataFrame, nameCol: String, threshold: Double,
+                    modeCols: Seq[(String, String)],
+                    maxCols: Seq[(String, String)],
+                    blockOnFirstChar: Boolean = false,
+                    maxNames: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar,
+        maxNames)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      .localCheckpoint()
+    val assign = nearDupClusters(pairs)
+      .select(col("id").as("_gname"), col("cluster"))
+    val rows = df.filter(col(nameCol).isNotNull)
+      .withColumn("_gname", col(nameCol))
+      .join(assign, Seq("_gname"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("_gname")))
+    val baseAggs = count(lit(1)).as("n_rows") +:
+      countDistinct(col("_gname")).as("n_names") +:
+      maxCols.map { case (c, out) => max(col(c)).as(out) }
+    val base = rows.groupBy("cluster").agg(baseAggs.head, baseAggs.tail: _*)
+    val modes = modeCols.map { case (c, out) =>
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("_cnt").desc, col(c))
+      rows.groupBy("cluster", c).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") === 1)
+        .select(col("cluster"), col(c).as(out))
+    }
+    modes.foldLeft(base)(_.join(_, Seq("cluster")))
+      .withColumnRenamed("cluster", "canonical")
+      .orderBy("canonical")
+  }
+
   /** Entity resolution: fuzzy-match clusters over a name dictionary.
     * Jaro–Winkler pairs at `threshold` (q172's native kernel) feed
     * the connected-components operator; each cluster reports its

@@ -3372,6 +3372,69 @@ object Relational {
         graft.ext.Profile.shuffleSkewAudit(or, "o_custkey",
           "orders.o_custkey"))
         .reduce(_ unionByName _).orderBy("key_label")
+    },
+
+    // ——— golden-record survivorship: q211's JW-0.85 name clusters,
+    //     then every part row of a cluster merges into ONE canonical
+    //     record — plurality brand/mfgr (ties to smallest value, the
+    //     modeShare convention), max retailprice/size, row + name
+    //     lineage counts; singleton names survive as their own
+    //     golden record. The master-data-management close of the
+    //     blocking → matching → clustering chain. ———
+    Q("q237_golden_record",
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        |), e AS (
+        |  SELECT a.name AS na, b.name AS nb FROM n a JOIN n b ON a.name < b.name
+        |  WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85
+        |), edges AS (
+        |  SELECT na AS src, nb AS dst FROM e
+        |  UNION SELECT nb AS src, na AS dst FROM e
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        |), cl AS (
+        |  SELECT id, least(id, MIN(dst)) AS cluster FROM (
+        |    SELECT src AS id, dst FROM reach) GROUP BY id
+        |), asg AS (
+        |  SELECT n.name, COALESCE(cl.cluster, n.name) AS cluster
+        |  FROM n LEFT JOIN cl ON n.name = cl.id
+        |), rws AS (
+        |  SELECT a.cluster, p.p_name, p.p_brand, p.p_type,
+        |    p.p_retailprice, p.p_size
+        |  FROM part p JOIN asg a ON p.p_name = a.name
+        |), base AS (
+        |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+        |    MAX(p_retailprice) AS max_retailprice,
+        |    CAST(MAX(p_size) AS BIGINT) AS max_size
+        |  FROM rws GROUP BY 1
+        |), bm AS (
+        |  SELECT cluster, p_brand AS brand FROM (
+        |    SELECT cluster, p_brand,
+        |      row_number() OVER (PARTITION BY cluster
+        |        ORDER BY COUNT(*) DESC, p_brand) AS rk
+        |    FROM rws GROUP BY cluster, p_brand)
+        |  WHERE rk = 1
+        |), mm AS (
+        |  SELECT cluster, p_type AS ptype FROM (
+        |    SELECT cluster, p_type,
+        |      row_number() OVER (PARTITION BY cluster
+        |        ORDER BY COUNT(*) DESC, p_type) AS rk
+        |    FROM rws GROUP BY cluster, p_type)
+        |  WHERE rk = 1
+        |)
+        |SELECT base.cluster AS canonical, base.n_rows, base.n_names,
+        |  base.max_retailprice, base.max_size, bm.brand, mm.ptype
+        |FROM base JOIN bm USING (cluster) JOIN mm USING (cluster)
+        |ORDER BY canonical""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.goldenRecords(
+        t(s, dir, "part").withColumn("p_size", col("p_size").cast("long")),
+        "p_name", threshold = 0.85,
+        modeCols = Seq(("p_brand", "brand"), ("p_type", "ptype")),
+        maxCols = Seq(("p_retailprice", "max_retailprice"),
+          ("p_size", "max_size")))
     }
   )
 

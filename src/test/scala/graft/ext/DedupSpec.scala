@@ -558,4 +558,40 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("n_members") === 3L)
   }
+
+  test("goldenRecords: plurality with smallest-value tie-break, max rule, lineage") {
+    // "acme corp" / "acme corp." cluster (JW ≈ 0.99); "zeta" stays a
+    // singleton. Brands in the cluster: b1×2, b2×1 → plurality b1;
+    // sizes 3,7,5 → max 7; price max 20.0 over {10.0, 20.0, 15.0}.
+    val df = Seq(
+      ("acme corp", "b1", 10.0, 3L),
+      ("acme corp", "b2", 20.0, 7L),
+      ("acme corp.", "b1", 15.0, 5L),
+      ("zeta", "b9", 1.0, 1L)
+    ).toDF("name", "brand", "price", "size")
+    val out = Dedup.goldenRecords(df, "name", threshold = 0.95,
+        modeCols = Seq(("brand", "g_brand")),
+        maxCols = Seq(("price", "g_price"), ("size", "g_size")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("acme corp", "zeta"))
+    val a = out("acme corp")
+    assert(a.getAs[Long]("n_rows") === 3L)
+    assert(a.getAs[Long]("n_names") === 2L)
+    assert(a.getAs[String]("g_brand") === "b1")
+    assert(a.getAs[Double]("g_price") === 20.0)
+    assert(a.getAs[Long]("g_size") === 7L)
+    val z = out("zeta")
+    assert(z.getAs[Long]("n_rows") === 1L && z.getAs[Long]("n_names") === 1L)
+    assert(z.getAs[String]("g_brand") === "b9")
+  }
+
+  test("goldenRecords: exact mode tie breaks to the smaller value") {
+    // two names match; brands split 1/1 → tie → smaller string wins
+    val df = Seq(("node alpha", "zz"), ("node alpha.", "aa"))
+      .toDF("name", "brand")
+    val out = Dedup.goldenRecords(df, "name", threshold = 0.95,
+      modeCols = Seq(("brand", "g_brand")), maxCols = Seq.empty).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("g_brand") === "aa")
+  }
 }
