@@ -452,6 +452,88 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Top principal component of the embedding cloud by distributed
+    * power iteration — the "is one direction eating the space"
+    * health check (anisotropy / whitening diagnostics; public PCA +
+    * power-method literature). Fully deterministic and SQL-replayable:
+    *
+    *   1. Components micro-quantized to BIGINT (`round(x·1e6)`).
+    *   2. The scatter matrix in the CENTERING-FREE exact-integer form
+    *      n·C = n·G − s·sᵀ, where G_ij = Σ v_i·v_j and s_i = Σ v_i —
+    *      every entry an exact BIGINT, so partial-aggregation order
+    *      can't move it. G's upper triangle is generated MAP-SIDE
+    *      (explode dim i, slice the tail j ≥ i, multiply) — no
+    *      self-join, no shuffle before the (i, j)-keyed partial agg;
+    *      one pass over the data for G, s and n together.
+    *   3. `iterations` fixed power-method rounds from the uniform
+    *      start w₀ = round(1e6/dim): each round's per-entry term
+    *      round(m/n/n/1e12 · (w/1e6) · 1e9) is a BIGINT (order-free
+    *      sum), normalized by the exact L1 total back to micro units.
+    *      All iteration frames are d- or d²-row dictionaries riding
+    *      broadcast joins — nothing collects to the driver.
+    *
+    * Output per dim: the final loading (micro-exact, L1-normalized —
+    * sign pinned by the all-positive start) and `lambda_l1`, the L1
+    * growth of the last un-normalized step in unit² (a deterministic
+    * dominant-eigenvalue proxy under L1 scaling).
+    *
+    * Scale: the data-sized work is step 2's single aggregation with
+    * d²/2 generated rows per input row, combined map-side to ≤ d²/2
+    * groups per partition — the standard d² Gram cost. micro=1e6
+    * keeps n·G within BIGINT for n ≤ ~4·10⁵ at |x| ≤ 3; shrink the
+    * quantization (1e4–1e5) for billion-row clouds, which this
+    * synthetic battery doesn't need.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int = 64,
+                      iterations: Int = 2,
+                      vecCol: String = "embedding"): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      s"pcaTopComponent: iterations 1..8, got $iterations")
+    // quantize ONCE in its own projection (HOF-lambda re-eval trap)
+    val micro = embeddings.select(transform(col(vecCol),
+      x => round(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+    val ex = micro.select(col("v"), posexplode(col("v")).as(Seq("i0", "ci")))
+    val prods = ex.select((col("i0") + 1).cast("long").as("i"), col("ci"),
+        posexplode(slice(col("v"), col("i0") + 1, lit(dim) - col("i0")))
+          .as(Seq("j0", "cj")))
+      .select(col("i"), (col("i") + col("j0")).cast("long").as("j"),
+        (col("ci") * col("cj")).as("p"))
+    val gUpper = prods.groupBy("i", "j").agg(sum("p").as("g"))
+    val gFull = gUpper.union(gUpper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("g")))
+    val s = micro.select(posexplode(col("v")).as(Seq("i0", "vu")))
+      .groupBy((col("i0") + 1).cast("long").as("i")).agg(sum("vu").as("s"))
+    val nFrame = embeddings.agg(count(lit(1)).cast("long").as("n_rows"))
+    val cov = gFull
+      .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nFrame))
+      .select(col("i"), col("j"), col("n_rows"),
+        (col("n_rows") * col("g") - col("si") * col("sj")).as("m"))
+      .localCheckpoint() // d²-row frame reused every iteration
+    var w: DataFrame = embeddings.sparkSession.range(1, dim + 1)
+      .select(col("id").as("i"),
+        lit(math.round(1e6 / dim)).as("w_u"))
+    var lastL1: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val y = cov
+        .join(broadcast(w.select(col("i").as("j"), col("w_u"))), "j")
+        .withColumn("t", round(col("m").cast("double") / col("n_rows") /
+          col("n_rows") / lit(1e12) *
+          (col("w_u").cast("double") / lit(1e6)) * lit(1e9)).cast("long"))
+        .groupBy("i").agg(sum("t").as("y"))
+      lastL1 = y.agg(sum(abs(col("y"))).cast("long").as("l1"))
+      w = y.crossJoin(broadcast(lastL1))
+        .select(col("i"), round(col("y").cast("double") * lit(1e6) /
+          col("l1")).cast("long").as("w_u"))
+    }
+    w.crossJoin(broadcast(nFrame)).crossJoin(broadcast(lastL1))
+      .select(col("i").as("dim"), col("n_rows"),
+        (col("w_u").cast("double") / 1e6).as("loading"),
+        (col("l1").cast("double") / 1e9).as("lambda_l1"))
+      .orderBy("dim")
+  }
+
   /** Discount weights for NDCG, in 1e-9 integer units:
     * w_d = round(1e9 / log2(d+1)). Computed ONCE driver-side and
     * injected into both the Spark plan and any SQL replay as the

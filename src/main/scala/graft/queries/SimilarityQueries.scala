@@ -1030,6 +1030,61 @@ object SimilarityQueries {
          |) ORDER BY round""".stripMargin) { (s, dir) =>
       val edges = Similarity.mutualKnnEdges(emb(s, dir), k = 5, sampleMod = 5)
       graft.ext.Graph.kcorePeel(edges, k = 2, rounds = 2)
+    },
+
+    // ——— top principal component by power iteration: scatter matrix
+    //     in the centering-free exact-integer form n·C = n·G − s·sᵀ
+    //     (micro-quantized components; G's upper triangle generated
+    //     map-side, ONE data pass), then two replayable power-method
+    //     rounds — per-entry terms micro-quantized BIGINTs, exact L1
+    //     normalization, uniform all-positive start pinning the
+    //     sign. The anisotropy / "one direction eats the space"
+    //     embedding health check. ———
+    Q("q238_pca_power",
+      """WITH ex AS (
+        |  SELECT e.vec_id AS id, CAST(t.i AS BIGINT) AS i,
+        |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS v
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+        |), g AS (
+        |  SELECT a.i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS g
+        |  FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2
+        |), s AS (
+        |  SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM ex GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        |), cov AS (
+        |  SELECT g.i, g.j, nn.n, nn.n * g.g - si.s * sj.s AS m
+        |  FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i, nn
+        |), w0 AS (
+        |  SELECT CAST(t.i AS BIGINT) AS i, CAST(15625 AS BIGINT) AS w
+        |  FROM range(1, 65) t(i)
+        |), y1 AS (
+        |  SELECT cov.i, CAST(SUM(CAST(round(CAST(cov.m AS DOUBLE) / cov.n
+        |    / cov.n / 1e12 * (CAST(w0.w AS DOUBLE) / 1e6) * 1e9)
+        |    AS BIGINT)) AS BIGINT) AS y
+        |  FROM cov JOIN w0 ON cov.j = w0.i GROUP BY 1
+        |), la AS (SELECT CAST(SUM(abs(y)) AS BIGINT) AS l1 FROM y1),
+        |w1 AS (
+        |  SELECT y1.i, CAST(round(CAST(y1.y AS DOUBLE) * 1e6 / la.l1)
+        |    AS BIGINT) AS w
+        |  FROM y1, la
+        |), y2 AS (
+        |  SELECT cov.i, CAST(SUM(CAST(round(CAST(cov.m AS DOUBLE) / cov.n
+        |    / cov.n / 1e12 * (CAST(w1.w AS DOUBLE) / 1e6) * 1e9)
+        |    AS BIGINT)) AS BIGINT) AS y
+        |  FROM cov JOIN w1 ON cov.j = w1.i GROUP BY 1
+        |), lb AS (SELECT CAST(SUM(abs(y)) AS BIGINT) AS l1 FROM y2),
+        |w2 AS (
+        |  SELECT y2.i, CAST(round(CAST(y2.y AS DOUBLE) * 1e6 / lb.l1)
+        |    AS BIGINT) AS w
+        |  FROM y2, lb
+        |)
+        |SELECT w2.i AS dim, nn.n AS n_rows,
+        |  CAST(w2.w AS DOUBLE) / 1e6 AS loading,
+        |  CAST(lb.l1 AS DOUBLE) / 1e9 AS lambda_l1
+        |FROM w2, nn, lb ORDER BY dim""".stripMargin) { (s, dir) =>
+      Similarity.pcaTopComponent(emb(s, dir), dim = 64, iterations = 2)
     }
   )
 

@@ -476,4 +476,39 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.dimensionStats(df.repartition(7)).collect().toSeq
     assert(a === b)
   }
+
+  test("pcaTopComponent: planted dominant axis recovered with positive sign") {
+    // variance lives almost entirely on dim 1 (values ±2), with tiny
+    // noise on dim 3 — the top component must load ≈±1 on dim 1 and
+    // ≈0 elsewhere; the all-positive start pins the sign convention
+    val rng = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      val main = if (i % 2 == 0) 2.0f else -2.0f
+      val noise = (rng.nextFloat() - 0.5f) * 0.01f
+      (i.toLong, Array.tabulate(4)(d =>
+        if (d == 0) main else if (d == 2) noise else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(df, dim = 4, iterations = 2)
+      .collect().map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(out.size === 4)
+    val loadings = (1L to 4L).map(d => out(d).getAs[Double]("loading"))
+    // L1-normalized: |loadings| sum to 1 within micro quantization
+    assert(math.abs(loadings.map(math.abs).sum - 1.0) < 1e-5)
+    assert(math.abs(loadings.head) > 0.99, s"dim1 loading ${loadings.head}")
+    assert(loadings.tail.forall(l => math.abs(l) < 0.01))
+    // lambda proxy ≈ variance of the dominant axis (4.0) under the
+    // near-one-hot loading
+    val lam = out(1L).getAs[Double]("lambda_l1")
+    assert(lam > 3.5 && lam < 4.5, s"lambda_l1 $lam")
+  }
+
+  test("pcaTopComponent: bit-identical under repartitioning") {
+    val df = (1L to 300L).map(i =>
+        (i, Array.tabulate(4)(d => ((i * (d + 3)) % 17).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pcaTopComponent(df, dim = 4).collect().toSeq
+    val b = Similarity.pcaTopComponent(df.repartition(7), dim = 4)
+      .collect().toSeq
+    assert(a === b)
+  }
 }
