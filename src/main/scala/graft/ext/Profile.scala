@@ -1307,14 +1307,18 @@ object Profile {
     require(nBuckets >= 1, s"shuffleSkewAudit: nBuckets >= 1, got $nBuckets")
     val kc = df.select(col(keyCol).cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))
+    // the bucket rollup carries the per-bucket key count and max key
+    // so the top-key stats fold through the SAME chain — one branch,
+    // two exchanges, the key-count shuffle never re-runs
     val bk = kc.withColumn("bucket",
         conv(substring(md5(col("k")), 1, 7), 16, 10).cast("long") % nBuckets)
-      .groupBy("bucket").agg(sum("n").as("bn"))
+      .groupBy("bucket").agg(sum("n").as("bn"), max("n").as("mk"),
+        count(lit(1)).as("nk"))
     val t = bk.agg(sum("bn").cast("long").as("n_rows"),
-      count(lit(1)).as("buckets_used"), max("bn").cast("long").as("mx"))
-    val tk = kc.agg(max("n").cast("long").as("top_key_rows"),
-      count(lit(1)).as("n_keys"))
-    t.crossJoin(tk).select(
+      count(lit(1)).as("buckets_used"), max("bn").cast("long").as("mx"),
+      max("mk").cast("long").as("top_key_rows"),
+      sum("nk").cast("long").as("n_keys"))
+    t.select(
       lit(label).as("key_label"), col("n_rows"), col("n_keys"),
       col("buckets_used"), col("mx").as("max_bucket_rows"),
       (round(col("mx") * nBuckets * lit(1e6) / col("n_rows")).cast("long")

@@ -359,6 +359,68 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("fd audit plan: join-free per candidate FD, aggregations only") {
+    val c = Tables.load(spark, sf001, "customer")
+    val plan = graft.ext.Profile.fdAudit(c, Seq(
+        ("a", Seq("c_custkey"), "c_nationkey"),
+        ("b", Seq("c_mktsegment"), "c_nationkey")))
+      .queryExecution.executedPlan.toString
+    // per FD: (lhs, rhs) counts → lhs rollup → single-row agg; a join
+    // anywhere means the violating-group math left the aggregate path
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("changepoint plan: join-free, windows over the daily dictionary") {
+    val events = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Profile
+      .changepointDaily(events, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    // raw rows collapse to (group, day) in ONE aggregation; every
+    // window after runs on that dictionary, partitioned per group
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges:\n$plan")
+  }
+
+  test("link prediction plan: equi-joins only, top-k via TakeOrdered") {
+    import spark.implicits._
+    val edges = (0 until 300).map(i => (s"n${i % 25}", s"n${(i * 7 + 3) % 23}"))
+      .toDF("src", "dst")
+    val plan = graft.ext.Graph.linkPrediction(edges)
+      .queryExecution.executedPlan.toString
+    // the wedge join keys on the center node and the anti-join on the
+    // canonical pair — a cartesian/NLJ here would be the n² pair space
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k, not a global sort:\n$plan")
+  }
+
+  test("shuffle-skew audit plan: join-free, two hash aggregations") {
+    val plan = graft.ext.Profile.shuffleSkewAudit(li, "l_orderkey", "t")
+      .queryExecution.executedPlan.toString
+    // key counts (the only data-sized shuffle) → bucket rollup
+    // carrying the top-key stats → single-row agg: ONE chain, no
+    // join, the key shuffle never re-runs for a second branch
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges:\n$plan")
+  }
+
+  test("pca power plan: no cartesian; iteration joins all broadcast") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i =>
+        (i, Array.tabulate(4)(d => ((i * (d + 3)) % 17).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.ext.Similarity.pcaTopComponent(df, dim = 4)
+      .queryExecution.executedPlan.toString
+    // the data-sized pass is generate + partial-agg (checkpointed
+    // away); everything visible here is d-row frames riding
+    // broadcasts — a SortMergeJoin means a dictionary frame shuffled
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
