@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means (Lloyd's) over an embedding column — the
@@ -130,5 +130,51 @@ object Clustering {
     // here would force the two final-pass branches to rescan the
     // source); Spark evicts it LRU afterwards.
     out
+  }
+
+  /** Rank-1 alternating least squares over an implicit (user, item,
+    * weight) matrix — the one-factor collaborative signal ("latent
+    * item quality weighted by heavy users") and the deterministic
+    * seed of a matrix-factorization pipeline (public ALS literature;
+    * closed-form per side at rank 1, so NO linear solver is needed:
+    * u_c = Σ_b r·v / Σ_b v², then v_b = Σ_c r·u / Σ_c u², both over
+    * OBSERVED entries only). One full alternation from v₀ ≡ 1:
+    *
+    *   1. u-step: with v₀ constant the solve is the per-user mean
+    *      weight, rounded to an exact BIGINT.
+    *   2. u normalizes to MILLI units by the global max (bounds the
+    *      v-step's Σ r·u products inside BIGINT at 100 TB user
+    *      counts — the quantization that makes the sums order-free).
+    *   3. v-step: exact integer numerator/denominator sums, one
+    *      fixed double division, rounded to BIGINT.
+    *   4. v reports micro-normalized by its max (exact BIGINT / 1e6,
+    *      no decimal rounding boundary).
+    *
+    * Scale: the ratings aggregation is the only data-sized shuffle;
+    * u/v frames are user-/item-dictionary-sized, the user factor
+    * joins back by broadcast, and each step is one hash aggregation.
+    */
+  def alsRankOne(ratings: DataFrame, userCol: String, itemCol: String,
+                 cents: Column): DataFrame = {
+    val r = ratings.groupBy(col(userCol).as("c"), col(itemCol).as("b"))
+      .agg(sum(cents).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u0 = r.groupBy("c").agg(
+      round(sum("r").cast("double") / count(lit(1))).cast("long").as("u"))
+    val um = u0.agg(max(abs(col("u"))).cast("long").as("m"))
+    val un = u0.crossJoin(broadcast(um))
+      .select(col("c"),
+        round(col("u").cast("double") * lit(1e3) / col("m")).cast("long")
+          .as("un"))
+    val v1 = r.join(broadcast(un), "c")
+      .groupBy("b").agg(count(lit(1)).as("n_users"),
+        round(sum(col("r") * col("un")).cast("double") * lit(1e3) /
+          sum(col("un") * col("un")).cast("double")).cast("long").as("v"))
+    val vm = v1.agg(max(abs(col("v"))).cast("long").as("m"))
+    v1.crossJoin(broadcast(vm))
+      .select(col("b"), col("n_users"),
+        (round(col("v").cast("double") * lit(1e6) / col("m")).cast("long")
+          .cast("double") / 1e6).as("v_score"))
+      .orderBy(col("v_score").desc, col("b"))
   }
 }

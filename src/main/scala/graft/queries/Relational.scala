@@ -3435,6 +3435,48 @@ object Relational {
         modeCols = Seq(("p_brand", "brand"), ("p_type", "ptype")),
         maxCols = Seq(("p_retailprice", "max_retailprice"),
           ("p_size", "max_size")))
+    },
+
+    // ——— rank-1 ALS on the customer×brand spend matrix: closed-form
+    //     per side (no solver at rank 1), one alternation from
+    //     v₀ ≡ 1 — u = per-customer mean cents, milli-normalized by
+    //     the global max (keeps Σ r·u inside BIGINT at any user
+    //     count), then the exact-integer v-step; brands report the
+    //     micro-normalized latent score. ———
+    Q("q239_als_rank1",
+      """WITH r AS (
+        |  SELECT o.o_custkey AS c, p.p_brand AS b,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1, 2
+        |), u0 AS (
+        |  SELECT c, CAST(round(CAST(SUM(r) AS DOUBLE) / COUNT(*))
+        |    AS BIGINT) AS u
+        |  FROM r GROUP BY 1
+        |), um AS (SELECT CAST(MAX(abs(u)) AS BIGINT) AS m FROM u0),
+        |un AS (
+        |  SELECT c, CAST(round(CAST(u0.u AS DOUBLE) * 1e3 / um.m)
+        |    AS BIGINT) AS un
+        |  FROM u0, um
+        |), v1 AS (
+        |  SELECT r.b, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(round(CAST(SUM(r.r * un.un) AS DOUBLE) * 1e3 /
+        |      CAST(SUM(un.un * un.un) AS DOUBLE)) AS BIGINT) AS v
+        |  FROM r JOIN un ON r.c = un.c GROUP BY 1
+        |), vm AS (SELECT CAST(MAX(abs(v)) AS BIGINT) AS m FROM v1)
+        |SELECT v1.b, v1.n_users,
+        |  CAST(CAST(round(CAST(v1.v AS DOUBLE) * 1e6 / vm.m) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS v_score
+        |FROM v1, vm ORDER BY v_score DESC, v1.b""".stripMargin) { (s, dir) =>
+      val ratings = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+      graft.ext.Clustering.alsRankOne(ratings, "o_custkey", "p_brand",
+        round(col("l_extendedprice") * 100).cast("long"))
     }
   )
 

@@ -63,4 +63,40 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"kmeans assignment must not sort-merge join:\n$plan")
   }
+
+  test("alsRankOne: dominant item wins; uniform matrix degenerates to ties") {
+    import spark.implicits._
+    // 3 users × {A, B}: every user spends 10× more on A → A's latent
+    // score is the max (1.0) and B's is ~0.1
+    val rows = Seq(
+      ("u1", "A", 1000L), ("u1", "B", 100L),
+      ("u2", "A", 2000L), ("u2", "B", 200L),
+      ("u3", "A", 4000L), ("u3", "B", 400L))
+    val out = Clustering.alsRankOne(rows.toDF("u", "i", "cents"),
+        "u", "i", col("cents")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("A")._1 === 3L && out("B")._1 === 3L)
+    assert(out("A")._2 === 1.0)
+    assert(math.abs(out("B")._2 - 0.1) < 1e-3, s"B score ${out("B")._2}")
+
+    // perfectly uniform matrix: all items tie at 1.0
+    val uni = (for { u <- 1 to 4; i <- Seq("X", "Y", "Z") }
+      yield (s"u$u", i, 500L)).toDF("u", "i", "cents")
+    val all = Clustering.alsRankOne(uni, "u", "i", col("cents")).collect()
+    assert(all.map(_.getDouble(2)).toSet === Set(1.0))
+    // deterministic tie order: score desc then item asc
+    assert(all.map(_.getString(0)).toSeq === Seq("X", "Y", "Z"))
+  }
+
+  test("alsRankOne: bit-identical under repartitioning") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i =>
+      (s"u${i % 23}", s"i${i % 7}", (i * 37 % 991).toLong + 1))
+    val df = rows.toDF("u", "i", "cents")
+    val a = Clustering.alsRankOne(df, "u", "i", col("cents"))
+      .collect().toSeq
+    val b = Clustering.alsRankOne(df.repartition(11), "u", "i", col("cents"))
+      .collect().toSeq
+    assert(a === b)
+  }
 }
