@@ -101,4 +101,59 @@ object Sketches {
     base.select(col(groupCol) +: exactCols :+ col("n_docs") :+
       inBounds.as("approx_in_rank_bounds"): _*)
   }
+
+  /** K-minimum-values (bottom-k) overlap sketch between source
+    * vocabularies — the MERGEABLE way to estimate cross-source
+    * Jaccard at corpus scale (public KMV/bottom-k literature). Each
+    * source keeps only its k tokens with the SMALLEST md5 hash (a
+    * deterministic, engine-portable order — ties broken by the token
+    * itself); for a pair (a, b) the k smallest of the sketch UNION
+    * is a valid bottom-k sketch of A∪B, and the fraction of those
+    * union-sketch members present in BOTH sides estimates J(A, B).
+    * When a pair's union fits inside k the estimate is EXACT —
+    * pinned as a law.
+    *
+    * Scale: the full-vocab exact overlap (q103) shuffles every
+    * (source, token) pair twice; here the per-source sketch is one
+    * window rank over the (source, token) dictionary, and ALL pair
+    * work happens on 20·k-row sketches — the estimator's cost is
+    * independent of vocabulary size, which is the entire point.
+    * Everything after the sketch build is dictionary-sized.
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = 64,
+                 sourceCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"kmvOverlap: k >= 1, got $k")
+    val v = docs.select(col(sourceCol).as("src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+    val wSrc = Window.partitionBy("src").orderBy(md5(col("tok")), col("tok"))
+    val sk = v.withColumn("rk", row_number().over(wSrc))
+      .where(col("rk") <= k)
+      .select(col("src"), col("tok"), md5(col("tok")).as("h"))
+      .localCheckpoint()
+    val srcs = sk.select("src").distinct()
+    val pairs = srcs.toDF("sa").join(srcs.toDF("sb"), col("sa") < col("sb"))
+    val aSide = pairs.join(sk.toDF("sa", "tok", "h"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("tok"), col("h"), lit(1).as("in_a"),
+        lit(0).as("in_b"))
+    val bSide = pairs.join(sk.toDF("sb", "tok", "h"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("tok"), col("h"), lit(0).as("in_a"),
+        lit(1).as("in_b"))
+    val uni = aSide.union(bSide)
+      .groupBy("sa", "sb", "tok", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wPair = Window.partitionBy("sa", "sb").orderBy(col("h"), col("tok"))
+    val cut = uni.withColumn("urk", row_number().over(wPair))
+      .where(col("urk") <= k)
+    cut.groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_sketch"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("n_both"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_sketch"), col("n_both"),
+        (round(col("n_both") * lit(1e6) / col("n_sketch")).cast("long")
+          .cast("double") / 1e6).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -2354,6 +2354,49 @@ object TextQueries {
       (s, dir) =>
       TextStats.dsirWeights(docs(s, dir), targetSource = "src0")
         .orderBy(col("importance").desc, col("doc_id")).limit(50)
+    },
+
+    // ——— K-minimum-values overlap sketch: each source keeps its 64
+    //     smallest-md5 vocabulary tokens; a pair's union bottom-64
+    //     is a valid sketch of A∪B, and its both-sides fraction
+    //     estimates Jaccard — all pair work on fixed-size sketches,
+    //     independent of vocabulary size (exact when the union fits
+    //     in k, pinned as a law vs q103's full computation). ———
+    Q("q240_kmv_overlap",
+      """WITH v AS (
+        |  SELECT DISTINCT source AS src,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), v2 AS (SELECT src, tok FROM v WHERE tok <> ''),
+        |sk AS (
+        |  SELECT src, tok, md5(tok) AS h FROM (
+        |    SELECT src, tok, row_number() OVER (PARTITION BY src
+        |      ORDER BY md5(tok), tok) AS rk
+        |    FROM v2)
+        |  WHERE rk <= 64
+        |), srcs AS (SELECT DISTINCT src FROM sk),
+        |pairs AS (
+        |  SELECT a.src AS sa, b.src AS sb
+        |  FROM srcs a JOIN srcs b ON a.src < b.src
+        |), u AS (
+        |  SELECT p.sa, p.sb, s.tok, s.h,
+        |    MAX(CASE WHEN s.src = p.sa THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN s.src = p.sb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.src = p.sa OR s.src = p.sb
+        |  GROUP BY 1, 2, 3, 4
+        |), cut AS (
+        |  SELECT * FROM (
+        |    SELECT u.*, row_number() OVER (PARTITION BY sa, sb
+        |      ORDER BY h, tok) AS urk FROM u)
+        |  WHERE urk <= 64
+        |)
+        |SELECT sa AS src_a, sb AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        |  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+        |  CAST(CAST(round(SUM(in_a * in_b) * 1e6 / COUNT(*)) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS est_jaccard
+        |FROM cut GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.ext.Sketches.kmvOverlap(docs(s, dir), k = 64)
     }
   )
 }

@@ -59,4 +59,47 @@ class SketchesSpec extends SparkSpec {
     assert(q.nonEmpty)
     q.foreach(r => assert(r.getAs[Boolean]("approx_in_rank_bounds"), r.toString))
   }
+
+  test("kmvOverlap: EXACT Jaccard when the pair union fits inside k") {
+    import spark.implicits._
+    // A = {a..f} (6), B = {d..i} (6), shared {d,e,f} → J = 3/9
+    val docs = Seq(
+      ("sA", "a b c d e f"),
+      ("sB", "d e f g h i")
+    ).toDF("source", "text")
+    val out = Sketches.kmvOverlap(docs, k = 64).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("sA", "sB")))
+    assert(r.getAs[Long]("n_sketch") === 9L)
+    assert(r.getAs[Long]("n_both") === 3L)
+    assert(r.getAs[Double]("est_jaccard") === 0.333333)
+  }
+
+  test("kmvOverlap: estimate within KMV error bounds on a large planted overlap") {
+    import spark.implicits._
+    // 2000-token vocabularies with exactly 1000 shared → J = 1/3
+    val shared = (0 until 1000).map(i => s"sh$i")
+    val onlyA = (0 until 1000).map(i => s"av$i")
+    val onlyB = (0 until 1000).map(i => s"bv$i")
+    val docs = Seq(
+      ("sA", (shared ++ onlyA).mkString(" ")),
+      ("sB", (shared ++ onlyB).mkString(" "))
+    ).toDF("source", "text")
+    val r = Sketches.kmvOverlap(docs, k = 256).collect().head
+    assert(r.getAs[Long]("n_sketch") === 256L)
+    val est = r.getAs[Double]("est_jaccard")
+    // std error ≈ sqrt(J(1−J)/k) ≈ 0.029; allow 4σ
+    assert(math.abs(est - 1.0 / 3) < 0.12, s"est $est vs 0.333")
+  }
+
+  test("kmvOverlap: deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+      (s"s${i % 4}", (0 until 50).map(j => s"t${(i * j) % 431}").mkString(" ")))
+      .toDF("source", "text")
+    val a = Sketches.kmvOverlap(docs, k = 32).collect().toSeq
+    val b = Sketches.kmvOverlap(docs.repartition(7), k = 32).collect().toSeq
+    assert(a === b)
+  }
 }
