@@ -412,6 +412,55 @@ object Corpus {
     df.withColumn("split", splitCol)
   }
 
+  /** Leakage-safe train/val/test split: the coin flips on the
+    * content FINGERPRINT (md5 of whitespace-normalized text — q34's
+    * exact-dup key), not the doc id, so every copy of a duplicated
+    * document lands on the SAME side — the split-level fix for
+    * eval contamination by exact dups (the SemDeDup/decontamination
+    * literature's first rule). Emits the per-split audit:
+    *
+    *   - `n_docs`, `n_clusters` (distinct fingerprints), and
+    *     `n_dup_docs` (members of multi-copy clusters) per split
+    *   - `leaked_clusters`: fingerprints straddling splits — ZERO by
+    *     construction, the pinned invariant
+    *   - `id_coin_leaked`: the counterfactual — how many clusters
+    *     the q123 doc-id coin WOULD have split across sides; the
+    *     number this operator exists to zero out
+    *
+    * Scale: fingerprint + both coins are map-only expressions
+    * ([[hashSplit]]'s incremental-shard property is preserved — any
+    * shard splits independently); the audit is one fingerprint-keyed
+    * aggregation + one split rollup, both dictionary-bound.
+    */
+  def leakageSafeSplit(docs: DataFrame,
+                       splits: Seq[(String, Double)] =
+                         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val withFp = docs.withColumn("fp",
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    val s1 = hashSplit(withFp, splits, "fp")
+      .withColumnRenamed("split", "fp_split")
+    val cl = hashSplit(s1, splits, idCol)
+      .select(col(idCol), col("fp"), col("fp_split").as("split"),
+        col("split").as("id_split"))
+    val g = cl.groupBy("fp").agg(count(lit(1)).as("nc"),
+      countDistinct("split").as("ns"), countDistinct("id_split").as("nis"))
+    val leak = g.agg(
+      sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("long")
+        .as("leaked_clusters"),
+      sum(when(col("nis") > 1, 1L).otherwise(0L)).cast("long")
+        .as("id_coin_leaked"))
+    cl.join(g.select(col("fp"), col("nc")), "fp")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_clusters"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_docs"))
+      .crossJoin(broadcast(leak))
+      .orderBy("split")
+  }
+
   /** Deterministic per-epoch training order — the "shuffle the
     * corpus differently every epoch" primitive, RNG-free so any
     * worker can recompute any shard's order: the epoch-e order key

@@ -829,6 +829,52 @@ object CorpusQueries {
       graft.ext.Corpus.epochShuffle(docs(s, dir), nEpochs = 2)
         .where(col("rank") <= 10)
         .orderBy("epoch", "rank")
+    },
+
+    // ——— leakage-safe split: the train/val/test coin flips on the
+    //     CONTENT fingerprint (q34's exact-dup key), so duplicate
+    //     copies can never straddle splits — leaked_clusters is 0 by
+    //     construction, and id_coin_leaked reports how many clusters
+    //     the q123 doc-id coin WOULD have leaked. Map-only coins,
+    //     shard-incremental; the audit is dictionary-bound. ———
+    Q("q241_leakage_safe_split",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), cl AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN cf < 0.8 THEN 'train'
+        |         WHEN cf < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN ci < 0.8 THEN 'train'
+        |         WHEN ci < 0.9 THEN 'val' ELSE 'test' END AS id_split
+        |  FROM (
+        |    SELECT doc_id, fp,
+        |      CAST(CAST(concat('0x', substring(md5(fp), 1, 15)) AS BIGINT)
+        |        AS DOUBLE) / 1152921504606846976.0 AS cf,
+        |      CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS ci
+        |    FROM d)
+        |), g AS (
+        |  SELECT fp, COUNT(*) AS nc, COUNT(DISTINCT split) AS ns,
+        |    COUNT(DISTINCT id_split) AS nis
+        |  FROM cl GROUP BY 1
+        |), leak AS (
+        |  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS leaked_clusters,
+        |    CAST(SUM(CASE WHEN nis > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS id_coin_leaked
+        |  FROM g
+        |)
+        |SELECT cl.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT cl.fp) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(CASE WHEN g.nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  leak.leaked_clusters, leak.id_coin_leaked
+        |FROM cl JOIN g USING (fp), leak
+        |GROUP BY 1, leak.leaked_clusters, leak.id_coin_leaked
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Corpus.leakageSafeSplit(docs(s, dir))
     }
   )
 }

@@ -512,4 +512,38 @@ class CorpusSpec extends SparkSpec {
       .orderBy("epoch", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("leakageSafeSplit: dup clusters never straddle; doc counts conserved") {
+    import spark.implicits._
+    // 40 distinct texts, each duplicated under 3 different doc_ids
+    // (whitespace variants normalize to the same fingerprint)
+    val rows = (0 until 40).flatMap { i =>
+      val base = s"alpha beta text body $i"
+      Seq((i * 3L, base), (i * 3L + 1, base.replace(" ", "  ")),
+        (i * 3L + 2, base.replace(" ", "\t")))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val out = Corpus.leakageSafeSplit(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 120L)
+    assert(out.map(_.getAs[Long]("n_clusters")).sum === 40L)
+    // the invariant this operator exists for
+    out.foreach(r => assert(r.getAs[Long]("leaked_clusters") === 0L))
+    // every doc sits in a 3-copy cluster
+    assert(out.map(_.getAs[Long]("n_dup_docs")).sum === 120L)
+    // the doc-id coin would have split most 3-copy clusters
+    assert(out.head.getAs[Long]("id_coin_leaked") > 0L)
+  }
+
+  test("leakageSafeSplit: no dups → both coins leak nothing, all clusters singleton") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong, s"unique doc $i payload"))
+      .toDF("doc_id", "text")
+    val out = Corpus.leakageSafeSplit(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 60L)
+    assert(out.map(_.getAs[Long]("n_dup_docs")).sum === 0L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("leaked_clusters") === 0L)
+      assert(r.getAs[Long]("id_coin_leaked") === 0L)
+    }
+  }
 }
