@@ -1328,6 +1328,46 @@ object Profile {
         .cast("double") / 1e6).as("top_key_share"))
   }
 
+  /** Join-size pre-flight: the EXACT output cardinality of an
+    * equi-join computed from the two key dictionaries — Σ_k n_a(k)·
+    * n_b(k) — without running the join. The companion to
+    * [[shuffleSkewAudit]]: skew tells you a key will straggle,
+    * this tells you a join will EXPLODE (amplification ≫ 1 means
+    * the "join then filter" plan someone wrote multiplies rows
+    * before it reduces them). Also surfaces the single hottest key
+    * pair (ties to the larger key string — `max(struct)` order,
+    * replayed as ORDER BY p DESC, k DESC).
+    *
+    * Scale: one key-grouped count per side (map-combinable), a
+    * dictionary⋈dictionary join on the key, one single-row rollup —
+    * the estimator's cost is the dictionaries', never the join's
+    * (that asymmetry is the point: you buy the answer for the price
+    * of two GROUP BYs). Amplification is a micro-quantized BIGINT
+    * over greatest(|A|, |B|).
+    */
+  def joinSizeAudit(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    label: String): DataFrame = {
+    val la = left.select(col(leftKey).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("na"))
+    val ra = right.select(col(rightKey).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("nb"))
+    val m = la.join(ra, "k")
+      .select(col("k"), (col("na") * col("nb")).as("p"))
+    val tot = m.agg(count(lit(1)).as("n_keys_matched"),
+      coalesce(sum("p"), lit(0L)).cast("long").as("out_rows"),
+      max(struct(col("p"), col("k"))).as("top"))
+    val sizes = left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+    tot.crossJoin(sizes).select(
+      lit(label).as("join_label"), col("n_left"), col("n_right"),
+      col("n_keys_matched"), col("out_rows"),
+      (round(col("out_rows") * lit(1e6) /
+        greatest(col("n_left"), col("n_right"))).cast("long")
+        .cast("double") / 1e6).as("amplification"),
+      col("top.k").as("top_key"), col("top.p").as("top_key_rows"))
+  }
+
   /** Functional-dependency audit — the "which columns determine
     * which" half of catalog profiling that `profileTable`'s
     * per-column stats can't see. For each candidate FD `lhs → rhs`,

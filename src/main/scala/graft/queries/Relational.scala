@@ -3477,6 +3477,93 @@ object Relational {
           col("p_partkey") === col("l_partkey"))
       graft.ext.Clustering.alsRankOne(ratings, "o_custkey", "p_brand",
         round(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // ——— join-size pre-flight: the EXACT equi-join output
+    //     cardinality Σ n_a(k)·n_b(k) from the two key dictionaries
+    //     — never running the join — plus the hottest key pair and
+    //     the amplification factor vs the larger input. The "will
+    //     this join explode" companion to q236's skew audit. ———
+    Q("q242_join_explosion",
+      """WITH j1 AS (
+        |  SELECT 'orders*lineitem@orderkey' AS join_label,
+        |    sz.n_left, sz.n_right, t.n_keys_matched, t.out_rows,
+        |    CAST(CAST(round(t.out_rows * 1e6 /
+        |      greatest(sz.n_left, sz.n_right)) AS BIGINT) AS DOUBLE) / 1e6
+        |      AS amplification,
+        |    t.top_key, t.top_key_rows
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+        |      CAST(SUM(p) AS BIGINT) AS out_rows,
+        |      MAX(CASE WHEN rk = 1 THEN k END) AS top_key,
+        |      CAST(MAX(CASE WHEN rk = 1 THEN p END) AS BIGINT)
+        |        AS top_key_rows
+        |    FROM (
+        |      SELECT k, p, row_number() OVER (ORDER BY p DESC, k DESC) AS rk
+        |      FROM (
+        |        SELECT a.k, a.na * b.nb AS p
+        |        FROM (SELECT CAST(o_orderkey AS VARCHAR) k, COUNT(*) na
+        |              FROM orders GROUP BY 1) a
+        |        JOIN (SELECT CAST(l_orderkey AS VARCHAR) k, COUNT(*) nb
+        |              FROM lineitem GROUP BY 1) b ON a.k = b.k))) t,
+        |    (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) n_left,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) n_right) sz
+        |), j2 AS (
+        |  SELECT 'part*lineitem@partkey' AS join_label,
+        |    sz.n_left, sz.n_right, t.n_keys_matched, t.out_rows,
+        |    CAST(CAST(round(t.out_rows * 1e6 /
+        |      greatest(sz.n_left, sz.n_right)) AS BIGINT) AS DOUBLE) / 1e6,
+        |    t.top_key, t.top_key_rows
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+        |      CAST(SUM(p) AS BIGINT) AS out_rows,
+        |      MAX(CASE WHEN rk = 1 THEN k END) AS top_key,
+        |      CAST(MAX(CASE WHEN rk = 1 THEN p END) AS BIGINT)
+        |        AS top_key_rows
+        |    FROM (
+        |      SELECT k, p, row_number() OVER (ORDER BY p DESC, k DESC) AS rk
+        |      FROM (
+        |        SELECT a.k, a.na * b.nb AS p
+        |        FROM (SELECT CAST(p_partkey AS VARCHAR) k, COUNT(*) na
+        |              FROM part GROUP BY 1) a
+        |        JOIN (SELECT CAST(l_partkey AS VARCHAR) k, COUNT(*) nb
+        |              FROM lineitem GROUP BY 1) b ON a.k = b.k))) t,
+        |    (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM part) n_left,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) n_right) sz
+        |), j3 AS (
+        |  SELECT 'customer*orders@custkey' AS join_label,
+        |    sz.n_left, sz.n_right, t.n_keys_matched, t.out_rows,
+        |    CAST(CAST(round(t.out_rows * 1e6 /
+        |      greatest(sz.n_left, sz.n_right)) AS BIGINT) AS DOUBLE) / 1e6,
+        |    t.top_key, t.top_key_rows
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+        |      CAST(SUM(p) AS BIGINT) AS out_rows,
+        |      MAX(CASE WHEN rk = 1 THEN k END) AS top_key,
+        |      CAST(MAX(CASE WHEN rk = 1 THEN p END) AS BIGINT)
+        |        AS top_key_rows
+        |    FROM (
+        |      SELECT k, p, row_number() OVER (ORDER BY p DESC, k DESC) AS rk
+        |      FROM (
+        |        SELECT a.k, a.na * b.nb AS p
+        |        FROM (SELECT CAST(c_custkey AS VARCHAR) k, COUNT(*) na
+        |              FROM customer GROUP BY 1) a
+        |        JOIN (SELECT CAST(o_custkey AS VARCHAR) k, COUNT(*) nb
+        |              FROM orders GROUP BY 1) b ON a.k = b.k))) t,
+        |    (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) n_left,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) n_right) sz
+        |)
+        |SELECT * FROM j1 UNION ALL SELECT * FROM j2
+        |UNION ALL SELECT * FROM j3
+        |ORDER BY join_label""".stripMargin) { (s, dir) =>
+      Seq(
+        graft.ext.Profile.joinSizeAudit(t(s, dir, "orders"), "o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey", "orders*lineitem@orderkey"),
+        graft.ext.Profile.joinSizeAudit(t(s, dir, "part"), "p_partkey",
+          t(s, dir, "lineitem"), "l_partkey", "part*lineitem@partkey"),
+        graft.ext.Profile.joinSizeAudit(t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey", "customer*orders@custkey"))
+        .reduce(_ unionByName _).orderBy("join_label")
     }
   )
 

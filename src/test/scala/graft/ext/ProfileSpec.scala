@@ -899,6 +899,31 @@ class ProfileSpec extends SparkSpec {
     assert(out.getAs[Double]("skew_x") < 2.0)
   }
 
+  test("joinSizeAudit: exact product law vs the actually-run join") {
+    val a = Seq("x", "x", "y", "z", "w").toDF("ka")
+    val b = Seq("x", "x", "x", "y", "q").toDF("kb")
+    val r = Profile.joinSizeAudit(a, "ka", b, "kb", "t").collect()(0)
+    assert(r.getAs[Long]("n_left") === 5L)
+    assert(r.getAs[Long]("n_right") === 5L)
+    assert(r.getAs[Long]("n_keys_matched") === 2L) // x, y
+    val actual = a.join(b, col("ka") === col("kb")).count()
+    assert(r.getAs[Long]("out_rows") === actual) // 2·3 + 1·1 = 7
+    assert(r.getAs[Long]("out_rows") === 7L)
+    assert(r.getAs[String]("top_key") === "x")
+    assert(r.getAs[Long]("top_key_rows") === 6L)
+    assert(r.getAs[Double]("amplification") === 1.4) // 7 / 5
+  }
+
+  test("joinSizeAudit: disjoint keys produce zero rows; top key null") {
+    val a = Seq("a").toDF("k1")
+    val b = Seq("b").toDF("k2")
+    val r = Profile.joinSizeAudit(a, "k1", b, "k2", "d").collect()(0)
+    assert(r.getAs[Long]("out_rows") === 0L)
+    assert(r.getAs[Long]("n_keys_matched") === 0L)
+    assert(r.getAs[Double]("amplification") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("top_key")))
+  }
+
   test("fdAudit: empty input yields zero groups and null confidence") {
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
     val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)
