@@ -1328,6 +1328,52 @@ object Profile {
         .cast("double") / 1e6).as("top_key_share"))
   }
 
+  /** Additive seasonal decomposition of the per-group daily count
+    * series — y = trend + seasonal + residual, the STL-shaped
+    * monitoring readout that separates "weekends are slow" from
+    * "something broke on the 14th" (public classical-decomposition
+    * literature; one pass, no iteration):
+    *
+    *   - trend: centered 7-OBSERVED-DAY moving average in micro
+    *     units (edge days without a full window drop — they have no
+    *     defined trend)
+    *   - seasonal: day-of-week mean of the detrended series, with
+    *     dow computed as the pure-integer `(epoch_day + 4) % 7`
+    *     (0 = Sunday; no engine date-function quirks in the plan)
+    *   - residual: the exact BIGINT leftover — the anomaly signal
+    *
+    * All components are micro-quantized BIGINTs divided by 1e6 on
+    * output (no decimal rounding boundary). Scale: the raw scan
+    * collapses to (group, day) in one aggregation; windows partition
+    * per group over calendar-bounded series, and the seasonal join
+    * is a ≤7-rows-per-group broadcast.
+    */
+  def seasonalDecompose(events: DataFrame, groupCol: String,
+                        tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w7 = Window.partitionBy("grp").orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("wn", count(lit(1)).over(w7))
+      .withColumn("t_u", round(sum("y").over(w7).cast("double") * lit(1e6) /
+        lit(7)).cast("long"))
+      .where(col("wn") === 7)
+      .withColumn("d_u", col("y") * lit(1000000L) - col("t_u"))
+      .withColumn("dow", ((col("day") + 4) % 7).cast("long"))
+    val seasonal = trended.groupBy("grp", "dow")
+      .agg(round(sum("d_u").cast("double") / count(lit(1))).cast("long")
+        .as("s_u"))
+    trended.join(broadcast(seasonal), Seq("grp", "dow"))
+      .select(col("grp"), col("day"), col("dow"), col("y"),
+        (col("t_u").cast("double") / 1e6).as("trend"),
+        (col("s_u").cast("double") / 1e6).as("seasonal"),
+        ((col("d_u") - col("s_u")).cast("double") / 1e6).as("residual"))
+      .orderBy("grp", "day")
+  }
+
   /** Join-size pre-flight: the EXACT output cardinality of an
     * equi-join computed from the two key dictionaries — Σ_k n_a(k)·
     * n_b(k) — without running the join. The companion to

@@ -3564,6 +3564,46 @@ object Relational {
         graft.ext.Profile.joinSizeAudit(t(s, dir, "customer"), "c_custkey",
           t(s, dir, "orders"), "o_custkey", "customer*orders@custkey"))
         .reduce(_ unionByName _).orderBy("join_label")
+    },
+
+    // ——— additive seasonal decomposition per event type: trend =
+    //     centered 7-observed-day MA (edges drop), seasonal =
+    //     day-of-week mean of the detrended series with dow as the
+    //     pure-integer (epoch_day + 4) % 7, residual = the exact
+    //     BIGINT leftover — "weekends are slow" separated from
+    //     "something broke on the 14th". ———
+    Q("q243_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT grp, day, y,
+        |    COUNT(*) OVER w AS wn,
+        |    CAST(round(CAST(SUM(y) OVER w AS DOUBLE) * 1e6 / 7)
+        |      AS BIGINT) AS t_u
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), d AS (
+        |  SELECT grp, day, y, t_u, y * 1000000 - t_u AS d_u,
+        |    CAST((day + 4) % 7 AS BIGINT) AS dow
+        |  FROM tr WHERE wn = 7
+        |), s AS (
+        |  SELECT grp, dow,
+        |    CAST(round(CAST(SUM(d_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS s_u
+        |  FROM d GROUP BY 1, 2
+        |)
+        |SELECT d.grp, d.day, d.dow, d.y,
+        |  CAST(d.t_u AS DOUBLE) / 1e6 AS trend,
+        |  CAST(s.s_u AS DOUBLE) / 1e6 AS seasonal,
+        |  CAST(d.d_u - s.s_u AS DOUBLE) / 1e6 AS residual
+        |FROM d JOIN s ON d.grp = s.grp AND d.dow = s.dow
+        |ORDER BY d.grp, d.day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.seasonalDecompose(t(s, dir, "events"),
+        "event_type", "ts")
     }
   )
 

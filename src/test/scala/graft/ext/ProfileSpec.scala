@@ -924,6 +924,40 @@ class ProfileSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("top_key")))
   }
 
+  test("seasonalDecompose: planted weekly rhythm separates from a flat trend") {
+    // 28 days, constant base 10/day with +4 every Sunday-aligned dow 0:
+    // trend (7-day MA) is flat at 10 + 4/7; seasonal absorbs the +4 on
+    // dow 0 and −4/7 elsewhere; residuals are ~0
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    val rows = (0 until 28).flatMap { d =>
+      val dow = (d + 4) % 7
+      val k = if (dow == 0) 14 else 10
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.seasonalDecompose(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    // edge days (first/last 3) drop: 28 − 6 = 22 rows
+    assert(out.length === 22)
+    val expectedTrend = math.round((74.0 / 7) * 1e6) / 1e6
+    out.foreach { r =>
+      assert(r.getAs[Double]("trend") === expectedTrend, r.toString)
+      assert(math.abs(r.getAs[Double]("residual")) < 1e-3, r.toString)
+      val dow = r.getAs[Long]("dow")
+      val s = r.getAs[Double]("seasonal")
+      if (dow == 0L) assert(s > 3.0, r.toString)
+      else assert(s < 0.0 && s > -1.0, r.toString)
+    }
+    // decomposition identity: y = trend + seasonal + residual exactly
+    // (all three are the same micro-integers divided by 1e6)
+    out.foreach { r =>
+      val y = r.getAs[Long]("y").toDouble
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(y - sum) < 1e-9, r.toString)
+    }
+  }
+
   test("fdAudit: empty input yields zero groups and null confidence") {
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
     val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)
