@@ -380,6 +380,76 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Modularity of a GIVEN node partition (Newman–Girvan Q, public
+    * literature: Newman & Girvan 2004) over the undirected simple
+    * graph: Q = Σ_c [ L_c/m − (d_c/(2m))² ] where m is the edge
+    * count, L_c the edges with both endpoints in community c and
+    * d_c the community's degree sum. The labels come from the
+    * caller (an attribute, a label-propagation run, an ER cluster
+    * map) — this operator SCORES a partition, it doesn't find one,
+    * which is exactly the missing half of q215: "are these
+    * communities better than chance?".
+    *
+    * Output: one row per community — (community, n_nodes,
+    * within_edges, degree_sum, dq) with dq the community's exact
+    * contribution to Q as a 1e9-quantized term; Σ dq = Q. Every
+    * input to the final expression is an exact BIGINT, so the
+    * rounded double is engine-reproducible.
+    *
+    * Scale: canonical-pair dedup (one shuffle), a node-dictionary
+    * broadcast of the label map onto both endpoints, then one
+    * community-keyed aggregation — no iteration, no all-pairs
+    * anything. Nodes missing from `labels` fall into their own
+    * singleton community keyed by the node id (isolated-node
+    * convention, stated rather than silent).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 nodeCol: String = "node", labelCol: String = "label",
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("string").as("a"),
+                          col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("u"),
+                        greatest(col("a"), col("b")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+                            col(labelCol).cast("string").as("lab"))
+    val tagged = und
+      .join(broadcast(lab.select(col("node").as("u"), col("lab").as("cu"))),
+        Seq("u"), "left")
+      .join(broadcast(lab.select(col("node").as("v"), col("lab").as("cv"))),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("cu"),
+              coalesce(col("cv"), col("v")).as("cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = tagged.agg(count(lit(1)).as("m"))
+    // degree sum per community = endpoint incidences per community
+    val degc = tagged.select(col("cu").as("community"))
+      .union(tagged.select(col("cv").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val within = tagged.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("within_edges"))
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+      .join(broadcast(lab), Seq("node"), "left")
+      .select(coalesce(col("lab"), col("node")).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    degc.join(within, Seq("community"), "left")
+      .join(nodes, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        col("degree_sum"),
+        ((round(coalesce(col("within_edges"), lit(0L)).cast("double") * 1e9 /
+            col("m")).cast("long") -
+          round(col("degree_sum").cast("double") * col("degree_sum") * 1e9 /
+            (lit(4.0) * col("m") * col("m"))).cast("long")).cast("double") /
+          1e9).as("dq"))
+      .orderBy("community")
+  }
+
   /** Min-hop BFS from a seed set, bounded to `maxHops` frontier
     * expansions. Returns (node, hop) for every reached node. Each
     * hop is ONE join of the (shrinking) frontier against the cached

@@ -1462,4 +1462,604 @@ object Profile {
               6)).as("confidence"))
     }.reduce(_ unionByName _).orderBy("fd")
   }
+
+  /** Autocorrelation function of the daily count series, per group,
+    * at lags 1..`maxLag`: Pearson r between (y_t, y_{t−lag}) pairs
+    * aligned on the ACTUAL day numbers (a missing day yields no
+    * pair — no silent gap-filling). All six sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs, so the final
+    * one-expression r is engine-reproducible; groups/lags whose
+    * variance is zero report NULL rather than a 0/0.
+    *
+    * Scale: one map-combinable daily rollup, then ONE equi-join of
+    * the day dictionary against itself fanned by a `maxLag`-row
+    * broadcast literal (day = day − lag is an equi-key on the join),
+    * then a (group, lag)-keyed aggregation. Everything after the
+    * first rollup is dictionary-sized — days × groups, never rows.
+    */
+  def acfDaily(events: DataFrame, groupCol: String, tsCol: String,
+               maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"acfDaily: maxLag 1..60, got $maxLag")
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val cur = daily.crossJoin(broadcast(lags))
+      .select(col("grp"), col("lag"), col("day"), col("y").as("x"),
+        (col("day") - col("lag")).as("prev_day"))
+    val prev = daily.select(col("grp"), col("day").as("prev_day"),
+      col("y").as("yl"))
+    val pairs = cur.join(prev, Seq("grp", "prev_day"))
+    pairs.groupBy("grp", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("yl").as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"))
+      .select(col("grp"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") * col("sxx") === col("sx") * col("sx"), // zero var
+            lit(null).cast("double"))
+          .when(col("n_pairs") * col("syy") === col("sy") * col("sy"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6)).as("acf"))
+      .orderBy("grp", "lag")
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the sqrt-normalized NMI — the
+    * "which dimension actually explains which" audit that q136's
+    * chi² test ranks but doesn't quantify in bits-like units.
+    * NULL category values count as a regular category (same
+    * convention as GROUP BY).
+    *
+    * Determinism: every ln term is computed from exact BIGINT
+    * counts, quantized to 1e9 units per (x,y) cell and summed as
+    * BIGINTs (the q134 pattern), so cross-engine float drift cannot
+    * accumulate; MI/H/NMI are fixed final expressions over those
+    * sums. Scale: one (x,y) cell rollup (map-combinable) plus two
+    * broadcast-sized marginals joined back onto the cells — the
+    * whole audit moves dictionaries, not rows.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column,
+                        label: String): DataFrame = {
+    val cells = df.select(xCol.cast("string").as("x"),
+        yCol.cast("string").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = cells.groupBy("x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("y").agg(sum("c").as("cy"))
+    val n = cells.agg(sum("c").as("n"))
+    val terms = cells.join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(n))
+    val quant = (c: Column) => round(c * lit(1e9)).cast("long")
+    val joint = terms.agg(
+      max(col("n")).as("n"),
+      sum(quant(col("c").cast("double") / col("n") *
+        log(col("c").cast("double") * col("n") /
+          (col("cx").cast("double") * col("cy"))))).as("mi_u"))
+    val hx = mx.crossJoin(broadcast(n)).agg(
+      count(lit(1)).as("n_x"),
+      sum(quant(col("cx").cast("double") / col("n") * lit(-1.0) *
+        log(col("cx").cast("double") / col("n")))).as("hx_u"))
+    val hy = my.crossJoin(broadcast(n)).agg(
+      count(lit(1)).as("n_y"),
+      sum(quant(col("cy").cast("double") / col("n") * lit(-1.0) *
+        log(col("cy").cast("double") / col("n")))).as("hy_u"))
+    joint.crossJoin(hx).crossJoin(hy).select(
+      lit(label).as("pair"), col("n"), col("n_x"), col("n_y"),
+      (col("mi_u").cast("double") / 1e9).as("mi"),
+      (col("hx_u").cast("double") / 1e9).as("h_x"),
+      (col("hy_u").cast("double") / 1e9).as("h_y"),
+      when(col("hx_u") <= 0L || col("hy_u") <= 0L,
+          lit(null).cast("double"))
+        .otherwise(round(col("mi_u").cast("double") /
+          sqrt(col("hx_u").cast("double") * col("hy_u").cast("double")),
+          6)).as("nmi"))
+  }
+
+  /** Storage-encoding advisor: for each candidate column, the
+    * statistics a lakehouse writer needs to pick a parquet encoding —
+    * exact NDV, null fraction, byte totals of the string rendering,
+    * a dictionary-size estimate (distinct bytes + 4-byte codes), and
+    * the value-run structure under the table's natural key order.
+    * Recommendation: RLE when the mean run length reaches 2 (pure
+    * integer comparison n_rows ≥ 2·n_runs), else DICTIONARY when
+    * NDV ≤ n_rows/10, else PLAIN — the standard heuristics, made
+    * inspectable.
+    *
+    * Runs are counted within KEY-RANGE BUCKETS (`bucket = key div
+    * bucketWidth`): each bucket's rows sort locally in a window
+    * PARTITIONED by bucket, so no global single-reducer sort ever
+    * happens and the count parallelizes across buckets; a bucket
+    * boundary starts a new run by definition (stated convention —
+    * the undercount vs a global scan is ≤ #buckets). That is the
+    * same trick a writer uses at 100 TB: row groups are the
+    * buckets.
+    */
+  def encodingAudit(df: DataFrame, keyCol: String, cols: Seq[String],
+                    bucketWidth: Long = 1024L): DataFrame = {
+    require(cols.nonEmpty, "encodingAudit needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select((col(keyCol).cast("long").as("_k")) +:
+        cols.map(c => col(c).cast("string").as(c)): _*)
+      .withColumn("_b", expr(s"_k div ${bucketWidth}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("_b").orderBy("_k")
+    cols.map { c =>
+      val runs = base
+        .withColumn("_chg",
+          when(row_number().over(w) =!= 1 &&
+               (col(c) <=> lag(col(c), 1).over(w)), lit(0L))
+            .otherwise(lit(1L)))
+      val per = runs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col(c)).as("ndv"),
+        coalesce(sum(octet_length(col(c))), lit(0L)).as("raw_bytes"),
+        sum(col("_chg")).as("n_runs"))
+      val dictBytes = base.where(col(c).isNotNull)
+        .select(col(c)).distinct()
+        .agg(coalesce(sum(octet_length(col(c))), lit(0L)).as("distinct_bytes"))
+      per.crossJoin(broadcast(dictBytes)).select(
+        lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+        col("ndv"), col("raw_bytes"),
+        (col("distinct_bytes") + lit(4L) * col("n_rows")).as("dict_bytes"),
+        col("n_runs"),
+        round(col("n_rows").cast("double") / col("n_runs"), 6)
+          .as("avg_run_len"),
+        when(col("n_rows") >= lit(2L) * col("n_runs"), lit("rle"))
+          .when(col("ndv") * lit(10L) <= col("n_rows"), lit("dictionary"))
+          .otherwise(lit("plain")).as("recommended"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  /** Per-entity exponential time-decay activity score with a
+    * half-life measured in WHOLE WEEKS — the recency-weighted
+    * engagement feature of every ranking/training pipeline, kept
+    * exactly integer: an event `w` whole weeks before the corpus
+    * reference day (its max event date) weighs 2^−w, so each
+    * contribution is `cents << (wCap − min(w, wCap))` — a BIGINT
+    * shift, summed exactly, descaled by 2^wCap only in the final
+    * projection. No pow(), no float accumulation, no cross-engine
+    * ulp risk (the reason for week buckets rather than a smooth
+    * per-day exponent — a 1-ulp pow() difference times 60k rows
+    * WILL flip a rounding boundary somewhere).
+    *
+    * Scale: one global max-day agg (broadcast as a 1-row frame),
+    * one entity-keyed sum (map-combinable), and a TakeOrdered
+    * top-k cut — nothing holds more than the entity dictionary.
+    * Overflow bound: Σ cents · 2^wCap must stay under 2^63 —
+    * with wCap=20 that allows ~8.8e12 cents of half-life-adjusted
+    * spend per entity.
+    */
+  def decayScores(events: DataFrame, entityCol: String, tsCol: String,
+                  valueCents: Column, topK: Int = 100,
+                  wCap: Int = 20): DataFrame = {
+    require(topK >= 1, s"decayScores: topK must be >= 1, got $topK")
+    require(wCap >= 1 && wCap <= 40, s"decayScores: wCap 1..40, got $wCap")
+    val withDay = events.select(col(entityCol).cast("string").as("entity"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long").as("day"),
+      valueCents.cast("long").as("cents"))
+    val ref = withDay.agg(max("day").as("ref_day"))
+    withDay.crossJoin(broadcast(ref))
+      .withColumn("w", least(expr("(ref_day - day) div 7L"),
+        lit(wCap.toLong)))
+      .withColumn("contrib",
+        col("cents") * expr(s"shiftleft(1L, cast(${wCap}L - w as int))"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_events"), max("day").as("last_day"),
+        sum("contrib").as("score_u"))
+      .select(col("entity"), col("n_events"), col("last_day"),
+        round(col("score_u").cast("double") /
+          lit(math.pow(2.0, wCap) * 100.0), 6).as("score"))
+      .orderBy(col("score").desc, col("entity"))
+      .limit(topK)
+  }
+
+  /** Information gain of each candidate feature for predicting a
+    * categorical label — the decision-stump / feature-selection
+    * scoring step of a training pipeline: gain(F) = H(label) −
+    * Σ_v p(v)·H(label|v), with Quinlan's gain ratio (gain divided by
+    * the feature's own entropy) to de-bias high-cardinality
+    * features. Every entropy term is quantized to 1e9 units from
+    * exact BIGINT counts and summed exactly; a zero-entropy feature
+    * reports NULL ratio.
+    *
+    * Scale: per feature, one (feature, label) cell rollup — all
+    * map-combinable — plus dictionary-sized marginals; K features
+    * are K independent small jobs unioned. Rows with NULL feature or
+    * label count as regular categories (GROUP BY convention).
+    */
+  def infoGain(df: DataFrame, labelCol: Column,
+               features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "infoGain needs at least one feature")
+    val quant = (c: Column) => round(c * lit(1e9)).cast("long")
+    val lab = df.select(labelCol.cast("string").as("l"))
+      .groupBy("l").agg(count(lit(1)).as("cl"))
+    val n = lab.agg(sum("cl").as("n"))
+    val hLab = lab.crossJoin(broadcast(n)).agg(
+      max(col("n")).as("n"),
+      sum(quant(col("cl").cast("double") / col("n") * lit(-1.0) *
+        log(col("cl").cast("double") / col("n")))).as("hl_u"))
+    features.map { case (name, feat) =>
+      val cells = df.select(feat.cast("string").as("v"),
+          labelCol.cast("string").as("l"))
+        .groupBy("v", "l").agg(count(lit(1)).as("c"))
+      val mv = cells.groupBy("v").agg(sum("c").as("cv"))
+      val cond = cells.join(broadcast(mv), Seq("v"))
+        .crossJoin(broadcast(n))
+        .agg(sum(quant(col("c").cast("double") / col("n") * lit(-1.0) *
+          log(col("c").cast("double") / col("cv")))).as("hc_u"))
+      val hFeat = mv.crossJoin(broadcast(n)).agg(
+        count(lit(1)).as("n_values"),
+        sum(quant(col("cv").cast("double") / col("n") * lit(-1.0) *
+          log(col("cv").cast("double") / col("n")))).as("hf_u"))
+      cond.crossJoin(hFeat).crossJoin(hLab).select(
+        lit(name).as("feature"), col("n"), col("n_values"),
+        (col("hl_u").cast("double") / 1e9).as("h_label"),
+        (col("hc_u").cast("double") / 1e9).as("h_cond"),
+        ((col("hl_u") - col("hc_u")).cast("double") / 1e9).as("info_gain"),
+        when(col("hf_u") <= 0L, lit(null).cast("double"))
+          .otherwise(round((col("hl_u") - col("hc_u")).cast("double") /
+            col("hf_u").cast("double"), 6)).as("gain_ratio"))
+    }.reduce(_ unionByName _).orderBy("feature")
+  }
+
+  /** SAX symbolization of the daily count series per group (public
+    * literature: Lin, Keogh et al. 2003) with motif mining: each
+    * day's count is z-normalized against the group's own
+    * mean/std (z rounded to 6 decimals BEFORE the breakpoint
+    * compare, so a cross-engine ulp can't flip a symbol), mapped to
+    * one of four symbols at the normal quartile breakpoints
+    * (±0.6745, 0), and the top `topK` 3-symbol motifs over the
+    * day-ordered sequence are reported per group — "what shape does
+    * a typical week have". A zero-variance series symbolizes as all
+    * 'c' (z ≡ 0, stated convention); motifs span OBSERVED days in
+    * order (a calendar gap does not break the sequence — the
+    * series of observations, not the calendar, is symbolized).
+    *
+    * Scale: one daily rollup, one group-dictionary stats agg
+    * broadcast back, one day-ordered window per group for the
+    * 3-grams, one motif count + rank. Nothing exceeds days×groups.
+    */
+  def saxMotifs(events: DataFrame, groupCol: String, tsCol: String,
+                topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"saxMotifs: topK must be >= 1, got $topK")
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.groupBy("grp").agg(
+      count(lit(1)).as("nd"), sum("y").as("sx"),
+      sum(col("y") * col("y")).as("sxx"))
+    val z = daily.join(broadcast(stats), "grp")
+      .withColumn("_z",
+        when(col("nd") * col("sxx") === col("sx") * col("sx"), lit(0.0))
+          .otherwise(round(
+            (col("y").cast("double") - col("sx").cast("double") / col("nd")) /
+            (sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) / col("nd").cast("double")), 6)))
+      .withColumn("sym",
+        when(col("_z") < -0.6745, lit("a"))
+          .when(col("_z") < 0.0, lit("b"))
+          .when(col("_z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    val w = Window.partitionBy("grp").orderBy("day")
+    val grams = z
+      .withColumn("s2", lead(col("sym"), 1).over(w))
+      .withColumn("s3", lead(col("sym"), 2).over(w))
+      .where(col("s3").isNotNull)
+      .select(col("grp"), concat(col("sym"), col("s2"), col("s3"))
+        .as("motif"))
+    val counts = grams.groupBy("grp", "motif")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val rk = Window.partitionBy("grp")
+      .orderBy(col("n_occurrences").desc, col("motif"))
+    counts.withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= topK)
+      .select(col("grp"), col("rk").cast("long").as("rk"), col("motif"),
+        col("n_occurrences"))
+      .orderBy("grp", "rk")
+  }
+
+  /** Seasonal-naive forecast backtest: hold out the last `horizon`
+    * observed days per group, forecast each held-out day as the mean
+    * of the TRAINING days sharing its day-of-week, and report the
+    * per-day absolute error — the "would the dumbest seasonal model
+    * have seen this coming" baseline every anomaly alert should be
+    * compared against. Forecast and error are micro-quantized
+    * BIGINTs (exact mean of integer counts); a held-out day whose
+    * dow never occurs in training reports NULL forecast/error.
+    *
+    * Scale: one daily rollup; per-group max-day and the per-(group,
+    * dow) training means are dictionary-sized broadcasts back onto
+    * the held-out rows. No windows, no iteration.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, groupCol: String,
+                            tsCol: String, horizon: Int = 7): DataFrame = {
+    require(horizon >= 1, s"seasonalNaiveBacktest: horizon >= 1, got $horizon")
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", ((col("day") + 4) % 7).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = daily.groupBy("grp")
+      .agg((max("day") - lit(horizon.toLong)).as("cut"))
+    val split = daily.join(broadcast(cut), "grp")
+    val train = split.where(col("day") <= col("cut"))
+      .groupBy("grp", "dow")
+      .agg(round(sum("y").cast("double") * lit(1e6) / count(lit(1)))
+        .cast("long").as("f_u"))
+    split.where(col("day") > col("cut"))
+      .join(broadcast(train), Seq("grp", "dow"), "left")
+      .select(col("grp"), col("day"), col("dow"), col("y"),
+        (col("f_u").cast("double") / 1e6).as("forecast"),
+        (abs(col("y") * lit(1000000L) - col("f_u")).cast("double") / 1e6)
+          .as("abs_err"))
+      .orderBy("grp", "day")
+  }
+
+  /** One-way ANOVA (fixed-effects): does the grouping explain the
+    * variance of an integer-cents measure? Reports η² (the
+    * between-group variance fraction) and the F statistic. Built for
+    * engine determinism: group sums and counts are exact BIGINTs,
+    * squared sums go through DECIMAL(38,0) (Σ cents² overflows
+    * BIGINT past ~10⁸ rows of money-sized values), each group's
+    * relative between-variance contribution dev²/(n_g·n·SST_raw) is
+    * ≤ 1 and quantized to 1e12 units before the cross-group sum, so
+    * float addition order can never change the answer. NULL η²/F on
+    * zero total variance; NULL F with fewer than two groups or a
+    * saturated η².
+    *
+    * Scale: one map-combinable group rollup + one single-row global
+    * agg; the η² reduction runs on the group dictionary.
+    * Overflow bound (documented, asserted nowhere hot): |s_g·n| must
+    * stay inside DECIMAL(38,0) — ~10²⁰ rows of 10⁹-cent values.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: Column, valueCents: Column,
+                  label: String): DataFrame = {
+    val base = df.select(groupCol.cast("string").as("g"),
+      valueCents.cast("long").as("v"))
+    val grp = base.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum("v").as("sg"))
+    val glob = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
+      sum((col("v") * col("v")).cast(DecimalType(38, 0))).as("q"))
+    val sstRaw = (col("n").cast(DecimalType(38, 0)) * col("q") -
+      (col("s").cast(DecimalType(38, 0)) * col("s"))).cast("double")
+    val dev = (col("sg").cast(DecimalType(38, 0)) * col("n") -
+      col("s").cast(DecimalType(38, 0)) * col("ng")).cast("double")
+    val agg = grp.crossJoin(broadcast(glob))
+      .select(col("ng"), col("n"),
+        sstRaw.as("sst_raw"),
+        when(sstRaw > 0.0, round(dev * dev /
+            (col("ng").cast("double") * col("n").cast("double") *
+              sstRaw) * lit(1e12)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_u"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("k"),
+        max(col("sst_raw")).as("sst_raw"), sum(col("r_u")).as("eta_u"))
+    agg.select(lit(label).as("analysis"), col("n"), col("k"),
+      when(col("sst_raw") > 0.0,
+        round(col("eta_u").cast("double") / lit(1e12), 6)).as("eta2"),
+      when(col("sst_raw") > 0.0 && col("k") > 1L &&
+           col("eta_u") < lit(1000000000000L) && col("n") > col("k"),
+        round((col("eta_u").cast("double") / lit(1e12) /
+            (col("k") - lit(1L)).cast("double")) /
+          ((lit(1.0) - col("eta_u").cast("double") / lit(1e12)) /
+            (col("n") - col("k")).cast("double")), 6)).as("f_stat"))
+  }
+
+  /** Before/after rate-shift test per group: split the observed day
+    * span at its midpoint (pure integer arithmetic, one global
+    * min/max), compare each group's daily event rate across the two
+    * windows, and report the rate ratio and the two-sample Poisson
+    * z statistic (Wald form z = (r₂−r₁)/√(n₁/t₁² + n₂/t₂²), public
+    * standard). Counts and day spans are exact integers; the ratio
+    * and z are single rounded expressions — "did this event type
+    * speed up or die after mid-corpus".
+    *
+    * Scale: one global 1-row min/max agg broadcast onto a
+    * map-combinable (group, half) rollup. Nothing exceeds the group
+    * dictionary.
+    */
+  def rateShift(events: DataFrame, groupCol: String,
+                tsCol: String): DataFrame = {
+    val days = events.select(col(groupCol).as("grp"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+        .as("day"))
+    val span = days.agg(min("day").as("mind"), max("day").as("maxd"))
+      .select(col("mind"), col("maxd"),
+        expr("(mind + maxd) div 2L").as("mid"))
+    val halves = days.crossJoin(broadcast(span))
+      .groupBy("grp")
+      .agg(max(col("mid") - col("mind") + 1L).as("t1"),
+        max(col("maxd") - col("mid")).as("t2"),
+        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("n2"))
+    halves.select(col("grp"), col("t1").as("days_pre"),
+        col("t2").as("days_post"), col("n1").as("n_pre"),
+        col("n2").as("n_post"),
+        round(col("n1").cast("double") / col("t1"), 6).as("rate_pre"),
+        round(col("n2").cast("double") / col("t2"), 6).as("rate_post"),
+        when(col("n1") > 0L, round((col("n2").cast("double") / col("t2")) /
+          (col("n1").cast("double") / col("t1")), 6)).as("rate_ratio"),
+        when(col("n1") + col("n2") > 0L, round(
+          (col("n2").cast("double") / col("t2") -
+            col("n1").cast("double") / col("t1")) /
+          sqrt(col("n1").cast("double") / col("t1") / col("t1") +
+            col("n2").cast("double") / col("t2") / col("t2")), 6)).as("z"))
+      .orderBy("grp")
+  }
+
+  /** Hill estimator of the Pareto tail index over the top-k order
+    * statistics of a positive integer-cents measure (Hill 1975,
+    * public literature): α̂ = k / Σᵢ ln(xᵢ/x₍k₊₁₎). The top-(k+1) cut
+    * is a TakeOrdered (total order by value desc then key — ties
+    * deterministic), each log term is 1e9-quantized and summed
+    * exactly, and the (k+1)-th row's own term is ln(1) = 0, so
+    * aggregating the whole cut IS the k-term sum. α̂ ≈ 1 ⇒ extreme
+    * heavy tail (80/20-like); larger α̂ ⇒ thinner tail — pairs with
+    * q146 Zipf / q167 Benford / q208 Lorenz as the tail-risk view.
+    *
+    * Scale: TakeOrderedAndProject (no global sort materialized),
+    * then a (k+1)-row aggregate. NULL alpha when the top values are
+    * all equal (Σ = 0).
+    */
+  def hillTail(df: DataFrame, valueCents: Column, keyCol: Column,
+               k: Int, label: String): DataFrame = {
+    require(k >= 10, s"hillTail: k must be >= 10, got $k")
+    val top = df.select(valueCents.cast("long").as("c"),
+        keyCol.cast("long").as("kk"))
+      .orderBy(col("c").desc, col("kk"))
+      .limit(k + 1)
+    val xk1 = top.agg(min("c").as("x_tail"),
+      count(lit(1)).as("n_top"))
+    top.crossJoin(broadcast(xk1))
+      .agg(max(col("x_tail")).as("x_tail"), max(col("n_top")).as("n_top"),
+        sum(round(log(col("c").cast("double") / col("x_tail")) * lit(1e9))
+          .cast("long")).as("sum_u"))
+      .select(lit(label).as("measure"), lit(k.toLong).as("k"),
+        col("n_top"), col("x_tail"),
+        when(col("sum_u") > 0L, round(lit(k).cast("double") /
+          (col("sum_u").cast("double") / lit(1e9)), 6)).as("alpha"))
+  }
+
+  /** Readability scoring per source: Flesch Reading Ease and
+    * Flesch–Kincaid grade (public formulas) with a vowel-group
+    * syllable proxy — words = `\S+` runs, sentences = `[.!?]+` runs
+    * (floored at 1), syllables = `[aeiouy]+` runs of the lowercased
+    * text. Both engines count with their regex engine on identical
+    * patterns (character classes only — no engine-divergent syntax);
+    * each document's score is 1e6-quantized before the per-source
+    * integer mean, the battery's standard float pattern.
+    *
+    * Scale: map-only per-document counting (three regex scans per
+    * doc), one source-keyed rollup. No token explode — counts, not
+    * token rows, leave the document.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val counted = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          lit(1L)).as("sent"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("syl"))
+      .withColumn("w0", greatest(col("w"), lit(1L)))
+      .withColumn("wps", col("w").cast("double") / col("sent"))
+      .withColumn("spw", col("syl").cast("double") / col("w0"))
+      .select(col("source"), col("w"), col("syl"),
+        round((lit(206.835) - lit(1.015) * col("wps") -
+          lit(84.6) * col("spw")) * lit(1e6)).cast("long").as("fre_u"),
+        round((lit(0.39) * col("wps") + lit(11.8) * col("spw") -
+          lit(15.59)) * lit(1e6)).cast("long").as("fk_u"))
+    counted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("syl").as("n_syllables"),
+        (round(sum("fre_u").cast("double") / count(lit(1))).cast("long")
+          .cast("double") / 1e6).as("avg_fre"),
+        (round(sum("fk_u").cast("double") / count(lit(1))).cast("long")
+          .cast("double") / 1e6).as("avg_fk_grade"))
+      .orderBy("source")
+  }
+
+  /** Zone-map skip audit: bucket the table by `key div bucketWidth`
+    * (the row-group simulation q247 uses), collect each bucket's
+    * [min,max] zone per predicate column, and report how many
+    * buckets a min/max zone map would SKIP for each range predicate
+    * — plus the counterfactual "rows scanned if the table were
+    * sorted on that column" (matching rows rounded up to whole
+    * buckets). The quantified sell for q85's Z-order layout: skip
+    * fraction now vs after re-clustering.
+    *
+    * Scale: per predicate one bucket-keyed min/max/count rollup
+    * (map-combinable, bucket dictionary sized) and a single-row
+    * reduction. Predicates are closed ranges [lo, hi] on a LONG
+    * rendering of the column — unbounded sides pass Long.Min/Max.
+    */
+  def zonemapSkipAudit(df: DataFrame, keyCol: String,
+                       preds: Seq[(String, Column, Long, Long)],
+                       bucketWidth: Long = 1024L): DataFrame = {
+    require(preds.nonEmpty, "zonemapSkipAudit needs at least one predicate")
+    val keyed = df.withColumn("_b",
+        expr(s"${keyCol} div ${bucketWidth}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    preds.map { case (name, valueCol, lo, hi) =>
+      val v = valueCol.cast("long")
+      val zones = keyed.select(col("_b"), v.as("_v"))
+        .groupBy("_b")
+        .agg(min("_v").as("zmin"), max("_v").as("zmax"),
+          count(lit(1)).as("rows"),
+          sum(when(col("_v") >= lo && col("_v") <= hi, 1L).otherwise(0L))
+            .as("m"))
+      zones.agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("zmax") < lo || col("zmin") > hi, 1L).otherwise(0L))
+            .as("n_skippable"),
+          sum(when(col("zmax") < lo || col("zmin") > hi, 0L)
+            .otherwise(col("rows"))).as("rows_scanned"),
+          sum("m").as("rows_matching"))
+        .select(lit(name).as("predicate"), col("n_buckets"),
+          col("n_skippable"),
+          round(col("n_skippable").cast("double") / col("n_buckets"), 6)
+            .as("skip_frac"),
+          col("rows_scanned"), col("rows_matching"),
+          (expr(s"(rows_matching + ${bucketWidth - 1}L) div " +
+            s"${bucketWidth}L") * lit(bucketWidth))
+            .as("est_sorted_scan_rows"))
+    }.reduce(_ unionByName _).orderBy("predicate")
+  }
+
+  /** Weekly churn / retention rates: per epoch-week, how many active
+    * entities carried over from the previous week, how many lapsed —
+    * the health metric of any engagement pipeline. Weeks are
+    * `day div 7` (epoch-aligned, engine-portable); a week with no
+    * active predecessor week reports NULL rates (nothing to churn
+    * from). All counts are exact distinct BIGINTs; rates are single
+    * rounded ratios.
+    *
+    * Scale: one distinct (entity, week) projection, then a
+    * self-join shifted by one week on (entity, week) — both sides
+    * keyed identically so the join co-partitions — and a week-keyed
+    * rollup. Dictionary-sized everywhere past the first distinct.
+    */
+  def weeklyChurn(events: DataFrame, entityCol: String,
+                  tsCol: String): DataFrame = {
+    val base = events.select(col(entityCol).cast("string").as("u"),
+        (datediff(to_date(col(tsCol)), lit("1970-01-01"))
+          .cast("long")).as("day"))
+      .select(col("u"), expr("day div 7L").as("week"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val act = base.groupBy("week").agg(count(lit(1)).as("n_active"))
+    val ret = base.select(col("u"), (col("week") + 1L).as("week"))
+      .join(base, Seq("u", "week"))
+      .groupBy("week").agg(count(lit(1)).as("n_retained"))
+    val prev = act.select((col("week") + 1L).as("week"),
+      col("n_active").as("n_prev"))
+    act.join(prev, Seq("week"), "left")
+      .join(ret, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_prev"),
+        coalesce(col("n_retained"),
+          when(col("n_prev").isNotNull, lit(0L))).as("n_retained"),
+        when(col("n_prev").isNotNull,
+          col("n_prev") - coalesce(col("n_retained"), lit(0L)))
+          .as("n_churned"),
+        when(col("n_prev").isNotNull, round(
+          (col("n_prev") - coalesce(col("n_retained"), lit(0L)))
+            .cast("double") / col("n_prev"), 6)).as("churn_rate"),
+        when(col("n_prev").isNotNull, round(
+          coalesce(col("n_retained"), lit(0L)).cast("double") /
+            col("n_prev"), 6)).as("retention_rate"))
+      .orderBy("week")
+  }
 }

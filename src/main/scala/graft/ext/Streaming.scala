@@ -699,6 +699,48 @@ object Streaming {
         round(col("n").cast("double") / col("row_n"), 6).as("p"))
   }
 
+  /** Two-step transition probabilities P² — "where will this user be
+    * two events from now": P²(i,j) = Σ_k P(i,k)·P(k,j) over the SAME
+    * per-user (ts, event_id)-ordered pair counts as
+    * [[transitionMatrix]]. Each product term is quantized to 1e9
+    * units from exact BIGINT counts and summed exactly (the battery's
+    * standard float-determinism pattern), so the matrix square is
+    * engine-reproducible without materializing any per-user state.
+    *
+    * Scale: the transition dictionary is |types|² rows no matter the
+    * event count — the squaring join and aggregation run on that
+    * dictionary, so the only row-scale work is q156's single
+    * window+count pass. `n_paths` counts the distinct middle states
+    * carrying mass (a sanity check: sparse chains have few paths).
+    */
+  def transitionMatrix2(events: DataFrame, userCol: String = "user_id",
+                        typeCol: String = "event_type", tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("i"), col(typeCol).as("j"))
+      .agg(count(lit(1)).as("n"))
+    val rows = pairs.groupBy("i").agg(sum("n").as("row_n"))
+    val p = pairs.join(broadcast(rows), "i")
+      .select(col("i"), col("j"), col("n"), col("row_n"))
+    val a = p.select(col("i"), col("j").as("k"),
+      col("n").as("na"), col("row_n").as("ra"))
+    val b = p.select(col("i").as("k"), col("j"),
+      col("n").as("nb"), col("row_n").as("rb"))
+    a.join(b, Seq("k"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_paths"),
+        sum(round((col("na").cast("double") / col("ra")) *
+          (col("nb").cast("double") / col("rb")) * lit(1e9)).cast("long"))
+          .as("p2_u"))
+      .select(col("i").as("prev_type"), col("j").as("next2_type"),
+        col("n_paths"), (col("p2_u").cast("double") / 1e9).as("p2"))
+      .orderBy("prev_type", "next2_type")
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-activity
     * day; each (cohort_day, day_offset) cell counts distinct users of
     * that cohort active `day_offset` days later — the standard

@@ -3604,6 +3604,470 @@ object Relational {
         |ORDER BY d.grp, d.day""".stripMargin) { (s, dir) =>
       graft.ext.Profile.seasonalDecompose(t(s, dir, "events"),
         "event_type", "ts")
+    },
+
+    // ——— modularity of the brand partition over the co-purchase
+    //     graph (Newman–Girvan Q): per community, exact within-edge
+    //     and degree-sum BIGINTs and the 1e9-quantized contribution
+    //     dq; Σ dq = Q — "are brand communities better than
+    //     chance?", the scoring half q215's label prop lacks. ———
+    Q("q244_modularity",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b USING (g) WHERE a.item < b.item
+        |), lab AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS node, p_brand AS lab FROM part
+        |), tagged AS (
+        |  SELECT COALESCE(lu.lab, e.u) AS cu, COALESCE(lv.lab, e.v) AS cv
+        |  FROM und e LEFT JOIN lab lu ON e.u = lu.node
+        |             LEFT JOIN lab lv ON e.v = lv.node
+        |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+        |degc AS (
+        |  SELECT community, CAST(COUNT(*) AS BIGINT) AS degree_sum FROM (
+        |    SELECT cu AS community FROM tagged
+        |    UNION ALL SELECT cv FROM tagged) GROUP BY 1
+        |), wth AS (
+        |  SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS within_edges
+        |  FROM tagged WHERE cu = cv GROUP BY 1
+        |), nodes AS (
+        |  SELECT COALESCE(l.lab, n.node) AS community,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM (SELECT u AS node FROM und UNION SELECT v FROM und) n
+        |  LEFT JOIN lab l ON n.node = l.node GROUP BY 1
+        |)
+        |SELECT d.community, COALESCE(nodes.n_nodes, 0) AS n_nodes,
+        |  COALESCE(wth.within_edges, 0) AS within_edges, d.degree_sum,
+        |  CAST(CAST(round(CAST(COALESCE(wth.within_edges, 0) AS DOUBLE)
+        |        * 1e9 / m.m) AS BIGINT)
+        |    - CAST(round(CAST(d.degree_sum AS DOUBLE) * d.degree_sum * 1e9
+        |        / (4.0 * m.m * m.m)) AS BIGINT) AS DOUBLE) / 1e9 AS dq
+        |FROM degc d LEFT JOIN wth USING (community)
+        |  LEFT JOIN nodes USING (community), m
+        |ORDER BY community""".stripMargin) { (s, dir) =>
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      graft.ext.Graph.modularity(edges, labels)
+    },
+
+    // ——— autocorrelation of the daily event-count series at lags
+    //     1..7 per event type: pairs aligned on ACTUAL day numbers,
+    //     Pearson r from six exact BIGINT sufficient statistics —
+    //     "does Monday predict next Monday" with no gap-filling. ———
+    Q("q245_acf",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), l AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lg),
+        |pairs AS (
+        |  SELECT d.grp, l.lg, d.y AS x, p.y AS yl
+        |  FROM daily d CROSS JOIN l
+        |  JOIN daily p ON p.grp = d.grp AND p.day = d.day - l.lg
+        |), a AS (
+        |  SELECT grp, lg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+        |    CAST(SUM(x * yl) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(yl * yl) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT grp, lg AS "lag", n_pairs,
+        |  CASE WHEN n_pairs * sxx = sx * sx OR n_pairs * syy = sy * sy
+        |    THEN NULL
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS acf
+        |FROM a ORDER BY grp, "lag"""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.acfDaily(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— mutual information between categorical dimensions (plus
+    //     marginal entropies and sqrt-NMI): segment×nation and
+    //     status×priority — "which dimension explains which", the
+    //     quantified companion to q136's chi² verdict. ———
+    Q("q246_mutual_info",
+      """WITH src1 AS (
+        |  SELECT CAST(c_mktsegment AS VARCHAR) AS x,
+        |    CAST(n_name AS VARCHAR) AS y
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), c1 AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM src1 GROUP BY 1, 2
+        |), mx1 AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM c1 GROUP BY 1),
+        |my1 AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM c1 GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+        |j1 AS (
+        |  SELECT MAX(n1.n) AS n,
+        |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n1.n *
+        |      ln(CAST(c AS DOUBLE) * n1.n / (CAST(cx AS DOUBLE) * cy))
+        |      * 1e9) AS BIGINT)) AS BIGINT) AS mi_u
+        |  FROM c1 JOIN mx1 USING (x) JOIN my1 USING (y) CROSS JOIN n1
+        |), hx1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+        |    CAST(SUM(CAST(round(CAST(cx AS DOUBLE) / n1.n * -1.0 *
+        |      ln(CAST(cx AS DOUBLE) / n1.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hx_u
+        |  FROM mx1 CROSS JOIN n1
+        |), hy1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_y,
+        |    CAST(SUM(CAST(round(CAST(cy AS DOUBLE) / n1.n * -1.0 *
+        |      ln(CAST(cy AS DOUBLE) / n1.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hy_u
+        |  FROM my1 CROSS JOIN n1
+        |), r1 AS (
+        |  SELECT 'mktsegment*nation' AS pair, n, n_x, n_y,
+        |    CAST(mi_u AS DOUBLE) / 1e9 AS mi,
+        |    CAST(hx_u AS DOUBLE) / 1e9 AS h_x,
+        |    CAST(hy_u AS DOUBLE) / 1e9 AS h_y,
+        |    CASE WHEN hx_u <= 0 OR hy_u <= 0 THEN NULL
+        |      ELSE round(CAST(mi_u AS DOUBLE) /
+        |        sqrt(CAST(hx_u AS DOUBLE) * CAST(hy_u AS DOUBLE)), 6)
+        |    END AS nmi
+        |  FROM j1 CROSS JOIN hx1 CROSS JOIN hy1
+        |), src2 AS (
+        |  SELECT CAST(o_orderstatus AS VARCHAR) AS x,
+        |    CAST(o_orderpriority AS VARCHAR) AS y FROM orders
+        |), c2 AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM src2 GROUP BY 1, 2
+        |), mx2 AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM c2 GROUP BY 1),
+        |my2 AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM c2 GROUP BY 1),
+        |n2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+        |j2 AS (
+        |  SELECT MAX(n2.n) AS n,
+        |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n2.n *
+        |      ln(CAST(c AS DOUBLE) * n2.n / (CAST(cx AS DOUBLE) * cy))
+        |      * 1e9) AS BIGINT)) AS BIGINT) AS mi_u
+        |  FROM c2 JOIN mx2 USING (x) JOIN my2 USING (y) CROSS JOIN n2
+        |), hx2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+        |    CAST(SUM(CAST(round(CAST(cx AS DOUBLE) / n2.n * -1.0 *
+        |      ln(CAST(cx AS DOUBLE) / n2.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hx_u
+        |  FROM mx2 CROSS JOIN n2
+        |), hy2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_y,
+        |    CAST(SUM(CAST(round(CAST(cy AS DOUBLE) / n2.n * -1.0 *
+        |      ln(CAST(cy AS DOUBLE) / n2.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hy_u
+        |  FROM my2 CROSS JOIN n2
+        |), r2 AS (
+        |  SELECT 'status*priority' AS pair, n, n_x, n_y,
+        |    CAST(mi_u AS DOUBLE) / 1e9 AS mi,
+        |    CAST(hx_u AS DOUBLE) / 1e9 AS h_x,
+        |    CAST(hy_u AS DOUBLE) / 1e9 AS h_y,
+        |    CASE WHEN hx_u <= 0 OR hy_u <= 0 THEN NULL
+        |      ELSE round(CAST(mi_u AS DOUBLE) /
+        |        sqrt(CAST(hx_u AS DOUBLE) * CAST(hy_u AS DOUBLE)), 6)
+        |    END AS nmi
+        |  FROM j2 CROSS JOIN hx2 CROSS JOIN hy2
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY pair""".stripMargin) { (s, dir) =>
+      val cn = t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      graft.ext.Profile.mutualInformation(cn,
+          col("c_mktsegment"), col("n_name"), "mktsegment*nation")
+        .unionByName(graft.ext.Profile.mutualInformation(t(s, dir, "orders"),
+          col("o_orderstatus"), col("o_orderpriority"), "status*priority"))
+        .orderBy("pair")
+    },
+
+    // ——— storage-encoding advisor over orders: exact NDV, null
+    //     fraction, byte totals, dictionary-size estimate and the
+    //     bucket-local run structure under the key order → pick
+    //     RLE / DICTIONARY / PLAIN per column, the writer's row-group
+    //     decision made inspectable. ———
+    Q("q247_encoding_audit", {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
+        "o_orderstatus")
+      val per = cols.map { c =>
+        s"""sel_$c AS (
+           |  SELECT o_orderkey AS k, o_orderkey // 1024 AS bkt,
+           |    CAST($c AS VARCHAR) AS v FROM orders
+           |), r_$c AS (
+           |  SELECT v, CASE WHEN row_number() OVER w <> 1
+           |      AND v IS NOT DISTINCT FROM lag(v) OVER w THEN 0 ELSE 1
+           |    END AS chg
+           |  FROM sel_$c WINDOW w AS (PARTITION BY bkt ORDER BY k)
+           |), p_$c AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_nulls,
+           |    CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           |    CAST(COALESCE(SUM(strlen(v)), 0) AS BIGINT)
+           |      AS raw_bytes,
+           |    CAST(SUM(chg) AS BIGINT) AS n_runs
+           |  FROM r_$c
+           |), d_$c AS (
+           |  SELECT CAST(COALESCE(SUM(strlen(v)), 0) AS BIGINT)
+           |    AS distinct_bytes
+           |  FROM (SELECT DISTINCT v FROM sel_$c WHERE v IS NOT NULL)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS column_name, n_rows, n_nulls, ndv, raw_bytes,
+           |  distinct_bytes + 4 * n_rows AS dict_bytes, n_runs,
+           |  round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len,
+           |  CASE WHEN n_rows >= 2 * n_runs THEN 'rle'
+           |    WHEN ndv * 10 <= n_rows THEN 'dictionary'
+           |    ELSE 'plain' END AS recommended
+           |FROM p_$c CROSS JOIN d_$c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $per\n$rows\nORDER BY column_name"
+    }) { (s, dir) =>
+      graft.ext.Profile.encodingAudit(t(s, dir, "orders"), "o_orderkey",
+        Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"))
+    },
+
+    // ——— per-user half-life decay engagement score: an event w
+    //     whole weeks before the corpus max day weighs 2^−w — each
+    //     contribution an exact BIGINT shift (no pow(), no float
+    //     accumulation), top-100 users by recency-weighted value. ———
+    Q("q248_decay_score",
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS entity,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (SELECT CAST(MAX(day) AS BIGINT) AS ref_day FROM e),
+        |c AS (
+        |  SELECT entity, day, cents,
+        |    least((r.ref_day - day) // 7, 20) AS w
+        |  FROM e, r
+        |), s AS (
+        |  SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(day) AS BIGINT) AS last_day,
+        |    CAST(SUM(cents * (CAST(1 AS BIGINT) <<
+        |      CAST(20 - w AS INTEGER))) AS BIGINT) AS score_u
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT entity, n_events, last_day,
+        |  round(CAST(score_u AS DOUBLE) / 104857600.0, 6) AS score
+        |FROM s ORDER BY score DESC, entity LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      graft.ext.Profile.decayScores(t(s, dir, "events"), "user_id", "ts",
+        round(col("value") * 100))
+    },
+
+    // ——— two-step Markov transitions P² over q156's per-user chain:
+    //     each P(i,k)·P(k,j) product term 1e9-quantized from exact
+    //     BIGINT counts, summed exactly — "where will this user be
+    //     two events from now", squared on the |types|² dictionary. ———
+    Q("q249_markov_2step",
+      """WITH p0 AS (
+        |  SELECT lag(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    event_type AS j
+        |  FROM events
+        |), c AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p0 WHERE i IS NOT NULL GROUP BY 1, 2
+        |), rt AS (SELECT i, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY 1),
+        |p AS (SELECT c.i, c.j, c.n, rt.row_n FROM c JOIN rt USING (i)),
+        |sq AS (
+        |  SELECT a.i, b.j, CAST(COUNT(*) AS BIGINT) AS n_paths,
+        |    CAST(SUM(CAST(round((CAST(a.n AS DOUBLE) / a.row_n) *
+        |      (CAST(b.n AS DOUBLE) / b.row_n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS p2_u
+        |  FROM p a JOIN p b ON a.j = b.i GROUP BY 1, 2
+        |)
+        |SELECT i AS prev_type, j AS next2_type, n_paths,
+        |  CAST(p2_u AS DOUBLE) / 1e9 AS p2
+        |FROM sq ORDER BY prev_type, next2_type""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.transitionMatrix2(t(s, dir, "events"))
+    },
+
+    // ——— information gain / gain ratio of candidate features for
+    //     predicting order status: the decision-stump feature-
+    //     selection score, every entropy term 1e9-quantized from
+    //     exact counts — q136's chi² asks "dependent?", this asks
+    //     "how many bits does the feature buy?". ———
+    Q("q250_info_gain",
+      """WITH src AS (
+        |  SELECT o_orderstatus AS l, o_orderpriority AS f1,
+        |    c_mktsegment AS f2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), lab AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS cl FROM src GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cl) AS BIGINT) AS n FROM lab),
+        |hl AS (
+        |  SELECT MAX(n.n) AS n,
+        |    CAST(SUM(CAST(round(CAST(cl AS DOUBLE) / n.n * -1.0 *
+        |      ln(CAST(cl AS DOUBLE) / n.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hl_u
+        |  FROM lab CROSS JOIN n
+        |), cells1 AS (
+        |  SELECT f1 AS v, l, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM src GROUP BY 1, 2
+        |), mv1 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells1 GROUP BY 1),
+        |cond1 AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n.n * -1.0 *
+        |    ln(CAST(c AS DOUBLE) / cv) * 1e9) AS BIGINT)) AS BIGINT) AS hc_u
+        |  FROM cells1 JOIN mv1 USING (v) CROSS JOIN n
+        |), hf1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(CAST(round(CAST(cv AS DOUBLE) / n.n * -1.0 *
+        |      ln(CAST(cv AS DOUBLE) / n.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hf_u
+        |  FROM mv1 CROSS JOIN n
+        |), r1 AS (
+        |  SELECT 'o_orderpriority' AS feature, hl.n, hf1.n_values,
+        |    CAST(hl.hl_u AS DOUBLE) / 1e9 AS h_label,
+        |    CAST(cond1.hc_u AS DOUBLE) / 1e9 AS h_cond,
+        |    CAST(hl.hl_u - cond1.hc_u AS DOUBLE) / 1e9 AS info_gain,
+        |    CASE WHEN hf1.hf_u <= 0 THEN NULL
+        |      ELSE round(CAST(hl.hl_u - cond1.hc_u AS DOUBLE) /
+        |        CAST(hf1.hf_u AS DOUBLE), 6) END AS gain_ratio
+        |  FROM cond1 CROSS JOIN hf1 CROSS JOIN hl
+        |), cells2 AS (
+        |  SELECT f2 AS v, l, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM src GROUP BY 1, 2
+        |), mv2 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells2 GROUP BY 1),
+        |cond2 AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n.n * -1.0 *
+        |    ln(CAST(c AS DOUBLE) / cv) * 1e9) AS BIGINT)) AS BIGINT) AS hc_u
+        |  FROM cells2 JOIN mv2 USING (v) CROSS JOIN n
+        |), hf2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(CAST(round(CAST(cv AS DOUBLE) / n.n * -1.0 *
+        |      ln(CAST(cv AS DOUBLE) / n.n) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS hf_u
+        |  FROM mv2 CROSS JOIN n
+        |), r2 AS (
+        |  SELECT 'c_mktsegment' AS feature, hl.n, hf2.n_values,
+        |    CAST(hl.hl_u AS DOUBLE) / 1e9 AS h_label,
+        |    CAST(cond2.hc_u AS DOUBLE) / 1e9 AS h_cond,
+        |    CAST(hl.hl_u - cond2.hc_u AS DOUBLE) / 1e9 AS info_gain,
+        |    CASE WHEN hf2.hf_u <= 0 THEN NULL
+        |      ELSE round(CAST(hl.hl_u - cond2.hc_u AS DOUBLE) /
+        |        CAST(hf2.hf_u AS DOUBLE), 6) END AS gain_ratio
+        |  FROM cond2 CROSS JOIN hf2 CROSS JOIN hl
+        |)
+        |SELECT * FROM r2 UNION ALL SELECT * FROM r1
+        |ORDER BY feature""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      graft.ext.Profile.infoGain(src, col("o_orderstatus"),
+        Seq("o_orderpriority" -> col("o_orderpriority"),
+            "c_mktsegment" -> col("c_mktsegment")))
+    },
+
+    // ——— SAX symbolization + motif mining of the daily series per
+    //     event type (Lin/Keogh 2003): z rounded to 6 BEFORE the
+    //     quartile-breakpoint compare (no ulp can flip a symbol),
+    //     top-3 3-symbol motifs — "what shape does a week have". ———
+    Q("q251_sax_motifs",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(y * y) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |), z AS (
+        |  SELECT d.grp, d.day,
+        |    CASE WHEN st.nd * st.sxx = st.sx * st.sx THEN 0.0
+        |      ELSE round(
+        |        (CAST(d.y AS DOUBLE) - CAST(st.sx AS DOUBLE) / st.nd) /
+        |        (sqrt(CAST(st.nd * st.sxx - st.sx * st.sx AS DOUBLE)) /
+        |          CAST(st.nd AS DOUBLE)), 6)
+        |    END AS zz
+        |  FROM daily d JOIN st USING (grp)
+        |), sym AS (
+        |  SELECT grp, day,
+        |    CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
+        |      WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS s
+        |  FROM z
+        |), g AS (
+        |  SELECT grp, s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif,
+        |    lead(s, 2) OVER w AS s3
+        |  FROM sym WINDOW w AS (PARTITION BY grp ORDER BY day)
+        |), c AS (
+        |  SELECT grp, motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM g WHERE s3 IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT grp, motif, n_occurrences, row_number() OVER (
+        |    PARTITION BY grp ORDER BY n_occurrences DESC, motif) AS rk
+        |  FROM c
+        |)
+        |SELECT grp, CAST(rk AS BIGINT) AS rk, motif, n_occurrences
+        |FROM r WHERE rk <= 3 ORDER BY grp, rk""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.saxMotifs(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— seasonal-naive forecast backtest: hold out the last 7
+    //     observed days per event type, forecast each as the same-dow
+    //     training mean (micro-exact), report per-day |error| — the
+    //     baseline every anomaly alert must beat. ———
+    Q("q252_forecast_backtest",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT grp, day, CAST((day + 4) % 7 AS BIGINT) AS dow, y FROM daily
+        |), cut AS (
+        |  SELECT grp, CAST(MAX(day) - 7 AS BIGINT) AS cut FROM d2 GROUP BY 1
+        |), tr AS (
+        |  SELECT d.grp, d.dow,
+        |    CAST(round(CAST(SUM(d.y) AS DOUBLE) * 1e6 / COUNT(*)) AS BIGINT)
+        |      AS f_u
+        |  FROM d2 d JOIN cut USING (grp) WHERE d.day <= cut.cut
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.grp, d.day, d.dow, d.y,
+        |  CAST(tr.f_u AS DOUBLE) / 1e6 AS forecast,
+        |  CAST(abs(d.y * 1000000 - tr.f_u) AS DOUBLE) / 1e6 AS abs_err
+        |FROM d2 d JOIN cut USING (grp)
+        |  LEFT JOIN tr ON tr.grp = d.grp AND tr.dow = d.dow
+        |WHERE d.day > cut.cut
+        |ORDER BY d.grp, d.day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.seasonalNaiveBacktest(t(s, dir, "events"),
+        "event_type", "ts")
+    },
+
+    // ——— weekly churn / retention: distinct actives per epoch-week,
+    //     carried-over vs lapsed against the previous week via one
+    //     co-partitioned self-join — exact BIGINT counts, NULL rates
+    //     where there is no predecessor week. ———
+    Q("q253_churn_rates",
+      """WITH uw AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |      AS week
+        |  FROM events
+        |), act AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM uw GROUP BY 1
+        |), ret AS (
+        |  SELECT a.week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_retained
+        |  FROM uw a JOIN uw b ON b.u = a.u AND b.week = a.week + 1
+        |  GROUP BY 1
+        |), prev AS (
+        |  SELECT week + 1 AS week, n_active AS n_prev FROM act
+        |)
+        |SELECT act.week, act.n_active, prev.n_prev,
+        |  CASE WHEN prev.n_prev IS NOT NULL
+        |    THEN COALESCE(ret.n_retained, 0) END AS n_retained,
+        |  CASE WHEN prev.n_prev IS NOT NULL
+        |    THEN prev.n_prev - COALESCE(ret.n_retained, 0) END AS n_churned,
+        |  CASE WHEN prev.n_prev IS NOT NULL THEN
+        |    round(CAST(prev.n_prev - COALESCE(ret.n_retained, 0) AS DOUBLE)
+        |      / prev.n_prev, 6) END AS churn_rate,
+        |  CASE WHEN prev.n_prev IS NOT NULL THEN
+        |    round(CAST(COALESCE(ret.n_retained, 0) AS DOUBLE)
+        |      / prev.n_prev, 6) END AS retention_rate
+        |FROM act LEFT JOIN prev USING (week) LEFT JOIN ret USING (week)
+        |ORDER BY week""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.weeklyChurn(t(s, dir, "events"), "user_id", "ts")
     }
   )
 

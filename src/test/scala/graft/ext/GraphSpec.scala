@@ -351,4 +351,49 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(capped.toSet === Set(("p", "r")))
   }
+
+  test("modularity: two cliques joined by one bridge score near-optimal") {
+    // K4 ∪ K4 + 1 bridge: m = 13; with the true 2-community labels
+    // Q = 2·(6/13 − (13/26)²) = 12/13 − 1/2 ≈ 0.423
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val left = Seq("a1", "a2", "a3", "a4")
+    val right = Seq("b1", "b2", "b3", "b4")
+    val edges = (clique(left) ++ clique(right) :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val labels = (left.map((_, "L")) ++ right.map((_, "R")))
+      .toDF("node", "label")
+    val out = Graph.modularity(edges, labels).collect()
+    assert(out.map(_.getAs[String]("community")).sorted === Array("L", "R"))
+    val q = out.map(_.getAs[Double]("dq")).sum
+    assert(math.abs(q - (12.0 / 13 - 0.5)) < 1e-6, s"Q=$q")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 4L)
+      assert(r.getAs[Long]("within_edges") === 6L)
+      assert(r.getAs[Long]("degree_sum") === 13L) // 2·6 within + bridge
+    }
+  }
+
+  test("modularity: everything in one community scores exactly zero") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val labels = Seq("a", "b", "c", "d").map((_, "all")).toDF("node", "label")
+    val out = Graph.modularity(edges, labels).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("dq") === 0.0) // L_c/m = 1, (d_c/2m)² = 1
+  }
+
+  test("modularity: unlabeled nodes become singleton communities") {
+    val edges = Seq(("a", "b"), ("b", "x")).toDF("src", "dst")
+    val labels = Seq(("a", "g"), ("b", "g")).toDF("node", "label")
+    val out = Graph.modularity(edges, labels).collect()
+      .map(r => r.getAs[String]("community") -> r).toMap
+    assert(out.keySet === Set("g", "x"))
+    assert(out("x").getAs[Long]("n_nodes") === 1L)
+    assert(out("x").getAs[Long]("within_edges") === 0L)
+    assert(out("g").getAs[Long]("within_edges") === 1L)
+    // contributions still sum to the partition's Q over m=2 edges:
+    // Q = (1/2 − (3/4)²) + (0 − (1/4)²) = −1/8
+    val q = out.values.map(_.getAs[Double]("dq")).sum
+    assert(math.abs(q - (-0.125)) < 1e-6, s"Q=$q")
+  }
 }

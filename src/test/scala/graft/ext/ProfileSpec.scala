@@ -966,4 +966,224 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Boolean]("holds") === true)
     assert(r.isNullAt(r.fieldIndex("confidence")))
   }
+
+  test("acfDaily: period-2 alternating series has acf(1) < 0 < acf(2)") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    // 20 days alternating 2,6,2,6,... events/day
+    val rows = (0 until 20).flatMap { d =>
+      val k = if (d % 2 == 0) 2 else 6
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.acfDaily(rows.toDF("event_type", "ts"),
+        "event_type", "ts", maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Double]("acf") < -0.9)
+    assert(out(2L).getAs[Double]("acf") > 0.9)
+    assert(out(1L).getAs[Long]("n_pairs") === 19L)
+  }
+
+  test("acfDaily: constant series reports NULL (zero variance), gaps drop pairs") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // constant 1/day on days 0..5 and 10..15 (gap 6..9)
+    val days = (0 to 5) ++ (10 to 15)
+    val rows = days.map(d => ("a", ts(d)))
+    val out = Profile.acfDaily(rows.toDF("event_type", "ts"),
+        "event_type", "ts", maxLag = 1).collect()
+    assert(out.length === 1)
+    // day-aligned: pairs only where day-1 exists → 5 + 5
+    assert(out(0).getAs[Long]("n_pairs") === 10L)
+    assert(out(0).isNullAt(out(0).fieldIndex("acf")))
+  }
+
+  test("mutualInformation: independent columns → MI 0; copies → MI = H") {
+    val indep = (for (x <- 0 until 4; y <- 0 until 4) yield (s"x$x", s"y$y"))
+      .toDF("a", "b")
+    val ri = Profile.mutualInformation(indep, col("a"), col("b"), "i")
+      .collect()(0)
+    assert(math.abs(ri.getAs[Double]("mi")) < 1e-6)
+    val copy = (0 until 4).flatMap(x => Seq.fill(x + 1)((s"v$x", s"v$x")))
+      .toDF("a", "b")
+    val rc = Profile.mutualInformation(copy, col("a"), col("b"), "c")
+      .collect()(0)
+    assert(math.abs(rc.getAs[Double]("mi") - rc.getAs[Double]("h_x")) < 1e-6)
+    assert(math.abs(rc.getAs[Double]("nmi") - 1.0) < 1e-6)
+  }
+
+  test("mutualInformation: constant column has zero entropy and null nmi") {
+    val df = Seq(("k", "p"), ("k", "q"), ("k", "r")).toDF("a", "b")
+    val r = Profile.mutualInformation(df, col("a"), col("b"), "z")
+      .collect()(0)
+    assert(r.getAs[Double]("h_x") === 0.0)
+    assert(r.getAs[Double]("mi") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+  }
+
+  test("encodingAudit: run structure, NDV and the three recommendations") {
+    // key 0..99 in one bucket; three columns engineered per branch:
+    // rle: 100 rows in 2 runs; dict: 5 distinct over 100 rows (but
+    // alternating → 100 runs); plain: all-distinct values
+    val rows = (0 until 100).map { k =>
+      (k.toLong, if (k < 50) "aa" else "bb", s"v${k % 5}", s"u$k")
+    }
+    val out = Profile.encodingAudit(
+        rows.toDF("k", "c_rle", "c_dict", "c_plain"), "k",
+        Seq("c_rle", "c_dict", "c_plain"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(out("c_rle").getAs[Long]("n_runs") === 2L)
+    assert(out("c_rle").getAs[String]("recommended") === "rle")
+    assert(out("c_dict").getAs[Long]("ndv") === 5L)
+    assert(out("c_dict").getAs[String]("recommended") === "dictionary")
+    assert(out("c_plain").getAs[Long]("ndv") === 100L)
+    assert(out("c_plain").getAs[String]("recommended") === "plain")
+    assert(out("c_rle").getAs[Long]("raw_bytes") === 200L)
+    assert(out("c_rle").getAs[Long]("dict_bytes") === 4L + 400L)
+  }
+
+  test("encodingAudit: bucket boundaries start new runs; nulls join runs") {
+    // one constant column split across two key buckets → 2 runs
+    val rows = (0 until 2048).map(k => (k.toLong, "same"))
+    val out = Profile.encodingAudit(rows.toDF("k", "c"), "k", Seq("c"))
+      .collect()(0)
+    assert(out.getAs[Long]("n_runs") === 2L)
+    // null runs: null,null,x,null → 3 runs (null-safe equality)
+    val nz = Seq((0L, null), (1L, null), (2L, "x"), (3L, null))
+      .toDF("k", "c")
+    val rn = Profile.encodingAudit(nz, "k", Seq("c")).collect()(0)
+    assert(rn.getAs[Long]("n_runs") === 3L)
+    assert(rn.getAs[Long]("n_nulls") === 3L)
+  }
+
+  test("decayScores: a cents-equal recent user outranks an old one 2^w-fold") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    val rows = Seq(
+      ("new", ts(70), 800.0),  // week 0 vs ref day 70
+      ("old", ts(0), 800.0),   // 10 weeks earlier → weight 2^-10
+      ("mid", ts(63), 400.0))  // week 1 → half weight
+    val out = Profile.decayScores(rows.toDF("u", "ts", "v"), "u", "ts",
+        round(col("v") * 100)).collect()
+    assert(out.map(_.getAs[String]("entity")).toSeq ===
+      Seq("new", "mid", "old")) // 800, 200, 800/1024
+    val m = out.map(r => r.getAs[String]("entity") ->
+      r.getAs[Double]("score")).toMap
+    assert(m("new") === 800.0)
+    assert(m("mid") === 200.0)
+    assert(math.abs(m("old") - 800.0 / 1024) < 1e-6)
+  }
+
+  test("decayScores: ages beyond wCap clamp instead of vanishing") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    val rows = Seq(("ancient", ts(0), 1024.0), ("now", ts(7 * 30), 1.0))
+    val out = Profile.decayScores(rows.toDF("u", "ts", "v"), "u", "ts",
+        round(col("v") * 100), wCap = 20).collect()
+      .map(r => r.getAs[String]("entity") -> r.getAs[Double]("score")).toMap
+    // 30 weeks old but clamped to 2^-20: 1024/2^20 ≈ 0.000977 ≠ 0
+    assert(out("ancient") > 0.0)
+    assert(out("ancient") === 0.000977) // round(1024/2^20, 6)
+  }
+
+  test("infoGain: perfect predictor gains H(label); pure noise gains 0") {
+    // label == feature f_copy (gain = H); f_const carries nothing
+    val rows = (0 until 12).map(i => (s"l${i % 3}", s"l${i % 3}", "k"))
+    val out = Profile.infoGain(rows.toDF("lab", "f_copy", "f_const"),
+        col("lab"),
+        Seq("f_copy" -> col("f_copy"), "f_const" -> col("f_const")))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    val copy = out("f_copy")
+    assert(math.abs(copy.getAs[Double]("info_gain") -
+      copy.getAs[Double]("h_label")) < 1e-6)
+    assert(math.abs(copy.getAs[Double]("gain_ratio") - 1.0) < 1e-6)
+    val const = out("f_const")
+    assert(math.abs(const.getAs[Double]("info_gain")) < 1e-6)
+    assert(const.isNullAt(const.fieldIndex("gain_ratio"))) // H(const)=0
+    assert(const.getAs[Long]("n_values") === 1L)
+  }
+
+  test("infoGain: independent feature gains ~0 despite own entropy") {
+    val rows = for (l <- 0 until 2; f <- 0 until 4; _ <- 0 until 3)
+      yield (s"l$l", s"f$f")
+    val r = Profile.infoGain(rows.toDF("lab", "f"), col("lab"),
+      Seq("f" -> col("f"))).collect()(0)
+    assert(math.abs(r.getAs[Double]("info_gain")) < 1e-6)
+    assert(r.getAs[Double]("h_cond") > 0.0)
+  }
+
+  test("saxMotifs: planted sawtooth yields the alternating motif on top") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    // low(2)/high(8) alternating 30 days → symbols alternate low/high
+    val rows = (0 until 30).flatMap { d =>
+      val k = if (d % 2 == 0) 2 else 8
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.saxMotifs(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    assert(out.length <= 3)
+    val top = out.head
+    assert(top.getAs[Long]("rk") === 1L)
+    // only two motifs exist (ada/dad with breakpoints at ±0.6745);
+    // 28 grams split 14/14 → top ties break lexicographically
+    val motifs = out.map(_.getAs[String]("motif")).toSet
+    assert(motifs.subsetOf(Set("ada", "dad")), motifs.toString)
+    assert(out.map(_.getAs[Long]("n_occurrences")).sum === 28L)
+  }
+
+  test("saxMotifs: constant series symbolizes all-c (zero variance)") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    val rows = (0 until 10).map(d => ("a", ts(d)))
+    val out = Profile.saxMotifs(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("motif") === "ccc")
+    assert(out(0).getAs[Long]("n_occurrences") === 8L)
+  }
+
+  test("seasonalNaiveBacktest: repeating weekly pattern forecasts exactly") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    // 28 days, count = 3 + dow: last 7 days forecast error 0
+    val rows = (0 until 28).flatMap { d =>
+      val k = 3 + (d + 4) % 7
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.seasonalNaiveBacktest(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      assert(r.getAs[Double]("abs_err") === 0.0, r.toString)
+      assert(r.getAs[Double]("forecast") ===
+        (3 + r.getAs[Long]("dow")).toDouble, r.toString)
+    }
+  }
+
+  test("seasonalNaiveBacktest: unseen dow in training reports NULL") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // cut = 10 − 7 = 3 → train days {0,1,2} (dows 4,5,6); held-out
+    // day 10 has dow (10+4)%7 = 0 — never seen in training
+    val rows = Seq(0, 1, 2, 10).map(d => ("a", ts(d)))
+    val out = Profile.seasonalNaiveBacktest(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    val d10 = out.find(_.getAs[Long]("day") === 10L).get
+    assert(d10.isNullAt(d10.fieldIndex("forecast")))
+    assert(d10.isNullAt(d10.fieldIndex("abs_err")))
+  }
+
+  test("weeklyChurn: planted cohort turnover produces exact rates") {
+    def ts(week: Int, u: String) = new java.sql.Timestamp(
+      week.toLong * 7 * 86400000L)
+    // week0: {a,b,c,d}; week1: {c,d,e}; week2: {e}
+    val rows = Seq("a", "b", "c", "d").map(u => (u, ts(0, u))) ++
+      Seq("c", "d", "e").map(u => (u, ts(1, u))) ++
+      Seq(("e", ts(2, "e")))
+    val out = Profile.weeklyChurn(rows.toDF("u", "ts"), "u", "ts")
+      .collect().map(r => r.getAs[Long]("week") -> r).toMap
+    assert(out(0L).isNullAt(out(0L).fieldIndex("churn_rate")))
+    assert(out(1L).getAs[Long]("n_retained") === 2L)
+    assert(out(1L).getAs[Long]("n_churned") === 2L)
+    assert(out(1L).getAs[Double]("churn_rate") === 0.5)
+    assert(out(2L).getAs[Long]("n_retained") === 1L)
+    assert(out(2L).getAs[Double]("retention_rate") ===
+      math.round(1e6 / 3.0) / 1e6)
+  }
 }

@@ -454,6 +454,39 @@ class StreamingSpec extends SparkSpec {
     assert(m.size === 3)
   }
 
+  test("transitionMatrix2: matrix square of the hand chain, quantized terms") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // same chain as above: P(A,B)=2/3, P(A,C)=1/3, P(B,A)=1
+    // P²(A,A) = P(A,B)·P(B,A) = 2/3; P²(B,B) = P(B,A)·P(A,B) = 2/3;
+    // P²(B,C) = 1·1/3; P²(A,·) has no path through C (absorbing)
+    val ev = Seq(
+      (1L, 1L, "A", t(0)), (2L, 1L, "B", t(1)),
+      (3L, 1L, "A", t(2)), (4L, 1L, "B", t(3)),
+      (5L, 2L, "A", t(0)), (6L, 2L, "C", t(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = graft.ext.Streaming.transitionMatrix2(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("p2"))).toMap
+    assert(m.keySet === Set(("A", "A"), ("B", "B"), ("B", "C")))
+    assert(math.abs(m(("A", "A"))._2 - 2.0 / 3) < 1e-6)
+    assert(m(("A", "A"))._1 === 1L) // one middle state (B)
+    assert(math.abs(m(("B", "B"))._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(m(("B", "C"))._2 - 1.0 / 3) < 1e-6)
+  }
+
+  test("transitionMatrix2: two-hop mass from a state sums to ≤ 1") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = (0 until 40).map { i =>
+      (i.toLong, (i % 4).toLong, Seq("A", "B", "C")(i % 3), t(i.toLong))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val rowsSum = graft.ext.Streaming.transitionMatrix2(ev).collect()
+      .groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("p2")).sum }
+    rowsSum.foreach(s => assert(s <= 1.0 + 1e-6 && s > 0.0, s.toString))
+  }
+
   test("interArrivalStats: nearest-rank median/p95 over hand gaps") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000L)
