@@ -435,8 +435,11 @@ object Graph {
       .join(broadcast(lab), Seq("node"), "left")
       .select(coalesce(col("lab"), col("node")).as("community"))
       .groupBy("community").agg(count(lit(1)).as("n_nodes"))
-    degc.join(within, Seq("community"), "left")
-      .join(nodes, Seq("community"), "left")
+    // within/nodes are community-dictionary frames — bounded by the
+    // label map that already rides a broadcast, so these joins
+    // broadcast too (ScaleSpec pins the no-SMJ shape)
+    degc.join(broadcast(within), Seq("community"), "left")
+      .join(broadcast(nodes), Seq("community"), "left")
       .crossJoin(broadcast(m))
       .select(col("community"),
         coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),

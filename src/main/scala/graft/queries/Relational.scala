@@ -4068,6 +4068,235 @@ object Relational {
         |FROM act LEFT JOIN prev USING (week) LEFT JOIN ret USING (week)
         |ORDER BY week""".stripMargin) { (s, dir) =>
       graft.ext.Profile.weeklyChurn(t(s, dir, "events"), "user_id", "ts")
+    },
+
+    // ——— one-way ANOVA: η² + F for "does the grouping explain the
+    //     money column" — group sums exact BIGINT, squared sums via
+    //     DECIMAL(38,0)/HUGEINT, per-group variance fractions
+    //     1e12-quantized before the cross-group sum. ———
+    Q("q254_anova",
+      """WITH b1 AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |), g1 AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(v) AS BIGINT) AS sg FROM b1 GROUP BY 1
+        |), t1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q FROM b1
+        |), d1 AS (
+        |  SELECT g1.ng, t1.n,
+        |    CAST(CAST(t1.n AS HUGEINT) * t1.q -
+        |      CAST(t1.s AS HUGEINT) * t1.s AS DOUBLE) AS sst_raw,
+        |    CAST(CAST(g1.sg AS HUGEINT) * t1.n -
+        |      CAST(t1.s AS HUGEINT) * g1.ng AS DOUBLE) AS dev
+        |  FROM g1 CROSS JOIN t1
+        |), a1 AS (
+        |  SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    MAX(sst_raw) AS sst_raw,
+        |    CAST(SUM(CASE WHEN sst_raw > 0 THEN
+        |      CAST(round(dev * dev / (CAST(ng AS DOUBLE) *
+        |        CAST(n AS DOUBLE) * sst_raw) * 1e12) AS BIGINT)
+        |      END) AS BIGINT) AS eta_u
+        |  FROM d1
+        |), r1 AS (
+        |  SELECT 'priority~totalprice' AS analysis, n, k,
+        |    CASE WHEN sst_raw > 0
+        |      THEN round(CAST(eta_u AS DOUBLE) / 1e12, 6) END AS eta2,
+        |    CASE WHEN sst_raw > 0 AND k > 1 AND eta_u < 1000000000000
+        |        AND n > k THEN
+        |      round((CAST(eta_u AS DOUBLE) / 1e12 / CAST(k - 1 AS DOUBLE)) /
+        |        ((1.0 - CAST(eta_u AS DOUBLE) / 1e12) /
+        |          CAST(n - k AS DOUBLE)), 6) END AS f_stat
+        |  FROM a1
+        |), b2 AS (
+        |  SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer
+        |), g2 AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(v) AS BIGINT) AS sg FROM b2 GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q FROM b2
+        |), d2 AS (
+        |  SELECT g2.ng, t2.n,
+        |    CAST(CAST(t2.n AS HUGEINT) * t2.q -
+        |      CAST(t2.s AS HUGEINT) * t2.s AS DOUBLE) AS sst_raw,
+        |    CAST(CAST(g2.sg AS HUGEINT) * t2.n -
+        |      CAST(t2.s AS HUGEINT) * g2.ng AS DOUBLE) AS dev
+        |  FROM g2 CROSS JOIN t2
+        |), a2 AS (
+        |  SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    MAX(sst_raw) AS sst_raw,
+        |    CAST(SUM(CASE WHEN sst_raw > 0 THEN
+        |      CAST(round(dev * dev / (CAST(ng AS DOUBLE) *
+        |        CAST(n AS DOUBLE) * sst_raw) * 1e12) AS BIGINT)
+        |      END) AS BIGINT) AS eta_u
+        |  FROM d2
+        |), r2 AS (
+        |  SELECT 'segment~acctbal' AS analysis, n, k,
+        |    CASE WHEN sst_raw > 0
+        |      THEN round(CAST(eta_u AS DOUBLE) / 1e12, 6) END AS eta2,
+        |    CASE WHEN sst_raw > 0 AND k > 1 AND eta_u < 1000000000000
+        |        AND n > k THEN
+        |      round((CAST(eta_u AS DOUBLE) / 1e12 / CAST(k - 1 AS DOUBLE)) /
+        |        ((1.0 - CAST(eta_u AS DOUBLE) / 1e12) /
+        |          CAST(n - k AS DOUBLE)), 6) END AS f_stat
+        |  FROM a2
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY analysis""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.anovaOneWay(t(s, dir, "orders"),
+          col("o_orderpriority"), round(col("o_totalprice") * 100),
+          "priority~totalprice")
+        .unionByName(graft.ext.Profile.anovaOneWay(t(s, dir, "customer"),
+          col("c_mktsegment"), round(col("c_acctbal") * 100),
+          "segment~acctbal"))
+        .orderBy("analysis")
+    },
+
+    // ——— before/after Poisson rate shift per event type: split the
+    //     day span at its integer midpoint, exact counts per half,
+    //     rate ratio + Wald z — "did this stream speed up or die". ———
+    Q("q255_rate_shift",
+      """WITH d AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT CAST(MIN(day) AS BIGINT) AS mind,
+        |    CAST(MAX(day) AS BIGINT) AS maxd,
+        |    CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid
+        |  FROM d
+        |), h AS (
+        |  SELECT grp, CAST(MAX(sp.mid - sp.mind + 1) AS BIGINT) AS t1,
+        |    CAST(MAX(sp.maxd - sp.mid) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN day <= sp.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN day > sp.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM d CROSS JOIN sp GROUP BY 1
+        |)
+        |SELECT grp, t1 AS days_pre, t2 AS days_post, n1 AS n_pre,
+        |  n2 AS n_post,
+        |  round(CAST(n1 AS DOUBLE) / t1, 6) AS rate_pre,
+        |  round(CAST(n2 AS DOUBLE) / t2, 6) AS rate_post,
+        |  CASE WHEN n1 > 0 THEN round((CAST(n2 AS DOUBLE) / t2) /
+        |    (CAST(n1 AS DOUBLE) / t1), 6) END AS rate_ratio,
+        |  CASE WHEN n1 + n2 > 0 THEN round(
+        |    (CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1) /
+        |    sqrt(CAST(n1 AS DOUBLE) / t1 / t1 +
+        |      CAST(n2 AS DOUBLE) / t2 / t2), 6) END AS z
+        |FROM h ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.rateShift(t(s, dir, "events"), "event_type", "ts")
+    },
+
+    // ——— Hill tail-index estimator over the top-500 order totals:
+    //     TakeOrdered cut, 1e9-quantized log terms, α̂ = k/Σln —
+    //     the tail-risk companion to Zipf/Benford/Lorenz. ———
+    Q("q256_hill_tail",
+      """WITH top AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderkey AS kk
+        |  FROM orders ORDER BY c DESC, kk LIMIT 501
+        |), xt AS (
+        |  SELECT CAST(MIN(c) AS BIGINT) AS x_tail,
+        |    CAST(COUNT(*) AS BIGINT) AS n_top FROM top
+        |), su AS (
+        |  SELECT CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / xt.x_tail)
+        |    * 1e9) AS BIGINT)) AS BIGINT) AS sum_u
+        |  FROM top CROSS JOIN xt
+        |)
+        |SELECT 'o_totalprice' AS measure, CAST(500 AS BIGINT) AS k,
+        |  xt.n_top, xt.x_tail,
+        |  CASE WHEN su.sum_u > 0 THEN round(CAST(500 AS DOUBLE) /
+        |    (CAST(su.sum_u AS DOUBLE) / 1e9), 6) END AS alpha
+        |FROM xt CROSS JOIN su""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.hillTail(t(s, dir, "orders"),
+        round(col("o_totalprice") * 100), col("o_orderkey"), 500,
+        "o_totalprice")
+    },
+
+    // ——— Flesch reading-ease / FK grade per source with a
+    //     vowel-group syllable proxy: three regex counts per doc
+    //     (identical char-class patterns both engines), per-doc
+    //     1e6-quantized scores, per-source integer means. ———
+    Q("q257_readability",
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, w, syl,
+        |    CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / sent) -
+        |      84.6 * (CAST(syl AS DOUBLE) / greatest(w, 1))) * 1e6)
+        |      AS BIGINT) AS fre_u,
+        |    CAST(round((0.39 * (CAST(w AS DOUBLE) / sent) +
+        |      11.8 * (CAST(syl AS DOUBLE) / greatest(w, 1)) - 15.59) * 1e6)
+        |      AS BIGINT) AS fk_u
+        |  FROM c
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(syl) AS BIGINT) AS n_syllables,
+        |  CAST(CAST(round(CAST(SUM(fre_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS avg_fre,
+        |  CAST(CAST(round(CAST(SUM(fk_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS avg_fk_grade
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.readability(t(s, dir, "documents"))
+    },
+
+    // ——— zone-map skip audit over lineitem's 1024-key buckets: how
+    //     many simulated row groups a min/max zone map skips per
+    //     range predicate, plus the rows-scanned-if-sorted
+    //     counterfactual — the quantified case for q85's Z-order. ———
+    Q("q258_zonemap_skip", {
+      val preds = Seq(
+        ("l_extprice<2000", "CAST(round(l_extendedprice * 100) AS BIGINT)",
+          "-9223372036854775807", "199999"),
+        ("l_orderkey=1024", "l_orderkey", "1024", "1024"),
+        ("l_quantity>=45", "CAST(l_quantity AS BIGINT)", "45",
+          "9223372036854775807"))
+      val ctes = preds.zipWithIndex.map { case ((_, vexpr, lo, hi), i) =>
+        s"""z$i AS (
+           |  SELECT b, CAST(MIN(v) AS BIGINT) AS zmin,
+           |    CAST(MAX(v) AS BIGINT) AS zmax,
+           |    CAST(COUNT(*) AS BIGINT) AS rows_,
+           |    CAST(SUM(CASE WHEN v >= $lo AND v <= $hi THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS m
+           |  FROM (SELECT l_orderkey // 1024 AS b, $vexpr AS v
+           |        FROM lineitem) GROUP BY 1
+           |), a$i AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           |    CAST(SUM(CASE WHEN zmax < $lo OR zmin > $hi THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_skippable,
+           |    CAST(SUM(CASE WHEN zmax < $lo OR zmin > $hi THEN 0
+           |      ELSE rows_ END) AS BIGINT) AS rows_scanned,
+           |    CAST(SUM(m) AS BIGINT) AS rows_matching
+           |  FROM z$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = preds.zipWithIndex.map { case ((name, _, _, _), i) =>
+        s"""SELECT '$name' AS predicate, n_buckets, n_skippable,
+           |  round(CAST(n_skippable AS DOUBLE) / n_buckets, 6) AS skip_frac,
+           |  rows_scanned, rows_matching,
+           |  ((rows_matching + 1023) // 1024) * 1024
+           |    AS est_sorted_scan_rows
+           |FROM a$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$rows\nORDER BY predicate"
+    }) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.ext.Profile.zonemapSkipAudit(li, "l_orderkey", Seq(
+        ("l_extprice<2000", round(col("l_extendedprice") * 100),
+          -9223372036854775807L, 199999L),
+        ("l_orderkey=1024", col("l_orderkey"), 1024L, 1024L),
+        ("l_quantity>=45", col("l_quantity"), 45L, 9223372036854775807L)))
     }
   )
 

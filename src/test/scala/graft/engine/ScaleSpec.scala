@@ -421,6 +421,112 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("modularity plan: label map broadcasts; no cartesian pair space") {
+    import spark.implicits._
+    val edges = (0 until 200).map(i => (s"n${i % 20}", s"n${(i * 3 + 1) % 19}"))
+      .toDF("src", "dst")
+    val labels = (0 until 25).map(i => (s"n$i", s"c${i % 4}"))
+      .toDF("node", "label")
+    val plan = graft.ext.Graph.modularity(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"label attach must broadcast (node dictionary sized):\n$plan")
+  }
+
+  test("acf plan: row-scale work collapses to the daily dictionary first") {
+    val ev = Tables.load(spark, sf001, "events")
+    val df = graft.ext.Profile.acfDaily(ev, "event_type", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // daily rollup, the lag self-join, the (grp,lag) agg, final sort —
+    // everything after the first agg is days×groups sized
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"expected <= 4 hash exchanges:\n$plan")
+  }
+
+  test("mutual information / info gain plans: marginals broadcast, no SMJ") {
+    val ords = orders
+    val mi = graft.ext.Profile.mutualInformation(ords,
+      col("o_orderstatus"), col("o_orderpriority"), "t")
+    assert(!mi.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val ig = graft.ext.Profile.infoGain(ords, col("o_orderstatus"),
+      Seq("p" -> col("o_orderpriority")))
+    val plan = ig.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("encoding audit plan: windows partition by bucket, never one reducer") {
+    val plan = graft.ext.Profile.encodingAudit(orders, "o_orderkey",
+      Seq("o_orderstatus")).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_b"),
+      s"run-count window must partition by bucket:\n$plan")
+  }
+
+  test("decay scores / hill tail plans: top-k via TakeOrdered, no global sort") {
+    val ev = Tables.load(spark, sf001, "events")
+    val ds = graft.ext.Profile.decayScores(ev, "user_id", "ts",
+      round(col("value") * 100)).queryExecution.executedPlan.toString
+    assert(ds.contains("TakeOrderedAndProject"), ds)
+    val ht = graft.ext.Profile.hillTail(orders,
+      round(col("o_totalprice") * 100), col("o_orderkey"), 100, "t")
+      .queryExecution.executedPlan.toString
+    assert(ht.contains("TakeOrderedAndProject"), ht)
+  }
+
+  test("markov squaring plan: runs on the types dictionary, no cartesian") {
+    val ev = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Streaming.transitionMatrix2(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sax motifs / backtest plans: group-partitioned windows, broadcast stats") {
+    val ev = Tables.load(spark, sf001, "events")
+    val sax = graft.ext.Profile.saxMotifs(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!sax.contains("SortMergeJoin"), sax)
+    assert(sax.contains("hashpartitioning(grp"),
+      s"3-gram window must partition by group:\n$sax")
+    val bt = graft.ext.Profile.seasonalNaiveBacktest(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!bt.contains("SortMergeJoin"),
+      s"cut + training means are dictionary broadcasts:\n$bt")
+  }
+
+  test("anova / rate shift plans: join-free reductions over group dictionaries") {
+    val an = graft.ext.Profile.anovaOneWay(orders, col("o_orderpriority"),
+      round(col("o_totalprice") * 100), "t")
+      .queryExecution.executedPlan.toString
+    assert(!an.contains("SortMergeJoin"), an)
+    assert(!an.contains("CartesianProduct"), an)
+    val ev = Tables.load(spark, sf001, "events")
+    val rs = graft.ext.Profile.rateShift(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!rs.contains("SortMergeJoin"), rs)
+  }
+
+  test("readability / zonemap plans: map-only scans, no joins anywhere") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rd = graft.ext.Profile.readability(docs)
+      .queryExecution.executedPlan.toString
+    assert(!rd.contains("Join"), rd)
+    val zm = graft.ext.Profile.zonemapSkipAudit(li, "l_orderkey",
+      Seq(("q45", col("l_quantity"), 45L, Long.MaxValue)))
+      .queryExecution.executedPlan.toString
+    assert(!zm.contains("Join"), zm)
+  }
+
+  test("weekly churn plan: shifted self-join stays equi on (entity, week)") {
+    val ev = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Profile.weeklyChurn(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

@@ -1169,6 +1169,107 @@ class ProfileSpec extends SparkSpec {
     assert(d10.isNullAt(d10.fieldIndex("abs_err")))
   }
 
+  test("anovaOneWay: planted group separation reproduces exact eta2 and F") {
+    // A={1,3}, B={101,103} cents: SSB=10000, SSW=4 → η²=10000/10004,
+    // F = (SSB/1)/(SSW/2) = 5000
+    val rows = Seq(("A", 1L), ("A", 3L), ("B", 101L), ("B", 103L))
+    val r = Profile.anovaOneWay(rows.toDF("g", "v"), col("g"), col("v"),
+      "t").collect()(0)
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("k") === 2L)
+    assert(math.abs(r.getAs[Double]("eta2") - 10000.0 / 10004) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - 5000.0) < 0.01)
+  }
+
+  test("anovaOneWay: zero variance → NULL; saturated eta2 → NULL F") {
+    val const = Seq(("A", 5L), ("B", 5L), ("B", 5L))
+    val rc = Profile.anovaOneWay(const.toDF("g", "v"), col("g"), col("v"),
+      "c").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("eta2")))
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+    // perfect separation with zero within-variance: η² = 1 → F null
+    val sep = Seq(("A", 1L), ("A", 1L), ("B", 9L), ("B", 9L))
+    val rs = Profile.anovaOneWay(sep.toDF("g", "v"), col("g"), col("v"),
+      "s").collect()(0)
+    assert(rs.getAs[Double]("eta2") === 1.0)
+    assert(rs.isNullAt(rs.fieldIndex("f_stat")))
+  }
+
+  test("rateShift: planted 3x acceleration yields ratio 3 and Wald z") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i) * 1000L)
+    // days 0..9 → mid 4; 1/day pre, 3/day post
+    val rows = (0 to 4).map(d => ("up", ts(d, 0))) ++
+      (5 to 9).flatMap(d => (0 until 3).map(i => ("up", ts(d, i))))
+    val r = Profile.rateShift(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(r.getAs[Long]("days_pre") === 5L)
+    assert(r.getAs[Long]("days_post") === 5L)
+    assert(r.getAs[Long]("n_pre") === 5L && r.getAs[Long]("n_post") === 15L)
+    assert(r.getAs[Double]("rate_ratio") === 3.0)
+    // z = (3−1)/√(5/25 + 15/25) = 2/√0.8
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(0.8)) < 1e-6)
+  }
+
+  test("hillTail: exact Pareto order statistics recover the closed form") {
+    // x_i = C/i: ln(x_i/x_{k+1}) = ln((k+1)/i); α = k / Σ_{i≤k} ln((k+1)/i)
+    val n = 60
+    def v(i: Int): Long = 7207200L / i // truncating, mirrored below
+    val rows = (1 to n).map(i => (i.toLong, v(i)))
+    val k = 10
+    val out = Profile.hillTail(rows.toDF("kk", "c"), col("c"), col("kk"),
+      k, "t").collect()(0)
+    val expected = k / (1 to k).map(i =>
+      math.log(v(i).toDouble / v(k + 1).toDouble)).sum
+    assert(out.getAs[Long]("n_top") === (k + 1).toLong)
+    assert(out.getAs[Long]("x_tail") === 7207200L / (k + 1))
+    assert(math.abs(out.getAs[Double]("alpha") - expected) < 1e-4)
+  }
+
+  test("hillTail: flat top (all equal) reports NULL alpha") {
+    val rows = (1 to 40).map(i => (i.toLong, 100L))
+    val out = Profile.hillTail(rows.toDF("kk", "c"), col("c"), col("kk"),
+      10, "flat").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("alpha")))
+  }
+
+  test("readability: hand-counted two-sentence doc scores exactly") {
+    // 6 words, 2 sentences, 6 single-vowel-group words:
+    // wps=3, spw=1 → FRE = 206.835 − 3.045 − 84.6 = 119.19
+    //                FK = 1.17 + 11.8 − 15.59 = −2.62
+    val docs = Seq(("s1", "The cat sat. The dog ran!")).toDF("source", "text")
+    val r = Profile.readability(docs).collect()(0)
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("n_syllables") === 6L)
+    assert(math.abs(r.getAs[Double]("avg_fre") - 119.19) < 1e-4)
+    assert(math.abs(r.getAs[Double]("avg_fk_grade") - (-2.62)) < 1e-4)
+  }
+
+  test("zonemapSkipAudit: clustered key skips; scattered column cannot") {
+    val rows = (0 until 4096).map(k => (k.toLong, k.toLong, (k % 7).toLong))
+    val df = rows.toDF("k", "v_sorted", "v_scattered")
+    val out = Profile.zonemapSkipAudit(df, "k", Seq(
+        ("point", col("v_sorted"), 1024L, 1024L),
+        ("none", col("v_sorted"), 5000L, 9999L),
+        ("scatter", col("v_scattered"), 3L, 3L)))
+      .collect().map(r => r.getAs[String]("predicate") -> r).toMap
+    val p = out("point")
+    assert(p.getAs[Long]("n_buckets") === 4L)
+    assert(p.getAs[Long]("n_skippable") === 3L)
+    assert(p.getAs[Long]("rows_scanned") === 1024L)
+    assert(p.getAs[Long]("rows_matching") === 1L)
+    assert(p.getAs[Long]("est_sorted_scan_rows") === 1024L)
+    val z = out("none")
+    assert(z.getAs[Long]("n_skippable") === 4L)
+    assert(z.getAs[Long]("rows_scanned") === 0L)
+    assert(z.getAs[Long]("est_sorted_scan_rows") === 0L)
+    val s = out("scatter")
+    assert(s.getAs[Long]("n_skippable") === 0L) // every zone spans 0..6
+    assert(s.getAs[Long]("rows_scanned") === 4096L)
+    assert(s.getAs[Long]("rows_matching") ===
+      rows.count(_._3 == 3L).toLong)
+    assert(s.getAs[Long]("est_sorted_scan_rows") === 1024L)
+  }
+
   test("weeklyChurn: planted cohort turnover produces exact rates") {
     def ts(week: Int, u: String) = new java.sql.Timestamp(
       week.toLong * 7 * 86400000L)
