@@ -99,4 +99,37 @@ object Privacy {
         round(col("n_flagged").cast("double") / col("n_docs"), 6))
       .orderBy("grp")
   }
+  /** Laplace-mechanism noisy counts with a DETERMINISTIC seeded
+    * draw — the release mechanics of a differentially-private count
+    * query (sensitivity 1, noise b = 1/ε via the standard inverse-CDF
+    * −b·sign(u−½)·ln(1−2|u−½|)), with the uniform u derived from the
+    * battery's md5 coin (key ⊕ salt) instead of a secret RNG. The
+    * operator demonstrates calibrated-release plumbing and is
+    * replayable under the oracle; a production deployment swaps the
+    * md5 coin for a real entropy source and this function does not
+    * pretend otherwise (a knowable seed is NOT differential privacy).
+    *
+    * Determinism: the ln term is a fixed expression of the md5
+    * uniform, 1e6-quantized; the noisy count is exact integer
+    * micro-arithmetic from there. Scale: one map-combinable count
+    * per key, noise applied on the key dictionary.
+    */
+  def dpCounts(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+               epsilon: Double = 1.0,
+               salt: String = "dp1"): org.apache.spark.sql.DataFrame = {
+    require(epsilon > 0.0, s"dpCounts: epsilon must be > 0, got $epsilon")
+    val counts = df.select(keyCol.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_true"))
+    val u = conv(substring(md5(concat(col("k"), lit(":" + salt))), 1, 15),
+      16, 10).cast("double") / lit(1152921504606846976.0) // 2^60
+    val noiseU = round(lit(-1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))) * lit(1e6)).cast("long")
+    counts.withColumn("noise_u", noiseU)
+      .select(col("k").as("key"), col("n_true"),
+        lit(epsilon).as("epsilon"),
+        (col("noise_u").cast("double") / 1e6).as("noise"),
+        ((col("n_true") * lit(1000000L) + col("noise_u")).cast("double") /
+          1e6).as("n_noisy"))
+      .orderBy("key")
+  }
 }

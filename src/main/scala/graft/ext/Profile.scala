@@ -859,6 +859,54 @@ object Profile {
       .orderBy("grp")
   }
 
+  /** Simpson's-paradox check: the pooled OLS slope of y on x versus
+    * each stratum's own slope — a stratum whose sign OPPOSES the
+    * pooled sign is the aggregation-reversal warning every
+    * "correlation by segment" dashboard needs stapled to it. Slopes
+    * reuse [[olsByGroup]]'s exact-integer sufficient statistics
+    * (micro-quantized), the pooled row rides the same output as
+    * stratum `__pooled__`, and `opposes_pooled` compares quantized
+    * signs so the flag cannot flip across engines. Zero-variance
+    * strata report NULL slope and no flag.
+    *
+    * Scale: one group rollup + one global rollup — both
+    * map-combinable single-pass aggregations.
+    */
+  def simpsonCheck(df: DataFrame, groupCol: String, xCol: Column,
+                   yCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val denX = nD * col("sxx") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slopeMicro = when(col("n") * col("sxx") =!= col("sx") * col("sx"),
+      floor(num / denX * lit(1e6) + lit(0.5)).cast("long"))
+    val strata = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp").as("stratum"), col("n"),
+        slopeMicro.as("slope_micro"))
+    val pooled = base
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(lit("__pooled__").as("stratum"), col("n"),
+        slopeMicro.as("slope_micro"))
+    val pm = pooled.select(col("slope_micro").as("pooled_micro"))
+    strata.unionByName(pooled)
+      .crossJoin(broadcast(pm))
+      .select(col("stratum"), col("n"),
+        (col("slope_micro").cast("double") / 1e6).as("slope"),
+        when(col("slope_micro").isNotNull && col("pooled_micro").isNotNull &&
+            col("stratum") =!= "__pooled__",
+          signum(col("slope_micro")) * signum(col("pooled_micro")) < 0.0)
+          .as("opposes_pooled"))
+      .orderBy("stratum")
+  }
+
   /** Calendar gap filling with forward fill: a complete day spine
     * (global [min, max] of the data) per group, observed daily
     * totals joined on, and gaps carrying the LAST observed value
@@ -1514,6 +1562,105 @@ object Profile {
       .orderBy("grp", "lag")
   }
 
+  /** Cross-correlation between every ordered pair of groups' daily
+    * count series at lags 0..`maxLag`: r(a,b,ℓ) correlates a's day-t
+    * count with b's day-(t−ℓ) count — the lead/lag discovery step
+    * ("do clicks predict purchases three days out") that [[acfDaily]]
+    * answers only within one series. Identical determinism contract:
+    * pairs align on actual day numbers, the six sufficient
+    * statistics are exact BIGINTs, zero variance → NULL. Self-pairs
+    * are excluded (that's acf's job); lag 0 keeps the contemporaneous
+    * correlation.
+    *
+    * Scale: one daily rollup, then a (group×group×lag) join of the
+    * day dictionary against itself — |groups|²·(maxLag+1) × days
+    * rows, never event rows. A wide group dictionary wants a
+    * pre-filter to the pairs worth testing; the operator takes the
+    * frame it is given.
+    */
+  def crossCorrelation(events: DataFrame, groupCol: String, tsCol: String,
+                       maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60,
+      s"crossCorrelation: maxLag 0..60, got $maxLag")
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = daily.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    val a = daily.select(col("grp").as("ga"), col("day"), col("y").as("x"))
+      .crossJoin(broadcast(lags))
+      .withColumn("prev_day", col("day") - col("lag"))
+    val b = daily.select(col("grp").as("gb"), col("day").as("prev_day"),
+      col("y").as("yl"))
+    a.join(b, Seq("prev_day"))
+      .where(col("ga") =!= col("gb"))
+      .groupBy("ga", "gb", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("yl").as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"))
+      .select(col("ga"), col("gb"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") * col("sxx") === col("sx") * col("sx"),
+            lit(null).cast("double"))
+          .when(col("n_pairs") * col("syy") === col("sy") * col("sy"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6)).as("xcorr"))
+      .orderBy("ga", "gb", "lag")
+  }
+
+  /** Poisson overdispersion audit of the daily count series per
+    * group: sample mean and variance from exact BIGINT sums, the
+    * variance/mean dispersion ratio (≈1 under Poisson), and the
+    * chi-square dispersion index (n−1)·s²/x̄ — "is this stream's
+    * burstiness just Poisson noise or real clumping", the modeling
+    * gate before anyone fits a rate. Verdict thresholds compare the
+    * 1e6-quantized ratio against fixed integer bounds, so the label
+    * can't flip across engines.
+    *
+    * Scale: one daily rollup + one group rollup. Nothing else.
+    */
+  def overdispersion(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    val agg = daily.groupBy("grp").agg(
+      count(lit(1)).as("nd"), sum("y").as("sx"),
+      sum(col("y") * col("y")).as("sxx"))
+    // dispersion_u = 1e6-quantized (s² / mean) with
+    // s² = (n·Σy² − (Σy)²)/(n·(n−1)), mean = Σy/n  ⇒
+    // ratio = (n·Σy² − (Σy)²) / ((n−1)·Σy)
+    val disp = when(col("nd") > 1L && col("sx") > 0L,
+      round((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        ((col("nd") - 1L) * col("sx")).cast("double") * lit(1e6))
+        .cast("long"))
+    agg.withColumn("disp_u", disp)
+      .select(col("grp"), col("nd").as("n_days"),
+        round(col("sx").cast("double") / col("nd"), 6).as("mean_per_day"),
+        when(col("nd") > 1L, round(
+          (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nd") * (col("nd") - 1L)).cast("double"), 6)).as("variance"),
+        (col("disp_u").cast("double") / 1e6).as("dispersion"),
+        when(col("nd") > 1L, round(
+          (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            col("sx"), 6)).as("chi2_index"),
+        when(col("disp_u").isNull, lit(null).cast("string"))
+          .when(col("disp_u") > 1200000L, lit("overdispersed"))
+          .when(col("disp_u") < 800000L, lit("underdispersed"))
+          .otherwise(lit("poisson-like")).as("verdict"))
+      .orderBy("grp")
+  }
+
   /** Mutual information between two categorical columns, with the
     * marginal entropies and the sqrt-normalized NMI — the
     * "which dimension actually explains which" audit that q136's
@@ -2017,6 +2164,95 @@ object Profile {
             s"${bucketWidth}L") * lit(bucketWidth))
             .as("est_sorted_scan_rows"))
     }.reduce(_ unionByName _).orderBy("predicate")
+  }
+
+  /** Inclusion-dependency (foreign-key candidate) discovery — the
+    * referential half of catalog profiling that [[fdAudit]]'s
+    * intra-table FDs can't see. For each candidate `child ⊆ parent`
+    * pair: the two distinct-value counts, how many child values the
+    * parent contains, the containment fraction (1.0 = the FK holds),
+    * and the parent coverage (how much of the parent the child
+    * actually references — low coverage + full containment is the
+    * classic dimension-table shape). NULL child values are ignored
+    * (SQL FK semantics).
+    *
+    * Scale: per pair, two dictionary-sized distinct projections and
+    * one semi-join between them — the audit never moves table rows,
+    * only key dictionaries; K pairs are K independent unioned jobs.
+    */
+  def fkDiscovery(pairs: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "fkDiscovery needs at least one candidate pair")
+    pairs.map { case (label, child, childCol, parent, parentCol) =>
+      val cd = child.select(col(childCol).cast("string").as("k"))
+        .where(col("k").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pd = parent.select(col(parentCol).cast("string").as("k"))
+        .where(col("k").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matched = cd.join(pd, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      cd.agg(count(lit(1)).as("ndv_child"))
+        .crossJoin(pd.agg(count(lit(1)).as("ndv_parent")))
+        .crossJoin(matched)
+        .select(lit(label).as("candidate"), col("ndv_child"),
+          col("ndv_parent"), col("n_matched"),
+          when(col("ndv_child") > 0L,
+            round(col("n_matched").cast("double") / col("ndv_child"), 6))
+            .as("containment"),
+          when(col("ndv_parent") > 0L,
+            round(col("n_matched").cast("double") / col("ndv_parent"), 6))
+            .as("coverage"),
+          (col("ndv_child") > 0L && col("n_matched") === col("ndv_child"))
+            .as("is_fk_candidate"))
+    }.reduce(_ unionByName _).orderBy("candidate")
+  }
+
+  /** Linear interpolation of calendar gaps in the daily count series
+    * per group: the full min..max calendar is generated per group,
+    * observed days pass through, and each missing day is filled on
+    * the line between its nearest observed neighbors — micro-exact
+    * (the interpolated value is a 1e6-quantized BIGINT). Leading /
+    * trailing edges (no neighbor on one side) stay NULL: this
+    * operator interpolates interiors, it does not extrapolate —
+    * q219's forward-fill is the carry-last alternative.
+    *
+    * Scale: the calendar explode is days×groups (dictionary-sized);
+    * the neighbor search is two IGNORE NULLS window passes
+    * partitioned by group — no self-join, no per-gap iteration.
+    */
+  def interpolateDaily(events: DataFrame, groupCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    val cal = daily.groupBy("grp")
+      .agg(min("day").as("mind"), max("day").as("maxd"))
+      .select(col("grp"),
+        explode(sequence(col("mind"), col("maxd"))).as("day"))
+    val joined = cal.join(daily, Seq("grp", "day"), "left")
+    val wPrev = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("yp", last(col("y"), ignoreNulls = true).over(wPrev))
+      .withColumn("dp", last(when(col("y").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("yn", first(col("y"), ignoreNulls = true).over(wNext))
+      .withColumn("dn", first(when(col("y").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("grp"), col("day"), col("y").isNotNull.as("observed"),
+        (when(col("y").isNotNull, col("y") * lit(1000000L))
+          .when(col("yp").isNotNull && col("yn").isNotNull,
+            round((col("yp").cast("double") +
+              (col("yn") - col("yp")).cast("double") *
+              ((col("day") - col("dp")).cast("double") /
+                (col("dn") - col("dp")))) * lit(1e6)).cast("long"))
+          .cast("double") / 1e6).as("y_filled"))
+      .orderBy("grp", "day")
   }
 
   /** Weekly churn / retention rates: per epoch-week, how many active

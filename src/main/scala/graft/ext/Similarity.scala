@@ -942,4 +942,75 @@ object Similarity {
       .orderBy(col("rrf_pico").desc, col(idCol))
       .limit(k)
   }
+  /** Davies–Bouldin cluster-separation audit over labeled embeddings
+    * (Davies & Bouldin 1979, public literature): per label, the
+    * intra-cluster scatter s (mean member→centroid distance) and the
+    * worst ratio R = max_{j≠i} (sᵢ+sⱼ)/d(cᵢ,cⱼ) — R ≫ 1 means the
+    * cluster bleeds into a neighbor; mean R over labels is the DB
+    * index. Engine determinism throughout: centroid means are exact
+    * (float32 inputs sum without rounding in double at these counts),
+    * every squared deviation is 1e12-quantized before its BIGINT
+    * sum, member distances 1e9-quantized before the per-label mean,
+    * and each ratio 1e6-quantized before the max.
+    *
+    * Scale: one posexplode pass (rows×dims), a (label,dim) rollup,
+    * a broadcast of the label×dim centroid dictionary back onto
+    * members, and a labels² pair frame — everything after the first
+    * rollup is dictionary-sized.
+    */
+  def daviesBouldin(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val e = emb.select(col(labelCol).cast("string").as("lab"),
+        col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("i0", "x")))
+      .select(col("lab"), col("vid"), (col("i0") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val cent = e.groupBy("lab", "i")
+      .agg((sum("x") / count(lit(1))).as("m"), count(lit(1)).as("nm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // member -> centroid distances, exact in 1e12 units per dim term
+    val d2 = e.join(broadcast(cent.select(col("lab"), col("i"), col("m"))),
+        Seq("lab", "i"))
+      .withColumn("t_u", round((col("x") - col("m")) * (col("x") - col("m"))
+        * lit(1e12)).cast("long"))
+      .groupBy("lab", "vid").agg(sum("t_u").as("d2_u"))
+      .select(col("lab"),
+        round(sqrt(col("d2_u").cast("double") / lit(1e12)) * lit(1e9))
+          .cast("long").as("v_u"))
+    val scatter = d2.groupBy("lab")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum("v_u").cast("double") / count(lit(1))).cast("long")
+          .as("s_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // centroid pair distances on the labels^2 dictionary
+    val ca = cent.select(col("lab").as("la"), col("i"), col("m").as("ma"))
+    val cb = cent.select(col("lab").as("lb"), col("i"), col("m").as("mb"))
+    val dd = ca.join(broadcast(cb), Seq("i")).where(col("la") =!= col("lb"))
+      .withColumn("t_u", round((col("ma") - col("mb")) *
+        (col("ma") - col("mb")) * lit(1e12)).cast("long"))
+      .groupBy("la", "lb").agg(sum("t_u").as("dd_u"))
+      .select(col("la"), col("lb"),
+        round(sqrt(col("dd_u").cast("double") / lit(1e12)) * lit(1e9))
+          .cast("long").as("d_u"))
+    val ratios = dd
+      .join(broadcast(scatter.select(col("lab").as("la"),
+        col("s_u").as("sa_u"))), Seq("la"))
+      .join(broadcast(scatter.select(col("lab").as("lb"),
+        col("s_u").as("sb_u"))), Seq("lb"))
+      .where(col("d_u") > 0L)
+      .select(col("la"), col("lb"),
+        round((col("sa_u") + col("sb_u")).cast("double") / col("d_u")
+          * lit(1e6)).cast("long").as("r_u"))
+    val worst = ratios.groupBy("la")
+      .agg(max(struct(col("r_u"), col("lb"))).as("top"))
+      .select(col("la").as("lab"), col("top.r_u").as("r_u"),
+        col("top.lb").as("worst_label"))
+    scatter.join(broadcast(worst), Seq("lab"), "left")
+      .select(col("lab").as("label"), col("n_members"),
+        (col("s_u").cast("double") / 1e9).as("scatter"),
+        col("worst_label"),
+        (col("r_u").cast("double") / 1e6).as("r_max"))
+      .orderBy("label")
+  }
 }

@@ -741,6 +741,90 @@ object Streaming {
       .orderBy("prev_type", "next2_type")
   }
 
+  /** Cohort LTV curves: users keyed by their FIRST-activity epoch
+    * week; each (cohort_week, weeks_since) cell reports the active
+    * users and exact-cents revenue, plus the running cumulative
+    * revenue and the per-user LTV (cum cents / cohort size) — the
+    * money view of q147's retention matrix. Integer weeks and exact
+    * cents everywhere; the only double is the final rounded LTV.
+    *
+    * Scale: a user-keyed min (first activity), one broadcast back
+    * onto the (user, week) rollup, a cell rollup, and a cumulative
+    * window over weeks_since partitioned by cohort — the window runs
+    * on the cohort×week dictionary.
+    */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("_day"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .select(col("u"), expr("_day div 7L").as("week"), col("cents"))
+    val first = base.groupBy("u").agg(min("week").as("cohort_week"))
+    val sized = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val cells = base.join(first, "u")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week"))
+        .as("weeks_since"))
+      .agg(countDistinct("u").as("active_users"),
+        sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sized), "cohort_week")
+      .withColumn("cum_cents", sum("rev_cents").over(w))
+      .select(col("cohort_week"), col("weeks_since"), col("cohort_size"),
+        col("active_users"), col("rev_cents"), col("cum_cents"),
+        round(col("cum_cents").cast("double") / col("cohort_size") / 100.0,
+          6).as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** Point-in-time feature extraction — the feature-store backfill
+    * join: for every anchor event (default: each purchase), count
+    * the SAME user's events of each type in the `lookbackHours`
+    * window strictly BEFORE the anchor (never at or after — the
+    * leakage rule point-in-time correctness exists to enforce).
+    * Output is one training row per anchor: identifiers, the label
+    * value in exact cents, and one bounded-history count per type.
+    *
+    * Scale: an equi-join on the user key with the time bound as a
+    * join-range filter — at 100 TB you additionally bucket both
+    * sides by coarse time so a year of history never joins against
+    * one day of anchors; the per-anchor cost is the user's events
+    * inside the window, not their lifetime. Anchors with silent
+    * histories survive via the left join.
+    */
+  def pitFeatures(events: DataFrame, targetType: String = "purchase",
+                  lookbackHours: Int = 24,
+                  types: Seq[String] =
+                    Seq("click", "error", "purchase", "signup", "view"),
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  valueCol: String = "value"): DataFrame = {
+    require(lookbackHours >= 1, s"pitFeatures: lookbackHours >= 1")
+    require(types.nonEmpty, "pitFeatures: need at least one feature type")
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val anchors = events.filter(col(typeCol) === targetType)
+      .select(col(idCol).as("anchor_id"), col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("a_us"),
+        round(col(valueCol) * 100).cast("long").as("label_cents"))
+    val hist = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("h_us"), col(typeCol).as("h_type"))
+    val joined = anchors.join(hist,
+      anchors("u") === hist("u") &&
+        col("h_us") >= col("a_us") - lit(lookbackUs) &&
+        col("h_us") < col("a_us"),
+      "left")
+    val aggs = types.map(t =>
+      sum(when(col("h_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    joined.groupBy(col("anchor_id"), anchors("u").as("user_id"),
+        col("a_us"), col("label_cents"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("a_us")
+      .orderBy("anchor_id")
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-activity
     * day; each (cohort_day, day_offset) cell counts distinct users of
     * that cohort active `day_offset` days later — the standard

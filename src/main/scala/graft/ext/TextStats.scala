@@ -1008,4 +1008,58 @@ object TextStats {
         round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
           .as("oov_rate"))
   }
+  /** Burrows' Delta stylometry (Burrows 2002, public literature)
+    * between sources: relative frequencies of the corpus's `topN`
+    * most common words, z-scored per word ACROSS sources, and each
+    * source pair's mean |z difference| — near-zero delta means two
+    * sources write alike (merge/contamination candidates), large
+    * delta an outlier register. Determinism: relative frequencies
+    * are 1e6-quantized BIGINTs (also the overflow headroom for the
+    * cross-source moments), z-scores 1e6-quantized from exact sums,
+    * delta an exact integer mean. A word with zero variance across
+    * sources contributes z = 0 (stated convention).
+    *
+    * Scale: one token explode → (source, word) rollup; everything
+    * after runs on the sources×topN grid. The pair frame is
+    * sources², so a thousand-source corpus wants blocking upstream.
+    */
+  def burrowsDelta(docs: DataFrame, topN: Int = 40,
+                   sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    require(topN >= 5, s"burrowsDelta: topN must be >= 5, got $topN")
+    val counts = docs.select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val topWords = counts.groupBy("w").agg(sum("c").as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(topN).select("w")
+    val f = totals.crossJoin(broadcast(topWords))
+      .join(counts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        round(coalesce(col("c"), lit(0L)).cast("double") / col("n")
+          * lit(1e6)).cast("long").as("f_u"))
+    val stats = f.groupBy("w").agg(count(lit(1)).as("ns"),
+      sum("f_u").as("sf"), sum(col("f_u") * col("f_u")).as("sff"))
+    val z = f.join(broadcast(stats), "w")
+      .select(col("source"), col("w"),
+        when(col("ns") * col("sff") === col("sf") * col("sf"), lit(0L))
+          .otherwise(round(
+            (col("f_u").cast("double") - col("sf").cast("double") / col("ns")) /
+            (sqrt((col("ns") * col("sff") - col("sf") * col("sf"))
+              .cast("double")) / col("ns").cast("double")) * lit(1e6))
+            .cast("long")).as("z_u"))
+    val za = z.select(col("source").as("source_a"), col("w"),
+      col("z_u").as("za"))
+    val zb = z.select(col("source").as("source_b"), col("w"),
+      col("z_u").as("zb"))
+    za.join(zb, Seq("w")).where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(abs(col("za") - col("zb"))).cast("double") /
+          count(lit(1))).cast("long").as("d_u"))
+      .select(col("source_a"), col("source_b"), col("n_words"),
+        (col("d_u").cast("double") / 1e6).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

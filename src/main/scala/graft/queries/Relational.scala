@@ -4297,6 +4297,415 @@ object Relational {
           -9223372036854775807L, 199999L),
         ("l_orderkey=1024", col("l_orderkey"), 1024L, 1024L),
         ("l_quantity>=45", col("l_quantity"), 45L, 9223372036854775807L)))
+    },
+
+    // ——— point-in-time feature extraction (the feature-store
+    //     backfill join): per purchase anchor, the same user's
+    //     event-type counts in the strict 24h window BEFORE it —
+    //     leakage-safe by construction, label in exact cents. ———
+    Q("q259_pit_features",
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, epoch_us(ts) AS a_us,
+        |    CAST(round(value * 100) AS BIGINT) AS label_cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), h AS (
+        |  SELECT user_id, epoch_us(ts) AS h_us, event_type AS h_type
+        |  FROM events
+        |)
+        |SELECT a.anchor_id, a.user_id, a.label_cents,
+        |  CAST(SUM(CASE WHEN h.h_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN h.h_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN h.h_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN h.h_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN h.h_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view
+        |FROM a LEFT JOIN h ON h.user_id = a.user_id
+        |  AND h.h_us >= a.a_us - 86400000000 AND h.h_us < a.a_us
+        |GROUP BY 1, 2, 3
+        |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.pitFeatures(t(s, dir, "events"))
+    },
+
+    // ——— Davies–Bouldin cluster-separation audit over the labeled
+    //     embeddings: per label the intra-cluster scatter and the
+    //     worst (sᵢ+sⱼ)/dᵢⱼ neighbor ratio, every distance built
+    //     from quantized BIGINT sums — "which labels bleed". ———
+    Q("q260_davies_bouldin",
+      """WITH e AS (
+        |  SELECT CAST(label AS VARCHAR) AS lab, vec_id AS vid,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT lab, i, SUM(x) / COUNT(*) AS m FROM e GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT e.lab, e.vid,
+        |    CAST(SUM(CAST(round((e.x - c.m) * (e.x - c.m) * 1e12)
+        |      AS BIGINT)) AS BIGINT) AS d2_u
+        |  FROM e JOIN cent c ON e.lab = c.lab AND e.i = c.i GROUP BY 1, 2
+        |), v AS (
+        |  SELECT lab, CAST(round(sqrt(CAST(d2_u AS DOUBLE) / 1e12) * 1e9)
+        |    AS BIGINT) AS v_u FROM d2
+        |), sc AS (
+        |  SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    CAST(round(CAST(SUM(v_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS s_u
+        |  FROM v GROUP BY 1
+        |), dd AS (
+        |  SELECT a.lab AS la, b.lab AS lb,
+        |    CAST(round(sqrt(CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m)
+        |      * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) * 1e9) AS BIGINT)
+        |      AS d_u
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.lab <> b.lab
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT dd.la, dd.lb,
+        |    CAST(round(CAST(sa.s_u + sb.s_u AS DOUBLE) / dd.d_u * 1e6)
+        |      AS BIGINT) AS r_u
+        |  FROM dd JOIN sc sa ON dd.la = sa.lab JOIN sc sb ON dd.lb = sb.lab
+        |  WHERE dd.d_u > 0
+        |), w AS (
+        |  SELECT la, r_u, lb FROM (
+        |    SELECT la, lb, r_u, row_number() OVER (
+        |      PARTITION BY la ORDER BY r_u DESC, lb DESC) AS rk FROM r)
+        |  WHERE rk = 1
+        |)
+        |SELECT sc.lab AS label, sc.n_members,
+        |  CAST(sc.s_u AS DOUBLE) / 1e9 AS scatter,
+        |  w.lb AS worst_label, CAST(w.r_u AS DOUBLE) / 1e6 AS r_max
+        |FROM sc LEFT JOIN w ON sc.lab = w.la
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      graft.ext.Similarity.daviesBouldin(t(s, dir, "embeddings"))
+    },
+
+    // ——— Laplace-mechanism noisy counts with the battery's
+    //     deterministic md5 coin as the uniform draw: calibrated
+    //     1/ε noise via the inverse CDF, replayable under the
+    //     oracle (a knowable seed is NOT DP — stated in the doc). ———
+    Q("q261_dp_counts",
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1
+        |), n AS (
+        |  SELECT k, n_true,
+        |    CAST(round(-1.0 * sign(u - 0.5) *
+        |      ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6) AS BIGINT) AS noise_u
+        |  FROM (
+        |    SELECT k, n_true,
+        |      CAST(CAST(concat('0x', substring(md5(k || ':dp1'), 1, 15))
+        |        AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |    FROM c)
+        |)
+        |SELECT k AS key, n_true, 1.0 AS epsilon,
+        |  CAST(noise_u AS DOUBLE) / 1e6 AS noise,
+        |  CAST(n_true * 1000000 + noise_u AS DOUBLE) / 1e6 AS n_noisy
+        |FROM n ORDER BY key""".stripMargin) { (s, dir) =>
+      graft.ext.Privacy.dpCounts(t(s, dir, "events"), col("event_type"))
+    },
+
+    // ——— inclusion-dependency / FK-candidate discovery across the
+    //     star schema (+ one planted negative): containment and
+    //     coverage from key dictionaries only — the referential half
+    //     of q233's FD audit. ———
+    Q("q262_fk_discovery", {
+      val pairs = Seq(
+        ("customer.c_nationkey->nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        ("part.p_size->nation.n_nationkey",
+          "part", "p_size", "nation", "n_nationkey"))
+      pairs.map { case (label, ct, cc, pt, pc) =>
+        s"""SELECT '$label' AS candidate, cd.ndv_child, pd.ndv_parent,
+           |  m.n_matched,
+           |  CASE WHEN cd.ndv_child > 0 THEN
+           |    round(CAST(m.n_matched AS DOUBLE) / cd.ndv_child, 6)
+           |  END AS containment,
+           |  CASE WHEN pd.ndv_parent > 0 THEN
+           |    round(CAST(m.n_matched AS DOUBLE) / pd.ndv_parent, 6)
+           |  END AS coverage,
+           |  cd.ndv_child > 0 AND m.n_matched = cd.ndv_child
+           |    AS is_fk_candidate
+           |FROM (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) AS ndv_child
+           |      FROM $ct WHERE $cc IS NOT NULL) cd,
+           |  (SELECT CAST(COUNT(DISTINCT $pc) AS BIGINT) AS ndv_parent
+           |   FROM $pt WHERE $pc IS NOT NULL) pd,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM
+           |    (SELECT DISTINCT CAST($cc AS VARCHAR) AS k FROM $ct
+           |     WHERE $cc IS NOT NULL) ck
+           |   WHERE ck.k IN (SELECT CAST($pc AS VARCHAR) FROM $pt
+           |     WHERE $pc IS NOT NULL)) m""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY candidate"
+    }) { (s, dir) =>
+      graft.ext.Profile.fkDiscovery(Seq(
+        ("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("part.p_size->nation.n_nationkey",
+          t(s, dir, "part"), "p_size",
+          t(s, dir, "nation"), "n_nationkey")))
+    },
+
+    // ——— linear interpolation of calendar gaps in the daily series
+    //     per event type: full calendar explode, two IGNORE NULLS
+    //     window passes for the neighbors, micro-exact fill;
+    //     edges stay NULL (q219 forward-fill extrapolates). ———
+    Q("q263_interpolate",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), cal AS (
+        |  SELECT grp, CAST(unnest(range(mind, maxd + 1)) AS BIGINT) AS day
+        |  FROM (SELECT grp, MIN(day) AS mind, MAX(day) AS maxd
+        |        FROM daily GROUP BY 1)
+        |), j AS (
+        |  SELECT c.grp, c.day, d.y
+        |  FROM cal c LEFT JOIN daily d ON d.grp = c.grp AND d.day = c.day
+        |), f AS (
+        |  SELECT grp, day, y,
+        |    last_value(y IGNORE NULLS) OVER wp AS yp,
+        |    last_value(CASE WHEN y IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS dp,
+        |    first_value(y IGNORE NULLS) OVER wn AS yn,
+        |    first_value(CASE WHEN y IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS dn
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT grp, day, y IS NOT NULL AS observed,
+        |  CAST(CASE WHEN y IS NOT NULL THEN y * 1000000
+        |    WHEN yp IS NOT NULL AND yn IS NOT NULL THEN
+        |      CAST(round((CAST(yp AS DOUBLE) + CAST(yn - yp AS DOUBLE) *
+        |        (CAST(day - dp AS DOUBLE) / (dn - dp))) * 1e6) AS BIGINT)
+        |  END AS DOUBLE) / 1e6 AS y_filled
+        |FROM f ORDER BY grp, day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.interpolateDaily(t(s, dir, "events"),
+        "event_type", "ts")
+    },
+
+    // ——— cross-correlation between event types' daily series at
+    //     lags 0..3: "do clicks lead purchases" — q245's acf across
+    //     series, exact BIGINT sufficient statistics per pair. ———
+    Q("q264_cross_correlation",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), l AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS lg),
+        |a AS (
+        |  SELECT d.grp AS ga, l.lg, d.y AS x, d.day - l.lg AS prev_day
+        |  FROM daily d CROSS JOIN l
+        |), p AS (
+        |  SELECT a.ga, b.grp AS gb, a.lg, a.x, b.y AS yl
+        |  FROM a JOIN daily b ON b.day = a.prev_day
+        |  WHERE b.grp <> a.ga
+        |), agg AS (
+        |  SELECT ga, gb, lg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+        |    CAST(SUM(x * yl) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(yl * yl) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2, 3
+        |)
+        |SELECT ga, gb, lg AS "lag", n_pairs,
+        |  CASE WHEN n_pairs * sxx = sx * sx OR n_pairs * syy = sy * sy
+        |    THEN NULL
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS xcorr
+        |FROM agg ORDER BY ga, gb, "lag"""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.crossCorrelation(t(s, dir, "events"),
+        "event_type", "ts")
+    },
+
+    // ——— cohort LTV curves: users keyed by first-activity epoch
+    //     week, per-cell exact cents, cumulative revenue window on
+    //     the cohort×week dictionary — the money view of q147. ———
+    Q("q265_cohort_ltv",
+      """WITH b AS (
+        |  SELECT user_id AS u,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |      AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), f AS (
+        |  SELECT u, CAST(MIN(week) AS BIGINT) AS cohort_week
+        |  FROM b GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1
+        |), cells AS (
+        |  SELECT f.cohort_week, b.week - f.cohort_week AS weeks_since,
+        |    CAST(COUNT(DISTINCT b.u) AS BIGINT) AS active_users,
+        |    CAST(SUM(b.cents) AS BIGINT) AS rev_cents
+        |  FROM b JOIN f ON b.u = f.u GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort_week, weeks_since, active_users, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+        |      ORDER BY weeks_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM cells
+        |)
+        |SELECT c.cohort_week, c.weeks_since, sz.cohort_size,
+        |  c.active_users, c.rev_cents, c.cum_cents,
+        |  round(CAST(c.cum_cents AS DOUBLE) / sz.cohort_size / 100.0, 6)
+        |    AS ltv_per_user
+        |FROM cum c JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, weeks_since""".stripMargin) { (s, dir) =>
+      graft.ext.Streaming.cohortLtv(t(s, dir, "events"))
+    },
+
+    // ——— Burrows' Delta stylometry between sources: top-40 corpus
+    //     words, per-word z-scores across sources (1e6-quantized
+    //     relative frequencies), pairwise mean |z-diff| — who writes
+    //     like whom. ———
+    Q("q266_burrows_delta",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+        |), topw AS (
+        |  SELECT w FROM (
+        |    SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM counts GROUP BY 1)
+        |  ORDER BY cw DESC, w LIMIT 40
+        |), f AS (
+        |  SELECT t.source, tw.w,
+        |    CAST(round(CAST(COALESCE(c.c, 0) AS DOUBLE) / t.n * 1e6)
+        |      AS BIGINT) AS f_u
+        |  FROM tot t CROSS JOIN topw tw
+        |  LEFT JOIN counts c ON c.source = t.source AND c.w = tw.w
+        |), st AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+        |    CAST(SUM(f_u) AS BIGINT) AS sf,
+        |    CAST(SUM(f_u * f_u) AS BIGINT) AS sff
+        |  FROM f GROUP BY 1
+        |), z AS (
+        |  SELECT f.source, f.w,
+        |    CASE WHEN st.ns * st.sff = st.sf * st.sf THEN 0
+        |      ELSE CAST(round(
+        |        (CAST(f.f_u AS DOUBLE) - CAST(st.sf AS DOUBLE) / st.ns) /
+        |        (sqrt(CAST(st.ns * st.sff - st.sf * st.sf AS DOUBLE)) /
+        |          CAST(st.ns AS DOUBLE)) * 1e6) AS BIGINT)
+        |    END AS z_u
+        |  FROM f JOIN st USING (w)
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(CAST(round(CAST(SUM(abs(a.z_u - b.z_u)) AS DOUBLE) /
+        |    COUNT(*)) AS BIGINT) AS DOUBLE) / 1e6 AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.ext.TextStats.burrowsDelta(t(s, dir, "documents"))
+    },
+
+    // ——— Poisson overdispersion audit per event type: variance/mean
+    //     dispersion and the chi-square index from exact sums,
+    //     integer-threshold verdict — is the burstiness just noise. ———
+    Q("q267_overdispersion",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(y * y) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |), d AS (
+        |  SELECT *, CASE WHEN nd > 1 AND sx > 0 THEN
+        |    CAST(round(CAST(nd * sxx - sx * sx AS DOUBLE) /
+        |      CAST((nd - 1) * sx AS DOUBLE) * 1e6) AS BIGINT) END AS disp_u
+        |  FROM a
+        |)
+        |SELECT grp, nd AS n_days,
+        |  round(CAST(sx AS DOUBLE) / nd, 6) AS mean_per_day,
+        |  CASE WHEN nd > 1 THEN round(CAST(nd * sxx - sx * sx AS DOUBLE) /
+        |    CAST(nd * (nd - 1) AS DOUBLE), 6) END AS variance,
+        |  CAST(disp_u AS DOUBLE) / 1e6 AS dispersion,
+        |  CASE WHEN nd > 1 THEN round(CAST(nd * sxx - sx * sx AS DOUBLE)
+        |    / sx, 6) END AS chi2_index,
+        |  CASE WHEN disp_u IS NULL THEN NULL
+        |    WHEN disp_u > 1200000 THEN 'overdispersed'
+        |    WHEN disp_u < 800000 THEN 'underdispersed'
+        |    ELSE 'poisson-like' END AS verdict
+        |FROM d ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.overdispersion(t(s, dir, "events"),
+        "event_type", "ts")
+    },
+
+    // ——— Simpson's-paradox check: pooled vs per-brand OLS slope of
+    //     line price (cents) on quantity, quantized-sign opposition
+    //     flag — the aggregation-reversal warning. ———
+    Q("q268_simpson_check",
+      """WITH b AS (
+        |  SELECT p.p_brand AS grp, CAST(l.l_quantity AS BIGINT) AS x,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |), st AS (
+        |  SELECT grp AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM b GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__pooled__', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT),
+        |    CAST(SUM(x * y) AS BIGINT), CAST(SUM(x * x) AS BIGINT)
+        |  FROM b
+        |), sl AS (
+        |  SELECT stratum, n, CASE WHEN n * sxx <> sx * sx THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) *
+        |        CAST(sx AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END
+        |      AS slope_micro
+        |  FROM st
+        |), pm AS (
+        |  SELECT slope_micro AS pooled_micro FROM sl
+        |  WHERE stratum = '__pooled__'
+        |)
+        |SELECT sl.stratum, sl.n,
+        |  CAST(sl.slope_micro AS DOUBLE) / 1e6 AS slope,
+        |  CASE WHEN sl.slope_micro IS NOT NULL
+        |      AND pm.pooled_micro IS NOT NULL
+        |      AND sl.stratum <> '__pooled__'
+        |    THEN sign(sl.slope_micro) * sign(pm.pooled_micro) < 0 END
+        |    AS opposes_pooled
+        |FROM sl, pm ORDER BY stratum""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.simpsonCheck(
+        t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey")),
+        "p_brand", col("l_quantity"), round(col("l_extendedprice") * 100))
     }
   )
 

@@ -527,6 +527,80 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pit features plan: history join stays equi on the user key") {
+    val ev = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Streaming.pitFeatures(ev)
+      .queryExecution.executedPlan.toString
+    // the 24h bound must ride as a join FILTER on the user equi-join —
+    // a nested-loop/cartesian here is the anchors×history blowup
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("davies-bouldin plan: centroid dictionary broadcasts, no SMJ") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i =>
+        (i, Array.tabulate(4)(d => ((i * (d + 3)) % 17).toFloat / 7f),
+          (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val plan = graft.ext.Similarity.daviesBouldin(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"centroid/scatter frames are label-dictionary sized:\n$plan")
+  }
+
+  test("dp counts plan: join-free; fk discovery via dictionary semi-joins") {
+    val ev = Tables.load(spark, sf001, "events")
+    val dp = graft.ext.Privacy.dpCounts(ev, col("event_type"))
+      .queryExecution.executedPlan.toString
+    assert(!dp.contains("Join"), dp)
+    val fk = graft.ext.Profile.fkDiscovery(Seq(
+      ("t", li, "l_orderkey", orders, "o_orderkey")))
+      .queryExecution.executedPlan.toString
+    assert(fk.contains("LeftSemi"),
+      s"containment must be a semi-join of key dictionaries:\n$fk")
+    assert(!fk.contains("CartesianProduct"), fk)
+  }
+
+  test("interpolate plan: neighbor windows partition by group") {
+    val ev = Tables.load(spark, sf001, "events")
+    val plan = graft.ext.Profile.interpolateDaily(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(grp"),
+      s"IGNORE NULLS windows must partition by group:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cross-correlation / cohort-ltv plans: dictionary joins, grouped windows") {
+    val ev = Tables.load(spark, sf001, "events")
+    val xc = graft.ext.Profile.crossCorrelation(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!xc.contains("CartesianProduct"), xc)
+    val ltv = graft.ext.Streaming.cohortLtv(ev)
+      .queryExecution.executedPlan.toString
+    assert(!ltv.contains("CartesianProduct"), ltv)
+    assert(ltv.contains("hashpartitioning(cohort_week"),
+      s"cumulative window must partition by cohort:\n$ltv")
+  }
+
+  test("burrows delta / overdispersion / simpson plans stay dictionary-sized") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val bd = graft.ext.TextStats.burrowsDelta(docs, topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(!bd.contains("CartesianProduct"),
+      s"the sources×topN grid must ride the broadcast word list:\n$bd")
+    val ev = Tables.load(spark, sf001, "events")
+    val od = graft.ext.Profile.overdispersion(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!od.contains("Join"), od)
+    val sc = graft.ext.Profile.simpsonCheck(li.limit(1000), "l_returnflag",
+      col("l_quantity"), round(col("l_extendedprice") * 100))
+      .queryExecution.executedPlan.toString
+    assert(!sc.contains("SortMergeJoin"), sc)
+    assert(!sc.contains("CartesianProduct"), sc)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

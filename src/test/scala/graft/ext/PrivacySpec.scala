@@ -100,4 +100,33 @@ class PrivacySpec extends SparkSpec {
     assert(out.contains("a"), "the unique record is the worst re-id case")
     assert(out("a").getAs[Long]("n") === 1L)
   }
+  test("dpCounts: deterministic replay, exact micro ledger, non-zero noise") {
+    val df = (0 until 100).map(i => s"k${i % 4}").toDF("k")
+    val a = Privacy.dpCounts(df, col("k")).collect()
+    val b = Privacy.dpCounts(df, col("k")).collect()
+    assert(a.toSeq === b.toSeq, "seeded draw must replay identically")
+    assert(a.length === 4)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 25L)
+      // noisy = true + noise exactly, in micro units
+      val lhs = math.round(r.getAs[Double]("n_noisy") * 1e6)
+      val rhs = r.getAs[Long]("n_true") * 1000000L +
+        math.round(r.getAs[Double]("noise") * 1e6)
+      assert(lhs === rhs, r.toString)
+    }
+    assert(a.exists(r => math.abs(r.getAs[Double]("noise")) > 1e-6),
+      "the Laplace draw should not be identically zero")
+  }
+
+  test("dpCounts: tighter epsilon draws proportionally larger noise") {
+    val df = (0 until 50).map(i => s"g${i % 5}").toDF("k")
+    val n1 = Privacy.dpCounts(df, col("k"), epsilon = 1.0).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("noise")).toMap
+    val n01 = Privacy.dpCounts(df, col("k"), epsilon = 0.1).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("noise")).toMap
+    n1.foreach { case (k, v) =>
+      // same uniform, 10x the scale (up to the 1e-6 quantization)
+      assert(math.abs(n01(k) - v * 10) < 2e-5, s"$k: $v vs ${n01(k)}")
+    }
+  }
 }

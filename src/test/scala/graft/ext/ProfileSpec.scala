@@ -1270,6 +1270,118 @@ class ProfileSpec extends SparkSpec {
     assert(s.getAs[Long]("est_sorted_scan_rows") === 1024L)
   }
 
+  test("fkDiscovery: full containment flags the FK; partial does not") {
+    val child = Seq(Some(1), Some(2), Some(3), None).toDF("c")
+    val parent = Seq(1, 2, 3, 4, 5).toDF("p")
+    val bad = Seq(1, 9).toDF("c")
+    val out = Profile.fkDiscovery(Seq(
+        ("good", child, "c", parent, "p"),
+        ("bad", bad, "c", parent, "p")))
+      .collect().map(r => r.getAs[String]("candidate") -> r).toMap
+    val g = out("good")
+    assert(g.getAs[Long]("ndv_child") === 3L) // NULL ignored
+    assert(g.getAs[Long]("n_matched") === 3L)
+    assert(g.getAs[Double]("containment") === 1.0)
+    assert(g.getAs[Double]("coverage") === 0.6)
+    assert(g.getAs[Boolean]("is_fk_candidate"))
+    val b = out("bad")
+    assert(b.getAs[Double]("containment") === 0.5)
+    assert(!b.getAs[Boolean]("is_fk_candidate"))
+  }
+
+  test("interpolateDaily: interior gap fills on the line, micro-exact") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // day 0: 2 events; day 3: 8 events; days 1,2 missing → 4, 6
+    val rows = Seq.fill(2)(("a", ts(0))) ++ Seq.fill(8)(("a", ts(3)))
+    val out = Profile.interpolateDaily(rows.toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L).getAs[Boolean]("observed") &&
+      out(0L).getAs[Double]("y_filled") === 2.0)
+    assert(!out(1L).getAs[Boolean]("observed") &&
+      out(1L).getAs[Double]("y_filled") === 4.0)
+    assert(out(2L).getAs[Double]("y_filled") === 6.0)
+    assert(out(3L).getAs[Double]("y_filled") === 8.0)
+  }
+
+  test("interpolateDaily: fractional slope quantizes at 1e-6") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // 1 event day 0, 2 events day 3 → interior 4/3 and 5/3
+    val rows = Seq(("a", ts(0))) ++ Seq.fill(2)(("a", ts(3)))
+    val out = Profile.interpolateDaily(rows.toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("y_filled")).toMap
+    assert(out(1L) === math.round(1e6 * 4 / 3.0) / 1e6)
+    assert(out(2L) === math.round(1e6 * 5 / 3.0) / 1e6)
+  }
+
+  test("crossCorrelation: a one-day-shifted copy peaks at lag 1") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    // A alternates 2/6 on days 0..19; B(d) = A(d−1) on days 1..20
+    def cnt(d: Int) = if (d % 2 == 0) 2 else 6
+    val rows = (0 until 20).flatMap(d =>
+      (0 until cnt(d)).map(i => ("A", ts(d, i)))) ++
+      (1 to 20).flatMap(d =>
+        (0 until cnt(d - 1)).map(i => ("B", ts(d, i))))
+    val out = Profile.crossCorrelation(rows.toDF("event_type", "ts"),
+        "event_type", "ts", maxLag = 2).collect()
+      .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb"),
+        r.getAs[Long]("lag")) -> r.getAs[Double]("xcorr")).toMap
+    assert(out(("B", "A", 1L)) === 1.0)   // B today IS A yesterday
+    assert(out(("B", "A", 0L)) < -0.9)    // contemporaneous anti-phase
+    // A(t) vs B(t−1) = cnt(t−2): the period-2 series aliases back
+    // into phase at even effective offsets
+    assert(out(("A", "B", 1L)) > 0.9)
+  }
+
+  test("overdispersion: bursty series flags over, constant flags under") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    val rows = (0 until 10).flatMap { d =>
+      val burst = if (d % 2 == 0) 1 else 9
+      (0 until burst).map(i => ("bursty", ts(d, i))) ++
+        (0 until 4).map(i => ("steady", ts(d, i)))
+    }
+    val out = Profile.overdispersion(rows.toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val b = out("bursty")
+    assert(b.getAs[String]("verdict") === "overdispersed")
+    // s² = (10·410 − 2500)/90 = 160/9; dispersion = s²/5
+    assert(math.abs(b.getAs[Double]("dispersion") - 160.0 / 9 / 5) < 1e-5)
+    val s = out("steady")
+    assert(s.getAs[Double]("variance") === 0.0)
+    assert(s.getAs[String]("verdict") === "underdispersed")
+  }
+
+  test("simpsonCheck: planted reversal flags both strata against the pooled slope") {
+    // within-stratum slope −1, across-strata trend +: pooled slope 0.4
+    val rows = Seq(("A", 1L, 9L), ("A", 2L, 8L), ("B", 8L, 12L),
+      ("B", 9L, 11L))
+    val out = Profile.simpsonCheck(rows.toDF("g", "x", "y"), "g",
+        col("x"), col("y")).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out("__pooled__").getAs[Double]("slope") === 0.4)
+    assert(out("__pooled__").isNullAt(
+      out("__pooled__").fieldIndex("opposes_pooled")))
+    Seq("A", "B").foreach { g =>
+      assert(out(g).getAs[Double]("slope") === -1.0)
+      assert(out(g).getAs[Boolean]("opposes_pooled"))
+    }
+  }
+
+  test("simpsonCheck: zero-variance stratum reports NULL slope, no flag") {
+    val rows = Seq(("C", 5L, 1L), ("C", 5L, 9L), ("D", 1L, 1L),
+      ("D", 2L, 2L))
+    val out = Profile.simpsonCheck(rows.toDF("g", "x", "y"), "g",
+        col("x"), col("y")).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out("C").isNullAt(out("C").fieldIndex("slope")))
+    assert(out("C").isNullAt(out("C").fieldIndex("opposes_pooled")))
+  }
+
   test("weeklyChurn: planted cohort turnover produces exact rates") {
     def ts(week: Int, u: String) = new java.sql.Timestamp(
       week.toLong * 7 * 86400000L)

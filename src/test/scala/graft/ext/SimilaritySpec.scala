@@ -511,4 +511,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSeq
     assert(a === b)
   }
+  test("daviesBouldin: two hand clusters give exact scatter and ratio") {
+    // A: (0,0),(0,2) → centroid (0,1), mean dist 1; B: (10,0),(10,2)
+    // → centroid (10,1), mean dist 1; d(A,B) = 10 → R = (1+1)/10 = 0.2
+    val rows = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(10f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.daviesBouldin(rows).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(out.keySet === Set("0", "1"))
+    out.foreach { case (lab, r) =>
+      assert(r.getAs[Long]("n_members") === 2L)
+      assert(math.abs(r.getAs[Double]("scatter") - 1.0) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("r_max") - 0.2) < 1e-6, r.toString)
+      assert(r.getAs[String]("worst_label") === (if (lab == "0") "1" else "0"))
+    }
+  }
+
+  test("daviesBouldin: overlapping clusters score worse than separated ones") {
+    def cluster(label: Int, cx: Float) = (0 until 8).map(i =>
+      ((label * 100 + i).toLong,
+        Array(cx + (i % 4) * 0.5f, (i / 4) * 0.5f), label))
+    val apart = (cluster(0, 0f) ++ cluster(1, 50f))
+      .toDF("vec_id", "embedding", "label")
+    val close = (cluster(0, 0f) ++ cluster(1, 1f))
+      .toDF("vec_id", "embedding", "label")
+    val rApart = Similarity.daviesBouldin(apart).collect()
+      .map(_.getAs[Double]("r_max")).max
+    val rClose = Similarity.daviesBouldin(close).collect()
+      .map(_.getAs[Double]("r_max")).max
+    assert(rClose > rApart * 10, s"close=$rClose apart=$rApart")
+  }
 }

@@ -475,6 +475,54 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(m(("B", "C"))._2 - 1.0 / 3) < 1e-6)
   }
 
+  test("cohortLtv: hand cohort accumulates exact cents and per-user LTV") {
+    import java.sql.Timestamp
+    def t(week: Int) = new Timestamp(week.toLong * 7 * 86400000L)
+    // cohort week0 = {a, b}; a spends 1.00 (w0) + 2.00 (w1); b 0.50 (w0)
+    val ev = Seq(
+      (1L, "a", t(0), 1.0), (2L, "a", t(1), 2.0), (3L, "b", t(0), 0.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ext.Streaming.cohortLtv(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("weeks_since")) -> r).toMap
+    assert(out.keySet === Set((0L, 0L), (0L, 1L)))
+    val w0 = out((0L, 0L))
+    assert(w0.getAs[Long]("cohort_size") === 2L)
+    assert(w0.getAs[Long]("active_users") === 2L)
+    assert(w0.getAs[Long]("rev_cents") === 150L)
+    assert(w0.getAs[Double]("ltv_per_user") === 0.75)
+    val w1 = out((0L, 1L))
+    assert(w1.getAs[Long]("active_users") === 1L)
+    assert(w1.getAs[Long]("cum_cents") === 350L)
+    assert(w1.getAs[Double]("ltv_per_user") === 1.75)
+  }
+
+  test("pitFeatures: strict 24h lookback, same-time excluded, empty history zeros") {
+    import java.sql.Timestamp
+    def t(hour: Long) = new Timestamp(hour * 3600 * 1000L)
+    val ev = Seq(
+      (1L, 1L, "click", t(99), 0.0),     // 1h before anchor → counted
+      (2L, 1L, "click", t(75), 0.0),     // 25h before → outside window
+      (3L, 1L, "view", t(100), 0.0),     // same instant → NOT counted
+      (4L, 1L, "purchase", t(100), 9.5), // the anchor
+      (5L, 1L, "signup", t(77), 0.0),    // 23h before → counted
+      (6L, 2L, "purchase", t(0), 3.0))   // anchor with no history
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = graft.ext.Streaming.pitFeatures(ev).collect()
+      .map(r => r.getAs[Long]("anchor_id") -> r).toMap
+    assert(out.keySet === Set(4L, 6L))
+    val a = out(4L)
+    assert(a.getAs[Long]("label_cents") === 950L)
+    assert(a.getAs[Long]("n_click") === 1L)
+    assert(a.getAs[Long]("n_signup") === 1L)
+    assert(a.getAs[Long]("n_view") === 0L)
+    assert(a.getAs[Long]("n_purchase") === 0L) // anchor itself excluded
+    val b = out(6L)
+    assert(b.getAs[Long]("label_cents") === 300L)
+    assert(Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      .forall(c => b.getAs[Long](c) === 0L))
+  }
+
   test("transitionMatrix2: two-hop mass from a state sums to ≤ 1") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000L)

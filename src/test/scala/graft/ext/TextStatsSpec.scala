@@ -530,4 +530,18 @@ class TextStatsSpec extends SparkSpec {
     assert(!w(2L).isNaN && !w(2L).isInfinite,
       s"smoothing must keep unseen tokens finite, got ${w(2L)}")
   }
+  test("burrowsDelta: twin sources score near zero, an outlier register far") {
+    // s1/s2: identical register; s3: disjoint vocabulary emphasis
+    val d1 = "the cat and the dog and the bird"
+    val d3 = "zzz qqq xxx zzz qqq xxx zzz qqq"
+    val docs = Seq(("s1", d1), ("s2", d1), ("s3", d3))
+      .toDF("source", "text")
+    val out = TextStats.burrowsDelta(docs, topN = 5).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("delta")).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(("s1", "s2")) === 0.0, "identical registers must tie")
+    assert(out(("s1", "s3")) > out(("s1", "s2")) + 0.5)
+    assert(out(("s1", "s3")) === out(("s2", "s3")))
+  }
 }
