@@ -2166,6 +2166,212 @@ object Profile {
     }.reduce(_ unionByName _).orderBy("predicate")
   }
 
+  /** Optimizer-statistics quality audit: for each predicate, the
+    * cardinality a stats-based estimator would predict (equality →
+    * n/NDV under uniformity; closed range → n·overlap/(max−min+1)
+    * under uniform spread) against the TRUE count, and the q-error
+    * max(est/act, act/est) — the standard metric for "how wrong
+    * would the optimizer be on this data". High q-error columns are
+    * where a real engine needs histograms instead of NDV.
+    *
+    * Scale: one aggregation pass per predicate (n, NDV, min/max and
+    * the conditional count all ride the same map-combinable agg) —
+    * the audit costs one scan per predicate, never a join.
+    */
+  def cardinalityAudit(df: DataFrame,
+                       preds: Seq[(String, Column, Either[String, (Long, Long)])])
+      : DataFrame = {
+    require(preds.nonEmpty, "cardinalityAudit needs at least one predicate")
+    preds.map {
+      case (name, valueCol, Left(eq)) =>
+        val v = valueCol.cast("string")
+        df.agg(count(lit(1)).as("n"), count_distinct(v).as("ndv"),
+            sum(when(v === eq, 1L).otherwise(0L)).as("actual_rows"))
+          .select(lit(name).as("predicate"), col("n").as("n_rows"),
+            round(col("n").cast("double") / col("ndv")).cast("long")
+              .as("est_rows"),
+            col("actual_rows"),
+            when(col("actual_rows") > 0L,
+              round(greatest(
+                round(col("n").cast("double") / col("ndv")).cast("long")
+                  .cast("double") / col("actual_rows"),
+                col("actual_rows").cast("double") /
+                  round(col("n").cast("double") / col("ndv")).cast("long")),
+                6)).as("q_error"))
+      case (name, valueCol, Right((lo, hi))) =>
+        val v = valueCol.cast("long")
+        df.agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"),
+            sum(when(v >= lo && v <= hi, 1L).otherwise(0L))
+              .as("actual_rows"))
+          .select(lit(name).as("predicate"), col("n").as("n_rows"),
+            round(col("n").cast("double") *
+              (greatest(least(col("mx"), lit(hi)) -
+                greatest(col("mn"), lit(lo)) + 1L, lit(0L)))
+                .cast("double") /
+              (col("mx") - col("mn") + 1L).cast("double")).cast("long")
+              .as("est_rows"),
+            col("actual_rows"),
+            when(col("actual_rows") > 0L,
+              round(greatest(
+                round(col("n").cast("double") *
+                  (greatest(least(col("mx"), lit(hi)) -
+                    greatest(col("mn"), lit(lo)) + 1L, lit(0L)))
+                    .cast("double") /
+                  (col("mx") - col("mn") + 1L).cast("double")).cast("long")
+                  .cast("double") / col("actual_rows"),
+                col("actual_rows").cast("double") /
+                  round(col("n").cast("double") *
+                    (greatest(least(col("mx"), lit(hi)) -
+                      greatest(col("mn"), lit(lo)) + 1L, lit(0L)))
+                      .cast("double") /
+                    (col("mx") - col("mn") + 1L).cast("double"))
+                    .cast("long")), 6)).as("q_error"))
+    }.reduce(_ unionByName _).orderBy("predicate")
+  }
+
+  /** Join-order advisor for a star query: the EXACT intermediate
+    * cardinality of starting the fact join with each dimension
+    * (computed purely from key dictionaries, q242's trick applied to
+    * plan choice), the shared exact final size Σ n_f(k₁,k₂)·n_a(k₁)·
+    * n_b(k₂), and the recommendation — start with whichever dim
+    * yields the smaller intermediate. This is the greedy cost model
+    * every optimizer runs, made inspectable against truth.
+    *
+    * Scale: three grouped counts (fact by each key and by the key
+    * pair) plus dictionary⋈dictionary joins — the advisor costs
+    * GROUP BYs, the mistaken join order costs the cluster.
+    */
+  def joinOrderAudit(fact: DataFrame, aKey: String, dimA: DataFrame,
+                     dimAKey: String, aName: String,
+                     bKey: String, dimB: DataFrame, dimBKey: String,
+                     bName: String): DataFrame = {
+    val fa = fact.select(col(aKey).cast("string").as("ka"))
+      .groupBy("ka").agg(count(lit(1)).as("nf"))
+    val fb = fact.select(col(bKey).cast("string").as("kb"))
+      .groupBy("kb").agg(count(lit(1)).as("nf"))
+    val da = dimA.select(col(dimAKey).cast("string").as("ka"))
+      .groupBy("ka").agg(count(lit(1)).as("na"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val db = dimB.select(col(dimBKey).cast("string").as("kb"))
+      .groupBy("kb").agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val interA = fa.join(da, "ka")
+      .agg(coalesce(sum(col("nf") * col("na")), lit(0L)).as("intermediate"))
+    val interB = fb.join(db, "kb")
+      .agg(coalesce(sum(col("nf") * col("nb")), lit(0L)).as("intermediate"))
+    val fin = fact.select(col(aKey).cast("string").as("ka"),
+        col(bKey).cast("string").as("kb"))
+      .groupBy("ka", "kb").agg(count(lit(1)).as("nf"))
+      .join(da, "ka").join(db, "kb")
+      .agg(coalesce(sum(col("nf") * col("na") * col("nb")), lit(0L))
+        .as("final_rows"))
+    val rows = interA.select(lit(s"$aName*fact first").as("plan"),
+        col("intermediate"))
+      .unionByName(interB.select(lit(s"$bName*fact first").as("plan"),
+        col("intermediate")))
+    val best = rows.agg(min(struct(col("intermediate"), col("plan")))
+      .as("b")).select(col("b.plan").as("best_plan"))
+    rows.crossJoin(broadcast(fin)).crossJoin(broadcast(best))
+      .select(col("plan"), col("intermediate"), col("final_rows"),
+        (col("plan") === col("best_plan")).as("recommended"))
+      .orderBy("plan")
+  }
+
+  /** Mann–Whitney U rank-sum test between two groups of an
+    * integer-cents measure — the nonparametric "are these two
+    * distributions shifted" workhorse (q132's KS statistic without
+    * the max-gap sensitivity). Ranks are computed on the VALUE
+    * DICTIONARY (distinct values + per-group counts, cumulative
+    * window over the sorted dictionary — never a per-row global
+    * sort): tied values share the average rank, carried exactly as
+    * 2×rank integers; U and the tie-corrected z are single final
+    * expressions over exact BIGINTs.
+    *
+    * Scale: one (value, group) rollup, one dictionary-ordered
+    * window, one single-row reduction. The per-row work is the
+    * first rollup only.
+    */
+  def mannWhitney(df: DataFrame, groupCol: Column, valueCents: Column,
+                  groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.cast("string").as("g"),
+        valueCents.cast("long").as("v"))
+      .where(col("g") === groupA || col("g") === groupB)
+    val dict = base.groupBy("v").agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = dict
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum", sum(col("ca") + col("cb")).over(w))
+      .withColumn("avg2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val agg = ranked.agg(
+      sum("ca").as("na"), sum("cb").as("nb"),
+      sum(col("ca") * col("avg2")).as("r2a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val nD = (c: Column) => c.cast("double")
+    val u = (col("r2a").cast("double") -
+      nD(col("na")) * (col("na") + 1L)) / 2.0
+    val n = col("na") + col("nb")
+    val sigma = sqrt(nD(col("na")) * nD(col("nb")) / 12.0 *
+      ((nD(n) + 1.0) - nD(col("ties")) / (nD(n) * (nD(n) - 1.0))))
+    agg.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      u.as("u_stat"),
+      when(col("na") > 0L && col("nb") > 0L && col("ties") <
+          (n * n * n - n),
+        round((u - nD(col("na")) * nD(col("nb")) / 2.0) / sigma, 6))
+        .as("z"))
+  }
+
+  /** Partitioner-choice audit: how evenly `nParts` output partitions
+    * would fill under HASH partitioning (the battery's engine-
+    * portable md5 bucket) versus RANGE partitioning (ntile over the
+    * key order) — max/mean straggler factors per strategy, the
+    * pre-write check behind "should this table be hash- or
+    * range-distributed". Per-bucket counts are tie-order invariant
+    * (ntile splits by position), so the audit is engine-exact.
+    *
+    * Scale: one key rollup per strategy; the range pass windows over
+    * the key DICTIONARY with weights, not the rows.
+    */
+  def partitionerAudit(df: DataFrame, keyCol: String,
+                       nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nParts >= 2, s"partitionerAudit: nParts >= 2, got $nParts")
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hash = keys
+      .withColumn("b", conv(substring(md5(col("k")), 1, 7), 16, 10)
+        .cast("long") % lit(nParts.toLong))
+      .groupBy("b").agg(sum("c").as("rows"))
+    // range: cumulative row position over the sorted key dictionary,
+    // bucket = position div ceil(n/nParts) — byte-identical to a
+    // range partitioner's even row split
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = keys.agg(sum("c").as("n"))
+    val range = keys
+      .withColumn("cumEnd", sum("c").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("width", expr("(n + " + (nParts - 1) + "L) div " +
+        nParts + "L"))
+      .withColumn("b", expr("(cumEnd - 1) div width"))
+      .groupBy("b").agg(sum("c").as("rows"))
+    def summarize(buckets: DataFrame, name: String): DataFrame =
+      buckets.agg(count(lit(1)).as("n_buckets"), max("rows").as("max_rows"),
+          sum("rows").as("total"))
+        .select(lit(name).as("strategy"),
+          col("n_buckets"), col("max_rows"),
+          round(col("total").cast("double") / lit(nParts), 6)
+            .as("mean_rows"),
+          round(col("max_rows").cast("double") /
+            (col("total").cast("double") / lit(nParts)), 6)
+            .as("straggler_factor"))
+    summarize(hash, "hash").unionByName(summarize(range, "range"))
+      .orderBy("strategy")
+  }
+
   /** Inclusion-dependency (foreign-key candidate) discovery — the
     * referential half of catalog profiling that [[fdAudit]]'s
     * intra-table FDs can't see. For each candidate `child ⊆ parent`

@@ -4706,6 +4706,219 @@ object Relational {
         t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")),
           col("p_partkey") === col("l_partkey")),
         "p_brand", col("l_quantity"), round(col("l_extendedprice") * 100))
+    },
+
+    // ——— JSONL source/sink round-trip: per-doc projection written
+    //     as JSON lines, read back with an explicit schema, rolled
+    //     up — the third interchange format (CSV q189, xlsx golden)
+    //     under the oracle. ———
+    Q("q269_jsonl_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val proj = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = s"${graft.queries.Fixtures.dir}/jsonl_roundtrip"
+      proj.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // ——— optimizer-stats quality audit: NDV / min-max uniform
+    //     estimates vs true counts with the q-error — which columns
+    //     need histograms instead of NDV. ———
+    Q("q270_cardinality_est", {
+      def eqSql(name: String, colName: String, v: String) =
+        s"""SELECT '$name' AS predicate, n AS n_rows,
+           |  CAST(round(CAST(n AS DOUBLE) / ndv) AS BIGINT) AS est_rows,
+           |  actual_rows,
+           |  CASE WHEN actual_rows > 0 THEN round(greatest(
+           |    CAST(CAST(round(CAST(n AS DOUBLE) / ndv) AS BIGINT)
+           |      AS DOUBLE) / actual_rows,
+           |    CAST(actual_rows AS DOUBLE) /
+           |      CAST(round(CAST(n AS DOUBLE) / ndv) AS BIGINT)), 6)
+           |  END AS q_error
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT CAST($colName AS VARCHAR)) AS BIGINT)
+           |    AS ndv,
+           |  CAST(SUM(CASE WHEN CAST($colName AS VARCHAR) = '$v'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+           |  FROM orders)""".stripMargin
+      def rgSql(name: String, vexpr: String, lo: Long, hi: Long) =
+        s"""SELECT '$name' AS predicate, n AS n_rows,
+           |  CAST(round(CAST(n AS DOUBLE) *
+           |    CAST(greatest(least(mx, $hi) - greatest(mn, $lo) + 1, 0)
+           |      AS DOUBLE) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT)
+           |    AS est_rows,
+           |  actual_rows,
+           |  CASE WHEN actual_rows > 0 THEN round(greatest(
+           |    CAST(CAST(round(CAST(n AS DOUBLE) *
+           |      CAST(greatest(least(mx, $hi) - greatest(mn, $lo) + 1, 0)
+           |        AS DOUBLE) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT)
+           |      AS DOUBLE) / actual_rows,
+           |    CAST(actual_rows AS DOUBLE) /
+           |      CAST(round(CAST(n AS DOUBLE) *
+           |        CAST(greatest(least(mx, $hi) - greatest(mn, $lo) + 1, 0)
+           |          AS DOUBLE) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT)),
+           |    6) END AS q_error
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN($vexpr) AS BIGINT) AS mn,
+           |  CAST(MAX($vexpr) AS BIGINT) AS mx,
+           |  CAST(SUM(CASE WHEN $vexpr >= $lo AND $vexpr <= $hi
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+           |  FROM orders)""".stripMargin
+      Seq(eqSql("prio_urgent", "o_orderpriority", "1-URGENT"),
+        rgSql("custkey_0_500", "CAST(o_custkey AS BIGINT)", 0L, 500L),
+        eqSql("status_F", "o_orderstatus", "F"),
+        rgSql("total_10k_50k",
+          "CAST(round(o_totalprice * 100) AS BIGINT)",
+          1000000L, 5000000L))
+        .mkString("\nUNION ALL\n") + "\nORDER BY predicate"
+    }) { (s, dir) =>
+      graft.ext.Profile.cardinalityAudit(t(s, dir, "orders"), Seq(
+        ("prio_urgent", col("o_orderpriority"), Left("1-URGENT")),
+        ("custkey_0_500", col("o_custkey"), Right((0L, 500L))),
+        ("status_F", col("o_orderstatus"), Left("F")),
+        ("total_10k_50k", round(col("o_totalprice") * 100),
+          Right((1000000L, 5000000L)))))
+    },
+
+    // ——— join-order advisor: exact intermediate cardinality of each
+    //     star-join order from key dictionaries alone (q242's trick
+    //     applied to plan choice) + the shared exact final size. ———
+    Q("q271_join_order_advisor",
+      """WITH fa AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS ka,
+        |    CAST(COUNT(*) AS BIGINT) AS nf FROM lineitem GROUP BY 1
+        |), fb AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS kb,
+        |    CAST(COUNT(*) AS BIGINT) AS nf FROM lineitem GROUP BY 1
+        |), da AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS ka,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM orders GROUP BY 1
+        |), db AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS kb,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM part GROUP BY 1
+        |), ia AS (
+        |  SELECT CAST(COALESCE(SUM(fa.nf * da.na), 0) AS BIGINT)
+        |    AS intermediate FROM fa JOIN da USING (ka)
+        |), ib AS (
+        |  SELECT CAST(COALESCE(SUM(fb.nf * db.nb), 0) AS BIGINT)
+        |    AS intermediate FROM fb JOIN db USING (kb)
+        |), fin AS (
+        |  SELECT CAST(COALESCE(SUM(f.nf * da.na * db.nb), 0) AS BIGINT)
+        |    AS final_rows
+        |  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS ka,
+        |      CAST(l_partkey AS VARCHAR) AS kb,
+        |      CAST(COUNT(*) AS BIGINT) AS nf
+        |    FROM lineitem GROUP BY 1, 2) f
+        |  JOIN da USING (ka) JOIN db USING (kb)
+        |), rows_ AS (
+        |  SELECT 'orders*fact first' AS plan, intermediate FROM ia
+        |  UNION ALL SELECT 'part*fact first', intermediate FROM ib
+        |), best AS (
+        |  SELECT plan AS best_plan FROM (
+        |    SELECT plan, row_number() OVER (ORDER BY intermediate, plan)
+        |      AS rk FROM rows_) WHERE rk = 1
+        |)
+        |SELECT r.plan, r.intermediate, fin.final_rows,
+        |  r.plan = best.best_plan AS recommended
+        |FROM rows_ r, fin, best ORDER BY plan""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.joinOrderAudit(t(s, dir, "lineitem"),
+        "l_orderkey", t(s, dir, "orders"), "o_orderkey", "orders",
+        "l_partkey", t(s, dir, "part"), "p_partkey", "part")
+    },
+
+    // ——— Mann–Whitney U rank-sum test (acctbal across two customer
+    //     segments): average ranks carried as exact 2×rank integers
+    //     over the value dictionary, tie-corrected z — the
+    //     nonparametric shift test beside q132's KS. ———
+    Q("q272_mann_whitney",
+      """WITH base AS (
+        |  SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE CAST(c_mktsegment AS VARCHAR) IN ('AUTOMOBILE', 'BUILDING')
+        |), dict AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM base GROUP BY 1
+        |), rk AS (
+        |  SELECT *, ca + cb AS cnt,
+        |    CAST(SUM(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM dict
+        |), a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM rk
+        |)
+        |SELECT 'AUTOMOBILE' AS group_a, 'BUILDING' AS group_b,
+        |  na AS n_a, nb AS n_b,
+        |  (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+        |    AS u_stat,
+        |  CASE WHEN na > 0 AND nb > 0 AND ties <
+        |      ((na + nb) * (na + nb) * (na + nb) - (na + nb)) THEN
+        |    round(((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1))
+        |        / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
+        |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |        ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |          (CAST(na + nb AS DOUBLE) *
+        |            (CAST(na + nb AS DOUBLE) - 1.0)))), 6) END AS z
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.mannWhitney(t(s, dir, "customer"),
+        col("c_mktsegment"), round(col("c_acctbal") * 100),
+        "AUTOMOBILE", "BUILDING")
+    },
+
+    // ——— partitioner-choice audit: hash (md5 bucket) vs range
+    //     (dictionary-cumulative even split) fill of 32 output
+    //     partitions for the user key — straggler factors per
+    //     strategy, the pre-write distribution check. ———
+    Q("q273_partitioner_choice",
+      """WITH keys AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |), hb AS (
+        |  SELECT CAST(concat('0x', substring(md5(k), 1, 7)) AS BIGINT) % 32
+        |    AS b, CAST(SUM(c) AS BIGINT) AS rows_
+        |  FROM keys GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM keys),
+        |r AS (
+        |  SELECT c, CAST(SUM(c) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumEnd
+        |  FROM keys
+        |), rb AS (
+        |  SELECT CAST((cumEnd - 1) // ((tot.n + 31) // 32) AS BIGINT) AS b,
+        |    CAST(SUM(c) AS BIGINT) AS rows_
+        |  FROM r, tot GROUP BY 1
+        |), s1 AS (
+        |  SELECT 'hash' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(rows_) AS BIGINT) AS max_rows,
+        |    round(CAST(SUM(rows_) AS DOUBLE) / 32, 6) AS mean_rows,
+        |    round(CAST(MAX(rows_) AS DOUBLE) /
+        |      (CAST(SUM(rows_) AS DOUBLE) / 32), 6) AS straggler_factor
+        |  FROM hb
+        |), s2 AS (
+        |  SELECT 'range' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(rows_) AS BIGINT) AS max_rows,
+        |    round(CAST(SUM(rows_) AS DOUBLE) / 32, 6) AS mean_rows,
+        |    round(CAST(MAX(rows_) AS DOUBLE) /
+        |      (CAST(SUM(rows_) AS DOUBLE) / 32), 6) AS straggler_factor
+        |  FROM rb
+        |)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY strategy""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.partitionerAudit(t(s, dir, "events"), "user_id")
     }
   )
 

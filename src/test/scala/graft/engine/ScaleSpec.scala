@@ -601,6 +601,32 @@ class ScaleSpec extends SparkSpec {
     assert(!sc.contains("CartesianProduct"), sc)
   }
 
+  test("cardinality / join-order / partitioner audit plans stay dictionary-sized") {
+    val ca = graft.ext.Profile.cardinalityAudit(orders,
+      Seq(("s", col("o_orderstatus"), Left("F"))))
+      .queryExecution.executedPlan.toString
+    assert(!ca.contains("Join"), ca)
+    val jo = graft.ext.Profile.joinOrderAudit(li, "l_orderkey", orders,
+      "o_orderkey", "o", "l_partkey", orders.limit(10), "o_orderkey", "p")
+      .queryExecution.executedPlan.toString
+    assert(!jo.contains("CartesianProduct"), jo)
+    val pa = graft.ext.Profile.partitionerAudit(li, "l_orderkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("SortMergeJoin"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+  }
+
+  test("mann-whitney plan: ranks ride the value dictionary, join-free") {
+    val mw = graft.ext.Profile.mannWhitney(Tables.load(spark, sf001,
+        "customer"), col("c_mktsegment"), round(col("c_acctbal") * 100),
+      "AUTOMOBILE", "BUILDING")
+      .queryExecution.executedPlan.toString
+    assert(!mw.contains("Join"), mw)
+    // the per-row work is ONE rollup; the unpartitioned window runs on
+    // the distinct-value dictionary, stated by design
+    assert("Exchange hashpartitioning".r.findAllIn(mw).size <= 2, mw)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

@@ -1270,6 +1270,95 @@ class ProfileSpec extends SparkSpec {
     assert(s.getAs[Long]("est_sorted_scan_rows") === 1024L)
   }
 
+  test("cardinalityAudit: uniform column q-error 1, skewed column blows up") {
+    val uniform = (0 until 100).map(i => s"u${i % 10}").toDF("c")
+    val ru = Profile.cardinalityAudit(uniform,
+      Seq(("eq", col("c"), Left("u0")))).collect()(0)
+    assert(ru.getAs[Long]("est_rows") === 10L)
+    assert(ru.getAs[Long]("actual_rows") === 10L)
+    assert(ru.getAs[Double]("q_error") === 1.0)
+    val skewed = (Seq.fill(91)("hot") ++ (0 until 9).map(i => s"s$i"))
+      .toDF("c")
+    val rs = Profile.cardinalityAudit(skewed,
+      Seq(("eq", col("c"), Left("hot")))).collect()(0)
+    assert(rs.getAs[Long]("est_rows") === 10L) // n/ndv = 100/10
+    assert(rs.getAs[Long]("actual_rows") === 91L)
+    assert(rs.getAs[Double]("q_error") === 9.1)
+  }
+
+  test("cardinalityAudit: range estimate under uniform spread; empty → null") {
+    val vals = (0L until 100L).toDF("v")
+    val out = Profile.cardinalityAudit(vals, Seq(
+        ("decile", col("v"), Right((0L, 9L))),
+        ("miss", col("v"), Right((500L, 600L)))))
+      .collect().map(r => r.getAs[String]("predicate") -> r).toMap
+    val d = out("decile")
+    assert(d.getAs[Long]("est_rows") === 10L)
+    assert(d.getAs[Double]("q_error") === 1.0)
+    val m = out("miss")
+    assert(m.getAs[Long]("actual_rows") === 0L)
+    assert(m.isNullAt(m.fieldIndex("q_error")))
+  }
+
+  test("joinOrderAudit: exact intermediates pick the smaller start") {
+    val fact = Seq((1L, "x"), (1L, "y"), (1L, "y"), (2L, "z"))
+      .toDF("fa", "fb")
+    val dimA = Seq(1L, 1L, 2L).toDF("ka") // dup parent key amplifies
+    val dimB = Seq("x", "y", "z").toDF("kb")
+    val out = Profile.joinOrderAudit(fact, "fa", dimA, "ka", "A",
+        "fb", dimB, "kb", "B").collect()
+      .map(r => r.getAs[String]("plan") -> r).toMap
+    assert(out("A*fact first").getAs[Long]("intermediate") === 7L) // 3·2+1
+    assert(out("B*fact first").getAs[Long]("intermediate") === 4L)
+    out.values.foreach(r => assert(r.getAs[Long]("final_rows") === 7L))
+    assert(out("B*fact first").getAs[Boolean]("recommended"))
+    assert(!out("A*fact first").getAs[Boolean]("recommended"))
+  }
+
+  test("mannWhitney: perfect separation hits the closed-form z") {
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+    val r = Profile.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u_stat") === 0.0)
+    // z = (0 − 2)/√(4/12·5) = −2/√(5/3)
+    assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(5.0 / 3))) <
+      1e-6)
+    val rev = Profile.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"),
+      "B", "A").collect()(0)
+    assert(rev.getAs[Double]("u_stat") === 4.0)
+    assert(rev.getAs[Double]("z") > 0)
+  }
+
+  test("mannWhitney: all-tied sample reports NULL z, average ranks exact") {
+    val rows = Seq(("A", 7L), ("A", 7L), ("B", 7L))
+    val r = Profile.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()(0)
+    // everyone shares rank 2 → R_A = 4 → U = 4 − 3 = 1
+    assert(r.getAs[Double]("u_stat") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("partitionerAudit: conservation, bucket bounds, hot key lands whole") {
+    val rows = (Seq.fill(1000)("hot") ++ (0 until 99).map(i => s"k$i"))
+      .toDF("k")
+    val out = Profile.partitionerAudit(rows, "k", nParts = 10).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    Seq("hash", "range").foreach { s =>
+      val r = out(s)
+      assert(r.getAs[Long]("n_buckets") <= 10L)
+      // a single hot KEY cannot be split by either strategy
+      assert(r.getAs[Long]("max_rows") >= 1000L, r.toString)
+      assert(r.getAs[Double]("mean_rows") === 109.9)
+      assert(r.getAs[Double]("straggler_factor") >= 9.0)
+    }
+    // deterministic replay
+    val again = Profile.partitionerAudit(rows, "k", nParts = 10).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    Seq("hash", "range").foreach(s =>
+      assert(out(s).toString === again(s).toString))
+  }
+
   test("fkDiscovery: full containment flags the FK; partial does not") {
     val child = Seq(Some(1), Some(2), Some(3), None).toDF("c")
     val parent = Seq(1, 2, 3, 4, 5).toDF("p")
