@@ -2324,6 +2324,180 @@ object Profile {
         .as("z"))
   }
 
+  /** Kruskal–Wallis H test across ALL groups of an integer-cents
+    * measure — the k-sample extension of [[mannWhitney]], same
+    * machinery: average ranks as exact 2×rank BIGINTs over the value
+    * dictionary, each group's 12·R²/(N(N+1)·n) term 1e6-quantized
+    * before the cross-group sum, tie-corrected H as the final
+    * expression. NULL when every value ties.
+    *
+    * Scale: one (value, group) rollup, one dictionary window, one
+    * group-keyed reduction.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCents: Column,
+                    label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(groupCol.cast("string").as("g"),
+        valueCents.cast("long").as("v"))
+      .groupBy("v", "g").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val dict = cells.groupBy("v").agg(sum("c").as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("avg2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val perG = cells.join(broadcast(dict.select("v", "avg2")), "v")
+      .groupBy("g").agg(sum("c").as("ng"),
+        sum(col("c") * col("avg2")).as("r2g"))
+    val glob = dict.agg(sum("cnt").as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val terms = perG.crossJoin(broadcast(glob))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("k"),
+        max(col("ties")).as("ties"),
+        sum(round(lit(3.0) * col("r2g").cast("double") *
+          col("r2g").cast("double") /
+          (col("n").cast("double") * (col("n") + 1L).cast("double") *
+            col("ng").cast("double")) * lit(1e6)).cast("long")).as("t_u"))
+    val h = col("t_u").cast("double") / lit(1e6) -
+      lit(3.0) * (col("n") + 1L).cast("double")
+    terms.select(lit(label).as("measure"), col("n"), col("k").cast("long")
+        .as("k"), col("ties"),
+      when(col("n") > col("k"), round(h, 6)).as("h"),
+      when(col("n") > col("k") &&
+          col("ties") < col("n") * col("n") * col("n") - col("n"),
+        round(h / (lit(1.0) - col("ties").cast("double") /
+          (col("n") * col("n") * col("n") - col("n")).cast("double")), 6))
+        .as("h_tie_corrected"))
+  }
+
+  /** Spearman rank correlation between two integer columns: each
+    * side's average ranks come from its own value dictionary
+    * (2×rank BIGINTs, dictionary-cumulative — never a per-row
+    * global sort), broadcast back onto the rows, and ρ is Pearson
+    * over the exact rank integers with the cross-products carried
+    * in DECIMAL(38,0) (Σ rank² reaches n³ — BIGINT dies around 2M
+    * rows; decimal buys every realistic scale). The monotone-
+    * association companion to q206's Kendall τ at a fraction of
+    * τ's pair cost. NULL on a constant side.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+               label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranks(c: String) = {
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col(c), (lit(2L) * col("cum") - col("cnt") + 1L)
+          .as(s"a2$c"))
+    }
+    val ranked = base.join(broadcast(ranks("x")), "x")
+      .join(broadcast(ranks("y")), "y")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum("a2x").as("sx"), sum("a2y").as("sy"),
+      sum(dec(col("a2x") * col("a2y"))).as("sxy"),
+      sum(dec(col("a2x") * col("a2x"))).as("sxx"),
+      sum(dec(col("a2y") * col("a2y"))).as("syy"))
+    val num = (dec(col("n")) * col("sxy") -
+      dec(col("sx")) * col("sy")).cast("double")
+    val vx = (dec(col("n")) * col("sxx") -
+      dec(col("sx")) * col("sx")).cast("double")
+    val vy = (dec(col("n")) * col("syy") -
+      dec(col("sy")) * col("sy")).cast("double")
+    agg.select(lit(label).as("pair"), col("n"),
+      when(vx > 0.0 && vy > 0.0, round(num / sqrt(vx * vy), 6))
+        .as("rho"))
+  }
+
+  /** Effect sizes between two groups of an integer-cents measure:
+    * Cohen's d (pooled-variance standardized mean difference, the
+    * parametric magnitude q158's lift hides) and Cliff's delta
+    * (P(a>b) − P(a<b), computed EXACTLY from the value dictionary's
+    * cumulative counts — no pair enumeration). Squared sums ride
+    * DECIMAL(38,0); d is NULL when the pooled variance is zero or a
+    * group has fewer than two rows.
+    */
+  def effectSizes(df: DataFrame, groupCol: Column, valueCents: Column,
+                  groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.cast("string").as("g"),
+        valueCents.cast("long").as("v"))
+      .where(col("g") === groupA || col("g") === groupB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val moments = base.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("v").as("s"), sum(dec(col("v") * col("v"))).as("q"))
+    val wide = moments.where(col("g") === groupA)
+      .select(col("n").as("na"), col("s").as("sa"), col("q").as("qa"))
+      .crossJoin(broadcast(moments.where(col("g") === groupB)
+        .select(col("n").as("nb"), col("s").as("sb"), col("q").as("qb"))))
+    val ssA = (dec(col("na")) * col("qa") - dec(col("sa")) * col("sa"))
+      .cast("double") / col("na").cast("double")
+    val ssB = (dec(col("nb")) * col("qb") - dec(col("sb")) * col("sb"))
+      .cast("double") / col("nb").cast("double")
+    val pooled = sqrt((ssA + ssB) /
+      (col("na") + col("nb") - 2L).cast("double"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val dict = base.groupBy("v").agg(
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cumB", sum("cb").over(w))
+    val cliff = dict.crossJoin(broadcast(wide.select(col("nb"))))
+      .agg(coalesce(sum(col("ca") * ((col("cumB") - col("cb")) -
+        (col("nb") - col("cumB")))), lit(0L)).as("cl"))
+    wide.crossJoin(broadcast(cliff)).select(
+      lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("sa").cast("double") / col("na"), 6).as("mean_a"),
+      round(col("sb").cast("double") / col("nb"), 6).as("mean_b"),
+      when(col("na") > 1L && col("nb") > 1L && pooled > 0.0,
+        round((col("sa").cast("double") / col("na") -
+          col("sb").cast("double") / col("nb")) / pooled, 6))
+        .as("cohens_d"),
+      round(col("cl").cast("double") /
+        (col("na").cast("double") * col("nb")), 6).as("cliffs_delta"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a frame of (key, z)
+    * test statistics: two-sided p from the Abramowitz–Stegun
+    * 7.1.26 normal-tail polynomial (public handbook constants; the
+    * INPUT z is already rounded to 6 decimals by the upstream
+    * operator, so both engines feed the polynomial identical
+    * doubles), then the standard step-up adjustment
+    * p̂ᵢ = min_{j≥i}(pⱼ·m/j) capped at 1 — which discoveries
+    * survive when you ran m tests at once. Rows with NULL z are
+    * dropped (document upstream). All windows run over the
+    * m-row hypothesis frame.
+    */
+  def bhAdjust(tests: DataFrame, keyCol: String, zCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val az = abs(col(zCol))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val pdf = exp(az * az * lit(-0.5)) * lit(0.3989422804014327)
+    val pRaw = round(lit(2.0) * (pdf * poly), 9)
+    val base = tests.select(col(keyCol).cast("string").as("key"),
+        col(zCol).cast("double").as("z"))
+      .where(col(zCol).isNotNull)
+      .withColumn("p_raw", pRaw)
+    val m = Window.partitionBy()
+    val wRank = Window.orderBy(col("p_raw"), col("key"))
+    val wTail = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("p_adj", round(least(min(col("p_raw") * col("m") /
+        col("rank")).over(wTail), lit(1.0)), 9))
+      .select(col("key"), col("z"), col("p_raw"), col("rank"),
+        col("p_adj"), (col("p_adj") <= alpha).as("significant"))
+      .orderBy("rank")
+  }
+
   /** Partitioner-choice audit: how evenly `nParts` output partitions
     * would fill under HASH partitioning (the battery's engine-
     * portable md5 bucket) versus RANGE partitioning (ntile over the

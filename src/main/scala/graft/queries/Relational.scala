@@ -4919,6 +4919,217 @@ object Relational {
         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
         |ORDER BY strategy""".stripMargin) { (s, dir) =>
       graft.ext.Profile.partitionerAudit(t(s, dir, "events"), "user_id")
+    },
+
+    // ——— Kruskal–Wallis H across all five customer segments:
+    //     q272's rank machinery generalized to k samples, per-group
+    //     terms 1e6-quantized, tie-corrected H. ———
+    Q("q274_kruskal_wallis",
+      """WITH cells AS (
+        |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+        |    CAST(c_mktsegment AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2
+        |), dict AS (
+        |  SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM cells GROUP BY 1
+        |), av AS (
+        |  SELECT v, 2 * CAST(SUM(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - cnt + 1 AS avg2
+        |  FROM dict
+        |), pg AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+        |    CAST(SUM(c * avg2) AS BIGINT) AS r2g
+        |  FROM cells JOIN av USING (v) GROUP BY 1
+        |), gl AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM dict
+        |), tm AS (
+        |  SELECT MAX(gl.n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    MAX(gl.ties) AS ties,
+        |    CAST(SUM(CAST(round(3.0 * CAST(r2g AS DOUBLE) *
+        |      CAST(r2g AS DOUBLE) /
+        |      (CAST(gl.n AS DOUBLE) * CAST(gl.n + 1 AS DOUBLE) *
+        |        CAST(ng AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t_u
+        |  FROM pg CROSS JOIN gl
+        |)
+        |SELECT 'acctbal~segment' AS measure, n, k, ties,
+        |  CASE WHEN n > k THEN round(CAST(t_u AS DOUBLE) / 1e6 -
+        |    3.0 * CAST(n + 1 AS DOUBLE), 6) END AS h,
+        |  CASE WHEN n > k AND ties < n * n * n - n THEN
+        |    round((CAST(t_u AS DOUBLE) / 1e6 -
+        |      3.0 * CAST(n + 1 AS DOUBLE)) /
+        |      (1.0 - CAST(ties AS DOUBLE) /
+        |        CAST(n * n * n - n AS DOUBLE)), 6) END AS h_tie_corrected
+        |FROM tm""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.kruskalWallis(t(s, dir, "customer"),
+        col("c_mktsegment"), round(col("c_acctbal") * 100),
+        "acctbal~segment")
+    },
+
+    // ——— Spearman ρ of quantity vs line price: each side's average
+    //     ranks from its own value dictionary (2×rank BIGINTs),
+    //     Pearson over exact rank integers with DECIMAL/HUGEINT
+    //     cross-products — q206's τ at a fraction of the pair cost. ———
+    Q("q275_spearman",
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |), dxx AS (
+        |  SELECT x, 2 * CAST(SUM(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - cnt + 1 AS a2x
+        |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+        |    GROUP BY 1)
+        |), dyy AS (
+        |  SELECT y, 2 * CAST(SUM(cnt) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - cnt + 1 AS a2y
+        |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+        |    GROUP BY 1)
+        |), r AS (
+        |  SELECT a2x, a2y FROM b JOIN dxx USING (x) JOIN dyy USING (y)
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a2x) AS BIGINT) AS sx, CAST(SUM(a2y) AS BIGINT) AS sy,
+        |    SUM(CAST(a2x * a2y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(a2x * a2x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(a2y * a2y AS HUGEINT)) AS syy
+        |  FROM r
+        |)
+        |SELECT 'quantity~extprice' AS pair, n,
+        |  CASE WHEN CAST(CAST(n AS HUGEINT) * sxx -
+        |      CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+        |    AND CAST(CAST(n AS HUGEINT) * syy -
+        |      CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * sxy -
+        |        CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |      sqrt(CAST(CAST(n AS HUGEINT) * sxx -
+        |          CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+        |        CAST(CAST(n AS HUGEINT) * syy -
+        |          CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) END AS rho
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.spearman(t(s, dir, "lineitem"),
+        col("l_quantity"), round(col("l_extendedprice") * 100),
+        "quantity~extprice")
+    },
+
+    // ——— effect sizes between two customer segments: Cohen's d
+    //     (pooled variance via HUGEINT squared sums) and Cliff's
+    //     delta EXACT from dictionary cumulative counts — magnitude,
+    //     not just significance. ———
+    Q("q276_effect_size",
+      """WITH base AS (
+        |  SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE CAST(c_mktsegment AS VARCHAR) IN ('AUTOMOBILE', 'BUILDING')
+        |), m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s, SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM base GROUP BY 1
+        |), wide AS (
+        |  SELECT a.n AS na, a.s AS sa, a.q AS qa,
+        |    b.n AS nb, b.s AS sb, b.q AS qb
+        |  FROM (SELECT * FROM m WHERE g = 'AUTOMOBILE') a,
+        |       (SELECT * FROM m WHERE g = 'BUILDING') b
+        |), dcum AS (
+        |  SELECT v, ca, cb, CAST(SUM(cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumB
+        |  FROM (SELECT v,
+        |      CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS ca,
+        |      CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS cb
+        |    FROM base GROUP BY 1)
+        |), cl AS (
+        |  SELECT CAST(COALESCE(SUM(ca * ((cumB - cb) -
+        |    (wide.nb - cumB))), 0) AS BIGINT) AS cl
+        |  FROM dcum, wide
+        |)
+        |SELECT 'AUTOMOBILE' AS group_a, 'BUILDING' AS group_b,
+        |  na AS n_a, nb AS n_b,
+        |  round(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
+        |  round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND
+        |    sqrt((CAST(CAST(na AS HUGEINT) * qa -
+        |        CAST(sa AS HUGEINT) * sa AS DOUBLE) / CAST(na AS DOUBLE) +
+        |      CAST(CAST(nb AS HUGEINT) * qb -
+        |        CAST(sb AS HUGEINT) * sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |      CAST(na + nb - 2 AS DOUBLE)) > 0 THEN
+        |    round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |      sqrt((CAST(CAST(na AS HUGEINT) * qa -
+        |          CAST(sa AS HUGEINT) * sa AS DOUBLE) / CAST(na AS DOUBLE) +
+        |        CAST(CAST(nb AS HUGEINT) * qb -
+        |          CAST(sb AS HUGEINT) * sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |        CAST(na + nb - 2 AS DOUBLE)), 6) END AS cohens_d,
+        |  round(CAST(cl AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+        |    AS cliffs_delta
+        |FROM wide, cl""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.effectSizes(t(s, dir, "customer"),
+        col("c_mktsegment"), round(col("c_acctbal") * 100),
+        "AUTOMOBILE", "BUILDING")
+    },
+
+    // ——— Benjamini–Hochberg FDR over q255's per-type rate-shift z:
+    //     two-sided p via the Abramowitz–Stegun normal-tail
+    //     polynomial on the already-rounded z, step-up adjustment —
+    //     which rate shifts survive running five tests at once. ———
+    Q("q277_bh_fdr",
+      """WITH d AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT CAST(MIN(day) AS BIGINT) AS mind,
+        |    CAST(MAX(day) AS BIGINT) AS maxd,
+        |    CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid
+        |  FROM d
+        |), h AS (
+        |  SELECT grp, CAST(MAX(sp.mid - sp.mind + 1) AS BIGINT) AS t1,
+        |    CAST(MAX(sp.maxd - sp.mid) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN day <= sp.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN day > sp.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM d CROSS JOIN sp GROUP BY 1
+        |), zz AS (
+        |  SELECT grp AS key, CASE WHEN n1 + n2 > 0 THEN round(
+        |    (CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1) /
+        |    sqrt(CAST(n1 AS DOUBLE) / t1 / t1 +
+        |      CAST(n2 AS DOUBLE) / t2 / t2), 6) END AS z
+        |  FROM h
+        |), tt AS (
+        |  SELECT key, z,
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t,
+        |    exp(abs(z) * abs(z) * -0.5) * 0.3989422804014327 AS pdf
+        |  FROM zz WHERE z IS NOT NULL
+        |), p AS (
+        |  SELECT key, z, round(2.0 * (pdf * (t * (0.319381530 +
+        |    t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 +
+        |    t * 1.330274429)))))), 9) AS p_raw
+        |  FROM tt
+        |), q AS (
+        |  SELECT key, z, p_raw,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m,
+        |    CAST(row_number() OVER (ORDER BY p_raw, key) AS BIGINT)
+        |      AS rank
+        |  FROM p
+        |), adj AS (
+        |  SELECT key, z, p_raw, rank,
+        |    round(least(min(p_raw * m / rank) OVER (ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 9)
+        |      AS p_adj
+        |  FROM q
+        |)
+        |SELECT key, z, p_raw, rank, p_adj, p_adj <= 0.05 AS significant
+        |FROM adj ORDER BY rank""".stripMargin) { (s, dir) =>
+      val z = graft.ext.Profile.rateShift(t(s, dir, "events"),
+        "event_type", "ts")
+      graft.ext.Profile.bhAdjust(z, "grp", "z")
     }
   )
 

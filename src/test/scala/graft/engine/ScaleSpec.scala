@@ -627,6 +627,24 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(mw).size <= 2, mw)
   }
 
+  test("rank-test family plans: dictionary ranks broadcast, no SMJ") {
+    val cust = Tables.load(spark, sf001, "customer")
+    val kw = graft.ext.Profile.kruskalWallis(cust, col("c_mktsegment"),
+      round(col("c_acctbal") * 100), "t")
+      .queryExecution.executedPlan.toString
+    assert(!kw.contains("SortMergeJoin"), kw)
+    val sp = graft.ext.Profile.spearman(li, col("l_quantity"),
+      round(col("l_extendedprice") * 100), "t")
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("SortMergeJoin"),
+      s"rank dictionaries must broadcast back onto rows:\n$sp")
+    val es = graft.ext.Profile.effectSizes(cust, col("c_mktsegment"),
+      round(col("c_acctbal") * 100), "AUTOMOBILE", "BUILDING")
+      .queryExecution.executedPlan.toString
+    assert(!es.contains("SortMergeJoin"), es)
+    assert(!es.contains("CartesianProduct"), es)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

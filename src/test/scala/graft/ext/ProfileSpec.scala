@@ -1339,6 +1339,77 @@ class ProfileSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("kruskalWallis: two groups reproduce H = z² of the MW test") {
+    // A={1,2}, B={3,4}: H = 12/(4·5)·(R_A²/2 + R_B²/2) − 15 = 2.4 = z²
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+    val r = Profile.kruskalWallis(rows.toDF("g", "v"), col("g"), col("v"),
+      "t").collect()(0)
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("k") === 2L)
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-5)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - 2.4) < 1e-5)
+    val zr = Profile.mannWhitney(rows.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()(0).getAs[Double]("z")
+    assert(math.abs(r.getAs[Double]("h") - zr * zr) < 1e-4)
+  }
+
+  test("kruskalWallis: all-tied sample reports NULL H") {
+    val rows = Seq(("A", 7L), ("B", 7L), ("C", 7L), ("A", 7L))
+    val r = Profile.kruskalWallis(rows.toDF("g", "v"), col("g"), col("v"),
+      "t").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("h_tie_corrected")))
+  }
+
+  test("spearman: monotone transform gives rho 1, reversal -1, constant NULL") {
+    val mono = (1L to 50L).map(i => (i, i * i * i)).toDF("x", "y")
+    val rm = Profile.spearman(mono, col("x"), col("y"), "m").collect()(0)
+    assert(rm.getAs[Double]("rho") === 1.0)
+    val rev = (1L to 50L).map(i => (i, -i)).toDF("x", "y")
+    val rr = Profile.spearman(rev, col("x"), col("y"), "r").collect()(0)
+    assert(rr.getAs[Double]("rho") === -1.0)
+    val const = (1L to 10L).map(i => (i, 5L)).toDF("x", "y")
+    val rc = Profile.spearman(const, col("x"), col("y"), "c").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
+
+  test("effectSizes: hand groups give exact d and Cliff's delta") {
+    // A={0,200}, B={100,300}: d = −100/√20000; δ = (1−3)/4 = −0.5
+    val rows = Seq(("A", 0L), ("A", 200L), ("B", 100L), ("B", 300L))
+    val r = Profile.effectSizes(rows.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()(0)
+    assert(r.getAs[Double]("mean_a") === 100.0)
+    assert(r.getAs[Double]("mean_b") === 200.0)
+    assert(math.abs(r.getAs[Double]("cohens_d") -
+      (-100.0 / math.sqrt(20000))) < 1e-6)
+    assert(r.getAs[Double]("cliffs_delta") === -0.5)
+  }
+
+  test("effectSizes: disjoint groups saturate Cliff's delta at ±1") {
+    val rows = Seq(("A", 10L), ("A", 11L), ("B", 1L), ("B", 2L))
+    val r = Profile.effectSizes(rows.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()(0)
+    assert(r.getAs[Double]("cliffs_delta") === 1.0) // every a beats every b
+  }
+
+  test("bhAdjust: textbook p-values, step-up monotone, last equals raw") {
+    val tests = Seq(("t1", 0.0), ("t2", 1.96), ("t3", 3.0))
+      .toDF("key", "z")
+    val out = Profile.bhAdjust(tests, "key", "z").collect()
+    val byKey = out.map(r => r.getAs[String]("key") -> r).toMap
+    assert(math.abs(byKey("t1").getAs[Double]("p_raw") - 1.0) < 1e-5)
+    assert(math.abs(byKey("t2").getAs[Double]("p_raw") - 0.05) < 1e-4)
+    assert(math.abs(byKey("t3").getAs[Double]("p_raw") - 0.0027) < 1e-4)
+    // ranks ascend by p; adjusted p monotone nondecreasing in rank;
+    // the worst hypothesis keeps its raw p (m/m = 1)
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[String]("key")).toSeq ===
+      Seq("t3", "t2", "t1"))
+    val adj = byRank.map(_.getAs[Double]("p_adj"))
+    assert(adj.sliding(2).forall(p => p(0) <= p(1)))
+    assert(adj.last === byRank.last.getAs[Double]("p_raw"))
+    assert(byKey("t3").getAs[Boolean]("significant"))
+    assert(!byKey("t1").getAs[Boolean]("significant"))
+  }
+
   test("partitionerAudit: conservation, bucket bounds, hot key lands whole") {
     val rows = (Seq.fill(1000)("hot") ++ (0 until 99).map(i => s"k$i"))
       .toDF("k")
