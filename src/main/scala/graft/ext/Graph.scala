@@ -453,6 +453,75 @@ object Graph {
       .orderBy("community")
   }
 
+  /** One Louvain local-move pass over a GIVEN partition (Blondel et
+    * al. 2008, public literature): for every node and every
+    * NEIGHBORING community c ≠ its own, the exact modularity gain
+    * ΔQ(i→c) = (k_{i,c} − k_{i,cᵢ})/m − k_i·(Σtot_c − Σtot_cᵢ + k_i)/(2m²),
+    * reported as the top-`topK` improving moves — the refinement
+    * step that turns [[modularity]]'s score into an actionable
+    * "these nodes are mislabeled" list without running the full
+    * iterative algorithm. Every input to the 1e9-quantized gain is
+    * an exact BIGINT (degrees, community degree sums, neighbor-
+    * community edge counts).
+    *
+    * Scale: the canonical edge dedup, one (node, neighbor-community)
+    * rollup, node-degree and community-degree-sum dictionaries on
+    * broadcasts, and a TakeOrdered cut. No iteration — this is ONE
+    * pass; loop it externally for full Louvain.
+    */
+  def louvainMoveGain(edges: DataFrame, labels: DataFrame,
+                      topK: Int = 20,
+                      nodeCol: String = "node", labelCol: String = "label",
+                      srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(topK >= 1, s"louvainMoveGain: topK must be >= 1, got $topK")
+    val und = undirectedEdges(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // both directions, deduped
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+      col(labelCol).cast("string").as("lab"))
+    val m = und.agg((count(lit(1)) / 2L).cast("long").as("m"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // community of every node (unlabeled → singleton, q244 convention)
+    val comm = deg.select(col("node"))
+      .join(broadcast(lab), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigma = und.select(col("src").as("node"))
+      .join(broadcast(comm), "node")
+      .groupBy("c").agg(count(lit(1)).as("sigma_tot"))
+    // k_{i,c}: node's edges into each neighboring community
+    val kic = und
+      .join(broadcast(comm.select(col("node").as("dst"),
+        col("c").as("cn"))), "dst")
+      .groupBy(col("src").as("node"), col("cn"))
+      .agg(count(lit(1)).as("kic"))
+    val own = comm.select(col("node"), col("c").as("ci"))
+    val kici = kic.join(broadcast(own), "node")
+      .where(col("cn") === col("ci"))
+      .select(col("node"), col("kic").as("kici"))
+    val cand = kic.join(broadcast(own), "node")
+      .where(col("cn") =!= col("ci"))
+      .join(broadcast(kici), Seq("node"), "left")
+      .na.fill(0L, Seq("kici"))
+      .join(broadcast(deg), "node")
+      .join(broadcast(sigma.select(col("c").as("cn"),
+        col("sigma_tot").as("st_to"))), "cn")
+      .join(broadcast(sigma.select(col("c").as("ci"),
+        col("sigma_tot").as("st_from"))), "ci")
+      .crossJoin(broadcast(m))
+    cand.select(col("node"), col("ci").as("from_community"),
+        col("cn").as("to_community"), col("k"), col("kic"),
+        (round(((col("kic") - col("kici")).cast("double") / col("m") -
+          col("k").cast("double") *
+            (col("st_to") - col("st_from") + col("k")).cast("double") /
+            (lit(2.0) * col("m").cast("double") * col("m").cast("double")))
+          * lit(1e9)).cast("long").cast("double") / 1e9).as("dq"))
+      .orderBy(col("dq").desc, col("node"), col("to_community"))
+      .limit(topK)
+  }
+
   /** Min-hop BFS from a seed set, bounded to `maxHops` frontier
     * expansions. Returns (node, hop) for every reached node. Each
     * hop is ONE join of the (shrinking) frontier against the cached

@@ -1422,6 +1422,46 @@ object Profile {
       .orderBy("grp", "day")
   }
 
+  /** Seasonality-aware anomaly detection: [[seasonalDecompose]]'s
+    * exact-integer residuals scored against each group's own robust
+    * scale (nearest-rank median of |residual| × 1.4826, the MAD
+    * consistency constant) — "something broke on the 14th" AFTER
+    * "weekends are slow" has been subtracted, which is the alert
+    * q117's raw-series MAD cannot give on seasonal data. All
+    * comparisons are integer (residuals and the scaled MAD live in
+    * 1e6 units); the score is the one rounded ratio.
+    *
+    * Scale: the decomposition's dictionary frames plus one
+    * group-partitioned rank window over days×groups.
+    */
+  def seasonalAnomalies(events: DataFrame, groupCol: String,
+                        tsCol: String, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0.0, s"seasonalAnomalies: k must be > 0, got $k")
+    val sd = seasonalDecompose(events, groupCol, tsCol)
+      .withColumn("res_u", round(col("residual") * lit(1e6)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRank = Window.partitionBy("grp")
+      .orderBy(abs(col("res_u")), col("day"))
+    val wN = Window.partitionBy("grp")
+    val mad = sd
+      .withColumn("_rn", row_number().over(wRank).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wN))
+      .where(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("grp"),
+        round(abs(col("res_u")).cast("double") * lit(1.4826)).cast("long")
+          .as("sigma_u"))
+    sd.join(broadcast(mad), "grp")
+      .select(col("grp"), col("day"), col("y"), col("residual"),
+        when(col("sigma_u") > 0L,
+          round(col("res_u").cast("double") / col("sigma_u"), 6))
+          .as("score"),
+        (col("sigma_u") > 0L &&
+          abs(col("res_u")).cast("double") >
+            lit(k) * col("sigma_u").cast("double")).as("is_anomaly"))
+      .orderBy("grp", "day")
+  }
+
   /** Join-size pre-flight: the EXACT output cardinality of an
     * equi-join computed from the two key dictionaries — Σ_k n_a(k)·
     * n_b(k) — without running the join. The companion to

@@ -1013,4 +1013,48 @@ object Similarity {
         (col("r_u").cast("double") / 1e6).as("r_max"))
       .orderBy("label")
   }
+  /** Embedding drift audit between two halves of a corpus (vec_id
+    * parity as the deterministic split — swap in a time column in
+    * production): per-dimension centroid means of each half (exact —
+    * float32 inputs sum round-free in double at these counts), the
+    * pooled-standard-deviation-standardized mean shift per dimension
+    * (squared terms 1e12-quantized before their BIGINT sums), and
+    * the per-dim absolute gap — the "did the embedding distribution
+    * move" monitor that q125's scalar PSI can't see. A zero-variance
+    * dimension reports NULL shift.
+    *
+    * Scale: one posexplode pass, one (half, dim) rollup, one
+    * dim-keyed join of two dictionary frames.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select((col(idCol) % 2L === 0L).as("half_a"),
+        posexplode(col(vecCol)).as(Seq("i0", "x")))
+      .select(col("half_a"), (col("i0") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val stats = e.groupBy("half_a", "i")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(round(col("x") * col("x") * lit(1e12)).cast("long")).as("sxx_u"))
+    val a = stats.where(col("half_a"))
+      .select(col("i"), col("n").as("na"), col("sx").as("sxa"),
+        col("sxx_u").as("qa_u"))
+    val b = stats.where(!col("half_a"))
+      .select(col("i"), col("n").as("nb"), col("sx").as("sxb"),
+        col("sxx_u").as("qb_u"))
+    val ssA = (col("qa_u").cast("double") / lit(1e12) -
+      col("sxa") * col("sxa") / col("na").cast("double"))
+    val ssB = (col("qb_u").cast("double") / lit(1e12) -
+      col("sxb") * col("sxb") / col("nb").cast("double"))
+    val pooled = sqrt((ssA + ssB) / (col("na") + col("nb") - 2L)
+      .cast("double"))
+    a.join(b, "i").select(col("i"), col("na"), col("nb"),
+        round(col("sxa") / col("na"), 6).as("mean_a"),
+        round(col("sxb") / col("nb"), 6).as("mean_b"),
+        round(abs(col("sxa") / col("na") - col("sxb") / col("nb")), 6)
+          .as("abs_gap"),
+        when(col("na") > 1L && col("nb") > 1L && pooled > 0.0,
+          round((col("sxa") / col("na") - col("sxb") / col("nb")) / pooled,
+            6)).as("std_shift"))
+      .orderBy("i")
+  }
 }

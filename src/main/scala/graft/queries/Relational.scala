@@ -5130,6 +5130,156 @@ object Relational {
       val z = graft.ext.Profile.rateShift(t(s, dir, "events"),
         "event_type", "ts")
       graft.ext.Profile.bhAdjust(z, "grp", "z")
+    },
+
+    // ——— seasonality-aware anomaly days: q243's exact residuals
+    //     scored against each type's own MAD×1.4826 scale — "broke
+    //     on the 14th" after "weekends are slow" is subtracted. ———
+    Q("q278_seasonal_anomalies",
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT grp, day, y,
+        |    COUNT(*) OVER w AS wn,
+        |    CAST(round(CAST(SUM(y) OVER w AS DOUBLE) * 1e6 / 7)
+        |      AS BIGINT) AS t_u
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), d AS (
+        |  SELECT grp, day, y, t_u, y * 1000000 - t_u AS d_u,
+        |    CAST((day + 4) % 7 AS BIGINT) AS dow
+        |  FROM tr WHERE wn = 7
+        |), s AS (
+        |  SELECT grp, dow,
+        |    CAST(round(CAST(SUM(d_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS s_u
+        |  FROM d GROUP BY 1, 2
+        |), sd AS (
+        |  SELECT d.grp, d.day, d.y,
+        |    CAST(d.d_u - s.s_u AS DOUBLE) / 1e6 AS residual,
+        |    d.d_u - s.s_u AS res_u
+        |  FROM d JOIN s ON d.grp = s.grp AND d.dow = s.dow
+        |), md AS (
+        |  SELECT grp, CAST(round(CAST(abs(res_u) AS DOUBLE) * 1.4826)
+        |    AS BIGINT) AS sigma_u
+        |  FROM (SELECT grp, res_u,
+        |      row_number() OVER (PARTITION BY grp
+        |        ORDER BY abs(res_u), day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY grp) AS n
+        |    FROM sd)
+        |  WHERE rn = (n + 1) // 2
+        |)
+        |SELECT sd.grp, sd.day, sd.y, sd.residual,
+        |  CASE WHEN md.sigma_u > 0 THEN
+        |    round(CAST(sd.res_u AS DOUBLE) / md.sigma_u, 6) END AS score,
+        |  md.sigma_u > 0 AND CAST(abs(sd.res_u) AS DOUBLE) >
+        |    3.0 * CAST(md.sigma_u AS DOUBLE) AS is_anomaly
+        |FROM sd JOIN md USING (grp)
+        |ORDER BY sd.grp, sd.day""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.seasonalAnomalies(t(s, dir, "events"),
+        "event_type", "ts")
+    },
+
+    // ——— one Louvain local-move pass over the brand partition of
+    //     the co-purchase graph: exact ΔQ(i→c) per neighboring
+    //     community from BIGINT degree/edge counts, top-20 improving
+    //     moves — "these nodes are mislabeled", no iteration. ———
+    Q("q279_louvain_move",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b USING (g) WHERE a.item < b.item
+        |), lab AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS node, p_brand AS lab FROM part
+        |), und2 AS (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |), m AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM und2),
+        |deg AS (
+        |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM und2 GROUP BY 1
+        |), comm AS (
+        |  SELECT d.node, COALESCE(l.lab, d.node) AS c
+        |  FROM deg d LEFT JOIN lab l ON d.node = l.node
+        |), sigma AS (
+        |  SELECT c.c, CAST(COUNT(*) AS BIGINT) AS sigma_tot
+        |  FROM und2 e JOIN comm c ON e.src = c.node GROUP BY 1
+        |), kic AS (
+        |  SELECT e.src AS node, cd.c AS cn, CAST(COUNT(*) AS BIGINT) AS kic
+        |  FROM und2 e JOIN comm cd ON e.dst = cd.node GROUP BY 1, 2
+        |), kici AS (
+        |  SELECT k.node, k.kic AS kici
+        |  FROM kic k JOIN comm o ON k.node = o.node AND k.cn = o.c
+        |), cand AS (
+        |  SELECT k.node, o.c AS ci, k.cn, COALESCE(ki.kici, 0) AS kici,
+        |    dg.k, k.kic, st.sigma_tot AS st_to, sf.sigma_tot AS st_from,
+        |    m.m
+        |  FROM kic k JOIN comm o ON k.node = o.node AND k.cn <> o.c
+        |  LEFT JOIN kici ki ON ki.node = k.node
+        |  JOIN deg dg ON dg.node = k.node
+        |  JOIN sigma st ON st.c = k.cn
+        |  JOIN sigma sf ON sf.c = o.c
+        |  CROSS JOIN m
+        |)
+        |SELECT node, ci AS from_community, cn AS to_community, k, kic,
+        |  CAST(CAST(round((CAST(kic - kici AS DOUBLE) / m -
+        |    CAST(k AS DOUBLE) * CAST(st_to - st_from + k AS DOUBLE) /
+        |    (2.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) * 1e9)
+        |    AS BIGINT) AS DOUBLE) / 1e9 AS dq
+        |FROM cand
+        |ORDER BY dq DESC, node, to_community LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      graft.ext.Graph.louvainMoveGain(edges, labels)
+    },
+
+    // ——— embedding drift between the two vec_id-parity halves:
+    //     per-dimension exact centroid means, pooled-std-standardized
+    //     shift (1e12-quantized squares) — the distribution monitor
+    //     q125's scalar PSI can't see. ———
+    Q("q280_embedding_drift",
+      """WITH e AS (
+        |  SELECT (vec_id % 2 = 0) AS half_a,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT half_a, i, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |    CAST(SUM(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT)
+        |      AS sxx_u
+        |  FROM e GROUP BY 1, 2
+        |), a AS (
+        |  SELECT i, n AS na, sx AS sxa, sxx_u AS qa_u FROM st WHERE half_a
+        |), b AS (
+        |  SELECT i, n AS nb, sx AS sxb, sxx_u AS qb_u FROM st
+        |  WHERE NOT half_a
+        |)
+        |SELECT a.i, na, nb, round(sxa / na, 6) AS mean_a,
+        |  round(sxb / nb, 6) AS mean_b,
+        |  round(abs(sxa / na - sxb / nb), 6) AS abs_gap,
+        |  CASE WHEN na > 1 AND nb > 1 AND
+        |    sqrt(((CAST(qa_u AS DOUBLE) / 1e12 -
+        |        sxa * sxa / CAST(na AS DOUBLE)) +
+        |      (CAST(qb_u AS DOUBLE) / 1e12 -
+        |        sxb * sxb / CAST(nb AS DOUBLE))) /
+        |      CAST(na + nb - 2 AS DOUBLE)) > 0 THEN
+        |    round((sxa / na - sxb / nb) /
+        |      sqrt(((CAST(qa_u AS DOUBLE) / 1e12 -
+        |          sxa * sxa / CAST(na AS DOUBLE)) +
+        |        (CAST(qb_u AS DOUBLE) / 1e12 -
+        |          sxb * sxb / CAST(nb AS DOUBLE))) /
+        |        CAST(na + nb - 2 AS DOUBLE)), 6) END AS std_shift
+        |FROM a JOIN b USING (i) ORDER BY i""".stripMargin) { (s, dir) =>
+      graft.ext.Similarity.embeddingDrift(t(s, dir, "embeddings"))
     }
   )
 

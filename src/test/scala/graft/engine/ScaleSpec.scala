@@ -645,6 +645,29 @@ class ScaleSpec extends SparkSpec {
     assert(!es.contains("CartesianProduct"), es)
   }
 
+  test("seasonal anomalies / louvain / drift plans: grouped windows, broadcasts") {
+    val ev = Tables.load(spark, sf001, "events")
+    val sa = graft.ext.Profile.seasonalAnomalies(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    assert(sa.contains("hashpartitioning(grp"), sa)
+    assert(!sa.contains("CartesianProduct"), sa)
+    import spark.implicits._
+    val edges = (0 until 200).map(i => (s"n${i % 20}", s"n${(i * 3 + 1) % 19}"))
+      .toDF("src", "dst")
+    val labels = (0 until 25).map(i => (s"n$i", s"c${i % 4}"))
+      .toDF("node", "label")
+    val lv = graft.ext.Graph.louvainMoveGain(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!lv.contains("CartesianProduct"), lv)
+    assert(!lv.contains("SortMergeJoin"),
+      s"label/degree/sigma dictionaries must broadcast:\n$lv")
+    assert(lv.contains("TakeOrderedAndProject"), lv)
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val dr = graft.ext.Similarity.embeddingDrift(emb)
+      .queryExecution.executedPlan.toString
+    assert(!dr.contains("CartesianProduct"), dr)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

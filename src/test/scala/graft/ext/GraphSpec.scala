@@ -382,6 +382,37 @@ class GraphSpec extends SparkSpec {
     assert(out(0).getAs[Double]("dq") === 0.0) // L_c/m = 1, (d_c/2m)² = 1
   }
 
+  test("louvainMoveGain: the mislabeled clique node tops the move list") {
+    // two K4s; a1 LABELED into the other clique's community R:
+    // ΔQ(a1→L) = 3/12 − 3·(9−15+3)/(2·144) = 0.28125
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val left = Seq("a1", "a2", "a3", "a4")
+    val right = Seq("b1", "b2", "b3", "b4")
+    val edges = (clique(left) ++ clique(right)).toDF("src", "dst")
+    val labels = (Seq(("a1", "R")) ++ left.tail.map((_, "L")) ++
+      right.map((_, "R"))).toDF("node", "label")
+    val out = Graph.louvainMoveGain(edges, labels).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("node") === "a1")
+    assert(top.getAs[String]("from_community") === "R")
+    assert(top.getAs[String]("to_community") === "L")
+    assert(top.getAs[Double]("dq") === 0.28125)
+    // no other move should beat fixing the mislabel
+    assert(out.tail.forall(_.getAs[Double]("dq") < 0.28125))
+  }
+
+  test("louvainMoveGain: a clean partition with no cross edges offers no moves") {
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq("a1", "a2", "a3")) ++
+      clique(Seq("b1", "b2", "b3"))).toDF("src", "dst")
+    val labels = (Seq("a1", "a2", "a3").map((_, "L")) ++
+      Seq("b1", "b2", "b3").map((_, "R"))).toDF("node", "label")
+    assert(Graph.louvainMoveGain(edges, labels).collect().isEmpty)
+  }
+
   test("modularity: unlabeled nodes become singleton communities") {
     val edges = Seq(("a", "b"), ("b", "x")).toDF("src", "dst")
     val labels = Seq(("a", "g"), ("b", "g")).toDF("node", "label")

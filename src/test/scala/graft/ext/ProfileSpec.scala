@@ -958,6 +958,40 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("seasonalAnomalies: spike day flags after the weekly rhythm is removed") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    // base 10/day, +4 every dow 0 (pure rhythm), +30 extra on day 14
+    val rows = (0 until 28).flatMap { d =>
+      val k = 10 + (if ((d + 4) % 7 == 0) 4 else 0) +
+        (if (d == 14) 30 else 0)
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.seasonalAnomalies(rows.toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out(14L).getAs[Boolean]("is_anomaly"), out(14L).toString)
+    assert(out(14L).getAs[Double]("score") > 3.0)
+    // days sharing neither the spike's MA window (11..17) nor its
+    // day-of-week (the spike pulls its own dow's seasonal mean, so
+    // sibling dow days 7/21 legitimately score negative) stay quiet
+    Seq(5L, 6L, 19L, 22L, 23L).foreach(d =>
+      assert(!out(d).getAs[Boolean]("is_anomaly"), out(d).toString))
+  }
+
+  test("seasonalAnomalies: clean rhythm alerts nowhere") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i * 60) * 1000L)
+    val rows = (0 until 28).flatMap { d =>
+      val k = 10 + (if ((d + 4) % 7 == 0) 4 else 0)
+      (0 until k).map(i => ("a", ts(d, i)))
+    }
+    val out = Profile.seasonalAnomalies(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")),
+      out.filter(_.getAs[Boolean]("is_anomaly")).mkString("; "))
+  }
+
   test("fdAudit: empty input yields zero groups and null confidence") {
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
     val r = Profile.fdAudit(empty, Seq(("k->v", Seq("k"), "v"))).collect()(0)

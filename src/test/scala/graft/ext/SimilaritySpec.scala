@@ -543,4 +543,24 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getAs[Double]("r_max")).max
     assert(rClose > rApart * 10, s"close=$rClose apart=$rApart")
   }
+  test("embeddingDrift: planted dimension shift, constant dim stays null") {
+    // dim1: even half {0,2} vs odd half {10,12} → means 1 vs 11,
+    // pooled std √2... ss each = 2, pooled = √((2+2)/2) = √2;
+    // shift = −10/√2. dim2 constant 5 both halves → gap 0, NULL shift
+    val rows = Seq(
+      (0L, Array(0f, 5f)), (2L, Array(2f, 5f)),
+      (1L, Array(10f, 5f)), (3L, Array(12f, 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(rows).collect()
+      .map(r => r.getAs[Long]("i") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("mean_a") === 1.0)
+    assert(d1.getAs[Double]("mean_b") === 11.0)
+    assert(d1.getAs[Double]("abs_gap") === 10.0)
+    assert(math.abs(d1.getAs[Double]("std_shift") -
+      (-10.0 / math.sqrt(2))) < 1e-5)
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("abs_gap") === 0.0)
+    assert(d2.isNullAt(d2.fieldIndex("std_shift"))) // zero variance
+  }
 }
