@@ -1422,6 +1422,119 @@ object Profile {
       .orderBy("grp", "day")
   }
 
+  /** Outlier-detector ensemble over an integer-cents measure: the
+    * three standard univariate detectors voting — z-score
+    * (|v−mean| > 3σ, moments exact with HUGEINT/DECIMAL squared
+    * sums), MAD (|v−median| > 3·1.4826·MAD, nearest-rank on the
+    * value dictionary) and Tukey IQR fences (1.5·IQR beyond
+    * Q1/Q3) — reporting the top-`topK` rows by consensus. A point
+    * all three flag is an outlier under ANY of the usual
+    * assumptions; a z-only flag just means a heavy tail. Every
+    * cutoff compares exact integers against a double computed from
+    * exact integers — engine-reproducible.
+    *
+    * Scale: one moments pass + one ranked pass over the value
+    * DICTIONARY (the quantile window is dictionary-sized by
+    * design), cutoffs ride a 1-row broadcast back onto rows, then
+    * a TakeOrdered.
+    */
+  def outlierVotes(df: DataFrame, keyCol: Column, valueCents: Column,
+                   topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"outlierVotes: topK must be >= 1, got $topK")
+    val base = df.select(keyCol.cast("long").as("k"),
+        valueCents.cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val mom = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
+      sum(dec(col("v") * col("v"))).as("q"))
+    val dict = base.groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = dict.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(mom.select(col("n"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nearest-rank order statistic: smallest v with cum >= ceil(p·n)
+    def orderStat(p: Double, name: String) = ranked
+      .where(col("cum") >= ceil(lit(p) * col("n")).cast("long"))
+      .agg(min("v").as(name))
+    val med = orderStat(0.5, "median")
+    val q1 = orderStat(0.25, "q1")
+    val q3 = orderStat(0.75, "q3")
+    // MAD: median of |v − median| re-ranked on the deviation dictionary
+    val dev = dict.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("median")).as("d"), col("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val mad = dev.withColumn("cum", sum("c").over(wd))
+      .crossJoin(broadcast(mom.select(col("n"))))
+      .where(col("cum") >= ceil(lit(0.5) * col("n")).cast("long"))
+      .agg(min("d").as("mad"))
+    val cuts = mom.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+      .select(
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((dec(col("n")) * col("q") - dec(col("s")) * col("s"))
+          .cast("double") / (dec(col("n")) * col("n")).cast("double"))
+          .as("std"),
+        col("median"), col("mad"), col("q1"), col("q3"))
+    base.crossJoin(broadcast(cuts))
+      .select(col("k"), col("v"),
+        (col("std") > 0.0 &&
+          abs(col("v").cast("double") - col("mean")) >
+            lit(3.0) * col("std")).as("flag_z"),
+        (col("mad") > 0L &&
+          abs(col("v") - col("median")).cast("double") >
+            lit(3.0) * lit(1.4826) * col("mad").cast("double"))
+          .as("flag_mad"),
+        (col("v").cast("double") <
+            col("q1").cast("double") - lit(1.5) *
+              (col("q3") - col("q1")).cast("double") ||
+          col("v").cast("double") >
+            col("q3").cast("double") + lit(1.5) *
+              (col("q3") - col("q1")).cast("double")).as("flag_iqr"))
+      .withColumn("votes",
+        col("flag_z").cast("long") + col("flag_mad").cast("long") +
+          col("flag_iqr").cast("long"))
+      .orderBy(col("votes").desc, col("v").desc, col("k"))
+      .limit(topK)
+  }
+
+  /** Operational freshness/completeness audit per group: the last
+    * seen day, staleness versus the corpus's global max day, and
+    * the day-coverage of the trailing 7-day window — with an
+    * integer-threshold verdict (stale ≥ 2 days behind; gappy ≥ 2
+    * of the last 7 days missing). The "is this feed alive" check
+    * every ingest dashboard opens with; pure integer arithmetic
+    * end to end.
+    *
+    * Scale: one distinct (group, day) projection, a 1-row global
+    * max broadcast, one group rollup.
+    */
+  def freshnessAudit(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    val gd = events.select(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glob = gd.agg(max("day").as("maxd"))
+    gd.crossJoin(broadcast(glob))
+      .groupBy("grp")
+      .agg(max(col("maxd")).as("maxd"), max("day").as("last_day"),
+        sum(when(col("day") > col("maxd") - 7L, 1L).otherwise(0L))
+          .as("days_present_7d"))
+      .select(col("grp"), col("last_day"),
+        (col("maxd") - col("last_day")).as("staleness_days"),
+        col("days_present_7d"),
+        (lit(7L) - col("days_present_7d")).as("days_missing_7d"),
+        when(col("maxd") - col("last_day") >= 2L, lit("stale"))
+          .when(lit(7L) - col("days_present_7d") >= 2L, lit("gappy"))
+          .when(col("maxd") === col("last_day") &&
+            col("days_present_7d") === 7L, lit("fresh"))
+          .otherwise(lit("ok")).as("verdict"))
+      .orderBy("grp")
+  }
+
   /** Seasonality-aware anomaly detection: [[seasonalDecompose]]'s
     * exact-integer residuals scored against each group's own robust
     * scale (nearest-rank median of |residual| × 1.4826, the MAD

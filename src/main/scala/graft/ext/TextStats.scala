@@ -1062,4 +1062,36 @@ object TextStats {
         (col("d_u").cast("double") / 1e6).as("delta"))
       .orderBy("source_a", "source_b")
   }
+  /** Mixed-language document detection: language-ID per fixed-size
+    * chunk (the [[langId]] marker classifier over [[Corpus.chunk]]'s
+    * windows), then per document the chunk-language distribution —
+    * n_langs, the plurality language and its share, and the mixed
+    * flag (more than one language AND plurality under 80%, both
+    * pure-integer comparisons). Catches the "English page with an
+    * embedded French quote block" docs a whole-document classifier
+    * (q38) papers over — exactly the docs a monolingual training
+    * mix should route to segmentation.
+    *
+    * Scale: chunking is map-only; one (doc, lang) rollup and one
+    * doc rollup — no joins beyond the plurality pick.
+    */
+  def langPurity(docs: DataFrame, chunkSize: Int = 32,
+                 overlap: Int = 0): DataFrame = {
+    val chunks = Corpus.chunk(docs, chunkSize, overlap)
+      .select(col("doc_id"), langId(col("chunk_text")).as("cl"))
+    val byLang = chunks.groupBy("doc_id", "cl")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    byLang.groupBy("doc_id")
+      .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("cl"))).as("top"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("top.cl").as("top_lang"),
+        round(col("top.c").cast("double") / col("n_chunks"), 6)
+          .as("top_share"),
+        (col("n_langs") > 1L &&
+          col("top.c") * lit(10L) < col("n_chunks") * lit(8L))
+          .as("is_mixed"))
+      .orderBy("doc_id")
+  }
 }

@@ -5280,6 +5280,157 @@ object Relational {
         |        CAST(na + nb - 2 AS DOUBLE)), 6) END AS std_shift
         |FROM a JOIN b USING (i) ORDER BY i""".stripMargin) { (s, dir) =>
       graft.ext.Similarity.embeddingDrift(t(s, dir, "embeddings"))
+    },
+
+    // ——— mixed-language document detection: q38's marker classifier
+    //     per 32-token chunk (q64's windows), plurality language and
+    //     share per doc, integer-threshold mixed flag — the docs a
+    //     whole-document classifier papers over. ———
+    Q("q281_lang_purity", {
+      val langs = graft.ext.TextStats.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ms) =>
+        val terms = ms.map(m =>
+          s"(CASE WHEN contains(lower(chunk_text), '${m.replace("'", "''")}') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($terms) AS s_$lang"
+      }.mkString(",\n          ")
+      val names = langs.map { case (l, _) => s"s_$l" }
+      val pick = langs.map { case (l, _) => s"WHEN s_$l THEN '$l'" }
+        .mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+         |  FROM documents
+         |), starts AS (
+         |  SELECT doc_id, ts, unnest(range(0, GREATEST(
+         |    CAST(ceil(CAST(len(ts) AS DOUBLE) / 32) AS INT), 1)))
+         |    AS chunk_id
+         |  FROM toks
+         |), chunks AS (
+         |  SELECT doc_id,
+         |    array_to_string(ts[chunk_id * 32 + 1 : chunk_id * 32 + 32],
+         |      ' ') AS chunk_text
+         |  FROM starts
+         |), scored AS (
+         |  SELECT doc_id,
+         |          $scoreCols
+         |  FROM chunks
+         |), cls AS (
+         |  SELECT doc_id,
+         |    CASE greatest(${names.mkString(", ")}) $pick END AS cl
+         |  FROM scored
+         |), byl AS (
+         |  SELECT doc_id, cl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM cls GROUP BY 1, 2
+         |), top AS (
+         |  SELECT doc_id, c, cl FROM (
+         |    SELECT doc_id, cl, c, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, cl DESC) AS rk
+         |    FROM byl) WHERE rk = 1
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs
+         |  FROM byl GROUP BY 1
+         |)
+         |SELECT agg.doc_id, agg.n_chunks, agg.n_langs, top.cl AS top_lang,
+         |  round(CAST(top.c AS DOUBLE) / agg.n_chunks, 6) AS top_share,
+         |  agg.n_langs > 1 AND top.c * 10 < agg.n_chunks * 8 AS is_mixed
+         |FROM agg JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.ext.TextStats.langPurity(t(s, dir, "documents"))
+    },
+
+    // ——— outlier ensemble over order totals: z-score, MAD and Tukey
+    //     IQR detectors voting, cutoffs from exact moments and
+    //     nearest-rank dictionary quantiles — consensus beats any
+    //     single assumption. ———
+    Q("q282_outlier_votes",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS v
+        |  FROM orders
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM base
+        |), dict AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM dict
+        |), med AS (
+        |  SELECT CAST(MIN(v) AS BIGINT) AS median FROM rk, mom
+        |  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |), qq1 AS (
+        |  SELECT CAST(MIN(v) AS BIGINT) AS q1 FROM rk, mom
+        |  WHERE cum >= CAST(ceil(0.25 * n) AS BIGINT)
+        |), qq3 AS (
+        |  SELECT CAST(MIN(v) AS BIGINT) AS q3 FROM rk, mom
+        |  WHERE cum >= CAST(ceil(0.75 * n) AS BIGINT)
+        |), dev AS (
+        |  SELECT abs(d.v - med.median) AS d, CAST(SUM(d.c) AS BIGINT) AS c
+        |  FROM dict d, med GROUP BY 1
+        |), mad AS (
+        |  SELECT CAST(MIN(d) AS BIGINT) AS mad FROM (
+        |    SELECT d, CAST(SUM(c) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |    FROM dev), mom
+        |  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |), cuts AS (
+        |  SELECT CAST(mom.s AS DOUBLE) / mom.n AS mean,
+        |    sqrt(CAST(CAST(mom.n AS HUGEINT) * mom.q -
+        |        CAST(mom.s AS HUGEINT) * mom.s AS DOUBLE) /
+        |      CAST(CAST(mom.n AS HUGEINT) * mom.n AS DOUBLE)) AS std,
+        |    med.median, mad.mad, qq1.q1, qq3.q3
+        |  FROM mom, med, mad, qq1, qq3
+        |), fl AS (
+        |  SELECT b.k, b.v,
+        |    cuts.std > 0 AND abs(CAST(b.v AS DOUBLE) - cuts.mean) >
+        |      3.0 * cuts.std AS flag_z,
+        |    cuts.mad > 0 AND CAST(abs(b.v - cuts.median) AS DOUBLE) >
+        |      3.0 * 1.4826 * CAST(cuts.mad AS DOUBLE) AS flag_mad,
+        |    CAST(b.v AS DOUBLE) < CAST(cuts.q1 AS DOUBLE) -
+        |        1.5 * CAST(cuts.q3 - cuts.q1 AS DOUBLE) OR
+        |      CAST(b.v AS DOUBLE) > CAST(cuts.q3 AS DOUBLE) +
+        |        1.5 * CAST(cuts.q3 - cuts.q1 AS DOUBLE) AS flag_iqr
+        |  FROM base b, cuts
+        |)
+        |SELECT k, v, flag_z, flag_mad, flag_iqr,
+        |  CAST(CAST(flag_z AS INT) + CAST(flag_mad AS INT) +
+        |    CAST(flag_iqr AS INT) AS BIGINT) AS votes
+        |FROM fl ORDER BY votes DESC, v DESC, k LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      graft.ext.Profile.outlierVotes(t(s, dir, "orders"),
+        col("o_orderkey"), round(col("o_totalprice") * 100))
+    },
+
+    // ——— feed freshness/completeness per event type: staleness vs
+    //     the corpus max day and trailing-7-day coverage with an
+    //     integer-threshold verdict — "is this feed alive". ———
+    Q("q283_freshness_audit",
+      """WITH gd AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events
+        |), g AS (SELECT CAST(MAX(day) AS BIGINT) AS maxd FROM gd),
+        |a AS (
+        |  SELECT grp, MAX(g.maxd) AS maxd, CAST(MAX(day) AS BIGINT)
+        |      AS last_day,
+        |    CAST(SUM(CASE WHEN day > g.maxd - 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS days_present_7d
+        |  FROM gd CROSS JOIN g GROUP BY 1
+        |)
+        |SELECT grp, last_day, maxd - last_day AS staleness_days,
+        |  days_present_7d, 7 - days_present_7d AS days_missing_7d,
+        |  CASE WHEN maxd - last_day >= 2 THEN 'stale'
+        |    WHEN 7 - days_present_7d >= 2 THEN 'gappy'
+        |    WHEN maxd = last_day AND days_present_7d = 7 THEN 'fresh'
+        |    ELSE 'ok' END AS verdict
+        |FROM a ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.freshnessAudit(t(s, dir, "events"),
+        "event_type", "ts")
     }
   )
 

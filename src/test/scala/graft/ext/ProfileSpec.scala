@@ -1464,6 +1464,37 @@ class ProfileSpec extends SparkSpec {
       assert(out(s).toString === again(s).toString))
   }
 
+  test("outlierVotes: the extreme point sweeps all three detectors") {
+    // tight cluster 990..1089 + one point 100× out
+    val rows = (0 until 100).map(i => (i.toLong, 990L + i)) :+
+      (999L, 100000L)
+    val out = Profile.outlierVotes(rows.toDF("k", "v"), col("k"), col("v"),
+      topK = 5).collect()
+    val top = out.head
+    assert(top.getAs[Long]("k") === 999L)
+    assert(top.getAs[Long]("votes") === 3L)
+    assert(top.getAs[Boolean]("flag_z") &&
+      top.getAs[Boolean]("flag_mad") && top.getAs[Boolean]("flag_iqr"))
+    // cluster members earn zero votes
+    assert(out.tail.forall(_.getAs[Long]("votes") === 0L))
+  }
+
+  test("freshnessAudit: fresh / stale / gappy verdicts from planted feeds") {
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    val rows = (14 to 20).map(d => ("A", ts(d))) ++        // complete
+      (10 to 17).map(d => ("B", ts(d))) ++                 // 3 days behind
+      Seq(20, 19, 15, 14).map(d => ("C", ts(d)))           // holes
+    val out = Profile.freshnessAudit(rows.toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("A").getAs[String]("verdict") === "fresh")
+    assert(out("A").getAs[Long]("days_present_7d") === 7L)
+    assert(out("B").getAs[String]("verdict") === "stale")
+    assert(out("B").getAs[Long]("staleness_days") === 3L)
+    assert(out("C").getAs[String]("verdict") === "gappy")
+    assert(out("C").getAs[Long]("days_missing_7d") === 3L)
+  }
+
   test("fkDiscovery: full containment flags the FK; partial does not") {
     val child = Seq(Some(1), Some(2), Some(3), None).toDF("c")
     val parent = Seq(1, 2, 3, 4, 5).toDF("p")

@@ -544,4 +544,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(("s1", "s3")) > out(("s1", "s2")) + 0.5)
     assert(out(("s1", "s3")) === out(("s2", "s3")))
   }
+  test("langPurity: embedded foreign chunk flags the doc as mixed") {
+    // 2 chunks of clear English + 1 chunk of clear Chinese markers
+    // (each en block is exactly 32 tokens = one chunk)
+    val en = Seq.fill(4)("the king and the queen of north is").mkString(" ")
+    val zh = Seq.fill(32)("的是了在有我").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en $en $zh"),          // 96 tokens → 3 chunks, 2 langs
+      (2L, s"$en $en"))              // pure English
+      .toDF("doc_id", "text")
+    val out = TextStats.langPurity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val mixed = out(1L)
+    assert(mixed.getAs[Long]("n_chunks") === 3L)
+    assert(mixed.getAs[Long]("n_langs") === 2L)
+    assert(mixed.getAs[String]("top_lang") === "en")
+    assert(mixed.getAs[Boolean]("is_mixed")) // 2/3 < 0.8
+    val pure = out(2L)
+    assert(pure.getAs[Long]("n_langs") === 1L)
+    assert(!pure.getAs[Boolean]("is_mixed"))
+    assert(pure.getAs[Double]("top_share") === 1.0)
+  }
 }
