@@ -458,6 +458,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("encoding audit plan: windows partition by bucket, never one reducer") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val plan = graft.ext.Profile.encodingAudit(orders, "o_orderkey",
       Seq("o_orderstatus")).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(_b"),
@@ -465,6 +468,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("decay scores / hill tail plans: top-k via TakeOrdered, no global sort") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val ds = graft.ext.Profile.decayScores(ev, "user_id", "ts",
       round(col("value") * 100)).queryExecution.executedPlan.toString
@@ -484,6 +490,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("sax motifs / backtest plans: group-partitioned windows, broadcast stats") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val sax = graft.ext.Profile.saxMotifs(ev, "event_type", "ts")
       .queryExecution.executedPlan.toString
@@ -551,6 +560,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("dp counts plan: join-free; fk discovery via dictionary semi-joins") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val dp = graft.ext.Privacy.dpCounts(ev, col("event_type"))
       .queryExecution.executedPlan.toString
@@ -564,6 +576,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("interpolate plan: neighbor windows partition by group") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val plan = graft.ext.Profile.interpolateDaily(ev, "event_type", "ts")
       .queryExecution.executedPlan.toString
@@ -573,6 +588,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("cross-correlation / cohort-ltv plans: dictionary joins, grouped windows") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val xc = graft.ext.Profile.crossCorrelation(ev, "event_type", "ts")
       .queryExecution.executedPlan.toString
@@ -617,6 +635,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("mann-whitney plan: ranks ride the value dictionary, join-free") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val mw = graft.ext.Profile.mannWhitney(Tables.load(spark, sf001,
         "customer"), col("c_mktsegment"), round(col("c_acctbal") * 100),
       "AUTOMOBILE", "BUILDING")
@@ -646,6 +667,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("seasonal anomalies / louvain / drift plans: grouped windows, broadcasts") {
+    // a concurrently-cached matching subtree (shared test session)
+    // would swallow the very Exchange/operator this pin asserts
+    spark.catalog.clearCache()
     val ev = Tables.load(spark, sf001, "events")
     val sa = graft.ext.Profile.seasonalAnomalies(ev, "event_type", "ts")
       .queryExecution.executedPlan.toString
