@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// all suites share ONE SparkSession (SparkSpec) — parallel suites race
+// on session-level state (conf flips, the CacheManager, memory-sink
+// tables) and flake the plan-shape pins; suites must run sequentially
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

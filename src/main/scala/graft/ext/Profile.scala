@@ -1499,6 +1499,78 @@ object Profile {
       .limit(topK)
   }
 
+  /** Weekly Gini coefficient of per-entity activity — inequality
+    * DRIFT over time ("is engagement concentrating into whales"),
+    * where q162's single Gini gives one corpus-wide number. Per
+    * epoch week: entities ranked by exact count (ties broken by id
+    * for a total order), G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n as one
+    * rounded expression over exact BIGINT sums.
+    *
+    * Scale: one (week, entity) rollup, then a week-partitioned rank
+    * window over the week×entity dictionary.
+    */
+  def weeklyGini(events: DataFrame, entityCol: String,
+                 tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val we = events.select(col(entityCol).cast("string").as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .select(col("u"), expr("day div 7L").as("week"))
+      .groupBy("week", "u").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("week").orderBy(col("x"), col("u"))
+    we.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("total_events"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("week"), col("n_users"), col("total_events"),
+        when(col("n_users") > 0L && col("total_events") > 0L,
+          round(lit(2.0) * col("ix").cast("double") /
+            (col("n_users").cast("double") *
+              col("total_events").cast("double")) -
+            (col("n_users") + 1L).cast("double") /
+              col("n_users").cast("double"), 6)).as("gini"))
+      .orderBy("week")
+  }
+
+  /** Heavy-hitter drift: the exact top-`topK` entities of each half
+    * of the observed day span (the [[rateShift]] midpoint split)
+    * joined BY RANK — who left the leaderboard, who entered, whether
+    * the #1 changed. Ranks are total-ordered (count desc, entity),
+    * so the comparison is engine-exact; a rank with no counterpart
+    * (a half with fewer active entities) reports NULLs on that side.
+    *
+    * Scale: two half-keyed rollups, two TakeOrdered-sized rank
+    * windows over entity dictionaries, a topK-row join.
+    */
+  def topHitterDrift(events: DataFrame, entityCol: String,
+                     tsCol: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topHitterDrift: topK must be >= 1, got $topK")
+    val days = events.select(col(entityCol).cast("string").as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = days.agg(min("day").as("mind"), max("day").as("maxd"))
+      .select(expr("(mind + maxd) div 2L").as("mid"))
+    val halves = days.crossJoin(broadcast(span))
+    def top(pre: Boolean) = {
+      val side = if (pre) halves.where(col("day") <= col("mid"))
+        else halves.where(col("day") > col("mid"))
+      val sfx = if (pre) "pre" else "post"
+      side.groupBy("u").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("u"))).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("rank"), col("u").as(s"user_$sfx"),
+          col("n").as(s"n_$sfx"))
+    }
+    top(pre = true).join(top(pre = false), Seq("rank"), "full_outer")
+      .select(col("rank"), col("user_pre"), col("n_pre"),
+        col("user_post"), col("n_post"),
+        (!(col("user_pre") <=> col("user_post"))).as("user_changed"))
+      .orderBy("rank")
+  }
+
   /** Operational freshness/completeness audit per group: the last
     * seen day, staleness versus the corpus's global max day, and
     * the day-coverage of the trailing 7-day window — with an

@@ -741,6 +741,21 @@ object Streaming {
       .orderBy("prev_type", "next2_type")
   }
 
+  /** Streaming feed-freshness: the latest event time per type as a
+    * Complete-mode max aggregate — the live half of
+    * [[Profile.freshnessAudit]] (a max is the cheapest possible
+    * streaming state: one timestamp per key, no windows, no
+    * watermark needed in Complete mode). Formatted to the engine-
+    * portable second string the batch oracle emits.
+    */
+  def freshness(events: DataFrame,
+                typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame =
+    events.groupBy(col(typeCol))
+      .agg(max(col(tsCol)).as("last_ts"))
+      .select(col(typeCol),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+
   /** Cohort LTV curves: users keyed by their FIRST-activity epoch
     * week; each (cohort_week, weeks_since) cell reports the active
     * users and exact-cents revenue, plus the running cumulative

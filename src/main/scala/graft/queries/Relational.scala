@@ -5431,6 +5431,101 @@ object Relational {
         |FROM a ORDER BY grp""".stripMargin) { (s, dir) =>
       graft.ext.Profile.freshnessAudit(t(s, dir, "events"),
         "event_type", "ts")
+    },
+
+    // ——— ORC source/sink round-trip under the oracle: per-doc
+    //     projection written with Spark's native ORC writer, read
+    //     back with an explicit schema, rolled up — the fourth
+    //     interchange format (CSV q189, xlsx goldens, JSONL q269). ———
+    Q("q284_orc_roundtrip",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val proj = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val path = s"${graft.queries.Fixtures.dir}/orc_roundtrip"
+      proj.write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+      s.read.schema("doc_id BIGINT, source STRING, n_chars BIGINT").orc(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    },
+
+    // ——— STREAMING feed freshness: Complete-mode max(ts) per event
+    //     type through a real readStream → memory sink, hash-matched
+    //     to the batch max — one timestamp of state per key, the
+    //     cheapest possible streaming aggregate. ———
+    Q("q285_streaming_freshness",
+      """SELECT event_type,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.freshness(stream), "q285_freshness",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q285_freshness").orderBy("event_type")
+    },
+
+    // ——— weekly Gini of per-user activity: inequality DRIFT over
+    //     time ("is engagement concentrating into whales"), exact
+    //     rank·count sums per epoch week. ———
+    Q("q286_weekly_gini",
+      """WITH we AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |    AS week, CAST(user_id AS VARCHAR) AS u,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT week, x, CAST(row_number() OVER (
+        |    PARTITION BY week ORDER BY x, u) AS BIGINT) AS i
+        |  FROM we
+        |), a AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS total_events,
+        |    CAST(SUM(i * x) AS BIGINT) AS ix
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT week, n_users, total_events,
+        |  CASE WHEN n_users > 0 AND total_events > 0 THEN
+        |    round(2.0 * CAST(ix AS DOUBLE) /
+        |      (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) -
+        |      CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |  END AS gini
+        |FROM a ORDER BY week""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.weeklyGini(t(s, dir, "events"), "user_id", "ts")
+    },
+
+    // ——— heavy-hitter drift: exact top-10 users of each half of the
+    //     day span joined BY RANK — who left the leaderboard, who
+    //     entered, did #1 change. ———
+    Q("q287_tophitter_drift",
+      """WITH d AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid FROM d
+        |), pre AS (
+        |  SELECT rank, u AS user_pre, n AS n_pre FROM (
+        |    SELECT u, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(row_number() OVER (ORDER BY COUNT(*) DESC, u)
+        |        AS BIGINT) AS rank
+        |    FROM d, sp WHERE day <= sp.mid GROUP BY u)
+        |  WHERE rank <= 10
+        |), post AS (
+        |  SELECT rank, u AS user_post, n AS n_post FROM (
+        |    SELECT u, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(row_number() OVER (ORDER BY COUNT(*) DESC, u)
+        |        AS BIGINT) AS rank
+        |    FROM d, sp WHERE day > sp.mid GROUP BY u)
+        |  WHERE rank <= 10
+        |)
+        |SELECT COALESCE(pre.rank, post.rank) AS rank, user_pre, n_pre,
+        |  user_post, n_post,
+        |  NOT (user_pre IS NOT DISTINCT FROM user_post) AS user_changed
+        |FROM pre FULL OUTER JOIN post ON pre.rank = post.rank
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.topHitterDrift(t(s, dir, "events"), "user_id", "ts")
     }
   )
 

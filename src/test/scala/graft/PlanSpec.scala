@@ -8,6 +8,14 @@ package graft
   */
 class PlanSpec extends SparkSpec {
 
+  // same contract as ScaleSpec: plan-shape pins must not see cached
+  // subtrees registered by other suites on the shared session
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    spark.catalog.clearCache()
+    super.withFixture(test)
+  }
+
+
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf001)
     df.queryExecution.executedPlan.toString

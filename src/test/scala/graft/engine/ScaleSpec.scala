@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSpec {
 
+  // every pin asserts a plan SHAPE; frames persisted by earlier suites
+  // (helpers persist() eagerly into the shared session's CacheManager)
+  // would plan-match into these queries and add/remove the very
+  // operators the assertions count — start each test from a clean cache
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    spark.catalog.clearCache()
+    super.withFixture(test)
+  }
+
   private def li = Tables.load(spark, sf001, "lineitem")
   private def orders = Tables.load(spark, sf001, "orders")
 

@@ -1479,6 +1479,42 @@ class ProfileSpec extends SparkSpec {
     assert(out.tail.forall(_.getAs[Long]("votes") === 0L))
   }
 
+  test("weeklyGini: equal shares score 0; two-user closed form") {
+    def ts(week: Int, i: Int) = new java.sql.Timestamp(
+      (week.toLong * 7 * 86400 + i) * 1000L)
+    // week 0: four users × 5 events (G = 0);
+    // week 1: a=1, b=19 (G = (19−1)/(2·20) = 0.45)
+    val rows = (0 until 4).flatMap(u =>
+        (0 until 5).map(i => (s"u$u", ts(0, u * 10 + i)))) ++
+      Seq(("a", ts(1, 0))) ++ (0 until 19).map(i => ("b", ts(1, i + 10)))
+    val out = Profile.weeklyGini(rows.toDF("u", "ts"), "u", "ts")
+      .collect().map(r => r.getAs[Long]("week") -> r).toMap
+    assert(out(0L).getAs[Long]("n_users") === 4L)
+    assert(out(0L).getAs[Double]("gini") === 0.0)
+    assert(out(1L).getAs[Double]("gini") === 0.45)
+  }
+
+  test("topHitterDrift: rank-joined leaderboards expose churn and exits") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + i) * 1000L)
+    // days 0..9 → mid 4. pre: A×5, B×3, C×1; post: B×5, D×4
+    val pre = (0 until 5).map(i => ("A", ts(i % 5, i))) ++
+      (0 until 3).map(i => ("B", ts(i, 100 + i))) ++ Seq(("C", ts(2, 200)))
+    val post = (0 until 5).map(i => ("B", ts(5 + i % 5, i))) ++
+      (0 until 4).map(i => ("D", ts(5 + i, 300 + i)))
+    val out = Profile.topHitterDrift((pre ++ post).toDF("u", "ts"),
+        "u", "ts", topK = 3).collect()
+      .map(r => r.getAs[Long]("rank") -> r).toMap
+    assert(out(1L).getAs[String]("user_pre") === "A")
+    assert(out(1L).getAs[String]("user_post") === "B")
+    assert(out(1L).getAs[Boolean]("user_changed"))
+    assert(out(2L).getAs[String]("user_pre") === "B")
+    assert(out(2L).getAs[String]("user_post") === "D")
+    assert(out(3L).getAs[String]("user_pre") === "C")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("user_post")))
+    assert(out(3L).getAs[Boolean]("user_changed"))
+  }
+
   test("freshnessAudit: fresh / stale / gappy verdicts from planted feeds") {
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
     val rows = (14 to 20).map(d => ("A", ts(d))) ++        // complete

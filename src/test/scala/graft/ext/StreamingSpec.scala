@@ -475,6 +475,18 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(m(("B", "C"))._2 - 1.0 / 3) < 1e-6)
   }
 
+  test("freshness: batch twin reports the exact latest second per type") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "a", new Timestamp(1000L)), (2L, "a", new Timestamp(61000L)),
+      (3L, "b", new Timestamp(2000L)))
+      .toDF("event_id", "event_type", "ts")
+    val out = graft.ext.Streaming.freshness(ev).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") === "1970-01-01 00:01:01")
+    assert(out("b") === "1970-01-01 00:00:02")
+  }
+
   test("cohortLtv: hand cohort accumulates exact cents and per-user LTV") {
     import java.sql.Timestamp
     def t(week: Int) = new Timestamp(week.toLong * 7 * 86400000L)
