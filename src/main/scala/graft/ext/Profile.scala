@@ -1571,6 +1571,61 @@ object Profile {
       .orderBy("rank")
   }
 
+  /** Day-of-week × hour activity heatmap with per-dow shares — the
+    * operational load view ("when do users actually show up") every
+    * capacity plan starts from. Counts exact; the share is the one
+    * rounded ratio per cell. Dow 0 = Sunday-aligned via the
+    * battery's (epoch_day + 4) % 7 convention.
+    */
+  def dowHourHeatmap(events: DataFrame, tsCol: String): DataFrame = {
+    val cells = events.select(
+        ((datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          + 4L) % 7L).as("dow"),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    val dowTot = cells.groupBy("dow").agg(sum("n").as("dow_n"))
+    cells.join(broadcast(dowTot), "dow")
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("dow_n"), 6)
+          .as("share_of_dow"))
+      .orderBy("dow", "hour")
+  }
+
+  /** Whale-concentration curve: the exact share of all events
+    * produced by the top 1% / 10% / 50% most active entities —
+    * ranked on the entity dictionary (count desc, id), thresholds
+    * by nearest-rank ceil, shares as single rounded ratios over
+    * exact sums. The one-line answer to "how head-heavy is this
+    * corpus" that q208's full Lorenz deciles expand on.
+    */
+  def whaleShares(events: DataFrame, entityCol: String,
+                  percents: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "whaleShares: percents must be in 1..100")
+    val counts = events.select(col(entityCol).cast("string").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("n").desc, col("u"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(count(lit(1)).as("n_entities"),
+      sum("n").as("n_events"))
+    percents.map { p =>
+      ranked.crossJoin(broadcast(tot))
+        .where(col("rk") === ceil(lit(p / 100.0) * col("n_entities"))
+          .cast("long"))
+        .select(lit(p.toLong).as("top_percent"),
+          col("rk").as("n_top_entities"), col("n_entities"),
+          col("cum").as("events_by_top"), col("n_events"),
+          round(col("cum").cast("double") / col("n_events"), 6)
+            .as("share"))
+    }.reduce(_ unionByName _).orderBy("top_percent")
+  }
+
   /** Operational freshness/completeness audit per group: the last
     * seen day, staleness versus the corpus's global max day, and
     * the day-coverage of the trailing 7-day window — with an

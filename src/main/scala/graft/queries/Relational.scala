@@ -5526,6 +5526,58 @@ object Relational {
         |FROM pre FULL OUTER JOIN post ON pre.rank = post.rank
         |ORDER BY rank""".stripMargin) { (s, dir) =>
       graft.ext.Profile.topHitterDrift(t(s, dir, "events"), "user_id", "ts")
+    },
+
+    // ——— dow×hour activity heatmap with per-dow shares: the
+    //     capacity-planning load view, exact counts + one rounded
+    //     ratio per cell. ———
+    Q("q288_dow_hour_heatmap",
+      """WITH cells AS (
+        |  SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dt AS (
+        |  SELECT dow, CAST(SUM(n) AS BIGINT) AS dow_n FROM cells GROUP BY 1
+        |)
+        |SELECT c.dow, c.hour, c.n,
+        |  round(CAST(c.n AS DOUBLE) / dt.dow_n, 6) AS share_of_dow
+        |FROM cells c JOIN dt USING (dow)
+        |ORDER BY dow, hour""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.dowHourHeatmap(t(s, dir, "events"), "ts")
+    },
+
+    // ——— whale concentration: exact share of all events from the
+    //     top 1% / 10% / 50% most active users, nearest-rank cuts on
+    //     the ranked entity dictionary — "how head-heavy", q208's
+    //     Lorenz in three numbers. ———
+    Q("q289_whale_shares",
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, CAST(COUNT(*) AS BIGINT)
+        |    AS n
+        |  FROM events GROUP BY 1
+        |), ranked AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, u) AS BIGINT)
+        |      AS rk,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |    CAST(SUM(n) AS BIGINT) AS n_events
+        |  FROM counts
+        |)
+        |SELECT p.p AS top_percent, r.rk AS n_top_entities, tot.n_entities,
+        |  r.cum AS events_by_top, tot.n_events,
+        |  round(CAST(r.cum AS DOUBLE) / tot.n_events, 6) AS share
+        |FROM (SELECT CAST(unnest([1, 10, 50]) AS BIGINT) AS p) p
+        |CROSS JOIN tot
+        |JOIN ranked r
+        |  ON r.rk = CAST(ceil(p.p / 100.0 * tot.n_entities) AS BIGINT)
+        |ORDER BY top_percent""".stripMargin) { (s, dir) =>
+      graft.ext.Profile.whaleShares(t(s, dir, "events"), "user_id")
     }
   )
 

@@ -1515,6 +1515,36 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("user_changed"))
   }
 
+  test("dowHourHeatmap: planted hour pattern, per-dow shares sum to 1") {
+    def ts(day: Int, h: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400 + h * 3600 + i) * 1000L)
+    // day 0 (dow 4): 3 events at 09:00, 1 at 17:00
+    val rows = (0 until 3).map(i => ("e", ts(0, 9, i))) :+
+      (("e", ts(0, 17, 0)))
+    val out = Profile.dowHourHeatmap(rows.toDF("event_type", "ts"), "ts")
+      .collect().map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) -> r)
+      .toMap
+    assert(out.keySet === Set((4L, 9L), (4L, 17L)))
+    assert(out((4L, 9L)).getAs[Long]("n") === 3L)
+    assert(out((4L, 9L)).getAs[Double]("share_of_dow") === 0.75)
+    assert(out((4L, 17L)).getAs[Double]("share_of_dow") === 0.25)
+  }
+
+  test("whaleShares: planted head produces exact concentration cuts") {
+    def ts(i: Int) = new java.sql.Timestamp(i.toLong * 1000L)
+    // 10 users: u0 has 91 events, u1..u9 one each → top 10% (1 user)
+    // holds 91%, top 50% (5 users) holds 95%
+    val rows = (0 until 91).map(i => ("u0", ts(i))) ++
+      (1 until 10).map(u => (s"u$u", ts(1000 + u)))
+    val out = Profile.whaleShares(rows.toDF("u", "ts"), "u",
+        percents = Seq(10, 50)).collect()
+      .map(r => r.getAs[Long]("top_percent") -> r).toMap
+    assert(out(10L).getAs[Long]("n_top_entities") === 1L)
+    assert(out(10L).getAs[Double]("share") === 0.91)
+    assert(out(50L).getAs[Long]("n_top_entities") === 5L)
+    assert(out(50L).getAs[Double]("share") === 0.95)
+  }
+
   test("freshnessAudit: fresh / stale / gappy verdicts from planted feeds") {
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
     val rows = (14 to 20).map(d => ("A", ts(d))) ++        // complete
