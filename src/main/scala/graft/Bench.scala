@@ -107,6 +107,7 @@ object Bench {
       // with exactly this signature. Sweep the CacheManager AND the
       // persistent-RDD registry (checkpoint RDDs live only in the
       // latter), then let the JVM compact before the next measurement.
+      graft.engine.TrackedCache.release() // drain the ledger too
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -26,9 +26,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // free operator-internal caches between queries (a long dump
+        // otherwise accumulates every query's intermediates in the
+        // shared CacheManager — the eviction-pressure leak class)
+        graft.engine.TrackedCache.release()
+      } catch { case e: Throwable =>
+        graft.engine.TrackedCache.release()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale dump from a previous run — a leftover
         // result would mask this failure in the compare step

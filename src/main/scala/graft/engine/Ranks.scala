@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT rank machinery. The naive form of ntile /
+  * global row_number is a partition-less Window — a single-reducer
+  * sort of the whole frame, the one plan shape that cannot survive a
+  * 100× scale-up. These helpers compute the SAME answer from a
+  * decomposition whose only ordered window runs over the bounded
+  * VALUE DICTIONARY:
+  *
+  *   global_rank(row) = (# rows with a strictly smaller value)   — a
+  *                      cumulative count over the value dictionary,
+  *                      broadcast back —
+  *                    + rank of the row among its value's ties     — a
+  *                      Window PARTITIONED by value (parallel).
+  *
+  * The ntile bucket then follows from the rank and the total count by
+  * SQL-standard arithmetic (first N mod n buckets get one extra row),
+  * so the result is bit-identical to `ntile(n) OVER (ORDER BY v, id)`
+  * in any engine while every corpus-sized operation stays a hash
+  * aggregation or a partitioned window.
+  */
+object Ranks {
+
+  /** Exact integer floor-division of two non-negative long columns.
+    * `(a - a mod b)` is divisible by `b`, so the double division is
+    * exact for any realistic row count (< 2^53). */
+  def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Exact global rank (1-based, `row_number` semantics) over
+    * `ORDER BY valueCol [DESC], idCol` without a partition-less
+    * row-scale Window. Appends `out` (LongType) and `_n_total`
+    * (LongType, the frame's row count) — callers that don't need the
+    * total should drop it. `idCol` must be unique per row (it is the
+    * tie-break that makes row_number deterministic). */
+  def rowNumberExact(df: DataFrame, valueCol: String, idCol: String,
+                     valueDesc: Boolean = false,
+                     out: String = "_rn"): DataFrame = {
+    val dict = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    val ord = if (valueDesc) col(valueCol).desc else col(valueCol).asc
+    val wd = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = dict
+      .withColumn("_below", coalesce(sum("_c").over(wd), lit(0L)))
+      .select(col(valueCol), col("_below"))
+    val tot = dict.agg(sum("_c").cast("long").as("_n_total"))
+    val tieOrd = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    df.join(broadcast(below), Seq(valueCol))
+      .crossJoin(broadcast(tot))
+      .withColumn(out, col("_below") + row_number().over(tieOrd).cast("long"))
+      .drop("_below")
+  }
+
+  /** Exact ntile(n) over `ORDER BY valueCol [DESC], idCol` — appends
+    * `out` as LongType. Matches `CAST(ntile(n) OVER (ORDER BY v, id)
+    * AS BIGINT)` exactly, including tie splitting across bucket
+    * boundaries and the short-frame (N < n) case, with no
+    * partition-less Window over the row-scale frame. */
+  def ntileExact(df: DataFrame, n: Int, valueCol: String, idCol: String,
+                 valueDesc: Boolean = false,
+                 out: String = "bucket"): DataFrame = {
+    require(n >= 1, s"ntileExact: n must be >= 1, got $n")
+    val ranked = rowNumberExact(df, valueCol, idCol, valueDesc, out = "_rn")
+    // SQL ntile: q = N div n rows per bucket, the first r = N mod n
+    // buckets take one extra row. greatest(q, 1) guards the (never
+    // selected when q = 0) divisor under ANSI arithmetic.
+    val nn = lit(n.toLong)
+    val q = idiv(col("_n_total"), nn)
+    val r = pmod(col("_n_total"), nn)
+    val cut = r * (q + lit(1L))
+    ranked
+      .withColumn(out,
+        when(col("_rn") <= cut, idiv(col("_rn") - lit(1L), q + lit(1L)) + lit(1L))
+          .otherwise(r + idiv(col("_rn") - cut - lit(1L), greatest(q, lit(1L)))
+            + lit(1L)))
+      .drop("_rn", "_n_total")
+  }
+
+  /** Exact nearest-rank quantile selection over a value column: for
+    * each requested rank expression (a function of the total count
+    * `n`), the value at that 1-based position of the ascending sort —
+    * computed from cumulative counts over the VALUE DICTIONARY (the
+    * element at rank k is the smallest value whose cumulative count
+    * reaches k), never a row-scale sort. Returns one row:
+    * `n_total` plus one LongType column per entry in `ranks`
+    * (name -> rank-of-n expression, evaluated against `col("_n")`). */
+  def nearestRank(df: DataFrame, valueCol: String,
+                  ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val dict = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    val cum = dict.withColumn("_cum",
+      sum("_c").over(Window.orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = dict.agg(sum("_c").cast("long").as("_n"))
+    val sels = ranks.map { case (name, rk) =>
+      min(when(col("_cum") >= rk(col("_n")), col(valueCol))).as(name)
+    }
+    cum.crossJoin(broadcast(tot))
+      .agg(max("_n").as("n_total"), sels: _*)
+  }
+}

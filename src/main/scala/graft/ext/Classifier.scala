@@ -266,10 +266,12 @@ object Classifier {
     * ntiles with id tie-break. Per bin, confidence − accuracy has the
     * EXACT integer numerator `sy·1e6 − ssm` over `n·1e6`, so the ECE
     * numerator Σ|sy·1e6 − ssm| is a BIGINT and the final ECE is one
-    * division — no float accumulation anywhere. The ntile is a global
-    * sort of (score, id) PAIRS; at corpus scale assign bins from
-    * approx_percentile score cuts (map-only) exactly like the
-    * curriculum op.
+    * division — no float accumulation anywhere. Bin assignment is
+    * `Ranks.ntileExact` — identical to `ntile(bins) OVER (ORDER BY
+    * sm, id)` bit-for-bit, but the only ordered window runs over the
+    * bounded score-value dictionary (micro-quantization caps it at
+    * ~1e6 entries for scores in [0,1]), never a single-reducer sort
+    * of the corpus.
     */
   def calibrationBins(scored: DataFrame, labelCol: String, scoreCol: String,
                       idCol: String = "doc_id", bins: Int = 10): DataFrame = {
@@ -277,8 +279,7 @@ object Classifier {
     val q = scored.select(col(idCol).as("id"),
       round(col(scoreCol).cast("double") * 1e6).cast("long").as("sm"),
       col(labelCol).cast("long").as("y"))
-    val binned = q.withColumn("bin",
-      ntile(bins).over(Window.orderBy("sm", "id")).cast("long"))
+    val binned = graft.engine.Ranks.ntileExact(q, bins, "sm", "id", out = "bin")
     val g = binned.groupBy("bin").agg(count(lit(1)).as("n"),
       sum("sm").as("ssm"), sum("y").as("sy"))
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

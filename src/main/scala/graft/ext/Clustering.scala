@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.engine.TrackedCache.Trackable
 
 /** Distributed k-means (Lloyd's) over an embedding column — the
   * semantic-bucketing primitive a training-data pipeline uses to
@@ -70,7 +71,7 @@ object Clustering {
     val base = emb.select(
       col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
-      col(labelCol).as("label")).cache()
+      col(labelCol).as("label")).trackedPersist()
 
     // Deterministic init: k smallest ids, micro-quantized. The sort
     // is k rows after a TakeOrdered-able filter-free limit — cheap.
@@ -158,7 +159,7 @@ object Clustering {
                  cents: Column): DataFrame = {
     val r = ratings.groupBy(col(userCol).as("c"), col(itemCol).as("b"))
       .agg(sum(cents).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val u0 = r.groupBy("c").agg(
       round(sum("r").cast("double") / count(lit(1))).cast("long").as("u"))
     val um = u0.agg(max(abs(col("u"))).cast("long").as("m"))

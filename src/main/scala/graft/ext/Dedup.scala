@@ -389,18 +389,20 @@ object Dedup {
     * near-dup pair members, cluster members) — answers "does
     * duplication concentrate in short (templated) or long (mirrored)
     * documents?", which decides whether a dedup pass should be
-    * length-stratified. All integer counts + one ntile window.
+    * length-stratified. All integer counts; bucket assignment is
+    * `Ranks.ntileExact` (bit-identical to `ntile(n) OVER (ORDER BY
+    * len, id)`, ordered window over the length dictionary only —
+    * no corpus-wide single-reducer sort).
     */
   def dupRateByLength(docs: DataFrame, dupIds: DataFrame, nBuckets: Int = 5,
                       idCol: String = "doc_id",
                       lenCol: String = "n_chars"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val flagged = docs.select(col(idCol), col(lenCol))
+    val joined = docs.select(col(idCol), col(lenCol))
       .join(dupIds.select(col(idCol)).distinct()
         .withColumn("_dup", lit(1L)), Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("_dup"), lit(0L)))
-      .withColumn("bucket", ntile(nBuckets).over(
-        Window.orderBy(col(lenCol), col(idCol))).cast("long"))
+    val flagged =
+      graft.engine.Ranks.ntileExact(joined, nBuckets, lenCol, idCol)
     flagged.groupBy("bucket").agg(
         count(lit(1)).as("n_docs"),
         min(lenCol).as("len_lo"), max(lenCol).as("len_hi"),
@@ -934,7 +936,10 @@ object Dedup {
     edges0.unpersist()
     require(converged, s"nearDupClusters: not converged after $maxIter iterations")
     // the result stays cached (recomputing it would replay the whole
-    // loop); callers holding it long-term should unpersist when done
+    // loop) but is ADOPTED into the TrackedCache ledger, so the
+    // harness's between-query release() frees it; callers holding it
+    // long-term past a release simply recompute on next use
+    graft.engine.TrackedCache.adopt(labels)
     labels.select("id", "cluster")
   }
 

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.engine.TrackedCache.Trackable
 
 /** Graph operators over edge-list DataFrames.
   *
@@ -130,7 +131,7 @@ object Graph {
     // canonical undirected edge set (u < v), then true degrees
     val und = e0.select(least(col("a"), col("b")).as("u"),
                         greatest(col("a"), col("b")).as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -147,7 +148,7 @@ object Graph {
                 .withColumnRenamed("rk", "rkv"), Seq("v"))
       .select(when(col("rku") < col("rkv"), col("rku")).otherwise(col("rkv")).as("lo"),
               when(col("rku") < col("rkv"), col("rkv")).otherwise(col("rku")).as("hi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // wedges at the lowest corner: pairs of out-neighbors of `lo`;
     // a wedge closes iff (hi1, hi2) is itself an oriented edge
     val w1 = oriented.select(col("lo"), col("hi").as("h1"))
@@ -202,7 +203,7 @@ object Graph {
                      srcCol: String = "src", dstCol: String = "dst",
                      maxCenterDeg: Option[Long] = None): DataFrame = {
     val und = undirectedEdges(edges, srcCol, dstCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     // deg-1 centers can't form a wedge, and ln(1) = 0 would divide by
     // zero under ANSI mode — prune them before the contribution expr
@@ -338,7 +339,10 @@ object Graph {
     }
     adj.unpersist(false)
     // the final generation stays cached (already materialized by its
-    // count); ContextCleaner reclaims it once the result is garbage
+    // count) but adopted into the TrackedCache ledger — the SQL
+    // CacheManager holds a strong reference, so without an explicit
+    // release it would outlive the query (the long-session leak class)
+    graft.engine.TrackedCache.adopt(labeled)
     labeled
   }
 
@@ -360,11 +364,11 @@ object Graph {
     // the upstream pair fan-out replay per consumer
     val und = e0.select(least(col("a"), col("b")).as("u"),
                         greatest(col("a"), col("b")).as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val j = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
@@ -411,7 +415,7 @@ object Graph {
       .where(col("a") =!= col("b"))
     val und = e0.select(least(col("a"), col("b")).as("u"),
                         greatest(col("a"), col("b")).as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val lab = labels.select(col(nodeCol).cast("string").as("node"),
                             col(labelCol).cast("string").as("lab"))
     val tagged = und
@@ -421,7 +425,7 @@ object Graph {
         Seq("v"), "left")
       .select(coalesce(col("cu"), col("u")).as("cu"),
               coalesce(col("cv"), col("v")).as("cv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val m = tagged.agg(count(lit(1)).as("m"))
     // degree sum per community = endpoint incidences per community
     val degc = tagged.select(col("cu").as("community"))
@@ -476,18 +480,18 @@ object Graph {
       : DataFrame = {
     require(topK >= 1, s"louvainMoveGain: topK must be >= 1, got $topK")
     val und = undirectedEdges(edges, srcCol, dstCol)
-      .persist(StorageLevel.MEMORY_AND_DISK) // both directions, deduped
+      .trackedPersist() // both directions, deduped
     val lab = labels.select(col(nodeCol).cast("string").as("node"),
       col(labelCol).cast("string").as("lab"))
     val m = und.agg((count(lit(1)) / 2L).cast("long").as("m"))
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("k"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // community of every node (unlabeled → singleton, q244 convention)
     val comm = deg.select(col("node"))
       .join(broadcast(lab), Seq("node"), "left")
       .select(col("node"), coalesce(col("lab"), col("node")).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val sigma = und.select(col("src").as("node"))
       .join(broadcast(comm), "node")
       .groupBy("c").agg(count(lit(1)).as("sigma_tot"))
@@ -545,7 +549,7 @@ object Graph {
     // recovery (maxHops ≤ 20 keeps the union plan small).
     var visited = seeds.select(col(seeds.columns.head).cast("string").as("node"))
       .distinct().withColumn("hop", lit(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     visited.count()
     var frontier = visited.select("node")
     var hop = 0
@@ -555,7 +559,7 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .trackedPersist()
       next.count()
       visited = visited.union(next)
       frontier = next.select("node")

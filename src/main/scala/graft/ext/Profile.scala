@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.engine.TrackedCache.Trackable
 
 /** Data-profiling and data-quality operators — the "catalog metadata
   * generation" side of the reference (its data-dictionary sheet,
@@ -742,10 +743,13 @@ object Profile {
   /** Conversion latency: per entity, the delay from its FIRST
     * `fromType` event to its first `toType` event at-or-after it,
     * summarized as nearest-rank p50/p90 over exact epoch-micro
-    * delays (one global window over the converting-entity
-    * dictionary). Entities that never convert simply drop out —
-    * they belong to the funnel count (q115), not the latency
-    * distribution.
+    * delays. Selection runs over the DELAY-VALUE DICTIONARY
+    * (`Ranks.nearestRank`: the element at rank k is the smallest
+    * delay whose cumulative count reaches k) — identical to
+    * `row_number() OVER (ORDER BY delay)` nearest-rank picking, with
+    * no row-scale global window. Entities that never convert simply
+    * drop out — they belong to the funnel count (q115), not the
+    * latency distribution.
     */
   def conversionLatency(events: DataFrame, entityCol: String, tsCol: String,
                         typeCol: String, fromType: String,
@@ -760,16 +764,13 @@ object Profile {
       .groupBy("ent").agg(min("p_ts").as("p_ts"), min("s_ts").as("s_ts"))
     val d = pu.select(
       (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay"))
-    val r = d
-      .withColumn("rn", row_number().over(Window.orderBy("delay")))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    r.agg(max("n").cast("long").as("n_entities"),
-      round(max(when(col("rn") === expr("(n + 1) div 2"), col("delay")))
-        .cast("double") / 1e6, 6).as("p50_seconds"),
-      round(max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay")))
-        .cast("double") / 1e6, 6).as("p90_seconds"))
+    import graft.engine.Ranks
+    Ranks.nearestRank(d, "delay", Seq(
+        "_p50" -> ((n: Column) => Ranks.idiv(n + lit(1L), lit(2L))),
+        "_p90" -> ((n: Column) => Ranks.idiv(lit(9L) * n + lit(9L), lit(10L)))))
+      .select(col("n_total").cast("long").as("n_entities"),
+        round(col("_p50").cast("double") / 1e6, 6).as("p50_seconds"),
+        round(col("_p90").cast("double") / 1e6, 6).as("p90_seconds"))
   }
 
   /** Herfindahl–Hirschman concentration per group: HHI = Σ share²
@@ -876,7 +877,7 @@ object Profile {
                    yCol: Column): DataFrame = {
     val base = df.select(col(groupCol).cast("string").as("grp"),
       xCol.cast("long").as("x"), yCol.cast("long").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val nD = col("n").cast("double")
     val num = nD * col("sxy") - col("sx").cast("double") * col("sy")
     val denX = nD * col("sxx") -
@@ -1444,7 +1445,7 @@ object Profile {
     require(topK >= 1, s"outlierVotes: topK must be >= 1, got $topK")
     val base = df.select(keyCol.cast("long").as("k"),
         valueCents.cast("long").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val mom = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
       sum(dec(col("v") * col("v"))).as("q"))
@@ -1452,7 +1453,7 @@ object Profile {
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val ranked = dict.withColumn("cum", sum("c").over(w))
       .crossJoin(broadcast(mom.select(col("n"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // nearest-rank order statistic: smallest v with cum >= ceil(p·n)
     def orderStat(p: Double, name: String) = ranked
       .where(col("cum") >= ceil(lit(p) * col("n")).cast("long"))
@@ -1549,7 +1550,7 @@ object Profile {
     val days = events.select(col(entityCol).cast("string").as("u"),
         datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
           .as("day"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val span = days.agg(min("day").as("mind"), max("day").as("maxd"))
       .select(expr("(mind + maxd) div 2L").as("mid"))
     val halves = days.crossJoin(broadcast(span))
@@ -1605,13 +1606,13 @@ object Profile {
       "whaleShares: percents must be in 1..100")
     val counts = events.select(col(entityCol).cast("string").as("u"))
       .groupBy("u").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val w = Window.orderBy(col("n").desc, col("u"))
     val ranked = counts
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("cum", sum("n").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val tot = counts.agg(count(lit(1)).as("n_entities"),
       sum("n").as("n_events"))
     percents.map { p =>
@@ -1643,7 +1644,7 @@ object Profile {
         datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
           .as("day"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val glob = gd.agg(max("day").as("maxd"))
     gd.crossJoin(broadcast(glob))
       .groupBy("grp")
@@ -1680,7 +1681,7 @@ object Profile {
     require(k > 0.0, s"seasonalAnomalies: k must be > 0, got $k")
     val sd = seasonalDecompose(events, groupCol, tsCol)
       .withColumn("res_u", round(col("residual") * lit(1e6)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val wRank = Window.partitionBy("grp")
       .orderBy(abs(col("res_u")), col("day"))
     val wN = Window.partitionBy("grp")
@@ -1812,7 +1813,7 @@ object Profile {
         datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
           .as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val lags = daily.sparkSession.range(1, maxLag + 1)
       .select(col("id").as("lag"))
     val cur = daily.crossJoin(broadcast(lags))
@@ -1866,7 +1867,7 @@ object Profile {
         datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
           .as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val lags = daily.sparkSession.range(0, maxLag + 1)
       .select(col("id").as("lag"))
     val a = daily.select(col("grp").as("ga"), col("day"), col("y").as("x"))
@@ -1961,7 +1962,7 @@ object Profile {
     val cells = df.select(xCol.cast("string").as("x"),
         yCol.cast("string").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val mx = cells.groupBy("x").agg(sum("c").as("cx"))
     val my = cells.groupBy("y").agg(sum("c").as("cy"))
     val n = cells.agg(sum("c").as("n"))
@@ -2020,7 +2021,7 @@ object Profile {
     val base = df.select((col(keyCol).cast("long").as("_k")) +:
         cols.map(c => col(c).cast("string").as(c)): _*)
       .withColumn("_b", expr(s"_k div ${bucketWidth}L"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val w = Window.partitionBy("_b").orderBy("_k")
     cols.map { c =>
       val runs = base
@@ -2221,7 +2222,7 @@ object Profile {
           .as("day"))
       .agg(count(lit(1)).as("y"))
       .withColumn("dow", ((col("day") + 4) % 7).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val cut = daily.groupBy("grp")
       .agg((max("day") - lit(horizon.toLong)).as("cut"))
     val split = daily.join(broadcast(cut), "grp")
@@ -2358,8 +2359,9 @@ object Profile {
           .cast("long")).as("sum_u"))
       .select(lit(label).as("measure"), lit(k.toLong).as("k"),
         col("n_top"), col("x_tail"),
-        when(col("sum_u") > 0L, round(lit(k).cast("double") /
-          (col("sum_u").cast("double") / lit(1e9)), 6)).as("alpha"))
+        when(col("sum_u") > 0L,
+          round((col("n_top") - lit(1L)).cast("double") /
+            (col("sum_u").cast("double") / lit(1e9)), 6)).as("alpha"))
   }
 
   /** Readability scoring per source: Flesch Reading Ease and
@@ -2420,7 +2422,7 @@ object Profile {
     require(preds.nonEmpty, "zonemapSkipAudit needs at least one predicate")
     val keyed = df.withColumn("_b",
         expr(s"${keyCol} div ${bucketWidth}L"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     preds.map { case (name, valueCol, lo, hi) =>
       val v = valueCol.cast("long")
       val zones = keyed.select(col("_b"), v.as("_v"))
@@ -2531,10 +2533,10 @@ object Profile {
       .groupBy("kb").agg(count(lit(1)).as("nf"))
     val da = dimA.select(col(dimAKey).cast("string").as("ka"))
       .groupBy("ka").agg(count(lit(1)).as("na"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val db = dimB.select(col(dimBKey).cast("string").as("kb"))
       .groupBy("kb").agg(count(lit(1)).as("nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val interA = fa.join(da, "ka")
       .agg(coalesce(sum(col("nf") * col("na")), lit(0L)).as("intermediate"))
     val interB = fb.join(db, "kb")
@@ -2620,7 +2622,7 @@ object Profile {
     val cells = df.select(groupCol.cast("string").as("g"),
         valueCents.cast("long").as("v"))
       .groupBy("v", "g").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val dict = cells.groupBy("v").agg(sum("c").as("cnt"))
       .withColumn("cum", sum("cnt").over(w))
@@ -2663,7 +2665,7 @@ object Profile {
                label: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     def ranks(c: String) = {
       val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
       base.groupBy(c).agg(count(lit(1)).as("cnt"))
@@ -2704,7 +2706,7 @@ object Profile {
     val base = df.select(groupCol.cast("string").as("g"),
         valueCents.cast("long").as("v"))
       .where(col("g") === groupA || col("g") === groupB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val moments = base.groupBy("g").agg(count(lit(1)).as("n"),
       sum("v").as("s"), sum(dec(col("v") * col("v"))).as("q"))
@@ -2795,7 +2797,7 @@ object Profile {
     require(nParts >= 2, s"partitionerAudit: nParts >= 2, got $nParts")
     val keys = df.select(col(keyCol).cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val hash = keys
       .withColumn("b", conv(substring(md5(col("k")), 1, 7), 16, 10)
         .cast("long") % lit(nParts.toLong))
@@ -2846,10 +2848,10 @@ object Profile {
     pairs.map { case (label, child, childCol, parent, parentCol) =>
       val cd = child.select(col(childCol).cast("string").as("k"))
         .where(col("k").isNotNull).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .trackedPersist()
       val pd = parent.select(col(parentCol).cast("string").as("k"))
         .where(col("k").isNotNull).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .trackedPersist()
       val matched = cd.join(pd, Seq("k"), "left_semi")
         .agg(count(lit(1)).as("n_matched"))
       cd.agg(count(lit(1)).as("ndv_child"))
@@ -2935,7 +2937,7 @@ object Profile {
           .cast("long")).as("day"))
       .select(col("u"), expr("day div 7L").as("week"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val act = base.groupBy("week").agg(count(lit(1)).as("n_active"))
     val ret = base.select(col("u"), (col("week") + 1L).as("week"))
       .join(base, Seq("u", "week"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.TrackedCache.Trackable
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -968,7 +969,7 @@ object Similarity {
         col("x").cast("double").as("x"))
     val cent = e.groupBy("lab", "i")
       .agg((sum("x") / count(lit(1))).as("m"), count(lit(1)).as("nm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // member -> centroid distances, exact in 1e12 units per dim term
     val d2 = e.join(broadcast(cent.select(col("lab"), col("i"), col("m"))),
         Seq("lab", "i"))
@@ -982,7 +983,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         round(sum("v_u").cast("double") / count(lit(1))).cast("long")
           .as("s_u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // centroid pair distances on the labels^2 dictionary
     val ca = cent.select(col("lab").as("la"), col("i"), col("m").as("ma"))
     val cb = cent.select(col("lab").as("lb"), col("i"), col("m").as("mb"))

@@ -121,6 +121,94 @@ object Streaming {
       .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
   }
 
+  /** LEFT-OUTER twin of [[purchaseSignupJoin]]: every purchase emits —
+    * matched rows as the signups arrive, UNMATCHED ones with a NULL
+    * `s_ts` once the watermark proves no matching signup can still
+    * come (the interval condition bounds the wait: a purchase's
+    * matches all have `s_ts <= p_ts`, so the row finalizes when the
+    * signup-side watermark passes `p_ts`). This is the state
+    * LIFECYCLE surface of stream-stream joins: null emission is
+    * driven by watermark-expired state eviction, not by data.
+    *
+    * On a FINITE replay the tail of the stream never expires on its
+    * own — the watermark stops at max(event time) − delay. Stage the
+    * source through [[stageEventsWithSentinel]] so a far-future
+    * sentinel (filtered out of the result by its user_id = −1)
+    * advances both sides' watermarks past every real row, making the
+    * bounded replay emit exactly the batch LEFT JOIN.
+    */
+  def purchaseSignupJoinLeftOuter(events: DataFrame,
+                                  lookback: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("s_ts") <= col("p_ts"),
+        "left_outer")
+      .where(col("user_id") >= 0) // drop the watermark-advancer sentinel
+      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+  }
+
+  /** Stage an events parquet into a temp directory with a FAR-FUTURE
+    * watermark-advancer sentinel appended: one purchase and one
+    * signup for user −1 at max(ts) + 30 days. The original file is
+    * symlinked (no copy); the sentinel is a 2-row parquet written
+    * with the SOURCE's observed schema (ts keeps its physical type,
+    * so the schema-probing streaming read stays uniform). Sentinel
+    * rows carry user_id = −1 — downstream operators filter them; the
+    * sentinels' own state never finalizes (the watermark stops 10 min
+    * short of them) and is discarded when the query stops.
+    */
+  def stageEventsWithSentinel(spark: SparkSession, eventsPath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_sentinel_events")
+    val src = Paths.get(eventsPath).toAbsolutePath
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          Files.createSymbolicLink(dir.resolve("a_" + f.getFileName), f)
+      }
+    } else {
+      Files.createSymbolicLink(dir.resolve("a_events.parquet"), src)
+    }
+    val ev = spark.read.parquet(eventsPath)
+    val far = ev.agg(max(col("ts")).as("_mx"))
+      .select((col("_mx") + expr("INTERVAL 30 DAYS")).as("_far"))
+    def sentinel(eventType: String) = ev.limit(1).crossJoin(far)
+      .select(ev.columns.map {
+        case "ts" => col("_far").cast(ev.schema("ts").dataType).as("ts")
+        case "user_id" => lit(-1L).cast(ev.schema("user_id").dataType).as("user_id")
+        case "event_type" => lit(eventType).as("event_type")
+        case "event_id" => lit(-1L).cast(ev.schema("event_id").dataType).as("event_id")
+        case "value" => lit(0.0).cast(ev.schema("value").dataType).as("value")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    // write to a scratch dir, then move the single part file in as a
+    // plain file — the staged dir must contain only parquet FILES so
+    // the streaming source's listing never depends on recursion rules
+    val scratch = Files.createTempDirectory("graft_sentinel_write")
+    sentinel("purchase").unionByName(sentinel("signup"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator()
+    var moved = false
+    while (part.hasNext) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.move(f, dir.resolve("z_sentinel.parquet"))
+        moved = true
+      }
+    }
+    require(moved, s"stageEventsWithSentinel: no part file written in $scratch")
+    dir.toString
+  }
+
   // ——— arbitrary stateful processing ———
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
@@ -173,6 +261,85 @@ object Streaming {
       state.update(UserState(n, total))
       idleTimeout.foreach(state.setTimeoutDuration)
       UserSnapshot(user, n, total)
+    }
+  }
+
+  final case class TtlEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class TtlState(n: Long, cents: Long, lastMicros: Long)
+  final case class TtlSnapshot(user_id: Long, n: Long, total_cents: Long,
+                               evicted: Boolean)
+
+  /** Per-user running totals with an EVENT-TIME state TTL — the
+    * state-lifecycle law [[runningTotals]]' processing-time timeout
+    * can't pin deterministically: a user whose last event is more
+    * than `ttl` of EVENT time behind the watermark has its state
+    * evicted, emitting one final tombstone snapshot
+    * (`evicted = true`) and freeing the key's storage. Deterministic
+    * by construction (driven by data timestamps, not wall clock), so
+    * the eviction law is testable with a replayed stream.
+    *
+    * Scale: state is one 24-byte triple per ACTIVE user — the TTL is
+    * what makes "active" a bounded set on an unbounded stream.
+    */
+  def runningTotalsEventTtl(events: Dataset[TtlEvent], ttl: String = "1 hour",
+                            watermarkDelay: String = "0 seconds"): Dataset[TtlSnapshot] = {
+    import events.sparkSession.implicits._
+    val ttlMillis = gapToMicros(ttl) / 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TtlState, TtlSnapshot](
+        GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          val last = state.getOption.getOrElse(TtlState(0L, 0L, 0L))
+          state.remove() // eviction — the timer dies with the state
+          TtlSnapshot(user, last.n, last.cents, evicted = true)
+        } else {
+          val prev = state.getOption.getOrElse(TtlState(0L, 0L, 0L))
+          var n = prev.n; var cents = prev.cents; var lastM = prev.lastMicros
+          rows.foreach { e =>
+            n += 1; cents += toCents(e.value)
+            val m = micros(e.ts); if (m > lastM) lastM = m
+          }
+          state.update(TtlState(n, cents, lastM))
+          // state lives until the watermark passes lastEvent + ttl
+          state.setTimeoutTimestamp(lastM / 1000L + ttlMillis)
+          TtlSnapshot(user, n, cents, evicted = false)
+        }
+      }
+  }
+
+  /** Exactly-once parquet sink for `foreachBatch`: epoch-marker
+    * transactional commit. Structured Streaming guarantees foreachBatch
+    * AT-LEAST-once with a STABLE batchId per epoch — exactly-once is
+    * the sink's job, and the standard recipe is (1) write the batch
+    * under a batch-scoped path with overwrite (a torn retry rewrites
+    * cleanly), then (2) drop a commit marker; a retry of an
+    * already-committed epoch sees the marker and no-ops. `read` maps
+    * only committed batch directories, so a torn write is never
+    * visible.
+    */
+  final class IdempotentParquetSink(outDir: String)
+      extends ((DataFrame, Long) => Unit) with Serializable {
+    private def marker(batchId: Long) =
+      new java.io.File(outDir, s"_committed_$batchId")
+    private def dataDir(batchId: Long) =
+      new java.io.File(outDir, s"batch_$batchId")
+
+    def apply(df: DataFrame, batchId: Long): Unit = {
+      new java.io.File(outDir).mkdirs()
+      if (marker(batchId).exists()) return // committed epoch: retry no-ops
+      df.write.mode("overwrite").parquet(dataDir(batchId).toString)
+      require(marker(batchId).createNewFile(),
+        s"IdempotentParquetSink: could not commit batch $batchId")
+    }
+
+    /** All COMMITTED batches (torn uncommitted writes are invisible). */
+    def read(spark: SparkSession): DataFrame = {
+      val committed = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("_committed_"))
+        .map(f => dataDir(f.getName.stripPrefix("_committed_").toLong).toString)
+      require(committed.nonEmpty, s"IdempotentParquetSink: no committed batches in $outDir")
+      spark.read.parquet(committed: _*)
     }
   }
 
@@ -592,10 +759,13 @@ object Streaming {
     * is "most recent", matching the marketing convention; f/m
     * quintiles are descending so 5 = best.
     *
-    * ntile is a global sort of the USER-level frame (one row per
-    * user — orders of magnitude smaller than events); at true
-    * corpus scale swap for approx_percentile cuts exactly like the
-    * curriculum op. Scores cast to long (oracle window parity).
+    * Scores are assigned by `Ranks.ntileExact` — bit-identical to
+    * the three `ntile(5) OVER (ORDER BY …, user_id)` windows, but
+    * each one's ordered window runs over that measure's VALUE
+    * DICTIONARY (days / counts / cents — tiny), with the per-value
+    * tie-break rank partitioned by value. No single-reducer sort of
+    * the user frame at any scale. Scores are LongType (oracle window
+    * parity).
     */
   def rfm(events: DataFrame, convType: String = "purchase",
           userCol: String = "user_id", tsCol: String = "ts",
@@ -613,13 +783,13 @@ object Streaming {
         floor((col("obs_end") - col("_last")).cast("double") / 86400000000.0)
           .cast("long").as("recency_days"),
         col("frequency"), col("_cents"))
-    perUser
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("user_id"))).cast("long"))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("_cents"), col("user_id"))).cast("long"))
+    val scored = Seq(("recency_days", true, "r_score"),
+        ("frequency", false, "f_score"), ("_cents", false, "m_score"))
+      .foldLeft(perUser) { case (acc, (v, desc, o)) =>
+        graft.engine.Ranks.ntileExact(acc, 5, v, "user_id",
+          valueDesc = desc, out = o)
+      }
+    scored
       .select(col("user_id"), col("recency_days"), col("frequency"),
         round(col("_cents").cast("double") / 100, 2).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"))

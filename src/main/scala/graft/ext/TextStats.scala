@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.TrackedCache.Trackable
 
 /** Text analysis for large-scale training-data pipelines: token
   * counting, quality scoring, fingerprinting, language ID. Everything
@@ -1030,7 +1031,7 @@ object TextStats {
     val counts = docs.select(col(sourceCol).as("source"),
         explode(tokens(col(textCol))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val totals = counts.groupBy("source").agg(sum("c").as("n"))
     val topWords = counts.groupBy("w").agg(sum("c").as("cw"))
       .orderBy(col("cw").desc, col("w")).limit(topN).select("w")
@@ -1081,7 +1082,7 @@ object TextStats {
       .select(col("doc_id"), langId(col("chunk_text")).as("cl"))
     val byLang = chunks.groupBy("doc_id", "cl")
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     byLang.groupBy("doc_id")
       .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_langs"),
         max(struct(col("c"), col("cl"))).as("top"))

@@ -18,8 +18,6 @@ package object queries {
   object Q {
     def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, Some(sql))
-    def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-      Q(name, fn, None)
   }
 
   /** Money columns in the testdata are exact 2-decimal doubles

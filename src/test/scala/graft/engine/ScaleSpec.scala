@@ -701,6 +701,23 @@ class ScaleSpec extends SparkSpec {
     assert(!dr.contains("CartesianProduct"), dr)
   }
 
+  test("no single-partition Window over a row-scale frame in the four " +
+    "formerly-global-ntile queries (q163/q177/q181/q220)") {
+    // these four once carried partition-less ntile/row_number windows
+    // over corpus- or entity-scale frames (the single-reducer shape);
+    // they now decompose through Ranks.* — pin that every ordered
+    // partition-less Window in their plans runs over a value
+    // dictionary (ordering columns = grouping keys of an Aggregate
+    // beneath), never raw rows
+    for (name <- Seq("q163_dup_rate_by_length", "q177_rfm",
+        "q181_calibration", "q220_conversion_latency")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      val offenders = graft.PlanChecks.rowScaleGlobalWindows(df)
+      assert(offenders.isEmpty,
+        s"$name has row-scale global windows:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
