@@ -161,4 +161,95 @@ object Multimodal {
         round(coalesce(col("n_dup_frames"), lit(0L)).cast("double") /
           col("n_frames"), 6).as("dup_frac"))
   }
+
+  /** Content-defined chunking over the raw BINARY payload — the media
+    * twin of the token-level CDC splitter (Corpus.cdcChunks / q102):
+    * a chunk boundary opens after byte position i whenever the
+    * md5-hex7 hash of the w-byte window starting at i divides
+    * `divisor`. Byte-shift-robust by construction (an inserted prefix
+    * moves every offset but reproduces the same downstream chunk
+    * hashes), which is what makes the chunk-hash dictionary a
+    * cross-upload dedup key for opaque payloads (re-encoded uploads,
+    * watermarked copies, trailing-metadata variants).
+    *
+    * Output: one row per chunk — (media_id, chunk_id, offset 1-based,
+    * n_bytes, chunk_hash, hash_refs = corpus-wide occurrences of the
+    * hash). Runs on BinaryType end-to-end (`substring` slices bytes,
+    * `md5` hashes them); no string conversion of the payload.
+    *
+    * Scale: the per-byte boundary scan is a narrow map (explode +
+    * windowed prefix-sum PARTITIONED by media), one chunk rollup, one
+    * join back to the payload for the chunk hash, one hash-keyed
+    * window over chunk rows. Same cost class as the token CDC —
+    * nothing leaves the executor except chunk rows.
+    */
+  def cdcChunkBytes(media: DataFrame, w: Int = 8, divisor: Int = 32,
+                    idCol: String = "media_id",
+                    bytesCol: String = "bytes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && divisor >= 2,
+      s"cdcChunkBytes: need w >= 2, divisor >= 2; got w=$w divisor=$divisor")
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+      col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("n", octet_length(col("bytes")).cast("long"))
+      .where(col("n") > 0)
+    val flagged = m
+      .select(col("media_id"), col("n"), col("bytes"),
+        explode(sequence(lit(1L), col("n"))).as("pos"))
+      .select(col("media_id"), col("pos"),
+        when(col("pos") <= col("n") - (w - 1) &&
+            conv(substring(md5(expr(s"substring(bytes, pos, $w)")), 1, 7),
+              16, 10).cast("long") % divisor === 0, 1L)
+          .otherwise(0L).as("flag"))
+    val chunks = flagged
+      .withColumn("chunk_id", coalesce(
+        sum("flag").over(Window.partitionBy("media_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("media_id", "chunk_id")
+      .agg(min("pos").as("offset"), count(lit(1)).as("n_bytes"))
+    val hashed = chunks
+      .join(m.select(col("media_id"), col("bytes")), Seq("media_id"))
+      .select(col("media_id"), col("chunk_id"), col("offset"), col("n_bytes"),
+        md5(expr("substring(bytes, offset, n_bytes)")).as("chunk_hash"))
+    hashed.withColumn("hash_refs",
+      count(lit(1)).over(Window.partitionBy("chunk_hash")).cast("long"))
+  }
+
+  /** Cross-modal consistency audit — the doc ↔ media ↔ embedding
+    * TOPOLOGY invariants a multimodal corpus must hold before
+    * training: per media kind (plus "(none)" for docs with no media
+    * row), how many ids exist on each side, which media are orphaned
+    * (no doc), which docs are missing media, where the payload length
+    * contradicts the doc's recorded size, and which media lack an
+    * embedding. One full-outer + one left join, then a kind-keyed
+    * rollup — no row ever fans out.
+    */
+  def crossModalAudit(docs: DataFrame, media: DataFrame, emb: DataFrame,
+                      docId: String = "doc_id", mediaId: String = "media_id",
+                      vecId: String = "vec_id"): DataFrame = {
+    val d = docs.select(col(docId).cast("long").as("id"),
+      col("n_chars").cast("long").as("n_chars"))
+      .withColumn("_has_doc", lit(1L))
+    val m = media.select(col(mediaId).cast("long").as("id"), col("kind"),
+      octet_length(col("bytes")).cast("long").as("payload_len"))
+    val e = emb.select(col(vecId).cast("long").as("id"))
+      .distinct().withColumn("_has_emb", lit(1L))
+    d.join(m, Seq("id"), "full_outer")
+      .join(e, Seq("id"), "left")
+      .groupBy(coalesce(col("kind"), lit("(none)")).as("kind"))
+      .agg(
+        count(lit(1)).as("n_ids"),
+        sum(coalesce(col("_has_doc"), lit(0L))).as("n_docs"),
+        sum(when(col("payload_len").isNotNull, 1L).otherwise(0L)).as("n_media"),
+        sum(when(col("_has_doc").isNull && col("payload_len").isNotNull, 1L)
+          .otherwise(0L)).as("n_orphan_media"),
+        sum(when(col("_has_doc").isNotNull && col("payload_len").isNull, 1L)
+          .otherwise(0L)).as("n_missing_media"),
+        sum(when(col("payload_len").isNotNull && col("n_chars").isNotNull &&
+            col("payload_len") =!= col("n_chars"), 1L)
+          .otherwise(0L)).as("n_len_mismatch"),
+        sum(when(col("payload_len").isNotNull && col("_has_emb").isNull, 1L)
+          .otherwise(0L)).as("n_media_no_embedding"))
+      .orderBy("kind")
+  }
 }

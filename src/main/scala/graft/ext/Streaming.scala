@@ -150,8 +150,12 @@ object Streaming {
           col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
           col("s_ts") <= col("p_ts"),
         "left_outer")
-      .where(col("user_id") >= 0) // drop the watermark-advancer sentinel
       .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+    // NOTE: consumers using a staged sentinel must drop user_id < 0
+    // AFTER the sink, not here — a filter in the streaming plan gets
+    // pushed below the watermark operators by Catalyst, and the
+    // sentinel then never advances the watermark (measured: exactly
+    // that pushdown showed up as PushedFilters on the scan).
   }
 
   /** Stage an events parquet into a temp directory with a FAR-FUTURE

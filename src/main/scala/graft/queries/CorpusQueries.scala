@@ -139,6 +139,111 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ——— content-defined chunking over the raw BINARY payload (the
+    //     media twin of q102): md5-hex7 of each 8-byte window, chunk
+    //     boundary when it divides 32; chunk hashes become the
+    //     cross-upload dedup dictionary for opaque payloads. Spark
+    //     runs on BinaryType end to end; the oracle replays the same
+    //     byte math on the (all-ASCII) text the payload was staged
+    //     from — one character IS one byte here by construction. ———
+    Q("q291_media_cdc_chunks",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE strlen(text) > 0
+        |), p AS (
+        |  SELECT media_id, text, n, unnest(range(1, n + 1)) AS pos FROM m
+        |), f AS (
+        |  SELECT media_id, pos,
+        |    CASE WHEN pos <= n - 7 AND
+        |      CAST(concat('0x', substring(md5(substring(text, CAST(pos AS INT), 8)), 1, 7)) AS BIGINT) % 32 = 0
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM p
+        |), ch AS (
+        |  SELECT media_id, pos,
+        |    COALESCE(SUM(flag) OVER (PARTITION BY media_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM f
+        |), g AS (
+        |  SELECT media_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    CAST(MIN(pos) AS BIGINT) AS "offset",
+        |    CAST(COUNT(*) AS BIGINT) AS n_bytes
+        |  FROM ch GROUP BY 1, 2
+        |), h AS (
+        |  SELECT g.media_id, g.chunk_id, g."offset", g.n_bytes,
+        |    md5(substring(m.text, CAST(g."offset" AS INT),
+        |      CAST(g.n_bytes AS INT))) AS chunk_hash
+        |  FROM g JOIN m USING (media_id)
+        |)
+        |SELECT media_id, chunk_id, "offset", n_bytes, chunk_hash,
+        |  CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS hash_refs
+        |FROM h ORDER BY media_id, chunk_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      Multimodal.cdcChunkBytes(
+          Multimodal.syntheticMedia(docs(s, dir)).toDF(), w = 8, divisor = 32)
+        .orderBy("media_id", "chunk_id")
+    },
+
+    // ——— cross-modal consistency audit: doc ↔ media ↔ embedding
+    //     topology invariants over a corpus with PLANTED deterministic
+    //     defects (missing media for doc_id%7=3, 3-byte payload
+    //     truncation for doc_id%11=5, orphan media for doc_id%13=1 at
+    //     id+1e6, embeddings absent for vec_id%5=2) — every audit
+    //     column is provably nonzero, not vacuously clean. ———
+    Q("q292_crossmodal_audit",
+      """WITH m0 AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(strlen(text) AS BIGINT) AS len0
+        |  FROM documents
+        |), media AS (
+        |  SELECT doc_id AS id, kind,
+        |    CASE WHEN doc_id % 11 = 5 THEN greatest(len0 - 3, 0)
+        |      ELSE len0 END AS payload_len
+        |  FROM m0 WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, kind, len0 AS payload_len
+        |  FROM m0 WHERE doc_id % 13 = 1
+        |), d AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    1 AS has_doc
+        |  FROM documents
+        |), e AS (
+        |  SELECT DISTINCT vec_id AS id, 1 AS has_emb FROM embeddings
+        |  WHERE vec_id % 5 <> 2
+        |), j AS (
+        |  SELECT COALESCE(d.id, media.id) AS id, d.has_doc, d.n_chars,
+        |    media.kind, media.payload_len
+        |  FROM d FULL OUTER JOIN media ON d.id = media.id
+        |), j2 AS (SELECT j.*, e.has_emb FROM j LEFT JOIN e ON j.id = e.id)
+        |SELECT COALESCE(kind, '(none)') AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  CAST(SUM(COALESCE(has_doc, 0)) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN payload_len IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_media,
+        |  CAST(SUM(CASE WHEN has_doc IS NULL AND payload_len IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_media,
+        |  CAST(SUM(CASE WHEN has_doc IS NOT NULL AND payload_len IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_media,
+        |  CAST(SUM(CASE WHEN payload_len IS NOT NULL AND n_chars IS NOT NULL
+        |    AND payload_len <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_len_mismatch,
+        |  CAST(SUM(CASE WHEN payload_len IS NOT NULL AND has_emb IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_media_no_embedding
+        |FROM j2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      val d = docs(s, dir)
+      val media0 = Multimodal.syntheticMedia(d).toDF()
+      val media = media0.filter(col("media_id") % 7 =!= 3)
+        .withColumn("bytes", when(col("media_id") % 11 === 5,
+            expr("substring(bytes, 1, greatest(octet_length(bytes) - 3, 0))"))
+          .otherwise(col("bytes")))
+        .unionByName(media0.filter(col("media_id") % 13 === 1)
+          .withColumn("media_id", col("media_id") + 1000000L))
+      Multimodal.crossModalAudit(d,
+        media, emb(s, dir).filter(col("vec_id") % 5 =!= 2))
+    },
+
     // ——— packed-row manifest: the emit side of q93 — one row per
     //     (stratum, bin) with ordered doc provenance and token
     //     payload (what a training-data writer materializes). ———

@@ -2327,6 +2327,44 @@ object Relational {
         .orderBy("user_id", "p_time", "s_time", "cents")
     },
 
+    // ——— stream-stream LEFT-OUTER interval join under the oracle
+    //     (q204's outer twin — the state-LIFECYCLE surface): every
+    //     purchase emits, the unmatched ones with NULL s_time once
+    //     the watermark proves no in-window signup can still arrive.
+    //     A far-future sentinel (user −1, +30 days, filtered from the
+    //     result) advances both watermarks past every real row, so
+    //     the bounded replay's null emission is exactly the batch
+    //     LEFT JOIN the oracle runs. ———
+    Q("q290_streaming_join_outer",
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id AS u, ts AS sts FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+        |  strftime(s.sts, '%Y-%m-%d %H:%M:%S') AS s_time,
+        |  CAST(round(p.value * 100) AS BIGINT) AS cents
+        |FROM p LEFT JOIN s ON p.user_id = s.u
+        |  AND s.sts >= p.ts - INTERVAL 1 HOUR AND s.sts <= p.ts
+        |ORDER BY user_id, p_time, s_time NULLS FIRST, cents""".stripMargin) { (s, dir) =>
+      val staged = graft.ext.Streaming.stageEventsWithSentinel(
+        s, s"$dir/events.parquet")
+      val ev = graft.ext.Streaming.readEvents(s, staged)
+      val joined = graft.ext.Streaming.purchaseSignupJoinLeftOuter(ev, "1 hour")
+      val q = graft.ext.Streaming.runToMemory(joined, "q290_join_outer",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      q.stop()
+      s.table("q290_join_outer")
+        .where(col("user_id") >= 0) // sink-side sentinel drop (see op note)
+        .select(col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_time"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("s_time"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .orderBy(col("user_id"), col("p_time"),
+          col("s_time").asc_nulls_first, col("cents"))
+    },
+
     // ——— exact Kendall τ-b between daily view and purchase volumes
     //     ("do view-heavy days convert?"): every day pair classified
     //     by integer sign tests; C/D exclude pairs tied on either

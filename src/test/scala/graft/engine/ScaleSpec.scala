@@ -718,6 +718,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("media CDC / cross-modal audit plans: payload windows partition per media/hash, joins stay equi") {
+    val cdc = graft.SparkEntry.queries("q291_media_cdc_chunks")(spark, sf001)
+    assert(graft.PlanChecks.rowScaleGlobalWindows(cdc).isEmpty,
+      "q291 must not sort the byte-position frame on one reducer")
+    val cp = cdc.queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"), cp)
+    val audit = graft.SparkEntry.queries("q292_crossmodal_audit")(spark, sf001)
+    assert(graft.PlanChecks.rowScaleGlobalWindows(audit).isEmpty)
+    val ap = audit.queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"), ap)
+    assert(!ap.contains("BroadcastNestedLoopJoin"), ap)
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

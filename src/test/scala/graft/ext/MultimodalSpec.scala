@@ -70,4 +70,84 @@ class MultimodalSpec extends SparkSpec {
       if (math.max(w, h) <= 256) assert(ow === w && oh === h)
     }
   }
+
+  test("cdcChunkBytes: chunks tile the payload; hashes are content-addressed") {
+    import spark.implicits._
+    val payload = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val m = Seq((1L, payload.getBytes("UTF-8")),
+                (2L, payload.getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val ch = Multimodal.cdcChunkBytes(m, w = 8, divisor = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    // per media: chunks are contiguous (offsets tile 1..n, no gaps)
+    for (id <- Seq(1L, 2L)) {
+      val mine = ch.filter(_._1 == id).sortBy(_._2)
+      assert(mine.head._3 === 1L)
+      mine.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, "chunks must tile")
+        case _ => ()
+      }
+      assert(mine.map(_._4).sum === payload.length.toLong)
+      assert(mine.length > 1, "a repetitive 800-byte payload must split")
+    }
+    // identical payloads → identical chunk hashes, refs count both
+    val h1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._5).toSeq
+    val h2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._5).toSeq
+    assert(h1 === h2)
+    assert(ch.forall(_._6 >= 2L), "every hash occurs in both copies")
+  }
+
+  test("cdcChunkBytes: byte-shift robustness — a prefix insertion preserves the downstream chunk-hash dictionary") {
+    import spark.implicits._
+    // deterministic NON-repeating payload (seeded LCG → printable
+    // ASCII): every chunk is distinct, so the set measure below is
+    // exact — a repetitive payload would collapse the dictionary
+    val base = {
+      var x = 123456789L
+      val sb = new StringBuilder
+      while (sb.length < 1500) {
+        x = (6364136223846793005L * x + 1442695040888963407L)
+        sb += (33 + java.lang.Long.remainderUnsigned(x >>> 16, 94)).toChar
+      }
+      sb.toString
+    }
+    val m = Seq((1L, base.getBytes("UTF-8")),
+                (2L, ("XYZPREFIX-" + base).getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val ch = Multimodal.cdcChunkBytes(m, w = 8, divisor = 16).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val a = ch.filter(_._1 == 1L).map(_._2).toSet
+    val b = ch.filter(_._1 == 2L).map(_._2).toSet
+    // all but the first boundary realign: the shifted copy shares the
+    // vast majority of chunk hashes with the original (fixed-size
+    // chunking would share none)
+    val shared = (a intersect b).size.toDouble / a.size
+    assert(shared >= 0.8, s"only ${(shared * 100).round}% of chunk hashes survived the shift")
+  }
+
+  test("crossModalAudit: hand corpus — every defect column counts exactly") {
+    import spark.implicits._
+    // docs 1..4; media: doc 1 ok, doc 2 len-mismatch, doc 4 missing,
+    // orphan id 99; embeddings for 1, 2 only (3 has media? no — doc 3
+    // has media ok but no embedding)
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 4L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val media = Seq(
+      (1L, "image", "abcde"), // consistent
+      (2L, "image", "abc"),   // payload_len 3 != n_chars 5
+      (3L, "video", "wxyz"),  // consistent, but no embedding
+      (99L, "audio", "zz")    // orphan: no doc 99
+    ).toDF("media_id", "kind", "payload")
+      .withColumn("bytes", col("payload").cast("binary")).drop("payload")
+    val emb = Seq(1L, 2L).toDF("vec_id")
+    val out = Multimodal.crossModalAudit(docs, media, emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    //                      n_ids n_docs n_media orphan missing mismatch no_emb
+    assert(out("image") === ((2L, 2L, 2L, 0L, 0L, 1L, 0L)))
+    assert(out("video") === ((1L, 1L, 1L, 0L, 0L, 0L, 1L)))
+    assert(out("audio") === ((1L, 0L, 1L, 1L, 0L, 0L, 1L)))
+    assert(out("(none)") === ((1L, 1L, 0L, 0L, 1L, 0L, 0L)))
+  }
 }

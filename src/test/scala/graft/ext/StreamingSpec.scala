@@ -796,4 +796,78 @@ class StreamingSpec extends SparkSpec {
     val day1 = 19844L // 2024-05-01 epoch days (UTC session timezone)
     assert(out.toSeq === Seq((day1, 1L, 1L), (day1 + 1, 2L, 2L)))
   }
+
+  test("runningTotalsEventTtl: event-time TTL evicts idle state, emits ONE tombstone") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    // chunk 0: user 1 (last event min 10 → TTL timer at min 70);
+    // chunk 1: user 2 at min 180 advances the watermark past the timer;
+    // chunk 2: forces the batch in which the timeout deterministically
+    // fires (eviction law must not depend on a trailing no-data batch)
+    val chunks = Seq(
+      Seq((1L, ts(0), 1.00), (1L, ts(10), 2.50)),
+      Seq((2L, ts(180), 5.00)),
+      Seq((2L, ts(181), 0.25)))
+    val dir = java.nio.file.Files.createTempDirectory("ttlchunks").toFile
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ttl$i").toString
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"c_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val schema = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+      .as[Streaming.TtlEvent]
+    val q = Streaming.runToMemory(
+      Streaming.runningTotalsEventTtl(stream, ttl = "1 hour").toDF(),
+      "ttl_totals", org.apache.spark.sql.streaming.OutputMode.Update)
+    try {
+      val rows = spark.table("ttl_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // exactly one eviction, carrying user 1's final exact totals
+      assert(rows.filter(_._4).toSeq === Seq((1L, 2L, 350L, true)))
+      // user 2 lives on with both events accumulated
+      assert(rows.filter(r => r._1 == 2L && !r._4).map(_._3).max === 525L)
+      // and the state store actually shrank to the one live key
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal === 1L,
+        s"state rows after eviction: ${lastState.numRowsTotal}")
+    } finally q.stop()
+  }
+
+  test("IdempotentParquetSink: exactly-once under epoch retries and torn writes") {
+    val (dir, batch, _) = writeOutOfOrderChunks()
+    val out = java.nio.file.Files.createTempDirectory("idemsink").toString
+    val sink = new Streaming.IdempotentParquetSink(out)
+    val q = readChunkStream(dir, batch).writeStream
+      .foreachBatch(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n0 = sink.read(spark).count()
+    assert(n0 === batch.count(), "committed batches must cover the stream")
+    val nBatches = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("_committed_"))
+    assert(nBatches >= 3, s"expected >= 3 epochs, got $nBatches")
+    // AT-LEAST-once retry of a COMMITTED epoch (same batchId, even
+    // different data): the marker makes it a no-op — no duplicates
+    sink.apply(batch.limit(3), 0L)
+    assert(sink.read(spark).count() === n0, "retry of committed epoch duplicated rows")
+    // torn write: epoch 0's marker lost mid-failure — the retry
+    // overwrites the partial data and commits cleanly, still exactly once
+    val b0 = spark.read.parquet(s"$out/batch_0").localCheckpoint(true)
+    assert(!new java.io.File(out, "_committed_0").exists() ||
+      new java.io.File(out, "_committed_0").delete())
+    sink.apply(b0, 0L)
+    assert(new java.io.File(out, "_committed_0").exists(), "recommit marker missing")
+    assert(sink.read(spark).count() === n0, "torn-write recovery changed totals")
+  }
 }
