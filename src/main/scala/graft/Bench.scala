@@ -95,8 +95,33 @@ object Bench {
       System.err.println(s"[bench] SUBSET RUN (${selected.size}/${all.size} queries): " +
         selected.map(_._1).mkString(","))
     }
+    // SPARK_GRAFT_REPS=N (default 1 — the driver's single-shot
+    // contract): time each query N times with the full isolation
+    // sweep between reps and report the MINIMUM. Single-shot slots on
+    // a shared box carry 1.3-1.5× scheduler/GC noise (r10 measured a
+    // transient burst inflating one contiguous stretch up to 10×);
+    // min-of-N is the standard attribution-stable estimator — use
+    // reps=2 when comparing operator timings round over round.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    def sweep(): Unit = {
+      graft.engine.TrackedCache.release() // drain the ledger too
+      spark.catalog.clearCache()
+      // BLOCKING unpersist: an async free (executor block drops,
+      // ContextCleaner broadcast removal) otherwise runs INTO the next
+      // query's timed region — r10 measured a contiguous burst of
+      // 1.5-10× slot inflation with exactly this signature
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(150) // let the cleaner thread drain post-GC callbacks
+    }
     val results = selected.map { case (name, fn) =>
-      val (secs, err) = measure(fn(spark, sfDir))
+      val runs = (1 to reps).map { r =>
+        val m = measure(fn(spark, sfDir))
+        if (r < reps) sweep()
+        m
+      }
+      val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       // isolation between measured queries (OUTSIDE the timed region):
       // queries manage their own caches, but leftover blocks a query
@@ -107,11 +132,7 @@ object Bench {
       // with exactly this signature. Sweep the CacheManager AND the
       // persistent-RDD registry (checkpoint RDDs live only in the
       // latter), then let the JVM compact before the next measurement.
-      graft.engine.TrackedCache.release() // drain the ledger too
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      sweep()
       (name, secs, err)
     }
     println(renderJson(results, sfDir,
