@@ -318,10 +318,16 @@ object Graph {
     // each round's label frame is persisted, materialized by its own
     // count, and the superseded generation unpersisted immediately —
     // executor storage holds at most two generations at any instant.
-    // persist+count beats an eager localCheckpoint here: same storage
-    // bound, no extra copy job, and lineage survives for recompute if
-    // a cached block is evicted (rounds ≤ 10 keeps the plan small).
-    for (_ <- 1 to rounds) {
+    // persist+count beats an eager localCheckpoint for STORAGE, but
+    // the LOGICAL plan still embeds `labeled` three times per round
+    // (two vote joins + the union), so analysis cost grows 3^rounds —
+    // the kcorePeel lesson. A localCheckpoint every 4th round cuts
+    // the lineage (plan segments stay ≤ 3^4 nodes) at one extra copy
+    // job per cut; superseded checkpoint blocks are freed at the NEXT
+    // cut (earlier would strand the persisted generations built on
+    // them — localCheckpoint leaves no lineage to recompute from).
+    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (r <- 1 to rounds) {
       val votes = adj
         .join(labeled.withColumnRenamed("node", "src"), Seq("src"))
         .join(labeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
@@ -331,10 +337,16 @@ object Graph {
           Window.partitionBy("node")
             .orderBy(col("votes").desc, col("label"))))
         .where(col("_rk") === 1).select("node", "label")
-      val next = labeled.unionByName(won)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labeled.unpersist(false)
+      val isCkpt = r % 4 == 0
+      val next =
+        if (isCkpt) labeled.unionByName(won).localCheckpoint(true)
+        else labeled.unionByName(won).persist(StorageLevel.MEMORY_AND_DISK)
+      if (!isCkpt) next.count()
+      labeled.unpersist(false) // no-op when labeled was a checkpoint
+      if (isCkpt) {
+        liveCkptRdds.foreach(_.unpersist(blocking = false))
+        liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
+      }
       labeled = next
     }
     adj.unpersist(false)
@@ -609,6 +621,7 @@ object Graph {
     // count frame, unpersist the superseded generation (the
     // labelPropagation loop discipline).
     var live: Seq[DataFrame] = Nil
+    var allCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (_ <- 1 to iterations) {
       val aq = e.join(broadcast(hub.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
@@ -628,6 +641,18 @@ object Graph {
       hub = hq.crossJoin(broadcast(hq.agg(sum("q").as("tot"))))
         .select(col("node"),
           round(col("q").cast("double") / col("tot").cast("double"), 9).as("h"))
+      // cut the lineage every iteration: hub/auth otherwise embed the
+      // previous generation ~4× each (the kcorePeel analysis-cost
+      // lesson — 4^10 plan nodes at the iteration bound). Two copy
+      // jobs over node-dictionary frames per iteration; every cut's
+      // blocks stay live until the END (later generations' persisted
+      // frames recompute THROUGH them — a checkpoint has no lineage
+      // to fall back on), then all are freed together.
+      hub = hub.localCheckpoint(true)
+      auth = auth.localCheckpoint(true)
+      allCkptRdds = allCkptRdds ++
+        org.apache.spark.sql.GraftBridge.leafRdds(hub) ++
+        org.apache.spark.sql.GraftBridge.leafRdds(auth)
       live.foreach(_.unpersist(false))
       live = Seq(aq, hq)
     }
@@ -637,6 +662,7 @@ object Graph {
       .localCheckpoint(true)
     live.foreach(_.unpersist(false))
     e.unpersist(false)
+    allCkptRdds.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -677,18 +703,30 @@ object Graph {
         expr("sum(deg) div 2").cast("long").as("n_edges")).head()
     val rows = scala.collection.mutable.ArrayBuffer(
       (0L, r0.getLong(0), r0.getLong(1)))
+    // each round's plan embeds `cur` FIVE times (peelDegrees twice in
+    // keep ×2 references + peelRound once), so a persist+count loop
+    // grows the ANALYZED plan 5× per round — physical execution stays
+    // cheap (InMemoryRelation), but Catalyst's per-execution analysis
+    // + plan stringification explode super-linearly in plan nodes
+    // (measured: round-5 count on 60 edges = 595 s, with 2 GiB plan
+    // strings). localCheckpoint(eager) materializes AND truncates the
+    // lineage to a LogicalRDD each round — the Dedup CC discipline —
+    // with superseded checkpoint blocks freed explicitly.
+    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (r <- 1 to rounds) {
       val keep = peelDegrees(cur).where(col("deg") >= k).select("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next = peelRound(cur, keep)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nEdges = next.count() // materializes next AND keep
+      val next = peelRound(cur, keep).localCheckpoint(true)
+      val nEdges = next.count() // already materialized; cheap job
       rows += ((r.toLong, keep.count(), nEdges))
-      cur.unpersist(false)
+      cur.unpersist(false) // frees round 0's cache; no-op on checkpoints
       keep.unpersist(false)
+      liveCkptRdds.foreach(_.unpersist(blocking = false))
+      liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
       cur = next
     }
-    cur.unpersist(false)
+    // the counts are extracted — the final generation's blocks can go
+    liveCkptRdds.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
