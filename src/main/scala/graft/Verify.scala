@@ -19,6 +19,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // guard, not a fix: a runaway iterative lineage once built 2 GiB
+      // plan-description strings per execution (see Graph loop notes);
+      // cap the stringifier so any future regression costs ~1 MB of
+      // truncated text instead of minutes of CPU per query
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,11 @@ object SparkSpec {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // guard, not a fix: a runaway iterative lineage once built 2 GiB
+      // plan-description strings per execution (see Graph loop notes);
+      // cap the stringifier so any future regression costs ~1 MB of
+      // truncated text instead of minutes of CPU per query
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
