@@ -768,4 +768,37 @@ object Corpus {
         round(col("n_novel").cast("double") / col("n_ngrams"), 6))
       .orderBy("split")
   }
+
+  /** Order-independent dataset fingerprint manifest — verifiable
+    * dataset versioning for a training corpus: every row contributes
+    * a leaf hash (id + content), each of `shards` logical shards
+    * reports (count, digest) where the digest is the BIT-XOR multiset
+    * hash of its leaves, and shard −1 is the corpus root (xor of
+    * shard digests = xor of all leaves). Any single-row change,
+    * addition, or deletion flips the affected shard's digest AND the
+    * root; comparing two manifests localizes the difference to a
+    * shard without touching row data.
+    *
+    * XOR multiset hashing (vs an ordered Merkle chain) is what makes
+    * this SCALE-NATIVE: the digest is a plain commutative aggregate —
+    * one hash-aggregation pass, no ordered concatenation, no
+    * per-shard array materialization — and insertion order, partition
+    * count, and merge order cannot change it. Logical shards key on
+    * `id mod shards` (engine-portable), not physical partitions.
+    */
+  def fingerprintManifest(docs: DataFrame, shards: Int = 16,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(shards >= 1, s"fingerprintManifest: shards >= 1, got $shards")
+    val leaves = docs.select(
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"),
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        md5(col(textCol)))), 1, 15), 16, 10).cast("long").as("leaf"))
+    val sh = leaves.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(leaf)").as("digest"))
+    val root = sh.agg(sum("n_docs").cast("long").as("n_docs"),
+        expr("bit_xor(digest)").as("digest"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("digest"))
+    sh.unionByName(root).orderBy("shard")
+  }
 }

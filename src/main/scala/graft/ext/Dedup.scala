@@ -412,6 +412,34 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Near-dup-aware sampling weights — the "repetition-aware mixing"
+    * step between dedup and training: instead of dropping near-dup
+    * cluster members, every document gets weight 1e6 / cluster_size
+    * in micro-units (integer floor division — engine-exact), so a
+    * 10-copy template contributes ONE document's worth of probability
+    * mass while unique documents keep weight 1e6. Singleton /
+    * unclustered docs form their own cluster (id = doc_id).
+    *
+    * Scale: the cluster frame comes from [[nearDupClusters]] (already
+    * bounded); sizes are a cluster-dictionary aggregate; the doc join
+    * is one equi-join. No window, no fan-out.
+    */
+  def clusterSampleWeights(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val clusters = nearDupClusters(pairs) // (id, cluster)
+    val sizes = clusters.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        graft.engine.Ranks.idiv(lit(1000000L),
+          coalesce(col("cluster_size"), lit(1L))).as("weight_micro"))
+      .orderBy(idCol)
+  }
+
   /** Benchmark decontamination by MinHash signature (the
     * signature-level sibling of the n-gram-overlap decontamination —
     * same LSH machinery as near-dup detection, pointed across the

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.TrackedCache.Trackable
 
 /** Text analysis for large-scale training-data pipelines: token
@@ -774,6 +775,53 @@ object TextStats {
         when(col("n_rows") * col("n_rows") =!= col("s"),
           round((col("d") * col("n_rows") - col("s")).cast("double")
             / (col("n_rows") * col("n_rows") - col("s")), 6)).as("kappa"))
+  }
+
+  /** Fleiss' κ — chance-corrected agreement for a FIXED panel of m
+    * raters per unit (the annotation-QA statistic when labels come
+    * from a crowd rather than two raters; Cohen's κ above is the
+    * m = 2 / identified-rater case). From integer sufficient
+    * statistics only: per unit i and category j the count n_ij gives
+    *   P̄  = (Σ_i Σ_j n_ij² − N·m) / (N·m·(m−1))
+    *   P̄e = Σ_j t_j² / (N·m)²          (t_j = category totals)
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    * computed as one exact integer fraction per quantity — products
+    * ride DECIMAL(38,0) (HUGEINT in a SQL replay), each final ratio
+    * is one double division rounded to 6. Uneven panels (min m ≠
+    * max m) or degenerate chance agreement answer NULL κ rather
+    * than a wrong number.
+    *
+    * Scale: two hash aggregations (unit×category cells → unit rows,
+    * category totals) and a 1-row cross join. No window, no fan-out.
+    */
+  def fleissKappa(ratings: DataFrame, unitCol: String, catCol: String,
+                  label: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells = ratings.groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val units = cells.groupBy("u")
+      .agg(sum(col("c") * col("c")).as("ss"), sum("c").as("m"))
+      .agg(count(lit(1)).as("n_units"), min("m").as("_mn"),
+        max("m").as("_mx"), sum("ss").as("sum_ss"))
+    val cats = cells.groupBy("cat").agg(sum("c").as("t"))
+      .agg(sum(dec(col("t") * col("t"))).as("sum_t2"),
+        count(lit(1)).as("n_cats"))
+    val nm = col("n_units") * col("_mx")
+    val paDen = dec(nm) * dec(col("_mx") - 1L)
+    val nm2 = dec(nm) * dec(nm)
+    units.crossJoin(cats).select(
+      lit(label).as("measure"),
+      col("n_units"), col("_mx").cast("long").as("m_raters"), col("n_cats"),
+      round((col("sum_ss") - nm).cast("double") /
+        paDen.cast("double"), 6).as("p_observed"),
+      round(col("sum_t2").cast("double") /
+        (nm.cast("double") * nm.cast("double")), 6).as("p_expected"),
+      when(col("_mn") === col("_mx") && col("_mx") >= 2L &&
+          nm2 =!= col("sum_t2"),
+        round((dec(col("sum_ss") - nm) * nm2 - col("sum_t2") * paDen)
+            .cast("double") /
+          (paDen * (nm2 - col("sum_t2"))).cast("double"), 6))
+        .as("kappa"))
   }
 
   /** Source-outlier detection from TEXT ALONE: each document's

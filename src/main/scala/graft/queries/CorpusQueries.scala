@@ -244,6 +244,31 @@ object CorpusQueries {
         media, emb(s, dir).filter(col("vec_id") % 5 =!= 2))
     },
 
+    // ——— order-independent dataset fingerprint manifest: per-shard
+    //     (id mod 16) XOR multiset hash of id+content leaf hashes +
+    //     the corpus root (shard −1) — verifiable dataset versioning
+    //     whose digest is a plain commutative aggregate (insertion
+    //     order / partitioning / merge order cannot change it), and a
+    //     one-row change localizes to a shard without row data. ———
+    Q("q293_fingerprint_manifest",
+      """WITH leaves AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', md5(text))), 1, 15)) AS BIGINT) AS leaf
+        |  FROM documents
+        |), sh AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(bit_xor(leaf) AS BIGINT) AS digest
+        |  FROM leaves GROUP BY 1
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, digest FROM sh
+        |UNION ALL
+        |SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(bit_xor(digest) AS BIGINT)
+        |FROM sh
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      Corpus.fingerprintManifest(docs(s, dir), shards = 16)
+    },
+
     // ——— packed-row manifest: the emit side of q93 — one row per
     //     (stratum, bin) with ordered doc provenance and token
     //     payload (what a training-data writer materializes). ———

@@ -602,6 +602,100 @@ object TextQueries {
       Dedup.dupRateByLength(d, dupIds, nBuckets = 5)
     },
 
+    // ——— near-dup-aware sampling weights (repetition-aware mixing):
+    //     every doc keeps weight 1e6 // cluster_size micro-units —
+    //     a 10-copy template contributes one doc's worth of
+    //     probability mass instead of being dropped; unique docs
+    //     keep 1e6. The keep-and-downweight alternative to q57's
+    //     keep-one dedup apply. ———
+    Q("q294_cluster_weights",
+      s"""$clustersCte,
+         |sizes AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM clusters GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+         |  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT)
+         |    AS weight_micro
+         |FROM documents d
+         |LEFT JOIN clusters c ON d.doc_id = c.id
+         |LEFT JOIN sizes s ON c.cluster = s.cluster
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(d, n = 3, k = 32,
+          bands = 8, minJaccard = 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      Dedup.clusterSampleWeights(d, pairs)
+    },
+
+    // ——— Fleiss' κ over a synthetic 3-rater panel (md5-derived
+    //     labels with a 75% base-agreement coin — both engines replay
+    //     the identical formula): the crowd-annotation QA statistic
+    //     next to Cohen's κ (q176); exact integer sufficient
+    //     statistics, HUGEINT/DECIMAL(38,0) products, NULL on uneven
+    //     panels or degenerate chance agreement. ———
+    Q("q295_fleiss_kappa",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 3)) AS r FROM documents
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) % 4 AS base,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      '#', CAST(r AS VARCHAR))), 1, 7)) AS BIGINT) % 100 AS coin
+        |  FROM r
+        |), rat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coin < 75 THEN base
+        |      ELSE (base + 1 + coin % 3) % 4 END AS cat
+        |  FROM lab
+        |), cells AS (SELECT doc_id AS u, cat, COUNT(*) AS c FROM rat GROUP BY 1, 2),
+        |un AS (SELECT u, SUM(c * c) AS ss, SUM(c) AS m FROM cells GROUP BY 1),
+        |us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units, MIN(m) AS mn,
+        |    MAX(m) AS mx, CAST(SUM(ss) AS BIGINT) AS sum_ss
+        |  FROM un
+        |), ct AS (SELECT cat, SUM(c) AS t FROM cells GROUP BY 1),
+        |cs AS (
+        |  SELECT SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS sum_t2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cats
+        |  FROM ct
+        |)
+        |SELECT 'synthetic_3rater' AS measure, n_units,
+        |  CAST(mx AS BIGINT) AS m_raters, n_cats,
+        |  round(CAST(sum_ss - n_units * mx AS DOUBLE)
+        |    / CAST(CAST(n_units * mx AS HUGEINT) * (mx - 1) AS DOUBLE), 6)
+        |    AS p_observed,
+        |  round(CAST(sum_t2 AS DOUBLE)
+        |    / (CAST(n_units * mx AS DOUBLE) * CAST(n_units * mx AS DOUBLE)), 6)
+        |    AS p_expected,
+        |  CASE WHEN mn = mx AND mx >= 2 AND
+        |      CAST(n_units * mx AS HUGEINT) * CAST(n_units * mx AS HUGEINT)
+        |        <> sum_t2 THEN
+        |    round(CAST(CAST(sum_ss - n_units * mx AS HUGEINT)
+        |        * (CAST(n_units * mx AS HUGEINT) * CAST(n_units * mx AS HUGEINT))
+        |        - sum_t2 * (CAST(n_units * mx AS HUGEINT) * (mx - 1)) AS DOUBLE)
+        |      / CAST((CAST(n_units * mx AS HUGEINT) * (mx - 1))
+        |        * (CAST(n_units * mx AS HUGEINT) * CAST(n_units * mx AS HUGEINT)
+        |          - sum_t2) AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM us CROSS JOIN cs""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val base = conv(substring(md5(col("doc_id").cast("string")), 1, 7),
+        16, 10).cast("long") % 4
+      val coin = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#"), col("r").cast("string"))), 1, 7), 16, 10).cast("long") % 100
+      val ratings = d
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("r"))
+        .select(col("doc_id"),
+          when(coin < 75, base)
+            .otherwise((base + lit(1L) + coin % 3) % 4).as("cat"))
+      TextStats.fleissKappa(ratings, "doc_id", "cat", "synthetic_3rater")
+    },
+
     // ——— near-dup cluster SIZE histogram: how duplication clumps
     //     (many pairs vs few large cliques decide whether to keep
     //     one-per-cluster or weight-down) — the q58 chain + two

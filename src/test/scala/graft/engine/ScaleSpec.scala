@@ -731,6 +731,19 @@ class ScaleSpec extends SparkSpec {
     assert(!ap.contains("BroadcastNestedLoopJoin"), ap)
   }
 
+  test("fingerprint/weights/kappa plans: pure aggregations, no row-scale global windows") {
+    for (name <- Seq("q293_fingerprint_manifest", "q294_cluster_weights",
+        "q295_fleiss_kappa")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+    }
+    // the manifest is windows-AND-joins-free: one hash aggregation
+    // per level — the shape that makes the digest partition-proof
+    val mp = graft.SparkEntry.queries("q293_fingerprint_manifest")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!mp.contains("Join"), s"manifest must not join:\n$mp")
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

@@ -546,4 +546,32 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Long]("id_coin_leaked") === 0L)
     }
   }
+
+  test("fingerprintManifest: root = xor of shards; a one-row edit flips only its shard + root") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"content of document $i"))
+      .toDF("doc_id", "text")
+    val m1 = Corpus.fingerprintManifest(docs, shards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m1.keySet === ((-1L) +: (0L until 8L)).toSet)
+    assert(m1(-1L)._1 === 40L)
+    // root digest is the xor of the shard digests
+    val xored = (0L until 8L).map(m1(_)._2).reduce(_ ^ _)
+    assert(m1(-1L)._2 === xored)
+    // edit one row: exactly its shard's digest and the root change
+    val docs2 = docs.withColumn("text",
+      when(col("doc_id") === 11L, lit("TAMPERED")).otherwise(col("text")))
+    val m2 = Corpus.fingerprintManifest(docs2, shards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (sh <- 0L until 8L) {
+      if (sh == 11L % 8L) assert(m2(sh)._2 !== m1(sh)._2, "edited shard must flip")
+      else assert(m2(sh) === m1(sh), s"untouched shard $sh changed")
+    }
+    assert(m2(-1L)._2 !== m1(-1L)._2)
+    // deletion changes the count too
+    val m3 = Corpus.fingerprintManifest(docs.filter(col("doc_id") =!= 3L),
+      shards = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3(3L % 8L) === m1(3L % 8L)._1 - 1)
+    assert(m3(-1L) === 39L)
+  }
 }

@@ -594,4 +594,22 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[String]("g_brand") === "aa")
   }
+
+  test("clusterSampleWeights: cluster mass collapses to ~1e6, singletons keep 1e6") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // one 3-clique (0-1-2) and one pair (5,6); the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSampleWeights(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size === 10)
+    for (i <- Seq(0L, 1L, 2L))
+      assert(out(i) === ((0L, 3L, 333333L)), s"clique member $i")
+    for (i <- Seq(5L, 6L)) assert(out(i) === ((5L, 2L, 500000L)))
+    for (i <- Seq(3L, 4L, 7L, 8L, 9L))
+      assert(out(i) === ((i, 1L, 1000000L)), s"singleton $i")
+    // downweighted mass: clique contributes ~1e6 total (floor rounding)
+    assert(Seq(0L, 1L, 2L).map(out(_)._3).sum === 999999L)
+  }
 }

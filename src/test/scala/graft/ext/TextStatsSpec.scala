@@ -565,4 +565,31 @@ class TextStatsSpec extends SparkSpec {
     assert(!pure.getAs[Boolean]("is_mixed"))
     assert(pure.getAs[Double]("top_share") === 1.0)
   }
+
+  test("fleissKappa: hand-computed panel, perfect agreement, uneven panel null") {
+    import spark.implicits._
+    // classic hand case: u1 = (a,a,b), u2 = (b,b,b) -> kappa = 0.25
+    val r1 = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+                 (2L, "b"), (2L, "b"), (2L, "b")).toDF("u", "cat")
+    val k1 = TextStats.fleissKappa(r1, "u", "cat", "hand").head()
+    assert(k1.getAs[Long]("n_units") === 2L)
+    assert(k1.getAs[Long]("m_raters") === 3L)
+    assert(k1.getAs[Double]("p_observed") === 0.666667)
+    assert(k1.getAs[Double]("p_expected") === 0.555556)
+    assert(k1.getAs[Double]("kappa") === 0.25)
+    // perfect agreement on distinct labels -> kappa = 1
+    val r2 = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+                 (2L, "b"), (2L, "b"), (2L, "b")).toDF("u", "cat")
+    assert(TextStats.fleissKappa(r2, "u", "cat", "x")
+      .head().getAs[Double]("kappa") === 1.0)
+    // uneven panel (m differs across units) answers NULL, not a number
+    val r3 = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (2L, "a"))
+      .toDF("u", "cat")
+    assert(TextStats.fleissKappa(r3, "u", "cat", "x").head().isNullAt(
+      TextStats.fleissKappa(r3, "u", "cat", "x").schema.fieldIndex("kappa")))
+    // constant labels everywhere: chance agreement is total -> NULL
+    val r4 = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("u", "cat")
+    val k4 = TextStats.fleissKappa(r4, "u", "cat", "x").head()
+    assert(k4.isNullAt(k4.fieldIndex("kappa")))
+  }
 }
