@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.TrackedCache.Trackable
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -1014,6 +1015,57 @@ object Similarity {
         (col("r_u").cast("double") / 1e6).as("r_max"))
       .orderBy("label")
   }
+  /** Calinski–Harabasz index (variance-ratio criterion) of a labeled
+    * embedding set — the BETWEEN/WITHIN companion to
+    * [[daviesBouldin]]: CH = (B/(K−1)) / (W/(N−K)) with
+    * B = Σ_k n_k·‖μ_k − μ‖² and W = Σ_i ‖x_i − μ_{c(i)}‖². Higher =
+    * better-separated clusters; the pair (CH up, DB down) is the
+    * standard label-quality verdict.
+    *
+    * Determinism follows the q260 pattern: float32 inputs sum
+    * round-free in double at these counts, so per-(label, dim) and
+    * global means are EXACT; every squared term is 1e12-quantized to
+    * BIGINT before its (DECIMAL-carried) sum, so aggregation order
+    * cannot move the result; CH is one double division rounded to 6.
+    * Degenerate inputs (K < 2, N ≤ K, zero within-scatter) answer
+    * NULL rather than a division error.
+    *
+    * Scale: one posexplode pass, (label, dim) + dim dictionary
+    * rollups broadcast back, one point-keyed reduction. No window.
+    */
+  def calinskiHarabasz(emb: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val e = emb.select(col(labelCol).cast("string").as("lab"),
+        col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("i0", "x")))
+      .select(col("lab"), col("vid"), (col("i0") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val cent = e.groupBy("lab", "i")
+      .agg((sum("x") / count(lit(1))).as("m"), count(lit(1)).as("nm"))
+    val glob = e.groupBy("i").agg((sum("x") / count(lit(1))).as("g"))
+    val wS = e.join(broadcast(cent.select("lab", "i", "m")), Seq("lab", "i"))
+      .select(round((col("x") - col("m")) * (col("x") - col("m"))
+        * lit(1e12)).cast("long").as("t"))
+      .agg(coalesce(sum(dec(col("t"))), dec(lit(0L))).as("w_u"))
+    val bS = cent.join(broadcast(glob), Seq("i"))
+      .select((dec(col("nm")) * dec(round((col("m") - col("g"))
+        * (col("m") - col("g")) * lit(1e12)).cast("long"))).as("t"))
+      .agg(coalesce(sum(col("t")), dec(lit(0L))).as("b_u"))
+    val counts = e.agg(countDistinct("vid").as("n_points"),
+      countDistinct("lab").as("n_clusters"))
+    counts.crossJoin(broadcast(wS)).crossJoin(broadcast(bS))
+      .select(col("n_points"), col("n_clusters"),
+        round(col("b_u").cast("double") / 1e12, 6).as("between_ss"),
+        round(col("w_u").cast("double") / 1e12, 6).as("within_ss"),
+        when(col("n_clusters") >= 2L && col("n_points") > col("n_clusters") &&
+            col("w_u").cast("double") > 0.0,
+          round((col("b_u") * dec(col("n_points") - col("n_clusters")))
+              .cast("double") /
+            (col("w_u") * dec(col("n_clusters") - 1L)).cast("double"), 6))
+          .as("ch_index"))
+  }
+
   /** Embedding drift audit between two halves of a corpus (vec_id
     * parity as the deterministic split — swap in a time column in
     * production): per-dimension centroid means of each half (exact —

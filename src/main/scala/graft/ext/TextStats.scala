@@ -777,6 +777,48 @@ object TextStats {
             / (col("n_rows") * col("n_rows") - col("s")), 6)).as("kappa"))
   }
 
+  /** Degenerate-text run detector — the loop signature of
+    * model-generated text (`the the the …`, `a b a b a b …`) that
+    * distinct-token ratios (q62) dilute away in long documents:
+    * per document, the longest run of IMMEDIATELY repeated tokens
+    * (period 1) and the longest chain of tokens equal to their
+    * 2-back neighbor (period 2 — a length-L `abab…` block scores
+    * L − 1: the island opens at the pattern's second token, the
+    * first having no 2-back neighbor).
+    * Returns the top-`topK` worst offenders by the larger of the two
+    * (tie → smaller doc_id) — the triage list a corpus cleaner acts
+    * on.
+    *
+    * Shape: one token posexplode, two lag comparisons and two
+    * cumulative break counters in ONE doc-partitioned window pass
+    * (parallel — never a global sort), island rollups, TakeOrdered
+    * top-k.
+    */
+  def degenerateRuns(docs: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"degenerateRuns: topK must be >= 1, got $topK")
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = toks
+      .withColumn("b1",
+        when(col("tok") === lag("tok", 1).over(w), 0L).otherwise(1L))
+      .withColumn("b2",
+        when(col("tok") === lag("tok", 2).over(w), 0L).otherwise(1L))
+      .withColumn("g1", sum("b1").over(cum))
+      .withColumn("g2", sum("b2").over(cum))
+    val r1 = flagged.groupBy("doc_id", "g1").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_repeat_run"))
+    val r2 = flagged.groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_period2_chain"))
+    r1.join(r2, Seq("doc_id"))
+      .orderBy(greatest(col("max_repeat_run"), col("max_period2_chain")).desc,
+        col("doc_id"))
+      .limit(topK)
+      .select("doc_id", "max_repeat_run", "max_period2_chain")
+  }
+
   /** Fleiss' κ — chance-corrected agreement for a FIXED panel of m
     * raters per unit (the annotation-QA statistic when labels come
     * from a crowd rather than two raters; Cohen's κ above is the

@@ -4420,6 +4420,49 @@ object Relational {
       graft.ext.Similarity.daviesBouldin(t(s, dir, "embeddings"))
     },
 
+    // ——— Calinski–Harabasz variance-ratio index over the labeled
+    //     embeddings — the BETWEEN/WITHIN companion verdict to q260's
+    //     Davies–Bouldin (CH up + DB down = well-separated labels);
+    //     exact per-dim means, 1e12-quantized squares in
+    //     HUGEINT/DECIMAL sums, one rounded division. ———
+    Q("q297_calinski_harabasz",
+      """WITH e AS (
+        |  SELECT CAST(label AS VARCHAR) AS lab, vec_id AS vid,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT lab, i, SUM(x) / COUNT(*) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS nm
+        |  FROM e GROUP BY 1, 2
+        |), gm AS (
+        |  SELECT i, SUM(x) / COUNT(*) AS g FROM e GROUP BY 1
+        |), ws AS (
+        |  SELECT COALESCE(SUM(CAST(CAST(round((e.x - c.m) * (e.x - c.m)
+        |    * 1e12) AS BIGINT) AS HUGEINT)), 0) AS w_u
+        |  FROM e JOIN cent c ON e.lab = c.lab AND e.i = c.i
+        |), bs AS (
+        |  SELECT COALESCE(SUM(CAST(c.nm AS HUGEINT) *
+        |    CAST(CAST(round((c.m - g.g) * (c.m - g.g) * 1e12) AS BIGINT)
+        |      AS HUGEINT)), 0) AS b_u
+        |  FROM cent c JOIN gm g ON c.i = g.i
+        |), counts AS (
+        |  SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_points,
+        |    CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_clusters
+        |  FROM e
+        |)
+        |SELECT n_points, n_clusters,
+        |  round(CAST(b_u AS DOUBLE) / 1e12, 6) AS between_ss,
+        |  round(CAST(w_u AS DOUBLE) / 1e12, 6) AS within_ss,
+        |  CASE WHEN n_clusters >= 2 AND n_points > n_clusters
+        |      AND CAST(w_u AS DOUBLE) > 0 THEN
+        |    round(CAST(b_u * CAST(n_points - n_clusters AS HUGEINT) AS DOUBLE)
+        |      / CAST(w_u * CAST(n_clusters - 1 AS HUGEINT) AS DOUBLE), 6)
+        |  END AS ch_index
+        |FROM counts CROSS JOIN ws CROSS JOIN bs""".stripMargin) { (s, dir) =>
+      graft.ext.Similarity.calinskiHarabasz(t(s, dir, "embeddings"))
+    },
+
     // ——— Laplace-mechanism noisy counts with the battery's
     //     deterministic md5 coin as the uniform draw: calibrated
     //     1/ε noise via the inverse CDF, replayable under the

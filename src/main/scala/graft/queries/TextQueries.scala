@@ -696,6 +696,42 @@ object TextQueries {
       TextStats.fleissKappa(ratings, "doc_id", "cat", "synthetic_3rater")
     },
 
+    // ——— degenerate-text run detector: longest immediate-repeat run
+    //     (period 1) and longest 2-back-equal chain (period 2) per
+    //     doc — the model-generated-loop signature q62's distinct
+    //     ratio dilutes away; top-20 worst offenders, doc-partitioned
+    //     windows only. ———
+    Q("q296_degenerate_runs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), p AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+        |), t AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i >= 2 AND ts[i] = ts[i - 1] THEN 0 ELSE 1 END AS b1,
+        |    CASE WHEN i >= 3 AND ts[i] = ts[i - 2] THEN 0 ELSE 1 END AS b2
+        |  FROM p
+        |), c AS (
+        |  SELECT doc_id, i,
+        |    SUM(b1) OVER (PARTITION BY doc_id ORDER BY i) AS g1,
+        |    SUM(b2) OVER (PARTITION BY doc_id ORDER BY i) AS g2
+        |  FROM t
+        |), r1 AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_repeat_run FROM (
+        |    SELECT doc_id, g1, COUNT(*) AS c FROM c GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_period2_chain FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c FROM c GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, max_repeat_run, max_period2_chain
+        |FROM r1 JOIN r2 USING (doc_id)
+        |ORDER BY greatest(max_repeat_run, max_period2_chain) DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      TextStats.degenerateRuns(docs(s, dir), topK = 20)
+    },
+
     // ——— near-dup cluster SIZE histogram: how duplication clumps
     //     (many pairs vs few large cliques decide whether to keep
     //     one-per-cluster or weight-down) — the q58 chain + two

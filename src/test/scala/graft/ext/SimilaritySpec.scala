@@ -563,4 +563,28 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.getAs[Double]("abs_gap") === 0.0)
     assert(d2.isNullAt(d2.fieldIndex("std_shift"))) // zero variance
   }
+
+  test("calinskiHarabasz: hand clusters ~50, separation beats mixing, degenerates null") {
+    import spark.implicits._
+    val sep = Seq((0L, Array(0.0f), 0), (1L, Array(0.2f), 0),
+                  (2L, Array(1.0f), 1), (3L, Array(1.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.calinskiHarabasz(sep).head()
+    assert(r.getAs[Long]("n_points") === 4L)
+    assert(r.getAs[Long]("n_clusters") === 2L)
+    assert(math.abs(r.getAs[Double]("between_ss") - 1.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("within_ss") - 0.04) < 1e-4)
+    assert(math.abs(r.getAs[Double]("ch_index") - 50.0) < 1e-2)
+    // shuffled labels on the same points score far lower
+    val mixed = Seq((0L, Array(0.0f), 0), (1L, Array(0.2f), 1),
+                    (2L, Array(1.0f), 0), (3L, Array(1.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.calinskiHarabasz(mixed).head()
+    assert(m.getAs[Double]("ch_index") < 1.0)
+    // one label -> K < 2 -> NULL index, not an error
+    val one = Seq((0L, Array(0.0f), 0), (1L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val o = Similarity.calinskiHarabasz(one).head()
+    assert(o.isNullAt(o.fieldIndex("ch_index")))
+  }
 }

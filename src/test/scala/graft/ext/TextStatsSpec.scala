@@ -592,4 +592,25 @@ class TextStatsSpec extends SparkSpec {
     val k4 = TextStats.fleissKappa(r4, "u", "cat", "x").head()
     assert(k4.isNullAt(k4.fieldIndex("kappa")))
   }
+
+  test("degenerateRuns: planted loops rank first with exact run lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the model said the the the the the end"),      // run of 5
+      (2L, "a b a b a b a b done"),                        // period-2 chain 8
+      (3L, "perfectly normal text with no loops at all"),
+      (4L, "x x")                                          // run of 2
+    ).toDF("doc_id", "text")
+    val out = TextStats.degenerateRuns(docs, topK = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === 5L)   // "the" x5 immediate repeats
+    // abababab: the chain island opens at the pattern's SECOND token
+    // (the first has no 2-back neighbor), so 8 tokens score 7
+    assert(out(2L)._2 === 7L)
+    assert(out(3L) === ((1L, 1L)))
+    assert(out(4L)._1 === 2L)
+    // ranking: the worst offenders lead
+    val ordered = TextStats.degenerateRuns(docs, topK = 2).collect().map(_.getLong(0))
+    assert(ordered.toSeq === Seq(2L, 1L))
+  }
 }
