@@ -36,6 +36,32 @@ object Privacy {
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
 
+  /** PII-density audit per corpus slice — the triage view BEFORE
+    * redaction: which sources carry how much detectable PII, both as
+    * a document rate and as hits per kilochar (length-normalized, so
+    * a long clean doc doesn't mask a short leaky one). Pure map-side
+    * regex counts + one group rollup — linear at any corpus size.
+    */
+  def piiDensity(docs: org.apache.spark.sql.DataFrame,
+                 groupCol: String = "source",
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(groupCol).as("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(hasPii(t), 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(emailCount(t).cast("long")).as("n_emails"),
+        sum(phoneCount(t).cast("long")).as("n_phones"),
+        sum(ipCount(t).cast("long")).as("n_ips"),
+        sum(length(t).cast("long")).as("_chars"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+        col("n_emails"), col("n_phones"), col("n_ips"),
+        round(col("n_docs_with_pii").cast("double") / col("n_docs"), 6)
+          .as("pii_doc_rate"),
+        round((col("n_emails") + col("n_phones") + col("n_ips"))
+          .cast("double") * 1000.0 / col("_chars"), 6).as("pii_per_kchar"))
+      .orderBy("source")
+  }
+
   /** Token-blocklist safety filter per group — the denylist pass
     * every corpus runs before training (profanity, policy terms,
     * poisoned markers). Whole-token matching on the corpus's

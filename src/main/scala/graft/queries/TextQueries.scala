@@ -483,6 +483,50 @@ object TextQueries {
         .orderBy("lang", "tok")
     },
 
+    // ——— PII-density triage per source: deterministic synthetic PII
+    //     planted into id-derived subsets (both engines fabricate the
+    //     identical text), then the per-source document rate and
+    //     length-normalized hits-per-kilochar — the "which feeds leak"
+    //     view that decides where q76's redaction pass runs first. ———
+    Q("q298_pii_density", {
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CASE
+         |      WHEN doc_id % 5 < 2 THEN text || ' reach user'
+         |        || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      WHEN doc_id % 7 = 0 THEN text || ' call 555-123-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE text END AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN len(regexp_extract_all(t, '${graft.ext.Privacy.EmailRe}'))
+         |      + len(regexp_extract_all(t, '${graft.ext.Privacy.PhoneRe}'))
+         |      + len(regexp_extract_all(t, '${graft.ext.Privacy.Ipv4Re}')) > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.EmailRe}'))) AS BIGINT) AS n_emails,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.PhoneRe}'))) AS BIGINT) AS n_phones,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.Ipv4Re}'))) AS BIGINT) AS n_ips,
+         |    CAST(SUM(strlen(t)) AS BIGINT) AS chars
+         |  FROM t GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_docs_with_pii, n_emails, n_phones, n_ips,
+         |  round(CAST(n_docs_with_pii AS DOUBLE) / n_docs, 6) AS pii_doc_rate,
+         |  round(CAST(n_emails + n_phones + n_ips AS DOUBLE) * 1000.0 / chars,
+         |    6) AS pii_per_kchar
+         |FROM g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val injected = docs(s, dir).select(col("source"),
+        when(col("doc_id") % 5 < 2,
+            concat(col("text"), lit(" reach user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" call 555-123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Privacy.piiDensity(injected)
+    },
+
     // ——— PII detect + redact: deterministic synthetic PII (email /
     //     phone / IPv4 derived from doc_id, fabricated IDENTICALLY in
     //     both engines) appended to real text, then counted and

@@ -129,4 +129,27 @@ class PrivacySpec extends SparkSpec {
       assert(math.abs(n01(k) - v * 10) < 2e-5, s"$k: $v vs ${n01(k)}")
     }
   }
+
+  test("piiDensity: planted leaks count exactly; clean sources read zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("leaky", "write to a@b.com and c@d.org today"),   // 2 emails
+      ("leaky", "call 555-123-4567 now"),                // 1 phone
+      ("clean", "nothing sensitive here at all"),
+      ("clean", "still nothing")
+    ).toDF("source", "text")
+    val out = Privacy.piiDensity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val leaky = out("leaky")
+    assert(leaky.getAs[Long]("n_docs") === 2L)
+    assert(leaky.getAs[Long]("n_docs_with_pii") === 2L)
+    assert(leaky.getAs[Long]("n_emails") === 2L)
+    assert(leaky.getAs[Long]("n_phones") === 1L)
+    assert(leaky.getAs[Double]("pii_doc_rate") === 1.0)
+    assert(leaky.getAs[Double]("pii_per_kchar") > 0.0)
+    val clean = out("clean")
+    assert(clean.getAs[Long]("n_docs_with_pii") === 0L)
+    assert(clean.getAs[Double]("pii_doc_rate") === 0.0)
+    assert(clean.getAs[Double]("pii_per_kchar") === 0.0)
+  }
 }
