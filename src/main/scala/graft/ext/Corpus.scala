@@ -801,4 +801,22 @@ object Corpus {
       .select(lit(-1L).as("shard"), col("n_docs"), col("digest"))
     sh.unionByName(root).orderBy("shard")
   }
+
+  /** Manifest diff — the read side of [[fingerprintManifest]]: given
+    * two manifests (two corpus versions / two replicas of a copy
+    * job), report per shard whether content or count diverged. The
+    * whole comparison touches 2·(shards+1) rows — dataset equality
+    * and change LOCALIZATION without reading any row data, which is
+    * the point of shipping the manifest with the dataset.
+    */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("shard"), col("n_docs").as("n_docs_a"),
+        col("digest").as("digest_a"))
+      .join(b.select(col("shard"), col("n_docs").as("n_docs_b"),
+        col("digest").as("digest_b")), Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_docs_a"), col("n_docs_b"),
+        col("digest_a"), col("digest_b"),
+        (!(col("n_docs_a") <=> col("n_docs_b")) ||
+          !(col("digest_a") <=> col("digest_b"))).as("changed"))
+      .orderBy("shard")
 }

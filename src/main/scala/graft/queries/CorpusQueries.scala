@@ -269,6 +269,56 @@ object CorpusQueries {
       Corpus.fingerprintManifest(docs(s, dir), shards = 16)
     },
 
+    // ——— manifest diff: two corpus versions (v2 = one single-row
+    //     edit, doc_id 7) compared through their manifests ALONE —
+    //     exactly shard 7 mod 16 and the root flip `changed`, every
+    //     other shard proves equality without reading row data. ———
+    Q("q299_manifest_diff",
+      """WITH la AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', md5(text))), 1, 15)) AS BIGINT) AS leaf
+        |  FROM documents
+        |), sa AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(bit_xor(leaf) AS BIGINT) AS digest
+        |  FROM la GROUP BY 1
+        |), ma AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard, n_docs, digest FROM sa
+        |  UNION ALL
+        |  SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+        |    CAST(bit_xor(digest) AS BIGINT) FROM sa
+        |), lb AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', md5(CASE WHEN doc_id = 7 THEN text || ' rev2'
+        |        ELSE text END))), 1, 15)) AS BIGINT) AS leaf
+        |  FROM documents
+        |), sb AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(bit_xor(leaf) AS BIGINT) AS digest
+        |  FROM lb GROUP BY 1
+        |), mb AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard, n_docs, digest FROM sb
+        |  UNION ALL
+        |  SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+        |    CAST(bit_xor(digest) AS BIGINT) FROM sb
+        |)
+        |SELECT ma.shard, ma.n_docs AS n_docs_a, mb.n_docs AS n_docs_b,
+        |  ma.digest AS digest_a, mb.digest AS digest_b,
+        |  (ma.n_docs IS DISTINCT FROM mb.n_docs
+        |    OR ma.digest IS DISTINCT FROM mb.digest) AS changed
+        |FROM ma FULL OUTER JOIN mb USING (shard)
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val edited = d.withColumn("text",
+        when(col("doc_id") === 7L, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      Corpus.manifestDiff(
+        Corpus.fingerprintManifest(d, shards = 16),
+        Corpus.fingerprintManifest(edited, shards = 16))
+    },
+
     // ——— packed-row manifest: the emit side of q93 — one row per
     //     (stratum, bin) with ordered doc provenance and token
     //     payload (what a training-data writer materializes). ———

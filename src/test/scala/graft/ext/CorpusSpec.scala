@@ -574,4 +574,20 @@ class CorpusSpec extends SparkSpec {
     assert(m3(3L % 8L) === m1(3L % 8L)._1 - 1)
     assert(m3(-1L) === 39L)
   }
+
+  test("manifestDiff: identical manifests show no change; a one-row edit flags its shard + root only") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val m = Corpus.fingerprintManifest(docs, shards = 4)
+    val same = Corpus.manifestDiff(m, Corpus.fingerprintManifest(docs, shards = 4))
+      .collect()
+    assert(same.forall(!_.getAs[Boolean]("changed")))
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 9L, lit("EDITED")).otherwise(col("text")))
+    val diff = Corpus.manifestDiff(m,
+        Corpus.fingerprintManifest(edited, shards = 4)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("changed")).toMap
+    assert(diff === Map(-1L -> true, 0L -> false, 1L -> true,
+      2L -> false, 3L -> false))
+  }
 }
