@@ -269,6 +269,55 @@ object CorpusQueries {
       Corpus.fingerprintManifest(docs(s, dir), shards = 16)
     },
 
+    // ——— STREAMING manifest (the 11th streaming-under-oracle entry):
+    //     the q293 fingerprint maintained through a real readStream —
+    //     XOR multiset hashing is what makes the digest INCREMENTAL
+    //     (per-shard bit_xor is a plain streaming aggregate in
+    //     Complete mode; arrival order and batching cannot change
+    //     it), so a live corpus carries its version fingerprint with
+    //     no reprocessing. Hash-matched to the batch manifest SQL. ———
+    Q("q300_streaming_manifest",
+      """WITH leaves AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', md5(text))), 1, 15)) AS BIGINT) AS leaf
+        |  FROM documents
+        |), sh AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(bit_xor(leaf) AS BIGINT) AS digest
+        |  FROM leaves GROUP BY 1
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, digest FROM sh
+        |UNION ALL
+        |SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(bit_xor(digest) AS BIGINT)
+        |FROM sh
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema // footer probe (q290 pattern)
+      // the file streaming source wants a DIRECTORY; a single-file
+      // path becomes parent dir + glob filter (readEvents' pattern)
+      val f = new java.io.File(path)
+      val reader = s.readStream.schema(schema)
+      val stream =
+        if (f.isFile) reader.option("pathGlobFilter", f.getName)
+          .parquet(f.getParent)
+        else reader.parquet(path)
+      val agg = stream.select(
+          pmod(col("doc_id").cast("long"), lit(16L)).as("shard"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            md5(col("text")))), 1, 15), 16, 10).cast("long").as("leaf"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(leaf)").as("digest"))
+      val q = graft.ext.Streaming.runToMemory(agg, "q300_manifest",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      val sh = s.table("q300_manifest")
+      val root = sh.agg(sum("n_docs").cast("long").as("n_docs"),
+          expr("bit_xor(digest)").as("digest"))
+        .select(lit(-1L).as("shard"), col("n_docs"), col("digest"))
+      sh.unionByName(root).orderBy("shard")
+    },
+
     // ——— manifest diff: two corpus versions (v2 = one single-row
     //     edit, doc_id 7) compared through their manifests ALONE —
     //     exactly shard 7 mod 16 and the root flip `changed`, every

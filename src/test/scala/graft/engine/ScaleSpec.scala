@@ -735,7 +735,7 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q293_fingerprint_manifest", "q294_cluster_weights",
         "q295_fleiss_kappa", "q296_degenerate_runs",
         "q297_calinski_harabasz", "q298_pii_density",
-        "q299_manifest_diff")) {
+        "q299_manifest_diff", "q300_streaming_manifest")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
     }

@@ -842,6 +842,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming manifest accumulates across micro-batches to the batch fingerprint") {
+    // XOR multiset hashing is incremental BY CONSTRUCTION — pin it on
+    // a real multi-batch replay: 3 file chunks, maxFilesPerTrigger=1,
+    // Complete-mode agg; the final digests must equal the one-shot
+    // batch manifest exactly
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("manifchunks").toFile
+    for (i <- 0 until 3) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"mc$i").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+    val agg = stream.select(
+        pmod(col("doc_id"), lit(16L)).as("shard"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))), 1, 15), 16, 10).cast("long").as("leaf"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(leaf)").as("digest"))
+    val q = Streaming.runToMemory(agg, "manif_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected >= 3 data micro-batches")
+      val got = spark.table("manif_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = graft.ext.Corpus.fingerprintManifest(docs, shards = 16)
+        .filter(col("shard") >= 0).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("IdempotentParquetSink: exactly-once under epoch retries and torn writes") {
     val (dir, batch, _) = writeOutOfOrderChunks()
     val out = java.nio.file.Files.createTempDirectory("idemsink").toString
