@@ -46,10 +46,16 @@ object Ranks {
       .rowsBetween(Window.unboundedPreceding, -1)
     val below = dict
       .withColumn("_below", coalesce(sum("_c").over(wd), lit(0L)))
-      .select(col(valueCol), col("_below"))
+      .select(col(valueCol).as("_rv"), col("_below"))
     val tot = dict.agg(sum("_c").cast("long").as("_n_total"))
     val tieOrd = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
-    df.join(broadcast(below), Seq(valueCol))
+    // NULL-SAFE equi-join (still hash-joinable): a plain USING join
+    // would silently DROP rows whose value is null instead of ranking
+    // them — nulls form a dictionary group like any other value.
+    // (Cross-engine note: Spark sorts nulls FIRST ascending, DuckDB
+    // LAST — oracle-facing callers must not feed nullable values.)
+    df.join(broadcast(below), col(valueCol) <=> col("_rv"))
+      .drop("_rv")
       .crossJoin(broadcast(tot))
       .withColumn(out, col("_below") + row_number().over(tieOrd).cast("long"))
       .drop("_below")

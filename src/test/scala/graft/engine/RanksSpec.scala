@@ -50,6 +50,18 @@ class RanksSpec extends SparkSpec {
     assert(exact.values.toSeq.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("ntileExact ranks NULL values instead of dropping them (Spark null ordering)") {
+    val withNulls = frame.withColumn("v",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("v")))
+    val exact = Ranks.ntileExact(withNulls, 5, "v", "id")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val naive = withNulls.withColumn("bucket",
+        ntile(5).over(Window.orderBy("v", "id")).cast("long"))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(exact.size === 200, "null-valued rows must not drop")
+    assert(exact === naive)
+  }
+
   test("rowNumberExact equals row_number() OVER (ORDER BY v, id)") {
     val exact = Ranks.rowNumberExact(frame, "v", "id")
       .select("id", "_rn").as[(Long, Long)].collect().toMap
