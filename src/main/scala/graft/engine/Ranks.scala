@@ -86,6 +86,51 @@ object Ranks {
       .drop("_rn", "_n_total")
   }
 
+  /** Exact global rank AND running sum of the value column over
+    * `ORDER BY valueCol [DESC], idCol` — the pair whale-share /
+    * concentration curves need. Appends `outRank`, `outCum` (both
+    * LongType; `outCum` = sum of `valueCol` over ranks 1..rank) and
+    * `_n_total`. Within a tie group every row carries the SAME value,
+    * so the running sum decomposes exactly like the rank: (sum over
+    * strictly-prior dictionary values, broadcast back) + value × tie
+    * position. Bit-identical to `sum(v) OVER (ORDER BY v [DESC], id
+    * ROWS UNBOUNDED PRECEDING)` with no row-scale global sort.
+    * `valueCol` must be integral (it is summed as LongType). */
+  def rowNumberWithRunningSum(df: DataFrame, valueCol: String, idCol: String,
+                              valueDesc: Boolean = false,
+                              outRank: String = "_rn",
+                              outCum: String = "_cum"): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val dict = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("_c"), (v * count(lit(1))).as("_vs"))
+    val ord = if (valueDesc) col(valueCol).desc else col(valueCol).asc
+    val wd = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = dict
+      .withColumn("_below", coalesce(sum("_c").over(wd), lit(0L)))
+      .withColumn("_sum_before", coalesce(sum("_vs").over(wd), lit(0L)))
+      .select(col(valueCol).as("_rv"), col("_below"), col("_sum_before"))
+    val tot = dict.agg(sum("_c").cast("long").as("_n_total"))
+    val tieOrd = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    df.join(broadcast(below), col(valueCol) <=> col("_rv"))
+      .drop("_rv")
+      .crossJoin(broadcast(tot))
+      .withColumn("_tie", row_number().over(tieOrd).cast("long"))
+      .withColumn(outRank, col("_below") + col("_tie"))
+      .withColumn(outCum, col("_sum_before") + v * col("_tie"))
+      .drop("_below", "_sum_before", "_tie")
+  }
+
+  /** Scale-safe exact top-k: `ORDER BY … LIMIT k`, which Spark plans
+    * as TakeOrderedAndProject — per-partition top-k then a k-row
+    * merge, never a full global sort. Use this instead of the
+    * `row_number().over(Window.orderBy(…)) <= k` idiom, which IS the
+    * single-reducer sort this object exists to avoid. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame = {
+    require(k >= 1, s"topK: k must be >= 1, got $k")
+    df.orderBy(order: _*).limit(k)
+  }
+
   /** Exact nearest-rank quantile selection over a value column: for
     * each requested rank expression (a function of the total count
     * `n`), the value at that 1-based position of the ascending sort —

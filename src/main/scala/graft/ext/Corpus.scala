@@ -700,20 +700,22 @@ object Corpus {
     * (doc count, quality range, token payload) as the schedule's
     * report card.
     *
-    * Scale: ntile is one global sort of (quality, id) PAIRS — the
-    * schedule key, not the payload; at 100 TB assign epochs from
-    * approx_percentile quality cuts instead (map-only after one
-    * sketch pass). Token totals are exact integer sums.
+    * Scale: the epoch assignment routes through
+    * [[graft.engine.Ranks.ntileExact]] — the only ordered window runs
+    * over the bounded quality-VALUE dictionary (cumulative counts
+    * broadcast back; ties ranked under a window PARTITIONED by the
+    * value), bit-identical to `ntile(n) OVER (ORDER BY quality DESC,
+    * id)` with no single-reducer row-scale sort.
     */
   def curriculumEpochs(docs: DataFrame, nEpochs: Int = 5,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col(idCol),
       TextStats.qualityScore(col(textCol)).as("quality"),
       TextStats.tokenCount(col(textCol)).as("_toks"))
-    val w = Window.orderBy(col("quality").desc, col(idCol))
-    scored.withColumn("epoch", ntile(nEpochs).over(w).cast("long"))
+    graft.engine.Ranks
+      .ntileExact(scored, nEpochs, "quality", idCol,
+        valueDesc = true, out = "epoch")
       .groupBy("epoch").agg(
         count(lit(1)).as("n_docs"),
         min("quality").as("q_lo"), max("quality").as("q_hi"),

@@ -238,9 +238,12 @@ object Dedup {
         explode(split(lower(col(textCol)), "\\s+")).as("t"))
       .where(col("t") =!= "").distinct()
     val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rk = toks.groupBy("t").agg(count(lit(1)).as("dfreq"))
-      .withColumn("trk",
-        row_number().over(Window.orderBy(col("dfreq"), col("t"))))
+    // rare-first token total order via Ranks — the only ordered
+    // window runs over the doc-frequency VALUE dictionary, never the
+    // vocabulary frame (vocab grows with the corpus)
+    val rk = graft.engine.Ranks
+      .rowNumberExact(toks.groupBy("t").agg(count(lit(1)).as("dfreq")),
+        "dfreq", "t", out = "trk")
       .select("t", "trk")
     val pos = toks.join(rk, Seq("t")).join(sz, Seq("doc_id"))
       .withColumn("p", row_number().over(

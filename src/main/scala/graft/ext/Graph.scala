@@ -135,10 +135,13 @@ object Graph {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // total order: rank by (deg, id) — the orientation key. The rank
-    // window is over the NODE dictionary, not edges.
-    val ranked = deg.withColumn("rk",
-      row_number().over(Window.orderBy(col("deg"), col("node"))))
+    // total order: rank by (deg, id) — the orientation key, computed
+    // via Ranks.rowNumberExact so the only ordered window runs over
+    // the bounded DEGREE-value dictionary (never a partition-less
+    // sort of the node frame).
+    val ranked = graft.engine.Ranks
+      .rowNumberExact(deg, "deg", "node", out = "rk")
+      .drop("_n_total")
     val rkOf = ranked.select(col("node"), col("rk"))
     // orient every edge low-rank → high-rank
     val oriented = und

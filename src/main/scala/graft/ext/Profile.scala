@@ -328,17 +328,19 @@ object Profile {
     * bin). Returns per-bin (bin, n, lo, hi, mean) with the mean over
     * integer micro-units (order-free).
     *
-    * Scale: ntile is a single global sort — acceptable for the
-    * profile/monitoring path this serves (same posture as the exact
-    * NDV profiler); the one-pass sketch swap is approx_percentile
-    * cuts + a fixed-width pass over each cut range.
+    * Scale: the bin assignment routes through Ranks.ntileExact —
+    * the only ordered window runs over the VALUE dictionary
+    * (distinct values, not rows), bit-identical to `ntile(n) OVER
+    * (ORDER BY v, tiebreak)` at the per-bin aggregate level: rows
+    * tied on (v, tiebreak) are interchangeable within their value,
+    * so every per-bin (n, lo, hi, mean) is engine-exact.
     */
   def equidepthBins(df: DataFrame, valueCol: String, tiebreakCol: String,
                     nBins: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(valueCol), col(tiebreakCol))
-    df.select(col(valueCol).cast("long").as("v"),
-        ntile(nBins).over(w).cast("long").as("bin"))
+    graft.engine.Ranks
+      .ntileExact(df.select(col(valueCol).cast("long").as("v"),
+          col(tiebreakCol).as("_tb")),
+        nBins, "v", "_tb", out = "bin")
       .groupBy("bin").agg(
         count(lit(1)).as("n"),
         min("v").as("lo"), max("v").as("hi"),
@@ -682,8 +684,9 @@ object Profile {
     * comparison. The "which 20% of parts carry 80% of revenue"
     * operator behind every mixture/budget decision.
     *
-    * The cumulative window runs over the ENTITY dictionary (one row
-    * per entity after the first aggregation), not base rows.
+    * The cumulative sum routes through Ranks.rowNumberWithRunningSum:
+    * the only ordered window runs over the cent-VALUE dictionary,
+    * never the per-entity frame (entities grow with the catalog).
     */
   def abcAnalysis(df: DataFrame, entityCol: String, measureCents: Column,
                   aPct: Int = 80, bPct: Int = 95): DataFrame = {
@@ -692,12 +695,12 @@ object Profile {
       s"need 0 < aPct < bPct <= 100, got $aPct/$bPct")
     val per = df.groupBy(col(entityCol).as("entity"))
       .agg(sum(measureCents).as("cents"))
-    val ord = Window.orderBy(col("cents").desc, col("entity"))
     val all = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    per
-      .withColumn("cum", sum("cents").over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.engine.Ranks
+      .rowNumberWithRunningSum(per, "cents", "entity", valueDesc = true,
+        outRank = "_rk", outCum = "cum")
+      .drop("_n_total", "_rk")
       .withColumn("total", sum("cents").over(all))
       // classify by the PREVIOUS cumulative share (cum − cents): the
       // entity that crosses a boundary belongs to the class it
@@ -976,17 +979,19 @@ object Profile {
     * ntile(10)-bucketed ascending by their exact cent totals, each
     * decile reporting its value and the CUMULATIVE share — the
     * inequality readout behind the q162 Gini number ("the bottom
-    * half of parts carries 8% of revenue"). Windows run over the
-    * entity dictionary; shares are single rounded divisions of
-    * exact BIGINTs.
+    * half of parts carries 8% of revenue"). The decile assignment
+    * routes through [[graft.engine.Ranks.ntileExact]] — the only
+    * ordered window runs over the cent-VALUE dictionary, never the
+    * per-entity frame (entities grow with the catalog); shares are
+    * single rounded divisions of exact BIGINTs.
     */
   def lorenzDeciles(df: DataFrame, entityCol: String,
                     measureCents: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = df.groupBy(col(entityCol).as("entity"))
+    val per0 = df.groupBy(col(entityCol).as("entity"))
       .agg(sum(measureCents).as("cents"))
-      .withColumn("dec", ntile(10).over(
-        Window.orderBy(col("cents"), col("entity"))))
+    val per = graft.engine.Ranks
+      .ntileExact(per0, 10, "cents", "entity", out = "dec")
     val byDec = per.groupBy("dec")
       .agg(count(lit(1)).as("n_entities"), sum("cents").as("dcents"))
     val wCum = Window.orderBy("dec")
@@ -1540,8 +1545,10 @@ object Profile {
     * so the comparison is engine-exact; a rank with no counterpart
     * (a half with fewer active entities) reports NULLs on that side.
     *
-    * Scale: two half-keyed rollups, two TakeOrdered-sized rank
-    * windows over entity dictionaries, a topK-row join.
+    * Scale: two half-keyed rollups, two exact top-k selections via
+    * `Ranks.topK` (TakeOrderedAndProject — per-partition top-k then a
+    * k-row merge, never a global sort), then a rank window over the
+    * already-k-row frames and a topK-row join.
     */
   def topHitterDrift(events: DataFrame, entityCol: String,
                      tsCol: String, topK: Int = 10): DataFrame = {
@@ -1558,10 +1565,13 @@ object Profile {
       val side = if (pre) halves.where(col("day") <= col("mid"))
         else halves.where(col("day") > col("mid"))
       val sfx = if (pre) "pre" else "post"
-      side.groupBy("u").agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(
+      val tk = graft.engine.Ranks.topK(
+        side.groupBy("u").agg(count(lit(1)).as("n")),
+        topK, col("n").desc, col("u"))
+      // rank within the ≤ topK-row frame — bounded by the literal
+      // limit beneath it, not by the entity dictionary
+      tk.withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("u"))).cast("long"))
-        .where(col("rank") <= topK)
         .select(col("rank"), col("u").as(s"user_$sfx"),
           col("n").as(s"n_$sfx"))
     }
@@ -1601,17 +1611,19 @@ object Profile {
     */
   def whaleShares(events: DataFrame, entityCol: String,
                   percents: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       "whaleShares: percents must be in 1..100")
     val counts = events.select(col(entityCol).cast("string").as("u"))
       .groupBy("u").agg(count(lit(1)).as("n"))
       .trackedPersist()
-    val w = Window.orderBy(col("n").desc, col("u"))
-    val ranked = counts
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum("n").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+    // rank + running event sum via the count-VALUE dictionary — the
+    // only ordered window runs over distinct activity counts, never
+    // the entity frame (Ranks.rowNumberWithRunningSum is
+    // bit-identical to the naive global window)
+    val ranked = graft.engine.Ranks
+      .rowNumberWithRunningSum(counts, "n", "u", valueDesc = true,
+        outRank = "rk", outCum = "cum")
+      .drop("_n_total")
       .trackedPersist()
     val tot = counts.agg(count(lit(1)).as("n_entities"),
       sum("n").as("n_events"))
@@ -2749,8 +2761,14 @@ object Profile {
     * doubles), then the standard step-up adjustment
     * p̂ᵢ = min_{j≥i}(pⱼ·m/j) capped at 1 — which discoveries
     * survive when you ran m tests at once. Rows with NULL z are
-    * dropped (document upstream). All windows run over the
-    * m-row hypothesis frame.
+    * dropped (document upstream).
+    *
+    * Scale shape: the rank routes through Ranks.rowNumberExact and
+    * the step-up tail-min runs over the p-value DICTIONARY: within a
+    * tie group p·m/j is minimized at the group's max rank, so
+    * min_{j≥i} decomposes into a reverse running min of per-value
+    * minima — bit-identical (IEEE division is monotone in the
+    * divisor), with no ordered window over the hypothesis frame.
     */
   def bhAdjust(tests: DataFrame, keyCol: String, zCol: String,
                alpha: Double = 0.05): DataFrame = {
@@ -2766,17 +2784,24 @@ object Profile {
         col(zCol).cast("double").as("z"))
       .where(col(zCol).isNotNull)
       .withColumn("p_raw", pRaw)
-    val m = Window.partitionBy()
-    val wRank = Window.orderBy(col("p_raw"), col("key"))
-    val wTail = Window.orderBy(col("rank").desc)
+    val ranked = graft.engine.Ranks
+      .rowNumberExact(base, "p_raw", "key", out = "rank")
+      .withColumnRenamed("_n_total", "m")
+    // per-value step-up minimum at the value's max rank, then a
+    // reverse running min over the p dictionary (grouping-key order)
+    val wTail = Window.orderBy(col("p_raw").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    base
-      .withColumn("m", count(lit(1)).over(m))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .withColumn("p_adj", round(least(min(col("p_raw") * col("m") /
-        col("rank")).over(wTail), lit(1.0)), 9))
+    val adjDict = ranked.groupBy("p_raw")
+      .agg(max("rank").as("_mr"), max("m").as("_m"))
+      .withColumn("_p_adj", round(least(
+        min(col("p_raw") * col("_m") / col("_mr")).over(wTail),
+        lit(1.0)), 9))
+      .select(col("p_raw").as("_pv"), col("_p_adj"))
+    ranked
+      .join(broadcast(adjDict), col("p_raw") <=> col("_pv"))
       .select(col("key"), col("z"), col("p_raw"), col("rank"),
-        col("p_adj"), (col("p_adj") <= alpha).as("significant"))
+        col("_p_adj").as("p_adj"),
+        (col("_p_adj") <= alpha).as("significant"))
       .orderBy("rank")
   }
 

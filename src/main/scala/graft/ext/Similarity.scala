@@ -915,8 +915,9 @@ object Similarity {
     * an exact BIGINT sum (aggregation-order-free) and the final
     * ordering is integer comparison with id tie-break.
     *
-    * Both rank passes are global windows over the scored candidates —
-    * at corpus scale you run this on each ranker's top-N candidate
+    * Both rank passes route through Ranks.rowNumberExact (ordered
+    * windows over the rounded-score value dictionaries only); at
+    * corpus scale you still run this on each ranker's top-N candidate
     * list (N ≈ 1000), never the full corpus; the scoring passes
     * themselves are broadcast-join map work.
     */
@@ -930,11 +931,16 @@ object Similarity {
         round(dot(col(vecCol), col("qv"))
           / (sqrt(norm2(col(vecCol))) * sqrt(col("qn2"))), 6).as("cos_sim"),
         round(graft.functions.VectorOps.l2sq(col(vecCol), col("qv")), 6).as("l2"))
-    val fused = scored
-      .withColumn("rank_cos", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vid"))))
-      .withColumn("rank_l2", row_number().over(
-        Window.orderBy(col("l2").asc, col("vid"))))
+    // both rank passes route through Ranks.rowNumberExact — ordered
+    // windows over the rounded-score VALUE dictionaries, never a
+    // partition-less sort of the candidate frame
+    val rankedCos = graft.engine.Ranks
+      .rowNumberExact(scored, "cos_sim", "vid", valueDesc = true,
+        out = "rank_cos")
+      .drop("_n_total")
+    val fused = graft.engine.Ranks
+      .rowNumberExact(rankedCos, "l2", "vid", out = "rank_l2")
+      .drop("_n_total")
       .withColumn("rrf_pico",
         round(lit(1e12) / (lit(rrfK) + col("rank_cos"))).cast("long") +
           round(lit(1e12) / (lit(rrfK) + col("rank_l2"))).cast("long"))

@@ -413,10 +413,8 @@ object TextStats {
         round(log(col("cxy").cast("double") * col("n_tokens") * col("n_tokens")
           / (col("m_bigrams").cast("double") * col("cx") * col("cy"))), 6)
           .as("pmi"))
-    import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rn", row_number().over(
-        Window.orderBy(col("pmi").desc, col("bigram").asc)))
-      .filter(col("rn") <= k).drop("rn")
+    // exact top-k via TakeOrderedAndProject — never a global sort
+    graft.engine.Ranks.topK(scored, k, col("pmi").desc, col("bigram").asc)
   }
 
   /** Sentence segmentation statistics per document: sentence count,
@@ -555,10 +553,8 @@ object TextStats {
         round(log(col("cxy").cast("double") * col("n_tokens") * col("n_tokens")
           / (col("m_pairs").cast("double") * col("cx") * col("cy"))), 6)
           .as("pmi"))
-    import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rn", row_number().over(
-        Window.orderBy(col("pmi").desc, col("pair").asc)))
-      .filter(col("rn") <= k).drop("rn")
+    // exact top-k via TakeOrderedAndProject — never a global sort
+    graft.engine.Ranks.topK(scored, k, col("pmi").desc, col("pair").asc)
   }
 
   /** Language-ID confusion matrix against labeled ground truth:
@@ -636,22 +632,23 @@ object TextStats {
     * (min doc id — one aggregation over the token long form), counts
     * of first-appearances per doc, and an ordered prefix sum
     * evaluated at the decile boundary ids. The boundary ids are exact
-    * nearest-rank picks of the distinct-doc order. Checkpoint rows =
-    * 10, window input = distinct first-doc ids — bounded regardless
-    * of corpus size.
+    * nearest-rank picks of the distinct-doc order via
+    * [[graft.engine.Ranks.rowNumberExact]] — the only ordered window
+    * runs over the doc-id value dictionary under the plan law (a
+    * grouping-key order, never a row-scale partition-less sort).
+    * Checkpoint rows = 10.
     */
   def vocabGrowth(docs: DataFrame, nCheckpoints: Int = 10,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val firstDoc = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(min("doc").as("fd"))
     val perDoc = firstDoc.groupBy("fd").agg(count(lit(1)).as("nw"))
-    val ids = docs.select(col(idCol).as("doc")).distinct()
-      .withColumn("rn", row_number().over(Window.orderBy("doc")).cast("long"))
-      .withColumn("nd", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ids = graft.engine.Ranks
+      .rowNumberExact(docs.select(col(idCol).as("doc")).distinct(),
+        "doc", "doc", out = "rn")
+      .withColumnRenamed("_n_total", "nd")
     // checkpoint i's boundary = the doc at rank floor(i·nd / k)
     val cps = docs.sparkSession.range(1, nCheckpoints + 1)
       .toDF("checkpoint")
@@ -1009,15 +1006,16 @@ object TextStats {
     * and the Zipf slope (q146). For counts sorted ascending,
     * G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — ALL integer until the
     * final division, so the statistic is engine-exact by
-    * construction. The rank window runs over the vocabulary.
+    * construction. The rank routes through Ranks.rowNumberExact: the
+    * only ordered window runs over the count-VALUE dictionary, never
+    * the vocabulary frame.
     */
   def tokenGini(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(Window.orderBy(col("c").asc, col("w").asc))
-        .cast("long"))
+    val ranked = graft.engine.Ranks
+      .rowNumberExact(counts, "c", "w", out = "i")
+      .drop("_n_total")
     ranked.agg(count(lit(1)).as("n"), sum("c").as("sc"),
         sum(col("i") * col("c")).as("sic"))
       .select(col("n"), col("sc").as("n_tokens"),
@@ -1039,12 +1037,14 @@ object TextStats {
     */
   def zipfFit(docs: DataFrame, minCount: Long = 5,
               textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val ranked = counts.withColumn("r",
-      row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+    // rank by (count desc, token) via the count-VALUE dictionary —
+    // no partition-less sort of the vocabulary frame
+    val ranked = graft.engine.Ranks
+      .rowNumberExact(counts, "c", "w", valueDesc = true, out = "r")
+      .drop("_n_total")
     val xy = ranked.select(
       round(log(col("r").cast("double")) * 1e9).cast("long").as("x_u"),
       round(log(col("c").cast("double")) * 1e9).cast("long").as("y_u"),
@@ -1081,15 +1081,14 @@ object TextStats {
   def oovRate(docs: DataFrame, vocabSize: Int = 1000,
               sourceCol: String = "source",
               textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perSource = docs
       .select(col(sourceCol).as("source"),
         explode(tokens(col(textCol))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-    val vocab = perSource.groupBy("w").agg(sum("c").as("cw"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cw").desc, col("w").asc)))
-      .filter(col("rn") <= vocabSize)
+    // vocab cut = exact top-k of the token counts (TakeOrdered)
+    val vocab = graft.engine.Ranks
+      .topK(perSource.groupBy("w").agg(sum("c").as("cw")),
+        vocabSize, col("cw").desc, col("w").asc)
       .select(col("w"), lit(1).as("_in"))
     perSource.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("source").agg(

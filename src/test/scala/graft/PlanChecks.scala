@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, ExpressionSet}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Project, Window => LWindow}
 
 /** Structural scale checks shared by the plan-pin suites. */
 object PlanChecks {
@@ -23,6 +23,13 @@ object PlanChecks {
     * does no sort; it is accepted when an Aggregate sits anywhere
     * beneath it (the frame has been reduced), flagged when it runs
     * directly over un-aggregated rows.
+    *
+    * A window with a LIMIT beneath it is accepted regardless of its
+    * ordering columns: the frame is bounded by the literal limit
+    * (the `Ranks.topK` → rank-within-top-k shape). This is a lint
+    * law, so the check is lineage-anywhere, not direct-child —
+    * a join of a limited frame against an unbounded one would
+    * slip through, but no battery operator windows such a join.
     */
   def rowScaleGlobalWindows(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan
@@ -30,8 +37,11 @@ object PlanChecks {
       case w: LWindow if w.partitionSpec.isEmpty =>
         val safe = scala.collection.mutable.Set[ExprId]()
         var hasAgg = false
+        var hasLimit = false
         w.child.foreach { node =>
           node match {
+            case _: GlobalLimit | _: LocalLimit =>
+              hasLimit = true
             case a: Aggregate =>
               hasAgg = true
               val gset = ExpressionSet(a.groupingExpressions)
@@ -65,9 +75,9 @@ object PlanChecks {
           }
         }
         val orderRefs = w.orderSpec.flatMap(_.child.references).map(_.exprId)
-        val ok =
-          if (orderRefs.nonEmpty) orderRefs.forall(safe.contains)
-          else hasAgg
+        val ok = hasLimit ||
+          (if (orderRefs.nonEmpty) orderRefs.forall(safe.contains)
+           else hasAgg)
         if (ok) None else Some(w.simpleString(160))
     }.flatten
   }
