@@ -33,13 +33,15 @@ object Ranks {
 
   /** Exact global rank (1-based, `row_number` semantics) over
     * `ORDER BY valueCol [DESC], idCol` without a partition-less
-    * row-scale Window. Appends `out` (LongType) and `_n_total`
-    * (LongType, the frame's row count) — callers that don't need the
-    * total should drop it. `idCol` must be unique per row (it is the
-    * tie-break that makes row_number deterministic). */
+    * row-scale Window. Appends `out` (LongType) and — when
+    * `withTotal` — `_n_total` (LongType, the frame's row count);
+    * callers that don't need the total pass `withTotal = false` and
+    * save the 1-row broadcast crossJoin. `idCol` must be unique per
+    * row (it is the tie-break that makes row_number deterministic). */
   def rowNumberExact(df: DataFrame, valueCol: String, idCol: String,
                      valueDesc: Boolean = false,
-                     out: String = "_rn"): DataFrame = {
+                     out: String = "_rn",
+                     withTotal: Boolean = true): DataFrame = {
     val dict = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
     val ord = if (valueDesc) col(valueCol).desc else col(valueCol).asc
     val wd = Window.orderBy(ord)
@@ -47,16 +49,20 @@ object Ranks {
     val below = dict
       .withColumn("_below", coalesce(sum("_c").over(wd), lit(0L)))
       .select(col(valueCol).as("_rv"), col("_below"))
-    val tot = dict.agg(sum("_c").cast("long").as("_n_total"))
     val tieOrd = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
     // NULL-SAFE equi-join (still hash-joinable): a plain USING join
     // would silently DROP rows whose value is null instead of ranking
     // them — nulls form a dictionary group like any other value.
     // (Cross-engine note: Spark sorts nulls FIRST ascending, DuckDB
     // LAST — oracle-facing callers must not feed nullable values.)
-    df.join(broadcast(below), col(valueCol) <=> col("_rv"))
+    val joined = df.join(broadcast(below), col(valueCol) <=> col("_rv"))
       .drop("_rv")
-      .crossJoin(broadcast(tot))
+    val withTot =
+      if (withTotal)
+        joined.crossJoin(broadcast(
+          dict.agg(sum("_c").cast("long").as("_n_total"))))
+      else joined
+    withTot
       .withColumn(out, col("_below") + row_number().over(tieOrd).cast("long"))
       .drop("_below")
   }
@@ -89,8 +95,8 @@ object Ranks {
   /** Exact global rank AND running sum of the value column over
     * `ORDER BY valueCol [DESC], idCol` — the pair whale-share /
     * concentration curves need. Appends `outRank`, `outCum` (both
-    * LongType; `outCum` = sum of `valueCol` over ranks 1..rank) and
-    * `_n_total`. Within a tie group every row carries the SAME value,
+    * LongType; `outCum` = sum of `valueCol` over ranks 1..rank) and,
+    * when `withTotal`, `_n_total`. Within a tie group every row carries the SAME value,
     * so the running sum decomposes exactly like the rank: (sum over
     * strictly-prior dictionary values, broadcast back) + value × tie
     * position. Bit-identical to `sum(v) OVER (ORDER BY v [DESC], id
@@ -99,7 +105,8 @@ object Ranks {
   def rowNumberWithRunningSum(df: DataFrame, valueCol: String, idCol: String,
                               valueDesc: Boolean = false,
                               outRank: String = "_rn",
-                              outCum: String = "_cum"): DataFrame = {
+                              outCum: String = "_cum",
+                              withTotal: Boolean = true): DataFrame = {
     val v = col(valueCol).cast("long")
     val dict = df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("_c"), (v * count(lit(1))).as("_vs"))
@@ -110,11 +117,15 @@ object Ranks {
       .withColumn("_below", coalesce(sum("_c").over(wd), lit(0L)))
       .withColumn("_sum_before", coalesce(sum("_vs").over(wd), lit(0L)))
       .select(col(valueCol).as("_rv"), col("_below"), col("_sum_before"))
-    val tot = dict.agg(sum("_c").cast("long").as("_n_total"))
     val tieOrd = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
-    df.join(broadcast(below), col(valueCol) <=> col("_rv"))
+    val joined = df.join(broadcast(below), col(valueCol) <=> col("_rv"))
       .drop("_rv")
-      .crossJoin(broadcast(tot))
+    val withTot =
+      if (withTotal)
+        joined.crossJoin(broadcast(
+          dict.agg(sum("_c").cast("long").as("_n_total"))))
+      else joined
+    withTot
       .withColumn("_tie", row_number().over(tieOrd).cast("long"))
       .withColumn(outRank, col("_below") + col("_tie"))
       .withColumn(outCum, col("_sum_before") + v * col("_tie"))

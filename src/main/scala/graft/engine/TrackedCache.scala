@@ -24,11 +24,24 @@ import org.apache.spark.storage.StorageLevel
   * lineage if re-read.
   *
   * Iterative operators (Graph, Dedup's connected components, BPE,
-  * IRLS) materialize inside their own loop and free their own frames
-  * generation-by-generation — they do not use the ledger.
+  * IRLS) materialize inside their own loop and free their own
+  * intermediate frames generation-by-generation; their FINAL
+  * checkpoint blocks (which a DataFrame-level unpersist cannot free)
+  * go through [[adoptRdds]] so `release()` covers them too.
+  *
+  * Scope constraint: the ledger is JVM-global and SINGLE-SESSION by
+  * design — the harness mains (Verify/Bench) and the test suite run
+  * one SparkSession at a time. With two concurrent sessions, one
+  * session's `release()` would free frames the other is still
+  * materializing: plain persists survive via lineage recompute, but
+  * adopted iterative results would silently replay their whole
+  * convergence loop on the next read. Do not share this ledger
+  * across concurrent sessions.
   */
 object TrackedCache {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   def track(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
@@ -48,22 +61,54 @@ object TrackedCache {
     df
   }
 
-  /** Unpersist every ledgered frame (idempotent; unpersisting an
-    * already-evicted or already-cleared frame is a no-op). */
+  /** Register checkpoint RDD blocks (e.g. a `localCheckpoint`'s
+    * backing RDDs, which a DataFrame-level `unpersist` cannot free)
+    * for the same `release()` sweep. A localCheckpoint has NO lineage
+    * to recompute from, so a checkpoint-backed frame must not be
+    * re-read after release — the harness contract (materialize the
+    * result, then release) already guarantees that ordering. */
+  def adoptRdds(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdds.foreach(liveRdds.add)
+
+  /** `localCheckpoint()` (eager) + RDD-ledger registration — the
+    * deterministic replacement for "the ContextCleaner reclaims the
+    * blocks when the frame dies": `release()` frees them at the next
+    * harness sweep instead of waiting for a driver GC, so a long
+    * Verify/Bench session never accumulates checkpoint blocks. */
+  def trackedLocalCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    adoptRdds(org.apache.spark.sql.GraftBridge.leafRdds(c))
+    c
+  }
+
+  /** Unpersist every ledgered frame and checkpoint RDD (idempotent;
+    * unpersisting an already-evicted or already-cleared entry is a
+    * no-op). */
   def release(): Unit = {
     var df = live.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = live.poll()
     }
+    var rdd = liveRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = liveRdds.poll()
+    }
   }
 
   def liveCount: Int = live.size()
+  def liveRddCount: Int = liveRdds.size()
 
   implicit final class Trackable(private val df: DataFrame) extends AnyVal {
     /** `.persist(level)` + ledger registration — see [[TrackedCache]]. */
     def trackedPersist(
         level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
       track(df, level)
+
+    /** `.localCheckpoint()` + RDD-ledger registration — see
+      * [[TrackedCache.trackedLocalCheckpoint]]. */
+    def trackedLocalCheckpoint(): DataFrame =
+      TrackedCache.trackedLocalCheckpoint(df)
   }
 }

@@ -120,6 +120,10 @@ object Bpe {
         prevCkpt = org.apache.spark.sql.GraftBridge.leafRdds(v)
       }
     }
+    // the returned frame roots at the FINAL checkpoint — hand its
+    // blocks to the TrackedCache RDD ledger so the harness's
+    // release() frees them after the caller materializes
+    graft.engine.TrackedCache.adoptRdds(prevCkpt)
     v.select(col("w"), col("syms"))
   }
 

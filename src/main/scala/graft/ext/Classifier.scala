@@ -191,6 +191,11 @@ object Classifier {
       val w = Array.tabulate(dim)(j => model.weights(j) - delta(j))
       model = Model(dim, w, model.bias - delta(dim))
     }
+    // the model lives on the driver — the feature checkpoint's blocks
+    // have no consumer left; free them now instead of leaking them
+    // into the session (they are invisible to DataFrame.unpersist)
+    org.apache.spark.sql.GraftBridge.leafRdds(feats)
+      .foreach(_.unpersist(blocking = false))
     model
   }
 

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.engine.TrackedCache.Trackable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -383,7 +384,7 @@ object Corpus {
     // materialize through the cache once, then let the blocks go: the
     // localCheckpoint truncates `out`'s lineage so nothing downstream
     // re-reads the unpersisted cache
-    val snap = out.localCheckpoint()
+    val snap = out.trackedLocalCheckpoint()
     exactKept.unpersist()
     snap
   }

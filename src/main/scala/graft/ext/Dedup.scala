@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.engine.TrackedCache.Trackable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -243,7 +244,7 @@ object Dedup {
     // vocabulary frame (vocab grows with the corpus)
     val rk = graft.engine.Ranks
       .rowNumberExact(toks.groupBy("t").agg(count(lit(1)).as("dfreq")),
-        "dfreq", "t", out = "trk")
+        "dfreq", "t", out = "trk", withTotal = false)
       .select("t", "trk")
     val pos = toks.join(rk, Seq("t")).join(sz, Seq("doc_id"))
       .withColumn("p", row_number().over(
@@ -968,9 +969,12 @@ object Dedup {
     require(converged, s"nearDupClusters: not converged after $maxIter iterations")
     // the result stays cached (recomputing it would replay the whole
     // loop) but is ADOPTED into the TrackedCache ledger, so the
-    // harness's between-query release() frees it; callers holding it
-    // long-term past a release simply recompute on next use
+    // harness's between-query release() frees it; when the last
+    // iteration was a checkpoint the DataFrame-level unpersist is a
+    // no-op, so its blocks go to the RDD ledger too (previously they
+    // waited on the ContextCleaner's GC)
     graft.engine.TrackedCache.adopt(labels)
+    graft.engine.TrackedCache.adoptRdds(liveCkptRdds)
     labels.select("id", "cluster")
   }
 
@@ -1080,7 +1084,7 @@ object Dedup {
     // joins); Catalyst does not dedup common subtrees, so an eager
     // localCheckpoint materializes it once — one doc-count-sized
     // table, reclaimed by the ContextCleaner when the result dies
-    val sigs = simhashPortableSig(docs, bits, idCol, textCol).localCheckpoint()
+    val sigs = simhashPortableSig(docs, bits, idCol, textCol).trackedLocalCheckpoint()
     val banded = sigs.select(col(idCol), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
@@ -1260,7 +1264,7 @@ object Dedup {
     val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar,
         maxNames)
       .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     val assign = nearDupClusters(pairs)
       .select(col("id").as("_gname"), col("cluster"))
     val rows = df.filter(col(nameCol).isNotNull)
@@ -1299,7 +1303,7 @@ object Dedup {
     val pairs = jaroWinklerPairs(df, nameCol, threshold, blockOnFirstChar,
         maxNames)
       .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     nearDupClusters(pairs)
       .groupBy(col("cluster").as("canonical"))
       .agg(count(lit(1)).as("n_members"),

@@ -140,8 +140,7 @@ object Graph {
     // the bounded DEGREE-value dictionary (never a partition-less
     // sort of the node frame).
     val ranked = graft.engine.Ranks
-      .rowNumberExact(deg, "deg", "node", out = "rk")
-      .drop("_n_total")
+      .rowNumberExact(deg, "deg", "node", out = "rk", withTotal = false)
     val rkOf = ranked.select(col("node"), col("rk"))
     // orient every edge low-rank → high-rank
     val oriented = und
@@ -292,10 +291,14 @@ object Graph {
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
     // materialize the node-sized result once, then free the cached
-    // adjacency + seed frames instead of leaking them session-wide
+    // adjacency + seed frames instead of leaking them session-wide;
+    // the result checkpoint's blocks go to the RDD ledger for the
+    // harness's post-materialization release()
     val out = ranks.localCheckpoint(true)
     adj.unpersist(false)
     base.unpersist(false)
+    graft.engine.TrackedCache.adoptRdds(
+      org.apache.spark.sql.GraftBridge.leafRdds(out))
     out
   }
 
@@ -353,12 +356,23 @@ object Graph {
       labeled = next
     }
     adj.unpersist(false)
-    // the final generation stays cached (already materialized by its
-    // count) but adopted into the TrackedCache ledger — the SQL
-    // CacheManager holds a strong reference, so without an explicit
-    // release it would outlive the query (the long-session leak class)
-    graft.engine.TrackedCache.adopt(labeled)
-    labeled
+    // self-contain the final generation (one node-scale checkpoint if
+    // the loop didn't just cut), then free every intermediate cut's
+    // blocks NOW — previously the last cut's RDDs outlived the call,
+    // invisible to both unpersist and the DataFrame ledger. The final
+    // checkpoint's own blocks go to the RDD ledger so the harness's
+    // release() frees them after the caller materializes the result.
+    val out =
+      if (rounds % 4 == 0) labeled // the last round WAS a checkpoint
+      else {
+        val c = labeled.localCheckpoint(true)
+        labeled.unpersist(false)
+        liveCkptRdds.foreach(_.unpersist(blocking = false))
+        c
+      }
+    graft.engine.TrackedCache.adoptRdds(
+      org.apache.spark.sql.GraftBridge.leafRdds(out))
+    out
   }
 
   /** Degree assortativity (Newman's r) of the undirected graph —
@@ -666,6 +680,10 @@ object Graph {
     live.foreach(_.unpersist(false))
     e.unpersist(false)
     allCkptRdds.foreach(_.unpersist(blocking = false))
+    // the final checkpoint's own node-scale blocks: ledgered so the
+    // harness's release() frees them post-materialization
+    graft.engine.TrackedCache.adoptRdds(
+      org.apache.spark.sql.GraftBridge.leafRdds(out))
     out
   }
 
@@ -768,9 +786,12 @@ object Graph {
       damping, micro)
     // ONE end-of-loop materialization of the node-dictionary-sized
     // result, so the edge-sized adjacency cache can be freed NOW
-    // instead of leaking into every later query of the session
+    // instead of leaking into every later query of the session; the
+    // result checkpoint's blocks are ledgered for release()
     val out = ranks.localCheckpoint(true)
     adj.unpersist(false)
+    graft.engine.TrackedCache.adoptRdds(
+      org.apache.spark.sql.GraftBridge.leafRdds(out))
     out
   }
 

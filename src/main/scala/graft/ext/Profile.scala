@@ -699,8 +699,8 @@ object Profile {
       Window.unboundedFollowing)
     graft.engine.Ranks
       .rowNumberWithRunningSum(per, "cents", "entity", valueDesc = true,
-        outRank = "_rk", outCum = "cum")
-      .drop("_n_total", "_rk")
+        outRank = "_rk", outCum = "cum", withTotal = false)
+      .drop("_rk")
       .withColumn("total", sum("cents").over(all))
       // classify by the PREVIOUS cumulative share (cum − cents): the
       // entity that crosses a boundary belongs to the class it
@@ -1622,8 +1622,7 @@ object Profile {
     // bit-identical to the naive global window)
     val ranked = graft.engine.Ranks
       .rowNumberWithRunningSum(counts, "n", "u", valueDesc = true,
-        outRank = "rk", outCum = "cum")
-      .drop("_n_total")
+        outRank = "rk", outCum = "cum", withTotal = false)
       .trackedPersist()
     val tot = counts.agg(count(lit(1)).as("n_entities"),
       sum("n").as("n_events"))
@@ -2354,7 +2353,10 @@ object Profile {
     *
     * Scale: TakeOrderedAndProject (no global sort materialized),
     * then a (k+1)-row aggregate. NULL alpha when the top values are
-    * all equal (Σ = 0).
+    * all equal (Σ = 0). The emitted `k` is the EFFECTIVE order count
+    * n_top − 1 (= the requested k on any input with > k rows), so on
+    * short inputs the reported k always matches the estimator's
+    * actual numerator.
     */
   def hillTail(df: DataFrame, valueCents: Column, keyCol: Column,
                k: Int, label: String): DataFrame = {
@@ -2369,7 +2371,8 @@ object Profile {
       .agg(max(col("x_tail")).as("x_tail"), max(col("n_top")).as("n_top"),
         sum(round(log(col("c").cast("double") / col("x_tail")) * lit(1e9))
           .cast("long")).as("sum_u"))
-      .select(lit(label).as("measure"), lit(k.toLong).as("k"),
+      .select(lit(label).as("measure"),
+        (col("n_top") - lit(1L)).as("k"),
         col("n_top"), col("x_tail"),
         when(col("sum_u") > 0L,
           round((col("n_top") - lit(1L)).cast("double") /

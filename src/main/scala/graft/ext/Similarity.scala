@@ -512,7 +512,7 @@ object Similarity {
       .crossJoin(broadcast(nFrame))
       .select(col("i"), col("j"), col("n_rows"),
         (col("n_rows") * col("g") - col("si") * col("sj")).as("m"))
-      .localCheckpoint() // d²-row frame reused every iteration
+      .trackedLocalCheckpoint() // d²-row frame, freed by release()
     var w: DataFrame = embeddings.sparkSession.range(1, dim + 1)
       .select(col("id").as("i"),
         lit(math.round(1e6 / dim)).as("w_u"))
@@ -936,11 +936,10 @@ object Similarity {
     // partition-less sort of the candidate frame
     val rankedCos = graft.engine.Ranks
       .rowNumberExact(scored, "cos_sim", "vid", valueDesc = true,
-        out = "rank_cos")
-      .drop("_n_total")
+        out = "rank_cos", withTotal = false)
     val fused = graft.engine.Ranks
-      .rowNumberExact(rankedCos, "l2", "vid", out = "rank_l2")
-      .drop("_n_total")
+      .rowNumberExact(rankedCos, "l2", "vid", out = "rank_l2",
+        withTotal = false)
       .withColumn("rrf_pico",
         round(lit(1e12) / (lit(rrfK) + col("rank_cos"))).cast("long") +
           round(lit(1e12) / (lit(rrfK) + col("rank_l2"))).cast("long"))

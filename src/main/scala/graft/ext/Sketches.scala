@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.engine.TrackedCache.Trackable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -132,7 +133,7 @@ object Sketches {
     val sk = v.withColumn("rk", row_number().over(wSrc))
       .where(col("rk") <= k)
       .select(col("src"), col("tok"), md5(col("tok")).as("h"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     val srcs = sk.select("src").distinct()
     val pairs = srcs.toDF("sa").join(srcs.toDF("sb"), col("sa") < col("sb"))
     val aSide = pairs.join(sk.toDF("sa", "tok", "h"), Seq("sa"))

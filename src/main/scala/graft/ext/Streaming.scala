@@ -171,18 +171,28 @@ object Streaming {
   def stageEventsWithSentinel(spark: SparkSession, eventsPath: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_sentinel_events")
+    dir.toFile.deleteOnExit()
     val src = Paths.get(eventsPath).toAbsolutePath
     if (Files.isDirectory(src)) {
-      val it = Files.list(src).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getFileName.toString.endsWith(".parquet"))
-          Files.createSymbolicLink(dir.resolve("a_" + f.getFileName), f)
-      }
+      val listing = Files.list(src)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            Files.createSymbolicLink(dir.resolve("a_" + f.getFileName), f)
+        }
+      } finally listing.close()
     } else {
       Files.createSymbolicLink(dir.resolve("a_events.parquet"), src)
     }
     val ev = spark.read.parquet(eventsPath)
+    // an empty source would build an empty sentinel frame — the
+    // watermark then never advances and the left-outer replay
+    // SILENTLY emits no finalized unmatched rows; fail loudly instead
+    require(!ev.isEmpty,
+      s"stageEventsWithSentinel: empty events source at $eventsPath — " +
+        "the watermark sentinel needs at least one row to derive from")
     val far = ev.agg(max(col("ts")).as("_mx"))
       .select((col("_mx") + expr("INTERVAL 30 DAYS")).as("_far"))
     def sentinel(eventType: String) = ev.limit(1).crossJoin(far)
@@ -200,16 +210,30 @@ object Streaming {
     val scratch = Files.createTempDirectory("graft_sentinel_write")
     sentinel("purchase").unionByName(sentinel("signup"))
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = Files.list(scratch).iterator()
+    val partListing = Files.list(scratch)
     var moved = false
-    while (part.hasNext) {
-      val f = part.next()
-      if (f.getFileName.toString.endsWith(".parquet")) {
-        Files.move(f, dir.resolve("z_sentinel.parquet"))
-        moved = true
+    try {
+      val part = partListing.iterator()
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          Files.move(f, dir.resolve("z_sentinel.parquet"))
+          moved = true
+        }
       }
-    }
+    } finally partListing.close()
     require(moved, s"stageEventsWithSentinel: no part file written in $scratch")
+    // the scratch dir's leftovers (_SUCCESS, .crc) are session trash —
+    // delete now; the staged dir itself is removed at JVM exit
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete()
+    }
+    rmTree(scratch.toFile)
+    val staged = Files.list(dir)
+    try staged.iterator().forEachRemaining(p => p.toFile.deleteOnExit())
+    finally staged.close()
     dir.toString
   }
 

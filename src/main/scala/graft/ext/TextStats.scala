@@ -240,7 +240,7 @@ object TextStats {
     // result beats re-running the token explode + frequency join
     val scored = unigramLogProb(docs, idCol, textCol)
       .select(col(idCol), col("avg_logprob"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     val th = scored.agg(
       round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6).as("_t_head"),
       round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6).as("_t_mid"))
@@ -1014,8 +1014,7 @@ object TextStats {
     val counts = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val ranked = graft.engine.Ranks
-      .rowNumberExact(counts, "c", "w", out = "i")
-      .drop("_n_total")
+      .rowNumberExact(counts, "c", "w", out = "i", withTotal = false)
     ranked.agg(count(lit(1)).as("n"), sum("c").as("sc"),
         sum(col("i") * col("c")).as("sic"))
       .select(col("n"), col("sc").as("n_tokens"),
@@ -1043,8 +1042,8 @@ object TextStats {
     // rank by (count desc, token) via the count-VALUE dictionary —
     // no partition-less sort of the vocabulary frame
     val ranked = graft.engine.Ranks
-      .rowNumberExact(counts, "c", "w", valueDesc = true, out = "r")
-      .drop("_n_total")
+      .rowNumberExact(counts, "c", "w", valueDesc = true, out = "r",
+        withTotal = false)
     val xy = ranked.select(
       round(log(col("r").cast("double")) * 1e9).cast("long").as("x_u"),
       round(log(col("c").cast("double")) * 1e9).cast("long").as("y_u"),

@@ -4245,10 +4245,12 @@ object Relational {
         |    * 1e9) AS BIGINT)) AS BIGINT) AS sum_u
         |  FROM top CROSS JOIN xt
         |)
-        |SELECT 'o_totalprice' AS measure, CAST(500 AS BIGINT) AS k,
+        |SELECT 'o_totalprice' AS measure,
+        |  CAST(xt.n_top - 1 AS BIGINT) AS k,
         |  xt.n_top, xt.x_tail,
-        |  CASE WHEN su.sum_u > 0 THEN round(CAST(500 AS DOUBLE) /
-        |    (CAST(su.sum_u AS DOUBLE) / 1e9), 6) END AS alpha
+        |  CASE WHEN su.sum_u > 0 THEN
+        |    round(CAST(xt.n_top - 1 AS DOUBLE) /
+        |      (CAST(su.sum_u AS DOUBLE) / 1e9), 6) END AS alpha
         |FROM xt CROSS JOIN su""".stripMargin) { (s, dir) =>
       graft.ext.Profile.hillTail(t(s, dir, "orders"),
         round(col("o_totalprice") * 100), col("o_orderkey"), 500,

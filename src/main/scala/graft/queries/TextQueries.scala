@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.engine.TrackedCache.Trackable
 import graft.ext.{Dedup, Privacy, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -585,7 +586,7 @@ object TextQueries {
       val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
         bands = 8, minJaccard = 0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
       Dedup.nearDupClusters(pairs)
         .select(col("id"), col("cluster").cast("long").as("cluster"))
         .orderBy("id")
@@ -671,7 +672,7 @@ object TextQueries {
       val pairs = Dedup.minhashVerifiedPairs(d, n = 3, k = 32,
           bands = 8, minJaccard = 0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
       Dedup.clusterSampleWeights(d, pairs)
     },
 
@@ -791,7 +792,7 @@ object TextQueries {
       val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
         bands = 8, minJaccard = 0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
       Dedup.nearDupClusters(pairs)
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -2488,7 +2489,7 @@ object TextQueries {
          |FROM (SELECT floor(jaccard * 20) / 20 AS thr FROM vp)
          |GROUP BY thr ORDER BY thr""".stripMargin) { (s, dir) =>
       val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
-        bands = 8, minJaccard = 0.5).localCheckpoint()
+        bands = 8, minJaccard = 0.5).trackedLocalCheckpoint()
       Dedup.dedupThresholdCurve(pairs, binsPerUnit = 20)
     },
 

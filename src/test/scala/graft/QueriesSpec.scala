@@ -24,10 +24,26 @@ class QueriesSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  // Battery-wide scale law: no partition-less ordered Window over a
+  // row-scale frame anywhere in ANY query's optimized plan (the
+  // single-reducer-sort shape that cannot survive a 100× scale-up).
+  // Allowlisted entries window a DOCUMENTED bounded frame instead:
+  //  - q130_compaction_plan: windows the file MANIFEST (metadata
+  //    scale — ~1e6 rows per 100 TB at 128 MB files), never data rows
+  //  - q173_skyline: windows the DISTINCT-POINT dictionary behind the
+  //    grid-max prefilter that collapses dense frontiers first
+  private val globalWindowAllowlist: Set[String] =
+    Set("q130_compaction_plan", "q173_skyline")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf001)
       assert(df.columns.nonEmpty)
+      if (!globalWindowAllowlist(name)) {
+        val offenders = PlanChecks.rowScaleGlobalWindows(df)
+        assert(offenders.isEmpty,
+          s"$name has row-scale global windows:\n${offenders.mkString("\n")}")
+      }
       df.count() // any exception fails the test
       // cache-hygiene law: after a battery query builds AND
       // materializes, releasing the TrackedCache ledger must leave
