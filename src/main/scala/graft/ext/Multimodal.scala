@@ -215,6 +215,158 @@ object Multimodal {
       count(lit(1)).over(Window.partitionBy("chunk_hash")).cast("long"))
   }
 
+  /** Difference-hash (dHash) perceptual signatures over the raw
+    * BINARY payload, banded for LSH — the media twin of SimHash
+    * banding (q37/q61): the payload is "downscaled" into `bits`+1
+    * equal byte segments, each segment reduced to its byte-value sum,
+    * and bit i set iff segment i's sum exceeds segment i+1's — the
+    * 1-D analogue of the classic 9×8 image dHash gradient. A small
+    * local byte edit perturbs one or two segment sums and flips at
+    * most a couple of bits, so near-identical payloads land within a
+    * small Hamming radius — the property an exact hash (q34) lacks
+    * and a real pHash provides for pixels. Byte values are read via
+    * the engine-portable ascii() rendering (the stub codec's payloads
+    * are ASCII; a real deployment swaps a native pHash in at the
+    * [[extractFeatures]] decode seam — the LSH plumbing here is the
+    * durable part).
+    *
+    * Output (long form): (media_id, band, v) — `bits`/16 bands of 16
+    * bits each, `v` the band's bit field as a BIGINT. Payloads
+    * shorter than `bits`+1 bytes are skipped (every segment must hold
+    * ≥ 1 byte).
+    *
+    * Scale: one per-byte narrow explode (linear in payload bytes, the
+    * q291 cost class), a (media, segment)-keyed sum, a segment-shift
+    * self-join on the segment spine, a (media, band) rollup. No
+    * windows, no cartesian.
+    */
+  def dHashSignatures(media: DataFrame, bits: Int = 64,
+                      idCol: String = "media_id",
+                      bytesCol: String = "bytes"): DataFrame = {
+    require(bits >= 16 && bits % 16 == 0,
+      s"dHashSignatures: bits must be a positive multiple of 16, got $bits")
+    val nSeg = bits + 1
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("n", octet_length(col("bytes")).cast("long"))
+      .where(col("n") >= nSeg)
+    val segSums = m
+      .select(col("media_id"), col("n"), col("bytes"),
+        explode(sequence(lit(1L), col("n"))).as("pos"))
+      .select(col("media_id"),
+        (expr(s"((pos - 1) * $nSeg) div n") + 1L).as("seg"),
+        ascii(expr("CAST(substring(bytes, pos, 1) AS STRING)"))
+          .cast("long").as("bv"))
+      .groupBy("media_id", "seg").agg(sum("bv").as("ss"))
+    val nxt = segSums.select(col("media_id"), (col("seg") - 1L).as("seg"),
+      col("ss").as("ss_next"))
+    segSums.join(nxt, Seq("media_id", "seg"))
+      .where(col("seg") <= bits)
+      .select(col("media_id"), col("seg"),
+        when(col("ss") > col("ss_next"), 1L).otherwise(0L).as("bit"))
+      .groupBy(col("media_id"),
+        expr("(seg - 1) div 16").as("band"))
+      .agg(sum(expr("bit * shiftleft(1L, CAST((seg - 1) % 16 AS INT))"))
+        .as("v"))
+  }
+
+  /** Perceptual near-dup pairs over the media payload column:
+    * [[dHashSignatures]] bands bucket candidates (two media are
+    * candidates iff they agree on at least one 16-bit band — LSH,
+    * the SimHash-banding argument), buckets hotter than `maxBucket`
+    * are dropped (the hot-bucket cap every LSH join in this engine
+    * carries; a 16-bit band value shared by more media than that is
+    * a degenerate gradient, not a duplicate signal), and candidates
+    * are verified by EXACT Hamming distance over the full `bits`-bit
+    * signature — `bit_count(xor(...))` per band, summed — keeping
+    * pairs within `maxHamming`. Output: (id_a, id_b, hamming).
+    *
+    * Scale: signature work is linear in payload bytes; the bucket
+    * join's fan-out is capped at maxBucket²·bands per bucket value;
+    * verification joins the band table twice by key — equi-joins
+    * end to end, no cartesian, no global window.
+    */
+  def dHashNearDup(media: DataFrame, bits: Int = 64,
+                   maxHamming: Long = 6, maxBucket: Long = 32,
+                   idCol: String = "media_id",
+                   bytesCol: String = "bytes"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bits,
+      s"dHashNearDup: maxHamming in 0..$bits, got $maxHamming")
+    require(maxBucket >= 2, s"dHashNearDup: maxBucket >= 2, got $maxBucket")
+    val sigs = dHashSignatures(media, bits, idCol, bytesCol)
+    val kept = sigs.join(
+      sigs.groupBy("band", "v").agg(count(lit(1)).as("_bn"))
+        .where(col("_bn") <= maxBucket)
+        .select("band", "v"),
+      Seq("band", "v"), "left_semi")
+    val cand = kept.select(col("band"), col("v"), col("media_id").as("id_a"))
+      .join(kept.select(col("band"), col("v"), col("media_id").as("id_b")),
+        Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.select(col("media_id").as("id_a"), col("band"),
+        col("v").as("va")), Seq("id_a"))
+      .join(sigs.select(col("media_id").as("id_b"), col("band"),
+        col("v").as("vb")), Seq("id_b", "band"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Media-aware dedup PROPAGATION — the step a text-only dedup
+    * forgets: after exact-dup documents are dropped (keep the
+    * smallest doc id per payload hash), any media referenced ONLY by
+    * dropped docs is orphaned, and anything derived from an orphaned
+    * media (thumbnails, frame features, embeddings) is transitively
+    * orphaned too. Per media kind this reports the media population,
+    * how many stay live, how many orphan, the payload bytes a GC
+    * pass would reclaim, and the orphaned derived-row count.
+    *
+    * `refs` is the doc→media many-to-many edge list (a media shared
+    * by a surviving doc stays live no matter how many referencing
+    * docs were dropped); `derived` carries one row per derived
+    * artifact keyed by media id.
+    *
+    * Scale: one text-hash aggregation for survivors, then semi/anti
+    * equi-joins down the reference chain and a kind-keyed rollup —
+    * no windows, no fan-out beyond the refs edge list itself.
+    */
+  def mediaDedupPropagation(docs: DataFrame, refs: DataFrame,
+                            media: DataFrame, derived: DataFrame,
+                            docId: String = "doc_id",
+                            textCol: String = "text",
+                            mediaId: String = "media_id"): DataFrame = {
+    val survivors = docs
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(col(docId)).as("doc_id"))
+      .select("doc_id")
+    val liveMedia = refs
+      .select(col(docId).as("doc_id"), col(mediaId).as("media_id"))
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select("media_id").distinct()
+    val m = media.select(col(mediaId).cast("long").as("media_id"),
+      col("kind"), octet_length(col("bytes")).cast("long").as("payload_len"))
+    val orphan = m.join(liveMedia, Seq("media_id"), "left_anti")
+    val orphanDerived = derived
+      .select(col(mediaId).cast("long").as("media_id"))
+      .join(orphan.select("media_id"), Seq("media_id"), "left_semi")
+      .groupBy("media_id").agg(count(lit(1)).as("_nd"))
+    m.join(orphan.select(col("media_id"), lit(1L).as("_orph")),
+        Seq("media_id"), "left")
+      .join(orphanDerived, Seq("media_id"), "left")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("_orph").isNull, 1L).otherwise(0L)).as("n_live_media"),
+        sum(coalesce(col("_orph"), lit(0L))).as("n_orphan_media"),
+        sum(when(col("_orph") === 1L, col("payload_len")).otherwise(0L))
+          .as("orphan_bytes"),
+        sum(when(col("_orph") === 1L, coalesce(col("_nd"), lit(0L)))
+          .otherwise(0L)).as("n_orphan_derived"))
+      .orderBy("kind")
+  }
+
   /** Cross-modal consistency audit — the doc ↔ media ↔ embedding
     * TOPOLOGY invariants a multimodal corpus must hold before
     * training: per media kind (plus "(none)" for docs with no media

@@ -538,18 +538,27 @@ object Streaming {
     * the corpus store (and, on an index-epoch boundary, to the index
     * itself). State lives in the persisted index, not the stream —
     * bounded by corpus size, not stream length.
+    *
+    * `checkpointDir` makes the query RESUMABLE: offsets commit after
+    * each `foreachBatch` returns, so a restarted query (same
+    * checkpoint, same source) replays only batches whose commit never
+    * landed — the sink must be idempotent per batchId (the standard
+    * foreachBatch contract; StreamingSpec pins the clean-stop case:
+    * zero re-delivery). Without it the query is fire-and-forget.
     */
   def incrementalDedupStream(newDocs: DataFrame, index: Dedup.LshIndex,
                              sink: (DataFrame, Long) => Unit,
                              n: Int = 3, k: Int = 32, bands: Int = 8,
-                             minJaccard: Double = 0.5): StreamingQuery = {
-    val q = newDocs.writeStream
+                             minJaccard: Double = 0.5,
+                             checkpointDir: Option[String] = None): StreamingQuery = {
+    val w0 = newDocs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val pairs = Dedup.dedupAgainstIndex(batch, index, n, k, bands, minJaccard)
         sink(Dedup.applyIncrementalDedup(batch, pairs), id)
       }
+    val q = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
       .start()
     q.processAllAvailable()
     q

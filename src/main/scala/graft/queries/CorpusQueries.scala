@@ -1104,6 +1104,142 @@ object CorpusQueries {
         |GROUP BY 1, leak.leaked_clusters, leak.id_coin_leaked
         |ORDER BY 1""".stripMargin) { (s, dir) =>
       graft.ext.Corpus.leakageSafeSplit(docs(s, dir))
+    },
+
+    // ——— perceptual (dHash) near-dup over the raw media payload:
+    //     65 byte-sum segments → 64 gradient bits → 4×16-bit LSH
+    //     bands → hot-bucket-capped bucket join → exact Hamming
+    //     verify. Planted twins (doc_id%17=4 re-uploaded at id+2e6
+    //     with ONE byte changed) land within Hamming ≤ 6 while the
+    //     exact hash (q34) would miss them. All-integer arithmetic —
+    //     ascii sums, comparisons, bit_count(xor) — so both engines
+    //     replay bit-identically. ———
+    Q("q301_media_phash_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |    WHERE strlen(text) >= 65
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS media_id,
+        |    concat(substring(text, 1, 5), 'z', substring(text, 7)) AS text
+        |  FROM documents WHERE doc_id % 17 = 4 AND strlen(text) >= 65
+        |), p AS (
+        |  SELECT media_id, strlen(text) AS n, text,
+        |    unnest(range(1, strlen(text) + 1)) AS pos
+        |  FROM m
+        |), seg AS (
+        |  SELECT media_id, ((pos - 1) * 65) // n + 1 AS seg,
+        |    SUM(ascii(substring(text, CAST(pos AS INT), 1))) AS ss
+        |  FROM p GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.media_id, a.seg AS i,
+        |    CASE WHEN a.ss > b.ss THEN 1 ELSE 0 END AS bit
+        |  FROM seg a JOIN seg b
+        |    ON a.media_id = b.media_id AND b.seg = a.seg + 1
+        |  WHERE a.seg <= 64
+        |), bands AS (
+        |  SELECT media_id, (i - 1) // 16 AS band,
+        |    CAST(SUM(bit * (1 << CAST((i - 1) % 16 AS INT))) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2
+        |), kept AS (
+        |  SELECT bands.* FROM bands
+        |  JOIN (SELECT band, v FROM bands GROUP BY 1, 2
+        |        HAVING COUNT(*) <= 32) hot USING (band, v)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id
+        |)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(SUM(bit_count(xor(x.v, y.v))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.media_id = c.id_a
+        |  JOIN bands y ON y.media_id = c.id_b AND y.band = x.band
+        |  GROUP BY 1, 2
+        |) WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes"))
+      val twins = d.filter(col("doc_id") % 17 === 4)
+        .select((col("doc_id") + 2000000L).as("media_id"),
+          concat(substring(col("text"), 1, 5), lit("z"),
+            expr("substring(text, 7)")).cast("binary").as("bytes"))
+      Multimodal.dHashNearDup(base.unionByName(twins),
+        bits = 64, maxHamming = 6, maxBucket = 32)
+    },
+
+    // ——— media-aware dedup propagation: exact-dup docs dropped
+    //     (planted re-upload twins at id+3e6 share the original's
+    //     text) orphan the media only THEY reference; shared media
+    //     (1e6 + id%50, referenced by originals too) stay live; the
+    //     per-media derived rows (two per media) orphan transitively.
+    //     Per kind: population, live, orphaned, reclaimable bytes,
+    //     orphaned derived rows. ———
+    Q("q302_media_dedup_propagation",
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 13 = 6
+        |), surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM alldocs GROUP BY md5(text)
+        |), refs AS (
+        |  SELECT doc_id, doc_id AS media_id FROM alldocs
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 + doc_id % 50 AS media_id FROM alldocs
+        |), media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(strlen(text) AS BIGINT) AS payload_len
+        |  FROM alldocs
+        |  UNION ALL
+        |  SELECT DISTINCT 1000000 + doc_id % 50 AS media_id,
+        |    'image' AS kind, CAST(64 AS BIGINT) AS payload_len
+        |  FROM alldocs
+        |), derived AS (
+        |  SELECT media_id FROM media
+        |  UNION ALL
+        |  SELECT media_id FROM media
+        |), live AS (
+        |  SELECT DISTINCT media_id FROM refs
+        |  JOIN surv USING (doc_id)
+        |), orph AS (
+        |  SELECT media.media_id, kind, payload_len,
+        |    CASE WHEN live.media_id IS NULL THEN 1 ELSE 0 END AS o
+        |  FROM media LEFT JOIN live ON media.media_id = live.media_id
+        |), od AS (
+        |  SELECT media_id, COUNT(*) AS nd FROM derived GROUP BY 1
+        |)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(1 - o) AS BIGINT) AS n_live_media,
+        |  CAST(SUM(o) AS BIGINT) AS n_orphan_media,
+        |  CAST(SUM(CASE WHEN o = 1 THEN payload_len ELSE 0 END) AS BIGINT)
+        |    AS orphan_bytes,
+        |  CAST(SUM(CASE WHEN o = 1 THEN COALESCE(od.nd, 0) ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_derived
+        |FROM orph LEFT JOIN od USING (media_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      val d0 = docs(s, dir).select("doc_id", "text")
+      val alldocs = d0.unionByName(
+        d0.filter(col("doc_id") % 13 === 6)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val refs = alldocs.select(col("doc_id"), col("doc_id").as("media_id"))
+        .unionByName(alldocs.select(col("doc_id"),
+          (lit(1000000L) + col("doc_id") % 50).as("media_id")))
+      val media = alldocs.select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("bytes"))
+        .unionByName(alldocs
+          .select((lit(1000000L) + col("doc_id") % 50).as("media_id"))
+          .distinct()
+          .select(col("media_id"), lit("image").as("kind"),
+            lit("x" * 64).cast("binary").as("bytes")))
+      val derived = media.select("media_id")
+        .unionByName(media.select("media_id"))
+      Multimodal.mediaDedupPropagation(alldocs, refs, media, derived)
     }
   )
 }

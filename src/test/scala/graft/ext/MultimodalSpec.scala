@@ -150,4 +150,78 @@ class MultimodalSpec extends SparkSpec {
     assert(out("audio") === ((1L, 0L, 1L, 1L, 0L, 0L, 1L)))
     assert(out("(none)") === ((1L, 1L, 0L, 0L, 1L, 0L, 0L)))
   }
+
+  test("dHashNearDup: planted single-byte twin lands within a small " +
+    "Hamming radius; unrelated payloads stay apart") {
+    import spark.implicits._
+    val base = docs.filter(length(col("text")) >= 65)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes"))
+    // re-upload twins with one byte changed — the perceptual near-dup
+    // an exact hash (q34's fingerprint) can never recover
+    val twins = docs.filter(col("doc_id") % 17 === 4 &&
+        length(col("text")) >= 65)
+      .select((col("doc_id") + 2000000L).as("media_id"),
+        concat(substring(col("text"), 1, 5), lit("z"),
+          expr("substring(text, 7)")).cast("binary").as("bytes"))
+    val nTwins = twins.count()
+    assert(nTwins > 0, "planted twin set must be non-empty at sf0.001")
+    val pairs = Multimodal.dHashNearDup(base.unionByName(twins),
+      bits = 64, maxHamming = 6, maxBucket = 32)
+    val found = pairs
+      .filter(col("id_b") === col("id_a") + 2000000L).collect()
+    // 100% planted recall: a one-byte edit perturbs one segment sum,
+    // flipping at most 2 of 64 gradient bits — at least 3 of the 4
+    // 16-bit bands survive intact, so LSH always buckets the pair
+    assert(found.length.toLong === nTwins,
+      s"recovered ${found.length} of $nTwins planted twins")
+    assert(found.forall(_.getLong(2) <= 2L),
+      "a single-byte edit must stay within Hamming 2")
+    // identical payloads are Hamming 0 — the exact-dup degenerate case
+    val self = Multimodal.dHashNearDup(
+      base.unionByName(base.withColumn("media_id",
+        col("media_id") + 5000000L)),
+      bits = 64, maxHamming = 0, maxBucket = 32)
+      .filter(col("id_b") === col("id_a") + 5000000L)
+    assert(self.count() === base.count())
+  }
+
+  test("dHashNearDup plan: equi-joins end to end — no cartesian, no " +
+    "nested-loop, no row-scale global window") {
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("bytes"))
+    val df = Multimodal.dHashNearDup(base)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty)
+  }
+
+  test("mediaDedupPropagation: hand corpus — shared media survive, " +
+    "exclusive media of dropped dups orphan with their derived rows") {
+    import spark.implicits._
+    // docs: 1 and 2 are exact dups (same text) — 2 drops; 3 unique
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    // refs: each doc → own media (id), docs 1,2 also share media 100
+    val refs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (1L, 100L), (2L, 100L))
+      .toDF("doc_id", "media_id")
+    val media = Seq(
+      (1L, "image", "aaaa"), (2L, "image", "bbbbbb"),
+      (3L, "audio", "cc"), (100L, "video", "shared!")
+    ).toDF("media_id", "kind", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    val derived = Seq(1L, 1L, 2L, 3L, 100L).toDF("media_id")
+    val out = Multimodal.mediaDedupPropagation(d, refs, media, derived)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // image: media 1 live (doc 1 survives), media 2 orphaned (doc 2
+    // dropped; 6 bytes reclaim, 1 derived row orphaned)
+    assert(out("image") === ((2L, 1L, 1L, 6L, 1L)))
+    // audio: doc 3 survives → media 3 live
+    assert(out("audio") === ((1L, 1L, 0L, 0L, 0L)))
+    // video: media 100 shared with surviving doc 1 → live
+    assert(out("video") === ((1L, 1L, 0L, 0L, 0L)))
+  }
 }

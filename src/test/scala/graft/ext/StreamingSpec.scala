@@ -910,4 +910,122 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(out, "_committed_0").exists(), "recommit marker missing")
     assert(sink.read(spark).count() === n0, "torn-write recovery changed totals")
   }
+
+  test("watermark drop law across restart: the checkpoint-persisted " +
+    "watermark drops a beyond-horizon late row, and the state store " +
+    "reports it (numRowsDroppedByWatermark)") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // run 1: a full hour of on-time data; run 2 (restart from the
+    // checkpoint): one row two hours older than the delivered max —
+    // far beyond the 10-minute horizon — plus an on-time row.
+    // Two RUNS, not two files: within a single AvailableNow run the
+    // file source pre-plans every micro-batch against the START
+    // watermark, so an intra-run late file is NOT dropped (measured);
+    // the durable guarantee is the committed watermark in the offset
+    // log, which is exactly what a restart replays — and what this
+    // law pins.
+    val b1 = (0 until 12).map(i =>
+      (i.toLong, t(i * 5L + 120), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b2 = Seq(
+      (100L, t(0), 2L, "view", 5.0),        // LATE: watermark ≈ max−10min
+      (101L, t(180), 3L, "purchase", 2.0))  // on-time
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("wmdrop").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("wmdropckpt").toString
+    def deliver(b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"wmb$i").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, f"b_$i%02d.parquet").toPath)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): (Long, Long) = {
+      val q = Streaming.dedupStream(
+          spark.readStream.schema(b1.schema).parquet(dir.getPath),
+          Seq("event_id"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.select("event_id").as[Long].collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      val updated = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsUpdated).sum
+      q.stop()
+      (dropped, updated)
+    }
+    deliver(b1, 0)
+    val (d1, u1) = run()
+    assert(d1 === 0L && u1 === 12L, s"run 1: dropped=$d1 updated=$u1")
+    deliver(b2, 1)
+    val (d2, u2) = run()
+    assert(d2 === 1L,
+      s"state store must report exactly the one late row, got $d2")
+    assert(u2 === 1L, "only the on-time row may touch state")
+    assert(!seen.contains(100L),
+      "the beyond-watermark row leaked past the dedup operator")
+    assert(seen.sorted === ((0L until 12L) :+ 101L),
+      s"got ${seen.sorted.mkString(",")}")
+  }
+
+  test("incrementalDedupStream restart-from-checkpoint: a cleanly " +
+    "stopped query resumes with ZERO re-delivery (exactly-once)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val shard = docs.filter($"doc_id" % 10 === 7)
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+    val index = Dedup.buildLshIndex(corpus, n = 3, k = 32, bands = 8)
+    // the shard arrives as TWO files; a fixed checkpoint dir makes
+    // the query resumable across restarts
+    val half1 = shard.filter($"doc_id" % 20 === 7)
+    val half2 = shard.filter($"doc_id" % 20 === 17)
+    val srcDir = java.nio.file.Files.createTempDirectory("ckptsrc").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("ckptloc").toString
+    def deliver(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ckb$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(srcDir, f"s_$i%02d.parquet").toPath)
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def start() = Streaming.incrementalDedupStream(
+      spark.readStream.schema(shard.schema).parquet(srcDir.getPath), index,
+      (kept, id) => emitted.synchronized {
+        emitted += ((id, kept.select("doc_id").as[Long].collect().toSet))
+      },
+      checkpointDir = Some(ckpt))
+    // run 1: only half1 exists; clean stop after processAllAvailable
+    deliver(half1, 0)
+    val q1 = start(); q1.stop()
+    val afterRun1 = emitted.toVector
+    assert(afterRun1.flatMap(_._2).nonEmpty, "run 1 admitted nothing")
+    // run 2 (the restart): half2 arrives; the committed first batch
+    // must NOT replay — only new data flows through the callback
+    deliver(half2, 1)
+    val q2 = start(); q2.stop()
+    val run2 = emitted.toVector.drop(afterRun1.size)
+    val run1Ids = afterRun1.flatMap(_._2).toSet
+    assert(run2.nonEmpty, "restart processed nothing")
+    assert(run2.flatMap(_._2).toSet.intersect(run1Ids).isEmpty,
+      "restart re-delivered rows from the committed batch")
+    // end-to-end exactly-once: the union across both runs equals the
+    // one-shot batch dedup of the whole shard
+    val batchPairs = Dedup.dedupAgainstIndex(shard, index, n = 3, k = 32,
+      bands = 8, minJaccard = 0.5)
+    val want = Dedup.applyIncrementalDedup(shard, batchPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(emitted.flatMap(_._2).toSet === want,
+      "union across restart must equal the batch admit set exactly once")
+  }
 }
