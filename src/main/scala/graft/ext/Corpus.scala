@@ -805,6 +805,50 @@ object Corpus {
     sh.unionByName(root).orderBy("shard")
   }
 
+  /** Deterministic training-order shuffle + shard balance audit. A
+    * 100 TB pre-training corpus is not shuffled with `ORDER BY
+    * rand()` — a global sort is a full-corpus range exchange through
+    * ONE total order, and rand() is unreproducible across retries.
+    * The scale-native shuffle is a HASH order: `order_key =
+    * md5(doc_id:seed)` gives every doc a stable pseudo-random
+    * position, the key's 60-bit prefix mod nShards gives
+    * size-balanced shard assignment, and the writer repartitions by
+    * shard + sortWithinPartitions(order_key) — every shard writes in
+    * parallel with no global exchange, and the same seed replays the
+    * same epoch order byte-for-byte (epoch 2 = new seed).
+    *
+    * This is the dictionary-scale audit a pipeline materializes per
+    * epoch: per shard — doc count, token sum, the shard's first/last
+    * order keys (replay-determinism witnesses: re-running the epoch
+    * must reproduce them exactly), token share, and skew vs uniform
+    * (share × nShards; a healthy hash shuffle holds max skew ≈ 1).
+    */
+  def trainingShuffleShards(docs: DataFrame, nShards: Int, seed: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"trainingShuffleShards: nShards >= 1, got $nShards")
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keyed = docs.select(
+      pmod(conv(substring(key, 1, 15), 16, 10).cast("long"),
+        lit(nShards.toLong)).as("shard"),
+      key.as("order_key"),
+      TextStats.tokenCount(col(textCol)).as("_n_toks"))
+    val per = keyed.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("_n_toks").cast("long").as("n_tokens"),
+      min("order_key").as("first_key"),
+      max("order_key").as("last_key"))
+    val tot = per.agg(sum("n_tokens").cast("long").as("_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("first_key"), col("last_key"),
+        round(col("n_tokens").cast("double") / col("_total").cast("double"),
+          6).as("token_share"),
+        round(col("n_tokens").cast("double") * nShards /
+          col("_total").cast("double"), 6).as("skew"))
+      .orderBy("shard")
+  }
+
   /** Manifest diff — the read side of [[fingerprintManifest]]: given
     * two manifests (two corpus versions / two replicas of a copy
     * job), report per shard whether content or count diverged. The

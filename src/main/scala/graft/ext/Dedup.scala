@@ -588,6 +588,101 @@ object Dedup {
                            idCol: String = "doc_id"): DataFrame =
     corpus.join(pairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Cross-shard contamination MATRIX — the pairwise generalization
+    * of [[contaminationPairs]]' train-vs-eval check: for every
+    * unordered pair of corpus shards (train/val/test splits, crawl
+    * snapshots, data vendors…), how many DISTINCT n-gram shingles
+    * appear in BOTH, each side's own distinct-shingle count, and the
+    * resulting shingle-set Jaccard. "Which of my splits bleed into
+    * each other, and how much" in one dictionary-sized table.
+    *
+    * Scale shape: the per-shard shingle SET is one hash-aggregate
+    * (distinct over (shard, shingle-hash) — shingle strings are
+    * hashed to 64 bits before the shuffle so the exchange carries 8
+    * bytes, not n-gram text); the per-shingle shard set is bounded by
+    * the shard COUNT (a deployment constant, ≤ dozens), so the pair
+    * explode is ≤ C(nShards, 2) per shingle — no doc-pair explosion
+    * and no maxDf cap needed, because the "posting list" is capped by
+    * construction. The final aggregate is matrix-sized. At 100 TB:
+    * one scan + two shuffles, both keyed on the 64-bit shingle hash.
+    */
+  def shardContaminationMatrix(docs: DataFrame, shardCol: Column,
+                               n: Int = 3, textCol: String = "text"): DataFrame = {
+    val withShard = docs.select(shardCol.cast("long").as("_shard"),
+      col(textCol))
+    val sh = shingles(withShard, n, idCol = "_shard", textCol = textCol,
+        distinct = false)
+      .select(col("_shard"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val perShard = sh.groupBy("_shard").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.groupBy("shingle")
+      .agg(collect_set(col("_shard")).as("shards"))
+      .filter(size(col("shards")) >= 2)
+      .select(explode(col("shards")).as("shard_a"), col("shards"))
+      .select(col("shard_a"), explode(col("shards")).as("shard_b"))
+      .filter(col("shard_a") < col("shard_b"))
+      .groupBy("shard_a", "shard_b")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    pairs
+      .join(broadcast(perShard.select(col("_shard").as("shard_a"),
+        col("n_sh").as("n_sh_a"))), Seq("shard_a"))
+      .join(broadcast(perShard.select(col("_shard").as("shard_b"),
+        col("n_sh").as("n_sh_b"))), Seq("shard_b"))
+      .select(col("shard_a"), col("shard_b"), col("n_shared_shingles"),
+        col("n_sh_a"), col("n_sh_b"),
+        round(col("n_shared_shingles").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("n_shared_shingles"))
+            .cast("double"), 6).as("jaccard"))
+      .orderBy("shard_a", "shard_b")
+  }
+
+  /** Dedup survivorship-bias audit: exact dedup keeps the min-id doc
+    * per fingerprint — does that removal SKEW the corpus quality mix?
+    * Every doc is bucketed into 10 fixed stopword-density bins
+    * (integer arithmetic: (10·stop_n) div n_tokens, capped at 9 —
+    * fixed bins, not quantiles, so no global ordered window), then
+    * per bin: population, kept, removed, removal rate, and the
+    * kept-vs-population corpus share. Boilerplate concentrates in
+    * specific strata, so dedup silently re-weights the training
+    * mixture — share_kept pulling away from share_all in a bin is
+    * exactly that signal.
+    *
+    * Scale shape: one fingerprint hash-aggregate (same shuffle as
+    * [[exactGroups]]), one fp-keyed join back, then a 10-row
+    * dictionary aggregate; totals attach via a broadcast 1-row cross
+    * join.
+    */
+  def dedupQualityBias(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    // built in two steps so the bin expression reads the materialized
+    // counts, not a re-inlined tokenization per reference
+    val counted = docs.select(col(idCol),
+      TextStats.fingerprint(col(textCol)).as("fp"),
+      TextStats.stopwordCount(col(textCol)).as("_stop"),
+      TextStats.tokenCount(col(textCol)).as("_toks"))
+    val withBin = counted.select(col(idCol), col("fp"),
+      least(expr("(10 * _stop) div _toks"), lit(9L)).as("quality_bin"))
+    val keepers = withBin.groupBy("fp").agg(min(col(idCol)).as("_keeper"))
+    val flagged = withBin.join(keepers, Seq("fp"))
+      .select(col("quality_bin"),
+        (col(idCol) === col("_keeper")).cast("long").as("_kept"))
+    val per = flagged.groupBy("quality_bin")
+      .agg(count(lit(1)).as("n_docs"), sum("_kept").as("n_kept"))
+    val tot = per.agg(sum("n_docs").cast("long").as("_total"),
+      sum("n_kept").cast("long").as("_total_kept"))
+    per.crossJoin(broadcast(tot))
+      .select(col("quality_bin"), col("n_docs"),
+        col("n_kept").cast("long").as("n_kept"),
+        (col("n_docs") - col("n_kept")).cast("long").as("n_removed"),
+        round((col("n_docs") - col("n_kept")).cast("double") /
+          col("n_docs").cast("double"), 6).as("removal_rate"),
+        round(col("n_docs").cast("double") / col("_total").cast("double"),
+          6).as("share_all"),
+        round(col("n_kept").cast("double") /
+          col("_total_kept").cast("double"), 6).as("share_kept"))
+      .orderBy("quality_bin")
+  }
+
   // ——— incremental dedup against a persisted index ———
 
   /** The persisted LSH index for incremental (new-shard-vs-corpus)

@@ -1240,6 +1240,126 @@ object CorpusQueries {
       val derived = media.select("media_id")
         .unionByName(media.select("media_id"))
       Multimodal.mediaDedupPropagation(alldocs, refs, media, derived)
+    },
+
+    // ——— cross-shard contamination matrix: pairwise shared distinct
+    //     3-gram shingles + shingle-set Jaccard across the 4 logical
+    //     shards (doc_id % 4) — the split-bleed monitor. Bounded pair
+    //     explode (≤ C(4,2) per shingle); no doc-pair explosion. ———
+    Q("q303_shard_contamination_matrix",
+      """WITH toks AS (
+        |  SELECT doc_id % 4 AS shard,
+        |    string_split_regex(lower(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT shard,
+        |    unnest(CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1),
+        |                          i -> array_to_string(ts[i:i+2], ' '))
+        |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+        |  FROM toks
+        |), per AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.shard AS shard_a, b.shard AS shard_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.shard < b.shard
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(shard_a AS BIGINT) AS shard_a,
+        |  CAST(shard_b AS BIGINT) AS shard_b, n_shared_shingles,
+        |  pa.n_sh AS n_sh_a, pb.n_sh AS n_sh_b,
+        |  round(CAST(n_shared_shingles AS DOUBLE) /
+        |    CAST(pa.n_sh + pb.n_sh - n_shared_shingles AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM pairs JOIN per pa ON pairs.shard_a = pa.shard
+        |JOIN per pb ON pairs.shard_b = pb.shard
+        |ORDER BY shard_a, shard_b""".stripMargin) { (s, dir) =>
+      graft.ext.Dedup.shardContaminationMatrix(docs(s, dir),
+        pmod(col("doc_id"), lit(4)), n = 3)
+    },
+
+    // ——— deterministic training-order shuffle: md5 hash order + 8
+    //     balanced shards, per-shard replay witnesses + skew audit.
+    //     No ORDER BY rand(), no global sort — the scale-native epoch
+    //     shuffle. ———
+    Q("q304_training_shuffle_shards",
+      """WITH keyed AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR) || ':ep1') AS order_key,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 15)) AS BIGINT)
+        |      % 8 AS shard,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents
+        |), per AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    MIN(order_key) AS first_key, MAX(order_key) AS last_key
+        |  FROM keyed GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+        |  first_key, last_key,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS token_share,
+        |  round(CAST(n_tokens AS DOUBLE) * 8 / CAST(total AS DOUBLE), 6)
+        |    AS skew
+        |FROM per, tot ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.ext.Corpus.trainingShuffleShards(docs(s, dir), nShards = 8,
+        seed = "ep1")
+    },
+
+    // ——— dedup survivorship-bias audit: fixed stopword-density bins
+    //     (integer div — no quantile window), exact-dedup keep/remove
+    //     split per bin, share shift vs the full population. Planted
+    //     re-upload twins (doc_id % 13 = 6 at id+3e6, q302's scheme)
+    //     make removal non-zero and CONCENTRATED in the twins' bins —
+    //     the share_kept-vs-share_all divergence the audit exists to
+    //     surface. ———
+    Q("q305_dedup_quality_bias",
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 13 = 6
+        |), f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','a','an','of','and','to','in','is','on','for')))
+        |      AS BIGINT) AS stop_n,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM alldocs
+        |), b AS (
+        |  SELECT doc_id, fp,
+        |    least((10 * stop_n) // n_toks, 9) AS quality_bin FROM f
+        |), k AS (
+        |  SELECT fp, MIN(doc_id) AS keeper FROM b GROUP BY 1
+        |), fl AS (
+        |  SELECT quality_bin,
+        |    CASE WHEN b.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
+        |  FROM b JOIN k USING (fp)
+        |), per AS (
+        |  SELECT quality_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(kept) AS BIGINT) AS n_kept
+        |  FROM fl GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |    CAST(SUM(n_kept) AS BIGINT) AS total_kept FROM per
+        |)
+        |SELECT CAST(quality_bin AS BIGINT) AS quality_bin, n_docs, n_kept,
+        |  n_docs - n_kept AS n_removed,
+        |  round(CAST(n_docs - n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS removal_rate,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS share_all,
+        |  round(CAST(n_kept AS DOUBLE) / CAST(total_kept AS DOUBLE), 6)
+        |    AS share_kept
+        |FROM per, tot ORDER BY quality_bin""".stripMargin) { (s, dir) =>
+      val d0 = docs(s, dir).select("doc_id", "text")
+      val alldocs = d0.unionByName(
+        d0.filter(col("doc_id") % 13 === 6)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.ext.Dedup.dedupQualityBias(alldocs)
     }
   )
 }

@@ -590,4 +590,38 @@ class CorpusSpec extends SparkSpec {
     assert(diff === Map(-1L -> true, 0L -> false, 1L -> true,
       2L -> false, 3L -> false))
   }
+
+  test("trainingShuffleShards: deterministic replay, seed sensitivity, " +
+    "conservation and skew arithmetic") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"tok${i % 7} " * ((i % 5 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val a = Corpus.trainingShuffleShards(d, nShards = 4, seed = "e1").collect()
+    val b = Corpus.trainingShuffleShards(d, nShards = 4, seed = "e1").collect()
+    // byte-for-byte replay: same seed → identical audit incl. witnesses
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // a different seed reshuffles: SOME witness key must move
+    val c = Corpus.trainingShuffleShards(d, nShards = 4, seed = "e2").collect()
+    assert(a.map(_.getAs[String]("first_key")).toSet !==
+      c.map(_.getAs[String]("first_key")).toSet)
+    // conservation: docs and tokens partition the corpus
+    assert(a.map(_.getAs[Long]("n_docs")).sum === 200L)
+    val totalToks = a.map(_.getAs[Long]("n_tokens")).sum
+    // trailing "  " after repetition: split("\\s+") of "x " is ["x", ""]
+    // → tokenCount counts the empty tail, mirroring the oracle; just
+    // assert conservation against a direct recount
+    val direct = d.select(org.apache.spark.sql.functions.sum(
+      graft.ext.TextStats.tokenCount(col("text")))).head().getLong(0)
+    assert(totalToks === direct)
+    // skew = share × nShards, row-wise exactly (same rounding)
+    a.foreach { r =>
+      val share = r.getAs[Double]("token_share")
+      val skew = r.getAs[Double]("skew")
+      val expected = BigDecimal(r.getAs[Long]("n_tokens").toDouble * 4 /
+        totalToks.toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(skew === expected)
+      assert(math.abs(skew - share * 4) < 5e-6)
+    }
+  }
 }

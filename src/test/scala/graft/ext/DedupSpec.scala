@@ -612,4 +612,52 @@ class DedupSpec extends SparkSpec {
     // downweighted mass: clique contributes ~1e6 total (floor rounding)
     assert(Seq(0L, 1L, 2L).map(out(_)._3).sum === 999999L)
   }
+
+  test("shardContaminationMatrix: exact shared-shingle counts and jaccard") {
+    // shard 0 holds docs 0 (base) and 2 (near dup); shard 1 holds
+    // docs 1 (= base, so heavy overlap with shard 0) and 3 (unrelated)
+    val m = Dedup.shardContaminationMatrix(docs, pmod(col("doc_id"), lit(2)),
+      n = 3)
+    val rows = m.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_shared_shingles"), r.getAs[Long]("n_sh_a"),
+        r.getAs[Long]("n_sh_b"), r.getAs[Double]("jaccard"))).toMap
+    // expected values from first principles via the shingle sets
+    val sh = Dedup.shingles(docs, 3)
+    val byShard = sh.withColumn("s", pmod(col("doc_id"), lit(2)))
+      .select("s", "shingle").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet }
+    val s0 = byShard(0L); val s1 = byShard(1L)
+    val inter = (s0 intersect s1).size.toLong
+    assert(rows((0L, 1L))._1 === inter)
+    assert(rows((0L, 1L))._2 === s0.size.toLong)
+    assert(rows((0L, 1L))._3 === s1.size.toLong)
+    val jac = BigDecimal(inter.toDouble / (s0.size + s1.size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows((0L, 1L))._4 - jac) < 1e-9)
+    // fully disjoint shards produce NO row (matrix is sparse)
+    val disjoint = Seq((0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    assert(Dedup.shardContaminationMatrix(disjoint,
+      pmod(col("doc_id"), lit(2)), n = 3).count() === 0L)
+  }
+
+  test("dedupQualityBias: removal lands in the duplicated doc's bin only") {
+    // bin = (10·stop_n) div n_toks. "the a an of" → stop 4/4 → bin 9 (capped);
+    // "x y z w" → stop 0 → bin 0. Duplicate only the stopword-heavy doc.
+    val d = Seq(
+      (0L, "the a an of"), (1L, "the a an of"), (2L, "the a an of"),
+      (3L, "x y z w"), (4L, "q r s t")).toDF("doc_id", "text")
+    val out = Dedup.dedupQualityBias(d).collect()
+      .map(r => r.getAs[Long]("quality_bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[Double]("share_kept"))).toMap
+    assert(out(9L) === ((3L, 1L, 2L, 0.333333)))
+    assert(out(0L) === ((2L, 2L, 0L, 0.666667)))
+    // population share vs kept share diverge exactly where dedup bit
+    val row9 = Dedup.dedupQualityBias(d).filter(col("quality_bin") === 9)
+      .select("share_all", "removal_rate").head()
+    assert(row9.getDouble(0) === 0.6)
+    assert(row9.getDouble(1) === 0.666667)
+  }
 }
