@@ -190,6 +190,69 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos_sim"))
   }
 
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) — the post-ANN stage of a RAG retriever: from
+    * each query's candidate pool, greedily pick k results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy with what's already picked, so near-duplicate
+    * passages don't crowd the context window.
+    *
+    * Input `cands`: one row per (qid, vec_id) candidate with the
+    * candidate's embedding and its relevance (`rel`, the ANN rescore,
+    * already round(·,6)). Feed it from [[annTopKBatch]] joined back
+    * to the embedding table — N (pool size per query) is a SMALL
+    * constant, which is what makes MMR's greedy loop scale-free:
+    * every step is one join + one per-query window over ≤ N rows, the
+    * selected set rides along as a bounded array column, and the k−1
+    * driver-side iterations grow the plan linearly (k is single-digit
+    * in practice). No pairwise explosion beyond N per query, no
+    * global window, no driver collect.
+    *
+    * Determinism: every score the greedy compares is round(·,6) with
+    * vec_id tie-break, so the selection path is engine-exact (the
+    * DuckDB oracle unrolls the same k steps). Rank 1's mmr_score is
+    * defined as plain relevance (the diversity term is vacuous on an
+    * empty selected set). Queries with fewer than k candidates simply
+    * stop early. Returns (qid, vec_id, rank, mmr_score).
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lam: Double,
+                qidCol: String = "qid", idCol: String = "vec_id",
+                vecCol: String = "embedding", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"mmrRerank: k >= 1, got $k")
+    require(lam >= 0.0 && lam <= 1.0, s"mmrRerank: lambda in [0,1], got $lam")
+    val pool = cands.trackedPersist()
+    def pickTop(df: DataFrame, scoreCol: String): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+      df.withColumn("_rk", row_number().over(win)).filter(col("_rk") === 1)
+    }
+    var selected = pickTop(pool, relCol)
+      .select(col(qidCol), col(idCol), lit(1).as("rank"),
+        col(relCol).as("mmr_score"),
+        array(col(vecCol)).as("_sel_embs"), array(col(idCol)).as("_sel_ids"))
+    var out = selected.select(col(qidCol), col(idCol), col("rank"),
+      col("mmr_score"))
+    for (step <- 2 to k) {
+      val scored = pool
+        .join(selected.select(col(qidCol), col("_sel_embs"), col("_sel_ids")),
+          Seq(qidCol))
+        .filter(!array_contains(col("_sel_ids"), col(idCol)))
+        .withColumn("_max_sim", array_max(transform(col("_sel_embs"),
+          e => round(cosine(col(vecCol), e), 6))))
+        .withColumn("_mmr", round(lit(lam) * col(relCol) -
+          lit(1.0 - lam) * col("_max_sim"), 6))
+      val pick = pickTop(scored, "_mmr")
+        .select(col(qidCol), col(idCol), lit(step).as("rank"),
+          col("_mmr").as("mmr_score"),
+          concat(col("_sel_embs"), array(col(vecCol))).as("_sel_embs"),
+          concat(col("_sel_ids"), array(col(idCol))).as("_sel_ids"))
+      selected = pick
+      out = out.unionByName(pick.select(col(qidCol), col(idCol), col("rank"),
+        col("mmr_score")))
+    }
+    out.orderBy(qidCol, "rank")
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (brute force,
     * a < b). Test-scale verification path; the scale path is
     * `annCandidatePairs` (signature-bucketed) or

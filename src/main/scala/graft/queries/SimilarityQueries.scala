@@ -1085,6 +1085,82 @@ object SimilarityQueries {
         |  CAST(lb.l1 AS DOUBLE) / 1e9 AS lambda_l1
         |FROM w2, nn, lb ORDER BY dim""".stripMargin) { (s, dir) =>
       Similarity.pcaTopComponent(emb(s, dir), dim = 64, iterations = 2)
+    },
+
+    // ——— MMR diversified re-ranking on top of the replayed batch-ANN
+    //     pool: top-8 candidates per query, then 3 greedy picks at
+    //     λ=0.7. The oracle unrolls the greedy loop as CTE steps with
+    //     the same round(·,6)+vec_id tie-break arithmetic, so the
+    //     selection PATH (not just the scores) is hash-compared.
+    //     λ literals are CAST AS DOUBLE so DuckDB's decimal literal
+    //     parsing can't diverge from the engine's IEEE 1.0−λ. ———
+    Q("q306_mmr_rerank",
+      s"""${annBatchCte("q306_hyperplanes")},
+         |pool AS (
+         |  SELECT qid, vec_id, cos_sim AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 8
+         |), s1 AS (
+         |  SELECT qid, vec_id, rel AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn
+         |    FROM pool) WHERE rn = 1
+         |), sel1 AS (SELECT qid, vec_id FROM s1),
+         |c2 AS (
+         |  SELECT p.qid, p.vec_id,
+         |    round(CAST(0.7 AS DOUBLE) * p.rel -
+         |      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+         |      MAX(round(${cosSql("ec.embedding", "es.embedding")}, 6)), 6)
+         |      AS mmr
+         |  FROM pool p
+         |  JOIN sel1 s ON s.qid = p.qid
+         |  JOIN embeddings ec ON ec.vec_id = p.vec_id
+         |  JOIN embeddings es ON es.vec_id = s.vec_id
+         |  LEFT JOIN sel1 x ON x.qid = p.qid AND x.vec_id = p.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY p.qid, p.vec_id, p.rel
+         |), s2 AS (
+         |  SELECT qid, vec_id, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM c2) WHERE rn = 1
+         |), sel2 AS (SELECT qid, vec_id FROM sel1
+         |            UNION ALL SELECT qid, vec_id FROM s2),
+         |c3 AS (
+         |  SELECT p.qid, p.vec_id,
+         |    round(CAST(0.7 AS DOUBLE) * p.rel -
+         |      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+         |      MAX(round(${cosSql("ec.embedding", "es.embedding")}, 6)), 6)
+         |      AS mmr
+         |  FROM pool p
+         |  JOIN sel2 s ON s.qid = p.qid
+         |  JOIN embeddings ec ON ec.vec_id = p.vec_id
+         |  JOIN embeddings es ON es.vec_id = s.vec_id
+         |  LEFT JOIN sel2 x ON x.qid = p.qid AND x.vec_id = p.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY p.qid, p.vec_id, p.rel
+         |), s3 AS (
+         |  SELECT qid, vec_id, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM c3) WHERE rn = 1
+         |)
+         |SELECT qid, vec_id, CAST(1 AS INT) AS rank, mmr AS mmr_score FROM s1
+         |UNION ALL
+         |SELECT qid, vec_id, CAST(2 AS INT) AS rank, mmr AS mmr_score FROM s2
+         |UNION ALL
+         |SELECT qid, vec_id, CAST(3 AS INT) AS rank, mmr AS mmr_score FROM s3
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      Fixtures.write("q306_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val pool = Similarity.annTopKBatch(e, queries, k = 8, bands = 4, r = 8)
+        .withColumnRenamed("cos_sim", "rel")
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Similarity.mmrRerank(pool, k = 3, lam = 0.7)
     }
   )
 

@@ -587,4 +587,37 @@ class SimilaritySpec extends SparkSpec {
     val o = Similarity.calinskiHarabasz(one).head()
     assert(o.isNullAt(o.fieldIndex("ch_index")))
   }
+
+  test("mmrRerank: diversity overrules raw relevance; λ=1 degenerates " +
+    "to top-k; short pools stop early") {
+    // candidate 10 ≈ candidate 11 (near-identical directions);
+    // candidate 12 is orthogonal-ish with lower relevance. Plain
+    // relevance ranks (10, 11, 12); MMR must pick 12 second.
+    val cands = Seq(
+      (0L, 10L, Array(1.0f, 0.0f, 0.0f), 0.99),
+      (0L, 11L, Array(0.999f, 0.045f, 0.0f), 0.98),
+      (0L, 12L, Array(0.0f, 1.0f, 0.0f), 0.60))
+      .toDF("qid", "vec_id", "embedding", "rel")
+    val picked = Similarity.mmrRerank(cands, k = 3, lam = 0.7)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toMap
+    assert(picked === Map(1 -> 10L, 2 -> 12L, 3 -> 11L))
+    // λ=1: the diversity term vanishes — MMR IS relevance order
+    val pure = Similarity.mmrRerank(cands, k = 3, lam = 1.0)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toMap
+    assert(pure === Map(1 -> 10L, 2 -> 11L, 3 -> 12L))
+    // a pool smaller than k yields exactly |pool| rows, no nulls
+    val short = Seq((0L, 10L, Array(1.0f, 0.0f, 0.0f), 0.9))
+      .toDF("qid", "vec_id", "embedding", "rel")
+    assert(Similarity.mmrRerank(short, k = 3, lam = 0.7).count() === 1L)
+    // per-query independence: a second query reranks on its own pool
+    val two = cands.unionByName(Seq(
+      (1L, 20L, Array(0.0f, 0.0f, 1.0f), 0.8),
+      (1L, 21L, Array(0.0f, 1.0f, 0.0f), 0.7))
+      .toDF("qid", "vec_id", "embedding", "rel"))
+    val byQ = Similarity.mmrRerank(two, k = 2, lam = 0.7)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(byQ(0L) === Map(1 -> 10L, 2 -> 12L))
+    assert(byQ(1L) === Map(1 -> 20L, 2 -> 21L))
+  }
 }
