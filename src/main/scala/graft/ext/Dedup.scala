@@ -683,6 +683,39 @@ object Dedup {
       .orderBy("quality_bin")
   }
 
+  /** Canonical-representative selection per near-dup cluster — the
+    * keep-BEST policy. [[exactGroups]]/q57 keep the MIN-ID member
+    * (keep-first); production web pipelines (C4, RefinedWeb) keep the
+    * LONGEST member of each near-dup clique, because truncated
+    * mirrors and paywall stubs are usually the shorter copies. Per
+    * cluster: the keeper (argmax chars, min-id tie-break), member
+    * count, kept/total/reclaimable bytes.
+    *
+    * `clusters` is [[nearDupClusters]]' output (id, cluster). Scale
+    * shape: one join on the doc id, one window PARTITIONED BY the
+    * cluster id (clique-sized frames — near-dup cliques are small by
+    * construction once verify pruned false buckets), one aggregate.
+    */
+  def clusterCanonicalKeepers(clusters: DataFrame, docs: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val len = docs.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("_n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("_n_chars").desc, col("id"))
+    clusters.join(len, Seq("id"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("_rn") === 1, col("id"))).as("keeper"),
+        max(when(col("_rn") === 1, col("_n_chars"))).as("bytes_kept"),
+        sum("_n_chars").cast("long").as("bytes_total"))
+      .select(col("cluster"), col("n_members"), col("keeper"),
+        col("bytes_kept"), col("bytes_total"),
+        (col("bytes_total") - col("bytes_kept")).as("bytes_saved"))
+      .orderBy("cluster")
+  }
+
   // ——— incremental dedup against a persisted index ———
 
   /** The persisted LSH index for incremental (new-shard-vs-corpus)

@@ -2572,6 +2572,37 @@ object TextQueries {
         |    AS DOUBLE) / 1e6 AS est_jaccard
         |FROM cut GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       graft.ext.Sketches.kmvOverlap(docs(s, dir), k = 64)
+    },
+
+    // ——— canonical keeper per near-dup cluster: keep-LONGEST (the
+    //     C4/RefinedWeb policy — truncated mirrors are the shorter
+    //     copies), vs q57's keep-first. Oracle extends q58's replayed
+    //     transitive clusters with the same per-cluster argmax. ———
+    Q("q307_cluster_canonical",
+      s"""$clustersCte,
+         |cl AS (
+         |  SELECT c.id, c.cluster,
+         |    CAST(strlen(d.text) AS BIGINT) AS n_chars
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, id) AS rn
+         |  FROM cl
+         |)
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN id END) AS keeper,
+         |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS bytes_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(n_chars) AS BIGINT) -
+         |    MAX(CASE WHEN rn = 1 THEN n_chars END) AS bytes_saved
+         |FROM rk GROUP BY cluster
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashVerifiedPairs(docs(s, dir), n = 3, k = 32,
+        bands = 8, minJaccard = 0.5)
+        .select("id_a", "id_b")
+        .trackedLocalCheckpoint()
+      Dedup.clusterCanonicalKeepers(Dedup.nearDupClusters(pairs),
+        docs(s, dir))
     }
   )
 }

@@ -642,6 +642,22 @@ class DedupSpec extends SparkSpec {
       pmod(col("doc_id"), lit(2)), n = 3).count() === 0L)
   }
 
+  test("clusterCanonicalKeepers: longest wins, min-id breaks ties, " +
+    "byte ledger is exact") {
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster")
+    val cdocs = Seq(
+      (0L, "a" * 10), (1L, "b" * 20), (2L, "c" * 20), // tie at 20 → id 1
+      (7L, "d" * 5), (9L, "e" * 50)).toDF("doc_id", "text")
+    val out = Dedup.clusterCanonicalKeepers(clusters, cdocs).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("keeper"),
+          r.getAs[Long]("bytes_kept"), r.getAs[Long]("bytes_total"),
+          r.getAs[Long]("bytes_saved"))).toMap
+    assert(out(0L) === ((3L, 1L, 20L, 50L, 30L)))
+    assert(out(7L) === ((2L, 9L, 50L, 55L, 5L)))
+  }
+
   test("dedupQualityBias: removal lands in the duplicated doc's bin only") {
     // bin = (10·stop_n) div n_toks. "the a an of" → stop 4/4 → bin 9 (capped);
     // "x y z w" → stop 0 → bin 0. Duplicate only the stopword-heavy doc.
