@@ -746,6 +746,25 @@ class ScaleSpec extends SparkSpec {
     assert(!mp.contains("Join"), s"manifest must not join:\n$mp")
   }
 
+  test("r11 additions (q303–q307): bounded explodes and per-group " +
+    "windows only — no cartesian, no BNLJ, no row-scale global window") {
+    for (name <- Seq("q303_shard_contamination_matrix",
+        "q304_training_shuffle_shards", "q305_dedup_quality_bias",
+        "q306_mmr_rerank", "q307_cluster_canonical")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // the only nested-loop join allowed is the broadcast 1-row
+      // totals attach (q304/q305's crossJoin(broadcast(tot)))
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val totalsAttach = name == "q304_training_shuffle_shards" ||
+        name == "q305_dedup_quality_bias"
+      assert(bnlj <= (if (totalsAttach) 1 else 0),
+        s"$name has $bnlj BNLJ:\n$p")
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
