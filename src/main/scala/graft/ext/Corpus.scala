@@ -805,6 +805,97 @@ object Corpus {
     sh.unionByName(root).orderBy("shard")
   }
 
+  /** Padding-waste audit for length-bucketed batching. Training
+    * batches pad every sequence to its bucket boundary, so the
+    * bucketing scheme decides how many FLOP-carrying tokens are
+    * padding: per scheme — next-power-of-two (clamped to
+    * [minBucket, ∞)), fixed stride-64 ceil, and pad-to-global-max —
+    * report docs, real tokens, padded tokens, and the waste fraction.
+    * The audit is one map-only pass over per-doc token counts plus a
+    * 3-row aggregate; the global max attaches via a broadcast 1-row
+    * cross join. All bucket arithmetic is closed-form over doubles
+    * whose inputs are small ints (log2/pow/ceil are IEEE-identical
+    * cross-engine), so the oracle replays it bit-exactly.
+    */
+  def paddingWasteAudit(docs: DataFrame, minBucket: Int = 16,
+                        textCol: String = "text"): DataFrame = {
+    require(minBucket >= 1, s"paddingWasteAudit: minBucket >= 1, got $minBucket")
+    val n = TextStats.tokenCount(col(textCol))
+    val toks = docs.select(n.as("n_toks"))
+    val mx = toks.agg(max("n_toks").cast("long").as("_max")).select("_max")
+    val schemes = toks.crossJoin(broadcast(mx)).select(
+      col("n_toks"),
+      greatest(lit(minBucket.toLong),
+        pow(lit(2.0), ceil(log2(col("n_toks").cast("double"))))
+          .cast("long")).as("pow2"),
+      (ceil(col("n_toks").cast("double") / lit(64.0)).cast("long") * 64L)
+        .as("fixed64"),
+      col("_max").as("global_max"))
+    val long = schemes.select(col("n_toks"), explode(map(
+      lit("pow2"), col("pow2"),
+      lit("fixed64"), col("fixed64"),
+      lit("global_max"), col("global_max"))).as(Seq("scheme", "bucket")))
+    long.groupBy("scheme")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").cast("long").as("tokens_real"),
+        sum("bucket").cast("long").as("tokens_padded"))
+      .select(col("scheme"), col("n_docs"), col("tokens_real"),
+        col("tokens_padded"),
+        round((col("tokens_padded") - col("tokens_real")).cast("double") /
+          col("tokens_padded").cast("double"), 6).as("waste_frac"))
+      .orderBy("scheme")
+  }
+
+  /** Purged time-based train/test split audit (the leakage-safe
+    * temporal split of de Prado's purged k-fold, reduced to one
+    * boundary): the boundary T sits at `splitFrac` of the observed
+    * time span, rows in the `embargoUs` window before T are PURGED
+    * (dropped from train so near-boundary leakage can't ride on
+    * autocorrelation), and the audit counts, per event type, the
+    * train/test/purged rows plus the entities appearing on BOTH
+    * sides — the residual leakage a time split cannot remove but
+    * must REPORT. Span endpoints attach via a broadcast 1-row cross
+    * join; everything else is one keyed aggregate.
+    */
+  def purgedTimeSplit(events: DataFrame, splitFrac: Double, embargoUs: Long,
+                      tsCol: String = "ts", typeCol: String = "event_type",
+                      entityCol: String = "user_id"): DataFrame = {
+    require(splitFrac > 0.0 && splitFrac < 1.0,
+      s"purgedTimeSplit: splitFrac in (0,1), got $splitFrac")
+    require(embargoUs >= 0L, s"purgedTimeSplit: embargoUs >= 0, got $embargoUs")
+    val us = unix_micros(col(tsCol))
+    val span = events.agg(min(us).as("_lo"), max(us).as("_hi"))
+    val labeled = events.select(col(typeCol).cast("string").as("etype"),
+        col(entityCol).as("entity"), us.as("_us"))
+      .crossJoin(broadcast(span))
+      // floor, not a double→long cast: Spark's cast truncates while
+      // DuckDB's rounds — floor is the one op both define identically
+      .withColumn("_t", col("_lo") + floor((col("_hi") - col("_lo"))
+        .cast("double") * lit(splitFrac)).cast("long"))
+      .withColumn("split",
+        when(col("_us") >= col("_t"), lit("test"))
+          .when(col("_us") >= col("_t") - lit(embargoUs), lit("purged"))
+          .otherwise(lit("train")))
+    val counts = labeled.groupBy("etype").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "purged", 1L).otherwise(0L)).as("n_purged"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val leaky = labeled.filter(col("split") =!= "purged")
+      .select(col("etype"), col("entity"), col("split")).distinct()
+      .groupBy("etype", "entity")
+      .agg(count(lit(1)).as("_sides"))
+      .groupBy("etype")
+      .agg(sum(when(col("_sides") === 2, 1L).otherwise(0L))
+        .as("n_leaky_entities"),
+        count(lit(1)).as("n_entities"))
+    counts.join(leaky, Seq("etype"))
+      .select(col("etype"), col("n_train"), col("n_purged"), col("n_test"),
+        col("n_entities"), col("n_leaky_entities"),
+        round(col("n_leaky_entities").cast("double") /
+          col("n_entities").cast("double"), 6).as("leaky_frac"))
+      .orderBy("etype")
+  }
+
   /** Deterministic training-order shuffle + shard balance audit. A
     * 100 TB pre-training corpus is not shuffled with `ORDER BY
     * rand()` — a global sort is a full-corpus range exchange through

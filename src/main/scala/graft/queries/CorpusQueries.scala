@@ -1360,6 +1360,83 @@ object CorpusQueries {
         d0.filter(col("doc_id") % 13 === 6)
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.ext.Dedup.dedupQualityBias(alldocs)
+    },
+
+    // ——— padding-waste audit: how many batch tokens are padding
+    //     under pow2 / stride-64 / pad-to-max bucketing. Map-only +
+    //     3-row aggregate; log2/pow/ceil are IEEE-identical so the
+    //     oracle replays the bucket arithmetic bit-exactly. ———
+    Q("q308_padding_waste",
+      """WITH toks AS (
+        |  SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |    AS n_toks
+        |  FROM documents
+        |), mx AS (SELECT CAST(MAX(n_toks) AS BIGINT) AS gmax FROM toks),
+        |s AS (
+        |  SELECT n_toks,
+        |    greatest(CAST(16 AS BIGINT),
+        |      CAST(pow(2.0, ceil(log2(CAST(n_toks AS DOUBLE)))) AS BIGINT))
+        |      AS pow2,
+        |    CAST(ceil(CAST(n_toks AS DOUBLE) / 64.0) AS BIGINT) * 64
+        |      AS fixed64,
+        |    mx.gmax AS global_max
+        |  FROM toks, mx
+        |), lng AS (
+        |  SELECT n_toks, 'pow2' AS scheme, pow2 AS bucket FROM s
+        |  UNION ALL SELECT n_toks, 'fixed64', fixed64 FROM s
+        |  UNION ALL SELECT n_toks, 'global_max', global_max FROM s
+        |)
+        |SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_real,
+        |  CAST(SUM(bucket) AS BIGINT) AS tokens_padded,
+        |  round(CAST(SUM(bucket) - SUM(n_toks) AS DOUBLE)
+        |    / CAST(SUM(bucket) AS DOUBLE), 6) AS waste_frac
+        |FROM lng GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Corpus.paddingWasteAudit(docs(s, dir))
+    },
+
+    // ——— purged time-based train/test split audit (one-boundary
+    //     purged k-fold): boundary at 70% of the observed span, 1 h
+    //     embargo purged from train, residual cross-boundary entities
+    //     REPORTED per event type. ———
+    Q("q309_purged_time_split",
+      """WITH span AS (
+        |  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+        |), lab AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS etype, user_id AS entity,
+        |    CASE WHEN epoch_us(ts) >= t THEN 'test'
+        |         WHEN epoch_us(ts) >= t - 3600000000 THEN 'purged'
+        |         ELSE 'train' END AS split
+        |  FROM events, (
+        |    SELECT lo, hi, lo + CAST(floor(CAST(hi - lo AS DOUBLE)
+        |      * CAST(0.7 AS DOUBLE)) AS BIGINT) AS t FROM span) b
+        |), counts AS (
+        |  SELECT etype,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purged,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM lab GROUP BY 1
+        |), sides AS (
+        |  SELECT etype, entity, COUNT(DISTINCT split) AS s
+        |  FROM lab WHERE split <> 'purged' GROUP BY 1, 2
+        |), leaky AS (
+        |  SELECT etype,
+        |    CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_leaky_entities,
+        |    CAST(COUNT(*) AS BIGINT) AS n_entities
+        |  FROM sides GROUP BY 1
+        |)
+        |SELECT counts.etype, n_train, n_purged, n_test,
+        |  n_entities, n_leaky_entities,
+        |  round(CAST(n_leaky_entities AS DOUBLE)
+        |    / CAST(n_entities AS DOUBLE), 6) AS leaky_frac
+        |FROM counts JOIN leaky USING (etype)
+        |ORDER BY etype""".stripMargin) { (s, dir) =>
+      Corpus.purgedTimeSplit(Tables.load(s, dir, "events"),
+        splitFrac = 0.7, embargoUs = 3600000000L)
     }
   )
 }

@@ -591,6 +591,47 @@ class CorpusSpec extends SparkSpec {
       2L -> false, 3L -> false))
   }
 
+  test("paddingWasteAudit: exact bucket arithmetic per scheme") {
+    import spark.implicits._
+    // token counts 1, 17, 64, 100 (whitespace tokens)
+    val docsDf = Seq(
+      (1L, "t1"), // 1 token
+      (2L, (1 to 17).map(i => s"w$i").mkString(" ")), // 17
+      (3L, (1 to 64).map(i => s"w$i").mkString(" ")), // 64
+      (4L, (1 to 100).map(i => s"w$i").mkString(" ")) // 100
+    ).toDF("doc_id", "text")
+    val out = Corpus.paddingWasteAudit(docsDf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("tokens_real"), r.getAs[Long]("tokens_padded"))).toMap
+    // pow2: max(16,1)=16, 17→32, 64→64, 100→128 ⇒ 240
+    assert(out("pow2") === ((182L, 240L)))
+    // fixed64: 64+64+64+128 = 320
+    assert(out("fixed64") === ((182L, 320L)))
+    // pad-to-max: 4 × 100
+    assert(out("global_max") === ((182L, 400L)))
+  }
+
+  test("purgedTimeSplit: embargo rows purged, cross-boundary entities " +
+    "reported, purged-only entities excluded from the denominator") {
+    import spark.implicits._
+    val ev = Seq(
+      ("D", 0L), ("D", 10000000L), // span anchors; D crosses → leaky
+      ("A", 1000000L), ("A", 8000000L), // leaky
+      ("B", 2000000L), // train only
+      ("C", 6500000L) // inside [6e6, 7e6) → purged
+    ).toDF("user_id", "us")
+      .select(col("user_id"), lit("x").as("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val r = Corpus.purgedTimeSplit(ev, splitFrac = 0.7,
+      embargoUs = 1000000L).head()
+    assert(r.getAs[Long]("n_train") === 3L)
+    assert(r.getAs[Long]("n_purged") === 1L)
+    assert(r.getAs[Long]("n_test") === 2L)
+    assert(r.getAs[Long]("n_entities") === 3L) // C is purged-only
+    assert(r.getAs[Long]("n_leaky_entities") === 2L)
+    assert(r.getAs[Double]("leaky_frac") === 0.666667)
+  }
+
   test("trainingShuffleShards: deterministic replay, seed sensitivity, " +
     "conservation and skew arithmetic") {
     import spark.implicits._
