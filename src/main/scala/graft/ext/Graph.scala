@@ -843,4 +843,55 @@ object Graph {
     }
     (ranks, adj)
   }
+
+  /** Deterministic random-walk trajectories — the DeepWalk/node2vec
+    * sampling stage of a graph-embedding training pipeline, made
+    * replayable: from EVERY node, one `steps`-step walk whose step-t
+    * neighbor choice is the md5 coin (start node : seed : t) mod the
+    * CURRENT node's degree over its sorted neighbor list. No RNG
+    * state — the walk set is a pure function of (graph, seed), so a
+    * retried stage regenerates identical training pairs and the
+    * DuckDB oracle replays every trajectory bit-exactly (the same
+    * md5-coin discipline as the stratified sampler and dp-counts).
+    *
+    * Returns (start, step, node) for steps 1..`steps` — |V|·steps
+    * rows, linear in the graph. Scale shape: the indexed adjacency
+    * (neighbor rank within each node's sorted list) is one
+    * PARTITIONED window over per-node frames; each step is one
+    * equi-join of the walk frontier against it on (node, chosen
+    * index); `steps` is a small constant, so the whole plan is
+    * `steps` node-keyed shuffles. Adjacency and degrees are built
+    * once and ledger-cached for the loop.
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int,
+                         seed: String): DataFrame = {
+    require(steps >= 1, s"deterministicWalks: steps >= 1, got $steps")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
+    val adjIdx = und.withColumn("idx",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")) - 1).cast("long"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    var frontier = deg.select(col("src").as("start"), col("src").as("cur"))
+    var out: DataFrame = null
+    for (t <- 1 to steps) {
+      val coin = conv(substring(md5(concat(col("start"),
+        lit(s":$seed:$t"))), 1, 15), 16, 10).cast("long")
+      val next = frontier
+        .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
+        .withColumn("_i", pmod(coin, col("deg")))
+        // equi-join on BOTH (node, chosen index): exactly one neighbor
+        // row matches — no per-degree expansion then filter
+        .join(adjIdx.select(col("src").as("cur"), col("idx").as("_i"),
+          col("dst")), Seq("cur", "_i"))
+        .select(col("start"), col("dst").as("cur"))
+      val traj = next.select(col("start"), lit(t).as("step"),
+        col("cur").as("node"))
+      out = if (out == null) traj else out.unionByName(traj)
+      frontier = next
+    }
+    out.orderBy("start", "step")
+  }
 }

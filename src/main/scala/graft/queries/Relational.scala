@@ -5661,6 +5661,57 @@ object Relational {
         |  ON r.rk = CAST(ceil(p.p / 100.0 * tot.n_entities) AS BIGINT)
         |ORDER BY top_percent""".stripMargin) { (s, dir) =>
       graft.ext.Profile.whaleShares(t(s, dir, "events"), "user_id")
+    },
+
+    // ——— deterministic random walks (DeepWalk/node2vec sampling
+    //     stage) over the part↔supplier graph: step-t neighbor choice
+    //     = md5(start:seed:t) mod degree over the sorted neighbor
+    //     list — walks are a pure function of (graph, seed), so the
+    //     oracle replays every trajectory. 3 node-keyed equi-join
+    //     steps, no RNG, no expansion beyond one row per walk-step. ———
+    Q("q310_randomwalk_pairs",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+        |), adj AS (
+        |  SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+        |      AS BIGINT) AS idx
+        |  FROM und
+        |), s1 AS (
+        |  SELECT f.src AS start, a.dst AS cur
+        |  FROM deg f
+        |  JOIN adj a ON a.src = f.src AND a.idx =
+        |    CAST(concat('0x', substring(md5(f.src || ':w1:1'), 1, 15))
+        |      AS BIGINT) % f.deg
+        |), s2 AS (
+        |  SELECT f.start, a.dst AS cur
+        |  FROM s1 f
+        |  JOIN deg d ON d.src = f.cur
+        |  JOIN adj a ON a.src = f.cur AND a.idx =
+        |    CAST(concat('0x', substring(md5(f.start || ':w1:2'), 1, 15))
+        |      AS BIGINT) % d.deg
+        |), s3 AS (
+        |  SELECT f.start, a.dst AS cur
+        |  FROM s2 f
+        |  JOIN deg d ON d.src = f.cur
+        |  JOIN adj a ON a.src = f.cur AND a.idx =
+        |    CAST(concat('0x', substring(md5(f.start || ':w1:3'), 1, 15))
+        |      AS BIGINT) % d.deg
+        |)
+        |SELECT start, CAST(1 AS INT) AS step, cur AS node FROM s1
+        |UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
+        |UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
+        |ORDER BY start, step""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.ext.Graph.deterministicWalks(edges, steps = 3, seed = "w1")
     }
   )
 

@@ -427,4 +427,32 @@ class GraphSpec extends SparkSpec {
     val q = out.values.map(_.getAs[Double]("dq")).sum
     assert(math.abs(q - (-0.125)) < 1e-6, s"Q=$q")
   }
+
+  test("deterministicWalks: every hop follows an edge, replay is exact, " +
+    "seed changes the path") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    val w1 = Graph.deterministicWalks(edges, steps = 3, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // one row per (start node, step): 4 nodes × 3 steps
+    assert(w1.length === 12)
+    assert(w1.map(t => (t._1, t._2)).distinct.length === 12)
+    // hop validity: reconstruct each walk and check every transition
+    // is a real undirected edge
+    for ((start, path) <- w1.groupBy(_._1)) {
+      val ordered = start +: path.sortBy(_._2).map(_._3).toSeq
+      ordered.sliding(2).foreach { case Seq(u, v) =>
+        assert(und.contains((u, v)), s"walk from $start hops $u->$v")
+      }
+    }
+    // replay: identical; reseed: some trajectory differs
+    val w1b = Graph.deterministicWalks(edges, steps = 3, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(w1.sorted.toSeq === w1b.sorted.toSeq)
+    val w2 = Graph.deterministicWalks(edges, steps = 3, seed = "s2")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(w1.sorted.toSeq !== w2.sorted.toSeq)
+  }
 }
