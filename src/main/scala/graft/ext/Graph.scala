@@ -894,4 +894,35 @@ object Graph {
     }
     out.orderBy("start", "step")
   }
+
+  /** Skip-gram training pairs from walk trajectories — the
+    * aggregation that turns [[deterministicWalks]]' output into the
+    * (center, context, count) table a word2vec-style embedding
+    * trainer consumes: nodes co-occurring within `window` hops on
+    * the same walk, least/greatest-normalized, self-pairs (walk
+    * revisits) dropped. The walk's start node participates as step
+    * 0. Scale shape: a self-join on the walk id with the step band
+    * as an inequality filter — per walk the pair fan-out is bounded
+    * by C(steps+1, 2), a compile-time constant, and the final count
+    * is one hash aggregate on the pair key.
+    */
+  def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"walkSkipGramPairs: window >= 1, got $window")
+    val traj = walks.select(col("start"), col("step"), col("node"))
+      .unionByName(walks.select(col("start")).distinct()
+        .select(col("start"), lit(0).as("step"), col("start").as("node")))
+    val a = traj.select(col("start"), col("step").as("_sa"),
+      col("node").as("_na"))
+    val b = traj.select(col("start"), col("step").as("_sb"),
+      col("node").as("_nb"))
+    a.join(b, Seq("start"))
+      .filter(col("_sb") > col("_sa") &&
+        col("_sb") - col("_sa") <= window)
+      .select(least(col("_na"), col("_nb")).as("u"),
+        greatest(col("_na"), col("_nb")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy("u", "v")
+  }
 }

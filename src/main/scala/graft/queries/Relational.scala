@@ -5670,50 +5670,85 @@ object Relational {
     //     oracle replays every trajectory. 3 node-keyed equi-join
     //     steps, no RNG, no expansion beyond one row per walk-step. ———
     Q("q310_randomwalk_pairs",
-      """WITH e0 AS (
-        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-        |  FROM lineitem
-        |), und AS (
-        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
-        |), deg AS (
-        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
-        |), adj AS (
-        |  SELECT src, dst,
-        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
-        |      AS BIGINT) AS idx
-        |  FROM und
-        |), s1 AS (
-        |  SELECT f.src AS start, a.dst AS cur
-        |  FROM deg f
-        |  JOIN adj a ON a.src = f.src AND a.idx =
-        |    CAST(concat('0x', substring(md5(f.src || ':w1:1'), 1, 15))
-        |      AS BIGINT) % f.deg
-        |), s2 AS (
-        |  SELECT f.start, a.dst AS cur
-        |  FROM s1 f
-        |  JOIN deg d ON d.src = f.cur
-        |  JOIN adj a ON a.src = f.cur AND a.idx =
-        |    CAST(concat('0x', substring(md5(f.start || ':w1:2'), 1, 15))
-        |      AS BIGINT) % d.deg
-        |), s3 AS (
-        |  SELECT f.start, a.dst AS cur
-        |  FROM s2 f
-        |  JOIN deg d ON d.src = f.cur
-        |  JOIN adj a ON a.src = f.cur AND a.idx =
-        |    CAST(concat('0x', substring(md5(f.start || ':w1:3'), 1, 15))
-        |      AS BIGINT) % d.deg
-        |)
-        |SELECT start, CAST(1 AS INT) AS step, cur AS node FROM s1
-        |UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
-        |UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
+      s"""$walksCte
+        |SELECT start, step, node FROM traj WHERE step >= 1
         |ORDER BY start, step""".stripMargin) { (s, dir) =>
-      val edges = t(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      graft.ext.Graph.deterministicWalks(edges, steps = 3, seed = "w1")
+      graft.ext.Graph.deterministicWalks(psEdges(s, dir), steps = 3,
+        seed = "w1")
+    },
+
+    // ——— skip-gram pairs from the walks: (center, context, count)
+    //     within 2 hops on the same walk, least/greatest-normalized,
+    //     self-pairs (revisits) dropped — the word2vec-style table a
+    //     graph-embedding trainer consumes. Pair fan-out bounded by
+    //     C(steps+1, 2) per walk. ———
+    Q("q311_walk_skipgram",
+      s"""$walksCte,
+        |pr AS (
+        |  SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v
+        |  FROM traj a JOIN traj b
+        |    ON a.start = b.start AND b.step > a.step
+        |    AND b.step - a.step <= 2
+        |)
+        |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_cooc
+        |FROM pr WHERE u <> v
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val walks = graft.ext.Graph.deterministicWalks(psEdges(s, dir),
+        steps = 3, seed = "w1")
+      graft.ext.Graph.walkSkipGramPairs(walks, window = 2)
     }
   )
+
+  /** The part↔supplier bipartite edge list the graph battery uses. */
+  private def psEdges(s: SparkSession, dir: String) =
+    t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+
+  /** Oracle CTE chain replaying [[graft.ext.Graph.deterministicWalks]]
+    * (3 steps, seed w1) on the part↔supplier graph, ending in
+    * `traj(start, step, node)` with the start node at step 0.
+    */
+  private def walksCte: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem
+      |), und AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+      |), deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+      |), adj AS (
+      |  SELECT src, dst,
+      |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+      |      AS BIGINT) AS idx
+      |  FROM und
+      |), s1 AS (
+      |  SELECT f.src AS start, a.dst AS cur
+      |  FROM deg f
+      |  JOIN adj a ON a.src = f.src AND a.idx =
+      |    CAST(concat('0x', substring(md5(f.src || ':w1:1'), 1, 15))
+      |      AS BIGINT) % f.deg
+      |), s2 AS (
+      |  SELECT f.start, a.dst AS cur
+      |  FROM s1 f
+      |  JOIN deg d ON d.src = f.cur
+      |  JOIN adj a ON a.src = f.cur AND a.idx =
+      |    CAST(concat('0x', substring(md5(f.start || ':w1:2'), 1, 15))
+      |      AS BIGINT) % d.deg
+      |), s3 AS (
+      |  SELECT f.start, a.dst AS cur
+      |  FROM s2 f
+      |  JOIN deg d ON d.src = f.cur
+      |  JOIN adj a ON a.src = f.cur AND a.idx =
+      |    CAST(concat('0x', substring(md5(f.start || ':w1:3'), 1, 15))
+      |      AS BIGINT) % d.deg
+      |), traj AS (
+      |  SELECT src AS start, CAST(0 AS INT) AS step, src AS node FROM deg
+      |  UNION ALL SELECT start, CAST(1 AS INT) AS step, cur FROM s1
+      |  UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
+      |  UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
+      |)""".stripMargin
 
   /** The nine Benford expected shares log10(1+1/d), printed at 17
     * significant digits so the SQL literal parses back to the exact

@@ -746,7 +746,7 @@ class ScaleSpec extends SparkSpec {
     assert(!mp.contains("Join"), s"manifest must not join:\n$mp")
   }
 
-  test("r11 additions (q303–q310): bounded explodes and per-group " +
+  test("r11 additions (q303–q311): bounded explodes and per-group " +
     "windows only — no cartesian, no BNLJ, no row-scale global window") {
     // queries whose only nested-loop join is the broadcast 1-row
     // totals/span attach (crossJoin(broadcast(1-row aggregate)))
@@ -757,7 +757,7 @@ class ScaleSpec extends SparkSpec {
         "q304_training_shuffle_shards", "q305_dedup_quality_bias",
         "q306_mmr_rerank", "q307_cluster_canonical",
         "q308_padding_waste", "q309_purged_time_split",
-        "q310_randomwalk_pairs")) {
+        "q310_randomwalk_pairs", "q311_walk_skipgram")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

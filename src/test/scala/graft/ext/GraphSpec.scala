@@ -455,4 +455,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
     assert(w1.sorted.toSeq !== w2.sorted.toSeq)
   }
+
+  test("walkSkipGramPairs: window band, start at step 0, revisit " +
+    "self-pairs dropped, multiplicity counted") {
+    // hand trajectory a→b→c→d: window 2 pairs are (a,b),(a,c),(b,c),
+    // (b,d),(c,d) — (a,d) is 3 hops apart and excluded
+    val path = Seq(("a", 1, "b"), ("a", 2, "c"), ("a", 3, "d"))
+      .toDF("start", "step", "node")
+    val p1 = Graph.walkSkipGramPairs(path, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_cooc"))
+      .toMap
+    assert(p1 === Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+    // revisit walk a→b→a: the (a,a) step-0↔step-2 self-pair is
+    // dropped; (a,b) appears from both sides of the revisit
+    val revisit = Seq(("a", 1, "b"), ("a", 2, "a"))
+      .toDF("start", "step", "node")
+    val p2 = Graph.walkSkipGramPairs(revisit, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_cooc"))
+      .toMap
+    assert(p2 === Map(("a", "b") -> 2L))
+  }
 }
