@@ -869,11 +869,15 @@ object Graph {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
+    // persist the INDEXED adjacency and degrees, not the raw edge
+    // list: each of the `steps` joins reads both, and an unpersisted
+    // window would re-sort every per-node frame once per step
     val adjIdx = und.withColumn("idx",
       (row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy("dst")) - 1).cast("long"))
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = adjIdx.groupBy("src").agg(count(lit(1)).as("deg"))
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
     var frontier = deg.select(col("src").as("start"), col("src").as("cur"))
     var out: DataFrame = null
     for (t <- 1 to steps) {

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.engine.{Horizon, Joins, Reshape}
+import graft.engine.TrackedCache.Trackable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -5693,8 +5694,12 @@ object Relational {
         |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_cooc
         |FROM pr WHERE u <> v
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // materialize the trajectories ONCE: the skip-gram self-join
+      // reads them from both sides (plus the step-0 start union),
+      // and an unmaterialized walk chain would replay its 3 join
+      // steps per reference
       val walks = graft.ext.Graph.deterministicWalks(psEdges(s, dir),
-        steps = 3, seed = "w1")
+        steps = 3, seed = "w1").trackedLocalCheckpoint()
       graft.ext.Graph.walkSkipGramPairs(walks, window = 2)
     }
   )
