@@ -957,4 +957,42 @@ object Corpus {
         (!(col("n_docs_a") <=> col("n_docs_b")) ||
           !(col("digest_a") <=> col("digest_b"))).as("changed"))
       .orderBy("shard")
+
+  /** Deterministic per-domain frequency cap (the C4/Dolma "at most N
+    * pages per domain" policy) as an audit: within each domain keep
+    * the first `cap` docs by md5(id:seed) order — RNG-free, so the
+    * kept set is a pure function of (corpus, seed) and identical
+    * across retries and partitionings — and report per domain how
+    * many docs/tokens the cap keeps vs drops. Scale shape: one
+    * domain-keyed shuffle; the rank is a PARTITIONED window over
+    * per-domain frames (never a global sort), and the audit output
+    * is domain-dictionary-sized. A giant domain makes a wide frame,
+    * but that frame is exactly the data the policy must order; the
+    * cap itself then bounds everything downstream.
+    */
+  def domainFrequencyCap(docs: DataFrame, cap: Int, seed: String,
+                         domainCol: String = "source",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"domainFrequencyCap: cap >= 1, got $cap")
+    val ranked = docs.select(col(domainCol).as("domain"), col(idCol),
+        TextStats.tokenCount(col(textCol)).as("_n_toks"),
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))).as("_k"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")
+          .orderBy(col("_k"), col(idCol))))
+    ranked.groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_rn") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("_rn") <= cap, col("_n_toks")).otherwise(0L))
+          .cast("long").as("tokens_kept"),
+        sum(when(col("_rn") > cap, col("_n_toks")).otherwise(0L))
+          .cast("long").as("tokens_dropped"))
+      .select(col("domain"), col("n_docs"), col("n_kept"),
+        col("n_dropped"), col("tokens_kept"), col("tokens_dropped"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+          6).as("retention"))
+      .orderBy("domain")
+  }
 }

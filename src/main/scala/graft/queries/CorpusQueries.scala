@@ -1437,6 +1437,37 @@ object CorpusQueries {
         |ORDER BY etype""".stripMargin) { (s, dir) =>
       Corpus.purgedTimeSplit(Tables.load(s, dir, "events"),
         splitFrac = 0.7, embargoUs = 3600000000L)
+    },
+
+    // ——— deterministic per-domain frequency cap (the C4/Dolma "at
+    //     most N pages per domain" policy): keep the first 18 docs
+    //     per source by md5(id:seed) order, report kept/dropped docs
+    //     and tokens per domain. One domain-keyed shuffle, PARTITIONED
+    //     window only, domain-dictionary-sized output. ———
+    Q("q312_domain_cap",
+      """WITH ranked AS (
+        |  SELECT source AS domain, doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |      AS n_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap1'), doc_id)
+        |      AS rn
+        |  FROM documents
+        |)
+        |SELECT domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 18 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rn > 18 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn <= 18 THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(SUM(CASE WHEN rn > 18 THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  round(CAST(SUM(CASE WHEN rn <= 18 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS retention
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Corpus.domainFrequencyCap(docs(s, dir), cap = 18, seed = "cap1")
     }
   )
 }

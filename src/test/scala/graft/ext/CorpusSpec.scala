@@ -665,4 +665,45 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(skew - share * 4) < 5e-6)
     }
   }
+
+  test("domainFrequencyCap: cap binds per domain, conservation, " +
+    "deterministic replay and seed sensitivity") {
+    import spark.implicits._
+    // domain A: 10 docs, B: 3 docs, C: 1 doc — cap 3
+    val d = ((0L until 10L).map(i => (i, "A", s"w$i x y")) ++
+      Seq((20L, "B", "a b"), (21L, "B", "c"), (22L, "B", "d e f")) ++
+      Seq((30L, "C", "solo"))).toDF("doc_id", "source", "text")
+    val out = Corpus.domainFrequencyCap(d, cap = 3, seed = "s1").collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out("A").getAs[Long]("n_kept") === 3L)
+    assert(out("A").getAs[Long]("n_dropped") === 7L)
+    assert(out("B").getAs[Long]("n_kept") === 3L)
+    assert(out("B").getAs[Long]("n_dropped") === 0L)
+    assert(out("C").getAs[Long]("n_kept") === 1L)
+    // conservation: kept+dropped tokens = direct recount per domain
+    for (dom <- Seq("A", "B", "C")) {
+      val direct = d.filter(col("source") === dom)
+        .select(sum(graft.ext.TextStats.tokenCount(col("text"))))
+        .head().getLong(0)
+      assert(out(dom).getAs[Long]("tokens_kept") +
+        out(dom).getAs[Long]("tokens_dropped") === direct)
+    }
+    // replay: same seed → identical audit; different seed must keep a
+    // different subset of A's docs (token counts differ with p≈1 —
+    // every doc i has a distinct token count? no: all A docs have 3
+    // tokens, so compare via the kept-set indirectly: rerun with
+    // distinct per-doc token counts)
+    val varied = (0L until 10L)
+      .map(i => (i, "A", (0L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val a1 = Corpus.domainFrequencyCap(varied, cap = 3, seed = "s1").collect()
+    val a2 = Corpus.domainFrequencyCap(varied, cap = 3, seed = "s1").collect()
+    assert(a1.map(_.toSeq).toSeq === a2.map(_.toSeq).toSeq)
+    val b1 = Corpus.domainFrequencyCap(varied, cap = 3, seed = "s2").head()
+    // distinct per-doc token counts (1..10) → a different kept subset
+    // shows up as a different kept-token sum (verified for these seeds)
+    assert(b1.getAs[Long]("tokens_kept") !==
+      a1.head.getAs[Long]("tokens_kept"))
+    assert(b1.getAs[Long]("n_kept") === 3L)
+  }
 }
