@@ -158,4 +158,53 @@ object Privacy {
           1e6).as("n_noisy"))
       .orderBy("key")
   }
+
+  /** Leaked-credential detector patterns — like the PII battery,
+    * written in the Java-regex ∩ RE2 subset (no lookarounds) so the
+    * same strings run in Spark and the DuckDB oracle. Three disjoint
+    * classes: bare lowercase-hex digests (API tokens, leaked hashes),
+    * `sk_`-prefixed keys (payment-processor style), and long
+    * mixed-alphabet base64-ish runs (service-account blobs). The
+    * classes can't shadow each other: `_` is a word char so the hex
+    * run inside `sk_…` has no leading boundary, and the b64 class
+    * requires length ≥ 40 with at least one uppercase char.
+    */
+  val HexSecretRe = "\\b[a-f0-9]{32,}\\b"
+  val PrefixedKeyRe = "\\bsk_[A-Za-z0-9]{16,}\\b"
+  val B64SecretRe = "[A-Z+/][A-Za-z0-9+/]{39,}"
+
+  /** Secret/credential scan per corpus slice — the secrets-hygiene
+    * triage a training corpus runs alongside PII detection: which
+    * sources carry machine credentials (hex digests, `sk_` keys,
+    * base64 blobs), at what document rate, and what fraction of their
+    * bytes is secret material (the memorization-risk proxy). Matched
+    * BYTES are counted with a replace-diff (`len(text) −
+    * len(regexp_replace(text, pat, ''))`) — pure codegen'd regex, no
+    * HOF, no UDF. One map-side projection + one group rollup: linear
+    * at any corpus size, output source-dictionary-sized.
+    */
+  def secretScan(docs: org.apache.spark.sql.DataFrame,
+                 groupCol: String = "source",
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    def chars(pat: String): Column =
+      (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+    val nHex = regexp_count(t, lit(HexSecretRe))
+    val nKey = regexp_count(t, lit(PrefixedKeyRe))
+    val nB64 = regexp_count(t, lit(B64SecretRe))
+    docs.groupBy(col(groupCol).as("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(nHex + nKey + nB64 > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(nHex.cast("long")).as("n_hex"),
+        sum(nKey.cast("long")).as("n_key"),
+        sum(nB64.cast("long")).as("n_b64"),
+        sum(chars(HexSecretRe) + chars(PrefixedKeyRe) + chars(B64SecretRe))
+          .cast("long").as("secret_chars"),
+        sum(length(t).cast("long")).as("_chars"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_hex"), col("n_key"), col("n_b64"), col("secret_chars"),
+        round(col("secret_chars").cast("double") / col("_chars"), 6)
+          .as("secret_char_frac"))
+      .orderBy("source")
+  }
 }

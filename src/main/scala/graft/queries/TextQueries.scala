@@ -528,6 +528,65 @@ object TextQueries {
       graft.ext.Privacy.piiDensity(injected)
     },
 
+    // ——— leaked-credential scan per source: deterministic synthetic
+    //     secrets (lowercase-hex digest / sk_-prefixed key / 41-char
+    //     mixed-alphabet blob, each derived from doc_id and fabricated
+    //     IDENTICALLY in both engines) planted into disjoint id
+    //     subsets, then the per-source flag rate and secret-byte
+    //     fraction (memorization-risk proxy). Patterns single-sourced
+    //     from ext.Privacy; matched bytes counted via replace-diff. ———
+    Q("q313_secret_scan", {
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CASE
+         |      WHEN doc_id % 17 = 3 THEN text || ' '
+         |        || md5('h:' || CAST(doc_id AS VARCHAR))
+         |      WHEN doc_id % 13 = 4 THEN text || ' sk_'
+         |        || md5('k:' || CAST(doc_id AS VARCHAR))
+         |      WHEN doc_id % 19 = 6 THEN text || ' K'
+         |        || upper(substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 24))
+         |        || substr(md5('c:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         |      ELSE text END AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN
+         |        len(regexp_extract_all(t, '${graft.ext.Privacy.HexSecretRe}'))
+         |      + len(regexp_extract_all(t, '${graft.ext.Privacy.PrefixedKeyRe}'))
+         |      + len(regexp_extract_all(t, '${graft.ext.Privacy.B64SecretRe}')) > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.HexSecretRe}'))) AS BIGINT) AS n_hex,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.PrefixedKeyRe}'))) AS BIGINT) AS n_key,
+         |    CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.B64SecretRe}'))) AS BIGINT) AS n_b64,
+         |    CAST(SUM(
+         |        (strlen(t) - strlen(regexp_replace(t, '${graft.ext.Privacy.HexSecretRe}', '', 'g')))
+         |      + (strlen(t) - strlen(regexp_replace(t, '${graft.ext.Privacy.PrefixedKeyRe}', '', 'g')))
+         |      + (strlen(t) - strlen(regexp_replace(t, '${graft.ext.Privacy.B64SecretRe}', '', 'g')))
+         |    ) AS BIGINT) AS secret_chars,
+         |    CAST(SUM(strlen(t)) AS BIGINT) AS chars
+         |  FROM t GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_flagged, n_hex, n_key, n_b64, secret_chars,
+         |  round(CAST(secret_chars AS DOUBLE) / chars, 6) AS secret_char_frac
+         |FROM g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val planted = docs(s, dir).select(col("source"),
+        when(col("doc_id") % 17 === 3,
+            concat(col("text"), lit(" "),
+              md5(concat(lit("h:"), col("doc_id").cast("string")))))
+          .when(col("doc_id") % 13 === 4,
+            concat(col("text"), lit(" sk_"),
+              md5(concat(lit("k:"), col("doc_id").cast("string")))))
+          .when(col("doc_id") % 19 === 6,
+            concat(col("text"), lit(" K"),
+              upper(substring(md5(concat(lit("b:"),
+                col("doc_id").cast("string"))), 1, 24)),
+              substring(md5(concat(lit("c:"),
+                col("doc_id").cast("string"))), 1, 16)))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Privacy.secretScan(planted)
+    },
+
     // ——— PII detect + redact: deterministic synthetic PII (email /
     //     phone / IPv4 derived from doc_id, fabricated IDENTICALLY in
     //     both engines) appended to real text, then counted and

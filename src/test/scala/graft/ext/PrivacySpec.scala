@@ -152,4 +152,37 @@ class PrivacySpec extends SparkSpec {
     assert(clean.getAs[Double]("pii_doc_rate") === 0.0)
     assert(clean.getAs[Double]("pii_per_kchar") === 0.0)
   }
+
+  test("secretScan: disjoint detector classes, byte accounting, " +
+    "no cross-class shadowing") {
+    import spark.implicits._
+    val hex32 = "0123456789abcdef0123456789abcdef" // 32 lowercase hex
+    val docs = Seq(
+      ("s1", s"leaked digest $hex32 in log"),         // hex only
+      ("s1", s"token sk_$hex32 found"),               // sk_ key only
+      ("s2", "blob K" + ("AbCd1234" * 5) + " end"),   // 41-char b64-ish
+      ("s2", "short aaaa1111 run and sk_tooShort1 nope"), // clean
+      ("s3", "nothing secret here")                   // clean
+    ).toDF("source", "text")
+    val out = Privacy.secretScan(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s1: one hex doc + one key doc; the sk_ hex body must NOT also
+    // count as a bare hex digest (underscore kills the boundary)
+    assert(out("s1").getAs[Long]("n_hex") === 1L)
+    assert(out("s1").getAs[Long]("n_key") === 1L)
+    assert(out("s1").getAs[Long]("n_b64") === 0L)
+    assert(out("s1").getAs[Long]("n_flagged") === 2L)
+    // hex match = 32 bytes, key match = 3 + 32 bytes
+    assert(out("s1").getAs[Long]("secret_chars") === (32L + 35L))
+    // s2: exactly one b64 blob (K + 40 chars), the short runs stay clean
+    assert(out("s2").getAs[Long]("n_b64") === 1L)
+    assert(out("s2").getAs[Long]("n_hex") === 0L)
+    assert(out("s2").getAs[Long]("n_key") === 0L)
+    assert(out("s2").getAs[Long]("n_flagged") === 1L)
+    assert(out("s2").getAs[Long]("secret_chars") === 41L)
+    // s3: fully clean
+    assert(out("s3").getAs[Long]("n_flagged") === 0L)
+    assert(out("s3").getAs[Long]("secret_chars") === 0L)
+    assert(out("s3").getAs[Double]("secret_char_frac") === 0.0)
+  }
 }
