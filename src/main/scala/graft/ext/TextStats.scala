@@ -1183,4 +1183,45 @@ object TextStats {
           .as("is_mixed"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary coverage curve — what fraction of all token
+    * OCCURRENCES the top-k most frequent types cover, for each k in
+    * `ks`. The number a tokenizer/vocab designer reads before fixing
+    * a vocab size (coverage@32k ≈ how often the model sees <unk>),
+    * and a corpus-health companion to the Zipf slope (q146): natural
+    * text saturates fast, templated text almost immediately.
+    *
+    * Rank-by-frequency routes through Ranks.rowNumberExact (the
+    * count-VALUE-dictionary decomposition), so there is NO global
+    * window over the vocabulary frame; all per-k masses accumulate
+    * in ONE aggregate row (conditional sums), then unstack via a
+    * bounded literal-array explode — one token shuffle + one
+    * vocabulary aggregate total, |ks| output rows.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000),
+                    textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"vocabCoverage: ks must be positive, got $ks")
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = graft.engine.Ranks
+      .rowNumberExact(counts, "c", "w", valueDesc = true, out = "r",
+        withTotal = false)
+    val perK = ks.flatMap { k =>
+      Seq(sum(when(col("r") <= k, 1L).otherwise(0L)).as(s"_t$k"),
+        sum(when(col("r") <= k, col("c")).otherwise(0L)).as(s"_o$k"))
+    }
+    val a = ranked.agg(count(lit(1)).cast("long").as("n_types_total"),
+      (Seq(sum(col("c")).cast("long").as("n_occ_total")) ++ perK): _*)
+    val stacked = a.select(col("n_types_total"), col("n_occ_total"),
+      explode(array(ks.map(k => struct(lit(k).as("k"),
+        col(s"_t$k").cast("long").as("t"),
+        col(s"_o$k").cast("long").as("o"))): _*)).as("s"))
+    stacked.select(col("s.k").as("k"),
+        col("s.t").as("n_types"), col("s.o").as("occ_covered"),
+        col("n_types_total"), col("n_occ_total"),
+        round(col("s.o").cast("double") / col("n_occ_total"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
 }

@@ -1496,6 +1496,38 @@ object TextQueries {
         .limit(20)
     },
 
+    // ——— vocabulary coverage@k curve: occurrence mass covered by the
+    //     top-k token types (the vocab-size design number). Rank via
+    //     Ranks.rowNumberExact (count-dictionary, no global window);
+    //     all k's accumulate in ONE aggregate row then unstack. ———
+    Q("q314_vocab_coverage",
+      """WITH counts AS (
+        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total,
+        |         CAST(SUM(c) AS BIGINT) AS n_occ_total
+        |  FROM counts
+        |), ks(k) AS (VALUES (5), (20), (100))
+        |SELECT ks.k AS k,
+        |  CAST(SUM(CASE WHEN ranked.r <= ks.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_types,
+        |  CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.c ELSE 0 END)
+        |    AS BIGINT) AS occ_covered,
+        |  tot.n_types_total, tot.n_occ_total,
+        |  round(CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.c ELSE 0 END)
+        |    AS DOUBLE) / tot.n_occ_total, 6) AS coverage
+        |FROM ranked CROSS JOIN ks CROSS JOIN tot
+        |GROUP BY ks.k, tot.n_types_total, tot.n_occ_total
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      TextStats.vocabCoverage(docs(s, dir), ks = Seq(5, 20, 100))
+    },
+
     // ——— edit-distance (typo) dedup, blocked on the head noun —
     //     levenshtein is the same DP definition in both engines ———
     Q("q50_edit_distance_dedup",

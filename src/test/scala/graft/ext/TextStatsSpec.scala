@@ -613,4 +613,27 @@ class TextStatsSpec extends SparkSpec {
     val ordered = TextStats.degenerateRuns(docs, topK = 2).collect().map(_.getLong(0))
     assert(ordered.toSeq === Seq(2L, 1L))
   }
+
+  test("vocabCoverage: exact masses at each k, tie-break by token, " +
+    "monotone saturation to 1.0") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=1 (10 occurrences, 4 types)
+    val docs = Seq((0L, "a a b c"), (1L, "a a b b c d"))
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, ks = Seq(1, 2, 10)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Long]("n_types") === 1L)
+    assert(out(1L).getAs[Long]("occ_covered") === 4L)   // just "a"
+    assert(out(1L).getAs[Double]("coverage") === 0.4)
+    assert(out(2L).getAs[Long]("occ_covered") === 7L)   // a + b
+    assert(out(10L).getAs[Long]("n_types") === 4L)
+    assert(out(10L).getAs[Double]("coverage") === 1.0)  // saturates
+    assert(out(10L).getAs[Long]("n_occ_total") === 10L)
+    // tie-break: with equal counts the lexicographically smaller
+    // token ranks first — e/f both count 1; k=1 must pick "e"
+    val ties = Seq((0L, "e f")).toDF("doc_id", "text")
+    val t1 = TextStats.vocabCoverage(ties, ks = Seq(1)).head()
+    assert(t1.getAs[Long]("occ_covered") === 1L)
+    assert(t1.getAs[Long]("n_types") === 1L)
+  }
 }
