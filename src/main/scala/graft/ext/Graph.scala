@@ -910,6 +910,79 @@ object Graph {
     * by C(steps+1, 2), a compile-time constant, and the final count
     * is one hash aggregate on the pair key.
     */
+  /** Deterministic node2vec walks — [[deterministicWalks]] upgraded
+    * to SECOND-ORDER (biased) sampling: from step 2 on, the neighbor
+    * choice at `cur` depends on where the walk came from (`prev`),
+    * with INTEGER weights — `wBack` for returning to `prev` (the 1/p
+    * return bias), `wCommon` for neighbors shared with `prev` (BFS-ish
+    * locality), `wFar` for the rest (DFS-ish exploration, the 1/q
+    * bias). Integer weights keep every cumulative sum exact, so the
+    * md5 coin (start:seed:t) mod total-weight picks the same neighbor
+    * in Spark and the DuckDB oracle, bit-for-bit.
+    *
+    * Scale shape per step: one equi-join of the frontier against the
+    * indexed adjacency on the current node, one LEFT join against the
+    * edge set for the common-neighbor flag, and one PARTITIONED
+    * window (by walk id) over each walk's candidate frame — bounded
+    * by max degree, never row-scale global. Adjacency, degrees and
+    * the edge set build once and ride the TrackedCache ledger.
+    */
+  def node2vecWalks(edges: DataFrame, steps: Int, seed: String,
+                    wBack: Int = 1, wCommon: Int = 4,
+                    wFar: Int = 2): DataFrame = {
+    require(steps >= 1, s"node2vecWalks: steps >= 1, got $steps")
+    require(wBack >= 1 && wCommon >= 1 && wFar >= 1,
+      s"node2vecWalks: weights must be >= 1, got ($wBack, $wCommon, $wFar)")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
+    def coin(t: Int) = conv(substring(md5(concat(col("start"),
+      lit(s":$seed:$t"))), 1, 15), 16, 10).cast("long")
+    // step 1 is first-order (no prev yet): uniform md5 coin mod degree,
+    // identical to deterministicWalks so the two samplers share a prefix
+    val first = deg.select(col("src").as("start"), col("src").as("cur"))
+      .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
+      .withColumn("_i", pmod(coin(1), col("deg")))
+      .join(und.select(col("src").as("cur"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")) - 1).cast("long").as("_i"),
+        col("dst")), Seq("cur", "_i"))
+      .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+    var frontier = first
+    var out = first.select(col("start"), lit(1).as("step"),
+      col("cur").as("node"))
+    for (t <- 2 to steps) {
+      val cand = frontier
+        .join(und.select(col("src").as("cur"), col("dst")), Seq("cur"))
+        .join(und.select(col("src").as("prev"), col("dst"),
+          lit(1).as("_e")), Seq("prev", "dst"), "left")
+        .withColumn("w",
+          when(col("dst") === col("prev"), lit(wBack.toLong))
+            .when(col("_e") === 1, lit(wCommon.toLong))
+            .otherwise(lit(wFar.toLong)))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("start").orderBy("dst")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("start")
+      val picked = cand
+        .withColumn("_cum", sum("w").over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("_tot", sum("w").over(wAll))
+        .withColumn("_pm", pmod(coin(t), col("_tot")))
+        .filter(col("_pm") >= col("_cum") - col("w") &&
+          col("_pm") < col("_cum"))
+        .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+      out = out.unionByName(picked.select(col("start"),
+        lit(t).as("step"), col("cur").as("node")))
+      frontier = picked
+    }
+    out.orderBy("start", "step")
+  }
+
   def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"walkSkipGramPairs: window >= 1, got $window")
     val traj = walks.select(col("start"), col("step"), col("node"))

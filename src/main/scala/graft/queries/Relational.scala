@@ -5701,6 +5701,21 @@ object Relational {
       val walks = graft.ext.Graph.deterministicWalks(psEdges(s, dir),
         steps = 3, seed = "w1").trackedLocalCheckpoint()
       graft.ext.Graph.walkSkipGramPairs(walks, window = 2)
+    },
+
+    // ——— node2vec biased walks: q310 upgraded to SECOND-ORDER
+    //     sampling — from step 2 the neighbor choice at cur depends
+    //     on prev with INTEGER weights (back=1, common-neighbor=4,
+    //     far=2 ≈ p=4, q=2), cumulative-sum pick by the same md5
+    //     coin. Integer cum/total keep the pick engine-exact; the
+    //     only windows are per-walk candidate frames (bounded by max
+    //     degree). ———
+    Q("q315_node2vec_walks",
+      s"""$n2vCte
+        |SELECT start, step, node FROM traj
+        |ORDER BY start, step""".stripMargin) { (s, dir) =>
+      graft.ext.Graph.node2vecWalks(psEdges(s, dir), steps = 3,
+        seed = "n2v1")
     }
   )
 
@@ -5754,6 +5769,61 @@ object Relational {
       |  UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
       |  UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
       |)""".stripMargin
+
+  /** Oracle CTE chain replaying [[graft.ext.Graph.node2vecWalks]]
+    * (3 steps, seed n2v1, weights back=1/common=4/far=2) on the
+    * part↔supplier graph, ending in `traj(start, step, node)`.
+    * Step 1 is first-order (identical to q310's s1 modulo seed);
+    * steps 2-3 pick by integer cumulative weight over each walk's
+    * candidate frame.
+    */
+  private def n2vCte: String = {
+    def biasedStep(prev: String, t: Int): String =
+      s"""c$t AS (
+         |  SELECT f.start, f.prev, f.cur, a.dst,
+         |    CAST(CASE WHEN a.dst = f.prev THEN 1
+         |         WHEN ex.src IS NOT NULL THEN 4 ELSE 2 END AS BIGINT) AS w
+         |  FROM $prev f
+         |  JOIN adj a ON a.src = f.cur
+         |  LEFT JOIN und ex ON ex.src = f.prev AND ex.dst = a.dst
+         |), p$t AS (
+         |  SELECT start, cur, dst, w,
+         |    SUM(w) OVER (PARTITION BY start ORDER BY dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(w) OVER (PARTITION BY start) AS tot
+         |  FROM c$t
+         |), s$t AS (
+         |  SELECT start, cur AS prev, dst AS cur FROM p$t
+         |  WHERE CAST(concat('0x', substring(md5(start || ':n2v1:$t'), 1, 15))
+         |      AS BIGINT) % tot >= cum - w
+         |    AND CAST(concat('0x', substring(md5(start || ':n2v1:$t'), 1, 15))
+         |      AS BIGINT) % tot < cum
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), und AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+       |), deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+       |), adj AS (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+       |      AS BIGINT) AS idx
+       |  FROM und
+       |), s1 AS (
+       |  SELECT f.src AS start, f.src AS prev, a.dst AS cur
+       |  FROM deg f
+       |  JOIN adj a ON a.src = f.src AND a.idx =
+       |    CAST(concat('0x', substring(md5(f.src || ':n2v1:1'), 1, 15))
+       |      AS BIGINT) % f.deg
+       |), ${biasedStep("s1", 2)}, ${biasedStep("s2", 3)}, traj AS (
+       |  SELECT start, CAST(1 AS INT) AS step, cur AS node FROM s1
+       |  UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
+       |  UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
+       |)""".stripMargin
+  }
 
   /** The nine Benford expected shares log10(1+1/d), printed at 17
     * significant digits so the SQL literal parses back to the exact

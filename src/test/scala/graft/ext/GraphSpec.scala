@@ -456,6 +456,45 @@ class GraphSpec extends SparkSpec {
     assert(w1.sorted.toSeq !== w2.sorted.toSeq)
   }
 
+  test("node2vecWalks: hop validity, exact replay, and the p/q bias " +
+    "steers step 2 (back vs common vs far) under extreme weights") {
+    // triangle a-b-c plus pendant b-d: from prev=a, cur=b the
+    // candidates are a (back), c (common neighbor of a), d (far)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"))
+      .toDF("src", "dst")
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    // find a seed whose step-1 from "a" goes to "b" so the candidate
+    // classes are all distinct (a's neighbors: b, c)
+    val seed = (1 to 20).map(i => s"t$i").find { sd =>
+      Graph.node2vecWalks(edges, steps = 1, seed = sd).collect()
+        .exists(r => r.getString(0) == "a" && r.getString(2) == "b")
+    }.get
+    def step2(wB: Int, wC: Int, wF: Int): String =
+      Graph.node2vecWalks(edges, steps = 2, seed = seed,
+        wBack = wB, wCommon = wC, wFar = wF).collect()
+        .filter(r => r.getString(0) == "a" && r.getInt(1) == 2)
+        .map(_.getString(2)).head
+    // extreme weights force each class deterministically: the md5
+    // coin mod total lands inside the ~sole massive bucket
+    assert(step2(1000000, 1, 1) === "a") // return bias (small p)
+    assert(step2(1, 1000000, 1) === "c") // BFS bias (common neighbor)
+    assert(step2(1, 1, 1000000) === "d") // DFS bias (small q)
+    // hop validity + replay on default weights
+    val w1 = Graph.node2vecWalks(edges, steps = 3, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(w1.length === 12)
+    for ((start, path) <- w1.groupBy(_._1)) {
+      val ordered = start +: path.sortBy(_._2).map(_._3).toSeq
+      ordered.sliding(2).foreach { case Seq(u, v) =>
+        assert(und.contains((u, v)), s"walk from $start hops $u->$v")
+      }
+    }
+    val w1b = Graph.node2vecWalks(edges, steps = 3, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(w1.sorted.toSeq === w1b.sorted.toSeq)
+  }
+
   test("walkSkipGramPairs: window band, start at step 0, revisit " +
     "self-pairs dropped, multiplicity counted") {
     // hand trajectory a→b→c→d: window 2 pairs are (a,b),(a,c),(b,c),
