@@ -684,6 +684,35 @@ object Similarity {
         round(col("_s_u").cast("double") / 1e9 / col("n_truth"), 6).as("ap"))
   }
 
+  /** Mean-reciprocal-rank inputs at depth k: per query, the rank of
+    * the FIRST relevant item in the retrieved ranking (0 when none of
+    * the top-k hit) and its reciprocal — the navigational-retrieval
+    * companion to AP (q197) and nDCG (q196); the corpus-level MRR is
+    * the plain mean of `rr`. Same scale shape as the siblings: the
+    * ranking window is PARTITIONED per query over the bounded
+    * candidate pool; the first-hit pick is a per-query min, never a
+    * global sort.
+    */
+  def mrrAtK(retrieved: DataFrame, truth: DataFrame, k: Int,
+             qidCol: String = "qid", idCol: String = "vec_id",
+             scoreCol: String = "cos_sim"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"mrrAtK: k must be >= 1, got $k")
+    val wr = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = retrieved.select(col(qidCol), col(idCol), col(scoreCol))
+      .withColumn("d", row_number().over(wr)).where(col("d") <= k)
+    val firstHit = ranked
+      .join(truth.select(col(qidCol), col(idCol)), Seq(qidCol, idCol))
+      .groupBy(qidCol).agg(min("d").as("_fhr"))
+    truth.select(col(qidCol)).distinct()
+      .join(firstHit, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("_fhr"), lit(0)).cast("long").as("first_hit_rank"),
+        round(when(col("_fhr").isNotNull,
+          lit(1.0) / col("_fhr").cast("double")).otherwise(lit(0.0)), 6)
+          .as("rr"))
+  }
+
   /** Depth weights for rank-biased overlap: w_d = (1−p)·p^(d−1)/d.
     * Computed ONCE driver-side so both the Spark plan and any SQL
     * replay consume the identical double literals (no cross-engine

@@ -887,6 +887,53 @@ object SimilarityQueries {
       Similarity.averagePrecisionAtK(retrieved, truth, k = 10).orderBy("qid")
     },
 
+    // ——— mean-reciprocal-rank@10 of the batch-ANN ranking vs binary
+    //     brute truth (navigational-retrieval metric, companion to
+    //     q196 nDCG / q197 AP): per query the first relevant rank and
+    //     its reciprocal; 0 when the top-10 miss entirely. ———
+    Q("q316_mrr",
+      s"""${annBatchCte("q316_hyperplanes")},
+         |bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS d
+         |  FROM scored
+         |), firsthit AS (
+         |  SELECT r.qid, MIN(r.d) AS fhr
+         |  FROM (SELECT * FROM ranked WHERE d <= 10) r
+         |  JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |  GROUP BY 1
+         |), tq AS (SELECT DISTINCT qid FROM truth)
+         |SELECT tq.qid,
+         |  CAST(COALESCE(f.fhr, 0) AS BIGINT) AS first_hit_rank,
+         |  ROUND(CASE WHEN f.fhr IS NOT NULL
+         |    THEN CAST(1 AS DOUBLE) / f.fhr ELSE 0.0 END, 6) AS rr
+         |FROM tq LEFT JOIN firsthit f USING (qid)
+         |ORDER BY tq.qid""".stripMargin) { (s, dir) =>
+      Fixtures.write("q316_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 10, bands = 4, r = 8)
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = scoredAll.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("qid", "vec_id")
+      Similarity.mrrAtK(retrieved, truth, k = 10).orderBy("qid")
+    },
+
     // ——— per-dimension embedding health (dead dims, variance
     //     concentration, scale drift): micro-quantized components →
     //     exact BIGINT sums → identical double mean/var expressions

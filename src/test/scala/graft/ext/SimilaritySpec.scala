@@ -453,6 +453,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === 0.0)
   }
 
+  test("mrrAtK: first-hit reciprocal, zero on a whiff, depth cutoff") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("qid", "vec_id")
+    // q1: miss, hit@2 → rr 0.5; q2: hit@1 → 1.0; q3: no hits → 0
+    val retr = retrDF((1L, 99L, 0.9), (1L, 10L, 0.8), (1L, 11L, 0.7),
+      (2L, 20L, 0.9), (3L, 98L, 0.9))
+    val out = Similarity.mrrAtK(retr, truth, k = 10).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("first_hit_rank"), r.getAs[Double]("rr"))).toMap
+    assert(out(1L) === ((2L, 0.5)))
+    assert(out(2L) === ((1L, 1.0)))
+    assert(out(3L) === ((0L, 0.0)))
+    // depth cutoff: the only hit sits at rank 3 but k=2 → whiff
+    val shallow = Similarity.mrrAtK(
+      retrDF((1L, 97L, 0.9), (1L, 96L, 0.8), (1L, 10L, 0.7)),
+      Seq((1L, 10L)).toDF("qid", "vec_id"), k = 2).collect().head
+    assert(shallow.getAs[Long]("first_hit_rank") === 0L)
+    assert(shallow.getAs[Double]("rr") === 0.0)
+  }
+
   test("dimensionStats: hand-computed mean/var/zero-rate per dim") {
     // dim1: 1, 3 → mean 2, var 1; dim2: 0, 0 → dead dim
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)))
