@@ -567,6 +567,53 @@ object Streaming {
   /** Drive a streaming DataFrame to completion against a named memory
     * sink (test/local harness; a real deployment writes Parquet/Kafka).
     */
+  /** Streaming read of any parquet file/directory with the observed
+    * footer schema (the file streaming source refuses to infer) —
+    * the generic sibling of [[readEvents]], minus the ts normalizer,
+    * for non-event tables (documents, dimension snapshots).
+    */
+  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
+    val observed: StructType = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(observed)
+    if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  // ——— streaming per-domain frequency cap ———
+
+  final case class CapDoc(source: String)
+  final case class CapAudit(domain: String, n_seen: Long, n_admitted: Long,
+                            n_rejected: Long)
+
+  /** Streaming enforcement of the per-domain frequency cap (q312's
+    * C4/Dolma policy, applied INCREMENTALLY as docs arrive): per
+    * domain, a single Long counter in `mapGroupsWithState` tracks
+    * docs seen so far; admissions stop at `cap`, and every
+    * micro-batch emits the domain's updated audit row (Update mode —
+    * the memory/console sink shows the running ledger; a production
+    * sink upserts by domain key). The admitted COUNT is
+    * arrival-order-free — min(seen, cap) — so the final audit equals
+    * the batch policy's exactly, which is what makes the streaming
+    * form oracle-checkable; WHICH docs were admitted is
+    * arrival-order-dependent by design (a stream cannot retro-drop).
+    *
+    * State: one Long per domain — bounded by the domain dictionary,
+    * not the stream; no timeout needed (a cap is forever).
+    */
+  def domainCapStream(docs: Dataset[CapDoc], cap: Int): Dataset[CapAudit] = {
+    require(cap >= 1, s"domainCapStream: cap >= 1, got $cap")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[Long, CapAudit](GroupStateTimeout.NoTimeout) {
+        (domain, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          val admitted = math.min(total, cap.toLong)
+          CapAudit(domain, total, admitted, total - admitted)
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val q = df.writeStream

@@ -1468,6 +1468,35 @@ object CorpusQueries {
         |    / COUNT(*), 6) AS retention
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Corpus.domainFrequencyCap(docs(s, dir), cap = 18, seed = "cap1")
+    },
+
+    // ——— q312's cap enforced INCREMENTALLY on a document stream:
+    //     one Long of mapGroupsWithState state per domain, admissions
+    //     stop at 18, every micro-batch upserts the domain's audit
+    //     row. Admitted COUNTS are arrival-order-free (min(seen,cap)),
+    //     so the final streaming ledger equals the batch policy —
+    //     the oracle the stream must land on. ———
+    Q("q317_streaming_domain_cap",
+      """SELECT source AS domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_seen,
+        |  CAST(LEAST(COUNT(*), 18) AS BIGINT) AS n_admitted,
+        |  CAST(COUNT(*) - LEAST(COUNT(*), 18) AS BIGINT) AS n_rejected
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stream = graft.ext.Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .select(col("source")).as[graft.ext.Streaming.CapDoc]
+      val q = graft.ext.Streaming.runToMemory(
+        graft.ext.Streaming.domainCapStream(stream, cap = 18).toDF(),
+        "q317_cap", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // the memory table holds one upsert per (domain, batch); the
+      // audit counters are monotone, so the final ledger is the max
+      s.table("q317_cap").groupBy("domain")
+        .agg(max("n_seen").as("n_seen"),
+          max("n_admitted").as("n_admitted"),
+          max("n_rejected").as("n_rejected"))
+        .orderBy("domain")
     }
   )
 }

@@ -1028,4 +1028,50 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.flatMap(_._2).toSet === want,
       "union across restart must equal the batch admit set exactly once")
   }
+
+  test("domainCapStream: cap straddles a micro-batch boundary; final " +
+    "ledger equals the batch policy") {
+    import spark.implicits._
+    // domain A: 5 docs split 3 + 2 across files; cap 4 ⇒ batch 1
+    // admits 3, batch 2 admits only 1 more. Domain B: 2 docs in the
+    // first file, under the cap throughout.
+    val dir = java.nio.file.Files.createTempDirectory("capstream").toFile
+    val files = Seq(
+      Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 10L), ("B", 11L)),
+      Seq(("A", 4L), ("A", 5L)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"capchunk$i").toString
+      rows.toDF("source", "doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .select(col("source")).as[Streaming.CapDoc]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.domainCapStream(stream, cap = 4).toDF(), "cap_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    val updates = spark.table("cap_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the running ledger shows the straddle: A appears once per batch
+    assert(updates.toSet === Set(
+      ("A", 3L, 3L, 0L), ("A", 5L, 4L, 1L), ("B", 2L, 2L, 0L)))
+    // final ledger (max per domain) equals the batch policy min(n, cap)
+    val fin = updates.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.maxBy(_._2) }.toMap
+    assert(fin("A") === (("A", 5L, 4L, 1L)))
+    assert(fin("B") === (("B", 2L, 2L, 0L)))
+  }
 }
