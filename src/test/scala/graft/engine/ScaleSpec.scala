@@ -771,6 +771,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r11 continuation (q312–q317): partitioned/dictionary windows " +
+    "only, no cartesian, BNLJ only as bounded broadcast attaches") {
+    // q316 replays the ANN battery's accepted shape: the brute-truth
+    // crossJoin(broadcast(query-roster)) — the roster is the bounded
+    // qid dictionary (vec_id % 50), same as q196/q197
+    val bnljCap = Map("q316_mrr" -> 2).withDefaultValue(1)
+    for (name <- Seq("q312_domain_cap", "q313_secret_scan",
+        "q314_vocab_coverage", "q315_node2vec_walks", "q316_mrr",
+        "q317_streaming_domain_cap")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      graft.engine.TrackedCache.release()
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
