@@ -80,7 +80,8 @@ object TextStats {
 
   def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text",
-                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minStopHits: Long = 2L): DataFrame = {
     val t = col(textCol)
     val base = docs.select(col(idCol), t,
       tokens(t).as("_toks"), split(t, "\n").as("_lines"))
@@ -114,7 +115,41 @@ object TextStats {
         (col("bullet_line_frac") <= 0.9) &&
         (col("ellipsis_line_frac") <= 0.3) &&
         (col("alpha_word_frac") >= 0.8) &&
-        (col("stop_hits") >= 2L))
+        (col("stop_hits") >= minStopHits))
+  }
+
+  /** Filter-disparity audit — the fairness check every quality gate
+    * owes its corpus: per group (language, source, dialect), the
+    * gate's keep rate vs the corpus-wide rate. A gate tuned on
+    * English (stopword lists, word-length bands) silently starves
+    * other languages out of the training mix; this is the table that
+    * makes the starvation visible before the mix ships. Disparity is
+    * the keep-rate ratio (1 = neutral, <1 = under-kept), computed
+    * from the RAW ratios then rounded once; NULL when nothing passes
+    * anywhere. One doc-keyed join + one group rollup + a broadcast
+    * 1-row total attach — group-dictionary-sized output.
+    */
+  def filterDisparity(docs: DataFrame, groupCol: String = "lang",
+                      idCol: String = "doc_id", textCol: String = "text",
+                      minWords: Long = 50L,
+                      minStopHits: Long = 2L): DataFrame = {
+    val gated = gopherQuality(docs, idCol, textCol, minWords,
+      minStopHits = minStopHits).select(col(idCol), col("pass"))
+    val lab = docs.select(col(idCol), col(groupCol).as("grp"))
+    val per = gated.join(lab, idCol).groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val tot = per.agg(sum("n_docs").cast("long").as("_n"),
+      sum("n_pass").cast("long").as("_p"))
+    per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        round(col("_p").cast("double") / col("_n"), 6).as("overall_rate"),
+        when(col("_p") > 0L,
+          round((col("n_pass").cast("double") / col("n_docs")) /
+            (col("_p").cast("double") / col("_n")), 6)).as("disparity"))
+      .orderBy("grp")
   }
 
   /** Unigram log-probability scoring — the language-model-proxy

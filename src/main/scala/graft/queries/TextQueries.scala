@@ -1496,6 +1496,70 @@ object TextQueries {
         .limit(20)
     },
 
+    // ——— filter-disparity audit: per-language keep rate of the
+    //     Gopher gate (relaxed bands so the synthetic corpus
+    //     discriminates) vs the corpus-wide rate — the fairness check
+    //     that catches an English-tuned gate starving other languages
+    //     out of the mix. Disparity computed from RAW ratios, rounded
+    //     once. ———
+    Q("q318_filter_disparity",
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(lower(text), '\s+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT lang,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(ts), 6) AS mean_word_len,
+        |    ROUND(CAST(length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |      / len(ts), 6) AS symbol_ratio,
+        |    ROUND(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      AS DOUBLE) / len(ls), 6) AS bullet_line_frac,
+        |    ROUND(CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+        |      AS DOUBLE) / len(ls), 6) AS ellipsis_line_frac,
+        |    ROUND(CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+        |      AS DOUBLE) / len(ts), 6) AS alpha_word_frac,
+        |    CAST(CAST(list_contains(ts, 'the') AS INT)
+        |      + CAST(list_contains(ts, 'be') AS INT)
+        |      + CAST(list_contains(ts, 'to') AS INT)
+        |      + CAST(list_contains(ts, 'of') AS INT)
+        |      + CAST(list_contains(ts, 'and') AS INT)
+        |      + CAST(list_contains(ts, 'that') AS INT)
+        |      + CAST(list_contains(ts, 'have') AS INT)
+        |      + CAST(list_contains(ts, 'with') AS INT) AS BIGINT) AS stop_hits
+        |  FROM base
+        |), p AS (
+        |  SELECT lang,
+        |    (n_words BETWEEN 30 AND 100000
+        |      AND mean_word_len BETWEEN 3.0 AND 10.0
+        |      AND symbol_ratio <= 0.1
+        |      AND bullet_line_frac <= 0.9
+        |      AND ellipsis_line_frac <= 0.3
+        |      AND alpha_word_frac >= 0.8
+        |      AND stop_hits >= 1) AS pass
+        |  FROM m
+        |), g AS (
+        |  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM p GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+        |         CAST(SUM(n_pass) AS BIGINT) AS tp
+        |  FROM g
+        |)
+        |SELECT grp, n_docs, n_pass,
+        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS keep_rate,
+        |  round(CAST(tp AS DOUBLE) / tn, 6) AS overall_rate,
+        |  CASE WHEN tp > 0 THEN round((CAST(n_pass AS DOUBLE) / n_docs)
+        |    / (CAST(tp AS DOUBLE) / tn), 6) END AS disparity
+        |FROM g CROSS JOIN t ORDER BY grp""".stripMargin) { (s, dir) =>
+      TextStats.filterDisparity(docs(s, dir), minWords = 30L,
+        minStopHits = 1L)
+    },
+
     // ——— vocabulary coverage@k curve: occurrence mass covered by the
     //     top-k token types (the vocab-size design number). Rank via
     //     Ranks.rowNumberExact (count-dictionary, no global window);

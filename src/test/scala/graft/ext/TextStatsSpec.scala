@@ -614,6 +614,29 @@ class TextStatsSpec extends SparkSpec {
     assert(ordered.toSeq === Seq(2L, 1L))
   }
 
+  test("filterDisparity: starved group reads under 1, exact ratios, " +
+    "all-fail corpus yields null disparity") {
+    import spark.implicits._
+    val longText = ("the " + (1 to 40).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (0L, "en", longText), (1L, "en", longText),      // pass
+      (2L, "xx", "too short the"), (3L, "xx", "also short the") // fail
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.filterDisparity(docs, minWords = 30L,
+      minStopHits = 1L).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n_pass") === 2L)
+    assert(out("xx").getAs[Long]("n_pass") === 0L)
+    assert(out("en").getAs[Double]("keep_rate") === 1.0)
+    assert(out("en").getAs[Double]("overall_rate") === 0.5)
+    assert(out("en").getAs[Double]("disparity") === 2.0)
+    assert(out("xx").getAs[Double]("disparity") === 0.0)
+    // nothing passes anywhere → disparity is NULL, not a crash
+    val none = TextStats.filterDisparity(
+      Seq((0L, "en", "tiny")).toDF("doc_id", "lang", "text"),
+      minWords = 30L, minStopHits = 1L).collect()
+    assert(none.head.isNullAt(none.head.fieldIndex("disparity")))
+  }
+
   test("vocabCoverage: exact masses at each k, tie-break by token, " +
     "monotone saturation to 1.0") {
     import spark.implicits._
