@@ -898,6 +898,53 @@ object TextStats {
         .as("kappa"))
   }
 
+  /** Krippendorff's α (nominal data) — inter-rater reliability that,
+    * unlike Fleiss κ (q295), TOLERATES MISSING RATINGS: each unit
+    * keeps whatever raters showed up; units with fewer than 2
+    * ratings are unpairable and drop out of both D_o and D_e. The
+    * per-(unit, category) observed-disagreement terms
+    * c·(m−c)/(m−1) are 1e-9-quantized to BIGINT before the
+    * order-free sum; expected disagreement uses the pairable
+    * category marginals with DECIMAL(38,0) products
+    * (Σ n_c(n−n_c) = n² − Σ n_c²); α = 1 − D_o/D_e is one final
+    * double expression over those exact integers. NULL when every
+    * pairable rating lands in one category (D_e = 0). All rollups
+    * are unit/category-dictionary-scale; no ordered window anywhere.
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        catCol: String, label: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells = ratings.groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .trackedPersist()
+    val units = cells.groupBy("u").agg(sum("c").as("m"))
+      .filter(col("m") >= 2L)
+    val uStats = units.agg(count(lit(1)).as("n_units"),
+      sum("m").cast("long").as("n"))
+    val pairCells = cells.join(units, Seq("u"))
+    val sdo = pairCells.select(
+        round(lit(1e9) * col("c").cast("double") *
+          (col("m") - col("c")).cast("double") /
+          (col("m") - 1L).cast("double")).cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("sdo"))
+    val cStats = pairCells.groupBy("cat").agg(sum("c").as("nc"))
+      .agg(count(lit(1)).as("n_cats"),
+        coalesce(sum(dec(col("nc")) * dec(col("nc"))),
+          dec(lit(0))).as("sum_nc2"))
+    val n2 = dec(col("n")) * dec(col("n"))
+    uStats.crossJoin(broadcast(sdo)).crossJoin(broadcast(cStats))
+      .select(lit(label).as("measure"),
+        col("n_units"), col("n"), col("n_cats"),
+        round(col("sdo").cast("double") / 1e9 / col("n"), 6).as("d_o"),
+        round((n2 - col("sum_nc2")).cast("double") /
+          (dec(col("n")) * dec(col("n") - 1L)).cast("double"), 6).as("d_e"),
+        when(col("n") >= 2L && n2 =!= col("sum_nc2"),
+          round(lit(1.0) -
+            (dec(col("sdo")) * dec(col("n") - 1L)).cast("double") /
+            (lit(1e9) * (n2 - col("sum_nc2")).cast("double")), 6))
+          .as("alpha"))
+  }
+
   /** Source-outlier detection from TEXT ALONE: each document's
     * hashed-bucket token distribution compared (squared L2) to its
     * own source's mean distribution; the top-`k` most distant docs

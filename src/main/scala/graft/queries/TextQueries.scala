@@ -800,6 +800,84 @@ object TextQueries {
       TextStats.fleissKappa(ratings, "doc_id", "cat", "synthetic_3rater")
     },
 
+    // ——— Krippendorff's α (nominal): Fleiss' missing-data-tolerant
+    //     sibling — a 4-rater synthetic panel where each rater SKIPS
+    //     ~30% of units (md5 coin), so per-unit rating counts vary
+    //     and κ's equal-panel precondition fails exactly where α is
+    //     designed to work. Same exact-integer discipline as q295. ———
+    Q("q319_krippendorff_alpha",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS r FROM documents
+        |), kept AS (
+        |  SELECT doc_id, r FROM r
+        |  WHERE CAST(concat('0x', substring(md5('ka' || CAST(doc_id AS VARCHAR)
+        |    || '@' || CAST(r AS VARCHAR)), 1, 7)) AS BIGINT) % 10 >= 3
+        |), rat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 7))
+        |        AS BIGINT) % 100 < 75
+        |      THEN CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4
+        |      ELSE (CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4
+        |        + 1 + CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 7))
+        |        AS BIGINT) % 100 % 3) % 4 END AS cat
+        |  FROM kept
+        |), cells AS (SELECT doc_id AS u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2),
+        |units AS (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY 1
+        |  HAVING SUM(c) >= 2
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |         CAST(SUM(m) AS BIGINT) AS n
+        |  FROM units
+        |), pc AS (
+        |  SELECT cells.u, cells.cat, cells.c, units.m
+        |  FROM cells JOIN units USING (u)
+        |), sd AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    * CAST(m - c AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS BIGINT)), 0)
+        |    AS BIGINT) AS sdo
+        |  FROM pc
+        |), cs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |    COALESCE(SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)),
+        |      CAST(0 AS HUGEINT)) AS sum_nc2
+        |  FROM (SELECT cat, CAST(SUM(c) AS BIGINT) AS nc FROM pc GROUP BY 1)
+        |)
+        |SELECT 'synthetic_4rater_missing' AS measure, n_units, n, n_cats,
+        |  round(CAST(sdo AS DOUBLE) / 1e9 / n, 6) AS d_o,
+        |  round(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sum_nc2
+        |      AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6) AS d_e,
+        |  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |      <> sum_nc2 THEN
+        |    round(1.0 - CAST(CAST(sdo AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      / (1e9 * CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sum_nc2
+        |        AS DOUBLE)), 6)
+        |  END AS alpha
+        |FROM us CROSS JOIN sd CROSS JOIN cs""".stripMargin) { (s, dir) =>
+      val uid = col("doc_id").cast("string")
+      val rid = col("r").cast("string")
+      val skip = conv(substring(md5(concat(lit("ka"), uid, lit("@"), rid)),
+        1, 7), 16, 10).cast("long") % 10 < 3
+      val base = conv(substring(md5(concat(lit("ka"), uid)), 1, 7),
+        16, 10).cast("long") % 4
+      val coin = conv(substring(md5(concat(lit("ka"), uid, lit("#"), rid)),
+        1, 7), 16, 10).cast("long") % 100
+      val ratings = docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("r"))
+        .filter(!skip)
+        .select(col("doc_id"),
+          when(coin < 75, base)
+            .otherwise((base + lit(1L) + coin % 3) % 4).as("cat"))
+      TextStats.krippendorffAlpha(ratings, "doc_id", "cat",
+        "synthetic_4rater_missing")
+    },
+
     // ——— degenerate-text run detector: longest immediate-repeat run
     //     (period 1) and longest 2-back-equal chain (period 2) per
     //     doc — the model-generated-loop signature q62's distinct

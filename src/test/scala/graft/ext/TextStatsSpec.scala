@@ -614,6 +614,30 @@ class TextStatsSpec extends SparkSpec {
     assert(ordered.toSeq === Seq(2L, 1L))
   }
 
+  test("krippendorffAlpha: hand-computed nominal alpha, unpairable " +
+    "units dropped, perfect and degenerate panels") {
+    import spark.implicits._
+    // u1 [0,0], u2 [0,1], u3 [1,1,1], u4 [0] (unpairable)
+    val ratings = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L),
+      (3L, 1L), (3L, 1L), (3L, 1L), (4L, 0L)).toDF("u", "cat")
+    val r = TextStats.krippendorffAlpha(ratings, "u", "cat", "t").head()
+    assert(r.getAs[Long]("n_units") === 3L)   // u4 dropped
+    assert(r.getAs[Long]("n") === 7L)
+    assert(r.getAs[Long]("n_cats") === 2L)
+    // D_o = 2/7, D_e = (49-25)/42 = 4/7, alpha = 1 - (2/7)/(4/7) = 0.5
+    assert(r.getAs[Double]("d_o") === 0.285714)
+    assert(r.getAs[Double]("d_e") === 0.571429)
+    assert(r.getAs[Double]("alpha") === 0.5)
+    // perfect agreement → alpha 1
+    val perfect = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L)).toDF("u", "cat")
+    assert(TextStats.krippendorffAlpha(perfect, "u", "cat", "t")
+      .head().getAs[Double]("alpha") === 1.0)
+    // one category everywhere → D_e = 0 → alpha NULL
+    val degen = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 0L)).toDF("u", "cat")
+    val dr = TextStats.krippendorffAlpha(degen, "u", "cat", "t").head()
+    assert(dr.isNullAt(dr.fieldIndex("alpha")))
+  }
+
   test("filterDisparity: starved group reads under 1, exact ratios, " +
     "all-fail corpus yields null disparity") {
     import spark.implicits._
