@@ -299,6 +299,65 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** Brier score with the Murphy decomposition — the calibration
+    * summary that splits a probabilistic classifier's squared error
+    * into reliability (miscalibration, lower is better), resolution
+    * (how much the forecasts separate the classes, higher is
+    * better), and uncertainty (the base rate's irreducible floor):
+    * Brier ≈ REL − RES + UNC. Complements q181's ECE table: ECE
+    * ranks bins, this one number-izes the whole forecast quality.
+    *
+    * Bins are FIXED-WIDTH over [0,1] (integer arithmetic on the
+    * micro-quantized score — deliberately not quantiles, so no
+    * ordered window anywhere). Sufficient statistics per bin are
+    * exact integers (micro-score sums, label sums, DECIMAL(38,0)
+    * squared-error sums); the per-bin REL/RES terms are
+    * 1e-9-quantized doubles of identical shape in both engines, and
+    * every cross-bin sum is order-free. One doc rollup + one
+    * bin-dictionary rollup + a broadcast 1-row total attach.
+    */
+  def brierDecomposition(scored: DataFrame, labelCol: String,
+                         scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"brierDecomposition: bins must be >= 2, got $bins")
+    val dec = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val q = scored.select(
+      round(col(scoreCol).cast("double") * 1e6).cast("long").as("sm"),
+      col(labelCol).cast("long").as("y"))
+    val binned = q.withColumn("bin",
+      least(floor(col("sm").cast("double") * bins / 1e6),
+        lit(bins - 1L)).cast("long"))
+    val err = col("sm") - col("y") * lit(1000000L)
+    val g = binned.groupBy("bin").agg(count(lit(1)).as("n"),
+      sum("sm").as("ssm"), sum("y").as("sy"),
+      sum(dec(err * err)).as("sq"))
+    val tot = g.agg(sum("n").cast("long").as("nt"),
+      sum("sy").cast("long").as("syt"), sum(dec(col("sq"))).as("sqt"))
+    val pbar = col("ssm").cast("double") / (col("n").cast("double") * lit(1e6))
+    val ybarB = col("sy").cast("double") / col("n").cast("double")
+    val ybar = col("syt").cast("double") / col("nt").cast("double")
+    val dRel = pbar - ybarB
+    val dRes = ybarB - ybar
+    val terms = g.crossJoin(broadcast(tot)).select(
+      col("n"), col("nt"), col("syt"), col("sqt"),
+      round(lit(1e9) * col("n").cast("double") * (dRel * dRel))
+        .cast("long").as("rel_u"),
+      round(lit(1e9) * col("n").cast("double") * (dRes * dRes))
+        .cast("long").as("res_u"))
+    terms.groupBy("nt", "syt", "sqt")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("rel_u").as("srel"), sum("res_u").as("sres"))
+      .select(col("nt").as("n"), col("n_bins"),
+        round(col("sqt").cast("double") / 1e12 / col("nt"), 6).as("brier"),
+        round(col("srel").cast("double") / 1e9 / col("nt"), 6)
+          .as("reliability"),
+        round(col("sres").cast("double") / 1e9 / col("nt"), 6)
+          .as("resolution"),
+        round((col("syt").cast("double") / col("nt").cast("double")) *
+          (lit(1.0) - col("syt").cast("double") / col("nt").cast("double")),
+          6).as("uncertainty"))
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df

@@ -2552,6 +2552,92 @@ object TextQueries {
       Classifier.calibrationBins(scored, "y", "score", bins = 10)
     },
 
+    // ——— Brier score + Murphy decomposition (REL − RES + UNC) of the
+    //     q181 classifier's forecasts: fixed-width micro-score bins
+    //     (integer arithmetic, no quantile window), exact integer /
+    //     DECIMAL(38,0) sufficient statistics, 1e-9-quantized per-bin
+    //     terms — the one-number calibration summary next to ECE. ———
+    Q("q320_brier_decomposition", {
+      s"""WITH wt AS (SELECT bucket, w FROM read_parquet('${Fixtures.sqlPath("q320_weights")}') WHERE bucket >= 0),
+         |bias AS (SELECT w AS b FROM read_parquet('${Fixtures.sqlPath("q320_weights")}') WHERE bucket = -1),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents
+         |), feats AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) % 256 AS BIGINT) AS bucket
+         |  FROM toks
+         |), zs AS (
+         |  SELECT f.doc_id, list_sum(list(wt.w ORDER BY f.bucket)) AS s
+         |  FROM feats f JOIN wt USING (bucket) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT z.doc_id,
+         |    CAST(round(1.0 / (1.0 + exp(-(bias.b + z.s))) * 1000000) AS BIGINT)
+         |      AS sm
+         |  FROM zs z CROSS JOIN bias
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(CASE WHEN token = 'spark' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'stream' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS y
+         |  FROM toks GROUP BY doc_id
+         |), b AS (
+         |  SELECT s.sm, l.y,
+         |    CAST(least(floor(CAST(s.sm AS DOUBLE) * 10 / 1000000.0), 9)
+         |      AS BIGINT) AS bin
+         |  FROM sc s JOIN lab l USING (doc_id)
+         |), g AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(sm) AS BIGINT) AS ssm, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(sm - y * 1000000 AS HUGEINT)
+         |      * CAST(sm - y * 1000000 AS HUGEINT)) AS sq
+         |  FROM b GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         |    CAST(SUM(sy) AS BIGINT) AS syt, SUM(sq) AS sqt
+         |  FROM g
+         |), terms AS (
+         |  SELECT g.n, t.nt, t.syt, t.sqt,
+         |    CAST(round(1e9 * CAST(g.n AS DOUBLE)
+         |      * ((CAST(g.ssm AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000.0)
+         |          - CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |        * (CAST(g.ssm AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000.0)
+         |          - CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE))))
+         |      AS BIGINT) AS rel_u,
+         |    CAST(round(1e9 * CAST(g.n AS DOUBLE)
+         |      * ((CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |          - CAST(t.syt AS DOUBLE) / CAST(t.nt AS DOUBLE))
+         |        * (CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |          - CAST(t.syt AS DOUBLE) / CAST(t.nt AS DOUBLE))))
+         |      AS BIGINT) AS res_u
+         |  FROM g CROSS JOIN t
+         |)
+         |SELECT nt AS n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |  round(CAST(sqt AS DOUBLE) / 1e12 / nt, 6) AS brier,
+         |  round(CAST(SUM(rel_u) AS DOUBLE) / 1e9 / nt, 6) AS reliability,
+         |  round(CAST(SUM(res_u) AS DOUBLE) / 1e9 / nt, 6) AS resolution,
+         |  round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+         |    * (1.0 - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+         |    AS uncertainty
+         |FROM terms GROUP BY nt, syt, sqt""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Classifier
+      val toks = TextStats.tokens(col("text"))
+      val labeled = docs(s, dir).withColumn("y",
+        (array_contains(toks, "spark") && array_contains(toks, "stream") &&
+          array_contains(toks, "window")).cast("int"))
+      val model = Classifier.train(labeled, "y", dim = 256, iters = 2)
+      Fixtures.write("q320_weights", {
+        import s.implicits._
+        ((-1L, model.bias) +: model.weights.zipWithIndex.toSeq
+          .map { case (w, j) => (j.toLong, w) }).toDF("bucket", "w")
+      })
+      val scored = Classifier.score(labeled, model)
+        .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      Classifier.brierDecomposition(scored, "y", "score", bins = 10)
+    },
+
     // ——— token-weighted length quartiles per source: "the doc length
     //     below which half the TOKENS sit" — nearest-rank on integer
     //     cumulative weights, no interpolation; the budgeting view of

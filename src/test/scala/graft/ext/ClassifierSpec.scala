@@ -143,4 +143,30 @@ class ClassifierSpec extends SparkSpec {
     val b = aucOf(rows.map { case (s, y) => (s * 10 + 100, y) })
     assert(a === b)
   }
+
+  test("brierDecomposition: hand-computed Murphy terms and the " +
+    "REL - RES + UNC identity on bin-pure forecasts") {
+    import spark.implicits._
+    // p=0.1 twice with y=0, p=0.9 twice with y=1 → two pure bins
+    val scored = Seq((0.1, 0), (0.1, 0), (0.9, 1), (0.9, 1))
+      .toDF("score", "y")
+    val r = Classifier.brierDecomposition(scored, "y", "score").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(r.getAs[Double]("brier") === 0.01)
+    assert(r.getAs[Double]("reliability") === 0.01)
+    assert(r.getAs[Double]("resolution") === 0.25)
+    assert(r.getAs[Double]("uncertainty") === 0.25)
+    // identity holds here (up to double re-association): brier = REL - RES + UNC
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty"))) < 1e-9)
+    // perfect calibrated separation: zero brier, zero reliability
+    val perfect = Seq((1.0, 1), (0.0, 0)).toDF("score", "y")
+    val p = Classifier.brierDecomposition(perfect, "y", "score").head()
+    assert(p.getAs[Double]("brier") === 0.0)
+    assert(p.getAs[Double]("reliability") === 0.0)
+    assert(p.getAs[Double]("resolution") === 0.25)
+    assert(p.getAs[Double]("uncertainty") === 0.25)
+  }
 }
