@@ -983,6 +983,64 @@ object Graph {
     out.orderBy("start", "step")
   }
 
+  /** Deterministic unigram^0.75 negative sampling — the third stage
+    * of the embedding-training pipeline (after [[deterministicWalks]]
+    * → [[walkSkipGramPairs]]): for every skip-gram pair and
+    * j ∈ 1..k, draw a negative node from the degree^0.75 distribution
+    * (degree is the stationary visit frequency of a uniform walk, so
+    * it stands in for the corpus unigram counts) with an md5 coin —
+    * no RNG state, every draw replayable.
+    *
+    * HOW IT SCALES — the alias-table substitute: each node owns the
+    * half-open interval [cum−w, cum) of cumulative 1e-6-quantized
+    * weight, computed by `Ranks.rowNumberWithRunningSum` (ordered
+    * window over the WEIGHT-VALUE dictionary only, never a row-scale
+    * sort). A draw is then "find the interval containing coin mod
+    * total" — NOT a non-equi join: intervals explode into the fixed
+    * `bucketWidth` grid they overlap (Σ w/B + |V| rows total, a
+    * constant per node by construction), coins hash to their bucket,
+    * and the lookup is a plain bucket-keyed EQUI-join + interval
+    * filter. Exactly one node matches per coin. Collisions with the
+    * pair's own endpoints are flagged, not resampled (a resample
+    * loop is not replayable; the trainer drops flagged rows).
+    */
+  def negativeSamples(edges: DataFrame, pairs: DataFrame, k: Int,
+                      seed: String,
+                      bucketWidth: Long = 1L << 22): DataFrame = {
+    require(k >= 1, s"negativeSamples: k >= 1, got $k")
+    require(bucketWidth >= 1L,
+      s"negativeSamples: bucketWidth >= 1, got $bucketWidth")
+    import graft.engine.Ranks
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val degW = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"),
+        round(lit(1e6) * pow(col("deg").cast("double"), lit(0.75)))
+          .cast("long").as("w"))
+    val iv = Ranks.rowNumberWithRunningSum(degW, "w", "node",
+        outRank = "_r", outCum = "hi", withTotal = false)
+      .select(col("node"), (col("hi") - col("w")).as("lo"), col("hi"))
+    val bucketed = iv.select(col("node"), col("lo"), col("hi"),
+      explode(sequence(Ranks.idiv(col("lo"), lit(bucketWidth)),
+        Ranks.idiv(col("hi") - 1L, lit(bucketWidth)))).as("bkt"))
+    val tot = degW.agg(sum("w").cast("long").as("_t"))
+    val coins = pairs.select(col("u"), col("v"))
+      .crossJoin(broadcast(tot))
+      .select(col("u"), col("v"),
+        explode(array((1 to k).map(lit): _*)).as("j"), col("_t"))
+      .withColumn("c", pmod(conv(substring(md5(concat(col("u"), lit("|"),
+        col("v"), lit("|"), col("j").cast("string"), lit(":" + seed))),
+        1, 15), 16, 10).cast("long"), col("_t")))
+      .withColumn("bkt", Ranks.idiv(col("c"), lit(bucketWidth)))
+    coins.join(bucketed, Seq("bkt"))
+      .filter(col("c") >= col("lo") && col("c") < col("hi"))
+      .select(col("u"), col("v"), col("j"), col("node").as("neg"),
+        (col("node") === col("u") || col("node") === col("v"))
+          .as("is_collision"))
+      .orderBy("u", "v", "j")
+  }
+
   def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"walkSkipGramPairs: window >= 1, got $window")
     val traj = walks.select(col("start"), col("step"), col("node"))

@@ -5716,6 +5716,51 @@ object Relational {
         |ORDER BY start, step""".stripMargin) { (s, dir) =>
       graft.ext.Graph.node2vecWalks(psEdges(s, dir), steps = 3,
         seed = "n2v1")
+    },
+
+    // ——— deterministic unigram^0.75 negative sampling for the q311
+    //     skip-gram pairs (the embedding trainer's third input): each
+    //     node owns a cumulative-weight interval (Ranks running-sum
+    //     decomposition, weight-dictionary window only); a draw is an
+    //     md5 coin mod total looked up via a bucket-grid EQUI-join —
+    //     the alias-table substitute that scales. Endpoint collisions
+    //     flagged, not resampled. ———
+    Q("q321_negative_samples",
+      s"""$walksCte,
+        |pr AS (
+        |  SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v
+        |  FROM traj a JOIN traj b
+        |    ON a.start = b.start AND b.step > a.step
+        |    AND b.step - a.step <= 2
+        |), pairs AS (
+        |  SELECT u, v FROM pr WHERE u <> v GROUP BY 1, 2
+        |), wts AS (
+        |  SELECT src AS node,
+        |    CAST(round(1e6 * pow(CAST(deg AS DOUBLE), 0.75)) AS BIGINT) AS w
+        |  FROM deg
+        |), iv AS (
+        |  SELECT node, w,
+        |    SUM(w) OVER (ORDER BY w, node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS lo,
+        |    SUM(w) OVER (ORDER BY w, node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM wts
+        |), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wts),
+        |coins AS (
+        |  SELECT u, v, CAST(rj.j AS INT) AS j,
+        |    CAST(concat('0x', substring(md5(u || '|' || v || '|'
+        |      || CAST(rj.j AS VARCHAR) || ':ns1'), 1, 15)) AS BIGINT) % t AS c
+        |  FROM pairs CROSS JOIN range(1, 3) rj(j) CROSS JOIN tot
+        |)
+        |SELECT coins.u, coins.v, coins.j, iv.node AS neg,
+        |  (iv.node = coins.u OR iv.node = coins.v) AS is_collision
+        |FROM coins JOIN iv ON coins.c >= iv.lo AND coins.c < iv.hi
+        |ORDER BY u, v, j""".stripMargin) { (s, dir) =>
+      val pairs = graft.ext.Graph.walkSkipGramPairs(
+        graft.ext.Graph.deterministicWalks(psEdges(s, dir), steps = 3,
+          seed = "w1").trackedLocalCheckpoint(), window = 2)
+      graft.ext.Graph.negativeSamples(psEdges(s, dir), pairs, k = 2,
+        seed = "ns1")
     }
   )
 

@@ -783,7 +783,8 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q312_domain_cap", "q313_secret_scan",
         "q314_vocab_coverage", "q315_node2vec_walks", "q316_mrr",
         "q317_streaming_domain_cap", "q318_filter_disparity",
-        "q319_krippendorff_alpha", "q320_brier_decomposition")) {
+        "q319_krippendorff_alpha", "q320_brier_decomposition",
+        "q321_negative_samples")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -495,6 +495,38 @@ class GraphSpec extends SparkSpec {
     assert(w1.sorted.toSeq === w1b.sorted.toSeq)
   }
 
+  test("negativeSamples: one draw per (pair, j) even when intervals " +
+    "span many buckets, exact replay, collision flag") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"))
+      .toDF("src", "dst")
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "d"))
+      .toDF("u", "v")
+    // tiny bucketWidth forces every interval to span many buckets —
+    // the dedup-critical path of the grid join: still exactly one
+    // matching node per coin
+    val out = Graph.negativeSamples(edges, pairs, k = 3, seed = "t1",
+      bucketWidth = 7L).collect()
+    assert(out.length === 9) // 3 pairs × 3 draws
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .distinct.length === 9)
+    val nodes = Set("a", "b", "c", "d")
+    out.foreach { r =>
+      assert(nodes.contains(r.getString(3)))
+      val expectCollision = r.getString(3) == r.getString(0) ||
+        r.getString(3) == r.getString(1)
+      assert(r.getBoolean(4) === expectCollision)
+    }
+    // replay invariance: bucket width is an implementation knob, not
+    // semantics — the drawn negatives must be identical for any width
+    val wide = Graph.negativeSamples(edges, pairs, k = 3, seed = "t1")
+      .collect().map(_.toSeq)
+    assert(wide.toSeq === out.map(_.toSeq).toSeq)
+    // a different seed moves at least one draw
+    val reseeded = Graph.negativeSamples(edges, pairs, k = 3, seed = "t2")
+      .collect().map(_.toSeq)
+    assert(reseeded.toSeq !== wide.toSeq)
+  }
+
   test("walkSkipGramPairs: window band, start at step 0, revisit " +
     "self-pairs dropped, multiplicity counted") {
     // hand trajectory a→b→c→d: window 2 pairs are (a,b),(a,c),(b,c),
