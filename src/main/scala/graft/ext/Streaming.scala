@@ -614,6 +614,57 @@ object Streaming {
       }
   }
 
+  /** Streaming MERGE-INTO maintenance — the production pattern for
+    * keeping a keyed mirror current from a change stream: every
+    * micro-batch is compacted to last-writer-per-key (ts, then
+    * event_id — a PARTITIONED window over the batch only), guarded
+    * against stale replays with the MERGE-WHEN-NEWER condition
+    * (source (ts, event_id) must beat the target's), and applied via
+    * [[graft.engine.Scd.mergeUpsert]]. The maintained target is
+    * ledger-checkpointed per batch (lineage cut — without it batch N
+    * replans N merges). Out-of-order and duplicate DELIVERY both
+    * collapse to the same final table as one batch compaction of the
+    * whole feed — that equivalence is the oracle check and the
+    * StreamingSpec multi-batch law.
+    *
+    * In production the target is a table-format MERGE (the
+    * newer-than guard becomes the WHEN MATCHED condition); here it
+    * is the pure-DataFrame twin so the semantics are oracle-exact.
+    */
+  def upsertMaintenanceStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    var target = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = events.select("user_id", "ts", "event_id", "value").writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val compact = batch.select("user_id", "ts", "event_id", "value")
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1).drop("_rk")
+        val newer = compact.join(target.select(col("user_id"),
+            col("ts").as("_tts"), col("event_id").as("_tid")),
+            Seq("user_id"), "left")
+          .filter(col("_tts").isNull || col("ts") > col("_tts") ||
+            (col("ts") === col("_tts") && col("event_id") > col("_tid")))
+          .drop("_tts", "_tid")
+        target = graft.engine.TrackedCache.trackedLocalCheckpoint(
+          graft.engine.Scd.mergeUpsert(target,
+            newer.withColumn("op", lit("I")), Seq("user_id")))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    target
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val q = df.writeStream

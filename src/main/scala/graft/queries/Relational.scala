@@ -2046,6 +2046,23 @@ object Relational {
         .orderBy("k")
     },
 
+    // ——— streaming MERGE-INTO maintenance (q191's upsert kept
+    //     current from the event stream): per micro-batch last-writer
+    //     compaction + MERGE-WHEN-NEWER guard + Scd.mergeUpsert,
+    //     target ledger-checkpointed per batch. Final mirror ==
+    //     one-shot last-event-per-user compaction — the oracle. ———
+    Q("q322_streaming_upsert",
+      """SELECT user_id, ROUND(value, 6) AS value FROM (
+        |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val stream = graft.ext.Streaming.readEvents(s, s"$dir/events.parquet")
+      graft.ext.Streaming.upsertMaintenanceStream(stream)
+        .select(col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy("user_id")
+    },
+
     // ——— universe (key-consistent) sampling: both sides of the
     //     orders⋈lineitem join keep the SAME md5-coin 10% of order
     //     keys, so the sampled join is the join of the samples —

@@ -1029,6 +1029,27 @@ class StreamingSpec extends SparkSpec {
       "union across restart must equal the batch admit set exactly once")
   }
 
+  test("upsertMaintenanceStream: out-of-order multi-batch delivery " +
+    "converges to the one-shot last-writer compaction") {
+    // the staged chunks deliberately deliver some rows LATE (a later
+    // file carries earlier timestamps) — the MERGE-WHEN-NEWER guard
+    // must refuse those stale writes
+    val (dir, batch, nLate) = writeOutOfOrderChunks()
+    assert(nLate > 0)
+    val stream = readChunkStream(dir, batch)
+    val got = Streaming.upsertMaintenanceStream(stream)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = batch.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got === want)
+    graft.engine.TrackedCache.release()
+  }
+
   test("domainCapStream: cap straddles a micro-batch boundary; final " +
     "ledger equals the batch policy") {
     import spark.implicits._
