@@ -159,6 +159,52 @@ object Privacy {
       .orderBy("key")
   }
 
+  /** t-closeness audit — the release-safety check k-anonymity (q229)
+    * and l-diversity cannot give: a class can be large and diverse
+    * yet still LEAK because its sensitive-value mix differs sharply
+    * from the population's (the classic "this zip code is 90%
+    * high-risk" disclosure). Per QI equivalence class, the
+    * variational distance ½·Σ_v |p_class(v) − p_global(v)| between
+    * the class's categorical sensitive distribution and the global
+    * one; classes with distance > t are t-risky.
+    *
+    * Exactness: the per-(class, value) terms — including the ZERO
+    * cells the absent-value grid supplies, which carry |0 − p_g| —
+    * are 1e-9-quantized BIGINTs, and the t flag compares integer
+    * mass against round(t·2e9), so the verdict can't wobble on a
+    * rounding edge. Scale: class-dictionary × value-dictionary grid
+    * (a broadcast of the bounded value dictionary), one left join
+    * against the observed cells, one class rollup.
+    */
+  def tClosenessAudit(df: org.apache.spark.sql.DataFrame,
+                      quasiIds: Seq[String], sensitiveCol: String,
+                      t: Double): org.apache.spark.sql.DataFrame = {
+    require(quasiIds.nonEmpty, "tClosenessAudit: need quasi-identifiers")
+    require(t > 0.0 && t < 1.0, s"tClosenessAudit: t in (0,1), got $t")
+    val qi = quasiIds.map(col)
+    val cls = df.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+    val vals = df.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_g"))
+    val tot = df.agg(count(lit(1)).as("_nn"))
+    val cv = df.groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grid = cls
+      .crossJoin(broadcast(vals))
+      .crossJoin(broadcast(tot))
+      .join(cv, quasiIds :+ "_v", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val tU = math.round(t * 2e9)
+    val terms = grid.withColumn("_t_u",
+      round(lit(1e9) * abs(col("_c").cast("double") / col("n") -
+        col("_g").cast("double") / col("_nn"))).cast("long"))
+    terms.groupBy(qi :+ col("n"): _*)
+      .agg(sum("_t_u").as("_su"))
+      .select(qi ++ Seq(col("n"),
+        round(col("_su").cast("double") / 2e9, 6).as("distance"),
+        (col("_su") > tU).as("t_risky")): _*)
+      .orderBy(qi: _*)
+  }
+
   /** Leaked-credential detector patterns — like the PII battery,
     * written in the Java-regex ∩ RE2 subset (no lookarounds) so the
     * same strings run in Spark and the DuckDB oracle. Three disjoint

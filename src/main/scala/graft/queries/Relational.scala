@@ -3121,6 +3121,46 @@ object Relational {
         .orderBy("nation", "segment")
     },
 
+    // ——— t-closeness release audit (the disclosure k/l-diversity
+    //     misses): per nation class, variational distance between its
+    //     market-segment mix and the population's — zero cells
+    //     included via the class×value grid; 1e-9-quantized terms and
+    //     an integer-mass t compare, so the verdict can't wobble. ———
+    Q("q323_t_closeness",
+      """WITH cls AS (
+        |  SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1
+        |), vals AS (
+        |  SELECT c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS g
+        |  FROM customer GROUP BY 1
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
+        |cv AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT cls.nation, cls.n, vals.v, vals.g, tot.nn,
+        |    COALESCE(cv.c, 0) AS c
+        |  FROM cls CROSS JOIN vals CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.nation = cls.nation AND cv.v = vals.v
+        |), terms AS (
+        |  SELECT nation, n,
+        |    CAST(round(1e9 * abs(CAST(c AS DOUBLE) / n
+        |      - CAST(g AS DOUBLE) / nn)) AS BIGINT) AS t_u
+        |  FROM grid
+        |)
+        |SELECT nation, n,
+        |  round(CAST(SUM(t_u) AS DOUBLE) / 2e9, 6) AS distance,
+        |  (SUM(t_u) > 400000000) AS t_risky
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      graft.ext.Privacy.tClosenessAudit(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", t = 0.2)
+        .select(col("c_nationkey").as("nation"), col("n"),
+          col("distance"), col("t_risky"))
+        .orderBy("nation")
+    },
+
     // ——— blocking-quality scorecard for entity resolution: how much
     //     does first-char blocking shrink the pair space (reduction
     //     ratio) and how many JW ≥ 0.75 true matches does it keep

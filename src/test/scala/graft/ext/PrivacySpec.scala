@@ -153,6 +153,29 @@ class PrivacySpec extends SparkSpec {
     assert(clean.getAs[Double]("pii_per_kchar") === 0.0)
   }
 
+  test("tClosenessAudit: hand variational distances, zero cells " +
+    "counted, integer-mass t verdict") {
+    import spark.implicits._
+    // A: 3x/1y, C: 2x only → global 5x/1y over 6
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("C", "x"), ("C", "x")).toDF("qi", "sens")
+    val out = Privacy.tClosenessAudit(df, Seq("qi"), "sens", t = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n") === 4L)
+    assert(out("A").getAs[Double]("distance") === 0.083333)
+    assert(!out("A").getAs[Boolean]("t_risky"))
+    // C never saw 'y': the zero cell contributes |0 - 1/6|
+    assert(out("C").getAs[Double]("distance") === 0.166667)
+    assert(out("C").getAs[Boolean]("t_risky"))
+    // identical mixes everywhere → distance 0, nothing risky
+    val flat = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("qi", "sens")
+    val fr = Privacy.tClosenessAudit(flat, Seq("qi"), "sens", t = 0.1)
+      .collect()
+    assert(fr.forall(_.getAs[Double]("distance") === 0.0))
+    assert(fr.forall(!_.getAs[Boolean]("t_risky")))
+  }
+
   test("secretScan: disjoint detector classes, byte accounting, " +
     "no cross-class shadowing") {
     import spark.implicits._
