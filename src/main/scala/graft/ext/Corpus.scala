@@ -143,6 +143,48 @@ object Corpus {
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("bin"))
   }
 
+  /** Packing-contamination audit — when [[packByTokenBudget]]'s packs
+    * are trained WITHOUT document-boundary attention masks, every
+    * token attends (causally) to all earlier tokens in the pack,
+    * including other documents': per stratum, how many of the pack's
+    * causal attention pairs cross a document boundary. cross_pairs =
+    * Σ_doc n_tokens × (tokens packed before it in the same pack);
+    * total_pairs = Σ_pack T(T−1)/2 — all integer arithmetic (the
+    * product of consecutive integers is even, so the halving is
+    * exact), one contamination ratio per stratum at the end. The
+    * number that decides whether the trainer needs block-diagonal
+    * masks or the packs need re-cutting. Windows are PARTITIONED by
+    * (stratum, pack) / stratum only.
+    */
+  def packingContamination(docs: DataFrame, budget: Long,
+                           stratumCol: String = "lang",
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    import graft.engine.Ranks.idiv
+    val packed = packByTokenBudget(docs, budget, stratumCol, idCol, textCol)
+    val wp = Window.partitionBy(col(stratumCol), col("bin"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrefix = packed
+      .withColumn("_prefix", sum("n_tokens").over(wp) - col("n_tokens"))
+    val perPack = withPrefix.groupBy(col(stratumCol), col("bin"))
+      .agg(count(lit(1)).as("_nd"), sum("n_tokens").as("_tt"),
+        sum(col("n_tokens") * col("_prefix")).as("_cross"))
+    perPack.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_packs"),
+        sum("_nd").cast("long").as("n_docs"),
+        sum("_tt").cast("long").as("n_tokens"),
+        sum("_cross").cast("long").as("cross_pairs"),
+        sum(idiv(col("_tt") * (col("_tt") - 1L), lit(2L))).cast("long")
+          .as("total_pairs"))
+      .select(col(stratumCol), col("n_packs"), col("n_docs"),
+        col("n_tokens"), col("cross_pairs"), col("total_pairs"),
+        when(col("total_pairs") > 0L,
+          round(col("cross_pairs").cast("double") / col("total_pairs"), 6))
+          .as("contamination"))
+      .orderBy(stratumCol)
+  }
+
   /** Content-defined chunking (rolling-hash CDC): a chunk boundary
     * falls wherever the hash of the `w`-token window starting at a
     * position divides `divisor` — so boundaries depend only on LOCAL

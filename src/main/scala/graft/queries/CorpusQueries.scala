@@ -105,6 +105,47 @@ object CorpusQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // ——— packing-contamination audit: how many causal attention
+    //     pairs in q93's packs CROSS document boundaries when trained
+    //     without block-diagonal masks — all-integer pair accounting
+    //     (T(T−1)/2 halving exact), per-stratum ratio. ———
+    Q("q324_packing_contamination",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |  FROM c
+        |), pp AS (
+        |  SELECT lang, bin, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS prefix
+        |  FROM p
+        |), pk AS (
+        |  SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tt,
+        |    CAST(SUM(n_tokens * prefix) AS BIGINT) AS cross_p
+        |  FROM pp GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cross_p) AS BIGINT) AS cross_pairs,
+        |  CAST(SUM(tt * (tt - 1) // 2) AS BIGINT) AS total_pairs,
+        |  CASE WHEN SUM(tt * (tt - 1) // 2) > 0 THEN
+        |    round(CAST(SUM(cross_p) AS DOUBLE)
+        |      / SUM(tt * (tt - 1) // 2), 6) END AS contamination
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Corpus.packingContamination(docs(s, dir), budget = 2048L)
+    },
+
     // ——— content-defined chunking: rolling-hash (md5-hex7) boundary
     //     whenever the 3-token window divides 16 — shift-robust
     //     chunking whose fingerprints survive insertions (the CDC

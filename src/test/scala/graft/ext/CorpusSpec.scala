@@ -666,6 +666,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packingContamination: hand pair accounting per pack, " +
+    "single-token pack yields null ratio") {
+    import spark.implicits._
+    // lang x, budget 5: docs of 3/2/4 tokens pack as [3,2] + [4]
+    val d = Seq((1L, "x", "a b c"), (2L, "x", "d e"),
+      (3L, "x", "f g h i")).toDF("doc_id", "lang", "text")
+    val r = Corpus.packingContamination(d, budget = 5L).head()
+    assert(r.getAs[Long]("n_packs") === 2L)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 9L)
+    // pack [3,2]: cross = 2×3 = 6, total = 5·4/2 = 10
+    // pack [4]:   cross = 0,     total = 4·3/2 = 6
+    assert(r.getAs[Long]("cross_pairs") === 6L)
+    assert(r.getAs[Long]("total_pairs") === 16L)
+    assert(r.getAs[Double]("contamination") === 0.375)
+    // a lone 1-token doc: zero pairs → NULL, not a division crash
+    val solo = Seq((1L, "y", "tok")).toDF("doc_id", "lang", "text")
+    val sr = Corpus.packingContamination(solo, budget = 5L).head()
+    assert(sr.getAs[Long]("total_pairs") === 0L)
+    assert(sr.isNullAt(sr.fieldIndex("contamination")))
+  }
+
   test("domainFrequencyCap: cap binds per domain, conservation, " +
     "deterministic replay and seed sensitivity") {
     import spark.implicits._
