@@ -771,20 +771,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r11 continuation (q312–q320): partitioned/dictionary windows " +
+  test("r11 continuation (q312–q324): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q316 replays the ANN battery's accepted shape: the brute-truth
     // crossJoin(broadcast(query-roster)) — the roster is the bounded
     // qid dictionary (vec_id % 50), same as q196/q197. q319 attaches
     // TWO broadcast 1-row aggregates (observed-disagreement sum +
     // category marginals) to the unit totals.
-    val bnljCap = Map("q316_mrr" -> 2, "q319_krippendorff_alpha" -> 2)
-      .withDefaultValue(1)
+    // q323 attaches the bounded sensitive-value dictionary AND the
+    // 1-row total to the class dictionary — two broadcast attaches
+    val bnljCap = Map("q316_mrr" -> 2, "q319_krippendorff_alpha" -> 2,
+      "q323_t_closeness" -> 2).withDefaultValue(1)
     for (name <- Seq("q312_domain_cap", "q313_secret_scan",
         "q314_vocab_coverage", "q315_node2vec_walks", "q316_mrr",
         "q317_streaming_domain_cap", "q318_filter_disparity",
         "q319_krippendorff_alpha", "q320_brier_decomposition",
-        "q321_negative_samples")) {
+        "q321_negative_samples", "q322_streaming_upsert",
+        "q323_t_closeness", "q324_packing_contamination")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString
