@@ -865,6 +865,75 @@ object Similarity {
       query, k, idCol, vecCol)
   }
 
+  /** IVF recall-vs-nprobe curve — the tuning table an ANN deployment
+    * reads before fixing its probe budget: for each nprobe in
+    * `probes`, the batch roster's mean recall@k of IVF retrieval
+    * against exact brute-force truth, plus how many queries were
+    * already perfect. One cell assignment of the corpus (shared by
+    * every nprobe), one bounded query×centroid ranking, then a
+    * candidate equi-join on cell; per-(nprobe, query) rankings are
+    * PARTITIONED windows over candidate pools. Recall masses are
+    * exact integers (hit counts), divided once at the end. The truth
+    * side is the accepted q196/q197 crossJoin(broadcast(roster))
+    * shape.
+    */
+  def ivfRecallCurve(embeddings: DataFrame, queries: DataFrame, k: Int,
+                     centroids: Seq[(Int, Seq[Float])], probes: Seq[Int],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ivfRecallCurve: k >= 1, got $k")
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"ivfRecallCurve: probes must be positive, got $probes")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+    val centDf = centroids.toDF("cell", "comps")
+    val qcell = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("cell"),
+        aggregate(zip_with(col("comps"), col("qv"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("_dist"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_dist"), col("cell"))))
+      .select("qid", "cell", "cell_rank")
+    val cand = assigned.join(qcell, Seq("cell"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol), col("cell_rank"),
+        round(cosine(col(vecCol), col("qv")), 6).as("_cos"))
+    val exploded = cand
+      .select(col("qid"), col(idCol), col("cell_rank"), col("_cos"),
+        explode(array(probes.map(lit): _*)).as("nprobe"))
+      .filter(col("cell_rank") <= col("nprobe"))
+    val topk = exploded.withColumn("_rk", row_number().over(
+        Window.partitionBy("nprobe", "qid")
+          .orderBy(col("_cos").desc, col(idCol))))
+      .filter(col("_rk") <= k)
+      .select(col("nprobe"), col("qid"), col(idCol))
+    val scoredAll = embeddings.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("qv")), 6).as("_cos"))
+    val truth = scoredAll.withColumn("_rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_cos").desc, col(idCol))))
+      .filter(col("_rk") <= k).select(col("qid"), col(idCol))
+    val hits = topk.join(truth, Seq("qid", idCol))
+      .groupBy("nprobe", "qid").agg(count(lit(1)).as("_h"))
+    val grid = probes.toDF("nprobe")
+      .crossJoin(broadcast(queries.select("qid").distinct()))
+    grid.join(hits, Seq("nprobe", "qid"), "left")
+      .na.fill(0L, Seq("_h"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        sum("_h").cast("long").as("sum_hits"),
+        sum(when(col("_h") === k, 1L).otherwise(0L)).as("n_perfect"))
+      .select(col("nprobe"), col("n_queries"), col("sum_hits"),
+        col("n_perfect"),
+        round(col("sum_hits").cast("double") /
+          (col("n_queries") * lit(k.toLong)), 6).as("mean_recall"))
+      .orderBy("nprobe")
+  }
+
   /** int8 symmetric quantization of the embedding column: per-vector
     * scale = max|x|/127, stored as (array<tinyint>, scale float).
     * 4× storage reduction — at 100 TB the dominant embedding cost is

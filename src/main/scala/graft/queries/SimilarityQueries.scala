@@ -302,6 +302,84 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 
+    // ——— IVF recall-vs-nprobe tuning curve: mean recall@10 of the
+    //     q48 IVF machinery at nprobe 1/2/3 over the batch roster vs
+    //     brute truth — one corpus assignment shared across probes,
+    //     candidate equi-join on cell, exact integer hit masses. ———
+    Q("q325_ivf_recall_curve",
+      s"""WITH cents AS (SELECT cell, comps FROM read_parquet('${Fixtures.sqlPath("q325_centroids")}')),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    -2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.comps[i] AS DOUBLE)))
+         |      + list_sum(list_transform(c.comps,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+         |    FROM ascored) WHERE rn = 1
+         |), qc AS (
+         |  SELECT q.qid, c.cell,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      list_sum(list_transform(range(1, len(c.comps) + 1),
+         |        i -> (CAST(c.comps[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |           * (CAST(c.comps[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))),
+         |      c.cell) AS cell_rank
+         |  FROM cents c CROSS JOIN qs q
+         |), cand AS (
+         |  SELECT qc.qid, a.vec_id, qc.cell_rank,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM assigned a
+         |  JOIN qc ON a.cell = qc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN qs q ON q.qid = qc.qid
+         |), ex AS (
+         |  SELECT cand.*, pr.p FROM cand
+         |  CROSS JOIN (VALUES (1), (2), (3)) pr(p)
+         |  WHERE cand.cell_rank <= pr.p
+         |), tk AS (
+         |  SELECT qid, vec_id, p FROM (
+         |    SELECT qid, vec_id, p, row_number() OVER (PARTITION BY p, qid
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |    FROM ex) WHERE rk <= 10
+         |), bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), hits AS (
+         |  SELECT tk.p, tk.qid, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM tk JOIN truth t ON tk.qid = t.qid AND tk.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT pr.p, q.qid FROM (VALUES (1), (2), (3)) pr(p)
+         |  CROSS JOIN (SELECT DISTINCT qid FROM qs) q
+         |)
+         |SELECT grid.p AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(COALESCE(h, 0)) AS BIGINT) AS sum_hits,
+         |  CAST(SUM(CASE WHEN COALESCE(h, 0) = 10 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_perfect,
+         |  round(CAST(SUM(COALESCE(h, 0)) AS DOUBLE) / (COUNT(*) * 10), 6)
+         |    AS mean_recall
+         |FROM grid LEFT JOIN hits ON grid.p = hits.p AND grid.qid = hits.qid
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+      Fixtures.write("q325_centroids",
+        Fixtures.floatVectorTable(s, "cell", "comps", cents))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfRecallCurve(e, queries, k = 10, cents,
+        probes = Seq(1, 2, 3))
+    },
+
     // ——— SemDeDup: cluster-partitioned semantic near-dup pairs —
     //     all-pairs cosine cut to within-cell pairs by the k-means
     //     quantizer (n²/k). Same centroid-fixture trick as q48: the

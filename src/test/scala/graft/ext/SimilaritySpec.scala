@@ -453,6 +453,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === 0.0)
   }
 
+  test("ivfRecallCurve: recall monotone in nprobe and exactly 1.0 " +
+    "when every cell is probed") {
+    import spark.implicits._
+    // two tight clusters on opposite axes; query rides cluster 1
+    val e = ((0 until 12).map(i => (i.toLong,
+        Array(1.0f + i * 0.01f, 0.1f * (i % 3)))) ++
+      (12 until 24).map(i => (i.toLong,
+        Array(0.1f * (i % 3), 1.0f + i * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, kCells = 2, iters = 4)
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.ivfRecallCurve(e, queries, k = 5, cents,
+      probes = Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("mean_recall"))
+      .toMap
+    // probing every cell IS brute force
+    assert(out(2) === 1.0)
+    assert(out(1) <= out(2))
+    // the near cluster holds all true neighbors here → already perfect
+    assert(out(1) === 1.0)
+  }
+
   test("mrrAtK: first-hit reciprocal, zero on a whiff, depth cutoff") {
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
       .toDF("qid", "vec_id")
