@@ -942,15 +942,21 @@ object Graph {
     def coin(t: Int) = conv(substring(md5(concat(col("start"),
       lit(s":$seed:$t"))), 1, 15), 16, 10).cast("long")
     // step 1 is first-order (no prev yet): uniform md5 coin mod degree,
-    // identical to deterministicWalks so the two samplers share a prefix
-    val first = deg.select(col("src").as("start"), col("src").as("cur"))
-      .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
-      .withColumn("_i", pmod(coin(1), col("deg")))
-      .join(und.select(col("src").as("cur"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("src").orderBy("dst")) - 1).cast("long").as("_i"),
-        col("dst")), Seq("cur", "_i"))
-      .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+    // identical to deterministicWalks so the two samplers share a
+    // prefix. Every step's frontier is ledger-CHECKPOINTED (it is
+    // only |V| rows): the output union references each step from two
+    // places (its own traj branch + the next step's parent), and an
+    // unmaterialized chain would replay every candidate expansion
+    // once per reference — the q311 lesson, measured at 4× here.
+    val first = graft.engine.TrackedCache.trackedLocalCheckpoint(
+      deg.select(col("src").as("start"), col("src").as("cur"))
+        .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
+        .withColumn("_i", pmod(coin(1), col("deg")))
+        .join(und.select(col("src").as("cur"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy("dst")) - 1).cast("long").as("_i"),
+          col("dst")), Seq("cur", "_i"))
+        .select(col("start"), col("cur").as("prev"), col("dst").as("cur")))
     var frontier = first
     var out = first.select(col("start"), lit(1).as("step"),
       col("cur").as("node"))
@@ -967,7 +973,7 @@ object Graph {
         .partitionBy("start").orderBy("dst")
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy("start")
-      val picked = cand
+      val picked = graft.engine.TrackedCache.trackedLocalCheckpoint(cand
         .withColumn("_cum", sum("w").over(
           wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
@@ -975,7 +981,7 @@ object Graph {
         .withColumn("_pm", pmod(coin(t), col("_tot")))
         .filter(col("_pm") >= col("_cum") - col("w") &&
           col("_pm") < col("_cum"))
-        .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+        .select(col("start"), col("cur").as("prev"), col("dst").as("cur")))
       out = out.unionByName(picked.select(col("start"),
         lit(t).as("step"), col("cur").as("node")))
       frontier = picked
