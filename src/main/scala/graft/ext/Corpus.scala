@@ -185,6 +185,58 @@ object Corpus {
       .orderBy(stratumCol)
   }
 
+  /** Token-budget water-filling — the mixture planner's core
+    * allocation: given per-source token masses and a corpus budget
+    * (`budgetFrac` of the total), the proportional-fair allocation
+    * caps every source at a common water level c with
+    * Σ min(t_s, c) ≤ budget — small sources keep everything, the
+    * level trims only the heavy tail (the max-min-fair answer; plain
+    * proportional scaling would starve small sources).
+    *
+    * Exact integer plan: sources rank/prefix-sum by token mass via
+    * `Ranks.rowNumberWithRunningSum` (ordered window over the
+    * source-mass VALUE dictionary only); the pivot row is the max
+    * rank whose "fill everyone up to my mass" cost fits the budget
+    * (cum + (n−rk)·t ≤ B, a per-row integer predicate + one max);
+    * the level is the integer floor division of the remaining budget
+    * over the remaining sources. NULL level = nothing needs
+    * trimming (B ≥ total). Output is source-dictionary-sized.
+    */
+  def budgetWaterfill(docs: DataFrame, budgetFrac: Double,
+                      groupCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetWaterfill: budgetFrac in (0,1], got $budgetFrac")
+    import graft.engine.Ranks
+    val per = docs.groupBy(col(groupCol).as("grp"))
+      .agg(sum(TextStats.tokenCount(col(textCol))).cast("long").as("t"))
+    val ranked = Ranks.rowNumberWithRunningSum(per, "t", "grp",
+      outRank = "rk", outCum = "cum", withTotal = false)
+    val tot = per.agg(sum("t").cast("long").as("_tt"),
+      count(lit(1)).cast("long").as("_n"))
+    val w = ranked.crossJoin(broadcast(tot))
+      .withColumn("_b",
+        floor(col("_tt").cast("double") * lit(budgetFrac)).cast("long"))
+      .withColumn("_used_here",
+        col("cum") + (col("_n") - col("rk")) * col("t"))
+    val pick = w.filter(col("_used_here") <= col("_b"))
+      .agg(max("rk").as("_prk"), max("cum").as("_pcum"))
+    w.crossJoin(broadcast(pick))
+      .withColumn("cap",
+        when(col("_prk").isNull, Ranks.idiv(col("_b"), col("_n")))
+          .when(col("_prk") === col("_n"), lit(null).cast("long"))
+          .otherwise(Ranks.idiv(col("_b") - col("_pcum"),
+            col("_n") - col("_prk"))))
+      .select(col("grp"), col("t").as("n_tokens"), col("_b").as("budget"),
+        col("cap"),
+        least(col("t"), coalesce(col("cap"), col("t"))).as("allocation"),
+        (col("t") - least(col("t"), coalesce(col("cap"), col("t"))))
+          .as("trimmed"),
+        round((col("t") - least(col("t"), coalesce(col("cap"), col("t"))))
+          .cast("double") / col("t"), 6).as("trim_frac"))
+      .orderBy("grp")
+  }
+
   /** Content-defined chunking (rolling-hash CDC): a chunk boundary
     * falls wherever the hash of the `w`-token window starting at a
     * position divides `divisor` — so boundaries depend only on LOCAL

@@ -159,6 +159,31 @@ object Privacy {
       .orderBy("key")
   }
 
+  /** Redaction-completeness audit — the post-pass every redaction
+    * pipeline owes its compliance review: re-scan the REDACTED text
+    * with the same detectors and report, per slice, the before/after
+    * hit counts and the bytes removed. `hits_after` > 0 is the
+    * finding (a pattern that re-matches its own replacement, or an
+    * overlap the replacement order mishandles); the audit makes the
+    * completeness LAW a table instead of a hope. Two map-side regex
+    * passes + one group rollup.
+    */
+  def redactionAudit(docs: org.apache.spark.sql.DataFrame,
+                     groupCol: String = "source",
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val r = redact(t)
+    docs.groupBy(col(groupCol).as("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(emailCount(t).cast("long")).as("emails_before"),
+        sum(phoneCount(t).cast("long")).as("phones_before"),
+        sum(ipCount(t).cast("long")).as("ips_before"),
+        sum((emailCount(r) + phoneCount(r) + ipCount(r)).cast("long"))
+          .as("hits_after"),
+        sum((length(t) - length(r)).cast("long")).as("chars_delta"))
+      .orderBy("source")
+  }
+
   /** t-closeness audit — the release-safety check k-anonymity (q229)
     * and l-diversity cannot give: a class can be large and diverse
     * yet still LEAK because its sensitive-value mix differs sharply

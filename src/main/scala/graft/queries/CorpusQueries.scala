@@ -105,6 +105,52 @@ object CorpusQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // ——— token-budget water-filling: the max-min-fair source
+    //     allocation under a 60% corpus budget — common water level,
+    //     small sources untrimmed. Integer pivot arithmetic over the
+    //     source dictionary (Ranks running-sum decomposition). ———
+    Q("q328_budget_waterfill",
+      """WITH per AS (
+        |  SELECT source AS grp,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |      AS t
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT grp, t,
+        |    CAST(row_number() OVER (ORDER BY t, grp) AS BIGINT) AS rk,
+        |    CAST(SUM(t) OVER (ORDER BY t, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM per
+        |), tot AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS tt,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM per
+        |), w AS (
+        |  SELECT r.*, tot.n,
+        |    CAST(floor(CAST(tot.tt AS DOUBLE) * CAST(0.6 AS DOUBLE))
+        |      AS BIGINT) AS b,
+        |    r.cum + (tot.n - r.rk) * r.t AS used_here
+        |  FROM r CROSS JOIN tot
+        |), p AS (
+        |  SELECT MAX(rk) AS prk, MAX(cum) AS pcum
+        |  FROM w WHERE used_here <= b
+        |), f AS (
+        |  SELECT w.grp, w.t, w.b,
+        |    CASE WHEN p.prk IS NULL THEN w.b // w.n
+        |         WHEN p.prk = w.n THEN NULL
+        |         ELSE (w.b - p.pcum) // (w.n - p.prk) END AS cap
+        |  FROM w CROSS JOIN p
+        |)
+        |SELECT grp, t AS n_tokens, b AS budget, cap,
+        |  LEAST(t, COALESCE(cap, t)) AS allocation,
+        |  t - LEAST(t, COALESCE(cap, t)) AS trimmed,
+        |  round(CAST(t - LEAST(t, COALESCE(cap, t)) AS DOUBLE) / t, 6)
+        |    AS trim_frac
+        |FROM f ORDER BY grp""".stripMargin) { (s, dir) =>
+      Corpus.budgetWaterfill(docs(s, dir), budgetFrac = 0.6)
+    },
+
     // ——— packing-contamination audit: how many causal attention
     //     pairs in q93's packs CROSS document boundaries when trained
     //     without block-diagonal masks — all-integer pair accounting

@@ -528,6 +528,57 @@ object TextQueries {
       graft.ext.Privacy.piiDensity(injected)
     },
 
+    // ——— redaction-completeness audit: plant q298's synthetic PII,
+    //     redact with q76's pass, RE-SCAN the redacted text with the
+    //     same detectors — hits_after is the compliance finding (0
+    //     here), chars_delta the bytes removed. The completeness law
+    //     as a table, not a hope. ———
+    Q("q327_redaction_audit", {
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CASE
+         |      WHEN doc_id % 5 < 2 THEN text || ' reach user'
+         |        || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      WHEN doc_id % 7 = 0 THEN text || ' call 555-123-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      WHEN doc_id % 11 = 3 THEN text || ' from 10.0.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |        || CAST(doc_id * 3 % 256 AS VARCHAR)
+         |      ELSE text END AS t
+         |  FROM documents
+         |), red AS (
+         |  SELECT source, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '${graft.ext.Privacy.EmailRe}', '[EMAIL]', 'g'),
+         |      '${graft.ext.Privacy.PhoneRe}', '[PHONE]', 'g'),
+         |      '${graft.ext.Privacy.Ipv4Re}', '[IP]', 'g') AS r
+         |  FROM t
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.EmailRe}'))) AS BIGINT) AS emails_before,
+         |  CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.PhoneRe}'))) AS BIGINT) AS phones_before,
+         |  CAST(SUM(len(regexp_extract_all(t, '${graft.ext.Privacy.Ipv4Re}'))) AS BIGINT) AS ips_before,
+         |  CAST(SUM(len(regexp_extract_all(r, '${graft.ext.Privacy.EmailRe}'))
+         |    + len(regexp_extract_all(r, '${graft.ext.Privacy.PhoneRe}'))
+         |    + len(regexp_extract_all(r, '${graft.ext.Privacy.Ipv4Re}'))) AS BIGINT) AS hits_after,
+         |  CAST(SUM(strlen(t) - strlen(r)) AS BIGINT) AS chars_delta
+         |FROM red GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      val planted = docs(s, dir).select(col("source"),
+        when(col("doc_id") % 5 < 2,
+            concat(col("text"), lit(" reach user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" call 555-123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(col("doc_id") % 11 === 3,
+            concat(col("text"), lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") * 3 % 256).cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Privacy.redactionAudit(planted)
+    },
+
     // ——— leaked-credential scan per source: deterministic synthetic
     //     secrets (lowercase-hex digest / sk_-prefixed key / 41-char
     //     mixed-alphabet blob, each derived from doc_id and fabricated

@@ -666,6 +666,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("budgetWaterfill: pivot arithmetic, small sources untrimmed, " +
+    "degenerate budgets") {
+    import spark.implicits._
+    // masses A=10, B=20, C=70; budget 60% of 100 = 60 → level 30:
+    // A and B keep everything, C trims to 30 — allocations sum to 60
+    def corpus(rows: (String, Int)*) = rows.toSeq.flatMap { case (s, n) =>
+      (1 to n).map(i => (s, "w")) }.zipWithIndex
+      .map { case ((s, w), i) => (i.toLong, s, w) }
+      .toDF("doc_id", "source", "text")
+    val d = corpus(("A", 10), ("B", 20), ("C", 70))
+    val out = Corpus.budgetWaterfill(d, budgetFrac = 0.6).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("allocation") === 10L)
+    assert(out("B").getAs[Long]("allocation") === 20L)
+    assert(out("C").getAs[Long]("allocation") === 30L)
+    assert(out("C").getAs[Long]("cap") === 30L)
+    assert(out("C").getAs[Long]("trimmed") === 40L)
+    assert(out("C").getAs[Double]("trim_frac") === 0.571429)
+    assert(out.values.map(_.getAs[Long]("allocation")).sum === 60L)
+    // budget covers everything → NULL level, nothing trimmed
+    val full = Corpus.budgetWaterfill(d, budgetFrac = 1.0).collect()
+    assert(full.forall(_.getAs[Long]("trimmed") === 0L))
+    assert(full.forall(_.isNullAt(full.head.fieldIndex("cap"))))
+    // budget below even a uniform floor: cap = B div n
+    val tight = Corpus.budgetWaterfill(d, budgetFrac = 0.2).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("allocation")).toMap
+    assert(tight === Map("A" -> 6L, "B" -> 6L, "C" -> 6L)) // 20 div 3
+  }
+
   test("packingContamination: hand pair accounting per pack, " +
     "single-token pack yields null ratio") {
     import spark.implicits._

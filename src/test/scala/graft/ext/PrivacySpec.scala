@@ -153,6 +153,28 @@ class PrivacySpec extends SparkSpec {
     assert(clean.getAs[Double]("pii_per_kchar") === 0.0)
   }
 
+  test("redactionAudit: completeness law as a table — zero residual " +
+    "hits, exact byte delta") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "mail a@b.com and 555-123-4567 plus 10.0.0.1 end"),
+      ("s1", "clean text"),
+      ("s2", "only c@d.org here")
+    ).toDF("source", "text")
+    val out = Privacy.redactionAudit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getAs[Long]("emails_before") === 1L)
+    assert(out("s1").getAs[Long]("phones_before") === 1L)
+    assert(out("s1").getAs[Long]("ips_before") === 1L)
+    assert(out("s1").getAs[Long]("hits_after") === 0L)
+    assert(out("s2").getAs[Long]("hits_after") === 0L)
+    // byte delta: (7-7 email [EMAIL]=7 vs a@b.com=7) + (12-7 phone)
+    // + (8-4 ip) = 0 + 5 + 4 = 9
+    assert(out("s1").getAs[Long]("chars_delta") === 9L)
+    assert(out("s2").getAs[Long]("chars_delta") ===
+      ("c@d.org".length - "[EMAIL]".length).toLong)
+  }
+
   test("tClosenessAudit: hand variational distances, zero cells " +
     "counted, integer-mass t verdict") {
     import spark.implicits._
