@@ -771,7 +771,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r11 continuation (q312–q325): partitioned/dictionary windows " +
+  test("r11 continuation (q312–q328): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q316 replays the ANN battery's accepted shape: the brute-truth
     // crossJoin(broadcast(query-roster)) — the roster is the bounded
@@ -783,15 +783,16 @@ class ScaleSpec extends SparkSpec {
     // q325's three are all bounded-roster broadcasts: query×centroid
     // ranking, brute-truth roster attach, and the recall grid
     val bnljCap = Map("q316_mrr" -> 2, "q319_krippendorff_alpha" -> 2,
-      "q323_t_closeness" -> 2, "q325_ivf_recall_curve" -> 3)
-      .withDefaultValue(1)
+      "q323_t_closeness" -> 2, "q325_ivf_recall_curve" -> 3,
+      "q328_budget_waterfill" -> 3).withDefaultValue(1)
     for (name <- Seq("q312_domain_cap", "q313_secret_scan",
         "q314_vocab_coverage", "q315_node2vec_walks", "q316_mrr",
         "q317_streaming_domain_cap", "q318_filter_disparity",
         "q319_krippendorff_alpha", "q320_brier_decomposition",
         "q321_negative_samples", "q322_streaming_upsert",
         "q323_t_closeness", "q324_packing_contamination",
-        "q325_ivf_recall_curve")) {
+        "q325_ivf_recall_curve", "q327_redaction_audit",
+        "q328_budget_waterfill")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString
