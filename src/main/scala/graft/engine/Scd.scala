@@ -66,6 +66,34 @@ object Scd {
     joined.select(explode(rows).as("_r")).select(col("_r.*"))
   }
 
+  /** Point-in-time (as-of) lookup against an SCD2 dimension — the
+    * read side of [[scd2]]: each fact row joins the dimension version
+    * whose validity interval contains the fact's as-of stamp
+    * (`valid_from ≤ v` and `v < valid_to`, open-ended current rows
+    * match everything from their open). LEFT join: a fact whose key
+    * has NO active version at its stamp (member closed before, or
+    * created after) keeps the row with NULL dimension values — the
+    * "looked up a closed member" case a silent inner join would
+    * drop. Scale shape: an equi-join on the key with the validity
+    * predicate as the join's residual filter (never a nested loop);
+    * per-key fan-out is bounded by the version count, and SCD2's
+    * disjoint-interval invariant makes at most one version match.
+    */
+  def pitLookup(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                asOfCol: String, fromCol: String = "valid_from",
+                toCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "pitLookup: need key columns")
+    val valCols = dim.columns.filterNot(keyCols.contains)
+    val d = dim.select(keyCols.map(c => col(c).as("_k_" + c)) ++
+      valCols.map(c => col(c).as("_v_" + c)): _*)
+    val cond = keyCols.map(k => col(k) === col("_k_" + k)).reduce(_ && _) &&
+      col("_v_" + fromCol) <= col(asOfCol) &&
+      (col("_v_" + toCol).isNull || col(asOfCol) < col("_v_" + toCol))
+    facts.join(d, cond, "left")
+      .select(facts.columns.map(col) ++
+        valCols.filterNot(_ == toCol).map(c => col("_v_" + c).as(c)): _*)
+  }
+
   /** MERGE-INTO semantics from a declarative change feed: `changes`
     * carries an `opCol` ∈ {'U','I','D'} (update / insert / delete)
     * plus the full row. Result = target with matched-U rows replaced,

@@ -1976,32 +1976,8 @@ object Relational {
     //     closed / opened / changed-pair / carried rows with version
     //     validity — the dimension-history operator Spark lacks. ———
     Q("q190_scd2",
-      """WITH o AS (
-        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
-        |  FROM customer
-        |), n AS (
-        |  SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
-        |  FROM o WHERE NOT (k % 17 = 3 AND k % 10 <> 0)
-        |  UNION ALL
-        |  SELECT k + 1000000, CAST(0 AS BIGINT) FROM o WHERE k % 23 = 5
-        |), j AS (
-        |  SELECT o.k AS ok, o.bal AS obal, n.k AS nk, n.bal AS nbal
-        |  FROM o FULL OUTER JOIN n ON o.k = n.k
-        |)
-        |SELECT ok AS k, obal AS bal, CAST(1 AS BIGINT) AS valid_from,
-        |  CAST(2 AS BIGINT) AS valid_to
-        |FROM j WHERE ok IS NOT NULL AND nk IS NULL
-        |UNION ALL
-        |SELECT nk, nbal, 2, NULL FROM j WHERE ok IS NULL
-        |UNION ALL
-        |SELECT ok, obal, 1, 2
-        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
-        |UNION ALL
-        |SELECT nk, nbal, 2, NULL
-        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
-        |UNION ALL
-        |SELECT ok, obal, 1, NULL
-        |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal = nbal
+      s"""$scd2Cte
+        |SELECT k, bal, valid_from, valid_to FROM scd
         |ORDER BY k, valid_from""".stripMargin) { (s, dir) =>
       val o = t(s, dir, "customer").select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100).cast("long").as("bal"))
@@ -2014,6 +1990,42 @@ object Relational {
       graft.engine.Scd.scd2(o, n, keyCols = Seq("k"),
           compareCols = Seq("bal"), fromV = 1, toV = 2)
         .orderBy("k", "valid_from")
+    },
+
+    // ——— point-in-time lookup against q190's SCD2 dimension (the
+    //     read side of the warehouse pattern): each order joins the
+    //     version active at its as-of stamp (1 + orderkey % 2); keys
+    //     with no active version keep the row with NULL values (the
+    //     closed-member case an inner join would silently drop).
+    //     Equi-join on the key with the validity residual — never a
+    //     nested loop; ≤ one version matches by the SCD2 invariant. ———
+    Q("q329_scd2_pit_lookup",
+      s"""$scd2Cte, f AS (
+        |  SELECT o_orderkey, o_custkey AS k,
+        |    CAST(1 + o_orderkey % 2 AS BIGINT) AS asof_v
+        |  FROM orders
+        |)
+        |SELECT f.o_orderkey, f.k, f.asof_v, scd.bal, scd.valid_from
+        |FROM f LEFT JOIN scd ON scd.k = f.k
+        |  AND scd.valid_from <= f.asof_v
+        |  AND (scd.valid_to IS NULL OR f.asof_v < scd.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val n = o.filter(!(col("k") % 17 === 3 && col("k") % 10 =!= 0))
+        .select(col("k"),
+          when(col("k") % 10 === 0, col("bal") + 10000)
+            .otherwise(col("bal")).as("bal"))
+        .unionByName(o.filter(col("k") % 23 === 5)
+          .select((col("k") + 1000000).as("k"), lit(0L).as("bal")))
+      val dim = graft.engine.Scd.scd2(o, n, keyCols = Seq("k"),
+        compareCols = Seq("bal"), fromV = 1, toV = 2)
+      val facts = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        (lit(1L) + col("o_orderkey") % 2).as("asof_v"))
+      graft.engine.Scd.pitLookup(facts, dim, keyCols = Seq("k"),
+          asOfCol = "asof_v")
+        .orderBy("o_orderkey")
     },
 
     // ——— MERGE INTO (upsert) semantics from a declarative U/I/D
@@ -5882,6 +5894,39 @@ object Relational {
       |  UNION ALL SELECT start, CAST(1 AS INT) AS step, cur FROM s1
       |  UNION ALL SELECT start, CAST(2 AS INT) AS step, cur FROM s2
       |  UNION ALL SELECT start, CAST(3 AS INT) AS step, cur FROM s3
+      |)""".stripMargin
+
+  /** Shared oracle CTE for the q190/q329 SCD2 dimension: two
+    * deterministic customer snapshots merged into `scd(k, bal,
+    * valid_from, valid_to)` (versions 1 and 2, NULL = current).
+    */
+  private def scd2Cte: String =
+    """WITH o AS (
+      |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer
+      |), n AS (
+      |  SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
+      |  FROM o WHERE NOT (k % 17 = 3 AND k % 10 <> 0)
+      |  UNION ALL
+      |  SELECT k + 1000000, CAST(0 AS BIGINT) FROM o WHERE k % 23 = 5
+      |), j AS (
+      |  SELECT o.k AS ok, o.bal AS obal, n.k AS nk, n.bal AS nbal
+      |  FROM o FULL OUTER JOIN n ON o.k = n.k
+      |), scd AS (
+      |  SELECT ok AS k, obal AS bal, CAST(1 AS BIGINT) AS valid_from,
+      |    CAST(2 AS BIGINT) AS valid_to
+      |  FROM j WHERE ok IS NOT NULL AND nk IS NULL
+      |  UNION ALL
+      |  SELECT nk, nbal, 2, NULL FROM j WHERE ok IS NULL
+      |  UNION ALL
+      |  SELECT ok, obal, 1, 2
+      |  FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
+      |  UNION ALL
+      |  SELECT nk, nbal, 2, NULL
+      |  FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal <> nbal
+      |  UNION ALL
+      |  SELECT ok, obal, 1, NULL
+      |  FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND obal = nbal
       |)""".stripMargin
 
   /** Oracle CTE chain replaying [[graft.ext.Graph.node2vecWalks]]

@@ -27,6 +27,33 @@ class ScdSpec extends SparkSpec {
     ))
   }
 
+  test("pitLookup: stamp routes to the right version, closed members " +
+    "null out, current rows match open-ended") {
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val n = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val dim = Scd.scd2(o, n, Seq("k"), Seq("v"), fromV = 1, toV = 2)
+    val facts = Seq(
+      (10L, 1L, 1L), (11L, 1L, 2L),  // k=1 closed at 2: v then NULL
+      (12L, 3L, 1L), (13L, 3L, 2L),  // k=3 changed: "c" then "C"
+      (14L, 4L, 1L), (15L, 4L, 2L),  // k=4 opened at 2: NULL then "d"
+      (16L, 9L, 1L)                  // unknown key: NULL
+    ).toDF("fid", "k", "asof_v")
+    val out = Scd.pitLookup(facts, dim, Seq("k"), "asof_v").collect()
+      .map(r => r.getAs[Long]("fid") ->
+        (Option(r.getAs[String]("v")),
+          if (r.isNullAt(r.fieldIndex("valid_from"))) None
+          else Some(r.getAs[Long]("valid_from")))).toMap
+    assert(out(10L) === ((Some("a"), Some(1L))))
+    assert(out(11L) === ((None, None)))        // closed before the stamp
+    assert(out(12L) === ((Some("c"), Some(1L))))
+    assert(out(13L) === ((Some("C"), Some(2L))))
+    assert(out(14L) === ((None, None)))        // not yet opened
+    assert(out(15L) === ((Some("d"), Some(2L))))
+    assert(out(16L) === ((None, None)))
+    // exactly one row per fact — disjoint intervals can't fan out
+    assert(out.size === 7)
+  }
+
   test("scd2: null values compare null-safely (null → null is carried)") {
     val o = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("k", "v")
     val n = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
