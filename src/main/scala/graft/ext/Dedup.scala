@@ -1536,4 +1536,40 @@ object Dedup {
             .cast("double") / col("n_true").cast("double"), 6))
           .as("pair_completeness"))
   }
+
+  /** Pair-set agreement between two near-dup METHODS — the
+    * method-selection audit (lexical MinHash vs semantic SemDeDup is
+    * THE practical question: how much does embedding dedup add beyond
+    * n-gram dedup, and vice versa?): both pair sets normalized to
+    * unordered (u, v), full-outer joined, and reduced to the overlap
+    * ledger — sizes, both/only counts, and the pair-set Jaccard.
+    * One pair-keyed shuffle over frames that are already capped by
+    * their producers; 1-row output.
+    */
+  def pairSetAgreement(a: DataFrame, b: DataFrame,
+                       methodA: String, methodB: String): DataFrame = {
+    def norm(df: DataFrame) = df
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+    val j = norm(a).withColumn("_ina", lit(1))
+      .join(norm(b).withColumn("_inb", lit(1)), Seq("u", "v"), "full_outer")
+    j.agg(
+        coalesce(sum(when(col("_ina") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("_inb") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col("_ina") === 1 && col("_inb") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_both"),
+        count(lit(1)).as("_n_union"))
+      .select(lit(methodA).as("method_a"), lit(methodB).as("method_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_both").cast("long").as("n_both"),
+        (col("n_a") - col("n_both")).cast("long").as("n_a_only"),
+        (col("n_b") - col("n_both")).cast("long").as("n_b_only"),
+        when(col("_n_union") > 0,
+          round(col("n_both").cast("double") / col("_n_union"), 6))
+          .as("pair_jaccard"))
+  }
 }

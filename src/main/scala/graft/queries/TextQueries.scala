@@ -528,6 +528,75 @@ object TextQueries {
       graft.ext.Privacy.piiDensity(injected)
     },
 
+    // ——— dedup-method agreement: MinHash-verified LEXICAL pairs vs
+    //     SemDeDup SEMANTIC pairs (ids aligned doc↔embedding, the
+    //     q292 topology premise) reduced to the overlap ledger — the
+    //     method-selection audit answering "what does embedding dedup
+    //     add beyond n-gram dedup". Both pair CTEs are the replayed
+    //     q59/q87 oracles. ———
+    Q("q326_dedup_method_agreement", {
+      s"""$verifiedPairsCte,
+         |cents AS (SELECT cell, comps FROM read_parquet('${graft.queries.Fixtures.sqlPath("q326_centroids")}')),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    -2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.comps[i] AS DOUBLE)))
+         |      + list_sum(list_transform(c.comps,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+         |    FROM ascored) WHERE rn = 1
+         |), vemb AS (
+         |  SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |), sp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM vemb a JOIN vemb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+         |    >= 0.4
+         |), vpn AS (
+         |  SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+         |  FROM vp GROUP BY 1, 2
+         |), spn AS (
+         |  SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+         |  FROM sp GROUP BY 1, 2
+         |), m AS (
+         |  SELECT (vpn.u IS NOT NULL) AS ina, (spn.u IS NOT NULL) AS inb
+         |  FROM vpn FULL OUTER JOIN spn ON vpn.u = spn.u AND vpn.v = spn.v
+         |)
+         |SELECT 'minhash_lexical' AS method_a, 'semdedup_semantic' AS method_b,
+         |  CAST(COALESCE(SUM(CASE WHEN ina THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         |  CAST(COALESCE(SUM(CASE WHEN inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         |  CAST(COALESCE(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+         |  CAST(COALESCE(SUM(CASE WHEN ina THEN 1 ELSE 0 END), 0)
+         |    - COALESCE(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a_only,
+         |  CAST(COALESCE(SUM(CASE WHEN inb THEN 1 ELSE 0 END), 0)
+         |    - COALESCE(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b_only,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    round(CAST(COALESCE(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0)
+         |      AS DOUBLE) / COUNT(*), 6) END AS pair_jaccard
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = graft.ext.Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+      graft.queries.Fixtures.write("q326_centroids",
+        graft.queries.Fixtures.floatVectorTable(s, "cell", "comps", cents))
+      val lexical = graft.ext.Dedup.minhashVerifiedPairs(docs(s, dir),
+        n = 3, k = 32, bands = 8, minJaccard = 0.5)
+      val semantic = graft.ext.Similarity.semanticNearDupPairs(e, cents,
+        threshold = 0.4)
+      graft.ext.Dedup.pairSetAgreement(lexical, semantic,
+        "minhash_lexical", "semdedup_semantic")
+    },
+
     // ——— redaction-completeness audit: plant q298's synthetic PII,
     //     redact with q76's pass, RE-SCAN the redacted text with the
     //     same detectors — hits_after is the compliance finding (0

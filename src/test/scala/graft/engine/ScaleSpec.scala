@@ -791,8 +791,9 @@ class ScaleSpec extends SparkSpec {
         "q319_krippendorff_alpha", "q320_brier_decomposition",
         "q321_negative_samples", "q322_streaming_upsert",
         "q323_t_closeness", "q324_packing_contamination",
-        "q325_ivf_recall_curve", "q327_redaction_audit",
-        "q328_budget_waterfill", "q329_scd2_pit_lookup")) {
+        "q325_ivf_recall_curve", "q326_dedup_method_agreement",
+        "q327_redaction_audit", "q328_budget_waterfill",
+        "q329_scd2_pit_lookup")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

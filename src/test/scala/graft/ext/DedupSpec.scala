@@ -676,4 +676,28 @@ class DedupSpec extends SparkSpec {
     assert(row9.getDouble(0) === 0.6)
     assert(row9.getDouble(1) === 0.666667)
   }
+
+  test("pairSetAgreement: orientation-normalized overlap ledger, " +
+    "duplicate pairs collapsed, empty sides behave") {
+    import spark.implicits._
+    // (1,2) appears in both (b reversed); (3,4) a-only; (5,6) b-only
+    val a = Seq((1L, 2L), (3L, 4L), (4L, 3L)).toDF("id_a", "id_b")
+    val b = Seq((2L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.pairSetAgreement(a, b, "ma", "mb").head()
+    assert(r.getAs[Long]("n_a") === 2L)      // (4,3) dup of (3,4)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Long]("n_a_only") === 1L)
+    assert(r.getAs[Long]("n_b_only") === 1L)
+    assert(r.getAs[Double]("pair_jaccard") === 0.333333)
+    // one empty side: zero overlap, jaccard 0
+    val e = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r2 = Dedup.pairSetAgreement(a, e, "ma", "mb").head()
+    assert(r2.getAs[Long]("n_b") === 0L)
+    assert(r2.getAs[Double]("pair_jaccard") === 0.0)
+    // both empty: no pairs at all → NULL jaccard, zero counts
+    val r3 = Dedup.pairSetAgreement(e, e, "ma", "mb").head()
+    assert(r3.getAs[Long]("n_a") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("pair_jaccard")))
+  }
 }
