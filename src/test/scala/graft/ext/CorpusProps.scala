@@ -53,4 +53,54 @@ object CorpusProps extends Properties("corpus") {
       Bpe.train(docs, nMerges) == BpeReference.train(wordCounts, nMerges)
     }
 
+  property("budgetWaterfill equals the in-memory water level on random masses") =
+    forAll(Gen.choose(0L, 1000000L), Gen.choose(2, 8),
+        Gen.choose(0.05, 1.0)) { (seed, nSrc, frac) =>
+      val rnd = new scala.util.Random(seed)
+      // random per-source masses realized as docs of w-token texts
+      val masses = (0 until nSrc).map(i => s"s$i" -> (1 + rnd.nextInt(40)))
+      val docs = masses.zipWithIndex.map { case ((src, m), i) =>
+        (i.toLong, src, Seq.fill(m)("w").mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      val out = Corpus.budgetWaterfill(docs, frac).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // in-memory reference: same integer pivot arithmetic
+      val t = masses.toMap.map { case (k, v) => k -> v.toLong }
+      val total = t.values.sum
+      val b = math.floor(total.toDouble * frac).toLong
+      val sorted = t.toSeq.sortBy { case (k, v) => (v, k) }
+      val n = sorted.size.toLong
+      var cum = 0L; var prk = 0L; var pcum = 0L
+      sorted.zipWithIndex.foreach { case ((_, v), i) =>
+        cum += v
+        if (cum + (n - (i + 1)) * v <= b) { prk = i + 1; pcum = cum }
+      }
+      val cap: Option[Long] =
+        if (prk == 0L) Some(b / n)
+        else if (prk == n) None
+        else Some((b - pcum) / (n - prk))
+      val allocOk = t.forall { case (k, v) =>
+        out(k).getAs[Long]("allocation") == math.min(v, cap.getOrElse(v)) }
+      // conservation: never exceed the budget; full budget ⇒ no trim
+      val spent = out.values.map(_.getAs[Long]("allocation")).sum
+      allocOk && spent <= b && (cap.nonEmpty || spent == total)
+    }
+
+  property("domainFrequencyCap is partitioning-invariant and conserves") =
+    forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 6)) { (seed, cap) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40).map(i =>
+        (i.toLong, s"d${rnd.nextInt(4)}",
+          Seq.fill(1 + rnd.nextInt(6))("w").mkString(" ")))
+      val d1 = rows.toDF("doc_id", "source", "text")
+      val d2 = rows.toDF("doc_id", "source", "text").repartition(7)
+      val a = Corpus.domainFrequencyCap(d1, cap, "s").collect().map(_.toSeq)
+      val b = Corpus.domainFrequencyCap(d2, cap, "s").collect().map(_.toSeq)
+      val invariant = a.toSeq == b.toSeq
+      val conserves = Corpus.domainFrequencyCap(d1, cap, "s").collect()
+        .forall { r => r.getAs[Long]("n_kept") ==
+          math.min(r.getAs[Long]("n_docs"), cap.toLong) }
+      invariant && conserves
+    }
+
 }
