@@ -665,6 +665,34 @@ object Streaming {
     target
   }
 
+  /** Streaming ANN lookup — the online-retrieval backfill shape: a
+    * stream of query vectors is answered per micro-batch against a
+    * STATIC embedding corpus with the batch ANN operator
+    * ([[Similarity.annTopKBatch]]: banded-LSH candidates → exact
+    * rescore → per-query top-k) inside `foreachBatch` — the standard
+    * seam for join+window logic on a stream. Per-query results are
+    * independent, so the streamed answer set equals the one-shot
+    * batch answer whatever the batching — the oracle check. The
+    * result ledger is ledger-checkpointed per batch (lineage cut).
+    */
+  def annLookupStream(queryStream: DataFrame, corpus: DataFrame, k: Int,
+                      bands: Int, r: Int): DataFrame = {
+    var out: DataFrame = null
+    val q = queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = Similarity.annTopKBatch(corpus, batch, k, bands, r)
+        out = graft.engine.TrackedCache.trackedLocalCheckpoint(
+          if (out == null) res else out.unionByName(res))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    if (out == null) corpus.sparkSession.emptyDataFrame else out
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val q = df.writeStream

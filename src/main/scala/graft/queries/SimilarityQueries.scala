@@ -302,6 +302,30 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, queryVec(s, dir), k = 10, cents, nProbes = 3)
     },
 
+    // ——— STREAMING ANN lookup (the online-retrieval backfill shape):
+    //     query vectors arrive as a stream, each micro-batch answered
+    //     against the static corpus by the batch ANN operator in
+    //     foreachBatch; per-query independence makes the streamed
+    //     answer set equal q94's one-shot batch answer — the oracle. ———
+    Q("q330_streaming_ann",
+      s"""${annBatchCte("q330_hyperplanes")}
+         |SELECT qid, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5
+         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin) { (s, dir) =>
+      Fixtures.write("q330_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val stream = graft.ext.Streaming
+        .readParquetStream(s, s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ext.Streaming.annLookupStream(stream, emb(s, dir), k = 5,
+          bands = 4, r = 8)
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    },
+
     // ——— IVF recall-vs-nprobe tuning curve: mean recall@10 of the
     //     q48 IVF machinery at nprobe 1/2/3 over the batch roster vs
     //     brute truth — one corpus assignment shared across probes,

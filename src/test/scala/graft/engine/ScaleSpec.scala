@@ -771,7 +771,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r11 continuation (q312–q329): partitioned/dictionary windows " +
+  test("r11 continuation (q312–q330): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q316 replays the ANN battery's accepted shape: the brute-truth
     // crossJoin(broadcast(query-roster)) — the roster is the bounded
@@ -793,7 +793,7 @@ class ScaleSpec extends SparkSpec {
         "q323_t_closeness", "q324_packing_contamination",
         "q325_ivf_recall_curve", "q326_dedup_method_agreement",
         "q327_redaction_audit", "q328_budget_waterfill",
-        "q329_scd2_pit_lookup")) {
+        "q329_scd2_pit_lookup", "q330_streaming_ann")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

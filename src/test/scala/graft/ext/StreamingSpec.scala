@@ -1029,6 +1029,36 @@ class StreamingSpec extends SparkSpec {
       "union across restart must equal the batch admit set exactly once")
   }
 
+  test("annLookupStream: chunked multi-batch query delivery equals " +
+    "the one-shot batch answer") {
+    val e = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // stage the roster as two files → two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toFile
+    Seq(queries.filter(col("qid") % 100 === 0),
+        queries.filter(col("qid") % 100 =!= 0)).zipWithIndex.foreach {
+      case (part, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"annq$i").toString
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dest.toPath)
+        dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+    assert(stream.isStreaming)
+    val got = Streaming.annLookupStream(stream, e, k = 5, bands = 4, r = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.ext.Similarity
+      .annTopKBatch(e, queries, k = 5, bands = 4, r = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+    graft.engine.TrackedCache.release()
+  }
+
   test("upsertMaintenanceStream: out-of-order multi-batch delivery " +
     "converges to the one-shot last-writer compaction") {
     // the staged chunks deliberately deliver some rows LATE (a later
