@@ -84,14 +84,22 @@ object Scd {
                 toCol: String = "valid_to"): DataFrame = {
     require(keyCols.nonEmpty, "pitLookup: need key columns")
     val valCols = dim.columns.filterNot(keyCols.contains)
+    // the output is facts.* ++ dim value columns under their original
+    // names — an overlap would emit duplicate column names and make
+    // every downstream col() reference ambiguous. Fail loudly instead.
+    val clash = facts.columns.toSet
+      .intersect(valCols.filterNot(_ == toCol).toSet)
+    require(clash.isEmpty,
+      s"pitLookup: fact/dimension column name clash on ${clash.mkString(", ")} — " +
+        "rename or drop the overlapping columns on one side first")
     val d = dim.select(keyCols.map(c => col(c).as("_k_" + c)) ++
       valCols.map(c => col(c).as("_v_" + c)): _*)
     val cond = keyCols.map(k => col(k) === col("_k_" + k)).reduce(_ && _) &&
       col("_v_" + fromCol) <= col(asOfCol) &&
       (col("_v_" + toCol).isNull || col(asOfCol) < col("_v_" + toCol))
     facts.join(d, cond, "left")
-      .select(facts.columns.map(col) ++
-        valCols.filterNot(_ == toCol).map(c => col("_v_" + c).as(c)): _*)
+      .select(facts.columns.toSeq.map(col) ++
+        valCols.filterNot(_ == toCol).toSeq.map(c => col("_v_" + c).as(c)): _*)
   }
 
   /** MERGE-INTO semantics from a declarative change feed: `changes`

@@ -74,7 +74,15 @@ object TrackedCache {
     * deterministic replacement for "the ContextCleaner reclaims the
     * blocks when the frame dies": `release()` frees them at the next
     * harness sweep instead of waiting for a driver GC, so a long
-    * Verify/Bench session never accumulates checkpoint blocks. */
+    * Verify/Bench session never accumulates checkpoint blocks.
+    *
+    * FAILURE-MODE CONTRACT: a checkpoint has NO lineage, so unlike a
+    * plain persist (which silently recomputes after unpersist), a
+    * frame returned here HARD-FAILS ("checkpoint block not found") if
+    * re-read after `release()`. Callers must fully materialize the
+    * result (collect / write / hash) BEFORE the next release sweep —
+    * the Verify/Bench harness does this by construction; code holding
+    * results across release() must copy them out first. */
   def trackedLocalCheckpoint(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint()
     adoptRdds(org.apache.spark.sql.GraftBridge.leafRdds(c))

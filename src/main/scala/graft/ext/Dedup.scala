@@ -605,10 +605,23 @@ object Dedup {
     * and no maxDf cap needed, because the "posting list" is capped by
     * construction. The final aggregate is matrix-sized. At 100 TB:
     * one scan + two shuffles, both keyed on the 64-bit shingle hash.
+    *
+    * The shard label keeps its NATIVE identity via a string cast, so
+    * non-numeric labels ("train"/"val"/"vendor_a") group correctly; a
+    * NULL shard label fails the job on the data plane (raise_error)
+    * rather than silently collapsing nulls into one bogus group.
+    * Because shingles are pre-hashed to 64 bits, the distinct counts
+    * (and hence Jaccard) are collision-APPROXIMATE: expected
+    * overcount ≈ s²/2⁶⁵ shared shingles for s distinct shingles —
+    * negligible below ~10¹² shingles per shard, and the price of an
+    * 8-byte exchange instead of shipping n-gram text.
     */
   def shardContaminationMatrix(docs: DataFrame, shardCol: Column,
                                n: Int = 3, textCol: String = "text"): DataFrame = {
-    val withShard = docs.select(shardCol.cast("long").as("_shard"),
+    val withShard = docs.select(
+      when(shardCol.isNull, raise_error(lit(
+        "shardContaminationMatrix: NULL shard label — every doc must carry a non-null shard")))
+        .otherwise(shardCol.cast("string")).as("_shard"),
       col(textCol))
     val sh = shingles(withShard, n, idCol = "_shard", textCol = textCol,
         distinct = false)

@@ -899,17 +899,6 @@ object Graph {
     out.orderBy("start", "step")
   }
 
-  /** Skip-gram training pairs from walk trajectories — the
-    * aggregation that turns [[deterministicWalks]]' output into the
-    * (center, context, count) table a word2vec-style embedding
-    * trainer consumes: nodes co-occurring within `window` hops on
-    * the same walk, least/greatest-normalized, self-pairs (walk
-    * revisits) dropped. The walk's start node participates as step
-    * 0. Scale shape: a self-join on the walk id with the step band
-    * as an inequality filter — per walk the pair fan-out is bounded
-    * by C(steps+1, 2), a compile-time constant, and the final count
-    * is one hash aggregate on the pair key.
-    */
   /** Deterministic node2vec walks — [[deterministicWalks]] upgraded
     * to SECOND-ORDER (biased) sampling: from step 2 on, the neighbor
     * choice at `cur` depends on where the walk came from (`prev`),
@@ -1047,6 +1036,17 @@ object Graph {
       .orderBy("u", "v", "j")
   }
 
+  /** Skip-gram training pairs from walk trajectories — the
+    * aggregation that turns [[deterministicWalks]]' output into the
+    * (center, context, count) table a word2vec-style embedding
+    * trainer consumes: nodes co-occurring within `window` hops on
+    * the same walk, least/greatest-normalized, self-pairs (walk
+    * revisits) dropped. The walk's start node participates as step
+    * 0. Scale shape: a self-join on the walk id with the step band
+    * as an inequality filter — per walk the pair fan-out is bounded
+    * by C(steps+1, 2), a compile-time constant, and the final count
+    * is one hash aggregate on the pair key.
+    */
   def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"walkSkipGramPairs: window >= 1, got $window")
     val traj = walks.select(col("start"), col("step"), col("node"))

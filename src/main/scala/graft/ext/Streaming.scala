@@ -690,7 +690,16 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
-    if (out == null) corpus.sparkSession.emptyDataFrame else out
+    if (out == null) {
+      // zero micro-batches: return an EMPTY frame with the real
+      // output schema (qid/vec_id/cos_sim…), not emptyDataFrame's
+      // zero columns — downstream column references must still bind.
+      val spark = corpus.sparkSession
+      val noQueries = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        queryStream.schema)
+      Similarity.annTopKBatch(corpus, noQueries, k, bands, r)
+    } else out
   }
 
   def runToMemory(df: DataFrame, name: String,

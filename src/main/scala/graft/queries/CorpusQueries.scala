@@ -1352,8 +1352,8 @@ object CorpusQueries {
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.shard < b.shard
         |  GROUP BY 1, 2
         |)
-        |SELECT CAST(shard_a AS BIGINT) AS shard_a,
-        |  CAST(shard_b AS BIGINT) AS shard_b, n_shared_shingles,
+        |SELECT CAST(shard_a AS VARCHAR) AS shard_a,
+        |  CAST(shard_b AS VARCHAR) AS shard_b, n_shared_shingles,
         |  pa.n_sh AS n_sh_a, pb.n_sh AS n_sh_b,
         |  round(CAST(n_shared_shingles AS DOUBLE) /
         |    CAST(pa.n_sh + pb.n_sh - n_shared_shingles AS DOUBLE), 6)

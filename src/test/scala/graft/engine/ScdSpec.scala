@@ -54,6 +54,23 @@ class ScdSpec extends SparkSpec {
     assert(out.size === 7)
   }
 
+  test("pitLookup: fact/dim value-column name clash fails fast instead " +
+    "of emitting duplicate output columns") {
+    val o = Seq((1L, "a")).toDF("k", "v")
+    val dim = Scd.scd2(o, o, Seq("k"), Seq("v"), fromV = 1, toV = 2)
+    // fact already carries `v` — the lookup would duplicate it
+    val facts = Seq((10L, 1L, 1L, "fact-v")).toDF("fid", "k", "asof_v", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Scd.pitLookup(facts, dim, Seq("k"), "asof_v")
+    }
+    assert(ex.getMessage.contains("clash"))
+    // same guard for the validity-from column leaking into facts
+    val facts2 = Seq((10L, 1L, 1L, 9L)).toDF("fid", "k", "asof_v", "valid_from")
+    assert(intercept[IllegalArgumentException] {
+      Scd.pitLookup(facts2, dim, Seq("k"), "asof_v")
+    }.getMessage.contains("valid_from"))
+  }
+
   test("scd2: null values compare null-safely (null → null is carried)") {
     val o = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("k", "v")
     val n = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))

@@ -618,7 +618,7 @@ class DedupSpec extends SparkSpec {
     // docs 1 (= base, so heavy overlap with shard 0) and 3 (unrelated)
     val m = Dedup.shardContaminationMatrix(docs, pmod(col("doc_id"), lit(2)),
       n = 3)
-    val rows = m.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+    val rows = m.collect().map(r => (r.getString(0), r.getString(1)) ->
       (r.getAs[Long]("n_shared_shingles"), r.getAs[Long]("n_sh_a"),
         r.getAs[Long]("n_sh_b"), r.getAs[Double]("jaccard"))).toMap
     // expected values from first principles via the shingle sets
@@ -629,17 +629,37 @@ class DedupSpec extends SparkSpec {
         k -> v.map(_.getString(1)).toSet }
     val s0 = byShard(0L); val s1 = byShard(1L)
     val inter = (s0 intersect s1).size.toLong
-    assert(rows((0L, 1L))._1 === inter)
-    assert(rows((0L, 1L))._2 === s0.size.toLong)
-    assert(rows((0L, 1L))._3 === s1.size.toLong)
+    assert(rows(("0", "1"))._1 === inter)
+    assert(rows(("0", "1"))._2 === s0.size.toLong)
+    assert(rows(("0", "1"))._3 === s1.size.toLong)
     val jac = BigDecimal(inter.toDouble / (s0.size + s1.size - inter))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(math.abs(rows((0L, 1L))._4 - jac) < 1e-9)
+    assert(math.abs(rows(("0", "1"))._4 - jac) < 1e-9)
     // fully disjoint shards produce NO row (matrix is sparse)
     val disjoint = Seq((0L, "alpha beta gamma delta"),
       (1L, "epsilon zeta eta theta")).toDF("doc_id", "text")
     assert(Dedup.shardContaminationMatrix(disjoint,
       pmod(col("doc_id"), lit(2)), n = 3).count() === 0L)
+  }
+
+  test("shardContaminationMatrix: non-numeric shard labels keep their " +
+    "identity; a NULL shard label fails loudly") {
+    // the docstring's own use case — named splits, not numeric codes
+    val named = Seq(
+      ("train", "alpha beta gamma delta"),
+      ("val", "alpha beta gamma epsilon"),
+      ("vendor_a", "zeta eta theta iota")).toDF("split", "text")
+    val m = Dedup.shardContaminationMatrix(named, col("split"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_shared_shingles")).toMap
+    // train/val share exactly "alpha beta gamma" (one 3-gram)
+    assert(m === Map(("train", "val") -> 1L))
+    val withNull = Seq((Some("train"), "alpha beta gamma"),
+      (None, "alpha beta gamma")).toDF("split", "text")
+    val ex = intercept[Exception] {
+      Dedup.shardContaminationMatrix(withNull, col("split"), n = 3).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("clusterCanonicalKeepers: longest wins, min-id breaks ties, " +

@@ -1059,6 +1059,26 @@ class StreamingSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
   }
 
+  test("annLookupStream: a query stream with zero batches yields an " +
+    "EMPTY result with the real output schema, not zero columns") {
+    val e = graft.Tables.load(spark, sf001, "embeddings")
+    val emptyDir = java.nio.file.Files.createTempDirectory("annq_none")
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val stream = spark.readStream.schema(qSchema).parquet(emptyDir.toString)
+    val got = Streaming.annLookupStream(stream, e, k = 5, bands = 4, r = 8)
+    assert(got.count() === 0L)
+    // downstream column references (q330's orderBy) must still bind
+    assert(got.columns.contains("qid") && got.columns.contains("vec_id") &&
+      got.columns.contains("cos_sim"))
+    assert(got.orderBy("qid", "vec_id").count() === 0L)
+    graft.engine.TrackedCache.release()
+  }
+
   test("upsertMaintenanceStream: out-of-order multi-batch delivery " +
     "converges to the one-shot last-writer compaction") {
     // the staged chunks deliberately deliver some rows LATE (a later
