@@ -1089,4 +1089,76 @@ object Corpus {
           6).as("retention"))
       .orderBy("domain")
   }
+
+  /** Iterative proportional fitting (IPF / raking, Deming & Stephan
+    * 1940) of the (row × col) doc-count table to UNIFORM target
+    * marginals over the observed labels — the classic survey-weighting
+    * move applied to corpus mixture rebalancing: "reweight my corpus
+    * so every language AND every source carries equal mass, moving
+    * each cell as little as possible". Each iteration scales rows to
+    * their target mass, then columns to theirs; the result converges
+    * to the max-entropy table with those marginals (zero cells stay
+    * zero — IPF cannot invent mass where none was observed, and a
+    * label missing entirely from the data is simply not a target).
+    *
+    * Output per cell: observed `n_docs`, the raked weight
+    * `raked_docs` (same total mass as the input), and the per-doc
+    * sampling `rate` = raked/observed a downstream sampler consumes.
+    *
+    * Engine-exactness: cell weights live on an integer micro-grid
+    * (1e-6 docs) and every scaling step is floor(w·T/S + 0.5) with
+    * the double arithmetic in the same operand order as the oracle —
+    * marginal sums are exact BIGINT sums, so the fixed-iteration
+    * trajectory is bit-identical across engines.
+    *
+    * Scale shape: ONE data-scale shuffle (the groupBy(row, col)
+    * rollup); everything after operates on the cell table, which is
+    * |rows|·|cols| — a deployment constant (languages × sources).
+    * Each iteration is two dictionary-sized aggregates + broadcast
+    * joins; `iterations` is a small fixed constant, so plan depth is
+    * bounded and needs no lineage cuts.
+    */
+  def ipfRake(docs: DataFrame, rowCol: String, colCol: String,
+              iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"ipfRake: iterations >= 1, got $iterations")
+    val cells = docs.groupBy(rowCol, colCol).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("_tot"),
+      countDistinct(col(rowCol)).as("_nr"),
+      countDistinct(col(colCol)).as("_nc"))
+    // targets in micro-units: uniform share of the total mass per
+    // observed row / col label (floor(x + 0.5): engine-stable half-up)
+    var w = cells.crossJoin(broadcast(tot))
+      .withColumn("_t_row", floor(col("_tot").cast("double") * 1000000.0 /
+        col("_nr").cast("double") + 0.5).cast("long"))
+      .withColumn("_t_col", floor(col("_tot").cast("double") * 1000000.0 /
+        col("_nc").cast("double") + 0.5).cast("long"))
+      .withColumn("w", col("n") * lit(1000000L))
+      .select(col(rowCol), col(colCol), col("n"), col("w"),
+        col("_t_row"), col("_t_col"))
+    // ledger-checkpoint the cell table once (it feeds every
+    // iteration), then cut lineage per iteration: each scaling step
+    // references the running frame TWICE (marginal aggregate + join),
+    // so an uncut loop doubles the plan per half-step — the
+    // exponential-replay class the graph loops already guard against.
+    // The frame is dictionary-sized, so each cut is a trivial job.
+    w = w.trackedLocalCheckpoint()
+    for (_ <- 1 to iterations) {
+      val rs = w.groupBy(rowCol).agg(sum("w").as("_s"))
+      w = w.join(broadcast(rs), Seq(rowCol))
+        .withColumn("w", floor(col("w").cast("double") * col("_t_row") /
+          col("_s") + 0.5).cast("long"))
+        .drop("_s")
+      val cs = w.groupBy(colCol).agg(sum("w").as("_s"))
+      w = w.join(broadcast(cs), Seq(colCol))
+        .withColumn("w", floor(col("w").cast("double") * col("_t_col") /
+          col("_s") + 0.5).cast("long"))
+        .drop("_s")
+        .trackedLocalCheckpoint()
+    }
+    w.select(col(rowCol), col(colCol), col("n").as("n_docs"),
+      round(col("w").cast("double") / 1000000.0, 6).as("raked_docs"),
+      round(col("w").cast("double") /
+        (col("n").cast("double") * 1000000.0), 6).as("rate"))
+      .orderBy(rowCol, colCol)
+  }
 }

@@ -1296,6 +1296,100 @@ object Dedup {
     * and recomputing a narrow map stage is the cheaper trade at
     * 100 TB (same call as `shingles`' consumers).
     */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): over the whitespace-normalized lowercased text,
+    * hash every char `k`-gram, slide a window of `w` consecutive gram
+    * hashes, and select each window's MINIMUM (rightmost on ties).
+    * Unlike mod-p fingerprint sampling this carries the winnowing
+    * GUARANTEE: any shared substring of length ≥ k + w − 1 chars
+    * produces at least one shared fingerprint — position-robust
+    * plagiarism/near-dup detection with a density bound of
+    * ~2/(w+1) fingerprints per gram.
+    *
+    * Returns one row per selected (id, fingerprint hash, gram pos).
+    * The rightmost-min tie rule is encoded arithmetically: windows
+    * minimize `hash·2²⁴ + (2²⁴−1−pos)`, so equal hashes prefer the
+    * LARGER position — one partitioned window `min`, no argmin UDF.
+    * Docs shorter than k+w−1 chars contribute their single truncated
+    * window (the global min of what grams they have).
+    *
+    * Scale shape: gram explode is map-side (linear in chars); the
+    * window is per-doc partitioned (frame = one doc's grams); the
+    * fingerprint set is ~2/(w+1) of grams. Positions beyond 2²⁴
+    * (16.7M chars) are dropped from fingerprinting — document-scale
+    * texts past that belong in [[dupSpans]]' islands instead.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"winnowingFingerprints: k >= 2, got $k")
+    require(w >= 2, s"winnowingFingerprints: w >= 2, got $w")
+    // normalized text in its OWN projection (interpreted-HOF re-eval trap)
+    val norm = docs.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_s"))
+    val grams = norm.select(col(idCol),
+      (greatest(length(col("_s")) - lit(k - 1), lit(1)))
+        .cast("long").as("_ng"),
+      posexplode(transform(
+        sequence(lit(0), greatest(length(col("_s")) - lit(k), lit(0))),
+        p => conv(substring(md5(col("_s").substr(p + 1, lit(k))), 1, 9),
+          16, 10).cast("long")))
+        .as(Seq("pos", "h")))
+      .filter(col("pos") < lit(16777216L))
+    val comb = grams.select(col(idCol), col("_ng"),
+      col("pos").cast("long").as("pos"),
+      (col("h") * lit(16777216L) + (lit(16777215L) - col("pos")))
+        .as("c"))
+    val winMin = min(col("c")).over(Window.partitionBy(idCol)
+      .orderBy("pos").rowsBetween(0, w - 1))
+    comb.withColumn("m", winMin)
+      .filter(col("pos") === 0 || col("pos") <= col("_ng") - lit(w.toLong))
+      .select(col(idCol), expr("m div 16777216").as("fp"),
+        (lit(16777215L) - pmod(col("m"), lit(16777216L))).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints —
+    * [[winnowingFingerprints]] pushed through the standard inverted-
+    * index join: docs sharing ≥ `minShared` selected fingerprints,
+    * with hot fingerprints (df > `maxDf`) dropped from the posting
+    * join (the boilerplate guard every posting-list dedup here uses).
+    * Emits each side's fingerprint count and the overlap coefficient
+    * n_shared / min(n_fp) — 1.0 means one doc's fingerprint set is
+    * contained in the other's.
+    */
+  def winnowingCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
+                          minShared: Long = 2, maxDf: Long = 50,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"winnowingCandidates: minShared >= 1, maxDf >= 2")
+    val sel = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fp")).distinct()
+      .trackedPersist()
+    val perDoc = sel.groupBy(idCol).agg(count(lit(1)).as("n_fp"))
+    val cold = sel.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("fp")
+    val posting = sel.join(cold, "fp")
+    val pairs = posting.select(col("fp"), col(idCol).as("id_a"))
+      .join(posting.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(perDoc.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")),
+        Seq("id_a"))
+      .join(perDoc.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_fp_a"), col("n_fp_b")).cast("double"), 6)
+          .as("overlap"))
+      .orderBy("id_a", "id_b")
+  }
+
   def dupSpans(docs: DataFrame, n: Int = 8, minCount: Long = 2,
                idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {

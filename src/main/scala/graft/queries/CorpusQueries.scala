@@ -1584,6 +1584,68 @@ object CorpusQueries {
           max("n_admitted").as("n_admitted"),
           max("n_rejected").as("n_rejected"))
         .orderBy("domain")
+    },
+
+    // ——— IPF raking (survey reweighting applied to corpus mixture):
+    //     rake the (lang × source) doc-count table to UNIFORM
+    //     marginals over observed labels in 3 row/col scaling
+    //     iterations. Cell weights on a 1e-6 micro-grid with
+    //     floor(w·T/S + 0.5) scaling → the fixed-iteration trajectory
+    //     is engine-exact. One data-scale shuffle (the cell rollup);
+    //     everything after is dictionary-sized. ———
+    Q("q331_ipf_raking",
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS t,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+        |  FROM cells
+        |), w0 AS (
+        |  SELECT lang, source, n, n * 1000000 AS w,
+        |    CAST(FLOOR(CAST(t AS DOUBLE) * 1000000.0 / CAST(nr AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS tr,
+        |    CAST(FLOOR(CAST(t AS DOUBLE) * 1000000.0 / CAST(nc AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS tc
+        |  FROM cells CROSS JOIN tot
+        |), r1 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tr / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT)
+        |          AS s FROM w0)
+        |), c1 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tc / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT)
+        |          AS s FROM r1)
+        |), r2 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tr / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT)
+        |          AS s FROM c1)
+        |), c2 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tc / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT)
+        |          AS s FROM r2)
+        |), r3 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tr / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT)
+        |          AS s FROM c2)
+        |), c3 AS (
+        |  SELECT lang, source, n, tr, tc,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * tc / s + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT *, CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT)
+        |          AS s FROM r3)
+        |)
+        |SELECT lang, source, n AS n_docs,
+        |  round(CAST(w AS DOUBLE) / 1000000.0, 6) AS raked_docs,
+        |  round(CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+        |    AS rate
+        |FROM c3 ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Corpus.ipfRake(docs(s, dir), "lang", "source", iterations = 3)
     }
   )
 }

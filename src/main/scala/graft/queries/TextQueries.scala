@@ -3042,6 +3042,56 @@ object TextQueries {
         .trackedLocalCheckpoint()
       Dedup.clusterCanonicalKeepers(Dedup.nearDupClusters(pairs),
         docs(s, dir))
+    },
+
+    // ——— winnowing fingerprints (Schleimer–Wilkerson–Aiken / MOSS):
+    //     char-5-gram hashes, window-of-4 rightmost-min selection via
+    //     the combined hash·2²⁴+(2²⁴−1−pos) key, then the standard
+    //     df-capped posting join to shared-fingerprint candidate
+    //     pairs. The winnowing GUARANTEE (any shared run ≥ k+w−1
+    //     chars yields a shared fingerprint) is what q34/q106 lack:
+    //     position-robust, alignment-free. ———
+    Q("q332_winnowing_dedup",
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, GREATEST(len(s) - 4, 1) AS ng, CAST(p AS BIGINT)
+        |      AS pos,
+        |    CAST(concat('0x', substring(md5(substring(s, CAST(p + 1 AS INT),
+        |      5)), 1, 9)) AS BIGINT) AS h
+        |  FROM norm, unnest(range(0, GREATEST(len(s) - 4, 1))) AS t(p)
+        |), comb AS (
+        |  SELECT doc_id, ng, pos, h * 16777216 + (16777215 - pos) AS c
+        |  FROM grams WHERE pos < 16777216
+        |), wins AS (
+        |  SELECT doc_id, ng, pos, MIN(c) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM comb
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, m // 16777216 AS fp
+        |  FROM wins WHERE pos = 0 OR pos <= ng - 4
+        |), per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sel GROUP BY 1
+        |), cold AS (
+        |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+        |), posting AS (
+        |  SELECT s.doc_id, s.fp FROM sel s JOIN cold USING (fp)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM posting a JOIN posting b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT id_a, id_b, n_shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    CAST(LEAST(pa.n_fp, pb.n_fp) AS DOUBLE), 6) AS overlap
+        |FROM pairs JOIN per pa ON pairs.id_a = pa.doc_id
+        |JOIN per pb ON pairs.id_b = pb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.winnowingCandidates(docs(s, dir), k = 5, w = 4,
+        minShared = 2, maxDf = 50)
     }
   )
 }

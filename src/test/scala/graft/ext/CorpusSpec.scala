@@ -757,4 +757,45 @@ class CorpusSpec extends SparkSpec {
       a1.head.getAs[Long]("tokens_kept"))
     assert(b1.getAs[Long]("n_kept") === 3L)
   }
+
+  test("ipfRake: marginals converge to uniform, mass is preserved, " +
+    "zero cells stay zero, and the run is deterministic") {
+    import spark.implicits._
+    // skewed 2×3 table with one structural zero: (b, z) never occurs
+    val rows = Seq.fill(60)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(6)(("a", "z")) ++ Seq.fill(2)(("b", "x")) ++
+      Seq.fill(2)(("b", "y"))
+    val docsDf = rows.zipWithIndex
+      .map { case ((r, c), i) => (i.toLong, r, c) }
+      .toDF("doc_id", "lang", "source")
+    val out = Corpus.ipfRake(docsDf, "lang", "source", iterations = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("raked_docs"),
+          r.getAs[Double]("rate"))).toMap
+    val total = rows.size.toDouble
+    // (b, z) is absent from the input → absent from the output (IPF
+    // cannot invent mass); all 5 observed cells present
+    assert(out.size === 5 && !out.contains(("b", "z")))
+    // total mass preserved within micro-grid rounding
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - total) < 1e-2, s"mass drifted: $mass")
+    // row marginals → total/2 each, col marginals → total/3 each
+    // (16 iterations is deep convergence for a 2×3 table with a zero)
+    for (r <- Seq("a", "b")) {
+      val m = out.collect { case ((`r`, _), v) => v._2 }.sum
+      assert(math.abs(m - total / 2) < 0.05, s"row $r marginal $m")
+    }
+    for (c <- Seq("x", "y", "z")) {
+      val m = out.collect { case ((_, `c`), v) => v._2 }.sum
+      assert(math.abs(m - total / 3) < 0.05, s"col $c marginal $m")
+    }
+    // rate = raked/observed
+    out.foreach { case (k, (n, raked, rate)) =>
+      assert(math.abs(rate - raked / n) < 1e-5, s"$k rate") }
+    // deterministic: a second run is bit-identical
+    val again = Corpus.ipfRake(docsDf, "lang", "source", iterations = 16)
+      .collect().map(_.toSeq)
+    assert(again.toSeq === Corpus.ipfRake(docsDf, "lang", "source",
+      iterations = 16).collect().map(_.toSeq).toSeq)
+  }
 }

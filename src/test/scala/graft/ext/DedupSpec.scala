@@ -720,4 +720,66 @@ class DedupSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_a") === 0L)
     assert(r3.isNullAt(r3.fieldIndex("pair_jaccard")))
   }
+
+  test("winnowing: the guarantee (shared run >= k+w-1 chars => shared " +
+    "fingerprint), density bound, and determinism") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // two docs sharing a 40-char run embedded at DIFFERENT offsets in
+    // otherwise-unrelated text — alignment-free detection is the point
+    val shared = "the quick brown fox jumps over the lazy"
+    val d = Seq(
+      (0L, s"completely unrelated preamble text here $shared and a tail"),
+      (1L, s"$shared padded with different trailing content entirely"),
+      (2L, "nothing in common with the others at all zzz qqq www")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(d, k, w)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSet }
+    // guarantee: the shared 40-char run (>= k+w-1 = 8) must yield at
+    // least one shared fingerprint between docs 0 and 1
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty,
+      "winnowing guarantee violated: no shared fingerprint")
+    // density: winnowing selects ~2/(w+1) of grams; allow a loose
+    // upper bound of 1 per window and require > 1 fingerprint
+    val n0 = byDoc(0L).size
+    val grams0 = d.filter(col("doc_id") === 0L)
+      .select(length(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .head().getInt(0) - k + 1
+    assert(n0 > 1 && n0 <= grams0, s"density off: $n0 of $grams0")
+    // candidates: (0,1) surfaces, the unrelated doc does not
+    val cands = Dedup.winnowingCandidates(d, k, w, minShared = 1,
+      maxDf = 50).collect()
+    val pairs = cands.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // overlap coefficient is n_shared / min(n_fp)
+    val row01 = cands.find(r => (r.getLong(0), r.getLong(1)) == ((0L, 1L))).get
+    assert(row01.getAs[Double]("overlap") ===
+      BigDecimal(row01.getAs[Long]("n_shared").toDouble /
+        math.min(row01.getAs[Long]("n_fp_a"), row01.getAs[Long]("n_fp_b")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // determinism + partition invariance
+    val again = Dedup.winnowingFingerprints(d.repartition(7), k, w)
+      .collect().map(_.toSeq).toSet
+    assert(again === fps.collect().map(_.toSeq).toSet)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("winnowing: a doc shorter than k+w-1 contributes its single " +
+    "truncated window; position tie-break prefers the rightmost min") {
+    import spark.implicits._
+    val tiny = Seq((0L, "abc")).toDF("doc_id", "text")
+    val f = Dedup.winnowingFingerprints(tiny, k = 5, w = 4).collect()
+    assert(f.length === 1, "short doc must yield exactly one fingerprint")
+    // rightmost tie: a doc of one repeated char has IDENTICAL gram
+    // hashes everywhere; each window must pick its RIGHTMOST position
+    val rep = Seq((0L, "aaaaaaaaaaaa")).toDF("doc_id", "text") // 12 chars
+    val sel = Dedup.winnowingFingerprints(rep, k = 5, w = 4)
+      .collect().map(r => r.getAs[Long]("fp_pos")).sorted
+    // 8 grams (pos 0..7), valid window starts 0..4; window at start s
+    // picks pos s+3 (rightmost of equal hashes) → positions 3..7
+    assert(sel.toSeq === Seq(3L, 4L, 5L, 6L, 7L))
+    graft.engine.TrackedCache.release()
+  }
 }
