@@ -287,6 +287,120 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe): align two embedding collections (e.g.
+    * sentences in two languages in a shared embedding space) by
+    * keeping the pairs that are RECIPROCAL nearest neighbors and
+    * scoring each with the margin criterion
+    * `cos(x,y) / (½·(avgk(x) + avgk(y)))` — cosine relative to each
+    * side's average top-`kNeighbors` neighborhood similarity, which
+    * cancels hubness (a vector that is "close to everything" needs a
+    * much higher raw cosine to clear margin 1). Downstream filters on
+    * `margin` (≥ ~1.05 is the published operating point).
+    *
+    * Deterministic: cosines are rounded to 6 dp before ranking
+    * (rank ties broken by id), and the neighborhood means sum exact
+    * DECIMAL(18,6) so no float-order drift reaches the oracle.
+    *
+    * This entry point scores all |A|×|B| pairs and REFUSES inputs
+    * beyond `maxPairs` — the bounded verification path. At corpus
+    * scale, generate the candidate pairs with [[annTopKBatch]] in
+    * BOTH directions (k ≥ kNeighbors) and feed the union through the
+    * same window/margin arithmetic: the margin only reads each side's
+    * top-k, which is exactly what the ANN index returns.
+    */
+  def bitextMarginMine(a: DataFrame, b: DataFrame, kNeighbors: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxPairs: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(kNeighbors >= 1, s"bitextMarginMine: kNeighbors >= 1")
+    val na = a.select(col(idCol)).count()
+    val nb = b.select(col(idCol)).count()
+    require(na * nb <= maxPairs,
+      s"bitextMarginMine is brute-force |A|x|B| and refuses ${na}x$nb " +
+        s"pairs (maxPairs=$maxPairs). At scale feed annTopKBatch " +
+        "candidates from both directions through the margin arithmetic.")
+    val av = a.select(col(idCol).as("qid"), col(vecCol).as("_av"),
+      norm2(col(vecCol)).as("_na"))
+    val bv = b.select(col(idCol).as("vid"), col(vecCol).as("_bv"),
+      norm2(col(vecCol)).as("_nb"))
+    val scored = av.crossJoin(broadcast(bv))
+      .select(col("qid"), col("vid"),
+        round(dot(col("_av"), col("_bv")) /
+          (sqrt(col("_na")) * sqrt(col("_nb"))), 6).as("cos"))
+    val wa = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val wb = Window.partitionBy("vid").orderBy(col("cos").desc, col("qid"))
+    val ranked = scored
+      .withColumn("rna", row_number().over(wa))
+      .withColumn("rnb", row_number().over(wb))
+      .trackedPersist()
+    val ka = ranked.filter(col("rna") <= kNeighbors).groupBy("qid")
+      .agg((sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("_ka"))
+    val kb = ranked.filter(col("rnb") <= kNeighbors).groupBy("vid")
+      .agg((sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("_kb"))
+    ranked.filter(col("rna") === 1 && col("rnb") === 1)
+      .join(ka, Seq("qid")).join(kb, Seq("vid"))
+      .select(col("qid"), col("vid"), col("cos").as("cos_sim"),
+        round(col("_ka"), 6).as("avg_topk_a"),
+        round(col("_kb"), 6).as("avg_topk_b"),
+        round(col("cos") / (lit(0.5) * (col("_ka") + col("_kb"))), 6)
+          .as("margin"))
+      .orderBy("qid")
+  }
+
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * DPR / sentence-transformers curriculum step): for each query
+    * vector, the `k` most-similar corpus vectors with a DIFFERENT
+    * label (the "hard" negatives — near in embedding space, wrong by
+    * supervision), plus the query's nearest SAME-label anchor (the
+    * positive) and the pos−neg margin. Small or negative margins mark
+    * the negatives worth training on; a margin near the positive's
+    * own similarity marks label noise worth auditing.
+    *
+    * Queries whose label has no other member (no positive anchor)
+    * drop out — deterministic, mirrored by the oracle.
+    *
+    * Scale shape: corpus × broadcast(query roster) — the q316-class
+    * bounded-roster scan — then per-qid partitioned top-k windows.
+    * For a corpus-sized query load, swap the scored-pair source with
+    * [[annTopKBatch]] oversampled by the expected same-label fraction
+    * and keep the same window/margin arithmetic.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hardNegatives: k >= 1, got $k")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+      col(labelCol).as("_ql"), norm2(col(vecCol)).as("_qn"))
+    val pairs = embeddings
+      .select(col(idCol), col(vecCol), col(labelCol),
+        norm2(col(vecCol)).as("_en"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("_ql"), col(idCol), col(labelCol),
+        round(dot(col(vecCol), col("_qv")) /
+          (sqrt(col("_en")) * sqrt(col("_qn"))), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    val negs = pairs.filter(col(labelCol) =!= col("_ql"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col("neg_rank"),
+        col(idCol).as("neg_id"), col("cos").as("neg_cos"))
+    val pos = pairs.filter(col(labelCol) === col("_ql") &&
+        col(idCol) =!= col("qid"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col(idCol).as("pos_id"), col("cos").as("pos_cos"))
+    negs.join(pos, Seq("qid"))
+      .select(col("qid"), col("neg_rank"), col("neg_id"), col("neg_cos"),
+        col("pos_id"), col("pos_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer (centroids) splits
     * the corpus into cells; each vector is assigned to its nearest
     * centroid; a query probes only the `nProbes` nearest cells. The

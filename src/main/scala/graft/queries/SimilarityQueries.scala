@@ -326,6 +326,86 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     },
 
+    // ——— margin-based bitext mining (Artetxe–Schwenk, the CCMatrix
+    //     recipe): reciprocal top-1 cosine pairs between two embedding
+    //     rosters, scored by cos / mean-top-k-neighborhood — the
+    //     hubness-cancelling margin. Cosines rounded before ranking,
+    //     neighborhood means summed as DECIMAL → engine-exact. ———
+    Q("q333_bitext_mining",
+      s"""WITH a AS (SELECT vec_id AS qid, embedding AS av
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |b AS (SELECT vec_id AS vid, embedding AS bv
+         |  FROM embeddings WHERE vec_id % 4 = 1),
+         |p AS (
+         |  SELECT qid, vid, ROUND(${cosSql("av", "bv")}, 6) AS cos
+         |  FROM a CROSS JOIN b
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+         |      AS rna,
+         |    row_number() OVER (PARTITION BY vid ORDER BY cos DESC, qid)
+         |      AS rnb
+         |  FROM p
+         |), ka AS (
+         |  SELECT qid, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*) AS ka
+         |  FROM r WHERE rna <= 4 GROUP BY 1
+         |), kb AS (
+         |  SELECT vid, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*) AS kb
+         |  FROM r WHERE rnb <= 4 GROUP BY 1
+         |)
+         |SELECT r.qid, r.vid, r.cos AS cos_sim,
+         |  ROUND(ka.ka, 6) AS avg_topk_a, ROUND(kb.kb, 6) AS avg_topk_b,
+         |  ROUND(r.cos / (0.5 * (ka.ka + kb.kb)), 6) AS margin
+         |FROM r JOIN ka USING (qid) JOIN kb USING (vid)
+         |WHERE rna = 1 AND rnb = 1
+         |ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bitextMarginMine(
+        e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 4 === 1), kNeighbors = 4)
+    },
+
+    // ——— hard-negative mining (DPR-style contrastive curriculum):
+    //     per query, top-5 most-similar DIFFERENT-label vectors plus
+    //     the nearest same-label positive and the pos−neg margin —
+    //     corpus × broadcast(roster), per-qid top-k windows only. ———
+    Q("q334_hard_negatives",
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |), p AS (
+         |  SELECT q.qid, q.ql, e.vec_id, e.label,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), negs AS (
+         |  SELECT qid, neg_rank, vec_id AS neg_id, cos AS neg_cos FROM (
+         |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS neg_rank
+         |    FROM p WHERE label <> ql
+         |  ) WHERE neg_rank <= 5
+         |), pos AS (
+         |  SELECT qid, vec_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |    FROM p WHERE label = ql AND vec_id <> qid
+         |  ) WHERE rn = 1
+         |)
+         |SELECT n.qid, CAST(n.neg_rank AS BIGINT) AS neg_rank, n.neg_id,
+         |  n.neg_cos, pos.pos_id, pos.pos_cos,
+         |  ROUND(pos.pos_cos - n.neg_cos, 6) AS margin
+         |FROM negs n JOIN pos USING (qid)
+         |ORDER BY qid, neg_rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e,
+        e.filter(col("vec_id") % 25 === 0), k = 5)
+        .withColumn("neg_rank", col("neg_rank").cast("long"))
+        .select("qid", "neg_rank", "neg_id", "neg_cos", "pos_id",
+          "pos_cos", "margin")
+        .orderBy("qid", "neg_rank")
+    },
+
     // ——— IVF recall-vs-nprobe tuning curve: mean recall@10 of the
     //     q48 IVF machinery at nprobe 1/2/3 over the batch roster vs
     //     brute truth — one corpus assignment shared across probes,

@@ -663,4 +663,83 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(0L) === Map(1 -> 10L, 2 -> 12L))
     assert(byQ(1L) === Map(1 -> 20L, 2 -> 21L))
   }
+
+  test("bitextMarginMine: reciprocal-top1 only, margin cancels hubness, " +
+    "refusal guard") {
+    import spark.implicits._
+    // planted parallel corpus: a_i aligns with b_i (near-identical
+    // directions); b9 is a HUB pointing halfway at everything
+    val a = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (11L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 0.1f, 0.9f, 0.0f)),
+      (19L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginMine(a, b, kNeighbors = 2).collect()
+    val pairs = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted alignment is mined; the hub is nobody's partner
+    assert(pairs === Map(0L -> 10L, 1L -> 11L, 2L -> 12L))
+    // margins clear 1 (cos far above each side's neighborhood mean)
+    out.foreach(r => assert(r.getAs[Double]("margin") > 1.0, r.toString))
+    // reciprocity law re-checked from first principles: each mined
+    // pair is mutual top-1 under the same rounded-cos ordering
+    val cosAB = for {
+      ar <- a.collect(); br <- b.collect()
+    } yield {
+      val av = ar.getSeq[Float](1); val bv = br.getSeq[Float](1)
+      val d = av.zip(bv).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(av.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(bv.map(x => x.toDouble * x).sum)
+      (ar.getLong(0), br.getLong(0),
+        BigDecimal(d / (na * nb)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    pairs.foreach { case (q, v) =>
+      val best = cosAB.filter(_._1 == q).maxBy(t => (t._3, -t._2))._2
+      val bestRev = cosAB.filter(_._2 == v).maxBy(t => (t._3, -t._1))._1
+      assert(best === v && bestRev === q, s"($q,$v) not reciprocal")
+    }
+    // guard: refuses an unbounded pair space
+    intercept[IllegalArgumentException] {
+      Similarity.bitextMarginMine(a, b, kNeighbors = 2, maxPairs = 5L)
+    }
+    graft.engine.TrackedCache.release()
+  }
+
+  test("hardNegatives: negatives never share the query label, ranks are " +
+    "contiguous, singleton-label queries drop, margin is pos-neg") {
+    import spark.implicits._
+    // label 0: query 0 + positive 1 (close); label 1: a CLOSER
+    // different-label vector 2 (the hard negative) + far vector 3;
+    // label 9: singleton query 4 (no positive → drops out)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.8f, 0.6f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 9)).toDF("vec_id", "embedding", "label")
+    val qs = e.filter(col("vec_id").isin(0L, 4L))
+    val out = Similarity.hardNegatives(e, qs, k = 2).collect()
+    // singleton-label query 4 dropped
+    assert(out.map(_.getLong(0)).toSet === Set(0L))
+    val rows = out.sortBy(_.getAs[Int]("neg_rank"))
+    assert(rows.map(_.getAs[Int]("neg_rank")).toSeq === Seq(1, 2))
+    // hardest negative is the planted near-collinear wrong-label vec 2
+    assert(rows.head.getAs[Long]("neg_id") === 2L)
+    assert(rows.head.getAs[Long]("pos_id") === 1L)
+    // vec 2 is closer to the query than the positive → negative margin
+    assert(rows.head.getAs[Double]("margin") < 0.0)
+    // margin arithmetic
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") ===
+        BigDecimal(r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // negatives carry a different label by construction: the only
+      // same-label candidate (vec 1) is the positive, never a negative
+      assert(r.getAs[Long]("neg_id") !== 1L)
+    }
+  }
 }
