@@ -358,6 +358,69 @@ object Classifier {
           6).as("uncertainty"))
   }
 
+  /** Split-conformal prediction report (Vovk et al.; the
+    * distribution-free coverage recipe): an md5-coin half of the
+    * scored frame becomes the CALIBRATION set, whose nonconformity
+    * scores (1 − p(true class), on the 1e-6 micro-grid) yield the
+    * threshold `qhat` at nearest rank ⌈(n+1)(1−α)⌉ — computed from
+    * the value DICTIONARY via [[graft.engine.Ranks.nearestRank]],
+    * never a row-scale sort. The other half is EVALUATED: a class
+    * joins a row's prediction set when its nonconformity ≤ qhat, and
+    * the report checks the conformal guarantee (coverage ≥ 1 − α in
+    * expectation) plus the efficiency diagnostics a modeler actually
+    * reads: mean prediction-set size, share of empty sets (score
+    * too confident to cover either class) and share of {0,1} sets
+    * (score too uncertain to commit).
+    *
+    * Scale shape: one map pass for scores/coins, one dictionary
+    * aggregate for qhat, one reduce for the eval report — no global
+    * ordered window anywhere.
+    */
+  def conformalSplit(scored: DataFrame, labelCol: String,
+                     scoreCol: String, alpha: Double = 0.1,
+                     idCol: String = "doc_id",
+                     calSeed: String = "cal1"): DataFrame = {
+    import graft.engine.TrackedCache.Trackable
+    require(alpha > 0 && alpha < 1, s"conformalSplit: 0 < alpha < 1")
+    val coin = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":$calSeed"))), 1, 15), 16, 10).cast("long")
+    val sm = round(col(scoreCol).cast("double") * 1e6).cast("long")
+    val base = scored.select(col(idCol),
+      col(labelCol).cast("long").as("_y"), sm.as("_sm"),
+      (coin % 2 === 0).as("_is_cal"))
+      .withColumn("_nc", when(col("_y") === 1L,
+        lit(1000000L) - col("_sm")).otherwise(col("_sm")))
+      .trackedPersist()
+    val qh = graft.engine.Ranks.nearestRank(
+      base.filter(col("_is_cal")), "_nc",
+      Seq("qhat" -> (n => least(
+        ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha)).cast("long"),
+        n))))
+    val ev = base.filter(!col("_is_cal"))
+      .crossJoin(broadcast(qh))
+      .select(col("n_total").as("n_cal"), col("qhat"),
+        col("_y"), col("_nc"), col("_sm"),
+        (lit(1000000L) - col("_sm") <= col("qhat")).cast("long").as("_in1"),
+        (col("_sm") <= col("qhat")).cast("long").as("_in0"))
+    ev.groupBy("n_cal", "qhat")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_nc") <= col("qhat"), 1L).otherwise(0L)).as("_cov"),
+        sum(col("_in1") + col("_in0")).as("_size"),
+        sum(when(col("_in1") + col("_in0") === 0L, 1L).otherwise(0L))
+          .as("_empty"),
+        sum(when(col("_in1") + col("_in0") === 2L, 1L).otherwise(0L))
+          .as("_both"))
+      .select(round(lit(1.0 - alpha), 6).as("target_coverage"),
+        col("n_cal"), col("qhat").as("qhat_micro"), col("n_eval"),
+        round(col("_cov").cast("double") / col("n_eval"), 6).as("coverage"),
+        round(col("_size").cast("double") / col("n_eval"), 6)
+          .as("avg_set_size"),
+        round(col("_empty").cast("double") / col("n_eval"), 6)
+          .as("share_empty"),
+        round(col("_both").cast("double") / col("n_eval"), 6)
+          .as("share_both"))
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df

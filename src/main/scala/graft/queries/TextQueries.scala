@@ -3092,6 +3092,90 @@ object TextQueries {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.winnowingCandidates(docs(s, dir), k = 5, w = 4,
         minShared = 2, maxDf = 50)
+    },
+
+    // ——— split-conformal prediction over the q181 classifier chain:
+    //     md5-coin calibration half → nonconformity (1−p(true), micro
+    //     grid) → qhat at nearest rank ⌈(n+1)(1−α)⌉ via the Ranks
+    //     value-dictionary decomposition (no row-scale sort) → eval
+    //     half coverage + prediction-set efficiency. The
+    //     distribution-free guarantee, checked as data. ———
+    Q("q335_conformal_coverage", {
+      s"""WITH wt AS (SELECT bucket, w FROM read_parquet('${graft.queries.Fixtures.sqlPath("q335_weights")}') WHERE bucket >= 0),
+         |bias AS (SELECT w AS b FROM read_parquet('${graft.queries.Fixtures.sqlPath("q335_weights")}') WHERE bucket = -1),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents
+         |), feats AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) % 256 AS BIGINT) AS bucket
+         |  FROM toks
+         |), zs AS (
+         |  SELECT f.doc_id, list_sum(list(wt.w ORDER BY f.bucket)) AS s
+         |  FROM feats f JOIN wt USING (bucket) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT z.doc_id,
+         |    CAST(round(1.0 / (1.0 + exp(-(bias.b + z.s))) * 1000000) AS BIGINT)
+         |      AS sm
+         |  FROM zs z CROSS JOIN bias
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(CASE WHEN token = 'spark' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'stream' THEN 1 ELSE 0 END)
+         |       * MAX(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS y
+         |  FROM toks GROUP BY doc_id
+         |), base AS (
+         |  SELECT sc.doc_id, lab.y, sc.sm,
+         |    CASE WHEN lab.y = 1 THEN 1000000 - sc.sm ELSE sc.sm END AS nc,
+         |    CAST(concat('0x', substring(md5(concat(CAST(sc.doc_id AS VARCHAR),
+         |      ':cal1')), 1, 15)) AS BIGINT) % 2 = 0 AS is_cal
+         |  FROM sc JOIN lab USING (doc_id)
+         |), caln AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS ncal FROM base WHERE is_cal
+         |), cum AS (
+         |  SELECT nc, SUM(c) OVER (ORDER BY nc) AS cumc FROM (
+         |    SELECT nc, CAST(COUNT(*) AS BIGINT) AS c FROM base
+         |    WHERE is_cal GROUP BY nc)
+         |), qh AS (
+         |  SELECT MIN(CASE WHEN cumc >= LEAST(CAST(ceil(
+         |      CAST(ncal + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT),
+         |      ncal) THEN nc END) AS qhat,
+         |    MAX(ncal) AS n_cal
+         |  FROM cum CROSS JOIN caln
+         |), ev AS (
+         |  SELECT b.y, b.nc, qh.qhat, qh.n_cal,
+         |    CASE WHEN 1000000 - b.sm <= qh.qhat THEN 1 ELSE 0 END AS in1,
+         |    CASE WHEN b.sm <= qh.qhat THEN 1 ELSE 0 END AS in0
+         |  FROM base b CROSS JOIN qh WHERE NOT b.is_cal
+         |)
+         |SELECT ROUND(CAST(0.9 AS DOUBLE), 6) AS target_coverage,
+         |  MAX(n_cal) AS n_cal, MAX(qhat) AS qhat_micro,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  ROUND(CAST(SUM(CASE WHEN nc <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS coverage,
+         |  ROUND(CAST(SUM(in1 + in0) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_set_size,
+         |  ROUND(CAST(SUM(CASE WHEN in1 + in0 = 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS share_empty,
+         |  ROUND(CAST(SUM(CASE WHEN in1 + in0 = 2 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS share_both
+         |FROM ev""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Classifier
+      val toks = TextStats.tokens(col("text"))
+      val labeled = docs(s, dir).withColumn("y",
+        (array_contains(toks, "spark") && array_contains(toks, "stream") &&
+          array_contains(toks, "window")).cast("int"))
+      val model = Classifier.train(labeled, "y", dim = 256, iters = 2)
+      graft.queries.Fixtures.write("q335_weights", {
+        import s.implicits._
+        ((-1L, model.bias) +: model.weights.zipWithIndex.toSeq
+          .map { case (w, j) => (j.toLong, w) }).toDF("bucket", "w")
+      })
+      val scored = Classifier.score(labeled, model)
+        .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      Classifier.conformalSplit(scored, "y", "score", alpha = 0.1)
     }
   )
 }

@@ -169,4 +169,60 @@ class ClassifierSpec extends SparkSpec {
     assert(p.getAs[Double]("resolution") === 0.25)
     assert(p.getAs[Double]("uncertainty") === 0.25)
   }
+
+  test("conformalSplit: qhat is the exact nearest-rank statistic of " +
+    "the calibration half and the eval report replays from it") {
+    import spark.implicits._
+    // deterministic scores: doc i has score (i%101)/100, label = score>=0.5
+    // with 10% planted label flips — imperfect but informative
+    val df = (0L until 400L).map { i =>
+      val sc = (i % 101).toDouble / 100.0
+      val y = if (i % 10 == 0) 1 - (if (sc >= 0.5) 1 else 0)
+              else (if (sc >= 0.5) 1 else 0)
+      (i, sc, y)
+    }.toDF("doc_id", "score", "y")
+    val alpha = 0.1
+    val r = Classifier.conformalSplit(df, "y", "score", alpha).head()
+    // replay from first principles on the collected rows
+    val rows = df.collect().map { row =>
+      val id = row.getLong(0); val sc = row.getDouble(1); val y = row.getInt(2)
+      val smRaw = BigDecimal(sc * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val nc = if (y == 1) 1000000L - smRaw else smRaw
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cal1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (id, smRaw, nc, java.lang.Long.parseLong(hex, 16) % 2 == 0, y)
+    }
+    val cal = rows.filter(_._4).map(_._3).sorted
+    val n = cal.length
+    val rank = math.min(math.ceil((n + 1) * (1 - alpha)).toLong, n.toLong)
+    val qhat = cal(rank.toInt - 1)
+    assert(r.getAs[Long]("n_cal") === n.toLong)
+    assert(r.getAs[Long]("qhat_micro") === qhat)
+    val ev = rows.filterNot(_._4)
+    assert(r.getAs[Long]("n_eval") === ev.length.toLong)
+    val covered = ev.count(_._3 <= qhat)
+    assert(r.getAs[Double]("coverage") ===
+      BigDecimal(covered.toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the conformal guarantee on this well-behaved set
+    assert(r.getAs[Double]("coverage") >= 1 - alpha - 0.05,
+      s"coverage ${r.getAs[Double]("coverage")} far below target")
+    val sizes = ev.map(t => (if (1000000L - t._2 <= qhat) 1 else 0) +
+      (if (t._2 <= qhat) 1 else 0))
+    assert(r.getAs[Double]("avg_set_size") ===
+      BigDecimal(sizes.sum.toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("share_empty") ===
+      BigDecimal(sizes.count(_ == 0).toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("share_both") ===
+      BigDecimal(sizes.count(_ == 2).toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // tighter alpha can only raise qhat (monotone threshold law)
+    val r2 = Classifier.conformalSplit(df, "y", "score", alpha = 0.01).head()
+    assert(r2.getAs[Long]("qhat_micro") >= qhat)
+    graft.engine.TrackedCache.release()
+  }
 }
