@@ -804,6 +804,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r12 additions (q331–q335): partitioned/dictionary windows only, " +
+    "no cartesian, BNLJ only as bounded broadcast attaches") {
+    // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
+    // echoed 3× in the plan string: the persisted `ranked` frame's
+    // InMemoryRelation (which embeds the child plan text) is scanned
+    // by ka, kb, and the reciprocal-top1 filter — one execution, three
+    // textual occurrences.
+    // q335 attaches TWO broadcast 1-row aggregates (the calibration
+    // qhat/n_cal statistic row onto the eval scores, then the eval
+    // totals onto the report) — the accepted totals-attach class.
+    val bnljCap = Map("q333_bitext_mining" -> 3,
+      "q335_conformal_coverage" -> 2).withDefaultValue(1)
+    for (name <- Seq("q331_ipf_raking", "q332_winnowing_dedup",
+        "q333_bitext_mining", "q334_hard_negatives",
+        "q335_conformal_coverage")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      graft.engine.TrackedCache.release()
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
