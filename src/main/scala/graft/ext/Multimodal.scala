@@ -215,6 +215,67 @@ object Multimodal {
       count(lit(1)).over(Window.partitionBy("chunk_hash")).cast("long"))
   }
 
+  /** Per-frame energy over the raw BINARY payload — the decode half
+    * of VAD-style (voice-activity-detection) segmentation. The
+    * payload is cut into fixed `frameBytes`-byte frames; each byte
+    * becomes a small signed STUB sample (`ascii % 7 − 3` — swap a
+    * real PCM decode in at this seam, the frame/energy plumbing is
+    * the durable part), and the frame's energy is the integer sum of
+    * squared samples — exact in any engine, no float drift.
+    *
+    * Scale: one narrow per-byte explode (linear in payload bytes, the
+    * q291 cost class) and one (media, frame)-keyed rollup. Nothing
+    * global.
+    */
+  def frameEnergy(media: DataFrame, frameBytes: Int = 16,
+                  idCol: String = "media_id",
+                  bytesCol: String = "bytes"): DataFrame = {
+    require(frameBytes >= 1, s"frameEnergy: frameBytes >= 1, got $frameBytes")
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("n", octet_length(col("bytes")).cast("long"))
+      .where(col("n") > 0)
+    m.select(col("media_id"), col("bytes"),
+        explode(sequence(lit(1L), col("n"))).as("pos"))
+      .select(col("media_id"),
+        expr(s"(pos - 1) div $frameBytes").as("frame"),
+        (ascii(expr("CAST(substring(bytes, pos, 1) AS STRING)"))
+          .cast("long") % 7 - 3).as("v"))
+      .groupBy("media_id", "frame")
+      .agg(sum(col("v") * col("v")).as("energy"))
+  }
+
+  /** Energy-run segmentation (the VAD / silence-trimming shape): mark
+    * each frame active iff its [[frameEnergy]] ≥ `threshold`, then
+    * merge consecutive same-state frames into segments. Output: one
+    * row per segment — (media_id, seg_id 0-based, active,
+    * start_frame, n_frames, energy). Feeding a real decoder's frame
+    * energies through the same run-merge gives speech segments for
+    * ASR corpus prep; here the stub samples stand in.
+    *
+    * Scale: the run-merge is a lag + running sum PARTITIONED by
+    * media (frame count per media = bytes / frameBytes — linear, no
+    * global window), then one (media, segment) rollup.
+    */
+  def energySegments(media: DataFrame, frameBytes: Int = 16,
+                     threshold: Long = 40L,
+                     idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fe = frameEnergy(media, frameBytes, idCol, bytesCol)
+      .withColumn("active", col("energy") >= threshold)
+    val w = Window.partitionBy("media_id").orderBy("frame")
+    fe.withColumn("chg",
+        when(lag(col("active"), 1).over(w).isNull ||
+          lag(col("active"), 1).over(w) =!= col("active"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy("media_id", "seg_id")
+      .agg(min("active").as("active"), min("frame").as("start_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy"))
+  }
+
   /** Difference-hash (dHash) perceptual signatures over the raw
     * BINARY payload, banded for LSH — the media twin of SimHash
     * banding (q37/q61): the payload is "downscaled" into `bits`+1

@@ -1646,6 +1646,144 @@ object CorpusQueries {
         |    AS rate
         |FROM c3 ORDER BY lang, source""".stripMargin) { (s, dir) =>
       Corpus.ipfRake(docs(s, dir), "lang", "source", iterations = 3)
+    },
+
+    // ——— preference-data QA (RLHF / reward-model corpora): prompts =
+    //     doc_id/8 rosters, synthetic pairwise votes (longer response
+    //     wins, 20% md5-coin flips), audited for intransitive triads
+    //     (exact directed-3-cycle count), per-prompt consistency, and
+    //     the Copeland winner. Every join is keyed on the prompt id;
+    //     roster size is bounded (≤8) so pair/triad fan-out is
+    //     constant per prompt — linear in prompts at any scale. ———
+    Q("q336_preference_audit",
+      """WITH r AS (
+        |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, doc_id, n_chars
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.prompt_id, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ((a.n_chars >= b.n_chars) <>
+        |     (CAST(concat('0x', substring(md5(concat(CAST(a.doc_id AS VARCHAR),
+        |        ':', CAST(b.doc_id AS VARCHAR), ':pref12')), 1, 7)) AS BIGINT)
+        |        % 5 = 0)) AS a_wins
+        |  FROM r a JOIN r b
+        |    ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id
+        |), v AS (
+        |  SELECT prompt_id,
+        |    CASE WHEN a_wins THEN id_a ELSE id_b END AS winner,
+        |    CASE WHEN a_wins THEN id_b ELSE id_a END AS loser
+        |  FROM p
+        |), nresp AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp FROM r GROUP BY 1
+        |), npairs AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM v GROUP BY 1
+        |), cyc AS (
+        |  SELECT e1.prompt_id, CAST(COUNT(*) // 3 AS BIGINT) AS n_cycles
+        |  FROM v e1
+        |  JOIN v e2 ON e2.prompt_id = e1.prompt_id AND e2.winner = e1.loser
+        |  JOIN v e3 ON e3.prompt_id = e1.prompt_id AND e3.winner = e2.loser
+        |    AND e3.loser = e1.winner
+        |  GROUP BY 1
+        |), wins AS (
+        |  SELECT r.prompt_id, r.doc_id AS rid,
+        |    CAST(COALESCE(w.w, 0) AS BIGINT) AS w
+        |  FROM r LEFT JOIN (
+        |    SELECT prompt_id, winner, COUNT(*) AS w FROM v GROUP BY 1, 2
+        |  ) w ON w.prompt_id = r.prompt_id AND w.winner = r.doc_id
+        |), best AS (
+        |  SELECT prompt_id, rid AS best_id, w AS best_wins FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY w DESC, rid) AS rn
+        |    FROM wins
+        |  ) WHERE rn = 1
+        |)
+        |SELECT n.prompt_id, n.n_resp,
+        |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(c.n_cycles, 0) AS BIGINT) AS n_cycles,
+        |  CASE WHEN n.n_resp >= 3 THEN
+        |    ROUND(1.0 - CAST(COALESCE(c.n_cycles, 0) AS DOUBLE) /
+        |      CAST(n.n_resp * (n.n_resp - 1) * (n.n_resp - 2) // 6 AS DOUBLE), 6)
+        |  END AS consistency,
+        |  b.best_id, b.best_wins
+        |FROM nresp n
+        |LEFT JOIN npairs np USING (prompt_id)
+        |LEFT JOIN cyc c USING (prompt_id)
+        |LEFT JOIN best b USING (prompt_id)
+        |ORDER BY prompt_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val resp = docs(s, dir).select(
+        floor(col("doc_id") / 8).cast("long").as("prompt_id"),
+        col("doc_id"), col("n_chars"))
+      val votes = Preference.pairwiseVotes(resp, "prompt_id", "doc_id",
+        "n_chars", seed = "pref12", noiseMod = 5)
+      Preference.audit(resp, votes, "prompt_id", "doc_id")
+    },
+
+    // ——— VAD-style energy segmentation over the raw BINARY payload
+    //     (ASR corpus prep: silence-trim before transcription): stub
+    //     samples (ascii%7−3) per byte, integer frame energies,
+    //     active = energy ≥ 40, consecutive same-state frames merged
+    //     into segments, rolled up per media. The oracle replays the
+    //     byte math on the all-ASCII staged text (q291's argument:
+    //     one character IS one byte here). Per-byte explode + frame
+    //     rollup + media-PARTITIONED run-merge — linear end to end. ———
+    Q("q337_media_energy_segments",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE strlen(text) > 0
+        |), p AS (
+        |  SELECT media_id, text, n, unnest(range(1, n + 1)) AS pos FROM m
+        |), b AS (
+        |  SELECT media_id, CAST((pos - 1) // 16 AS BIGINT) AS frame,
+        |    (ascii(substring(text, CAST(pos AS INT), 1)) % 7 - 3) AS v
+        |  FROM p
+        |), f AS (
+        |  SELECT media_id, frame, CAST(SUM(v * v) AS BIGINT) AS energy
+        |  FROM b GROUP BY 1, 2
+        |), a AS (
+        |  SELECT media_id, frame, energy >= 40 AS active FROM f
+        |), c AS (
+        |  SELECT media_id, frame, active,
+        |    CASE WHEN lag(active) OVER (PARTITION BY media_id ORDER BY frame)
+        |      IS DISTINCT FROM active THEN 1 ELSE 0 END AS chg
+        |  FROM a
+        |), s AS (
+        |  SELECT media_id, active,
+        |    SUM(chg) OVER (PARTITION BY media_id ORDER BY frame
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seg_id
+        |  FROM c
+        |), g AS (
+        |  SELECT media_id, seg_id, active, CAST(COUNT(*) AS BIGINT) AS n_frames
+        |  FROM s GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active_segments,
+        |  CAST(SUM(CASE WHEN active THEN n_frames ELSE 0 END) AS BIGINT)
+        |    AS active_frames,
+        |  ROUND(CAST(SUM(CASE WHEN active THEN n_frames ELSE 0 END) AS DOUBLE)
+        |    / SUM(n_frames), 6) AS active_frac,
+        |  CAST(COALESCE(MAX(CASE WHEN active THEN n_frames END), 0) AS BIGINT)
+        |    AS longest_active_run
+        |FROM g GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      val segs = Multimodal.energySegments(
+        Multimodal.syntheticMedia(docs(s, dir)).toDF(),
+        frameBytes = 16, threshold = 40L)
+      segs.groupBy("media_id").agg(
+          sum("n_frames").as("n_frames"),
+          count(lit(1)).as("n_segments"),
+          sum(when(col("active"), 1L).otherwise(0L)).as("n_active_segments"),
+          sum(when(col("active"), col("n_frames")).otherwise(0L))
+            .as("active_frames"),
+          coalesce(max(when(col("active"), col("n_frames"))), lit(0L))
+            .as("longest_active_run"))
+        .select(col("media_id"), col("n_frames"), col("n_segments"),
+          col("n_active_segments"), col("active_frames"),
+          round(col("active_frames").cast("double") /
+            col("n_frames").cast("double"), 6).as("active_frac"),
+          col("longest_active_run"))
+        .orderBy("media_id")
     }
   )
 }

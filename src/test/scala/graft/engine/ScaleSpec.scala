@@ -818,7 +818,7 @@ class ScaleSpec extends SparkSpec {
       "q335_conformal_coverage" -> 2).withDefaultValue(1)
     for (name <- Seq("q331_ipf_raking", "q332_winnowing_dedup",
         "q333_bitext_mining", "q334_hard_negatives",
-        "q335_conformal_coverage")) {
+        "q335_conformal_coverage", "q336_preference_audit")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -224,4 +224,60 @@ class MultimodalSpec extends SparkSpec {
     // video: media 100 shared with surviving doc 1 → live
     assert(out("video") === ((1L, 1L, 0L, 0L, 0L)))
   }
+
+  test("frameEnergy: integer energies match a scalar replay of the " +
+    "stub sample map, partial tail frame included") {
+    import spark.implicits._
+    val payload = "abc defg hij"  // 12 bytes → frames of 5: 5,5,2
+    val m = Seq((7L, payload)).toDF("media_id", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    val got = Multimodal.frameEnergy(m, frameBytes = 5).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = payload.getBytes("UTF-8").zipWithIndex
+      .groupBy { case (_, i) => i / 5 }
+      .map { case (f, bs) =>
+        f.toLong -> bs.map { case (b, _) =>
+          val v = (b.toLong % 7) - 3; v * v
+        }.sum
+      }
+    assert(got === want)
+  }
+
+  test("energySegments: runs merge, boundaries split, 0-based seg ids, " +
+    "and frame mass is conserved") {
+    import spark.implicits._
+    // Build a payload whose 1-byte frames alternate states around a
+    // threshold: 'a'(97%7=6,v=3,e=9), ' '(32%7=4,v=1,e=1)
+    val m = Seq((1L, "aaa a aa")).toDF("media_id", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    // frames: a a a _ a _ a a → active(e>=9): T T T F T F T T
+    val segs = Multimodal.energySegments(m, frameBytes = 1, threshold = 9L)
+      .orderBy("seg_id").collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    assert(segs === Array((0L, true, 0L, 3L), (1L, false, 3L, 1L),
+      (2L, true, 4L, 1L), (3L, false, 5L, 1L), (4L, true, 6L, 2L)))
+    assert(segs.map(_._4).sum === 8L, "every frame lands in one segment")
+  }
+
+  test("energySegments: single-state media is one segment; empty " +
+    "payloads are excluded") {
+    import spark.implicits._
+    val m = Seq((1L, "aaaa"), (2L, "")).toDF("media_id", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    val segs = Multimodal.energySegments(m, frameBytes = 2, threshold = 1L)
+      .collect()
+    assert(segs.length === 1)
+    assert(segs.head.getLong(0) === 1L && segs.head.getLong(4) === 2L)
+  }
+
+  test("energySegments is deterministic under repartition") {
+    import spark.implicits._
+    val m = (1L to 20L).map(i => (i, "word " * i.toInt)).toDF("media_id", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    val a = Multimodal.energySegments(m, 16, 40L)
+      .orderBy("media_id", "seg_id").collect().toSeq
+    val b = Multimodal.energySegments(m.repartition(7), 16, 40L)
+      .orderBy("media_id", "seg_id").collect().toSeq
+    assert(a === b)
+  }
 }

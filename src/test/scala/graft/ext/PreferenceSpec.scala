@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roster(rows: (Long, Long, Long)*) =
+    rows.toDF("prompt_id", "doc_id", "q")
+
+  test("pairwiseVotes: noiseMod=0 is the pure quality order — higher " +
+    "quality always wins, ties break toward the smaller id") {
+    val r = roster((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 20L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0).collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSet
+    // 2 beats 1 (20>10), 3 beats 1 (20>10), 2 beats 3 (tie, smaller id)
+    assert(v === Set((2L, 1L), (3L, 1L), (2L, 3L)))
+  }
+
+  test("audit: a transitive prompt has zero cycles, consistency 1, and " +
+    "the Copeland winner is the quality maximum") {
+    val r = roster((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L), (0L, 4L, 40L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0)
+    val a = Preference.audit(r, v, "prompt_id", "doc_id").head()
+    assert(a.getLong(1) === 4L)          // n_resp
+    assert(a.getLong(2) === 6L)          // n_pairs
+    assert(a.getLong(3) === 0L)          // n_cycles
+    assert(a.getDouble(4) === 1.0)       // consistency
+    assert(a.getLong(5) === 4L)          // best_id
+    assert(a.getLong(6) === 3L)          // best_wins
+    graft.engine.TrackedCache.release()
+  }
+
+  test("audit: a planted 3-cycle is counted exactly once and zeroes the " +
+    "consistency of its prompt only") {
+    // prompt 0: 1>2, 2>3, 3>1 (cycle); prompt 1: transitive pair
+    val votes = Seq((0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 1L),
+      (1L, 9L, 8L)).toDF("prompt_id", "winner", "loser")
+    val r = roster((0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 0L),
+      (1L, 8L, 0L), (1L, 9L, 0L))
+    val out = Preference.audit(r, votes, "prompt_id", "doc_id").collect()
+    val p0 = out.find(_.getLong(0) == 0L).get
+    assert(p0.getLong(3) === 1L, "exactly one directed 3-cycle")
+    assert(p0.getDouble(4) === 0.0, "1 cycle / 1 triad → consistency 0")
+    // cycle → every response has exactly 1 win; tie toward smallest id
+    assert(p0.getLong(5) === 1L && p0.getLong(6) === 1L)
+    val p1 = out.find(_.getLong(0) == 1L).get
+    assert(p1.getLong(3) === 0L)
+    assert(p1.isNullAt(4), "fewer than 3 responses → consistency NULL")
+    assert(p1.getLong(5) === 9L && p1.getLong(6) === 1L)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("audit: win mass per prompt equals the pair count, and a " +
+    "single-response prompt surfaces with zero pairs") {
+    val r = roster((0L, 1L, 5L), (0L, 2L, 6L), (0L, 3L, 7L), (1L, 4L, 1L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "z", noiseMod = 3)
+    val winMass = v.groupBy("prompt_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val out = Preference.audit(r, v, "prompt_id", "doc_id").collect()
+    for (row <- out)
+      assert(row.getLong(2) === winMass.getOrElse(row.getLong(0), 0L),
+        s"n_pairs mismatch for prompt ${row.getLong(0)}")
+    val lone = out.find(_.getLong(0) == 1L).get
+    assert(lone.getLong(1) === 1L && lone.getLong(2) === 0L &&
+      lone.getLong(3) === 0L && lone.isNullAt(4))
+    assert(lone.getLong(5) === 4L && lone.getLong(6) === 0L,
+      "a lone response is its own Copeland winner with zero wins")
+    graft.engine.TrackedCache.release()
+  }
+
+  test("audit is deterministic under repartition (md5 coin, no " +
+    "partition-order dependence)") {
+    val base = (0L until 40L).map(i => (i / 5, i, (i * 37) % 11)).toDF(
+      "prompt_id", "doc_id", "q")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val v = Preference.pairwiseVotes(df, "prompt_id", "doc_id", "q",
+        seed = "rep", noiseMod = 4)
+      val out = Preference.audit(df, v, "prompt_id", "doc_id").collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    assert(run(base) === run(base.repartition(7)))
+  }
+}
