@@ -218,14 +218,27 @@ object Multimodal {
   /** Per-frame energy over the raw BINARY payload — the decode half
     * of VAD-style (voice-activity-detection) segmentation. The
     * payload is cut into fixed `frameBytes`-byte frames; each byte
-    * becomes a small signed STUB sample (`ascii % 7 − 3` — swap a
-    * real PCM decode in at this seam, the frame/energy plumbing is
-    * the durable part), and the frame's energy is the integer sum of
-    * squared samples — exact in any engine, no float drift.
+    * becomes a small signed STUB sample (`signedByte % 7 − 3`, Java
+    * remainder semantics — swap a real PCM decode in at this seam,
+    * the frame/energy plumbing is the durable part), and the frame's
+    * energy is the integer sum of squared samples — exact in any
+    * engine, no float drift.
+    *
+    * The byte is decoded POSITIONALLY via the payload's hex
+    * expansion (`conv(substr(hex(bytes), 2·pos−1, 2), 16, 10)`),
+    * never through a string cast — `CAST(binary AS STRING)` would
+    * mangle every byte ≥ 0x80 into U+FFFD. Bytes 0x80–0xFF are
+    * re-signed to the Java byte range (−128…−1) so the distributed
+    * result matches a scalar `Array[Byte]` replay exactly
+    * (MultimodalSpec pins this on a non-ASCII payload). The q337
+    * DuckDB oracle replays the math character-wise on the staged
+    * text, which is valid precisely because that text is all-ASCII
+    * (one character = one byte = one non-negative sample).
     *
     * Scale: one narrow per-byte explode (linear in payload bytes, the
     * q291 cost class) and one (media, frame)-keyed rollup. Nothing
-    * global.
+    * global. The hex expansion is computed once per payload before
+    * the explode; per exploded row only a 2-char substring remains.
     */
   def frameEnergy(media: DataFrame, frameBytes: Int = 16,
                   idCol: String = "media_id",
@@ -235,12 +248,15 @@ object Multimodal {
         col(bytesCol).cast("binary").as("bytes"))
       .withColumn("n", octet_length(col("bytes")).cast("long"))
       .where(col("n") > 0)
-    m.select(col("media_id"), col("bytes"),
+      .select(col("media_id"), hex(col("bytes")).as("h"), col("n"))
+    val u = conv(substring(col("h"), (col("pos") * 2 - 1).cast("int"),
+        lit(2)), 16, 10).cast("long")
+    val signed = when(u >= 128L, u - 256L).otherwise(u)
+    m.select(col("media_id"), col("h"),
         explode(sequence(lit(1L), col("n"))).as("pos"))
       .select(col("media_id"),
         expr(s"(pos - 1) div $frameBytes").as("frame"),
-        (ascii(expr("CAST(substring(bytes, pos, 1) AS STRING)"))
-          .cast("long") % 7 - 3).as("v"))
+        (signed % 7 - 3).as("v"))
       .groupBy("media_id", "frame")
       .agg(sum(col("v") * col("v")).as("energy"))
   }

@@ -804,7 +804,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r12 additions (q331–q335): partitioned/dictionary windows only, " +
+  test("r12 additions (q331–q337): partitioned/dictionary windows only, " +
     "no cartesian, BNLJ only as bounded broadcast attaches") {
     // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
     // echoed 3× in the plan string: the persisted `ranked` frame's
@@ -818,7 +818,8 @@ class ScaleSpec extends SparkSpec {
       "q335_conformal_coverage" -> 2).withDefaultValue(1)
     for (name <- Seq("q331_ipf_raking", "q332_winnowing_dedup",
         "q333_bitext_mining", "q334_hard_negatives",
-        "q335_conformal_coverage", "q336_preference_audit")) {
+        "q335_conformal_coverage", "q336_preference_audit",
+        "q337_media_energy_segments")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

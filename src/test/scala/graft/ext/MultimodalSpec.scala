@@ -243,6 +243,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("frameEnergy: non-ASCII bytes (>= 0x80) decode as signed Java " +
+    "bytes, matching the scalar replay exactly") {
+    import spark.implicits._
+    // every interesting region: 0x00, low ASCII, 0x7F, 0x80 (-128),
+    // 0xC8 (-56), 0xFF (-1) — a string cast would mangle all of the
+    // high half into U+FFFD (65533)
+    val payload = Array[Byte](0, 7, 97, 127, -128, -56, -1, 42, -100)
+    val m = Seq((3L, payload)).toDF("media_id", "bytes")
+    val got = Multimodal.frameEnergy(m, frameBytes = 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = payload.zipWithIndex
+      .groupBy { case (_, i) => i / 4 }
+      .map { case (f, bs) =>
+        f.toLong -> bs.map { case (b, _) =>
+          val v = (b.toLong % 7) - 3; v * v
+        }.sum
+      }
+    assert(got === want)
+  }
+
   test("energySegments: runs merge, boundaries split, 0-based seg ids, " +
     "and frame mass is conserved") {
     import spark.implicits._
