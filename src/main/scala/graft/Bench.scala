@@ -78,6 +78,46 @@ object Bench {
     val warm = java.nio.file.Files.createTempDirectory("bench_warm").toString
     spark.range(3).toDF("id").write.mode("overwrite").parquet(warm)
     spark.read.parquet(warm).agg(org.apache.spark.sql.functions.sum("id")).collect()
+    // iterative-plan warmup (still neutral: synthetic ids, no query
+    // data). The heavy battery tier (pagerank, label-prop, distill)
+    // chains 10-20 join+agg iterations into one deep plan; on a cold
+    // JVM the Catalyst analyze→optimize→codegen machinery for that
+    // plan runs INTERPRETED and the first such query absorbs a 5-25×
+    // multiplier (r12 driver single-shot: q126 39 s vs min-of-2
+    // 4.9 s; measured cold-JVM single-shot on this box: 134 s). The
+    // trivial warmups above compile a couple of stages — nowhere near
+    // enough invocations for C2 to compile the planner itself. Run
+    // the REAL iteration loop on a 160-edge synthetic graph (plan
+    // machinery cost is identical; data cost is nil), plus one
+    // window+join+explode round, so the paths every heavy query hits
+    // are JIT-compiled before anything is timed.
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = spark.range(320)
+        .selectExpr("id % 40 AS src", "(id * 7 + 3) % 40 AS dst")
+      // repeated rounds: one pass compiles only part of the planner
+      // tier (C2 needs repeated invocations); measured cold q126 at
+      // sf0.1 on this box: no iterative warmup 134 s, one round 55 s,
+      // three rounds 26.6 s, six rounds — see NOTES_r16
+      for (_ <- 1 to 6) {
+        measure(graft.ext.Graph.pageRank(e.toDF(), iterations = 10))
+        graft.engine.TrackedCache.release()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("id")
+      spark.range(5000).selectExpr("id", "id % 50 AS g")
+        .select(col("id"), col("g"), row_number().over(w).as("rn"),
+          sum(col("id")).over(w.rowsBetween(Long.MinValue, 0)).as("cs"))
+        .where(col("rn") <= 3)
+        .join(spark.range(50).selectExpr("id AS g", "id * 2 AS gg"), "g")
+        .select(col("g"), explode(sequence(lit(1L), lit(3L))).as("k"),
+          col("cs") * col("gg"))
+        .collect()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // dev-loop subset filter: SPARK_GRAFT_ONLY=q57_dedup_apply,q58*
     // runs just those (exact names; trailing * = prefix). Unset = the
     // full battery. A filtered run stamps "subset" into the JSON.

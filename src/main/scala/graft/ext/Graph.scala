@@ -891,6 +891,14 @@ object Graph {
         .join(adjIdx.select(col("src").as("cur"), col("idx").as("_i"),
           col("dst")), Seq("cur", "_i"))
         .select(col("start"), col("dst").as("cur"))
+        // step-chain-union replay guard (the q311/q315 lesson): each
+        // union branch below re-evaluates its frontier chain, so an
+        // unpersisted step t would recompute steps 1..t once per
+        // LATER branch — steps(steps+1)/2 join rounds instead of
+        // `steps` (measured 590 s of task CPU on the sf0.1 q321
+        // chain, ~2× from exactly this). The frontier is node-sized,
+        // so the ledger-persist is cheap at any scale.
+        .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
       val traj = next.select(col("start"), lit(t).as("step"),
         col("cur").as("node"))
       out = if (out == null) traj else out.unionByName(traj)
