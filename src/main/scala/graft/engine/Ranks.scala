@@ -163,4 +163,27 @@ object Ranks {
     cum.crossJoin(broadcast(tot))
       .agg(max("_n").as("n_total"), sels: _*)
   }
+
+  /** Grouped twin of [[nearestRank]]: exact nearest-rank selection
+    * WITHIN each key group, from per-group cumulative counts over the
+    * (key, value) dictionary. Both windows are PARTITIONED by the key
+    * (no global ordering anywhere) and run on the dictionary, not the
+    * rows. Returns one row per key: the key columns, `n_total` (the
+    * group's row count) and one column per rank entry (name ->
+    * rank-of-n expression, evaluated against the group's `_n`). */
+  def nearestRankBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val ks = keyCols.map(col)
+    val dict = df.groupBy(ks :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("_c"))
+    val part = Window.partitionBy(ks: _*)
+    val cum = dict
+      .withColumn("_cum", sum("_c").over(part.orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n", sum("_c").over(part))
+    val sels = ranks.map { case (name, rk) =>
+      min(when(col("_cum") >= rk(col("_n")), col(valueCol))).as(name)
+    }
+    cum.groupBy(ks: _*).agg(max("_n").cast("long").as("n_total"), sels: _*)
+  }
 }

@@ -421,6 +421,84 @@ object Classifier {
           .as("share_both"))
   }
 
+  /** Conformalized quantile regression (Romano–Patterson–Candès,
+    * "Conformalized Quantile Regression", NeurIPS 2019) — the
+    * continuous-target twin of [[conformalSplit]], completing the
+    * conformal pair. The underlying "quantile regressor" is the
+    * exact per-group nearest-rank quantile pair
+    * [q_lo, q_hi] = [⌈n·α/2⌉-th, ⌈n·(1−α/2)⌉-th value] fit on an
+    * md5-coin TRAIN half (coins 0–1 of 4); the CALIBRATION quarter
+    * (coin 2) scores each row with the CQR nonconformity
+    * E = max(q_lo − y, y − q_hi) — NEGATIVE when the raw interval
+    * already covers, which is what lets conformalization SHRINK an
+    * over-wide regressor, not just pad a narrow one; qhat is the
+    * ⌈(n_cal+1)(1−α)⌉ nearest rank of E; the EVAL quarter (coin 3)
+    * reports per-group coverage and width of the conformalized
+    * interval [q_lo − qhat, q_hi + qhat], which carries the
+    * distribution-free ≥ 1−α marginal-coverage guarantee.
+    *
+    * Engine-exactness: targets live on the integer cent grid
+    * (round(y·100) as BIGINT), so quantiles, scores, qhat, and the
+    * coverage predicate are all integer comparisons — bit-replayable
+    * by the DuckDB oracle.
+    *
+    * Scale shape: one map pass for cents + coins; the per-group
+    * quantiles come from [[graft.engine.Ranks.nearestRankBy]]
+    * (group-partitioned cumulative counts over the value DICTIONARY)
+    * and qhat from [[graft.engine.Ranks.nearestRank]] on the
+    * calibration-score dictionary — no row-scale sort or global
+    * window anywhere; both attaches are broadcast dictionary rows;
+    * one final per-group reduce. */
+  def cqr(df: DataFrame, groupCol: String, targetCol: String,
+          idCol: String, alpha: Double = 0.2,
+          seed: String = "cqr1"): DataFrame = {
+    import graft.engine.TrackedCache.Trackable
+    require(alpha > 0 && alpha < 1, s"cqr: 0 < alpha < 1, got $alpha")
+    val coin = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":$seed"))), 1, 15), 16, 10).cast("long") % 4
+    val base = df
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(targetCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(targetCol).cast("double") * 100).cast("long").as("_yc"),
+        coin.as("_coin"))
+      .trackedPersist()
+    val qts = graft.engine.Ranks.nearestRankBy(
+      base.filter(col("_coin") <= 1L), Seq("_g"), "_yc",
+      Seq(
+        "_qlo" -> (n => greatest(
+          ceil(n.cast("double") * lit(alpha / 2)).cast("long"), lit(1L))),
+        "_qhi" -> (n => least(
+          ceil(n.cast("double") * lit(1.0 - alpha / 2)).cast("long"), n))))
+      .withColumnRenamed("n_total", "_n_train")
+    val cal = base.filter(col("_coin") === 2L)
+      .join(broadcast(qts), Seq("_g"))
+      .select(greatest(col("_qlo") - col("_yc"),
+        col("_yc") - col("_qhi")).as("_e"))
+    val qh = graft.engine.Ranks.nearestRank(cal, "_e",
+      Seq("_qhat" -> (n => least(
+        ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha)).cast("long"),
+        n))))
+      .withColumnRenamed("n_total", "_n_cal")
+    base.filter(col("_coin") === 3L)
+      .join(broadcast(qts), Seq("_g"))
+      .crossJoin(broadcast(qh))
+      .groupBy("_g", "_n_train", "_qlo", "_qhi", "_n_cal", "_qhat")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_yc") >= col("_qlo") - col("_qhat") &&
+          col("_yc") <= col("_qhi") + col("_qhat"), 1L).otherwise(0L))
+          .as("_cov"))
+      .select(col("_g").as(groupCol), col("_n_train").as("n_train"),
+        round(col("_qlo").cast("double") / 100, 6).as("q_lo"),
+        round(col("_qhi").cast("double") / 100, 6).as("q_hi"),
+        col("_n_cal").as("n_cal"), col("_qhat").as("qhat_cents"),
+        col("n_eval"),
+        round(col("_cov").cast("double") / col("n_eval"), 6).as("coverage"),
+        round((col("_qhi") - col("_qlo") + lit(2L) * col("_qhat"))
+          .cast("double") / 100, 6).as("width"))
+      .orderBy(groupCol)
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df

@@ -219,8 +219,9 @@ object Multimodal {
     * of VAD-style (voice-activity-detection) segmentation. The
     * payload is cut into fixed `frameBytes`-byte frames; each byte
     * becomes a small signed STUB sample (`signedByte % 7 − 3`, Java
-    * remainder semantics — swap a real PCM decode in at this seam,
-    * the frame/energy plumbing is the durable part), and the frame's
+    * remainder semantics — [[wavFrameEnergy]] is the PROVEN real-PCM
+    * swap at this seam; the frame/energy plumbing is the durable
+    * part, shared via [[segmentRuns]]), and the frame's
     * energy is the integer sum of squared samples — exact in any
     * engine, no float drift.
     *
@@ -261,25 +262,22 @@ object Multimodal {
       .agg(sum(col("v") * col("v")).as("energy"))
   }
 
-  /** Energy-run segmentation (the VAD / silence-trimming shape): mark
-    * each frame active iff its [[frameEnergy]] ≥ `threshold`, then
-    * merge consecutive same-state frames into segments. Output: one
-    * row per segment — (media_id, seg_id 0-based, active,
-    * start_frame, n_frames, energy). Feeding a real decoder's frame
-    * energies through the same run-merge gives speech segments for
-    * ASR corpus prep; here the stub samples stand in.
+  /** The shared run-merge half of VAD segmentation: given per-frame
+    * energies `(media_id, frame, energy)` from ANY decoder (the stub
+    * byte mapper of [[frameEnergy]], the real PCM16 path of
+    * [[wavFrameEnergy]], or a future codec at the same seam), mark
+    * each frame active iff energy ≥ `threshold` and merge consecutive
+    * same-state frames into segments. Output: one row per segment —
+    * (media_id, seg_id 0-based, active, start_frame, n_frames,
+    * energy). Decoders change; this operator is the durable part.
     *
-    * Scale: the run-merge is a lag + running sum PARTITIONED by
-    * media (frame count per media = bytes / frameBytes — linear, no
-    * global window), then one (media, segment) rollup.
+    * Scale: a lag + running sum PARTITIONED by media (frame count
+    * per media is linear in its payload — no global window), then
+    * one (media, segment) rollup.
     */
-  def energySegments(media: DataFrame, frameBytes: Int = 16,
-                     threshold: Long = 40L,
-                     idCol: String = "media_id",
-                     bytesCol: String = "bytes"): DataFrame = {
+  def segmentRuns(frameEnergies: DataFrame, threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fe = frameEnergy(media, frameBytes, idCol, bytesCol)
-      .withColumn("active", col("energy") >= threshold)
+    val fe = frameEnergies.withColumn("active", col("energy") >= threshold)
     val w = Window.partitionBy("media_id").orderBy("frame")
     fe.withColumn("chg",
         when(lag(col("active"), 1).over(w).isNull ||
@@ -291,6 +289,161 @@ object Multimodal {
       .agg(min("active").as("active"), min("frame").as("start_frame"),
         count(lit(1)).as("n_frames"), sum("energy").as("energy"))
   }
+
+  /** Energy-run segmentation (the VAD / silence-trimming shape) over
+    * the stub byte decoder: [[frameEnergy]] then [[segmentRuns]].
+    * Feeding a real decoder's frame energies through the same
+    * run-merge gives speech segments for ASR corpus prep — see
+    * [[wavSegments]] for the proven PCM16 path.
+    */
+  def energySegments(media: DataFrame, frameBytes: Int = 16,
+                     threshold: Long = 40L,
+                     idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame =
+    segmentRuns(frameEnergy(media, frameBytes, idCol, bytesCol), threshold)
+
+  /** Deterministic REAL WAV/PCM16 containers staged from a roster —
+    * canonical 44-byte RIFF header (PCM format 1, mono, 16-bit,
+    * sample rate 8/12/16 kHz by id) followed by little-endian signed
+    * 16-bit samples alternating 32-sample LOUD blocks (full-range
+    * multiplicative-hash values) and QUIET blocks (the same values
+    * attenuated 64×) — so downstream energy segmentation has real
+    * speech-like structure to find. Assembled as hex text and
+    * unhex'd: every container byte round-trips through a genuine
+    * BinaryType column, which is what lets [[wavSegments]] PROVE the
+    * documented codec seam (Multimodal decode stubs) instead of
+    * asserting it.
+    *
+    * Scale: two narrow per-media projections (the sample array is
+    * materialized in its OWN projection before the hex-render
+    * transform — the HOF re-inline rule); no explode, no shuffle.
+    */
+  def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le16(c: String) =
+      s"concat(lpad(hex(($c) % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 256 % 256), 2, '0'))"
+    def le32(c: String) =
+      s"concat(lpad(hex(($c) % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 256 % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 65536 % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 16777216 % 256), 2, '0'))"
+    docs.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("sr", lit(8000L) + (col("media_id") % 3) * 4000L)
+      .withColumn("ns", lit(96L) + (col("media_id") % 5) * 32L)
+      .withColumn("u16", expr(
+        """transform(sequence(CAST(1 AS BIGINT), ns), t -> pmod(
+          |  CASE WHEN ((t - 1) div 32) % 2 = 1
+          |    THEN ((media_id * 131 + t * 17) % 65536) div 64 - 512
+          |    ELSE (media_id * 131 + t * 17) % 65536 - 32768 END,
+          |  65536))""".stripMargin))
+      .withColumn("hdr", concat(
+        lit("52494646"),                         // "RIFF"
+        expr(le32("36 + 2 * ns")),
+        lit("57415645666D7420"),                 // "WAVE" + "fmt "
+        expr(le32("16")), expr(le16("1")), expr(le16("1")),
+        expr(le32("sr")), expr(le32("2 * sr")),
+        expr(le16("2")), expr(le16("16")),
+        lit("64617461"),                         // "data"
+        expr(le32("2 * ns"))))
+      .select(col("media_id"), unhex(concat(col("hdr"), expr(
+        """array_join(transform(u16, u -> concat(
+          |  lpad(hex(u % 256), 2, '0'),
+          |  lpad(hex(u div 256), 2, '0'))), '')""".stripMargin)))
+        .as("bytes"))
+  }
+
+  /** Parse the canonical 44-byte RIFF/WAVE/PCM header from the raw
+    * BINARY payload — positional little-endian field decode over the
+    * hex expansion (the [[frameEnergy]] discipline: never
+    * `CAST(binary AS STRING)`, which mangles bytes ≥ 0x80). One row
+    * per media with the parsed fields plus `wav_valid`: RIFF/WAVE/
+    * "fmt "/"data" magics present, PCM format 1, 16-bit, fmt chunk
+    * size 16, and riff/data sizes consistent with the actual payload
+    * length — a truncated or doctored container fails loudly here
+    * rather than decoding garbage samples. Retains the hex column
+    * `h` for the downstream sample decode.
+    */
+  def wavHeader(media: DataFrame, idCol: String = "media_id",
+                bytesCol: String = "bytes"): DataFrame = {
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("n", octet_length(col("bytes")).cast("long"))
+      .where(col("n") >= 44L)
+      .select(col("media_id"), hex(col("bytes")).as("h"), col("n"))
+    def byteAt(p: Int) =
+      conv(substring(col("h"), 2 * p - 1, 2), 16, 10).cast("long")
+    def hle16(p: Int) = byteAt(p) + byteAt(p + 1) * 256L
+    def hle32(p: Int) = byteAt(p) + byteAt(p + 1) * 256L +
+      byteAt(p + 2) * 65536L + byteAt(p + 3) * 16777216L
+    m.select(col("media_id"), col("h"), col("n"),
+        hle32(5).as("riff_size"), hle32(17).as("fmt_size"),
+        hle16(21).as("audio_format"), hle16(23).as("n_channels"),
+        hle32(25).as("sample_rate"), hle32(29).as("byte_rate"),
+        hle16(33).as("block_align"), hle16(35).as("bits_per_sample"),
+        hle32(41).as("data_size"),
+        (substring(col("h"), 1, 8) === "52494646" &&
+          substring(col("h"), 17, 16) === "57415645666D7420" &&
+          substring(col("h"), 73, 8) === "64617461").as("_magics"))
+      .withColumn("wav_valid", col("_magics") &&
+        col("audio_format") === 1L && col("bits_per_sample") === 16L &&
+        col("fmt_size") === 16L && col("block_align") > 0L &&
+        col("n") === col("data_size") + 44L &&
+        col("riff_size") === col("data_size") + 36L)
+      .withColumn("n_samples", when(col("block_align") > 0L,
+        expr("data_size div block_align")).otherwise(lit(0L)))
+      .drop("_magics")
+  }
+
+  /** REAL-codec frame energy — the proof of the decode seam the stub
+    * [[frameEnergy]] documents: PCM16LE samples decoded positionally
+    * from a VALID WAV payload (sample t's bytes sit at 43+2t / 44+2t,
+    * little-endian, re-signed from the u16 range), framed
+    * `frameSamples` per frame, energy = integer sum of squared
+    * samples — exact in any engine. Invalid containers (corrupt
+    * magic, non-PCM, wrong bit depth, inconsistent sizes) are
+    * DROPPED by the [[wavHeader]] validity gate, never decoded.
+    *
+    * Scale: one narrow per-sample explode (linear in payload bytes,
+    * the q291/q337 cost class; the hex expansion is computed once per
+    * payload before the explode) + one (media, frame) rollup.
+    */
+  def wavFrameEnergy(media: DataFrame, frameSamples: Int = 16,
+                     idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame = {
+    require(frameSamples >= 1,
+      s"wavFrameEnergy: frameSamples >= 1, got $frameSamples")
+    val hdr = wavHeader(media, idCol, bytesCol)
+      .where(col("wav_valid") && col("n_samples") > 0L)
+      .select(col("media_id"), col("h"), col("n_samples"))
+    val lo = conv(substring(col("h"),
+      ((lit(43L) + col("t") * 2L) * 2L - 1L).cast("int"), lit(2)),
+      16, 10).cast("long")
+    val hi = conv(substring(col("h"),
+      ((lit(44L) + col("t") * 2L) * 2L - 1L).cast("int"), lit(2)),
+      16, 10).cast("long")
+    val u = lo + hi * 256L
+    val s = when(u >= 32768L, u - 65536L).otherwise(u)
+    hdr.select(col("media_id"), col("h"),
+        explode(sequence(lit(1L), col("n_samples"))).as("t"))
+      .select(col("media_id"),
+        expr(s"(t - 1) div $frameSamples").as("frame"), s.as("v"))
+      .groupBy("media_id", "frame")
+      .agg(sum(col("v") * col("v")).as("energy"))
+  }
+
+  /** VAD segmentation on the REAL PCM16 path: [[wavFrameEnergy]]
+    * through the SAME [[segmentRuns]] run-merge the stub path uses —
+    * the codec seam swaps, the plan shape does not (MultimodalSpec
+    * pins both). Default threshold separates the synthetic loud
+    * blocks (≈5·10⁹ per 16-sample frame) from the 64×-attenuated
+    * quiet blocks (≈1.4·10⁶) by three orders of magnitude.
+    */
+  def wavSegments(media: DataFrame, frameSamples: Int = 16,
+                  threshold: Long = 100000000L,
+                  idCol: String = "media_id",
+                  bytesCol: String = "bytes"): DataFrame =
+    segmentRuns(wavFrameEnergy(media, frameSamples, idCol, bytesCol),
+      threshold)
 
   /** Difference-hash (dHash) perceptual signatures over the raw
     * BINARY payload, banded for LSH — the media twin of SimHash

@@ -65,6 +65,118 @@ object Preference {
       when(aWins, col("id_b")).otherwise(col("id_a")).as("loser"))
   }
 
+  /** Per-prompt Bradley–Terry strength fit over a (prompt_id, winner,
+    * loser) vote table — the model a reward-model pipeline actually
+    * trains on preference data, here fit exactly by the MM iteration
+    * of Hunter, "MM algorithms for generalized Bradley-Terry models"
+    * (Annals of Statistics 32(1), 2004): with strengths π,
+    * P(i beats j) = π_i/(π_i+π_j) and the update
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j).
+    *
+    * Engine-exactness (the q331 IPF discipline): strengths live as
+    * 1e-6-quantized BIGINT micro-units; every per-pair term is
+    * rounded to an integer BEFORE the per-node sum, so each
+    * iteration's sums are integer additions — order-independent,
+    * replayable bit-exactly by the unrolled DuckDB oracle. One
+    * uniform pseudo-comparison per roster pair (λ=1 smoothing, split
+    * evenly) keeps every numerator/denominator ≥ 1 — zero-win
+    * responses get finite strengths and never-voted pairs still
+    * couple the prompt's comparison graph. In doubled-count units
+    * that is `m_ij = 2·n_ij + 2` comparisons and
+    * `A_i = 2·W_i + (k−1)` wins (both integers even when k is even).
+    * After each update, strengths renormalize to Σπ = k per prompt.
+    *
+    * Output: one row per response — (prompt_id, rid, wins, n_games,
+    * strength, rank), strength normalized to mean 1 within the
+    * prompt, rank by strength (ties toward the smaller rid).
+    *
+    * Scale shape: the pair table is the bounded k(k−1)/2-per-prompt
+    * roster self-join; each of the `iterations` rounds is two
+    * prompt-keyed equi-joins + one integer hash aggregate, every
+    * frame roster- or pair-sized, ledger-CHECKPOINTED per round: the
+    * strength frame is referenced twice per iteration (π_i and π_j
+    * lookups), so an uncut loop doubles the logical plan per round
+    * and canonicalization alone goes exponential — a persist caches
+    * the data but not the plan (the q311/q331 exponential-replay
+    * guard, here demanded by measurement: the uncut 5-round loop
+    * spun >10 min in doCanonicalize at sf0.01). The only window is
+    * the final per-prompt rank over bounded rosters.
+    */
+  def bradleyTerry(responses: DataFrame, votes0: DataFrame,
+                   promptCol: String, idCol: String,
+                   iterations: Int = 5,
+                   micro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1,
+      s"bradleyTerry: iterations >= 1, got $iterations")
+    val votes = votes0.trackedPersist()
+    val roster = responses.select(col(promptCol).as("prompt_id"),
+      col(idCol).as("rid"))
+    val kTab = roster.groupBy("prompt_id").agg(count(lit(1)).as("_k"))
+    // real vote counts per unordered pair, then λ=1 smoothing over
+    // EVERY roster pair (voted or not) in doubled units
+    val votedPairs = votes.select(col("prompt_id"),
+        least(col("winner"), col("loser")).as("i"),
+        greatest(col("winner"), col("loser")).as("j"))
+      .groupBy("prompt_id", "i", "j").agg(count(lit(1)).as("_nv"))
+    val pairs = roster.select(col("prompt_id"), col("rid").as("i"))
+      .join(roster.select(col("prompt_id"), col("rid").as("j")),
+        Seq("prompt_id"))
+      .filter(col("i") < col("j"))
+      .join(votedPairs, Seq("prompt_id", "i", "j"), "left")
+      .select(col("prompt_id"), col("i"), col("j"),
+        (coalesce(col("_nv"), lit(0L)) * 2 + 2).as("m"))
+      .trackedLocalCheckpoint()
+    val winCnt = votes.groupBy("prompt_id", "winner")
+      .agg(count(lit(1)).as("_w")).withColumnRenamed("winner", "rid")
+    val gameCnt = votes.select(col("prompt_id"), col("winner").as("rid"))
+      .unionByName(votes.select(col("prompt_id"), col("loser").as("rid")))
+      .groupBy("prompt_id", "rid").agg(count(lit(1)).as("_g"))
+    val stats = roster
+      .join(kTab, Seq("prompt_id"))
+      .join(winCnt, Seq("prompt_id", "rid"), "left")
+      .join(gameCnt, Seq("prompt_id", "rid"), "left")
+      .select(col("prompt_id"), col("rid"), col("_k"),
+        coalesce(col("_w"), lit(0L)).as("wins"),
+        coalesce(col("_g"), lit(0L)).as("n_games"),
+        (coalesce(col("_w"), lit(0L)) * 2 + col("_k") - 1).as("_a"))
+      .trackedLocalCheckpoint()
+    var pi = stats.select(col("prompt_id"), col("rid"),
+      lit(micro).as("_p"))
+    for (_ <- 1 to iterations) {
+      val terms = pairs
+        .join(pi.select(col("prompt_id"), col("rid").as("i"),
+          col("_p").as("_pi")), Seq("prompt_id", "i"))
+        .join(pi.select(col("prompt_id"), col("rid").as("j"),
+          col("_p").as("_pj")), Seq("prompt_id", "j"))
+        .withColumn("_t",
+          round(lit(1e12) * col("m") / (col("_pi") + col("_pj")))
+            .cast("long"))
+      val denom = terms.select(col("prompt_id"), col("i").as("rid"), col("_t"))
+        .unionByName(terms.select(col("prompt_id"), col("j").as("rid"),
+          col("_t")))
+        .groupBy("prompt_id", "rid").agg(sum("_t").as("_d"))
+      val raw = stats.join(denom, Seq("prompt_id", "rid"), "left")
+        .withColumn("_praw", coalesce(
+          round(col("_a").cast("double") * 1e12 / col("_d")).cast("long"),
+          lit(micro)))
+      val tot = raw.groupBy("prompt_id").agg(sum("_praw").as("_s"))
+      pi = raw.join(tot, Seq("prompt_id"))
+        .select(col("prompt_id"), col("rid"),
+          round(col("_praw").cast("double") * col("_k") * micro
+            / col("_s")).cast("long").as("_p"))
+        .trackedLocalCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prompt_id").orderBy(col("_p").desc, col("rid"))
+    stats.join(pi, Seq("prompt_id", "rid"))
+      .select(col("prompt_id"), col("rid"), col("wins"), col("n_games"),
+        round(col("_p").cast("double") / micro, 6).as("strength"),
+        // "bt_rank", not "rank": the name doubles as the oracle's
+        // output alias, where RANK is a reserved window keyword
+        row_number().over(w).cast("long").as("bt_rank"))
+      .orderBy("prompt_id", "rid")
+  }
+
   /** Per-prompt audit of a (prompt_id, winner, loser) vote table:
     *
     *  - `n_resp` / `n_pairs` — roster and vote sizes;

@@ -1784,6 +1784,203 @@ object CorpusQueries {
             col("n_frames").cast("double"), 6).as("active_frac"),
           col("longest_active_run"))
         .orderBy("media_id")
+    },
+
+    // ——— Bradley–Terry strength fit (Hunter 2004 MM) over the q336
+    //     vote table — the reward-model training target itself. Five
+    //     integer-quantized MM rounds, λ=1 smoothing, Σπ = k
+    //     renormalization per prompt; the oracle unrolls the
+    //     identical iteration (every per-pair term rounded to BIGINT
+    //     before summation, so both engines add integers in any
+    //     order). Everything prompt-keyed; bounded rosters. ———
+    Q("q338_bradley_terry", btOracleSql(iterations = 5)) { (s, dir) =>
+      import graft.ext.Preference
+      val resp = docs(s, dir).select(
+        floor(col("doc_id") / 8).cast("long").as("prompt_id"),
+        col("doc_id"), col("n_chars"))
+      val votes = Preference.pairwiseVotes(resp, "prompt_id", "doc_id",
+        "n_chars", seed = "pref12", noiseMod = 5)
+      Preference.bradleyTerry(resp, votes, "prompt_id", "doc_id",
+        iterations = 5)
+    },
+
+    // ——— REAL WAV/PCM16 codec-seam proof: stage genuine RIFF
+    //     containers (44-byte header + little-endian int16 samples)
+    //     as BinaryType, then PARSE the header fields and DECODE the
+    //     samples back positionally and run q337's segmentation on
+    //     them. The oracle replays the sample-generation arithmetic
+    //     directly (never touching bytes), so any encode/parse
+    //     asymmetry — wrong endianness, off-by-one field offset,
+    //     sign-extension error — breaks the hash. Per-sample explode
+    //     + media-partitioned run-merge: q337's exact cost class. ———
+    Q("q340_wav_pcm_segments",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    8000 + (doc_id % 3) * 4000 AS sr,
+        |    96 + (doc_id % 5) * 32 AS ns
+        |  FROM documents
+        |), p AS (
+        |  SELECT media_id, sr, ns, CAST(t AS BIGINT) AS t
+        |  FROM m, unnest(range(1, ns + 1)) AS r(t)
+        |), s AS (
+        |  SELECT media_id, sr, ns, t,
+        |    CASE WHEN ((t - 1) // 32) % 2 = 1
+        |      THEN ((media_id * 131 + t * 17) % 65536) // 64 - 512
+        |      ELSE (media_id * 131 + t * 17) % 65536 - 32768 END AS v
+        |  FROM p
+        |), f AS (
+        |  SELECT media_id, sr, ns, (t - 1) // 16 AS frame,
+        |    CAST(SUM(v * v) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1, 2, 3, 4
+        |), a AS (
+        |  SELECT media_id, sr, ns, frame, energy >= 100000000 AS active
+        |  FROM f
+        |), c AS (
+        |  SELECT media_id, sr, ns, frame, active,
+        |    CASE WHEN lag(active) OVER (PARTITION BY media_id ORDER BY frame)
+        |      IS DISTINCT FROM active THEN 1 ELSE 0 END AS chg
+        |  FROM a
+        |), seg AS (
+        |  SELECT media_id, sr, ns, active,
+        |    SUM(chg) OVER (PARTITION BY media_id ORDER BY frame
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seg_id
+        |  FROM c
+        |), g AS (
+        |  SELECT media_id, sr, ns, seg_id, active,
+        |    CAST(COUNT(*) AS BIGINT) AS n_frames
+        |  FROM seg GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT media_id, CAST(MAX(sr) AS BIGINT) AS sample_rate,
+        |  CAST(MAX(ns) AS BIGINT) AS n_samples,
+        |  CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active_segments,
+        |  CAST(SUM(CASE WHEN active THEN n_frames ELSE 0 END) AS BIGINT)
+        |    AS active_frames,
+        |  CAST(COALESCE(MAX(CASE WHEN active THEN n_frames END), 0)
+        |    AS BIGINT) AS longest_active_run
+        |FROM g GROUP BY media_id ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+      import graft.ext.Multimodal
+      val wav = Multimodal.syntheticWav(docs(s, dir))
+      val hdr = Multimodal.wavHeader(wav).where(col("wav_valid"))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"))
+      val segs = Multimodal.wavSegments(wav, frameSamples = 16,
+        threshold = 100000000L)
+      segs.groupBy("media_id").agg(
+          sum("n_frames").as("n_frames"),
+          count(lit(1)).as("n_segments"),
+          sum(when(col("active"), 1L).otherwise(0L)).as("n_active_segments"),
+          sum(when(col("active"), col("n_frames")).otherwise(0L))
+            .as("active_frames"),
+          coalesce(max(when(col("active"), col("n_frames"))), lit(0L))
+            .as("longest_active_run"))
+        .join(hdr, Seq("media_id"))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("n_frames"), col("n_segments"), col("n_active_segments"),
+          col("active_frames"), col("longest_active_run"))
+        .orderBy("media_id")
     }
   )
+
+  /** The q338 oracle: q336's vote construction, then `iterations`
+    * unrolled MM rounds replaying [[graft.ext.Preference.bradleyTerry]]
+    * bit-exactly (integer micro-unit strengths, per-term rounding
+    * before integer sums, Σπ = k renormalization).
+    */
+  private def btOracleSql(iterations: Int): String = {
+    // Every iteration references the previous strength CTE TWICE
+    // (π_i and π_j joins); an inlining planner therefore expands the
+    // chain 2^iterations-fold — DuckDB ran out of file descriptors
+    // re-opening documents.parquet before it ran out of time. The
+    // MATERIALIZED hint (PostgreSQL 12 syntax, honored by DuckDB)
+    // pins each CTE to one evaluation — the SQL twin of the
+    // trackedLocalCheckpoint lineage cut on the Spark side.
+    def mat(sql: String): String = sql.replace(" AS (", " AS MATERIALIZED (")
+    val iter = (1 to iterations).map { t =>
+      s"""t$t AS (
+         |  SELECT pr.prompt_id, pr.i, pr.j,
+         |    CAST(round(1e12 * pr.m / (pi.p + pj.p)) AS BIGINT) AS tm
+         |  FROM pr
+         |  JOIN p${t - 1} pi ON pi.prompt_id = pr.prompt_id AND pi.rid = pr.i
+         |  JOIN p${t - 1} pj ON pj.prompt_id = pr.prompt_id AND pj.rid = pr.j
+         |), d$t AS (
+         |  SELECT prompt_id, rid, CAST(SUM(tm) AS BIGINT) AS d FROM (
+         |    SELECT prompt_id, i AS rid, tm FROM t$t
+         |    UNION ALL SELECT prompt_id, j AS rid, tm FROM t$t
+         |  ) GROUP BY 1, 2
+         |), raw$t AS (
+         |  SELECT st.prompt_id, st.rid, st.k,
+         |    COALESCE(CAST(round(CAST(st.a AS DOUBLE) * 1e12 / d.d)
+         |      AS BIGINT), 1000000) AS praw
+         |  FROM st LEFT JOIN d$t d
+         |    ON d.prompt_id = st.prompt_id AND d.rid = st.rid
+         |), s$t AS (
+         |  SELECT prompt_id, CAST(SUM(praw) AS BIGINT) AS s
+         |  FROM raw$t GROUP BY 1
+         |), p$t AS (
+         |  SELECT r.prompt_id, r.rid,
+         |    CAST(round(CAST(r.praw AS DOUBLE) * r.k * 1000000 / s.s)
+         |      AS BIGINT) AS p
+         |  FROM raw$t r JOIN s$t s ON s.prompt_id = r.prompt_id
+         |)""".stripMargin
+    }.mkString(", ")
+    mat(s"""WITH r AS (
+       |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, doc_id, n_chars
+       |  FROM documents
+       |), pp AS (
+       |  SELECT a.prompt_id, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ((a.n_chars >= b.n_chars) <>
+       |     (CAST(concat('0x', substring(md5(concat(CAST(a.doc_id AS VARCHAR),
+       |        ':', CAST(b.doc_id AS VARCHAR), ':pref12')), 1, 7)) AS BIGINT)
+       |        % 5 = 0)) AS a_wins
+       |  FROM r a JOIN r b
+       |    ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id
+       |), v AS (
+       |  SELECT prompt_id,
+       |    CASE WHEN a_wins THEN id_a ELSE id_b END AS winner,
+       |    CASE WHEN a_wins THEN id_b ELSE id_a END AS loser
+       |  FROM pp
+       |), k AS (
+       |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS k FROM r GROUP BY 1
+       |), vp AS (
+       |  SELECT prompt_id, least(winner, loser) AS i,
+       |    greatest(winner, loser) AS j, CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM v GROUP BY 1, 2, 3
+       |), pr AS (
+       |  SELECT ap.prompt_id, ap.i, ap.j, COALESCE(vp.nv, 0) * 2 + 2 AS m
+       |  FROM (
+       |    SELECT a.prompt_id, a.doc_id AS i, b.doc_id AS j
+       |    FROM r a JOIN r b
+       |      ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id
+       |  ) ap LEFT JOIN vp ON vp.prompt_id = ap.prompt_id
+       |    AND vp.i = ap.i AND vp.j = ap.j
+       |), wc AS (
+       |  SELECT prompt_id, winner AS rid, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM v GROUP BY 1, 2
+       |), gc AS (
+       |  SELECT prompt_id, rid, CAST(COUNT(*) AS BIGINT) AS g FROM (
+       |    SELECT prompt_id, winner AS rid FROM v
+       |    UNION ALL SELECT prompt_id, loser FROM v
+       |  ) GROUP BY 1, 2
+       |), st AS (
+       |  SELECT r.prompt_id, r.doc_id AS rid, k.k,
+       |    COALESCE(wc.w, 0) AS wins, COALESCE(gc.g, 0) AS n_games,
+       |    COALESCE(wc.w, 0) * 2 + k.k - 1 AS a
+       |  FROM r
+       |  JOIN k USING (prompt_id)
+       |  LEFT JOIN wc ON wc.prompt_id = r.prompt_id AND wc.rid = r.doc_id
+       |  LEFT JOIN gc ON gc.prompt_id = r.prompt_id AND gc.rid = r.doc_id
+       |), p0 AS (
+       |  SELECT prompt_id, rid, CAST(1000000 AS BIGINT) AS p FROM st
+       |), $iter
+       |SELECT st.prompt_id, st.rid, st.wins, st.n_games,
+       |  round(CAST(pf.p AS DOUBLE) / 1000000, 6) AS strength,
+       |  CAST(row_number() OVER (PARTITION BY st.prompt_id
+       |    ORDER BY pf.p DESC, st.rid) AS BIGINT) AS bt_rank
+       |FROM st JOIN p$iterations pf
+       |  ON pf.prompt_id = st.prompt_id AND pf.rid = st.rid
+       |ORDER BY st.prompt_id, st.rid""".stripMargin)
+  }
 }

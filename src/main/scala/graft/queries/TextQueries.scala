@@ -3176,6 +3176,72 @@ object TextQueries {
       val scored = Classifier.score(labeled, model)
         .join(labeled.select(col("doc_id"), col("y")), "doc_id")
       Classifier.conformalSplit(scored, "y", "score", alpha = 0.1)
+    },
+
+    // ——— conformalized quantile regression (Romano et al. 2019) on
+    //     the events value stream, grouped by event_type: per-group
+    //     nearest-rank [q10, q90] train interval, signed CQR scores
+    //     on the calibration quarter, qhat at ⌈(n+1)(1−α)⌉, eval
+    //     coverage/width of [q_lo−qhat, q_hi+qhat]. The continuous
+    //     completion of q335's binary split-conformal report; integer
+    //     cent grid throughout, quantiles and qhat from value
+    //     dictionaries (Ranks), never a row-scale sort. ———
+    Q("q339_cqr_intervals",
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS yc,
+        |    CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR),
+        |      ':cqr1')), 1, 15)) AS BIGINT) % 4 AS coin
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |), tr AS (
+        |  SELECT g, yc, CAST(COUNT(*) AS BIGINT) AS c FROM base
+        |  WHERE coin <= 1 GROUP BY 1, 2
+        |), trc AS (
+        |  SELECT g, yc,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY yc) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM tr
+        |), qt AS (
+        |  SELECT g, CAST(MAX(n) AS BIGINT) AS n_train,
+        |    MIN(CASE WHEN cum >= GREATEST(CAST(ceil(CAST(n AS DOUBLE)
+        |      * CAST(0.1 AS DOUBLE)) AS BIGINT), 1) THEN yc END) AS qlo,
+        |    MIN(CASE WHEN cum >= LEAST(CAST(ceil(CAST(n AS DOUBLE)
+        |      * CAST(0.9 AS DOUBLE)) AS BIGINT), n) THEN yc END) AS qhi
+        |  FROM trc GROUP BY 1
+        |), cal AS (
+        |  SELECT GREATEST(qt.qlo - b.yc, b.yc - qt.qhi) AS e
+        |  FROM base b JOIN qt ON b.g = qt.g WHERE b.coin = 2
+        |), caln AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+        |), ecum AS (
+        |  SELECT e, SUM(c) OVER (ORDER BY e) AS cumc FROM (
+        |    SELECT e, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY e)
+        |), qh AS (
+        |  SELECT MIN(CASE WHEN cumc >= LEAST(CAST(ceil(
+        |      CAST(n_cal + 1 AS DOUBLE) * CAST(0.8 AS DOUBLE)) AS BIGINT),
+        |      n_cal) THEN e END) AS qhat,
+        |    MAX(n_cal) AS n_cal
+        |  FROM ecum CROSS JOIN caln
+        |)
+        |SELECT b.g AS event_type, qt.n_train,
+        |  round(CAST(qt.qlo AS DOUBLE) / 100, 6) AS q_lo,
+        |  round(CAST(qt.qhi AS DOUBLE) / 100, 6) AS q_hi,
+        |  qh.n_cal, qh.qhat AS qhat_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  round(CAST(SUM(CASE WHEN b.yc >= qt.qlo - qh.qhat
+        |    AND b.yc <= qt.qhi + qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS coverage,
+        |  round(CAST(qt.qhi - qt.qlo + 2 * qh.qhat AS DOUBLE) / 100, 6)
+        |    AS width
+        |FROM base b JOIN qt ON b.g = qt.g CROSS JOIN qh
+        |WHERE b.coin = 3
+        |GROUP BY b.g, qt.n_train, qt.qlo, qt.qhi, qh.n_cal, qh.qhat
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      Classifier.cqr(graft.Tables.load(s, dir, "events"),
+        "event_type", "value", "event_id", alpha = 0.2)
     }
   )
 }

@@ -804,8 +804,8 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r12 additions (q331–q337): partitioned/dictionary windows only, " +
-    "no cartesian, BNLJ only as bounded broadcast attaches") {
+  test("r12/r13 additions (q331–q340): partitioned/dictionary windows " +
+    "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
     // echoed 3× in the plan string: the persisted `ranked` frame's
     // InMemoryRelation (which embeds the child plan text) is scanned
@@ -814,12 +814,17 @@ class ScaleSpec extends SparkSpec {
     // q335 attaches TWO broadcast 1-row aggregates (the calibration
     // qhat/n_cal statistic row onto the eval scores, then the eval
     // totals onto the report) — the accepted totals-attach class.
+    // q339 attaches TWO broadcast 1-row aggregates, exactly q335's
+    // class: Ranks.nearestRank's internal n_total attach inside the
+    // qhat computation, then the qhat row onto the eval quarter.
     val bnljCap = Map("q333_bitext_mining" -> 3,
-      "q335_conformal_coverage" -> 2).withDefaultValue(1)
+      "q335_conformal_coverage" -> 2,
+      "q339_cqr_intervals" -> 2).withDefaultValue(1)
     for (name <- Seq("q331_ipf_raking", "q332_winnowing_dedup",
         "q333_bitext_mining", "q334_hard_negatives",
         "q335_conformal_coverage", "q336_preference_audit",
-        "q337_media_energy_segments")) {
+        "q337_media_energy_segments", "q338_bradley_terry",
+        "q339_cqr_intervals", "q340_wav_pcm_segments")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

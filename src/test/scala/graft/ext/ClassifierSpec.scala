@@ -225,4 +225,64 @@ class ClassifierSpec extends SparkSpec {
     assert(r2.getAs[Long]("qhat_micro") >= qhat)
     graft.engine.TrackedCache.release()
   }
+
+  // deterministic pseudo-random regression frame: two groups, target
+  // spread by a fixed multiplicative hash — every law below is a
+  // fixed-point check (md5 coins + fixed data → one reproducible run)
+  private def cqrFrame = (0L until 4000L).map { i =>
+    (i, if (i % 2 == 0) "a" else "b",
+      ((i * 2654435761L) % 10007L).toDouble / 100.0)
+  }.toDF("event_id", "event_type", "value")
+
+  test("cqr: eval coverage meets the distribution-free target on iid " +
+    "md5 splits, for every group") {
+    val out = Classifier.cqr(cqrFrame, "event_type", "value", "event_id",
+      alpha = 0.2).collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getAs[Double]("coverage") >= 0.75,
+        s"group ${r.getString(0)}: coverage ${r.getAs[Double]("coverage")}")
+      assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_eval") > 0)
+    }
+    graft.engine.TrackedCache.release()
+  }
+
+  test("cqr: shrinking alpha never narrows the conformalized interval") {
+    def widths(alpha: Double) = {
+      val m = Classifier.cqr(cqrFrame, "event_type", "value", "event_id",
+        alpha = alpha).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("width")).toMap
+      graft.engine.TrackedCache.release()
+      m
+    }
+    val tight = widths(0.1)
+    val loose = widths(0.4)
+    for ((g, w) <- tight)
+      assert(w >= loose(g), s"group $g: width($w) < width(${loose(g)})")
+  }
+
+  test("cqr: a constant target collapses to a zero-width interval with " +
+    "qhat 0 and full coverage") {
+    val const = (0L until 600L).map(i => (i, "g", 12.34))
+      .toDF("event_id", "event_type", "value")
+    val r = Classifier.cqr(const, "event_type", "value", "event_id",
+      alpha = 0.2).head()
+    assert(r.getAs[Double]("q_lo") === 12.34)
+    assert(r.getAs[Double]("q_hi") === 12.34)
+    assert(r.getAs[Long]("qhat_cents") === 0L)
+    assert(r.getAs[Double]("coverage") === 1.0)
+    assert(r.getAs[Double]("width") === 0.0)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("cqr is deterministic under repartition (md5 splits, dictionary " +
+    "ranks — no partition-order dependence)") {
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = Classifier.cqr(df, "event_type", "value", "event_id",
+        alpha = 0.2).collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    assert(run(cqrFrame) === run(cqrFrame.repartition(7)))
+  }
 }

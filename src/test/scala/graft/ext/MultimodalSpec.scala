@@ -300,4 +300,100 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("media_id", "seg_id").collect().toSeq
     assert(a === b)
   }
+
+  // ——— the REAL WAV/PCM16 codec path (q340) ———
+
+  /** Scalar replay of syntheticWav's generator for one media id:
+    * the canonical 44-byte header + LE16 samples as Array[Byte]. */
+  private def scalarWav(id: Long): Array[Byte] = {
+    val sr = 8000L + (id % 3) * 4000L
+    val ns = (96L + (id % 5) * 32L).toInt
+    def le16(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = (1 to ns).flatMap { t =>
+      val u = (id * 131L + t * 17L) % 65536L
+      val s = if (((t - 1) / 32) % 2 == 1) u / 64L - 512L else u - 32768L
+      le16(if (s < 0) s + 65536L else s)
+    }
+    ("RIFF".getBytes("ASCII") ++ le32(36L + 2L * ns) ++
+      "WAVEfmt ".getBytes("ASCII") ++ le32(16L) ++ le16(1L) ++ le16(1L) ++
+      le32(sr) ++ le32(2L * sr) ++ le16(2L) ++ le16(16L) ++
+      "data".getBytes("ASCII") ++ le32(2L * ns) ++ samples).toArray
+  }
+
+  test("syntheticWav emits byte-exact canonical RIFF/PCM16 containers " +
+    "(scalar header + LE16 sample replay)") {
+    val ids = Seq(0L, 5L, 7L).toDF("doc_id")
+    val got = Multimodal.syntheticWav(ids).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    for (id <- Seq(0L, 5L, 7L))
+      assert(java.util.Arrays.equals(got(id), scalarWav(id)),
+        s"media $id: container bytes diverge from scalar replay")
+  }
+
+  test("wavHeader parses every field back from the binary and a " +
+    "doctored container fails the validity gate, never decoding") {
+    val wav = Multimodal.syntheticWav(Seq(4L).toDF("doc_id"))
+    val h = Multimodal.wavHeader(wav).head()
+    assert(h.getAs[Boolean]("wav_valid"))
+    assert(h.getAs[Long]("audio_format") === 1L)
+    assert(h.getAs[Long]("n_channels") === 1L)
+    assert(h.getAs[Long]("sample_rate") === 12000L)  // 8000 + (4%3)*4000
+    assert(h.getAs[Long]("byte_rate") === 24000L)
+    assert(h.getAs[Long]("block_align") === 2L)
+    assert(h.getAs[Long]("bits_per_sample") === 16L)
+    assert(h.getAs[Long]("n_samples") === 96L + (4L % 5L) * 32L)
+    // corrupt the RIFF magic's first byte: parse must reject, and the
+    // PCM path must emit zero frames for it (gate, not garbage)
+    val bad = wav.select(col("media_id"),
+      concat(lit(Array[Byte]('X')),
+        expr("substring(bytes, 2, octet_length(bytes) - 1)")).as("bytes"))
+    assert(!Multimodal.wavHeader(bad).head().getAs[Boolean]("wav_valid"))
+    assert(Multimodal.wavFrameEnergy(bad).count() === 0L)
+    // truncated payload (data_size now inconsistent): also rejected
+    val short = wav.select(col("media_id"),
+      expr("substring(bytes, 1, octet_length(bytes) - 2)").as("bytes"))
+    assert(!Multimodal.wavHeader(short).head().getAs[Boolean]("wav_valid"))
+  }
+
+  test("wavFrameEnergy equals a scalar decode of the container bytes " +
+    "(endianness + sign-extension proof)") {
+    val wav = Multimodal.syntheticWav(Seq(3L, 11L).toDF("doc_id"))
+    val got = Multimodal.wavFrameEnergy(wav, frameSamples = 16)
+      .orderBy("media_id", "frame").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Seq(3L, 11L).flatMap { id =>
+      val b = scalarWav(id)
+      val ns = ((b(40).toLong & 0xff) | ((b(41).toLong & 0xff) << 8) |
+        ((b(42).toLong & 0xff) << 16)) / 2
+      (0L until ns).map { i =>
+        val u = (b(44 + 2 * i.toInt).toLong & 0xff) |
+          ((b(45 + 2 * i.toInt).toLong & 0xff) << 8)
+        val s = if (u >= 32768L) u - 65536L else u
+        (id, i / 16) -> s * s
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(got === want)
+  }
+
+  test("stub and PCM segmentation share the run-merge plan shape: one " +
+    "media-partitioned Window each, no global window in either") {
+    val wav = Multimodal.syntheticWav(Seq(1L, 2L).toDF("doc_id"))
+    val stubM = Seq((1L, "abcd" * 16)).toDF("media_id", "p")
+      .withColumn("bytes", col("p").cast("binary")).drop("p")
+    def windowShape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("Window ["))
+        .map(_.replaceAll("^[-+:| ]+", "").replaceAll("#\\d+L?", "#").trim)
+        .toSeq
+    val pcm = windowShape(Multimodal.wavSegments(wav))
+    val stub = windowShape(Multimodal.energySegments(stubM))
+    assert(pcm === stub, s"pcm:\n${pcm.mkString("\n")}\nstub:\n${
+      stub.mkString("\n")}")
+    assert(pcm.nonEmpty && pcm.forall(_.contains("media_id#")),
+      "every run-merge window must be media-partitioned")
+    assert(graft.PlanChecks.rowScaleGlobalWindows(
+      Multimodal.wavSegments(wav)).isEmpty)
+  }
 }

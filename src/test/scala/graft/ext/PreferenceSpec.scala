@@ -73,6 +73,93 @@ class PreferenceSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
   }
 
+  test("bradleyTerry: a noiseless transitive prompt fits strengths in " +
+    "quality order, mean-1-normalized, with every response finite") {
+    val r = roster((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L), (0L, 4L, 40L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0)
+    val out = Preference.bradleyTerry(r, v, "prompt_id", "doc_id")
+      .collect().sortBy(_.getLong(1))
+    // strength strictly increases with quality; ranks invert it
+    val s = out.map(_.getDouble(4))
+    assert(s.sliding(2).forall(p => p(0) < p(1)), s.mkString(","))
+    assert(out.map(_.getLong(5)).toSeq === Seq(4L, 3L, 2L, 1L))
+    // λ=1 smoothing: even the all-loss response has positive strength
+    assert(s.head > 0.0)
+    // Σπ = k renormalization → mean strength 1 (integer micro-units,
+    // so the sum is k to within k rounding ulps)
+    assert(math.abs(s.sum - 4.0) < 1e-4, s.sum.toString)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("bradleyTerry: cycle noise shrinks the top-vs-bottom strength " +
+    "margin relative to the clean transitive fit") {
+    val r = roster((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L), (0L, 4L, 40L))
+    def margin(votes: org.apache.spark.sql.DataFrame): Double = {
+      val out = Preference.bradleyTerry(r, votes, "prompt_id", "doc_id")
+        .collect().map(_.getDouble(4))
+      graft.engine.TrackedCache.release()
+      out.max - out.min
+    }
+    val clean = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0)
+    // flip the extreme comparison: the weakest response now beats the
+    // strongest, planting a 4-cycle (1>4>3>2>1 direction on that edge)
+    val noisy = clean
+      .withColumn("_flip", col("winner") === 4L && col("loser") === 1L)
+      .select(col("prompt_id"),
+        when(col("_flip"), col("loser")).otherwise(col("winner"))
+          .as("winner"),
+        when(col("_flip"), col("winner")).otherwise(col("loser"))
+          .as("loser"))
+    assert(margin(noisy) < margin(clean),
+      "an intransitive flip must compress the fitted strength spread")
+  }
+
+  test("bradleyTerry: strengths are deterministic under repartition and " +
+    "exactly replayed by scalar MM arithmetic (integer micro-units)") {
+    val r = roster((0L, 1L, 3L), (0L, 2L, 7L), (0L, 3L, 11L),
+      (1L, 8L, 1L), (1L, 9L, 2L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "bt", noiseMod = 3).cache()
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = Preference.bradleyTerry(df, v, "prompt_id", "doc_id",
+        iterations = 3).collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    val a = run(r)
+    assert(a === run(r.repartition(5)))
+    // scalar replay for one prompt: same λ=1-smoothed MM recursion on
+    // Long micro-units (rounding before every sum, Σπ=k renorm)
+    val votes = v.filter(col("prompt_id") === 0L).collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    val ids = Seq(1L, 2L, 3L)
+    val k = ids.size
+    val m = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (i <- ids; j <- ids if i < j)
+      m((i, j)) = 2L * votes.count(wl => Set(wl._1, wl._2) == Set(i, j)) + 2L
+    val aWins = ids.map(i => i -> (2L * votes.count(_._1 == i) + k - 1L)).toMap
+    var p = ids.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val d = ids.map { i =>
+        i -> ids.filter(_ != i).map { j =>
+          val key = if (i < j) (i, j) else (j, i)
+          math.round(1e12 * m(key) / (p(i) + p(j)).toDouble)
+        }.sum
+      }.toMap
+      val raw = ids.map(i =>
+        i -> math.round(aWins(i).toDouble * 1e12 / d(i))).toMap
+      val tot = raw.values.sum
+      p = ids.map(i =>
+        i -> math.round(raw(i).toDouble * k * 1000000L / tot)).toMap
+    }
+    val got = a.filter(_.getLong(0) == 0L)
+      .map(x => x.getLong(1) -> x.getDouble(4)).toMap
+    for (i <- ids)
+      assert(got(i) === p(i).toDouble / 1e6, s"rid $i")
+  }
+
   test("audit is deterministic under repartition (md5 coin, no " +
     "partition-order dependence)") {
     val base = (0L until 40L).map(i => (i / 5, i, (i * 37) % 11)).toDF(
