@@ -445,6 +445,140 @@ object Multimodal {
     segmentRuns(wavFrameEnergy(media, frameSamples, idCol, bytesCol),
       threshold)
 
+  /** Deterministic REAL BMP containers (24-bit uncompressed,
+    * bottom-up, 4-byte-padded rows — the classic Windows DIB layout)
+    * staged from a roster: BITMAPFILEHEADER (14 bytes) +
+    * BITMAPINFOHEADER (40) + BGR pixel rows, widths 4–6 × heights
+    * 3–4 by id so the stride-padding branch is actually exercised
+    * (w=5 → 1 pad byte, w=6 → 2). Pixel channel values come from the
+    * multiplicative-hash formula v(x,y,c)=(id·7+y·131+x·17+c·29) mod
+    * 256 with c∈{0:R,1:G,2:B}; the container stores them BGR and
+    * bottom-up, so a parser that misreads channel order, row
+    * orientation, stride, or the data offset produces different
+    * numbers — the image twin of [[syntheticWav]]'s audio-seam proof.
+    */
+  def syntheticBmp(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le16(c: String) =
+      s"concat(lpad(hex(($c) % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 256 % 256), 2, '0'))"
+    def le32(c: String) =
+      s"concat(lpad(hex(($c) % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 256 % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 65536 % 256), 2, '0'), " +
+        s"lpad(hex(($c) div 16777216 % 256), 2, '0'))"
+    docs.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("w", lit(4L) + (col("media_id") % 3))
+      .withColumn("hh", lit(3L) + (col("media_id") % 2))
+      .withColumn("stride", expr("((3 * w + 3) div 4) * 4"))
+      // pixel bytes in their own projection (HOF re-inline rule);
+      // byte idx → stored row r=idx div stride (bottom-up: y=h-1-r),
+      // k=idx%stride; k<3w → channel byte (BGR: c = 2 - k%3), else pad
+      .withColumn("px", expr(
+        """transform(sequence(CAST(0 AS BIGINT), stride * hh - 1), i ->
+          |  CASE WHEN i % stride < 3 * w THEN
+          |    (media_id * 7 + (hh - 1 - i div stride) * 131
+          |     + ((i % stride) div 3) * 17
+          |     + (2 - (i % stride) % 3) * 29) % 256
+          |  ELSE 0 END)""".stripMargin))
+      .withColumn("hdr", concat(
+        lit("424D"),                               // "BM"
+        expr(le32("54 + stride * hh")),            // file size
+        lit("00000000"),                           // reserved
+        expr(le32("54")),                          // pixel data offset
+        expr(le32("40")),                          // info header size
+        expr(le32("w")), expr(le32("hh")),         // width, height (+: bottom-up)
+        expr(le16("1")), expr(le16("24")),         // planes, bpp
+        expr(le32("0")),                           // BI_RGB (uncompressed)
+        expr(le32("stride * hh")),                 // image size
+        expr(le32("2835")), expr(le32("2835")),    // 72 DPI in px/m
+        expr(le32("0")), expr(le32("0"))))         // palette counts
+      .select(col("media_id"), unhex(concat(col("hdr"), expr(
+        """array_join(transform(px, b -> lpad(hex(b), 2, '0')), '')""")))
+        .as("bytes"))
+  }
+
+  /** Parse the BMP headers from the raw BINARY payload (the
+    * [[wavHeader]] discipline: positional little-endian decode over
+    * the hex expansion) and gate on validity: "BM" magic, 40-byte
+    * BITMAPINFOHEADER, 1 plane, 24 bpp, BI_RGB, pixel data at offset
+    * 54, and file/image sizes consistent with the actual payload
+    * length and the 4-byte-padded stride. One row per media; retains
+    * `h` (hex) for the pixel decode. */
+  def bmpHeader(media: DataFrame, idCol: String = "media_id",
+                bytesCol: String = "bytes"): DataFrame = {
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("n", octet_length(col("bytes")).cast("long"))
+      .where(col("n") >= 54L)
+      .select(col("media_id"), hex(col("bytes")).as("h"), col("n"))
+    def byteAt(p: Int) =
+      conv(substring(col("h"), 2 * p - 1, 2), 16, 10).cast("long")
+    def hle16(p: Int) = byteAt(p) + byteAt(p + 1) * 256L
+    def hle32(p: Int) = byteAt(p) + byteAt(p + 1) * 256L +
+      byteAt(p + 2) * 65536L + byteAt(p + 3) * 16777216L
+    m.select(col("media_id"), col("h"), col("n"),
+        hle32(3).as("file_size"), hle32(11).as("data_offset"),
+        hle32(15).as("info_size"), hle32(19).as("width"),
+        hle32(23).as("height"), hle16(27).as("planes"),
+        hle16(29).as("bpp"), hle32(31).as("compression"),
+        hle32(35).as("image_size"),
+        (substring(col("h"), 1, 4) === "424D").as("_magic"))
+      .withColumn("stride", expr("((3 * width + 3) div 4) * 4"))
+      .withColumn("bmp_valid", col("_magic") &&
+        col("info_size") === 40L && col("planes") === 1L &&
+        col("bpp") === 24L && col("compression") === 0L &&
+        col("data_offset") === 54L && col("width") > 0L &&
+        col("height") > 0L &&
+        col("image_size") === col("stride") * col("height") &&
+        col("file_size") === col("n") &&
+        col("n") === lit(54L) + col("stride") * col("height"))
+      .drop("_magic")
+  }
+
+  /** REAL-image pixel statistics — the image twin of
+    * [[wavFrameEnergy]]'s audio-seam proof: decode every 24-bit BGR
+    * pixel of a VALID BMP positionally (bottom-up row order, 4-byte
+    * row padding skipped, B/G/R storage → R/G/B channel indices), and
+    * reduce per image to exact integer per-channel sums plus a
+    * position-weighted moment Σ (y·4096 + x·8 + c)·v — the moment is
+    * what catches a parser that gets the SUMS right but the geometry
+    * wrong (top-down instead of bottom-up, transposed x/y, swapped
+    * channels, stride off by the padding), since full-image sums are
+    * invariant to all of those.
+    *
+    * Scale: one narrow per-byte explode over pixel bytes (linear in
+    * payload size, the q291/q340 cost class) + one media rollup.
+    */
+  def bmpPixelStats(media: DataFrame, idCol: String = "media_id",
+                    bytesCol: String = "bytes"): DataFrame = {
+    val hdr = bmpHeader(media, idCol, bytesCol)
+      .where(col("bmp_valid"))
+      .select(col("media_id"), col("h"), col("width"), col("height"),
+        col("stride"))
+    // byte index i in the pixel array (0-based): stored row i div
+    // stride (bottom-up ⇒ y = height-1-row), k = i mod stride;
+    // k < 3·width ⇒ pixel byte: x = k div 3, channel = 2 - k mod 3
+    // (BGR storage), value at hex position 2·(54+i)+1
+    hdr.select(col("media_id"), col("width"), col("height"),
+        col("stride"), col("h"),
+        explode(sequence(lit(0L), col("stride") * col("height") - 1L))
+          .as("i"))
+      .where(col("i") % col("stride") < col("width") * 3L)
+      .select(col("media_id"), col("width"), col("height"),
+        (col("height") - 1L - expr("i div stride")).as("y"),
+        expr("(i % stride) div 3").as("x"),
+        (lit(2L) - expr("(i % stride) % 3")).as("c"),
+        conv(substring(col("h"), ((lit(54L) + col("i")) * 2L + 1L)
+          .cast("int"), lit(2)), 16, 10).cast("long").as("v"))
+      .groupBy("media_id", "width", "height")
+      .agg(
+        sum(when(col("c") === 0L, col("v")).otherwise(0L)).as("sum_r"),
+        sum(when(col("c") === 1L, col("v")).otherwise(0L)).as("sum_g"),
+        sum(when(col("c") === 2L, col("v")).otherwise(0L)).as("sum_b"),
+        sum((col("y") * 4096L + col("x") * 8L + col("c")) * col("v"))
+          .as("pos_moment"))
+  }
+
   /** Difference-hash (dHash) perceptual signatures over the raw
     * BINARY payload, banded for LSH — the media twin of SimHash
     * banding (q37/q61): the payload is "downscaled" into `bits`+1

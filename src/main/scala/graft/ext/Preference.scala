@@ -177,6 +177,47 @@ object Preference {
       .orderBy("prompt_id", "rid")
   }
 
+  /** DPO-style training-pair construction from a fitted
+    * [[bradleyTerry]] frame (Rafailov et al. 2023 consume exactly
+    * this shape: one (chosen, rejected) response pair per prompt):
+    * per prompt, chosen = the rank-1 response, rejected = the
+    * bottom-ranked one (both tie-broken toward the smaller rid by
+    * bt_rank's own ordering), kept only when the roster has ≥ 2
+    * responses and the strength margin clears `minMargin` — the
+    * standard guard against training on pairs the preference data
+    * cannot actually order.
+    *
+    * Engine-exactness: the margin is compared in integer micro-units
+    * recovered from the 6-decimal strengths (round(s·10⁶) is exact —
+    * strengths ARE micro-grid values), so the threshold can never
+    * flip on a float ulp.
+    *
+    * Scale shape: one prompt-keyed min/max-struct aggregate over the
+    * fitted frame — no windows, no joins beyond what the fit itself
+    * did; output is one row per surviving prompt.
+    */
+  def dpoPairs(fitted: DataFrame, minMargin: Double = 0.25): DataFrame = {
+    require(minMargin >= 0, s"dpoPairs: minMargin >= 0, got $minMargin")
+    val micro = round(col("strength") * 1e6).cast("long")
+    fitted
+      .select(col("prompt_id"), col("rid"), col("wins"), col("bt_rank"),
+        micro.as("_p"))
+      .groupBy("prompt_id")
+      .agg(count(lit(1)).as("_k"),
+        min(struct(col("bt_rank"), col("rid"), col("wins"), col("_p")))
+          .as("_ch"),
+        max(struct(col("bt_rank"), col("rid"), col("wins"), col("_p")))
+          .as("_rj"))
+      .filter(col("_k") >= 2L &&
+        col("_ch._p") - col("_rj._p") >= math.round(minMargin * 1e6))
+      .select(col("prompt_id"),
+        col("_ch.rid").as("chosen_id"), col("_rj.rid").as("rejected_id"),
+        col("_ch.wins").as("chosen_wins"), col("_rj.wins").as("rejected_wins"),
+        round((col("_ch._p") - col("_rj._p")).cast("double") / 1e6, 6)
+          .as("margin"))
+      .orderBy("prompt_id")
+  }
+
   /** Per-prompt audit of a (prompt_id, winner, loser) vote table:
     *
     *  - `n_resp` / `n_pairs` — roster and vote sizes;

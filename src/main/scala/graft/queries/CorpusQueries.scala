@@ -1881,15 +1881,180 @@ object CorpusQueries {
           col("n_frames"), col("n_segments"), col("n_active_segments"),
           col("active_frames"), col("longest_active_run"))
         .orderBy("media_id")
+    },
+
+    // ——— model-arena leaderboard (the LMArena / Chatbot-Arena
+    //     computation): synthetic head-to-head battles between 8
+    //     model variants staged from the events stream (planted skill
+    //     = (m·37) mod 23, 20% md5-coin upsets), then ONE GLOBAL
+    //     Bradley–Terry fit — q338's per-prompt machinery with a
+    //     constant prompt key, so the iteration frames are
+    //     8-row/28-pair dictionaries regardless of battle volume; the
+    //     only data-scale work is the two battle-count aggregates. ———
+    Q("q341_model_arena", {
+      val roster =
+        """SELECT CAST(0 AS BIGINT) AS prompt_id, CAST(m AS BIGINT) AS rid
+          |  FROM range(0, 8) t(m)""".stripMargin
+      val votes =
+        """SELECT CAST(0 AS BIGINT) AS prompt_id,
+          |    CASE WHEN a_wins THEN ma ELSE mb END AS winner,
+          |    CASE WHEN a_wins THEN mb ELSE ma END AS loser
+          |  FROM (
+          |    SELECT ma, mb,
+          |      (((ma * 37) % 23 >= (mb * 37) % 23) <>
+          |       (CAST(concat('0x', substring(md5(concat(
+          |          CAST(event_id AS VARCHAR), ':arena13')), 1, 7)) AS BIGINT)
+          |          % 5 = 0)) AS a_wins
+          |    FROM (
+          |      SELECT event_id, event_id % 8 AS ma,
+          |        (event_id // 8) % 8 AS mb
+          |      FROM events WHERE event_id IS NOT NULL
+          |    ) WHERE ma <> mb
+          |  )""".stripMargin
+      btChainSql(5, roster, votes) +
+        """
+          |SELECT st.rid AS model_id, st.wins, st.n_games,
+          |  CASE WHEN st.n_games > 0 THEN
+          |    round(CAST(st.wins AS DOUBLE) / st.n_games, 6) END AS win_rate,
+          |  round(CAST(pf.p AS DOUBLE) / 1000000, 6) AS strength,
+          |  CAST(row_number() OVER (ORDER BY pf.p DESC, st.rid) AS BIGINT)
+          |    AS bt_rank
+          |FROM st JOIN p5 pf
+          |  ON pf.prompt_id = st.prompt_id AND pf.rid = st.rid
+          |ORDER BY model_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Preference
+      val roster = s.range(8).select(lit(0L).as("prompt_id"),
+        col("id").as("rid"))
+      val battles = graft.Tables.load(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), (col("event_id") % 8).as("ma"),
+          (expr("event_id div 8") % 8).as("mb"))
+        .filter(col("ma") =!= col("mb"))
+      val aWins = ((col("ma") * 37 % 23) >= (col("mb") * 37 % 23)) =!=
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":arena13"))), 1, 7), 16, 10).cast("long") % 5 === 0)
+      val votes = battles.select(lit(0L).as("prompt_id"),
+        when(aWins, col("ma")).otherwise(col("mb")).as("winner"),
+        when(aWins, col("mb")).otherwise(col("ma")).as("loser"))
+      Preference.bradleyTerry(roster, votes, "prompt_id", "rid",
+        iterations = 5)
+        .select(col("rid").as("model_id"), col("wins"), col("n_games"),
+          when(col("n_games") > 0L,
+            round(col("wins").cast("double") / col("n_games"), 6))
+            .as("win_rate"),
+          col("strength"), col("bt_rank"))
+        .orderBy("model_id")
+    },
+
+    // ——— DPO training-pair export from the q338 fit: per prompt the
+    //     (chosen, rejected) = (rank-1, bottom-rank) responses, kept
+    //     only when the strength margin ≥ 0.25 — compared in integer
+    //     micro-units so the cut is float-proof. One prompt-keyed
+    //     struct-aggregate on top of the fit; no new windows. ———
+    Q("q342_dpo_pairs",
+      btChainSql(5, q338RosterSql, q338VotesSql) +
+        """, fit AS MATERIALIZED (
+          |  SELECT st.prompt_id, st.rid, st.wins, pf.p,
+          |    row_number() OVER (PARTITION BY st.prompt_id
+          |      ORDER BY pf.p DESC, st.rid) AS rn,
+          |    COUNT(*) OVER (PARTITION BY st.prompt_id) AS k
+          |  FROM st JOIN p5 pf
+          |    ON pf.prompt_id = st.prompt_id AND pf.rid = st.rid
+          |), ch AS MATERIALIZED (
+          |  SELECT prompt_id, rid AS chosen_id, wins AS chosen_wins,
+          |    p AS pc, k FROM fit WHERE rn = 1
+          |), rj AS MATERIALIZED (
+          |  SELECT prompt_id, rid AS rejected_id, wins AS rejected_wins,
+          |    p AS prj FROM fit WHERE rn = k
+          |)
+          |SELECT ch.prompt_id, chosen_id, rejected_id, chosen_wins,
+          |  rejected_wins,
+          |  round(CAST(pc - prj AS DOUBLE) / 1000000, 6) AS margin
+          |FROM ch JOIN rj USING (prompt_id)
+          |WHERE ch.k >= 2 AND pc - prj >= 250000
+          |ORDER BY ch.prompt_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val resp = docs(s, dir).select(
+        floor(col("doc_id") / 8).cast("long").as("prompt_id"),
+        col("doc_id"), col("n_chars"))
+      val votes = Preference.pairwiseVotes(resp, "prompt_id", "doc_id",
+        "n_chars", seed = "pref12", noiseMod = 5)
+      Preference.dpoPairs(
+        Preference.bradleyTerry(resp, votes, "prompt_id", "doc_id",
+          iterations = 5),
+        minMargin = 0.25)
+    },
+
+    // ——— REAL BMP codec-seam proof (the image twin of q340): stage
+    //     genuine 24-bit bottom-up stride-padded DIBs as BinaryType,
+    //     parse the two headers back, decode every BGR pixel
+    //     positionally, and reduce to per-channel sums + a
+    //     position-weighted moment. The oracle replays the pixel
+    //     formula over (x, y, c) directly — never touching bytes —
+    //     so a wrong stride, top-down read, or swapped channel order
+    //     breaks the hash even where plain sums would not. ———
+    Q("q343_bmp_pixel_stats",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 3 AS w,
+        |    3 + doc_id % 2 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT media_id, w, h, CAST(x AS BIGINT) AS x,
+        |    CAST(y AS BIGINT) AS y, CAST(c AS BIGINT) AS c,
+        |    (media_id * 7 + y * 131 + x * 17 + c * 29) % 256 AS v
+        |  FROM m,
+        |    unnest(range(0, w)) AS tx(x),
+        |    unnest(range(0, h)) AS ty(y),
+        |    unnest(range(0, 3)) AS tc(c)
+        |)
+        |SELECT media_id, CAST(MAX(w) AS BIGINT) AS width,
+        |  CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM((y * 4096 + x * 8 + c) * v) AS BIGINT) AS pos_moment
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+      import graft.ext.Multimodal
+      Multimodal.bmpPixelStats(Multimodal.syntheticBmp(docs(s, dir)))
+        .orderBy("media_id")
     }
   )
 
-  /** The q338 oracle: q336's vote construction, then `iterations`
-    * unrolled MM rounds replaying [[graft.ext.Preference.bradleyTerry]]
+  /** The q338 roster + vote construction (q336's synthetic preference
+    * corpus): prompts = doc_id/8 rosters, longer response wins, 20%
+    * md5-coin flips. */
+  private def q338RosterSql: String =
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, doc_id AS rid,
+      |    n_chars FROM documents""".stripMargin
+  private def q338VotesSql: String =
+    """SELECT prompt_id,
+      |    CASE WHEN a_wins THEN id_a ELSE id_b END AS winner,
+      |    CASE WHEN a_wins THEN id_b ELSE id_a END AS loser
+      |  FROM (
+      |    SELECT a.prompt_id, a.rid AS id_a, b.rid AS id_b,
+      |      ((a.n_chars >= b.n_chars) <>
+      |       (CAST(concat('0x', substring(md5(concat(CAST(a.rid AS VARCHAR),
+      |          ':', CAST(b.rid AS VARCHAR), ':pref12')), 1, 7)) AS BIGINT)
+      |          % 5 = 0)) AS a_wins
+      |    FROM r a JOIN r b
+      |      ON a.prompt_id = b.prompt_id AND a.rid < b.rid
+      |  )""".stripMargin
+
+  /** Unrolled Bradley–Terry MM chain shared by the q338/q341/q342
+    * oracles, replaying [[graft.ext.Preference.bradleyTerry]]
     * bit-exactly (integer micro-unit strengths, per-term rounding
-    * before integer sums, Σπ = k renormalization).
+    * before integer sums, Σπ = k renormalization): given CTE bodies
+    * for the roster `r` (prompt_id, rid, extra vote-input columns
+    * allowed) and the votes `v` (prompt_id, winner, loser; may
+    * reference `r`), returns the WITH prefix ending at the fitted
+    * strengths `p<iterations>`(prompt_id, rid, p) and the stats table
+    * `st`(prompt_id, rid, k, wins, n_games, a) — append a final
+    * SELECT (and nothing else) to it.
     */
-  private def btOracleSql(iterations: Int): String = {
+  private def btChainSql(iterations: Int, rosterSql: String,
+                         votesSql: String): String = {
     // Every iteration references the previous strength CTE TWICE
     // (π_i and π_j joins); an inlining planner therefore expands the
     // chain 2^iterations-fold — DuckDB ran out of file descriptors
@@ -1927,21 +2092,9 @@ object CorpusQueries {
          |)""".stripMargin
     }.mkString(", ")
     mat(s"""WITH r AS (
-       |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, doc_id, n_chars
-       |  FROM documents
-       |), pp AS (
-       |  SELECT a.prompt_id, a.doc_id AS id_a, b.doc_id AS id_b,
-       |    ((a.n_chars >= b.n_chars) <>
-       |     (CAST(concat('0x', substring(md5(concat(CAST(a.doc_id AS VARCHAR),
-       |        ':', CAST(b.doc_id AS VARCHAR), ':pref12')), 1, 7)) AS BIGINT)
-       |        % 5 = 0)) AS a_wins
-       |  FROM r a JOIN r b
-       |    ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id
+       |  $rosterSql
        |), v AS (
-       |  SELECT prompt_id,
-       |    CASE WHEN a_wins THEN id_a ELSE id_b END AS winner,
-       |    CASE WHEN a_wins THEN id_b ELSE id_a END AS loser
-       |  FROM pp
+       |  $votesSql
        |), k AS (
        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS k FROM r GROUP BY 1
        |), vp AS (
@@ -1951,9 +2104,9 @@ object CorpusQueries {
        |), pr AS (
        |  SELECT ap.prompt_id, ap.i, ap.j, COALESCE(vp.nv, 0) * 2 + 2 AS m
        |  FROM (
-       |    SELECT a.prompt_id, a.doc_id AS i, b.doc_id AS j
+       |    SELECT a.prompt_id, a.rid AS i, b.rid AS j
        |    FROM r a JOIN r b
-       |      ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id
+       |      ON a.prompt_id = b.prompt_id AND a.rid < b.rid
        |  ) ap LEFT JOIN vp ON vp.prompt_id = ap.prompt_id
        |    AND vp.i = ap.i AND vp.j = ap.j
        |), wc AS (
@@ -1965,22 +2118,28 @@ object CorpusQueries {
        |    UNION ALL SELECT prompt_id, loser FROM v
        |  ) GROUP BY 1, 2
        |), st AS (
-       |  SELECT r.prompt_id, r.doc_id AS rid, k.k,
+       |  SELECT r.prompt_id, r.rid, k.k,
        |    COALESCE(wc.w, 0) AS wins, COALESCE(gc.g, 0) AS n_games,
        |    COALESCE(wc.w, 0) * 2 + k.k - 1 AS a
        |  FROM r
        |  JOIN k USING (prompt_id)
-       |  LEFT JOIN wc ON wc.prompt_id = r.prompt_id AND wc.rid = r.doc_id
-       |  LEFT JOIN gc ON gc.prompt_id = r.prompt_id AND gc.rid = r.doc_id
+       |  LEFT JOIN wc ON wc.prompt_id = r.prompt_id AND wc.rid = r.rid
+       |  LEFT JOIN gc ON gc.prompt_id = r.prompt_id AND gc.rid = r.rid
        |), p0 AS (
        |  SELECT prompt_id, rid, CAST(1000000 AS BIGINT) AS p FROM st
-       |), $iter
+       |), $iter""".stripMargin)
+  }
+
+  /** The q338 oracle: the shared MM chain on q336's corpus, reporting
+    * per-response strengths and ranks. */
+  private def btOracleSql(iterations: Int): String =
+    btChainSql(iterations, q338RosterSql, q338VotesSql) +
+      s"""
        |SELECT st.prompt_id, st.rid, st.wins, st.n_games,
        |  round(CAST(pf.p AS DOUBLE) / 1000000, 6) AS strength,
        |  CAST(row_number() OVER (PARTITION BY st.prompt_id
        |    ORDER BY pf.p DESC, st.rid) AS BIGINT) AS bt_rank
        |FROM st JOIN p$iterations pf
        |  ON pf.prompt_id = st.prompt_id AND pf.rid = st.rid
-       |ORDER BY st.prompt_id, st.rid""".stripMargin)
-  }
+       |ORDER BY st.prompt_id, st.rid""".stripMargin
 }

@@ -377,6 +377,68 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ——— the REAL BMP/24bpp codec path (q343) ———
+
+  /** Scalar replay of syntheticBmp's generator: canonical 54-byte
+    * headers + bottom-up BGR stride-padded pixel array. */
+  private def scalarBmp(id: Long): Array[Byte] = {
+    val w = (4L + id % 3).toInt
+    val h = (3L + id % 2).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    def le16(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val px = (0 until h * stride).map { i =>
+      val k = i % stride
+      if (k < 3 * w) {
+        val y = h - 1 - i / stride
+        val x = k / 3
+        val c = 2 - k % 3
+        ((id * 7 + y * 131L + x * 17L + c * 29L) % 256L).toByte
+      } else 0.toByte
+    }
+    ("BM".getBytes("ASCII") ++ le32(54L + stride.toLong * h) ++
+      le32(0L) ++ le32(54L) ++ le32(40L) ++ le32(w) ++ le32(h) ++
+      le16(1L) ++ le16(24L) ++ le32(0L) ++ le32(stride.toLong * h) ++
+      le32(2835L) ++ le32(2835L) ++ le32(0L) ++ le32(0L) ++ px).toArray
+  }
+
+  test("syntheticBmp emits byte-exact 24bpp bottom-up DIBs, padding " +
+    "included (scalar container replay)") {
+    val got = Multimodal.syntheticBmp(Seq(0L, 1L, 2L, 5L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes"))
+      .toMap
+    for (id <- Seq(0L, 1L, 2L, 5L))
+      assert(java.util.Arrays.equals(got(id), scalarBmp(id)),
+        s"media $id: container bytes diverge from scalar replay")
+  }
+
+  test("bmpPixelStats equals a scalar pixel decode and the moment is " +
+    "orientation-sensitive; doctored containers are gated out") {
+    val bmp = Multimodal.syntheticBmp(Seq(1L, 4L).toDF("doc_id"))
+    val got = Multimodal.bmpPixelStats(bmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    for (id <- Seq(1L, 4L)) {
+      val w = 4L + id % 3; val h = 3L + id % 2
+      val px = for (x <- 0L until w; y <- 0L until h; c <- 0L until 3L)
+        yield (x, y, c, (id * 7 + y * 131 + x * 17 + c * 29) % 256)
+      def cs(c: Long) = px.filter(_._3 == c).map(_._4).sum
+      val moment = px.map { case (x, y, c, v) =>
+        (y * 4096 + x * 8 + c) * v }.sum
+      assert(got(id) === ((cs(0), cs(1), cs(2), moment)), s"media $id")
+    }
+    // a flipped magic byte is rejected by the header gate
+    val bad = bmp.select(col("media_id"),
+      concat(lit(Array[Byte]('X')),
+        expr("substring(bytes, 2, octet_length(bytes) - 1)")).as("bytes"))
+    assert(Multimodal.bmpPixelStats(bad).count() === 0L)
+    // a truncated container (sizes now inconsistent) is rejected too
+    val short = bmp.select(col("media_id"),
+      expr("substring(bytes, 1, octet_length(bytes) - 1)").as("bytes"))
+    assert(Multimodal.bmpPixelStats(short).count() === 0L)
+  }
+
   test("stub and PCM segmentation share the run-merge plan shape: one " +
     "media-partitioned Window each, no global window in either") {
     val wav = Multimodal.syntheticWav(Seq(1L, 2L).toDF("doc_id"))

@@ -160,6 +160,55 @@ class PreferenceSpec extends SparkSpec {
       assert(got(i) === p(i).toDouble / 1e6, s"rid $i")
   }
 
+  test("bradleyTerry: prompts are independent — a two-prompt fit " +
+    "equals each prompt fit alone") {
+    val r = roster((0L, 1L, 3L), (0L, 2L, 9L), (0L, 3L, 5L),
+      (7L, 20L, 2L), (7L, 21L, 8L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "ind", noiseMod = 4).cache()
+    def fit(df: org.apache.spark.sql.DataFrame,
+            votes: org.apache.spark.sql.DataFrame) = {
+      val out = Preference.bradleyTerry(df, votes, "prompt_id", "doc_id",
+        iterations = 3).collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    val joint = fit(r, v)
+    val solo = Seq(0L, 7L).flatMap { p =>
+      fit(r.filter(col("prompt_id") === p),
+        v.filter(col("prompt_id") === p))
+    }
+    assert(joint.sortBy(x => (x.getLong(0), x.getLong(1))) ===
+      solo.sortBy(x => (x.getLong(0), x.getLong(1))))
+  }
+
+  test("dpoPairs: chosen/rejected are the rank extremes, the margin " +
+    "gate and the k>=2 gate both drop prompts, micro-exact margins") {
+    // prompt 0: clean order 3 > 2 > 1; prompt 1: lone response
+    val r = roster((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L),
+      (1L, 9L, 1L))
+    val v = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0)
+    val fit = Preference.bradleyTerry(r, v, "prompt_id", "doc_id")
+    val out = Preference.dpoPairs(fit, minMargin = 0.25).collect()
+    assert(out.length === 1, "the lone-response prompt must drop")
+    val p = out.head
+    assert(p.getLong(0) === 0L)
+    assert(p.getLong(1) === 3L && p.getLong(2) === 1L) // chosen, rejected
+    assert(p.getLong(3) > p.getLong(4)) // chosen_wins > rejected_wins
+    // margin replays from the fit's own strengths on the micro grid
+    val s = fit.collect().map(x => x.getLong(1) -> x.getDouble(4)).toMap
+    assert(p.getDouble(5) ===
+      (math.round(s(3L) * 1e6) - math.round(s(1L) * 1e6)) / 1e6)
+    graft.engine.TrackedCache.release()
+    // an impossible margin drops every prompt
+    val none = Preference.dpoPairs(
+      Preference.bradleyTerry(r, v, "prompt_id", "doc_id"),
+      minMargin = 1e9)
+    assert(none.count() === 0L)
+    graft.engine.TrackedCache.release()
+  }
+
   test("audit is deterministic under repartition (md5 coin, no " +
     "partition-order dependence)") {
     val base = (0L until 40L).map(i => (i / 5, i, (i * 37) % 11)).toDF(
