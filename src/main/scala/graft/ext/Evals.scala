@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation-suite operators over SAMPLED model outputs — the
+  * reductions an LLM eval harness runs after generation: unbiased
+  * pass@k, best-of-n expected-reward curves, and group-relative
+  * advantage normalization. All of them reduce bounded per-task /
+  * per-prompt rosters, so every formula below is exact integer
+  * combinatorics followed by ONE double division — engine-portable
+  * by construction (no accumulation-order-dependent float sums).
+  *
+  * Reference behavior: the bcgov/lmo_data_catalog pipeline has no
+  * eval stage (01_source_me.R is an annual reporting script); these
+  * are scale extensions in the training-data-pipeline family the
+  * survey's §2.10 extension track covers.
+  */
+object Evals {
+
+  /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021, eq. 1): with n samples per task of
+    * which c are correct, pass@k = 1 − C(n−c, k)/C(n, k). Computed
+    * as the exact integer falling-factorial ratio
+    * Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — numerator terms clamp at 0 (if
+    * n−c < k some term is ≤ 0 ⇒ C(n−c,k) = 0 ⇒ pass@k = 1), one
+    * double division, round 6. k > n is undefined and reports NULL
+    * rather than a biased number.
+    *
+    * Output: one row per task — (task, n_samples, n_correct,
+    * pass_at_<k> for each requested k).
+    *
+    * Scale shape: ONE task-keyed count/sum aggregate; the
+    * combinatorics are per-row column arithmetic on the aggregate.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, correctCol: String,
+              ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"passAtK: ks must be >= 1, got $ks")
+    val g = samples.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("n_correct"))
+    val passCols = ks.map { k =>
+      val num = (0 until k).map(i =>
+        greatest(col("n_samples") - col("n_correct") - i, lit(0L)))
+        .reduce(_ * _)
+      val den = (0 until k).map(i => col("n_samples") - i)
+        .reduce(_ * _)
+      when(col("n_samples") >= k,
+        round(lit(1.0) - num.cast("double") / den.cast("double"), 6))
+        .as(s"pass_at_$k")
+    }
+    g.select(col(taskCol) +: col("n_samples") +: col("n_correct") +:
+        passCols: _*)
+      .orderBy(taskCol)
+  }
+
+  /** C(i, n) for literal n as exact integer column arithmetic: the
+    * product of n consecutive integers is divisible by n!, and both
+    * fit comfortably in the double-exact range for roster-sized i,
+    * so the divide-then-truncate is exact. */
+  private def choose(i: Column, n: Int): Column = {
+    val fact = (1 to n).product
+    val prod = (0 until n).map(j => i - j).reduce(_ * _)
+    when(i >= n, (prod.cast("double") / fact).cast("long"))
+      .otherwise(0L)
+  }
+
+  /** Best-of-n expected-reward curve (the BoN scaling diagnostic a
+    * reward-model pipeline plots before picking its sampling budget):
+    * for each prompt with roster rewards x_(1) ≤ … ≤ x_(k), the
+    * EXACT expectation of max over a uniformly random n-subset via
+    * the order-statistics identity
+    *   E[max_n] = Σ_i x_(i) · (C(i,n) − C(i−1,n)) / C(k,n)
+    * — tie-safe (equal rewards contribute equally wherever the sort
+    * places them), all-integer numerators, one division per n.
+    * n=1 degenerates to the mean and n=k to the max, which the spec
+    * pins as internal laws.
+    *
+    * Output: one row per prompt — (prompt, k, best, e_max_<n>…);
+    * e_max_<n> is NULL when n > k.
+    *
+    * Scale shape: the only window is the per-prompt rank over
+    * bounded rosters (the bt_rank class); then one prompt-keyed
+    * aggregate.
+    */
+  def bonCurve(responses: DataFrame, promptCol: String, idCol: String,
+               rewardCol: String, ns: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"bonCurve: ns must be >= 1, got $ns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(promptCol)
+      .orderBy(col("_x"), col(idCol))
+    val ranked = responses
+      .select(col(promptCol), col(idCol),
+        col(rewardCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+    val sums = ns.map { n =>
+      sum(col("_x") * (choose(col("_i"), n) - choose(col("_i") - 1, n)))
+        .as(s"_s$n")
+    }
+    ranked.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("k"),
+        (max("_x").as("best") +: sums): _*)
+      .select(col(promptCol) +: col("k") +: col("best") +: ns.map { n =>
+        when(col("k") >= n,
+          round(col(s"_s$n").cast("double") /
+            choose(col("k"), n).cast("double"), 6)).as(s"e_max_$n")
+      }: _*)
+      .orderBy(promptCol)
+  }
+
+  /** Group-relative advantage normalization (the GRPO estimator of
+    * Shao et al., "DeepSeekMath", 2024: advantage = per-prompt
+    * z-score of the reward). Exactness: with integer rewards, the
+    * population z-score rewrites as
+    *   (n·r − Σr) / √(n·Σr² − (Σr)²)
+    * — integer numerator, integer radicand, ONE sqrt and ONE
+    * division, so both engines produce the identical double. NULL
+    * when the roster is constant (zero variance) or a singleton.
+    *
+    * Scale shape: one prompt-keyed aggregate + one prompt-keyed
+    * equi-join back to the rows; no windows at all.
+    */
+  def grpoAdvantages(responses: DataFrame, promptCol: String,
+                     idCol: String, rewardCol: String): DataFrame = {
+    val r = col(rewardCol).cast("long")
+    val base = responses.select(col(promptCol), col(idCol), r.as("_r"))
+    val g = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"), sum("_r").as("_s"),
+        sum(col("_r") * col("_r")).as("_ss"))
+      .withColumn("_var_num",
+        col("n_resp") * col("_ss") - col("_s") * col("_s"))
+    base.join(g, Seq(promptCol))
+      .select(col(promptCol), col(idCol), col("_r").as("reward"),
+        col("n_resp"),
+        when(col("_var_num") > 0L,
+          round((col("n_resp") * col("_r") - col("_s")).cast("double") /
+            sqrt(col("_var_num").cast("double")), 6)).as("advantage"))
+      .orderBy(promptCol, idCol)
+  }
+}

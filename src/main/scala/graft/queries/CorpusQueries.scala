@@ -2019,6 +2019,125 @@ object CorpusQueries {
       import graft.ext.Multimodal
       Multimodal.bmpPixelStats(Multimodal.syntheticBmp(docs(s, dir)))
         .orderBy("media_id")
+    },
+
+    // ——— unbiased pass@k (Chen et al. 2021, eq. 1) over synthetic
+    //     per-task samples (16-doc tasks, task-dependent md5 success
+    //     rate): the exact falling-factorial ratio — integer
+    //     numerator/denominator products, ONE double division per k,
+    //     NULL where k exceeds the sample count. One task-keyed
+    //     aggregate; the combinatorics are column arithmetic. ———
+    Q("q344_pass_at_k", {
+      val passes = Seq(1, 2, 4, 8).map { k =>
+        val num = (0 until k)
+          .map(i => s"GREATEST(n_samples - n_correct - $i, 0)")
+          .mkString(" * ")
+        val den = (0 until k).map(i => s"(n_samples - $i)").mkString(" * ")
+        s"""CASE WHEN n_samples >= $k THEN
+           |    round(1 - CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6)
+           |  END AS pass_at_$k""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH s AS (
+         |  SELECT doc_id, doc_id // 16 AS task_id,
+         |    (CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+         |      ':pass13')), 1, 7)) AS BIGINT) % 100)
+         |      < 20 + (doc_id // 16) % 60 AS correct
+         |  FROM documents
+         |), g AS (
+         |  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct
+         |  FROM s GROUP BY 1
+         |)
+         |SELECT task_id, n_samples, n_correct,
+         |  $passes
+         |FROM g ORDER BY task_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Evals
+      val samples = docs(s, dir).select(col("doc_id"),
+        expr("doc_id div 16").as("task_id"),
+        ((conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":pass13"))), 1, 7), 16, 10).cast("long") % 100) <
+          (lit(20L) + expr("doc_id div 16") % 60)).as("correct"))
+      Evals.passAtK(samples, "task_id", "correct")
+    },
+
+    // ——— best-of-n expected-reward curve: exact order-statistics
+    //     expectation E[max of a random n-subset] per prompt roster
+    //     via Σ x_(i)·(C(i,n)−C(i−1,n))/C(k,n) — tie-safe, integer
+    //     numerators, one division per n. n=1 is the mean and n=k
+    //     the max (spec-pinned internal laws). The only window is
+    //     the bounded per-prompt rank. ———
+    Q("q345_bon_curve", {
+      def chooseSql(v: String, n: Int): String = {
+        val fact = (1 to n).product
+        val prod = (0 until n).map(j => s"($v - $j)").mkString(" * ")
+        s"(CASE WHEN $v >= $n THEN ($prod) // $fact ELSE 0 END)"
+      }
+      val ns = Seq(1, 2, 4)
+      val sums = ns.map { n =>
+        s"""CAST(SUM(x * (${chooseSql("i", n)} - ${chooseSql("(i - 1)", n)}))
+           |      AS BIGINT) AS s$n""".stripMargin
+      }.mkString(",\n    ")
+      val es = ns.map { n =>
+        s"""CASE WHEN k >= $n THEN
+           |    round(CAST(s$n AS DOUBLE) / ${chooseSql("k", n)}, 6)
+           |  END AS e_max_$n""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH r AS (
+         |  SELECT doc_id // 8 AS prompt_id, doc_id,
+         |    CAST(n_chars AS BIGINT) AS x
+         |  FROM documents
+         |), rk AS (
+         |  SELECT prompt_id, x,
+         |    CAST(row_number() OVER (PARTITION BY prompt_id
+         |      ORDER BY x, doc_id) AS BIGINT) AS i
+         |  FROM r
+         |), g AS (
+         |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |    MAX(x) AS best,
+         |    $sums
+         |  FROM rk GROUP BY 1
+         |)
+         |SELECT prompt_id, k, best,
+         |  $es
+         |FROM g ORDER BY prompt_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ext.Evals
+      val roster = docs(s, dir).select(
+        expr("doc_id div 8").as("prompt_id"), col("doc_id"),
+        col("n_chars"))
+      Evals.bonCurve(roster, "prompt_id", "doc_id", "n_chars")
+    },
+
+    // ——— group-relative (GRPO) advantage normalization: per-prompt
+    //     z-scores rewritten as (n·r − Σr)/√(n·Σr² − (Σr)²) —
+    //     integer numerator and radicand, one sqrt + one division,
+    //     so both engines emit the identical double; NULL on
+    //     constant/singleton rosters. One aggregate + one
+    //     prompt-keyed join; no windows. ———
+    Q("q346_grpo_advantages",
+      """WITH r AS (
+        |  SELECT doc_id // 8 AS prompt_id, doc_id,
+        |    CAST(n_chars AS BIGINT) AS rw
+        |  FROM documents
+        |), g AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp,
+        |    CAST(SUM(rw) AS BIGINT) AS s, CAST(SUM(rw * rw) AS BIGINT) AS ss
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.prompt_id, r.doc_id, r.rw AS reward, g.n_resp,
+        |  CASE WHEN g.n_resp * g.ss - g.s * g.s > 0 THEN
+        |    round(CAST(g.n_resp * r.rw - g.s AS DOUBLE)
+        |      / sqrt(CAST(g.n_resp * g.ss - g.s * g.s AS DOUBLE)), 6)
+        |  END AS advantage
+        |FROM r JOIN g USING (prompt_id)
+        |ORDER BY r.prompt_id, r.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Evals
+      val roster = docs(s, dir).select(
+        expr("doc_id div 8").as("prompt_id"), col("doc_id"),
+        col("n_chars"))
+      Evals.grpoAdvantages(roster, "prompt_id", "doc_id", "n_chars")
     }
   )
 

@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("passAtK: hand-computed falling-factorial values, the k > n " +
+    "NULL gate, and monotonicity in k") {
+    // task 0: n=4, c=2 → pass@1=1/2, pass@2=1−(2·1)/(4·3)=5/6,
+    // pass@4=1 (C(2,4)=0), pass@8=NULL; task 1: n=4, c=0 → all 0
+    val df = Seq(
+      (0L, true), (0L, true), (0L, false), (0L, false),
+      (1L, false), (1L, false), (1L, false), (1L, false))
+      .toDF("task_id", "correct")
+    val out = Evals.passAtK(df, "task_id", "correct")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t0 = out(0L)
+    assert(t0.getLong(1) === 4L && t0.getLong(2) === 2L)
+    assert(t0.getDouble(3) === 0.5)
+    assert(t0.getDouble(4) === 0.833333)
+    assert(t0.getDouble(5) === 1.0)
+    assert(t0.isNullAt(6), "pass@8 undefined for n=4")
+    val t1 = out(1L)
+    assert(t1.getDouble(3) === 0.0 && t1.getDouble(4) === 0.0 &&
+      t1.getDouble(5) === 0.0)
+    assert(t0.getDouble(3) <= t0.getDouble(4) &&
+      t0.getDouble(4) <= t0.getDouble(5), "pass@k monotone in k")
+  }
+
+  test("bonCurve: e_max_1 is the mean, e_max_k is the max, the curve " +
+    "is nondecreasing, and a hand-computed 2-subset expectation") {
+    val df = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (0L, 13L, 4L)).toDF("prompt_id", "doc_id", "reward")
+    val r = Evals.bonCurve(df, "prompt_id", "doc_id", "reward").head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L) // k, best
+    assert(r.getDouble(3) === 2.5)                     // e1 = mean
+    // E[max of 2-subset of {1,2,3,4}] = (2·1 + 3·2 + 4·3)/C(4,2) = 20/6
+    assert(r.getDouble(4) === 3.333333)
+    assert(r.getDouble(5) === 4.0)                     // e4 = max at n=k
+    assert(r.getDouble(3) <= r.getDouble(4) &&
+      r.getDouble(4) <= r.getDouble(5))
+  }
+
+  test("bonCurve: tie-safety — equal rewards give the same curve " +
+    "regardless of id order, and n > k reports NULL") {
+    val a = Seq((0L, 1L, 5L), (0L, 2L, 5L), (0L, 3L, 9L))
+      .toDF("prompt_id", "doc_id", "reward")
+    val b = Seq((0L, 2L, 5L), (0L, 3L, 9L), (0L, 1L, 5L))
+      .toDF("prompt_id", "doc_id", "reward").repartition(3)
+    val ra = Evals.bonCurve(a, "prompt_id", "doc_id", "reward").head()
+    val rb = Evals.bonCurve(b, "prompt_id", "doc_id", "reward").head()
+    assert(ra === rb)
+    assert(ra.isNullAt(5), "e_max_4 undefined for k=3")
+    // E[max of 2-subset of {5,5,9}] = (5·1 + 9·2)/3 = 23/3
+    assert(ra.getDouble(4) === 7.666667)
+  }
+
+  test("grpoAdvantages: hand z-scores, zero-sum within prompt, NULL " +
+    "on constant and singleton rosters, repartition-stable") {
+    val df = Seq((0L, 1L, 0L), (0L, 2L, 2L),        // ±1
+      (1L, 3L, 7L), (1L, 4L, 7L),                    // constant → NULL
+      (2L, 5L, 42L))                                 // singleton → NULL
+      .toDF("prompt_id", "doc_id", "reward")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Evals.grpoAdvantages(d, "prompt_id", "doc_id", "reward").collect()
+    val out = run(df)
+    val byId = out.map(r => r.getLong(1) -> r).toMap
+    assert(byId(1L).getDouble(4) === -1.0)
+    assert(byId(2L).getDouble(4) === 1.0)
+    assert(byId(3L).isNullAt(4) && byId(4L).isNullAt(4))
+    assert(byId(5L).isNullAt(4))
+    assert(out.toSeq === run(df.repartition(5)).toSeq)
+    // larger roster: advantages sum to ~0 (rounding ulps only)
+    val big = (0L until 9L).map(i => (0L, i, (i * i * 7) % 31))
+      .toDF("prompt_id", "doc_id", "reward")
+    val s = run(big).map(_.getDouble(4)).sum
+    assert(math.abs(s) < 1e-4, s.toString)
+  }
+}
