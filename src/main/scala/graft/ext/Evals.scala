@@ -34,12 +34,20 @@ object Evals {
     * combinatorics are per-row column arithmetic on the aggregate.
     */
   def passAtK(samples: DataFrame, taskCol: String, correctCol: String,
-              ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+              ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
+    passAtKOnCounts(
+      samples.groupBy(col(taskCol))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col(correctCol), 1L).otherwise(0L)).as("n_correct")),
+      taskCol, ks)
+
+  /** The pass@k formula on an already-aggregated (task, n_samples,
+    * n_correct) ledger — the entry point for incrementally maintained
+    * counters (the streaming eval-ingestion path, q348). */
+  def passAtKOnCounts(counts: DataFrame, taskCol: String,
+                      ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1),
       s"passAtK: ks must be >= 1, got $ks")
-    val g = samples.groupBy(col(taskCol))
-      .agg(count(lit(1)).as("n_samples"),
-        sum(when(col(correctCol), 1L).otherwise(0L)).as("n_correct"))
     val passCols = ks.map { k =>
       val num = (0 until k).map(i =>
         greatest(col("n_samples") - col("n_correct") - i, lit(0L)))
@@ -50,7 +58,7 @@ object Evals {
         round(lit(1.0) - num.cast("double") / den.cast("double"), 6))
         .as(s"pass_at_$k")
     }
-    g.select(col(taskCol) +: col("n_samples") +: col("n_correct") +:
+    counts.select(col(taskCol) +: col("n_samples") +: col("n_correct") +:
         passCols: _*)
       .orderBy(taskCol)
   }

@@ -218,6 +218,47 @@ object Preference {
       .orderBy("prompt_id")
   }
 
+  /** Covariate-bias audit of a (prompt_id, winner, loser) vote table
+    * — THE reward-hacking diagnostic for preference data (length bias
+    * being the canonical instance: reward models trained on votes
+    * where the longer response usually wins learn to reward length
+    * itself). For every vote, look up both sides' covariate (e.g.
+    * response length), bucket the absolute gap (`gap div bucketWidth`,
+    * capped at `maxBucket`), and report per bucket how often the
+    * HIGHER-covariate side won. A flat ~0.5 curve means the covariate
+    * is preference-neutral; a curve rising with the gap quantifies
+    * the bias a fit would absorb. Equal-covariate votes are excluded
+    * ("higher side" is undefined there).
+    *
+    * Scale shape: two (prompt, id)-keyed equi-joins to attach the
+    * covariates + one bucket-keyed aggregate; no windows.
+    */
+  def voteCovariateBias(responses: DataFrame, votes: DataFrame,
+                        promptCol: String, idCol: String, covCol: String,
+                        bucketWidth: Long = 100L,
+                        maxBucket: Long = 10L): DataFrame = {
+    require(bucketWidth >= 1 && maxBucket >= 0,
+      s"voteCovariateBias: bucketWidth >= 1, maxBucket >= 0")
+    val cov = responses.select(col(promptCol).as("prompt_id"),
+      col(idCol).as("rid"), col(covCol).cast("long").as("_cv"))
+    val joined = votes
+      .join(cov.select(col("prompt_id"), col("rid").as("winner"),
+        col("_cv").as("_cw")), Seq("prompt_id", "winner"))
+      .join(cov.select(col("prompt_id"), col("rid").as("loser"),
+        col("_cv").as("_cl")), Seq("prompt_id", "loser"))
+      .filter(col("_cw") =!= col("_cl"))
+    joined
+      .select(least(expr(s"abs(_cw - _cl) div $bucketWidth"),
+          lit(maxBucket)).as("gap_bucket"),
+        (col("_cw") > col("_cl")).cast("long").as("_hw"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n_votes"), sum("_hw").as("higher_wins"))
+      .select(col("gap_bucket"), col("n_votes"), col("higher_wins"),
+        round(col("higher_wins").cast("double") / col("n_votes"), 6)
+          .as("higher_win_rate"))
+      .orderBy("gap_bucket")
+  }
+
   /** Per-prompt audit of a (prompt_id, winner, loser) vote table:
     *
     *  - `n_resp` / `n_pairs` — roster and vote sizes;

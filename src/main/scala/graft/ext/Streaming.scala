@@ -614,6 +614,34 @@ object Streaming {
       }
   }
 
+  final case class EvalSample(task_id: Long, correct: Boolean)
+  final case class EvalLedger(task_id: Long, n_samples: Long,
+                              n_correct: Long)
+
+  /** Incremental eval ingestion — per-task (n_samples, n_correct)
+    * counters as two Longs of mapGroupsWithState state, upserted per
+    * micro-batch. Both counters are monotone SUMS, so the final
+    * ledger is arrival-order-free and equals the batch aggregate —
+    * the oracle the stream must land on. pass@k itself is computed
+    * AFTER ingestion on the final ledger
+    * ([[Evals.passAtKOnCounts]]), never inside the stream: the
+    * formula isn't incremental, the counters are.
+    *
+    * State: two Longs per task — bounded by the task dictionary, not
+    * the sample stream; no timeout (an eval ledger is forever).
+    */
+  def evalLedgerStream(samples: Dataset[EvalSample]): Dataset[EvalLedger] = {
+    import samples.sparkSession.implicits._
+    samples.groupByKey(_.task_id)
+      .mapGroupsWithState[(Long, Long), EvalLedger](
+        GroupStateTimeout.NoTimeout) { (task, rows, state) =>
+        var (n, c) = state.getOption.getOrElse((0L, 0L))
+        rows.foreach { r => n += 1; if (r.correct) c += 1 }
+        state.update((n, c))
+        EvalLedger(task, n, c)
+      }
+  }
+
   /** Streaming MERGE-INTO maintenance — the production pattern for
     * keeping a keyed mirror current from a change stream: every
     * micro-batch is compacted to last-writer-per-key (ts, then

@@ -2027,32 +2027,7 @@ object CorpusQueries {
     //     numerator/denominator products, ONE double division per k,
     //     NULL where k exceeds the sample count. One task-keyed
     //     aggregate; the combinatorics are column arithmetic. ———
-    Q("q344_pass_at_k", {
-      val passes = Seq(1, 2, 4, 8).map { k =>
-        val num = (0 until k)
-          .map(i => s"GREATEST(n_samples - n_correct - $i, 0)")
-          .mkString(" * ")
-        val den = (0 until k).map(i => s"(n_samples - $i)").mkString(" * ")
-        s"""CASE WHEN n_samples >= $k THEN
-           |    round(1 - CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6)
-           |  END AS pass_at_$k""".stripMargin
-      }.mkString(",\n  ")
-      s"""WITH s AS (
-         |  SELECT doc_id, doc_id // 16 AS task_id,
-         |    (CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
-         |      ':pass13')), 1, 7)) AS BIGINT) % 100)
-         |      < 20 + (doc_id // 16) % 60 AS correct
-         |  FROM documents
-         |), g AS (
-         |  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
-         |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_correct
-         |  FROM s GROUP BY 1
-         |)
-         |SELECT task_id, n_samples, n_correct,
-         |  $passes
-         |FROM g ORDER BY task_id""".stripMargin
-    }) { (s, dir) =>
+    Q("q344_pass_at_k", passAtKOracleSql) { (s, dir) =>
       import graft.ext.Evals
       val samples = docs(s, dir).select(col("doc_id"),
         expr("doc_id div 16").as("task_id"),
@@ -2138,8 +2113,113 @@ object CorpusQueries {
         expr("doc_id div 8").as("prompt_id"), col("doc_id"),
         col("n_chars"))
       Evals.grpoAdvantages(roster, "prompt_id", "doc_id", "n_chars")
+    },
+
+    // ——— covariate-bias audit on the q336 votes — the reward-hacking
+    //     diagnostic: per length-gap bucket, how often the LONGER
+    //     response won. On this corpus the construction plants the
+    //     answer (longer wins unless the 20% coin flips), so the
+    //     curve must sit near 0.8 in every bucket — any reweighting
+    //     pipeline's sanity anchor. Two keyed joins + one bucket
+    //     aggregate; no windows. ———
+    Q("q347_length_bias",
+      s"""WITH r AS (
+        |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, doc_id AS rid,
+        |    CAST(n_chars AS BIGINT) AS cv
+        |  FROM documents
+        |), v AS (
+        |  SELECT prompt_id,
+        |    CASE WHEN a_wins THEN id_a ELSE id_b END AS winner,
+        |    CASE WHEN a_wins THEN id_b ELSE id_a END AS loser
+        |  FROM (
+        |    SELECT a.prompt_id, a.rid AS id_a, b.rid AS id_b,
+        |      ((a.cv >= b.cv) <>
+        |       (CAST(concat('0x', substring(md5(concat(CAST(a.rid AS VARCHAR),
+        |          ':', CAST(b.rid AS VARCHAR), ':pref12')), 1, 7)) AS BIGINT)
+        |          % 5 = 0)) AS a_wins
+        |    FROM r a JOIN r b
+        |      ON a.prompt_id = b.prompt_id AND a.rid < b.rid
+        |  )
+        |), j AS (
+        |  SELECT LEAST(abs(w.cv - l.cv) // 100, 10) AS gap_bucket,
+        |    CASE WHEN w.cv > l.cv THEN 1 ELSE 0 END AS hw
+        |  FROM v
+        |  JOIN r w ON w.prompt_id = v.prompt_id AND w.rid = v.winner
+        |  JOIN r l ON l.prompt_id = v.prompt_id AND l.rid = v.loser
+        |  WHERE w.cv <> l.cv
+        |)
+        |SELECT gap_bucket, CAST(COUNT(*) AS BIGINT) AS n_votes,
+        |  CAST(SUM(hw) AS BIGINT) AS higher_wins,
+        |  round(CAST(SUM(hw) AS DOUBLE) / COUNT(*), 6) AS higher_win_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val resp = docs(s, dir).select(
+        floor(col("doc_id") / 8).cast("long").as("prompt_id"),
+        col("doc_id"), col("n_chars"))
+      val votes = Preference.pairwiseVotes(resp, "prompt_id", "doc_id",
+        "n_chars", seed = "pref12", noiseMod = 5)
+      Preference.voteCovariateBias(resp, votes, "prompt_id", "doc_id",
+        "n_chars", bucketWidth = 100L, maxBucket = 10L)
+    },
+
+    // ——— q344's ledger maintained INCREMENTALLY on a sample stream:
+    //     two Longs of mapGroupsWithState state per task, upserted
+    //     per micro-batch; counters are monotone sums so the final
+    //     streamed ledger equals the batch aggregate — the oracle.
+    //     pass@k computed on the final ledger, not in the stream. ———
+    Q("q348_streaming_pass_at_k", passAtKOracleSql) { (s, dir) =>
+      import s.implicits._
+      import graft.ext.{Evals, Streaming}
+      val stream = Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .select(expr("doc_id div 16").as("task_id"),
+          ((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":pass13"))), 1, 7), 16, 10).cast("long") % 100) <
+            (lit(20L) + expr("doc_id div 16") % 60)).as("correct"))
+        .as[Streaming.EvalSample]
+      val q = Streaming.runToMemory(
+        Streaming.evalLedgerStream(stream).toDF(),
+        "q348_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // one upsert per (task, batch); counters are monotone → final
+      // ledger is the max
+      val ledger = s.table("q348_ledger").groupBy("task_id")
+        .agg(max("n_samples").as("n_samples"),
+          max("n_correct").as("n_correct"))
+      Evals.passAtKOnCounts(ledger, "task_id")
     }
   )
+
+  /** The q344/q348 oracle: pass@k on the batch (task, n, c) ledger —
+    * also the answer the q348 STREAMING ingestion must land on (its
+    * counters are monotone sums, so the final streamed ledger equals
+    * the batch aggregate by construction). */
+  private def passAtKOracleSql: String = {
+    val passes = Seq(1, 2, 4, 8).map { k =>
+      val num = (0 until k)
+        .map(i => s"GREATEST(n_samples - n_correct - $i, 0)")
+        .mkString(" * ")
+      val den = (0 until k).map(i => s"(n_samples - $i)").mkString(" * ")
+      s"""CASE WHEN n_samples >= $k THEN
+         |    round(1 - CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6)
+         |  END AS pass_at_$k""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH s AS (
+       |  SELECT doc_id, doc_id // 16 AS task_id,
+       |    (CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+       |      ':pass13')), 1, 7)) AS BIGINT) % 100)
+       |      < 20 + (doc_id // 16) % 60 AS correct
+       |  FROM documents
+       |), g AS (
+       |  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT task_id, n_samples, n_correct,
+       |  $passes
+       |FROM g ORDER BY task_id""".stripMargin
+  }
 
   /** The q338 roster + vote construction (q336's synthetic preference
     * corpus): prompts = doc_id/8 rosters, longer response wins, 20%

@@ -804,7 +804,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r12/r13 additions (q331–q346): partitioned/dictionary windows " +
+  test("r12/r13 additions (q331–q348): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
     // echoed 3× in the plan string: the persisted `ranked` frame's
@@ -826,7 +826,11 @@ class ScaleSpec extends SparkSpec {
         "q337_media_energy_segments", "q338_bradley_terry",
         "q339_cqr_intervals", "q340_wav_pcm_segments",
         "q341_model_arena", "q342_dpo_pairs", "q343_bmp_pixel_stats",
-        "q344_pass_at_k", "q345_bon_curve", "q346_grpo_advantages")) {
+        "q344_pass_at_k", "q345_bon_curve", "q346_grpo_advantages",
+        "q347_length_bias")) {
+      // q348 (streaming) is excluded like the other streaming
+      // entries: constructing it RUNS the stream; its plan law is
+      // the battery-wide window check in QueriesSpec.
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

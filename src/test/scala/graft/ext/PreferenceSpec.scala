@@ -209,6 +209,31 @@ class PreferenceSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
   }
 
+  test("voteCovariateBias: noiseless votes give rate 1.0 in every " +
+    "bucket, planted upsets lower exactly their gap bucket, and " +
+    "equal-covariate votes are excluded") {
+    val r = roster((0L, 1L, 100L), (0L, 2L, 250L), (0L, 3L, 250L),
+      (0L, 4L, 1600L))
+    val clean = Preference.pairwiseVotes(r, "prompt_id", "doc_id", "q",
+      seed = "s", noiseMod = 0)
+    val out = Preference.voteCovariateBias(r, clean, "prompt_id",
+      "doc_id", "q", bucketWidth = 100L, maxBucket = 10L).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    // gaps: |250-100|=150 → b1 (×2), |1600-100|=1500 → b10 (capped),
+    // |1600-250|=1350 → b10 (×2); the 250-vs-250 vote is excluded
+    assert(out === Map(1L -> ((2L, 1.0)), 10L -> ((3L, 1.0))))
+    // flip one bucket-1 vote: only bucket 1's rate drops, to 1/2
+    val flipped = clean
+      .withColumn("_f", col("winner") === 2L && col("loser") === 1L)
+      .select(col("prompt_id"),
+        when(col("_f"), col("loser")).otherwise(col("winner")).as("winner"),
+        when(col("_f"), col("winner")).otherwise(col("loser")).as("loser"))
+    val out2 = Preference.voteCovariateBias(r, flipped, "prompt_id",
+      "doc_id", "q", bucketWidth = 100L, maxBucket = 10L).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(out2 === Map(1L -> ((2L, 0.5)), 10L -> ((3L, 1.0))))
+  }
+
   test("audit is deterministic under repartition (md5 coin, no " +
     "partition-order dependence)") {
     val base = (0L until 40L).map(i => (i / 5, i, (i * 37) % 11)).toDF(

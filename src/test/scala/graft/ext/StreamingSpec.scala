@@ -1145,4 +1145,52 @@ class StreamingSpec extends SparkSpec {
     assert(fin("A") === (("A", 5L, 4L, 1L)))
     assert(fin("B") === (("B", 2L, 2L, 0L)))
   }
+
+  test("evalLedgerStream: counters straddle a micro-batch boundary and " +
+    "the final ledger equals the batch aggregate in any arrival order") {
+    import spark.implicits._
+    // task 0: 4 samples (2 correct) split 3 + 1; task 1: 2 samples in
+    // the second file only
+    val dir = java.nio.file.Files.createTempDirectory("evalstream").toFile
+    val files = Seq(
+      Seq((0L, true), (0L, false), (0L, false)),
+      Seq((0L, true), (1L, true), (1L, true)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"evchunk$i").toString
+      rows.toDF("task_id", "correct").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("task_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("correct",
+          org.apache.spark.sql.types.BooleanType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .as[Streaming.EvalSample]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.evalLedgerStream(stream).toDF(), "eval_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    val updates = spark.table("eval_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // running ledger shows the straddle; final = batch aggregate
+    assert(updates.toSet === Set((0L, 3L, 1L), (0L, 4L, 2L), (1L, 2L, 2L)))
+    // pass@k on the final ledger matches the all-at-once batch answer
+    val ledger = spark.table("eval_stream").groupBy("task_id")
+      .agg(max("n_samples").as("n_samples"),
+        max("n_correct").as("n_correct"))
+    val streamed = Evals.passAtKOnCounts(ledger, "task_id").collect().toSeq
+    val batch = Evals.passAtK(
+      files.flatten.toDF("task_id", "correct"), "task_id", "correct")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
 }
