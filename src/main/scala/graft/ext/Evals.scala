@@ -118,6 +118,57 @@ object Evals {
       .orderBy(promptCol)
   }
 
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998; the
+    * standard extrinsic metric for dedup / entity-resolution cluster
+    * quality, and the one Amigó et al. 2009 show satisfies all four
+    * clustering-metric constraints): per-item precision =
+    * |cluster ∩ class| / |cluster| and recall = |cluster ∩ class| /
+    * |class|, averaged over items — which reduces to sums of
+    * n_cg²/|c| and n_cg²/|g| over the (cluster, class) contingency
+    * table. Each term is quantized to a 1e-9 BIGINT before the sum
+    * (the IPF/q331 discipline: integer additions are
+    * order-independent, so the oracle replays exactly); one double
+    * division at the end. F1 computed from the raw quantized sums in
+    * a single mirrored expression, not from re-rounded P/R.
+    *
+    * Output: one row — (n_items, n_clusters, n_classes,
+    * bcubed_precision, bcubed_recall, bcubed_f1).
+    *
+    * Scale shape: the contingency table is one (cluster, class)
+    * aggregate; its marginals are dictionary-sized rollups joined
+    * back by key. Nothing row-scale after the first aggregate.
+    */
+  def bcubed(assign: DataFrame, idCol: String, clusterCol: String,
+             goldCol: String): DataFrame = {
+    val a = assign.select(col(idCol), col(clusterCol).as("_c"),
+      col(goldCol).as("_g"))
+    val cg = a.groupBy("_c", "_g").agg(count(lit(1)).as("_n"))
+    val cs = cg.groupBy("_c").agg(sum("_n").as("_nc"))
+    val gs = cg.groupBy("_g").agg(sum("_n").as("_ng"))
+    val terms = cg.join(cs, "_c").join(gs, "_g")
+      .select(col("_n"),
+        round(lit(1e9) * col("_n") * col("_n") / col("_nc"))
+          .cast("long").as("_tp"),
+        round(lit(1e9) * col("_n") * col("_n") / col("_ng"))
+          .cast("long").as("_tr"))
+    terms
+      .agg(sum("_n").cast("long").as("n_items"),
+        sum("_tp").as("_sp"), sum("_tr").as("_sr"))
+      .crossJoin(broadcast(
+        cs.agg(count(lit(1)).cast("long").as("n_clusters"))))
+      .crossJoin(broadcast(
+        gs.agg(count(lit(1)).cast("long").as("n_classes"))))
+      .select(col("n_items"), col("n_clusters"), col("n_classes"),
+        round(col("_sp").cast("double") / 1e9 / col("n_items"), 6)
+          .as("bcubed_precision"),
+        round(col("_sr").cast("double") / 1e9 / col("n_items"), 6)
+          .as("bcubed_recall"),
+        when(col("_sp") + col("_sr") > 0L,
+          round(lit(2.0) * col("_sp") * col("_sr") /
+            (col("_sp") + col("_sr")) / (col("n_items") * lit(1e9)), 6))
+          .as("bcubed_f1"))
+  }
+
   /** Group-relative advantage normalization (the GRPO estimator of
     * Shao et al., "DeepSeekMath", 2024: advantage = per-prompt
     * z-score of the reward). Exactness: with integer rewards, the

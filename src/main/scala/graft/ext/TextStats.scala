@@ -235,6 +235,57 @@ object TextStats {
     * back on those same keys. Linear at any corpus size. Documents
     * with fewer than two tokens have no bigrams and drop out.
     */
+  /** BLEU-component clipped n-gram precisions (Papineni et al. 2002
+    * — the "modified precision" half of BLEU; the geometric mean and
+    * smoothing choices live downstream of these integers): for each
+    * (candidate, reference) text pair and n ∈ {1, 2},
+    * clipped_n = Σ_g min(count_cand(g), count_ref(g)) and
+    * p_n = clipped_n / total_cand_ngrams — all-integer counts, one
+    * rounded division per n, p_2 NULL when the candidate has no
+    * bigram. Also reports both token lengths (the brevity-penalty
+    * inputs).
+    *
+    * Scale shape: two per-pair gram explodes + (pair, gram) counts +
+    * one pair-keyed equi-join per n (grams absent from either side
+    * clip to zero and never join); one pair rollup. No windows.
+    */
+  def clippedNgramPrecision(pairs: DataFrame, idCol: String = "pair_id",
+                            candCol: String = "cand_text",
+                            refCol: String = "ref_text"): DataFrame = {
+    def gramCounts(textCol: String, n: Int, out: String): DataFrame = {
+      val withToks = pairs.select(col(idCol),
+        tokens(col(textCol)).as("_toks"))
+      val grams =
+        if (n == 1) withToks.select(col(idCol),
+          explode(col("_toks")).as("_g"))
+        else withToks.filter(size(col("_toks")) >= n)
+          .select(col(idCol), explode(expr(
+            "transform(sequence(0, size(_toks) - 2), i -> " +
+              "concat(_toks[i], ' ', _toks[i + 1]))")).as("_g"))
+      grams.groupBy(col(idCol), col("_g")).agg(count(lit(1)).as(out))
+    }
+    def clipped(n: Int): DataFrame =
+      gramCounts(candCol, n, "_cc")
+        .join(gramCounts(refCol, n, "_cr"), Seq(idCol, "_g"))
+        .groupBy(col(idCol))
+        .agg(sum(least(col("_cc"), col("_cr"))).as(s"clipped_$n"))
+    val lens = pairs.select(col(idCol),
+      size(tokens(col(candCol))).cast("long").as("cand_len"),
+      size(tokens(col(refCol))).cast("long").as("ref_len"))
+    lens
+      .join(clipped(1), Seq(idCol), "left")
+      .join(clipped(2), Seq(idCol), "left")
+      .select(col(idCol), col("cand_len"), col("ref_len"),
+        coalesce(col("clipped_1"), lit(0L)).as("clipped_1"),
+        round(coalesce(col("clipped_1"), lit(0L)).cast("double") /
+          col("cand_len"), 6).as("p1"),
+        coalesce(col("clipped_2"), lit(0L)).as("clipped_2"),
+        when(col("cand_len") >= 2L,
+          round(coalesce(col("clipped_2"), lit(0L)).cast("double") /
+            (col("cand_len") - 1L), 6)).as("p2"))
+      .orderBy(idCol)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     // materialize the token array in its OWN projection before the

@@ -3242,6 +3242,117 @@ object TextQueries {
       import graft.ext.Classifier
       Classifier.cqr(graft.Tables.load(s, dir, "events"),
         "event_type", "value", "event_id", alpha = 0.2)
+    },
+
+    // ——— B-cubed cluster evaluation (Bagga–Baldwin / Amigó et al.):
+    //     exact-dup clusters (md5 of whitespace-normalized text)
+    //     scored against a planted doc_id//4 gold partition. Terms
+    //     quantized to 1e-9 BIGINTs before summation (the q331
+    //     discipline) so both engines add integers; F1 from the raw
+    //     sums in one mirrored expression. One contingency aggregate
+    //     + dictionary marginals. ———
+    Q("q349_bcubed_cluster_eval",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c,
+        |    doc_id // 4 AS g
+        |  FROM documents
+        |), cg AS (
+        |  SELECT c, g, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM cg GROUP BY 1
+        |), gs AS (
+        |  SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM cg GROUP BY 1
+        |), t AS (
+        |  SELECT cg.n,
+        |    CAST(round(1e9 * cg.n * cg.n / cs.nc) AS BIGINT) AS tp,
+        |    CAST(round(1e9 * cg.n * cg.n / gs.ng) AS BIGINT) AS tr
+        |  FROM cg JOIN cs USING (c) JOIN gs USING (g)
+        |), s AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |    CAST(SUM(tp) AS BIGINT) AS sp, CAST(SUM(tr) AS BIGINT) AS sr
+        |  FROM t
+        |)
+        |SELECT n_items,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cs) AS n_clusters,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gs) AS n_classes,
+        |  round(CAST(sp AS DOUBLE) / 1e9 / n_items, 6) AS bcubed_precision,
+        |  round(CAST(sr AS DOUBLE) / 1e9 / n_items, 6) AS bcubed_recall,
+        |  CASE WHEN sp + sr > 0 THEN
+        |    round(2.0 * sp * sr / (sp + sr) / (n_items * 1e9), 6)
+        |  END AS bcubed_f1
+        |FROM s""".stripMargin) { (s, dir) =>
+      import graft.ext.Evals
+      val assign = docs(s, dir).select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("cluster"),
+        expr("doc_id div 4").as("gold"))
+      Evals.bcubed(assign, "doc_id", "cluster", "gold")
+    },
+
+    // ——— BLEU modified-precision components (Papineni et al. 2002)
+    //     over adjacent-doc pairs (even doc = candidate, doc+1 =
+    //     reference): clipped unigram/bigram counts — all-integer —
+    //     plus the brevity-penalty length inputs. The geometric mean
+    //     is a downstream scalar choice; the engine work is the
+    //     clipping joins. ———
+    Q("q350_bleu_components",
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ct, b.text AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0
+        |), ct AS (
+        |  SELECT pair_id, string_split_regex(lower(ct), '\s+') AS ts FROM p
+        |), rt AS (
+        |  SELECT pair_id, string_split_regex(lower(rt), '\s+') AS ts FROM p
+        |), c1 AS (
+        |  SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, unnest(ts) AS g FROM ct) GROUP BY 1, 2
+        |), r1 AS (
+        |  SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |    SELECT pair_id, unnest(ts) AS g FROM rt) GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, unnest(list_transform(range(1, len(ts)),
+        |      i -> concat(ts[i], ' ', ts[i + 1]))) AS g
+        |    FROM ct WHERE len(ts) >= 2) GROUP BY 1, 2
+        |), r2 AS (
+        |  SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |    SELECT pair_id, unnest(list_transform(range(1, len(ts)),
+        |      i -> concat(ts[i], ' ', ts[i + 1]))) AS g
+        |    FROM rt WHERE len(ts) >= 2) GROUP BY 1, 2
+        |), k1 AS (
+        |  SELECT c1.pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clipped_1
+        |  FROM c1 JOIN r1 ON c1.pair_id = r1.pair_id AND c1.g = r1.g
+        |  GROUP BY 1
+        |), k2 AS (
+        |  SELECT c2.pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clipped_2
+        |  FROM c2 JOIN r2 ON c2.pair_id = r2.pair_id AND c2.g = r2.g
+        |  GROUP BY 1
+        |), lens AS (
+        |  SELECT p.pair_id, CAST(len(ct.ts) AS BIGINT) AS cand_len,
+        |    CAST(len(rt.ts) AS BIGINT) AS ref_len
+        |  FROM p JOIN ct USING (pair_id) JOIN rt USING (pair_id)
+        |)
+        |SELECT l.pair_id, l.cand_len, l.ref_len,
+        |  COALESCE(k1.clipped_1, 0) AS clipped_1,
+        |  round(CAST(COALESCE(k1.clipped_1, 0) AS DOUBLE) / l.cand_len, 6)
+        |    AS p1,
+        |  COALESCE(k2.clipped_2, 0) AS clipped_2,
+        |  CASE WHEN l.cand_len >= 2 THEN
+        |    round(CAST(COALESCE(k2.clipped_2, 0) AS DOUBLE)
+        |      / (l.cand_len - 1), 6)
+        |  END AS p2
+        |FROM lens l
+        |LEFT JOIN k1 USING (pair_id)
+        |LEFT JOIN k2 USING (pair_id)
+        |ORDER BY l.pair_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("pair_id"),
+          col("text").as("cand_text"))
+        .filter(col("pair_id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("pair_id"),
+          col("text").as("ref_text")), Seq("pair_id"))
+      TextStats.clippedNgramPrecision(pairs)
     }
   )
 }

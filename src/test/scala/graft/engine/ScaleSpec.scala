@@ -804,7 +804,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r12/r13 additions (q331–q348): partitioned/dictionary windows " +
+  test("r12/r13 additions (q331–q350): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
     // echoed 3× in the plan string: the persisted `ranked` frame's
@@ -817,9 +817,13 @@ class ScaleSpec extends SparkSpec {
     // q339 attaches TWO broadcast 1-row aggregates, exactly q335's
     // class: Ranks.nearestRank's internal n_total attach inside the
     // qhat computation, then the qhat row onto the eval quarter.
+    // q349 attaches TWO broadcast 1-row aggregates (the n_clusters /
+    // n_classes dictionary counts onto the single report row) — the
+    // q335/q339 totals-attach class.
     val bnljCap = Map("q333_bitext_mining" -> 3,
       "q335_conformal_coverage" -> 2,
-      "q339_cqr_intervals" -> 2).withDefaultValue(1)
+      "q339_cqr_intervals" -> 2,
+      "q349_bcubed_cluster_eval" -> 2).withDefaultValue(1)
     for (name <- Seq("q331_ipf_raking", "q332_winnowing_dedup",
         "q333_bitext_mining", "q334_hard_negatives",
         "q335_conformal_coverage", "q336_preference_audit",
@@ -827,7 +831,8 @@ class ScaleSpec extends SparkSpec {
         "q339_cqr_intervals", "q340_wav_pcm_segments",
         "q341_model_arena", "q342_dpo_pairs", "q343_bmp_pixel_stats",
         "q344_pass_at_k", "q345_bon_curve", "q346_grpo_advantages",
-        "q347_length_bias")) {
+        "q347_length_bias", "q349_bcubed_cluster_eval",
+        "q350_bleu_components")) {
       // q348 (streaming) is excluded like the other streaming
       // entries: constructing it RUNS the stream; its plan law is
       // the battery-wide window check in QueriesSpec.

@@ -57,6 +57,25 @@ class EvalsSpec extends SparkSpec {
     assert(ra.getDouble(4) === 7.666667)
   }
 
+  test("bcubed: perfect clustering scores 1/1/1; all-singletons vs one " +
+    "class and one-big-cluster vs two classes match hand values") {
+    def run(rows: Seq[(Long, String, Long)]) = {
+      val r = Evals.bcubed(rows.toDF("id", "cluster", "gold"),
+        "id", "cluster", "gold").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    }
+    // perfect: clusters == classes
+    assert(run(Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 1L))) ===
+      ((3L, 2L, 2L, 1.0, 1.0, 1.0)))
+    // 4 singletons, one gold class: P=1, R=1/4, F1=2·1·.25/1.25=0.4
+    assert(run((1L to 4L).map(i => (i, s"c$i", 0L))) ===
+      ((4L, 4L, 1L, 1.0, 0.25, 0.4)))
+    // one cluster, two classes of 2: P=1/2, R=1, F1=2/3
+    assert(run(Seq((1L, "c", 0L), (2L, "c", 0L), (3L, "c", 1L),
+      (4L, "c", 1L))) === ((4L, 1L, 2L, 0.5, 1.0, 0.666667)))
+  }
+
   test("grpoAdvantages: hand z-scores, zero-sum within prompt, NULL " +
     "on constant and singleton rosters, repartition-stable") {
     val df = Seq((0L, 1L, 0L), (0L, 2L, 2L),        // ±1

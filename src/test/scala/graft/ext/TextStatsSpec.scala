@@ -683,4 +683,24 @@ class TextStatsSpec extends SparkSpec {
     assert(t1.getAs[Long]("occ_covered") === 1L)
     assert(t1.getAs[Long]("n_types") === 1L)
   }
+
+  test("clippedNgramPrecision: identity scores 1, disjoint scores 0, " +
+    "and clipping caps repeated candidate grams at the reference count") {
+    val pairs = Seq(
+      (0L, "x y z", "x y z"),       // identical → p1 = p2 = 1
+      (1L, "a a b", "a c"),          // clip: min(2,1)+min(1,0)=1 → p1=1/3
+      (2L, "q r", "s t"),            // disjoint → 0
+      (3L, "w", "w w"))              // single token → p2 NULL
+      .toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.clippedNgramPrecision(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getDouble(4) === 1.0 && out(0L).getDouble(6) === 1.0)
+    assert(out(1L).getLong(3) === 1L)            // clipped_1
+    assert(out(1L).getDouble(4) === 0.333333)    // p1
+    assert(out(1L).getLong(5) === 0L)            // clipped_2 ("a a","a b" vs "a c")
+    assert(out(1L).getDouble(6) === 0.0)
+    assert(out(2L).getDouble(4) === 0.0 && out(2L).getDouble(6) === 0.0)
+    assert(out(3L).getDouble(4) === 1.0)
+    assert(out(3L).isNullAt(6), "p2 undefined for a 1-token candidate")
+  }
 }
