@@ -169,6 +169,39 @@ object Evals {
           .as("bcubed_f1"))
   }
 
+  /** Self-consistency report (Wang et al., "Self-Consistency Improves
+    * Chain of Thought Reasoning", 2023): per task, the MAJORITY
+    * answer over n sampled answers (ties toward the smaller answer —
+    * encoded as a min-struct over (−count, answer), so no window at
+    * all), whether the majority matches gold, and the single-sample
+    * accuracy it is compared against. All counting; the one division
+    * is rounded.
+    *
+    * Scale shape: one (task, answer) aggregate + one task rollup via
+    * min-struct; no windows, no joins beyond gold (carried through
+    * the aggregate — gold is constant per task).
+    */
+  def selfConsistency(samples: DataFrame, taskCol: String,
+                      answerCol: String, goldCol: String): DataFrame = {
+    val perAnswer = samples
+      .select(col(taskCol), col(answerCol).cast("long").as("_a"),
+        col(goldCol).cast("long").as("_g"))
+      .groupBy(col(taskCol), col("_a"))
+      .agg(count(lit(1)).as("_c"), max("_g").as("_g"))
+    perAnswer.groupBy(col(taskCol))
+      .agg(sum("_c").as("n_samples"), max("_g").as("gold"),
+        sum(when(col("_a") === col("_g"), col("_c")).otherwise(0L))
+          .as("n_correct"),
+        min(struct((-col("_c")).as("_nc"), col("_a"))).as("_m"))
+      .select(col(taskCol), col("n_samples"), col("gold"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_samples"), 6)
+          .as("single_acc"),
+        col("_m._a").as("majority_answer"),
+        (col("_m._a") === col("gold")).cast("long").as("majority_correct"))
+      .orderBy(taskCol)
+  }
+
   /** Group-relative advantage normalization (the GRPO estimator of
     * Shao et al., "DeepSeekMath", 2024: advantage = per-prompt
     * z-score of the reward). Exactness: with integer rewards, the

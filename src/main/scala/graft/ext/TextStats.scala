@@ -286,6 +286,47 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** SQuAD-style answer scoring (Rajpurkar et al. 2016's official
+    * metric pair): exact match on whitespace-normalized lowercase
+    * text, and bag-of-tokens F1 — overlap = Σ_w min(count_cand(w),
+    * count_ref(w)), P = overlap/|cand|, R = overlap/|ref|, and the
+    * harmonic mean collapses to F1 = 2·overlap/(|cand|+|ref|), so
+    * every output is an integer or ONE rounded division of integers.
+    *
+    * Scale shape: one (pair, token)-count join (the clipped-count
+    * shape of [[clippedNgramPrecision]]) + one pair rollup; the EM
+    * column is a single normalized string comparison. No windows.
+    */
+  def answerTokenF1(pairs: DataFrame, idCol: String = "pair_id",
+                    candCol: String = "cand_text",
+                    refCol: String = "ref_text"): DataFrame = {
+    def counts(textCol: String, out: String): DataFrame =
+      pairs.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+        .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as(out))
+    val overlap = counts(candCol, "_cc")
+      .join(counts(refCol, "_cr"), Seq(idCol, "_w"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("_cc"), col("_cr"))).as("overlap"))
+    def norm(c: Column): Column =
+      regexp_replace(trim(lower(c)), "\\s+", " ")
+    pairs.select(col(idCol),
+        size(tokens(col(candCol))).cast("long").as("cand_len"),
+        size(tokens(col(refCol))).cast("long").as("ref_len"),
+        (norm(col(candCol)) === norm(col(refCol))).cast("long")
+          .as("exact_match"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("cand_len"), col("ref_len"),
+        col("exact_match"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("overlap"), lit(0L)).cast("double") /
+          col("cand_len"), 6).as("p_tok"),
+        round(coalesce(col("overlap"), lit(0L)).cast("double") /
+          col("ref_len"), 6).as("r_tok"),
+        round(lit(2.0) * coalesce(col("overlap"), lit(0L)) /
+          (col("cand_len") + col("ref_len")), 6).as("f1"))
+      .orderBy(idCol)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     // materialize the token array in its OWN projection before the

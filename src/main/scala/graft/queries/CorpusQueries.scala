@@ -2187,6 +2187,64 @@ object CorpusQueries {
         .agg(max("n_samples").as("n_samples"),
           max("n_correct").as("n_correct"))
       Evals.passAtKOnCounts(ledger, "task_id")
+    },
+
+    // ——— self-consistency (Wang et al. 2023): per 16-sample task,
+    //     the majority answer (ties toward the smaller — a min-struct
+    //     over (−count, answer), no window) vs gold, next to the
+    //     single-sample accuracy it should beat. Synthetic answers:
+    //     ~65% gold, the rest spread over 3 md5-picked wrong
+    //     alternatives. Two keyed aggregates; all counting. ———
+    Q("q352_self_consistency",
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 16 AS task_id,
+        |    ((doc_id // 16) * 13) % 4 AS gold,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':sc13')), 1, 7)) AS BIGINT) % 100 AS c1,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':sc13b')), 1, 7)) AS BIGINT) % 3 AS c2
+        |  FROM documents
+        |), a AS (
+        |  SELECT task_id, gold,
+        |    CASE WHEN c1 < 65 THEN gold
+        |         ELSE (gold + 1 + c2) % 4 END AS answer
+        |  FROM s
+        |), pa AS (
+        |  SELECT task_id, answer, CAST(COUNT(*) AS BIGINT) AS c,
+        |    MAX(gold) AS gold
+        |  FROM a GROUP BY 1, 2
+        |), maj AS (
+        |  SELECT task_id, answer AS majority_answer FROM (
+        |    SELECT task_id, answer,
+        |      row_number() OVER (PARTITION BY task_id
+        |        ORDER BY c DESC, answer) AS rn
+        |    FROM pa
+        |  ) WHERE rn = 1
+        |)
+        |SELECT pa.task_id, CAST(SUM(pa.c) AS BIGINT) AS n_samples,
+        |  MAX(pa.gold) AS gold,
+        |  CAST(SUM(CASE WHEN pa.answer = pa.gold THEN pa.c ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(SUM(CASE WHEN pa.answer = pa.gold THEN pa.c ELSE 0 END)
+        |    AS DOUBLE) / SUM(pa.c), 6) AS single_acc,
+        |  MAX(m.majority_answer) AS majority_answer,
+        |  CAST(MAX(CASE WHEN m.majority_answer = pa.gold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS majority_correct
+        |FROM pa JOIN maj m USING (task_id)
+        |GROUP BY pa.task_id
+        |ORDER BY pa.task_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Evals
+      val base = docs(s, dir).select(col("doc_id"),
+        expr("doc_id div 16").as("task_id"))
+      val c1 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":sc13"))), 1, 7), 16, 10).cast("long") % 100
+      val c2 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":sc13b"))), 1, 7), 16, 10).cast("long") % 3
+      val samples = base
+        .withColumn("gold", (col("task_id") * 13) % 4)
+        .withColumn("answer", when(c1 < 65, col("gold"))
+          .otherwise((col("gold") + 1 + c2) % 4))
+      Evals.selfConsistency(samples, "task_id", "answer", "gold")
     }
   )
 

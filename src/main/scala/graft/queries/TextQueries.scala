@@ -3353,6 +3353,65 @@ object TextQueries {
         .join(d.select((col("doc_id") - 1).as("pair_id"),
           col("text").as("ref_text")), Seq("pair_id"))
       TextStats.clippedNgramPrecision(pairs)
+    },
+
+    // ——— SQuAD answer scoring (Rajpurkar et al. 2016): exact match
+    //     on normalized text + bag-of-tokens F1 = 2·overlap /
+    //     (|cand|+|ref|) — all integers, one rounded division each.
+    //     Every 10th candidate pairs with ITSELF so the EM branch is
+    //     exercised, the rest with the next doc. ———
+    Q("q351_answer_f1",
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ct, b.text AS rt
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id +
+        |      CASE WHEN a.doc_id % 10 = 0 THEN 0 ELSE 1 END
+        |  WHERE a.doc_id % 2 = 0
+        |), cn AS (
+        |  SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, unnest(string_split_regex(lower(ct), '\s+'))
+        |      AS w FROM p) GROUP BY 1, 2
+        |), rn AS (
+        |  SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |    SELECT pair_id, unnest(string_split_regex(lower(rt), '\s+'))
+        |      AS w FROM p) GROUP BY 1, 2
+        |), ov AS (
+        |  SELECT cn.pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS overlap
+        |  FROM cn JOIN rn ON cn.pair_id = rn.pair_id AND cn.w = rn.w
+        |  GROUP BY 1
+        |), lens AS (
+        |  SELECT pair_id,
+        |    CAST(len(string_split_regex(lower(ct), '\s+')) AS BIGINT)
+        |      AS cand_len,
+        |    CAST(len(string_split_regex(lower(rt), '\s+')) AS BIGINT)
+        |      AS ref_len,
+        |    CASE WHEN regexp_replace(trim(lower(ct)), '\s+', ' ', 'g')
+        |       = regexp_replace(trim(lower(rt)), '\s+', ' ', 'g')
+        |      THEN 1 ELSE 0 END AS em
+        |  FROM p
+        |)
+        |SELECT l.pair_id, l.cand_len, l.ref_len,
+        |  CAST(l.em AS BIGINT) AS exact_match,
+        |  COALESCE(o.overlap, 0) AS overlap,
+        |  round(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / l.cand_len, 6)
+        |    AS p_tok,
+        |  round(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / l.ref_len, 6)
+        |    AS r_tok,
+        |  round(2.0 * COALESCE(o.overlap, 0) / (l.cand_len + l.ref_len), 6)
+        |    AS f1
+        |FROM lens l LEFT JOIN ov o USING (pair_id)
+        |ORDER BY l.pair_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val cand = d.select(col("doc_id").as("pair_id"),
+          col("text").as("cand_text"),
+          (col("doc_id") + when(col("doc_id") % 10 === 0, 0)
+            .otherwise(1)).as("_ref_id"))
+        .filter(col("pair_id") % 2 === 0)
+      val pairs = cand
+        .join(d.select(col("doc_id").as("_ref_id"),
+          col("text").as("ref_text")), Seq("_ref_id"))
+        .drop("_ref_id")
+      TextStats.answerTokenF1(pairs)
     }
   )
 }

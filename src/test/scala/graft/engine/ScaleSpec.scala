@@ -804,7 +804,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r12/r13 additions (q331–q350): partitioned/dictionary windows " +
+  test("r12/r13 additions (q331–q352): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q333's single maxPairs-gated crossJoin(broadcast(rosterB)) is
     // echoed 3× in the plan string: the persisted `ranked` frame's
@@ -832,7 +832,8 @@ class ScaleSpec extends SparkSpec {
         "q341_model_arena", "q342_dpo_pairs", "q343_bmp_pixel_stats",
         "q344_pass_at_k", "q345_bon_curve", "q346_grpo_advantages",
         "q347_length_bias", "q349_bcubed_cluster_eval",
-        "q350_bleu_components")) {
+        "q350_bleu_components", "q351_answer_f1",
+        "q352_self_consistency")) {
       // q348 (streaming) is excluded like the other streaming
       // entries: constructing it RUNS the stream; its plan law is
       // the battery-wide window check in QueriesSpec.

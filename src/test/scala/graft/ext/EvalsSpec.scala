@@ -76,6 +76,28 @@ class EvalsSpec extends SparkSpec {
       (4L, "c", 1L))) === ((4L, 1L, 2L, 0.5, 1.0, 0.666667)))
   }
 
+  test("selfConsistency: majority vs gold, ties break toward the " +
+    "smaller answer, and the single-sample accuracy column is exact") {
+    val df = Seq(
+      (0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),   // majority 1 = gold
+      (1L, 1L, 2L), (1L, 1L, 2L), (1L, 2L, 2L), (1L, 2L, 2L), // tie → 1 ≠ gold 2
+      (2L, 3L, 0L))                                // gold never sampled
+      .toDF("task_id", "answer", "gold")
+    val out = Evals.selfConsistency(df, "task_id", "answer", "gold")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t0 = out(0L)
+    assert(t0.getLong(1) === 3L && t0.getLong(3) === 2L)
+    assert(t0.getDouble(4) === 0.666667)
+    assert(t0.getLong(5) === 1L && t0.getLong(6) === 1L)
+    val t1 = out(1L)
+    assert(t1.getLong(5) === 1L, "2-2 tie must pick the smaller answer")
+    assert(t1.getLong(6) === 0L)
+    assert(t1.getDouble(4) === 0.5)
+    val t2 = out(2L)
+    assert(t2.getLong(3) === 0L && t2.getDouble(4) === 0.0 &&
+      t2.getLong(6) === 0L)
+  }
+
   test("grpoAdvantages: hand z-scores, zero-sum within prompt, NULL " +
     "on constant and singleton rosters, repartition-stable") {
     val df = Seq((0L, 1L, 0L), (0L, 2L, 2L),        // ±1

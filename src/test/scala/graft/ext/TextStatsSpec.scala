@@ -703,4 +703,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L).getDouble(4) === 1.0)
     assert(out(3L).isNullAt(6), "p2 undefined for a 1-token candidate")
   }
+
+  test("answerTokenF1: EM normalizes whitespace/case, F1 is the " +
+    "harmonic mean via 2*overlap/(lens), repeated tokens clip") {
+    val pairs = Seq(
+      (0L, "A  b", "a b"),      // EM after case+whitespace normalization
+      (1L, "a b", "b c"),        // overlap 1 → P=R=F1=0.5
+      (2L, "a a", "a"),          // clip: overlap 1, P=.5, R=1, F1=2/3
+      (3L, "x y", "z w"))        // disjoint → all 0
+      .toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.answerTokenF1(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(3) === 1L)             // exact_match
+    assert(out(0L).getDouble(7) === 1.0)          // f1
+    assert(out(1L).getLong(3) === 0L)
+    assert(out(1L).getDouble(5) === 0.5 && out(1L).getDouble(6) === 0.5 &&
+      out(1L).getDouble(7) === 0.5)
+    assert(out(2L).getLong(4) === 1L)             // overlap clipped
+    assert(out(2L).getDouble(5) === 0.5 && out(2L).getDouble(6) === 1.0 &&
+      out(2L).getDouble(7) === 0.666667)
+    assert(out(3L).getLong(3) === 0L && out(3L).getDouble(7) === 0.0)
+  }
 }
