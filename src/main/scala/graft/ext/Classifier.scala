@@ -391,20 +391,28 @@ object Classifier {
       .withColumn("_nc", when(col("_y") === 1L,
         lit(1000000L) - col("_sm")).otherwise(col("_sm")))
       .trackedPersist()
+    // rank NULL when ⌈(n_cal+1)(1−α)⌉ > n_cal ⇒ qhat NULL ⇒ every
+    // class joins every set (the conformal infinite-threshold case —
+    // clamping to the max calibration score would under-cover)
     val qh = graft.engine.Ranks.nearestRank(
       base.filter(col("_is_cal")), "_nc",
-      Seq("qhat" -> (n => least(
-        ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha)).cast("long"),
-        n))))
+      Seq("qhat" -> { n =>
+        val r = ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha))
+          .cast("long")
+        when(r <= n, r)
+      }))
     val ev = base.filter(!col("_is_cal"))
       .crossJoin(broadcast(qh))
       .select(col("n_total").as("n_cal"), col("qhat"),
         col("_y"), col("_nc"), col("_sm"),
-        (lit(1000000L) - col("_sm") <= col("qhat")).cast("long").as("_in1"),
-        (col("_sm") <= col("qhat")).cast("long").as("_in0"))
+        (col("qhat").isNull || lit(1000000L) - col("_sm") <= col("qhat"))
+          .cast("long").as("_in1"),
+        (col("qhat").isNull || col("_sm") <= col("qhat"))
+          .cast("long").as("_in0"))
     ev.groupBy("n_cal", "qhat")
       .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("_nc") <= col("qhat"), 1L).otherwise(0L)).as("_cov"),
+        sum(when(col("qhat").isNull || col("_nc") <= col("qhat"), 1L)
+          .otherwise(0L)).as("_cov"),
         sum(col("_in1") + col("_in0")).as("_size"),
         sum(when(col("_in1") + col("_in0") === 0L, 1L).otherwise(0L))
           .as("_empty"),
@@ -435,7 +443,12 @@ object Classifier {
     * ⌈(n_cal+1)(1−α)⌉ nearest rank of E; the EVAL quarter (coin 3)
     * reports per-group coverage and width of the conformalized
     * interval [q_lo − qhat, q_hi + qhat], which carries the
-    * distribution-free ≥ 1−α marginal-coverage guarantee.
+    * distribution-free ≥ 1−α marginal-coverage guarantee. When the
+    * calibration set is too small for that rank to exist
+    * (⌈(n_cal+1)(1−α)⌉ > n_cal), the theory demands an INFINITE
+    * interval to keep the guarantee — reported as NULL qhat_cents /
+    * NULL width with coverage 1, never a silently under-covering
+    * clamp to the max calibration score.
     *
     * Engine-exactness: targets live on the integer cent grid
     * (round(y·100) as BIGINT), so quantiles, scores, qhat, and the
@@ -475,18 +488,22 @@ object Classifier {
       .join(broadcast(qts), Seq("_g"))
       .select(greatest(col("_qlo") - col("_yc"),
         col("_yc") - col("_qhi")).as("_e"))
+    // rank NULL when it exceeds n_cal ⇒ qhat NULL ⇒ infinite interval
     val qh = graft.engine.Ranks.nearestRank(cal, "_e",
-      Seq("_qhat" -> (n => least(
-        ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha)).cast("long"),
-        n))))
+      Seq("_qhat" -> { n =>
+        val r = ceil((n + lit(1L)).cast("double") * lit(1.0 - alpha))
+          .cast("long")
+        when(r <= n, r)
+      }))
       .withColumnRenamed("n_total", "_n_cal")
     base.filter(col("_coin") === 3L)
       .join(broadcast(qts), Seq("_g"))
       .crossJoin(broadcast(qh))
       .groupBy("_g", "_n_train", "_qlo", "_qhi", "_n_cal", "_qhat")
       .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("_yc") >= col("_qlo") - col("_qhat") &&
-          col("_yc") <= col("_qhi") + col("_qhat"), 1L).otherwise(0L))
+        sum(when(col("_qhat").isNull ||
+          (col("_yc") >= col("_qlo") - col("_qhat") &&
+            col("_yc") <= col("_qhi") + col("_qhat")), 1L).otherwise(0L))
           .as("_cov"))
       .select(col("_g").as(groupCol), col("_n_train").as("n_train"),
         round(col("_qlo").cast("double") / 100, 6).as("q_lo"),
@@ -494,8 +511,9 @@ object Classifier {
         col("_n_cal").as("n_cal"), col("_qhat").as("qhat_cents"),
         col("n_eval"),
         round(col("_cov").cast("double") / col("n_eval"), 6).as("coverage"),
-        round((col("_qhi") - col("_qlo") + lit(2L) * col("_qhat"))
-          .cast("double") / 100, 6).as("width"))
+        when(col("_qhat").isNotNull,
+          round((col("_qhi") - col("_qlo") + lit(2L) * col("_qhat"))
+            .cast("double") / 100, 6)).as("width"))
       .orderBy(groupCol)
   }
 

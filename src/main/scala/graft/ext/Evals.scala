@@ -21,11 +21,15 @@ object Evals {
   /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): with n samples per task of
     * which c are correct, pass@k = 1 − C(n−c, k)/C(n, k). Computed
-    * as the exact integer falling-factorial ratio
-    * Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — numerator terms clamp at 0 (if
-    * n−c < k some term is ≤ 0 ⇒ C(n−c,k) = 0 ⇒ pass@k = 1), one
-    * double division, round 6. k > n is undefined and reports NULL
-    * rather than a biased number.
+    * in the reference implementation's overflow-stable form — the
+    * LEFT-FOLD product of per-term double ratios
+    * Π_{i<k} (n−c−i)/(n−i) — numerator terms clamp at 0 (if n−c < k
+    * some factor is 0 ⇒ C(n−c,k) = 0 ⇒ pass@k = 1), round 6. The
+    * integer falling-factorial products would wrap signed 64-bit at
+    * k=8 once n ≳ 236 (and Chen et al. sample n=200+); per-factor
+    * division keeps every intermediate ≤ 1 and, folded in the same
+    * order by Spark and the oracle, is bit-identical across engines.
+    * k > n is undefined and reports NULL rather than a biased number.
     *
     * Output: one row per task — (task, n_samples, n_correct,
     * pass_at_<k> for each requested k).
@@ -49,13 +53,11 @@ object Evals {
     require(ks.nonEmpty && ks.forall(_ >= 1),
       s"passAtK: ks must be >= 1, got $ks")
     val passCols = ks.map { k =>
-      val num = (0 until k).map(i =>
-        greatest(col("n_samples") - col("n_correct") - i, lit(0L)))
+      val prod = (0 until k).map(i =>
+        greatest(col("n_samples") - col("n_correct") - i, lit(0L))
+          .cast("double") / (col("n_samples") - i).cast("double"))
         .reduce(_ * _)
-      val den = (0 until k).map(i => col("n_samples") - i)
-        .reduce(_ * _)
-      when(col("n_samples") >= k,
-        round(lit(1.0) - num.cast("double") / den.cast("double"), 6))
+      when(col("n_samples") >= k, round(lit(1.0) - prod, 6))
         .as(s"pass_at_$k")
     }
     counts.select(col(taskCol) +: col("n_samples") +: col("n_correct") +:
@@ -85,6 +87,12 @@ object Evals {
     * n=1 degenerates to the mean and n=k to the max, which the spec
     * pins as internal laws.
     *
+    * Rewards must be INTEGER-VALUED (they are compared and summed on
+    * the long grid; a fractional reward would silently truncate).
+    * NULL-reward/-id/-prompt rows are dropped before ranking — a NULL
+    * contributes nothing to any order statistic, and letting it take
+    * a rank would inflate k while adding zero to every weighted sum.
+    *
     * Output: one row per prompt — (prompt, k, best, e_max_<n>…);
     * e_max_<n> is NULL when n > k.
     *
@@ -100,6 +108,8 @@ object Evals {
     val w = Window.partitionBy(promptCol)
       .orderBy(col("_x"), col(idCol))
     val ranked = responses
+      .filter(col(promptCol).isNotNull && col(idCol).isNotNull &&
+        col(rewardCol).isNotNull)
       .select(col(promptCol), col(idCol),
         col(rewardCol).cast("long").as("_x"))
       .withColumn("_i", row_number().over(w).cast("long"))

@@ -357,11 +357,15 @@ object Multimodal {
     * hex expansion (the [[frameEnergy]] discipline: never
     * `CAST(binary AS STRING)`, which mangles bytes ≥ 0x80). One row
     * per media with the parsed fields plus `wav_valid`: RIFF/WAVE/
-    * "fmt "/"data" magics present, PCM format 1, 16-bit, fmt chunk
-    * size 16, and riff/data sizes consistent with the actual payload
-    * length — a truncated or doctored container fails loudly here
-    * rather than decoding garbage samples. Retains the hex column
-    * `h` for the downstream sample decode.
+    * "fmt "/"data" magics present, PCM format 1, MONO (n_channels 1,
+    * block_align 2, byte_rate = 2·sample_rate — the only layout
+    * [[wavFrameEnergy]]'s positional decode understands; a stereo
+    * container would otherwise pass and decode interleaved-channel
+    * garbage), 16-bit, fmt chunk size 16, and riff/data sizes
+    * consistent with the actual payload length — a truncated or
+    * doctored container fails loudly here rather than decoding
+    * garbage samples. Retains the hex column `h` for the downstream
+    * sample decode.
     */
   def wavHeader(media: DataFrame, idCol: String = "media_id",
                 bytesCol: String = "bytes"): DataFrame = {
@@ -386,7 +390,9 @@ object Multimodal {
           substring(col("h"), 73, 8) === "64617461").as("_magics"))
       .withColumn("wav_valid", col("_magics") &&
         col("audio_format") === 1L && col("bits_per_sample") === 16L &&
-        col("fmt_size") === 16L && col("block_align") > 0L &&
+        col("fmt_size") === 16L && col("n_channels") === 1L &&
+        col("block_align") === 2L &&
+        col("byte_rate") === col("sample_rate") * 2L &&
         col("n") === col("data_size") + 44L &&
         col("riff_size") === col("data_size") + 36L)
       .withColumn("n_samples", when(col("block_align") > 0L,

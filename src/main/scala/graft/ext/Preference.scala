@@ -108,9 +108,20 @@ object Preference {
                    micro: Long = 1000000L): DataFrame = {
     require(iterations >= 1,
       s"bradleyTerry: iterations >= 1, got $iterations")
-    val votes = votes0.trackedPersist()
     val roster = responses.select(col(promptCol).as("prompt_id"),
       col(idCol).as("rid"))
+    // Votes whose winner OR loser is missing from the roster must not
+    // count: winCnt/gameCnt/A_i are vote-derived but the smoothed pair
+    // table is roster-derived, so an out-of-roster vote would inflate
+    // the MM numerator while its game never enters the denominator —
+    // overstating the in-roster side's strength. Two prompt-keyed
+    // semi-joins validate the ledger before anything is counted.
+    val votes = votes0
+      .join(roster.select(col("prompt_id"), col("rid").as("winner")),
+        Seq("prompt_id", "winner"), "left_semi")
+      .join(roster.select(col("prompt_id"), col("rid").as("loser")),
+        Seq("prompt_id", "loser"), "left_semi")
+      .trackedPersist()
     val kTab = roster.groupBy("prompt_id").agg(count(lit(1)).as("_k"))
     // real vote counts per unordered pair, then λ=1 smoothing over
     // EVERY roster pair (voted or not) in doubled units

@@ -2063,6 +2063,7 @@ object CorpusQueries {
          |  SELECT doc_id // 8 AS prompt_id, doc_id,
          |    CAST(n_chars AS BIGINT) AS x
          |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
          |), rk AS (
          |  SELECT prompt_id, x,
          |    CAST(row_number() OVER (PARTITION BY prompt_id
@@ -2253,13 +2254,17 @@ object CorpusQueries {
     * counters are monotone sums, so the final streamed ledger equals
     * the batch aggregate by construction). */
   private def passAtKOracleSql: String = {
+    // overflow-stable left-fold of per-term double ratios, mirroring
+    // Evals.passAtKOnCounts factor-for-factor (same order ⇒ identical
+    // IEEE result); the integer factorial products would wrap BIGINT
+    // at k=8 once n_samples ≳ 236
     val passes = Seq(1, 2, 4, 8).map { k =>
-      val num = (0 until k)
-        .map(i => s"GREATEST(n_samples - n_correct - $i, 0)")
+      val prod = (0 until k)
+        .map(i => s"(CAST(GREATEST(n_samples - n_correct - $i, 0) " +
+          s"AS DOUBLE) / CAST(n_samples - $i AS DOUBLE))")
         .mkString(" * ")
-      val den = (0 until k).map(i => s"(n_samples - $i)").mkString(" * ")
       s"""CASE WHEN n_samples >= $k THEN
-         |    round(1 - CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6)
+         |    round(1 - $prod, 6)
          |  END AS pass_at_$k""".stripMargin
     }.mkString(",\n  ")
     s"""WITH s AS (
@@ -2350,8 +2355,16 @@ object CorpusQueries {
     }.mkString(", ")
     mat(s"""WITH r AS (
        |  $rosterSql
-       |), v AS (
+       |), v0 AS (
        |  $votesSql
+       |), v AS (
+       |  -- mirror of bradleyTerry's roster semi-join: votes naming an
+       |  -- out-of-roster winner or loser never reach the counters
+       |  SELECT v0.prompt_id, v0.winner, v0.loser FROM v0
+       |  WHERE EXISTS (SELECT 1 FROM r
+       |      WHERE r.prompt_id = v0.prompt_id AND r.rid = v0.winner)
+       |    AND EXISTS (SELECT 1 FROM r
+       |      WHERE r.prompt_id = v0.prompt_id AND r.rid = v0.loser)
        |), k AS (
        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS k FROM r GROUP BY 1
        |), vp AS (

@@ -3138,21 +3138,28 @@ object TextQueries {
          |    SELECT nc, CAST(COUNT(*) AS BIGINT) AS c FROM base
          |    WHERE is_cal GROUP BY nc)
          |), qh AS (
-         |  SELECT MIN(CASE WHEN cumc >= LEAST(CAST(ceil(
-         |      CAST(ncal + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT),
-         |      ncal) THEN nc END) AS qhat,
+         |  -- rank NULL (⇒ qhat NULL ⇒ infinite threshold) when
+         |  -- ceil((n_cal+1)(1-alpha)) > n_cal, mirroring conformalSplit
+         |  SELECT MIN(CASE WHEN cumc >= CASE WHEN CAST(ceil(
+         |      CAST(ncal + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+         |        <= ncal THEN CAST(ceil(CAST(ncal + 1 AS DOUBLE)
+         |        * CAST(0.9 AS DOUBLE)) AS BIGINT) END
+         |      THEN nc END) AS qhat,
          |    MAX(ncal) AS n_cal
          |  FROM cum CROSS JOIN caln
          |), ev AS (
          |  SELECT b.y, b.nc, qh.qhat, qh.n_cal,
-         |    CASE WHEN 1000000 - b.sm <= qh.qhat THEN 1 ELSE 0 END AS in1,
-         |    CASE WHEN b.sm <= qh.qhat THEN 1 ELSE 0 END AS in0
+         |    CASE WHEN qh.qhat IS NULL OR 1000000 - b.sm <= qh.qhat
+         |      THEN 1 ELSE 0 END AS in1,
+         |    CASE WHEN qh.qhat IS NULL OR b.sm <= qh.qhat
+         |      THEN 1 ELSE 0 END AS in0
          |  FROM base b CROSS JOIN qh WHERE NOT b.is_cal
          |)
          |SELECT ROUND(CAST(0.9 AS DOUBLE), 6) AS target_coverage,
          |  MAX(n_cal) AS n_cal, MAX(qhat) AS qhat_micro,
          |  CAST(COUNT(*) AS BIGINT) AS n_eval,
-         |  ROUND(CAST(SUM(CASE WHEN nc <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+         |  ROUND(CAST(SUM(CASE WHEN qhat IS NULL OR nc <= qhat
+         |    THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*), 6) AS coverage,
          |  ROUND(CAST(SUM(in1 + in0) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_set_size,
@@ -3219,9 +3226,13 @@ object TextQueries {
         |  SELECT e, SUM(c) OVER (ORDER BY e) AS cumc FROM (
         |    SELECT e, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY e)
         |), qh AS (
-        |  SELECT MIN(CASE WHEN cumc >= LEAST(CAST(ceil(
-        |      CAST(n_cal + 1 AS DOUBLE) * CAST(0.8 AS DOUBLE)) AS BIGINT),
-        |      n_cal) THEN e END) AS qhat,
+        |  -- rank NULL (⇒ qhat NULL ⇒ infinite interval) when
+        |  -- ceil((n_cal+1)(1-alpha)) > n_cal, mirroring cqr
+        |  SELECT MIN(CASE WHEN cumc >= CASE WHEN CAST(ceil(
+        |      CAST(n_cal + 1 AS DOUBLE) * CAST(0.8 AS DOUBLE)) AS BIGINT)
+        |        <= n_cal THEN CAST(ceil(CAST(n_cal + 1 AS DOUBLE)
+        |        * CAST(0.8 AS DOUBLE)) AS BIGINT) END
+        |      THEN e END) AS qhat,
         |    MAX(n_cal) AS n_cal
         |  FROM ecum CROSS JOIN caln
         |)
@@ -3230,11 +3241,13 @@ object TextQueries {
         |  round(CAST(qt.qhi AS DOUBLE) / 100, 6) AS q_hi,
         |  qh.n_cal, qh.qhat AS qhat_cents,
         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
-        |  round(CAST(SUM(CASE WHEN b.yc >= qt.qlo - qh.qhat
-        |    AND b.yc <= qt.qhi + qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |  round(CAST(SUM(CASE WHEN qh.qhat IS NULL
+        |    OR (b.yc >= qt.qlo - qh.qhat AND b.yc <= qt.qhi + qh.qhat)
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS coverage,
-        |  round(CAST(qt.qhi - qt.qlo + 2 * qh.qhat AS DOUBLE) / 100, 6)
-        |    AS width
+        |  CASE WHEN qh.qhat IS NOT NULL THEN
+        |    round(CAST(qt.qhi - qt.qlo + 2 * qh.qhat AS DOUBLE) / 100, 6)
+        |  END AS width
         |FROM base b JOIN qt ON b.g = qt.g CROSS JOIN qh
         |WHERE b.coin = 3
         |GROUP BY b.g, qt.n_train, qt.qlo, qt.qhi, qh.n_cal, qh.qhat
