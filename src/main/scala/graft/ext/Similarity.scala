@@ -764,6 +764,72 @@ object Similarity {
         round(col("dcg_u").cast("double") / col("idcg_u"), 6).as("ndcg"))
   }
 
+  /** NDCG at MULTIPLE cutoffs in one pass — the report shape every
+    * retrieval-eval harness actually emits (ndcg@1/@5/@10 side by
+    * side, not one k at a time). Same exact arithmetic contract as
+    * [[ndcgAtK]] (integer grade·w_u products, one rounded division
+    * per cutoff, driver-injected discount weights so no cross-engine
+    * log); the per-k DCG/IDCG pairs are conditional sums over the SAME
+    * ranked frame, so adding cutoffs costs extra aggregate columns,
+    * not extra windows or joins. `ndcg_at_<k>` is NULL when the
+    * query's ideal DCG at that cutoff is 0 (no positively-graded
+    * truth inside k — the metric is undefined there, and 0/0 must not
+    * masquerade as a score).
+    *
+    * Monotonicity law (spec-pinned): swapping two retrieved docs that
+    * are ordered by relevance (the higher-graded one ranked earlier)
+    * never increases any ndcg_at_<k>.
+    *
+    * Scale: identical to [[ndcgAtK]] — two qid-keyed windows over
+    * k-bounded lists + one max(k)-row weight broadcast.
+    */
+  def ndcgCurve(retrieved: DataFrame, gradedTruth: DataFrame,
+                ks: Seq[Int] = Seq(1, 5, 10),
+                qidCol: String = "qid", idCol: String = "vec_id",
+                scoreCol: String = "cos_sim",
+                gradeCol: String = "grade"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ndcgCurve: every k must be >= 1, got $ks")
+    val kMax = ks.max
+    val spark = retrieved.sparkSession
+    import spark.implicits._
+    val wts = ndcgWeights(kMax).toDF("d", "w_u")
+    val wr = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = retrieved.select(col(qidCol), col(idCol), col(scoreCol))
+      .withColumn("d", row_number().over(wr)).where(col("d") <= kMax)
+    val dcg = ranked
+      .join(gradedTruth.select(col(qidCol), col(idCol), col(gradeCol)),
+        Seq(qidCol, idCol))
+      .join(broadcast(wts), Seq("d"))
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("n_hit"), ks.map { k =>
+        sum(when(col("d") <= k, col(gradeCol) * col("w_u")).otherwise(0L))
+          .as(s"_d$k")
+      }: _*)
+    val wi = Window.partitionBy(qidCol).orderBy(col(gradeCol).desc, col(idCol))
+    val idealRanked = gradedTruth
+      .select(col(qidCol), col(idCol), col(gradeCol))
+      .withColumn("d", row_number().over(wi)).where(col("d") <= kMax)
+      .join(broadcast(wts), Seq("d"))
+    val ideal = idealRanked.groupBy(qidCol)
+      .agg(
+        sum(when(col("d") <= ks.head, col(gradeCol) * col("w_u"))
+          .otherwise(0L)).as(s"_i${ks.head}"),
+        ks.tail.map { k =>
+          sum(when(col("d") <= k, col(gradeCol) * col("w_u")).otherwise(0L))
+            .as(s"_i$k")
+        }: _*)
+    ideal.join(dcg, Seq(qidCol), "left")
+      .na.fill(0L, "n_hit" +: ks.map(k => s"_d$k"))
+      .select(col(qidCol) +: col("n_hit").cast("long").as("n_hit") +:
+        ks.map { k =>
+          when(col(s"_i$k") > 0,
+            round(col(s"_d$k").cast("double") / col(s"_i$k"), 6))
+            .as(s"ndcg_at_$k")
+        }: _*)
+  }
+
   /** Average precision at k against a binary truth set: at every
     * RELEVANT retrieved rank d, precision@d = hits_≤d / d; AP =
     * Σ round(1e9·hits/d) / 1e9 / |truth|. The per-term quantization

@@ -327,6 +327,68 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** ROUGE-L (Lin 2004, "ROUGE: A Package for Automatic Evaluation
+    * of Summaries") over (candidate, reference) text pairs — the
+    * generation-eval twin of [[clippedNgramPrecision]]'s BLEU
+    * components: LCS-based recall = LCS/|ref|, precision = LCS/|cand|
+    * and (β=1) F = 2·LCS/(|cand|+|ref|) — the harmonic mean collapses
+    * to one integer-ratio division exactly as in [[answerTokenF1]].
+    * Token sequences are CAPPED at `maxTokens` per side (documented
+    * truncation — ROUGE on document-scale texts is a chunked metric;
+    * the cap is what bounds the DP below and the oracle's unrolled
+    * replay).
+    *
+    * The LCS length is computed as a row-DP fold entirely INSIDE one
+    * expression: state = the DP row over reference positions, folded
+    * once per candidate token. The classic recurrence has an
+    * intra-row dependency (new[j] needs new[j−1]); it is rewritten
+    * dependency-free using the DP-row monotonicity property as
+    *   new[j] = max(prev[j], max_{i≤j}(prev[i−1] + eq_i))
+    * — a prefix-max, so each step is a pure per-element transform
+    * both engines replay identically in exact integers. O(m·n²) per
+    * pair instead of O(m·n), a deliberate trade: with m,n ≤ maxTokens
+    * the constant is ≤ maxTokens³ ≈ 14k integer ops per pair, and the
+    * dependency-free form is what the unrolled DuckDB oracle chain
+    * can mirror step-for-step.
+    *
+    * Scale shape: map-only — tokenize+cap in one projection (the
+    * HOF re-inline rule), the whole DP in the next; no explode, no
+    * join, no shuffle. Output one row per pair.
+    */
+  def rougeL(pairs: DataFrame, maxTokens: Int = 24,
+             idCol: String = "pair_id", candCol: String = "cand_text",
+             refCol: String = "ref_text"): DataFrame = {
+    require(maxTokens >= 1, s"rougeL: maxTokens >= 1, got $maxTokens")
+    // capped token arrays in their OWN projection (HOF re-inline rule)
+    val toks = pairs.select(col(idCol),
+      slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
+      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    val dp = toks.withColumn("_dp", expr(
+      """aggregate(
+        |  _ct,
+        |  array_repeat(CAST(0 AS BIGINT), size(_rt) + 1),
+        |  (prev, ctok) -> concat(
+        |    array(CAST(0 AS BIGINT)),
+        |    transform(sequence(1, size(_rt)), j ->
+        |      greatest(
+        |        element_at(prev, j + 1),
+        |        array_max(transform(sequence(1, j), i ->
+        |          element_at(prev, i) +
+        |            IF(element_at(_rt, i) = ctok, 1L, 0L)))))))""".stripMargin))
+    dp.select(col(idCol),
+        size(col("_ct")).cast("long").as("cand_len"),
+        size(col("_rt")).cast("long").as("ref_len"),
+        element_at(col("_dp"), size(col("_rt")) + 1).as("lcs"))
+      .select(col(idCol), col("cand_len"), col("ref_len"), col("lcs"),
+        round(col("lcs").cast("double") / col("cand_len"), 6)
+          .as("rouge_l_p"),
+        round(col("lcs").cast("double") / col("ref_len"), 6)
+          .as("rouge_l_r"),
+        round(lit(2.0) * col("lcs") / (col("cand_len") + col("ref_len")), 6)
+          .as("rouge_l_f"))
+      .orderBy(idCol)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     // materialize the token array in its OWN projection before the

@@ -1116,6 +1116,80 @@ object SimilarityQueries {
       Similarity.mrrAtK(retrieved, truth, k = 10).orderBy("qid")
     },
 
+    // ——— the multi-cutoff nDCG report (ndcg@1/@5/@10 side by side —
+    //     what a retrieval harness actually publishes next to q316's
+    //     MRR and q197's AP): one ranked frame, per-k conditional
+    //     DCG/IDCG sums, driver-injected integer discount weights.
+    //     NULL where ideal DCG at the cutoff is 0. ———
+    Q("q353_ndcg_curve", {
+      val wvals = Similarity.ndcgWeights(10)
+        .map { case (d, w) => s"($d, CAST($w AS BIGINT))" }.mkString(", ")
+      val ks = Seq(1, 5, 10)
+      val dcols = ks.map(k =>
+        s"""CAST(SUM(CASE WHEN r.d <= $k THEN t.grade * w.w_u
+           |      ELSE 0 END) AS BIGINT) AS d$k""".stripMargin).mkString(",\n    ")
+      val icols = ks.map(k =>
+        s"""CAST(SUM(CASE WHEN t.d <= $k THEN t.grade * w.w_u
+           |      ELSE 0 END) AS BIGINT) AS i$k""".stripMargin).mkString(",\n    ")
+      val outs = ks.map(k =>
+        s"""CASE WHEN i.i$k > 0 THEN
+           |    ROUND(CAST(COALESCE(g.d$k, 0) AS DOUBLE) / i.i$k, 6)
+           |  END AS ndcg_at_$k""".stripMargin).mkString(",\n  ")
+      s"""${annBatchCte("q353_hyperplanes")},
+         |wts(d, w_u) AS (VALUES $wvals),
+         |bruteall AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |), truth AS (
+         |  SELECT qid, vec_id,
+         |    CASE WHEN rk <= 2 THEN 3 WHEN rk <= 5 THEN 2 ELSE 1 END AS grade
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rk FROM bruteall)
+         |  WHERE rk <= 10
+         |), ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) AS d
+         |  FROM scored
+         |), dcg AS (
+         |  SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    $dcols
+         |  FROM ranked r
+         |  JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |  JOIN wts w ON r.d = w.d
+         |  WHERE r.d <= 10 GROUP BY 1
+         |), ideal AS (
+         |  SELECT t.qid,
+         |    $icols
+         |  FROM (SELECT qid, grade, row_number() OVER (PARTITION BY qid
+         |          ORDER BY grade DESC, vec_id) AS d FROM truth) t
+         |  JOIN wts w ON t.d = w.d
+         |  WHERE t.d <= 10 GROUP BY 1
+         |)
+         |SELECT i.qid, CAST(COALESCE(g.n_hit, 0) AS BIGINT) AS n_hit,
+         |  $outs
+         |FROM ideal i LEFT JOIN dcg g ON i.qid = g.qid
+         |ORDER BY i.qid""".stripMargin }) { (s, dir) =>
+      Fixtures.write("q353_hyperplanes",
+        Fixtures.vectorTable(s, "p", "comps", Similarity.hyperplaneRows(4 * 8)))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val retrieved = Similarity.annTopKBatch(e, queries, k = 10, bands = 4, r = 8)
+      val scoredAll = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val graded = scoredAll.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"),
+          when(col("rk") <= 2, 3).when(col("rk") <= 5, 2).otherwise(1)
+            .as("grade"))
+      Similarity.ndcgCurve(retrieved, graded, ks = Seq(1, 5, 10))
+        .orderBy("qid")
+    },
+
     // ——— per-dimension embedding health (dead dims, variance
     //     concentration, scale drift): micro-quantized components →
     //     exact BIGINT sums → identical double mean/var expressions

@@ -3425,6 +3425,62 @@ object TextQueries {
           col("text").as("ref_text")), Seq("_ref_id"))
         .drop("_ref_id")
       TextStats.answerTokenF1(pairs)
+    },
+
+    // ——— ROUGE-L (Lin 2004) over q350's adjacent-doc pairs: LCS
+    //     recall/precision/F on 24-token-capped sequences. The LCS
+    //     row-DP is folded inside ONE Spark expression using the
+    //     dependency-free prefix-max recurrence; the oracle unrolls
+    //     the identical 24 steps as MATERIALIZED CTEs (the btChainSql
+    //     discipline — the dp column is referenced several times per
+    //     step, so an inlining planner would go exponential). ———
+    Q("q354_rouge_l", {
+      val L = 24
+      val steps = (1 to L).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT pair_id, ctoks, rtoks, n,
+           |    CASE WHEN len(ctoks) >= $t THEN
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(range(1, n + 1), j ->
+           |          GREATEST(dp[j + 1],
+           |            list_max(list_transform(range(1, j + 1), i ->
+           |              dp[i] + CASE WHEN rtoks[i] = ctoks[$t]
+           |                THEN 1 ELSE 0 END)))))
+           |    ELSE dp END AS dp
+           |  FROM d${t - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a.doc_id AS pair_id, a.text AS ct, b.text AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0
+         |), tk AS MATERIALIZED (
+         |  SELECT pair_id,
+         |    string_split_regex(lower(ct), '\\s+')[1:$L] AS ctoks,
+         |    string_split_regex(lower(rt), '\\s+')[1:$L] AS rtoks
+         |  FROM p
+         |), d0 AS MATERIALIZED (
+         |  SELECT pair_id, ctoks, rtoks, len(rtoks) AS n,
+         |    list_transform(range(0, len(rtoks) + 1),
+         |      x -> CAST(0 AS BIGINT)) AS dp
+         |  FROM tk
+         |),
+         |$steps
+         |SELECT pair_id, CAST(len(ctoks) AS BIGINT) AS cand_len,
+         |  CAST(n AS BIGINT) AS ref_len,
+         |  CAST(dp[n + 1] AS BIGINT) AS lcs,
+         |  round(CAST(dp[n + 1] AS DOUBLE) / len(ctoks), 6) AS rouge_l_p,
+         |  round(CAST(dp[n + 1] AS DOUBLE) / n, 6) AS rouge_l_r,
+         |  round(CAST(2.0 AS DOUBLE) * dp[n + 1] / (len(ctoks) + n), 6)
+         |    AS rouge_l_f
+         |FROM d$L ORDER BY pair_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("pair_id"),
+          col("text").as("cand_text"))
+        .filter(col("pair_id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("pair_id"),
+          col("text").as("ref_text")), Seq("pair_id"))
+      TextStats.rougeL(pairs, maxTokens = 24)
     }
   )
 }

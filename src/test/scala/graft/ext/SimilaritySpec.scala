@@ -432,6 +432,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Double]("ndcg") === 1.0)
   }
 
+  test("ndcgCurve: agrees with ndcgAtK at each cutoff; mean at k=1 ideal") {
+    val graded = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1),
+      (2L, 20L, 2), (2L, 21L, 1)).toDF("qid", "vec_id", "grade")
+    val retr = retrDF((1L, 11L, 0.9), (1L, 10L, 0.8), (1L, 12L, 0.7),
+      (2L, 21L, 0.9), (2L, 20L, 0.8))
+    val curve = Similarity.ndcgCurve(retr, graded, ks = Seq(1, 5, 10))
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    for (k <- Seq(1, 5, 10)) {
+      val single = Similarity.ndcgAtK(retr, graded, k = k).collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("ndcg")).toMap
+      for (q <- Seq(1L, 2L))
+        assert(curve(q).getAs[Double](s"ndcg_at_$k") === single(q),
+          s"curve/single drift at k=$k qid=$q")
+    }
+  }
+
+  test("ndcgCurve monotonicity: relevance-ordered swap never increases ndcg") {
+    // base ranking ordered by grade (3,2,1,1) — the ideal; then every
+    // adjacent swap that puts a lower grade earlier must not increase
+    // ndcg at ANY cutoff
+    val graded = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1), (1L, 13L, 1))
+      .toDF("qid", "vec_id", "grade")
+    val ids = Seq(10L, 11L, 12L, 13L)
+    def scoresFor(order: Seq[Long]) =
+      retrDF(order.zipWithIndex.map { case (id, i) =>
+        (1L, id, 0.9 - 0.1 * i) }: _*)
+    def ndcgs(order: Seq[Long]): Map[Int, Double] =
+      Seq(1, 5, 10).map { k =>
+        k -> Similarity.ndcgCurve(scoresFor(order), graded, Seq(1, 5, 10))
+          .collect().head.getAs[Double](s"ndcg_at_$k")
+      }.toMap
+    val base = ndcgs(ids)
+    assert(Seq(1, 5, 10).forall(k => base(k) === 1.0), s"ideal != 1: $base")
+    for (i <- 0 until 3) {
+      val swapped = ids.updated(i, ids(i + 1)).updated(i + 1, ids(i))
+      val after = ndcgs(swapped)
+      for (k <- Seq(1, 5, 10))
+        assert(after(k) <= base(k) + 1e-9,
+          s"swap at $i increased ndcg_at_$k: ${base(k)} -> ${after(k)}")
+    }
+    // and a non-adjacent relevance-ordered swap (rank 1 <-> rank 4)
+    val far = ndcgs(Seq(13L, 11L, 12L, 10L))
+    for (k <- Seq(1, 5, 10))
+      assert(far(k) <= base(k) + 1e-9, s"far swap increased ndcg_at_$k")
+  }
+
   test("averagePrecisionAtK: hand-computed AP with a miss interleaved") {
     // truth {a,b}; retrieved a(hit,p=1/1), x(miss), b(hit,p=2/3)
     // AP = (1 + 2/3) / 2 = 0.833333

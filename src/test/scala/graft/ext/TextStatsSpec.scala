@@ -724,4 +724,47 @@ class TextStatsSpec extends SparkSpec {
       out(2L).getDouble(7) === 0.666667)
     assert(out(3L).getLong(3) === 0L && out(3L).getDouble(7) === 0.0)
   }
+
+  test("rougeL: planted subsequence ⇒ recall 1.0; identity ⇒ all 1; " +
+    "hand-computed LCS; disjoint ⇒ 0") {
+    val pairs = Seq(
+      (0L, "the cat sat", "the cat sat"),            // identity
+      (1L, "cat mat", "the cat on the mat today"),   // cand ⊆ ref order
+      (2L, "a x b y c", "a b c z"),                  // LCS = a b c = 3
+      (3L, "p q", "r s"))                            // disjoint
+      .toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.rougeL(pairs).collect()
+      .map(r => r.getAs[Long]("pair_id") -> r).toMap
+    assert(out(0L).getAs[Long]("lcs") === 3L &&
+      out(0L).getAs[Double]("rouge_l_p") === 1.0 &&
+      out(0L).getAs[Double]("rouge_l_r") === 1.0 &&
+      out(0L).getAs[Double]("rouge_l_f") === 1.0)
+    // planted-subsequence law: every candidate token appears in the
+    // reference IN ORDER ⇒ LCS = |cand| ⇒ precision 1.0 (recall 1.0
+    // is the mirrored law with the sides swapped)
+    assert(out(1L).getAs[Long]("lcs") === 2L &&
+      out(1L).getAs[Double]("rouge_l_p") === 1.0)
+    val swapped = TextStats.rougeL(Seq(
+      (9L, "the cat on the mat today", "cat mat"))
+      .toDF("pair_id", "cand_text", "ref_text")).collect().head
+    assert(swapped.getAs[Double]("rouge_l_r") === 1.0)
+    assert(out(2L).getAs[Long]("lcs") === 3L &&
+      out(2L).getAs[Double]("rouge_l_r") === 0.75 &&
+      out(2L).getAs[Double]("rouge_l_p") === 0.6)
+    assert(out(3L).getAs[Long]("lcs") === 0L &&
+      out(3L).getAs[Double]("rouge_l_f") === 0.0)
+  }
+
+  test("rougeL: the maxTokens cap truncates both sides before the DP") {
+    // cand = 6 tokens, cap 4: only "a b c d" survives; ref "c d" ⇒
+    // LCS 2, cand_len reports the CAPPED length
+    val pairs = Seq((0L, "a b c d e f", "c d"))
+      .toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.rougeL(pairs, maxTokens = 4).collect().head
+    assert(out.getAs[Long]("cand_len") === 4L)
+    assert(out.getAs[Long]("lcs") === 2L)
+    assert(out.getAs[Double]("rouge_l_r") === 1.0)
+    // tokens e/f beyond the cap must not count: uncapped LCS would
+    // still be 2 here, but a cap-aware check is the cand_len above
+  }
 }
