@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/
@@ -585,6 +585,92 @@ object Multimodal {
           .as("pos_moment"))
   }
 
+  /** The CLASSIC image dHash — 9×8 grayscale downsample, horizontal
+    * gradient, 64-bit signature — computed on REAL pixels: every grid
+    * cell's source pixel is decoded positionally from a VALID BMP's
+    * pixel array (the [[bmpPixelStats]] discipline: bottom-up rows,
+    * stride padding, BGR order), grayscaled with the integer BT.601
+    * luma (299R + 587G + 114B) div 1000, and bit (gx, gy) set iff
+    * gray(gx, gy) > gray(gx+1, gy) over the 9-wide × 8-tall grid —
+    * closing the seam [[dHashSignatures]]' scaladoc documents (its
+    * byte-segment reduction stands in where no pixel codec exists;
+    * this is the pixel codec). Downsampling is nearest-neighbor:
+    * grid cell (gx, gy) reads pixel (gx·w div 9, gy·h div 8) —
+    * exact integer arithmetic, any image size.
+    *
+    * Output: (media_id, band, v) — four 16-bit bands (bit b lives in
+    * band b div 16 at position b mod 16), the EXACT contract
+    * [[dHashSignatures]] emits, so [[dHashNearDupFromSigs]]' LSH
+    * bucket join + Hamming verify consumes either producer unchanged.
+    *
+    * Scale: header parse + 72 fixed grid reads per media, all inside
+    * array transforms in one projection chain (no per-pixel explode —
+    * the grid is constant-size regardless of image size, so this is
+    * STRICTLY CHEAPER than [[bmpPixelStats]]' full decode); one
+    * posexplode of the 4 band rows per media. No shuffle before the
+    * band rollup output.
+    */
+  def bmpDHashSignatures(media: DataFrame, idCol: String = "media_id",
+                         bytesCol: String = "bytes"): DataFrame = {
+    val hdr = bmpHeader(media, idCol, bytesCol)
+      .where(col("bmp_valid"))
+      .select(col("media_id"), col("h"), col("width"), col("height"),
+        col("stride"))
+    // grays for the 72 grid cells (g = gy*9 + gx, gx 0..8, gy 0..7):
+    // source pixel (px, py) = (gx·w div 9, gy·h div 8); its channel
+    // byte sits at pixel-array offset (h-1-py)·stride + 3·px + chan
+    // (bottom-up rows, BGR storage: chan 0 = B, 1 = G, 2 = R)
+    def chanByte(chan: Int): String =
+      "CAST(conv(substring(h, CAST((54 + " +
+        "(height - 1 - ((CAST(g AS BIGINT) div 9) * height) div 8) * stride" +
+        " + 3 * (((CAST(g AS BIGINT) % 9) * width) div 9)" +
+        s" + $chan) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    val grays = hdr.withColumn("_grays", expr(
+      s"""transform(sequence(0, 71), g ->
+         |  (299 * ${chanByte(2)} + 587 * ${chanByte(1)}
+         |   + 114 * ${chanByte(0)}) div 1000)""".stripMargin))
+    // bit b (0..63): gy = b div 8, gx = b mod 8 → compare grid
+    // neighbors gy*9+gx and gy*9+gx+1 (1-based element_at)
+    val bits = grays.withColumn("_bits", expr(
+      """transform(sequence(0, 63), b -> IF(
+        |  element_at(_grays, CAST((b div 8) * 9 + (b % 8) + 1 AS INT)) >
+        |  element_at(_grays, CAST((b div 8) * 9 + (b % 8) + 2 AS INT)),
+        |  1L, 0L))""".stripMargin))
+    bits.select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, 3), bd -> aggregate(
+            |  sequence(0, 15), CAST(0 AS BIGINT),
+            |  (acc, p) -> acc + element_at(_bits, bd * 16 + p + 1)
+            |    * shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin))
+          .as(Seq("band", "v")))
+      .select(col("media_id"), col("band").cast("long").as("band"),
+        col("v"))
+  }
+
+  /** Flip pixel-array byte `byteIdx` (0-based within the pixel array)
+    * of each BMP payload by +128 mod 256 — a REAL container-level
+    * pixel perturbation (the hex overlay keeps every other byte
+    * bit-identical), used to plant near-duplicate twins whose dHash
+    * must land within a small Hamming radius. `newId` relabels the
+    * twin. Map-only.
+    */
+  def perturbBmpPixelByte(media: DataFrame, byteIdx: Column,
+                          newId: Column,
+                          idCol: String = "media_id",
+                          bytesCol: String = "bytes"): DataFrame = {
+    val m = media.select(col(idCol).cast("long").as("media_id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .select(col("media_id"), hex(col("bytes")).as("h"),
+        (lit(54L) + byteIdx).as("_bi"))
+    m.select(newId.as("media_id"),
+      unhex(concat(
+        col("h").substr(lit(1), (col("_bi") * 2L).cast("int")),
+        lpad(hex(pmod(conv(col("h").substr(
+          (col("_bi") * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
+          + 128L, lit(256L))), 2, "0"),
+        expr("substring(h, CAST(_bi * 2 + 3 AS INT))"))).as("bytes"))
+  }
+
   /** Difference-hash (dHash) perceptual signatures over the raw
     * BINARY payload, banded for LSH — the media twin of SimHash
     * banding (q37/q61): the payload is "downscaled" into `bits`+1
@@ -663,7 +749,22 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= bits,
       s"dHashNearDup: maxHamming in 0..$bits, got $maxHamming")
     require(maxBucket >= 2, s"dHashNearDup: maxBucket >= 2, got $maxBucket")
-    val sigs = dHashSignatures(media, bits, idCol, bytesCol)
+    dHashNearDupFromSigs(dHashSignatures(media, bits, idCol, bytesCol),
+      maxHamming, maxBucket)
+  }
+
+  /** The LSH bucket-join + exact-Hamming verify of [[dHashNearDup]]
+    * on an ALREADY-COMPUTED banded signature table (media_id, band,
+    * v) — the seam that lets any signature producer (the stub byte
+    * dHash, [[bmpDHashSignatures]]' real-pixel gradient, a future
+    * native pHash) reuse the identical candidate machinery; the spec
+    * pins that both producers reach the same join plan shape.
+    */
+  def dHashNearDupFromSigs(sigs0: DataFrame, maxHamming: Long = 6,
+                           maxBucket: Long = 32): DataFrame = {
+    require(maxBucket >= 2,
+      s"dHashNearDupFromSigs: maxBucket >= 2, got $maxBucket")
+    val sigs = sigs0
     val kept = sigs.join(
       sigs.groupBy("band", "v").agg(count(lit(1)).as("_bn"))
         .where(col("_bn") <= maxBucket)

@@ -2246,6 +2246,87 @@ object CorpusQueries {
         .withColumn("answer", when(c1 < 65, col("gold"))
           .otherwise((col("gold") + 1 + c2) % 4))
       Evals.selfConsistency(samples, "task_id", "answer", "gold")
+    },
+
+    // ——— dHash on REAL pixels (closing the seam the stub dHash
+    //     documents): classic 9×8 grayscale-gradient signatures over
+    //     q343's decoded BMP grid, on a 512-image slice plus
+    //     byte-level PERTURBED twins (one pixel's blue channel +128
+    //     via a real hex overlay on the container), pushed through
+    //     the EXISTING LSH band-bucket join + exact-Hamming verify.
+    //     The oracle replays the pixel formula + grid + gradient +
+    //     banding + cap + join directly — never touching bytes — so
+    //     stride/orientation/channel/grid misreads all break the
+    //     hash. Slice rationale: the synthetic pixel formula repeats
+    //     every 768 ids (id·7 mod 256 × the (w,h) period), so an
+    //     unsliced corpus plants identical images that LSH correctly
+    //     reports as a quadratic pair set; 512 < 768 keeps every
+    //     image distinct and the output the PLANTED twin ledger. ———
+    Q("q355_bmp_dhash_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS pert,
+        |    4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+        |  FROM documents WHERE doc_id < 512
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1, 4 + doc_id % 3,
+        |    3 + doc_id % 2
+        |  FROM documents WHERE doc_id < 512
+        |), cell AS (
+        |  SELECT media_id, base, pert, h, CAST(gx AS BIGINT) AS gx,
+        |    CAST(gy AS BIGINT) AS gy,
+        |    (gx * w) // 9 AS px, (gy * h) // 8 AS py
+        |  FROM m, unnest(range(0, 9)) tx(gx), unnest(range(0, 8)) ty(gy)
+        |), gray AS (
+        |  SELECT media_id, gx, gy,
+        |    (299 * ((base * 7 + py * 131 + px * 17) % 256)
+        |     + 587 * ((base * 7 + py * 131 + px * 17 + 29) % 256)
+        |     + 114 * (((base * 7 + py * 131 + px * 17 + 58) % 256
+        |         + CASE WHEN pert = 1 AND px = 0 AND py = h - 1
+        |             THEN 128 ELSE 0 END) % 256)) // 1000 AS gv
+        |  FROM cell
+        |), bit AS (
+        |  SELECT a.media_id, a.gy * 8 + a.gx AS b,
+        |    CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+        |  FROM gray a JOIN gray c
+        |    ON c.media_id = a.media_id AND c.gy = a.gy AND c.gx = a.gx + 1
+        |  WHERE a.gx <= 7
+        |), sig AS (
+        |  SELECT media_id, CAST(b // 16 AS BIGINT) AS band,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER)))
+        |      AS BIGINT) AS v
+        |  FROM bit GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT band, v FROM sig GROUP BY band, v HAVING COUNT(*) <= 32
+        |), kept AS (
+        |  SELECT sig.* FROM sig JOIN keep USING (band, v)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.v = b.v
+        |    AND a.media_id < b.media_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(SUM(bit_count(xor(sa.v, sb.v))) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON sa.media_id = c.id_a
+        |JOIN sig sb ON sb.media_id = c.id_b AND sb.band = sa.band
+        |GROUP BY 1, 2
+        |HAVING CAST(SUM(bit_count(xor(sa.v, sb.v))) AS BIGINT) <= 6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      import graft.engine.TrackedCache.Trackable
+      val base = docs(s, dir).filter(col("doc_id") < 512)
+      // checkpoint the STAGED containers (1024 tiny rows): without
+      // the lineage cut, CollapseProject re-inlines the whole
+      // synthetic-container construction into every one of the 216
+      // positional grid reads per image (the HOF re-inline trap —
+      // measured as a >5 min spin vs <1 s cut)
+      val orig = Multimodal.syntheticBmp(base).trackedLocalCheckpoint()
+      val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),
+        col("media_id") + 1000000L)
+      Multimodal.dHashNearDupFromSigs(
+        Multimodal.bmpDHashSignatures(
+          orig.unionByName(twin).trackedLocalCheckpoint()),
+        maxHamming = 6, maxBucket = 32)
     }
   )
 

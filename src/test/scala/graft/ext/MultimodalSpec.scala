@@ -439,6 +439,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpPixelStats(short).count() === 0L)
   }
 
+  test("bmpDHashSignatures: pixel-perturbed twin recall law — every " +
+    "planted twin recovered within Hamming 6; identical images at 0") {
+    import graft.ext.Multimodal
+    val base = docs.filter(col("doc_id") < 64)
+    val n = base.count()
+    assert(n > 0)
+    // lineage cut: the staged container construction must not re-inline
+    // into the 216 positional grid reads (the HOF re-inline trap)
+    val orig = Multimodal.syntheticBmp(base).localCheckpoint()
+    val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),
+      col("media_id") + 1000000L)
+    val pairs = Multimodal.dHashNearDupFromSigs(
+      Multimodal.bmpDHashSignatures(
+        orig.unionByName(twin).localCheckpoint()),
+      maxHamming = 6, maxBucket = 32)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+      .collect()
+    // the +128 blue-channel edit at pixel (0, h-1) only reaches grid
+    // cells with px = 0, py = h-1 — all in grid rows gy ∈ {6,7}, i.e.
+    // band 3 — so ≤ 6 gradient bits can flip and bands 0-2 always
+    // bucket the pair: 100% planted recall by construction
+    assert(planted.length.toLong === n,
+      s"recovered ${planted.length} of $n planted pixel twins")
+    assert(planted.forall(_.getAs[Long]("hamming") <= 6L))
+    val self = Multimodal.dHashNearDupFromSigs(
+      Multimodal.bmpDHashSignatures(
+        orig.unionByName(orig.withColumn("media_id",
+          col("media_id") + 5000000L)).localCheckpoint()),
+      maxHamming = 0, maxBucket = 32)
+      .filter(col("id_b") === col("id_a") + 5000000L)
+    assert(self.count() === n, "identical pixels must hash identically")
+  }
+
+  test("bmp and stub dHash share the LSH bucket-join machinery: " +
+    "identical near-dup join shape, no cartesian / nested-loop / " +
+    "row-scale window") {
+    import graft.ext.Multimodal
+    val base = docs.filter(col("doc_id") < 16)
+    val bmpSigs = Multimodal.bmpDHashSignatures(
+      Multimodal.syntheticBmp(base).localCheckpoint())
+    val stubSigs = Multimodal.dHashSignatures(
+      base.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes")))
+    def bandJoinShape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") && l.contains("band#"))
+        .map(_.replaceAll("^[-+:| ]+", "").replaceAll("#\\d+L?", "#").trim)
+        .toSeq
+    val bmpPlan = Multimodal.dHashNearDupFromSigs(bmpSigs)
+    val stubPlan = Multimodal.dHashNearDupFromSigs(stubSigs)
+    assert(bandJoinShape(bmpPlan) === bandJoinShape(stubPlan),
+      "the signature producer swapped but the candidate machinery " +
+        "must not")
+    val phys = bmpPlan.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys)
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(graft.PlanChecks.rowScaleGlobalWindows(bmpPlan).isEmpty)
+  }
+
   test("stub and PCM segmentation share the run-merge plan shape: one " +
     "media-partitioned Window each, no global window in either") {
     val wav = Multimodal.syntheticWav(Seq(1L, 2L).toDF("doc_id"))
