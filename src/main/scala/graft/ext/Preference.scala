@@ -270,6 +270,100 @@ object Preference {
       .orderBy("gap_bucket")
   }
 
+  /** One Elo update's transfer, in rating micro-units: the winner
+    * gains d = round(K · E[loser]) where the expected score is the
+    * RATIONAL Bradley–Terry form E[loser] = r_l/(r_w + r_l) — the
+    * online stochastic-gradient update of the Hunter-2004 BT model
+    * with the rating itself as the strength. The classic Elo-1978
+    * logistic 1/(1+10^((r_w−r_l)/400)) is deliberately NOT used on
+    * the data path: pow() is transcendental and cross-engine
+    * bit-divergence in the last ulp would compound over a sequential
+    * fold (the ndcgWeights/rboWeights no-cross-engine-log
+    * discipline); the rational form is one double division + one
+    * multiply + one round, bit-identical in any IEEE engine. Computed
+    * ONCE per battle and applied ± symmetrically, so the update is
+    * exactly zero-sum before the floor.
+    */
+  private[ext] def eloDelta(rw: Long, rl: Long, kMicro: Long): Long =
+    math.round(kMicro.toDouble * (rl.toDouble / (rw + rl).toDouble))
+
+  /** SEQUENTIAL Elo/arena rating fold over a battle ledger — the
+    * batch twin of [[graft.ext.Streaming.eloRatingStream]] and the
+    * oracle-checked semantics both must land on. Elo is
+    * order-SENSITIVE by definition (each update depends on the
+    * ratings as of that battle), so unlike every aggregate in this
+    * engine the fold demands a total order: battles fold in
+    * (league, seq) order, seq unique per league (ties would make the
+    * result nondeterministic — (winner, loser) breaks them
+    * defensively). Ratings start at `startMicro`, move by
+    * [[eloDelta]], and the loser is floored at `floorMicro` (the
+    * USCF rating-floor practice; without it a cold roster member can
+    * be driven toward 0 where the rational expected score
+    * degenerates).
+    *
+    * Output: one row per (league, participant) — wins, n_games,
+    * rating (micro-units rounded back to 6 decimals).
+    *
+    * Scale shape: the ONLY distributed primitive is
+    * repartition(league) + sortWithinPartitions(league, seq) + one
+    * mapPartitions fold — the standard sessionizer shape: leagues
+    * are hash-co-located and contiguous, state is one small
+    * (player → rating, wins, games) map per league, work is linear
+    * in battles with no window and no driver collect. The sequential
+    * dependency is per-league, so leagues parallelize perfectly;
+    * a single league's history is inherently sequential — that is
+    * Elo's semantics, not a plan defect.
+    */
+  def eloFold(battles: DataFrame, leagueCol: String = "league",
+              seqCol: String = "seq", winnerCol: String = "winner",
+              loserCol: String = "loser",
+              kMicro: Long = 32000000L,
+              startMicro: Long = 1500000000L,
+              floorMicro: Long = 100000000L): DataFrame = {
+    require(kMicro > 0 && startMicro > floorMicro && floorMicro > 0,
+      "eloFold: kMicro > 0 and startMicro > floorMicro > 0")
+    val spark = battles.sparkSession
+    import spark.implicits._
+    val sorted = battles.select(
+        col(leagueCol).cast("long").as("_lg"),
+        col(seqCol).cast("long").as("_seq"),
+        col(winnerCol).cast("long").as("_w"),
+        col(loserCol).cast("long").as("_l"))
+      .repartition(col("_lg"))
+      .sortWithinPartitions("_lg", "_seq", "_w", "_l")
+      .as[(Long, Long, Long, Long)]
+    val folded = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var curLeague = 0L
+      var open = false
+      var st = scala.collection.mutable.LinkedHashMap
+        .empty[Long, Array[Long]] // player -> (rating, wins, games)
+      def flush(): Unit = if (open) {
+        st.foreach { case (p, a) =>
+          out += ((curLeague, p, a(1), a(2), a(0)))
+        }
+        st = scala.collection.mutable.LinkedHashMap.empty
+      }
+      while (it.hasNext) {
+        val (lg, _, w, l) = it.next()
+        if (!open || lg != curLeague) { flush(); curLeague = lg; open = true }
+        val aw = st.getOrElseUpdate(w, Array(startMicro, 0L, 0L))
+        val al = st.getOrElseUpdate(l, Array(startMicro, 0L, 0L))
+        val d = eloDelta(aw(0), al(0), kMicro)
+        aw(0) += d
+        al(0) = math.max(al(0) - d, floorMicro)
+        aw(1) += 1; aw(2) += 1; al(2) += 1
+      }
+      flush()
+      out.iterator
+    }
+    folded.toDF("league", "model_id", "wins", "n_games", "_rm")
+      .select(col("league"), col("model_id"), col("wins"), col("n_games"),
+        round(col("_rm").cast("double") / 1e6, 6).as("rating"))
+      .orderBy("league", "model_id")
+  }
+
   /** Per-prompt audit of a (prompt_id, winner, loser) vote table:
     *
     *  - `n_resp` / `n_pairs` — roster and vote sizes;

@@ -642,6 +642,64 @@ object Streaming {
       }
   }
 
+  final case class EloBattle(league: Long, seq: Long, winner: Long,
+                             loser: Long)
+  final case class EloArenaState(n_battles: Long,
+                                 players: Map[Long, (Long, Long, Long)])
+  final case class EloRating(league: Long, n_battles: Long, model_id: Long,
+                             wins: Long, n_games: Long, rating_micro: Long)
+
+  /** STREAMING Elo arena — sequential per-battle rating updates as
+    * they arrive, keyed by league in `flatMapGroupsWithState`: state
+    * is the league's (player → rating, wins, games) map plus a
+    * monotone battle counter; each micro-batch folds its battles in
+    * (seq, winner, loser) order through the SAME
+    * [[graft.ext.Preference.eloDelta]] update as the batch fold and
+    * emits the league's full refreshed roster stamped with the
+    * counter (Update mode — read the ledger back at max n_battles
+    * per league).
+    *
+    * Order sensitivity is the POINT of Elo, so unlike the q348
+    * pass@k counters this stream is NOT arrival-order-free: it
+    * equals [[graft.ext.Preference.eloFold]] exactly when batches
+    * arrive in seq order and each batch's battles are internally
+    * unordered (the stream sorts within the batch) — the
+    * event-time-ordered-ingestion contract a rating feed already
+    * satisfies; the StreamingSpec law pins single-batch and
+    * split-in-order parity with the batch fold.
+    *
+    * State: one bounded roster map per league (players, not
+    * battles); no timeout — an arena ledger is forever.
+    */
+  def eloRatingStream(battles: Dataset[EloBattle],
+                      kMicro: Long = 32000000L,
+                      startMicro: Long = 1500000000L,
+                      floorMicro: Long = 100000000L): Dataset[EloRating] = {
+    import battles.sparkSession.implicits._
+    battles.groupByKey(_.league)
+      .flatMapGroupsWithState[EloArenaState, EloRating](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (league, rows, state) =>
+          val st = state.getOption.getOrElse(EloArenaState(0L, Map.empty))
+          var n = st.n_battles
+          var m = st.players
+          rows.toSeq.sortBy(b => (b.seq, b.winner, b.loser)).foreach { b =>
+            val (rw, ww, gw) = m.getOrElse(b.winner, (startMicro, 0L, 0L))
+            val (rl, wl, gl) = m.getOrElse(b.loser, (startMicro, 0L, 0L))
+            val d = Preference.eloDelta(rw, rl, kMicro)
+            m = m
+              .updated(b.winner, (rw + d, ww + 1L, gw + 1L))
+              .updated(b.loser,
+                (math.max(rl - d, floorMicro), wl, gl + 1L))
+            n += 1
+          }
+          state.update(EloArenaState(n, m))
+          m.iterator.map { case (p, (r, w, g)) =>
+            EloRating(league, n, p, w, g, r)
+          }
+      }
+  }
+
   /** Streaming MERGE-INTO maintenance — the production pattern for
     * keeping a keyed mirror current from a change stream: every
     * micro-batch is compacted to last-writer-per-key (ts, then

@@ -2327,6 +2327,106 @@ object CorpusQueries {
         Multimodal.bmpDHashSignatures(
           orig.unionByName(twin).trackedLocalCheckpoint()),
         maxHamming = 6, maxBucket = 32)
+    },
+
+    // ——— SEQUENTIAL Elo arena fold (the streaming complement of
+    //     q341's batch Bradley–Terry leaderboard): 4 leagues × ~56
+    //     event-staged battles replayed in seq order through the
+    //     rational-expected-score Elo update (one double division +
+    //     round per battle — no cross-engine pow). The oracle replays
+    //     the fold with a RECURSIVE CTE whose state is the league's
+    //     rating list, one battle per iteration — any drift in update
+    //     order, delta rounding, or the rating floor breaks the hash.
+    //     Scale: leagues parallelize (repartition + in-partition
+    //     fold); a league's history is inherently sequential — Elo's
+    //     semantics, not a plan defect. q356 checks the BATCH fold;
+    //     StreamingSpec pins the mapGroupsWithState twin's parity. ———
+    Q("q356_elo_arena",
+      """WITH RECURSIVE b AS (
+        |  SELECT event_id % 4 AS league, event_id AS seq,
+        |    CASE WHEN a_wins THEN ma ELSE mb END AS winner,
+        |    CASE WHEN a_wins THEN mb ELSE ma END AS loser
+        |  FROM (
+        |    SELECT event_id, ma, mb,
+        |      (((ma * 37) % 23 >= (mb * 37) % 23) <>
+        |       (CAST(concat('0x', substring(md5(concat(
+        |          CAST(event_id AS VARCHAR), ':elo14')), 1, 7)) AS BIGINT)
+        |          % 5 = 0)) AS a_wins
+        |    FROM (
+        |      SELECT event_id, (event_id // 4) % 8 AS ma,
+        |        (event_id // 32) % 8 AS mb
+        |      FROM events WHERE event_id IS NOT NULL AND event_id < 256
+        |    ) WHERE ma <> mb
+        |  )
+        |), bb AS (
+        |  SELECT league, winner, loser,
+        |    row_number() OVER (PARTITION BY league ORDER BY seq) AS step
+        |  FROM b
+        |), fold AS (
+        |  SELECT league, CAST(0 AS BIGINT) AS step,
+        |    list_transform(range(0, 8),
+        |      x -> CAST(1500000000 AS BIGINT)) AS r
+        |  FROM (SELECT DISTINCT league FROM bb)
+        |  UNION ALL
+        |  SELECT f.league, f.step + 1,
+        |    list_transform(range(0, 8), x ->
+        |      CASE WHEN x = bb.winner THEN
+        |        f.r[CAST(x AS INT) + 1]
+        |        + CAST(round(CAST(32000000 AS DOUBLE)
+        |            * (CAST(f.r[CAST(bb.loser AS INT) + 1] AS DOUBLE)
+        |               / CAST(f.r[CAST(bb.winner AS INT) + 1]
+        |                      + f.r[CAST(bb.loser AS INT) + 1] AS DOUBLE)))
+        |            AS BIGINT)
+        |      WHEN x = bb.loser THEN
+        |        GREATEST(f.r[CAST(x AS INT) + 1]
+        |        - CAST(round(CAST(32000000 AS DOUBLE)
+        |            * (CAST(f.r[CAST(bb.loser AS INT) + 1] AS DOUBLE)
+        |               / CAST(f.r[CAST(bb.winner AS INT) + 1]
+        |                      + f.r[CAST(bb.loser AS INT) + 1] AS DOUBLE)))
+        |            AS BIGINT), CAST(100000000 AS BIGINT))
+        |      ELSE f.r[CAST(x AS INT) + 1] END)
+        |  FROM fold f JOIN bb ON bb.league = f.league
+        |    AND bb.step = f.step + 1
+        |), final AS (
+        |  SELECT league, r FROM (
+        |    SELECT league, r, row_number() OVER (PARTITION BY league
+        |      ORDER BY step DESC) AS rk
+        |    FROM fold) WHERE rk = 1
+        |), wstats AS (
+        |  SELECT league, winner AS model_id,
+        |    CAST(COUNT(*) AS BIGINT) AS wins
+        |  FROM bb GROUP BY 1, 2
+        |), games AS (
+        |  SELECT league, model_id, CAST(COUNT(*) AS BIGINT) AS n_games
+        |  FROM (
+        |    SELECT league, winner AS model_id FROM bb
+        |    UNION ALL SELECT league, loser FROM bb
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT g.league, g.model_id,
+        |  CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins, g.n_games,
+        |  round(CAST(f.r[CAST(g.model_id AS INT) + 1] AS DOUBLE)
+        |    / 1000000, 6) AS rating
+        |FROM games g
+        |LEFT JOIN wstats w ON w.league = g.league
+        |  AND w.model_id = g.model_id
+        |JOIN final f ON f.league = g.league
+        |ORDER BY g.league, g.model_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val ev = graft.Tables.load(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("event_id") < 256)
+        .select(col("event_id"),
+          (expr("event_id div 4") % 8).as("ma"),
+          (expr("event_id div 32") % 8).as("mb"))
+        .filter(col("ma") =!= col("mb"))
+      val aWins = ((col("ma") * 37 % 23) >= (col("mb") * 37 % 23)) =!=
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":elo14"))), 1, 7), 16, 10).cast("long") % 5 === 0)
+      val battles = ev.select((col("event_id") % 4).as("league"),
+        col("event_id").as("seq"),
+        when(aWins, col("ma")).otherwise(col("mb")).as("winner"),
+        when(aWins, col("mb")).otherwise(col("ma")).as("loser"))
+      Preference.eloFold(battles)
     }
   )
 

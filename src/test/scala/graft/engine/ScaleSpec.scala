@@ -847,6 +847,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r14 additions (q353–q356): partitioned/dictionary windows " +
+    "only, no cartesian, BNLJ only as bounded broadcast attaches") {
+    // q353 replays q316's accepted ANN-battery shape and cap: the
+    // brute-truth crossJoin(broadcast(query-roster)) over the bounded
+    // qid dictionary (vec_id % 50) — two bounded roster attaches,
+    // exactly q316's count (the roster feeds both the ANN candidate
+    // side and the graded-truth construction).
+    // q354 is map-only (the LCS DP folds inside one projection);
+    // q355's joins are the banded LSH bucket equi-joins; q356's only
+    // shuffle is the league repartition feeding the in-partition fold.
+    val bnljCap = Map("q353_ndcg_curve" -> 2).withDefaultValue(0)
+    for (name <- Seq("q353_ndcg_curve", "q354_rouge_l",
+        "q355_bmp_dhash_neardup", "q356_elo_arena")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      graft.engine.TrackedCache.release()
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

@@ -1193,4 +1193,64 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(streamed === batch)
   }
+
+  test("eloRatingStream: seq-ordered ingestion split across micro-batches " +
+    "lands exactly on the batch fold; rating state straddles batches") {
+    import spark.implicits._
+    // 2 leagues; battles deliberately ordered so later results depend
+    // on earlier ratings (order sensitivity is what the law checks)
+    val battles = Seq(
+      (0L, 1L, 0L, 1L), (0L, 2L, 0L, 2L), (0L, 3L, 1L, 2L),
+      (1L, 1L, 3L, 0L), (1L, 2L, 0L, 3L), (1L, 3L, 3L, 0L),
+      (0L, 4L, 2L, 0L), (0L, 5L, 0L, 1L),
+      (1L, 4L, 3L, 1L), (1L, 5L, 1L, 3L))
+    // two files split at seq 3/4 — the ingestion contract: batches
+    // arrive in seq order, rows within a batch arrive unordered
+    val dir = java.nio.file.Files.createTempDirectory("elostream").toFile
+    val files = Seq(battles.filter(_._2 <= 3L).reverse,
+      battles.filter(_._2 >= 4L).reverse)
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"elochunk$i").toString
+      rows.toDF("league", "seq", "winner", "loser").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq("league", "seq",
+        "winner", "loser").map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .as[Streaming.EloBattle]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.eloRatingStream(stream).toDF(), "elo_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    val updates = spark.table("elo_stream")
+    // the running ledger must show BOTH batch stamps for league 0
+    // (3 then 5 battles) — proof the state straddled the boundary
+    assert(updates.filter(col("league") === 0L)
+      .select("n_battles").distinct().collect().map(_.getLong(0)).sorted
+      === Array(3L, 5L))
+    val rows = updates.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val finalLedger = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val last = rs.map(_._2).max
+      rs.filter(_._2 == last)
+    }.map { case (lg, _, mid, w, g, rm) =>
+      org.apache.spark.sql.Row(lg, mid, w, g,
+        math.rint(rm.toDouble / 1e6 * 1e6) / 1e6)
+    }.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.ext.Preference.eloFold(
+      battles.toDF("league", "seq", "winner", "loser"))
+      .collect().toSeq
+    assert(finalLedger === batch,
+      s"stream:\n${finalLedger.mkString("\n")}\nbatch:\n${
+        batch.mkString("\n")}")
+  }
 }
