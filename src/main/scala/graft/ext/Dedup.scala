@@ -1321,22 +1321,39 @@ object Dedup {
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text",
+                            nativeHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"winnowingFingerprints: k >= 2, got $k")
     require(w >= 2, s"winnowingFingerprints: w >= 2, got $w")
-    // normalized text in its OWN projection (interpreted-HOF re-eval trap)
+    // Gram hash, 36 bits either way (the ·2²⁴ packing needs h < 2³⁹):
+    // `nativeHash` swaps the md5-hex-prefix hash for codegen'd
+    // xxhash64 (seed 42) mod 2³⁶ — 5-10× cheaper per gram, the
+    // production path; the md5 form stays the default because a plain
+    // SQL oracle can replay it (q357 keeps that path hash-verified on
+    // a capped slice, while the xx path is verified against an
+    // INDEPENDENT driver-side scalar reference — the q61 precedent).
+    val gramHash: Column => Column =
+      if (nativeHash) g => pmod(xxhash64(g), lit(68719476736L))
+      else g => conv(substring(md5(g), 1, 9), 16, 10).cast("long")
+    // normalized text in its OWN projection (interpreted-HOF re-eval
+    // trap), then the RELATIONAL LONG FORM (the minhashLong rule):
+    // posexplode the POSITION sequence and compute substr + hash on
+    // the exploded rows, where whole-stage codegen runs them — the
+    // transform-lambda form (gram strings built inside an interpreted
+    // HOF) measured 10× slower on the gram stage at sf0.1
     val norm = docs.select(col(idCol),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("_s"))
     val grams = norm.select(col(idCol),
       (greatest(length(col("_s")) - lit(k - 1), lit(1)))
         .cast("long").as("_ng"),
-      posexplode(transform(
-        sequence(lit(0), greatest(length(col("_s")) - lit(k), lit(0))),
-        p => conv(substring(md5(col("_s").substr(p + 1, lit(k))), 1, 9),
-          16, 10).cast("long")))
-        .as(Seq("pos", "h")))
+      col("_s"),
+      posexplode(sequence(lit(0),
+        greatest(length(col("_s")) - lit(k), lit(0))))
+        .as(Seq("pos", "_z")))
       .filter(col("pos") < lit(16777216L))
+      .select(col(idCol), col("_ng"), col("pos"),
+        gramHash(expr(s"substring(_s, pos + 1, $k)")).as("h"))
     val comb = grams.select(col(idCol), col("_ng"),
       col("pos").cast("long").as("pos"),
       (col("h") * lit(16777216L) + (lit(16777215L) - col("pos")))
@@ -1362,10 +1379,11 @@ object Dedup {
   def winnowingCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
                           minShared: Long = 2, maxDf: Long = 50,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          nativeHash: Boolean = false): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"winnowingCandidates: minShared >= 1, maxDf >= 2")
-    val sel = winnowingFingerprints(docs, k, w, idCol, textCol)
+    val sel = winnowingFingerprints(docs, k, w, idCol, textCol, nativeHash)
       .select(col(idCol), col("fp")).distinct()
       .trackedPersist()
     val perDoc = sel.groupBy(idCol).agg(count(lit(1)).as("n_fp"))

@@ -102,6 +102,53 @@ object Fixtures {
     rows.toSeq.toDF("doc_id", "simhash")
   }
 
+  /** Scalar twin of `Dedup.winnowingFingerprints(nativeHash = true)`,
+    * computed with an INDEPENDENT pipeline (own normalizer, own xxh64
+    * via Xxh64Ref, own window-min loop, own rightmost-min tie rule via
+    * the same c = h·2²⁴ + (2²⁴−1−pos) packing) — the q61 discipline:
+    * the oracle posting-joins over these reference fingerprints, so
+    * the distributed gram explode / window / selection is verified
+    * end-to-end against a second implementation, not assumed. Returns
+    * distinct (doc_id, fp).
+    */
+  def winnowingXxFixture(docs: DataFrame, k: Int = 5,
+                         w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val s = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      val len = s.length
+      val nGram = math.max(len - k, 0) + 1 // positions 0..max(len-k,0)
+      val hs = new Array[Long](nGram)
+      var p = 0
+      while (p < nGram) {
+        val g = s.substring(p, math.min(p + k, len))
+        hs(p) = java.lang.Math.floorMod(
+          graft.functions.Xxh64Ref.hashUtf8(g, 42L), 1L << 36)
+        p += 1
+      }
+      val sel = scala.collection.mutable.Set.empty[Long]
+      var pos = 0
+      while (pos < nGram) {
+        if (pos == 0 || pos <= nGram - w) {
+          var m = Long.MaxValue
+          var q = pos
+          while (q < math.min(pos + w, nGram)) {
+            val c = hs(q) * 16777216L + (16777215L - q)
+            if (c < m) m = c
+            q += 1
+          }
+          sel += m / 16777216L
+        }
+        pos += 1
+      }
+      sel.toSeq.map(fp => (id, fp))
+    }
+    rows.toSeq.toDF("doc_id", "fp")
+  }
+
   // ——— q44: scalar multimodal-codec reference ———
 
   /** (media_id, frame, feat_norm) recomputed scalar-side: same media

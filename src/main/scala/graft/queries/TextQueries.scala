@@ -3050,11 +3050,58 @@ object TextQueries {
     //     df-capped posting join to shared-fingerprint candidate
     //     pairs. The winnowing GUARANTEE (any shared run ≥ k+w−1
     //     chars yields a shared fingerprint) is what q34/q106 lack:
-    //     position-robust, alignment-free. ———
+    //     position-robust, alignment-free. PRODUCTION hash = native
+    //     codegen'd xxhash64 mod 2³⁶ (the md5-hex-per-gram constant
+    //     was the battery's 2nd-slowest entry); DuckDB has no
+    //     xxhash64, so the oracle posting-joins over REFERENCE
+    //     fingerprints recomputed on the driver by an independent
+    //     scalar pipeline (Fixtures.winnowingXxFixture — own
+    //     normalizer, own xxh64, own window-min loop: the q61
+    //     discipline), and q357 keeps the md5 path's full SQL replay
+    //     alive on a capped slice. ———
     Q("q332_winnowing_dedup",
+      s"""WITH sel AS (
+        |  SELECT DISTINCT doc_id, fp
+        |  FROM read_parquet('${Fixtures.sqlPath("q332_winnow_ref")}')
+        |), per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sel GROUP BY 1
+        |), cold AS (
+        |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+        |), posting AS (
+        |  SELECT s.doc_id, s.fp FROM sel s JOIN cold USING (fp)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM posting a JOIN posting b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT id_a, id_b, n_shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    CAST(LEAST(pa.n_fp, pb.n_fp) AS DOUBLE), 6) AS overlap
+        |FROM pairs JOIN per pa ON pairs.id_a = pa.doc_id
+        |JOIN per pb ON pairs.id_b = pb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Fixtures.write("q332_winnow_ref",
+        Fixtures.winnowingXxFixture(docs(s, dir), k = 5, w = 4))
+      Dedup.winnowingCandidates(docs(s, dir), k = 5, w = 4,
+        minShared = 2, maxDf = 50, nativeHash = true)
+    },
+
+    // ——— the md5 winnowing path kept fully SQL-replayed on a capped
+    //     slice (the q332 oracle before the xxhash64 switch): every
+    //     stage — normalize, per-gram md5-prefix hash, combined-key
+    //     window min, selection filter, df-capped posting join — is
+    //     recomputed by DuckDB from the raw text, so the two winnowing
+    //     hash paths cross-check each other: q332 verifies the
+    //     distributed machinery against an independent scalar
+    //     reference at full scale, q357 verifies the gram-hash
+    //     arithmetic cross-engine where the md5 constant is
+    //     affordable. ———
+    Q("q357_winnowing_md5_slice",
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
-        |  FROM documents
+        |  FROM documents WHERE doc_id < 500
         |), grams AS (
         |  SELECT doc_id, GREATEST(len(s) - 4, 1) AS ng, CAST(p AS BIGINT)
         |      AS pos,
@@ -3090,8 +3137,8 @@ object TextQueries {
         |FROM pairs JOIN per pa ON pairs.id_a = pa.doc_id
         |JOIN per pb ON pairs.id_b = pb.doc_id
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.winnowingCandidates(docs(s, dir), k = 5, w = 4,
-        minShared = 2, maxDf = 50)
+      Dedup.winnowingCandidates(docs(s, dir).filter(col("doc_id") < 500),
+        k = 5, w = 4, minShared = 2, maxDf = 50)
     },
 
     // ——— split-conformal prediction over the q181 classifier chain:

@@ -857,9 +857,11 @@ class ScaleSpec extends SparkSpec {
     // q354 is map-only (the LCS DP folds inside one projection);
     // q355's joins are the banded LSH bucket equi-joins; q356's only
     // shuffle is the league repartition feeding the in-partition fold.
-    val bnljCap = Map("q353_ndcg_curve" -> 2).withDefaultValue(0)
+    val bnljCap = Map("q353_ndcg_curve" -> 2,
+      "q357_winnowing_md5_slice" -> 1).withDefaultValue(0)
     for (name <- Seq("q353_ndcg_curve", "q354_rouge_l",
-        "q355_bmp_dhash_neardup", "q356_elo_arena")) {
+        "q355_bmp_dhash_neardup", "q356_elo_arena",
+        "q357_winnowing_md5_slice")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

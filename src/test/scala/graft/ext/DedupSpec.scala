@@ -766,6 +766,34 @@ class DedupSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
   }
 
+  test("winnowing nativeHash: the guarantee and the scalar reference " +
+    "both hold under the xxhash64 production path") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val shared = "the quick brown fox jumps over the lazy"
+    val d = Seq(
+      (0L, s"completely unrelated preamble text here $shared and a tail"),
+      (1L, s"$shared padded with different trailing content entirely"),
+      (2L, "nothing in common with the others at all zzz qqq www")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(d, k, w, nativeHash = true)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSet }
+    // the guarantee is hash-agnostic: any shared run >= k+w-1 chars
+    // must still yield a shared fingerprint
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty)
+    // the distributed xx path must agree exactly with the independent
+    // scalar reference (the oracle's q61-style cross-check, pinned
+    // here at spec scale too)
+    val ref = graft.queries.Fixtures.winnowingXxFixture(d, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = fps.select("doc_id", "fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === ref, s"distributed xx winnowing drifted from the " +
+      s"scalar reference:\n got=$got\n ref=$ref")
+    graft.engine.TrackedCache.release()
+  }
+
   test("winnowing: a doc shorter than k+w-1 contributes its single " +
     "truncated window; position tie-break prefers the rightmost min") {
     import spark.implicits._
