@@ -34,6 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an 8g heap GC-thrashing q58's connected-components loop after 57
   // prior queries' broadcast/cache churn (102.7 s vs 12.9 s standalone).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // SPARK_GRAFT_GCLOG=/path/gc.log turns on unified GC logging in the
+  // forked run JVM — the full-battery drift investigation's instrument
+  // (read at sbt load; one env var per sbt invocation).
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*:file=$f").toSeq
 
 scalacOptions += "-deprecation"

@@ -148,6 +148,14 @@ object Bench {
     // min-of-N is the standard attribution-stable estimator — use
     // reps=2 when comparing operator timings round over round.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // SPARK_GRAFT_SWEEP=deep adds the two session-state drains the
+    // standard sweep misses (the r13 full-battery-drift suspects):
+    // memory-sink temp views from the streaming entries (their
+    // MemorySink holds every emitted batch's rows for the rest of the
+    // JVM) and loaded state-store providers + the state maintenance
+    // task (StateStore.stop unloads both; the next streaming query
+    // reloads from its checkpoint).
+    val deepSweep = sys.env.get("SPARK_GRAFT_SWEEP").contains("deep")
     def sweep(): Unit = {
       graft.engine.TrackedCache.release() // drain the ledger too
       spark.catalog.clearCache()
@@ -157,6 +165,12 @@ object Bench {
       // 1.5-10× slot inflation with exactly this signature
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      if (deepSweep) {
+        spark.catalog.listTables().collect()
+          .filter(_.isTemporary).map(_.name)
+          .foreach(spark.catalog.dropTempView)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
       System.gc()
       Thread.sleep(150) // let the cleaner thread drain post-GC callbacks
     }
