@@ -389,6 +389,127 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** chrF (Popović 2015, "chrF: character n-gram F-score") over
+    * (candidate, reference) pairs — the character-level generation
+    * metric that complements q350's word-level BLEU components and
+    * [[rougeL]]: for n = 1..`maxN`, P_n / R_n are the clipped
+    * character-n-gram precision/recall (whitespace stripped, the
+    * sacrebleu default), macro-averaged over orders, combined with
+    * β = 2 (recall weighted double — chrF2):
+    * chrF2 = 5·P·R / (4·P + R).
+    *
+    * Engine-exactness: each order's P_n/R_n is ONE integer ratio
+    * quantized to a 1e-9 BIGINT before the per-pair sum (the
+    * bcubed/IPF discipline — integer additions are order-free, so
+    * the shuffle can't reorder float accumulation), and the final
+    * chrF2 is one mirrored double expression over the two quantized
+    * sums. Orders longer than a side contribute 0 (denominators clamp
+    * at 1) — the documented simplification vs sacrebleu's effective-
+    * order handling, applied identically in both engines.
+    *
+    * Scale shape: per-order totals come straight from string lengths
+    * (no aggregation); only the clipped counts need the (pair, n,
+    * gram) count join — the q350 clipped-count shape, n-gram explode
+    * in relational long form (positions exploded, substring on the
+    * exploded rows, codegen). One pair rollup; no windows.
+    */
+  def chrF(pairs: DataFrame, maxN: Int = 6, idCol: String = "pair_id",
+           candCol: String = "cand_text",
+           refCol: String = "ref_text"): DataFrame = {
+    require(maxN >= 1, s"chrF: maxN >= 1, got $maxN")
+    val chars = pairs.select(col(idCol),
+      regexp_replace(lower(col(candCol)), "\\s+", "").as("_c"),
+      regexp_replace(lower(col(refCol)), "\\s+", "").as("_r"))
+    def gramCounts(side: String, out: String): DataFrame = chars
+      .select(col(idCol), col(side).as("_s"),
+        explode(sequence(lit(1), lit(maxN))).as("_n"))
+      .filter(length(col("_s")) >= col("_n"))
+      .select(col(idCol), col("_n"), col("_s"),
+        explode(sequence(lit(1), length(col("_s")) - col("_n") + 1))
+          .as("_p"))
+      .select(col(idCol), col("_n"),
+        expr("substring(_s, _p, _n)").as("_g"))
+      .groupBy(col(idCol), col("_n"), col("_g"))
+      .agg(count(lit(1)).as(out))
+    val clipped = gramCounts("_c", "_cc")
+      .join(gramCounts("_r", "_cr"), Seq(idCol, "_n", "_g"))
+      .groupBy(col(idCol), col("_n"))
+      .agg(sum(least(col("_cc"), col("_cr"))).as("_cl"))
+    val spine = chars.select(col(idCol),
+        length(col("_c")).cast("long").as("_lc"),
+        length(col("_r")).cast("long").as("_lr"),
+        explode(sequence(lit(1), lit(maxN))).as("_n"))
+      .select(col(idCol), col("_n"),
+        greatest(col("_lc") - col("_n") + 1L, lit(0L)).as("_tc"),
+        greatest(col("_lr") - col("_n") + 1L, lit(0L)).as("_tr"))
+    val per = spine.join(clipped, Seq(idCol, "_n"), "left")
+      .select(col(idCol),
+        round(lit(1e9) * coalesce(col("_cl"), lit(0L)) /
+          greatest(col("_tc"), lit(1L))).cast("long").as("_pu"),
+        round(lit(1e9) * coalesce(col("_cl"), lit(0L)) /
+          greatest(col("_tr"), lit(1L))).cast("long").as("_ru"))
+    per.groupBy(col(idCol))
+      .agg(sum("_pu").as("_sp"), sum("_ru").as("_sr"))
+      .select(col(idCol),
+        round(col("_sp").cast("double") / (maxN * 1e9), 6).as("chrf_p"),
+        round(col("_sr").cast("double") / (maxN * 1e9), 6).as("chrf_r"),
+        when(lit(4.0) * col("_sp") + col("_sr") > 0,
+          round(lit(5.0) * col("_sp") * col("_sr") /
+            (lit(4.0) * col("_sp") + col("_sr")) / (maxN * 1e9), 6))
+          .otherwise(0.0).as("chrf2"))
+      .orderBy(idCol)
+  }
+
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models"): per prompt
+    * roster, distinct_n = (# unique word n-grams across the roster's
+    * responses) / (total n-grams), for n = 1, 2 — THE standard
+    * mode-collapse diagnostic for sampled generations (a roster of
+    * near-identical responses scores near 1/k). All integer counts;
+    * one rounded division per n.
+    *
+    * Scale shape: two (prompt, gram) count aggregates (the n-gram
+    * explode in relational long form) + one prompt rollup; bounded
+    * rosters, no windows.
+    */
+  def distinctN(responses: DataFrame, promptCol: String,
+                textCol: String): DataFrame = {
+    val toks = responses.select(col(promptCol),
+      tokens(col(textCol)).as("_toks"))
+    def stats(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) toks.select(col(promptCol),
+          explode(col("_toks")).as("_g"))
+        else toks.filter(size(col("_toks")) >= n)
+          .select(col(promptCol), col("_toks"),
+            explode(sequence(lit(0), size(col("_toks")) - n)).as("_p"))
+          .select(col(promptCol), expr(
+            (0 until n).map(j => s"_toks[_p + $j]")
+              .mkString("concat_ws(' ', ", ", ", ")")).as("_g"))
+      grams.groupBy(col(promptCol), col("_g"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col(promptCol))
+        .agg(count(lit(1)).as(s"uniq_$n"), sum("_c").as(s"total_$n"))
+    }
+    val resp = responses.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"))
+    resp
+      .join(stats(1), Seq(promptCol), "left")
+      .join(stats(2), Seq(promptCol), "left")
+      .select(col(promptCol), col("n_resp"),
+        coalesce(col("total_1"), lit(0L)).as("total_1"),
+        coalesce(col("uniq_1"), lit(0L)).as("uniq_1"),
+        when(coalesce(col("total_1"), lit(0L)) > 0,
+          round(col("uniq_1").cast("double") / col("total_1"), 6))
+          .as("distinct_1"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"),
+        coalesce(col("uniq_2"), lit(0L)).as("uniq_2"),
+        when(coalesce(col("total_2"), lit(0L)) > 0,
+          round(col("uniq_2").cast("double") / col("total_2"), 6))
+          .as("distinct_2"))
+      .orderBy(promptCol)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     // materialize the token array in its OWN projection before the

@@ -3528,6 +3528,125 @@ object TextQueries {
         .join(d.select((col("doc_id") - 1).as("pair_id"),
           col("text").as("ref_text")), Seq("pair_id"))
       TextStats.rougeL(pairs, maxTokens = 24)
+    },
+
+    // ——— chrF2 (Popović 2015) over q350's pairs: clipped character
+    //     1..6-gram precision/recall (whitespace stripped),
+    //     macro-averaged over orders with per-order 1e-9 quantization
+    //     (integer sums are shuffle-order-free), β=2 recall weighting.
+    //     Per-order totals come straight from string lengths; only
+    //     the clipped counts join. ———
+    Q("q358_chrf",
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ct, b.text AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0
+        |), ch AS (
+        |  SELECT pair_id,
+        |    regexp_replace(lower(ct), '\s+', '', 'g') AS c,
+        |    regexp_replace(lower(rt), '\s+', '', 'g') AS r
+        |  FROM p
+        |), cg AS (
+        |  SELECT pair_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |      substring(c, CAST(tp.p AS INT), CAST(n AS INT)) AS g
+        |    FROM ch, unnest(range(1, 7)) tn(n),
+        |      unnest(range(1, len(c) - n + 2)) tp(p)
+        |  ) GROUP BY 1, 2, 3
+        |), rg AS (
+        |  SELECT pair_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+        |    SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |      substring(r, CAST(tp.p AS INT), CAST(n AS INT)) AS g
+        |    FROM ch, unnest(range(1, 7)) tp2(n),
+        |      unnest(range(1, len(r) - n + 2)) tp(p)
+        |  ) GROUP BY 1, 2, 3
+        |), clip AS (
+        |  SELECT cg.pair_id, cg.n,
+        |    CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS cl
+        |  FROM cg JOIN rg ON cg.pair_id = rg.pair_id AND cg.n = rg.n
+        |    AND cg.g = rg.g
+        |  GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |    GREATEST(len(c) - n + 1, 0) AS tc,
+        |    GREATEST(len(r) - n + 1, 0) AS tr
+        |  FROM ch, unnest(range(1, 7)) tn(n)
+        |), per AS (
+        |  SELECT s.pair_id,
+        |    CAST(round(1e9 * COALESCE(cl, 0) / GREATEST(tc, 1)) AS BIGINT)
+        |      AS pu,
+        |    CAST(round(1e9 * COALESCE(cl, 0) / GREATEST(tr, 1)) AS BIGINT)
+        |      AS ru
+        |  FROM spine s LEFT JOIN clip
+        |    ON clip.pair_id = s.pair_id AND clip.n = s.n
+        |), agg AS (
+        |  SELECT pair_id, CAST(SUM(pu) AS BIGINT) AS sp,
+        |    CAST(SUM(ru) AS BIGINT) AS sr
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT pair_id,
+        |  round(CAST(sp AS DOUBLE) / 6e9, 6) AS chrf_p,
+        |  round(CAST(sr AS DOUBLE) / 6e9, 6) AS chrf_r,
+        |  CASE WHEN CAST(4 AS DOUBLE) * sp + sr > 0 THEN
+        |    round(CAST(5 AS DOUBLE) * sp * sr /
+        |      (CAST(4 AS DOUBLE) * sp + sr) / 6e9, 6)
+        |  ELSE 0.0 END AS chrf2
+        |FROM agg ORDER BY pair_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("pair_id"),
+          col("text").as("cand_text"))
+        .filter(col("pair_id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("pair_id"),
+          col("text").as("ref_text")), Seq("pair_id"))
+      TextStats.chrF(pairs, maxN = 6)
+    },
+
+    // ——— distinct-n diversity (Li et al. 2016): per 8-response
+    //     prompt roster, unique/total word 1- and 2-grams — the
+    //     standard mode-collapse diagnostic over sampled generations.
+    //     All counting; two rounded divisions. ———
+    Q("q359_distinct_n",
+      """WITH r AS (
+        |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id, text
+        |  FROM documents
+        |), t AS (
+        |  SELECT prompt_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM r
+        |), u1 AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS uniq_1,
+        |    CAST(SUM(c) AS BIGINT) AS total_1
+        |  FROM (
+        |    SELECT prompt_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |      SELECT prompt_id, unnest(ts) AS g FROM t) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), u2 AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS uniq_2,
+        |    CAST(SUM(c) AS BIGINT) AS total_2
+        |  FROM (
+        |    SELECT prompt_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |      SELECT prompt_id, unnest(list_transform(range(1, len(ts)),
+        |        i -> concat(ts[i], ' ', ts[i + 1]))) AS g
+        |      FROM t WHERE len(ts) >= 2) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), resp AS (
+        |  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT resp.prompt_id, resp.n_resp,
+        |  COALESCE(total_1, 0) AS total_1, COALESCE(uniq_1, 0) AS uniq_1,
+        |  CASE WHEN COALESCE(total_1, 0) > 0 THEN
+        |    round(CAST(uniq_1 AS DOUBLE) / total_1, 6) END AS distinct_1,
+        |  COALESCE(total_2, 0) AS total_2, COALESCE(uniq_2, 0) AS uniq_2,
+        |  CASE WHEN COALESCE(total_2, 0) > 0 THEN
+        |    round(CAST(uniq_2 AS DOUBLE) / total_2, 6) END AS distinct_2
+        |FROM resp
+        |LEFT JOIN u1 USING (prompt_id)
+        |LEFT JOIN u2 USING (prompt_id)
+        |ORDER BY prompt_id""".stripMargin) { (s, dir) =>
+      TextStats.distinctN(
+        docs(s, dir).select(expr("doc_id div 8").as("prompt_id"),
+          col("text")),
+        "prompt_id", "text")
     }
   )
 }

@@ -861,7 +861,7 @@ class ScaleSpec extends SparkSpec {
       "q357_winnowing_md5_slice" -> 1).withDefaultValue(0)
     for (name <- Seq("q353_ndcg_curve", "q354_rouge_l",
         "q355_bmp_dhash_neardup", "q356_elo_arena",
-        "q357_winnowing_md5_slice")) {
+        "q357_winnowing_md5_slice", "q358_chrf", "q359_distinct_n")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -755,6 +755,50 @@ class TextStatsSpec extends SparkSpec {
       out(3L).getAs[Double]("rouge_l_f") === 0.0)
   }
 
+  test("chrF: identity scores 1 everywhere; disjoint alphabets score " +
+    "0; beta=2 weights recall double") {
+    val pairs = Seq(
+      (0L, "the cat", "the  CAT"),  // identical after lower+ws-strip
+      (1L, "aaaa", "bbbb"),         // disjoint → 0
+      (2L, "abcdef", "abc"))        // P < R (cand longer)
+      .toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.chrF(pairs).collect()
+      .map(r => r.getAs[Long]("pair_id") -> r).toMap
+    assert(out(0L).getAs[Double]("chrf_p") === 1.0 &&
+      out(0L).getAs[Double]("chrf_r") === 1.0 &&
+      out(0L).getAs[Double]("chrf2") === 1.0)
+    assert(out(1L).getAs[Double]("chrf2") === 0.0)
+    val p = out(2L).getAs[Double]("chrf_p")
+    val r = out(2L).getAs[Double]("chrf_r")
+    val f = out(2L).getAs[Double]("chrf2")
+    assert(p < r, s"cand ⊃ ref must have P < R: $p vs $r")
+    // β=2: F sits between P and R but closer to R than the harmonic
+    // mean (β=1) would — check against the exact 5PR/(4P+R) formula
+    assert(math.abs(f - 5.0 * p * r / (4.0 * p + r)) < 2e-6,
+      s"chrf2 drifted from 5PR/(4P+R): $f vs $p/$r")
+    assert(f > 2.0 * p * r / (p + r) - 1e-9, "β=2 must sit above β=1")
+  }
+
+  test("distinctN: identical roster collapses toward 1/k; fully " +
+    "distinct tokens score 1; bigram totals are per-response") {
+    val collapsed = Seq.fill(4)((0L, "same answer text"))
+      .toDF("prompt_id", "text")
+    val c = TextStats.distinctN(collapsed, "prompt_id", "text")
+      .collect().head
+    assert(c.getAs[Long]("n_resp") === 4L)
+    assert(c.getAs[Long]("total_1") === 12L &&
+      c.getAs[Long]("uniq_1") === 3L)
+    assert(c.getAs[Double]("distinct_1") === 0.25) // 1/k exactly
+    assert(c.getAs[Long]("total_2") === 8L && c.getAs[Long]("uniq_2") === 2L)
+    val diverse = Seq((1L, "a b"), (1L, "c d")).toDF("prompt_id", "text")
+    val d = TextStats.distinctN(diverse, "prompt_id", "text")
+      .collect().head
+    assert(d.getAs[Double]("distinct_1") === 1.0)
+    // bigrams never span responses: 1 per 2-token response, both unique
+    assert(d.getAs[Long]("total_2") === 2L &&
+      d.getAs[Double]("distinct_2") === 1.0)
+  }
+
   test("rougeL: the maxTokens cap truncates both sides before the DP") {
     // cand = 6 tokens, cap 4: only "a b c d" survives; ref "c d" ⇒
     // LCS 2, cand_len reports the CAPPED length
