@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.engine.TrackedCache.Trackable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -240,5 +241,105 @@ object Evals {
           round((col("n_resp") * col("_r") - col("_s")).cast("double") /
             sqrt(col("_var_num").cast("double")), 6)).as("advantage"))
       .orderBy(promptCol, idCol)
+  }
+
+  /** One MM round of Dawid–Skene annotator weighting (Dawid & Skene
+    * 1979, the simplified accuracy-weighted form of Karger, Oh &
+    * Shah 2011): a crowdsourced label table is aggregated in three
+    * exact steps —
+    *
+    *  1. unweighted per-item majority (ties → smallest label),
+    *  2. per-annotator accuracy AGAINST that majority, held as an
+    *     exact 1e-6-quantized BIGINT weight,
+    *  3. accuracy-weighted re-vote (same tie rule) — low-quality
+    *     annotators lose influence without ever being dropped.
+    *
+    * All counting + integer weight sums; ties resolve through
+    * min-label (no argmax exists to tie-break differently
+    * cross-engine). One round is the standard lightweight form; the
+    * fixpoint iteration adds rounds of the same two aggregates.
+    *
+    * Output: one row per item — n_votes, majority_label,
+    * weighted_label, changed (BIGINT 0/1).
+    *
+    * Scale shape: aggregates keyed by (item, label) / annotator /
+    * item and equi-joins on those same keys; the annotator weight
+    * table is dictionary-scale. No windows, no collects.
+    */
+  /** Per-item majority label with the min-label tie rule over a
+    * normalized (_i, _a, _l) ledger — shared by [[dawidSkeneRound]]
+    * and [[annotatorConfusion]]. Tie-free: the winner is min(label)
+    * among labels attaining the max count. */
+  private def majorityByItem(l: DataFrame): DataFrame = {
+    val cnt = l.groupBy("_i", "_l").agg(count(lit(1)).as("_c"))
+    cnt.join(cnt.groupBy("_i").agg(max(col("_c")).as("_mx")), Seq("_i"))
+      .filter(col("_c") === col("_mx"))
+      .groupBy("_i").agg(min(col("_l")).as("_maj"))
+  }
+
+  def dawidSkeneRound(labels: DataFrame, itemCol: String = "item_id",
+                      annotatorCol: String = "annotator_id",
+                      labelCol: String = "label"): DataFrame = {
+    // the label ledger feeds four consumers — materialize once
+    val l = labels.select(col(itemCol).as("_i"),
+      col(annotatorCol).as("_a"), col(labelCol).as("_l"))
+      .trackedPersist()
+    val maj = majorityByItem(l)
+    val weights = l.join(maj, Seq("_i"))
+      .groupBy("_a")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_l") === col("_maj"), 1L).otherwise(0L)).as("_h"))
+      .select(col("_a"),
+        round(lit(1e6) * col("_h") / col("_n")).cast("long").as("_wt"))
+    val wcnt = l.join(weights, Seq("_a"))
+      .groupBy("_i", "_l").agg(sum(col("_wt")).as("_s"))
+    val wmaj = wcnt.join(
+        wcnt.groupBy("_i").agg(max(col("_s")).as("_wmx")), Seq("_i"))
+      .filter(col("_s") === col("_wmx"))
+      .groupBy("_i").agg(min(col("_l")).as("_wl"))
+    l.groupBy("_i").agg(count(lit(1)).as("n_votes"))
+      .join(maj, Seq("_i")).join(wmaj, Seq("_i"))
+      .select(col("_i").as(itemCol), col("n_votes"),
+        col("_maj").as("majority_label"),
+        col("_wl").as("weighted_label"),
+        (col("_wl") =!= col("_maj")).cast("long").as("changed"))
+      .orderBy(itemCol)
+  }
+
+  /** Per-annotator confusion matrix against the panel majority — the
+    * Dawid–Skene sufficient statistic itself (their π̂ matrix, 1979
+    * §2, estimated against the majority instead of the latent truth):
+    * for each (annotator, majority_label, given_label), the count and
+    * the row-normalized rate P(annotator says l | majority is m). The
+    * diagonal is the annotator's per-class accuracy; off-diagonal
+    * mass shows WHICH confusions each annotator makes — the readout
+    * [[dawidSkeneRound]]'s scalar weights collapse.
+    *
+    * Output: one row per OBSERVED (annotator, majority_label, label)
+    * cell — n, row_total, rate (round 6). Unobserved cells are absent
+    * (sparse), not zero-filled.
+    *
+    * Scale shape: the majority aggregate + one (annotator, m, l)
+    * count + one (annotator, m) row-total aggregate joined back on
+    * its own grouping keys. Cell cardinality is |annotators|·|labels|²
+    * — dictionary-scale. No windows.
+    */
+  def annotatorConfusion(labels: DataFrame, itemCol: String = "item_id",
+                         annotatorCol: String = "annotator_id",
+                         labelCol: String = "label"): DataFrame = {
+    val l = labels.select(col(itemCol).as("_i"),
+      col(annotatorCol).as("_a"), col(labelCol).as("_l"))
+      .trackedPersist()
+    val joined = l.join(majorityByItem(l), Seq("_i"))
+    val cells = joined.groupBy("_a", "_maj", "_l")
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("_a", "_maj")
+      .agg(sum(col("n")).as("row_total"))
+    cells.join(rows, Seq("_a", "_maj"))
+      .select(col("_a").as(annotatorCol),
+        col("_maj").as("majority_label"), col("_l").as(labelCol),
+        col("n"), col("row_total"),
+        round(col("n").cast("double") / col("row_total"), 6).as("rate"))
+      .orderBy(annotatorCol, "majority_label", labelCol)
   }
 }

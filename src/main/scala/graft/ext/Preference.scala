@@ -426,4 +426,60 @@ object Preference {
         col("best_id"), col("best_wins"))
       .orderBy("prompt_id")
   }
+
+  /** Wilson score interval leaderboard over a battle ledger — the
+    * uncertainty-aware win-rate table every public arena publishes
+    * next to its point estimates (Wilson 1927; the interval every
+    * "lower bound of CI" ranking uses, e.g. Reddit's best-comment
+    * sort per Miller 2009). Per participant with w wins in n games,
+    * p̂ = w/n and
+    *
+    *   lo, hi = (p̂ + z²/2n ∓ z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * `pess_rank` orders by the LOWER bound (pessimistic ranking): a
+    * 3-0 newcomer ranks below a 70-30 veteran, which the raw win
+    * rate gets backwards.
+    *
+    * Engine exactness: z enters as z² (default 3.8416 = 1.96², the
+    * 95% normal quantile) so the only non-arithmetic op is sqrt —
+    * IEEE-754 requires sqrt correctly rounded, so the whole
+    * expression is bit-identical cross-engine when mirrored
+    * operation-for-operation (the no-transcendentals discipline:
+    * exp/ln/pow are NOT correctly rounded; sqrt is).
+    *
+    * Scale shape: two vote-keyed count aggregates + one full outer
+    * join on the participant id; `pess_rank` comes from
+    * [[graft.engine.Ranks.rowNumberExact]] (dictionary-cumulative +
+    * value-partitioned tie window) — no partition-less row-scale
+    * window even if the roster ever stopped being small.
+    */
+  def wilsonLeaderboard(votes: DataFrame, winnerCol: String = "winner",
+                        loserCol: String = "loser",
+                        z2: Double = 3.8416): DataFrame = {
+    require(z2 > 0, s"wilsonLeaderboard: z2 must be > 0, got $z2")
+    val w = votes.groupBy(col(winnerCol).as("model_id"))
+      .agg(count(lit(1)).as("_w"))
+    val l = votes.groupBy(col(loserCol).as("model_id"))
+      .agg(count(lit(1)).as("_l"))
+    val counts = w.join(l, Seq("model_id"), "full")
+      .select(col("model_id"),
+        coalesce(col("_w"), lit(0L)).as("wins"),
+        (coalesce(col("_w"), lit(0L)) + coalesce(col("_l"), lit(0L)))
+          .as("n_games"))
+    val n = col("n_games").cast("double")
+    val phat = col("wins").cast("double") / n
+    val z2l = lit(z2)
+    val center = phat + z2l / (lit(2.0) * n)
+    val half = sqrt(z2l) *
+      sqrt(phat * (lit(1.0) - phat) / n + z2l / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2l / n
+    val scored = counts.select(col("model_id"), col("wins"),
+      col("n_games"),
+      round(phat, 6).as("win_rate"),
+      round((center - half) / denom, 6).as("wilson_lo"),
+      round((center + half) / denom, 6).as("wilson_hi"))
+    graft.engine.Ranks.rowNumberExact(scored, "wilson_lo", "model_id",
+        valueDesc = true, out = "pess_rank", withTotal = false)
+      .orderBy("model_id")
+  }
 }

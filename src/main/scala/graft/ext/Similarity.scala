@@ -893,6 +893,46 @@ object Similarity {
           .as("rr"))
   }
 
+  /** Leave-one-out 1-NN label evaluation over an embedding corpus —
+    * the standard embedding-quality probe (does the nearest neighbor
+    * share my class?) behind kNN-classifier baselines and
+    * representation-learning evals (e.g. the kNN protocol of Wu et
+    * al. 2018 / DINO): for each query in a BOUNDED roster, the brute
+    * cosine 1-NN among all OTHER vectors, and whether its label
+    * agrees.
+    *
+    * `queries` carries (qid, qv, q_label) and must be roster-scale:
+    * it is broadcast against the corpus scan (the q316 brute-truth
+    * discipline — the one accepted crossJoin shape, a per-row
+    * bounded fan-out, never corpus×corpus). Cosines are rounded to 6
+    * decimals BEFORE ranking so the (cos DESC, vec_id) order is
+    * engine-portable; the argmax itself is a window PARTITIONED by
+    * qid.
+    *
+    * Output: one row per query — qid, q_label, nn_id, nn_label, cos,
+    * correct (BIGINT 0/1). Per-class accuracy is one further
+    * aggregate on this frame.
+    */
+  def nnLabelEval(corpus: DataFrame, queries: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .select(col(idCol), col(vecCol), col(labelCol).cast("long").as("_cl"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qv"),
+        col("q_label").cast("long").as("_ql"))))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("_ql"), col(idCol), col("_cl"),
+        round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rk", row_number().over(wr))
+      .filter(col("_rk") === 1)
+      .select(col("qid"), col("_ql").as("q_label"),
+        col(idCol).as("nn_id"), col("_cl").as("nn_label"), col("cos"),
+        (col("_cl") === col("_ql")).cast("long").as("correct"))
+      .orderBy("qid")
+  }
+
   /** Depth weights for rank-biased overlap: w_d = (1−p)·p^(d−1)/d.
     * Computed ONCE driver-side so both the Spark plan and any SQL
     * replay consume the identical double literals (no cross-engine

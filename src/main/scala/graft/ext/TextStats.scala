@@ -1555,6 +1555,188 @@ object TextStats {
     * bounded literal-array explode — one token shuffle + one
     * vocabulary aggregate total, |ks| output rows.
     */
+  /** Self-BLEU diversity (Zhu et al. 2018, "Texygen: A Benchmarking
+    * Platform for Text Generation Models"): within each prompt's
+    * response roster, each response is scored against the OTHER k−1
+    * responses as a multi-reference clipped n-gram precision (the
+    * BLEU numerator family of [[clippedNgramPrecision]], n ∈ {1, 2});
+    * high self-BLEU = mode collapse (responses quote each other) —
+    * the inverse readout of q359's distinct-n.
+    *
+    * Multi-reference clipping WITHOUT the k² pairwise blow-up: the
+    * reference count of gram g for response i is max_{j≠i} c_j(g),
+    * which needs only the roster-wide TOP-2 statistic per (prompt, n,
+    * gram) — m1 = max count, nmax = #responses attaining it, m2 = max
+    * count strictly below — because max_{j≠i} c_j = m1 unless i is
+    * the UNIQUE argmax, in which case it is m2 (or 0 when i is the
+    * only response holding g). Tie-FREE integer logic: no argmax
+    * tie-breaking exists to diverge cross-engine.
+    *
+    * Per response p_n = Σ_g min(c_i(g), ref_i(g)) / total_n_grams_i,
+    * quantized to a 1e-9 BIGINT before the prompt rollup (integer
+    * sums are shuffle-order-free — the chrF discipline); each prompt
+    * reports the response-macro average. A single-response prompt has
+    * an empty reference set ⇒ p_n = 0 (Texygen defines self-BLEU for
+    * k ≥ 2; the degenerate value is documented, not hidden).
+    * Responses with no bigram are excluded from the p_2 average
+    * (NULL when none remain).
+    *
+    * Scale shape: gram explodes + three aggregates and two equi-joins
+    * all keyed on (prompt, n, gram) — one shuffle partitioning reused
+    * end-to-end, no windows, no pairwise response join; the per-gram
+    * count frame is trackedPersist'd (it feeds three consumers).
+    */
+  def selfBleu(responses: DataFrame, promptCol: String = "prompt_id",
+               idCol: String = "resp_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = responses.select(col(promptCol).as("_p"),
+      col(idCol).as("_r"), tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(col("_p"), col("_r"), lit(1).as("_n"),
+      explode(col("_toks")).as("_g"))
+    val bi = toks.filter(size(col("_toks")) >= 2)
+      .select(col("_p"), col("_r"), lit(2).as("_n"),
+        explode(expr("transform(sequence(0, size(_toks) - 2), i -> " +
+          "concat(_toks[i], ' ', _toks[i + 1]))")).as("_g"))
+    val cnt = uni.unionByName(bi)
+      .groupBy("_p", "_n", "_g", "_r").agg(count(lit(1)).as("_c"))
+      .trackedPersist()
+    val m1 = cnt.groupBy("_p", "_n", "_g").agg(max(col("_c")).as("_m1"))
+    val top2 = cnt.join(m1, Seq("_p", "_n", "_g"))
+      .groupBy("_p", "_n", "_g")
+      .agg(max(col("_m1")).as("_m1"),
+        sum(when(col("_c") === col("_m1"), 1L).otherwise(0L))
+          .as("_nmax"),
+        max(when(col("_c") < col("_m1"), col("_c"))).as("_m2"))
+    val clipped = cnt.join(top2, Seq("_p", "_n", "_g"))
+      .select(col("_p"), col("_r"), col("_n"),
+        least(col("_c"),
+          when(col("_c") === col("_m1") && col("_nmax") === 1L,
+            coalesce(col("_m2"), lit(0L))).otherwise(col("_m1")))
+          .as("_clip"))
+      .groupBy("_p", "_r", "_n").agg(sum(col("_clip")).as("_cl"))
+      .trackedPersist()
+    val tot = toks.select(col("_p"), col("_r"),
+      size(col("_toks")).cast("long").as("_t1"),
+      greatest(size(col("_toks")) - 1, lit(0)).cast("long").as("_t2"))
+    val per = tot
+      .join(clipped.filter(col("_n") === 1)
+        .select(col("_p"), col("_r"), col("_cl").as("_c1")),
+        Seq("_p", "_r"), "left")
+      .join(clipped.filter(col("_n") === 2)
+        .select(col("_p"), col("_r"), col("_cl").as("_c2")),
+        Seq("_p", "_r"), "left")
+      .select(col("_p"),
+        round(lit(1e9) * coalesce(col("_c1"), lit(0L)) / col("_t1"))
+          .cast("long").as("_q1"),
+        when(col("_t2") > 0L,
+          round(lit(1e9) * coalesce(col("_c2"), lit(0L)) / col("_t2"))
+            .cast("long")).as("_q2"))
+    per.groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_resp"),
+        sum(col("_q1")).as("_s1"),
+        count(col("_q2")).as("_n2"),
+        sum(col("_q2")).as("_s2"))
+      .select(col("_p").as(promptCol), col("n_resp"),
+        round(col("_s1").cast("double") / col("n_resp") / 1e9, 6)
+          .as("self_p1"),
+        when(col("_n2") > 0L,
+          round(col("_s2").cast("double") / col("_n2") / 1e9, 6))
+          .as("self_p2"))
+      .orderBy(promptCol)
+  }
+
+  /** Tokenizer fertility profile per language — the tokenizer-quality
+    * diagnostic every multilingual pipeline reports (Ács 2019;
+    * Rust et al. 2021 "How Good is Your Tokenizer?"): fertility =
+    * subword pieces per whitespace word (1.0 = the tokenizer never
+    * splits; high = the language is poorly served by the vocab) and
+    * chars per piece (the byte-economy view). Pieces are the BPE
+    * pre-tokenizer's view — alnum runs + single other non-space
+    * chars — in lookaround-FREE regex form ('[a-z0-9]+|[^a-z0-9\s]')
+    * so DuckDB's RE2 oracle runs the identical pattern
+    * ([[subwordCount]]'s lookaround split has no RE2 twin). Piece
+    * chars need no second regex pass: every non-whitespace char lands
+    * in exactly one piece, so the mass is the whitespace-stripped
+    * length.
+    *
+    * Scale shape: map-only per-doc counts + ONE group-keyed sum
+    * aggregate; two rounded divisions on the aggregate. No joins, no
+    * windows.
+    */
+  def fertility(docs: DataFrame, groupCol: String = "lang",
+                textCol: String = "text"): DataFrame = {
+    val piecePat = "[a-z0-9]+|[^a-z0-9\\s]"
+    val per = docs.select(col(groupCol).as("_grp"),
+      size(tokens(col(textCol))).cast("long").as("_w"),
+      size(regexp_extract_all(lower(col(textCol)), lit(piecePat),
+        lit(0))).cast("long").as("_p"),
+      length(regexp_replace(lower(col(textCol)), "\\s+", ""))
+        .cast("long").as("_pc"))
+    per.groupBy(col("_grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_p")).as("n_pieces"),
+        sum(col("_pc")).as("piece_chars"))
+      .select(col("_grp").as(groupCol), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("piece_chars"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        when(col("n_pieces") > 0L,
+          round(col("piece_chars").cast("double") / col("n_pieces"), 6))
+          .as("chars_per_piece"))
+      .orderBy(groupCol)
+  }
+
+  /** Word error rate (the ASR/generation edit-rate metric; TER
+    * without shifts — Snover et al. 2006 reduce to exactly this when
+    * the shift search is disabled): word-level Levenshtein distance
+    * between candidate and reference token prefixes (capped at
+    * `maxTokens`, the [[rougeL]] discipline), WER = edits / ref_len.
+    *
+    * The row DP new[j] = min(prev[j]+1, new[j−1]+1, prev[j−1]+sub_j)
+    * carries a sequential within-row dependency; it folds inside ONE
+    * expression via the prefix-min rewrite
+    * new[j] = min_{i≤j}(c_i + (j − i)) with
+    * c_0 = prev[0]+1, c_i = min(prev[i]+1, prev[i−1]+sub_i) —
+    * valid because trailing insertions cost exactly 1 each —
+    * deliberately O(m·n²) ≤ maxTokens³ INTEGER ops per pair so the
+    * DuckDB oracle can unroll the identical steps as MATERIALIZED
+    * CTEs (integer DP ⇒ bit-exact cross-engine; the q354 pattern).
+    *
+    * Scale shape: map-only — the DP folds inside one projection; the
+    * single rounded division happens per row. No joins, no windows.
+    */
+  def wer(pairs: DataFrame, maxTokens: Int = 24,
+          idCol: String = "pair_id", candCol: String = "cand_text",
+          refCol: String = "ref_text"): DataFrame = {
+    require(maxTokens >= 1, s"wer: maxTokens >= 1, got $maxTokens")
+    // capped token arrays in their OWN projection (HOF re-inline rule)
+    val toks = pairs.select(col(idCol),
+      slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
+      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    val dp = toks.withColumn("_dp", expr(
+      """aggregate(
+        |  _ct,
+        |  transform(sequence(0, size(_rt)), x -> CAST(x AS BIGINT)),
+        |  (prev, ctok) -> transform(sequence(0, size(_rt)), j ->
+        |    array_min(transform(sequence(0, j), i ->
+        |      IF(i = 0,
+        |         element_at(prev, 1) + 1L,
+        |         least(element_at(prev, i + 1) + 1L,
+        |           element_at(prev, i) +
+        |             IF(element_at(_rt, i) = ctok, 0L, 1L)))
+        |      + CAST(j - i AS BIGINT)))))""".stripMargin))
+    dp.select(col(idCol),
+        size(col("_ct")).cast("long").as("cand_len"),
+        size(col("_rt")).cast("long").as("ref_len"),
+        element_at(col("_dp"), size(col("_rt")) + 1).as("edits"))
+      .select(col(idCol), col("cand_len"), col("ref_len"), col("edits"),
+        when(col("ref_len") > 0L,
+          round(col("edits").cast("double") / col("ref_len"), 6))
+          .as("wer"))
+      .orderBy(idCol)
+  }
+
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000),
                     textCol: String = "text"): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1),

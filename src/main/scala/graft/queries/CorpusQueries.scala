@@ -2427,8 +2427,191 @@ object CorpusQueries {
         when(aWins, col("ma")).otherwise(col("mb")).as("winner"),
         when(aWins, col("mb")).otherwise(col("ma")).as("loser"))
       Preference.eloFold(battles)
+    },
+
+    // ——— Wilson-CI arena leaderboard (Wilson 1927): the
+    //     uncertainty-aware win-rate table next to q341's BT point
+    //     estimates, ranked by the pessimistic LOWER bound. z enters
+    //     as z² = 3.8416 so sqrt (IEEE correctly-rounded, unlike
+    //     exp/ln/pow) is the only non-arithmetic op — the whole
+    //     interval is mirrored operation-for-operation. Rank via
+    //     Ranks.rowNumberExact (dictionary-cumulative), not a global
+    //     window. ———
+    Q("q362_arena_wilson",
+      """WITH v AS (
+        |  SELECT CASE WHEN a_wins THEN ma ELSE mb END AS winner,
+        |    CASE WHEN a_wins THEN mb ELSE ma END AS loser
+        |  FROM (
+        |    SELECT ma, mb,
+        |      (((ma * 37) % 23 >= (mb * 37) % 23) <>
+        |       (CAST(concat('0x', substring(md5(concat(
+        |          CAST(event_id AS VARCHAR), ':wilson14')), 1, 7)) AS BIGINT)
+        |          % 5 = 0)) AS a_wins
+        |    FROM (
+        |      SELECT event_id, event_id % 8 AS ma,
+        |        (event_id // 8) % 8 AS mb
+        |      FROM events WHERE event_id IS NOT NULL
+        |    ) WHERE ma <> mb
+        |  )
+        |), w AS (
+        |  SELECT winner AS model_id, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM v GROUP BY 1
+        |), l AS (
+        |  SELECT loser AS model_id, CAST(COUNT(*) AS BIGINT) AS lc
+        |  FROM v GROUP BY 1
+        |), c AS (
+        |  SELECT COALESCE(w.model_id, l.model_id) AS model_id,
+        |    COALESCE(wc, 0) AS wins,
+        |    COALESCE(wc, 0) + COALESCE(lc, 0) AS n_games
+        |  FROM w FULL JOIN l ON w.model_id = l.model_id
+        |), ph AS (
+        |  SELECT model_id, wins, n_games,
+        |    CAST(wins AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+        |    CAST(n_games AS DOUBLE) AS nd
+        |  FROM c
+        |), s AS (
+        |  SELECT model_id, wins, n_games,
+        |    round(p, 6) AS win_rate,
+        |    round((p + CAST(3.8416 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * nd)
+        |        - sqrt(CAST(3.8416 AS DOUBLE)) *
+        |          sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd
+        |            + CAST(3.8416 AS DOUBLE) /
+        |              (CAST(4.0 AS DOUBLE) * nd * nd)))
+        |      / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / nd), 6)
+        |      AS wilson_lo,
+        |    round((p + CAST(3.8416 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * nd)
+        |        + sqrt(CAST(3.8416 AS DOUBLE)) *
+        |          sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd
+        |            + CAST(3.8416 AS DOUBLE) /
+        |              (CAST(4.0 AS DOUBLE) * nd * nd)))
+        |      / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / nd), 6)
+        |      AS wilson_hi
+        |  FROM ph
+        |)
+        |SELECT model_id, wins, n_games, win_rate, wilson_lo, wilson_hi,
+        |  CAST(row_number() OVER (ORDER BY wilson_lo DESC, model_id)
+        |    AS BIGINT) AS pess_rank
+        |FROM s ORDER BY model_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val battles = graft.Tables.load(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), (col("event_id") % 8).as("ma"),
+          (expr("event_id div 8") % 8).as("mb"))
+        .filter(col("ma") =!= col("mb"))
+      val aWins = ((col("ma") * 37 % 23) >= (col("mb") * 37 % 23)) =!=
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":wilson14"))), 1, 7), 16, 10).cast("long") % 5 === 0)
+      val votes = battles.select(
+        when(aWins, col("ma")).otherwise(col("mb")).as("winner"),
+        when(aWins, col("mb")).otherwise(col("ma")).as("loser"))
+      Preference.wilsonLeaderboard(votes)
+    },
+
+    // ——— one Dawid–Skene MM round (1979) over a synthetic 5-annotator
+    //     panel (annotators 0–3 ≈80% accurate, annotator 4 ≈40%, md5
+    //     coin): unweighted majority → per-annotator accuracy vs the
+    //     majority (exact 1e-6 BIGINT weights) → accuracy-weighted
+    //     re-vote. Ties resolve through min-label everywhere — no
+    //     argmax exists to tie-break differently cross-engine. ———
+    Q("q364_dawid_skene",
+      dsLabMajSql +
+      """, wt AS (
+        |  SELECT annotator_id,
+        |    CAST(round(1e6 * SUM(CASE WHEN lab.label = maj.maj
+        |      THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS wt
+        |  FROM lab JOIN maj USING (item_id) GROUP BY 1
+        |), wcnt AS (
+        |  SELECT item_id, label, CAST(SUM(wt) AS BIGINT) AS s
+        |  FROM lab JOIN wt USING (annotator_id) GROUP BY 1, 2
+        |), wmx AS (
+        |  SELECT item_id, MAX(s) AS wmx FROM wcnt GROUP BY 1
+        |), wmaj AS (
+        |  SELECT wcnt.item_id, MIN(label) AS wl
+        |  FROM wcnt JOIN wmx ON wmx.item_id = wcnt.item_id
+        |    AND wcnt.s = wmx.wmx
+        |  GROUP BY 1
+        |), nv AS (
+        |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_votes
+        |  FROM lab GROUP BY 1
+        |)
+        |SELECT nv.item_id, nv.n_votes, maj.maj AS majority_label,
+        |  wmaj.wl AS weighted_label,
+        |  CAST(CASE WHEN wmaj.wl <> maj.maj THEN 1 ELSE 0 END AS BIGINT)
+        |    AS changed
+        |FROM nv JOIN maj USING (item_id) JOIN wmaj USING (item_id)
+        |ORDER BY item_id""".stripMargin) { (s, dir) =>
+      graft.ext.Evals.dawidSkeneRound(dsLabFrame(s, dir))
+    },
+
+    // ——— the Dawid–Skene sufficient statistic itself on the q364
+    //     panel: per-annotator confusion matrix against the majority
+    //     (row-normalized P(says l | majority m)) — the diagonal is
+    //     per-class accuracy, off-diagonal mass shows WHICH confusion
+    //     each annotator makes. Dictionary-scale cells. ———
+    Q("q366_annotator_confusion",
+      dsLabMajSql +
+      """, j AS (
+        |  SELECT lab.annotator_id, maj.maj, lab.label
+        |  FROM lab JOIN maj USING (item_id)
+        |), cells AS (
+        |  SELECT annotator_id, maj, label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2, 3
+        |), rt AS (
+        |  SELECT annotator_id, maj, CAST(SUM(n) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT cells.annotator_id, cells.maj AS majority_label,
+        |  cells.label, cells.n, rt.row_total,
+        |  round(CAST(cells.n AS DOUBLE) / rt.row_total, 6) AS rate
+        |FROM cells JOIN rt USING (annotator_id, maj)
+        |ORDER BY annotator_id, majority_label, label""".stripMargin) {
+      (s, dir) =>
+      graft.ext.Evals.annotatorConfusion(dsLabFrame(s, dir))
     }
   )
+
+  /** The q364/q366 synthetic annotation panel: 5 annotators per
+    * document, annotators 0–3 ≈80% accurate and annotator 4 ≈40%
+    * (md5 coin, engine-mirrorable), true-ish label = doc_id % 3. */
+  private def dsLabFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      explode(sequence(lit(0L), lit(4L))).as("a"))
+    val coin = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("a").cast("string"), lit(":ds14"))), 1, 7), 16, 10)
+      .cast("long")
+    val wrong = (coin % 10) < when(col("a") < 4L, 2L).otherwise(6L)
+    base.select(col("doc_id").as("item_id"),
+      col("a").as("annotator_id"),
+      when(wrong, (col("doc_id") % 3 + 1 + coin % 2) % 3)
+        .otherwise(col("doc_id") % 3).as("label"))
+  }
+
+  /** Shared oracle prefix for q364/q366: the synthetic `lab` panel
+    * plus the min-label-tie majority chain ending in
+    * `maj(item_id, maj)`. */
+  private def dsLabMajSql: String =
+    """WITH lab AS (
+      |  SELECT d.doc_id AS item_id, CAST(a.a AS BIGINT) AS annotator_id,
+      |    CASE WHEN (CAST(concat('0x', substring(md5(concat(
+      |        CAST(d.doc_id AS VARCHAR), ':', CAST(a.a AS VARCHAR),
+      |        ':ds14')), 1, 7)) AS BIGINT) % 10) <
+      |        (CASE WHEN a.a < 4 THEN 2 ELSE 6 END)
+      |      THEN (d.doc_id % 3 + 1 + (CAST(concat('0x', substring(
+      |        md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+      |        CAST(a.a AS VARCHAR), ':ds14')), 1, 7)) AS BIGINT) % 2))
+      |        % 3
+      |      ELSE d.doc_id % 3 END AS label
+      |  FROM documents d, unnest(range(0, 5)) a(a)
+      |), cnt AS (
+      |  SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lab GROUP BY 1, 2
+      |), mx AS (
+      |  SELECT item_id, MAX(c) AS mx FROM cnt GROUP BY 1
+      |), maj AS (
+      |  SELECT cnt.item_id, MIN(label) AS maj
+      |  FROM cnt JOIN mx ON mx.item_id = cnt.item_id AND cnt.c = mx.mx
+      |  GROUP BY 1
+      |)""".stripMargin
 
   /** The q344/q348 oracle: pass@k on the batch (task, n, c) ledger —
     * also the answer the q348 STREAMING ingestion must land on (its

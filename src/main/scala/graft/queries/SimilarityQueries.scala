@@ -1464,6 +1464,40 @@ object SimilarityQueries {
         .withColumnRenamed("cos_sim", "rel")
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       Similarity.mmrRerank(pool, k = 3, lam = 0.7)
+    },
+
+    // ——— leave-one-out 1-NN label eval (the kNN representation-
+    //     quality probe, Wu et al. 2018 protocol): brute cosine 1-NN
+    //     over the bounded vec_id % 25 query roster (broadcast — the
+    //     q316 brute-truth crossJoin shape), cosines rounded 6 before
+    //     the (cos DESC, vec_id) argmax so the order is
+    //     engine-portable; per-query label agreement. ———
+    Q("q365_nn_label_eval",
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |    CAST(label AS BIGINT) AS q_label
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |), scored AS (
+         |  SELECT q.qid, q.q_label, e.vec_id,
+         |    CAST(e.label AS BIGINT) AS nn_label,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.qid
+         |), nn AS (
+         |  SELECT qid, q_label, vec_id AS nn_id, nn_label, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT qid, q_label, nn_id, nn_label, cos,
+         |  CAST(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM nn WHERE rk = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      Similarity.nnLabelEval(e, queries)
     }
   )
 

@@ -3647,6 +3647,158 @@ object TextQueries {
         docs(s, dir).select(expr("doc_id div 8").as("prompt_id"),
           col("text")),
         "prompt_id", "text")
+    },
+
+    // ——— self-BLEU diversity (Zhu et al. 2018) over q359's 8-response
+    //     prompt rosters: each response scored against the other 7 as
+    //     multi-reference clipped n-gram precision (n=1,2). The
+    //     reference clip max_{j≠i} c_j needs only the roster-wide
+    //     TOP-2 statistic per (prompt, n, gram) — tie-free integer
+    //     logic, no k² pairwise join — then 1e-9-quantized per-response
+    //     ratios integer-sum into the prompt macro average. ———
+    Q("q360_self_bleu",
+      """WITH r AS (
+        |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id,
+        |    doc_id AS resp_id, text
+        |  FROM documents
+        |), t AS (
+        |  SELECT prompt_id, resp_id,
+        |    string_split_regex(lower(text), '\s+') AS ts
+        |  FROM r
+        |), g AS (
+        |  SELECT prompt_id, resp_id, 1 AS n, unnest(ts) AS g FROM t
+        |  UNION ALL
+        |  SELECT prompt_id, resp_id, 2 AS n,
+        |    unnest(list_transform(range(1, len(ts)),
+        |      i -> concat(ts[i], ' ', ts[i + 1]))) AS g
+        |  FROM t WHERE len(ts) >= 2
+        |), c AS (
+        |  SELECT prompt_id, n, g, resp_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3, 4
+        |), m1 AS (
+        |  SELECT prompt_id, n, g, MAX(c) AS m1 FROM c GROUP BY 1, 2, 3
+        |), st AS (
+        |  SELECT c.prompt_id, c.n, c.g, MAX(m1.m1) AS m1,
+        |    CAST(SUM(CASE WHEN c.c = m1.m1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nmax,
+        |    MAX(CASE WHEN c.c < m1.m1 THEN c.c END) AS m2
+        |  FROM c JOIN m1 USING (prompt_id, n, g) GROUP BY 1, 2, 3
+        |), cl AS (
+        |  SELECT c.prompt_id, c.resp_id, c.n,
+        |    CAST(SUM(LEAST(c.c,
+        |      CASE WHEN c.c = st.m1 AND st.nmax = 1
+        |        THEN COALESCE(st.m2, 0) ELSE st.m1 END)) AS BIGINT) AS cl
+        |  FROM c JOIN st USING (prompt_id, n, g) GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT prompt_id, resp_id, CAST(len(ts) AS BIGINT) AS t1,
+        |    CAST(GREATEST(len(ts) - 1, 0) AS BIGINT) AS t2
+        |  FROM t
+        |), pr AS (
+        |  SELECT tot.prompt_id,
+        |    CAST(round(1e9 * COALESCE(c1.cl, 0) / t1) AS BIGINT) AS q1,
+        |    CASE WHEN t2 > 0 THEN
+        |      CAST(round(1e9 * COALESCE(c2.cl, 0) / t2) AS BIGINT)
+        |    END AS q2
+        |  FROM tot
+        |  LEFT JOIN cl c1 ON c1.prompt_id = tot.prompt_id
+        |    AND c1.resp_id = tot.resp_id AND c1.n = 1
+        |  LEFT JOIN cl c2 ON c2.prompt_id = tot.prompt_id
+        |    AND c2.resp_id = tot.resp_id AND c2.n = 2
+        |)
+        |SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp,
+        |  round(CAST(SUM(q1) AS DOUBLE) / COUNT(*) / 1e9, 6) AS self_p1,
+        |  CASE WHEN COUNT(q2) > 0 THEN
+        |    round(CAST(SUM(q2) AS DOUBLE) / COUNT(q2) / 1e9, 6)
+        |  END AS self_p2
+        |FROM pr GROUP BY 1 ORDER BY prompt_id""".stripMargin) { (s, dir) =>
+      TextStats.selfBleu(
+        docs(s, dir).select(expr("doc_id div 8").as("prompt_id"),
+          col("doc_id").as("resp_id"), col("text")),
+        "prompt_id", "resp_id", "text")
+    },
+
+    // ——— word error rate (TER without shifts) over q354's pair
+    //     fixture: word-level Levenshtein on 24-token-capped prefixes.
+    //     The within-row sequential DP dependency folds inside one
+    //     expression via the prefix-min rewrite
+    //     new[j] = min_{i≤j}(c_i + (j−i)) (trailing insertions cost 1
+    //     each); integer DP ⇒ bit-exact against the 24-step
+    //     MATERIALIZED-CTE unroll. ———
+    Q("q361_wer", {
+      val L = 24
+      val steps = (1 to L).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT pair_id, ctoks, rtoks, n,
+           |    CASE WHEN len(ctoks) >= $t THEN
+           |      list_transform(range(0, n + 1), j ->
+           |        list_min(list_transform(range(0, j + 1), i ->
+           |          CASE WHEN i = 0 THEN dp[1] + 1
+           |            ELSE LEAST(dp[i + 1] + 1,
+           |              dp[i] + CASE WHEN rtoks[i] = ctoks[$t]
+           |                THEN 0 ELSE 1 END) END
+           |          + (j - i))))
+           |    ELSE dp END AS dp
+           |  FROM d${t - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a.doc_id AS pair_id, a.text AS ct, b.text AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0
+         |), tk AS MATERIALIZED (
+         |  SELECT pair_id,
+         |    string_split_regex(lower(ct), '\\s+')[1:$L] AS ctoks,
+         |    string_split_regex(lower(rt), '\\s+')[1:$L] AS rtoks
+         |  FROM p
+         |), d0 AS MATERIALIZED (
+         |  SELECT pair_id, ctoks, rtoks, len(rtoks) AS n,
+         |    list_transform(range(0, len(rtoks) + 1),
+         |      x -> CAST(x AS BIGINT)) AS dp
+         |  FROM tk
+         |),
+         |$steps
+         |SELECT pair_id, CAST(len(ctoks) AS BIGINT) AS cand_len,
+         |  CAST(n AS BIGINT) AS ref_len,
+         |  CAST(dp[n + 1] AS BIGINT) AS edits,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST(dp[n + 1] AS DOUBLE) / n, 6) END AS wer
+         |FROM d$L ORDER BY pair_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("pair_id"),
+          col("text").as("cand_text"))
+        .filter(col("pair_id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("pair_id"),
+          col("text").as("ref_text")), Seq("pair_id"))
+      TextStats.wer(pairs, maxTokens = 24)
+    },
+
+    // ——— tokenizer fertility per language (Ács 2019, Rust et al.
+    //     2021): pieces per word + chars per piece, pieces = the BPE
+    //     pre-tokenizer view in lookaround-free regex form (identical
+    //     RE2 pattern in both engines); piece chars = the
+    //     whitespace-stripped length (every non-ws char lands in
+    //     exactly one piece). Map-only + one lang-keyed sum. ———
+    Q("q363_fertility",
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |      AS w,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS p,
+        |    CAST(length(regexp_replace(lower(text), '\s+', '', 'g'))
+        |      AS BIGINT) AS pc
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(p) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(pc) AS BIGINT) AS piece_chars,
+        |  round(CAST(SUM(p) AS DOUBLE) / SUM(w), 6) AS fertility,
+        |  CASE WHEN SUM(p) > 0 THEN
+        |    round(CAST(SUM(pc) AS DOUBLE) / SUM(p), 6)
+        |  END AS chars_per_piece
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextStats.fertility(docs(s, dir))
     }
   )
 }

@@ -847,7 +847,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r14 additions (q353–q356): partitioned/dictionary windows " +
+  test("r14 additions (q353–q366): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q353 replays q316's accepted ANN-battery shape and cap: the
     // brute-truth crossJoin(broadcast(query-roster)) over the bounded
@@ -857,11 +857,22 @@ class ScaleSpec extends SparkSpec {
     // q354 is map-only (the LCS DP folds inside one projection);
     // q355's joins are the banded LSH bucket equi-joins; q356's only
     // shuffle is the league repartition feeding the in-partition fold.
+    // q360's multi-reference clip is three (prompt, n, gram)-keyed
+    // aggregates + equi-joins (no k² pairwise); q361 is map-only (the
+    // WER DP folds inside one projection); q362's only joins are the
+    // two count aggregates' full outer + rowNumberExact's broadcast
+    // dictionary attach.
+    // q365 is the accepted q316 brute-roster shape: ONE
+    // crossJoin(broadcast(bounded query roster)).
     val bnljCap = Map("q353_ndcg_curve" -> 2,
-      "q357_winnowing_md5_slice" -> 1).withDefaultValue(0)
+      "q357_winnowing_md5_slice" -> 1,
+      "q365_nn_label_eval" -> 1).withDefaultValue(0)
     for (name <- Seq("q353_ndcg_curve", "q354_rouge_l",
         "q355_bmp_dhash_neardup", "q356_elo_arena",
-        "q357_winnowing_md5_slice", "q358_chrf", "q359_distinct_n")) {
+        "q357_winnowing_md5_slice", "q358_chrf", "q359_distinct_n",
+        "q360_self_bleu", "q361_wer", "q362_arena_wilson",
+        "q363_fertility", "q364_dawid_skene", "q365_nn_label_eval",
+        "q366_annotator_confusion")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -119,4 +119,86 @@ class EvalsSpec extends SparkSpec {
     val s = run(big).map(_.getDouble(4)).sum
     assert(math.abs(s) < 1e-4, s.toString)
   }
+
+  test("dawidSkeneRound: a planted low-accuracy pair loses a 3-2 " +
+    "split to the accuracy-weighted minority") {
+    // items 1..8: annotators 0,1,2 → label 0; annotators 3,4 → 1
+    // (majority 0, so a3/a4 earn accuracy 1/9).
+    // item 9: a0,a1 → 0; a2,a3,a4 → 1 (raw majority 1). Weighted:
+    // label 0 gets w0+w1 = 888889·2; label 1 gets w2+w3+w4 =
+    // 1000000 + 111111·2 — the reliable minority flips it to 0.
+    val rows =
+      (1L to 8L).flatMap(i => Seq((i, 0L, 0L), (i, 1L, 0L), (i, 2L, 0L),
+        (i, 3L, 1L), (i, 4L, 1L))) ++
+      Seq((9L, 0L, 0L), (9L, 1L, 0L), (9L, 2L, 1L), (9L, 3L, 1L),
+        (9L, 4L, 1L))
+    val out = Evals.dawidSkeneRound(
+        rows.toDF("item_id", "annotator_id", "label"))
+      .collect().map(r => r.getAs[Long]("item_id") -> r).toMap
+    (1L to 8L).foreach { i =>
+      assert(out(i).getAs[Long]("majority_label") === 0L)
+      assert(out(i).getAs[Long]("weighted_label") === 0L)
+      assert(out(i).getAs[Long]("changed") === 0L)
+    }
+    assert(out(9L).getAs[Long]("majority_label") === 1L)
+    assert(out(9L).getAs[Long]("weighted_label") === 0L)
+    assert(out(9L).getAs[Long]("changed") === 1L)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("dawidSkeneRound: min-label tie rule at both stages, and " +
+    "determinism under repartition") {
+    // one item, two annotators, distinct labels: count tie → majority
+    // min(5,7)=5; weights then 1e6 (a hit) vs 0 (a miss) → weighted 5
+    val tie = Seq((0L, 0L, 7L), (0L, 1L, 5L))
+      .toDF("item_id", "annotator_id", "label")
+    val t = Evals.dawidSkeneRound(tie).collect().head
+    assert(t.getAs[Long]("majority_label") === 5L)
+    assert(t.getAs[Long]("weighted_label") === 5L)
+    assert(t.getAs[Long]("changed") === 0L)
+    graft.engine.TrackedCache.release()
+
+    val rows = (0L until 60L).map(i =>
+      (i % 12, i % 5, (i * 7 + i % 3) % 4))
+      .toDF("item_id", "annotator_id", "label")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val r = Evals.dawidSkeneRound(d).collect().toSeq
+      graft.engine.TrackedCache.release()
+      r
+    }
+    assert(run(rows) === run(rows.repartition(7)))
+  }
+
+  test("annotatorConfusion: a perfect annotator is purely diagonal, " +
+    "a label-swapper's mass sits on the swapped cell, rows sum to 1") {
+    // 6 items, labels 0/1 alternating; annotators 0,1 always agree
+    // (they ARE the majority), annotator 2 swaps 0↔1 every time
+    val rows = (0L until 6L).flatMap { i =>
+      val t = i % 2
+      Seq((i, 0L, t), (i, 1L, t), (i, 2L, 1L - t))
+    }.toDF("item_id", "annotator_id", "label")
+    val out = Evals.annotatorConfusion(rows).collect()
+    val byKey = out.map(r => (r.getAs[Long]("annotator_id"),
+      r.getAs[Long]("majority_label"), r.getAs[Long]("label")) -> r).toMap
+    // perfect annotators: only (m, m) cells, rate 1.0
+    Seq(0L, 1L).foreach { a =>
+      Seq(0L, 1L).foreach { m =>
+        assert(byKey((a, m, m)).getAs[Double]("rate") === 1.0)
+        assert(!byKey.contains((a, m, 1L - m)))
+      }
+    }
+    // the swapper: only (m, 1−m) cells, rate 1.0, n = 3 per row
+    Seq(0L, 1L).foreach { m =>
+      val c = byKey((2L, m, 1L - m))
+      assert(c.getAs[Long]("n") === 3L && c.getAs[Double]("rate") === 1.0)
+      assert(!byKey.contains((2L, m, m)))
+    }
+    // observed row mass always sums to row_total
+    out.groupBy(r => (r.getAs[Long]("annotator_id"),
+      r.getAs[Long]("majority_label"))).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum ===
+        cells.head.getAs[Long]("row_total"))
+    }
+    graft.engine.TrackedCache.release()
+  }
 }

@@ -247,4 +247,37 @@ class PreferenceSpec extends SparkSpec {
     }
     assert(run(base) === run(base.repartition(7)))
   }
+
+  test("wilsonLeaderboard: hand-computed intervals, [0,1] bounds, " +
+    "interval contains the point estimate, p=1 pins hi at exactly 1") {
+    // model 0: 7-3 vs model 1; model 2: 3-0 vs model 3
+    val votes = (Seq.fill(7)((0L, 1L)) ++ Seq.fill(3)((1L, 0L)) ++
+      Seq.fill(3)((2L, 3L))).toDF("winner", "loser")
+    val out = Preference.wilsonLeaderboard(votes).collect()
+      .map(r => r.getAs[Long]("model_id") -> r).toMap
+    assert(out(0L).getAs[Long]("wins") === 7L &&
+      out(0L).getAs[Long]("n_games") === 10L)
+    // python-mirrored reference values (z² = 3.8416)
+    assert(out(0L).getAs[Double]("wilson_lo") === 0.396773)
+    assert(out(0L).getAs[Double]("wilson_hi") === 0.892211)
+    assert(out(2L).getAs[Double]("wilson_lo") === 0.438494)
+    assert(out(2L).getAs[Double]("wilson_hi") === 1.0) // algebraic at p̂=1
+    assert(out(3L).getAs[Double]("wilson_lo") === 0.0) // algebraic at p̂=0
+    out.values.foreach { r =>
+      val (lo, rate, hi) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("win_rate"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi)
+    }
+  }
+
+  test("wilsonLeaderboard: pessimistic rank — a 3-0 newcomer ranks " +
+    "below a 70-30 veteran despite the higher raw win rate") {
+    val votes = (Seq.fill(70)((0L, 9L)) ++ Seq.fill(30)((9L, 0L)) ++
+      Seq.fill(3)((1L, 9L))).toDF("winner", "loser")
+    val out = Preference.wilsonLeaderboard(votes).collect()
+      .map(r => r.getAs[Long]("model_id") ->
+        (r.getAs[Double]("win_rate"), r.getAs[Long]("pess_rank"))).toMap
+    assert(out(1L)._1 === 1.0 && out(0L)._1 === 0.7) // raw rates
+    assert(out(0L)._2 === 1L && out(1L)._2 === 2L)   // lo-bound order
+  }
 }

@@ -788,4 +788,28 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("neg_id") !== 1L)
     }
   }
+
+  test("nnLabelEval: planted clusters classify correctly, a lone " +
+    "class misclassifies, and the query never matches itself") {
+    // two tight clusters (labels 0, 1) + one isolated vector (label 9)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val corpus = Seq(
+      (0L, v(1, 0), 0), (1L, v(0.99, 0.01), 0), (2L, v(0.98, 0.02), 0),
+      (10L, v(0, 1), 1), (11L, v(0.01, 0.99), 1), (12L, v(0.02, 0.98), 1),
+      (20L, v(0.7, 0.7), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.select($"vec_id".as("qid"),
+      $"embedding".as("qv"), $"label".as("q_label"))
+    val out = Similarity.nnLabelEval(corpus, queries).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(out.size === 7)
+    out.values.foreach(r =>
+      assert(r.getAs[Long]("nn_id") !== r.getAs[Long]("qid")))
+    Seq(0L, 1L, 2L, 10L, 11L, 12L).foreach { q =>
+      assert(out(q).getAs[Long]("correct") === 1L, s"qid $q")
+    }
+    // the lone label-9 vector's nearest neighbor is some cluster
+    // member — never its own class
+    assert(out(20L).getAs[Long]("correct") === 0L)
+  }
 }

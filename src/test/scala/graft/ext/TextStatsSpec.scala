@@ -811,4 +811,108 @@ class TextStatsSpec extends SparkSpec {
     // tokens e/f beyond the cap must not count: uncapped LCS would
     // still be 2 here, but a cap-aware check is the cand_len above
   }
+
+  test("selfBleu: identical roster scores 1; hand-computed mixed " +
+    "roster; lone response scores 0 (empty reference set)") {
+    val collapsed = Seq.fill(4)((0L, "same answer text"))
+      .zipWithIndex.map { case ((p, t), i) => (p, i.toLong, t) }
+      .toDF("prompt_id", "resp_id", "text")
+    val c = TextStats.selfBleu(collapsed).collect().head
+    assert(c.getAs[Long]("n_resp") === 4L)
+    assert(c.getAs[Double]("self_p1") === 1.0)
+    assert(c.getAs[Double]("self_p2") === 1.0)
+
+    // r1="a b", r2="a b", r3="a c": gram 'a' is roster-wide (nmax=3),
+    // 'b' shared by r1/r2 (nmax=2), 'c' unique to r3 (ref 0) ⇒
+    // p1 = (1, 1, 0.5), self_p1 = 2.5/3; bigram "a b" shared (p2=1,1),
+    // "a c" unique (p2=0) ⇒ self_p2 = 2/3
+    val mixed = Seq((7L, 1L, "a b"), (7L, 2L, "a b"), (7L, 3L, "a c"))
+      .toDF("prompt_id", "resp_id", "text")
+    val m = TextStats.selfBleu(mixed).collect().head
+    assert(m.getAs[Double]("self_p1") === 0.833333)
+    assert(m.getAs[Double]("self_p2") === 0.666667)
+
+    val lone = Seq((9L, 1L, "only response here"))
+      .toDF("prompt_id", "resp_id", "text")
+    val l = TextStats.selfBleu(lone).collect().head
+    assert(l.getAs[Double]("self_p1") === 0.0)
+    assert(l.getAs[Double]("self_p2") === 0.0)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("selfBleu: the unique-argmax clip uses the SECOND max — a " +
+    "response repeating a token 3x clips against the others' best 1") {
+    // r1 says 'x' three times; r2/r3 once each. For r1: ref = m2 = 1
+    // (not its own 3) ⇒ clip 1/3; for r2/r3: ref = m1 = 3 ⇒ clip 1.
+    val df = Seq((0L, 1L, "x x x"), (0L, 2L, "x"), (0L, 3L, "x"))
+      .toDF("prompt_id", "resp_id", "text")
+    val r = TextStats.selfBleu(df).collect().head
+    // p1 = (1/3, 1, 1) ⇒ mean = 7/9 = 0.777778 (1e-9-quantized)
+    assert(r.getAs[Double]("self_p1") === 0.777778)
+    graft.engine.TrackedCache.release()
+  }
+
+  test("wer: identity 0; hand substitution/insertion; symmetry; " +
+    "agreement with char-level levenshtein on single-char tokens") {
+    val pairs = Seq(
+      (0L, "a b c", "a b c"),   // identity: 0 edits
+      (1L, "a b c", "a x c"),   // 1 substitution
+      (2L, "a b", "a b c"),     // 1 insertion, wer = 1/3
+      (3L, "q w e r", "z x"),   // hand: lev(qwer, zx) = 4
+      (4L, "a b c d", "d c b a") // reversal: lev = 4? checked below
+    ).toDF("pair_id", "cand_text", "ref_text")
+    val out = TextStats.wer(pairs).collect().map(r =>
+      r.getAs[Long]("pair_id") -> r).toMap
+    assert(out(0L).getAs[Long]("edits") === 0L)
+    assert(out(0L).getAs[Double]("wer") === 0.0)
+    assert(out(1L).getAs[Long]("edits") === 1L)
+    assert(out(1L).getAs[Double]("wer") === 0.333333)
+    assert(out(2L).getAs[Long]("edits") === 1L)
+    assert(out(2L).getAs[Double]("wer") === 0.333333)
+    // single-char tokens ⇒ word DP must equal Spark's char DP
+    val strs = Seq((3L, "qwer", "zx"), (4L, "abcd", "dcba"))
+      .toDF("id", "a", "b")
+    val lev = strs.select(col("id"), levenshtein(col("a"), col("b"))
+      .cast("long").as("d")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L).getAs[Long]("edits") === lev(3L))
+    assert(out(4L).getAs[Long]("edits") === lev(4L))
+
+    // symmetry: swapping cand/ref preserves the edit count
+    val swapped = Seq((1L, "a x c", "a b c"), (3L, "z x", "q w e r"))
+      .toDF("pair_id", "cand_text", "ref_text")
+    val sw = TextStats.wer(swapped).collect().map(r =>
+      r.getAs[Long]("pair_id") -> r.getAs[Long]("edits")).toMap
+    assert(sw(1L) === 1L && sw(3L) === 4L)
+  }
+
+  test("fertility: hand-computed pieces/words/chars, and a never-" +
+    "splitting corpus reads exactly 1.0") {
+    // "don't stop-me now!" → pieces don|'|t|stop|-|me|now|! = 8,
+    // words = 3, non-ws chars = 16
+    val df = Seq(("en", "don't stop-me now!"), ("en", "plain words"))
+      .toDF("lang", "text")
+    val r = TextStats.fertility(df).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_words") === 5L)
+    assert(r.getAs[Long]("n_pieces") === 10L) // 8 + plain|words
+    assert(r.getAs[Long]("piece_chars") === 26L) // 16 + 10
+    assert(r.getAs[Double]("fertility") === 2.0)
+    assert(r.getAs[Double]("chars_per_piece") === 2.6)
+    val clean = Seq(("xx", "alpha beta"), ("xx", "gamma"))
+      .toDF("lang", "text")
+    val c = TextStats.fertility(clean).collect().head
+    assert(c.getAs[Double]("fertility") === 1.0)
+  }
+
+  test("wer: the maxTokens cap truncates both sides before the DP") {
+    // 26-token texts that differ only beyond position 24 ⇒ 0 edits
+    val base = (1 to 26).map(i => s"t$i")
+    val cand = base.mkString(" ")
+    val ref = (base.take(24) ++ Seq("XX", "YY")).mkString(" ")
+    val out = TextStats.wer(Seq((0L, cand, ref))
+      .toDF("pair_id", "cand_text", "ref_text")).collect().head
+    assert(out.getAs[Long]("cand_len") === 24L)
+    assert(out.getAs[Long]("ref_len") === 24L)
+    assert(out.getAs[Long]("edits") === 0L)
+  }
 }
