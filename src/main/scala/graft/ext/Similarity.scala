@@ -933,6 +933,70 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Distributional text/embedding eval via cluster-histogram total
+    * variation — the MAUVE family (Pillutla et al. 2021) with TV in
+    * place of KL, so NO transcendentals enter the data path (MAUVE
+    * itself quantizes both corpora onto a shared k-means codebook and
+    * compares the histograms; the divergence choice is the pluggable
+    * part): assign set A (model samples) and set B (reference) to the
+    * SHARED centroid codebook, and report per-cell occupancy shares
+    * plus TV(A, B) = ½·Σ_c |p_c − q_c| ∈ [0, 1] (0 = identical
+    * coverage, 1 = disjoint modes — the mode-collapse readout).
+    *
+    * Engine exactness: each cell's share is quantized to a 1e-9
+    * BIGINT (ONE mirrored double division) before the cross-cell
+    * sum — integer sums are shuffle-order-free, and the quantized
+    * numerators are ≤ 1e9 regardless of corpus size (the chrF/IPF
+    * discipline; the naive common-denominator integer form
+    * |n_a·N_b − n_b·N_a| would overflow BIGINT at ~1e9 rows/side).
+    *
+    * Output: one row per codebook cell — n_a, n_b, share_a, share_b,
+    * and the total `tv` repeated per row. Both sets must be
+    * non-empty (shares are NULL-guarded, not silently zeroed).
+    *
+    * Scale shape: two literal-argmin assignment passes (zero shuffle,
+    * [[ivfAssign]]) + two cell-keyed count aggregates onto the k-cell
+    * spine; the two crossJoin attaches are 1-row broadcast totals
+    * (the CQR-accepted shape). Nothing is ever corpus × corpus.
+    */
+  def clusterTvDistance(setA: DataFrame, setB: DataFrame,
+                        centroids: Seq[(Int, Seq[Float])],
+                        vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "clusterTvDistance: empty codebook")
+    val spark = setA.sparkSession
+    import spark.implicits._
+    val ca = ivfAssign(setA, centroids, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n_a"))
+    val cb = ivfAssign(setB, centroids, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n_b"))
+    val spine = centroids.map(_._1).toDF("cell")
+    val cells = spine.join(ca, Seq("cell"), "left")
+      .join(cb, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .trackedPersist() // k rows; feeds totals, quantization, output
+    val tot = cells.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val q = cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        when(col("_ta") > 0L,
+          round(lit(1e9) * col("n_a") / col("_ta")).cast("long"))
+          .as("_qa"),
+        when(col("_tb") > 0L,
+          round(lit(1e9) * col("n_b") / col("_tb")).cast("long"))
+          .as("_qb"),
+        when(col("_ta") > 0L,
+          round(col("n_a").cast("double") / col("_ta"), 6)).as("share_a"),
+        when(col("_tb") > 0L,
+          round(col("n_b").cast("double") / col("_tb"), 6)).as("share_b"))
+      .trackedPersist() // k rows; else the totals attach replays twice
+    val tv = q.agg(sum(abs(col("_qa") - col("_qb"))).as("_s"))
+      .select(round(col("_s").cast("double") / 2e9, 6).as("tv"))
+    q.crossJoin(broadcast(tv))
+      .select(col("cell"), col("n_a"), col("n_b"), col("share_a"),
+        col("share_b"), col("tv"))
+      .orderBy("cell")
+  }
+
   /** Depth weights for rank-biased overlap: w_d = (1−p)·p^(d−1)/d.
     * Computed ONCE driver-side so both the Spark plan and any SQL
     * replay consume the identical double literals (no cross-engine

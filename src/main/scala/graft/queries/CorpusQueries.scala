@@ -2564,8 +2564,7 @@ object CorpusQueries {
         |  cells.label, cells.n, rt.row_total,
         |  round(CAST(cells.n AS DOUBLE) / rt.row_total, 6) AS rate
         |FROM cells JOIN rt USING (annotator_id, maj)
-        |ORDER BY annotator_id, majority_label, label""".stripMargin) {
-      (s, dir) =>
+        |ORDER BY annotator_id, majority_label, label""".stripMargin) { (s, dir) =>
       graft.ext.Evals.annotatorConfusion(dsLabFrame(s, dir))
     }
   )

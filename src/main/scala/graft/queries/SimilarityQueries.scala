@@ -1498,6 +1498,71 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("label").as("q_label"))
       Similarity.nnLabelEval(e, queries)
+    },
+
+    // ——— distributional eval via cluster-histogram total variation
+    //     (the MAUVE recipe, Pillutla et al. 2021, with TV in place of
+    //     KL — no transcendentals): both halves of the corpus assigned
+    //     to a shared 8-cell k-means codebook, per-cell occupancy
+    //     shares 1e-9-quantized before the cross-cell sum. Assignment
+    //     replays q48's proven IVF argmin SQL. ———
+    Q("q367_cluster_tv",
+      s"""WITH cents AS (SELECT cell, comps FROM read_parquet('${Fixtures.sqlPath("q367_centroids")}')),
+         |scored AS (
+         |  SELECT e.vec_id, e.vec_id % 2 AS grp, c.cell,
+         |    -2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.comps[i] AS DOUBLE)))
+         |      + list_sum(list_transform(c.comps,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, grp, cell FROM (
+         |    SELECT vec_id, grp, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score, cell) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), counts AS (
+         |  SELECT cell,
+         |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM assigned GROUP BY 1
+         |), cells AS (
+         |  SELECT cents.cell, COALESCE(n_a, 0) AS n_a,
+         |    COALESCE(n_b, 0) AS n_b
+         |  FROM cents LEFT JOIN counts USING (cell)
+         |), tot AS (
+         |  SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |    CAST(SUM(n_b) AS BIGINT) AS tb
+         |  FROM cells
+         |), q AS (
+         |  SELECT cell, n_a, n_b,
+         |    CASE WHEN ta > 0 THEN
+         |      CAST(round(1e9 * n_a / ta) AS BIGINT) END AS qa,
+         |    CASE WHEN tb > 0 THEN
+         |      CAST(round(1e9 * n_b / tb) AS BIGINT) END AS qb,
+         |    CASE WHEN ta > 0 THEN
+         |      round(CAST(n_a AS DOUBLE) / ta, 6) END AS share_a,
+         |    CASE WHEN tb > 0 THEN
+         |      round(CAST(n_b AS DOUBLE) / tb, 6) END AS share_b
+         |  FROM cells CROSS JOIN tot
+         |), tvv AS (
+         |  SELECT round(CAST(SUM(ABS(qa - qb)) AS DOUBLE) / 2e9, 6) AS tv
+         |  FROM q
+         |)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_a, n_b, share_a,
+         |  share_b, tv
+         |FROM q CROSS JOIN tvv ORDER BY cell""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansCentroids(e, kCells = 8, iters = 3)
+      Fixtures.write("q367_centroids",
+        Fixtures.floatVectorTable(s, "cell", "comps", cents))
+      Similarity.clusterTvDistance(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), cents)
+        .select(col("cell").cast("long").as("cell"), col("n_a"),
+          col("n_b"), col("share_a"), col("share_b"), col("tv"))
     }
   )
 

@@ -812,4 +812,33 @@ class SimilaritySpec extends SparkSpec {
     // member — never its own class
     assert(out(20L).getAs[Long]("correct") === 0L)
   }
+
+  test("clusterTvDistance: identical sets score 0, disjoint modes " +
+    "score 1, and TV is symmetric") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val codebook = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val a = Seq((0L, v(1, 0)), (1L, v(0.99, 0.01)), (2L, v(0.98, 0.01)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((10L, v(0, 1)), (11L, v(0.01, 0.99)))
+      .toDF("vec_id", "embedding")
+    def tv(x: org.apache.spark.sql.DataFrame,
+           y: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.clusterTvDistance(x, y, codebook).collect()
+      graft.engine.TrackedCache.release()
+      r.head.getAs[Double]("tv")
+    }
+    assert(tv(a, a) === 0.0)
+    assert(tv(a, b) === 1.0) // all of A in cell 0, all of B in cell 1
+    assert(tv(a, b) === tv(b, a))
+    // mixed: A = 3 in cell 0; C = 1+1 across cells ⇒
+    // TV = ½(|1−0.5| + |0−0.5|) = 0.5
+    val c = Seq((20L, v(1, 0)), (21L, v(0, 1))).toDF("vec_id", "embedding")
+    assert(tv(a, c) === 0.5)
+    // per-cell bookkeeping: counts land on the spine, zero-filled
+    val cells = Similarity.clusterTvDistance(a, b, codebook).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toMap
+    graft.engine.TrackedCache.release()
+    assert(cells(0) === ((3L, 0L)) && cells(1) === ((0L, 2L)))
+  }
 }
