@@ -482,4 +482,65 @@ object Preference {
         valueDesc = true, out = "pess_rank", withTotal = false)
       .orderBy("model_id")
   }
+
+  /** Length-debiased win rate by covariate stratification — the
+    * adjusted LEADERBOARD that [[voteCovariateBias]]'s audit calls
+    * for (the stratified-standardization cousin of AlpacaEval 2.0's
+    * length-controlled win rate, Dubois et al. 2024, without the
+    * logistic GLM: direct standardization keeps every number
+    * rational, where a sigmoid fit would put exp() — not correctly
+    * rounded cross-engine — into the oracle path): each battle is
+    * read from BOTH participants' perspectives; battles stratify by
+    * the clamped length-difference bucket
+    * floor((len_self − len_opponent)/`bucketWidth`) ∈ [−`maxAbsBucket`,
+    * `maxAbsBucket`]; the adjusted rate is the EQUAL-WEIGHT mean of
+    * the per-stratum win rates over the model's OBSERVED strata
+    * (absent strata are absent, not imputed — documented, the
+    * standard small-sample caveat of direct standardization).
+    * A verbosity-biased judge inflates raw win rates of long models;
+    * within a stratum the length edge is constant, so the stratified
+    * mean removes exactly the between-stratum (length) component.
+    *
+    * Per-stratum rates are 1e-9-quantized BIGINTs before the
+    * cross-stratum mean (integer sums shuffle-order-free — the chrF
+    * discipline); the mean is ONE mirrored double division pair.
+    *
+    * Scale shape: one union to participant grain, one (model,
+    * bucket) count aggregate, one model rollup. Strata are a bounded
+    * dictionary (2·maxAbsBucket+1); no windows, no joins beyond the
+    * final model-keyed merge of raw and adjusted.
+    */
+  def stratifiedWinRate(votes: DataFrame, winnerCol: String = "winner",
+                        loserCol: String = "loser",
+                        winnerLenCol: String = "winner_len",
+                        loserLenCol: String = "loser_len",
+                        bucketWidth: Long = 10L,
+                        maxAbsBucket: Long = 2L): DataFrame = {
+    require(bucketWidth > 0 && maxAbsBucket >= 0,
+      s"stratifiedWinRate: need bucketWidth > 0, maxAbsBucket >= 0")
+    def bucket(d: Column): Column =
+      greatest(least(floor(d.cast("double") / bucketWidth).cast("long"),
+        lit(maxAbsBucket)), lit(-maxAbsBucket))
+    val asWinner = votes.select(col(winnerCol).as("model_id"),
+      bucket(col(winnerLenCol) - col(loserLenCol)).as("b"),
+      lit(1L).as("w"))
+    val asLoser = votes.select(col(loserCol).as("model_id"),
+      bucket(col(loserLenCol) - col(winnerLenCol)).as("b"),
+      lit(0L).as("w"))
+    val strata = asWinner.unionByName(asLoser)
+      .groupBy("model_id", "b")
+      .agg(sum(col("w")).as("_sw"), count(lit(1)).as("_sn"))
+      .select(col("model_id"), col("_sw"), col("_sn"),
+        round(lit(1e9) * col("_sw") / col("_sn")).cast("long").as("_q"))
+    strata.groupBy("model_id")
+      .agg(sum(col("_sw")).as("wins"), sum(col("_sn")).as("n_games"),
+        count(lit(1)).as("n_strata"), sum(col("_q")).as("_qs"))
+      .select(col("model_id"), col("wins"), col("n_games"),
+        round(col("wins").cast("double") / col("n_games"), 6)
+          .as("win_rate"),
+        col("n_strata"),
+        round(col("_qs").cast("double") / col("n_strata") / 1e9, 6)
+          .as("adj_win_rate"))
+      .orderBy("model_id")
+  }
 }

@@ -2566,6 +2566,82 @@ object CorpusQueries {
         |FROM cells JOIN rt USING (annotator_id, maj)
         |ORDER BY annotator_id, majority_label, label""".stripMargin) { (s, dir) =>
       graft.ext.Evals.annotatorConfusion(dsLabFrame(s, dir))
+    },
+
+    // ——— length-debiased win rate by stratification (the adjusted
+    //     leaderboard the q347 audit calls for; AlpacaEval-2.0 family
+    //     without the logistic GLM — exp() is not correctly rounded
+    //     cross-engine, direct standardization is all-rational): a
+    //     75%-verbosity-biased synthetic judge inflates long models'
+    //     raw rates; equal-weight means over length-difference strata
+    //     remove the between-stratum component. ———
+    Q("q368_stratified_winrate",
+      """WITH b AS (
+        |  SELECT event_id, event_id % 8 AS ma, (event_id // 8) % 8 AS mb
+        |  FROM events WHERE event_id IS NOT NULL
+        |), f0 AS (
+        |  SELECT event_id, ma, mb,
+        |    (event_id * 13) % 40 + ma * 5 AS la,
+        |    (event_id * 29) % 40 + mb * 5 AS lb
+        |  FROM b WHERE ma <> mb
+        |), f AS (
+        |  SELECT ma, mb, la, lb,
+        |    ((la > lb OR (la = lb AND (ma * 37) % 23 >= (mb * 37) % 23))
+        |     <> (CAST(concat('0x', substring(md5(concat(
+        |        CAST(event_id AS VARCHAR), ':swr14')), 1, 7)) AS BIGINT)
+        |        % 4 = 0)) AS a_wins
+        |  FROM f0
+        |), v AS (
+        |  SELECT CASE WHEN a_wins THEN ma ELSE mb END AS winner,
+        |    CASE WHEN a_wins THEN mb ELSE ma END AS loser,
+        |    CASE WHEN a_wins THEN la ELSE lb END AS winner_len,
+        |    CASE WHEN a_wins THEN lb ELSE la END AS loser_len
+        |  FROM f
+        |), p AS (
+        |  SELECT winner AS model_id,
+        |    GREATEST(LEAST(CAST(floor(CAST(winner_len - loser_len
+        |      AS DOUBLE) / 10) AS BIGINT), 2), -2) AS bk,
+        |    CAST(1 AS BIGINT) AS w
+        |  FROM v
+        |  UNION ALL
+        |  SELECT loser,
+        |    GREATEST(LEAST(CAST(floor(CAST(loser_len - winner_len
+        |      AS DOUBLE) / 10) AS BIGINT), 2), -2),
+        |    CAST(0 AS BIGINT)
+        |  FROM v
+        |), st AS (
+        |  SELECT model_id, bk, CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(COUNT(*) AS BIGINT) AS sn,
+        |    CAST(round(1e9 * SUM(w) / COUNT(*)) AS BIGINT) AS q
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT model_id, CAST(SUM(sw) AS BIGINT) AS wins,
+        |  CAST(SUM(sn) AS BIGINT) AS n_games,
+        |  round(CAST(SUM(sw) AS DOUBLE) / SUM(sn), 6) AS win_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1e9, 6)
+        |    AS adj_win_rate
+        |FROM st GROUP BY 1 ORDER BY model_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Preference
+      val base = graft.Tables.load(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), (col("event_id") % 8).as("ma"),
+          (expr("event_id div 8") % 8).as("mb"))
+        .filter(col("ma") =!= col("mb"))
+        .select(col("event_id"), col("ma"), col("mb"),
+          (col("event_id") * 13 % 40 + col("ma") * 5).as("la"),
+          (col("event_id") * 29 % 40 + col("mb") * 5).as("lb"))
+      val aWins = ((col("la") > col("lb")) ||
+        (col("la") === col("lb") &&
+          (col("ma") * 37 % 23) >= (col("mb") * 37 % 23))) =!=
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":swr14"))), 1, 7), 16, 10).cast("long") % 4 === 0)
+      val votes = base.select(
+        when(aWins, col("ma")).otherwise(col("mb")).as("winner"),
+        when(aWins, col("mb")).otherwise(col("ma")).as("loser"),
+        when(aWins, col("la")).otherwise(col("lb")).as("winner_len"),
+        when(aWins, col("lb")).otherwise(col("la")).as("loser_len"))
+      Preference.stratifiedWinRate(votes)
     }
   )
 

@@ -847,7 +847,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r14 additions (q353–q367): partitioned/dictionary windows " +
+  test("r14 additions (q353–q368): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q353 replays q316's accepted ANN-battery shape and cap: the
     // brute-truth crossJoin(broadcast(query-roster)) over the bounded
@@ -878,7 +878,8 @@ class ScaleSpec extends SparkSpec {
         "q357_winnowing_md5_slice", "q358_chrf", "q359_distinct_n",
         "q360_self_bleu", "q361_wer", "q362_arena_wilson",
         "q363_fertility", "q364_dawid_skene", "q365_nn_label_eval",
-        "q366_annotator_confusion", "q367_cluster_tv")) {
+        "q366_annotator_confusion", "q367_cluster_tv",
+        "q368_stratified_winrate")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -280,4 +280,42 @@ class PreferenceSpec extends SparkSpec {
     assert(out(1L)._1 === 1.0 && out(0L)._1 === 0.7) // raw rates
     assert(out(0L)._2 === 1L && out(1L)._2 === 2L)   // lo-bound order
   }
+
+  test("stratifiedWinRate: a verbosity-penalized model recovers to " +
+    "0.5 adjusted while its raw rate reads 0.25") {
+    // model 0 wins every EQUAL-length battle (stratum 0, rate 1.0)
+    // but loses every battle it is 20 shorter in (stratum −2, rate 0)
+    val votes = (
+      Seq.fill(2)((0L, 1L, 30L, 30L)) ++      // 0 beats 1 at equal len
+      Seq.fill(6)((1L, 0L, 40L, 20L))          // 1 beats 0 via length
+    ).toDF("winner", "loser", "winner_len", "loser_len")
+    val out = Preference.stratifiedWinRate(votes).collect()
+      .map(r => r.getAs[Long]("model_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_games") === 8L)
+    assert(out(0L).getAs[Double]("win_rate") === 0.25)
+    assert(out(0L).getAs[Long]("n_strata") === 2L)
+    assert(out(0L).getAs[Double]("adj_win_rate") === 0.5) // (1 + 0)/2
+    assert(out(1L).getAs[Double]("win_rate") === 0.75)
+    assert(out(1L).getAs[Double]("adj_win_rate") === 0.5)
+  }
+
+  test("stratifiedWinRate: bucket clamp at ±maxAbsBucket, and " +
+    "determinism under repartition") {
+    // a ±200 length gap still lands in the ±2 buckets
+    val votes = Seq((0L, 1L, 300L, 100L), (1L, 0L, 300L, 100L))
+      .toDF("winner", "loser", "winner_len", "loser_len")
+    val out = Preference.stratifiedWinRate(votes).collect()
+      .map(r => r.getAs[Long]("model_id") -> r).toMap
+    // each model: one win at +2, one loss at −2 ⇒ two strata, 0.5 adj
+    assert(out(0L).getAs[Long]("n_strata") === 2L)
+    assert(out(0L).getAs[Double]("adj_win_rate") === 0.5)
+
+    val big = (0L until 64L).map(i =>
+      (i % 5, (i + 1) % 5, (i * 7) % 60 + 10, (i * 11) % 60 + 10))
+      .filter(t => t._1 != t._2)
+      .toDF("winner", "loser", "winner_len", "loser_len")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Preference.stratifiedWinRate(d).collect().toSeq
+    assert(run(big) === run(big.repartition(7)))
+  }
 }
