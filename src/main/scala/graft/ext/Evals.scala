@@ -280,9 +280,13 @@ object Evals {
   def dawidSkeneRound(labels: DataFrame, itemCol: String = "item_id",
                       annotatorCol: String = "annotator_id",
                       labelCol: String = "label"): DataFrame = {
-    // the label ledger feeds four consumers — materialize once
+    // the label ledger feeds four consumers — materialize once.
+    // NULL item/annotator/label rows carry no vote and would form
+    // null-keyed phantom groups (the bonCurve NULL lesson) — filter.
     val l = labels.select(col(itemCol).as("_i"),
       col(annotatorCol).as("_a"), col(labelCol).as("_l"))
+      .filter(col("_i").isNotNull && col("_a").isNotNull &&
+        col("_l").isNotNull)
       .trackedPersist()
     val maj = majorityByItem(l)
     val weights = l.join(maj, Seq("_i"))
@@ -329,6 +333,8 @@ object Evals {
                          labelCol: String = "label"): DataFrame = {
     val l = labels.select(col(itemCol).as("_i"),
       col(annotatorCol).as("_a"), col(labelCol).as("_l"))
+      .filter(col("_i").isNotNull && col("_a").isNotNull &&
+        col("_l").isNotNull)
       .trackedPersist()
     val joined = l.join(majorityByItem(l), Seq("_i"))
     val cells = joined.groupBy("_a", "_maj", "_l")

@@ -457,9 +457,15 @@ object Preference {
                         loserCol: String = "loser",
                         z2: Double = 3.8416): DataFrame = {
     require(z2 > 0, s"wilsonLeaderboard: z2 must be > 0, got $z2")
-    val w = votes.groupBy(col(winnerCol).as("model_id"))
+    // a NULL participant is not a model: it would otherwise survive
+    // both count aggregates as a null-keyed row and (null-safe full
+    // join) split into TWO phantom leaderboard rows — the bonCurve
+    // NULL lesson
+    val v = votes.filter(col(winnerCol).isNotNull &&
+      col(loserCol).isNotNull)
+    val w = v.groupBy(col(winnerCol).as("model_id"))
       .agg(count(lit(1)).as("_w"))
-    val l = votes.groupBy(col(loserCol).as("model_id"))
+    val l = v.groupBy(col(loserCol).as("model_id"))
       .agg(count(lit(1)).as("_l"))
     val counts = w.join(l, Seq("model_id"), "full")
       .select(col("model_id"),
@@ -521,10 +527,15 @@ object Preference {
     def bucket(d: Column): Column =
       greatest(least(floor(d.cast("double") / bucketWidth).cast("long"),
         lit(maxAbsBucket)), lit(-maxAbsBucket))
-    val asWinner = votes.select(col(winnerCol).as("model_id"),
+    // NULL participants/lengths carry no assignable stratum — filter,
+    // don't let them form null-keyed phantom rows (the bonCurve rule)
+    val v = votes.filter(col(winnerCol).isNotNull &&
+      col(loserCol).isNotNull && col(winnerLenCol).isNotNull &&
+      col(loserLenCol).isNotNull)
+    val asWinner = v.select(col(winnerCol).as("model_id"),
       bucket(col(winnerLenCol) - col(loserLenCol)).as("b"),
       lit(1L).as("w"))
-    val asLoser = votes.select(col(loserCol).as("model_id"),
+    val asLoser = v.select(col(loserCol).as("model_id"),
       bucket(col(loserLenCol) - col(winnerLenCol)).as("b"),
       lit(0L).as("w"))
     val strata = asWinner.unionByName(asLoser)

@@ -919,6 +919,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus
       .select(col(idCol), col(vecCol), col(labelCol).cast("long").as("_cl"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col("_cl").isNotNull) // unlabeled rows can't vote (bonCurve rule)
       .crossJoin(broadcast(queries.select(col("qid"), col("qv"),
         col("q_label").cast("long").as("_ql"))))
       .filter(col(idCol) =!= col("qid"))

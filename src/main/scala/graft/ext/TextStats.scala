@@ -1589,8 +1589,13 @@ object TextStats {
   def selfBleu(responses: DataFrame, promptCol: String = "prompt_id",
                idCol: String = "resp_id",
                textCol: String = "text"): DataFrame = {
-    val toks = responses.select(col(promptCol).as("_p"),
-      col(idCol).as("_r"), tokens(col(textCol)).as("_toks"))
+    // NULL prompt/id/text rows score nothing and would form
+    // null-keyed phantom groups (size(NULL) is −1!) — filter first
+    val toks = responses
+      .filter(col(promptCol).isNotNull && col(idCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(promptCol).as("_p"),
+        col(idCol).as("_r"), tokens(col(textCol)).as("_toks"))
     val uni = toks.select(col("_p"), col("_r"), lit(1).as("_n"),
       explode(col("_toks")).as("_g"))
     val bi = toks.filter(size(col("_toks")) >= 2)
@@ -1666,7 +1671,8 @@ object TextStats {
   def fertility(docs: DataFrame, groupCol: String = "lang",
                 textCol: String = "text"): DataFrame = {
     val piecePat = "[a-z0-9]+|[^a-z0-9\\s]"
-    val per = docs.select(col(groupCol).as("_grp"),
+    val per = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("_grp"),
       size(tokens(col(textCol))).cast("long").as("_w"),
       size(regexp_extract_all(lower(col(textCol)), lit(piecePat),
         lit(0))).cast("long").as("_p"),
@@ -1710,22 +1716,33 @@ object TextStats {
           idCol: String = "pair_id", candCol: String = "cand_text",
           refCol: String = "ref_text"): DataFrame = {
     require(maxTokens >= 1, s"wer: maxTokens >= 1, got $maxTokens")
-    // capped token arrays in their OWN projection (HOF re-inline rule)
-    val toks = pairs.select(col(idCol),
-      slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
-      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    // capped token arrays in their OWN projection (HOF re-inline
+    // rule); NULL-side pairs are unscorable (size(NULL) is −1) — drop
+    val toks = pairs
+      .filter(col(idCol).isNotNull && col(candCol).isNotNull &&
+        col(refCol).isNotNull)
+      .select(col(idCol),
+        slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
+        slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    // the single-element-array transform is a LET binding: the c_i
+    // candidate row (prev[i]+1 / prev[i−1]+sub_i) is built ONCE per
+    // DP row instead of being re-derived inside every j's prefix-min
+    // (interpreted-HOF eval re-runs lambda bodies per element —
+    // measured ~2× on the inner-op count)
     val dp = toks.withColumn("_dp", expr(
       """aggregate(
         |  _ct,
         |  transform(sequence(0, size(_rt)), x -> CAST(x AS BIGINT)),
-        |  (prev, ctok) -> transform(sequence(0, size(_rt)), j ->
-        |    array_min(transform(sequence(0, j), i ->
+        |  (prev, ctok) -> transform(
+        |    array(transform(sequence(0, size(_rt)), i ->
         |      IF(i = 0,
         |         element_at(prev, 1) + 1L,
         |         least(element_at(prev, i + 1) + 1L,
         |           element_at(prev, i) +
-        |             IF(element_at(_rt, i) = ctok, 0L, 1L)))
-        |      + CAST(j - i AS BIGINT)))))""".stripMargin))
+        |             IF(element_at(_rt, i) = ctok, 0L, 1L))))),
+        |    c -> transform(sequence(0, size(_rt)), j ->
+        |      array_min(transform(sequence(0, j), i ->
+        |        element_at(c, i + 1) + CAST(j - i AS BIGINT)))))[0])""".stripMargin))
     dp.select(col(idCol),
         size(col("_ct")).cast("long").as("cand_len"),
         size(col("_rt")).cast("long").as("ref_len"),

@@ -169,6 +169,16 @@ class EvalsSpec extends SparkSpec {
     assert(run(rows) === run(rows.repartition(7)))
   }
 
+  test("dawidSkeneRound: NULL item/annotator/label votes are dropped " +
+    "(no phantom groups)") {
+    val rows = Seq((Some(0L), Some(0L), Some(1L)),
+      (Some(0L), Some(1L), None), (None, Some(2L), Some(1L)))
+      .toDF("item_id", "annotator_id", "label")
+    val out = Evals.dawidSkeneRound(rows).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_votes") === 1L)
+    graft.engine.TrackedCache.release()
+  }
+
   test("annotatorConfusion: a perfect annotator is purely diagonal, " +
     "a label-swapper's mass sits on the swapped cell, rows sum to 1") {
     // 6 items, labels 0/1 alternating; annotators 0,1 always agree

@@ -318,4 +318,19 @@ class PreferenceSpec extends SparkSpec {
       Preference.stratifiedWinRate(d).collect().toSeq
     assert(run(big) === run(big.repartition(7)))
   }
+
+  test("wilsonLeaderboard/stratifiedWinRate: NULL-sided votes are " +
+    "dropped, never split into phantom leaderboard rows") {
+    val votes = Seq((Some(0L), Some(1L)), (Some(0L), None),
+        (None, Some(1L)))
+      .toDF("winner", "loser")
+    val wl = Preference.wilsonLeaderboard(votes).collect()
+    assert(wl.map(_.getAs[Long]("model_id")).toSet === Set(0L, 1L))
+    assert(wl.map(_.getAs[Long]("n_games")).sum === 2L)
+    val sv = Seq((Some(0L), Some(1L), Some(10L), Some(10L)),
+        (Some(0L), Some(1L), None, Some(10L)))
+      .toDF("winner", "loser", "winner_len", "loser_len")
+    val sw = Preference.stratifiedWinRate(sv).collect()
+    assert(sw.map(_.getAs[Long]("n_games")).sum === 2L) // one battle
+  }
 }

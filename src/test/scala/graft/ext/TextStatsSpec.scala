@@ -904,6 +904,22 @@ class TextStatsSpec extends SparkSpec {
     assert(c.getAs[Double]("fertility") === 1.0)
   }
 
+  test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
+    "as phantom groups (size(NULL) = −1 would corrupt totals)") {
+    val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
+        (Some(0L), Some(2L), None), (None, Some(3L), Some("a")))
+      .toDF("prompt_id", "resp_id", "text")).collect()
+    assert(sb.length === 1 && sb.head.getAs[Long]("n_resp") === 1L)
+    graft.engine.TrackedCache.release()
+    val w = TextStats.wer(Seq((Some(0L), Some("a"), Some("a")),
+        (Some(1L), None, Some("a")))
+      .toDF("pair_id", "cand_text", "ref_text")).collect()
+    assert(w.length === 1 && w.head.getAs[Long]("edits") === 0L)
+    val f = TextStats.fertility(Seq((Some("en"), Some("one two")),
+        (Some("en"), None)).toDF("lang", "text")).collect()
+    assert(f.head.getAs[Long]("n_docs") === 1L)
+  }
+
   test("wer: the maxTokens cap truncates both sides before the DP") {
     // 26-token texts that differ only beyond position 24 ⇒ 0 edits
     val base = (1 to 26).map(i => s"t$i")
