@@ -1220,6 +1220,60 @@ object TextStats {
           .as("alpha"))
   }
 
+  /** Krippendorff's α for INTERVAL data (Krippendorff 2004 §11.3) —
+    * inter-rater reliability of CONTINUOUS scores (reward-model /
+    * LLM-judge gradings), completing the nominal
+    * [[krippendorffAlpha]] (q319) which cannot credit near-misses:
+    * δ²(v, v') = (v − v')², α = 1 − D_o/D_e.
+    *
+    * NO pair join exists at any scale: both disagreement sums
+    * collapse to moment identities over ordered pairs —
+    * Σ_{i≠j∈u}(x_i−x_j)² = 2(m_u·Σx² − (Σx)²) per unit, and the
+    * pooled Σ_{v≠v'}(v−v')² = 2(n·Σv² − (Σv)²) — so D_o is a
+    * unit-keyed aggregate and D_e three scalars. Per-unit /(m_u−1)
+    * terms are 1e-6-quantized BIGINTs before the cross-unit sum
+    * (order-free); products ride DECIMAL(38,0) (HUGEINT in the
+    * oracle). Integer-valued scores are the contract (cast at
+    * entry); units with one rating are unpairable and drop from
+    * BOTH D_o and D_e (the standard treatment).
+    */
+  def krippendorffAlphaInterval(ratings: DataFrame, unitCol: String,
+                                valueCol: String,
+                                label: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val vals = ratings.select(col(unitCol).as("u"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("u").isNotNull && col("x").isNotNull)
+    val units = vals.groupBy("u").agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .filter(col("m") >= 2L)
+      .trackedPersist()
+    val uStats = units.agg(count(lit(1)).as("n_units"),
+      sum("m").cast("long").as("n"),
+      sum(dec(col("sx"))).cast(DecimalType(38, 0)).as("sv"),
+      sum(col("sxx")).cast(DecimalType(38, 0)).as("svv"))
+    val sdo = units.select(
+        round(lit(2e6) *
+          (dec(col("m")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .cast("double") /
+          (col("m") - 1L).cast("double")).cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("sdo"))
+    // D_e = 2(n·svv − sv²)/(n(n−1));  α = 1 − D_o/D_e
+    //     = 1 − sdo·(n−1) / (2e6·(n·svv − sv²))
+    val deNum = dec(col("n")) * col("svv") - col("sv") * col("sv")
+    uStats.crossJoin(broadcast(sdo))
+      .select(lit(label).as("measure"), col("n_units"), col("n"),
+        round(col("sdo").cast("double") / 1e6 / col("n"), 6).as("d_o"),
+        round(lit(2.0) * deNum.cast("double") /
+          (dec(col("n")) * dec(col("n") - 1L)).cast("double"), 6)
+          .as("d_e"),
+        when(col("n") >= 2L && deNum =!= dec(lit(0)),
+          round(lit(1.0) -
+            (dec(col("sdo")) * dec(col("n") - 1L)).cast("double") /
+            (lit(2e6) * deNum.cast("double")), 6)).as("alpha"))
+  }
+
   /** Source-outlier detection from TEXT ALONE: each document's
     * hashed-bucket token distribution compared (squared L2) to its
     * own source's mean distribution; the top-`k` most distant docs

@@ -3799,6 +3799,67 @@ object TextQueries {
         |  END AS chars_per_piece
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       TextStats.fertility(docs(s, dir))
+    },
+
+    // ——— Krippendorff's α, INTERVAL metric (the continuous-score
+    //     completion of q319's nominal α — reward-model / LLM-judge
+    //     gradings where near-misses must earn partial credit):
+    //     4-judge synthetic panel, judges 0–2 within ±3 of the unit's
+    //     base score, judge 3 uniform noise. Both disagreement sums
+    //     collapse to moment identities (no pair join); HUGEINT ↔
+    //     DECIMAL(38,0) products, 1e-6-quantized per-unit terms. ———
+    Q("q369_alpha_interval",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |), rat AS (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN j < 3 THEN
+        |      (doc_id * 31) % 50 + CAST(concat('0x', substring(md5('ki'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 7 - 3
+        |    ELSE CAST(concat('0x', substring(md5('ki'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 50 END AS x
+        |  FROM r
+        |), units AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM rat GROUP BY 1 HAVING COUNT(*) >= 2
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n,
+        |    SUM(CAST(sx AS HUGEINT)) AS sv,
+        |    SUM(sxx) AS svv
+        |  FROM units
+        |), sd AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(2e6 *
+        |    CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT)
+        |      * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    / CAST(m - 1 AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS sdo
+        |  FROM units
+        |)
+        |SELECT 'judge_scores_4rater' AS measure, n_units, n,
+        |  round(CAST(sdo AS DOUBLE) / 1e6 / n, 6) AS d_o,
+        |  round(CAST(2 AS DOUBLE) * CAST(CAST(n AS HUGEINT) * svv
+        |      - sv * sv AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6) AS d_e,
+        |  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * svv <> sv * sv THEN
+        |    round(1.0 - CAST(CAST(sdo AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      / (2e6 * CAST(CAST(n AS HUGEINT) * svv - sv * sv
+        |         AS DOUBLE)), 6)
+        |  END AS alpha
+        |FROM us CROSS JOIN sd""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      val coin = conv(substring(md5(concat(lit("ki"),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val x = when(col("j") < 3L,
+        (col("doc_id") * 31 % 50) + coin % 7 - 3).otherwise(coin % 50)
+      TextStats.krippendorffAlphaInterval(
+        r.select(col("doc_id").as("u"), x.as("x")), "u", "x",
+        "judge_scores_4rater")
     }
   )
 }

@@ -904,6 +904,51 @@ class TextStatsSpec extends SparkSpec {
     assert(c.getAs[Double]("fertility") === 1.0)
   }
 
+  test("krippendorffAlphaInterval: brute pairwise agreement, perfect " +
+    "panel scores 1, zero-variance pool yields NULL, singles drop") {
+    def brute(rows: Seq[(Long, Long)]): (Double, Double, Double) = {
+      val units = rows.groupBy(_._1).filter(_._2.size >= 2)
+      val n = units.values.map(_.size).sum
+      val doSum = units.values.map { u =>
+        val xs = u.map(_._2)
+        val t = (for (a <- xs; b <- xs) yield (a - b) * (a - b)).sum
+        BigDecimal(1e6 * t.toDouble / (xs.size - 1))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val pool = units.values.flatten.map(_._2).toSeq
+      val deSum = (for (a <- pool; b <- pool) yield (a - b) * (a - b)).sum
+      val dOr = doSum.toDouble / 1e6 / n
+      val dEr = deSum.toDouble / (n.toDouble * (n - 1))
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(dOr), r6(dEr), r6(1.0 - dOr / dEr))
+    }
+    val rows = Seq((0L, 10L), (0L, 12L), (0L, 11L),
+      (1L, 40L), (1L, 38L), (2L, 25L), (2L, 25L), (2L, 31L),
+      (9L, 99L)) // single rating: dropped
+    val out = TextStats.krippendorffAlphaInterval(
+        rows.toDF("u", "x"), "u", "x", "t").collect().head
+    graft.engine.TrackedCache.release()
+    val (dOr, dEr, aR) = brute(rows)
+    assert(out.getAs[Long]("n") === 8L) // unit 9 dropped
+    assert(out.getAs[Double]("d_o") === dOr)
+    assert(out.getAs[Double]("d_e") === dEr)
+    assert(math.abs(out.getAs[Double]("alpha") - aR) < 2e-6)
+
+    val perfect = Seq((0L, 5L), (0L, 5L), (1L, 9L), (1L, 9L))
+    val p = TextStats.krippendorffAlphaInterval(
+      perfect.toDF("u", "x"), "u", "x", "t").collect().head
+    graft.engine.TrackedCache.release()
+    assert(p.getAs[Double]("alpha") === 1.0 &&
+      p.getAs[Double]("d_o") === 0.0)
+
+    val flat = Seq((0L, 7L), (0L, 7L), (1L, 7L), (1L, 7L))
+    val f = TextStats.krippendorffAlphaInterval(
+      flat.toDF("u", "x"), "u", "x", "t").collect().head
+    graft.engine.TrackedCache.release()
+    assert(f.isNullAt(f.fieldIndex("alpha"))) // D_e = 0: undefined
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
