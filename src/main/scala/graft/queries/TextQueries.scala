@@ -3860,6 +3860,85 @@ object TextQueries {
       TextStats.krippendorffAlphaInterval(
         r.select(col("doc_id").as("u"), x.as("x")), "u", "x",
         "judge_scores_4rater")
+    },
+
+    // ——— Kendall's W coefficient of concordance (1939, tie-corrected)
+    //     on the 4-judge panel: do the judges ORDER the documents the
+    //     same way? Ranks in exact 2x units from the per-judge SCORE
+    //     DICTIONARY cumulative (never a row-scale sort per judge);
+    //     every term an integer until one final division. Reports the
+    //     mean pairwise Spearman (kW−1)/(k−1) alongside. ———
+    Q("q370_kendall_w",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |), rat AS (
+        |  SELECT doc_id AS u, j,
+        |    CASE WHEN j < 3 THEN
+        |      (doc_id * 31) % 50 + CAST(concat('0x', substring(md5('kw'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 7 - 3
+        |    ELSE CAST(concat('0x', substring(md5('kw'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 50 END AS x
+        |  FROM r
+        |), cnt AS (
+        |  SELECT j, x, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM rat GROUP BY 1, 2
+        |), rd AS (
+        |  SELECT j, x,
+        |    2 * (COALESCE(SUM(ct) OVER (PARTITION BY j ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + ct - 1 AS r2
+        |  FROM cnt
+        |), rk AS (
+        |  SELECT rat.u, rd.r2
+        |  FROM rat JOIN rd ON rat.j = rd.j AND rat.x = rd.x
+        |), items AS (
+        |  SELECT u, CAST(SUM(r2) AS BIGINT) AS rr,
+        |    CAST(COUNT(*) AS BIGINT) AS kk
+        |  FROM rk GROUP BY 1
+        |), ist AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    SUM(CAST(rr AS HUGEINT) * CAST(rr AS HUGEINT)) AS sr2,
+        |    CAST(SUM(kk) AS BIGINT) AS n_ratings
+        |  FROM items
+        |), tst AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_judges, SUM(t) AS st
+        |  FROM (
+        |    SELECT j, SUM(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT)
+        |      * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t
+        |    FROM cnt GROUP BY 1)
+        |), fin AS (
+        |  SELECT n_items, n_judges, n_ratings,
+        |    3 * (sr2 - CAST(n_judges AS HUGEINT)
+        |      * CAST(n_judges AS HUGEINT) * CAST(n_items AS HUGEINT)
+        |      * CAST(n_items + 1 AS HUGEINT)
+        |      * CAST(n_items + 1 AS HUGEINT)) AS num,
+        |    CAST(n_judges AS HUGEINT) * CAST(n_judges AS HUGEINT)
+        |      * (CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT)
+        |         * CAST(n_items AS HUGEINT) - CAST(n_items AS HUGEINT))
+        |      - CAST(n_judges AS HUGEINT) * st AS den
+        |  FROM ist CROSS JOIN tst
+        |)
+        |SELECT n_items, n_judges, n_ratings,
+        |  CASE WHEN den <> 0 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS w,
+        |  CASE WHEN den <> 0 AND n_judges > 1 THEN
+        |    round((CAST(n_judges AS DOUBLE) *
+        |        (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      - CAST(1 AS DOUBLE)) / CAST(n_judges - 1 AS DOUBLE), 6)
+        |  END AS mean_spearman
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      val coin = conv(substring(md5(concat(lit("kw"),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val x = when(col("j") < 3L,
+        (col("doc_id") * 31 % 50) + coin % 7 - 3).otherwise(coin % 50)
+      TextStats.kendallW(
+        r.select(col("doc_id").as("u"), col("j"), x.as("x")),
+        "u", "j", "x")
     }
   )
 }

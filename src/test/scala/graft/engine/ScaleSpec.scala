@@ -847,7 +847,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r14 additions (q353–q369): partitioned/dictionary windows " +
+  test("r14 additions (q353–q370): partitioned/dictionary windows " +
     "only, no cartesian, BNLJ only as bounded broadcast attaches") {
     // q353 replays q316's accepted ANN-battery shape and cap: the
     // brute-truth crossJoin(broadcast(query-roster)) over the bounded
@@ -873,14 +873,16 @@ class ScaleSpec extends SparkSpec {
       "q357_winnowing_md5_slice" -> 1,
       "q365_nn_label_eval" -> 1,
       "q367_cluster_tv" -> 3,
-      "q369_alpha_interval" -> 1).withDefaultValue(0)
+      "q369_alpha_interval" -> 1,
+      "q370_kendall_w" -> 1).withDefaultValue(0)
     for (name <- Seq("q353_ndcg_curve", "q354_rouge_l",
         "q355_bmp_dhash_neardup", "q356_elo_arena",
         "q357_winnowing_md5_slice", "q358_chrf", "q359_distinct_n",
         "q360_self_bleu", "q361_wer", "q362_arena_wilson",
         "q363_fertility", "q364_dawid_skene", "q365_nn_label_eval",
         "q366_annotator_confusion", "q367_cluster_tv",
-        "q368_stratified_winrate", "q369_alpha_interval")) {
+        "q368_stratified_winrate", "q369_alpha_interval",
+        "q370_kendall_w")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -949,6 +949,59 @@ class TextStatsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("alpha"))) // D_e = 0: undefined
   }
 
+  test("kendallW: perfect concordance 1, k=2 reversal 0 (mean " +
+    "Spearman −1), all-ties NULL, tie-corrected brute reference") {
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("u", "j", "x")
+    def run(rows: Seq[(Long, Long, Long)]) = {
+      val r = TextStats.kendallW(df(rows), "u", "j", "x").collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // 3 judges, identical scores per item ⇒ W = 1
+    val perfect = for (u <- 0L to 3L; j <- 0L to 2L) yield (u, j, u * 10)
+    val p = run(perfect.toSeq)
+    assert(p.getAs[Double]("w") === 1.0 &&
+      p.getAs[Double]("mean_spearman") === 1.0)
+    // 2 judges, exactly reversed ⇒ W = 0, ρ̄ = −1
+    val rev = Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 3L),
+      (0L, 1L, 3L), (1L, 1L, 2L), (2L, 1L, 1L))
+    val v = run(rev)
+    assert(v.getAs[Double]("w") === 0.0 &&
+      v.getAs[Double]("mean_spearman") === -1.0)
+    // every judge all-ties ⇒ denominator 0 ⇒ NULL
+    val flat = for (u <- 0L to 2L; j <- 0L to 1L) yield (u, j, 7L)
+    val f = run(flat.toSeq)
+    assert(f.isNullAt(f.fieldIndex("w")))
+
+    // tie-corrected brute reference on a mixed panel
+    val rows = Seq((0L, 0L, 5L), (1L, 0L, 5L), (2L, 0L, 9L), (3L, 0L, 1L),
+      (0L, 1L, 2L), (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L),
+      (0L, 2L, 8L), (1L, 2L, 3L), (2L, 2L, 8L), (3L, 2L, 0L))
+    def brute(rs: Seq[(Long, Long, Long)]): Double = {
+      val byJ = rs.groupBy(_._2)
+      val k = byJ.size; val n = rs.map(_._1).distinct.size
+      val ranks = byJ.values.flatMap { js =>
+        val sorted = js.sortBy(_._3)
+        // average rank per tie group
+        val byScore = sorted.groupBy(_._3)
+        sorted.zipWithIndex.map { case (r, _) =>
+          val grp = byScore(r._3)
+          val first = sorted.indexWhere(_._3 == r._3) + 1
+          (r._1, first + (grp.size - 1) / 2.0)
+        }
+      }
+      val rSum = ranks.groupBy(_._1).map { case (_, v) => v.map(_._2).sum }
+      val mean = k * (n + 1) / 2.0
+      val s = rSum.map(r => (r - mean) * (r - mean)).sum
+      val t = byJ.values.map(_.groupBy(_._3).values
+        .map(g => math.pow(g.size, 3) - g.size).sum).sum
+      12.0 * s / (k.toDouble * k * (math.pow(n, 3) - n) - k * t)
+    }
+    val out = run(rows)
+    // operator rounds to 6 decimals; brute is unrounded float math
+    assert(math.abs(out.getAs[Double]("w") - brute(rows)) < 1.1e-6)
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
