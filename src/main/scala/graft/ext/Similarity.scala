@@ -901,13 +901,18 @@ object Similarity {
     * cosine 1-NN among all OTHER vectors, and whether its label
     * agrees.
     *
-    * `queries` carries (qid, qv, q_label) and must be roster-scale:
-    * it is broadcast against the corpus scan (the q316 brute-truth
+    * `queries` carries the FIXED schema (qid, qv, q_label) — the
+    * query-side column names are part of the signature (only the
+    * corpus side is parameterized) — and must be roster-scale: it is
+    * broadcast against the corpus scan (the q316 brute-truth
     * discipline — the one accepted crossJoin shape, a per-row
-    * bounded fan-out, never corpus×corpus). Cosines are rounded to 6
-    * decimals BEFORE ranking so the (cos DESC, vec_id) order is
-    * engine-portable; the argmax itself is a window PARTITIONED by
-    * qid.
+    * bounded fan-out, never corpus×corpus). Queries with a NULL qid,
+    * qv, or q_label are dropped, mirroring the corpus-side rule (the
+    * bonCurve NULL discipline): a NULL query vector has no
+    * well-defined neighbor and must not produce an all-NULL-cosine
+    * argmax row. Cosines are rounded to 6 decimals BEFORE ranking so
+    * the (cos DESC, vec_id) order is engine-portable; the argmax
+    * itself is a window PARTITIONED by qid.
     *
     * Output: one row per query — qid, q_label, nn_id, nn_label, cos,
     * correct (BIGINT 0/1). Per-class accuracy is one further
@@ -922,7 +927,9 @@ object Similarity {
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         col("_cl").isNotNull) // unlabeled rows can't vote (bonCurve rule)
       .crossJoin(broadcast(queries.select(col("qid"), col("qv"),
-        col("q_label").cast("long").as("_ql"))))
+        col("q_label").cast("long").as("_ql"))
+        .filter(col("qid").isNotNull && col("qv").isNotNull &&
+          col("_ql").isNotNull)))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col("_ql"), col(idCol), col("_cl"),
         round(cosine(col(vecCol), col("qv")), 6).as("cos"))

@@ -393,8 +393,11 @@ object TextStats {
     * (candidate, reference) pairs — the character-level generation
     * metric that complements q350's word-level BLEU components and
     * [[rougeL]]: for n = 1..`maxN`, P_n / R_n are the clipped
-    * character-n-gram precision/recall (whitespace stripped, the
-    * sacrebleu default), macro-averaged over orders, combined with
+    * character-n-gram precision/recall (whitespace stripped — the
+    * sacrebleu default — and LOWERCASED, this engine's normalization
+    * choice: sacrebleu's chrF is case-sensitive by default, so a
+    * sacrebleu cross-check must pass its lowercase option),
+    * macro-averaged over orders, combined with
     * β = 2 (recall weighted double — chrF2):
     * chrF2 = 5·P·R / (4·P + R).
     *
@@ -1294,8 +1297,12 @@ object TextStats {
     * rows, the Ranks.rowNumberExact decomposition generalized per
     * judge) joined back on (judge, score); never a row-scale sort
     * per judge. One item rollup + scalar aggregates. Contract: a
-    * COMPLETE panel (every judge scores every item) — n_ratings =
-    * n_items·n_judges in the output is the caller's check.
+    * COMPLETE panel (every judge scores every item) — ENFORCED
+    * in-operator: if any judge's rating count differs from any
+    * other's or from n_items, W and ρ̄ answer NULL (the counts still
+    * report, so n_ratings = n_items·n_judges remains the caller's
+    * visible diagnostic) rather than a statistic whose rank-sum
+    * identity silently doesn't hold.
     */
   def kendallW(ratings: DataFrame, unitCol: String, raterCol: String,
                valueCol: String): DataFrame = {
@@ -1318,9 +1325,10 @@ object TextStats {
       count(lit(1)).as("_k"))
     val ties = cnt.groupBy("j")
       .agg(sum(dec(col("ct")) * dec(col("ct")) * dec(col("ct")) -
-        dec(col("ct"))).as("_t"))
+        dec(col("ct"))).as("_t"), sum("ct").as("_jc"))
       .agg(count(lit(1)).as("n_judges"),
-        sum(col("_t")).cast(DecimalType(38, 0)).as("_sT"))
+        sum(col("_t")).cast(DecimalType(38, 0)).as("_sT"),
+        min("_jc").as("_jmn"), max("_jc").as("_jmx"))
     val iStats = items.agg(count(lit(1)).as("n_items"),
       sum(dec(col("_R2")) * dec(col("_R2")))
         .cast(DecimalType(38, 0)).as("_sR2"),
@@ -1330,11 +1338,14 @@ object TextStats {
     val num = lit(3).cast(DecimalType(38, 0)) *
       (col("_sR2") - k * k * n * (n + dec(lit(1))) * (n + dec(lit(1))))
     val den = k * k * (n * n * n - n) - k * col("_sT")
+    // complete-panel gate: every judge rated exactly n_items units
+    val complete = col("_jmn") === col("_jmx") &&
+      col("_jmx") === col("n_items")
     iStats.crossJoin(broadcast(ties))
       .select(col("n_items"), col("n_judges"), col("n_ratings"),
-        when(den =!= dec(lit(0)),
+        when(den =!= dec(lit(0)) && complete,
           round(num.cast("double") / den.cast("double"), 6)).as("w"),
-        when(den =!= dec(lit(0)) && col("n_judges") > 1L,
+        when(den =!= dec(lit(0)) && complete && col("n_judges") > 1L,
           round((k.cast("double") *
             (num.cast("double") / den.cast("double")) - 1.0) /
             (col("n_judges") - 1L).cast("double"), 6))

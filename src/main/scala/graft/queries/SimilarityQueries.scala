@@ -1477,12 +1477,14 @@ object SimilarityQueries {
          |  SELECT vec_id AS qid, embedding AS qv,
          |    CAST(label AS BIGINT) AS q_label
          |  FROM embeddings WHERE vec_id % 25 = 0
+         |    AND embedding IS NOT NULL AND label IS NOT NULL
          |), scored AS (
          |  SELECT q.qid, q.q_label, e.vec_id,
          |    CAST(e.label AS BIGINT) AS nn_label,
          |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
          |  FROM embeddings e CROSS JOIN qs q
          |  WHERE e.vec_id <> q.qid
+         |    AND e.embedding IS NOT NULL AND e.label IS NOT NULL
          |), nn AS (
          |  SELECT qid, q_label, vec_id AS nn_id, nn_label, cos,
          |    row_number() OVER (PARTITION BY qid

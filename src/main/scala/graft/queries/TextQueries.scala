@@ -3661,6 +3661,7 @@ object TextQueries {
         |  SELECT CAST(doc_id // 8 AS BIGINT) AS prompt_id,
         |    doc_id AS resp_id, text
         |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |), t AS (
         |  SELECT prompt_id, resp_id,
         |    string_split_regex(lower(text), '\s+') AS ts
@@ -3787,7 +3788,7 @@ object TextQueries {
         |      '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS p,
         |    CAST(length(regexp_replace(lower(text), '\s+', '', 'g'))
         |      AS BIGINT) AS pc
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(w) AS BIGINT) AS n_words,
@@ -3903,13 +3904,17 @@ object TextQueries {
         |    CAST(SUM(kk) AS BIGINT) AS n_ratings
         |  FROM items
         |), tst AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_judges, SUM(t) AS st
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_judges, SUM(t) AS st,
+        |    MIN(jc) AS jmn, MAX(jc) AS jmx
         |  FROM (
         |    SELECT j, SUM(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT)
-        |      * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t
+        |      * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t,
+        |      CAST(SUM(ct) AS BIGINT) AS jc
         |    FROM cnt GROUP BY 1)
         |), fin AS (
         |  SELECT n_items, n_judges, n_ratings,
+        |    CASE WHEN jmn = jmx AND jmx = n_items
+        |      THEN 1 ELSE 0 END AS complete,
         |    3 * (sr2 - CAST(n_judges AS HUGEINT)
         |      * CAST(n_judges AS HUGEINT) * CAST(n_items AS HUGEINT)
         |      * CAST(n_items + 1 AS HUGEINT)
@@ -3921,9 +3926,9 @@ object TextQueries {
         |  FROM ist CROSS JOIN tst
         |)
         |SELECT n_items, n_judges, n_ratings,
-        |  CASE WHEN den <> 0 THEN
+        |  CASE WHEN den <> 0 AND complete = 1 THEN
         |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS w,
-        |  CASE WHEN den <> 0 AND n_judges > 1 THEN
+        |  CASE WHEN den <> 0 AND complete = 1 AND n_judges > 1 THEN
         |    round((CAST(n_judges AS DOUBLE) *
         |        (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
         |      - CAST(1 AS DOUBLE)) / CAST(n_judges - 1 AS DOUBLE), 6)

@@ -1002,6 +1002,21 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("w") - brute(rows)) < 1.1e-6)
   }
 
+  test("kendallW: incomplete panel ⇒ NULL w and mean_spearman " +
+    "(complete-panel contract enforced in-operator)") {
+    // judge 2 skips item 3: counts still report, the statistic refuses
+    val rows = (for (u <- 0L to 3L; j <- 0L to 2L
+      if !(u == 3L && j == 2L)) yield (u, j, u + j)).toSeq
+    val r = TextStats.kendallW(rows.toDF("u", "j", "x"), "u", "j", "x")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(r.getAs[Long]("n_items") === 4L &&
+      r.getAs[Long]("n_judges") === 3L &&
+      r.getAs[Long]("n_ratings") === 11L)
+    assert(r.isNullAt(r.fieldIndex("w")) &&
+      r.isNullAt(r.fieldIndex("mean_spearman")))
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
