@@ -3944,6 +3944,86 @@ object TextQueries {
       TextStats.kendallW(
         r.select(col("doc_id").as("u"), col("j"), x.as("x")),
         "u", "j", "x")
+    },
+
+    // ——— Krippendorff's α, ORDINAL metric (the Likert/rubric-scale
+    //     completion of the agreement family: q295 Fleiss, q319
+    //     nominal α, q369 interval α, q370 W): category distances
+    //     from the CUMULATIVE pairable marginals — mapping each
+    //     rating to the integer 2φ_c = 2·N_c − n_c reduces the whole
+    //     statistic to the interval moment pipeline, exactly. 4-judge
+    //     panel on a 5-category rubric, judges 0–2 within ±1 of the
+    //     unit's base category, judge 3 uniform. ———
+    Q("q371_alpha_ordinal",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |), rat AS (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN j < 3 THEN
+        |      least(greatest(doc_id % 5 + CAST(concat('0x',
+        |        substring(md5('ko' || CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % 3 - 1,
+        |        0), 4)
+        |    ELSE CAST(concat('0x', substring(md5('ko'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 5 END AS c
+        |  FROM r
+        |), pu AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM rat GROUP BY 1 HAVING COUNT(*) >= 2
+        |), pair AS (
+        |  SELECT rat.u, rat.c FROM rat JOIN pu USING (u)
+        |), marg AS (
+        |  SELECT c, CAST(COUNT(*) AS BIGINT) AS nc FROM pair GROUP BY 1
+        |), phi AS (
+        |  SELECT c, 2 * SUM(nc) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nc AS x2
+        |  FROM marg
+        |), ncat AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats FROM phi
+        |), xv AS (
+        |  SELECT pair.u, CAST(phi.x2 AS BIGINT) AS x
+        |  FROM pair JOIN phi USING (c)
+        |), units AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM xv GROUP BY 1 HAVING COUNT(*) >= 2
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n,
+        |    SUM(CAST(sx AS HUGEINT)) AS sv,
+        |    SUM(sxx) AS svv
+        |  FROM units
+        |), sd AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(2e6 *
+        |    CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT)
+        |      * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    / CAST(m - 1 AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS sdo
+        |  FROM units
+        |)
+        |SELECT 'rubric_5cat_4rater' AS measure, n_units, n, n_cats,
+        |  round(CAST(sdo AS DOUBLE) / 1e6 / n, 6) AS d_o,
+        |  round(CAST(2 AS DOUBLE) * CAST(CAST(n AS HUGEINT) * svv
+        |      - sv * sv AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6) AS d_e,
+        |  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * svv <> sv * sv THEN
+        |    round(1.0 - CAST(CAST(sdo AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      / (2e6 * CAST(CAST(n AS HUGEINT) * svv - sv * sv
+        |         AS DOUBLE)), 6)
+        |  END AS alpha
+        |FROM us CROSS JOIN sd CROSS JOIN ncat""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      val coin = conv(substring(md5(concat(lit("ko"),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val c = when(col("j") < 3L,
+        least(greatest(col("doc_id") % 5 + coin % 3 - 1, lit(0L)),
+          lit(4L))).otherwise(coin % 5)
+      TextStats.krippendorffAlphaOrdinal(
+        r.select(col("doc_id").as("u"), c.as("c")), "u", "c",
+        "rubric_5cat_4rater")
     }
   )
 }

@@ -949,6 +949,63 @@ class TextStatsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("alpha"))) // D_e = 0: undefined
   }
 
+  test("krippendorffAlphaOrdinal: brute-pairwise reference; binary " +
+    "categories reduce to nominal alpha; one-category panel NULL") {
+    // brute: φ_c = cumulative pairable marginal − n_c/2; α from raw
+    // ordered-pair sums (no moment identity, no quantization)
+    def brute(rows: Seq[(Long, Long)]): Double = {
+      val byU = rows.groupBy(_._1).filter(_._2.size >= 2)
+      val pairable = byU.values.flatten.map(_._2).toSeq
+      val n = pairable.size
+      val marg = pairable.groupBy(identity)
+        .map { case (c, v) => c -> v.size.toLong }
+      val cats = marg.keys.toSeq.sorted
+      val cum = cats.scanLeft(0L)((a, c) => a + marg(c)).tail
+      val phi = cats.zip(cum)
+        .map { case (c, nc) => c -> (nc - marg(c) / 2.0) }.toMap
+      val dO = byU.values.map { rs =>
+        val xs = rs.map(r => phi(r._2)).toSeq
+        val s = (for (i <- xs.indices; j <- xs.indices if i != j)
+          yield { val d = xs(i) - xs(j); d * d }).sum
+        s / (xs.size - 1).toDouble
+      }.sum / n
+      val all = pairable.map(phi)
+      val dE = (for (i <- all.indices; j <- all.indices if i != j)
+        yield { val d = all(i) - all(j); d * d }).sum /
+        (n.toDouble * (n - 1))
+      1.0 - dO / dE
+    }
+    def run(rows: Seq[(Long, Long)]) = {
+      val r = TextStats.krippendorffAlphaOrdinal(
+        rows.toDF("u", "c"), "u", "c", "t").collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // 5-category mixed panel, incl. a unit-9 singleton (dropped)
+    val rows = Seq((0L, 1L), (0L, 2L), (0L, 1L), (1L, 4L), (1L, 4L),
+      (2L, 0L), (2L, 1L), (3L, 3L), (3L, 4L), (3L, 2L), (4L, 0L),
+      (4L, 0L), (9L, 3L))
+    val out = run(rows)
+    assert(out.getAs[Long]("n") === 12L &&
+      out.getAs[Long]("n_cats") === 5L)
+    assert(math.abs(out.getAs[Double]("alpha") - brute(rows)) < 2e-6)
+
+    // binary categories ⇒ every between-category distance is one
+    // constant ⇒ ordinal α = nominal α
+    val bin = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 0L), (2L, 1L),
+      (2L, 1L), (3L, 0L), (3L, 1L), (3L, 1L))
+    val ord = run(bin).getAs[Double]("alpha")
+    val nom = TextStats.krippendorffAlpha(bin.toDF("u", "c"),
+      "u", "c", "t").collect().head.getAs[Double]("alpha")
+    graft.engine.TrackedCache.release()
+    assert(math.abs(ord - nom) < 5e-6)
+
+    // every pairable rating in one category ⇒ D_e = 0 ⇒ NULL
+    val flat = Seq((0L, 2L), (0L, 2L), (1L, 2L), (1L, 2L))
+    val f = run(flat)
+    assert(f.isNullAt(f.fieldIndex("alpha")))
+  }
+
   test("kendallW: perfect concordance 1, k=2 reversal 0 (mean " +
     "Spearman −1), all-ties NULL, tie-corrected brute reference") {
     def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("u", "j", "x")
