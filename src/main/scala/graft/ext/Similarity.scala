@@ -942,6 +942,72 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** BERTScore-family semantic similarity (Zhang et al. 2020,
+    * "BERTScore: Evaluating Text Generation with BERT") over
+    * (candidate, reference) pairs of TOKEN EMBEDDINGS: greedy
+    * token-level matching —
+    *   P = (1/|C|)·Σ_{c∈C} max_{r∈R} cos(c, r)
+    *   R = (1/|R|)·Σ_{r∈R} max_{c∈C} cos(c, r)
+    *   F = 2PR/(P + R)
+    * (no IDF weighting — the uniform-weight variant).
+    *
+    * Inputs: `cand` / `ref` each carry (pairCol, tokCol, vecCol) —
+    * one row per token embedding; rows with a NULL pair/token/vec
+    * are dropped (bonCurve NULL discipline), and only pairs present
+    * on BOTH sides score (inner join — a pair with an empty side has
+    * no defined match direction).
+    *
+    * Engine-exactness: each cosine is quantized to a 1e-6 BIGINT
+    * (ONE mirrored `round(1e6·cos)` — the 6-dp-before-argmax
+    * discipline of q333/q365) so the per-token max and the per-pair
+    * sums are exact integer ops; P and R are one double division
+    * each, and F is computed from the INTEGER sums as
+    * 2·sp·sr / (1e6·(sp·n_ref + sr·n_cand)) on DECIMAL(38,0) — one
+    * final double division, NULL when the denominator is ≤ 0 (P + R
+    * can be ≤ 0 with negative cosines; F is undefined there).
+    *
+    * Scale shape: ONE equi-join on the pair key with per-pair
+    * fan-out bounded by tokens-per-side² (the q365 bounded-roster
+    * discipline — never corpus × corpus), the scored frame persisted
+    * once to feed both rollup directions, then two (pair, token)
+    * max-aggregates collapsing to pair rows. No windows.
+    */
+  def bertScore(cand: DataFrame, ref: DataFrame,
+                pairCol: String = "pair_id", tokCol: String = "tok_id",
+                vecCol: String = "vec"): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    def side(df: DataFrame, tok: String, vec: String) = df
+      .select(col(pairCol).as("_p"), col(tokCol).as(tok),
+        col(vecCol).as(vec))
+      .filter(col("_p").isNotNull && col(tok).isNotNull &&
+        col(vec).isNotNull)
+    val scored = side(cand, "_ct", "_cv")
+      .join(side(ref, "_rt", "_rv"), Seq("_p"))
+      .select(col("_p"), col("_ct"), col("_rt"),
+        round(lit(1e6) * cosine(col("_cv"), col("_rv")))
+          .cast("long").as("_q"))
+      .trackedPersist() // feeds both matching directions
+    val pSide = scored.groupBy("_p", "_ct").agg(max("_q").as("_m"))
+      .groupBy("_p").agg(sum("_m").as("_sp"),
+        count(lit(1)).as("n_cand"))
+    val rSide = scored.groupBy("_p", "_rt").agg(max("_q").as("_m"))
+      .groupBy("_p").agg(sum("_m").as("_sr"),
+        count(lit(1)).as("n_ref"))
+    val fDen = dec(col("_sp")) * dec(col("n_ref")) +
+      dec(col("_sr")) * dec(col("n_cand"))
+    pSide.join(rSide, Seq("_p"))
+      .select(col("_p").as(pairCol), col("n_cand"), col("n_ref"),
+        round(col("_sp").cast("double") / 1e6 / col("n_cand"), 6)
+          .as("p_score"),
+        round(col("_sr").cast("double") / 1e6 / col("n_ref"), 6)
+          .as("r_score"),
+        when(fDen > dec(lit(0)),
+          round((lit(2).cast(DecimalType(38, 0)) * dec(col("_sp")) *
+            dec(col("_sr"))).cast("double") /
+            (lit(1e6) * fDen.cast("double")), 6)).as("f_score"))
+      .orderBy(pairCol)
+  }
+
   /** Distributional text/embedding eval via cluster-histogram total
     * variation — the MAUVE family (Pillutla et al. 2021) with TV in
     * place of KL, so NO transcendentals enter the data path (MAUVE

@@ -1565,6 +1565,57 @@ object SimilarityQueries {
           e.filter(col("vec_id") % 2 === 1), cents)
         .select(col("cell").cast("long").as("cell"), col("n_a"),
           col("n_b"), col("share_a"), col("share_b"), col("tv"))
+    },
+
+    // ——— BERTScore-family greedy token-embedding matching (Zhang et
+    //     al. 2020, uniform-weight P/R/F): the embeddings table carved
+    //     into 16-vector "sentences" — 8 candidate + 8 reference token
+    //     embeddings per pair. Cosines 1e-6-quantized to BIGINT before
+    //     the per-token max (the q333/q365 exactness trick); F from
+    //     the integer sums with ONE final division. ———
+    Q("q372_bertscore",
+      s"""WITH c AS (
+         |  SELECT vec_id // 16 AS p, vec_id % 8 AS ct, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 16 < 8
+         |), r AS (
+         |  SELECT vec_id // 16 AS p, vec_id % 8 AS rt, embedding AS rv
+         |  FROM embeddings WHERE vec_id % 16 >= 8
+         |), sc AS (
+         |  SELECT c.p, c.ct, r.rt,
+         |    CAST(round(1e6 * (${cosSql("c.cv", "r.rv")})) AS BIGINT)
+         |      AS q
+         |  FROM c JOIN r ON c.p = r.p
+         |), ps AS (
+         |  SELECT p, CAST(SUM(m) AS BIGINT) AS sp,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM (SELECT p, ct, MAX(q) AS m FROM sc GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), rs AS (
+         |  SELECT p, CAST(SUM(m) AS BIGINT) AS sr,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ref
+         |  FROM (SELECT p, rt, MAX(q) AS m FROM sc GROUP BY 1, 2)
+         |  GROUP BY 1
+         |)
+         |SELECT p AS pair_id, n_cand, n_ref,
+         |  round(CAST(sp AS DOUBLE) / 1e6 / n_cand, 6) AS p_score,
+         |  round(CAST(sr AS DOUBLE) / 1e6 / n_ref, 6) AS r_score,
+         |  CASE WHEN CAST(sp AS HUGEINT) * n_ref
+         |      + CAST(sr AS HUGEINT) * n_cand > 0 THEN
+         |    round(CAST(2 * CAST(sp AS HUGEINT) * CAST(sr AS HUGEINT)
+         |        AS DOUBLE)
+         |      / (1e6 * CAST(CAST(sp AS HUGEINT) * n_ref
+         |          + CAST(sr AS HUGEINT) * n_cand AS DOUBLE)), 6)
+         |  END AS f_score
+         |FROM ps JOIN rs USING (p) ORDER BY pair_id""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val cand = e.filter(col("vec_id") % 16 < 8)
+          .select(expr("vec_id div 16").as("pair_id"),
+            (col("vec_id") % 8).as("tok_id"), col("embedding").as("vec"))
+        val ref = e.filter(col("vec_id") % 16 >= 8)
+          .select(expr("vec_id div 16").as("pair_id"),
+            (col("vec_id") % 8).as("tok_id"), col("embedding").as("vec"))
+        Similarity.bertScore(cand, ref)
     }
   )
 

@@ -813,6 +813,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out(20L).getAs[Long]("correct") === 0L)
   }
 
+  test("bertScore: shuffled-identical token sets score exactly 1, " +
+    "orthogonal pairs score 0, asymmetric subsets split P/R, NULL " +
+    "and one-sided rows drop") {
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    def run(c: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame) = {
+      val out = Similarity.bertScore(c, r).collect()
+      graft.engine.TrackedCache.release()
+      out.map(x => x.getAs[Long]("pair_id") -> x).toMap
+    }
+    // pair 0: same 3 tokens, REF side shuffled ⇒ P = R = F = 1
+    // pair 1: cand tokens ⊥ ref tokens ⇒ all cosines 0 ⇒ F NULL-den=0
+    //          guard: P = R = 0, denominator 0 ⇒ f_score NULL
+    // pair 2: cand = {a}, ref = {a, b⊥a} ⇒ P = 1, R = ½, F = ⅔
+    val a = v(1, 0, 0); val b = v(0, 1, 0); val cz = v(0, 0, 1)
+    val cand = Seq(
+      (0L, 0L, a), (0L, 1L, b), (0L, 2L, cz),
+      (1L, 0L, a), (1L, 1L, b),
+      (2L, 0L, a)
+    ).toDF("pair_id", "tok_id", "vec")
+    val ref = Seq(
+      (0L, 0L, cz), (0L, 1L, a), (0L, 2L, b), // shuffled order
+      (1L, 0L, cz), (1L, 1L, cz),
+      (2L, 0L, a), (2L, 1L, b)
+    ).toDF("pair_id", "tok_id", "vec")
+    val out = run(cand, ref)
+    assert(out(0L).getAs[Double]("p_score") === 1.0 &&
+      out(0L).getAs[Double]("r_score") === 1.0 &&
+      out(0L).getAs[Double]("f_score") === 1.0)
+    assert(out(1L).getAs[Double]("p_score") === 0.0 &&
+      out(1L).getAs[Double]("r_score") === 0.0 &&
+      out(1L).isNullAt(out(1L).fieldIndex("f_score")))
+    assert(out(2L).getAs[Double]("p_score") === 1.0 &&
+      out(2L).getAs[Double]("r_score") === 0.5 &&
+      math.abs(out(2L).getAs[Double]("f_score") - 2.0 / 3) < 1e-6)
+
+    // NULL vec and pair-only-on-one-side rows disappear
+    val candN = Seq((0L, Some(0L), Some(a)), (0L, Some(1L), None),
+      (7L, Some(0L), Some(a))).toDF("pair_id", "tok_id", "vec")
+    val refN = Seq((0L, Some(0L), Some(a)))
+      .toDF("pair_id", "tok_id", "vec")
+    val outN = run(candN, refN)
+    assert(outN.keySet === Set(0L) &&
+      outN(0L).getAs[Long]("n_cand") === 1L)
+  }
+
   test("clusterTvDistance: identical sets score 0, disjoint modes " +
     "score 1, and TV is symmetric") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
