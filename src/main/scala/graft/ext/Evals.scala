@@ -348,4 +348,110 @@ object Evals {
         round(col("n").cast("double") / col("row_total"), 6).as("rate"))
       .orderBy(annotatorCol, "majority_label", labelCol)
   }
+
+  /** Paired-bootstrap significance (Koehn 2004, "Statistical
+    * Significance Tests for Machine Translation Evaluation") between
+    * two systems scored on the SAME segments: `b` deterministic
+    * resamples of the per-segment metric deltas → win fraction, a
+    * sign-test-style p-value (losses + ties/2, so identical systems
+    * read exactly 0.5), and a nearest-rank 95% CI on the resample
+    * mean delta.
+    *
+    * Resampling is the POISSON bootstrap (the cluster-scale form —
+    * Chamandy et al. 2012): each (resample, segment) draws a weight
+    * w ~ Poisson(1) approximated by thresholding an md5 coin on the
+    * cumulative pmf in 1e-4 steps — NO RNG state, NO global n needed,
+    * every row independent, replayable verbatim in SQL.
+    *
+    * Engine-exactness: per-segment deltas are 1e-6-quantized BIGINTs
+    * before any aggregation; each resample reduces to the integer
+    * pair (Σw, Σw·qd); win/loss/tie is the SIGN of the integer Σw·qd;
+    * and the percentile ranks order resample means by EXACT RATIONAL
+    * cross-comparison (sq·sw' vs sq'·sw on DECIMAL(38,0), resample id
+    * tie-break) — no double enters any comparison. Nearest-rank
+    * indices are exact integer ceilings (n/40, 39n/40). The only
+    * doubles are the final reported divisions, each rounded to 6.
+    *
+    * Resamples that draw all-zero weights (Σw = 0) have no mean and
+    * drop from the win/p/CI denominators — `n_eff` reports the
+    * survivor count (at corpus scale Σw = 0 has probability e^{−n}).
+    *
+    * Scale shape: one segment-keyed map pass, a b× literal explode
+    * (map-side, no shuffle), ONE resample-keyed aggregate down to b
+    * rows, then a b×b broadcast nested-loop rank join — bounded by
+    * the `b` PARAMETER, independent of corpus size — and 1-row
+    * broadcast crossJoins. No windows anywhere.
+    */
+  def pairedBootstrap(segs: DataFrame, idCol: String, aCol: String,
+                      bCol: String, b: Int = 200,
+                      seed: String = "pb"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(b >= 1, s"pairedBootstrap: b must be >= 1, got $b")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = segs.select(col(idCol).as("_s"),
+        round(lit(1e6) * (col(aCol).cast("double") -
+          col(bCol).cast("double"))).cast("long").as("_qd"))
+      .filter(col("_s").isNotNull && col("_qd").isNotNull)
+      .trackedPersist() // feeds the full-sample stats AND the explode
+    val full = base.agg(count(lit(1)).as("n_segs"),
+      coalesce(sum("_qd"), lit(0L)).as("_sqd"))
+    // Poisson(1) pmf cumulative in 1e-4 steps: .3679/.7358/.9197/
+    // .9810/.9963 → w ∈ {0..5}, E[w] = 0.9993
+    val u = conv(substring(md5(concat(lit(seed), lit("#"),
+      col("_r").cast("string"), lit("#"), col("_s").cast("string"))),
+      1, 7), 16, 10).cast("long") % 10000L
+    val w = when(u < 3679L, 0L).when(u < 7358L, 1L)
+      .when(u < 9197L, 2L).when(u < 9810L, 3L).when(u < 9963L, 4L)
+      .otherwise(5L)
+    val means = base
+      .select(col("_s"), col("_qd"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy("_r")
+      .agg(sum("_w").as("_sw"), sum(col("_w") * col("_qd")).as("_sq"))
+      .filter(col("_sw") > 0L)
+      .trackedPersist() // b rows; feeds totals + both rank-join sides
+    val tot = means.agg(count(lit(1)).as("n_eff"),
+      coalesce(sum(when(col("_sq") > 0L, 1L).otherwise(0L)), lit(0L))
+        .as("_wins"),
+      coalesce(sum(when(col("_sq") < 0L, 1L).otherwise(0L)), lit(0L))
+        .as("_losses"),
+      coalesce(sum(when(col("_sq") === 0L, 1L).otherwise(0L)), lit(0L))
+        .as("_ties"))
+    val y = means.select(col("_r").as("_yr"), col("_sw").as("_ysw"),
+      col("_sq").as("_ysq"))
+    val lhs = dec(col("_ysq")) * dec(col("_sw"))
+    val rhs = dec(col("_sq")) * dec(col("_ysw"))
+    val rk = means.join(broadcast(y),
+        lhs < rhs || (lhs === rhs && col("_yr") <= col("_r")))
+      .groupBy("_r", "_sw", "_sq").agg(count(lit(1)).as("_rk"))
+    val ci = rk.crossJoin(broadcast(tot.select(col("n_eff").as("_ne"))))
+      .agg(
+        max(when(col("_rk") === expr("(_ne + 39) div 40"),
+          round(col("_sq").cast("double") / 1e6 / col("_sw"), 6)))
+          .as("ci_lo"),
+        max(when(col("_rk") === expr("(39 * _ne + 39) div 40"),
+          round(col("_sq").cast("double") / 1e6 / col("_sw"), 6)))
+          .as("ci_hi"))
+    full.crossJoin(broadcast(tot)).crossJoin(broadcast(ci))
+      .select(col("n_segs"), lit(b).cast("long").as("b_resamples"),
+        col("n_eff"),
+        when(col("n_segs") > 0L,
+          round(col("_sqd").cast("double") / 1e6 / col("n_segs"), 6))
+          .as("mean_delta"),
+        when(col("n_eff") > 0L,
+          round(col("_wins").cast("double") / col("n_eff"), 6))
+          .as("win_frac"),
+        when(col("n_eff") > 0L,
+          round(col("_losses").cast("double") / col("n_eff"), 6))
+          .as("loss_frac"),
+        when(col("n_eff") > 0L,
+          round(col("_ties").cast("double") / col("n_eff"), 6))
+          .as("tie_frac"),
+        when(col("n_eff") > 0L,
+          round((col("_losses").cast("double") +
+            col("_ties").cast("double") / 2.0) / col("n_eff"), 6))
+          .as("p_value"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Corpus, TextStats}
+import graft.ext.{Corpus, Evals, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2642,6 +2642,101 @@ object CorpusQueries {
         when(aWins, col("la")).otherwise(col("lb")).as("winner_len"),
         when(aWins, col("lb")).otherwise(col("la")).as("loser_len"))
       Preference.stratifiedWinRate(votes)
+    },
+
+    // ——— paired-bootstrap significance (Koehn 2004) between two
+    //     systems on the same segments, via the DETERMINISTIC Poisson
+    //     bootstrap (Chamandy et al. 2012 — per-row md5-thresholded
+    //     Poisson(1) weights, no RNG state, no global n): 200
+    //     resamples of the per-doc metric deltas → win fraction,
+    //     ties-count-half p-value, nearest-rank 95% CI. Every
+    //     comparison is integer/rational (sign of Σw·qd; sq·sw' vs
+    //     sq'·sw on HUGEINT) — doubles only in the final reported
+    //     divisions. System A carries a planted ~+0.0095 mean
+    //     improvement over the shared base metric. ———
+    Q("q373_paired_bootstrap",
+      """WITH segs AS (
+        |  SELECT doc_id AS s,
+        |    CAST((CAST(concat('0x', substring(md5('pba#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)
+        |      + (CAST(concat('0x', substring(md5('pbb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 200)
+        |      - 90 AS DOUBLE) / 1000.0 AS ma,
+        |    CAST(CAST(concat('0x', substring(md5('pba#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS DOUBLE) / 1000.0 AS mb
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT s, CAST(round(1e6 * (ma - mb)) AS BIGINT) AS qd
+        |  FROM segs
+        |), fs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sqd
+        |  FROM base
+        |), wts AS (
+        |  SELECT r, s, qd,
+        |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |      WHEN u < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM (
+        |    SELECT r, s, qd, CAST(concat('0x', substring(md5('pb#'
+        |      || CAST(r AS VARCHAR) || '#' || CAST(s AS VARCHAR)),
+        |      1, 7)) AS BIGINT) % 10000 AS u
+        |    FROM (SELECT s, qd, unnest(range(0, 200)) AS r FROM base))
+        |), means AS MATERIALIZED (
+        |  SELECT r, CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w * qd) AS BIGINT) AS sq
+        |  FROM wts GROUP BY 1 HAVING SUM(w) > 0
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eff,
+        |    CAST(SUM(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins,
+        |    CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS losses,
+        |    CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties
+        |  FROM means
+        |), rk AS (
+        |  SELECT x.r, x.sw, x.sq, CAST(COUNT(*) AS BIGINT) AS rk
+        |  FROM means x JOIN means y ON
+        |    CAST(y.sq AS HUGEINT) * x.sw < CAST(x.sq AS HUGEINT) * y.sw
+        |    OR (CAST(y.sq AS HUGEINT) * x.sw
+        |          = CAST(x.sq AS HUGEINT) * y.sw
+        |        AND y.r <= x.r)
+        |  GROUP BY 1, 2, 3
+        |), ci AS (
+        |  SELECT MAX(CASE WHEN rk = (n_eff + 39) // 40 THEN
+        |      round(CAST(sq AS DOUBLE) / 1e6 / sw, 6) END) AS ci_lo,
+        |    MAX(CASE WHEN rk = (39 * n_eff + 39) // 40 THEN
+        |      round(CAST(sq AS DOUBLE) / 1e6 / sw, 6) END) AS ci_hi
+        |  FROM rk CROSS JOIN tot
+        |)
+        |SELECT n_segs, CAST(200 AS BIGINT) AS b_resamples, n_eff,
+        |  CASE WHEN n_segs > 0 THEN
+        |    round(CAST(sqd AS DOUBLE) / 1e6 / n_segs, 6)
+        |  END AS mean_delta,
+        |  CASE WHEN n_eff > 0 THEN
+        |    round(CAST(wins AS DOUBLE) / n_eff, 6) END AS win_frac,
+        |  CASE WHEN n_eff > 0 THEN
+        |    round(CAST(losses AS DOUBLE) / n_eff, 6) END AS loss_frac,
+        |  CASE WHEN n_eff > 0 THEN
+        |    round(CAST(ties AS DOUBLE) / n_eff, 6) END AS tie_frac,
+        |  CASE WHEN n_eff > 0 THEN
+        |    round((CAST(losses AS DOUBLE) + CAST(ties AS DOUBLE) / 2)
+        |      / n_eff, 6) END AS p_value,
+        |  ci_lo, ci_hi
+        |FROM fs CROSS JOIN tot CROSS JOIN ci""".stripMargin) { (s, dir) =>
+      val c1 = conv(substring(md5(concat(lit("pba#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val c2 = conv(substring(md5(concat(lit("pbb#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val segs = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("seg_id"),
+          ((c1 % 1000 + c2 % 200 - 90).cast("double") / 1000.0)
+            .as("ma"),
+          ((c1 % 1000).cast("double") / 1000.0).as("mb"))
+      Evals.pairedBootstrap(segs, "seg_id", "ma", "mb", b = 200,
+        seed = "pb")
     }
   )
 

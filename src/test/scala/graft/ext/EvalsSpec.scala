@@ -211,4 +211,50 @@ class EvalsSpec extends SparkSpec {
     }
     graft.engine.TrackedCache.release()
   }
+
+  test("pairedBootstrap: identical systems p = 0.5 (all ties), " +
+    "planted uniform improvement wins every resample, NULL segments " +
+    "drop, CI brackets the mean") {
+    def run(rows: Seq[(Long, Double, Double)], b: Int = 64) = {
+      val r = Evals.pairedBootstrap(
+        rows.toDF("seg_id", "ma", "mb"), "seg_id", "ma", "mb", b = b)
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // identical systems: every delta 0 ⇒ every resample ties ⇒
+    // p-value exactly 0.5, CI degenerate at 0
+    val same = (0L to 19L).map(i => (i, i * 0.1, i * 0.1))
+    val s = run(same)
+    assert(s.getAs[Long]("n_segs") === 20L)
+    assert(s.getAs[Double]("mean_delta") === 0.0 &&
+      s.getAs[Double]("win_frac") === 0.0 &&
+      s.getAs[Double]("tie_frac") === 1.0 &&
+      s.getAs[Double]("p_value") === 0.5)
+    assert(s.getAs[Double]("ci_lo") === 0.0 &&
+      s.getAs[Double]("ci_hi") === 0.0)
+    assert(s.getAs[Long]("n_eff") <= s.getAs[Long]("b_resamples"))
+
+    // planted uniform +1.0 improvement: every surviving resample has
+    // sq = sw·1e6 > 0 ⇒ win fraction 1, p-value 0, CI = [1, 1]
+    val up = (0L to 19L).map(i => (i, i * 0.1 + 1.0, i * 0.1))
+    val u = run(up)
+    assert(u.getAs[Double]("win_frac") === 1.0 &&
+      u.getAs[Double]("p_value") === 0.0)
+    assert(math.abs(u.getAs[Double]("mean_delta") - 1.0) < 1e-6)
+    assert(math.abs(u.getAs[Double]("ci_lo") - 1.0) < 1e-6 &&
+      math.abs(u.getAs[Double]("ci_hi") - 1.0) < 1e-6)
+    assert(u.getAs[Double]("ci_lo") <= u.getAs[Double]("mean_delta") &&
+      u.getAs[Double]("mean_delta") <= u.getAs[Double]("ci_hi"))
+
+    // NULL metric rows drop from n_segs
+    val withNull = Seq((Some(0L), Some(1.0), Some(0.5)),
+      (Some(1L), None, Some(0.5)), (None, Some(1.0), Some(0.5)),
+      (Some(2L), Some(0.9), Some(0.4)))
+      .toDF("seg_id", "ma", "mb")
+    val n = Evals.pairedBootstrap(withNull, "seg_id", "ma", "mb",
+      b = 16).collect().head
+    graft.engine.TrackedCache.release()
+    assert(n.getAs[Long]("n_segs") === 2L)
+  }
 }
