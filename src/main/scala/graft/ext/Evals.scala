@@ -454,4 +454,62 @@ object Evals {
           .as("p_value"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Approximate-randomization (paired permutation) significance test
+    * (Riezler & Maxwell 2005, "On Some Pitfalls in Automatic
+    * Evaluation and Significance Testing for MT") — the companion to
+    * [[pairedBootstrap]] and the test with the cleaner null: under
+    * H0 the system labels are exchangeable per segment, so each
+    * permutation FLIPS the sign of each segment's delta with
+    * probability ½; the p-value is the fraction of sign-flip
+    * resamples whose |mean delta| reaches the observed |mean delta|,
+    * with the standard +1/+1 validity correction
+    * p = (r + 1)/(b + 1) (guarantees p > 0 and exact validity for
+    * finite b).
+    *
+    * Determinism and exactness: flips come from an md5 coin per
+    * (resample, segment) — no RNG state; per-segment deltas are
+    * 1e-6-quantized BIGINTs, each resample reduces to the integer
+    * Σ s·qd (s ∈ {−1, +1}), and because every resample shares the
+    * observed denominator n the comparison |mean| ≥ |mean_obs| is
+    * the pure INTEGER comparison |Σ s·qd| ≥ |Σ qd| — no double
+    * enters the decision. The only doubles are the reported
+    * divisions, rounded to 6.
+    *
+    * Scale shape: one segment-keyed map pass, a b× literal explode
+    * (map-side), ONE resample-keyed aggregate to b rows, a 1-row
+    * broadcast crossJoin for the observed statistic, one final
+    * count. No windows, no non-equi joins.
+    */
+  def permutationTest(segs: DataFrame, idCol: String, aCol: String,
+                      bCol: String, b: Int = 200,
+                      seed: String = "ar"): DataFrame = {
+    require(b >= 1, s"permutationTest: b must be >= 1, got $b")
+    val base = segs.select(col(idCol).as("_s"),
+        round(lit(1e6) * (col(aCol).cast("double") -
+          col(bCol).cast("double"))).cast("long").as("_qd"))
+      .filter(col("_s").isNotNull && col("_qd").isNotNull)
+      .trackedPersist() // feeds the observed stat AND the explode
+    val obs = base.agg(count(lit(1)).as("n_segs"),
+      coalesce(sum("_qd"), lit(0L)).as("_sqd"))
+    val flip = when(conv(substring(md5(concat(lit(seed), lit("#"),
+      col("_r").cast("string"), lit("#"), col("_s").cast("string"))),
+      1, 7), 16, 10).cast("long") % 2L === 0L, 1L).otherwise(-1L)
+    val res = base
+      .select(col("_s"), col("_qd"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .groupBy("_r")
+      .agg(coalesce(sum(flip * col("_qd")), lit(0L)).as("_fq"))
+    val hits = res.crossJoin(broadcast(obs))
+      .agg(coalesce(sum(when(abs(col("_fq")) >= abs(col("_sqd")), 1L)
+        .otherwise(0L)), lit(0L)).as("_hits"))
+    obs.crossJoin(broadcast(hits))
+      .select(col("n_segs"), lit(b).cast("long").as("b_resamples"),
+        when(col("n_segs") > 0L,
+          round(col("_sqd").cast("double") / 1e6 / col("n_segs"), 6))
+          .as("mean_delta"),
+        col("_hits").as("n_hits"),
+        round((col("_hits").cast("double") + 1.0) / (b + 1.0), 6)
+          .as("p_value"))
+  }
 }

@@ -2737,6 +2737,65 @@ object CorpusQueries {
           ((c1 % 1000).cast("double") / 1000.0).as("mb"))
       Evals.pairedBootstrap(segs, "seg_id", "ma", "mb", b = 200,
         seed = "pb")
+    },
+
+    // ——— approximate randomization / paired permutation test
+    //     (Riezler & Maxwell 2005) on the SAME planted two-system
+    //     panel as q373, so the two significance tests are directly
+    //     comparable: each resample sign-flips every segment delta on
+    //     an md5 coin; |sum flipped| >= |sum observed| is a PURE
+    //     INTEGER comparison (shared denominator n); p = (r+1)/(b+1)
+    //     validity-corrected. ———
+    Q("q374_permutation_test",
+      """WITH segs AS (
+        |  SELECT doc_id AS s,
+        |    CAST((CAST(concat('0x', substring(md5('pba#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)
+        |      + (CAST(concat('0x', substring(md5('pbb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 200)
+        |      - 90 AS DOUBLE) / 1000.0 AS ma,
+        |    CAST(CAST(concat('0x', substring(md5('pba#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS DOUBLE) / 1000.0 AS mb
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT s, CAST(round(1e6 * (ma - mb)) AS BIGINT) AS qd
+        |  FROM segs
+        |), obs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sqd
+        |  FROM base
+        |), res AS (
+        |  SELECT r, CAST(COALESCE(SUM(CASE WHEN
+        |      CAST(concat('0x', substring(md5('ar#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(s AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 2 = 0
+        |      THEN qd ELSE -qd END), 0) AS BIGINT) AS fq
+        |  FROM (SELECT s, qd, unnest(range(0, 200)) AS r FROM base)
+        |  GROUP BY 1
+        |), hits AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN ABS(fq) >= ABS(sqd)
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        |  FROM res CROSS JOIN obs
+        |)
+        |SELECT n_segs, CAST(200 AS BIGINT) AS b_resamples,
+        |  CASE WHEN n_segs > 0 THEN
+        |    round(CAST(sqd AS DOUBLE) / 1e6 / n_segs, 6)
+        |  END AS mean_delta,
+        |  n_hits,
+        |  round((CAST(n_hits AS DOUBLE) + 1) / 201, 6) AS p_value
+        |FROM obs CROSS JOIN hits""".stripMargin) { (s, dir) =>
+      val c1 = conv(substring(md5(concat(lit("pba#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val c2 = conv(substring(md5(concat(lit("pbb#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val segs = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("seg_id"),
+          ((c1 % 1000 + c2 % 200 - 90).cast("double") / 1000.0)
+            .as("ma"),
+          ((c1 % 1000).cast("double") / 1000.0).as("mb"))
+      Evals.permutationTest(segs, "seg_id", "ma", "mb", b = 200,
+        seed = "ar")
     }
   )
 

@@ -257,4 +257,40 @@ class EvalsSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
     assert(n.getAs[Long]("n_segs") === 2L)
   }
+
+  test("permutationTest: identical systems p = 1, planted uniform " +
+    "improvement p = 1/(b+1), and p is symmetric in the two systems") {
+    def run(rows: Seq[(Long, Double, Double)], b: Int = 64) = {
+      val r = Evals.permutationTest(
+        rows.toDF("seg_id", "ma", "mb"), "seg_id", "ma", "mb", b = b)
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // identical systems: every delta 0 ⇒ every resample hits ⇒ p = 1
+    val same = (0L to 19L).map(i => (i, i * 0.1, i * 0.1))
+    val s = run(same)
+    assert(s.getAs[Double]("mean_delta") === 0.0 &&
+      s.getAs[Long]("n_hits") === 64L &&
+      s.getAs[Double]("p_value") === 1.0)
+
+    // planted +1.0 on 20 segments: a flipped sum matches |Σqd| only
+    // if ALL 20 coins land heads — absent in 64 resamples ⇒ r = 0 ⇒
+    // p = 1/65 exactly
+    val up = (0L to 19L).map(i => (i, i * 0.1 + 1.0, i * 0.1))
+    val u = run(up)
+    assert(u.getAs[Long]("n_hits") === 0L)
+    assert(u.getAs[Double]("p_value") ===
+      math.rint(1e6 / 65.0) / 1e6)
+
+    // exchanging the systems negates every delta and every flipped
+    // sum ⇒ identical |·| comparisons ⇒ identical p
+    val mixed = (0L to 19L).map(i =>
+      (i, i * 0.07 + (if (i % 3 == 0) 0.4 else -0.1), i * 0.07))
+    val ab = run(mixed)
+    val ba = run(mixed.map { case (i, a, b) => (i, b, a) })
+    assert(ab.getAs[Double]("p_value") === ba.getAs[Double]("p_value"))
+    assert(ab.getAs[Double]("mean_delta") ===
+      -ba.getAs[Double]("mean_delta"))
+  }
 }
