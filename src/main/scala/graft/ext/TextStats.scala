@@ -1087,6 +1087,63 @@ object TextStats {
             / (col("n_rows") * col("n_rows") - col("s")), 6)).as("kappa"))
   }
 
+  /** WEIGHTED Cohen's κ (Cohen 1968, "Weighted kappa: Nominal scale
+    * agreement with provision for scaled disagreement or partial
+    * credit") for two raters on an ORDINAL scale — near-misses earn
+    * partial credit via disagreement weights w_ij: LINEAR |i−j| and
+    * QUADRATIC (i−j)² (the rubric-eval standard; quadratic-weighted
+    * κ is equivalent to an ICC), both reported from one pass.
+    *
+    * κ_w = 1 − (Σ n_ij·w_ij / n) / (Σ r_i·c_j·w_ij / n²)
+    *     = (Σ r_i·c_j·w_ij − n·Σ n_ij·w_ij) / Σ r_i·c_j·w_ij —
+    * every term an exact integer (weights are integers; marginal
+    * products ride DECIMAL(38,0)), ONE double division per κ,
+    * rounded 6. NULL when the expected weighted disagreement is 0
+    * (both raters confined to one shared category). With exactly
+    * two categories every off-diagonal weight is 1 under both
+    * schemes, so both reduce to the unweighted [[cohenKappa]].
+    *
+    * Scale shape: one (cat_a, cat_b) confusion-cell aggregate (the
+    * per-row work), marginal rollups, and a |cats|²
+    * dictionary-scale cross of the two marginals. No windows.
+    */
+  def weightedKappa(pred: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells = pred.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .trackedPersist() // feeds observed sums + both marginals
+    val rows = cells.groupBy("a").agg(sum("n").as("rn"))
+    val cols_ = cells.groupBy("b").agg(sum("n").as("cn"))
+    val dl = abs(col("a") - col("b"))
+    val dq = (col("a") - col("b")) * (col("a") - col("b"))
+    val obs = cells.agg(sum("n").as("n_rows"),
+      coalesce(sum(col("n") * dl), lit(0L)).as("_swol"),
+      coalesce(sum(col("n") * dq), lit(0L)).as("_swoq"))
+    val expd = rows.crossJoin(cols_).agg(
+      coalesce(sum(dec(col("rn")) * dec(col("cn")) * dec(dl)),
+        dec(lit(0))).as("_swel"),
+      coalesce(sum(dec(col("rn")) * dec(col("cn")) * dec(dq)),
+        dec(lit(0))).as("_sweq"))
+    def kap(swo: Column, swe: Column): Column =
+      when(swe > dec(lit(0)),
+        round((swe - dec(col("n_rows")) * dec(swo)).cast("double") /
+          swe.cast("double"), 6))
+    val n2 = col("n_rows").cast("double") * col("n_rows").cast("double")
+    obs.crossJoin(broadcast(expd))
+      .select(col("n_rows"),
+        round(col("_swol").cast("double") / col("n_rows"), 6)
+          .as("do_linear"),
+        round(col("_swel").cast("double") / n2, 6).as("de_linear"),
+        kap(col("_swol"), col("_swel")).as("kappa_linear"),
+        round(col("_swoq").cast("double") / col("n_rows"), 6)
+          .as("do_quadratic"),
+        round(col("_sweq").cast("double") / n2, 6).as("de_quadratic"),
+        kap(col("_swoq"), col("_sweq")).as("kappa_quadratic"))
+  }
+
   /** Degenerate-text run detector — the loop signature of
     * model-generated text (`the the the …`, `a b a b a b …`) that
     * distinct-token ratios (q62) dilute away in long documents:

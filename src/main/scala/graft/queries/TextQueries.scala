@@ -4024,6 +4024,68 @@ object TextQueries {
       TextStats.krippendorffAlphaOrdinal(
         r.select(col("doc_id").as("u"), c.as("c")), "u", "c",
         "rubric_5cat_4rater")
+    },
+
+    // ——— weighted Cohen's κ (Cohen 1968): the 2-rater ordinal-scale
+    //     agreement with partial credit — linear |i−j| and quadratic
+    //     (i−j)² disagreement weights from ONE confusion-cell pass;
+    //     every term an exact integer (marginal products on HUGEINT ↔
+    //     DECIMAL(38,0)), one division per κ. Two synthetic raters
+    //     within ±1 of the unit's base category on a 5-point rubric. ———
+    Q("q375_weighted_kappa",
+      """WITH rat AS (
+        |  SELECT
+        |    least(greatest(doc_id % 5 + CAST(concat('0x',
+        |      substring(md5('wka#' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) % 3 - 1, 0), 4) AS a,
+        |    least(greatest(doc_id % 5 + CAST(concat('0x',
+        |      substring(md5('wkb#' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) % 3 - 1, 0), 4) AS b
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), cells AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rat GROUP BY 1, 2
+        |), rows_ AS (
+        |  SELECT a, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1
+        |), cols_ AS (
+        |  SELECT b, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1
+        |), obs AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(n * ABS(a - b)), 0) AS BIGINT) AS swol,
+        |    CAST(COALESCE(SUM(n * (a - b) * (a - b)), 0) AS BIGINT)
+        |      AS swoq
+        |  FROM cells
+        |), expd AS (
+        |  SELECT
+        |    COALESCE(SUM(CAST(rn AS HUGEINT) * cn * ABS(a - b)), 0)
+        |      AS swel,
+        |    COALESCE(SUM(CAST(rn AS HUGEINT) * cn * (a - b) * (a - b)),
+        |      0) AS sweq
+        |  FROM rows_ CROSS JOIN cols_
+        |)
+        |SELECT n_rows,
+        |  round(CAST(swol AS DOUBLE) / n_rows, 6) AS do_linear,
+        |  round(CAST(swel AS DOUBLE) / (CAST(n_rows AS DOUBLE)
+        |    * CAST(n_rows AS DOUBLE)), 6) AS de_linear,
+        |  CASE WHEN swel > 0 THEN
+        |    round(CAST(swel - CAST(n_rows AS HUGEINT) * swol AS DOUBLE)
+        |      / CAST(swel AS DOUBLE), 6) END AS kappa_linear,
+        |  round(CAST(swoq AS DOUBLE) / n_rows, 6) AS do_quadratic,
+        |  round(CAST(sweq AS DOUBLE) / (CAST(n_rows AS DOUBLE)
+        |    * CAST(n_rows AS DOUBLE)), 6) AS de_quadratic,
+        |  CASE WHEN sweq > 0 THEN
+        |    round(CAST(sweq - CAST(n_rows AS HUGEINT) * swoq AS DOUBLE)
+        |      / CAST(sweq AS DOUBLE), 6) END AS kappa_quadratic
+        |FROM obs CROSS JOIN expd""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      def cat(tag: String) =
+        least(greatest(col("doc_id") % 5 + coin(tag) % 3 - 1, lit(0L)),
+          lit(4L))
+      TextStats.weightedKappa(
+        docs(s, dir).filter(col("doc_id").isNotNull)
+          .select(cat("wka#").as("a"), cat("wkb#").as("b")),
+        "a", "b")
     }
   )
 }

@@ -423,6 +423,57 @@ class TextStatsSpec extends SparkSpec {
     assert(kappaOf(Seq.fill(10)(("x", "x")))._3 === None)
   }
 
+  test("weightedKappa: perfect agreement → 1, binary reduces to " +
+    "unweighted kappa, brute double-math reference, degenerate NULL") {
+    def run(rows: Seq[(Long, Long)]) = {
+      val r = TextStats.weightedKappa(rows.toDF("a", "b"), "a", "b")
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // perfect ordinal agreement: both weighted disagreements 0
+    val perfect = Seq.tabulate(30)(i => (i.toLong % 5, i.toLong % 5))
+    val p = run(perfect)
+    assert(p.getAs[Double]("kappa_linear") === 1.0 &&
+      p.getAs[Double]("kappa_quadratic") === 1.0 &&
+      p.getAs[Double]("do_linear") === 0.0)
+
+    // binary categories: every off-diagonal weight is 1 under both
+    // schemes ⇒ linear = quadratic = unweighted Cohen's κ
+    val bin = Seq.tabulate(40)(i =>
+      ((i % 2).toLong, (if (i % 5 == 0) 1 - i % 2 else i % 2).toLong))
+    val b = run(bin)
+    val unweighted = TextStats.cohenKappa(
+      bin.toDF("t", "p"), "t", "p").collect().head.getAs[Double]("kappa")
+    assert(b.getAs[Double]("kappa_linear") === unweighted &&
+      b.getAs[Double]("kappa_quadratic") === unweighted)
+
+    // brute double-math reference on a mixed 4-category panel
+    val rows = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 3L), (2L, 2L),
+      (2L, 1L), (3L, 3L), (3L, 2L), (3L, 3L), (0L, 2L), (1L, 0L),
+      (2L, 3L))
+    def brute(w: (Long, Long) => Double): Double = {
+      val n = rows.size.toDouble
+      val ra = rows.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val rb = rows.groupBy(_._2).map { case (k, v) => k -> v.size }
+      val swo = rows.map { case (i, j) => w(i, j) }.sum / n
+      val swe = (for ((i, ni) <- ra; (j, nj) <- rb)
+        yield ni * nj * w(i, j)).sum / (n * n)
+      1.0 - swo / swe
+    }
+    val m = run(rows)
+    assert(math.abs(m.getAs[Double]("kappa_linear") -
+      brute((i, j) => math.abs(i - j).toDouble)) < 1e-6)
+    assert(math.abs(m.getAs[Double]("kappa_quadratic") -
+      brute((i, j) => { val d = (i - j).toDouble; d * d })) < 1e-6)
+
+    // both raters constant on one shared category ⇒ expected
+    // weighted disagreement 0 ⇒ NULL
+    val flat = run(Seq.fill(8)((2L, 2L)))
+    assert(flat.isNullAt(flat.fieldIndex("kappa_linear")) &&
+      flat.isNullAt(flat.fieldIndex("kappa_quadratic")))
+  }
+
   test("vocabGrowth: hand curve — each doc introduces exactly two tokens") {
     val docs = (1L to 10L).map(i => (i, s"w${i}a w${i}b w${i}a"))
       .toDF("doc_id", "text")
