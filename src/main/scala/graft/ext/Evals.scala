@@ -512,4 +512,98 @@ object Evals {
         round((col("_hits").cast("double") + 1.0) / (b + 1.0), 6)
           .as("p_value"))
   }
+
+  /** McNemar's test (McNemar 1947) for two systems' PAIRED binary
+    * outcomes on the same tasks — the standard significance test for
+    * "did classifier/system A really beat B" on a shared benchmark:
+    * only the DISCORDANT pairs carry signal. Reports both the
+    * uncorrected χ² = (b₁₀ − b₀₁)²/(b₁₀ + b₀₁) and the
+    * continuity-corrected (Edwards 1948)
+    * χ²_cc = (max(|b₁₀ − b₀₁| − 1, 0))²/(b₁₀ + b₀₁), each an exact
+    * integer ratio with ONE double division, rounded 6; NULL when
+    * there are no discordant pairs (the statistic is undefined —
+    * the systems never disagree).
+    *
+    * NULL rows (task or either outcome) are dropped — a pair with a
+    * missing outcome is unscoreable (bonCurve discipline).
+    *
+    * Scale shape: ONE map pass + ONE scalar aggregate. Nothing else.
+    */
+  def mcNemar(pairs: DataFrame, idCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as("_t"),
+        col(aCol).cast("boolean").as("_a"),
+        col(bCol).cast("boolean").as("_b"))
+      .filter(col("_t").isNotNull && col("_a").isNotNull &&
+        col("_b").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("_a") === col("_b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_concordant"),
+      coalesce(sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)),
+        lit(0L)).as("b_a_only"),
+      coalesce(sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)),
+        lit(0L)).as("b_b_only"))
+    val d = col("b_a_only") - col("b_b_only")
+    val disc = col("b_a_only") + col("b_b_only")
+    val dcc = greatest(abs(d) - 1L, lit(0L))
+    agg.select(col("n_pairs"), col("n_concordant"),
+      col("b_a_only"), col("b_b_only"),
+      when(disc > 0L,
+        round((d * d).cast("double") / disc, 6)).as("chi2"),
+      when(disc > 0L,
+        round((dcc * dcc).cast("double") / disc, 6)).as("chi2_cc"))
+  }
+
+  /** Cochran's Q (Cochran 1950) — the k-system extension of
+    * [[mcNemar]]: do k systems' binary outcomes over the same task
+    * set share one success rate? With G_j the per-system success
+    * total, L_i the per-task success total, and N = ΣG:
+    *   Q = (k − 1)·(k·ΣG_j² − N²) / (k·N − ΣL_i²)
+    * — every term an exact integer (squares on DECIMAL(38,0)), ONE
+    * double division, rounded 6. Q is asymptotically χ²(k−1); for
+    * k = 2 it equals McNemar's uncorrected χ² exactly. NULL when
+    * the denominator is 0 (every task answered all-right or
+    * all-wrong by every system — no discordance anywhere).
+    *
+    * Contract: a COMPLETE panel (every system scored on every task)
+    * — enforced like [[graft.ext.TextStats.kendallW]]: if any
+    * system's row count differs from any other's or from n_tasks,
+    * Q answers NULL while the counts still report.
+    *
+    * Scale shape: one task-keyed rollup, one system-keyed rollup
+    * (dictionary-scale), two scalar reductions. No windows.
+    */
+  def cochranQ(outcomes: DataFrame, idCol: String, systemCol: String,
+               correctCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = outcomes.select(col(idCol).as("_t"),
+        col(systemCol).as("_s"),
+        col(correctCol).cast("boolean").cast("long").as("_c"))
+      .filter(col("_t").isNotNull && col("_s").isNotNull &&
+        col("_c").isNotNull)
+      .trackedPersist() // feeds both rollup directions
+    val sys = base.groupBy("_s")
+      .agg(sum("_c").as("_g"), count(lit(1)).as("_sn"))
+      .agg(count(lit(1)).as("n_systems"),
+        coalesce(sum(dec(col("_g")) * dec(col("_g"))), dec(lit(0)))
+          .as("_sg2"),
+        coalesce(sum(col("_g")), lit(0L)).as("_n"),
+        min("_sn").as("_smn"), max("_sn").as("_smx"))
+    val tasks = base.groupBy("_t").agg(sum("_c").as("_l"))
+      .agg(count(lit(1)).as("n_tasks"),
+        coalesce(sum(dec(col("_l")) * dec(col("_l"))), dec(lit(0)))
+          .as("_sl2"))
+    val k = dec(col("n_systems"))
+    val num = (k - dec(lit(1))) *
+      (k * col("_sg2") - dec(col("_n")) * dec(col("_n")))
+    val den = k * dec(col("_n")) - col("_sl2")
+    val complete = col("_smn") === col("_smx") &&
+      col("_smx") === col("n_tasks")
+    sys.crossJoin(broadcast(tasks))
+      .select(col("n_tasks"), col("n_systems"),
+        col("_n").as("n_successes"),
+        when(den =!= dec(lit(0)) && complete,
+          round(num.cast("double") / den.cast("double"), 6)).as("q"))
+  }
 }

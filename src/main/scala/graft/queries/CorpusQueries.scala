@@ -2796,6 +2796,98 @@ object CorpusQueries {
           ((c1 % 1000).cast("double") / 1000.0).as("mb"))
       Evals.permutationTest(segs, "seg_id", "ma", "mb", b = 200,
         seed = "ar")
+    },
+
+    // ——— McNemar's test (1947) on two systems' paired binary
+    //     outcomes over the shared task set (planted 70% vs 60%
+    //     accuracies on independent md5 coins): only discordant
+    //     pairs carry signal; uncorrected and continuity-corrected
+    //     chi-squared, each an exact integer ratio. ———
+    Q("q376_mcnemar",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CAST(concat('0x', substring(md5('mna#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
+        |      < 70 AS a,
+        |    (CAST(concat('0x', substring(md5('mnb#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
+        |      < 60 AS b
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_concordant,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_a_only,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_b_only
+        |  FROM p
+        |)
+        |SELECT n_pairs, n_concordant, b_a_only, b_b_only,
+        |  CASE WHEN b_a_only + b_b_only > 0 THEN
+        |    round(CAST((b_a_only - b_b_only) * (b_a_only - b_b_only)
+        |      AS DOUBLE) / (b_a_only + b_b_only), 6) END AS chi2,
+        |  CASE WHEN b_a_only + b_b_only > 0 THEN
+        |    round(CAST(GREATEST(ABS(b_a_only - b_b_only) - 1, 0)
+        |      * GREATEST(ABS(b_a_only - b_b_only) - 1, 0) AS DOUBLE)
+        |      / (b_a_only + b_b_only), 6) END AS chi2_cc
+        |FROM agg""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      Evals.mcNemar(
+        docs(s, dir).filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), (coin("mna#") % 100 < 70).as("a"),
+            (coin("mnb#") % 100 < 60).as("b")),
+        "doc_id", "a", "b")
+    },
+
+    // ——— Cochran's Q (1950): the k-system McNemar — four systems
+    //     with planted 50/58/66/74% accuracies on the shared task
+    //     set; Q from exact integer sufficient statistics (per-system
+    //     and per-task success totals, squares on HUGEINT), complete-
+    //     panel gated like q370's kendallW. ———
+    Q("q377_cochran_q",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS s
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), o AS (
+        |  SELECT doc_id AS t, s,
+        |    CASE WHEN (CAST(concat('0x', substring(md5('cq#'
+        |        || CAST(s AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100) < 50 + 8 * s
+        |      THEN 1 ELSE 0 END AS c
+        |  FROM r
+        |), sys AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_systems,
+        |    SUM(CAST(g AS HUGEINT) * g) AS sg2,
+        |    CAST(SUM(g) AS BIGINT) AS n,
+        |    MIN(sn) AS smn, MAX(sn) AS smx
+        |  FROM (SELECT s, CAST(SUM(c) AS BIGINT) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS sn FROM o GROUP BY 1)
+        |), tk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |    SUM(CAST(l AS HUGEINT) * l) AS sl2
+        |  FROM (SELECT t, CAST(SUM(c) AS BIGINT) AS l FROM o
+        |    GROUP BY 1)
+        |)
+        |SELECT n_tasks, n_systems, n AS n_successes,
+        |  CASE WHEN CAST(n_systems AS HUGEINT) * n - sl2 <> 0
+        |      AND smn = smx AND smx = n_tasks THEN
+        |    round(CAST((n_systems - 1) * (CAST(n_systems AS HUGEINT)
+        |        * sg2 - CAST(n AS HUGEINT) * n) AS DOUBLE)
+        |      / CAST(CAST(n_systems AS HUGEINT) * n - sl2 AS DOUBLE),
+        |      6) END AS q
+        |FROM sys CROSS JOIN tk""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("sys"))
+      val coin = conv(substring(md5(concat(lit("cq#"),
+        col("sys").cast("string"), lit("#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      Evals.cochranQ(
+        r.select(col("doc_id"), col("sys"),
+          (coin % 100 < col("sys") * 8 + 50).as("correct")),
+        "doc_id", "sys", "correct")
     }
   )
 

@@ -293,4 +293,80 @@ class EvalsSpec extends SparkSpec {
     assert(ab.getAs[Double]("mean_delta") ===
       -ba.getAs[Double]("mean_delta"))
   }
+
+  test("mcNemar: hand-computed chi2, no-discordance NULL, symmetry, " +
+    "NULL outcomes drop") {
+    def run(rows: Seq[(Long, Boolean, Boolean)]) = {
+      val r = Evals.mcNemar(rows.toDF("t", "a", "b"), "t", "a", "b")
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // 10 pairs: 4 concordant-right, 2 concordant-wrong,
+    // 3 a-only, 1 b-only ⇒ chi2 = (3−1)²/4 = 1, cc = (2−1)²/4 = 0.25
+    val rows =
+      Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq.fill(3)((true, false)) ++ Seq.fill(1)((false, true))
+    val m = run(rows.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a, b) })
+    assert(m.getAs[Long]("n_pairs") === 10L &&
+      m.getAs[Long]("n_concordant") === 6L &&
+      m.getAs[Long]("b_a_only") === 3L &&
+      m.getAs[Long]("b_b_only") === 1L)
+    assert(m.getAs[Double]("chi2") === 1.0 &&
+      m.getAs[Double]("chi2_cc") === 0.25)
+
+    // systems never disagree ⇒ statistic undefined
+    val agree = (0L to 5L).map(i => (i, i % 2 == 0, i % 2 == 0))
+    val g = run(agree)
+    assert(g.isNullAt(g.fieldIndex("chi2")) &&
+      g.isNullAt(g.fieldIndex("chi2_cc")))
+
+    // chi2 is symmetric under system exchange (d is squared)
+    val swapped = run(rows.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, b, a) })
+    assert(swapped.getAs[Double]("chi2") === m.getAs[Double]("chi2"))
+
+    // a NULL outcome makes the pair unscoreable
+    val withNull = Seq((Some(0L), Some(true), Some(false)),
+      (Some(1L), None, Some(true)), (Some(2L), Some(true), Some(true)))
+      .toDF("t", "a", "b")
+    val n = Evals.mcNemar(withNull, "t", "a", "b").collect().head
+    graft.engine.TrackedCache.release()
+    assert(n.getAs[Long]("n_pairs") === 2L)
+  }
+
+  test("cochranQ: k = 2 equals McNemar's uncorrected chi2, identical " +
+    "systems NULL, incomplete panel NULL with counts reporting") {
+    def long(rows: Seq[(Long, Long, Boolean)]) =
+      rows.toDF("t", "s", "c")
+    // the q376 hand panel in long form: Q(k=2) == McNemar chi2 == 1
+    val pairRows =
+      Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq.fill(3)((true, false)) ++ Seq.fill(1)((false, true))
+    val longRows = pairRows.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, 0L, a), (i.toLong, 1L, b)) }
+    val q2 = Evals.cochranQ(long(longRows), "t", "s", "c")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(q2.getAs[Long]("n_tasks") === 10L &&
+      q2.getAs[Long]("n_systems") === 2L)
+    assert(q2.getAs[Double]("q") === 1.0)
+
+    // three identical systems: no discordance ⇒ denominator 0 ⇒ NULL
+    val ident = (0L to 7L).flatMap(i =>
+      (0L to 2L).map(s => (i, s, i % 2 == 0)))
+    val qi = Evals.cochranQ(long(ident), "t", "s", "c").collect().head
+    graft.engine.TrackedCache.release()
+    assert(qi.isNullAt(qi.fieldIndex("q")))
+
+    // system 1 missing task 9 ⇒ complete-panel gate refuses
+    val incomplete = longRows.filterNot { case (t, s, _) =>
+      t == 9L && s == 1L }
+    val qn = Evals.cochranQ(long(incomplete), "t", "s", "c")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(qn.getAs[Long]("n_tasks") === 10L &&
+      qn.isNullAt(qn.fieldIndex("q")))
+  }
 }
