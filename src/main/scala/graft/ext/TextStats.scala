@@ -1383,6 +1383,151 @@ object TextStats {
         col("d_o"), col("d_e"), col("alpha"))
   }
 
+  /** Cronbach's α (Cronbach 1951) — internal-consistency reliability
+    * of a k-item score panel (k rubric items / judges scoring the
+    * same units): α = k/(k−1) · (1 − Σ_j σ²_j / σ²_T), with σ²_j the
+    * per-item score variance across units and σ²_T the variance of
+    * the per-unit TOTALS. The "do these k item scores measure one
+    * construct" readout that complements the agreement family
+    * (κ/α/W measure consensus; Cronbach measures coherence).
+    *
+    * Exactness: population variances enter only as the exact
+    * integer forms n·Σx² − (Σx)² (per item, summed) and
+    * n·ΣT² − (ΣT)² (totals) — the n² scaling cancels in the ratio —
+    * so α = k·(B − ΣA) / ((k−1)·B) is one double division over
+    * DECIMAL(38,0) integers, rounded 6. NULL when k < 2, when the
+    * total variance is 0, or when the panel is INCOMPLETE (any
+    * item's rating count ≠ n_units or any unit's ≠ n_items — the
+    * kendallW gate; the statistic assumes a full crossing).
+    *
+    * Scale shape: one item-keyed rollup + one unit-keyed rollup
+    * (each a single hash aggregate over the ratings), two scalar
+    * reductions, a 1-row crossJoin. No windows.
+    */
+  def cronbachAlpha(ratings: DataFrame, unitCol: String,
+                    itemCol: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val vals = ratings.select(col(unitCol).as("u"),
+        col(itemCol).as("j"), col(valueCol).cast("long").as("x"))
+      .filter(col("u").isNotNull && col("j").isNotNull &&
+        col("x").isNotNull)
+      .trackedPersist() // feeds the item AND unit rollups
+    val items = vals.groupBy("j").agg(count(lit(1)).as("_jn"),
+        sum("x").as("_sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("_sxx"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(dec(col("_jn")) * col("_sxx") -
+          dec(col("_sx")) * dec(col("_sx"))), dec(lit(0))).as("_sA"),
+        min("_jn").as("_jmn"), max("_jn").as("_jmx"))
+    val units = vals.groupBy("u").agg(count(lit(1)).as("_um"),
+        sum("x").as("_t"))
+      .agg(count(lit(1)).as("n_units"),
+        sum("_um").cast("long").as("n_ratings"),
+        coalesce(sum(dec(col("_t"))), dec(lit(0))).as("_st"),
+        coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0)))
+          .as("_stt"),
+        min("_um").as("_umn"), max("_um").as("_umx"))
+    val b = dec(col("n_units")) * col("_stt") - col("_st") * col("_st")
+    val complete = col("_jmn") === col("_jmx") &&
+      col("_jmx") === col("n_units") &&
+      col("_umn") === col("_umx") && col("_umx") === col("n_items")
+    units.crossJoin(broadcast(items))
+      .select(col("n_units"), col("n_items"), col("n_ratings"),
+        when(col("n_units") > 0L,
+          round(col("_sA").cast("double") /
+            (col("n_units").cast("double") *
+              col("n_units").cast("double")), 6)).as("sum_item_var"),
+        when(col("n_units") > 0L,
+          round(b.cast("double") /
+            (col("n_units").cast("double") *
+              col("n_units").cast("double")), 6)).as("total_var"),
+        when(col("n_items") >= 2L && b =!= dec(lit(0)) && complete,
+          round((dec(col("n_items")) * (b - col("_sA"))).cast("double") /
+            (dec(col("n_items") - 1L) * b).cast("double"), 6))
+          .as("alpha"))
+  }
+
+  /** ICC(2,1) — the two-way random-effects, absolute-agreement,
+    * single-rater intraclass correlation (Shrout & Fleiss 1979 /
+    * McGraw & Wong 1996 "two-way random, agreement"): the standard
+    * reliability coefficient when every unit is scored by the SAME
+    * k raters and raters are a random sample — charges systematic
+    * rater offsets to the error term, unlike consistency ICCs (and
+    * unlike Cronbach's α, which offsets cannot hurt).
+    *
+    * From the two-way ANOVA identity with all sums of squares in
+    * N-scaled EXACT integer form (N = n·k, S = Σx):
+    *   T = N·Σx² − S²,  R = n·Σt_i² − S²,  C = k·Σg_j² − S²,
+    *   E = T − R − C
+    * the coefficient collapses to ONE integer rational:
+    *   ICC(2,1) = n·(R·(k−1) − E) /
+    *              (n·R·(k−1) + n·(k−1)·E + k·(C·(n−1) − E))
+    * — every product on DECIMAL(38,0), one double division, rounded
+    * 6. MSR/MSC/MSE are reported (6-dp) as diagnostics. NULL when
+    * n < 2, k < 2, the denominator is 0, or the panel is INCOMPLETE
+    * (the kendallW gate on both margins — the ANOVA decomposition
+    * requires the full crossing).
+    *
+    * Scale shape: one unit rollup + one rater rollup + one grand
+    * rollup over the ratings (three hash aggregates), 1-row
+    * crossJoins. No windows, no joins at data scale.
+    */
+  def icc21(ratings: DataFrame, unitCol: String, raterCol: String,
+            valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val vals = ratings.select(col(unitCol).as("u"),
+        col(raterCol).as("j"), col(valueCol).cast("long").as("x"))
+      .filter(col("u").isNotNull && col("j").isNotNull &&
+        col("x").isNotNull)
+      .trackedPersist() // feeds unit, rater, and grand rollups
+    val units = vals.groupBy("u").agg(count(lit(1)).as("_um"),
+        sum("x").as("_t"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0)))
+          .as("_stt"),
+        min("_um").as("_umn"), max("_um").as("_umx"))
+    val raters = vals.groupBy("j").agg(count(lit(1)).as("_jn"),
+        sum("x").as("_g"))
+      .agg(count(lit(1)).as("n_raters"),
+        coalesce(sum(dec(col("_g")) * dec(col("_g"))), dec(lit(0)))
+          .as("_sgg"),
+        min("_jn").as("_jmn"), max("_jn").as("_jmx"))
+    val grand = vals.agg(count(lit(1)).as("n_ratings"),
+      coalesce(sum(dec(col("x"))), dec(lit(0))).as("_s"),
+      coalesce(sum(dec(col("x")) * dec(col("x"))), dec(lit(0)))
+        .as("_sxx"))
+    val n = dec(col("n_units"))
+    val k = dec(col("n_raters"))
+    val bigN = dec(col("n_ratings"))
+    val s2 = col("_s") * col("_s")
+    val t = bigN * col("_sxx") - s2
+    val r = n * col("_stt") - s2
+    val c = k * col("_sgg") - s2
+    val e = t - r - c
+    val num = n * (r * (k - dec(lit(1))) - e)
+    val den = n * r * (k - dec(lit(1))) + n * (k - dec(lit(1))) * e +
+      k * (c * (n - dec(lit(1))) - e)
+    // MS diagnostics: MSR = R/(N(n−1)), MSC = C/(N(k−1)),
+    // MSE = E/(N(n−1)(k−1))
+    val complete = col("_umn") === col("_umx") &&
+      col("_umx") === col("n_raters") &&
+      col("_jmn") === col("_jmx") && col("_jmx") === col("n_units")
+    val defined = col("n_units") >= 2L && col("n_raters") >= 2L &&
+      complete
+    units.crossJoin(broadcast(raters)).crossJoin(broadcast(grand))
+      .select(col("n_units"), col("n_raters"), col("n_ratings"),
+        when(defined, round(r.cast("double") /
+          (bigN * (n - dec(lit(1)))).cast("double"), 6)).as("msr"),
+        when(defined, round(c.cast("double") /
+          (bigN * (k - dec(lit(1)))).cast("double"), 6)).as("msc"),
+        when(defined, round(e.cast("double") /
+          (bigN * (n - dec(lit(1))) * (k - dec(lit(1))))
+            .cast("double"), 6)).as("mse"),
+        when(defined && den =!= dec(lit(0)),
+          round(num.cast("double") / den.cast("double"), 6))
+          .as("icc"))
+  }
+
   /** Kendall's W — the coefficient of concordance (Kendall &
     * Babington Smith 1939) across k judges each ranking the SAME n
     * items, with the standard tie correction: the multi-judge

@@ -4086,6 +4086,150 @@ object TextQueries {
         docs(s, dir).filter(col("doc_id").isNotNull)
           .select(cat("wka#").as("a"), cat("wkb#").as("b")),
         "a", "b")
+    },
+
+    // ——— Cronbach's α (1951): internal consistency of a 4-item score
+    //     panel — all four items track the unit's base score (±3
+    //     noise, per-item constant offset, which α ignores), so the
+    //     panel is coherent and α lands high. Exact integer variance
+    //     forms n·Σx²−(Σx)² on HUGEINT; one division. ———
+    Q("q378_cronbach_alpha",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS (
+        |  SELECT doc_id AS u, j,
+        |    (doc_id * 31) % 50 + CAST(concat('0x', substring(md5('cr#'
+        |      || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |      1, 7)) AS BIGINT) % 7 - 3 + j AS x
+        |  FROM r
+        |), items AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    COALESCE(SUM(CAST(jn AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx), 0) AS sa,
+        |    MIN(jn) AS jmn, MAX(jn) AS jmx
+        |  FROM (SELECT j, CAST(COUNT(*) AS BIGINT) AS jn,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM rat GROUP BY 1)
+        |), units AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(um) AS BIGINT) AS n_ratings,
+        |    SUM(CAST(t AS HUGEINT)) AS st,
+        |    SUM(CAST(t AS HUGEINT) * t) AS stt,
+        |    MIN(um) AS umn, MAX(um) AS umx
+        |  FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS um,
+        |    CAST(SUM(x) AS BIGINT) AS t FROM rat GROUP BY 1)
+        |)
+        |SELECT n_units, n_items, n_ratings,
+        |  CASE WHEN n_units > 0 THEN
+        |    round(CAST(sa AS DOUBLE) / (CAST(n_units AS DOUBLE)
+        |      * CAST(n_units AS DOUBLE)), 6) END AS sum_item_var,
+        |  CASE WHEN n_units > 0 THEN
+        |    round(CAST(CAST(n_units AS HUGEINT) * stt - st * st
+        |      AS DOUBLE) / (CAST(n_units AS DOUBLE)
+        |      * CAST(n_units AS DOUBLE)), 6) END AS total_var,
+        |  CASE WHEN n_items >= 2
+        |      AND CAST(n_units AS HUGEINT) * stt - st * st <> 0
+        |      AND jmn = jmx AND jmx = n_units
+        |      AND umn = umx AND umx = n_items THEN
+        |    round(CAST(CAST(n_items AS HUGEINT)
+        |        * ((CAST(n_units AS HUGEINT) * stt - st * st) - sa)
+        |        AS DOUBLE)
+        |      / CAST(CAST(n_items - 1 AS HUGEINT)
+        |        * (CAST(n_units AS HUGEINT) * stt - st * st)
+        |        AS DOUBLE), 6) END AS alpha
+        |FROM units CROSS JOIN items""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      val coin = conv(substring(md5(concat(lit("cr#"),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val x = (col("doc_id") * 31 % 50) + coin % 7 - 3 + col("j")
+      TextStats.cronbachAlpha(
+        r.select(col("doc_id").as("u"), col("j"), x.as("x")),
+        "u", "j", "x")
+    },
+
+    // ——— ICC(2,1) (Shrout & Fleiss 1979, two-way random, absolute
+    //     agreement, single rater): the same coherent 4-judge panel
+    //     but with SYSTEMATIC per-judge offsets (+3j), which this ICC
+    //     — unlike Cronbach/consistency forms — charges against
+    //     agreement. One integer rational from the two-way ANOVA
+    //     identity; MSR/MSC/MSE reported as diagnostics. ———
+    Q("q379_icc21",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS (
+        |  SELECT doc_id AS u, j,
+        |    (doc_id * 31) % 50 + CAST(concat('0x', substring(md5('ic#'
+        |      || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |      1, 7)) AS BIGINT) % 5 - 2 + 3 * j AS x
+        |  FROM r
+        |), units AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    SUM(CAST(t AS HUGEINT) * t) AS stt,
+        |    MIN(um) AS umn, MAX(um) AS umx
+        |  FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS um,
+        |    CAST(SUM(x) AS BIGINT) AS t FROM rat GROUP BY 1)
+        |), raters AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_raters,
+        |    SUM(CAST(g AS HUGEINT) * g) AS sgg,
+        |    MIN(jn) AS jmn, MAX(jn) AS jmx
+        |  FROM (SELECT j, CAST(COUNT(*) AS BIGINT) AS jn,
+        |    CAST(SUM(x) AS BIGINT) AS g FROM rat GROUP BY 1)
+        |), grand AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+        |    SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM rat
+        |), fin AS (
+        |  SELECT n_units, n_raters, n_ratings,
+        |    CAST(n_ratings AS HUGEINT) * sxx - s * s AS t,
+        |    CAST(n_units AS HUGEINT) * stt - s * s AS rr,
+        |    CAST(n_raters AS HUGEINT) * sgg - s * s AS cc,
+        |    CASE WHEN umn = umx AND umx = n_raters
+        |      AND jmn = jmx AND jmx = n_units
+        |      AND n_units >= 2 AND n_raters >= 2
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM units CROSS JOIN raters CROSS JOIN grand
+        |)
+        |SELECT n_units, n_raters, n_ratings,
+        |  CASE WHEN ok = 1 THEN round(CAST(rr AS DOUBLE)
+        |    / CAST(CAST(n_ratings AS HUGEINT) * (n_units - 1)
+        |      AS DOUBLE), 6) END AS msr,
+        |  CASE WHEN ok = 1 THEN round(CAST(cc AS DOUBLE)
+        |    / CAST(CAST(n_ratings AS HUGEINT) * (n_raters - 1)
+        |      AS DOUBLE), 6) END AS msc,
+        |  CASE WHEN ok = 1 THEN round(CAST(t - rr - cc AS DOUBLE)
+        |    / CAST(CAST(n_ratings AS HUGEINT) * (n_units - 1)
+        |      * (n_raters - 1) AS DOUBLE), 6) END AS mse,
+        |  CASE WHEN ok = 1
+        |      AND CAST(n_units AS HUGEINT) * rr * (n_raters - 1)
+        |        + CAST(n_units AS HUGEINT) * (n_raters - 1)
+        |          * (t - rr - cc)
+        |        + CAST(n_raters AS HUGEINT)
+        |          * (cc * (n_units - 1) - (t - rr - cc)) <> 0 THEN
+        |    round(CAST(CAST(n_units AS HUGEINT)
+        |        * (rr * (n_raters - 1) - (t - rr - cc)) AS DOUBLE)
+        |      / CAST(CAST(n_units AS HUGEINT) * rr * (n_raters - 1)
+        |        + CAST(n_units AS HUGEINT) * (n_raters - 1)
+        |          * (t - rr - cc)
+        |        + CAST(n_raters AS HUGEINT)
+        |          * (cc * (n_units - 1) - (t - rr - cc)) AS DOUBLE),
+        |      6) END AS icc
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      val coin = conv(substring(md5(concat(lit("ic#"),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val x = (col("doc_id") * 31 % 50) + coin % 5 - 2 + col("j") * 3
+      TextStats.icc21(
+        r.select(col("doc_id").as("u"), col("j"), x.as("x")),
+        "u", "j", "x")
     }
   )
 }
