@@ -411,31 +411,42 @@ object TextStats {
     * order handling, applied identically in both engines.
     *
     * Scale shape: per-order totals come straight from string lengths
-    * (no aggregation); only the clipped counts need the (pair, n,
-    * gram) count join — the q350 clipped-count shape, n-gram explode
-    * in relational long form (positions exploded, substring on the
-    * exploded rows, codegen). One pair rollup; no windows.
+    * (no aggregation); the clipped counts take ONE side-tagged
+    * (pair, n, gram) count shuffle — both sides' grams unioned into
+    * a single long frame, per-side counts as conditional sums, so no
+    * gram-level join exists (n-gram explode in relational long form:
+    * positions exploded, substring on the exploded rows, codegen).
+    * One pair rollup; no windows.
     */
   def chrF(pairs: DataFrame, maxN: Int = 6, idCol: String = "pair_id",
            candCol: String = "cand_text",
            refCol: String = "ref_text"): DataFrame = {
     require(maxN >= 1, s"chrF: maxN >= 1, got $maxN")
+    // NOT persisted: 3 consumers re-strip the text, but measured
+    // (sf0.1 min-of-3) recompute beats the cache write + memory
+    // pressure of materializing corpus-scale strings (6.55 s vs 7.04)
     val chars = pairs.select(col(idCol),
       regexp_replace(lower(col(candCol)), "\\s+", "").as("_c"),
       regexp_replace(lower(col(refCol)), "\\s+", "").as("_r"))
-    def gramCounts(side: String, out: String): DataFrame = chars
-      .select(col(idCol), col(side).as("_s"),
+    // both sides' grams in ONE side-tagged long frame → a single
+    // (pair, n, gram) count shuffle with both per-side counts as
+    // conditional sums — no gram-level join at all (the former
+    // two-aggregate + sort-merge-join shape shuffled the same bytes
+    // twice and sorted them once more)
+    def gramsOf(side: String, tag: Int): DataFrame = chars
+      .select(col(idCol), col(side).as("_s"), lit(tag).as("_side"),
         explode(sequence(lit(1), lit(maxN))).as("_n"))
       .filter(length(col("_s")) >= col("_n"))
-      .select(col(idCol), col("_n"), col("_s"),
+      .select(col(idCol), col("_n"), col("_side"), col("_s"),
         explode(sequence(lit(1), length(col("_s")) - col("_n") + 1))
           .as("_p"))
-      .select(col(idCol), col("_n"),
+      .select(col(idCol), col("_n"), col("_side"),
         expr("substring(_s, _p, _n)").as("_g"))
+    val clipped = gramsOf("_c", 0).unionByName(gramsOf("_r", 1))
       .groupBy(col(idCol), col("_n"), col("_g"))
-      .agg(count(lit(1)).as(out))
-    val clipped = gramCounts("_c", "_cc")
-      .join(gramCounts("_r", "_cr"), Seq(idCol, "_n", "_g"))
+      .agg(sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_cc"),
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cr"))
+      .filter(col("_cc") > 0L && col("_cr") > 0L)
       .groupBy(col(idCol), col("_n"))
       .agg(sum(least(col("_cc"), col("_cr"))).as("_cl"))
     val spine = chars.select(col(idCol),
