@@ -536,13 +536,30 @@ object Evals {
         col(bCol).cast("boolean").as("_b"))
       .filter(col("_t").isNotNull && col("_a").isNotNull &&
         col("_b").isNotNull)
-    val agg = base.agg(count(lit(1)).as("n_pairs"),
+    mcNemarOnCounts(base.agg(count(lit(1)).as("n_pairs"),
       coalesce(sum(when(col("_a") === col("_b"), 1L).otherwise(0L)),
         lit(0L)).as("n_concordant"),
       coalesce(sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)),
         lit(0L)).as("b_a_only"),
       coalesce(sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)),
-        lit(0L)).as("b_b_only"))
+        lit(0L)).as("b_b_only")))
+  }
+
+  /** [[mcNemar]]'s statistic from PRE-AGGREGATED counters — the
+    * finisher for incremental pipelines (the streaming twin keeps
+    * monotone per-shard (n_pairs, n_concordant, b_a_only, b_b_only)
+    * ledgers; this sums the shards and applies the identical
+    * χ² formulas, so stream and batch agree by construction — the
+    * passAtKOnCounts pattern). All four counters are associative
+    * sums, so ANY partitioning of the pair stream yields the same
+    * statistic.
+    */
+  def mcNemarOnCounts(counts: DataFrame): DataFrame = {
+    val agg = counts.agg(
+      coalesce(sum("n_pairs"), lit(0L)).as("n_pairs"),
+      coalesce(sum("n_concordant"), lit(0L)).as("n_concordant"),
+      coalesce(sum("b_a_only"), lit(0L)).as("b_a_only"),
+      coalesce(sum("b_b_only"), lit(0L)).as("b_b_only"))
     val d = col("b_a_only") - col("b_b_only")
     val disc = col("b_a_only") + col("b_b_only")
     val dcc = greatest(abs(d) - 1L, lit(0L))

@@ -642,6 +642,41 @@ object Streaming {
       }
   }
 
+  final case class PairedOutcome(task_id: Long, a: Boolean, b: Boolean)
+  final case class McNemarLedger(shard: Long, n_pairs: Long,
+                                 n_concordant: Long, b_a_only: Long,
+                                 b_b_only: Long)
+
+  /** STREAMING McNemar ledger — incremental discordant-pair counters
+    * for two systems' paired outcomes, the streaming twin of
+    * [[graft.ext.Evals.mcNemar]] (the q348 pass@k-ledger pattern):
+    * state is four monotone counters per SHARD (task_id mod
+    * `shards` — bounded state regardless of task cardinality; the
+    * four counters are associative sums, so any sharding yields the
+    * same statistic), each micro-batch folds its pairs in and emits
+    * the shard's refreshed ledger row (Update mode — read back at
+    * max per shard, sum shards, finish with
+    * [[graft.ext.Evals.mcNemarOnCounts]]).
+    */
+  def mcNemarLedgerStream(pairs: Dataset[PairedOutcome],
+                          shards: Int = 64): Dataset[McNemarLedger] = {
+    import pairs.sparkSession.implicits._
+    require(shards >= 1, s"mcNemarLedgerStream: shards >= 1, $shards")
+    pairs.groupByKey(p => math.floorMod(p.task_id, shards.toLong))
+      .mapGroupsWithState[(Long, Long, Long, Long), McNemarLedger](
+        GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        var (n, c, ao, bo) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+        rows.foreach { r =>
+          n += 1
+          if (r.a == r.b) c += 1
+          else if (r.a) ao += 1
+          else bo += 1
+        }
+        state.update((n, c, ao, bo))
+        McNemarLedger(shard, n, c, ao, bo)
+      }
+  }
+
   final case class EloBattle(league: Long, seq: Long, winner: Long,
                              loser: Long)
   final case class EloArenaState(n_battles: Long,

@@ -2803,35 +2803,7 @@ object CorpusQueries {
     //     accuracies on independent md5 coins): only discordant
     //     pairs carry signal; uncorrected and continuity-corrected
     //     chi-squared, each an exact integer ratio. ———
-    Q("q376_mcnemar",
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    (CAST(concat('0x', substring(md5('mna#'
-        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
-        |      < 70 AS a,
-        |    (CAST(concat('0x', substring(md5('mnb#'
-        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
-        |      < 60 AS b
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |), agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_concordant,
-        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS b_a_only,
-        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS b_b_only
-        |  FROM p
-        |)
-        |SELECT n_pairs, n_concordant, b_a_only, b_b_only,
-        |  CASE WHEN b_a_only + b_b_only > 0 THEN
-        |    round(CAST((b_a_only - b_b_only) * (b_a_only - b_b_only)
-        |      AS DOUBLE) / (b_a_only + b_b_only), 6) END AS chi2,
-        |  CASE WHEN b_a_only + b_b_only > 0 THEN
-        |    round(CAST(GREATEST(ABS(b_a_only - b_b_only) - 1, 0)
-        |      * GREATEST(ABS(b_a_only - b_b_only) - 1, 0) AS DOUBLE)
-        |      / (b_a_only + b_b_only), 6) END AS chi2_cc
-        |FROM agg""".stripMargin) { (s, dir) =>
+    Q("q376_mcnemar", mcnemarOracleSql) { (s, dir) =>
       def coin(tag: String) = conv(substring(md5(concat(lit(tag),
         col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
       Evals.mcNemar(
@@ -2888,6 +2860,37 @@ object CorpusQueries {
         r.select(col("doc_id"), col("sys"),
           (coin % 100 < col("sys") * 8 + 50).as("correct")),
         "doc_id", "sys", "correct")
+    },
+
+    // ——— STREAMING McNemar: the q376 panel ingested as a stream,
+    //     discordant counters as monotone per-shard
+    //     mapGroupsWithState ledgers (bounded state: 64 shards, not
+    //     |tasks|), read back at max per shard, summed, finished with
+    //     the shared counts finisher — converges to the batch
+    //     statistic exactly (same oracle as q376). ———
+    Q("q380_streaming_mcnemar", mcnemarOracleSql) { (s, dir) =>
+      import s.implicits._
+      import graft.ext.Streaming
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val stream = Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("task_id"),
+          (coin("mna#") % 100 < 70).as("a"),
+          (coin("mnb#") % 100 < 60).as("b"))
+        .as[Streaming.PairedOutcome]
+      val q = Streaming.runToMemory(
+        Streaming.mcNemarLedgerStream(stream).toDF(),
+        "q380_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // monotone counters → the final ledger is the per-shard max
+      val ledger = s.table("q380_ledger").groupBy("shard")
+        .agg(max("n_pairs").as("n_pairs"),
+          max("n_concordant").as("n_concordant"),
+          max("b_a_only").as("b_a_only"),
+          max("b_b_only").as("b_b_only"))
+      Evals.mcNemarOnCounts(ledger)
     }
   )
 
@@ -3084,6 +3087,39 @@ object CorpusQueries {
        |  SELECT prompt_id, rid, CAST(1000000 AS BIGINT) AS p FROM st
        |), $iter""".stripMargin)
   }
+
+  /** Shared q376/q380 oracle: McNemar on the planted 70%-vs-60%
+    * paired-outcome panel — the streaming ledger twin must converge
+    * to the identical batch statistic. */
+  private def mcnemarOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (CAST(concat('0x', substring(md5('mna#'
+      |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
+      |      < 70 AS a,
+      |    (CAST(concat('0x', substring(md5('mnb#'
+      |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100)
+      |      < 60 AS b
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_concordant,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_a_only,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_b_only
+      |  FROM p
+      |)
+      |SELECT n_pairs, n_concordant, b_a_only, b_b_only,
+      |  CASE WHEN b_a_only + b_b_only > 0 THEN
+      |    round(CAST((b_a_only - b_b_only) * (b_a_only - b_b_only)
+      |      AS DOUBLE) / (b_a_only + b_b_only), 6) END AS chi2,
+      |  CASE WHEN b_a_only + b_b_only > 0 THEN
+      |    round(CAST(GREATEST(ABS(b_a_only - b_b_only) - 1, 0)
+      |      * GREATEST(ABS(b_a_only - b_b_only) - 1, 0) AS DOUBLE)
+      |      / (b_a_only + b_b_only), 6) END AS chi2_cc
+      |FROM agg""".stripMargin
 
   /** The q338 oracle: the shared MM chain on q336's corpus, reporting
     * per-response strengths and ranks. */

@@ -1194,6 +1194,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("mcNemarLedgerStream: per-shard counters straddle micro-batches " +
+    "and the summed final ledger equals the batch mcNemar exactly") {
+    import spark.implicits._
+    // 2 shards (task % 2), pairs split across two files so shard-0
+    // counters straddle the batch boundary
+    val dir = java.nio.file.Files.createTempDirectory("mnstream").toFile
+    val files = Seq(
+      Seq((0L, true, false), (1L, true, true), (2L, true, false)),
+      Seq((0L, false, true), (3L, false, false), (4L, true, false),
+        (2L, true, true)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"mnchunk$i").toString
+      rows.toDF("task_id", "a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("task_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.BooleanType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .as[Streaming.PairedOutcome]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.mcNemarLedgerStream(stream, shards = 2).toDF(),
+      "mn_stream", org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    val ledger = spark.table("mn_stream").groupBy("shard")
+      .agg(max("n_pairs").as("n_pairs"),
+        max("n_concordant").as("n_concordant"),
+        max("b_a_only").as("b_a_only"),
+        max("b_b_only").as("b_b_only"))
+    // shard 0 (tasks 0, 2, 4): 5 pairs, 1 concordant (2nd file's
+    // task-2 repeat), 3 a-only, 1 b-only; shard 1 (tasks 1, 3):
+    // 2 pairs, both concordant
+    val byShard = ledger.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byShard(0L) === ((5L, 1L, 3L, 1L)) &&
+      byShard(1L) === ((2L, 2L, 0L, 0L)))
+    val streamed = Evals.mcNemarOnCounts(ledger).collect().toSeq
+    val batch = Evals.mcNemar(
+      files.flatten.toDF("task_id", "a", "b"), "task_id", "a", "b")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("eloRatingStream: seq-ordered ingestion split across micro-batches " +
     "lands exactly on the batch fold; rating state straddles batches") {
     import spark.implicits._
