@@ -626,6 +626,60 @@ object Corpus {
         floor(col("rate") * col(tokensCol).cast("double") + 0.5).cast("long"))
   }
 
+  /** DoReMi-style one-round domain reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): per-domain CLIPPED excess loss of the proxy
+    * model over the reference model, one multiplicative-weights
+    * update from the uniform prior, uniform-smoothed:
+    *   excess_d = mean_i max(proxy_i − ref_i, 0)
+    *   w_d ∝ exp(η·excess_d)
+    *   final_d = (1−ε)·w_d/Σw + ε/|D|
+    * — the domain-mixture optimizer that complements the static
+    * mixture machinery ([[mixtureRates]] consumes the weights this
+    * emits as target shares; q124/q139/q312 apply them).
+    *
+    * Determinism: per-example clipped excesses are 1e-6-quantized
+    * BIGINTs before the domain sum (order-free); the mean and the
+    * single exp() are one deterministic double expression per DOMAIN
+    * (dictionary-scale, mirrored verbatim by the oracle); the MW
+    * score is 1e-9-quantized before the normalizing sum so the
+    * denominator is an exact integer; the final weight is one double
+    * expression, rounded 6. NULL-domain / NULL-loss rows drop.
+    *
+    * Scale shape: ONE domain-keyed aggregate over a map-side clipped
+    * projection + a 1-row broadcast total. No windows, no joins at
+    * data scale.
+    */
+  def doremiRound(examples: DataFrame, domainCol: String = "source",
+                  proxyCol: String = "proxy_loss",
+                  refCol: String = "ref_loss",
+                  eta: Double = 1.0, smooth: Double = 0.0): DataFrame = {
+    require(eta > 0, s"doremiRound: eta must be > 0, got $eta")
+    require(smooth >= 0 && smooth < 1,
+      s"doremiRound: smooth must be in [0, 1), got $smooth")
+    val base = examples.select(col(domainCol).as("_d"),
+        round(lit(1e6) * greatest(col(proxyCol).cast("double") -
+          col(refCol).cast("double"), lit(0.0))).cast("long").as("_q"))
+      .filter(col("_d").isNotNull && col("_q").isNotNull)
+    val dom = base.groupBy("_d")
+      .agg(count(lit(1)).as("n_examples"), sum("_q").as("_sq"))
+      .select(col("_d"), col("n_examples"),
+        (col("_sq").cast("double") / 1e6 / col("n_examples"))
+          .as("_mx"))
+      .select(col("_d"), col("n_examples"), col("_mx"),
+        round(lit(1e9) * exp(lit(eta) * col("_mx"))).cast("long")
+          .as("_s"))
+      .trackedPersist() // domain dictionary; feeds total + output
+    val tot = dom.agg(sum("_s").as("_ts"),
+      count(lit(1)).as("n_domains"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("_d").as(domainCol), col("n_examples"),
+        round(col("_mx"), 6).as("excess_loss"),
+        round(lit(1.0 - smooth) * col("_s") / col("_ts") +
+          lit(smooth) / col("n_domains"), 6).as("weight"))
+      .orderBy(domainCol)
+  }
+
   /** Per-source corpus report card — the one-page summary a data
     * lead reads before touching mixture weights: doc count, token
     * totals/means, mean quality, language spread, vocabulary size.

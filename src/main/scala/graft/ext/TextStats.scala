@@ -546,6 +546,58 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
+    * the interpolated fixed-discount form of Chen & Goodman 1998,
+    * d = 0.75) — the LM-quality rung above [[bigramLogProb]]'s MLE:
+    * the lower-order distribution is the CONTINUATION probability
+    * (how many distinct contexts precede w), not the unigram
+    * frequency, so boilerplate tokens that always follow one fixed
+    * context ("Francisco" after "San") stop inflating scores:
+    *   P_KN(w|v) = (max(c(vw) − d, 0) + d·N1+(v·)·N1+(·w)/B) / c(v)
+    * with N1+(v·)/N1+(·w) the distinct right/left neighbor counts
+    * and B the total distinct bigram types. Every observed bigram
+    * scores positive (λ(v) > 0), so self-scoring needs no floor.
+    * Per doc: mean ln P_KN over its bigrams, round(6) absorbing
+    * double-sum reorder (the q89 discipline).
+    *
+    * Scale shape: the bigram long form is map-only; three
+    * dictionary tables all derive from ONE (w1, w2) count aggregate
+    * (context totals and right-neighbor types roll up from it, left
+    * types likewise) + token-keyed joins back; one doc rollup. No
+    * windows.
+    */
+  def knBigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"knBigramLogProb: discount must be in (0, 1), got $discount")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    val bi = withToks
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_toks) - 2), i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val biFreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .trackedPersist() // feeds ctx/left rollups + the scoring join
+    val fromCtx = biFreq.groupBy("w1")
+      .agg(sum("cb").as("cl"), count(lit(1)).as("nr"))
+    val toWord = biFreq.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val types = biFreq.agg(count(lit(1)).as("bt"))
+    val d = lit(discount)
+    bi.join(biFreq, Seq("w1", "w2"))
+      .join(fromCtx, "w1")
+      .join(toWord, "w2")
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          (greatest(col("cb").cast("double") - d, lit(0.0)) +
+            d * col("nr") * col("nl") / col("bt")) / col("cl"))), 6)
+          .as("avg_kn_logprob"))
+      .orderBy(idCol)
+  }
+
   /** CCNet-style perplexity buckets: split the corpus into
     * head / middle / tail thirds by language-model score (here the
     * corpus's own unigram LM via `unigramLogProb`) — the published

@@ -2891,6 +2891,61 @@ object CorpusQueries {
           max("b_a_only").as("b_a_only"),
           max("b_b_only").as("b_b_only"))
       Evals.mcNemarOnCounts(ledger)
+    },
+
+    // ——— DoReMi one-round domain reweighting (Xie et al. 2023): per-
+    //     source clipped excess loss (proxy − reference, md5-synthed
+    //     per doc) → one multiplicative-weights update exp(η·excess)
+    //     from the uniform prior, 20% uniform-smoothed. Per-example
+    //     excesses 1e-6-quantized; MW scores 1e-9-quantized before
+    //     the normalizing sum; ONE domain-keyed aggregate. ———
+    Q("q381_doremi_round",
+      """WITH ex AS (
+        |  SELECT source AS d,
+        |    CAST(round(1e6 * GREATEST(
+        |      CAST(CAST(concat('0x', substring(md5('dma#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 5000
+        |        AS DOUBLE) / 1000.0
+        |      - CAST(CAST(concat('0x', substring(md5('dmb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4000
+        |        AS DOUBLE) / 1000.0,
+        |      CAST(0 AS DOUBLE))) AS BIGINT) AS q
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND doc_id IS NOT NULL
+        |), dom AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_examples,
+        |    CAST(SUM(q) AS BIGINT) AS sq
+        |  FROM ex GROUP BY 1
+        |), dm AS (
+        |  SELECT d, n_examples,
+        |    CAST(sq AS DOUBLE) / 1e6 / n_examples AS mx
+        |  FROM dom
+        |), sc AS (
+        |  SELECT d, n_examples, mx,
+        |    CAST(round(1e9 * exp(CAST(1.0 AS DOUBLE) * mx)) AS BIGINT)
+        |      AS s
+        |  FROM dm
+        |), tot AS (
+        |  SELECT CAST(SUM(s) AS BIGINT) AS ts,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM sc
+        |)
+        |SELECT d AS source, n_examples, round(mx, 6) AS excess_loss,
+        |  round(CAST(0.8 AS DOUBLE) * s / ts
+        |    + CAST(0.2 AS DOUBLE) / nd, 6) AS weight
+        |FROM sc CROSS JOIN tot ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+        val ex = docs(s, dir)
+          .filter(col("source").isNotNull && col("doc_id").isNotNull)
+          .select(col("source"),
+            ((coin("dma#") % 5000).cast("double") / 1000.0)
+              .as("proxy_loss"),
+            ((coin("dmb#") % 4000).cast("double") / 1000.0)
+              .as("ref_loss"))
+        Corpus.doremiRound(ex, "source", "proxy_loss", "ref_loss",
+          eta = 1.0, smooth = 0.2)
     }
   )
 

@@ -4230,6 +4230,49 @@ object TextQueries {
       TextStats.icc21(
         r.select(col("doc_id").as("u"), col("j"), x.as("x")),
         "u", "j", "x")
+    },
+
+    // ——— interpolated Kneser–Ney bigram scoring (d = 0.75): the
+    //     continuation-probability lower order (distinct left
+    //     contexts, not raw frequency) that stops boilerplate tokens
+    //     with one fixed context from inflating LM scores — the
+    //     quality rung above q95's MLE bigram. Three dictionaries
+    //     from ONE (w1, w2) count; mean ln P_KN per doc, round(6)
+    //     absorbing double-sum reorder (q89 discipline). ———
+    Q("q382_kn_bigram",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i + 1]))
+        |      AS w2
+        |  FROM t WHERE len(ts) >= 2
+        |), bf AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2
+        |), fc AS (
+        |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl,
+        |    CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM bf GROUP BY 1
+        |), tw AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nl FROM bf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bf
+        |)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(AVG(ln(
+        |    (GREATEST(CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |       CAST(0 AS DOUBLE))
+        |     + CAST(0.75 AS DOUBLE) * nr * nl / bt) / cl)), 6)
+        |    AS avg_kn_logprob
+        |FROM b JOIN bf USING (w1, w2) JOIN fc USING (w1)
+        |JOIN tw USING (w2) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextStats.knBigramLogProb(
+        docs(s, dir).filter(col("text").isNotNull &&
+          col("doc_id").isNotNull))
     }
   )
 }

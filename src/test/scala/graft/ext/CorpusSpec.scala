@@ -320,6 +320,39 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("doremiRound: weights sum to 1, zero excess gives the uniform " +
+    "mixture, planted excess wins, smoothing floors every domain") {
+    def run(rows: Seq[(String, Double, Double)], smooth: Double = 0.2) = {
+      val out = Corpus.doremiRound(
+        rows.toDF("source", "proxy_loss", "ref_loss"),
+        "source", "proxy_loss", "ref_loss", eta = 1.0, smooth = smooth)
+        .collect()
+      graft.engine.TrackedCache.release()
+      out.map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("excess_loss"), r.getAs[Double]("weight")))
+        .toMap
+    }
+    // proxy never exceeds reference ⇒ zero excess everywhere ⇒
+    // the MW update is a no-op: exactly the uniform mixture
+    val calm = Seq(("a", 1.0, 2.0), ("a", 0.5, 0.5), ("b", 1.0, 1.5),
+      ("c", 2.0, 2.0), ("c", 0.1, 0.2))
+    val u = run(calm)
+    assert(u.size === 3)
+    assert(u.values.forall { case (ex, w) =>
+      ex == 0.0 && math.abs(w - 1.0 / 3) < 1e-6 })
+    // planted excess in domain b ⇒ largest weight; sum stays 1
+    val hot = Seq(("a", 1.0, 1.0), ("a", 1.2, 1.1), ("b", 3.0, 1.0),
+      ("b", 2.5, 1.0), ("c", 1.05, 1.0))
+    val h = run(hot)
+    assert(h("b")._2 > h("a")._2 && h("b")._2 > h("c")._2)
+    assert(math.abs(h.values.map(_._2).sum - 1.0) < 5e-6)
+    // smoothing floors: every weight >= eps/|D|
+    assert(h.values.forall(_._2 >= 0.2 / 3 - 1e-9))
+    // smooth = 0: pure MW normalization still sums to 1
+    val h0 = run(hot, smooth = 0.0)
+    assert(math.abs(h0.values.map(_._2).sum - 1.0) < 5e-6)
+  }
+
   test("negativeSamples: k per anchor, never self, in-range, deterministic") {
     val d = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()

@@ -107,6 +107,43 @@ class TextStatsSpec extends SparkSpec {
     assert(scored(0L) > scored(99L))
   }
 
+  test("knBigramLogProb: hand-computed probabilities, per-context " +
+    "normalization to exactly 1, and the continuation property " +
+    "(one-context boilerplate scores below multi-context tokens)") {
+    // corpus: "a b", "a c", "d b" → bigram types (a,b),(a,c),(d,b);
+    // c(a)=2 N1+(a·)=2; c(d)=1 N1+(d·)=1; N1+(·b)=2 N1+(·c)=1; B=3
+    // P(b|a) = (0.25 + 0.75·2·2/3)/2 = 0.625
+    // P(c|a) = (0.25 + 0.75·2·1/3)/2 = 0.375   (sums to 1 with above)
+    // P(b|d) = (0.25 + 0.75·1·2/3)/1 = 0.75
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "d b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.knBigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_kn_logprob")).toMap
+    graft.engine.TrackedCache.release()
+    assert(got.keySet === Set(0L, 1L, 2L)) // single-token doc drops
+    assert(math.abs(got(0L) - math.log(0.625)) < 1e-6)
+    assert(math.abs(got(1L) - math.log(0.375)) < 1e-6)
+    assert(math.abs(got(2L) - math.log(0.75)) < 1e-6)
+    // P(b|a) + P(c|a) = 1 exactly: interpolated KN normalizes over
+    // the observed-continuation vocabulary
+    assert(math.abs(math.exp(got(0L)) + math.exp(got(1L)) - 1.0) < 2e-6)
+
+    // continuation property: "francisco" only ever follows "san"
+    // (N1+ = 1) while "b" follows three contexts at the same unigram
+    // frequency — the KN score of a (fresh-context, francisco) bigram
+    // sits below the same-shape (fresh-context, b) bigram
+    val corpus = Seq((0L, "san francisco"), (1L, "san francisco"),
+      (2L, "san francisco"), (3L, "x b"), (4L, "y b"), (5L, "z b"),
+      (10L, "q francisco"), (11L, "q b"))
+      .toDF("doc_id", "text")
+    val sc = TextStats.knBigramLogProb(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_kn_logprob")).toMap
+    graft.engine.TrackedCache.release()
+    assert(sc(11L) > sc(10L))
+  }
+
   test("perplexityBuckets: thirds are ordered and roughly balanced") {
     val docs = graft.Tables.load(spark, sf001, "documents")
     val out = TextStats.perplexityBuckets(docs).collect()
