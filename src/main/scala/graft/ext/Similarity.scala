@@ -942,6 +942,82 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** KNN-Shapley data valuation (Jia et al. 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
+    * the EXACT Shapley value of every training point for a K-NN
+    * classifier's utility on a query set, via the closed-form
+    * O(N log N) suffix recurrence — sorted by distance ascending
+    * (α_1 nearest), with m_i = 1[label_i = y_q]:
+    *   s_{α_N} = m_N / N
+    *   s_{α_i} = s_{α_{i+1}} + (m_i − m_{i+1})·min(K, i)/(K·i)
+    * This is the principled "which training examples helped / hurt"
+    * signal a data-curation pipeline acts on (drop negative-value
+    * points, upweight high-value ones) — the valuation complement of
+    * the 1-NN probe (q365).
+    *
+    * Per query the recurrence telescopes to a SUFFIX SUM, so the
+    * whole computation is three qid-PARTITIONED windows over the
+    * (query × corpus) scored frame (rank, lead, descending-rank
+    * running sum — sequential per partition, hence
+    * accumulation-order-deterministic and mirrored verbatim by the
+    * SQL twin; cosines rounded to 6 before ranking, the q365
+    * discipline). Output is the per-TRAINING-POINT mean value across
+    * queries — per-(query, point) values are 1e-9-quantized BIGINTs
+    * before the cross-query sum (order-free).
+    *
+    * Efficiency property (spec-pinned): per query,
+    * Σ_i s_i = (1/K)·Σ_{j ≤ min(K,N)} m_j — the K-NN utility of the
+    * full training set.
+    *
+    * Scale shape: the one accepted crossJoin (bounded query roster
+    * broadcast against the corpus scan) + per-qid windows + one
+    * train-point rollup. Queries with NULL qid/qv/q_label and
+    * unlabeled corpus rows drop (bonCurve rule).
+    */
+  def knnShapley(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"knnShapley: k must be >= 1, got $k")
+    val scored = corpus
+      .select(col(idCol), col(vecCol), col(labelCol).cast("long").as("_cl"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col("_cl").isNotNull)
+      .crossJoin(broadcast(queries.select(col("qid"), col("qv"),
+        col("q_label").cast("long").as("_ql"))
+        .filter(col("qid").isNotNull && col("qv").isNotNull &&
+          col("_ql").isNotNull)))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("_ql"), col(idCol), col("_cl"),
+        round(cosine(col(vecCol), col("qv")), 6).as("_cos"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("_cos").desc, col(idCol))
+    val wAsc = Window.partitionBy("qid").orderBy("_i")
+    val wDesc = Window.partitionBy("qid").orderBy(col("_i").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = scored
+      .withColumn("_i", row_number().over(wRank))
+      .withColumn("_m", (col("_cl") === col("_ql")).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("qid")))
+      .withColumn("_mn", lead("_m", 1).over(wAsc))
+    val term = when(col("_i") < col("_n"),
+      (col("_m") - col("_mn")).cast("double") *
+        least(lit(k.toLong), col("_i")) /
+        (lit(k.toDouble) * col("_i")))
+      .otherwise(col("_m").cast("double") / col("_n"))
+    val perPair = ranked
+      .withColumn("_s", sum(term).over(wDesc))
+      .select(col(idCol), col("_cl"),
+        round(lit(1e9) * col("_s")).cast("long").as("_q"))
+    perPair.groupBy(col(idCol), col("_cl").as(labelCol))
+      .agg(count(lit(1)).as("n_queries"),
+        sum("_q").as("_sq"))
+      .select(col(idCol), col(labelCol), col("n_queries"),
+        round(col("_sq").cast("double") / 1e9 / col("n_queries"), 6)
+          .as("mean_shapley"))
+      .orderBy(idCol)
+  }
+
   /** BERTScore-family semantic similarity (Zhang et al. 2020,
     * "BERTScore: Evaluating Text Generation with BERT") over
     * (candidate, reference) pairs of TOKEN EMBEDDINGS: greedy

@@ -1567,6 +1567,65 @@ object SimilarityQueries {
           col("n_b"), col("share_a"), col("share_b"), col("tv"))
     },
 
+    // ——— KNN-Shapley data valuation (Jia et al. 2019 closed form,
+    //     K = 5) over the q365 query roster: per-training-point mean
+    //     Shapley value across queries — the drop/upweight signal for
+    //     data curation. Three qid-partitioned windows (rank, lead,
+    //     descending suffix sum — sequential per partition, so the
+    //     double accumulation is order-deterministic and mirrored
+    //     verbatim); per-(query, point) values 1e-9-quantized before
+    //     the cross-query sum. ———
+    Q("q383_knn_shapley",
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |    CAST(label AS BIGINT) AS ql
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |    AND embedding IS NOT NULL AND label IS NOT NULL
+         |), scored AS (
+         |  SELECT q.qid, q.ql, e.vec_id, CAST(e.label AS BIGINT) AS cl,
+         |    ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.qid
+         |    AND e.embedding IS NOT NULL AND e.label IS NOT NULL
+         |), rk AS (
+         |  SELECT qid, ql, vec_id, cl,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS i,
+         |    CASE WHEN cl = ql THEN 1 ELSE 0 END AS m,
+         |    COUNT(*) OVER (PARTITION BY qid) AS n
+         |  FROM scored
+         |), nx AS (
+         |  SELECT qid, vec_id, cl, i, n, m,
+         |    lead(m, 1) OVER (PARTITION BY qid ORDER BY i) AS mn
+         |  FROM rk
+         |), tm AS (
+         |  SELECT qid, vec_id, cl, i,
+         |    CASE WHEN i < n THEN
+         |      CAST(m - mn AS DOUBLE) * LEAST(5, i)
+         |        / (CAST(5 AS DOUBLE) * i)
+         |    ELSE CAST(m AS DOUBLE) / n END AS term
+         |  FROM nx
+         |), sv AS (
+         |  SELECT qid, vec_id, cl,
+         |    CAST(round(1e9 * SUM(term) OVER (PARTITION BY qid
+         |      ORDER BY i DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      AS BIGINT) AS q
+         |  FROM tm
+         |)
+         |SELECT vec_id, cl AS label, CAST(COUNT(*) AS BIGINT)
+         |    AS n_queries,
+         |  round(CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*), 6)
+         |    AS mean_shapley
+         |FROM sv GROUP BY 1, 2 ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("q_label"))
+        Similarity.knnShapley(e, queries, k = 5)
+    },
+
     // ——— BERTScore-family greedy token-embedding matching (Zhang et
     //     al. 2020, uniform-weight P/R/F): the embeddings table carved
     //     into 16-vector "sentences" — 8 candidate + 8 reference token

