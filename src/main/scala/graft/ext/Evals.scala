@@ -513,6 +513,64 @@ object Evals {
           .as("p_value"))
   }
 
+  /** Off-policy evaluation via inverse propensity scoring — the
+    * offline estimate of a NEW policy's value from logged behavior
+    * data (Horvitz–Thompson / IPS, plus the self-normalized SNIPS of
+    * Swaminathan & Joachims 2015, plus the effective sample size
+    * diagnostic): with w_i = π_target(a_i|x_i)/π_behavior(a_i|x_i)
+    * and logged reward r_i,
+    *   IPS   = (1/n)·Σ w_i·r_i          (unbiased, high variance)
+    *   SNIPS = Σ w_i·r_i / Σ w_i        (biased, much lower variance)
+    *   ESS   = (Σ w_i)² / Σ w_i²        (how many "real" samples the
+    *                                     reweighting left — the
+    *                                     overlap-health readout)
+    * The standard readout before trusting an offline RLHF / ranking
+    * eval: ESS ≪ n means the target policy probes actions the
+    * behavior policy rarely took and the estimate is noise.
+    *
+    * Determinism: per-example w, w·r, w² are each 1e-6-quantized
+    * BIGINTs before their sums (order-free); each estimate is ONE
+    * double expression over the integer sums (DECIMAL(38,0) for the
+    * ESS square), rounded 6. Rows with NULL id/probs/reward or a
+    * non-positive behavior probability drop (w undefined);
+    * n_dropped reports them.
+    *
+    * Scale shape: one map pass + one scalar aggregate. Nothing else.
+    */
+  def ipsOffPolicy(logged: DataFrame, idCol: String, behaviorCol: String,
+                   targetCol: String, rewardCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val all = logged.select(col(idCol).as("_t"),
+      col(behaviorCol).cast("double").as("_pb"),
+      col(targetCol).cast("double").as("_pt"),
+      col(rewardCol).cast("double").as("_r"))
+    val w = col("_pt") / col("_pb")
+    val base = all.filter(col("_t").isNotNull && col("_pb").isNotNull &&
+        col("_pt").isNotNull && col("_r").isNotNull && col("_pb") > 0.0)
+      .select(
+        round(lit(1e6) * w).cast("long").as("_qw"),
+        round(lit(1e6) * w * col("_r")).cast("long").as("_qwr"),
+        round(lit(1e6) * w * w).cast("long").as("_qw2"))
+    val tot = all.agg(count(lit(1)).as("_all"))
+    val agg = base.agg(count(lit(1)).as("n_samples"),
+      coalesce(sum("_qw"), lit(0L)).as("_sw"),
+      coalesce(sum("_qwr"), lit(0L)).as("_swr"),
+      coalesce(sum("_qw2"), lit(0L)).as("_sw2"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_samples"),
+        (col("_all") - col("n_samples")).as("n_dropped"),
+        when(col("n_samples") > 0L,
+          round(col("_swr").cast("double") / 1e6 / col("n_samples"), 6))
+          .as("ips"),
+        when(col("_sw") > 0L,
+          round(col("_swr").cast("double") / col("_sw"), 6))
+          .as("snips"),
+        when(col("_sw2") > 0L,
+          round((dec(col("_sw")) * dec(col("_sw"))).cast("double") /
+            (lit(1e6) * col("_sw2").cast("double")), 6)).as("ess"))
+  }
+
   /** McNemar's test (McNemar 1947) for two systems' PAIRED binary
     * outcomes on the same tasks — the standard significance test for
     * "did classifier/system A really beat B" on a shared benchmark:

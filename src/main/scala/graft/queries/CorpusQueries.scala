@@ -2946,6 +2946,59 @@ object CorpusQueries {
               .as("ref_loss"))
         Corpus.doremiRound(ex, "source", "proxy_loss", "ref_loss",
           eta = 1.0, smooth = 0.2)
+    },
+
+    // ——— off-policy evaluation: IPS / SNIPS / effective sample size
+    //     over a logged-bandit synth (behavior prob in [0.1, 1),
+    //     target prob in (0, 1], reward in [0, 1)). Per-example w,
+    //     w·r, w² 1e-6-quantized before the sums; ESS square on
+    //     HUGEINT; one map pass + one scalar aggregate. ———
+    Q("q384_ips_offpolicy",
+      """WITH l AS (
+        |  SELECT doc_id AS t,
+        |    CAST(CAST(concat('0x', substring(md5('ipb#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 900
+        |      + 100 AS DOUBLE) / 1000.0 AS pb,
+        |    CAST(CAST(concat('0x', substring(md5('ipt#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      + 1 AS DOUBLE) / 1000.0 AS pt,
+        |    CAST(CAST(concat('0x', substring(md5('ipr#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
+        |      AS DOUBLE) / 100.0 AS r
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), q AS (
+        |  SELECT CAST(round(1e6 * (pt / pb)) AS BIGINT) AS qw,
+        |    CAST(round(1e6 * (pt / pb) * r) AS BIGINT) AS qwr,
+        |    CAST(round(1e6 * (pt / pb) * (pt / pb)) AS BIGINT) AS qw2
+        |  FROM l WHERE pb > 0
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS alln FROM l
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(COALESCE(SUM(qw), 0) AS BIGINT) AS sw,
+        |    CAST(COALESCE(SUM(qwr), 0) AS BIGINT) AS swr,
+        |    CAST(COALESCE(SUM(qw2), 0) AS BIGINT) AS sw2
+        |  FROM q
+        |)
+        |SELECT n_samples, alln - n_samples AS n_dropped,
+        |  CASE WHEN n_samples > 0 THEN
+        |    round(CAST(swr AS DOUBLE) / 1e6 / n_samples, 6) END AS ips,
+        |  CASE WHEN sw > 0 THEN
+        |    round(CAST(swr AS DOUBLE) / sw, 6) END AS snips,
+        |  CASE WHEN sw2 > 0 THEN
+        |    round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE)
+        |      / (1e6 * CAST(sw2 AS DOUBLE)), 6) END AS ess
+        |FROM agg CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val logged = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          ((coin("ipb#") % 900 + 100).cast("double") / 1000.0)
+            .as("pb"),
+          ((coin("ipt#") % 1000 + 1).cast("double") / 1000.0)
+            .as("pt"),
+          ((coin("ipr#") % 100).cast("double") / 100.0).as("r"))
+      Evals.ipsOffPolicy(logged, "doc_id", "pb", "pt", "r")
     }
   )
 

@@ -369,4 +369,47 @@ class EvalsSpec extends SparkSpec {
     assert(qn.getAs[Long]("n_tasks") === 10L &&
       qn.isNullAt(qn.fieldIndex("q")))
   }
+
+  test("ipsOffPolicy: identical policies give the on-policy mean and " +
+    "ESS = n, reweighting shifts toward upweighted actions, " +
+    "ESS <= n always, bad rows drop") {
+    def run(rows: Seq[(Long, Double, Double, Double)]) = {
+      val r = Evals.ipsOffPolicy(rows.toDF("t", "pb", "pt", "r"),
+        "t", "pb", "pt", "r").collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // π_target = π_behavior ⇒ every w = 1: IPS = SNIPS = mean reward,
+    // ESS = n exactly
+    val same = Seq((0L, 0.5, 0.5, 1.0), (1L, 0.25, 0.25, 0.0),
+      (2L, 0.8, 0.8, 0.5), (3L, 0.1, 0.1, 0.25))
+    val s = run(same)
+    assert(s.getAs[Long]("n_samples") === 4L &&
+      s.getAs[Long]("n_dropped") === 0L)
+    assert(s.getAs[Double]("ips") === 0.4375 &&
+      s.getAs[Double]("snips") === 0.4375 &&
+      s.getAs[Double]("ess") === 4.0)
+
+    // target upweights the high-reward action (w = 2 on r = 1, w = ½
+    // on r = 0): hand values — IPS = (2·1 + 0.5·0)/2 = 1,
+    // SNIPS = 2/(2.5) = 0.8, ESS = 2.5²/4.25
+    val shifted = Seq((0L, 0.25, 0.5, 1.0), (1L, 0.5, 0.25, 0.0))
+    val h = run(shifted)
+    assert(h.getAs[Double]("ips") === 1.0 &&
+      h.getAs[Double]("snips") === 0.8)
+    assert(math.abs(h.getAs[Double]("ess") - 6.25 / 4.25) < 1e-6)
+    assert(h.getAs[Double]("ess") <=
+      h.getAs[Long]("n_samples").toDouble + 1e-9)
+
+    // NULL reward and zero behavior prob are unscoreable
+    val bad = Seq((Some(0L), Some(0.5), Some(0.5), Some(1.0)),
+      (Some(1L), Some(0.0), Some(0.5), Some(1.0)),
+      (Some(2L), Some(0.5), Some(0.5), None))
+      .toDF("t", "pb", "pt", "r")
+    val b = Evals.ipsOffPolicy(bad, "t", "pb", "pt", "r")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(b.getAs[Long]("n_samples") === 1L &&
+      b.getAs[Long]("n_dropped") === 2L)
+  }
 }
