@@ -571,6 +571,83 @@ object Evals {
             (lit(1e6) * col("_sw2").cast("double")), 6)).as("ess"))
   }
 
+  /** [[ipsOffPolicy]]'s estimates from PRE-AGGREGATED quantized
+    * weight moments — the finisher for incremental pipelines (the
+    * streaming twin keeps monotone per-shard (n_total, n_samples,
+    * sw, swr, sw2) ledgers; all five counters are associative sums,
+    * so any sharding of the play stream converges to the batch
+    * statistic — the mcNemarOnCounts pattern).
+    */
+  def ipsOnCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    counts.agg(
+      coalesce(sum("n_total"), lit(0L)).as("_all"),
+      coalesce(sum("n_samples"), lit(0L)).as("n_samples"),
+      coalesce(sum("sw"), lit(0L)).as("_sw"),
+      coalesce(sum("swr"), lit(0L)).as("_swr"),
+      coalesce(sum("sw2"), lit(0L)).as("_sw2"))
+      .select(col("n_samples"),
+        (col("_all") - col("n_samples")).as("n_dropped"),
+        when(col("n_samples") > 0L,
+          round(col("_swr").cast("double") / 1e6 / col("n_samples"), 6))
+          .as("ips"),
+        when(col("_sw") > 0L,
+          round(col("_swr").cast("double") / col("_sw"), 6))
+          .as("snips"),
+        when(col("_sw2") > 0L,
+          round((dec(col("_sw")) * dec(col("_sw"))).cast("double") /
+            (lit(1e6) * col("_sw2").cast("double")), 6)).as("ess"))
+  }
+
+  /** Doubly-robust off-policy estimate (Dudík, Langford & Li 2011,
+    * "Doubly Robust Policy Evaluation and Learning") — IPS with a
+    * reward-model control variate: with ŵ_i = π_t/π_b and q̂_i the
+    * model's predicted reward under the target policy,
+    *   DR = (1/n)·Σ [ q̂_i + w_i·(r_i − q̂_i) ]
+    * — unbiased when EITHER the propensities or the reward model are
+    * right, and with a perfect reward model (q̂ = r) the importance
+    * weights cancel EXACTLY (the robustness the spec pins). The
+    * plain IPS rides along for comparison.
+    *
+    * Determinism: the per-example DR term and w·r are 1e-6-quantized
+    * BIGINTs before the sums; each estimate is one double division.
+    * Rows with NULL fields or a non-positive behavior probability
+    * drop and are counted.
+    *
+    * Scale shape: one map pass + one scalar aggregate.
+    */
+  def drOffPolicy(logged: DataFrame, idCol: String, behaviorCol: String,
+                  targetCol: String, rewardCol: String,
+                  qhatCol: String): DataFrame = {
+    val all = logged.select(col(idCol).as("_t"),
+      col(behaviorCol).cast("double").as("_pb"),
+      col(targetCol).cast("double").as("_pt"),
+      col(rewardCol).cast("double").as("_r"),
+      col(qhatCol).cast("double").as("_qh"))
+    val w = col("_pt") / col("_pb")
+    val base = all.filter(col("_t").isNotNull && col("_pb").isNotNull &&
+        col("_pt").isNotNull && col("_r").isNotNull &&
+        col("_qh").isNotNull && col("_pb") > 0.0)
+      .select(
+        round(lit(1e6) * (col("_qh") + w * (col("_r") - col("_qh"))))
+          .cast("long").as("_qd"),
+        round(lit(1e6) * w * col("_r")).cast("long").as("_qwr"))
+    val tot = all.agg(count(lit(1)).as("_all"))
+    base.agg(count(lit(1)).as("n_samples"),
+        coalesce(sum("_qd"), lit(0L)).as("_sd"),
+        coalesce(sum("_qwr"), lit(0L)).as("_swr"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_samples"),
+        (col("_all") - col("n_samples")).as("n_dropped"),
+        when(col("n_samples") > 0L,
+          round(col("_sd").cast("double") / 1e6 / col("n_samples"), 6))
+          .as("dr"),
+        when(col("n_samples") > 0L,
+          round(col("_swr").cast("double") / 1e6 / col("n_samples"), 6))
+          .as("ips"))
+  }
+
   /** McNemar's test (McNemar 1947) for two systems' PAIRED binary
     * outcomes on the same tasks — the standard significance test for
     * "did classifier/system A really beat B" on a shared benchmark:

@@ -677,6 +677,51 @@ object Streaming {
       }
   }
 
+  final case class LoggedPlay(task_id: Long, pb: Double, pt: Double,
+                              r: Double)
+  final case class IpsLedger(shard: Long, n_total: Long,
+                             n_samples: Long, sw: Long, swr: Long,
+                             sw2: Long)
+
+  /** STREAMING IPS ledger — incremental off-policy weight moments,
+    * the streaming twin of [[graft.ext.Evals.ipsOffPolicy]] (the
+    * q380 sharded-counter pattern): per shard the monotone counters
+    * (n_total, n_samples, Σ⌊1e6·w⌉, Σ⌊1e6·w·r⌉, Σ⌊1e6·w²⌉), each
+    * example quantized with the SAME HALF_UP 1e-6 rule as the batch
+    * operator (BigDecimal HALF_UP — Spark's round), so summing the
+    * final shard rows and finishing with
+    * [[graft.ext.Evals.ipsOnCounts]] reproduces the batch estimates
+    * exactly. Plays with a non-positive behavior probability count
+    * into n_total only (dropped). Contract: the input stream is
+    * NULL-free (filter before `.as[LoggedPlay]` — the case class
+    * fields are primitive).
+    */
+  def ipsLedgerStream(plays: Dataset[LoggedPlay],
+                      shards: Int = 64): Dataset[IpsLedger] = {
+    import plays.sparkSession.implicits._
+    require(shards >= 1, s"ipsLedgerStream: shards >= 1, $shards")
+    def q6(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    plays.groupByKey(p => math.floorMod(p.task_id, shards.toLong))
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), IpsLedger](
+        GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        var (nt, ns, sw, swr, sw2) =
+          state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+        rows.foreach { p =>
+          nt += 1
+          if (p.pb > 0.0) {
+            ns += 1
+            val w = p.pt / p.pb
+            sw += q6(1e6 * w)
+            swr += q6(1e6 * w * p.r)
+            sw2 += q6(1e6 * w * w)
+          }
+        }
+        state.update((nt, ns, sw, swr, sw2))
+        IpsLedger(shard, nt, ns, sw, swr, sw2)
+      }
+  }
+
   final case class EloBattle(league: Long, seq: Long, winner: Long,
                              loser: Long)
   final case class EloArenaState(n_battles: Long,

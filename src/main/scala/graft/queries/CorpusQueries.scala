@@ -2953,42 +2953,7 @@ object CorpusQueries {
     //     target prob in (0, 1], reward in [0, 1)). Per-example w,
     //     w·r, w² 1e-6-quantized before the sums; ESS square on
     //     HUGEINT; one map pass + one scalar aggregate. ———
-    Q("q384_ips_offpolicy",
-      """WITH l AS (
-        |  SELECT doc_id AS t,
-        |    CAST(CAST(concat('0x', substring(md5('ipb#'
-        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 900
-        |      + 100 AS DOUBLE) / 1000.0 AS pb,
-        |    CAST(CAST(concat('0x', substring(md5('ipt#'
-        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
-        |      + 1 AS DOUBLE) / 1000.0 AS pt,
-        |    CAST(CAST(concat('0x', substring(md5('ipr#'
-        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
-        |      AS DOUBLE) / 100.0 AS r
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |), q AS (
-        |  SELECT CAST(round(1e6 * (pt / pb)) AS BIGINT) AS qw,
-        |    CAST(round(1e6 * (pt / pb) * r) AS BIGINT) AS qwr,
-        |    CAST(round(1e6 * (pt / pb) * (pt / pb)) AS BIGINT) AS qw2
-        |  FROM l WHERE pb > 0
-        |), tot AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS alln FROM l
-        |), agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
-        |    CAST(COALESCE(SUM(qw), 0) AS BIGINT) AS sw,
-        |    CAST(COALESCE(SUM(qwr), 0) AS BIGINT) AS swr,
-        |    CAST(COALESCE(SUM(qw2), 0) AS BIGINT) AS sw2
-        |  FROM q
-        |)
-        |SELECT n_samples, alln - n_samples AS n_dropped,
-        |  CASE WHEN n_samples > 0 THEN
-        |    round(CAST(swr AS DOUBLE) / 1e6 / n_samples, 6) END AS ips,
-        |  CASE WHEN sw > 0 THEN
-        |    round(CAST(swr AS DOUBLE) / sw, 6) END AS snips,
-        |  CASE WHEN sw2 > 0 THEN
-        |    round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE)
-        |      / (1e6 * CAST(sw2 AS DOUBLE)), 6) END AS ess
-        |FROM agg CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    Q("q384_ips_offpolicy", ipsOracleSql) { (s, dir) =>
       def coin(tag: String) = conv(substring(md5(concat(lit(tag),
         col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
       val logged = docs(s, dir).filter(col("doc_id").isNotNull)
@@ -2999,6 +2964,92 @@ object CorpusQueries {
             .as("pt"),
           ((coin("ipr#") % 100).cast("double") / 100.0).as("r"))
       Evals.ipsOffPolicy(logged, "doc_id", "pb", "pt", "r")
+    },
+
+    // ——— STREAMING IPS: the q384 logged-bandit synth ingested as a
+    //     stream, weight moments as monotone per-shard
+    //     mapGroupsWithState ledgers (each example quantized with the
+    //     same HALF_UP 1e-6 rule as the batch op), summed and
+    //     finished by the shared counts finisher — same oracle as
+    //     q384. ———
+    Q("q385_streaming_ips", ipsOracleSql) { (s, dir) =>
+      import s.implicits._
+      import graft.ext.Streaming
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val stream = Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("task_id"),
+          ((coin("ipb#") % 900 + 100).cast("double") / 1000.0)
+            .as("pb"),
+          ((coin("ipt#") % 1000 + 1).cast("double") / 1000.0)
+            .as("pt"),
+          ((coin("ipr#") % 100).cast("double") / 100.0).as("r"))
+        .as[Streaming.LoggedPlay]
+      val q = Streaming.runToMemory(
+        Streaming.ipsLedgerStream(stream).toDF(),
+        "q385_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // monotone counters → the final ledger is the per-shard max
+      val ledger = s.table("q385_ledger").groupBy("shard")
+        .agg(max("n_total").as("n_total"),
+          max("n_samples").as("n_samples"), max("sw").as("sw"),
+          max("swr").as("swr"), max("sw2").as("sw2"))
+      Evals.ipsOnCounts(ledger)
+    },
+
+    // ——— doubly-robust off-policy estimate (Dudík et al. 2011): the
+    //     q384 synth plus an imperfect md5-synthed reward model q̂;
+    //     DR term 1e-6-quantized per example, one scalar aggregate,
+    //     plain IPS alongside. ———
+    Q("q386_dr_offpolicy",
+      """WITH l AS (
+        |  SELECT doc_id AS t,
+        |    CAST(CAST(concat('0x', substring(md5('ipb#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 900
+        |      + 100 AS DOUBLE) / 1000.0 AS pb,
+        |    CAST(CAST(concat('0x', substring(md5('ipt#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      + 1 AS DOUBLE) / 1000.0 AS pt,
+        |    CAST(CAST(concat('0x', substring(md5('ipr#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
+        |      AS DOUBLE) / 100.0 AS r,
+        |    CAST(CAST(concat('0x', substring(md5('ipq#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
+        |      AS DOUBLE) / 100.0 AS qh
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), q AS (
+        |  SELECT
+        |    CAST(round(1e6 * (qh + (pt / pb) * (r - qh))) AS BIGINT)
+        |      AS qd,
+        |    CAST(round(1e6 * (pt / pb) * r) AS BIGINT) AS qwr
+        |  FROM l WHERE pb > 0
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS alln FROM l
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sd,
+        |    CAST(COALESCE(SUM(qwr), 0) AS BIGINT) AS swr
+        |  FROM q
+        |)
+        |SELECT n_samples, alln - n_samples AS n_dropped,
+        |  CASE WHEN n_samples > 0 THEN
+        |    round(CAST(sd AS DOUBLE) / 1e6 / n_samples, 6) END AS dr,
+        |  CASE WHEN n_samples > 0 THEN
+        |    round(CAST(swr AS DOUBLE) / 1e6 / n_samples, 6) END AS ips
+        |FROM agg CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val logged = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          ((coin("ipb#") % 900 + 100).cast("double") / 1000.0)
+            .as("pb"),
+          ((coin("ipt#") % 1000 + 1).cast("double") / 1000.0)
+            .as("pt"),
+          ((coin("ipr#") % 100).cast("double") / 100.0).as("r"),
+          ((coin("ipq#") % 100).cast("double") / 100.0).as("qh"))
+      Evals.drOffPolicy(logged, "doc_id", "pb", "pt", "r", "qh")
     }
   )
 
@@ -3195,6 +3246,46 @@ object CorpusQueries {
        |  SELECT prompt_id, rid, CAST(1000000 AS BIGINT) AS p FROM st
        |), $iter""".stripMargin)
   }
+
+  /** Shared q384/q385 oracle: IPS / SNIPS / ESS on the logged-bandit
+    * synth — the streaming ledger twin must converge to the batch
+    * estimates exactly. */
+  private def ipsOracleSql: String =
+    """WITH l AS (
+        |  SELECT doc_id AS t,
+        |    CAST(CAST(concat('0x', substring(md5('ipb#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 900
+        |      + 100 AS DOUBLE) / 1000.0 AS pb,
+        |    CAST(CAST(concat('0x', substring(md5('ipt#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      + 1 AS DOUBLE) / 1000.0 AS pt,
+        |    CAST(CAST(concat('0x', substring(md5('ipr#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
+        |      AS DOUBLE) / 100.0 AS r
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), q AS (
+        |  SELECT CAST(round(1e6 * (pt / pb)) AS BIGINT) AS qw,
+        |    CAST(round(1e6 * (pt / pb) * r) AS BIGINT) AS qwr,
+        |    CAST(round(1e6 * (pt / pb) * (pt / pb)) AS BIGINT) AS qw2
+        |  FROM l WHERE pb > 0
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS alln FROM l
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(COALESCE(SUM(qw), 0) AS BIGINT) AS sw,
+        |    CAST(COALESCE(SUM(qwr), 0) AS BIGINT) AS swr,
+        |    CAST(COALESCE(SUM(qw2), 0) AS BIGINT) AS sw2
+        |  FROM q
+        |)
+        |SELECT n_samples, alln - n_samples AS n_dropped,
+        |  CASE WHEN n_samples > 0 THEN
+        |    round(CAST(swr AS DOUBLE) / 1e6 / n_samples, 6) END AS ips,
+        |  CASE WHEN sw > 0 THEN
+        |    round(CAST(swr AS DOUBLE) / sw, 6) END AS snips,
+        |  CASE WHEN sw2 > 0 THEN
+        |    round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE)
+        |      / (1e6 * CAST(sw2 AS DOUBLE)), 6) END AS ess
+        |FROM agg CROSS JOIN tot""".stripMargin
 
   /** Shared q376/q380 oracle: McNemar on the planted 70%-vs-60%
     * paired-outcome panel — the streaming ledger twin must converge

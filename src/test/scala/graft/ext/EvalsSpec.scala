@@ -412,4 +412,45 @@ class EvalsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_samples") === 1L &&
       b.getAs[Long]("n_dropped") === 2L)
   }
+
+  test("drOffPolicy: a perfect reward model cancels the importance " +
+    "weights exactly, identical policies reduce to the mean reward, " +
+    "bad rows drop") {
+    def run(rows: Seq[(Long, Double, Double, Double, Double)]) = {
+      val r = Evals.drOffPolicy(rows.toDF("t", "pb", "pt", "r", "qh"),
+        "t", "pb", "pt", "r", "qh").collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // q̂ = r: DR = mean reward no matter how wild the weights are —
+    // the doubly-robust cancellation
+    val perfect = Seq((0L, 0.01, 0.99, 1.0, 1.0),
+      (1L, 0.9, 0.05, 0.5, 0.5), (2L, 0.2, 0.8, 0.25, 0.25))
+    val p = run(perfect)
+    assert(p.getAs[Double]("dr") ===
+      BigDecimal((1.0 + 0.5 + 0.25) / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ...while plain IPS is blown around by the weights
+    assert(math.abs(p.getAs[Double]("ips") - p.getAs[Double]("dr"))
+      > 0.1)
+
+    // identical policies (w = 1): DR = q̂ + (r − q̂) = r ⇒ mean
+    // reward, and equals IPS exactly, whatever q̂ says
+    val same = Seq((0L, 0.5, 0.5, 1.0, 0.2), (1L, 0.25, 0.25, 0.0, 0.9),
+      (2L, 0.8, 0.8, 0.5, 0.1))
+    val s = run(same)
+    assert(s.getAs[Double]("dr") === 0.5 &&
+      s.getAs[Double]("ips") === 0.5)
+
+    // NULL q̂ / zero behavior prob drop and are counted
+    val bad = Seq((Some(0L), Some(0.5), Some(0.5), Some(1.0), Some(1.0)),
+      (Some(1L), Some(0.0), Some(0.5), Some(1.0), Some(1.0)),
+      (Some(2L), Some(0.5), Some(0.5), Some(1.0), None))
+      .toDF("t", "pb", "pt", "r", "qh")
+    val b = Evals.drOffPolicy(bad, "t", "pb", "pt", "r", "qh")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(b.getAs[Long]("n_samples") === 1L &&
+      b.getAs[Long]("n_dropped") === 2L)
+  }
 }

@@ -1249,6 +1249,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("ipsLedgerStream: quantized weight moments straddle " +
+    "micro-batches and the finished estimates equal the batch " +
+    "ipsOffPolicy exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ipsstream").toFile
+    // shard straddle on task 0; a dropped (pb = 0) play in file 2
+    val files = Seq(
+      Seq((0L, 0.25, 0.5, 1.0), (1L, 0.5, 0.25, 0.0)),
+      Seq((0L, 0.8, 0.4, 0.5), (2L, 0.0, 0.5, 1.0),
+        (3L, 0.1, 0.9, 0.75)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"ipschunk$i").toString
+      rows.toDF("task_id", "pb", "pt", "r").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("task_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("pt",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .as[Streaming.LoggedPlay]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.ipsLedgerStream(stream, shards = 2).toDF(),
+      "ips_stream", org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    val ledger = spark.table("ips_stream").groupBy("shard")
+      .agg(max("n_total").as("n_total"),
+        max("n_samples").as("n_samples"), max("sw").as("sw"),
+        max("swr").as("swr"), max("sw2").as("sw2"))
+    val streamed = Evals.ipsOnCounts(ledger).collect().toSeq
+    val batch = Evals.ipsOffPolicy(
+      files.flatten.toDF("t", "pb", "pt", "r"), "t", "pb", "pt", "r")
+      .collect().toSeq
+    graft.engine.TrackedCache.release()
+    assert(streamed === batch)
+    // the dropped play is visible: 5 total, 4 scored
+    assert(streamed.head.getAs[Long]("n_samples") === 4L &&
+      streamed.head.getAs[Long]("n_dropped") === 1L)
+  }
+
   test("eloRatingStream: seq-ordered ingestion split across micro-batches " +
     "lands exactly on the batch fold; rating state straddles batches") {
     import spark.implicits._
