@@ -1636,9 +1636,11 @@ object SimilarityQueries {
       s"""WITH c AS (
          |  SELECT vec_id // 16 AS p, vec_id % 8 AS ct, embedding AS cv
          |  FROM embeddings WHERE vec_id % 16 < 8
+         |    AND embedding IS NOT NULL
          |), r AS (
          |  SELECT vec_id // 16 AS p, vec_id % 8 AS rt, embedding AS rv
          |  FROM embeddings WHERE vec_id % 16 >= 8
+         |    AND embedding IS NOT NULL
          |), sc AS (
          |  SELECT c.p, c.ct, r.rt,
          |    CAST(round(1e6 * (${cosSql("c.cv", "r.rv")})) AS BIGINT)

@@ -3812,6 +3812,7 @@ object TextQueries {
     Q("q369_alpha_interval",
       """WITH r AS (
         |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |  WHERE doc_id IS NOT NULL
         |), rat AS (
         |  SELECT doc_id AS u,
         |    CASE WHEN j < 3 THEN
@@ -3872,6 +3873,7 @@ object TextQueries {
     Q("q370_kendall_w",
       """WITH r AS (
         |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |  WHERE doc_id IS NOT NULL
         |), rat AS (
         |  SELECT doc_id AS u, j,
         |    CASE WHEN j < 3 THEN
@@ -3957,6 +3959,7 @@ object TextQueries {
     Q("q371_alpha_ordinal",
       """WITH r AS (
         |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |  WHERE doc_id IS NOT NULL
         |), rat AS (
         |  SELECT doc_id AS u,
         |    CASE WHEN j < 3 THEN
