@@ -641,10 +641,20 @@ object Corpus {
     * Determinism: per-example clipped excesses are 1e-6-quantized
     * BIGINTs before the domain sum (order-free); the mean and the
     * single exp() are one deterministic double expression per DOMAIN
-    * (dictionary-scale, mirrored verbatim by the oracle); the MW
-    * score is 1e-9-quantized before the normalizing sum so the
-    * denominator is an exact integer; the final weight is one double
-    * expression, rounded 6. NULL-domain / NULL-loss rows drop.
+    * (dictionary-scale, mirrored verbatim by the oracle). The MW
+    * score is computed MAX-NORMALIZED — exp(η·(excess − max excess))
+    * ∈ (0, 1] via a 1-row broadcast of the max — which leaves the
+    * normalized weights mathematically unchanged (the softmax shift
+    * identity) and is overflow-free for ANY clipped excess, where
+    * the unshifted exp would silently saturate BIGINT past
+    * η·excess ≈ 22.9 (clipped excess is unbounded input). Scores
+    * are then 1e-9-quantized before the normalizing sum so the
+    * denominator is an exact integer ≥ 1e9 (the max domain scores
+    * exactly 1e9); a domain more than ~20.7 nats of η-excess below
+    * the max quantizes to score 0 — its true relative weight is
+    * below 1e-9 — and keeps only the smoothing mass. The final
+    * weight is one double expression, rounded 6. NULL-domain /
+    * NULL-loss rows drop.
     *
     * Scale shape: ONE domain-keyed aggregate over a map-side clipped
     * projection + a 1-row broadcast total. No windows, no joins at
@@ -666,13 +676,16 @@ object Corpus {
       .select(col("_d"), col("n_examples"),
         (col("_sq").cast("double") / 1e6 / col("n_examples"))
           .as("_mx"))
+      .trackedPersist() // domain dictionary; feeds max + scores
+    val mxm = dom.agg(max("_mx").as("_mxm"))
+    val sc = dom.crossJoin(broadcast(mxm))
       .select(col("_d"), col("n_examples"), col("_mx"),
-        round(lit(1e9) * exp(lit(eta) * col("_mx"))).cast("long")
-          .as("_s"))
-      .trackedPersist() // domain dictionary; feeds total + output
-    val tot = dom.agg(sum("_s").as("_ts"),
+        round(lit(1e9) * exp(lit(eta) * (col("_mx") - col("_mxm"))))
+          .cast("long").as("_s"))
+      .trackedPersist() // feeds total + output
+    val tot = sc.agg(sum("_s").as("_ts"),
       count(lit(1)).as("n_domains"))
-    dom.crossJoin(broadcast(tot))
+    sc.crossJoin(broadcast(tot))
       .select(col("_d").as(domainCol), col("n_examples"),
         round(col("_mx"), 6).as("excess_loss"),
         round(lit(1.0 - smooth) * col("_s") / col("_ts") +

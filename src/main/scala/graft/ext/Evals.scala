@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Evals {
 
+  /** TRUE iff the double column is a finite number — NULL-dropping
+    * when used as a filter (NaN/NULL propagate to NULL, which a
+    * WHERE drops). Needed because Spark SQL orders NaN ABOVE every
+    * double, so `col > 0.0` alone would PASS a NaN — the opposite of
+    * the Scala primitive comparison the streaming twins apply. */
+  private[ext] def finite(c: Column): Column =
+    !isnan(c) && abs(c) < lit(Double.PositiveInfinity)
+
   /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): with n samples per task of
     * which c are correct, pass@k = 1 − C(n−c, k)/C(n, k). Computed
@@ -465,7 +473,9 @@ object Evals {
     * resamples whose |mean delta| reaches the observed |mean delta|,
     * with the standard +1/+1 validity correction
     * p = (r + 1)/(b + 1) (guarantees p > 0 and exact validity for
-    * finite b).
+    * finite b). When every segment drops (n_segs = 0) the test is
+    * undefined: n_hits and p_value answer NULL alongside mean_delta
+    * — an empty input must not read as maximally significant.
     *
     * Determinism and exactness: flips come from an md5 coin per
     * (resample, segment) — no RNG state; per-segment deltas are
@@ -508,8 +518,11 @@ object Evals {
         when(col("n_segs") > 0L,
           round(col("_sqd").cast("double") / 1e6 / col("n_segs"), 6))
           .as("mean_delta"),
-        col("_hits").as("n_hits"),
-        round((col("_hits").cast("double") + 1.0) / (b + 1.0), 6)
+        // n_segs = 0 ⇒ the test is undefined: NULL, not p = 1/(b+1)
+        // (an empty input must not read as maximally significant)
+        when(col("n_segs") > 0L, col("_hits")).as("n_hits"),
+        when(col("n_segs") > 0L,
+          round((col("_hits").cast("double") + 1.0) / (b + 1.0), 6))
           .as("p_value"))
   }
 
@@ -531,9 +544,14 @@ object Evals {
     * Determinism: per-example w, w·r, w² are each 1e-6-quantized
     * BIGINTs before their sums (order-free); each estimate is ONE
     * double expression over the integer sums (DECIMAL(38,0) for the
-    * ESS square), rounded 6. Rows with NULL id/probs/reward or a
-    * non-positive behavior probability drop (w undefined);
-    * n_dropped reports them.
+    * ESS square), rounded 6. Rows with NULL id/probs/reward, a
+    * non-FINITE prob/reward (NaN or ±Inf — note Spark SQL orders NaN
+    * ABOVE every double, so a plain `> 0` filter would PASS a NaN
+    * propensity that the streaming twin's Scala comparison drops),
+    * or a non-positive behavior probability drop (w undefined);
+    * n_dropped reports them. [[graft.ext.Streaming.ipsLedgerStream]]
+    * applies the identical finite-and-positive rule, so the twins
+    * drop the same rows by construction.
     *
     * Scale shape: one map pass + one scalar aggregate. Nothing else.
     */
@@ -546,8 +564,9 @@ object Evals {
       col(targetCol).cast("double").as("_pt"),
       col(rewardCol).cast("double").as("_r"))
     val w = col("_pt") / col("_pb")
-    val base = all.filter(col("_t").isNotNull && col("_pb").isNotNull &&
-        col("_pt").isNotNull && col("_r").isNotNull && col("_pb") > 0.0)
+    val base = all.filter(col("_t").isNotNull &&
+        finite(col("_pb")) && finite(col("_pt")) &&
+        finite(col("_r")) && col("_pb") > 0.0)
       .select(
         round(lit(1e6) * w).cast("long").as("_qw"),
         round(lit(1e6) * w * col("_r")).cast("long").as("_qwr"),
@@ -612,8 +631,9 @@ object Evals {
     *
     * Determinism: the per-example DR term and w·r are 1e-6-quantized
     * BIGINTs before the sums; each estimate is one double division.
-    * Rows with NULL fields or a non-positive behavior probability
-    * drop and are counted.
+    * Rows with NULL fields, a non-FINITE prob/reward/q̂ (NaN or ±Inf
+    * — the [[ipsOffPolicy]] finite-and-positive rule), or a
+    * non-positive behavior probability drop and are counted.
     *
     * Scale shape: one map pass + one scalar aggregate.
     */
@@ -626,9 +646,9 @@ object Evals {
       col(rewardCol).cast("double").as("_r"),
       col(qhatCol).cast("double").as("_qh"))
     val w = col("_pt") / col("_pb")
-    val base = all.filter(col("_t").isNotNull && col("_pb").isNotNull &&
-        col("_pt").isNotNull && col("_r").isNotNull &&
-        col("_qh").isNotNull && col("_pb") > 0.0)
+    val base = all.filter(col("_t").isNotNull &&
+        finite(col("_pb")) && finite(col("_pt")) &&
+        finite(col("_r")) && finite(col("_qh")) && col("_pb") > 0.0)
       .select(
         round(lit(1e6) * (col("_qh") + w * (col("_r") - col("_qh"))))
           .cast("long").as("_qd"),
@@ -717,10 +737,15 @@ object Evals {
     * the denominator is 0 (every task answered all-right or
     * all-wrong by every system — no discordance anywhere).
     *
-    * Contract: a COMPLETE panel (every system scored on every task)
-    * — enforced like [[graft.ext.TextStats.kendallW]]: if any
-    * system's row count differs from any other's or from n_tasks,
-    * Q answers NULL while the counts still report.
+    * Contract: a COMPLETE panel (every system scored on every task,
+    * EXACTLY ONCE) — enforced like [[graft.ext.TextStats.kendallW]]
+    * on DISTINCT task keys, not raw row counts: per system the gate
+    * requires countDistinct(task) = count(*) = n_tasks (a duplicate
+    * rating compensating an omission keeps the raw count but breaks
+    * the ANOVA identity — it must gate to NULL, not pass). Since
+    * countDistinct ≤ count per system, min(countDistinct) =
+    * max(count) = n_tasks forces every system to n_tasks on both.
+    * Q answers NULL on any violation while the counts still report.
     *
     * Scale shape: one task-keyed rollup, one system-keyed rollup
     * (dictionary-scale), two scalar reductions. No windows.
@@ -736,12 +761,13 @@ object Evals {
         col("_c").isNotNull)
       .trackedPersist() // feeds both rollup directions
     val sys = base.groupBy("_s")
-      .agg(sum("_c").as("_g"), count(lit(1)).as("_sn"))
+      .agg(sum("_c").as("_g"), count(lit(1)).as("_sn"),
+        countDistinct("_t").as("_sd"))
       .agg(count(lit(1)).as("n_systems"),
         coalesce(sum(dec(col("_g")) * dec(col("_g"))), dec(lit(0)))
           .as("_sg2"),
         coalesce(sum(col("_g")), lit(0L)).as("_n"),
-        min("_sn").as("_smn"), max("_sn").as("_smx"))
+        min("_sd").as("_smn"), max("_sn").as("_smx"))
     val tasks = base.groupBy("_t").agg(sum("_c").as("_l"))
       .agg(count(lit(1)).as("n_tasks"),
         coalesce(sum(dec(col("_l")) * dec(col("_l"))), dec(lit(0)))
@@ -750,6 +776,9 @@ object Evals {
     val num = (k - dec(lit(1))) *
       (k * col("_sg2") - dec(col("_n")) * dec(col("_n")))
     val den = k * dec(col("_n")) - col("_sl2")
+    // min over systems of countDistinct(task) = max of count(*) =
+    // n_tasks ⇒ every system has distinct = raw = n_tasks (distinct
+    // ≤ raw per system): exactly-once complete panel.
     val complete = col("_smn") === col("_smx") &&
       col("_smx") === col("n_tasks")
     sys.crossJoin(broadcast(tasks))

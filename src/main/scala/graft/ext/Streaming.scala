@@ -685,16 +685,27 @@ object Streaming {
 
   /** STREAMING IPS ledger — incremental off-policy weight moments,
     * the streaming twin of [[graft.ext.Evals.ipsOffPolicy]] (the
-    * q380 sharded-counter pattern): per shard the monotone counters
+    * q380 sharded-counter pattern): per shard the counters
     * (n_total, n_samples, Σ⌊1e6·w⌉, Σ⌊1e6·w·r⌉, Σ⌊1e6·w²⌉), each
     * example quantized with the SAME HALF_UP 1e-6 rule as the batch
     * operator (BigDecimal HALF_UP — Spark's round), so summing the
     * final shard rows and finishing with
     * [[graft.ext.Evals.ipsOnCounts]] reproduces the batch estimates
-    * exactly. Plays with a non-positive behavior probability count
-    * into n_total only (dropped). Contract: the input stream is
-    * NULL-free (filter before `.as[LoggedPlay]` — the case class
-    * fields are primitive).
+    * exactly. Plays with a non-positive or non-finite behavior
+    * probability, or a non-finite target probability or reward,
+    * count into n_total only (dropped) — the identical
+    * finite-and-positive rule as the batch operator, so the twins
+    * drop the same rows. Contract: the input stream is NULL-free
+    * (filter before `.as[LoggedPlay]` — the case class fields are
+    * primitive).
+    *
+    * READBACK: take the LAST row per shard by argmax on n_total
+    * (e.g. `max(struct(n_total, …))` — n_total strictly increases
+    * with every emitted shard row), NOT a per-counter max: n_total,
+    * n_samples, sw and sw2 are monotone (w > 0), but swr adds
+    * ⌊1e6·w·r⌉ which is NEGATIVE for negative rewards — a legitimate
+    * IPS input — so max-of-each-counter would silently reconstruct a
+    * wrong ledger there.
     */
   def ipsLedgerStream(plays: Dataset[LoggedPlay],
                       shards: Int = 64): Dataset[IpsLedger] = {
@@ -709,7 +720,13 @@ object Streaming {
           state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
         rows.foreach { p =>
           nt += 1
-          if (p.pb > 0.0) {
+          // finite-and-positive: the batch twin's exact drop rule
+          // (NaN pb already fails the Scala >, unlike Spark SQL's
+          // NaN-is-greatest ordering; ±Inf and NaN pt/r would feed
+          // q6 garbage, so they drop on both sides identically)
+          if (java.lang.Double.isFinite(p.pb) && p.pb > 0.0 &&
+              java.lang.Double.isFinite(p.pt) &&
+              java.lang.Double.isFinite(p.r)) {
             ns += 1
             val w = p.pt / p.pb
             sw += q6(1e6 * w)

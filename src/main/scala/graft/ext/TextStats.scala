@@ -1459,9 +1459,13 @@ object TextStats {
     * n·ΣT² − (ΣT)² (totals) — the n² scaling cancels in the ratio —
     * so α = k·(B − ΣA) / ((k−1)·B) is one double division over
     * DECIMAL(38,0) integers, rounded 6. NULL when k < 2, when the
-    * total variance is 0, or when the panel is INCOMPLETE (any
-    * item's rating count ≠ n_units or any unit's ≠ n_items — the
-    * kendallW gate; the statistic assumes a full crossing).
+    * total variance is 0, or when the panel is not a full crossing
+    * scored EXACTLY ONCE per cell — gated on DISTINCT keys, not raw
+    * counts (min over items of countDistinct(unit) = max of count(*)
+    * = n_units, and symmetrically on the unit margin), so a
+    * duplicate rating compensating an omission gates to NULL
+    * instead of passing a count check the variance identity
+    * silently doesn't satisfy.
     *
     * Scale shape: one item-keyed rollup + one unit-keyed rollup
     * (each a single hash aggregate over the ratings), two scalar
@@ -1475,21 +1479,27 @@ object TextStats {
       .filter(col("u").isNotNull && col("j").isNotNull &&
         col("x").isNotNull)
       .trackedPersist() // feeds the item AND unit rollups
+    // _jmn/_umn are the margin's min countDistinct, _jmx/_umx its
+    // max raw count: min(distinct) = max(raw) = margin size forces
+    // distinct = raw = size everywhere (distinct ≤ raw per key) —
+    // the exactly-once complete-crossing gate.
     val items = vals.groupBy("j").agg(count(lit(1)).as("_jn"),
+        countDistinct("u").as("_jd"),
         sum("x").as("_sx"),
         sum(dec(col("x")) * dec(col("x"))).as("_sxx"))
       .agg(count(lit(1)).as("n_items"),
         coalesce(sum(dec(col("_jn")) * col("_sxx") -
           dec(col("_sx")) * dec(col("_sx"))), dec(lit(0))).as("_sA"),
-        min("_jn").as("_jmn"), max("_jn").as("_jmx"))
+        min("_jd").as("_jmn"), max("_jn").as("_jmx"))
     val units = vals.groupBy("u").agg(count(lit(1)).as("_um"),
+        countDistinct("j").as("_ud"),
         sum("x").as("_t"))
       .agg(count(lit(1)).as("n_units"),
         sum("_um").cast("long").as("n_ratings"),
         coalesce(sum(dec(col("_t"))), dec(lit(0))).as("_st"),
         coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0)))
           .as("_stt"),
-        min("_um").as("_umn"), max("_um").as("_umx"))
+        min("_ud").as("_umn"), max("_um").as("_umx"))
     val b = dec(col("n_units")) * col("_stt") - col("_st") * col("_st")
     val complete = col("_jmn") === col("_jmx") &&
       col("_jmx") === col("n_units") &&
@@ -1527,9 +1537,11 @@ object TextStats {
     *              (n·R·(k−1) + n·(k−1)·E + k·(C·(n−1) − E))
     * — every product on DECIMAL(38,0), one double division, rounded
     * 6. MSR/MSC/MSE are reported (6-dp) as diagnostics. NULL when
-    * n < 2, k < 2, the denominator is 0, or the panel is INCOMPLETE
-    * (the kendallW gate on both margins — the ANOVA decomposition
-    * requires the full crossing).
+    * n < 2, k < 2, the denominator is 0, or the panel is not a full
+    * crossing scored EXACTLY ONCE per cell — the [[cronbachAlpha]]
+    * DISTINCT-key gate on both margins (min countDistinct = max raw
+    * count = margin size), so duplicate-compensated panels gate to
+    * NULL rather than emitting an ANOVA identity that doesn't hold.
     *
     * Scale shape: one unit rollup + one rater rollup + one grand
     * rollup over the ratings (three hash aggregates), 1-row
@@ -1543,18 +1555,23 @@ object TextStats {
       .filter(col("u").isNotNull && col("j").isNotNull &&
         col("x").isNotNull)
       .trackedPersist() // feeds unit, rater, and grand rollups
+    // min(countDistinct) = max(raw count) = margin size on each
+    // margin: the exactly-once complete-crossing gate (see
+    // cronbachAlpha).
     val units = vals.groupBy("u").agg(count(lit(1)).as("_um"),
+        countDistinct("j").as("_ud"),
         sum("x").as("_t"))
       .agg(count(lit(1)).as("n_units"),
         coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0)))
           .as("_stt"),
-        min("_um").as("_umn"), max("_um").as("_umx"))
+        min("_ud").as("_umn"), max("_um").as("_umx"))
     val raters = vals.groupBy("j").agg(count(lit(1)).as("_jn"),
+        countDistinct("u").as("_jd"),
         sum("x").as("_g"))
       .agg(count(lit(1)).as("n_raters"),
         coalesce(sum(dec(col("_g")) * dec(col("_g"))), dec(lit(0)))
           .as("_sgg"),
-        min("_jn").as("_jmn"), max("_jn").as("_jmx"))
+        min("_jd").as("_jmn"), max("_jn").as("_jmx"))
     val grand = vals.agg(count(lit(1)).as("n_ratings"),
       coalesce(sum(dec(col("x"))), dec(lit(0))).as("_s"),
       coalesce(sum(dec(col("x")) * dec(col("x"))), dec(lit(0)))
@@ -1611,12 +1628,14 @@ object TextStats {
     * rows, the Ranks.rowNumberExact decomposition generalized per
     * judge) joined back on (judge, score); never a row-scale sort
     * per judge. One item rollup + scalar aggregates. Contract: a
-    * COMPLETE panel (every judge scores every item) — ENFORCED
-    * in-operator: if any judge's rating count differs from any
-    * other's or from n_items, W and ρ̄ answer NULL (the counts still
-    * report, so n_ratings = n_items·n_judges remains the caller's
-    * visible diagnostic) rather than a statistic whose rank-sum
-    * identity silently doesn't hold.
+    * COMPLETE panel (every judge scores every item EXACTLY ONCE) —
+    * ENFORCED in-operator on DISTINCT item keys: the gate requires
+    * min over judges of countDistinct(item) = max of raw count =
+    * n_items (distinct ≤ raw per judge forces both margins to
+    * n_items everywhere), so a judge scoring one item twice and
+    * another never — same raw count, broken rank-sum identity —
+    * gates W and ρ̄ to NULL (the counts still report, so n_ratings
+    * remains the caller's visible diagnostic).
     */
   def kendallW(ratings: DataFrame, unitCol: String, raterCol: String,
                valueCol: String): DataFrame = {
@@ -1626,8 +1645,14 @@ object TextStats {
         col(raterCol).as("j"), col(valueCol).cast("long").as("x"))
       .filter(col("u").isNotNull && col("j").isNotNull &&
         col("x").isNotNull)
+      .trackedPersist() // feeds cnt, the rank join, and the gate
     val cnt = vals.groupBy("j", "x").agg(count(lit(1)).as("ct"))
       .trackedPersist()
+    // exactly-once gate input: cnt groups (judge, score) and cannot
+    // see item duplicates, so distinct items per judge come from
+    // their own dictionary-scale rollup
+    val dj = vals.groupBy("j").agg(countDistinct("u").as("_jd"))
+      .agg(min("_jd").as("_jdn"))
     val wd = Window.partitionBy("j").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
     val r2d = cnt.withColumn("_below",
@@ -1642,7 +1667,7 @@ object TextStats {
         dec(col("ct"))).as("_t"), sum("ct").as("_jc"))
       .agg(count(lit(1)).as("n_judges"),
         sum(col("_t")).cast(DecimalType(38, 0)).as("_sT"),
-        min("_jc").as("_jmn"), max("_jc").as("_jmx"))
+        max("_jc").as("_jmx"))
     val iStats = items.agg(count(lit(1)).as("n_items"),
       sum(dec(col("_R2")) * dec(col("_R2")))
         .cast(DecimalType(38, 0)).as("_sR2"),
@@ -1652,10 +1677,11 @@ object TextStats {
     val num = lit(3).cast(DecimalType(38, 0)) *
       (col("_sR2") - k * k * n * (n + dec(lit(1))) * (n + dec(lit(1))))
     val den = k * k * (n * n * n - n) - k * col("_sT")
-    // complete-panel gate: every judge rated exactly n_items units
-    val complete = col("_jmn") === col("_jmx") &&
+    // exactly-once complete-panel gate: min over judges of distinct
+    // items = max of raw count = n_items (distinct ≤ raw per judge)
+    val complete = col("_jdn") === col("_jmx") &&
       col("_jmx") === col("n_items")
-    iStats.crossJoin(broadcast(ties))
+    iStats.crossJoin(broadcast(ties)).crossJoin(broadcast(dj))
       .select(col("n_items"), col("n_judges"), col("n_ratings"),
         when(den =!= dec(lit(0)) && complete,
           round(num.cast("double") / den.cast("double"), 6)).as("w"),

@@ -2782,8 +2782,10 @@ object CorpusQueries {
         |  CASE WHEN n_segs > 0 THEN
         |    round(CAST(sqd AS DOUBLE) / 1e6 / n_segs, 6)
         |  END AS mean_delta,
-        |  n_hits,
-        |  round((CAST(n_hits AS DOUBLE) + 1) / 201, 6) AS p_value
+        |  CASE WHEN n_segs > 0 THEN n_hits END AS n_hits,
+        |  CASE WHEN n_segs > 0 THEN
+        |    round((CAST(n_hits AS DOUBLE) + 1) / 201, 6)
+        |  END AS p_value
         |FROM obs CROSS JOIN hits""".stripMargin) { (s, dir) =>
       val c1 = conv(substring(md5(concat(lit("pba#"),
         col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
@@ -2830,12 +2832,16 @@ object CorpusQueries {
         |      THEN 1 ELSE 0 END AS c
         |  FROM r
         |), sys AS (
+        |  -- smn = min DISTINCT tasks per system, smx = max raw
+        |  -- count: smn = smx = n_tasks is the exactly-once gate
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_systems,
         |    SUM(CAST(g AS HUGEINT) * g) AS sg2,
         |    CAST(SUM(g) AS BIGINT) AS n,
-        |    MIN(sn) AS smn, MAX(sn) AS smx
+        |    MIN(sd) AS smn, MAX(sn) AS smx
         |  FROM (SELECT s, CAST(SUM(c) AS BIGINT) AS g,
-        |    CAST(COUNT(*) AS BIGINT) AS sn FROM o GROUP BY 1)
+        |    CAST(COUNT(*) AS BIGINT) AS sn,
+        |    CAST(COUNT(DISTINCT t) AS BIGINT) AS sd
+        |    FROM o GROUP BY 1)
         |), tk AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
         |    SUM(CAST(l AS HUGEINT) * l) AS sl2
@@ -2897,8 +2903,10 @@ object CorpusQueries {
     //     source clipped excess loss (proxy − reference, md5-synthed
     //     per doc) → one multiplicative-weights update exp(η·excess)
     //     from the uniform prior, 20% uniform-smoothed. Per-example
-    //     excesses 1e-6-quantized; MW scores 1e-9-quantized before
-    //     the normalizing sum; ONE domain-keyed aggregate. ———
+    //     excesses 1e-6-quantized; MW scores MAX-NORMALIZED into
+    //     (0, 1] (softmax shift — overflow-free for any excess) then
+    //     1e-9-quantized before the normalizing sum; ONE domain-keyed
+    //     aggregate + a 1-row max broadcast. ———
     Q("q381_doremi_round",
       """WITH ex AS (
         |  SELECT source AS d,
@@ -2920,11 +2928,15 @@ object CorpusQueries {
         |  SELECT d, n_examples,
         |    CAST(sq AS DOUBLE) / 1e6 / n_examples AS mx
         |  FROM dom
+        |), mxt AS (
+        |  -- softmax shift: scores max-normalized into (0, 1] so the
+        |  -- exp can never overflow the BIGINT quantization
+        |  SELECT MAX(mx) AS mxm FROM dm
         |), sc AS (
         |  SELECT d, n_examples, mx,
-        |    CAST(round(1e9 * exp(CAST(1.0 AS DOUBLE) * mx)) AS BIGINT)
-        |      AS s
-        |  FROM dm
+        |    CAST(round(1e9 * exp(CAST(1.0 AS DOUBLE) * (mx - mxm)))
+        |      AS BIGINT) AS s
+        |  FROM dm CROSS JOIN mxt
         |), tot AS (
         |  SELECT CAST(SUM(s) AS BIGINT) AS ts,
         |    CAST(COUNT(*) AS BIGINT) AS nd
@@ -2991,11 +3003,15 @@ object CorpusQueries {
         Streaming.ipsLedgerStream(stream).toDF(),
         "q385_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
       q.stop()
-      // monotone counters → the final ledger is the per-shard max
+      // final ledger = LAST row per shard, by argmax on the strictly
+      // monotone n_total (NOT per-counter max: swr is a sum of
+      // 1e6·w·r terms, which negative rewards make non-monotone)
       val ledger = s.table("q385_ledger").groupBy("shard")
-        .agg(max("n_total").as("n_total"),
-          max("n_samples").as("n_samples"), max("sw").as("sw"),
-          max("swr").as("swr"), max("sw2").as("sw2"))
+        .agg(max(struct(col("n_total"), col("n_samples"), col("sw"),
+          col("swr"), col("sw2"))).as("_m"))
+        .select(col("shard"), col("_m.n_total").as("n_total"),
+          col("_m.n_samples").as("n_samples"), col("_m.sw").as("sw"),
+          col("_m.swr").as("swr"), col("_m.sw2").as("sw2"))
       Evals.ipsOnCounts(ledger)
     },
 

@@ -3907,15 +3907,20 @@ object TextQueries {
         |  FROM items
         |), tst AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_judges, SUM(t) AS st,
-        |    MIN(jc) AS jmn, MAX(jc) AS jmx
+        |    MAX(jc) AS jmx
         |  FROM (
         |    SELECT j, SUM(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT)
         |      * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t,
         |      CAST(SUM(ct) AS BIGINT) AS jc
         |    FROM cnt GROUP BY 1)
+        |), djn AS (
+        |  -- exactly-once gate: min over judges of DISTINCT items
+        |  SELECT MIN(jd) AS jdn FROM (
+        |    SELECT j, CAST(COUNT(DISTINCT u) AS BIGINT) AS jd
+        |    FROM rat GROUP BY 1)
         |), fin AS (
         |  SELECT n_items, n_judges, n_ratings,
-        |    CASE WHEN jmn = jmx AND jmx = n_items
+        |    CASE WHEN jdn = jmx AND jmx = n_items
         |      THEN 1 ELSE 0 END AS complete,
         |    3 * (sr2 - CAST(n_judges AS HUGEINT)
         |      * CAST(n_judges AS HUGEINT) * CAST(n_items AS HUGEINT)
@@ -3925,7 +3930,7 @@ object TextQueries {
         |      * (CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT)
         |         * CAST(n_items AS HUGEINT) - CAST(n_items AS HUGEINT))
         |      - CAST(n_judges AS HUGEINT) * st AS den
-        |  FROM ist CROSS JOIN tst
+        |  FROM ist CROSS JOIN tst CROSS JOIN djn
         |)
         |SELECT n_items, n_judges, n_ratings,
         |  CASE WHEN den <> 0 AND complete = 1 THEN
@@ -4107,11 +4112,14 @@ object TextQueries {
         |      1, 7)) AS BIGINT) % 7 - 3 + j AS x
         |  FROM r
         |), items AS (
+        |  -- jmn = min DISTINCT units per item, jmx = max raw count:
+        |  -- jmn = jmx = n_units is the exactly-once crossing gate
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
         |    COALESCE(SUM(CAST(jn AS HUGEINT) * sxx
         |      - CAST(sx AS HUGEINT) * sx), 0) AS sa,
-        |    MIN(jn) AS jmn, MAX(jn) AS jmx
+        |    MIN(jd) AS jmn, MAX(jn) AS jmx
         |  FROM (SELECT j, CAST(COUNT(*) AS BIGINT) AS jn,
+        |    CAST(COUNT(DISTINCT u) AS BIGINT) AS jd,
         |    CAST(SUM(x) AS BIGINT) AS sx,
         |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM rat GROUP BY 1)
         |), units AS (
@@ -4119,8 +4127,9 @@ object TextQueries {
         |    CAST(SUM(um) AS BIGINT) AS n_ratings,
         |    SUM(CAST(t AS HUGEINT)) AS st,
         |    SUM(CAST(t AS HUGEINT) * t) AS stt,
-        |    MIN(um) AS umn, MAX(um) AS umx
+        |    MIN(ud) AS umn, MAX(um) AS umx
         |  FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS um,
+        |    CAST(COUNT(DISTINCT j) AS BIGINT) AS ud,
         |    CAST(SUM(x) AS BIGINT) AS t FROM rat GROUP BY 1)
         |)
         |SELECT n_units, n_items, n_ratings,
@@ -4171,16 +4180,19 @@ object TextQueries {
         |      1, 7)) AS BIGINT) % 5 - 2 + 3 * j AS x
         |  FROM r
         |), units AS (
+        |  -- min DISTINCT / max raw per margin: exactly-once gate
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
         |    SUM(CAST(t AS HUGEINT) * t) AS stt,
-        |    MIN(um) AS umn, MAX(um) AS umx
+        |    MIN(ud) AS umn, MAX(um) AS umx
         |  FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS um,
+        |    CAST(COUNT(DISTINCT j) AS BIGINT) AS ud,
         |    CAST(SUM(x) AS BIGINT) AS t FROM rat GROUP BY 1)
         |), raters AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_raters,
         |    SUM(CAST(g AS HUGEINT) * g) AS sgg,
-        |    MIN(jn) AS jmn, MAX(jn) AS jmx
+        |    MIN(jd) AS jmn, MAX(jn) AS jmx
         |  FROM (SELECT j, CAST(COUNT(*) AS BIGINT) AS jn,
+        |    CAST(COUNT(DISTINCT u) AS BIGINT) AS jd,
         |    CAST(SUM(x) AS BIGINT) AS g FROM rat GROUP BY 1)
         |), grand AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,

@@ -353,6 +353,36 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(h0.values.map(_._2).sum - 1.0) < 5e-6)
   }
 
+  test("doremiRound: softmax shift invariance and no BIGINT overflow " +
+    "on huge clipped excess (max-normalized scores live in (0, 1])") {
+    def run(rows: Seq[(String, Double, Double)]) = {
+      val out = Corpus.doremiRound(
+        rows.toDF("source", "proxy_loss", "ref_loss"),
+        "source", "proxy_loss", "ref_loss", eta = 1.0, smooth = 0.0)
+        .collect()
+      graft.engine.TrackedCache.release()
+      out.map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("weight")).toMap
+    }
+    // adding a constant to every domain's excess must not move the
+    // weights (the normalization identity the shift form relies on)
+    val base = Seq(("a", 2.0, 1.0), ("b", 3.5, 1.0), ("c", 1.2, 1.0))
+    val shifted = base.map { case (d, p, r) => (d, p + 7.0, r) }
+    val w0 = run(base)
+    val w1 = run(shifted)
+    assert(w0.keySet === w1.keySet &&
+      w0.forall { case (d, w) => math.abs(w - w1(d)) <= 2e-6 },
+      s"shift must be a weight no-op: $w0 vs $w1")
+    // eta·excess = 80 nats: exp(80)·1e9 would saturate BIGINT and
+    // collapse large domains to identical garbage; max-normalized it
+    // is exact — the hot domain takes ~all mass, the weights are
+    // finite and sum to 1
+    val huge = Seq(("a", 81.0, 1.0), ("b", 41.0, 1.0), ("c", 1.0, 1.0))
+    val w = run(huge)
+    assert(math.abs(w.values.sum - 1.0) < 5e-6, s"sum(w) != 1: $w")
+    assert(w("a") > 0.999999 && w("b") >= 0.0 && w("c") >= 0.0, s"$w")
+  }
+
   test("negativeSamples: k per anchor, never self, in-range, deterministic") {
     val d = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Corpus.negativeSamples(d, k = 3, nDocs = 20).collect()

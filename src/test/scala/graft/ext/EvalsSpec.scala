@@ -294,6 +294,19 @@ class EvalsSpec extends SparkSpec {
       -ba.getAs[Double]("mean_delta"))
   }
 
+  test("permutationTest: empty input is UNDEFINED — n_hits and " +
+    "p_value answer NULL, not p = 1/(b+1)") {
+    val e = Evals.permutationTest(
+      Seq.empty[(Long, Double, Double)].toDF("seg_id", "ma", "mb"),
+      "seg_id", "ma", "mb", b = 64).collect().head
+    graft.engine.TrackedCache.release()
+    assert(e.getAs[Long]("n_segs") === 0L)
+    assert(e.isNullAt(e.fieldIndex("mean_delta")) &&
+      e.isNullAt(e.fieldIndex("n_hits")) &&
+      e.isNullAt(e.fieldIndex("p_value")),
+      s"an undefined test must not read as significant: $e")
+  }
+
   test("mcNemar: hand-computed chi2, no-discordance NULL, symmetry, " +
     "NULL outcomes drop") {
     def run(rows: Seq[(Long, Boolean, Boolean)]) = {
@@ -368,6 +381,17 @@ class EvalsSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
     assert(qn.getAs[Long]("n_tasks") === 10L &&
       qn.isNullAt(qn.fieldIndex("q")))
+
+    // a DUPLICATE rating compensating the omission keeps system 1's
+    // raw count at 10 but breaks the ANOVA identity — the distinct-
+    // key gate must still refuse (the count-based gate would pass)
+    val duped = incomplete :+ (0L, 1L, longRows
+      .find { case (t, s, _) => t == 0L && s == 1L }.get._3)
+    val qd = Evals.cochranQ(long(duped), "t", "s", "c").collect().head
+    graft.engine.TrackedCache.release()
+    assert(qd.getAs[Long]("n_tasks") === 10L &&
+      qd.isNullAt(qd.fieldIndex("q")),
+      s"duplicate-compensated panel must gate to NULL: $qd")
   }
 
   test("ipsOffPolicy: identical policies give the on-policy mean and " +
@@ -411,6 +435,44 @@ class EvalsSpec extends SparkSpec {
     graft.engine.TrackedCache.release()
     assert(b.getAs[Long]("n_samples") === 1L &&
       b.getAs[Long]("n_dropped") === 2L)
+  }
+
+  test("ipsOffPolicy: non-finite propensities/rewards drop — a NaN " +
+    "behavior prob must NOT pass the > 0 filter (Spark SQL orders " +
+    "NaN above every double; the streaming twin's Scala comparison " +
+    "drops it, and the twins must drop identically)") {
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    val rows = Seq(
+      (0L, 0.5, 0.5, 1.0),   // clean — the only survivor
+      (1L, nan, 0.5, 1.0),   // NaN pb: NaN > 0 is TRUE in Spark SQL
+      (2L, 0.5, nan, 1.0),   // NaN pt
+      (3L, 0.5, 0.5, nan),   // NaN reward
+      (4L, inf, 0.5, 1.0),   // +Inf pb
+      (5L, 0.5, inf, 1.0),   // +Inf pt
+      (6L, 0.5, 0.5, -inf))  // -Inf reward
+    val r = Evals.ipsOffPolicy(rows.toDF("t", "pb", "pt", "r"),
+      "t", "pb", "pt", "r").collect().head
+    graft.engine.TrackedCache.release()
+    assert(r.getAs[Long]("n_samples") === 1L &&
+      r.getAs[Long]("n_dropped") === 6L, s"got $r")
+    assert(r.getAs[Double]("ips") === 1.0 &&
+      r.getAs[Double]("ess") === 1.0)
+    // same rule in drOffPolicy (plus its q̂ column)
+    val d = Evals.drOffPolicy(
+      rows.map { case (t, pb, pt, rr) => (t, pb, pt, rr, 0.5) }
+        .toDF("t", "pb", "pt", "r", "qh"),
+      "t", "pb", "pt", "r", "qh").collect().head
+    graft.engine.TrackedCache.release()
+    assert(d.getAs[Long]("n_samples") === 1L &&
+      d.getAs[Long]("n_dropped") === 6L, s"got $d")
+    val dq = Evals.drOffPolicy(
+      Seq((0L, 0.5, 0.5, 1.0, 0.5), (1L, 0.5, 0.5, 1.0, nan))
+        .toDF("t", "pb", "pt", "r", "qh"),
+      "t", "pb", "pt", "r", "qh").collect().head
+    graft.engine.TrackedCache.release()
+    assert(dq.getAs[Long]("n_samples") === 1L &&
+      dq.getAs[Long]("n_dropped") === 1L)
   }
 
   test("drOffPolicy: a perfect reward model cancels the importance " +

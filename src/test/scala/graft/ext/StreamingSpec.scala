@@ -1250,15 +1250,20 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("ipsLedgerStream: quantized weight moments straddle " +
-    "micro-batches and the finished estimates equal the batch " +
-    "ipsOffPolicy exactly") {
+    "micro-batches, a NEGATIVE later-batch reward makes swr " +
+    "non-monotone (argmax readback, not per-counter max), and the " +
+    "finished estimates equal the batch ipsOffPolicy exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ipsstream").toFile
-    // shard straddle on task 0; a dropped (pb = 0) play in file 2
+    // shard straddle on task 0; a dropped (pb = 0) play in file 2;
+    // task 1's NEGATIVE reward arrives in the LATER batch, so shard
+    // 1's swr DECREASES across emitted rows — a per-counter max
+    // would resurrect the earlier, larger swr (the bug the argmax
+    // readback contract exists to prevent)
     val files = Seq(
-      Seq((0L, 0.25, 0.5, 1.0), (1L, 0.5, 0.25, 0.0)),
+      Seq((0L, 0.25, 0.5, 1.0), (3L, 0.1, 0.9, 0.75)),
       Seq((0L, 0.8, 0.4, 0.5), (2L, 0.0, 0.5, 1.0),
-        (3L, 0.1, 0.9, 0.75)))
+        (1L, 0.5, 0.25, -1.0)))
     files.zipWithIndex.foreach { case (rows, i) =>
       val tmp = java.nio.file.Files
         .createTempDirectory(s"ipschunk$i").toString
@@ -1288,10 +1293,20 @@ class StreamingSpec extends SparkSpec {
       Streaming.ipsLedgerStream(stream, shards = 2).toDF(),
       "ips_stream", org.apache.spark.sql.streaming.OutputMode.Update)
     q.stop()
+    // last row per shard by argmax on the strictly monotone n_total
     val ledger = spark.table("ips_stream").groupBy("shard")
-      .agg(max("n_total").as("n_total"),
-        max("n_samples").as("n_samples"), max("sw").as("sw"),
-        max("swr").as("swr"), max("sw2").as("sw2"))
+      .agg(max(struct(col("n_total"), col("n_samples"), col("sw"),
+        col("swr"), col("sw2"))).as("_m"))
+      .select(col("shard"), col("_m.n_total").as("n_total"),
+        col("_m.n_samples").as("n_samples"), col("_m.sw").as("sw"),
+        col("_m.swr").as("swr"), col("_m.sw2").as("sw2"))
+    // the non-monotone counter is real in this fixture: shard 1's
+    // final swr is LOWER than its max-over-emitted-rows swr
+    val shard1 = spark.table("ips_stream").filter(col("shard") === 1L)
+      .select("n_total", "swr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(shard1.last._2 < shard1.map(_._2).max,
+      s"fixture must exercise a decreasing swr, got ${shard1.toSeq}")
     val streamed = Evals.ipsOnCounts(ledger).collect().toSeq
     val batch = Evals.ipsOffPolicy(
       files.flatten.toDF("t", "pb", "pt", "r"), "t", "pb", "pt", "r")

@@ -1271,6 +1271,32 @@ class TextStatsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("mean_spearman")))
   }
 
+  test("kendallW/cronbachAlpha/icc21: a duplicate rating compensating " +
+    "an omission keeps the raw count but must still gate to NULL " +
+    "(exactly-once distinct-key gate, not a count check)") {
+    // judge 2 skips item 3 but rates item 0 twice: 12 ratings, every
+    // judge's raw count = 4 = n_items — a count-based gate would
+    // pass, the rank-sum/ANOVA identities do not hold
+    val rows = ((for (u <- 0L to 3L; j <- 0L to 2L
+      if !(u == 3L && j == 2L)) yield (u, j, u + j)) :+ (0L, 2L, 9L))
+      .toSeq
+    val w = TextStats.kendallW(rows.toDF("u", "j", "x"), "u", "j", "x")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(w.getAs[Long]("n_ratings") === 12L &&
+      w.isNullAt(w.fieldIndex("w")), s"duped panel must refuse: $w")
+    val a = TextStats.cronbachAlpha(rows.toDF("u", "j", "x"),
+      "u", "j", "x").collect().head
+    graft.engine.TrackedCache.release()
+    assert(a.isNullAt(a.fieldIndex("alpha")),
+      s"duped panel must refuse: $a")
+    val i = TextStats.icc21(rows.toDF("u", "j", "x"), "u", "j", "x")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(i.isNullAt(i.fieldIndex("icc")),
+      s"duped panel must refuse: $i")
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
