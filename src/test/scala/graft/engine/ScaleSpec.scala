@@ -893,6 +893,58 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r15 additions (q371–q386): partitioned/dictionary windows " +
+    "only, no cartesian, BNLJ only as bounded broadcast attaches or " +
+    "the b-bounded bootstrap rank join") {
+    // Every BNLJ below is a broadcast of a 1-row aggregate (totals /
+    // max / observed-statistic attach) EXCEPT q373's deliberate b×b
+    // rank join — the nearest-rank CI comparison between resample
+    // means, bounded by the b PARAMETER (200), independent of corpus
+    // size. Per-entry caps, measured then pinned:
+    // q371: interval-alpha's internal d_e total attach + the n_cats
+    //   dictionary-count attach (2).
+    // q373: the b×b rank join + tot→ci attach + tot/ci→full (4) —
+    //   the rank join is the ONLY data-shaped one and b bounds it.
+    // q374: observed-stat attach onto resamples + hits→obs (2).
+    // q375: weighted-kappa's marginal/total attaches (2).
+    // q377/q378/q382/q384/q386: one 1-row (or dictionary-row) attach.
+    // q379: rater + grand 1-row attaches (2).
+    // q381: the NEW max-excess normalization attach + the normalizing
+    //   total attach; the persisted score frame echoes one in the
+    //   plan string (3 textual, 2 logical).
+    // q383: the bounded query-roster attach (roster contract is the
+    //   operator's scale contract — Q stays dictionary-sized).
+    // q380/q385 (streaming) are excluded like q348/q356: constructing
+    // them RUNS the stream; their plan law is the battery-wide window
+    // check in QueriesSpec.
+    val bnljCap = Map("q371_alpha_ordinal" -> 2,
+      "q373_paired_bootstrap" -> 4,
+      "q374_permutation_test" -> 2,
+      "q375_weighted_kappa" -> 2,
+      "q377_cochran_q" -> 1,
+      "q378_cronbach_alpha" -> 1,
+      "q379_icc21" -> 2,
+      "q381_doremi_round" -> 3,
+      "q382_kn_bigram" -> 1,
+      "q383_knn_shapley" -> 1,
+      "q384_ips_offpolicy" -> 1,
+      "q386_dr_offpolicy" -> 1).withDefaultValue(0)
+    for (name <- Seq("q371_alpha_ordinal", "q372_bertscore",
+        "q373_paired_bootstrap", "q374_permutation_test",
+        "q375_weighted_kappa", "q376_mcnemar", "q377_cochran_q",
+        "q378_cronbach_alpha", "q379_icc21", "q381_doremi_round",
+        "q382_kn_bigram", "q383_knn_shapley", "q384_ips_offpolicy",
+        "q386_dr_offpolicy")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      graft.engine.TrackedCache.release()
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
