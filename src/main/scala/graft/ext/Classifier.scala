@@ -534,4 +534,107 @@ object Classifier {
         round((col("s2") - col("np") * (col("np") + lit(1L))).cast("double")
           / (lit(2.0) * col("np") * col("nn")), 6)).as("auc"))
   }
+
+  /** Isotonic recalibration by Pool-Adjacent-Violators (Ayer et al.
+    * 1955; Zadrozny & Elkan 2002, "Transforming classifier scores
+    * into accurate multiclass probability estimates") — the standard
+    * nonparametric recalibration MAP the diagnostics family (ECE
+    * q181, Brier q335-adjacent, conformal, rank-AUC) measures the
+    * need for: per group, fit the least-squares NONDECREASING step
+    * function from score to empirical positive rate and emit its
+    * blocks. A consumer recalibrates a score by looking up the block
+    * whose [score_lo, score_hi] brackets it (nearest block below for
+    * gaps) and reading `fitted`.
+    *
+    * Shape: scores are 1/`buckets`-quantized (round-half-up to the
+    * bucket grid, clamped to [0, buckets]) and pre-pooled per
+    * (group, bucket) — the standard tie-pooling that leaves the
+    * isotonic fit unchanged while bounding the sequential stage by
+    * the BUCKET DICTIONARY, never the row count. The PAV fold then
+    * runs per group inside one mapPartitions pass over the
+    * repartition(group) + sortWithinPartitions(group, bucket) frame
+    * (the eloFold sessionizer shape): state is the block stack,
+    * bounded by `buckets`+1; groups parallelize perfectly; the
+    * sequential dependency is PAV's semantics, not a plan defect.
+    *
+    * Exactness: a block merges into its left neighbor whenever
+    * left.mean >= right.mean, compared as the EXACT integer
+    * cross-product sy_l·n_r >= sy_r·n_l (BigInt — no double enters
+    * any merge decision; merging EQUAL means too makes adjacent
+    * block means strictly increasing, so the emitted blocks are the
+    * canonical coarsest solution). The only doubles are the reported
+    * score bounds and fitted = round(n_pos/n, 6), one division each.
+    *
+    * Laws the spec pins: fitted strictly increases within a group;
+    * an already-isotonic input is a fixed point (every bucket its
+    * own block); each block's fitted is the weighted mean of its
+    * pooled buckets; block (n, n_pos) totals partition the input.
+    *
+    * Output: one row per (group, block) — group, block_id (1-based
+    * in score order), score_lo, score_hi, n, n_pos, fitted.
+    */
+  def isotonicCalibration(scored: DataFrame, labelCol: String,
+                          scoreCol: String, groupCol: String,
+                          buckets: Int = 1000): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000000,
+      s"isotonicCalibration: buckets in [1, 1e6], got $buckets")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val q = scored.select(col(groupCol).cast("string").as("_g"),
+        least(greatest(round(col(scoreCol).cast("double") * buckets),
+          lit(0.0)), lit(buckets.toDouble)).cast("long").as("_b"),
+        col(labelCol).cast("long").as("_y"))
+      .filter(col("_g").isNotNull && col("_b").isNotNull &&
+        col("_y").isNotNull)
+    // the ONLY row-scale shuffle: rows → (group, bucket) dictionary
+    val agg = q.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_sy"))
+    val sorted = agg
+      .repartition(col("_g"))
+      .sortWithinPartitions("_g", "_b")
+      .select(col("_g"), col("_b"), col("_n"), col("_sy"))
+      .as[(String, Long, Long, Long)]
+    val folded = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long)]
+      // block stack: (bucket_lo, bucket_hi, n, sy)
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var curGroup: String = null
+      var open = false
+      def flush(): Unit = if (open) {
+        var i = 0
+        while (i < stack.length) {
+          val (lo, hi, n, sy) = stack(i)
+          out += ((curGroup, i + 1L, lo, hi, n, sy))
+          i += 1
+        }
+        stack.clear()
+      }
+      while (it.hasNext) {
+        val (g, b, n, sy) = it.next()
+        if (!open || g != curGroup) { flush(); curGroup = g; open = true }
+        stack += ((b, b, n, sy))
+        // pool while the left mean >= the right mean — exact
+        // integer rational comparison, equal means pooled too
+        while (stack.length >= 2 && {
+          val l = stack(stack.length - 2); val r = stack.last
+          BigInt(l._4) * r._3 >= BigInt(r._4) * l._3
+        }) {
+          val r = stack.remove(stack.length - 1)
+          val l = stack.remove(stack.length - 1)
+          stack += ((l._1, r._2, l._3 + r._3, l._4 + r._4))
+        }
+      }
+      flush()
+      out.iterator
+    }
+    folded.toDF("_g", "block_id", "_blo", "_bhi", "n", "n_pos")
+      .select(col("_g").as(groupCol), col("block_id"),
+        round(col("_blo").cast("double") / buckets, 6).as("score_lo"),
+        round(col("_bhi").cast("double") / buckets, 6).as("score_hi"),
+        col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("fitted"))
+      .orderBy(groupCol, "block_id")
+  }
 }

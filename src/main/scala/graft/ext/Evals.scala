@@ -526,6 +526,183 @@ object Evals {
           .as("p_value"))
   }
 
+  /** Anytime-valid sequential test on paired per-segment deltas — a
+    * time-uniform CONFIDENCE SEQUENCE for the mean delta (Howard,
+    * Ramdas, McAuliffe & Sekhon 2021, "Time-uniform, nonparametric,
+    * nonasymptotic confidence sequences", the polynomial stitched
+    * boundary with η = 2, s = 1.4):
+    *   radius(n) = scale · 1.7 · √((ln ln(2n) + 0.72·ln(5.2/α)) / n)
+    * where `scale` is the sub-Gaussian parameter of one delta (for
+    * deltas bounded in [−R, R], scale = R by Hoeffding). Unlike the
+    * fixed-horizon q373/q374 tests, the interval
+    * [mean − radius, mean + radius] holds SIMULTANEOUSLY over all n
+    * with probability ≥ 1 − α, so reading it at ANY data-dependent
+    * stopping time — including "stop as soon as it rejects" — is
+    * valid: exactly the always-valid readout a STREAMING eval ledger
+    * needs, and why the statistic is a pure function of the current
+    * (n, Σd, Σd²) counters with no history required.
+    *
+    * reject_null = 1 when 0 falls outside the current interval
+    * (|mean| > radius, compared on the 6-dp-rounded pair so the
+    * decision is engine-stable); var_delta is the population-variance
+    * diagnostic.
+    *
+    * Determinism: per-segment qd = ⌊1e6·d⌉ and qd2 = ⌊1e6·d²⌉ are
+    * BIGINTs before the sums (order-free; the SQUARE is quantized
+    * per row, not squared after, so the Σ stays ≤ n·1e6·scale² —
+    * no DECIMAL needed and the streaming twin's Long counters agree
+    * exactly). Non-finite / NULL scores drop on the [[finite]] rule.
+    * The ln/√ of the radius are one double expression over (n, α,
+    * scale), rounded 6 — the q381 exp() mirroring class.
+    *
+    * Scale shape: one map pass + ONE scalar aggregate + the
+    * [[seqTestOnCounts]] finisher arithmetic. Nothing else.
+    */
+  def confSeqTest(segs: DataFrame, idCol: String, aCol: String,
+                  bCol: String, alpha: Double = 0.05,
+                  scale: Double = 1.0): DataFrame = {
+    require(alpha > 0 && alpha < 0.5,
+      s"confSeqTest: alpha in (0, 0.5), got $alpha")
+    require(scale > 0, s"confSeqTest: scale must be > 0, got $scale")
+    // the finite filter must run on the DELTA, before quantization:
+    // cast(NaN as long) is 0, not NULL, so a NULL-check downstream
+    // would silently score a NaN delta as zero
+    val base = segs.select(col(idCol).as("_s"),
+        (col(aCol).cast("double") - col(bCol).cast("double")).as("_d"))
+      .filter(col("_s").isNotNull && finite(col("_d")))
+      .select(col("_s"),
+        round(lit(1e6) * col("_d")).cast("long").as("_qd"),
+        round(lit(1e6) * col("_d") * col("_d")).cast("long")
+          .as("_qd2"))
+    seqTestOnCounts(base.agg(count(lit(1)).as("n_segs"),
+        coalesce(sum("_qd"), lit(0L)).as("sqd"),
+        coalesce(sum("_qd2"), lit(0L)).as("sqd2")),
+      alpha, scale)
+  }
+
+  /** [[confSeqTest]]'s statistic from PRE-AGGREGATED quantized delta
+    * moments — the finisher for incremental pipelines (the streaming
+    * twin [[graft.ext.Streaming.confSeqLedgerStream]] keeps per-shard
+    * (n_segs, sqd, sqd2) ledgers; this sums the shards and applies
+    * the identical formulas, so stream and batch agree by
+    * construction — the ipsOnCounts pattern). The confidence
+    * sequence is a pure function of the summed counters, which is
+    * what makes the ANYTIME guarantee deployable on a ledger: no
+    * per-arrival history is needed, only the current sums.
+    */
+  def seqTestOnCounts(counts: DataFrame, alpha: Double = 0.05,
+                      scale: Double = 1.0): DataFrame = {
+    require(alpha > 0 && alpha < 0.5,
+      s"seqTestOnCounts: alpha in (0, 0.5), got $alpha")
+    require(scale > 0, s"seqTestOnCounts: scale must be > 0, got $scale")
+    val agg = counts.agg(
+      coalesce(sum("n_segs"), lit(0L)).as("n_segs"),
+      coalesce(sum("sqd"), lit(0L)).as("_sqd"),
+      coalesce(sum("sqd2"), lit(0L)).as("_sqd2"))
+    val n = col("n_segs").cast("double")
+    val meanRaw = col("_sqd") / 1e6 / n
+    val varRaw = col("_sqd2") / 1e6 / n - meanRaw * meanRaw
+    val radRaw = lit(scale) * lit(1.7) *
+      sqrt((log(log(lit(2.0) * n)) + lit(0.72) * log(lit(5.2 / alpha)))
+        / n)
+    val mean6 = round(meanRaw, 6)
+    val rad6 = round(radRaw, 6)
+    agg.select(col("n_segs"),
+      when(col("n_segs") > 0L, mean6).as("mean_delta"),
+      when(col("n_segs") > 0L, round(varRaw, 6)).as("var_delta"),
+      when(col("n_segs") > 0L, rad6).as("radius"),
+      when(col("n_segs") > 0L, round(meanRaw - radRaw, 6)).as("ci_lo"),
+      when(col("n_segs") > 0L, round(meanRaw + radRaw, 6)).as("ci_hi"),
+      when(col("n_segs") > 0L,
+        when(abs(mean6) > rad6, 1L).otherwise(0L)).as("reject_null"))
+  }
+
+  /** Per-group Poisson-bootstrap percentile CI on ONE metric column —
+    * the "how uncertain is each slice's mean" companion to
+    * [[pairedBootstrap]]'s two-system comparison, on the same
+    * deterministic Poisson(1) resampling machinery (Chamandy et al.
+    * 2012) keyed by (resample, row id): per group, `b` resample
+    * means → the nearest-rank 2.5%/97.5% bounds.
+    *
+    * Engine-exactness (the q373 disciplines, group-keyed): values
+    * are 1e-6-quantized BIGINTs; each (group, resample) reduces to
+    * the integer pair (Σw, Σw·qx); percentile ranks order resample
+    * means per group by EXACT RATIONAL cross-comparison on
+    * DECIMAL(38,0) with resample-id tie-break; nearest-rank indices
+    * are exact integer ceilings (⌈n_eff/40⌉, ⌈39·n_eff/40⌉). The
+    * only doubles are the final reported divisions, rounded 6.
+    * NULL / non-finite values drop on the [[finite]] rule.
+    * All-zero-weight resamples drop from the CI (n_eff reports the
+    * survivors); a DEGENERATE single-value group collapses to the
+    * point CI [v, v] (every resample mean is v — the spec law).
+    *
+    * Scale shape: one row-keyed map pass, a b× literal explode
+    * (map-side), ONE (group, resample)-keyed aggregate down to
+    * |groups|·b rows, then a group-EQUI self-join with b×b fan-out
+    * per group — bounded by the b PARAMETER, never a cartesian or
+    * BNLJ — and dictionary-scale equi-joins back to the group stats.
+    * No windows anywhere.
+    */
+  def groupedBootstrapCI(rows: DataFrame, groupCol: String,
+                         idCol: String, valueCol: String, b: Int = 200,
+                         seed: String = "gb"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(b >= 1, s"groupedBootstrapCI: b must be >= 1, got $b")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    // finite check on the raw value: cast(NaN as long) is 0, not
+    // NULL, so a post-quantization NULL-check would score NaN as 0
+    val base = rows.select(col(groupCol).as("_g"), col(idCol).as("_s"),
+        col(valueCol).cast("double").as("_x"))
+      .filter(col("_g").isNotNull && col("_s").isNotNull &&
+        finite(col("_x")))
+      .select(col("_g"), col("_s"),
+        round(lit(1e6) * col("_x")).cast("long").as("_qx"))
+      .trackedPersist() // feeds the group stats AND the explode
+    val grp = base.groupBy("_g").agg(count(lit(1)).as("n_rows"),
+      coalesce(sum("_qx"), lit(0L)).as("_sqx"))
+    // Poisson(1) pmf cumulative in 1e-4 steps (the q373 coin)
+    val u = conv(substring(md5(concat(lit(seed), lit("#"),
+      col("_r").cast("string"), lit("#"), col("_s").cast("string"))),
+      1, 7), 16, 10).cast("long") % 10000L
+    val w = when(u < 3679L, 0L).when(u < 7358L, 1L)
+      .when(u < 9197L, 2L).when(u < 9810L, 3L).when(u < 9963L, 4L)
+      .otherwise(5L)
+    val means = base
+      .select(col("_g"), col("_s"), col("_qx"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy("_g", "_r")
+      .agg(sum("_w").as("_sw"), sum(col("_w") * col("_qx")).as("_sq"))
+      .filter(col("_sw") > 0L)
+      .trackedPersist() // |groups|·b rows; feeds n_eff + both
+                        // rank-join sides
+    val neff = means.groupBy("_g").agg(count(lit(1)).as("n_eff"))
+    val y = means.select(col("_g"), col("_r").as("_yr"),
+      col("_sw").as("_ysw"), col("_sq").as("_ysq"))
+    val lhs = dec(col("_ysq")) * dec(col("_sw"))
+    val rhs = dec(col("_sq")) * dec(col("_ysw"))
+    val rk = means.join(y, Seq("_g"))
+      .filter(lhs < rhs || (lhs === rhs && col("_yr") <= col("_r")))
+      .groupBy("_g", "_r", "_sw", "_sq").agg(count(lit(1)).as("_rk"))
+    val ci = rk.join(neff, Seq("_g"))
+      .groupBy("_g").agg(
+        max(when(col("_rk") === expr("(n_eff + 39) div 40"),
+          round(col("_sq").cast("double") / 1e6 / col("_sw"), 6)))
+          .as("ci_lo"),
+        max(when(col("_rk") === expr("(39 * n_eff + 39) div 40"),
+          round(col("_sq").cast("double") / 1e6 / col("_sw"), 6)))
+          .as("ci_hi"))
+    grp.join(neff, Seq("_g"), "left").join(ci, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("n_rows"),
+        lit(b).cast("long").as("b_resamples"),
+        coalesce(col("n_eff"), lit(0L)).as("n_eff"),
+        when(col("n_rows") > 0L,
+          round(col("_sqx").cast("double") / 1e6 / col("n_rows"), 6))
+          .as("mean"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(groupCol)
+  }
+
   /** Off-policy evaluation via inverse propensity scoring — the
     * offline estimate of a NEW policy's value from logged behavior
     * data (Horvitz–Thompson / IPS, plus the self-normalized SNIPS of

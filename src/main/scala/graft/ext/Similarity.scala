@@ -973,12 +973,26 @@ object Similarity {
     * broadcast against the corpus scan) + per-qid windows + one
     * train-point rollup. Queries with NULL qid/qv/q_label and
     * unlabeled corpus rows drop (bonCurve rule).
+    *
+    * The cost is honestly linear in |queries|·|corpus| — the roster
+    * bound IS the scale contract, so it is ENFORCED like
+    * [[cosineNearDupPairs]]' gate, not advisory: the operator counts
+    * the query roster (one column-pruned scan, negligible next to
+    * the Q·N it prices) and refuses more than `maxQueries` rows.
+    * Raise it only for a deliberate, budgeted valuation run.
     */
   def knnShapley(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 labelCol: String = "label"): DataFrame = {
+                 labelCol: String = "label",
+                 maxQueries: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"knnShapley: k must be >= 1, got $k")
+    val nq = queries.select(col("qid")).count()
+    require(nq <= maxQueries,
+      s"knnShapley scores a query-roster × corpus frame and refuses " +
+        s"$nq query rows (maxQueries=$maxQueries): its cost is " +
+        "linear in |queries|·|corpus|. Sample the query roster, or " +
+        "raise maxQueries for a deliberate budgeted valuation run.")
     val scored = corpus
       .select(col(idCol), col(vecCol), col(labelCol).cast("long").as("_cl"))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&

@@ -739,6 +739,53 @@ object Streaming {
       }
   }
 
+  final case class PairedScore(task_id: Long, a: Double, b: Double)
+  final case class ConfSeqLedger(shard: Long, n_segs: Long, sqd: Long,
+                                 sqd2: Long)
+
+  /** STREAMING anytime-valid test ledger — incremental quantized
+    * delta moments for [[graft.ext.Evals.confSeqTest]]'s time-uniform
+    * confidence sequence (the q385 sharded-counter pattern): per
+    * shard the counters (n_segs, Σ⌊1e6·d⌉, Σ⌊1e6·d²⌉) with d = a−b,
+    * each quantized with the SAME HALF_UP 1e-6 rule as the batch
+    * operator, so summing the final shard rows and finishing with
+    * [[graft.ext.Evals.seqTestOnCounts]] reproduces the batch
+    * statistic exactly. THIS is the pairing the confidence sequence
+    * exists for: the interval is simultaneously valid over all n, so
+    * reading the ledger at ANY moment — including stopping the
+    * moment it rejects — keeps the α guarantee, with no per-arrival
+    * history needed beyond the three counters. Non-finite scores
+    * drop (the batch [[graft.ext.Evals.finite]] rule); the input
+    * stream is NULL-free by the case-class contract.
+    *
+    * READBACK: last row per shard by argmax on the strictly monotone
+    * n_segs (the ipsLedgerStream contract — sqd is a SIGNED sum and
+    * decreases under negative deltas; per-counter max would
+    * reconstruct a wrong ledger).
+    */
+  def confSeqLedgerStream(segs: Dataset[PairedScore],
+                          shards: Int = 64): Dataset[ConfSeqLedger] = {
+    import segs.sparkSession.implicits._
+    require(shards >= 1, s"confSeqLedgerStream: shards >= 1, $shards")
+    def q6(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    segs.groupByKey(p => math.floorMod(p.task_id, shards.toLong))
+      .mapGroupsWithState[(Long, Long, Long), ConfSeqLedger](
+        GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        var (n, sd, sd2) = state.getOption.getOrElse((0L, 0L, 0L))
+        rows.foreach { p =>
+          val d = p.a - p.b
+          if (java.lang.Double.isFinite(d)) {
+            n += 1
+            sd += q6(1e6 * d)
+            sd2 += q6(1e6 * d * d)
+          }
+        }
+        state.update((n, sd, sd2))
+        ConfSeqLedger(shard, n, sd, sd2)
+      }
+  }
+
   final case class EloBattle(league: Long, seq: Long, winner: Long,
                              loser: Long)
   final case class EloArenaState(n_battles: Long,

@@ -3066,6 +3066,245 @@ object CorpusQueries {
           ((coin("ipr#") % 100).cast("double") / 100.0).as("r"),
           ((coin("ipq#") % 100).cast("double") / 100.0).as("qh"))
       Evals.drOffPolicy(logged, "doc_id", "pb", "pt", "r", "qh")
+    },
+
+    // ——— isotonic recalibration by Pool-Adjacent-Violators (Ayer et
+    //     al. 1955; Zadrozny & Elkan 2002): per-source least-squares
+    //     nondecreasing step map from a planted noisy-monotone score
+    //     panel (P(y=1) ≈ 0.2 + 0.6·score). Engine: bucket-pooled
+    //     exact-rational PAV fold (the eloFold sessionizer shape);
+    //     oracle: the max-min characterization fitted(k) =
+    //     max_{i≤k} min_{j≥k} avg(i..j) over the same bucket
+    //     dictionary, compacted into blocks — two INDEPENDENT
+    //     formulations of the same unique isotonic fit (distinct
+    //     rationals stay distinct as doubles at this scale, so the
+    //     double minimax splits blocks exactly where the integer
+    //     rational PAV does). ———
+    Q("q387_isotonic_pav",
+      """WITH sc AS (
+        |  SELECT source AS g,
+        |    CAST(concat('0x', substring(md5('isa#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS sm,
+        |    CASE WHEN CAST(concat('0x', substring(md5('isb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      < 200 + (600 * (CAST(concat('0x', substring(md5('isa#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |        % 1000)) // 1000
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND doc_id IS NOT NULL
+        |), bkt AS MATERIALIZED (
+        |  SELECT g, sm AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM sc GROUP BY 1, 2
+        |), idx AS MATERIALIZED (
+        |  SELECT g, b, n, sy,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY b)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cn,
+        |    CAST(SUM(sy) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cy
+        |  FROM bkt
+        |), pairs AS (
+        |  SELECT a.g, a.k AS i, c.k AS j,
+        |    CAST(c.cy - (a.cy - a.sy) AS DOUBLE)
+        |      / CAST(c.cn - (a.cn - a.n) AS DOUBLE) AS avgv
+        |  FROM idx a JOIN idx c ON a.g = c.g AND a.k <= c.k
+        |), sufmin AS (
+        |  SELECT g, i, j,
+        |    MIN(avgv) OVER (PARTITION BY g, i ORDER BY j DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM pairs
+        |), fit AS MATERIALIZED (
+        |  SELECT g, j AS k, MAX(mn) AS fitted FROM sufmin GROUP BY 1, 2
+        |), blk AS (
+        |  SELECT g, k,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> fitted
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY k) AS BIGINT) AS block_id
+        |  FROM (SELECT g, k, fitted,
+        |    lag(fitted) OVER (PARTITION BY g ORDER BY k) AS prev
+        |    FROM fit)
+        |)
+        |SELECT idx.g AS source, blk.block_id,
+        |  round(CAST(MIN(idx.b) AS DOUBLE) / 1000, 6) AS score_lo,
+        |  round(CAST(MAX(idx.b) AS DOUBLE) / 1000, 6) AS score_hi,
+        |  CAST(SUM(idx.n) AS BIGINT) AS n,
+        |  CAST(SUM(idx.sy) AS BIGINT) AS n_pos,
+        |  round(CAST(SUM(idx.sy) AS DOUBLE) / SUM(idx.n), 6) AS fitted
+        |FROM idx JOIN blk ON idx.g = blk.g AND idx.k = blk.k
+        |GROUP BY 1, 2
+        |ORDER BY source, block_id""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val sm = coin("isa#") % 1000
+      val thr = lit(200L) +
+        floor((lit(600L) * sm).cast("double") / 1000.0).cast("long")
+      val scored = docs(s, dir)
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"),
+          (sm.cast("double") / 1000.0).as("score"),
+          when(coin("isb#") % 1000 < thr, 1L).otherwise(0L).as("y"))
+      Classifier.isotonicCalibration(scored, "y", "score", "source",
+        buckets = 1000)
+    },
+
+    // ——— STREAMING anytime-valid sequential test: the q373/q374
+    //     planted panel ingested as a stream, quantized delta moments
+    //     as per-shard mapGroupsWithState ledgers (argmax-on-n_segs
+    //     readback — sqd is signed), summed and finished by the
+    //     shared confidence-sequence finisher (Howard et al. 2021
+    //     stitched boundary, α = 0.05, sub-Gaussian scale 0.1 for
+    //     deltas in [−0.09, 0.109]). The interval is valid at ANY
+    //     stopping time — the always-valid readout the fixed-horizon
+    //     q373/q374 can't give a live ledger. ———
+    Q("q388_streaming_confseq",
+      """WITH segs AS (
+        |  SELECT doc_id AS s,
+        |    CAST((CAST(concat('0x', substring(md5('pba#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)
+        |      + (CAST(concat('0x', substring(md5('pbb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 200)
+        |      - 90 AS DOUBLE) / 1000.0 AS ma,
+        |    CAST(CAST(concat('0x', substring(md5('pba#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS DOUBLE) / 1000.0 AS mb
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT CAST(round(1e6 * (ma - mb)) AS BIGINT) AS qd,
+        |    CAST(round(1e6 * (ma - mb) * (ma - mb)) AS BIGINT) AS qd2
+        |  FROM segs
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sqd,
+        |    CAST(COALESCE(SUM(qd2), 0) AS BIGINT) AS sqd2
+        |  FROM base
+        |), fin AS (
+        |  SELECT n_segs,
+        |    CAST(sqd AS DOUBLE) / 1e6 / n_segs AS meanraw,
+        |    CAST(sqd2 AS DOUBLE) / 1e6 / n_segs
+        |      - (CAST(sqd AS DOUBLE) / 1e6 / n_segs)
+        |        * (CAST(sqd AS DOUBLE) / 1e6 / n_segs) AS varraw,
+        |    CAST(0.1 AS DOUBLE) * CAST(1.7 AS DOUBLE)
+        |      * sqrt((ln(ln(CAST(2.0 AS DOUBLE) * n_segs))
+        |        + CAST(0.72 AS DOUBLE)
+        |          * ln(CAST(5.2 AS DOUBLE) / CAST(0.05 AS DOUBLE)))
+        |        / n_segs) AS radraw
+        |  FROM agg
+        |)
+        |SELECT n_segs,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw, 6) END
+        |    AS mean_delta,
+        |  CASE WHEN n_segs > 0 THEN round(varraw, 6) END AS var_delta,
+        |  CASE WHEN n_segs > 0 THEN round(radraw, 6) END AS radius,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw - radraw, 6) END
+        |    AS ci_lo,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw + radraw, 6) END
+        |    AS ci_hi,
+        |  CASE WHEN n_segs > 0 THEN
+        |    CAST(CASE WHEN abs(round(meanraw, 6)) > round(radraw, 6)
+        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_null
+        |FROM fin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ext.Streaming
+      val c1 = conv(substring(md5(concat(lit("pba#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val c2 = conv(substring(md5(concat(lit("pbb#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val stream = Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("task_id"),
+          ((c1 % 1000 + c2 % 200 - 90).cast("double") / 1000.0)
+            .as("a"),
+          ((c1 % 1000).cast("double") / 1000.0).as("b"))
+        .as[Streaming.PairedScore]
+      val q = Streaming.runToMemory(
+        Streaming.confSeqLedgerStream(stream).toDF(),
+        "q388_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // final ledger = LAST row per shard, by argmax on the strictly
+      // monotone n_segs (sqd is signed — per-counter max is wrong)
+      val ledger = s.table("q388_ledger").groupBy("shard")
+        .agg(max(struct(col("n_segs"), col("sqd"), col("sqd2")))
+          .as("_m"))
+        .select(col("_m.n_segs").as("n_segs"), col("_m.sqd").as("sqd"),
+          col("_m.sqd2").as("sqd2"))
+      Evals.seqTestOnCounts(ledger, alpha = 0.05, scale = 0.1)
+    },
+
+    // ——— per-group Poisson-bootstrap percentile CI (Chamandy et al.
+    //     2012): nearest-rank 95% CI on each source's mean metric,
+    //     the q373 deterministic-resample machinery keyed by (group,
+    //     resample) — the rank comparison is a group-EQUI self-join
+    //     with b² fan-out per group, never a BNLJ. ———
+    Q("q389_grouped_bootstrap_ci",
+      """WITH rws AS (
+        |  SELECT source AS g, doc_id AS s,
+        |    CAST(round(1e6 * (CAST(CAST(concat('0x', substring(
+        |      md5('gbx#' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) % 1000 AS DOUBLE) / 1000.0)) AS BIGINT) AS qx
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND doc_id IS NOT NULL
+        |), grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(qx), 0) AS BIGINT) AS sqx
+        |  FROM rws GROUP BY 1
+        |), wts AS (
+        |  SELECT g, r, s, qx,
+        |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |      WHEN u < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM (
+        |    SELECT g, r, s, qx, CAST(concat('0x', substring(md5('gb#'
+        |      || CAST(r AS VARCHAR) || '#' || CAST(s AS VARCHAR)),
+        |      1, 7)) AS BIGINT) % 10000 AS u
+        |    FROM (SELECT g, s, qx, unnest(range(0, 200)) AS r
+        |      FROM rws))
+        |), means AS MATERIALIZED (
+        |  SELECT g, r, CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w * qx) AS BIGINT) AS sq
+        |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0
+        |), neff AS MATERIALIZED (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_eff FROM means
+        |  GROUP BY 1
+        |), rk AS (
+        |  SELECT x.g, x.r, x.sw, x.sq, CAST(COUNT(*) AS BIGINT) AS rk
+        |  FROM means x JOIN means y ON x.g = y.g AND (
+        |    CAST(y.sq AS HUGEINT) * x.sw < CAST(x.sq AS HUGEINT) * y.sw
+        |    OR (CAST(y.sq AS HUGEINT) * x.sw
+        |          = CAST(x.sq AS HUGEINT) * y.sw
+        |        AND y.r <= x.r))
+        |  GROUP BY 1, 2, 3, 4
+        |), ci AS (
+        |  SELECT rk.g,
+        |    MAX(CASE WHEN rk = (n_eff + 39) // 40 THEN
+        |      round(CAST(sq AS DOUBLE) / 1e6 / sw, 6) END) AS ci_lo,
+        |    MAX(CASE WHEN rk = (39 * n_eff + 39) // 40 THEN
+        |      round(CAST(sq AS DOUBLE) / 1e6 / sw, 6) END) AS ci_hi
+        |  FROM rk JOIN neff ON rk.g = neff.g GROUP BY 1
+        |)
+        |SELECT grp.g AS source, grp.n_rows,
+        |  CAST(200 AS BIGINT) AS b_resamples,
+        |  CAST(COALESCE(neff.n_eff, 0) AS BIGINT) AS n_eff,
+        |  CASE WHEN grp.n_rows > 0 THEN
+        |    round(CAST(grp.sqx AS DOUBLE) / 1e6 / grp.n_rows, 6) END
+        |    AS mean,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM grp LEFT JOIN neff ON grp.g = neff.g
+        |  LEFT JOIN ci ON grp.g = ci.g
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val rows = docs(s, dir)
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"), col("doc_id"),
+          ((coin("gbx#") % 1000).cast("double") / 1000.0).as("x"))
+      Evals.groupedBootstrapCI(rows, "source", "doc_id", "x", b = 200,
+        seed = "gb")
     }
   )
 

@@ -285,4 +285,102 @@ class ClassifierSpec extends SparkSpec {
     }
     assert(run(cqrFrame) === run(cqrFrame.repartition(7)))
   }
+
+  /** Brute-force PAV over (bucket, n, sy) triples — the O(n²)
+    * reference the distributed fold must match block-for-block. */
+  private def refPav(buckets: Seq[(Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    for ((b, n, sy) <- buckets.sortBy(_._1)) {
+      stack += ((b, b, n, sy))
+      while (stack.length >= 2 && {
+        val l = stack(stack.length - 2); val r = stack.last
+        l._4 * r._3 >= r._4 * l._3 // small fixtures: Long is exact
+      }) {
+        val r = stack.remove(stack.length - 1)
+        val l = stack.remove(stack.length - 1)
+        stack += ((l._1, r._2, l._3 + r._3, l._4 + r._4))
+      }
+    }
+    stack.toSeq
+  }
+
+  test("isotonicCalibration: hand panel pools the violating run, " +
+    "already-isotonic input is a fixed point, blocks partition the " +
+    "input with weighted-mean fitted values") {
+    // scores 0.1..0.5 with rates 0.0, 0.8, 0.4, 0.6, 1.0 — PAV must
+    // pool {0.8, 0.4, 0.6} (means 4/5, 2/5, 3/5 → one 9/15 block)
+    val rows = Seq(
+      (0.1, 0, 5), (0.2, 4, 5), (0.3, 2, 5), (0.4, 3, 5), (0.5, 5, 5))
+      .flatMap { case (sc, pos, tot) =>
+        (0 until tot).map(i => ("g", sc, if (i < pos) 1L else 0L)) }
+    val out = Classifier.isotonicCalibration(
+      rows.toDF("g", "score", "y"), "y", "score", "g", buckets = 10)
+      .collect()
+    graft.engine.TrackedCache.release()
+    assert(out.map(_.getAs[Long]("block_id")).toSeq === Seq(1L, 2L, 3L))
+    val mid = out(1)
+    assert(mid.getAs[Double]("score_lo") === 0.2 &&
+      mid.getAs[Double]("score_hi") === 0.4 &&
+      mid.getAs[Long]("n") === 15L && mid.getAs[Long]("n_pos") === 9L &&
+      mid.getAs[Double]("fitted") === 0.6)
+    // fitted strictly increases; totals partition the input
+    val fits = out.map(_.getAs[Double]("fitted")).toSeq
+    assert(fits === fits.sorted && fits.distinct === fits)
+    assert(out.map(_.getAs[Long]("n")).sum === 25L &&
+      out.map(_.getAs[Long]("n_pos")).sum === 14L)
+
+    // already-isotonic rates: every bucket keeps its own block
+    val iso = Seq((0.1, 1, 5), (0.2, 2, 5), (0.3, 4, 5))
+      .flatMap { case (sc, pos, tot) =>
+        (0 until tot).map(i => ("g", sc, if (i < pos) 1L else 0L)) }
+    val fx = Classifier.isotonicCalibration(
+      iso.toDF("g", "score", "y"), "y", "score", "g", buckets = 10)
+      .collect()
+    graft.engine.TrackedCache.release()
+    assert(fx.length === 3 &&
+      fx.map(_.getAs[Double]("fitted")).toSeq === Seq(0.2, 0.4, 0.8))
+  }
+
+  test("isotonicCalibration: randomized panels match the brute PAV " +
+    "reference block-for-block; groups are independent") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 8) {
+      val nb = 2 + rnd.nextInt(12)
+      val panel = (0 until nb).map { i =>
+        val n = 1L + rnd.nextInt(6)
+        (i * 7L % 97L, n, (0L to n).apply(rnd.nextInt(n.toInt + 1)))
+      }.groupBy(_._1).map { case (b, xs) =>
+        (b, xs.map(_._2).sum, xs.map(_._3).sum) }.toSeq
+      // raw rows: bucket b ↔ score b/100 with buckets = 100
+      val rows = panel.flatMap { case (b, n, sy) =>
+        (0L until n).map(i =>
+          (s"t$trial", b.toDouble / 100.0, if (i < sy) 1L else 0L)) }
+      val out = Classifier.isotonicCalibration(
+        rows.toDF("g", "score", "y"), "y", "score", "g", buckets = 100)
+        .collect()
+      graft.engine.TrackedCache.release()
+      val ref = refPav(panel)
+      assert(out.length === ref.length, s"trial $trial: block count")
+      out.zip(ref).foreach { case (row, (lo, hi, n, sy)) =>
+        assert(row.getAs[Double]("score_lo") ===
+          math.rint(1e6 * lo / 100.0) / 1e6 &&
+          row.getAs[Double]("score_hi") ===
+            math.rint(1e6 * hi / 100.0) / 1e6 &&
+          row.getAs[Long]("n") === n &&
+          row.getAs[Long]("n_pos") === sy, s"trial $trial: $row")
+      }
+    }
+    // two groups in one frame fold independently
+    val two = Seq(("a", 0.1, 1L), ("a", 0.2, 0L), ("a", 0.3, 1L),
+      ("b", 0.1, 0L), ("b", 0.9, 1L))
+    val o2 = Classifier.isotonicCalibration(
+      two.toDF("g", "score", "y"), "y", "score", "g", buckets = 10)
+      .collect()
+    graft.engine.TrackedCache.release()
+    val byG = o2.groupBy(_.getAs[String]("g"))
+    assert(byG("a").map(_.getAs[Long]("n")).sum === 3L &&
+      byG("b").length === 2)
+  }
 }

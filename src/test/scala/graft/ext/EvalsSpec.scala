@@ -515,4 +515,89 @@ class EvalsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_samples") === 1L &&
       b.getAs[Long]("n_dropped") === 2L)
   }
+
+  test("confSeqTest: hand moments, the radius shrinks in n and grows " +
+    "as alpha drops, a planted shift rejects once n is large enough, " +
+    "identical systems never reject, non-finite deltas drop") {
+    def run(rows: Seq[(Long, Double, Double)], alpha: Double = 0.05,
+            scale: Double = 1.0) = {
+      val r = Evals.confSeqTest(rows.toDF("seg_id", "ma", "mb"),
+        "seg_id", "ma", "mb", alpha = alpha, scale = scale)
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // hand moments: deltas +0.5, -0.5 → mean 0, var 0.25
+    val hand = run(Seq((0L, 1.0, 0.5), (1L, 0.0, 0.5)))
+    assert(hand.getAs[Long]("n_segs") === 2L &&
+      hand.getAs[Double]("mean_delta") === 0.0 &&
+      hand.getAs[Double]("var_delta") === 0.25 &&
+      hand.getAs[Long]("reject_null") === 0L)
+    // radius formula, hand-checked: n=2, alpha=.05, scale=1 →
+    // 1.7·sqrt((lnln4 + .72·ln104)/2)
+    val expect = 1.7 * math.sqrt((math.log(math.log(4.0)) +
+      0.72 * math.log(5.2 / 0.05)) / 2.0)
+    assert(math.abs(hand.getAs[Double]("radius") - expect) < 1e-6)
+    // anytime-valid monotonicity: radius(4n) < radius(n), and a
+    // smaller alpha widens the interval at the same n
+    def seg(n: Int) = (0 until n).map(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0, 0.5))
+    assert(run(seg(64)).getAs[Double]("radius") >
+      run(seg(256)).getAs[Double]("radius"))
+    assert(run(seg(64), alpha = 0.01).getAs[Double]("radius") >
+      run(seg(64), alpha = 0.2).getAs[Double]("radius"))
+    // a planted +0.5 shift: not rejectable at n=4 (radius ~1.3),
+    // rejected at n=4096 (radius ~0.04) — the CS closes on the truth
+    val shift = (n: Int) => (0 until n).map(i => (i.toLong, 0.5, 0.0))
+    assert(run(shift(4)).getAs[Long]("reject_null") === 0L)
+    assert(run(shift(4096)).getAs[Long]("reject_null") === 1L)
+    // identical systems: mean 0 forever, never rejected
+    assert(run(seg(512).map { case (i, _, _) => (i, 0.3, 0.3) })
+      .getAs[Long]("reject_null") === 0L)
+    // NaN / infinite deltas drop; empty input answers NULLs
+    val nf = run(Seq((0L, 1.0, 0.5), (1L, Double.NaN, 0.5),
+      (2L, Double.PositiveInfinity, 0.5)))
+    assert(nf.getAs[Long]("n_segs") === 1L)
+    val e = run(Seq.empty[(Long, Double, Double)])
+    assert(e.getAs[Long]("n_segs") === 0L &&
+      e.isNullAt(e.fieldIndex("mean_delta")) &&
+      e.isNullAt(e.fieldIndex("radius")) &&
+      e.isNullAt(e.fieldIndex("reject_null")))
+  }
+
+  test("groupedBootstrapCI: degenerate single-value group collapses " +
+    "to the point CI, CIs bracket their group means, groups resample " +
+    "independently of frame co-residence") {
+    val g1 = (0L until 40L).map(i => ("flat", i, 0.25))
+    val g2 = (0L until 400L).map(i =>
+      ("mix", i + 1000L, (i % 10).toDouble / 10.0))
+    val out = Evals.groupedBootstrapCI(
+      (g1 ++ g2).toDF("g", "id", "x"), "g", "id", "x", b = 64,
+      seed = "t")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    graft.engine.TrackedCache.release()
+    // degenerate group: every resample mean is exactly 0.25
+    val f = out("flat")
+    assert(f.getAs[Double]("mean") === 0.25 &&
+      f.getAs[Double]("ci_lo") === 0.25 &&
+      f.getAs[Double]("ci_hi") === 0.25)
+    assert(f.getAs[Long]("n_rows") === 40L &&
+      f.getAs[Long]("b_resamples") === 64L &&
+      f.getAs[Long]("n_eff") <= 64L && f.getAs[Long]("n_eff") > 0L)
+    // mixed group: CI brackets the mean strictly
+    val m = out("mix")
+    assert(m.getAs[Double]("ci_lo") < m.getAs[Double]("mean") &&
+      m.getAs[Double]("mean") < m.getAs[Double]("ci_hi"))
+    assert(m.getAs[Double]("mean") === 0.45)
+    // independence law: the mix group's CI is identical whether or
+    // not the flat group shares the frame (the coin is keyed by
+    // (resample, row id), never by anything global)
+    val solo = Evals.groupedBootstrapCI(
+      g2.toDF("g", "id", "x"), "g", "id", "x", b = 64, seed = "t")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(solo.getAs[Double]("ci_lo") === m.getAs[Double]("ci_lo") &&
+      solo.getAs[Double]("ci_hi") === m.getAs[Double]("ci_hi") &&
+      solo.getAs[Long]("n_eff") === m.getAs[Long]("n_eff"))
+  }
 }

@@ -873,6 +873,13 @@ class SimilaritySpec extends SparkSpec {
     val mean0 = Seq(1L, 2L, 3L).map(got).sum / 3
     val mean1 = Seq(11L, 12L, 13L).map(got).sum / 3
     assert(mean0 > 0 && mean1 > 0) // both clusters serve their query
+    // the roster bound is ENFORCED, not advisory: cost is Q·N, so an
+    // oversized query roster is refused like cosineNearDupPairs
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnShapley(corpus.toDF("vec_id", "embedding", "label"),
+        queries, k = k, maxQueries = 1L)
+    }
+    assert(err.getMessage.contains("maxQueries"))
   }
 
   test("bertScore: shuffled-identical token sets score exactly 1, " +

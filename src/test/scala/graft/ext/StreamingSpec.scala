@@ -1318,6 +1318,67 @@ class StreamingSpec extends SparkSpec {
       streamed.head.getAs[Long]("n_dropped") === 1L)
   }
 
+  test("confSeqLedgerStream: quantized delta moments straddle " +
+    "micro-batches, a negative later-batch delta makes sqd " +
+    "non-monotone (argmax readback), and the finished confidence " +
+    "sequence equals the batch confSeqTest exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csstream").toFile
+    // shard straddle on task 0; task 1's NEGATIVE delta arrives in
+    // the LATER batch so shard 1's sqd decreases across emitted rows
+    val files = Seq(
+      Seq((0L, 0.9, 0.4), (3L, 0.8, 0.1)),
+      Seq((0L, 0.6, 0.5), (1L, 0.1, 0.9)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"cschunk$i").toString
+      rows.toDF("task_id", "a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("task_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getPath)
+      .as[Streaming.PairedScore]
+    assert(stream.isStreaming)
+    val q = Streaming.runToMemory(
+      Streaming.confSeqLedgerStream(stream, shards = 2).toDF(),
+      "cs_stream", org.apache.spark.sql.streaming.OutputMode.Update)
+    q.stop()
+    // last row per shard by argmax on the strictly monotone n_segs
+    val ledger = spark.table("cs_stream").groupBy("shard")
+      .agg(max(struct(col("n_segs"), col("sqd"), col("sqd2")))
+        .as("_m"))
+      .select(col("_m.n_segs").as("n_segs"), col("_m.sqd").as("sqd"),
+        col("_m.sqd2").as("sqd2"))
+    // the non-monotone counter is real: shard 1's final sqd is lower
+    // than its max-over-emitted-rows sqd
+    val shard1 = spark.table("cs_stream").filter(col("shard") === 1L)
+      .select("n_segs", "sqd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(shard1.last._2 < shard1.map(_._2).max,
+      s"fixture must exercise a decreasing sqd, got ${shard1.toSeq}")
+    val streamed = Evals.seqTestOnCounts(ledger, alpha = 0.05,
+      scale = 1.0).collect().toSeq
+    val batch = Evals.confSeqTest(
+      files.flatten.toDF("t", "a", "b"), "t", "a", "b", alpha = 0.05,
+      scale = 1.0).collect().toSeq
+    graft.engine.TrackedCache.release()
+    assert(streamed === batch)
+    assert(streamed.head.getAs[Long]("n_segs") === 4L)
+  }
+
   test("eloRatingStream: seq-ordered ingestion split across micro-batches " +
     "lands exactly on the batch fold; rating state straddles batches") {
     import spark.implicits._
