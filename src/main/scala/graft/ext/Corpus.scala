@@ -653,8 +653,9 @@ object Corpus {
     * exactly 1e9); a domain more than ~20.7 nats of η-excess below
     * the max quantizes to score 0 — its true relative weight is
     * below 1e-9 — and keeps only the smoothing mass. The final
-    * weight is one double expression, rounded 6. NULL-domain /
-    * NULL-loss rows drop.
+    * weight is one double expression, rounded 6. NULL-domain rows
+    * and NULL / non-finite losses drop (a NaN excess would otherwise
+    * quantize to a silent zero — the Evals finite rule).
     *
     * Scale shape: ONE domain-keyed aggregate over a map-side clipped
     * projection + a 1-row broadcast total. No windows, no joins at
@@ -667,10 +668,17 @@ object Corpus {
     require(eta > 0, s"doremiRound: eta must be > 0, got $eta")
     require(smooth >= 0 && smooth < 1,
       s"doremiRound: smooth must be in [0, 1), got $smooth")
+    // finite check on the raw excess before the clip+quantize:
+    // greatest(NaN, 0) is NaN in Spark (NaN orders greatest) and
+    // cast(NaN as long) is 0, so a NaN loss would silently count as
+    // a zero-excess example instead of dropping
     val base = examples.select(col(domainCol).as("_d"),
-        round(lit(1e6) * greatest(col(proxyCol).cast("double") -
-          col(refCol).cast("double"), lit(0.0))).cast("long").as("_q"))
-      .filter(col("_d").isNotNull && col("_q").isNotNull)
+        (col(proxyCol).cast("double") - col(refCol).cast("double"))
+          .as("_x"))
+      .filter(col("_d").isNotNull && Evals.finite(col("_x")))
+      .select(col("_d"),
+        round(lit(1e6) * greatest(col("_x"), lit(0.0))).cast("long")
+          .as("_q"))
     val dom = base.groupBy("_d")
       .agg(count(lit(1)).as("n_examples"), sum("_q").as("_sq"))
       .select(col("_d"), col("n_examples"),

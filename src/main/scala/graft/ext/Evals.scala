@@ -396,10 +396,15 @@ object Evals {
     import org.apache.spark.sql.types.DecimalType
     require(b >= 1, s"pairedBootstrap: b must be >= 1, got $b")
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    // finite check on the DELTA before quantization: cast(NaN as
+    // long) is 0, not NULL, so a NaN metric would silently score as
+    // a zero delta instead of dropping (the confSeqTest rule)
     val base = segs.select(col(idCol).as("_s"),
-        round(lit(1e6) * (col(aCol).cast("double") -
-          col(bCol).cast("double"))).cast("long").as("_qd"))
-      .filter(col("_s").isNotNull && col("_qd").isNotNull)
+        (col(aCol).cast("double") - col(bCol).cast("double"))
+          .as("_d"))
+      .filter(col("_s").isNotNull && finite(col("_d")))
+      .select(col("_s"),
+        round(lit(1e6) * col("_d")).cast("long").as("_qd"))
       .trackedPersist() // feeds the full-sample stats AND the explode
     val full = base.agg(count(lit(1)).as("n_segs"),
       coalesce(sum("_qd"), lit(0L)).as("_sqd"))
@@ -495,10 +500,13 @@ object Evals {
                       bCol: String, b: Int = 200,
                       seed: String = "ar"): DataFrame = {
     require(b >= 1, s"permutationTest: b must be >= 1, got $b")
+    // finite-delta rule before quantization (see pairedBootstrap)
     val base = segs.select(col(idCol).as("_s"),
-        round(lit(1e6) * (col(aCol).cast("double") -
-          col(bCol).cast("double"))).cast("long").as("_qd"))
-      .filter(col("_s").isNotNull && col("_qd").isNotNull)
+        (col(aCol).cast("double") - col(bCol).cast("double"))
+          .as("_d"))
+      .filter(col("_s").isNotNull && finite(col("_d")))
+      .select(col("_s"),
+        round(lit(1e6) * col("_d")).cast("long").as("_qd"))
       .trackedPersist() // feeds the observed stat AND the explode
     val obs = base.agg(count(lit(1)).as("n_segs"),
       coalesce(sum("_qd"), lit(0L)).as("_sqd"))

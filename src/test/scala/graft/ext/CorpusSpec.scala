@@ -381,6 +381,17 @@ class CorpusSpec extends SparkSpec {
     val w = run(huge)
     assert(math.abs(w.values.sum - 1.0) < 5e-6, s"sum(w) != 1: $w")
     assert(w("a") > 0.999999 && w("b") >= 0.0 && w("c") >= 0.0, s"$w")
+    // NaN / infinite losses drop instead of quantizing to a silent
+    // zero-excess example (greatest(NaN, 0) is NaN; cast → 0)
+    val nf = Corpus.doremiRound(
+      Seq(("a", 2.0, 1.0), ("a", Double.NaN, 1.0),
+        ("a", 1.0, Double.PositiveInfinity), ("b", 1.5, 1.0))
+        .toDF("source", "proxy_loss", "ref_loss"),
+      "source", "proxy_loss", "ref_loss", eta = 1.0, smooth = 0.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_examples")).toMap
+    graft.engine.TrackedCache.release()
+    assert(nf === Map("a" -> 1L, "b" -> 1L), s"$nf")
   }
 
   test("negativeSamples: k per anchor, never self, in-range, deterministic") {

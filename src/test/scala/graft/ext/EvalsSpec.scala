@@ -247,15 +247,23 @@ class EvalsSpec extends SparkSpec {
     assert(u.getAs[Double]("ci_lo") <= u.getAs[Double]("mean_delta") &&
       u.getAs[Double]("mean_delta") <= u.getAs[Double]("ci_hi"))
 
-    // NULL metric rows drop from n_segs
+    // NULL and NON-FINITE metric rows drop from n_segs (a NaN delta
+    // quantizes to 0, so without the finite filter it would silently
+    // score as a tie)
     val withNull = Seq((Some(0L), Some(1.0), Some(0.5)),
       (Some(1L), None, Some(0.5)), (None, Some(1.0), Some(0.5)),
-      (Some(2L), Some(0.9), Some(0.4)))
+      (Some(2L), Some(0.9), Some(0.4)),
+      (Some(3L), Some(Double.NaN), Some(0.5)),
+      (Some(4L), Some(Double.PositiveInfinity), Some(0.5)))
       .toDF("seg_id", "ma", "mb")
     val n = Evals.pairedBootstrap(withNull, "seg_id", "ma", "mb",
       b = 16).collect().head
     graft.engine.TrackedCache.release()
     assert(n.getAs[Long]("n_segs") === 2L)
+    val p = Evals.permutationTest(withNull, "seg_id", "ma", "mb",
+      b = 16).collect().head
+    graft.engine.TrackedCache.release()
+    assert(p.getAs[Long]("n_segs") === 2L)
   }
 
   test("permutationTest: identical systems p = 1, planted uniform " +
