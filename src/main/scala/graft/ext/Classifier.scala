@@ -578,18 +578,37 @@ object Classifier {
                           buckets: Int = 1000): DataFrame = {
     require(buckets >= 1 && buckets <= 1000000,
       s"isotonicCalibration: buckets in [1, 1e6], got $buckets")
-    val spark = scored.sparkSession
-    import spark.implicits._
     val q = scored.select(col(groupCol).cast("string").as("_g"),
-        least(greatest(round(col(scoreCol).cast("double") * buckets),
-          lit(0.0)), lit(buckets.toDouble)).cast("long").as("_b"),
+        bucketize(col(scoreCol), buckets).as("_b"),
         col(labelCol).cast("long").as("_y"))
       .filter(col("_g").isNotNull && col("_b").isNotNull &&
         col("_y").isNotNull)
     // the ONLY row-scale shuffle: rows → (group, bucket) dictionary
     val agg = q.groupBy("_g", "_b")
       .agg(count(lit(1)).as("_n"), sum("_y").as("_sy"))
-    val sorted = agg
+    pavFold(agg)
+      .select(col("_g").as(groupCol), col("block_id"),
+        round(col("_blo").cast("double") / buckets, 6).as("score_lo"),
+        round(col("_bhi").cast("double") / buckets, 6).as("score_hi"),
+        col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("fitted"))
+      .orderBy(groupCol, "block_id")
+  }
+
+  /** The shared score → bucket quantization: round-half-up onto the
+    * 1/`buckets` grid, clamped to [0, buckets]. */
+  private def bucketize(score: Column, buckets: Int): Column =
+    least(greatest(round(score.cast("double") * buckets),
+      lit(0.0)), lit(buckets.toDouble)).cast("long")
+
+  /** The PAV fold over a (group, bucket) dictionary frame with
+    * columns (_g, _b, _n, _sy) — shared by [[isotonicCalibration]]
+    * (block output) and [[calibrationGain]] (apply + report).
+    * Returns (_g, block_id, _blo, _bhi, n, n_pos). */
+  private def pavFold(dict: DataFrame): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val sorted = dict
       .repartition(col("_g"))
       .sortWithinPartitions("_g", "_b")
       .select(col("_g"), col("_b"), col("_n"), col("_sy"))
@@ -630,11 +649,80 @@ object Classifier {
       out.iterator
     }
     folded.toDF("_g", "block_id", "_blo", "_bhi", "n", "n_pos")
-      .select(col("_g").as(groupCol), col("block_id"),
-        round(col("_blo").cast("double") / buckets, 6).as("score_lo"),
-        round(col("_bhi").cast("double") / buckets, 6).as("score_hi"),
-        col("n"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n"), 6).as("fitted"))
-      .orderBy(groupCol, "block_id")
+  }
+
+  /** Calibration gain report — FIT the [[isotonicCalibration]] PAV
+    * map and APPLY it back to the same panel, reporting each group's
+    * Brier score before and after:
+    *   brier_raw = mean (score − y)²,
+    *   brier_cal = mean (fitted(score) − y)².
+    * The companion law (spec-pinned, and a theorem when scores sit
+    * on the bucket grid): PAV minimizes squared error among
+    * monotone bucket-constant maps and the raw grid score IS one,
+    * so brier_cal ≤ brier_raw on the fitting panel — always. The
+    * gap is the miscalibration the map removed; ~0 means the scores
+    * were already calibrated.
+    *
+    * IN-SAMPLE by design: the map is fitted and applied on the same
+    * panel (every bucket is inside a block by construction, so the
+    * lookup is exact — no gap semantics needed; out-of-sample
+    * application wants a holdout split upstream, q123/q241).
+    *
+    * Determinism: per-row raw squared errors are 1e-6-quantized
+    * BIGINTs before the bucket rollup; the per-bucket calibrated
+    * error collapses exactly over binary labels —
+    * Σ_bucket (fitted − y)² = n·fitted² − 2·fitted·sy + sy — one
+    * double expression per BUCKET (6-dp fitted), 1e-6-quantized
+    * before the group sum. Both sums are order-free; the reported
+    * Briers are one division each, rounded 6.
+    *
+    * Scale shape: ONE row-scale (group, bucket) rollup (shared by
+    * the fit and the apply — the panel is scanned once), the
+    * dictionary-scale PAV fold, one dictionary range join
+    * (bucket dict × blocks, both bounded by `buckets` per group),
+    * one group rollup. No windows.
+    */
+  def calibrationGain(scored: DataFrame, labelCol: String,
+                      scoreCol: String, groupCol: String,
+                      buckets: Int = 1000): DataFrame = {
+    import graft.engine.TrackedCache.Trackable
+    require(buckets >= 1 && buckets <= 1000000,
+      s"calibrationGain: buckets in [1, 1e6], got $buckets")
+    val q = scored.select(col(groupCol).cast("string").as("_g"),
+        bucketize(col(scoreCol), buckets).as("_b"),
+        col(labelCol).cast("long").as("_y"),
+        col(scoreCol).cast("double").as("_s"))
+      .filter(col("_g").isNotNull && col("_b").isNotNull &&
+        col("_y").isNotNull)
+    // ONE row-scale rollup feeds both the PAV fit and the apply
+    val dict = q.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_sy"),
+        sum(round(lit(1e6) * (col("_s") - col("_y")) *
+          (col("_s") - col("_y"))).cast("long")).as("_qraw"))
+      .trackedPersist()
+    val blocks = pavFold(dict.select("_g", "_b", "_n", "_sy"))
+    // dictionary range join: every bucket lies inside exactly one
+    // block of its own group's fit (both sides bucket-bounded)
+    val fitted = round(col("n_pos").cast("double") / col("n"), 6)
+    val applied = dict.join(blocks.withColumnRenamed("_g", "_bg"),
+        col("_g") === col("_bg") &&
+          col("_b") >= col("_blo") && col("_b") <= col("_bhi"))
+      .select(col("_g"), col("_n"), col("_qraw"),
+        round(lit(1e6) * (fitted * fitted * col("_n") -
+          lit(2.0) * fitted * col("_sy") + col("_sy"))).cast("long")
+          .as("_qcal"))
+    val nBlocks = blocks.groupBy(col("_g"))
+      .agg(max("block_id").as("n_blocks"))
+    applied.groupBy("_g")
+      .agg(sum("_n").as("n"),
+        coalesce(sum("_qraw"), lit(0L)).as("_sraw"),
+        coalesce(sum("_qcal"), lit(0L)).as("_scal"))
+      .join(nBlocks, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"), col("n_blocks"),
+        round(col("_sraw").cast("double") / 1e6 / col("n"), 6)
+          .as("brier_raw"),
+        round(col("_scal").cast("double") / 1e6 / col("n"), 6)
+          .as("brier_cal"))
+      .orderBy(groupCol)
   }
 }

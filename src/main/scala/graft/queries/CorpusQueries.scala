@@ -3305,6 +3305,89 @@ object CorpusQueries {
           ((coin("gbx#") % 1000).cast("double") / 1000.0).as("x"))
       Evals.groupedBootstrapCI(rows, "source", "doc_id", "x", b = 200,
         seed = "gb")
+    },
+
+    // ——— calibration gain: fit the q387 PAV map and apply it back
+    //     to the same panel — per-source Brier before/after. On a
+    //     grid-aligned panel brier_cal <= brier_raw is a THEOREM
+    //     (PAV is the least-squares monotone bucket-constant map and
+    //     the raw grid score is one); the gap is the removed
+    //     miscalibration. Oracle refits via the q387 minimax and
+    //     applies per bucket (fitted is the block-sum division in
+    //     both constructions, so the 6-dp fitted agrees). ———
+    Q("q390_calibration_gain",
+      """WITH sc AS (
+        |  SELECT source AS g,
+        |    CAST(concat('0x', substring(md5('isa#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS sm,
+        |    CASE WHEN CAST(concat('0x', substring(md5('isb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      < 200 + (600 * (CAST(concat('0x', substring(md5('isa#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |        % 1000)) // 1000
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND doc_id IS NOT NULL
+        |), bkt AS MATERIALIZED (
+        |  SELECT g, sm AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(round(1e6 * (sm / 1000.0 - y)
+        |      * (sm / 1000.0 - y)) AS BIGINT)) AS BIGINT) AS qraw
+        |  FROM sc GROUP BY 1, 2
+        |), idx AS MATERIALIZED (
+        |  SELECT g, b, n, sy, qraw,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY b)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cn,
+        |    CAST(SUM(sy) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cy
+        |  FROM bkt
+        |), pairs AS (
+        |  SELECT a.g, a.k AS i, c.k AS j,
+        |    CAST(c.cy - (a.cy - a.sy) AS DOUBLE)
+        |      / CAST(c.cn - (a.cn - a.n) AS DOUBLE) AS avgv
+        |  FROM idx a JOIN idx c ON a.g = c.g AND a.k <= c.k
+        |), sufmin AS (
+        |  SELECT g, i, j,
+        |    MIN(avgv) OVER (PARTITION BY g, i ORDER BY j DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM pairs
+        |), fit AS MATERIALIZED (
+        |  SELECT g, j AS k, round(MAX(mn), 6) AS f6, MAX(mn) AS fraw
+        |  FROM sufmin GROUP BY 1, 2
+        |), app AS (
+        |  SELECT i.g, i.n, i.qraw,
+        |    CAST(round(1e6 * (f.f6 * f.f6 * i.n
+        |      - CAST(2.0 AS DOUBLE) * f.f6 * i.sy + i.sy)) AS BIGINT)
+        |      AS qcal
+        |  FROM idx i JOIN fit f ON i.g = f.g AND i.k = f.k
+        |), nb AS (
+        |  SELECT g, CAST(COUNT(DISTINCT fraw) AS BIGINT) AS n_blocks
+        |  FROM fit GROUP BY 1
+        |)
+        |SELECT app.g AS source, CAST(SUM(app.n) AS BIGINT) AS n,
+        |  CAST(MAX(nb.n_blocks) AS BIGINT) AS n_blocks,
+        |  round(CAST(SUM(app.qraw) AS DOUBLE) / 1e6 / SUM(app.n), 6)
+        |    AS brier_raw,
+        |  round(CAST(SUM(app.qcal) AS DOUBLE) / 1e6 / SUM(app.n), 6)
+        |    AS brier_cal
+        |FROM app JOIN nb ON app.g = nb.g
+        |GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val sm = coin("isa#") % 1000
+      val thr = lit(200L) +
+        floor((lit(600L) * sm).cast("double") / 1000.0).cast("long")
+      val scored = docs(s, dir)
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"),
+          (sm.cast("double") / 1000.0).as("score"),
+          when(coin("isb#") % 1000 < thr, 1L).otherwise(0L).as("y"))
+      Classifier.calibrationGain(scored, "y", "score", "source",
+        buckets = 1000)
     }
   )
 

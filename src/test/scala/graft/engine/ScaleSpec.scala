@@ -897,7 +897,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r15/r16 additions (q371–q389): partitioned/dictionary " +
+  test("r15/r16 additions (q371–q390): partitioned/dictionary " +
     "windows only, no cartesian, BNLJ only as bounded broadcast " +
     "attaches or the b-bounded bootstrap rank join") {
     // Every BNLJ below is a broadcast of a 1-row aggregate (totals /
@@ -918,10 +918,12 @@ class ScaleSpec extends SparkSpec {
     //   plan string (3 textual, 2 logical).
     // q383: the bounded query-roster attach (roster contract is the
     //   operator's scale contract — Q stays dictionary-sized).
-    // q387 (PAV: one row-scale groupBy + the repartition(group) fold)
-    // and q389 (grouped bootstrap: the rank comparison is a group-
-    // EQUI self-join with b² per-group fan-out, never a BNLJ) pin at
-    // ZERO BNLJ — measured, their whole point.
+    // q387 (PAV: one row-scale groupBy + the repartition(group) fold),
+    // q389 (grouped bootstrap: the rank comparison is a group-EQUI
+    // self-join with b² per-group fan-out, never a BNLJ) and q390
+    // (calibration gain: the bucket→block apply is a dictionary
+    // range join under a group equi key) pin at ZERO BNLJ —
+    // measured, their whole point.
     // q380/q385/q388 (streaming) are excluded like q348/q356:
     // constructing them RUNS the stream; their plan law is the
     // battery-wide window check in QueriesSpec.
@@ -943,7 +945,7 @@ class ScaleSpec extends SparkSpec {
         "q378_cronbach_alpha", "q379_icc21", "q381_doremi_round",
         "q382_kn_bigram", "q383_knn_shapley", "q384_ips_offpolicy",
         "q386_dr_offpolicy", "q387_isotonic_pav",
-        "q389_grouped_bootstrap_ci")) {
+        "q389_grouped_bootstrap_ci", "q390_calibration_gain")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -383,4 +383,45 @@ class ClassifierSpec extends SparkSpec {
     assert(byG("a").map(_.getAs[Long]("n")).sum === 3L &&
       byG("b").length === 2)
   }
+
+  test("calibrationGain: PAV never hurts the Brier on the fitting " +
+    "panel (theorem on grid-aligned scores), a perfectly calibrated " +
+    "panel is a fixed point, anti-calibrated scores gain the most") {
+    def run(rows: Seq[(String, Double, Long)], buckets: Int = 100) = {
+      val out = Classifier.calibrationGain(
+        rows.toDF("g", "score", "y"), "y", "score", "g",
+        buckets = buckets).collect()
+      graft.engine.TrackedCache.release()
+      out.map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("brier_raw"), r.getAs[Double]("brier_cal"),
+          r.getAs[Long]("n_blocks"))).toMap
+    }
+    // perfectly calibrated: score 0.25 with 1/4 positives, 0.75 with
+    // 3/4 — PAV reproduces the scores; brier_cal == brier_raw and
+    // every bucket keeps its own block
+    val cal = (0 until 4).map(i =>
+        ("c", 0.25, if (i == 0) 1L else 0L)) ++
+      (0 until 4).map(i => ("c", 0.75, if (i < 3) 1L else 0L))
+    val c = run(cal)("c")
+    assert(c._1 === c._2 && c._3 === 2L, s"calibrated fixed point: $c")
+    // anti-calibrated (score order inverted vs outcome): PAV pools
+    // everything into one block at the base rate; the gain is large
+    val anti = (0 until 10).map(i =>
+        ("a", 0.9, 0L)) ++ (0 until 10).map(i => ("a", 0.1, 1L))
+    val a = run(anti)("a")
+    assert(a._3 === 1L && a._2 < a._1 - 0.3,
+      s"anti-calibrated must pool and gain: $a")
+    // randomized grid-aligned panels: brier_cal <= brier_raw always
+    val rnd = new scala.util.Random(16L)
+    for (trial <- 0 until 6) {
+      val rows = (0 until 30 + rnd.nextInt(40)).map { _ =>
+        val b = rnd.nextInt(101)
+        ("r", b.toDouble / 100.0, if (rnd.nextInt(100) < 30 +
+          (if (rnd.nextBoolean()) b / 2 else 70 - b / 2)) 1L else 0L)
+      }
+      val r = run(rows)("r")
+      assert(r._2 <= r._1 + 1e-6,
+        s"trial $trial: PAV worsened the Brier: $r")
+    }
+  }
 }
