@@ -1296,6 +1296,74 @@ object TextStats {
         .as("kappa"))
   }
 
+  /** Gwet's AC1 (Gwet 2008, "Computing inter-rater reliability and
+    * its variance in the presence of high agreement") — the
+    * chance-corrected agreement coefficient that resolves the KAPPA
+    * PARADOX: under extreme prevalence (one label dominating, the
+    * normal state of a quality-gate annotation queue) κ's chance
+    * term approaches the observed agreement and κ collapses toward
+    * 0 — or below — while the raters are in fact agreeing almost
+    * always. AC1 prices chance agreement by the probability of a
+    * RANDOM rating landing in a category at its observed prevalence:
+    *   pa  = mean over units of Σ_c r_uc(r_uc − 1)/(m_u(m_u − 1))
+    *   π_c = mean over units of r_uc / m_u
+    *   pe  = (1/(C − 1)) · Σ_c π_c(1 − π_c)
+    *   AC1 = (pa − pe)/(1 − pe)
+    * Unlike [[fleissKappa]], the panel may be UNEVEN (m_u varies);
+    * units with fewer than 2 ratings are unpairable and drop from
+    * both pa and the marginals (the krippendorffAlpha rule). For
+    * C ≥ 2, pe ≤ 1/C < 1, so the denominator never degenerates;
+    * AC1 answers NULL only when n_units = 0 or C < 2.
+    *
+    * Determinism: per-unit agreement ratios and per-(unit, category)
+    * prevalence fractions are 1e-9-quantized BIGINTs before their
+    * order-free sums; per-category pe terms are 1e-9-quantized
+    * doubles of identical shape in both engines before the category
+    * sum (the brierDecomposition discipline); pa/pe/AC1 are one
+    * double expression each, rounded 6.
+    *
+    * Scale shape: one (unit, category) cell rollup, one unit rollup,
+    * one category rollup, 1-row broadcast attaches. No windows.
+    */
+  def gwetAC1(ratings: DataFrame, unitCol: String, catCol: String,
+              label: String): DataFrame = {
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .trackedPersist() // feeds the unit margin AND the pair join
+    val units = cells.groupBy("u")
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("ss"))
+      .filter(col("m") >= 2L)
+      .trackedPersist() // feeds uStats AND the prevalence join
+    val uStats = units
+      .select(round(lit(1e9) * (col("ss") - col("m")).cast("double") /
+        (col("m") * (col("m") - 1L)).cast("double")).cast("long")
+        .as("_qpa"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum("_qpa"), lit(0L)).as("_spa"))
+    val prev = cells.join(units.select("u", "m"), Seq("u"))
+      .select(col("cat"),
+        round(lit(1e9) * col("c").cast("double") / col("m")
+          .cast("double")).cast("long").as("_qp"))
+      .groupBy("cat").agg(sum("_qp").as("_sc"))
+    val pic = col("_sc").cast("double") / 1e9 / col("n_units")
+    val cStats = prev.crossJoin(broadcast(uStats))
+      .select(round(lit(1e9) * pic * (lit(1.0) - pic)).cast("long")
+        .as("_qt"))
+      .agg(count(lit(1)).as("n_cats"),
+        coalesce(sum("_qt"), lit(0L)).as("_sqt"))
+    val pa = col("_spa").cast("double") / 1e9 / col("n_units")
+    val pe = col("_sqt").cast("double") / 1e9 / (col("n_cats") - 1L)
+    uStats.crossJoin(broadcast(cStats))
+      .select(lit(label).as("measure"), col("n_units"), col("n_cats"),
+        when(col("n_units") > 0L, round(pa, 6)).as("p_observed"),
+        when(col("n_units") > 0L && col("n_cats") >= 2L, round(pe, 6))
+          .as("p_expected"),
+        when(col("n_units") > 0L && col("n_cats") >= 2L,
+          round((pa - pe) / (lit(1.0) - pe), 6)).as("ac1"))
+  }
+
   /** Krippendorff's α (nominal data) — inter-rater reliability that,
     * unlike Fleiss κ (q295), TOLERATES MISSING RATINGS: each unit
     * keeps whatever raters showed up; units with fewer than 2

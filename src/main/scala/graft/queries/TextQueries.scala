@@ -4247,6 +4247,83 @@ object TextQueries {
         "u", "j", "x")
     },
 
+    // ——— Gwet's AC1 (2008): the kappa-paradox-proof agreement
+    //     coefficient — 4 raters, skewed prevalence (80% of units in
+    //     the majority category, the normal quality-gate shape where
+    //     κ collapses), 85% adherence. Per-unit agreement ratios and
+    //     per-(unit, category) prevalence fractions 1e-9-quantized;
+    //     three dictionary rollups, no windows. ———
+    Q("q391_gwet_ac1",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN CAST(concat('0x', substring(md5('ga#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 < 85
+        |      THEN CASE WHEN doc_id % 10 < 8 THEN 0
+        |        ELSE 1 + (doc_id % 2) END
+        |      ELSE CAST(concat('0x', substring(md5('gb#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 3
+        |    END AS cat
+        |  FROM r
+        |), cells AS MATERIALIZED (
+        |  SELECT u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2
+        |), units AS MATERIALIZED (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM cells GROUP BY 1 HAVING SUM(c) >= 2
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COALESCE(SUM(CAST(round(1e9 * CAST(ss - m AS DOUBLE)
+        |      / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT)), 0) AS BIGINT)
+        |      AS spa
+        |  FROM units
+        |), prev AS (
+        |  SELECT cat, CAST(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    / CAST(m AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM cells JOIN units USING (u) GROUP BY 1
+        |), cs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |    CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / n_units)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / n_units)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM prev CROSS JOIN us
+        |)
+        |SELECT 'ac1_panel' AS measure, n_units, n_cats,
+        |  CASE WHEN n_units > 0 THEN
+        |    round(CAST(spa AS DOUBLE) / 1e9 / n_units, 6) END
+        |    AS p_observed,
+        |  CASE WHEN n_units > 0 AND n_cats >= 2 THEN
+        |    round(CAST(sqt AS DOUBLE) / 1e9 / (n_cats - 1), 6) END
+        |    AS p_expected,
+        |  CASE WHEN n_units > 0 AND n_cats >= 2 THEN
+        |    round((CAST(spa AS DOUBLE) / 1e9 / n_units
+        |      - CAST(sqt AS DOUBLE) / 1e9 / (n_cats - 1))
+        |      / (CAST(1.0 AS DOUBLE)
+        |        - CAST(sqt AS DOUBLE) / 1e9 / (n_cats - 1)), 6) END
+        |    AS ac1
+        |FROM us CROSS JOIN cs""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val base = when(col("doc_id") % 10 < 8, 0L)
+        .otherwise(lit(1L) + col("doc_id") % 2)
+      val cat = when(coin("ga#") % 100 < 85, base)
+        .otherwise(coin("gb#") % 3)
+      TextStats.gwetAC1(
+        r.select(col("doc_id").as("u"), cat.as("cat")),
+        "u", "cat", "ac1_panel")
+    },
+
     // ——— interpolated Kneser–Ney bigram scoring (d = 0.75): the
     //     continuation-probability lower order (distinct left
     //     contexts, not raw frequency) that stops boilerplate tokens

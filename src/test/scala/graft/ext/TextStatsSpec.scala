@@ -1297,6 +1297,73 @@ class TextStatsSpec extends SparkSpec {
       s"duped panel must refuse: $i")
   }
 
+  test("gwetAC1: perfect agreement 1, the kappa paradox resolved " +
+    "(extreme prevalence: kappa negative, AC1 near 1), uneven panels " +
+    "tolerated, brute reference on random panels") {
+    def run(rows: Seq[(Long, Long)]) = {
+      val r = TextStats.gwetAC1(rows.toDF("u", "cat"), "u", "cat", "t")
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // perfect agreement across 2 categories
+    val perfect = (0L to 9L).flatMap(u =>
+      Seq.fill(3)((u, u % 2)))
+    val p = run(perfect)
+    assert(p.getAs[Double]("p_observed") === 1.0 &&
+      p.getAs[Double]("ac1") === 1.0)
+
+    // THE PARADOX PANEL: 2 raters, 49 units agree on A, 1 unit
+    // splits A/B. Fleiss kappa goes NEGATIVE (chance term ~ observed
+    // agreement under extreme prevalence); AC1 reads the ~0.98
+    // agreement that is actually there.
+    val skew = (0L to 48L).flatMap(u => Seq((u, 0L), (u, 0L))) ++
+      Seq((49L, 0L), (49L, 1L))
+    val a = run(skew)
+    val k = TextStats.fleissKappa(skew.toDF("u", "cat"), "u", "cat",
+      "t").collect().head
+    graft.engine.TrackedCache.release()
+    assert(a.getAs[Double]("ac1") > 0.9,
+      s"AC1 must survive prevalence skew: $a")
+    assert(k.getAs[Double]("kappa") < 0.0,
+      s"fixture must exhibit the paradox: $k")
+
+    // uneven panel: 3 raters on some units, 2 on others — AC1 is
+    // defined (no completeness gate); a 1-rating unit drops
+    val uneven = Seq((0L, 0L), (0L, 0L), (0L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 1L))
+    val un = run(uneven)
+    assert(un.getAs[Long]("n_units") === 2L &&
+      !un.isNullAt(un.fieldIndex("ac1")))
+
+    // brute reference: random 3-category panels, m in {2, 3, 4}
+    val rnd = new scala.util.Random(391L)
+    for (trial <- 0 until 6) {
+      val panel = (0L until (8 + rnd.nextInt(10)).toLong).flatMap { u =>
+        (0 until 2 + rnd.nextInt(3)).map(_ =>
+          (u, rnd.nextInt(3).toLong))
+      }
+      val got = run(panel)
+      // brute: exact formulas in plain Scala
+      val byU = panel.groupBy(_._1).filter(_._2.size >= 2)
+      val n = byU.size.toDouble
+      val pa = byU.values.map { rs =>
+        val m = rs.size.toDouble
+        val cnts = rs.groupBy(_._2).values.map(_.size.toDouble)
+        cnts.map(c => c * (c - 1)).sum / (m * (m - 1))
+      }.sum / n
+      val cats = byU.values.flatten.map(_._2).toSet
+      val pis = cats.toSeq.map { c =>
+        byU.values.map { rs =>
+          rs.count(_._2 == c).toDouble / rs.size }.sum / n
+      }
+      val pe = pis.map(x => x * (1 - x)).sum / (cats.size - 1)
+      val ref = (pa - pe) / (1 - pe)
+      assert(math.abs(got.getAs[Double]("ac1") - ref) < 1e-5,
+        s"trial $trial: ${got.getAs[Double]("ac1")} vs brute $ref")
+    }
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
