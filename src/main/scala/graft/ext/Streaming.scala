@@ -932,6 +932,10 @@ object Streaming {
     } else out
   }
 
+  /** NOTE: the memory sink is NOT fault-tolerant and refuses
+    * checkpoint recovery — for a resumable ledger run use a
+    * foreachBatch sink with a fixed checkpointLocation (the
+    * StreamingSpec restart laws show the shape). */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val q = df.writeStream

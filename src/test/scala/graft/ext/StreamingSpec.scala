@@ -1379,6 +1379,90 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head.getAs[Long]("n_segs") === 4L)
   }
 
+  test("confSeqLedgerStream restart-from-checkpoint: ledger state " +
+    "survives a clean stop and CONTINUES counting — the anytime-valid " +
+    "readout stays correct across restarts") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("csrsrc").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("csrckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("task_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.DoubleType)))
+    def deliver(rows: Seq[(Long, Double, Double)], i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"csr$i").toString
+      rows.toDF("task_id", "a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(srcDir, f"s_$i%02d.parquet").toPath)
+    }
+    // the memory sink refuses checkpoint recovery (not
+    // fault-tolerant) — collect each run's ledger rows through a
+    // foreachBatch sink, the recoverable pattern the dedup restart
+    // law established
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // shard, n_segs, sqd, sqd2
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(srcDir.getPath).as[Streaming.PairedScore]
+      val q = Streaming.confSeqLedgerStream(stream, shards = 2).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.synchronized {
+            emitted ++= df.select("shard", "n_segs", "sqd", "sqd2")
+              .collect().map(r => (r.getLong(0), r.getLong(1),
+                r.getLong(2), r.getLong(3)))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // run 1: shard 0 (task 0) and shard 1 (tasks 1, 3)
+    val file1 = Seq((0L, 0.9, 0.4), (1L, 0.3, 0.1), (3L, 0.8, 0.1))
+    deliver(file1, 0)
+    run()
+    val r1 = emitted.toVector.map(r => r._1 -> r._2).toMap
+    assert(r1 === Map(0L -> 1L, 1L -> 2L),
+      s"run 1 ledger: ${emitted.toVector}")
+    val run1Rows = emitted.toVector
+    // run 2 (restart, same checkpoint): only shard-0 tasks arrive.
+    // The committed batch must NOT replay, shard 1 must NOT re-emit,
+    // and shard 0's counter must CONTINUE from the restored state
+    // (n_segs = 3, not 2) — a from-zero restart would silently halve
+    // every anytime-valid interval read after a failover.
+    val file2 = Seq((0L, 0.6, 0.5), (2L, 0.1, 0.9))
+    deliver(file2, 1)
+    run()
+    val run2Rows = emitted.toVector.drop(run1Rows.size)
+    val r2 = run2Rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(r2.keySet === Set(0L),
+      s"run 2 must emit only shard 0: $run2Rows")
+    assert(r2(0L)._1 === 3L,
+      s"restored state must continue counting: $run2Rows")
+    // finish: run-2 rows + run-1 rows for shards run 2 didn't touch
+    // reproduce the one-shot batch statistic exactly
+    val ledger = (run2Rows ++ run1Rows.filter(_._1 == 1L))
+      .toDF("shard", "n_segs", "sqd", "sqd2")
+      .select("n_segs", "sqd", "sqd2")
+    val streamed = Evals.seqTestOnCounts(ledger).collect().toSeq
+    val batch = Evals.confSeqTest(
+      (file1 ++ file2).toDF("t", "a", "b"), "t", "a", "b")
+      .collect().toSeq
+    graft.engine.TrackedCache.release()
+    assert(streamed === batch,
+      "post-restart ledger must land on the batch statistic")
+  }
+
   test("eloRatingStream: seq-ordered ingestion split across micro-batches " +
     "lands exactly on the batch fold; rating state straddles batches") {
     import spark.implicits._
