@@ -424,4 +424,28 @@ class ClassifierSpec extends SparkSpec {
         s"trial $trial: PAV worsened the Brier: $r")
     }
   }
+
+  test("isotonicCalibration/calibrationGain are deterministic under " +
+    "repartition (quantized sums, dictionary fold — no partition-" +
+    "order dependence)") {
+    val rnd = new scala.util.Random(77L)
+    val rows = (0 until 120).map { i =>
+      (s"g${i % 3}", rnd.nextInt(101).toDouble / 100.0,
+        rnd.nextInt(2).toLong)
+    }.toDF("g", "score", "y")
+    def iso(df: org.apache.spark.sql.DataFrame) = {
+      val out = Classifier.isotonicCalibration(df, "y", "score", "g",
+        buckets = 100).collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    def gain(df: org.apache.spark.sql.DataFrame) = {
+      val out = Classifier.calibrationGain(df, "y", "score", "g",
+        buckets = 100).collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    assert(iso(rows) === iso(rows.repartition(7)))
+    assert(gain(rows) === gain(rows.repartition(7)))
+  }
 }

@@ -607,5 +607,15 @@ class EvalsSpec extends SparkSpec {
     assert(solo.getAs[Double]("ci_lo") === m.getAs[Double]("ci_lo") &&
       solo.getAs[Double]("ci_hi") === m.getAs[Double]("ci_hi") &&
       solo.getAs[Long]("n_eff") === m.getAs[Long]("n_eff"))
+    // deterministic under repartition: md5 coins + integer sums,
+    // no partition-order dependence anywhere
+    val g2df = g2.toDF("g", "id", "x")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = Evals.groupedBootstrapCI(df, "g", "id", "x", b = 64,
+        seed = "t").collect().toSeq
+      graft.engine.TrackedCache.release()
+      out
+    }
+    assert(run(g2df) === run(g2df.repartition(7)))
   }
 }
