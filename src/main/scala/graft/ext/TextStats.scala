@@ -1364,6 +1364,105 @@ object TextStats {
           round((pa - pe) / (lit(1.0) - pe), 6)).as("ac1"))
   }
 
+  /** Gwet's AC2 — the WEIGHTED [[gwetAC1]] for ORDINAL category
+    * scales (Gwet, "Handbook of Inter-Rater Reliability": the
+    * weighted multi-rater agreement coefficient): a near-miss on a
+    * Likert rubric (4 vs 5) counts partial agreement instead of the
+    * nominal all-or-nothing. With observed integer categories, span
+    * S = max − min, and weights w_kl = 1 − (|k − l|/S)^power
+    * (power 1 linear, 2 quadratic; w_kk = 1):
+    *   pa  = mean over units of
+    *         (Σ_{k,l} w_kl·r_uk·r_ul − m_u) / (m_u(m_u − 1))
+    *   pe  = (T_w / (C(C − 1))) · Σ_c π_c(1 − π_c),
+    *         T_w = Σ_{k,l} w_kl over the observed C×C grid
+    *   AC2 = (pa − pe)/(1 − pe)
+    * Identity weights recover AC1 exactly (T_w = C), so on a BINARY
+    * scale — where linear weights ARE identity — AC2 = AC1, the
+    * spec-pinned reduction. Uneven panels tolerated; sub-2-rating
+    * units drop (the AC1 rule). NULL when n_units = 0, C < 2, or
+    * every rating shares one category (S = 0 — no scale to weight).
+    *
+    * Determinism: weights are doubles, so every weighted term is
+    * 1e-9-quantized per (unit, k, l) pair BEFORE any sum (the
+    * category-pair fan-out is ≤ C² per unit — dictionary-bounded);
+    * T_w quantizes per grid cell; prevalence fractions follow AC1.
+    * pa/pe/AC2 are one double expression each, rounded 6.
+    *
+    * Scale shape: the AC1 rollups plus one unit-keyed cell self-join
+    * (≤ C² per unit) and one C×C weight-grid rollup. No windows.
+    */
+  def gwetAC2(ratings: DataFrame, unitCol: String, catCol: String,
+              label: String, power: Int = 1): DataFrame = {
+    require(power == 1 || power == 2,
+      s"gwetAC2: power must be 1 (linear) or 2 (quadratic), got $power")
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .select(col(unitCol).as("u"), col(catCol).cast("long").as("cat"))
+      .groupBy("u", "cat").agg(count(lit(1)).as("c"))
+      .trackedPersist() // feeds margins, the pair join, the grid
+    val units = cells.groupBy("u").agg(sum("c").as("m"))
+      .filter(col("m") >= 2L)
+      .trackedPersist() // feeds uStats, the pair join, prevalence
+    val scale = cells.agg((max("cat") - min("cat")).as("_span"),
+      countDistinct("cat").as("n_cats"))
+    def wgt(k: Column, l: Column) = {
+      // span = 0 gates the whole output to NULL, but ANSI mode still
+      // evaluates the division — clamp the divisor (weight unused)
+      val d = abs(k - l).cast("double") /
+        greatest(col("_span"), lit(1L)).cast("double")
+      lit(1.0) - (if (power == 1) d else d * d)
+    }
+    // per-unit weighted cross terms, quantized per (u, k, l) pair
+    val a = cells.select(col("u"), col("cat").as("_k"),
+      col("c").as("_ck"))
+    val b = cells.select(col("u"), col("cat").as("_l"),
+      col("c").as("_cl"))
+    val pairTerms = a.join(b, Seq("u")).join(units, Seq("u"))
+      .crossJoin(broadcast(scale))
+      .select(col("u"), col("m"),
+        round(lit(1e9) * wgt(col("_k"), col("_l")) *
+          (col("_ck") * col("_cl")).cast("double")).cast("long")
+          .as("_qw"))
+      .groupBy("u", "m").agg(sum("_qw").as("_sqw"))
+    val uStats = pairTerms
+      .select(round((col("_sqw") - lit(1000000000L) * col("m"))
+        .cast("double") / (col("m") * (col("m") - 1L)).cast("double"))
+        .cast("long").as("_qpa"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum("_qpa"), lit(0L)).as("_spa"))
+    // T_w over the observed C×C grid, quantized per cell
+    val catsDict = cells.select("cat").distinct().trackedPersist()
+    val grid = catsDict.select(col("cat").as("_k"))
+      .crossJoin(catsDict.select(col("cat").as("_l")))
+      .crossJoin(broadcast(scale))
+      .select(round(lit(1e9) * wgt(col("_k"), col("_l"))).cast("long")
+        .as("_qg"))
+      .agg(coalesce(sum("_qg"), lit(0L)).as("_stw"))
+    val prev = cells.join(units, Seq("u"))
+      .select(col("cat"),
+        round(lit(1e9) * col("c").cast("double") / col("m")
+          .cast("double")).cast("long").as("_qp"))
+      .groupBy("cat").agg(sum("_qp").as("_sc"))
+    val pic = col("_sc").cast("double") / 1e9 / col("n_units")
+    val cStats = prev.crossJoin(broadcast(uStats))
+      .select(round(lit(1e9) * pic * (lit(1.0) - pic)).cast("long")
+        .as("_qt"))
+      .agg(coalesce(sum("_qt"), lit(0L)).as("_sqt"))
+    val pa = col("_spa").cast("double") / 1e9 / col("n_units")
+    val pe = (col("_stw").cast("double") / 1e9 /
+      (col("n_cats") * (col("n_cats") - 1L)).cast("double")) *
+      (col("_sqt").cast("double") / 1e9)
+    val defined = col("n_units") > 0L && col("n_cats") >= 2L &&
+      col("_span") > 0L
+    uStats.crossJoin(broadcast(scale)).crossJoin(broadcast(grid))
+      .crossJoin(broadcast(cStats))
+      .select(lit(label).as("measure"), col("n_units"), col("n_cats"),
+        lit(power.toLong).as("power"),
+        when(defined, round(pa, 6)).as("p_observed"),
+        when(defined, round(pe, 6)).as("p_expected"),
+        when(defined, round((pa - pe) / (lit(1.0) - pe), 6)).as("ac2"))
+  }
+
   /** Krippendorff's α (nominal data) — inter-rater reliability that,
     * unlike Fleiss κ (q295), TOLERATES MISSING RATINGS: each unit
     * keeps whatever raters showed up; units with fewer than 2

@@ -4324,6 +4324,111 @@ object TextQueries {
         "u", "cat", "ac1_panel")
     },
 
+    // ——— Gwet's AC2, quadratic weights: the ordinal completion of
+    //     q391 — 4 raters on a 5-point rubric, ratings mostly within
+    //     ±1 of the unit's base level (near-misses count partial
+    //     agreement). Weighted cross terms 1e-9-quantized per
+    //     (unit, k, l) pair; the weight grid per cell; one unit-keyed
+    //     cell self-join bounded by C² = 25. ———
+    Q("q392_gwet_ac2",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN CAST(concat('0x', substring(md5('g2a#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 < 80
+        |      THEN LEAST(4, GREATEST(0, (doc_id * 7) % 5
+        |        + CAST(concat('0x', substring(md5('g2b#'
+        |          || CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % 3 - 1))
+        |      ELSE CAST(concat('0x', substring(md5('g2c#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 5
+        |    END AS cat
+        |  FROM r
+        |), cells AS MATERIALIZED (
+        |  SELECT u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2
+        |), units AS MATERIALIZED (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m
+        |  FROM cells GROUP BY 1 HAVING SUM(c) >= 2
+        |), scale AS (
+        |  SELECT CAST(MAX(cat) - MIN(cat) AS BIGINT) AS span,
+        |    CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats
+        |  FROM cells
+        |), pt AS (
+        |  SELECT a.u, units.m,
+        |    CAST(round(1e9 * (CAST(1.0 AS DOUBLE)
+        |        - (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)
+        |          * (CAST(abs(a.cat - b.cat) AS DOUBLE) / span))
+        |      * CAST(a.c * b.c AS DOUBLE)) AS BIGINT) AS qw
+        |  FROM cells a JOIN cells b ON a.u = b.u
+        |    JOIN units ON a.u = units.u
+        |    CROSS JOIN scale
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COALESCE(SUM(qpa), 0) AS BIGINT) AS spa
+        |  FROM (
+        |    SELECT CAST(round(CAST(SUM(qw) - 1000000000 * m AS DOUBLE)
+        |      / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT) AS qpa
+        |    FROM pt GROUP BY u, m)
+        |), cd AS MATERIALIZED (
+        |  SELECT DISTINCT cat FROM cells
+        |), grid AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(1e9
+        |    * (CAST(1.0 AS DOUBLE)
+        |      - (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)
+        |        * (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)))
+        |    AS BIGINT)), 0) AS BIGINT) AS stw
+        |  FROM cd a CROSS JOIN cd b CROSS JOIN scale
+        |), prev AS (
+        |  SELECT cat, CAST(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    / CAST(m AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM cells JOIN units USING (u) GROUP BY 1
+        |), cs AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / n_units)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / n_units)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM prev CROSS JOIN us
+        |)
+        |SELECT 'ac2_panel' AS measure, n_units, n_cats,
+        |  CAST(2 AS BIGINT) AS power,
+        |  CASE WHEN n_units > 0 AND n_cats >= 2 AND span > 0 THEN
+        |    round(CAST(spa AS DOUBLE) / 1e9 / n_units, 6) END
+        |    AS p_observed,
+        |  CASE WHEN n_units > 0 AND n_cats >= 2 AND span > 0 THEN
+        |    round((CAST(stw AS DOUBLE) / 1e9
+        |        / CAST(n_cats * (n_cats - 1) AS DOUBLE))
+        |      * (CAST(sqt AS DOUBLE) / 1e9), 6) END AS p_expected,
+        |  CASE WHEN n_units > 0 AND n_cats >= 2 AND span > 0 THEN
+        |    round((CAST(spa AS DOUBLE) / 1e9 / n_units
+        |      - (CAST(stw AS DOUBLE) / 1e9
+        |          / CAST(n_cats * (n_cats - 1) AS DOUBLE))
+        |        * (CAST(sqt AS DOUBLE) / 1e9))
+        |      / (CAST(1.0 AS DOUBLE)
+        |        - (CAST(stw AS DOUBLE) / 1e9
+        |            / CAST(n_cats * (n_cats - 1) AS DOUBLE))
+        |          * (CAST(sqt AS DOUBLE) / 1e9)), 6) END AS ac2
+        |FROM us CROSS JOIN scale CROSS JOIN grid CROSS JOIN cs""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val base = col("doc_id") * 7 % 5
+      val cat = when(coin("g2a#") % 100 < 80,
+        least(lit(4L), greatest(lit(0L), base + coin("g2b#") % 3 - 1)))
+        .otherwise(coin("g2c#") % 5)
+      TextStats.gwetAC2(
+        r.select(col("doc_id").as("u"), cat.as("cat")),
+        "u", "cat", "ac2_panel", power = 2)
+    },
+
     // ——— interpolated Kneser–Ney bigram scoring (d = 0.75): the
     //     continuation-probability lower order (distinct left
     //     contexts, not raw frequency) that stops boilerplate tokens

@@ -897,7 +897,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("r15/r16 additions (q371–q391): partitioned/dictionary " +
+  test("r15/r16 additions (q371–q392): partitioned/dictionary " +
     "windows only, no cartesian, BNLJ only as bounded broadcast " +
     "attaches or the b-bounded bootstrap rank join") {
     // Every BNLJ below is a broadcast of a 1-row aggregate (totals /
@@ -926,6 +926,11 @@ class ScaleSpec extends SparkSpec {
     // measured, their whole point.
     // q391's two BNLJ are the n_units 1-row attach onto the category
     // marginals and the final pe attach — the accepted totals class.
+    // q392 attaches the SAME class five times logically (the 1-row
+    // span/n_cats scale onto the pair terms, onto the C×C weight
+    // grid, and scale+grid+prevalence onto the final row); the
+    // persisted cells/units frames echo three more textual
+    // occurrences. Every one is a 1-row or C-row broadcast.
     // q380/q385/q388 (streaming) are excluded like q348/q356:
     // constructing them RUNS the stream; their plan law is the
     // battery-wide window check in QueriesSpec.
@@ -941,7 +946,8 @@ class ScaleSpec extends SparkSpec {
       "q383_knn_shapley" -> 1,
       "q384_ips_offpolicy" -> 1,
       "q386_dr_offpolicy" -> 1,
-      "q391_gwet_ac1" -> 2).withDefaultValue(0)
+      "q391_gwet_ac1" -> 2,
+      "q392_gwet_ac2" -> 8).withDefaultValue(0)
     for (name <- Seq("q371_alpha_ordinal", "q372_bertscore",
         "q373_paired_bootstrap", "q374_permutation_test",
         "q375_weighted_kappa", "q376_mcnemar", "q377_cochran_q",
@@ -949,7 +955,7 @@ class ScaleSpec extends SparkSpec {
         "q382_kn_bigram", "q383_knn_shapley", "q384_ips_offpolicy",
         "q386_dr_offpolicy", "q387_isotonic_pav",
         "q389_grouped_bootstrap_ci", "q390_calibration_gain",
-        "q391_gwet_ac1")) {
+        "q391_gwet_ac1", "q392_gwet_ac2")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -1364,6 +1364,90 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("gwetAC2: binary-scale linear weights reduce EXACTLY to AC1, " +
+    "perfect agreement 1, near-misses score between nominal and " +
+    "perfect, degenerate one-category scale NULL, brute reference") {
+    def run(rows: Seq[(Long, Long)], power: Int = 2) = {
+      val r = TextStats.gwetAC2(rows.toDF("u", "cat"), "u", "cat",
+        "t", power = power).collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // binary scale: linear weights ARE identity ⇒ AC2 == AC1 exactly
+    val rnd0 = new scala.util.Random(392L)
+    val bin = (0L until 20L).flatMap(u =>
+      (0 until 2 + rnd0.nextInt(2)).map(_ => (u, rnd0.nextInt(2).toLong)))
+    val a2 = run(bin, power = 1)
+    val a1 = TextStats.gwetAC1(bin.toDF("u", "cat"), "u", "cat", "t")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(a2.getAs[Double]("ac2") === a1.getAs[Double]("ac1") &&
+      a2.getAs[Double]("p_observed") === a1.getAs[Double]("p_observed") &&
+      a2.getAs[Double]("p_expected") === a1.getAs[Double]("p_expected"),
+      s"binary reduction must be exact: $a2 vs $a1")
+
+    // perfect agreement on a 3-point scale
+    val perfect = (0L to 9L).flatMap(u => Seq.fill(3)((u, u % 3)))
+    assert(run(perfect).getAs[Double]("ac2") === 1.0)
+
+    // near-miss panel (every unit split between adjacent levels of a
+    // 5-point scale): quadratic AC2 must beat nominal AC1 — partial
+    // credit is the operator's whole point
+    val near = (0L to 19L).flatMap(u =>
+      Seq((u, u % 4), (u, u % 4 + 1)))
+    val nA2 = run(near).getAs[Double]("ac2")
+    val nA1 = TextStats.gwetAC1(near.toDF("u", "cat"), "u", "cat", "t")
+      .collect().head.getAs[Double]("ac1")
+    graft.engine.TrackedCache.release()
+    assert(nA2 > nA1,
+      s"adjacent splits must earn partial credit: ac2=$nA2 ac1=$nA1")
+
+    // one-category panel: span 0, no scale to weight ⇒ NULL
+    val flat = (0L to 5L).flatMap(u => Seq((u, 2L), (u, 2L)))
+    val f = run(flat)
+    assert(f.isNullAt(f.fieldIndex("ac2")))
+
+    // brute reference on random 5-point panels (quadratic)
+    val rnd = new scala.util.Random(4392L)
+    for (trial <- 0 until 5) {
+      val panel = (0L until (8 + rnd.nextInt(8)).toLong).flatMap { u =>
+        (0 until 2 + rnd.nextInt(3)).map(_ =>
+          (u, rnd.nextInt(5).toLong))
+      }
+      val got = run(panel).getAs[Double]("ac2")
+      val byU = panel.groupBy(_._1).filter(_._2.size >= 2)
+      val n = byU.size.toDouble
+      val cats = panel.map(_._2).distinct.sorted
+      val span = (cats.max - cats.min).toDouble
+      def w(k: Long, l: Long) =
+        1.0 - math.pow(math.abs(k - l) / span, 2)
+      val pa = byU.values.map { rs =>
+        val m = rs.size.toDouble
+        val cnt = rs.groupBy(_._2).map { case (c, xs) =>
+          c -> xs.size.toDouble }
+        // .toSeq: a for over Map#keys yields a SET and would
+        // deduplicate equal weighted terms before the sum
+        val cross = (for (k <- cnt.keys.toSeq; l <- cnt.keys.toSeq)
+          yield w(k, l) * cnt(k) * cnt(l)).sum
+        (cross - m) / (m * (m - 1))
+      }.sum / n
+      val c = cats.size.toDouble
+      val tw = (for (k <- cats; l <- cats) yield w(k, l)).sum
+      val pis = cats.map { cc =>
+        byU.values.map(rs =>
+          rs.count(_._2 == cc).toDouble / rs.size).sum / n }
+      val pe = (tw / (c * (c - 1))) * pis.map(x => x * (1 - x)).sum
+      val ref = (pa - pe) / (1 - pe)
+      val gotRow = run(panel)
+      assert(math.abs(gotRow.getAs[Double]("p_observed") - pa) < 1e-5,
+        s"trial $trial pa: ${gotRow.getAs[Double]("p_observed")} vs $pa")
+      assert(math.abs(gotRow.getAs[Double]("p_expected") - pe) < 1e-5,
+        s"trial $trial pe: ${gotRow.getAs[Double]("p_expected")} vs $pe")
+      assert(math.abs(got - ref) < 1e-5,
+        s"trial $trial: $got vs brute $ref")
+    }
+  }
+
   test("selfBleu/wer/fertility: NULL rows are dropped, not scored " +
     "as phantom groups (size(NULL) = −1 would corrupt totals)") {
     val sb = TextStats.selfBleu(Seq((Some(0L), Some(1L), Some("a b")),
