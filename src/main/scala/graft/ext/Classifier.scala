@@ -578,7 +578,14 @@ object Classifier {
                           buckets: Int = 1000): DataFrame = {
     require(buckets >= 1 && buckets <= 1000000,
       s"isotonicCalibration: buckets in [1, 1e6], got $buckets")
-    val q = scored.select(col(groupCol).cast("string").as("_g"),
+    // Finite-score rule (shared with the Evals family): NaN passes
+    // bucketize silently — greatest(NaN, 0) is NaN and
+    // least(NaN, buckets) returns buckets, so a NaN score would land
+    // in the TOP bucket (+Inf likewise, -Inf in bucket 0). Drop
+    // non-finite scores before quantizing, like every other quantizer.
+    val q = scored
+      .filter(Evals.finite(col(scoreCol).cast("double")))
+      .select(col(groupCol).cast("string").as("_g"),
         bucketize(col(scoreCol), buckets).as("_b"),
         col(labelCol).cast("long").as("_y"))
       .filter(col("_g").isNotNull && col("_b").isNotNull &&
@@ -688,7 +695,14 @@ object Classifier {
     import graft.engine.TrackedCache.Trackable
     require(buckets >= 1 && buckets <= 1000000,
       s"calibrationGain: buckets in [1, 1e6], got $buckets")
-    val q = scored.select(col(groupCol).cast("string").as("_g"),
+    // Same finite-score rule as isotonicCalibration: without it a
+    // NaN score both lands in the top bucket AND quantizes its raw
+    // Brier term round(1e6·(NaN−y)²) to 0 on the long cast — a row
+    // scored as zero raw error while still counting in n, which can
+    // break the brier_cal ≤ brier_raw law.
+    val q = scored
+      .filter(Evals.finite(col(scoreCol).cast("double")))
+      .select(col(groupCol).cast("string").as("_g"),
         bucketize(col(scoreCol), buckets).as("_b"),
         col(labelCol).cast("long").as("_y"),
         col(scoreCol).cast("double").as("_s"))

@@ -979,7 +979,11 @@ object Similarity {
     * [[cosineNearDupPairs]]' gate, not advisory: the operator counts
     * the query roster (one column-pruned scan, negligible next to
     * the Q·N it prices) and refuses more than `maxQueries` rows.
-    * Raise it only for a deliberate, budgeted valuation run.
+    * Raise it only for a deliberate, budgeted valuation run. The
+    * gate counts exactly the rows that enter the broadcast (after
+    * the NULL qid/qv/q_label drop), and the count is an EAGER Spark
+    * action at operator-construction time — building the plan runs
+    * one column-pruned scan of `queries`.
     */
   def knnShapley(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                  idCol: String = "vec_id", vecCol: String = "embedding",
@@ -987,7 +991,13 @@ object Similarity {
                  maxQueries: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"knnShapley: k must be >= 1, got $k")
-    val nq = queries.select(col("qid")).count()
+    // count the same roster the broadcast ships: rows the NULL
+    // filter drops never reach the Q·N frame, so they must not
+    // spend the budget (otherwise the gate over-refuses)
+    val nq = queries
+      .filter(col("qid").isNotNull && col("qv").isNotNull &&
+        col("q_label").isNotNull)
+      .count()
     require(nq <= maxQueries,
       s"knnShapley scores a query-roster × corpus frame and refuses " +
         s"$nq query rows (maxQueries=$maxQueries): its cost is " +

@@ -1403,7 +1403,14 @@ object TextStats {
     val units = cells.groupBy("u").agg(sum("c").as("m"))
       .filter(col("m") >= 2L)
       .trackedPersist() // feeds uStats, the pair join, prevalence
-    val scale = cells.agg((max("cat") - min("cat")).as("_span"),
+    // Scale (span, n_cats) and the weight grid derive from SURVIVING
+    // units' cells only (the same frame prev uses): a category seen
+    // solely in a dropped sub-2-rating unit is invisible to pa and
+    // the prevalence marginals, so letting it inflate C, T_w and pe
+    // would break the documented identity-weights ⇒ AC1 reduction
+    // on such panels (AC1 counts n_cats over surviving units).
+    val survCells = cells.join(units, Seq("u"))
+    val scale = survCells.agg((max("cat") - min("cat")).as("_span"),
       countDistinct("cat").as("n_cats"))
     def wgt(k: Column, l: Column) = {
       // span = 0 gates the whole output to NULL, but ANSI mode still
@@ -1430,15 +1437,15 @@ object TextStats {
         .cast("long").as("_qpa"))
       .agg(count(lit(1)).as("n_units"),
         coalesce(sum("_qpa"), lit(0L)).as("_spa"))
-    // T_w over the observed C×C grid, quantized per cell
-    val catsDict = cells.select("cat").distinct().trackedPersist()
+    // T_w over the observed (surviving-unit) C×C grid, per cell
+    val catsDict = survCells.select("cat").distinct().trackedPersist()
     val grid = catsDict.select(col("cat").as("_k"))
       .crossJoin(catsDict.select(col("cat").as("_l")))
       .crossJoin(broadcast(scale))
       .select(round(lit(1e9) * wgt(col("_k"), col("_l"))).cast("long")
         .as("_qg"))
       .agg(coalesce(sum("_qg"), lit(0L)).as("_stw"))
-    val prev = cells.join(units, Seq("u"))
+    val prev = survCells
       .select(col("cat"),
         round(lit(1e9) * col("c").cast("double") / col("m")
           .cast("double")).cast("long").as("_qp"))

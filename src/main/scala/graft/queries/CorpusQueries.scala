@@ -3157,8 +3157,10 @@ object CorpusQueries {
     //     as per-shard mapGroupsWithState ledgers (argmax-on-n_segs
     //     readback — sqd is signed), summed and finished by the
     //     shared confidence-sequence finisher (Howard et al. 2021
-    //     stitched boundary, α = 0.05, sub-Gaussian scale 0.1 for
-    //     deltas in [−0.09, 0.109]). The interval is valid at ANY
+    //     stitched boundary, α = 0.05, sub-Gaussian scale 0.109 —
+    //     the operator's Hoeffding rule wants scale ≥ max|delta|,
+    //     and these deltas lie in [−0.09, 0.109]). The interval is
+    //     valid at ANY
     //     stopping time — the always-valid readout the fixed-horizon
     //     q373/q374 can't give a live ledger. ———
     Q("q388_streaming_confseq",
@@ -3188,7 +3190,7 @@ object CorpusQueries {
         |    CAST(sqd2 AS DOUBLE) / 1e6 / n_segs
         |      - (CAST(sqd AS DOUBLE) / 1e6 / n_segs)
         |        * (CAST(sqd AS DOUBLE) / 1e6 / n_segs) AS varraw,
-        |    CAST(0.1 AS DOUBLE) * CAST(1.7 AS DOUBLE)
+        |    CAST(0.109 AS DOUBLE) * CAST(1.7 AS DOUBLE)
         |      * sqrt((ln(ln(CAST(2.0 AS DOUBLE) * n_segs))
         |        + CAST(0.72 AS DOUBLE)
         |          * ln(CAST(5.2 AS DOUBLE) / CAST(0.05 AS DOUBLE)))
@@ -3233,7 +3235,7 @@ object CorpusQueries {
           .as("_m"))
         .select(col("_m.n_segs").as("n_segs"), col("_m.sqd").as("sqd"),
           col("_m.sqd2").as("sqd2"))
-      Evals.seqTestOnCounts(ledger, alpha = 0.05, scale = 0.1)
+      Evals.seqTestOnCounts(ledger, alpha = 0.05, scale = 0.109)
     },
 
     // ——— per-group Poisson-bootstrap percentile CI (Chamandy et al.

@@ -4357,7 +4357,7 @@ object TextQueries {
         |), scale AS (
         |  SELECT CAST(MAX(cat) - MIN(cat) AS BIGINT) AS span,
         |    CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats
-        |  FROM cells
+        |  FROM cells JOIN units USING (u)
         |), pt AS (
         |  SELECT a.u, units.m,
         |    CAST(round(1e9 * (CAST(1.0 AS DOUBLE)
@@ -4375,7 +4375,7 @@ object TextQueries {
         |      / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT) AS qpa
         |    FROM pt GROUP BY u, m)
         |), cd AS MATERIALIZED (
-        |  SELECT DISTINCT cat FROM cells
+        |  SELECT DISTINCT cat FROM cells JOIN units USING (u)
         |), grid AS (
         |  SELECT CAST(COALESCE(SUM(CAST(round(1e9
         |    * (CAST(1.0 AS DOUBLE)
