@@ -739,4 +739,115 @@ object Classifier {
           .as("brier_cal"))
       .orderBy(groupCol)
   }
+
+  /** OUT-OF-SAMPLE calibration apply — the production half of
+    * [[isotonicCalibration]]: take a FITTED block map (that
+    * operator's output, fitted on a training panel) and apply it to a
+    * HOLDOUT panel, reporting each group's holdout Brier before and
+    * after. This implements the gap semantics the isotonic docstring
+    * promises ("nearest block below for gaps"): a holdout score
+    * bucketizes onto the same 1/`buckets` grid, and its fitted value
+    * comes from
+    *   - the block whose [score_lo, score_hi] bucket range brackets
+    *     it (the exact case — every train bucket is inside a block);
+    *   - else the NEAREST BLOCK BELOW (greatest block_lo ≤ bucket —
+    *     a gap between blocks, or beyond the last block);
+    *   - else (bucket below the FIRST block) the first block.
+    * The rule is the step-function reading of the isotonic fit:
+    * constant on each block, extended left/right as a constant —
+    * monotone in the score by construction. `n_gap` counts the
+    * holdout ROWS served by the gap/extension path (bucket outside
+    * every block's range) — the drift diagnostic: a holdout that
+    * keeps landing off the fitted support wants a refit.
+    *
+    * Unlike [[calibrationGain]] (in-sample, where brier_cal ≤
+    * brier_raw is a theorem), NO such law holds out-of-sample — the
+    * gap IS the honest generalization readout (spec pins the gap
+    * semantics instead).
+    *
+    * Groups present in the holdout but absent from `blocks` have no
+    * map and DROP (inner join on the group — apply is defined only
+    * for fitted groups; count them upstream if needed).
+    *
+    * Determinism: the identical quantizations as [[calibrationGain]]
+    * — per-row raw squared errors 1e-6-quantized BIGINTs in the
+    * bucket rollup; per-bucket calibrated error collapses to
+    * n·f² − 2·f·sy + sy over the 6-dp block `fitted`, 1e-6-quantized
+    * before the group sum; final Briers one division each, rounded 6.
+    *
+    * Scale shape: ONE row-scale (group, bucket) holdout rollup, one
+    * dictionary join to the block map (group-equi with a ≤-filter,
+    * both sides bucket-bounded per group), an argmax-by-struct pick
+    * of the nearest block below, a 1-row-per-group first-block
+    * attach, one group rollup. No windows, no row-scale join.
+    */
+  def applyCalibration(blocks: DataFrame, holdout: DataFrame,
+                       labelCol: String, scoreCol: String,
+                       groupCol: String,
+                       buckets: Int = 1000): DataFrame = {
+    import graft.engine.TrackedCache.Trackable
+    require(buckets >= 1 && buckets <= 1000000,
+      s"applyCalibration: buckets in [1, 1e6], got $buckets")
+    // block map in bucket coordinates: score_lo/score_hi are
+    // blo/buckets rounded 6, so round(score·buckets) recovers the
+    // exact integer bucket bound for buckets ≤ 1e6
+    val blk = blocks.select(
+        col(groupCol).cast("string").as("_bg"),
+        round(col("score_lo").cast("double") * buckets).cast("long")
+          .as("_blo"),
+        round(col("score_hi").cast("double") * buckets).cast("long")
+          .as("_bhi"),
+        col("fitted").cast("double").as("_f"))
+      .trackedPersist() // feeds the lookup join, the first-block
+                        // fallback, and the per-group block count
+    val firstBlk = blk.groupBy("_bg")
+      .agg(min(struct(col("_blo"), col("_f"))).as("_m"),
+        count(lit(1)).as("n_blocks"))
+      .select(col("_bg"), col("_m._f").as("_f0"), col("n_blocks"))
+    // the calibrationGain holdout rollup (same finite-score rule)
+    val q = holdout
+      .filter(Evals.finite(col(scoreCol).cast("double")))
+      .select(col(groupCol).cast("string").as("_g"),
+        bucketize(col(scoreCol), buckets).as("_b"),
+        col(labelCol).cast("long").as("_y"),
+        col(scoreCol).cast("double").as("_s"))
+      .filter(col("_g").isNotNull && col("_b").isNotNull &&
+        col("_y").isNotNull)
+    val dict = q.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_sy"),
+        sum(round(lit(1e6) * (col("_s") - col("_y")) *
+          (col("_s") - col("_y"))).cast("long")).as("_qraw"))
+    // nearest block below: among blocks with _blo ≤ bucket, the one
+    // with the greatest _blo (argmax by struct — _blo is unique per
+    // group). Buckets below the first block match nothing (left
+    // join) and fall back to the first block's fitted.
+    val looked = dict
+      .join(blk, col("_g") === col("_bg") && col("_blo") <= col("_b"),
+        "left")
+      .groupBy("_g", "_b", "_n", "_sy", "_qraw")
+      .agg(max(struct(col("_blo"), col("_bhi"), col("_f"))).as("_mb"))
+      .select(col("_g"), col("_b"), col("_n"), col("_sy"),
+        col("_qraw"), col("_mb._bhi").as("_hi"), col("_mb._f").as("_fb"))
+      .join(firstBlk.withColumnRenamed("_bg", "_g"), Seq("_g"))
+    val f = coalesce(col("_fb"), col("_f0"))
+    val gapRow = col("_fb").isNull || col("_b") > col("_hi")
+    looked
+      .select(col("_g"), col("_n"), col("_qraw"), col("n_blocks"),
+        when(gapRow, col("_n")).otherwise(0L).as("_ngap"),
+        round(lit(1e6) * (f * f * col("_n") -
+          lit(2.0) * f * col("_sy") + col("_sy"))).cast("long")
+          .as("_qcal"))
+      .groupBy("_g")
+      .agg(sum("_n").as("n"), max("n_blocks").as("n_blocks"),
+        sum("_ngap").as("n_gap"),
+        coalesce(sum("_qraw"), lit(0L)).as("_sraw"),
+        coalesce(sum("_qcal"), lit(0L)).as("_scal"))
+      .select(col("_g").as(groupCol), col("n"), col("n_blocks"),
+        col("n_gap"),
+        round(col("_sraw").cast("double") / 1e6 / col("n"), 6)
+          .as("brier_raw"),
+        round(col("_scal").cast("double") / 1e6 / col("n"), 6)
+          .as("brier_cal"))
+      .orderBy(groupCol)
+  }
 }

@@ -625,6 +625,89 @@ object Evals {
         when(abs(mean6) > rad6, 1L).otherwise(0L)).as("reject_null"))
   }
 
+  /** EMPIRICAL-BERNSTEIN anytime-valid sequential test — the
+    * variance-adaptive companion of [[seqTestOnCounts]] that removes
+    * its one caller-asserted footgun: there, a mis-specified
+    * sub-Gaussian `scale` silently voids the coverage guarantee; here
+    * `scale` only needs to BOUND the deltas (|d| ≤ scale — easy to
+    * assert for clipped metrics) while the radius WIDTH adapts to the
+    * measured variance via the already-ledgered second moment:
+    *   ℓ(n)      = ln ln(2n) + 0.72·ln(5.2/α)   (the shared stitched
+    *               term, Howard et al. 2021, η = 2, s = 1.4)
+    *   radius_sg = scale · 1.7 · √(ℓ(n)/n)      (the sub-Gaussian
+    *               radius, reported for comparison)
+    *   radius_eb = 1.7 · √(V̂·ℓ(n)/n) + 3.4 · scale · ℓ(n)/n
+    * with V̂ = max(var_delta, 0) — the empirical-Bernstein stitched
+    * boundary's shape (first-order term scaled by the EMPIRICAL
+    * standard deviation, a second-order range-penalty term that
+    * decays at rate ℓ(n)/n). When the deltas' true spread is far
+    * below the asserted bound (V̂ ≪ scale² — the common case for a
+    * conservatively clipped metric), radius_eb ≪ radius_sg and the
+    * test gains power for free; the CI and reject_null here use
+    * radius_eb.
+    *
+    * Consumes the IDENTICAL (n_segs, sqd, sqd2) counters as
+    * [[seqTestOnCounts]] — in particular the
+    * [[graft.ext.Streaming.confSeqLedgerStream]] shard ledgers — so
+    * the upgrade is a finisher swap, the ledger stream byte-unchanged
+    * (batch/stream parity is the same ipsOnCounts argument).
+    *
+    * Determinism: pure arithmetic over the summed integer counters;
+    * one double expression per reported quantity, rounded 6; the
+    * reject decision compares the 6-dp-rounded pair (the
+    * [[seqTestOnCounts]] discipline).
+    */
+  def seqTestOnCountsEB(counts: DataFrame, alpha: Double = 0.05,
+                        scale: Double = 1.0): DataFrame = {
+    require(alpha > 0 && alpha < 0.5,
+      s"seqTestOnCountsEB: alpha in (0, 0.5), got $alpha")
+    require(scale > 0,
+      s"seqTestOnCountsEB: scale must be > 0, got $scale")
+    val agg = counts.agg(
+      coalesce(sum("n_segs"), lit(0L)).as("n_segs"),
+      coalesce(sum("sqd"), lit(0L)).as("_sqd"),
+      coalesce(sum("sqd2"), lit(0L)).as("_sqd2"))
+    val n = col("n_segs").cast("double")
+    val meanRaw = col("_sqd") / 1e6 / n
+    val varRaw = col("_sqd2") / 1e6 / n - meanRaw * meanRaw
+    val ell = log(log(lit(2.0) * n)) + lit(0.72) * log(lit(5.2 / alpha))
+    val radSg = lit(scale) * lit(1.7) * sqrt(ell / n)
+    val radEb = lit(1.7) * sqrt(greatest(varRaw, lit(0.0)) * ell / n) +
+      lit(3.4 * scale) * ell / n
+    val mean6 = round(meanRaw, 6)
+    val radEb6 = round(radEb, 6)
+    agg.select(col("n_segs"),
+      when(col("n_segs") > 0L, mean6).as("mean_delta"),
+      when(col("n_segs") > 0L, round(varRaw, 6)).as("var_delta"),
+      when(col("n_segs") > 0L, round(radSg, 6)).as("radius_sg"),
+      when(col("n_segs") > 0L, radEb6).as("radius_eb"),
+      when(col("n_segs") > 0L, round(meanRaw - radEb, 6)).as("ci_lo"),
+      when(col("n_segs") > 0L, round(meanRaw + radEb, 6)).as("ci_hi"),
+      when(col("n_segs") > 0L,
+        when(abs(mean6) > radEb6, 1L).otherwise(0L)).as("reject_null"))
+  }
+
+  /** [[seqTestOnCountsEB]] from raw paired per-segment scores — the
+    * batch convenience that builds the quantized (n, Σd, Σd²)
+    * counters exactly like [[confSeqTest]] (same 1e-6 HALF_UP rule,
+    * same [[finite]] drop on the delta) and applies the
+    * empirical-Bernstein finisher. */
+  def confSeqTestEB(segs: DataFrame, idCol: String, aCol: String,
+                    bCol: String, alpha: Double = 0.05,
+                    scale: Double = 1.0): DataFrame = {
+    val base = segs.select(col(idCol).as("_s"),
+        (col(aCol).cast("double") - col(bCol).cast("double")).as("_d"))
+      .filter(col("_s").isNotNull && finite(col("_d")))
+      .select(col("_s"),
+        round(lit(1e6) * col("_d")).cast("long").as("_qd"),
+        round(lit(1e6) * col("_d") * col("_d")).cast("long")
+          .as("_qd2"))
+    seqTestOnCountsEB(base.agg(count(lit(1)).as("n_segs"),
+        coalesce(sum("_qd"), lit(0L)).as("sqd"),
+        coalesce(sum("_qd2"), lit(0L)).as("sqd2")),
+      alpha, scale)
+  }
+
   /** Per-group Poisson-bootstrap percentile CI on ONE metric column —
     * the "how uncertain is each slice's mean" companion to
     * [[pairedBootstrap]]'s two-system comparison, on the same

@@ -1437,10 +1437,13 @@ object TextStats {
         .cast("long").as("_qpa"))
       .agg(count(lit(1)).as("n_units"),
         coalesce(sum("_qpa"), lit(0L)).as("_spa"))
-    // T_w over the observed (surviving-unit) C×C grid, per cell
+    // T_w over the observed (surviving-unit) C×C grid, per cell —
+    // the grid side is the C-row category dictionary: broadcast it
+    // explicitly (derived through the surviving-units join, its size
+    // estimate no longer auto-broadcasts)
     val catsDict = survCells.select("cat").distinct().trackedPersist()
     val grid = catsDict.select(col("cat").as("_k"))
-      .crossJoin(catsDict.select(col("cat").as("_l")))
+      .crossJoin(broadcast(catsDict.select(col("cat").as("_l"))))
       .crossJoin(broadcast(scale))
       .select(round(lit(1e9) * wgt(col("_k"), col("_l"))).cast("long")
         .as("_qg"))
@@ -1468,6 +1471,244 @@ object TextStats {
         when(defined, round(pa, 6)).as("p_observed"),
         when(defined, round(pe, 6)).as("p_expected"),
         when(defined, round((pa - pe) / (lit(1.0) - pe), 6)).as("ac2"))
+  }
+
+  /** Bootstrap UNCERTAINTY for the agreement family — converts the
+    * point estimates of [[gwetAC1]] / [[gwetAC2]] / nominal
+    * [[krippendorffAlpha]] into a decision: a deterministic
+    * Poisson(1) bootstrap over UNITS (the resampling unit for
+    * inter-rater designs — raters within a unit travel together),
+    * reporting the bootstrap SE and the nearest-rank 95% CI next to
+    * the exact point estimate. The machinery is
+    * [[graft.ext.Evals.groupedBootstrapCI]]'s (Chamandy et al. 2012
+    * md5-coin Poisson weights, exact long-arithmetic ranks, q389):
+    * resample r gives unit u weight w(r, u) ∈ {0..5}; the
+    * coefficient is recomputed per resample from WEIGHTED versions
+    * of the same dictionary rollups the point operators use.
+    *
+    * The instrument is FIXED across resamples: the category count C
+    * (and for AC2 the span and T_w weight-grid total) comes from the
+    * full surviving panel, not each resample — resampling perturbs
+    * the PANEL, not the rating scale, and this keeps a resample that
+    * happens to zero out a category from silently changing the
+    * chance-correction denominator (its prevalence term is 0 there,
+    * which is the right contribution).
+    *
+    * Per-resample arithmetic mirrors the point operators exactly:
+    * per-unit agreement terms (`qpa` for AC1/AC2, the per-unit D_o
+    * sum for α) and per-(unit, category) prevalence terms are the
+    * SAME 1e-9-quantized BIGINTs, multiplied by the integer weight
+    * and summed (order-free); each resample's coefficient is one
+    * double expression over those integer sums, 1e-9-quantized to a
+    * BIGINT before ranking. Undefined resamples (all weights zero;
+    * for α additionally a degenerate single-category resample) DROP
+    * — `n_eff` reports survivors. SE is the sample standard
+    * deviation of the surviving resample coefficients (exact integer
+    * sums, DECIMAL(38,0) squares, one double finisher); CI bounds
+    * are the q389 nearest-rank ⌈n_eff/40⌉ / ⌈39·n_eff/40⌉ order
+    * statistics by exact long comparison with resample-id tie-break.
+    *
+    * `estimate` IS the point operator's coefficient (computed by
+    * delegating to it — equality is by construction, spec-pinned).
+    * Laws the spec pins: a degenerate all-agree panel collapses the
+    * CI to [1, 1] with se = 0; the CI brackets the point estimate on
+    * well-behaved panels; on a BINARY scale the AC2 bootstrap equals
+    * the AC1 bootstrap row-for-row (linear weights are identity
+    * there).
+    *
+    * Scale shape: the point operators' dictionary rollups, a b×
+    * literal explode of the UNIT-level and CELL-level term frames
+    * (map-side, the q389 cost class), aggregates down to b and b·C
+    * rows, a b×b rank self-join on a derived constant key (equi hash
+    * join bounded by the b PARAMETER — never a BNLJ), and 1-row
+    * broadcast attaches. No windows.
+    */
+  def agreementBootstrapCI(ratings: DataFrame, unitCol: String,
+                           catCol: String, label: String,
+                           measure: String = "ac1", b: Int = 200,
+                           power: Int = 1,
+                           seed: String = "abc"): DataFrame = {
+    require(Set("ac1", "ac2", "alpha")(measure),
+      s"agreementBootstrapCI: measure in {ac1, ac2, alpha}, got $measure")
+    require(b >= 2 && b <= 100000,
+      s"agreementBootstrapCI: b in [2, 1e5], got $b")
+    require(power == 1 || power == 2,
+      s"agreementBootstrapCI: power must be 1 or 2, got $power")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells0 = ratings
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .select(col(unitCol).as("u"),
+        (if (measure == "ac2") col(catCol).cast("long")
+         else col(catCol)).as("cat"))
+      .groupBy("u", "cat").agg(count(lit(1)).as("c"))
+      .trackedPersist()
+    val units = cells0.groupBy("u")
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("ss"))
+      .filter(col("m") >= 2L)
+      .trackedPersist()
+    val cells = cells0.join(units.select("u", "m"), Seq("u"))
+      .trackedPersist() // surviving cells with the unit margin
+    // fixed instrument constants: C always; span + T_w for AC2
+    def wgt(k: Column, l: Column) = {
+      val d = abs(k - l).cast("double") /
+        greatest(col("_span"), lit(1L)).cast("double")
+      lit(1.0) - (if (power == 1) d else d * d)
+    }
+    val consts: DataFrame = if (measure == "ac2") {
+      val sc = cells.agg(countDistinct("cat").as("n_cats"),
+        (max("cat") - min("cat")).as("_span"))
+      val catsDict = cells.select("cat").distinct()
+      val grid = catsDict.select(col("cat").as("_k"))
+        .crossJoin(broadcast(catsDict.select(col("cat").as("_l"))))
+        .crossJoin(broadcast(sc))
+        .select(round(lit(1e9) * wgt(col("_k"), col("_l")))
+          .cast("long").as("_qg"))
+        .agg(coalesce(sum("_qg"), lit(0L)).as("_stw"))
+      sc.crossJoin(broadcast(grid))
+    } else {
+      cells.agg(countDistinct("cat").as("n_cats"),
+        lit(0L).as("_span"), lit(0L).as("_stw"))
+    }
+    // per-unit agreement term _qpa (AC1/AC2) or per-unit D_o (alpha)
+    val uterm: DataFrame = measure match {
+      case "ac1" => units.select(col("u"), col("m"),
+        round(lit(1e9) * (col("ss") - col("m")).cast("double") /
+          (col("m") * (col("m") - 1L)).cast("double")).cast("long")
+          .as("_qpa"))
+      case "ac2" =>
+        val a = cells.select(col("u"), col("cat").as("_k"),
+          col("c").as("_ck"))
+        val bb = cells.select(col("u"), col("cat").as("_l"),
+          col("c").as("_cl"))
+        a.join(bb, Seq("u")).join(units.select("u", "m"), Seq("u"))
+          .crossJoin(broadcast(consts))
+          .select(col("u"), col("m"),
+            round(lit(1e9) * wgt(col("_k"), col("_l")) *
+              (col("_ck") * col("_cl")).cast("double")).cast("long")
+              .as("_qw"))
+          .groupBy("u", "m").agg(sum("_qw").as("_sqw"))
+          .select(col("u"), col("m"),
+            round((col("_sqw") - lit(1000000000L) * col("m"))
+              .cast("double") /
+              (col("m") * (col("m") - 1L)).cast("double")).cast("long")
+              .as("_qpa"))
+      case _ => cells
+        .select(col("u"), col("m"),
+          round(lit(1e9) * col("c").cast("double") *
+            (col("m") - col("c")).cast("double") /
+            (col("m") - 1L).cast("double")).cast("long").as("_t"))
+        .groupBy("u", "m").agg(sum("_t").as("_qpa"))
+    }
+    // the q389 deterministic Poisson(1) coin, keyed by (resample, unit)
+    def pw(r: Column, s: Column): Column = {
+      val u = conv(substring(md5(concat(lit(seed), lit("#"),
+        r.cast("string"), lit("#"), s.cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 10000L
+      when(u < 3679L, 0L).when(u < 7358L, 1L).when(u < 9197L, 2L)
+        .when(u < 9810L, 3L).when(u < 9963L, 4L).otherwise(5L)
+    }
+    // unit-level resample rollup → b rows
+    val uw = uterm
+      .select(col("u"), col("m"), col("_qpa"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .withColumn("_w", pw(col("_r"), col("u")))
+      .groupBy("_r")
+      .agg(sum("_w").as("_nu"),
+        sum(col("_w") * col("m")).as("_nr"),
+        sum(col("_w") * col("_qpa")).as("_spa"))
+      .filter(col("_nu") > 0L)
+    // cell-level resample rollup → b·C rows (raw counts for α,
+    // 1e-9-quantized prevalence fractions for AC1/AC2)
+    val cw = cells
+      .select(col("u"), col("cat"), col("c"), col("m"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .withColumn("_w", pw(col("_r"), col("u")))
+      .select(col("_r"), col("cat"),
+        (col("_w") * col("c")).as("_wc"),
+        (col("_w") * round(lit(1e9) * col("c").cast("double") /
+          col("m").cast("double")).cast("long")).as("_wqp"))
+      .groupBy("_r", "cat")
+      .agg(sum("_wc").as("_nc"), sum("_wqp").as("_sc"))
+    // per-resample coefficient, 1e-9-quantized for ranking
+    val perR: DataFrame = measure match {
+      case "ac1" | "ac2" =>
+        val pic = col("_sc").cast("double") / 1e9 / col("_nu")
+        val sqt = cw.join(broadcast(uw.select("_r", "_nu")), Seq("_r"))
+          .select(col("_r"),
+            round(lit(1e9) * pic * (lit(1.0) - pic)).cast("long")
+              .as("_qt"))
+          .groupBy("_r").agg(coalesce(sum("_qt"), lit(0L)).as("_sqt"))
+        val pa = col("_spa").cast("double") / 1e9 / col("_nu")
+        val pe = if (measure == "ac1")
+          col("_sqt").cast("double") / 1e9 / (col("n_cats") - 1L)
+        else
+          (col("_stw").cast("double") / 1e9 /
+            (col("n_cats") * (col("n_cats") - 1L)).cast("double")) *
+            (col("_sqt").cast("double") / 1e9)
+        uw.join(sqt, Seq("_r")).crossJoin(broadcast(consts))
+          .filter(col("n_cats") >= 2L &&
+            (if (measure == "ac2") col("_span") > 0L else lit(true)))
+          .select(col("_r"),
+            round(lit(1e9) * (pa - pe) / (lit(1.0) - pe)).cast("long")
+              .as("_qv"))
+      case _ =>
+        val s2 = cw.groupBy("_r")
+          .agg(coalesce(sum(dec(col("_nc")) * dec(col("_nc"))),
+            dec(lit(0))).as("_snc2"))
+        val deNum = dec(col("_nr")) * dec(col("_nr")) - col("_snc2")
+        uw.join(s2, Seq("_r"))
+          .filter(col("_nr") >= 2L && deNum =!= dec(lit(0)))
+          .select(col("_r"),
+            round(lit(1e9) * (lit(1.0) -
+              (dec(col("_spa")) * dec(col("_nr") - 1L)).cast("double") /
+              (lit(1e9) * deNum.cast("double")))).cast("long")
+              .as("_qv"))
+    }
+    val qvs = perR.trackedPersist() // ≤ b rows: stats + both rank sides
+    val stats = qvs.agg(count(lit(1)).as("n_eff"),
+      coalesce(sum("_qv"), lit(0L)).as("_sv"),
+      coalesce(sum(dec(col("_qv")) * dec(col("_qv"))), dec(lit(0)))
+        .as("_svv"))
+    // nearest-rank CI: exact long comparison, resample tie-break.
+    // The join key pmod(_r, 1) is 0 for every row but NON-FOLDABLE,
+    // so Catalyst plans a real equi hash join (b×b, bounded by the
+    // b parameter) rather than collapsing to a BNLJ.
+    val y = qvs.select(pmod(col("_r"), lit(1L)).as("_k"),
+      col("_r").as("_yr"), col("_qv").as("_yv"))
+    val rk = qvs.withColumn("_k", pmod(col("_r"), lit(1L)))
+      .join(y, Seq("_k"))
+      .filter(col("_yv") < col("_qv") ||
+        (col("_yv") === col("_qv") && col("_yr") <= col("_r")))
+      .groupBy("_r", "_qv").agg(count(lit(1)).as("_rk"))
+    val ci = rk.crossJoin(broadcast(stats.select("n_eff")))
+      .agg(
+        max(when(col("_rk") === expr("(n_eff + 39) div 40"),
+          round(col("_qv").cast("double") / 1e9, 6))).as("ci_lo"),
+        max(when(col("_rk") === expr("(39 * n_eff + 39) div 40"),
+          round(col("_qv").cast("double") / 1e9, 6))).as("ci_hi"))
+    // the point estimate IS the point operator's output
+    val point: DataFrame = measure match {
+      case "ac1" => gwetAC1(ratings, unitCol, catCol, label)
+        .select(col("measure"), col("n_units"), col("n_cats"),
+          col("ac1").as("estimate"))
+      case "ac2" => gwetAC2(ratings, unitCol, catCol, label, power)
+        .select(col("measure"), col("n_units"), col("n_cats"),
+          col("ac2").as("estimate"))
+      case _ => krippendorffAlpha(ratings, unitCol, catCol, label)
+        .select(col("measure"), col("n_units"), col("n_cats"),
+          col("alpha").as("estimate"))
+    }
+    val meanQv = col("_sv").cast("double") / col("n_eff")
+    val se = sqrt(greatest(
+      (col("_svv").cast("double") / col("n_eff") - meanQv * meanQv) *
+        col("n_eff") / (col("n_eff") - 1L), lit(0.0))) / 1e9
+    point.crossJoin(broadcast(stats)).crossJoin(broadcast(ci))
+      .select(col("measure"), lit(measure).as("stat"),
+        col("n_units"), col("n_cats"),
+        lit(b.toLong).as("b_resamples"), col("n_eff"),
+        col("estimate"),
+        when(col("n_eff") >= 2L, round(se, 6)).as("se"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   /** Krippendorff's α (nominal data) — inter-rater reliability that,

@@ -3390,6 +3390,191 @@ object CorpusQueries {
           when(coin("isb#") % 1000 < thr, 1L).otherwise(0L).as("y"))
       Classifier.calibrationGain(scored, "y", "score", "source",
         buckets = 1000)
+    },
+
+    // ——— OUT-OF-SAMPLE isotonic apply: fit the q387 PAV map on an
+    //     md5-split train half, apply it to the holdout with the
+    //     nearest-block-below gap rule (a holdout bucket in a gap
+    //     between fitted blocks, or beyond the last block, reads the
+    //     block below; below the first block reads the first block).
+    //     n_gap counts holdout rows served by that extension path —
+    //     the honest generalization readout calibrationGain's
+    //     in-sample theorem can't give. Oracle refits the q387
+    //     minimax on the train half and applies with the same rule
+    //     (nearest TRAIN BUCKET below ≡ nearest block below, since
+    //     every block's lo is a train bucket). ———
+    Q("q394_isotonic_apply",
+      """WITH sc AS (
+        |  SELECT source AS g,
+        |    CAST(concat('0x', substring(md5('isa#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS sm,
+        |    CASE WHEN CAST(concat('0x', substring(md5('isb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      < 200 + (600 * (CAST(concat('0x', substring(md5('isa#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |        % 1000)) // 1000
+        |      THEN 1 ELSE 0 END AS y,
+        |    CAST(concat('0x', substring(md5('hsp#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 2 AS tr
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND doc_id IS NOT NULL
+        |), bkt AS MATERIALIZED (
+        |  SELECT g, sm AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM sc WHERE tr = 0 GROUP BY 1, 2
+        |), idx AS MATERIALIZED (
+        |  SELECT g, b, n, sy,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY b)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cn,
+        |    CAST(SUM(sy) OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS cy
+        |  FROM bkt
+        |), pairs AS (
+        |  SELECT a.g, a.k AS i, c.k AS j,
+        |    CAST(c.cy - (a.cy - a.sy) AS DOUBLE)
+        |      / CAST(c.cn - (a.cn - a.n) AS DOUBLE) AS avgv
+        |  FROM idx a JOIN idx c ON a.g = c.g AND a.k <= c.k
+        |), sufmin AS (
+        |  SELECT g, i, j,
+        |    MIN(avgv) OVER (PARTITION BY g, i ORDER BY j DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM pairs
+        |), fit AS MATERIALIZED (
+        |  SELECT f.g, f.k, i.b AS tb, round(f.fraw, 6) AS f6, f.fraw
+        |  FROM (SELECT g, j AS k, MAX(mn) AS fraw FROM sufmin
+        |        GROUP BY 1, 2) f
+        |  JOIN idx i ON f.g = i.g AND f.k = i.k
+        |), blk AS MATERIALIZED (
+        |  SELECT g, fraw, CAST(MIN(tb) AS BIGINT) AS blo,
+        |    CAST(MAX(tb) AS BIGINT) AS bhi, MAX(f6) AS f6
+        |  FROM fit GROUP BY 1, 2
+        |), hb AS MATERIALIZED (
+        |  SELECT g, sm AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(round(1e6 * (sm / 1000.0 - y)
+        |      * (sm / 1000.0 - y)) AS BIGINT)) AS BIGINT) AS qraw
+        |  FROM sc WHERE tr = 1 GROUP BY 1, 2
+        |), lkp AS (
+        |  SELECT hb.g, hb.b, hb.n, hb.sy, hb.qraw,
+        |    arg_max(bl.f6, bl.blo) AS fb, arg_max(bl.bhi, bl.blo) AS hi
+        |  FROM hb LEFT JOIN blk bl ON hb.g = bl.g AND bl.blo <= hb.b
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), fb1 AS (
+        |  SELECT g, arg_min(f6, blo) AS f0,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+        |  FROM blk GROUP BY 1
+        |), app AS (
+        |  SELECT l.g, l.n, l.qraw, fb1.n_blocks,
+        |    CASE WHEN l.fb IS NULL OR l.b > l.hi THEN l.n
+        |      ELSE CAST(0 AS BIGINT) END AS ngap,
+        |    CAST(round(1e6 * (COALESCE(l.fb, fb1.f0)
+        |      * COALESCE(l.fb, fb1.f0) * l.n
+        |      - CAST(2.0 AS DOUBLE) * COALESCE(l.fb, fb1.f0) * l.sy
+        |      + l.sy)) AS BIGINT) AS qcal
+        |  FROM lkp l JOIN fb1 ON l.g = fb1.g
+        |)
+        |SELECT g AS source, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(ngap) AS BIGINT) AS n_gap,
+        |  round(CAST(SUM(qraw) AS DOUBLE) / 1e6 / SUM(n), 6)
+        |    AS brier_raw,
+        |  round(CAST(SUM(qcal) AS DOUBLE) / 1e6 / SUM(n), 6)
+        |    AS brier_cal
+        |FROM app GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.ext.Classifier
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val sm = coin("isa#") % 1000
+      val thr = lit(200L) +
+        floor((lit(600L) * sm).cast("double") / 1000.0).cast("long")
+      val scored = docs(s, dir)
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"),
+          (sm.cast("double") / 1000.0).as("score"),
+          when(coin("isb#") % 1000 < thr, 1L).otherwise(0L).as("y"),
+          (coin("hsp#") % 2).as("tr"))
+      val blocks = Classifier.isotonicCalibration(
+        scored.filter(col("tr") === 0L), "y", "score", "source",
+        buckets = 1000)
+      Classifier.applyCalibration(blocks,
+        scored.filter(col("tr") === 1L), "y", "score", "source",
+        buckets = 1000)
+    },
+
+    // ——— EMPIRICAL-BERNSTEIN anytime-valid test: the q388 confseq
+    //     with a variance-adaptive radius — the fixture plants a
+    //     small positive delta (mean ≈ 0.03, spread ≈ 0.02) under a
+    //     deliberately CONSERVATIVE asserted bound scale = 1.0 (the
+    //     mis-specification the sub-Gaussian radius can't survive):
+    //     radius_sg stays above the mean (no rejection) while
+    //     radius_eb adapts to the measured variance and rejects —
+    //     the power the EB boundary buys when V̂ ≪ scale². Same
+    //     (n, Σd, Σd²) ledger counters as q388. ———
+    Q("q395_eb_confseq",
+      """WITH segs AS (
+        |  SELECT doc_id AS s,
+        |    CAST(CAST(concat('0x', substring(md5('eba#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS DOUBLE) / 1000.0 AS x,
+        |    CAST(100 + CAST(concat('0x', substring(md5('ebb#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100
+        |      AS DOUBLE) / 5000.0 AS d
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT CAST(round(1e6 * ((x + d) - x)) AS BIGINT) AS qd,
+        |    CAST(round(1e6 * ((x + d) - x) * ((x + d) - x)) AS BIGINT)
+        |      AS qd2
+        |  FROM segs
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sqd,
+        |    CAST(COALESCE(SUM(qd2), 0) AS BIGINT) AS sqd2
+        |  FROM base
+        |), fin AS (
+        |  SELECT n_segs,
+        |    CAST(sqd AS DOUBLE) / 1e6 / n_segs AS meanraw,
+        |    CAST(sqd2 AS DOUBLE) / 1e6 / n_segs
+        |      - (CAST(sqd AS DOUBLE) / 1e6 / n_segs)
+        |        * (CAST(sqd AS DOUBLE) / 1e6 / n_segs) AS varraw,
+        |    ln(ln(CAST(2.0 AS DOUBLE) * n_segs))
+        |      + CAST(0.72 AS DOUBLE)
+        |        * ln(CAST(5.2 AS DOUBLE) / CAST(0.05 AS DOUBLE)) AS ell
+        |  FROM agg
+        |), fin2 AS (
+        |  SELECT n_segs, meanraw, varraw,
+        |    CAST(1.0 AS DOUBLE) * CAST(1.7 AS DOUBLE)
+        |      * sqrt(ell / n_segs) AS radsg,
+        |    CAST(1.7 AS DOUBLE)
+        |      * sqrt(greatest(varraw, CAST(0.0 AS DOUBLE)) * ell
+        |        / n_segs)
+        |      + CAST(3.4 AS DOUBLE) * ell / n_segs AS radeb
+        |  FROM fin
+        |)
+        |SELECT n_segs,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw, 6) END
+        |    AS mean_delta,
+        |  CASE WHEN n_segs > 0 THEN round(varraw, 6) END AS var_delta,
+        |  CASE WHEN n_segs > 0 THEN round(radsg, 6) END AS radius_sg,
+        |  CASE WHEN n_segs > 0 THEN round(radeb, 6) END AS radius_eb,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw - radeb, 6) END
+        |    AS ci_lo,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw + radeb, 6) END
+        |    AS ci_hi,
+        |  CASE WHEN n_segs > 0 THEN
+        |    CAST(CASE WHEN abs(round(meanraw, 6)) > round(radeb, 6)
+        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_null
+        |FROM fin2""".stripMargin) { (s, dir) =>
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val x = (coin("eba#") % 1000).cast("double") / 1000.0
+      val d = (lit(100L) + coin("ebb#") % 100).cast("double") / 5000.0
+      val segs = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("s"), (x + d).as("a"), x.as("b"))
+      Evals.confSeqTestEB(segs, "s", "a", "b", alpha = 0.05,
+        scale = 1.0)
     }
   )
 

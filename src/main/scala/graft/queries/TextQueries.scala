@@ -4470,6 +4470,317 @@ object TextQueries {
       TextStats.knBigramLogProb(
         docs(s, dir).filter(col("text").isNotNull &&
           col("doc_id").isNotNull))
+    },
+
+    // ——— bootstrap UNCERTAINTY for Gwet's AC1: the q391 panel with
+    //     a deterministic Poisson(1) unit bootstrap (the q389 coin)
+    //     — 200 resamples, each recomputing AC1 from weighted
+    //     versions of the same 1e-9-quantized dictionary rollups,
+    //     the category count C held fixed (the instrument is not
+    //     resampled). SE = sample sd of resample coefficients; CI =
+    //     q389 nearest-rank 2.5/97.5 by exact long comparison. The
+    //     point estimate is gwetAC1's own output (delegated). ———
+    Q("q393_ac1_bootstrap_ci",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS MATERIALIZED (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN CAST(concat('0x', substring(md5('ga#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 < 85
+        |      THEN CASE WHEN doc_id % 10 < 8 THEN 0
+        |        ELSE 1 + (doc_id % 2) END
+        |      ELSE CAST(concat('0x', substring(md5('gb#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 3
+        |    END AS cat
+        |  FROM r
+        |), cells0 AS MATERIALIZED (
+        |  SELECT u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2
+        |), units AS MATERIALIZED (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM cells0 GROUP BY 1 HAVING SUM(c) >= 2
+        |), cells AS MATERIALIZED (
+        |  SELECT cells0.u, cells0.cat, cells0.c, units.m
+        |  FROM cells0 JOIN units USING (u)
+        |), consts AS (
+        |  SELECT CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats
+        |  FROM cells
+        |), uterm AS MATERIALIZED (
+        |  SELECT u, CAST(round(1e9 * CAST(ss - m AS DOUBLE)
+        |    / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT) AS qpa
+        |  FROM units
+        |), uw AS MATERIALIZED (
+        |  SELECT r, CAST(SUM(w) AS BIGINT) AS nu,
+        |    CAST(SUM(w * qpa) AS BIGINT) AS spa
+        |  FROM (
+        |    SELECT r, qpa, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, qpa, r, CAST(concat('0x', substring(md5('a1b#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, qpa, unnest(range(0, 200)) AS r
+        |        FROM uterm)))
+        |  GROUP BY 1 HAVING SUM(w) > 0
+        |), cw AS MATERIALIZED (
+        |  SELECT r, cat, CAST(SUM(w * qp) AS BIGINT) AS sc
+        |  FROM (
+        |    SELECT r, cat, qp, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, cat, qp, r, CAST(concat('0x', substring(md5('a1b#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, cat, CAST(round(1e9 * CAST(c AS DOUBLE)
+        |        / CAST(m AS DOUBLE)) AS BIGINT) AS qp,
+        |        unnest(range(0, 200)) AS r FROM cells)))
+        |  GROUP BY 1, 2
+        |), sqt AS (
+        |  SELECT cw.r, CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / nu)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / nu)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM cw JOIN uw ON cw.r = uw.r GROUP BY 1
+        |), qv AS MATERIALIZED (
+        |  SELECT uw.r, CAST(round(1e9
+        |    * (CAST(spa AS DOUBLE) / 1e9 / nu
+        |       - CAST(sqt AS DOUBLE) / 1e9 / (n_cats - 1))
+        |    / (CAST(1.0 AS DOUBLE)
+        |       - CAST(sqt AS DOUBLE) / 1e9 / (n_cats - 1)))
+        |    AS BIGINT) AS v
+        |  FROM uw JOIN sqt ON uw.r = sqt.r CROSS JOIN consts
+        |  WHERE n_cats >= 2
+        |), st AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eff,
+        |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv,
+        |    COALESCE(SUM(CAST(v AS HUGEINT) * v), CAST(0 AS HUGEINT))
+        |      AS svv
+        |  FROM qv
+        |), rk AS (
+        |  SELECT x.r, x.v, CAST(COUNT(*) AS BIGINT) AS rk
+        |  FROM qv x JOIN qv y
+        |    ON (y.v < x.v OR (y.v = x.v AND y.r <= x.r))
+        |  GROUP BY 1, 2
+        |), ci AS (
+        |  SELECT
+        |    MAX(CASE WHEN rk = (n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_lo,
+        |    MAX(CASE WHEN rk = (39 * n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_hi
+        |  FROM rk CROSS JOIN st
+        |), pus AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COALESCE(SUM(CAST(round(1e9 * CAST(ss - m AS DOUBLE)
+        |      / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT)), 0) AS BIGINT)
+        |      AS pspa
+        |  FROM units
+        |), pprev AS (
+        |  SELECT cat, CAST(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    / CAST(m AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM cells GROUP BY 1
+        |), pcs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |    CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / n_units)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / n_units)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM pprev CROSS JOIN pus
+        |)
+        |SELECT 'ac1_panel' AS measure, 'ac1' AS stat, pus.n_units,
+        |  pcs.n_cats, CAST(200 AS BIGINT) AS b_resamples, st.n_eff,
+        |  CASE WHEN pus.n_units > 0 AND pcs.n_cats >= 2 THEN
+        |    round((CAST(pspa AS DOUBLE) / 1e9 / pus.n_units
+        |      - CAST(pcs.sqt AS DOUBLE) / 1e9 / (pcs.n_cats - 1))
+        |      / (CAST(1.0 AS DOUBLE)
+        |        - CAST(pcs.sqt AS DOUBLE) / 1e9 / (pcs.n_cats - 1)),
+        |      6) END AS estimate,
+        |  CASE WHEN st.n_eff >= 2 THEN
+        |    round(sqrt(greatest((CAST(svv AS DOUBLE) / n_eff
+        |      - (CAST(sv AS DOUBLE) / n_eff)
+        |        * (CAST(sv AS DOUBLE) / n_eff))
+        |      * n_eff / (n_eff - 1), CAST(0.0 AS DOUBLE))) / 1e9, 6)
+        |    END AS se,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM pus CROSS JOIN pcs CROSS JOIN st CROSS JOIN ci"""
+        .stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val base = when(col("doc_id") % 10 < 8, 0L)
+        .otherwise(lit(1L) + col("doc_id") % 2)
+      val cat = when(coin("ga#") % 100 < 85, base)
+        .otherwise(coin("gb#") % 3)
+      TextStats.agreementBootstrapCI(
+        r.select(col("doc_id").as("u"), cat.as("cat")),
+        "u", "cat", "ac1_panel", measure = "ac1", b = 200,
+        seed = "a1b")
+    },
+
+    // ——— bootstrap UNCERTAINTY for Krippendorff's α on the q319
+    //     missing-data panel (4 raters, each skipping ~30% of units,
+    //     so sub-2-rating units drop and resample sizes vary): the
+    //     same deterministic Poisson(1) unit bootstrap — per
+    //     resample, D_o reuses the per-unit 1e-9-quantized
+    //     disagreement sums and D_e the weighted EXACT-integer
+    //     category marginals (HUGEINT squares); degenerate resamples
+    //     (n < 2 or single-category) drop from the CI. Fills the
+    //     one unused battery id. ———
+    Q("q49_alpha_bootstrap_ci",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+        |), kept AS (
+        |  SELECT doc_id, j FROM r
+        |  WHERE CAST(concat('0x', substring(md5('ka'
+        |    || CAST(doc_id AS VARCHAR) || '@' || CAST(j AS VARCHAR)),
+        |    1, 7)) AS BIGINT) % 10 >= 3
+        |), rat AS MATERIALIZED (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 < 75
+        |      THEN CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4
+        |      ELSE (CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4
+        |        + 1 + CAST(concat('0x', substring(md5('ka'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 % 3) % 4 END AS cat
+        |  FROM kept
+        |), cells0 AS MATERIALIZED (
+        |  SELECT u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2
+        |), units AS MATERIALIZED (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m
+        |  FROM cells0 GROUP BY 1 HAVING SUM(c) >= 2
+        |), cells AS MATERIALIZED (
+        |  SELECT cells0.u, cells0.cat, cells0.c, units.m
+        |  FROM cells0 JOIN units USING (u)
+        |), uterm AS MATERIALIZED (
+        |  SELECT u, m, CAST(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    * CAST(m - c AS DOUBLE) / CAST(m - 1 AS DOUBLE))
+        |    AS BIGINT)) AS BIGINT) AS qdo
+        |  FROM cells GROUP BY 1, 2
+        |), uw AS MATERIALIZED (
+        |  SELECT r, CAST(SUM(w) AS BIGINT) AS nu,
+        |    CAST(SUM(w * m) AS BIGINT) AS nr,
+        |    CAST(SUM(w * qdo) AS BIGINT) AS spa
+        |  FROM (
+        |    SELECT r, m, qdo, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, m, qdo, r, CAST(concat('0x', substring(md5('kab#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, m, qdo, unnest(range(0, 200)) AS r
+        |        FROM uterm)))
+        |  GROUP BY 1 HAVING SUM(w) > 0
+        |), cw AS MATERIALIZED (
+        |  SELECT r, cat, CAST(SUM(w * c) AS BIGINT) AS nc
+        |  FROM (
+        |    SELECT r, cat, c, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, cat, c, r, CAST(concat('0x', substring(md5('kab#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, cat, c, unnest(range(0, 200)) AS r
+        |        FROM cells)))
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT r, COALESCE(SUM(CAST(nc AS HUGEINT) * nc),
+        |    CAST(0 AS HUGEINT)) AS snc2
+        |  FROM cw GROUP BY 1
+        |), qv AS MATERIALIZED (
+        |  SELECT uw.r, CAST(round(1e9 * (CAST(1.0 AS DOUBLE)
+        |    - CAST(CAST(spa AS HUGEINT) * (nr - 1) AS DOUBLE)
+        |    / (1e9 * CAST(CAST(nr AS HUGEINT) * nr - snc2 AS DOUBLE))))
+        |    AS BIGINT) AS v
+        |  FROM uw JOIN s2 ON uw.r = s2.r
+        |  WHERE nr >= 2 AND CAST(nr AS HUGEINT) * nr <> snc2
+        |), st AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eff,
+        |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv,
+        |    COALESCE(SUM(CAST(v AS HUGEINT) * v), CAST(0 AS HUGEINT))
+        |      AS svv
+        |  FROM qv
+        |), rk AS (
+        |  SELECT x.r, x.v, CAST(COUNT(*) AS BIGINT) AS rk
+        |  FROM qv x JOIN qv y
+        |    ON (y.v < x.v OR (y.v = x.v AND y.r <= x.r))
+        |  GROUP BY 1, 2
+        |), ci AS (
+        |  SELECT
+        |    MAX(CASE WHEN rk = (n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_lo,
+        |    MAX(CASE WHEN rk = (39 * n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_hi
+        |  FROM rk CROSS JOIN st
+        |), pus AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n
+        |  FROM units
+        |), psd AS (
+        |  SELECT CAST(COALESCE(SUM(qdo), 0) AS BIGINT) AS sdo
+        |  FROM uterm
+        |), pcs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |    COALESCE(SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)),
+        |      CAST(0 AS HUGEINT)) AS sum_nc2
+        |  FROM (SELECT cat, CAST(SUM(c) AS BIGINT) AS nc FROM cells
+        |    GROUP BY 1)
+        |)
+        |SELECT 'alpha_panel' AS measure, 'alpha' AS stat,
+        |  pus.n_units, pcs.n_cats, CAST(200 AS BIGINT) AS b_resamples,
+        |  st.n_eff,
+        |  CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |      <> sum_nc2 THEN
+        |    round(1.0 - CAST(CAST(sdo AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      / (1e9 * CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |        - sum_nc2 AS DOUBLE)), 6)
+        |  END AS estimate,
+        |  CASE WHEN st.n_eff >= 2 THEN
+        |    round(sqrt(greatest((CAST(svv AS DOUBLE) / n_eff
+        |      - (CAST(sv AS DOUBLE) / n_eff)
+        |        * (CAST(sv AS DOUBLE) / n_eff))
+        |      * n_eff / (n_eff - 1), CAST(0.0 AS DOUBLE))) / 1e9, 6)
+        |    END AS se,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM pus CROSS JOIN psd CROSS JOIN pcs CROSS JOIN st
+        |  CROSS JOIN ci""".stripMargin) { (s, dir) =>
+      val uid = col("doc_id").cast("string")
+      val rid = col("j").cast("string")
+      val skip = conv(substring(md5(concat(lit("ka"), uid, lit("@"),
+        rid)), 1, 7), 16, 10).cast("long") % 10 < 3
+      val base = conv(substring(md5(concat(lit("ka"), uid)), 1, 7),
+        16, 10).cast("long") % 4
+      val coin = conv(substring(md5(concat(lit("ka"), uid, lit("#"),
+        rid)), 1, 7), 16, 10).cast("long") % 100
+      val ratings = docs(s, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .filter(!skip)
+        .select(col("doc_id").as("u"),
+          when(coin < 75, base)
+            .otherwise((base + lit(1L) + coin % 3) % 4).as("cat"))
+      TextStats.agreementBootstrapCI(ratings, "u", "cat",
+        "alpha_panel", measure = "alpha", b = 200, seed = "kab")
     }
   )
 }

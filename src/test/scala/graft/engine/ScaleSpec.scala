@@ -966,6 +966,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r17 additions (q393/q49/q394/q395): no cartesian, the " +
+    "bootstrap rank join is a b-bounded EQUI hash join, BNLJ only " +
+    "as 1-row broadcast attaches") {
+    // agreementBootstrapCI's b×b nearest-rank comparison joins on
+    // the derived key pmod(_r, 1) — constant-valued but NON-FOLDABLE,
+    // so Catalyst plans a real hash join bounded by the b PARAMETER
+    // (never a BNLJ; confirmed by the measured counts below, which
+    // are fully accounted for by 1-row attaches).
+    // q393 (ac1): the consts attach in the pe finisher + the
+    //   rank→n_eff attach + gwetAC1's two internal attaches + the
+    //   final point×stats×ci attaches — 6 logical; the persisted
+    //   qvs/cells/units frames echo 3 more textual occurrences (9).
+    // q49 (alpha): no consts attach in the alpha finisher — the
+    //   rank→n_eff attach + krippendorffAlpha's two internal
+    //   attaches + the final two (5 — the exact logical count, which
+    //   is also what confirms the rank join planned equi).
+    // q394 (isotonic apply): ZERO — the bucket→block lookup is a
+    //   group-equi join with a ≤-filter and the first-block fallback
+    //   a group-equi attach; measured, its whole point.
+    // q395 (EB confseq): ZERO — one scalar aggregate + arithmetic.
+    val bnljCap = Map("q393_ac1_bootstrap_ci" -> 9,
+      "q49_alpha_bootstrap_ci" -> 5).withDefaultValue(0)
+    for (name <- Seq("q393_ac1_bootstrap_ci", "q49_alpha_bootstrap_ci",
+        "q394_isotonic_apply", "q395_eb_confseq")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf001)
+      assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      graft.engine.TrackedCache.release()
+    }
+  }
+
   test("approximate sketches stay within tolerance of exact") {
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)

@@ -448,4 +448,82 @@ class ClassifierSpec extends SparkSpec {
     assert(iso(rows) === iso(rows.repartition(7)))
     assert(gain(rows) === gain(rows.repartition(7)))
   }
+
+  test("finite-score rule: NaN/±Inf scores drop from " +
+    "isotonicCalibration and calibrationGain (no top-bucket NaN, no " +
+    "zero-scored raw Brier term)") {
+    val clean = Seq(("g", 0.1, 0L), ("g", 0.1, 1L), ("g", 0.5, 1L),
+      ("g", 0.5, 1L), ("g", 0.9, 1L)).toDF("g", "score", "y")
+    val dirty = clean.unionByName(Seq(
+      ("g", Double.NaN, 1L), ("g", Double.PositiveInfinity, 0L),
+      ("g", Double.NegativeInfinity, 1L)).toDF("g", "score", "y"))
+    def iso(df: org.apache.spark.sql.DataFrame) = {
+      val out = Classifier.isotonicCalibration(df, "y", "score", "g",
+        buckets = 10).collect().toSeq
+      graft.engine.TrackedCache.release(); out
+    }
+    def gain(df: org.apache.spark.sql.DataFrame) = {
+      val out = Classifier.calibrationGain(df, "y", "score", "g",
+        buckets = 10).collect().toSeq
+      graft.engine.TrackedCache.release(); out
+    }
+    assert(iso(dirty) === iso(clean))
+    assert(gain(dirty) === gain(clean))
+  }
+
+  test("applyCalibration: applying the map back to its own fitting " +
+    "panel reproduces calibrationGain with zero gap rows") {
+    val rnd = new scala.util.Random(91L)
+    val rows = (0 until 150).map { i =>
+      (s"g${i % 2}", rnd.nextInt(101).toDouble / 100.0,
+        rnd.nextInt(2).toLong)
+    }.toDF("g", "score", "y")
+    val blocks = Classifier.isotonicCalibration(rows, "y", "score",
+      "g", buckets = 100)
+    val applied = Classifier.applyCalibration(blocks, rows, "y",
+      "score", "g", buckets = 100).collect().toSeq
+    val gained = Classifier.calibrationGain(rows, "y", "score", "g",
+      buckets = 100).collect().toSeq
+    graft.engine.TrackedCache.release()
+    assert(applied.map(_.getAs[Long]("n_gap")).sum === 0L,
+      "every fitting-panel bucket lies inside a block by construction")
+    val a = applied.map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+      r.getAs[Double]("brier_raw"), r.getAs[Double]("brier_cal")))
+    val gn = gained.map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+      r.getAs[Double]("brier_raw"), r.getAs[Double]("brier_cal")))
+    assert(a === gn)
+  }
+
+  test("applyCalibration gap semantics: in-block exact, gap reads " +
+    "the nearest block below, below-first and beyond-last extend " +
+    "the edge blocks, n_gap counts the extension rows") {
+    // train: buckets 1 (rate 1/5) and 5 (rate 4/5) of a 10-grid →
+    // two singleton blocks fitted 0.2 / 0.8
+    val train = ((0 until 5).map(i =>
+        ("g", 0.1, if (i < 1) 1L else 0L)) ++
+      (0 until 5).map(i => ("g", 0.5, if (i < 4) 1L else 0L)))
+      .toDF("g", "score", "y")
+    val blocks = Classifier.isotonicCalibration(train, "y", "score",
+      "g", buckets = 10)
+    // holdout, all y = 0: 0.1 in-block, 0.3 gap → block below (0.2),
+    // 0.0 below first → first (0.2), 0.9 beyond last → last (0.8)
+    val holdout = Seq(("g", 0.1, 0L), ("g", 0.3, 0L), ("g", 0.0, 0L),
+      ("g", 0.9, 0L)).toDF("g", "score", "y")
+    val out = Classifier.applyCalibration(blocks, holdout, "y",
+      "score", "g", buckets = 10).collect()
+    graft.engine.TrackedCache.release()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_blocks") === 2L)
+    assert(r.getAs[Long]("n_gap") === 3L)
+    // brier_cal = (3·0.2² + 0.8²)/4; brier_raw = Σ score²/4
+    assert(r.getAs[Double]("brier_cal") === 0.19)
+    assert(r.getAs[Double]("brier_raw") === 0.2275)
+    // a holdout group with no fitted map drops (inner join)
+    val stray = Classifier.applyCalibration(blocks,
+      Seq(("other", 0.4, 0L)).toDF("g", "score", "y"),
+      "y", "score", "g", buckets = 10).collect()
+    graft.engine.TrackedCache.release()
+    assert(stray.isEmpty)
+  }
 }

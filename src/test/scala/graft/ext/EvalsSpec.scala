@@ -618,4 +618,76 @@ class EvalsSpec extends SparkSpec {
     }
     assert(run(g2df) === run(g2df.repartition(7)))
   }
+
+  test("confSeqTestEB: the EB radius undercuts the sub-Gaussian " +
+    "radius when variance << scale², rejects where SG cannot, hand " +
+    "formula, planted null never rejects, non-finite deltas drop") {
+    def run(rows: Seq[(Long, Double, Double)], alpha: Double = 0.05,
+            scale: Double = 1.0) = {
+      val r = Evals.confSeqTestEB(rows.toDF("seg_id", "ma", "mb"),
+        "seg_id", "ma", "mb", alpha = alpha, scale = scale)
+        .collect().head
+      graft.engine.TrackedCache.release()
+      r
+    }
+    // small positive delta, tiny spread, conservative scale = 1:
+    // mean 0.03, |d| spread 0.02 — SG radius stays above the mean at
+    // n = 4096 while EB adapts and rejects
+    val planted = (0 until 4096).map(i =>
+      (i.toLong, 0.5 + 0.02 + (i % 100 - 50) / 5000.0, 0.5))
+    val p = run(planted)
+    assert(p.getAs[Double]("radius_eb") <
+      p.getAs[Double]("radius_sg"),
+      s"EB must undercut SG on low-variance deltas: $p")
+    assert(math.abs(p.getAs[Double]("mean_delta")) <
+      p.getAs[Double]("radius_sg"),
+      s"fixture broken: SG should NOT reject here: $p")
+    assert(p.getAs[Long]("reject_null") === 1L,
+      s"EB must reject the planted shift: $p")
+    // hand formula at n = 2: deltas ±0.5 → mean 0, var 0.25
+    val hand = run(Seq((0L, 1.0, 0.5), (1L, 0.0, 0.5)))
+    val ell = math.log(math.log(4.0)) + 0.72 * math.log(5.2 / 0.05)
+    val ebExpect = 1.7 * math.sqrt(0.25 * ell / 2.0) + 3.4 * ell / 2.0
+    val sgExpect = 1.7 * math.sqrt(ell / 2.0)
+    assert(math.abs(hand.getAs[Double]("radius_eb") - ebExpect) < 1e-6)
+    assert(math.abs(hand.getAs[Double]("radius_sg") - sgExpect) < 1e-6)
+    assert(hand.getAs[Long]("reject_null") === 0L)
+    // planted null: symmetric deltas, never rejected
+    val nul = (0 until 2048).map(i =>
+      (i.toLong, if (i % 2 == 0) 0.52 else 0.48, 0.5))
+    assert(run(nul).getAs[Long]("reject_null") === 0L)
+    // the finite rule is confSeqTest's
+    val nf = run(Seq((0L, 1.0, 0.5), (1L, Double.NaN, 0.5),
+      (2L, Double.NegativeInfinity, 0.5)))
+    assert(nf.getAs[Long]("n_segs") === 1L)
+    val e = run(Seq.empty[(Long, Double, Double)])
+    assert(e.getAs[Long]("n_segs") === 0L &&
+      e.isNullAt(e.fieldIndex("radius_eb")) &&
+      e.isNullAt(e.fieldIndex("reject_null")))
+  }
+
+  test("seqTestOnCountsEB: sharded ledger counters finish to the " +
+    "same row as the raw batch pass (stream/batch parity is a " +
+    "finisher swap)") {
+    val raw = (0 until 600).map(i =>
+      (i.toLong, 0.3 + (i % 7) / 100.0, 0.3)).toDF("seg_id", "ma", "mb")
+    // ledger twin: quantize per row, sum per shard — the
+    // confSeqLedgerStream state shape
+    val shards = raw
+      .select((col("seg_id") % 8).as("shard"),
+        (col("ma") - col("mb")).as("d"))
+      .select(col("shard"),
+        round(lit(1e6) * col("d")).cast("long").as("qd"),
+        round(lit(1e6) * col("d") * col("d")).cast("long").as("qd2"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_segs"), sum("qd").as("sqd"),
+        sum("qd2").as("sqd2"))
+    val fromLedger = Evals.seqTestOnCountsEB(
+      shards.select("n_segs", "sqd", "sqd2"), alpha = 0.05,
+      scale = 0.5).collect().toSeq
+    val fromRaw = Evals.confSeqTestEB(raw, "seg_id", "ma", "mb",
+      alpha = 0.05, scale = 0.5).collect().toSeq
+    graft.engine.TrackedCache.release()
+    assert(fromLedger === fromRaw)
+  }
 }

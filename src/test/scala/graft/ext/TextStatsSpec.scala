@@ -1475,4 +1475,109 @@ class TextStatsSpec extends SparkSpec {
     assert(out.getAs[Long]("ref_len") === 24L)
     assert(out.getAs[Long]("edits") === 0L)
   }
+
+  test("gwetAC2 scale derives from surviving units: the identity-" +
+    "weight => AC1 reduction holds when a dropped sub-2-rating unit " +
+    "carries an extra category") {
+    // unit C's single rating (category 5) drops on the m>=2 rule;
+    // the surviving scale is BINARY {0, 1}, where linear weights ARE
+    // identity — so AC2 must equal AC1 exactly. Counting C's stray
+    // category into span/n_cats/T_w (the pre-fix behavior) breaks it.
+    val panel = Seq(("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 1L), ("B", 1L), ("C", 5L)).toDF("u", "cat")
+    val ac1 = TextStats.gwetAC1(panel, "u", "cat", "p").collect().head
+    val ac2 = TextStats.gwetAC2(panel, "u", "cat", "p", power = 1)
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(ac2.getAs[Long]("n_cats") === 2L)
+    assert(ac2.getAs[Double]("p_observed") ===
+      ac1.getAs[Double]("p_observed"))
+    assert(ac2.getAs[Double]("p_expected") ===
+      ac1.getAs[Double]("p_expected"))
+    assert(ac2.getAs[Double]("ac2") === ac1.getAs[Double]("ac1"))
+  }
+
+  test("agreementBootstrapCI: a degenerate all-agree panel collapses " +
+    "to estimate 1, se 0, CI [1, 1]") {
+    val panel = (0 until 30).flatMap { u =>
+      val cat = (u % 3).toLong
+      Seq((s"u$u", cat), (s"u$u", cat), (s"u$u", cat))
+    }.toDF("u", "cat")
+    val out = TextStats.agreementBootstrapCI(panel, "u", "cat", "p",
+      measure = "ac1", b = 50, seed = "dg").collect().head
+    graft.engine.TrackedCache.release()
+    assert(out.getAs[Double]("estimate") === 1.0)
+    assert(out.getAs[Double]("se") === 0.0)
+    assert(out.getAs[Double]("ci_lo") === 1.0)
+    assert(out.getAs[Double]("ci_hi") === 1.0)
+  }
+
+  test("agreementBootstrapCI: the CI brackets the point estimate, " +
+    "the point estimate IS the point operator's, n_eff <= b") {
+    val panel = (0 until 60).flatMap { u =>
+      (0 until 3).map { j =>
+        val coin = math.abs((u * 2654435761L + j * 40503L).toInt % 10)
+        (s"u$u", if (coin < 7) (u % 2).toLong else ((u + j) % 3).toLong)
+      }
+    }.toDF("u", "cat")
+    val boot = TextStats.agreementBootstrapCI(panel, "u", "cat", "p",
+      measure = "ac1", b = 80, seed = "br").collect().head
+    val point = TextStats.gwetAC1(panel, "u", "cat", "p")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(boot.getAs[Double]("estimate") ===
+      point.getAs[Double]("ac1"))
+    assert(boot.getAs[Long]("n_eff") <= 80L &&
+      boot.getAs[Long]("n_eff") > 0L)
+    assert(boot.getAs[Double]("ci_lo") <=
+      boot.getAs[Double]("estimate"))
+    assert(boot.getAs[Double]("ci_hi") >=
+      boot.getAs[Double]("estimate"))
+    assert(boot.getAs[Double]("se") > 0.0)
+  }
+
+  test("agreementBootstrapCI: on a binary scale the AC2 bootstrap " +
+    "(linear weights) equals the AC1 bootstrap row-for-row") {
+    val panel = (0 until 40).flatMap { u =>
+      (0 until 3).map { j =>
+        val coin = math.abs((u * 1103515245L + j * 12345L).toInt % 10)
+        (u.toLong, if (coin < 6) (u % 2).toLong else ((u + j) % 2).toLong)
+      }
+    }.toDF("u", "cat")
+    def cols(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_units"), r.getAs[Long]("n_cats"),
+        r.getAs[Long]("n_eff"), r.getAs[Double]("estimate"),
+        r.getAs[Double]("se"), r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"))
+    val a1 = TextStats.agreementBootstrapCI(panel, "u", "cat", "p",
+      measure = "ac1", b = 60, seed = "bb").collect().head
+    val a2 = TextStats.agreementBootstrapCI(panel, "u", "cat", "p",
+      measure = "ac2", b = 60, power = 1, seed = "bb").collect().head
+    graft.engine.TrackedCache.release()
+    assert(cols(a1) === cols(a2))
+  }
+
+  test("agreementBootstrapCI(alpha): estimate equals " +
+    "krippendorffAlpha, missing-data units drop, CI brackets") {
+    val panel = (0 until 50).flatMap { u =>
+      val m = 1 + (u % 3) // m = 1 units are unpairable and drop
+      (0 until m).map { j =>
+        val coin = math.abs((u * 69069L + j * 991L).toInt % 10)
+        (u.toLong, if (coin < 7) (u % 3).toLong else ((u + j + 1) % 3).toLong)
+      }
+    }.toDF("u", "cat")
+    val boot = TextStats.agreementBootstrapCI(panel, "u", "cat", "p",
+      measure = "alpha", b = 80, seed = "ka").collect().head
+    val point = TextStats.krippendorffAlpha(panel, "u", "cat", "p")
+      .collect().head
+    graft.engine.TrackedCache.release()
+    assert(boot.getAs[Double]("estimate") ===
+      point.getAs[Double]("alpha"))
+    assert(boot.getAs[Long]("n_units") ===
+      point.getAs[Long]("n_units"))
+    assert(boot.getAs[Double]("ci_lo") <=
+      boot.getAs[Double]("estimate"))
+    assert(boot.getAs[Double]("ci_hi") >=
+      boot.getAs[Double]("estimate"))
+  }
 }
