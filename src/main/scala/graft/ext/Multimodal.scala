@@ -647,6 +647,63 @@ object Multimodal {
         col("v"))
   }
 
+  /** The CLASSIC image aHash (average hash) on REAL pixels — the
+    * mean-threshold companion of [[bmpDHashSignatures]]' gradient
+    * hash: 8×8 grayscale downsample of a VALID BMP (same positional
+    * decode — bottom-up rows, stride padding, BGR order, integer
+    * BT.601 luma), and bit g set iff the cell's gray EXCEEDS the
+    * 64-cell mean. The two hashes fail differently: dHash is immune
+    * to global brightness shifts but blind to flat-field changes,
+    * aHash is the reverse — running both is the standard perceptual
+    * dedup practice, and both emit the same 4×16-bit band contract,
+    * so [[dHashNearDupFromSigs]] consumes either unchanged.
+    *
+    * The threshold is EXACT integer arithmetic: bit = 1 iff
+    * 64·gray_g > Σ grays (no division touches the decision), so the
+    * engine and a SQL replay agree bit-for-bit by construction.
+    *
+    * Scale: header parse + 64 fixed grid reads per media inside
+    * array transforms (constant-size regardless of image size, the
+    * [[bmpDHashSignatures]] cost class); one posexplode of the 4
+    * band rows per media. No shuffle before the band rollup output.
+    */
+  def bmpAHashSignatures(media: DataFrame, idCol: String = "media_id",
+                         bytesCol: String = "bytes"): DataFrame = {
+    val hdr = bmpHeader(media, idCol, bytesCol)
+      .where(col("bmp_valid"))
+      .select(col("media_id"), col("h"), col("width"), col("height"),
+        col("stride"))
+    // grays for the 64 grid cells (g = gy*8 + gx, gx 0..7, gy 0..7):
+    // source pixel (px, py) = (gx·w div 8, gy·h div 8); channel byte
+    // at pixel-array offset (h-1-py)·stride + 3·px + chan
+    def chanByte(chan: Int): String =
+      "CAST(conv(substring(h, CAST((54 + " +
+        "(height - 1 - ((CAST(g AS BIGINT) div 8) * height) div 8) * stride" +
+        " + 3 * (((CAST(g AS BIGINT) % 8) * width) div 8)" +
+        s" + $chan) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    val grays = hdr.withColumn("_grays", expr(
+      s"""transform(sequence(0, 63), g ->
+         |  (299 * ${chanByte(2)} + 587 * ${chanByte(1)}
+         |   + 114 * ${chanByte(0)}) div 1000)""".stripMargin))
+    // integer mean threshold: bit g = 1 iff 64·gray > Σ grays
+    val bits = grays
+      .withColumn("_tot", expr(
+        "aggregate(_grays, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("_bits", expr(
+        """transform(sequence(0, 63), b -> IF(
+          |  64 * element_at(_grays, CAST(b + 1 AS INT)) > _tot,
+          |  1L, 0L))""".stripMargin))
+    bits.select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, 3), bd -> aggregate(
+            |  sequence(0, 15), CAST(0 AS BIGINT),
+            |  (acc, p) -> acc + element_at(_bits, bd * 16 + p + 1)
+            |    * shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin))
+          .as(Seq("band", "v")))
+      .select(col("media_id"), col("band").cast("long").as("band"),
+        col("v"))
+  }
+
   /** Flip pixel-array byte `byteIdx` (0-based within the pixel array)
     * of each BMP payload by +128 mod 256 — a REAL container-level
     * pixel perturbation (the hex overlay keeps every other byte

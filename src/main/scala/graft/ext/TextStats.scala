@@ -1564,11 +1564,11 @@ object TextStats {
         .select(round(lit(1e9) * wgt(col("_k"), col("_l")))
           .cast("long").as("_qg"))
         .agg(coalesce(sum("_qg"), lit(0L)).as("_stw"))
-      sc.crossJoin(broadcast(grid))
+      sc.crossJoin(broadcast(grid)).trackedPersist()
     } else {
       cells.agg(countDistinct("cat").as("n_cats"),
-        lit(0L).as("_span"), lit(0L).as("_stw"))
-    }
+        lit(0L).as("_span"), lit(0L).as("_stw")).trackedPersist()
+    } // 1 row; referenced by the AC2 pair join, the pe finisher
     // per-unit agreement term _qpa (AC1/AC2) or per-unit D_o (alpha)
     val uterm: DataFrame = measure match {
       case "ac1" => units.select(col("u"), col("m"),
@@ -1599,6 +1599,8 @@ object TextStats {
             (col("m") - 1L).cast("double")).cast("long").as("_t"))
         .groupBy("u", "m").agg(sum("_t").as("_qpa"))
     }
+    val utermP = uterm.trackedPersist() // the AC2 pair join must not
+                                        // replay under the explode
     // the q389 deterministic Poisson(1) coin, keyed by (resample, unit)
     def pw(r: Column, s: Column): Column = {
       val u = conv(substring(md5(concat(lit(seed), lit("#"),
@@ -1607,8 +1609,10 @@ object TextStats {
       when(u < 3679L, 0L).when(u < 7358L, 1L).when(u < 9197L, 2L)
         .when(u < 9810L, 3L).when(u < 9963L, 4L).otherwise(5L)
     }
-    // unit-level resample rollup → b rows
-    val uw = uterm
+    // unit-level resample rollup → b rows (persisted: it feeds the
+    // per-resample prevalence finisher AND the coefficient join —
+    // without the cut the ×b explode aggregate runs twice)
+    val uw = utermP
       .select(col("u"), col("m"), col("_qpa"),
         explode(sequence(lit(0), lit(b - 1))).as("_r"))
       .withColumn("_w", pw(col("_r"), col("u")))
@@ -1617,6 +1621,7 @@ object TextStats {
         sum(col("_w") * col("m")).as("_nr"),
         sum(col("_w") * col("_qpa")).as("_spa"))
       .filter(col("_nu") > 0L)
+      .trackedPersist()
     // cell-level resample rollup → b·C rows (raw counts for α,
     // 1e-9-quantized prevalence fractions for AC1/AC2)
     val cw = cells

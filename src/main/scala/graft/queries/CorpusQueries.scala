@@ -2329,6 +2329,82 @@ object CorpusQueries {
         maxHamming = 6, maxBucket = 32)
     },
 
+    // ——— aHash on REAL pixels: the MEAN-THRESHOLD companion of
+    //     q355's gradient dHash over the same 512-image slice +
+    //     perturbed twins — bit g = 1 iff 64·gray_g > Σ grays (exact
+    //     integer threshold, no division in the decision). Unlike
+    //     dHash, the perturbation also shifts the GLOBAL mean, so
+    //     borderline cells anywhere can flip — the radius is 8 and
+    //     twins that flip past it honestly drop from both engines
+    //     (the two hashes failing differently is the point of
+    //     running both). Same LSH band-bucket join + exact-Hamming
+    //     verify; the oracle replays pixel formula → 8×8 grid →
+    //     integer mean threshold → banding → cap → join. ———
+    Q("q396_bmp_ahash_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS pert,
+        |    4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+        |  FROM documents WHERE doc_id < 512
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1, 4 + doc_id % 3,
+        |    3 + doc_id % 2
+        |  FROM documents WHERE doc_id < 512
+        |), cell AS (
+        |  SELECT media_id, base, pert, h, CAST(gx AS BIGINT) AS gx,
+        |    CAST(gy AS BIGINT) AS gy,
+        |    (gx * w) // 8 AS px, (gy * h) // 8 AS py
+        |  FROM m, unnest(range(0, 8)) tx(gx), unnest(range(0, 8)) ty(gy)
+        |), gray AS (
+        |  SELECT media_id, gx, gy,
+        |    (299 * ((base * 7 + py * 131 + px * 17) % 256)
+        |     + 587 * ((base * 7 + py * 131 + px * 17 + 29) % 256)
+        |     + 114 * (((base * 7 + py * 131 + px * 17 + 58) % 256
+        |         + CASE WHEN pert = 1 AND px = 0 AND py = h - 1
+        |             THEN 128 ELSE 0 END) % 256)) // 1000 AS gv
+        |  FROM cell
+        |), tot AS (
+        |  SELECT media_id, CAST(SUM(gv) AS BIGINT) AS tot
+        |  FROM gray GROUP BY 1
+        |), bit AS (
+        |  SELECT g.media_id, g.gy * 8 + g.gx AS b,
+        |    CASE WHEN 64 * g.gv > t.tot THEN 1 ELSE 0 END AS bit
+        |  FROM gray g JOIN tot t USING (media_id)
+        |), sig AS (
+        |  SELECT media_id, CAST(b // 16 AS BIGINT) AS band,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER)))
+        |      AS BIGINT) AS v
+        |  FROM bit GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT band, v FROM sig GROUP BY band, v HAVING COUNT(*) <= 32
+        |), kept AS (
+        |  SELECT sig.* FROM sig JOIN keep USING (band, v)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.v = b.v
+        |    AND a.media_id < b.media_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(SUM(bit_count(xor(sa.v, sb.v))) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON sa.media_id = c.id_a
+        |JOIN sig sb ON sb.media_id = c.id_b AND sb.band = sa.band
+        |GROUP BY 1, 2
+        |HAVING CAST(SUM(bit_count(xor(sa.v, sb.v))) AS BIGINT) <= 8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import graft.ext.Multimodal
+      import graft.engine.TrackedCache.Trackable
+      val base = docs(s, dir).filter(col("doc_id") < 512)
+      // same lineage cut as q355 (HOF re-inline trap on the staged
+      // containers)
+      val orig = Multimodal.syntheticBmp(base).trackedLocalCheckpoint()
+      val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),
+        col("media_id") + 1000000L)
+      Multimodal.dHashNearDupFromSigs(
+        Multimodal.bmpAHashSignatures(
+          orig.unionByName(twin).trackedLocalCheckpoint()),
+        maxHamming = 8, maxBucket = 32)
+    },
+
     // ——— SEQUENTIAL Elo arena fold (the streaming complement of
     //     q341's batch Bradley–Terry leaderboard): 4 leagues × ~56
     //     event-staged battles replayed in seq order through the

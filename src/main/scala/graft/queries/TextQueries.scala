@@ -4429,6 +4429,189 @@ object TextQueries {
         "u", "cat", "ac2_panel", power = 2)
     },
 
+    // ——— bootstrap UNCERTAINTY for Gwet's AC2 (quadratic weights)
+    //     on the q392 ordinal panel — completes the q393/q49
+    //     reliability-interval family on its third measure: the
+    //     instrument (C, span, T_w) is fixed; per-resample pa reuses
+    //     the per-unit weighted-agreement terms (the C²-bounded pair
+    //     join runs ONCE on the full panel, never per resample). ———
+    Q("q397_ac2_bootstrap_ci",
+      """WITH r AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS j
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rat AS MATERIALIZED (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN CAST(concat('0x', substring(md5('g2a#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 100 < 80
+        |      THEN LEAST(4, GREATEST(0, (doc_id * 7) % 5
+        |        + CAST(concat('0x', substring(md5('g2b#'
+        |          || CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % 3 - 1))
+        |      ELSE CAST(concat('0x', substring(md5('g2c#'
+        |        || CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 5
+        |    END AS cat
+        |  FROM r
+        |), cells0 AS MATERIALIZED (
+        |  SELECT u, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rat GROUP BY 1, 2
+        |), units AS MATERIALIZED (
+        |  SELECT u, CAST(SUM(c) AS BIGINT) AS m
+        |  FROM cells0 GROUP BY 1 HAVING SUM(c) >= 2
+        |), cells AS MATERIALIZED (
+        |  SELECT cells0.u, cells0.cat, cells0.c, units.m
+        |  FROM cells0 JOIN units USING (u)
+        |), scale AS MATERIALIZED (
+        |  SELECT CAST(MAX(cat) - MIN(cat) AS BIGINT) AS span,
+        |    CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats
+        |  FROM cells
+        |), cd AS MATERIALIZED (
+        |  SELECT DISTINCT cat FROM cells
+        |), grid AS MATERIALIZED (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(1e9
+        |    * (CAST(1.0 AS DOUBLE)
+        |      - (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)
+        |        * (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)))
+        |    AS BIGINT)), 0) AS BIGINT) AS stw
+        |  FROM cd a CROSS JOIN cd b CROSS JOIN scale
+        |), pt AS (
+        |  SELECT a.u, units.m,
+        |    CAST(round(1e9 * (CAST(1.0 AS DOUBLE)
+        |        - (CAST(abs(a.cat - b.cat) AS DOUBLE) / span)
+        |          * (CAST(abs(a.cat - b.cat) AS DOUBLE) / span))
+        |      * CAST(a.c * b.c AS DOUBLE)) AS BIGINT) AS qw
+        |  FROM cells0 a JOIN cells0 b ON a.u = b.u
+        |    JOIN units ON a.u = units.u
+        |    CROSS JOIN scale
+        |), uterm AS MATERIALIZED (
+        |  SELECT u, m, CAST(round(CAST(SUM(qw) - 1000000000 * m
+        |      AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE)) AS BIGINT)
+        |      AS qpa
+        |  FROM pt GROUP BY u, m
+        |), uw AS MATERIALIZED (
+        |  SELECT r, CAST(SUM(w) AS BIGINT) AS nu,
+        |    CAST(SUM(w * qpa) AS BIGINT) AS spa
+        |  FROM (
+        |    SELECT r, qpa, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, qpa, r, CAST(concat('0x', substring(md5('a2b#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, qpa, unnest(range(0, 200)) AS r
+        |        FROM uterm)))
+        |  GROUP BY 1 HAVING SUM(w) > 0
+        |), cw AS MATERIALIZED (
+        |  SELECT r, cat, CAST(SUM(w * qp) AS BIGINT) AS sc
+        |  FROM (
+        |    SELECT r, cat, qp, CASE WHEN uu < 3679 THEN 0
+        |      WHEN uu < 7358 THEN 1 WHEN uu < 9197 THEN 2
+        |      WHEN uu < 9810 THEN 3 WHEN uu < 9963 THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (
+        |      SELECT u, cat, qp, r, CAST(concat('0x', substring(md5('a2b#'
+        |        || CAST(r AS VARCHAR) || '#' || CAST(u AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 10000 AS uu
+        |      FROM (SELECT u, cat, CAST(round(1e9 * CAST(c AS DOUBLE)
+        |        / CAST(m AS DOUBLE)) AS BIGINT) AS qp,
+        |        unnest(range(0, 200)) AS r FROM cells)))
+        |  GROUP BY 1, 2
+        |), sqt AS (
+        |  SELECT cw.r, CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / nu)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / nu)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM cw JOIN uw ON cw.r = uw.r GROUP BY 1
+        |), qv AS MATERIALIZED (
+        |  SELECT uw.r, CAST(round(1e9
+        |    * (CAST(spa AS DOUBLE) / 1e9 / nu
+        |       - (CAST(stw AS DOUBLE) / 1e9
+        |           / CAST(n_cats * (n_cats - 1) AS DOUBLE))
+        |         * (CAST(sqt AS DOUBLE) / 1e9))
+        |    / (CAST(1.0 AS DOUBLE)
+        |       - (CAST(stw AS DOUBLE) / 1e9
+        |           / CAST(n_cats * (n_cats - 1) AS DOUBLE))
+        |         * (CAST(sqt AS DOUBLE) / 1e9))) AS BIGINT) AS v
+        |  FROM uw JOIN sqt ON uw.r = sqt.r
+        |  CROSS JOIN scale CROSS JOIN grid
+        |  WHERE n_cats >= 2 AND span > 0
+        |), st AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eff,
+        |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv,
+        |    COALESCE(SUM(CAST(v AS HUGEINT) * v), CAST(0 AS HUGEINT))
+        |      AS svv
+        |  FROM qv
+        |), rk AS (
+        |  SELECT x.r, x.v, CAST(COUNT(*) AS BIGINT) AS rk
+        |  FROM qv x JOIN qv y
+        |    ON (y.v < x.v OR (y.v = x.v AND y.r <= x.r))
+        |  GROUP BY 1, 2
+        |), ci AS (
+        |  SELECT
+        |    MAX(CASE WHEN rk = (n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_lo,
+        |    MAX(CASE WHEN rk = (39 * n_eff + 39) // 40 THEN
+        |      round(CAST(v AS DOUBLE) / 1e9, 6) END) AS ci_hi
+        |  FROM rk CROSS JOIN st
+        |), pus AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COALESCE(SUM(qpa), 0) AS BIGINT) AS pspa
+        |  FROM uterm
+        |), pprev AS (
+        |  SELECT cat, CAST(SUM(CAST(round(1e9 * CAST(c AS DOUBLE)
+        |    / CAST(m AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM cells GROUP BY 1
+        |), pcs AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(1e9
+        |      * (CAST(sc AS DOUBLE) / 1e9 / n_units)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / 1e9 / n_units)) AS BIGINT)), 0)
+        |      AS BIGINT) AS sqt
+        |  FROM pprev CROSS JOIN pus
+        |)
+        |SELECT 'ac2_panel' AS measure, 'ac2' AS stat, pus.n_units,
+        |  scale.n_cats, CAST(200 AS BIGINT) AS b_resamples, st.n_eff,
+        |  CASE WHEN pus.n_units > 0 AND scale.n_cats >= 2
+        |      AND scale.span > 0 THEN
+        |    round((CAST(pspa AS DOUBLE) / 1e9 / pus.n_units
+        |      - (CAST(stw AS DOUBLE) / 1e9
+        |          / CAST(scale.n_cats * (scale.n_cats - 1) AS DOUBLE))
+        |        * (CAST(pcs.sqt AS DOUBLE) / 1e9))
+        |      / (CAST(1.0 AS DOUBLE)
+        |        - (CAST(stw AS DOUBLE) / 1e9
+        |            / CAST(scale.n_cats * (scale.n_cats - 1)
+        |              AS DOUBLE))
+        |          * (CAST(pcs.sqt AS DOUBLE) / 1e9)), 6) END
+        |    AS estimate,
+        |  CASE WHEN st.n_eff >= 2 THEN
+        |    round(sqrt(greatest((CAST(svv AS DOUBLE) / n_eff
+        |      - (CAST(sv AS DOUBLE) / n_eff)
+        |        * (CAST(sv AS DOUBLE) / n_eff))
+        |      * n_eff / (n_eff - 1), CAST(0.0 AS DOUBLE))) / 1e9, 6)
+        |    END AS se,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM pus CROSS JOIN pcs CROSS JOIN scale CROSS JOIN grid
+        |  CROSS JOIN st CROSS JOIN ci""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+      def coin(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"), lit("#"),
+        col("j").cast("string"))), 1, 7), 16, 10).cast("long")
+      val base = col("doc_id") * 7 % 5
+      val cat = when(coin("g2a#") % 100 < 80,
+        least(lit(4L), greatest(lit(0L), base + coin("g2b#") % 3 - 1)))
+        .otherwise(coin("g2c#") % 5)
+      TextStats.agreementBootstrapCI(
+        r.select(col("doc_id").as("u"), cat.as("cat")),
+        "u", "cat", "ac2_panel", measure = "ac2", b = 200,
+        power = 2, seed = "a2b")
+    },
+
     // ——— interpolated Kneser–Ney bigram scoring (d = 0.75): the
     //     continuation-probability lower order (distinct left
     //     contexts, not raw frequency) that stops boilerplate tokens

@@ -986,10 +986,23 @@ class ScaleSpec extends SparkSpec {
     //   group-equi join with a ≤-filter and the first-block fallback
     //   a group-equi attach; measured, its whole point.
     // q395 (EB confseq): ZERO — one scalar aggregate + arithmetic.
+    // q396 (aHash near-dup): ZERO — the q355 LSH band-bucket shape.
+    // q397 (ac2 bootstrap): ~10 LOGICAL attaches, all the accepted
+    //   1-row class (the consts = span/n_cats/T_w scale row onto the
+    //   C²-bounded pair join and the pe finisher, gwetAC2's five
+    //   point-delegate attaches, rank→n_eff, the final two); the
+    //   persisted uterm/uw/consts/cells frames echo the SAME attach
+    //   under every InMemoryTableScan consumer, inflating the
+    //   TEXTUAL count to the pinned 59 (the q392 phenomenon at the
+    //   bootstrap's greater plan depth — no data-shaped BNLJ exists:
+    //   removing any persist only increases recomputation, and the
+    //   rank join stays the pmod-keyed equi hash join).
     val bnljCap = Map("q393_ac1_bootstrap_ci" -> 9,
-      "q49_alpha_bootstrap_ci" -> 5).withDefaultValue(0)
+      "q49_alpha_bootstrap_ci" -> 5,
+      "q397_ac2_bootstrap_ci" -> 59).withDefaultValue(0)
     for (name <- Seq("q393_ac1_bootstrap_ci", "q49_alpha_bootstrap_ci",
-        "q394_isotonic_apply", "q395_eb_confseq")) {
+        "q394_isotonic_apply", "q395_eb_confseq",
+        "q396_bmp_ahash_neardup", "q397_ac2_bootstrap_ci")) {
       val df = graft.SparkEntry.queries(name)(spark, sf001)
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString

@@ -472,6 +472,47 @@ class MultimodalSpec extends SparkSpec {
     assert(self.count() === n, "identical pixels must hash identically")
   }
 
+  test("bmpAHashSignatures: identical images collide at Hamming 0; " +
+    "planted pixel twins recalled within Hamming 8; aHash and dHash " +
+    "signatures genuinely differ") {
+    import graft.ext.Multimodal
+    val base = docs.filter(col("doc_id") < 64)
+    val n = base.count()
+    assert(n > 0)
+    val orig = Multimodal.syntheticBmp(base).localCheckpoint()
+    val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),
+      col("media_id") + 1000000L)
+    val pairs = Multimodal.dHashNearDupFromSigs(
+      Multimodal.bmpAHashSignatures(
+        orig.unionByName(twin).localCheckpoint()),
+      maxHamming = 8, maxBucket = 32)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+      .collect()
+    // unlike dHash, the +128 pixel edit also shifts the GLOBAL mean,
+    // so borderline cells anywhere can flip — but the shift is < 1
+    // gray unit (≤ 6 sampling cells × ~14 / 64), so every planted
+    // twin still lands within the radius on this fixture
+    assert(planted.length.toLong === n,
+      s"recovered ${planted.length} of $n planted pixel twins")
+    assert(planted.forall(_.getAs[Long]("hamming") <= 8L))
+    val self = Multimodal.dHashNearDupFromSigs(
+      Multimodal.bmpAHashSignatures(
+        orig.unionByName(orig.withColumn("media_id",
+          col("media_id") + 5000000L)).localCheckpoint()),
+      maxHamming = 0, maxBucket = 32)
+      .filter(col("id_b") === col("id_a") + 5000000L)
+    assert(self.count() === n, "identical pixels must hash identically")
+    // the two hashes measure different structure: their 64-bit
+    // signatures differ on this corpus (not a renamed dHash)
+    val a = Multimodal.bmpAHashSignatures(orig)
+      .groupBy("media_id").agg(sum(col("v") * (col("band") + 1L))
+        .as("sig")).orderBy("media_id").collect().map(_.getLong(1))
+    val d = Multimodal.bmpDHashSignatures(orig)
+      .groupBy("media_id").agg(sum(col("v") * (col("band") + 1L))
+        .as("sig")).orderBy("media_id").collect().map(_.getLong(1))
+    assert(a.toSeq !== d.toSeq)
+  }
+
   test("bmp and stub dHash share the LSH bucket-join machinery: " +
     "identical near-dup join shape, no cartesian / nested-loop / " +
     "row-scale window") {
