@@ -1691,17 +1691,58 @@ object TextStats {
           round(col("_qv").cast("double") / 1e9, 6))).as("ci_lo"),
         max(when(col("_rk") === expr("(39 * n_eff + 39) div 40"),
           round(col("_qv").cast("double") / 1e9, 6))).as("ci_hi"))
-    // the point estimate IS the point operator's output
+    // The point estimate: the SAME integer inputs the point
+    // operators aggregate, read off the already-persisted frames —
+    // delegating to gwetAC1/gwetAC2/krippendorffAlpha on the raw
+    // ratings would re-run their whole chain (a second row-scale
+    // rollup, and for AC2 a second C² pair join). The arithmetic
+    // below is the point operators' verbatim (per-unit quantized
+    // terms summed, identical finisher expressions), so equality
+    // with the point operator is a spec-pinned LAW, and the oracle
+    // replays compute their point CTEs from the same shared frames.
+    val pus = utermP.agg(count(lit(1)).as("n_units"),
+      coalesce(sum("m"), lit(0L)).as("_n"),
+      coalesce(sum("_qpa"), lit(0L)).as("_pspa"))
     val point: DataFrame = measure match {
-      case "ac1" => gwetAC1(ratings, unitCol, catCol, label)
-        .select(col("measure"), col("n_units"), col("n_cats"),
-          col("ac1").as("estimate"))
-      case "ac2" => gwetAC2(ratings, unitCol, catCol, label, power)
-        .select(col("measure"), col("n_units"), col("n_cats"),
-          col("ac2").as("estimate"))
-      case _ => krippendorffAlpha(ratings, unitCol, catCol, label)
-        .select(col("measure"), col("n_units"), col("n_cats"),
-          col("alpha").as("estimate"))
+      case "ac1" | "ac2" =>
+        val pic0 = col("_sc").cast("double") / 1e9 / col("n_units")
+        val pcs = cells
+          .select(col("cat"),
+            round(lit(1e9) * col("c").cast("double") /
+              col("m").cast("double")).cast("long").as("_qp"))
+          .groupBy("cat").agg(sum("_qp").as("_sc"))
+          .crossJoin(broadcast(pus))
+          .select(round(lit(1e9) * pic0 * (lit(1.0) - pic0))
+            .cast("long").as("_qt"))
+          .agg(coalesce(sum("_qt"), lit(0L)).as("_sqt"))
+        val pa0 = col("_pspa").cast("double") / 1e9 / col("n_units")
+        val pe0 = if (measure == "ac1")
+          col("_sqt").cast("double") / 1e9 / (col("n_cats") - 1L)
+        else
+          (col("_stw").cast("double") / 1e9 /
+            (col("n_cats") * (col("n_cats") - 1L)).cast("double")) *
+            (col("_sqt").cast("double") / 1e9)
+        val ok = col("n_units") > 0L && col("n_cats") >= 2L &&
+          (if (measure == "ac2") col("_span") > 0L else lit(true))
+        pus.crossJoin(broadcast(pcs)).crossJoin(broadcast(consts))
+          .select(lit(label).as("measure"), col("n_units"),
+            col("n_cats"),
+            when(ok, round((pa0 - pe0) / (lit(1.0) - pe0), 6))
+              .as("estimate"))
+      case _ =>
+        val snc2 = cells.groupBy("cat").agg(sum("c").as("_nc"))
+          .agg(coalesce(sum(dec(col("_nc")) * dec(col("_nc"))),
+            dec(lit(0))).as("_snc2"))
+        val deNum0 = dec(col("_n")) * dec(col("_n")) - col("_snc2")
+        pus.crossJoin(broadcast(snc2)).crossJoin(broadcast(consts))
+          .select(lit(label).as("measure"), col("n_units"),
+            col("n_cats"),
+            when(col("_n") >= 2L && deNum0 =!= dec(lit(0)),
+              round(lit(1.0) -
+                (dec(col("_pspa")) * dec(col("_n") - 1L))
+                  .cast("double") /
+                (lit(1e9) * deNum0.cast("double")), 6))
+              .as("estimate"))
     }
     val meanQv = col("_sv").cast("double") / col("n_eff")
     val se = sqrt(greatest(

@@ -997,9 +997,15 @@ class ScaleSpec extends SparkSpec {
     //   bootstrap's greater plan depth — no data-shaped BNLJ exists:
     //   removing any persist only increases recomputation, and the
     //   rank join stays the pmod-keyed equi hash join).
-    val bnljCap = Map("q393_ac1_bootstrap_ci" -> 9,
+    // (caps re-measured after the inline-point change: the point
+    // estimate now reads the persisted uterm/cells/consts frames
+    // instead of delegating to the point operator — one fewer
+    // row-scale rollup and, for AC2, one fewer C² pair join at
+    // runtime; the persisted frames echo under one more consumer
+    // each in the plan STRING, hence the higher textual counts.)
+    val bnljCap = Map("q393_ac1_bootstrap_ci" -> 10,
       "q49_alpha_bootstrap_ci" -> 5,
-      "q397_ac2_bootstrap_ci" -> 59).withDefaultValue(0)
+      "q397_ac2_bootstrap_ci" -> 65).withDefaultValue(0)
     for (name <- Seq("q393_ac1_bootstrap_ci", "q49_alpha_bootstrap_ci",
         "q394_isotonic_apply", "q395_eb_confseq",
         "q396_bmp_ahash_neardup", "q397_ac2_bootstrap_ci")) {
