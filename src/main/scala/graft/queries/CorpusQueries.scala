@@ -3651,6 +3651,197 @@ object CorpusQueries {
         .select(col("doc_id").as("s"), (x + d).as("a"), x.as("b"))
       Evals.confSeqTestEB(segs, "s", "a", "b", alpha = 0.05,
         scale = 1.0)
+    },
+
+    // ——— STREAMING empirical-Bernstein test: the q388 ledger stream
+    //     BYTE-UNCHANGED — same panel, same confSeqLedgerStream
+    //     shards, same argmax-on-n readback — finished by the EB
+    //     radius instead of the sub-Gaussian one. This makes the
+    //     "finisher swap, stream untouched" claim hash-verified
+    //     end-to-end: an already-deployed q388 ledger upgrades to
+    //     the variance-adaptive guarantee with zero state migration.
+    //     scale = 0.109 is now just a bound on |delta| (which it
+    //     provably is), not a distributional assertion. ———
+    Q("q398_streaming_eb_confseq",
+      """WITH segs AS (
+        |  SELECT doc_id AS s,
+        |    CAST((CAST(concat('0x', substring(md5('pba#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)
+        |      + (CAST(concat('0x', substring(md5('pbb#'
+        |        || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 200)
+        |      - 90 AS DOUBLE) / 1000.0 AS ma,
+        |    CAST(CAST(concat('0x', substring(md5('pba#'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+        |      AS DOUBLE) / 1000.0 AS mb
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT CAST(round(1e6 * (ma - mb)) AS BIGINT) AS qd,
+        |    CAST(round(1e6 * (ma - mb) * (ma - mb)) AS BIGINT) AS qd2
+        |  FROM segs
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(COALESCE(SUM(qd), 0) AS BIGINT) AS sqd,
+        |    CAST(COALESCE(SUM(qd2), 0) AS BIGINT) AS sqd2
+        |  FROM base
+        |), fin AS (
+        |  SELECT n_segs,
+        |    CAST(sqd AS DOUBLE) / 1e6 / n_segs AS meanraw,
+        |    CAST(sqd2 AS DOUBLE) / 1e6 / n_segs
+        |      - (CAST(sqd AS DOUBLE) / 1e6 / n_segs)
+        |        * (CAST(sqd AS DOUBLE) / 1e6 / n_segs) AS varraw,
+        |    ln(ln(CAST(2.0 AS DOUBLE) * n_segs))
+        |      + CAST(0.72 AS DOUBLE)
+        |        * ln(CAST(5.2 AS DOUBLE) / CAST(0.05 AS DOUBLE)) AS ell
+        |  FROM agg
+        |), fin2 AS (
+        |  SELECT n_segs, meanraw, varraw,
+        |    CAST(0.109 AS DOUBLE) * CAST(1.7 AS DOUBLE)
+        |      * sqrt(ell / n_segs) AS radsg,
+        |    CAST(1.7 AS DOUBLE)
+        |      * sqrt(greatest(varraw, CAST(0.0 AS DOUBLE)) * ell
+        |        / n_segs)
+        |      + (CAST(3.4 AS DOUBLE) * CAST(0.109 AS DOUBLE)) * ell
+        |        / n_segs AS radeb
+        |  FROM fin
+        |)
+        |SELECT n_segs,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw, 6) END
+        |    AS mean_delta,
+        |  CASE WHEN n_segs > 0 THEN round(varraw, 6) END AS var_delta,
+        |  CASE WHEN n_segs > 0 THEN round(radsg, 6) END AS radius_sg,
+        |  CASE WHEN n_segs > 0 THEN round(radeb, 6) END AS radius_eb,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw - radeb, 6) END
+        |    AS ci_lo,
+        |  CASE WHEN n_segs > 0 THEN round(meanraw + radeb, 6) END
+        |    AS ci_hi,
+        |  CASE WHEN n_segs > 0 THEN
+        |    CAST(CASE WHEN abs(round(meanraw, 6)) > round(radeb, 6)
+        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_null
+        |FROM fin2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ext.Streaming
+      val c1 = conv(substring(md5(concat(lit("pba#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val c2 = conv(substring(md5(concat(lit("pbb#"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val stream = Streaming
+        .readParquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("task_id"),
+          ((c1 % 1000 + c2 % 200 - 90).cast("double") / 1000.0)
+            .as("a"),
+          ((c1 % 1000).cast("double") / 1000.0).as("b"))
+        .as[Streaming.PairedScore]
+      val q = Streaming.runToMemory(
+        Streaming.confSeqLedgerStream(stream).toDF(),
+        "q398_ledger", org.apache.spark.sql.streaming.OutputMode.Update)
+      q.stop()
+      // last row per shard by argmax on monotone n_segs (q388 rule)
+      val ledger = s.table("q398_ledger").groupBy("shard")
+        .agg(max(struct(col("n_segs"), col("sqd"), col("sqd2")))
+          .as("_m"))
+        .select(col("_m.n_segs").as("n_segs"), col("_m.sqd").as("sqd"),
+          col("_m.sqd2").as("sqd2"))
+      Evals.seqTestOnCountsEB(ledger, alpha = 0.05, scale = 0.109)
+    },
+
+    // ——— media near-dup CLUSTERS: the q355 real-pixel dHash pair
+    //     ledger folded into connected components + a canonical keep
+    //     flag (cluster = min id, the nearDupClusters contract) with
+    //     cluster sizes — the actionable "keep one per perceptual
+    //     cluster" artifact a pairwise ledger is not. Oracle =
+    //     recursive-CTE reachability over the SAME replayed pair
+    //     graph (the q58 pattern on the q355 chain). ———
+    Q("q399_media_dedup_clusters",
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS pert,
+        |    4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+        |  FROM documents WHERE doc_id < 512
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1, 4 + doc_id % 3,
+        |    3 + doc_id % 2
+        |  FROM documents WHERE doc_id < 512
+        |), cell AS (
+        |  SELECT media_id, base, pert, h, CAST(gx AS BIGINT) AS gx,
+        |    CAST(gy AS BIGINT) AS gy,
+        |    (gx * w) // 9 AS px, (gy * h) // 8 AS py
+        |  FROM m, unnest(range(0, 9)) tx(gx), unnest(range(0, 8)) ty(gy)
+        |), gray AS (
+        |  SELECT media_id, gx, gy,
+        |    (299 * ((base * 7 + py * 131 + px * 17) % 256)
+        |     + 587 * ((base * 7 + py * 131 + px * 17 + 29) % 256)
+        |     + 114 * (((base * 7 + py * 131 + px * 17 + 58) % 256
+        |         + CASE WHEN pert = 1 AND px = 0 AND py = h - 1
+        |             THEN 128 ELSE 0 END) % 256)) // 1000 AS gv
+        |  FROM cell
+        |), bit AS (
+        |  SELECT a.media_id, a.gy * 8 + a.gx AS b,
+        |    CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+        |  FROM gray a JOIN gray c
+        |    ON c.media_id = a.media_id AND c.gy = a.gy
+        |      AND c.gx = a.gx + 1
+        |  WHERE a.gx <= 7
+        |), sig AS (
+        |  SELECT media_id, CAST(b // 16 AS BIGINT) AS band,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER)))
+        |      AS BIGINT) AS v
+        |  FROM bit GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT band, v FROM sig GROUP BY band, v HAVING COUNT(*) <= 32
+        |), kept AS (
+        |  SELECT sig.* FROM sig JOIN keep USING (band, v)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.v = b.v
+        |    AND a.media_id < b.media_id
+        |), pairs AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sig sa ON sa.media_id = c.id_a
+        |  JOIN sig sb ON sb.media_id = c.id_b AND sb.band = sa.band
+        |  GROUP BY 1, 2
+        |  HAVING CAST(SUM(bit_count(xor(sa.v, sb.v))) AS BIGINT) <= 6
+        |), edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS MATERIALIZED (
+        |  SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS cluster
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id
+        |)
+        |SELECT c.id, c.cluster, CAST(cnt.n AS BIGINT) AS cluster_size,
+        |  CAST(CASE WHEN c.id = c.cluster THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keep
+        |FROM clusters c
+        |JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM clusters GROUP BY 1) cnt USING (cluster)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.ext.{Dedup, Multimodal}
+      import graft.engine.TrackedCache.Trackable
+      val base = docs(s, dir).filter(col("doc_id") < 512)
+      val orig = Multimodal.syntheticBmp(base).trackedLocalCheckpoint()
+      val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),
+        col("media_id") + 1000000L)
+      // localCheckpoint the pair ledger: its lineage is the whole
+      // decode+LSH chain and the CC loop caches per iteration (the
+      // q58 GC lesson)
+      val pairs = Multimodal.dHashNearDupFromSigs(
+        Multimodal.bmpDHashSignatures(
+          orig.unionByName(twin).trackedLocalCheckpoint()),
+        maxHamming = 6, maxBucket = 32)
+        .select("id_a", "id_b")
+        .trackedLocalCheckpoint()
+      val clusters = Dedup.nearDupClusters(pairs)
+        .select(col("id"), col("cluster").cast("long").as("cluster"))
+      val sizes = clusters.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).cast("long").as("keep"))
+        .orderBy("id")
     }
   )
 

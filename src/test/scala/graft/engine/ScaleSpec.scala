@@ -987,6 +987,10 @@ class ScaleSpec extends SparkSpec {
     //   a group-equi attach; measured, its whole point.
     // q395 (EB confseq): ZERO — one scalar aggregate + arithmetic.
     // q396 (aHash near-dup): ZERO — the q355 LSH band-bucket shape.
+    // q398 (streaming EB) is excluded like q380/q385/q388:
+    // constructing it RUNS the stream; q399 (media CC) is excluded
+    // like q58: nearDupClusters iterates with eager per-round counts
+    // at construction. Both inherit their components' pinned shapes.
     // q397 (ac2 bootstrap): ~10 LOGICAL attaches, all the accepted
     //   1-row class (the consts = span/n_cats/T_w scale row onto the
     //   C²-bounded pair join and the pe finisher, gwetAC2's five
