@@ -1269,7 +1269,10 @@ object TextStats {
   def fleissKappa(ratings: DataFrame, unitCol: String, catCol: String,
                   label: String): DataFrame = {
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val cells = ratings.groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
+    // NULL unit/category rows are not ratings (the family rule)
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("c"))
     val units = cells.groupBy("u")
       .agg(sum(col("c") * col("c")).as("ss"), sum("c").as("m"))
@@ -1508,8 +1511,12 @@ object TextStats {
     * are the q389 nearest-rank ⌈n_eff/40⌉ / ⌈39·n_eff/40⌉ order
     * statistics by exact long comparison with resample-id tie-break.
     *
-    * `estimate` IS the point operator's coefficient (computed by
-    * delegating to it — equality is by construction, spec-pinned).
+    * `estimate` IS the point operator's coefficient — computed
+    * INLINE from the shared persisted frames with the point
+    * operator's verbatim arithmetic (delegating would re-run its
+    * whole chain); equality with the point operator's output is a
+    * spec-pinned LAW, which also requires the point operators to
+    * share this operator's NULL-rating drop rule (they do).
     * Laws the spec pins: a degenerate all-agree panel collapses the
     * CI to [1, 1] with se = 0; the CI brackets the point estimate on
     * well-behaved panels; on a BINARY scale the AC2 bootstrap equals
@@ -1773,7 +1780,13 @@ object TextStats {
   def krippendorffAlpha(ratings: DataFrame, unitCol: String,
                         catCol: String, label: String): DataFrame = {
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val cells = ratings.groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
+    // NULL unit/category rows are not ratings — drop them, the
+    // family rule (gwetAC1/gwetAC2 and the bootstrap apply the same
+    // filter, which is what makes agreementBootstrapCI's
+    // estimate-equality law hold on NULL-bearing panels)
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("c"))
       .trackedPersist()
     val units = cells.groupBy("u").agg(sum("c").as("m"))

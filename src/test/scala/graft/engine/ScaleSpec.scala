@@ -974,14 +974,16 @@ class ScaleSpec extends SparkSpec {
     // so Catalyst plans a real hash join bounded by the b PARAMETER
     // (never a BNLJ; confirmed by the measured counts below, which
     // are fully accounted for by 1-row attaches).
-    // q393 (ac1): the consts attach in the pe finisher + the
-    //   rank→n_eff attach + gwetAC1's two internal attaches + the
-    //   final point×stats×ci attaches — 6 logical; the persisted
-    //   qvs/cells/units frames echo 3 more textual occurrences (9).
-    // q49 (alpha): no consts attach in the alpha finisher — the
-    //   rank→n_eff attach + krippendorffAlpha's two internal
-    //   attaches + the final two (5 — the exact logical count, which
-    //   is also what confirms the rank join planned equi).
+    // Logical attach inventory (post-inline-point — the estimate
+    // reads the shared persisted frames, no delegate):
+    // q393 (ac1): consts attach in the pe finisher + rank→n_eff +
+    //   the point finisher's pcs-onto-pus and pus×pcs×consts
+    //   attaches + the final point×stats×ci — ~7 logical; persisted
+    //   qvs/cells/units/uw frames echo the rest (cap 10).
+    // q49 (alpha): no consts attach in the alpha finisher —
+    //   rank→n_eff + the point finisher's snc2/consts attaches +
+    //   the final two (cap 5 = the exact logical count, which is
+    //   also what confirms the rank join planned equi).
     // q394 (isotonic apply): ZERO — the bucket→block lookup is a
     //   group-equi join with a ≤-filter and the first-block fallback
     //   a group-equi attach; measured, its whole point.
@@ -993,20 +995,15 @@ class ScaleSpec extends SparkSpec {
     // at construction. Both inherit their components' pinned shapes.
     // q397 (ac2 bootstrap): ~10 LOGICAL attaches, all the accepted
     //   1-row class (the consts = span/n_cats/T_w scale row onto the
-    //   C²-bounded pair join and the pe finisher, gwetAC2's five
-    //   point-delegate attaches, rank→n_eff, the final two); the
-    //   persisted uterm/uw/consts/cells frames echo the SAME attach
-    //   under every InMemoryTableScan consumer, inflating the
-    //   TEXTUAL count to the pinned 59 (the q392 phenomenon at the
-    //   bootstrap's greater plan depth — no data-shaped BNLJ exists:
-    //   removing any persist only increases recomputation, and the
-    //   rank join stays the pmod-keyed equi hash join).
-    // (caps re-measured after the inline-point change: the point
-    // estimate now reads the persisted uterm/cells/consts frames
-    // instead of delegating to the point operator — one fewer
-    // row-scale rollup and, for AC2, one fewer C² pair join at
-    // runtime; the persisted frames echo under one more consumer
-    // each in the plan STRING, hence the higher textual counts.)
+    //   C²-bounded pair join, the pe finisher and the point
+    //   finisher, the grid-onto-sc attach inside consts, rank→n_eff,
+    //   the final two); the persisted uterm/uw/consts/cells frames
+    //   echo the SAME attaches under every InMemoryTableScan
+    //   consumer, inflating the TEXTUAL count to the pinned 65 (the
+    //   q392 phenomenon at the bootstrap's greater plan depth — no
+    //   data-shaped BNLJ exists: removing any persist only
+    //   increases recomputation, and the rank join stays the
+    //   pmod-keyed equi hash join).
     val bnljCap = Map("q393_ac1_bootstrap_ci" -> 10,
       "q49_alpha_bootstrap_ci" -> 5,
       "q397_ac2_bootstrap_ci" -> 65).withDefaultValue(0)

@@ -1557,6 +1557,33 @@ class TextStatsSpec extends SparkSpec {
     assert(cols(a1) === cols(a2))
   }
 
+  test("agreement family NULL-rating rule: fleissKappa and " +
+    "krippendorffAlpha drop NULL unit/category rows (like gwetAC1/" +
+    "AC2), so the bootstrap estimate-equality law holds on " +
+    "NULL-bearing panels") {
+    val clean = (0 until 20).flatMap { u =>
+      (0 until 3).map(j => (s"u$u", ((u + j) % 3).toString))
+    }.toDF("u", "cat")
+    val dirty = clean.unionByName(Seq(
+      (null.asInstanceOf[String], "0"), ("u0", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("u", "cat"))
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect().toSeq
+      graft.engine.TrackedCache.release(); out
+    }
+    assert(rows(TextStats.krippendorffAlpha(dirty, "u", "cat", "p")) ===
+      rows(TextStats.krippendorffAlpha(clean, "u", "cat", "p")))
+    assert(rows(TextStats.fleissKappa(dirty, "u", "cat", "p")) ===
+      rows(TextStats.fleissKappa(clean, "u", "cat", "p")))
+    val boot = rows(TextStats.agreementBootstrapCI(dirty, "u", "cat",
+      "p", measure = "alpha", b = 20, seed = "nn")).head
+    val point = rows(TextStats.krippendorffAlpha(dirty, "u", "cat",
+      "p")).head
+    assert(boot.getAs[Double]("estimate") ===
+      point.getAs[Double]("alpha"))
+  }
+
   test("agreementBootstrapCI(alpha): estimate equals " +
     "krippendorffAlpha, missing-data units drop, CI brackets") {
     val panel = (0 until 50).flatMap { u =>
