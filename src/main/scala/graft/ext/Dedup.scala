@@ -1057,6 +1057,32 @@ object Dedup {
     // dev-loop probe (GRAFT_CC_DEBUG=1): per-iteration wall time to
     // stderr, for attributing loop cost to iterations vs upstream
     val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    // convergence-check BATCHING (r18 optimization round): at
+    // sf-bench scale each count action costs a full job (scheduling
+    // floor ≈ the whole per-round cost on small graphs — the r17
+    // q399 reading: ~10 rounds × one join+agg+count job each); at
+    // corpus scale the count is a barrier. Min-label propagation is
+    // MONOTONE (labels only decrease) and idempotent once stable, so
+    // checking every 2nd round is exact — a round past convergence is
+    // a no-op and the next checked round reads 0 changes. Unchecked
+    // rounds run NO action: the next checked count materializes the
+    // ≤2-round chain in one job. For that lazy chain to stay LINEAR,
+    // the pointer-jump lookup must NOT self-join the current round's
+    // frame (two references to an unmaterialized subtree double the
+    // work per lazy level — measured 45 s on the q399 graph when the
+    // round-9 eager checkpoint replayed a 2-level self-join chain);
+    // it reads the last MATERIALIZED generation (`anchor`) instead.
+    // The lagged jump is still exact: label_s[m] ≤ m for every
+    // generation s (a node's label never exceeds its id), so the
+    // update stays monotone with the same unique fixed point (all
+    // labels = component min), and at stability anchor[m] = m (a
+    // component-min node's label is itself in every generation), so
+    // the jump is a no-op and convergence detection is unchanged.
+    // Unpersists of frames feeding an unmaterialized chain are
+    // DEFERRED to the next action — freeing a localCheckpoint parent
+    // early would truncate lineage the pending job still needs.
+    var deferredFrees: List[DataFrame] = Nil
+    var anchor = labels // last materialized generation (jump lookup)
     var i = 0
     while (!converged && i < maxIter) {
       val itT0 = if (ccDebug) System.nanoTime() else 0L
@@ -1067,20 +1093,16 @@ object Dedup {
           min(when(col("src") === col("dst"), col("cluster"))).as("_old"))
       // real near-dup graphs (pairs/stars/short chains) converge in
       // the plain hops above; past that we're in a deep-chain regime,
-      // so switch on pointer-jumping — label ← label(label), one
-      // extra self-join per iteration — which turns O(diameter) into
-      // O(log diameter). Every label IS a node id (min over ids), so
-      // the lookup always resolves; left join + coalesce is belt and
-      // braces. Convergence stays exact: stable under the neighbor
-      // step ⇒ labels constant per component ⇒ jumping is a no-op.
-      // the self-join below references `propagated` on BOTH sides —
-      // cache it for the jump iterations or each one evaluates the
-      // edges-join + aggregate twice
-      val propCached = if (i < 4) propagated else propagated.persist(loopLevel)
+      // so switch on pointer-jumping — label ← anchor(label), one
+      // extra lookup join per iteration against the LAST MATERIALIZED
+      // labels — which turns O(diameter) into O(log diameter) (the
+      // anchor lags ≤2 rounds, so reach still compounds geometrically).
+      // Every label IS a node id (min over ids), so the lookup always
+      // resolves; left join + coalesce is belt and braces.
       val jumped =
-        if (i < 4) propCached
-        else propCached.join(
-            propCached.select(col("id").as("cluster"), col("cluster").as("_c2")),
+        if (i < 4) propagated
+        else propagated.join(
+            anchor.select(col("id").as("cluster"), col("cluster").as("_c2")),
             Seq("cluster"), "left")
           .select(col("id"), coalesce(col("_c2"), col("cluster")).as("cluster"),
             col("_old"))
@@ -1090,21 +1112,35 @@ object Dedup {
       // replay on eviction). Truncate both every 5 iterations.
       val isCkpt = (i + 1) % 5 == 0
       val next = if (isCkpt) jumped.localCheckpoint() else jumped.persist(loopLevel)
-      converged = next.filter(col("cluster") < col("_old")).count() == 0L
-      if (i >= 4) propCached.unpersist() // next is materialized by the count
-      labels.unpersist() // no-op when labels was itself a checkpoint — see below
-      if (isCkpt) {
-        // the new checkpoint is materialized (count above) and its plan
-        // is a fresh LogicalRDD — nothing live references the previous
-        // checkpoint's blocks anymore; free them now
-        liveCkptRdds.foreach(_.unpersist(blocking = false))
-        liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
+      // check on odd rounds, checkpoint rounds (eager anyway) and the
+      // last admissible round; a graph needing exactly maxIter rounds
+      // still reads its 0-change count at i = maxIter - 1
+      val doCheck = isCkpt || i % 2 == 1 || i == maxIter - 1
+      if (doCheck) {
+        converged = next.filter(col("cluster") < col("_old")).count() == 0L
+        // the chain up to `next` is materialized now — flush deferred
+        // frees plus this round's own superseded frames (the old
+        // anchor is one of them; nothing lazy references it anymore)
+        deferredFrees.foreach(_.unpersist())
+        deferredFrees = Nil
+        labels.unpersist() // no-op when labels was itself a checkpoint
+        if (isCkpt) {
+          // the new checkpoint is materialized (count above) and its
+          // plan is a fresh LogicalRDD — nothing live references the
+          // previous checkpoint's blocks anymore; free them now
+          liveCkptRdds.foreach(_.unpersist(blocking = false))
+          liveCkptRdds = org.apache.spark.sql.GraftBridge.leafRdds(next)
+        }
+        anchor = next
+      } else {
+        deferredFrees ::= labels
       }
       labels = next
       if (ccDebug) System.err.println(
-        f"[cc] iter=$i converged=$converged ${(System.nanoTime() - itT0) / 1e9}%.3f s")
+        f"[cc] iter=$i checked=$doCheck converged=$converged ${(System.nanoTime() - itT0) / 1e9}%.3f s")
       i += 1
     }
+    deferredFrees.foreach(_.unpersist())
     edges.unpersist()
     edges0.unpersist()
     require(converged, s"nearDupClusters: not converged after $maxIter iterations")

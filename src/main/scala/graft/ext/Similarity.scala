@@ -993,10 +993,14 @@ object Similarity {
     require(k >= 1, s"knnShapley: k must be >= 1, got $k")
     // count the same roster the broadcast ships: rows the NULL
     // filter drops never reach the Q·N frame, so they must not
-    // spend the budget (otherwise the gate over-refuses)
+    // spend the budget (otherwise the gate over-refuses). The
+    // broadcast filters on q_label CAST TO LONG (a non-castable
+    // label nulls out and is dropped), so the gate counts the same
+    // post-cast roster — counting raw non-NULL labels would spend
+    // budget on rows that never ship.
     val nq = queries
       .filter(col("qid").isNotNull && col("qv").isNotNull &&
-        col("q_label").isNotNull)
+        col("q_label").cast("long").isNotNull)
       .count()
     require(nq <= maxQueries,
       s"knnShapley scores a query-roster × corpus frame and refuses " +

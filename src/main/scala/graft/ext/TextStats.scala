@@ -1537,8 +1537,13 @@ object TextStats {
                            seed: String = "abc"): DataFrame = {
     require(Set("ac1", "ac2", "alpha")(measure),
       s"agreementBootstrapCI: measure in {ac1, ac2, alpha}, got $measure")
-    require(b >= 2 && b <= 100000,
-      s"agreementBootstrapCI: b in [2, 1e5], got $b")
+    // cap 4096, not 1e5: the nearest-rank CI joins every resample on
+    // the constant pmod(_r, 1) key, so all b rows land in ONE hash
+    // partition and the b×b comparison is a single-task O(b²) —
+    // 16.8M comparisons at 4096 (fine), 1e10 at the old 1e5 cap (a
+    // plan the require promised but the rank join could not honor)
+    require(b >= 2 && b <= 4096,
+      s"agreementBootstrapCI: b in [2, 4096], got $b")
     require(power == 1 || power == 2,
       s"agreementBootstrapCI: power must be 1 or 2, got $power")
     val dec = (c: Column) => c.cast(DecimalType(38, 0))

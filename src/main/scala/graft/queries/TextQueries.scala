@@ -4662,7 +4662,9 @@ object TextQueries {
     //     the category count C held fixed (the instrument is not
     //     resampled). SE = sample sd of resample coefficients; CI =
     //     q389 nearest-rank 2.5/97.5 by exact long comparison. The
-    //     point estimate is gwetAC1's own output (delegated). ———
+    //     point estimate is computed INLINE from the shared
+    //     persisted frames with gwetAC1's verbatim arithmetic;
+    //     equality with the point operator is a spec-pinned law. ———
     Q("q393_ac1_bootstrap_ci",
       """WITH r AS (
         |  SELECT doc_id, unnest(range(0, 4)) AS j

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, ExpressionSet, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Project, Window => LWindow}
-import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.{LocalTableScanExec, ProjectExec, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Structural scale checks shared by the plan-pin suites. */
 object PlanChecks {
@@ -37,6 +38,96 @@ object PlanChecks {
     * a join of a limited frame against an unbounded one would
     * slip through, but no battery operator windows such a join.
     */
+  /** BroadcastNestedLoopJoin nodes whose BUILD side is NOT provably
+    * a ≤1-row frame — the data-shaped BNLJs that cannot survive
+    * scale. The accepted class is the 1-row broadcast attach
+    * (`crossJoin(broadcast(scalarAgg))`): its build subtree roots at
+    * a grouping-less aggregate, a LIMIT ≤ 1, or a ≤1-row local
+    * relation, possibly under cardinality-preserving unary nodes
+    * (project/filter/exchange/codegen wrappers) or a product of two
+    * such frames (1×1 = 1). Walks INTO InMemoryTableScan cached
+    * plans and AQE subtrees, so the textual echo of one logical
+    * attach under many cache consumers is counted structurally,
+    * not by substring — the former raw-count caps could absorb a
+    * real data-shaped BNLJ without failing.
+    */
+  def dataShapedBnlj(df: DataFrame): Seq[String] =
+    dataShapedBnlj(df, Set.empty)
+
+  /** As above, additionally accepting build sides that root at a
+    * grouped aggregate whose EVERY grouping column is named in
+    * `allowedDictKeys` — the explicit escape hatch for deliberate
+    * dictionary×dictionary grids (e.g. the AC2 category-weight grid:
+    * a C×C cross of the category dictionary, bounded by the
+    * instrument, not the data). The caller names the dictionary keys
+    * it accepts, so a future BNLJ against a row-scale frame still
+    * fails (row-scale frames are not grouped on an allowed key).
+    */
+  def dataShapedBnlj(df: DataFrame, allowedDictKeys: Set[String]): Seq[String] = {
+    // provably ≤1 row: recurse through nodes that cannot increase
+    // cardinality; accept the three 1-row roots; a join/product of
+    // two ≤1-row frames is ≤1 row
+    def tiny(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty ||
+        tiny(a.child)
+      case l: org.apache.spark.sql.execution.GlobalLimitExec =>
+        l.limit <= 1 || tiny(l.child)
+      case l: org.apache.spark.sql.execution.LocalLimitExec =>
+        l.limit <= 1 || tiny(l.child)
+      case l: LocalTableScanExec => l.rows.size <= 1
+      case s: InMemoryTableScanExec => tiny(s.relation.cachedPlan)
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        tiny(aqe.executedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        tiny(r.child)
+      case b: BroadcastNestedLoopJoinExec => tiny(b.left) && tiny(b.right)
+      case c: CartesianProductExec => tiny(c.left) && tiny(c.right)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        tiny(j.left) && tiny(j.right)
+      case u: UnaryExecNode => tiny(u.child) // project/filter/sort/
+        // exchange/codegen wrappers: none adds rows
+      case _ => false
+    }
+    // build side rooting at a grouped aggregate on allowed dictionary
+    // keys only (unwrapping cardinality-preserving nodes on the way)
+    def dictRooted(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.forall {
+          case att: Attribute => allowedDictKeys.contains(att.name)
+          case al: Alias => allowedDictKeys.contains(al.name)
+          case _ => false
+        }
+      case s: InMemoryTableScanExec => dictRooted(s.relation.cachedPlan)
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        dictRooted(aqe.executedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        dictRooted(r.child)
+      case u: UnaryExecNode => dictRooted(u.child)
+      case _ => false
+    }
+    val seen = scala.collection.mutable.Set[Int]()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: SparkPlan): Unit = {
+      if (!seen.add(System.identityHashCode(p))) return
+      p.foreach {
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          if (!tiny(build) && !dictRooted(build))
+            out += b.simpleString(200) + "\nBUILD SIDE:\n" +
+              build.treeString.linesIterator.take(40).mkString("\n")
+        case s: InMemoryTableScanExec => walk(s.relation.cachedPlan)
+        case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(aqe.executedPlan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toSeq
+  }
+
   def rowScaleGlobalWindows(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan
     plan.collect {

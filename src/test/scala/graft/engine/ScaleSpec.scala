@@ -999,14 +999,14 @@ class ScaleSpec extends SparkSpec {
     //   finisher, the grid-onto-sc attach inside consts, rank→n_eff,
     //   the final two); the persisted uterm/uw/consts/cells frames
     //   echo the SAME attaches under every InMemoryTableScan
-    //   consumer, inflating the TEXTUAL count to the pinned 65 (the
-    //   q392 phenomenon at the bootstrap's greater plan depth — no
-    //   data-shaped BNLJ exists: removing any persist only
-    //   increases recomputation, and the rank join stays the
-    //   pmod-keyed equi hash join).
-    val bnljCap = Map("q393_ac1_bootstrap_ci" -> 10,
-      "q49_alpha_bootstrap_ci" -> 5,
-      "q397_ac2_bootstrap_ci" -> 65).withDefaultValue(0)
+    //   consumer (the q392 phenomenon at the bootstrap's greater
+    //   plan depth). The former raw-substring caps (up to 65 for
+    //   q397) could have absorbed a future genuinely data-shaped
+    //   BNLJ; the pin is now STRUCTURAL — every BNLJ's build side
+    //   must be provably ≤1 row (PlanChecks.dataShapedBnlj walks
+    //   build subtrees through cache/AQE wrappers), so one real
+    //   data-shaped BNLJ fails regardless of how many textual
+    //   echoes the accepted attaches produce.
     for (name <- Seq("q393_ac1_bootstrap_ci", "q49_alpha_bootstrap_ci",
         "q394_isotonic_apply", "q395_eb_confseq",
         "q396_bmp_ahash_neardup", "q397_ac2_bootstrap_ci")) {
@@ -1014,8 +1014,11 @@ class ScaleSpec extends SparkSpec {
       assert(graft.PlanChecks.rowScaleGlobalWindows(df).isEmpty, name)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
-      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-      assert(bnlj <= bnljCap(name), s"$name has $bnlj BNLJ:\n$p")
+      // allowed non-1-row build: the AC2 grid — a C×C cross of the
+      // CATEGORY dictionary (grouped on `cat`), bounded by the
+      // instrument's category count, never by data volume
+      val bad = graft.PlanChecks.dataShapedBnlj(df, Set("cat"))
+      assert(bad.isEmpty, s"$name has data-shaped BNLJ:\n${bad.mkString("\n")}")
       graft.engine.TrackedCache.release()
     }
   }

@@ -120,6 +120,20 @@ class DedupSpec extends SparkSpec {
     assert(clusters.values.toSet === Set(0L))
   }
 
+  test("nearDupClusters: convergence on an UNCHECKED round (batched " +
+    "convergence counts) still terminates with exact labels") {
+    // the r18 optimization batches convergence counts (checked on odd
+    // rounds / checkpoint rounds / the last admissible round): a graph
+    // stable after round 0 — star 1-{2,3} plus pair 5-6 — is detected
+    // at the round-1 check, and the extra no-op propagation round
+    // leaves the labels byte-identical (min-label monotonicity)
+    val pairs = Seq((1L, 2L), (1L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs, maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical texts collide; near-dups are Hamming-close") {
     val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
