@@ -67,6 +67,17 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // respect the advisory partition size when coalescing instead
+      // of refusing to go below default parallelism (Spark's own
+      // config doc recommends false): KB-scale shuffles otherwise
+      // always fan out to `cpus` tasks and the battery's dictionary
+      // stages pay a 32-task scheduling+codegen floor per exchange.
+      // Scale-adaptive by construction — partitions are sized by
+      // BYTES, so cluster-scale stages keep their parallelism; the
+      // compute-dense byte-light stages that genuinely need spreading
+      // use Skew.spreadForCompute (REPARTITION_BY_NUM, which AQE
+      // never coalesces).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,6 +31,30 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
 
+  /** Spread COMPUTE-DENSE per-row work across the session's shuffle
+    * parallelism (r18 optimization round, guide §2). AQE's partition
+    * coalescing targets BYTES (the advisory partition size), which is
+    * exactly wrong for operators whose per-row cost dwarfs their row
+    * width — interpreted DP token metrics (~maxTokens³ ≈ 14k integer
+    * ops over a ~200-byte row), positional codec decodes, per-row
+    * container construction. At bench scale the whole frame coalesces
+    * to ONE task (measured: q354/q361 ran their 7–8 s DP stage on a
+    * single core with 31 idle); at cluster scale a bytes-sized
+    * partition of such rows is minutes of single-task compute the
+    * same way. The fix is an explicit hash repartition on the row key
+    * to the session's spark.sql.shuffle.partitions — an explicitly
+    * NUMBERED repartition (REPARTITION_BY_NUM), which AQE never
+    * re-coalesces — so the partition count rides the user's scale
+    * knob, not a constant, and the extra exchange moves only the thin
+    * pre-compute rows.
+    */
+  def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
+    val n = try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: NumberFormatException =>
+        df.sparkSession.sparkContext.defaultParallelism }
+    df.repartition(n, key)
+  }
+
   /** Salted equi-join for a skewed LEFT side against a smaller right
     * side: left rows get a deterministic salt, the right side is
     * replicated once per salt value, and the join key becomes

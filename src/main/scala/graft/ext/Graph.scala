@@ -94,8 +94,16 @@ object Graph {
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
                         itemCol: String,
                         maxItemDf: Option[Long] = None): DataFrame = {
-    val g0 = df.select(col(groupCol).cast("string").as("g"),
-                       col(itemCol).cast("string").as("item")).distinct()
+    // the row-scale distinct runs on NATIVE key types (guide §2.3:
+    // narrower types — int pairs hash/compare far cheaper than their
+    // string forms); the string cast is applied AFTER, which is
+    // result-identical because cast-to-string is injective on the key
+    // types used here, and the pair orientation below still compares
+    // the STRING forms (the oracle's VARCHAR `<`)
+    val g0 = df.select(col(groupCol).as("_gn"), col(itemCol).as("_in"))
+      .distinct()
+      .select(col("_gn").cast("string").as("g"),
+        col("_in").cast("string").as("item"))
     val g = maxItemDf.fold(g0) { cap =>
       require(cap >= 1, s"coOccurrenceEdges: maxItemDf must be >= 1, got $cap")
       // one dictionary-sized aggregate + a broadcast-able semi-join:

