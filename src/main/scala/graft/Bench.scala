@@ -67,17 +67,13 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // respect the advisory partition size when coalescing instead
-      // of refusing to go below default parallelism (Spark's own
-      // config doc recommends false): KB-scale shuffles otherwise
-      // always fan out to `cpus` tasks and the battery's dictionary
-      // stages pay a 32-task scheduling+codegen floor per exchange.
-      // Scale-adaptive by construction — partitions are sized by
-      // BYTES, so cluster-scale stages keep their parallelism; the
-      // compute-dense byte-light stages that genuinely need spreading
-      // use Skew.spreadForCompute (REPARTITION_BY_NUM, which AQE
-      // never coalesces).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // NOTE (r18): coalescePartitions.parallelismFirst=false was
+      // TRIED here (respect the advisory size; fewer tiny tasks) and
+      // REVERTED on measurement: the battery's many byte-light but
+      // compute-DENSE post-shuffle stages (n-gram dedup, self-BLEU,
+      // assoc-rules...) coalesced to ~1 task and serialized — the
+      // same failure mode spreadForCompute fixes for the DP metrics.
+      // parallelism-first is the right default for this workload mix.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -153,14 +153,13 @@ object Preference {
       .trackedLocalCheckpoint()
     var pi = stats.select(col("prompt_id"), col("rid"),
       lit(micro).as("_p"))
-    // checkpoint every 2nd round, not every round (r18 optimization):
-    // the per-round eager cut exists because `pi` is referenced twice
-    // per round (the _pi/_pj joins — unchecked, canonicalization goes
-    // 2^iterations, the documented q338 spin). ONE lazy round bounds
-    // the duplication at 4 references and two extra dictionary-sized
-    // join evaluations inside the next cut's job — a fixed, tiny
-    // constant — while halving the eager checkpoint actions the loop
-    // schedules (measured ~75 jobs → ~45 for the 5-round fit).
+    // checkpoint EVERY round. r18 tried every-2nd-round batching
+    // (halve the eager actions; one lazy round bounds the plan growth)
+    // and REVERTED it on measurement: the unchecked round's frames are
+    // referenced twice by the next round's _pi/_pj joins, so its whole
+    // ~7-stage chain executes TWICE inside the following checkpoint —
+    // costlier than the one action saved (q338 3.0 → 5.6 s, q342
+    // 3.8 → 6.5 s min-of-2 in-battery, reproduced across two runs).
     for (it <- 1 to iterations) {
       val terms = pairs
         .join(pi.select(col("prompt_id"), col("rid").as("i"),
@@ -179,12 +178,11 @@ object Preference {
           round(col("_a").cast("double") * 1e12 / col("_d")).cast("long"),
           lit(micro)))
       val tot = raw.groupBy("prompt_id").agg(sum("_praw").as("_s"))
-      val next = raw.join(tot, Seq("prompt_id"))
+      pi = raw.join(tot, Seq("prompt_id"))
         .select(col("prompt_id"), col("rid"),
           round(col("_praw").cast("double") * col("_k") * micro
             / col("_s")).cast("long").as("_p"))
-      pi = if (it % 2 == 0 || it == iterations) next.trackedLocalCheckpoint()
-           else next
+        .trackedLocalCheckpoint()
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("prompt_id").orderBy(col("_p").desc, col("rid"))
