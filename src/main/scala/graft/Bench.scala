@@ -67,6 +67,16 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE re-partitioning of CACHED plan materialization was A/B'd
+      // battery-style in r19 (25-query cross-family subset, min-of-2):
+      // net 1.00× — broadcast-iterative loops over cached edge frames
+      // won big (q126 0.62×, q194 0.70×) but compute-dense consumers
+      // of coalesced caches serialized (q279 1.88×, q320 1.49×, q49
+      // 1.33×). Kept at the Spark default (false); the winners get
+      // the same effect surgically (size-derived partition compaction
+      // at the operator). Env knob retained for re-measurement.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "false"))
       // NOTE (r18): coalescePartitions.parallelismFirst=false was
       // TRIED here (respect the advisory size; fewer tiny tasks) and
       // REVERTED on measurement: the battery's many byte-light but

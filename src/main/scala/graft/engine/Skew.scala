@@ -55,6 +55,43 @@ object Skew {
     df.repartition(n, key)
   }
 
+  /** The inverse of [[spreadForCompute]] (r19 optimization round,
+    * guide §2.2 "fewer, larger partitions"): compact a frame that a
+    * LOOP is about to cache to a SIZE-DERIVED partition count before
+    * persisting it. Iterative operators (PageRank, HITS, label
+    * propagation, triangle orientation) re-read their cached edge
+    * frame once per round; materialized at the full shuffle-partition
+    * count, every round pays a full-width task wave over partitions
+    * that hold a few KB each — measured at sf0.1: 32-task stages,
+    * taskTime 2-3× CPU time, per-task deserialization of the deep
+    * iterative plan dominating (q214: 85 s deser across 662 tasks).
+    * AQE cannot fix this (cached-plan re-partitioning is off by
+    * default, and flipping it globally regressed compute-dense cache
+    * consumers 1.5-1.9× — see Bench.scala note), so the compaction is
+    * explicit and the count derives from the LEAF SCAN bytes: n =
+    * clamp(ceil(scanBytes / advisoryBytes), 1, defaultParallelism).
+    * Tiny inputs coalesce to one partition; at warehouse scale the
+    * clamp keeps full parallelism, so nothing here is tuned to
+    * local[32]. Unknown-size leaves (checkpointed RDDs report
+    * Long.MaxValue) saturate the clamp and leave parallelism alone —
+    * the conservative direction. The repartition is an explicitly
+    * NUMBERED hash exchange (REPARTITION_BY_NUM), which AQE never
+    * re-splits, and it moves only the already-reduced frame being
+    * cached.
+    */
+  def compactForOverhead(df: DataFrame, keys: Seq[Column],
+                         advisoryBytes: Long = 1L << 20): DataFrame = {
+    val adv = sys.env.get("GRAFT_COMPACT_TARGET").map(_.toLong)
+      .getOrElse(advisoryBytes)
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val maxP = df.sparkSession.sparkContext.defaultParallelism
+    val n =
+      if (bytes >= BigInt(adv) * maxP) maxP
+      else math.max(1L, ((bytes + adv - 1) / adv).toLong).toInt
+    if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
+  }
+
   /** Salted equi-join for a skewed LEFT side against a smaller right
     * side: left rows get a deterministic salt, the right side is
     * replicated once per salt value, and the join key becomes

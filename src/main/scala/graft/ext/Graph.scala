@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.engine.TrackedCache.Trackable
+import graft.engine.Skew.compactForOverhead
 
 /** Graph operators over edge-list DataFrames.
   *
@@ -137,8 +138,10 @@ object Graph {
                           col(dstCol).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     // canonical undirected edge set (u < v), then true degrees
-    val und = e0.select(least(col("a"), col("b")).as("u"),
-                        greatest(col("a"), col("b")).as("v")).distinct()
+    val und = compactForOverhead(
+        e0.select(least(col("a"), col("b")).as("u"),
+                  greatest(col("a"), col("b")).as("v")).distinct(),
+        Seq(col("u"))) // r19 loop-cache compaction (see pageRankLazy)
       .trackedPersist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
@@ -274,7 +277,8 @@ object Graph {
                            iterations: Int = 3, damping: Double = 0.85,
                            micro: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
-    val adj = undirectedAdjacency(edges)
+    val adj = compactForOverhead(undirectedAdjacency(edges),
+        Seq(col("src"))) // r19 loop-cache compaction (see pageRankLazy)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seeds.columns.head).cast("string")
       .as("node")).distinct()
@@ -330,7 +334,8 @@ object Graph {
                        rounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 10, s"labelPropagation: rounds 1..10")
-    val adj = undirectedEdges(edges)
+    val adj = compactForOverhead(undirectedEdges(edges),
+        Seq(col("src"))) // r19 loop-cache compaction (see pageRankLazy)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = seedLabels.select(
       col(seedLabels.columns(0)).cast("string").as("node"),
@@ -406,8 +411,10 @@ object Graph {
     // und feeds three consumers (degree agg + the edge join's probe
     // side) and deg two — cache both or the distinct's shuffle and
     // the upstream pair fan-out replay per consumer
-    val und = e0.select(least(col("a"), col("b")).as("u"),
-                        greatest(col("a"), col("b")).as("v")).distinct()
+    val und = compactForOverhead(
+        e0.select(least(col("a"), col("b")).as("u"),
+                  greatest(col("a"), col("b")).as("v")).distinct(),
+        Seq(col("u"))) // r19 loop-cache compaction (see pageRankLazy)
       .trackedPersist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
@@ -457,8 +464,10 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("string").as("a"),
                           col(dstCol).cast("string").as("b"))
       .where(col("a") =!= col("b"))
-    val und = e0.select(least(col("a"), col("b")).as("u"),
-                        greatest(col("a"), col("b")).as("v")).distinct()
+    val und = compactForOverhead(
+        e0.select(least(col("a"), col("b")).as("u"),
+                  greatest(col("a"), col("b")).as("v")).distinct(),
+        Seq(col("u"))) // r19 loop-cache compaction (see pageRankLazy)
       .trackedPersist()
     val lab = labels.select(col(nodeCol).cast("string").as("node"),
                             col(labelCol).cast("string").as("lab"))
@@ -637,9 +646,11 @@ object Graph {
            micro: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"hits: iterations 1..10, got $iterations")
-    val e = edges.select(col("src").cast("string").as("src"),
-                         col("dst").cast("string").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+    val e = compactForOverhead(
+        edges.select(col("src").cast("string").as("src"),
+                     col("dst").cast("string").as("dst"))
+          .where(col("src") =!= col("dst")).distinct(),
+        Seq(col("src"))) // r19 loop-cache compaction (see pageRankLazy)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0))
@@ -831,7 +842,11 @@ object Graph {
     // For billion-node graphs where ranks outgrows broadcast, Spark
     // falls back to a shuffle join keyed on src — still one
     // edge-shuffle per iteration, no plan change needed here.
-    val adj = undirectedAdjacency(edges, srcCol, dstCol)
+    // r19: size-derived partition compaction before the loop cache
+    // (guide §2.2) — every iteration re-reads this frame; see
+    // Skew.compactForOverhead for the rule and the measurements
+    val adj = compactForOverhead(
+        undirectedAdjacency(edges, srcCol, dstCol), Seq(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0))
@@ -880,9 +895,11 @@ object Graph {
     // persist the INDEXED adjacency and degrees, not the raw edge
     // list: each of the `steps` joins reads both, and an unpersisted
     // window would re-sort every per-node frame once per step
-    val adjIdx = und.withColumn("idx",
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy("dst")) - 1).cast("long"))
+    val adjIdx = compactForOverhead(
+        und.withColumn("idx",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy("dst")) - 1).cast("long")),
+        Seq(col("src"))) // r19 loop-cache compaction (see pageRankLazy)
       .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)
     val deg = adjIdx.groupBy("src").agg(count(lit(1)).as("deg"))
       .trackedPersist(StorageLevel.MEMORY_AND_DISK_SER)

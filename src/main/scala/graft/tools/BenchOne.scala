@@ -20,6 +20,8 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl",
         sys.env.getOrElse("GRAFT_FILE_IMPL",
