@@ -65,7 +65,8 @@ object Bench {
       // cap the stringifier so any future regression costs ~1 MB of
       // truncated text instead of minutes of CPU per query
       .config("spark.sql.maxPlanStringLength", "1000000")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // AQE re-partitioning of CACHED plan materialization was A/B'd
       // battery-style in r19 (25-query cross-family subset, min-of-2):

@@ -1378,8 +1378,20 @@ object Dedup {
     // the exploded rows, where whole-stage codegen runs them — the
     // transform-lambda form (gram strings built inside an interpreted
     // HOF) measured 10× slower on the gram stage at sf0.1
-    val norm = docs.select(col(idCol),
-      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_s"))
+    // r19 (guide §2.3 "shuffle keys/metadata instead of payloads",
+    // §2.4): hash-partition the DOC rows by id BEFORE the gram
+    // explode. The per-doc window below requires clustering by id —
+    // without this the Exchange lands ABOVE the explode and shuffles
+    // one row per CHARACTER (id, ng, pos, c — ~30 bytes × total
+    // corpus chars); posexplode/filter/project preserve the child's
+    // partitioning, so pre-partitioning the (id, text) rows satisfies
+    // the window with a doc-sized shuffle and the gram rows never
+    // cross the wire. spreadForCompute keeps the explode+hash stage
+    // at full session width (the gram hashing is compute-dense).
+    val norm = graft.engine.Skew.spreadForCompute(
+      docs.select(col(idCol),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("_s")),
+      col(idCol))
     val grams = norm.select(col(idCol),
       (greatest(length(col("_s")) - lit(k - 1), lit(1)))
         .cast("long").as("_ng"),

@@ -2874,11 +2874,19 @@ object Profile {
       : DataFrame = {
     require(pairs.nonEmpty, "fkDiscovery needs at least one candidate pair")
     pairs.map { case (label, child, childCol, parent, parentCol) =>
-      val cd = child.select(col(childCol).cast("string").as("k"))
-        .where(col("k").isNotNull).distinct()
+      // r19 (guide §2.3 "narrower types"): the row-scale distinct runs
+      // on the NATIVE key type; the string normalization (which keeps
+      // cross-type candidate pairs comparable) is applied to the
+      // ndv-sized dictionary after. cast-to-string is injective on
+      // the key types used here and preserves NULL, so filter +
+      // distinct commute with it — result-identical, oracle-verified.
+      val cd = child.select(col(childCol).as("_k0"))
+        .where(col("_k0").isNotNull).distinct()
+        .select(col("_k0").cast("string").as("k"))
         .trackedPersist()
-      val pd = parent.select(col(parentCol).cast("string").as("k"))
-        .where(col("k").isNotNull).distinct()
+      val pd = parent.select(col(parentCol).as("_k0"))
+        .where(col("_k0").isNotNull).distinct()
+        .select(col("_k0").cast("string").as("k"))
         .trackedPersist()
       val matched = cd.join(pd, Seq("k"), "left_semi")
         .agg(count(lit(1)).as("n_matched"))
